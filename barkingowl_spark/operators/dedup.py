@@ -1,0 +1,124 @@
+"""Seen-set dedup: Bloom prefilter + exact anti-join — SURVEY.md O12/O22.
+
+The reference's seen-set is an O(n) Python list scan per link
+([GH] scraper.py processed_links, C1 — its biggest scalability sin). Here:
+
+  stage 1 (probabilistic, cuts shuffle): a partitioned Bloom filter over the
+  seen-set's url_hash values. Candidates the filter rejects are DEFINITELY
+  new and skip the anti-join entirely; only possible-members shuffle.
+  False positives cost a wasted probe, never a dropped URL.
+
+  stage 2 (exact): left_anti join on (seed_url, url_hash) against the seen
+  table — guarantees the exact-seen-set metric (BASELINE.json).
+
+Sandbox realization: blooms are built per hash-partition with
+applyInPandas (numpy bitsets), collected and broadcast (the seen-set of the
+fixtures is tiny). At the 10^10 design point the same bitsets live as a
+(partition_id, bitset) table updated incrementally per wave and the probe
+is a partition-local join — the build/probe code is partition-keyed
+already so only the transport changes (documented in DESIGN.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+BLOOM_HASHES = 7
+BITS_PER_KEY = 12  # ~0.3% FP at k=7
+
+
+def _positions(vals: np.ndarray, m: int) -> Iterator[np.ndarray]:
+    v = vals.astype(np.uint64)
+    h1 = v
+    h2 = ((v >> np.uint64(31)) | np.uint64(1))
+    for i in range(BLOOM_HASHES):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def _build_bitset(vals: np.ndarray, m: int) -> np.ndarray:
+    bits = np.zeros(m // 8 + 1, dtype=np.uint8)
+    for pos in _positions(vals, m):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def _probe_bitset(vals: np.ndarray, bits: np.ndarray, m: int) -> np.ndarray:
+    maybe = np.ones(len(vals), dtype=bool)
+    for pos in _positions(vals, m):
+        maybe &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+    return maybe
+
+
+def build_bloom(seen: DataFrame, n_partitions: int = 32) -> dict[int, tuple[bytes, int]]:
+    """{partition_id: (bitset_bytes, m)} built distributedly per partition."""
+    keyed = seen.select(
+        F.pmod(F.col("url_hash"), F.lit(n_partitions)).cast("int").alias("pid"),
+        "url_hash",
+    )
+
+    def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["url_hash"].to_numpy(dtype=np.int64)
+        m = max(64, int(len(vals) * BITS_PER_KEY))
+        bits = _build_bitset(vals, m)
+        return pd.DataFrame(
+            {"pid": [int(key[0])], "bits": [bits.tobytes()], "m": [m]}
+        )
+
+    rows = (
+        keyed.groupBy("pid")
+        .applyInPandas(make, schema="pid int, bits binary, m long")
+        .collect()
+    )
+    return {r["pid"]: (r["bits"], r["m"]) for r in rows}
+
+
+def bloom_maybe_seen_udf(spark, blooms: dict[int, tuple[bytes, int]], n_partitions: int):
+    """Vectorized probe: url_hash -> bool (True = possibly seen)."""
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf(BooleanType())
+    def probe(url_hash: pd.Series) -> pd.Series:
+        tbl = bc.value
+        vals = url_hash.to_numpy(dtype=np.int64)
+        pids = np.mod(vals, n_partitions)
+        pids = np.where(pids < 0, pids + n_partitions, pids).astype(np.int64)
+        out = np.zeros(len(vals), dtype=bool)
+        for pid in np.unique(pids):
+            entry = tbl.get(int(pid))
+            if entry is None:
+                continue
+            mask = pids == pid
+            bits = np.frombuffer(entry[0], dtype=np.uint8)
+            out[mask] = _probe_bitset(vals[mask], bits, entry[1])
+        return pd.Series(out)
+
+    return probe
+
+
+def anti_join_new(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: dict[int, tuple[bytes, int]] | None = None,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exactly-new candidates. With blooms, definite-new rows bypass the
+    anti-join shuffle; possible-members are confirmed by left_anti."""
+    seen_keys = seen.select("seed_url", "url_hash")
+    if blooms is None:
+        return candidates.join(seen_keys, ["seed_url", "url_hash"], "left_anti")
+    spark = candidates.sparkSession
+    probe = bloom_maybe_seen_udf(spark, blooms, n_partitions)
+    tagged = candidates.withColumn("_maybe", probe(F.col("url_hash")))
+    definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    confirmed_new = (
+        tagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(seen_keys, ["seed_url", "url_hash"], "left_anti")
+    )
+    return definite_new.unionByName(confirmed_new)

@@ -1,0 +1,49 @@
+"""Per-host politeness budget + robots filter — SURVEY.md O20 / section 2.9 note.
+
+Reference: single-threaded sequential fetch per site = implicit 1-at-a-time
+politeness (C1); the per-host budget B and robots.txt handling are
+north_star additions (DRV), default-OFF for oracle-match runs
+(SURVEY.md section 7.2). Under budget B the URLs fetched from host h in one
+sub-iteration are exactly the first B in (depth, discovery_idx) order;
+deferred rows re-enter the next sub-iteration with their ORIGINAL discovery
+keys, so the trace order is invariant to B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_budget(due: DataFrame, budget: int | None) -> DataFrame:
+    """Top-B per host by discovery order; B=None means unlimited."""
+    if budget is None:
+        return due
+    w = Window.partitionBy("host").orderBy("discovery_idx", "seed_url")
+    return (
+        due.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= budget)
+        .drop("_rn")
+    )
+
+
+def robots_filter(links: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop links whose canonical path starts with a disallowed prefix.
+
+    ``robots`` is the small F3 dim table (host, disallow_prefixes) —
+    broadcast; the prefix test is a native EXISTS over the array (no UDF).
+    Applied BEFORE the seen-set, mirroring discovery-time filtering.
+    """
+    if robots is None:
+        return links
+    path = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]+([^?]*)", 1)
+    disallowed = F.exists(
+        F.col("disallow_prefixes"),
+        lambda p: F.coalesce(path, F.lit("/")).startswith(p),
+    )
+    return (
+        links.join(F.broadcast(robots.select("host", "disallow_prefixes")),
+                   "host", "left")
+        .filter(F.col("disallow_prefixes").isNull() | ~disallowed)
+        .drop("disallow_prefixes")
+    )
