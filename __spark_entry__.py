@@ -1,38 +1,620 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl-analogue composite on sf0.001.
+``queries()`` — one entry per SQL-expressible operator from SURVEY.md
+section 2 (crawl-operator analogues over the driver testdata, per
+FIXTURES.md F5) plus the training-data pipeline ops (dedup, similarity,
+text analysis, multimodal plumbing) over documents/embeddings.
+``oracle_sql()`` — DuckDB-equivalent SQL per query.
+
+Portability rules used throughout (so value-hashes match exactly):
+  * every computed column is aliased identically on both sides;
+  * hashes are md5 hex strings (identical in Spark and DuckDB);
+  * ratios are integer ppm with explicit floor (Spark long-cast truncates,
+    DuckDB CAST rounds — so the SQL says floor());
+  * money sums are integer cents, never raw double sums;
+  * non-SQL-expressible ops (the crawl wave loop itself, the pandas-UDF
+    parse pass, the multimodal float-cosine variant) are covered by the
+    pytest oracle suite (tests/test_crawl_oracle.py) and appear here
+    rows-only where meaningful.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from barkingowl_spark.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from barkingowl_spark.operators.corpus_dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from barkingowl_spark.operators.multimodal import attach_binary, decode_features
+from barkingowl_spark.operators.similarity import (
+    cosine_topk,
+    dot_topk,
+    ivf_assign,
+    ivf_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator analogues on the testdata star schema (FIXTURES.md F5)
+# ---------------------------------------------------------------------------
+
+def q_o5_fetch_join(spark, sf):
+    """O5/O13 frontier-pages equi-join analogue: orders JOIN customer;
+    the dim side is broadcast (seeds/config join O14 uses the same shape)."""
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey", "c_name", "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+def q_o9_scope_filter(spark, sf):
+    """O9/O10/O11 predicate stack analogue: pure Catalyst filters."""
+    e = _t(spark, sf, "events")
+    return e.filter(
+        F.col("event_type").isin("click", "view") & (F.col("value") < 50)
+    ).select("event_id", "user_id", "event_type")
+
+
+def q_o12_anti_join_dedup(spark, sf):
+    """O12 seen-set anti-join analogue: candidates minus seen keys."""
+    e = _t(spark, sf, "events")
+    seen = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    return e.join(seen, "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_o15_doc_type_match(spark, sf):
+    """O15 matcher analogue: content-type-equality OR extension branch,
+    with matched_by recorded — same CASE shape as the crawl matcher."""
+    d = _t(spark, sf, "documents")
+    matched = F.when(F.col("lang") == "en", F.lit("content_type")).otherwise(
+        F.when(F.col("n_chars") % 10 == 7, F.lit("extension"))
+    )
+    return (
+        d.withColumn("matched_by", matched)
+        .filter(F.col("matched_by").isNotNull())
+        .select("doc_id", "source", "matched_by")
+    )
+
+
+def q_o16_wave_counters(spark, sf):
+    """O16 per-wave/per-host counters analogue (map-side partial aggs)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+def q_o17_cardinality(spark, sf):
+    """O17 URL-cardinality analogue (exact variant for the oracle; the
+    crawl loop itself uses approx_count_distinct/HLL for monitoring)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+
+
+def q_o18_bfs_order(spark, sf):
+    """O18 BFS ordering analogue: row_number over (partition, order keys) —
+    the exact window shape that assigns crawl_order."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", F.row_number().over(w).alias("crawl_order")
+    )
+
+
+def q_o19_first_discovery(spark, sf):
+    """O19 first-discovery-wins analogue: keep rank-1 row per key."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_o20_politeness_topk(spark, sf):
+    """O20 per-host budget analogue: top-3 per user by time."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").alias("fetch_slot"))
+    )
+
+
+def q_o21_union_dedup(spark, sf):
+    """O21 frontier-union analogue: union two streams, dedup by key."""
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("value") > 90)
+    return (
+        a.unionByName(b)
+        .select("event_id", "user_id")
+        .distinct()
+    )
+
+
+def q_o8_canonicalize(spark, sf):
+    """O8 canonicalization analogue on synthesized URLs: lowercase
+    scheme/host, strip default port, strip fragment (native exprs)."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTP://"), F.upper("source"), F.lit(".TEST:80/docs/"),
+        F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    canon = F.regexp_replace(url, "#.*$", "")
+    canon = F.lower(canon)
+    canon = F.regexp_replace(canon, ":80/", "/")
+    return d.select("doc_id", canon.alias("canon_url"))
+
+
+def q_o26_time_rollup(spark, sf):
+    """O26 date/time analogue: hourly rollup with portable string keys."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min): the batch expression of the
+    per-host fetch-session semantics (SURVEY.md section 2.8)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap > 1800, 1).otherwise(0)
+    return e.select(
+        "user_id", "event_id",
+        F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("session_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return exact_dup_groups(_t(spark, sf, "documents"))
+
+
+def q_dedup_jaccard(spark, sf):
+    return jaccard_pairs(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_sigs(spark, sf):
+    return minhash_signatures(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return minhash_band_pairs(_t(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    return simhash16(_t(spark, sf, "documents"))
+
+
+def q_sim_topk_dot(spark, sf):
+    return dot_topk(_t(spark, sf, "embeddings"))
+
+
+def q_sim_topk_cosine(spark, sf):
+    # float cosine: rows-only check (double summation order is
+    # engine-specific); the quantized-dot variant above is value-checked
+    return cosine_topk(_t(spark, sf, "embeddings"))
+
+
+def q_ann_ivf_assign(spark, sf):
+    return ivf_assign(_t(spark, sf, "embeddings"))
+
+
+def q_ann_ivf_topk(spark, sf):
+    return ivf_topk(_t(spark, sf, "embeddings"))
+
+
+def q_text_token_stats(spark, sf):
+    return token_stats(_t(spark, sf, "documents"))
+
+
+def q_text_quality(spark, sf):
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def q_text_langid(spark, sf):
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark, sf):
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+def q_mm_decode_stub(spark, sf):
+    return decode_features(attach_binary(_t(spark, sf, "documents")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: frontier-expansion simulation — first-discovery
+    dedup (O19) + per-type counters (O16) in one plan."""
+    sf = "/root/testdata/sf0.001"
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return first.groupBy("event_type").agg(
+        F.count("*").alias("first_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "o5_fetch_join": q_o5_fetch_join,
+        "o8_canonicalize": q_o8_canonicalize,
+        "o9_scope_filter": q_o9_scope_filter,
+        "o12_anti_join_dedup": q_o12_anti_join_dedup,
+        "o15_doc_type_match": q_o15_doc_type_match,
+        "o16_wave_counters": q_o16_wave_counters,
+        "o17_cardinality": q_o17_cardinality,
+        "o18_bfs_order": q_o18_bfs_order,
+        "o19_first_discovery": q_o19_first_discovery,
+        "o20_politeness_topk": q_o20_politeness_topk,
+        "o21_union_dedup": q_o21_union_dedup,
+        "o26_time_rollup": q_o26_time_rollup,
+        "events_sessionize": q_events_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_dot": q_sim_topk_dot,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "mm_decode_stub": q_mm_decode_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)"
+    " AS BIGINT))"
+)
+_DOT_SQL = (
+    "CAST(list_sum(list_transform(range(1, len(qv) + 1),"
+    " i -> qv[i] * v[i])) AS BIGINT)"
+)
+
+_SHINGLE_CTE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM t WHERE len(w) >= 3
+)
+"""
+
+_SIG_SELECTS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS sig_{i}"
+    for i in range(8)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id,"
+    f" sig_{2*b} || '|' || sig_{2*b+1} AS band_key FROM sig"
+    for b in range(4)
+)
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(2 * ((h >> {j}) & 1) - 1) AS v{j}" for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _langid_sql() -> str:
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hit_cols.append(
+            f"len(list_filter(string_split(text, ' '),"
+            f" x -> x IN ({lst}))) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in LANG_MARKERS) + ")"
+    pred = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = (
+            f"CASE WHEN hits_{lang} = {best} AND {best} > 0"
+            f" THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang, ({pred}) = lang AS is_correct FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "o5_fetch_join": """
+            SELECT o_orderkey, c_name, c_mktsegment,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "o8_canonicalize": """
+            SELECT doc_id,
+                   replace(lower('HTTP://' || upper(source) || '.TEST:80/docs/'
+                           || CAST(doc_id AS VARCHAR)), ':80/', '/')
+                   AS canon_url
+            FROM documents
+        """,
+        "o9_scope_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('click', 'view') AND value < 50
+        """,
+        "o12_anti_join_dedup": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id NOT IN (
+                SELECT user_id FROM events
+                WHERE event_type = 'error' AND value > 95)
+        """,
+        "o15_doc_type_match": """
+            SELECT doc_id, source,
+                   CASE WHEN lang = 'en' THEN 'content_type'
+                        WHEN n_chars % 10 = 7 THEN 'extension' END
+                   AS matched_by
+            FROM documents
+            WHERE lang = 'en' OR n_chars % 10 = 7
+        """,
+        "o16_wave_counters": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY event_type
+        """,
+        "o17_cardinality": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "o18_bfs_order": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS crawl_order
+            FROM events
+        """,
+        "o19_first_discovery": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "o20_politeness_topk": """
+            SELECT user_id, event_id, rn AS fetch_slot FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "o21_union_dedup": """
+            SELECT DISTINCT event_id, user_id FROM (
+              SELECT event_id, user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, user_id FROM events WHERE value > 90)
+        """,
+        "o26_time_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "events_sessionize": """
+            SELECT user_id, event_id,
+                   CAST(sum(flag) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS flag
+              FROM events)
+        """,
+        "dedup_exact": """
+            SELECT md5(CAST(regexp_replace(trim(text), '\\s+', ' ', 'g')
+                       AS VARCHAR)) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard": """
+            WITH t AS (
+              SELECT doc_id, lang AS blk,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
+                        / len(list_distinct(list_concat(a.toks, b.toks))))
+                        AS BIGINT) AS jaccard_ppm
+            FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
+                  / len(list_distinct(list_concat(a.toks, b.toks))))
+                  AS BIGINT) >= 600000
+        """,
+        "dedup_minhash_sigs": _SHINGLE_CTE + f"""
+            SELECT doc_id, {_SIG_SELECTS} FROM sh
+        """,
+        "dedup_minhash_lsh": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "sim_topk_dot": f"""
+            WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+            scored AS (
+              SELECT q_id, vec_id, {_DOT_SQL} AS score
+              FROM q, v WHERE q_id != vec_id)
+            SELECT q_id, vec_id, score, rank FROM (
+              SELECT q_id, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        # sim_topk_cosine: intentionally no oracle (float summation order)
+        "ann_ivf_assign": f"""
+            WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            c AS (SELECT vec_id AS c_id, v AS qv FROM v WHERE vec_id < 8),
+            scored AS (
+              SELECT v.vec_id, c.c_id, {_DOT_SQL} AS score FROM c, v)
+            SELECT vec_id, c_id AS bucket FROM (
+              SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, c_id) AS rn
+              FROM scored) WHERE rn = 1
+        """,
+        "ann_ivf_topk": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            c AS (SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, c_id AS bucket FROM (
+                SELECT v0.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                         CAST(list_sum(list_transform(
+                           range(1, len(c.qv) + 1),
+                           i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                         DESC, c.c_id) AS rn
+                FROM c, v0) WHERE rn = 1),
+            v AS (SELECT v0.vec_id, v0.v, asg.bucket
+                  FROM v0 JOIN asg ON v0.vec_id = asg.vec_id),
+            q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM v
+                  WHERE vec_id < 10),
+            scored AS (
+              SELECT q.q_id, q.bucket, v.vec_id, {_DOT_SQL} AS score
+              FROM q JOIN v ON q.bucket = v.bucket AND q.q_id != v.vec_id)
+            SELECT q_id, bucket, vec_id, score, rank FROM (
+              SELECT q_id, bucket, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS token_count,
+                   len(list_distinct(string_split(text, ' ')))
+                     AS distinct_tokens,
+                   CAST(floor(list_sum(list_transform(string_split(text, ' '),
+                        x -> len(x))) * 1000000.0
+                        / len(string_split(text, ' '))) AS BIGINT)
+                     AS avg_token_len_ppm,
+                   n_chars
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, token_count, stop_ppm,
+                   (token_count >= 20 AND stop_ppm > 0 AND stop_ppm < 500000)
+                     AS is_quality
+            FROM (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS token_count,
+                     CAST(floor(len(list_filter(string_split(text, ' '),
+                          x -> x IN ({_STOP_LIST}))) * 1000000.0
+                          / len(string_split(text, ' '))) AS BIGINT)
+                       AS stop_ppm
+              FROM documents)
+        """,
+        "text_langid": _langid_sql(),
+        "doc_fingerprint": """
+            SELECT doc_id, fp, substring(fp, 1, 2) AS bucket FROM (
+              SELECT doc_id,
+                     md5(CAST(regexp_replace(trim(text), '\\s+', ' ', 'g')
+                         AS VARCHAR)) AS fp
+              FROM documents)
+        """,
+        "mm_decode_stub": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   CASE WHEN octet_length(encode(text)) > 0
+                        THEN (ascii(substring(text, 1, 1)) % 64) + 16
+                        ELSE 0 END AS width,
+                   CASE WHEN octet_length(encode(text)) > 1
+                        THEN (ascii(substring(text, 2, 1)) % 64) + 16
+                        ELSE 0 END AS height,
+                   octet_length(encode(text)) > 1 AS is_valid
+            FROM documents
+        """,
+    }

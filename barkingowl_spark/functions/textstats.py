@@ -1,0 +1,109 @@
+"""Text analysis for training-data pipelines: token stats, quality score,
+language-ID heuristic, document fingerprint.
+
+These are the corpus-hygiene ops a 100TB web-text pipeline runs after the
+crawl (driver contract: first-class alongside SURVEY.md section 2). All are
+pure Catalyst column expressions (whole-stage codegen, no UDFs); every
+numeric output is integer (counts / ppm ratios / cents) so the DuckDB
+oracle comparison is exact — raw double aggregates are never emitted.
+
+Tokenization contract (shared with the DuckDB oracle SQL in
+__spark_entry__): tokens = split(text, ' ') — the synthetic corpus is
+single-space word salad; a real corpus would normalize first (see
+fingerprint's whitespace collapse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic;
+# ties broken by this order (en first), mirrored in the oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "value", "table"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "por"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token counting: count, distinct count, avg token length
+    (ppm integer: sum(len)*1e6 / count — exact integer division)."""
+    t = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(t).alias("token_count"),
+        F.size(F.array_distinct(t)).alias("distinct_tokens"),
+        (
+            F.expr(
+                "aggregate(transform(split(text, ' '), x -> length(x)),"
+                " 0L, (acc, v) -> acc + v)"
+            )
+            * F.lit(1_000_000)
+            / F.size(t)
+        ).cast("long").alias("avg_token_len_ppm"),
+        F.col("n_chars"),
+    )
+
+
+def quality_score(documents: DataFrame, min_tokens: int = 20) -> DataFrame:
+    """Stopword-ratio + length quality gate (ppm integers)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    )
+    t = _tokens()
+    stop_ppm = (stop_hits * F.lit(1_000_000) / F.size(t)).cast("long")
+    return documents.select(
+        "doc_id",
+        F.size(t).alias("token_count"),
+        stop_ppm.alias("stop_ppm"),
+        (
+            (F.size(t) >= min_tokens)
+            & (stop_ppm > 0)
+            & (stop_ppm < 500_000)
+        ).alias("is_quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-token language-ID: argmax of per-language marker hits,
+    ties broken by LANG_MARKERS order; abstains to 'und' on zero hits."""
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hits[lang] = F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({lst})))"
+        ).alias(f"hits_{lang}")
+    df = documents.select("doc_id", "lang", *hits.values())
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    text, plus a 2-hex-char shard bucket (the partition key a 100TB dedup
+    would shuffle on)."""
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    fp = F.md5(norm.cast("binary"))
+    return documents.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 2).alias("bucket")
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100TB: the payload is an opaque BINARY
+column; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators over mapInPandas, so the JVM streams
+payload batches to one Python worker per core and nothing per-row crosses
+the boundary one element at a time.
+
+The actual codecs (PIL / libav) are NOT in this container, so the decode
+step is STUBBED behind `_decode_image_real` (raises NotImplementedError)
+with a deterministic fake (`_decode_image_stub`) driven purely by the
+payload bytes — the Spark-side plumbing (schema, batching, partitioning)
+is real and oracle-checked: the fake features are pure functions of the
+first payload bytes, which the DuckDB oracle reproduces from the text
+column (payloads here are utf-8 encodings of text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, byte_len long, width int, height int, is_valid boolean"
+)
+
+try:  # real codec path — absent in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_binary(documents: DataFrame) -> DataFrame:
+    """Simulate a multimodal table: utf-8 payload + mime metadata."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decode — requires an image codec, absent here by design."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "the deterministic stub below exercises the same plumbing"
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake 'decode': dimensions from the first bytes."""
+    w = (payload[0] % 64) + 16 if len(payload) > 0 else 0
+    h = (payload[1] % 64) + 16 if len(payload) > 1 else 0
+    return w, h
+
+
+def decode_features(multimodal: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary column.
+
+    Batch shape: Arrow record batches of (doc_id, payload); output one row
+    per input row with typed metadata. Swap _decode_image_stub for
+    _decode_image_real when codecs exist — nothing else changes.
+    """
+    decode = _decode_image_real if _HAVE_PIL else _decode_image_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "is_valid": [d[0] > 0 and d[1] > 0 for d in dims],
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )

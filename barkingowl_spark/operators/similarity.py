@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the training-data-pipeline contract:
+
+  * brute-force top-k — the correctness baseline: broadcast the (small)
+    query set against the full corpus, score JVM-side with
+    aggregate(zip_with(...)) (whole-stage codegen; no Python in the loop).
+  * IVF-bucketed top-k — the scale path: assign every vector to its
+    nearest coarse centroid (one broadcast join), then search only the
+    query's bucket — at 100TB this turns a full scan per query into a
+    1/n_centroids partition-pruned scan; bucket the stored table by
+    centroid id to make it shuffle-free.
+
+Scoring contract (oracle portability): embeddings are quantized to
+integer milli-units (round(x*1000)) and scored by integer dot product —
+exact, associative, and identical across engines; float cosine is kept as
+`cosine_topk` for realism but checked rows-only (double summation order
+is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+_DOT = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select("vec_id", F.expr(QUANT).alias("v"))
+
+
+def dot_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force integer-dot top-k: queries are vec_id < n_queries."""
+    vecs = _quantized(embeddings)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(vecs, F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.expr(_DOT).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score", "rank")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Float cosine top-k (realistic variant; rows-only oracle check)."""
+    vecs = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.expr(
+            "aggregate(v, 0D, (acc, e) -> acc + e * e)"
+        )),
+    )
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(vecs, F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id",
+            (F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,"
+                    " (acc, e) -> acc + e)")
+             / (F.col("qnorm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+                "rank")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Coarse IVF assignment: centroid = argmax integer dot (ties: lowest
+    centroid id). Centroids here are the first n vectors (deterministic,
+    oracle-checkable); a real index would k-means them — same dataflow."""
+    vecs = _quantized(embeddings)
+    centroids = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("qv")
+    )
+    scored = F.broadcast(centroids).join(vecs.alias("x"), F.lit(True)).select(
+        F.col("vec_id"), F.col("c_id"), F.expr(_DOT).alias("score")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-bucketed search: each query scans only its own bucket."""
+    assign = ivf_assign(embeddings, n_centroids)
+    vecs = _quantized(embeddings).join(assign, "vec_id")
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(vecs, ["bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "bucket", "vec_id", F.expr(_DOT).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "score", "rank")
+    )
