@@ -76,12 +76,22 @@ def jaccard_pairs(
     )
 
 
-def _shingles3() -> F.Column:
-    """Distinct word-3-gram shingles (0-based Spark array subscripts)."""
-    return F.expr(
-        "array_distinct(transform(sequence(0, size(split(text,' ')) - 3),"
-        " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
-        " split(text,' ')[i+2])))"
+def _with_shingles3(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles.
+
+    Tokens are materialized as a column FIRST — referencing
+    split(text, ' ') inside the transform lambda would re-evaluate the
+    split per element (quadratic in document length)."""
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)  # sequence(0, size-3) turns descending <3
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            ).alias("sh"),
+        )
     )
 
 
@@ -92,13 +102,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     engines — the portability trick that makes the LSH oracle-checkable.
     Docs with <3 tokens have no shingles and are dropped (can't minhash).
     """
-    d = (
-        documents
-        # guard BEFORE building shingles: Spark's sequence(0, size-3) turns
-        # DESCENDING for size<3 and would emit junk shingles
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", _shingles3().alias("sh"))
-    )
+    d = _with_shingles3(documents)
     sigs = [
         F.expr(f"array_min(transform(sh, s -> md5(concat(s, '#{i}'))))")
         .alias(f"sig_{i}")

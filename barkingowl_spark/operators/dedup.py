@@ -62,7 +62,7 @@ def build_bloom(seen: DataFrame, n_partitions: int = 32) -> dict[int, tuple[byte
         "url_hash",
     )
 
-    def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def make(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf["url_hash"].to_numpy(dtype=np.int64)
         m = max(64, int(len(vals) * BITS_PER_KEY))
         bits = _build_bitset(vals, m)
@@ -76,6 +76,55 @@ def build_bloom(seen: DataFrame, n_partitions: int = 32) -> dict[int, tuple[byte
         .collect()
     )
     return {r["pid"]: (r["bits"], r["m"]) for r in rows}
+
+
+class IncrementalBloom:
+    """Persistent cross-wave Bloom state (O12/O22).
+
+    Fixed-size per-partition bitsets so new keys OR in incrementally —
+    one distributed build over each wave's FRESH keys instead of a full
+    seen-set rebuild per wave. Saturation only raises the FP rate (more
+    anti-join probes), never correctness. At the 10^10 design point the
+    same (pid, bitset) pairs live as a table and the OR happens in a
+    merge write; only the transport differs.
+    """
+
+    def __init__(self, n_partitions: int = 32, m_bits: int = 1 << 20):
+        self.n_partitions = n_partitions
+        self.m = m_bits
+        self.bits: dict[int, np.ndarray] = {}
+
+    def add_keys(self, keys: DataFrame) -> None:
+        """OR the url_hash values of ``keys`` into the partition bitsets."""
+        m = self.m
+        keyed = keys.select(
+            F.pmod(F.col("url_hash"), F.lit(self.n_partitions)).cast("int")
+            .alias("pid"),
+            "url_hash",
+        )
+
+        def make(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            vals = pdf["url_hash"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"pid": [int(key[0])],
+                 "bits": [_build_bitset(vals, m).tobytes()]}
+            )
+
+        rows = (
+            keyed.groupBy("pid")
+            .applyInPandas(make, schema="pid int, bits binary")
+            .collect()
+        )
+        for r in rows:
+            delta = np.frombuffer(r["bits"], dtype=np.uint8)
+            pid = r["pid"]
+            if pid in self.bits:
+                self.bits[pid] = self.bits[pid] | delta
+            else:
+                self.bits[pid] = delta.copy()
+
+    def snapshot(self) -> dict[int, tuple[bytes, int]]:
+        return {pid: (b.tobytes(), self.m) for pid, b in self.bits.items()}
 
 
 def bloom_maybe_seen_udf(spark, blooms: dict[int, tuple[bytes, int]], n_partitions: int):
@@ -107,18 +156,24 @@ def anti_join_new(
     blooms: dict[int, tuple[bytes, int]] | None = None,
     n_partitions: int = 32,
 ) -> DataFrame:
-    """Exactly-new candidates. With blooms, definite-new rows bypass the
-    anti-join shuffle; possible-members are confirmed by left_anti."""
+    """Exactly-new candidates. With blooms, definite-new rows carry a NULL
+    join key — a null key matches nothing, so one left_anti pass both
+    bypasses the shuffle for definite-new rows (null keys don't need to
+    reach the build side) and confirms possible-members exactly. Single
+    pass: no branch/union, upstream lineage evaluated once."""
     seen_keys = seen.select("seed_url", "url_hash")
     if blooms is None:
         return candidates.join(seen_keys, ["seed_url", "url_hash"], "left_anti")
     spark = candidates.sparkSession
     probe = bloom_maybe_seen_udf(spark, blooms, n_partitions)
-    tagged = candidates.withColumn("_maybe", probe(F.col("url_hash")))
-    definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
-    confirmed_new = (
-        tagged.filter(F.col("_maybe"))
-        .drop("_maybe")
-        .join(seen_keys, ["seed_url", "url_hash"], "left_anti")
+    tagged = candidates.withColumn(
+        "_jk", F.when(probe(F.col("url_hash")), F.col("url_hash"))
     )
-    return definite_new.unionByName(confirmed_new)
+    return (
+        tagged.join(
+            seen_keys.withColumnRenamed("url_hash", "_jk"),
+            ["seed_url", "_jk"],
+            "left_anti",
+        )
+        .drop("_jk")
+    )

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from barkingowl_spark.functions.canon import canonicalize, host_of
 from barkingowl_spark.functions.extract import parse_pages_udf
-from barkingowl_spark.operators.dedup import anti_join_new, build_bloom
+from barkingowl_spark.operators.dedup import IncrementalBloom, anti_join_new
 from barkingowl_spark.operators.match import matched_by_col, pages_content_type
 from barkingowl_spark.operators.ordering import (
     child_discovery_idx,
@@ -67,6 +67,10 @@ class CrawlConfig:
     host_budget: int | None = None          # O20; None = oracle-match mode
     use_bloom: bool = True                  # O12 stage-1 prefilter
     bloom_partitions: int = 32
+    # waves smaller than this are broadcast into the pages/pages_ct joins
+    # (corpus side never shuffles); bigger waves fall back to shuffle hash
+    # join + AQE (the 10^10 path, where the wave itself is too big to ship)
+    broadcast_wave_rows: int = 2_000_000
     salt_partitions: int = 8                # hot-host split for the UDF pass
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
@@ -114,12 +118,17 @@ def _seeds_cfg(spark: SparkSession, seeds: DataFrame) -> DataFrame:
 
 
 def _typecheck(candidates: DataFrame, pages_ct: DataFrame,
-               seeds_cfg: DataFrame) -> DataFrame:
+               seeds_cfg: DataFrame, broadcast_candidates: bool = True) -> DataFrame:
     """Discovery-time typecheck (O15 + O10 boundary): assign status and
-    matched_by to candidate rows carrying (seed_url, url, depth, ...)."""
-    c = candidates.join(F.broadcast(seeds_cfg), "seed_url").join(
-        pages_ct, "url", "left"
-    )
+    matched_by to candidate rows carrying (seed_url, url, depth, ...).
+
+    With broadcast_candidates the (small) candidate set ships to the
+    corpus scan as a right join — the pages_ct side never shuffles."""
+    with_cfg = candidates.join(F.broadcast(seeds_cfg), "seed_url")
+    if broadcast_candidates:
+        c = pages_ct.join(F.broadcast(with_cfg), "url", "right")
+    else:
+        c = with_cfg.join(pages_ct, "url", "left")
     mb = matched_by_col(F.col("content_type"), F.col("url"), F.col("doc_type"))
     return (
         c.withColumn("matched_by", mb)
@@ -206,6 +215,12 @@ def run_crawl(
         state = CrawlState(tables["queue"], tables["archive"],
                            tables["documents"], tables["metrics"], wave=0)
 
+    bloom = None
+    if config.use_bloom:
+        # one full build at start (or resume); waves then OR in fresh keys
+        bloom = IncrementalBloom(config.bloom_partitions)
+        bloom.add_keys(state.frontier().select("url_hash"))
+
     default_par = spark.sparkContext.defaultParallelism
     while state.wave < config.max_waves:
         t0 = time.monotonic()
@@ -228,14 +243,21 @@ def run_crawl(
         ranks = level_ranks(state.frontier(), d)
 
         fetch_cols = ["url", "html"] + (["text"] if config.verify_text else [])
-        fetched = (
-            sched.repartition(
-                max(default_par, config.salt_partitions),
-                F.col("host"),
-                F.pmod(F.col("url_hash"), F.lit(config.salt_partitions)),
-            )
-            .join(pages.select(*fetch_cols), "url", "inner")
+        small_wave = queue_rows <= config.broadcast_wave_rows
+        sched_rep = sched.repartition(
+            max(default_par, config.salt_partitions),
+            F.col("host"),
+            F.pmod(F.col("url_hash"), F.lit(config.salt_partitions)),
         )
+        if small_wave:
+            # ship the wave to the corpus scan; pages never shuffles
+            fetched = pages.select(*fetch_cols).join(
+                F.broadcast(sched_rep), "url", "inner"
+            )
+        else:
+            fetched = sched_rep.join(
+                pages.select(*fetch_cols).hint("shuffle_hash"), "url", "inner"
+            )
         parsed = fetched.withColumn(
             "p", parse_pages_udf(F.col("url"), F.col("html"))
         ).select(
@@ -278,14 +300,16 @@ def run_crawl(
 
         deduped = first_discovery_wins(links)
         seen_keys = state.frontier().select("seed_url", "url_hash")
-        blooms = (
-            build_bloom(seen_keys, config.bloom_partitions)
-            if config.use_bloom else None
-        )
         fresh = anti_join_new(
-            deduped, seen_keys, blooms, config.bloom_partitions
+            deduped, seen_keys,
+            bloom.snapshot() if bloom is not None else None,
+            config.bloom_partitions,
         )
-        typed = _typecheck(fresh, pages_ct, seeds_cfg).persist()
+        typed = _typecheck(
+            fresh, pages_ct, seeds_cfg, broadcast_candidates=small_wave
+        ).persist()
+        if bloom is not None:
+            bloom.add_keys(typed.select("url_hash"))
 
         fetched_rows = parsed.select(
             "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
