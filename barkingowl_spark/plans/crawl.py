@@ -196,24 +196,26 @@ def run_crawl(
     seeds_cfg = _seeds_cfg(spark, seeds)
     pages_ct = pages_content_type(pages)
 
-    names = ["queue", "archive", "documents", "metrics"]
+    def _load(wave: int) -> CrawlState:
+        return CrawlState(
+            queue=io.read_queue(spark, wave),
+            archive=io.read_delta_union(spark, "archive", wave),
+            documents=io.read_delta_union(spark, "documents", wave),
+            metrics=io.read_delta_union(spark, "metrics", wave),
+            wave=wave,
+        )
+
     start_wave = io.latest_wave() if resume else None
     if resume and start_wave is not None:
-        tables, meta = io.read_wave(spark, start_wave, names)
-        state = CrawlState(
-            tables["queue"], tables["archive"], tables["documents"],
-            tables["metrics"], wave=meta["wave"],
-            totals=meta.get("totals", {}),
-        )
+        state = _load(start_wave)
     else:
         state = init_state(spark, seeds, pages_ct, seeds_cfg)
-        io.write_wave(0, {
-            "queue": state.queue, "archive": state.archive,
-            "documents": state.documents, "metrics": state.metrics,
+        io.write_wave(0, state.queue, {
+            "archive": state.archive,
+            "documents": state.documents,
+            "metrics": state.metrics,
         }, {"totals": {}})
-        tables, _ = io.read_wave(spark, 0, names)
-        state = CrawlState(tables["queue"], tables["archive"],
-                           tables["documents"], tables["metrics"], wave=0)
+        state = _load(0)
 
     bloom = None
     if config.use_bloom:
@@ -327,10 +329,7 @@ def run_crawl(
         queue2 = state.queue.join(
             sched_keys, ["seed_url", "url_hash"], "left_anti"
         ).unionByName(new_queue_rows)
-        archive2 = state.archive.unionByName(fetched_rows).unionByName(
-            new_terminal
-        )
-        docs2 = state.documents.unionByName(_docs_of(typed))
+        archive_delta = fetched_rows.unionByName(new_terminal)
 
         # D7 metrics: parent-host counters and child-host counters, merged
         m_parent = parsed.groupBy("host").agg(
@@ -356,18 +355,13 @@ def run_crawl(
                 ],
             )
         )
-        metrics2 = state.metrics.unionByName(m)
-
-        io.write_wave(wave, {
-            "queue": queue2, "archive": archive2,
-            "documents": docs2, "metrics": metrics2,
+        io.write_wave(wave, queue2, {
+            "archive": archive_delta,
+            "documents": _docs_of(typed),
+            "metrics": m,
         }, {"totals": {"last_queue_rows": queue_rows,
                        "wall_s": time.monotonic() - t0}})
         parsed.unpersist()
         typed.unpersist()
-        tables, _ = io.read_wave(spark, wave, names)
-        state = CrawlState(
-            tables["queue"], tables["archive"], tables["documents"],
-            tables["metrics"], wave=wave,
-        )
+        state = _load(wave)
     return state

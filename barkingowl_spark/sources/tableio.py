@@ -1,22 +1,27 @@
 """TableIO seam — checkpoint/resume storage (SURVEY.md O6, D8, section 7.0).
 
 The reference has NO persistence: a killed scraper loses its crawl (C1).
-Here every wave ends with an atomic snapshot of frontier + seen + metrics +
-documents so runs resume exactly (north_rule).
+Here every wave ends with an atomic snapshot of frontier-queue + append-only
+deltas (archive/documents/metrics) so runs resume exactly (north_rule).
 
-Two implementations behind one interface:
+Layout (ParquetDirsIO — sandbox impl; no Iceberg jar, no network):
 
-  * ParquetDirsIO (default; used in the sandbox — no Iceberg jar, no
-    network): ``<root>/wave=K/<table>.parquet`` plus a ``manifest.json``
-    written LAST (atomic rename) so a partially-written wave is never
-    resumed.
-  * IcebergIO (config-switchable, documented): same call sites map to
-    ``writeTo(tbl).overwritePartitions()`` + a snapshot tag per wave;
-    resume = time-travel to the wave's tag. Selected with
-    CrawlConfig(table_io='iceberg') when a catalog is configured.
+  <root>/wave=K/queue.parquet     full rewrite (the queue is the SMALL,
+                                  mutable part of the frontier)
+  <root>/wave=K/manifest.json     written last -> wave K is complete
+  <root>/delta/<table>/wave=K     append-only per-wave delta for the big
+                                  tables (archive / documents / metrics) —
+                                  a wave never rewrites the 10^10-row
+                                  frontier archive
+  read(table, K) = union of delta dirs with wave <= K (stray deltas from a
+  crashed wave are ignored because the manifest gate defines K)
 
-Reading a checkpoint back after writing also truncates the iterative
-plan's lineage (the wave loop would otherwise grow an unbounded DAG).
+IcebergIO (config-switchable, documented): identical call sites map to
+``writeTo(tbl).append()`` + a snapshot tag per wave; resume = time-travel
+to the tag; deltas become real table appends with automatic compaction.
+
+Reading checkpoints back each wave also truncates the iterative plan's
+lineage (the wave loop would otherwise grow an unbounded DAG).
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ParquetDirsIO:
+    DELTA_TABLES = ("archive", "documents", "metrics")
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -36,27 +43,35 @@ class ParquetDirsIO:
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.root, f"wave={wave}")
 
+    def _delta_dir(self, name: str, wave: int) -> str:
+        return os.path.join(self.root, "delta", name, f"wave={wave}")
+
     def write_wave(
-        self, wave: int, tables: dict[str, DataFrame], meta: dict
+        self,
+        wave: int,
+        queue: DataFrame,
+        deltas: dict[str, DataFrame],
+        meta: dict,
     ) -> None:
+        # deltas first (invisible until the manifest lands)
+        for name, df in deltas.items():
+            path = self._delta_dir(name, wave)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            df.write.mode("overwrite").parquet(path)
         d = self._wave_dir(wave)
         tmp = d + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        counts = {}
-        for name, df in tables.items():
-            path = os.path.join(tmp, name + ".parquet")
-            df.write.mode("overwrite").parquet(path)
-        manifest = {"wave": wave, **meta, "tables": sorted(tables)}
+        queue.write.mode("overwrite").parquet(os.path.join(tmp, "queue.parquet"))
+        manifest = {"wave": wave, **meta, "deltas": sorted(deltas)}
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         if os.path.exists(d):
             shutil.rmtree(d)
         os.rename(tmp, d)  # manifest presence == wave complete
-        # prune older waves, keep last 2 for post-mortem
-        waves = sorted(self.list_waves())
-        for w in waves[:-2]:
+        for w in self.list_waves()[:-2]:  # keep last 2 queue snapshots
             shutil.rmtree(self._wave_dir(w), ignore_errors=True)
 
     def list_waves(self) -> list[int]:
@@ -74,13 +89,23 @@ class ParquetDirsIO:
         waves = self.list_waves()
         return waves[-1] if waves else None
 
-    def read_wave(
-        self, spark: SparkSession, wave: int, names: list[str]
-    ) -> tuple[dict[str, DataFrame], dict]:
-        d = self._wave_dir(wave)
-        with open(os.path.join(d, "manifest.json")) as f:
-            meta = json.load(f)
-        tables = {
-            n: spark.read.parquet(os.path.join(d, n + ".parquet")) for n in names
-        }
-        return tables, meta
+    def read_queue(self, spark: SparkSession, wave: int) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self._wave_dir(wave), "queue.parquet")
+        )
+
+    def read_delta_union(
+        self, spark: SparkSession, name: str, wave: int
+    ) -> DataFrame:
+        """Union of all committed deltas of ``name`` up to ``wave``."""
+        base = os.path.join(self.root, "delta", name)
+        paths = [
+            os.path.join(base, e)
+            for e in sorted(os.listdir(base))
+            if e.startswith("wave=") and int(e.split("=", 1)[1]) <= wave
+        ]
+        return spark.read.parquet(*paths)
+
+    def read_meta(self, wave: int) -> dict:
+        with open(os.path.join(self._wave_dir(wave), "manifest.json")) as f:
+            return json.load(f)
