@@ -1,0 +1,75 @@
+"""spark-submit entry point for the crawl (north_rule launch path).
+
+Usage (cluster):
+  tools/build_dist.sh   # -> dist/bowspark.zip
+  spark-submit --py-files dist/bowspark.zip jobs/crawl_wave.py \
+      --pages <corpus path or table> --seeds <seeds json/parquet> \
+      --checkpoint <dir> [--budget B] [--resume] [--max-waves N]
+
+On a cluster the session comes from spark-submit's conf (master/executors
+set by the submitter); locally it falls back to local[*]. The same job is
+what tools/bench_scaling.py drives at two parallelism levels for the
+N-vs-4N scaling evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True,
+                   help="parquet path (or iceberg table) of the page corpus")
+    p.add_argument("--seeds", required=True,
+                   help="parquet path OR inline JSON list of seed objects")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--budget", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-waves", type=int, default=100_000)
+    p.add_argument("--no-bloom", action="store_true")
+    args = p.parse_args(argv)
+
+    from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
+    from barkingowl_spark.schemas import SEED_SCHEMA
+
+    spark = SparkSession.builder.appName("bowspark-crawl").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    pages = spark.read.parquet(args.pages)
+    if args.seeds.strip().startswith("["):
+        rows = [
+            (s["url"], s.get("title"), s.get("description"),
+             int(s["max_link_level"]), s["doc_type"],
+             int(s.get("frequency_min", 0)), i)
+            for i, s in enumerate(json.loads(args.seeds))
+        ]
+        seeds = spark.createDataFrame(rows, SEED_SCHEMA)
+    else:
+        seeds = spark.read.parquet(args.seeds)
+
+    state = run_crawl(
+        spark, seeds, pages,
+        CrawlConfig(
+            checkpoint_dir=args.checkpoint,
+            host_budget=args.budget,
+            use_bloom=not args.no_bloom,
+            max_waves=args.max_waves,
+        ),
+        resume=args.resume,
+    )
+    summary = {
+        "waves": state.wave,
+        "frontier_urls": state.frontier().count(),
+        "documents": state.documents.count(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
