@@ -56,9 +56,14 @@ from barkingowl_spark.sources.tableio import ParquetDirsIO
 
 FRONTIER_COLS = [
     "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
-    "parent_url", "status", "wave", "text_sha256",
+    "parent_url", "status", "wave", "text_sha256", "matched_by", "doc_type",
 ]
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+
+METRIC_COUNTERS = [
+    "pages_fetched", "pages_missing", "links_extracted", "new_urls",
+    "new_queued", "docs_found", "text_mismatch",
+]
 
 
 @dataclass
@@ -75,16 +80,27 @@ class CrawlConfig:
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
     verify_text: bool = True                # input_hint byte-identity counter
+    # Arrow batch rows for the parse UDF: real pages are tens of KB, so the
+    # session-wide 10k-row default would mean ~0.5GB batches per worker
+    arrow_batch_rows: int = 2048
 
 
 @dataclass
 class CrawlState:
     queue: DataFrame
     archive: DataFrame
-    documents: DataFrame
     metrics: DataFrame
     wave: int
     totals: dict = field(default_factory=dict)
+
+    @property
+    def documents(self) -> DataFrame:
+        """Found-document records (O4) — a VIEW of the archive (doc rows
+        carry matched_by/doc_type), so no separate sink write per wave."""
+        return self.archive.filter(F.col("status") == "doc").select(
+            F.col("url").alias("doc_url"), "doc_type", "matched_by",
+            "seed_url", "depth", "wave", "parent_url",
+        )
 
     def frontier(self) -> DataFrame:
         return self.queue.unionByName(self.archive)
@@ -122,13 +138,13 @@ def _typecheck(candidates: DataFrame, pages_ct: DataFrame,
     """Discovery-time typecheck (O15 + O10 boundary): assign status and
     matched_by to candidate rows carrying (seed_url, url, depth, ...).
 
-    With broadcast_candidates the (small) candidate set ships to the
-    corpus scan as a right join — the pages_ct side never shuffles."""
+    NOTE: Spark cannot broadcast the preserved side of an outer join, so
+    the candidate side cannot ship to the corpus scan here; the join is a
+    shuffle-hash left join (never sort-merge — no point sorting the corpus
+    side). broadcast_candidates switches nothing today and is kept for an
+    Iceberg storage-partitioned-join variant."""
     with_cfg = candidates.join(F.broadcast(seeds_cfg), "seed_url")
-    if broadcast_candidates:
-        c = pages_ct.join(F.broadcast(with_cfg), "url", "right")
-    else:
-        c = with_cfg.join(pages_ct, "url", "left")
+    c = with_cfg.join(pages_ct.hint("shuffle_hash"), "url", "left")
     mb = matched_by_col(F.col("content_type"), F.col("url"), F.col("doc_type"))
     return (
         c.withColumn("matched_by", mb)
@@ -143,8 +159,7 @@ def _typecheck(candidates: DataFrame, pages_ct: DataFrame,
     )
 
 
-def init_state(spark: SparkSession, seeds: DataFrame, pages_ct: DataFrame,
-               seeds_cfg: DataFrame) -> CrawlState:
+def _seed_frontier_rows(pages_ct: DataFrame, seeds_cfg: DataFrame) -> DataFrame:
     seed_rows = seeds_cfg.select(
         F.col("seed_url"),
         F.col("seed_url").alias("url"),
@@ -155,34 +170,9 @@ def init_state(spark: SparkSession, seeds: DataFrame, pages_ct: DataFrame,
         F.lit(None).cast("string").alias("parent_url"),
         F.lit(0).alias("wave"),
     )
-    typed = _typecheck(seed_rows, pages_ct, seeds_cfg)
-    queue = typed.filter(F.col("status") == "queued").select(*FRONTIER_COLS)
-    terminal = typed.filter(F.col("status") != "queued")
-    docs = _docs_of(terminal)
-    metrics = spark.createDataFrame(
-        [], "wave int, host string, pages_fetched long, pages_missing long, "
-            "links_extracted long, new_urls long, docs_found long, "
-            "text_mismatch long",
-    )
-    return CrawlState(
-        queue=queue,
-        archive=terminal.select(*FRONTIER_COLS),
-        documents=docs,
-        metrics=metrics,
-        wave=0,
-    )
+    return _typecheck(seed_rows, pages_ct, seeds_cfg)
 
 
-def _docs_of(typed: DataFrame) -> DataFrame:
-    return typed.filter(F.col("status") == "doc").select(
-        F.col("url").alias("doc_url"),
-        F.col("doc_type"),
-        F.col("matched_by"),
-        F.col("seed_url"),
-        F.col("depth"),
-        F.col("wave"),
-        F.col("parent_url"),
-    )
 
 
 def run_crawl(
@@ -195,27 +185,46 @@ def run_crawl(
     io = ParquetDirsIO(config.checkpoint_dir)
     seeds_cfg = _seeds_cfg(spark, seeds)
     pages_ct = pages_content_type(pages)
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(config.arrow_batch_rows),
+    )
 
     def _load(wave: int) -> CrawlState:
         return CrawlState(
             queue=io.read_queue(spark, wave),
-            archive=io.read_delta_union(spark, "archive", wave),
-            documents=io.read_delta_union(spark, "documents", wave),
-            metrics=io.read_delta_union(spark, "metrics", wave),
+            archive=io.read_archive(spark, wave),
+            metrics=io.read_metrics(spark, wave),
             wave=wave,
         )
 
+    # driver-side level-sync scheduler state (SURVEY.md O18/O20): depth d is
+    # fetched until exhausted, children accumulate at d+1. Maintained from
+    # the per-wave metrics collect — no extra min/count jobs per wave.
     start_wave = io.latest_wave() if resume else None
     if resume and start_wave is not None:
         state = _load(start_wave)
+        sched_meta = io.read_meta(start_wave).get("sched")
+        if sched_meta is None:  # resumed at wave 0 (only seeds committed)
+            d, due_remaining, children = 0, state.queue.count(), 0
+        else:
+            d, due_remaining, children = (
+                sched_meta["d"], sched_meta["due"], sched_meta["children"],
+            )
     else:
-        state = init_state(spark, seeds, pages_ct, seeds_cfg)
-        io.write_wave(0, state.queue, {
-            "archive": state.archive,
-            "documents": state.documents,
-            "metrics": state.metrics,
-        }, {"totals": {}})
+        typed0 = _seed_frontier_rows(pages_ct, seeds_cfg)
+        queue0 = typed0.filter(F.col("status") == "queued").select(
+            *FRONTIER_COLS)
+        io.write_wave(
+            0,
+            queue0.coalesce(1),
+            typed0.filter(F.col("status") != "queued")
+            .select(*FRONTIER_COLS).coalesce(1),
+            {"totals": {}, "sched": None},
+        )
+        io.write_metrics_rows(0, [])
         state = _load(0)
+        d, due_remaining, children = 0, state.queue.count(), 0
 
     bloom = None
     if config.use_bloom:
@@ -226,12 +235,11 @@ def run_crawl(
     default_par = spark.sparkContext.defaultParallelism
     while state.wave < config.max_waves:
         t0 = time.monotonic()
-        agg = state.queue.groupBy().agg(
-            F.min("depth").alias("d"), F.count("*").alias("n")
-        ).collect()[0]
-        if agg["d"] is None:
+        if due_remaining <= 0:
+            d, due_remaining, children = d + 1, children, 0
+        if due_remaining <= 0:
             break
-        d, queue_rows = int(agg["d"]), int(agg["n"])
+        queue_rows = due_remaining + children
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions_for(queue_rows, default_par)),
@@ -316,8 +324,10 @@ def run_crawl(
         fetched_rows = parsed.select(
             "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
             "parent_url", F.lit("fetched").alias("status"),
-            "wave", "text_sha256",
-        ).withColumn("wave", F.lit(wave))
+            F.lit(wave).alias("wave"), "text_sha256",
+            F.lit(None).cast("string").alias("matched_by"),
+            F.lit(None).cast("string").alias("doc_type"),
+        )
 
         new_queue_rows = typed.filter(F.col("status") == "queued").select(
             *FRONTIER_COLS
@@ -331,7 +341,9 @@ def run_crawl(
         ).unionByName(new_queue_rows)
         archive_delta = fetched_rows.unionByName(new_terminal)
 
-        # D7 metrics: parent-host counters and child-host counters, merged
+        # D7 metrics: parent-host + child-host counters, merged; collected
+        # to the driver (they double as the scheduler's bookkeeping) and
+        # persisted driver-side — no distributed metrics write
         m_parent = parsed.groupBy("host").agg(
             F.count("*").alias("pages_fetched"),
             F.sum(F.size("links")).alias("links_extracted"),
@@ -341,26 +353,37 @@ def run_crawl(
             F.sum((F.col("status") == "missing").cast("long")).alias(
                 "pages_missing"),
             F.count("*").alias("new_urls"),
+            F.sum((F.col("status") == "queued").cast("long")).alias(
+                "new_queued"),
             F.sum((F.col("status") == "doc").cast("long")).alias("docs_found"),
         )
-        m = (
+        m_rows = (
             m_parent.join(m_child, "host", "full_outer")
             .select(
                 F.lit(wave).alias("wave"), "host",
                 *[
                     F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                    for c in ["pages_fetched", "pages_missing",
-                              "links_extracted", "new_urls", "docs_found",
-                              "text_mismatch"]
+                    for c in METRIC_COUNTERS
                 ],
             )
+        ).collect()
+        sched_total = sum(r["pages_fetched"] for r in m_rows)
+        new_queued_total = sum(r["new_queued"] for r in m_rows)
+        due_remaining -= sched_total
+        children += new_queued_total
+
+        n_out = max(1, min(default_par, queue_rows // 250_000 + 1))
+        io.write_metrics_rows(
+            wave, [r.asDict() for r in m_rows]
         )
-        io.write_wave(wave, queue2, {
-            "archive": archive_delta,
-            "documents": _docs_of(typed),
-            "metrics": m,
-        }, {"totals": {"last_queue_rows": queue_rows,
-                       "wall_s": time.monotonic() - t0}})
+        io.write_wave(
+            wave,
+            queue2.repartition(n_out),
+            archive_delta.repartition(n_out),
+            {"totals": {"last_queue_rows": queue_rows,
+                        "wall_s": time.monotonic() - t0},
+             "sched": {"d": d, "due": due_remaining, "children": children}},
+        )
         parsed.unpersist()
         typed.unpersist()
         state = _load(wave)

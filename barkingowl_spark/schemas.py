@@ -45,7 +45,8 @@ SEED_SCHEMA = StructType(
 )
 
 # D2 — the frontier. One row per canonical URL per seed. ``status`` is one of
-# 'queued' | 'fetched' | 'missing' | 'doc' | 'pruned'.
+# 'queued' | 'fetched' | 'missing' | 'doc' | 'pruned'. Doc rows carry
+# matched_by/doc_type so the documents table is a view of the archive (O4).
 FRONTIER_SCHEMA = StructType(
     [
         StructField("seed_url", StringType(), False),
@@ -56,7 +57,10 @@ FRONTIER_SCHEMA = StructType(
         StructField("discovery_idx", LongType(), False),
         StructField("parent_url", StringType(), True),
         StructField("status", StringType(), False),
-        StructField("wave", IntegerType(), False),  # wave that discovered it
+        StructField("wave", IntegerType(), False),  # fetched: fetch wave;
+        StructField("text_sha256", StringType(), True),  # else discovery wave
+        StructField("matched_by", StringType(), True),
+        StructField("doc_type", StringType(), True),
     ]
 )
 
@@ -90,13 +94,15 @@ DOCUMENTS_SCHEMA = StructType(
 # dict: busy/linkcount/processed/badlinks).
 METRICS_SCHEMA = StructType(
     [
-        StructField("wave", IntegerType(), False),
-        StructField("host", StringType(), False),
-        StructField("pages_fetched", LongType(), False),
-        StructField("pages_missing", LongType(), False),
-        StructField("links_extracted", LongType(), False),
-        StructField("new_urls", LongType(), False),
-        StructField("docs_found", LongType(), False),
+        StructField("wave", IntegerType(), True),
+        StructField("host", StringType(), True),
+        StructField("pages_fetched", LongType(), True),
+        StructField("pages_missing", LongType(), True),
+        StructField("links_extracted", LongType(), True),
+        StructField("new_urls", LongType(), True),
+        StructField("new_queued", LongType(), True),
+        StructField("docs_found", LongType(), True),
+        StructField("text_mismatch", LongType(), True),
     ]
 )
 

@@ -1,24 +1,29 @@
 """TableIO seam — checkpoint/resume storage (SURVEY.md O6, D8, section 7.0).
 
 The reference has NO persistence: a killed scraper loses its crawl (C1).
-Here every wave ends with an atomic snapshot of frontier-queue + append-only
-deltas (archive/documents/metrics) so runs resume exactly (north_rule).
+Here every wave ends with an atomic snapshot so runs resume exactly
+(north_rule), written as ONE Spark job per wave:
 
-Layout (ParquetDirsIO — sandbox impl; no Iceberg jar, no network):
+  <root>/wave=K/data/_t=queue/    full rewrite of the small mutable queue
+  <root>/wave=K/data/_t=archive/  append-only delta (fetched + terminal
+                                  rows discovered in wave K) — a wave never
+                                  rewrites the 10^10-row frontier archive
+  <root>/wave=K/manifest.json     written LAST (atomic rename) -> wave K is
+                                  complete; also carries the driver-side
+                                  scheduler state for exact resume
+  <root>/delta/metrics/wave=K/    per-(wave,host) lineage rows, written
+                                  driver-side (they were collected anyway)
 
-  <root>/wave=K/queue.parquet     full rewrite (the queue is the SMALL,
-                                  mutable part of the frontier)
-  <root>/wave=K/manifest.json     written last -> wave K is complete
-  <root>/delta/<table>/wave=K     append-only per-wave delta for the big
-                                  tables (archive / documents / metrics) —
-                                  a wave never rewrites the 10^10-row
-                                  frontier archive
-  read(table, K) = union of delta dirs with wave <= K (stray deltas from a
-  crashed wave are ignored because the manifest gate defines K)
+Queue and archive share FRONTIER_SCHEMA, so both land in a single
+partitionBy('_t') write. Old waves keep their archive delta + manifest
+forever; only their queue snapshots are pruned (last 2 kept).
 
-IcebergIO (config-switchable, documented): identical call sites map to
+read(table, K) unions committed dirs with wave <= K; a crashed wave's
+stray files are never visible because the manifest gate defines K.
+
+IcebergIO (config-switchable, documented): the same call sites map to
 ``writeTo(tbl).append()`` + a snapshot tag per wave; resume = time-travel
-to the tag; deltas become real table appends with automatic compaction.
+to the tag; deltas become table appends with automatic compaction.
 
 Reading checkpoints back each wave also truncates the iterative plan's
 lineage (the wave loop would otherwise grow an unbounded DAG).
@@ -31,11 +36,12 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barkingowl_spark.schemas import FRONTIER_SCHEMA, METRICS_SCHEMA
 
 
 class ParquetDirsIO:
-    DELTA_TABLES = ("archive", "documents", "metrics")
-
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -43,36 +49,56 @@ class ParquetDirsIO:
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.root, f"wave={wave}")
 
-    def _delta_dir(self, name: str, wave: int) -> str:
-        return os.path.join(self.root, "delta", name, f"wave={wave}")
+    def _metrics_dir(self, wave: int) -> str:
+        return os.path.join(self.root, "delta", "metrics", f"wave={wave}")
+
+    # -- write ------------------------------------------------------------
 
     def write_wave(
         self,
         wave: int,
         queue: DataFrame,
-        deltas: dict[str, DataFrame],
+        archive_delta: DataFrame,
         meta: dict,
     ) -> None:
-        # deltas first (invisible until the manifest lands)
-        for name, df in deltas.items():
-            path = self._delta_dir(name, wave)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
         d = self._wave_dir(wave)
         tmp = d + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        queue.write.mode("overwrite").parquet(os.path.join(tmp, "queue.parquet"))
-        manifest = {"wave": wave, **meta, "deltas": sorted(deltas)}
+        combined = queue.withColumn("_t", F.lit("queue")).unionByName(
+            archive_delta.withColumn("_t", F.lit("archive"))
+        )
+        combined.write.partitionBy("_t").parquet(os.path.join(tmp, "data"))
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+            json.dump({"wave": wave, **meta}, f)
         if os.path.exists(d):
             shutil.rmtree(d)
         os.rename(tmp, d)  # manifest presence == wave complete
-        for w in self.list_waves()[:-2]:  # keep last 2 queue snapshots
-            shutil.rmtree(self._wave_dir(w), ignore_errors=True)
+        # prune old QUEUE snapshots only; archive deltas live forever
+        for w in self.list_waves()[:-2]:
+            shutil.rmtree(
+                os.path.join(self._wave_dir(w), "data", "_t=queue"),
+                ignore_errors=True,
+            )
+
+    def write_metrics_rows(self, wave: int, rows: list[dict]) -> None:
+        """Driver-side lineage write (rows already collected — no job)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._metrics_dir(wave)
+        os.makedirs(path, exist_ok=True)
+        cols = {}
+        for field in METRICS_SCHEMA.fields:
+            typ = (pa.int32() if field.dataType.simpleString() == "int"
+                   else pa.string() if field.dataType.simpleString() == "string"
+                   else pa.int64())
+            cols[field.name] = pa.array(
+                [r[field.name] for r in rows], typ
+            )
+        pq.write_table(pa.table(cols), os.path.join(path, "part-0.parquet"))
+
+    # -- read -------------------------------------------------------------
 
     def list_waves(self) -> list[int]:
         out = []
@@ -89,22 +115,37 @@ class ParquetDirsIO:
         waves = self.list_waves()
         return waves[-1] if waves else None
 
-    def read_queue(self, spark: SparkSession, wave: int) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(self._wave_dir(wave), "queue.parquet")
-        )
+    def _empty_frontier(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], FRONTIER_SCHEMA)
 
-    def read_delta_union(
-        self, spark: SparkSession, name: str, wave: int
-    ) -> DataFrame:
-        """Union of all committed deltas of ``name`` up to ``wave``."""
-        base = os.path.join(self.root, "delta", name)
+    def read_queue(self, spark: SparkSession, wave: int) -> DataFrame:
+        p = os.path.join(self._wave_dir(wave), "data", "_t=queue")
+        if not os.path.isdir(p):  # empty queue -> partition dir absent
+            return self._empty_frontier(spark)
+        return spark.read.schema(FRONTIER_SCHEMA).parquet(p)
+
+    def read_archive(self, spark: SparkSession, wave: int) -> DataFrame:
+        paths = []
+        for w in self.list_waves():
+            if w > wave:
+                continue
+            p = os.path.join(self._wave_dir(w), "data", "_t=archive")
+            if os.path.isdir(p):
+                paths.append(p)
+        if not paths:
+            return self._empty_frontier(spark)
+        return spark.read.schema(FRONTIER_SCHEMA).parquet(*paths)
+
+    def read_metrics(self, spark: SparkSession, wave: int) -> DataFrame:
+        base = os.path.join(self.root, "delta", "metrics")
         paths = [
             os.path.join(base, e)
             for e in sorted(os.listdir(base))
             if e.startswith("wave=") and int(e.split("=", 1)[1]) <= wave
-        ]
-        return spark.read.parquet(*paths)
+        ] if os.path.isdir(base) else []
+        if not paths:
+            return spark.createDataFrame([], METRICS_SCHEMA)
+        return spark.read.schema(METRICS_SCHEMA).parquet(*paths)
 
     def read_meta(self, wave: int) -> dict:
         with open(os.path.join(self._wave_dir(wave), "manifest.json")) as f:

@@ -28,9 +28,11 @@ BENCH_CORPUS_PAGES = int(os.environ.get("BOW_BENCH_PAGES", "200000"))
 BENCH_CORPUS_HOSTS = int(os.environ.get("BOW_BENCH_HOSTS", "200"))
 BENCH_SEEDS = int(os.environ.get("BOW_BENCH_SEEDS", "40"))
 BENCH_MAX_DEPTH = int(os.environ.get("BOW_BENCH_DEPTH", "3"))
+BENCH_PAGE_TOKENS = int(os.environ.get("BOW_BENCH_TOKENS", "24"))
 CORPUS_DIR = os.environ.get(
     "BOW_BENCH_CORPUS",
-    f"/tmp/bow_bench_corpus_p{BENCH_CORPUS_PAGES}_h{BENCH_CORPUS_HOSTS}",
+    f"/tmp/bow_bench_corpus_p{BENCH_CORPUS_PAGES}_h{BENCH_CORPUS_HOSTS}"
+    f"_t{BENCH_PAGE_TOKENS}",
 )
 
 HEADLINE_QUERIES = [
@@ -58,7 +60,7 @@ def ensure_corpus(spark) -> str:
 
         write_bench_corpus(
             spark, CORPUS_DIR, n_pages=BENCH_CORPUS_PAGES,
-            n_hosts=BENCH_CORPUS_HOSTS,
+            n_hosts=BENCH_CORPUS_HOSTS, page_tokens=BENCH_PAGE_TOKENS,
         )
         with open(marker, "w") as f:
             f.write("ok")

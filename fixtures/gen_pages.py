@@ -167,6 +167,7 @@ def write_bench_corpus(
     n_hosts: int = 1000,
     links_per_page: int = 12,
     pdf_ratio: int = 8,  # one in N pages is a pdf doc
+    page_tokens: int = 24,  # filler tokens per page; ~5600 -> ~46KB pages
 ) -> None:
     """Write a deterministic crawlable corpus to ``out_dir`` as parquet.
 
@@ -217,7 +218,8 @@ def write_bench_corpus(
                 # deterministic pseudo-text from the id (no RNG at runtime)
                 w = _WORDS
                 para = " ".join(
-                    w[(int(gid) * 7 + t * 13) % len(w)] for t in range(24)
+                    w[(int(gid) * 7 + t * 13) % len(w)]
+                    for t in range(page_tokens)
                 )
                 html = _page(f"bench h{h} p{j}", para, kids)
                 rows.append(
