@@ -34,6 +34,7 @@ Scale notes (the 100TB design point, SURVEY.md section 4):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -76,7 +77,7 @@ class CrawlConfig:
     # (corpus side never shuffles); bigger waves fall back to shuffle hash
     # join + AQE (the 10^10 path, where the wave itself is too big to ship)
     broadcast_wave_rows: int = 2_000_000
-    salt_partitions: int = 8                # hot-host split for the UDF pass
+    salt_partitions: int = 8                # hot-host salt for frontier writes
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
     verify_text: bool = True                # input_hint byte-identity counter
@@ -139,12 +140,15 @@ def _typecheck(candidates: DataFrame, pages_ct: DataFrame,
     matched_by to candidate rows carrying (seed_url, url, depth, ...).
 
     NOTE: Spark cannot broadcast the preserved side of an outer join, so
-    the candidate side cannot ship to the corpus scan here; the join is a
-    shuffle-hash left join (never sort-merge — no point sorting the corpus
-    side). broadcast_candidates switches nothing today and is kept for an
-    Iceberg storage-partitioned-join variant."""
+    the candidate side cannot ship to the corpus scan here. The pages_ct
+    side is left unhinted: it is a narrow cached (url, content_type)
+    projection, so Catalyst broadcasts it while it fits
+    autoBroadcastJoinThreshold and falls back to a shuffled-hash join
+    (preferSortMergeJoin=false session-wide — no point sorting the corpus
+    side) at corpus scale. broadcast_candidates switches nothing today and
+    is kept for an Iceberg storage-partitioned-join variant."""
     with_cfg = candidates.join(F.broadcast(seeds_cfg), "seed_url")
-    c = with_cfg.join(pages_ct.hint("shuffle_hash"), "url", "left")
+    c = with_cfg.join(pages_ct, "url", "left")
     mb = matched_by_col(F.col("content_type"), F.col("url"), F.col("doc_type"))
     return (
         c.withColumn("matched_by", mb)
@@ -184,7 +188,11 @@ def run_crawl(
 ) -> CrawlState:
     io = ParquetDirsIO(config.checkpoint_dir)
     seeds_cfg = _seeds_cfg(spark, seeds)
-    pages_ct = pages_content_type(pages)
+    # Narrow (url, content_type) meta table, computed ONCE per run and
+    # cached: the per-wave typecheck join must not re-read the corpus html
+    # column every wave (at the 10^10 design point this is a materialized
+    # Iceberg side table refreshed with corpus ingests — DESIGN.md).
+    pages_ct = pages_content_type(pages).persist()
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch",
         str(config.arrow_batch_rows),
@@ -254,20 +262,32 @@ def run_crawl(
 
         fetch_cols = ["url", "html"] + (["text"] if config.verify_text else [])
         small_wave = queue_rows <= config.broadcast_wave_rows
-        sched_rep = sched.repartition(
-            max(default_par, config.salt_partitions),
-            F.col("host"),
-            F.pmod(F.col("url_hash"), F.lit(config.salt_partitions)),
+        # only the columns the parse pass carries through — keeps the
+        # broadcast (or shuffle) of the wave side narrow
+        sched_j = sched.select(
+            "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
+            "parent_url", "wave",
         )
         if small_wave:
             # ship the wave to the corpus scan; pages never shuffles
             fetched = pages.select(*fetch_cols).join(
-                F.broadcast(sched_rep), "url", "inner"
+                F.broadcast(sched_j), "url", "inner"
             )
         else:
-            fetched = sched_rep.join(
+            fetched = sched_j.join(
                 pages.select(*fetch_cols).hint("shuffle_hash"), "url", "inner"
             )
+        # The parse UDF runs IN the corpus-scan stage: html bytes never
+        # shuffle (at 10^10 scale shuffling page bodies would dwarf every
+        # other cost). Parse is per-row pure, and scan partitions are
+        # uniform in BYTES regardless of host, so host skew cannot
+        # unbalance this stage — the north_star's salted host-hash
+        # repartition is applied to the narrow frontier rows instead
+        # (queue write below + the dedup/window shuffles). Parse
+        # parallelism therefore equals scan parallelism: size
+        # spark.sql.files.maxPartitionBytes so the pages scan yields
+        # several partitions per core (bench sets 16MB for the sandbox
+        # corpus; an Iceberg deployment gets it from bucket(N, url)).
         parsed = fetched.withColumn(
             "p", parse_pages_udf(F.col("url"), F.col("html"))
         ).select(
@@ -320,6 +340,7 @@ def run_crawl(
         ).persist()
         if bloom is not None:
             bloom.add_keys(typed.select("url_hash"))
+        t_bloom = time.monotonic()
 
         fetched_rows = parsed.select(
             "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
@@ -367,6 +388,7 @@ def run_crawl(
                 ],
             )
         ).collect()
+        t_compute = time.monotonic()
         sched_total = sum(r["pages_fetched"] for r in m_rows)
         new_queued_total = sum(r["new_queued"] for r in m_rows)
         due_remaining -= sched_total
@@ -376,15 +398,33 @@ def run_crawl(
         io.write_metrics_rows(
             wave, [r.asDict() for r in m_rows]
         )
+        # frontier rows repartition by (host, salted hash) — north_star's
+        # skew rule, applied to the narrow queue (hot hosts split over
+        # salt_partitions buckets; the politeness window reads this back
+        # host-clustered next wave)
         io.write_wave(
             wave,
-            queue2.repartition(n_out),
+            queue2.repartition(
+                n_out, F.col("host"),
+                F.pmod(F.col("url_hash"), F.lit(config.salt_partitions)),
+            ),
             archive_delta.repartition(n_out),
             {"totals": {"last_queue_rows": queue_rows,
                         "wall_s": time.monotonic() - t0},
              "sched": {"d": d, "due": due_remaining, "children": children}},
         )
+        t_write = time.monotonic()
         parsed.unpersist()
         typed.unpersist()
         state = _load(wave)
+        if os.environ.get("BOW_TIMING") == "1":
+            print(
+                f"BOW_TIMING wave={wave} d={d} sched={sched_total} "
+                f"new_q={new_queued_total} "
+                f"compute={t_bloom - t0:.2f} metrics={t_compute - t_bloom:.2f} "
+                f"write={t_write - t_compute:.2f} "
+                f"load={time.monotonic() - t_write:.2f}",
+                flush=True,
+            )
+    pages_ct.unpersist()
     return state

@@ -24,11 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Defaults sized so the crawl component is COMPUTE-dominated (the parse
+# UDF over ~KB-scale html is the realistic cost of a fetch pipeline), not
+# per-wave scheduling overhead: ~100k fetched pages of ~2.5KB html.
 BENCH_CORPUS_PAGES = int(os.environ.get("BOW_BENCH_PAGES", "200000"))
 BENCH_CORPUS_HOSTS = int(os.environ.get("BOW_BENCH_HOSTS", "200"))
-BENCH_SEEDS = int(os.environ.get("BOW_BENCH_SEEDS", "40"))
-BENCH_MAX_DEPTH = int(os.environ.get("BOW_BENCH_DEPTH", "3"))
-BENCH_PAGE_TOKENS = int(os.environ.get("BOW_BENCH_TOKENS", "24"))
+BENCH_SEEDS = int(os.environ.get("BOW_BENCH_SEEDS", "100"))
+BENCH_MAX_DEPTH = int(os.environ.get("BOW_BENCH_DEPTH", "5"))
+BENCH_PAGE_TOKENS = int(os.environ.get("BOW_BENCH_TOKENS", "400"))
 CORPUS_DIR = os.environ.get(
     "BOW_BENCH_CORPUS",
     f"/tmp/bow_bench_corpus_p{BENCH_CORPUS_PAGES}_h{BENCH_CORPUS_HOSTS}"
@@ -125,7 +128,13 @@ def main() -> None:
         app_name="barkingowl-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # sandbox corpora are a few hundred MB: split small so the
+            # scan stage (which hosts the parse UDF) fans out past the
+            # core count; a real deployment keeps 128MB+ splits
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/Arrow paths so per-query numbers measure the plan

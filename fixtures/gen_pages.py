@@ -27,10 +27,27 @@ import random
 from barkingowl_spark.functions.extract import extract_text
 
 PDF_BODY = b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\ntrailer\n%%EOF\n"
+
+# 65536-token pool for bench text: word stem + base36 suffix, deterministic
+_POOL_MASK = (1 << 16) - 1
+
+
+def _b36(n: int) -> str:
+    s = ""
+    while True:
+        n, r = divmod(n, 36)
+        s = "0123456789abcdefghijklmnopqrstuvwxyz"[r] + s
+        if n == 0:
+            return s
 _WORDS = (
     "civic notice agenda minutes budget zoning permit council meeting public "
     "record ordinance hearing resolution committee district assessment"
 ).split()
+
+_POOL = tuple(
+    _WORDS[i % len(_WORDS)] + _b36(i * 2654435761 % 1679616)
+    for i in range(_POOL_MASK + 1)
+)
 
 
 def _para(rng: random.Random, n: int = 18) -> str:
@@ -215,10 +232,14 @@ def write_bench_corpus(
                     if c < sz:
                         suffix = ".pdf" if c % pdf_ratio == (pdf_ratio - 1) else ""
                         kids.append(f"/p{c}{suffix}")
-                # deterministic pseudo-text from the id (no RNG at runtime)
-                w = _WORDS
+                # deterministic pseudo-text from the id (no RNG at runtime);
+                # drawn from a 64k-token pool so the corpus compresses like
+                # real web text (~3x), not like a 16-word loop (~10x) —
+                # degenerate dictionaries make scans and parses
+                # unrealistically cheap and skew the scaling evidence
+                g = int(gid)
                 para = " ".join(
-                    w[(int(gid) * 7 + t * 13) % len(w)]
+                    _POOL[(g * 131 + t * 2654435761) & _POOL_MASK]
                     for t in range(page_tokens)
                 )
                 html = _page(f"bench h{h} p{j}", para, kids)
