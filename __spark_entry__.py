@@ -197,6 +197,27 @@ def q_o26_time_rollup(spark, sf):
     )
 
 
+def q_o1_recrawl_due(spark, sf):
+    """O1/O26 dispatcher analogue (operators/dispatch.py semantics): a
+    'seed' (user) is due for re-dispatch iff its latest event is at least
+    its frequency (minutes, derived deterministically from user_id) before
+    the injected run_ts; output ordered by insertion order (user_id)."""
+    e = _t(spark, sf, "events")
+    run_ts = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    last = e.groupBy("user_id").agg(F.max("ts").alias("finished_ts"))
+    freq = (F.col("user_id") % 10000).cast("int")
+    due = last.filter(
+        F.col("finished_ts") + F.make_interval(mins=freq) <= run_ts
+    )
+    w = Window.orderBy("user_id")
+    return due.select(
+        "user_id",
+        F.date_format("finished_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("finished_s"),
+        F.row_number().over(w).alias("due_rank"),
+    )
+
+
 def q_events_sessionize(spark, sf):
     """Gap-based sessionization (30-min): the batch expression of the
     per-host fetch-session semantics (SURVEY.md section 2.8)."""
@@ -304,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_politeness_topk": q_o20_politeness_topk,
         "o21_union_dedup": q_o21_union_dedup,
         "o26_time_rollup": q_o26_time_rollup,
+        "o1_recrawl_due": q_o1_recrawl_due,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -478,6 +500,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM events GROUP BY 1
+        """,
+        "o1_recrawl_due": """
+            SELECT user_id,
+                   strftime(finished_ts, '%Y-%m-%d %H:%M:%S') AS finished_s,
+                   row_number() OVER (ORDER BY user_id) AS due_rank
+            FROM (
+              SELECT user_id, max(ts) AS finished_ts FROM events
+              GROUP BY user_id)
+            WHERE finished_ts + to_minutes(CAST(user_id % 10000 AS BIGINT))
+                  <= TIMESTAMP '2024-06-01 00:00:00'
         """,
         "events_sessionize": """
             SELECT user_id, event_id,

@@ -356,10 +356,17 @@ def run_crawl(
         new_terminal = typed.filter(F.col("status") != "queued").select(
             *FRONTIER_COLS
         )
-        sched_keys = sched.select("seed_url", "url_hash")
-        queue2 = state.queue.join(
-            sched_keys, ["seed_url", "url_hash"], "left_anti"
-        ).unionByName(new_queue_rows)
+        if config.host_budget is None:
+            # no budget -> sched == due == every depth-d row, so "queue
+            # minus scheduled" is a pure depth filter (no anti-join
+            # shuffle of the queue per wave)
+            queue_rest = state.queue.filter(F.col("depth") != d)
+        else:
+            sched_keys = sched.select("seed_url", "url_hash")
+            queue_rest = state.queue.join(
+                sched_keys, ["seed_url", "url_hash"], "left_anti"
+            )
+        queue2 = queue_rest.unionByName(new_queue_rows)
         archive_delta = fetched_rows.unionByName(new_terminal)
 
         # D7 metrics: parent-host + child-host counters, merged; collected
