@@ -160,8 +160,13 @@ def anti_join_new(
     join key — a null key matches nothing, so one left_anti pass both
     bypasses the shuffle for definite-new rows (null keys don't need to
     reach the build side) and confirms possible-members exactly. Single
-    pass: no branch/union, upstream lineage evaluated once."""
-    seen_keys = seen.select("seed_url", "url_hash")
+    pass: no branch/union, upstream lineage evaluated once.
+
+    The seen side is hinted shuffle_hash: the seen-set GROWS every wave,
+    and letting Catalyst broadcast it would rebuild a driver-side hash
+    table per wave (serial, and impossible at 10^10 rows anyway); the
+    shuffled build is partition-parallel and is the at-scale plan."""
+    seen_keys = seen.select("seed_url", "url_hash").hint("shuffle_hash")
     if blooms is None:
         return candidates.join(seen_keys, ["seed_url", "url_hash"], "left_anti")
     spark = candidates.sparkSession

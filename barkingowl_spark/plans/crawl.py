@@ -44,7 +44,11 @@ from pyspark.sql import functions as F
 from barkingowl_spark.functions.canon import canonicalize, host_of
 from barkingowl_spark.functions.extract import parse_pages_udf
 from barkingowl_spark.operators.dedup import IncrementalBloom, anti_join_new
-from barkingowl_spark.operators.match import matched_by_col, pages_content_type
+from barkingowl_spark.operators.match import (
+    content_type_col,
+    matched_by_col,
+    pages_content_type,
+)
 from barkingowl_spark.operators.ordering import (
     child_discovery_idx,
     first_discovery_wins,
@@ -77,6 +81,21 @@ class CrawlConfig:
     # (corpus side never shuffles); bigger waves fall back to shuffle hash
     # join + AQE (the 10^10 path, where the wave itself is too big to ship)
     broadcast_wave_rows: int = 2_000_000
+    # Parse-on-ingest (the Common-Crawl WAT pattern): the parse UDF's
+    # output per url is wave-independent, so it runs ONCE over the whole
+    # corpus up front and the wave loop joins a cached NARROW
+    # (url, content_type, links, text_sha256) table — html bytes are read
+    # exactly once per run and never enter the wave loop. This is also the
+    # 10^10 design point: link extraction is a corpus-ingest job whose
+    # output is a materialized Iceberg side table (CC publishes WAT link
+    # files for exactly this reason); the frontier iteration is then pure
+    # narrow-row dataflow. False = parse per wave after the fetch join
+    # (only pages actually fetched are parsed — preferable when the crawl
+    # touches a tiny fraction of the corpus).
+    preparse: bool = True
+    # (preparse=False only) cache the (url, html[, text]) fetch projection
+    # instead of re-decoding parquet per wave. Memory-hungry: holds html.
+    cache_corpus: bool = False
     salt_partitions: int = 8                # hot-host salt for frontier writes
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
@@ -139,14 +158,17 @@ def _typecheck(candidates: DataFrame, pages_ct: DataFrame,
     """Discovery-time typecheck (O15 + O10 boundary): assign status and
     matched_by to candidate rows carrying (seed_url, url, depth, ...).
 
-    NOTE: Spark cannot broadcast the preserved side of an outer join, so
-    the candidate side cannot ship to the corpus scan here. The pages_ct
-    side is left unhinted: it is a narrow cached (url, content_type)
-    projection, so Catalyst broadcasts it while it fits
-    autoBroadcastJoinThreshold and falls back to a shuffled-hash join
-    (preferSortMergeJoin=false session-wide — no point sorting the corpus
-    side) at corpus scale. broadcast_candidates switches nothing today and
-    is kept for an Iceberg storage-partitioned-join variant."""
+    Each frontier URL passes through here exactly once (candidates are the
+    post-dedup FRESH rows), so the total join volume over a run is the
+    frontier size — that is why child content-type is resolved here and
+    not precomputed for every edge at ingest. The caller picks the
+    pages_ct plan: preparse hints shuffle_hash (partition-parallel build,
+    no per-wave driver hash build, the only viable shape at 10^10);
+    un-hinted, Catalyst broadcasts while it fits and falls back to SHJ
+    (preferSortMergeJoin=false session-wide). Spark cannot broadcast the
+    preserved side of an outer join, so the candidate side cannot ship to
+    the corpus scan here; broadcast_candidates is kept for an Iceberg
+    storage-partitioned-join variant."""
     with_cfg = candidates.join(F.broadcast(seeds_cfg), "seed_url")
     c = with_cfg.join(pages_ct, "url", "left")
     mb = matched_by_col(F.col("content_type"), F.col("url"), F.col("doc_type"))
@@ -188,15 +210,78 @@ def run_crawl(
 ) -> CrawlState:
     io = ParquetDirsIO(config.checkpoint_dir)
     seeds_cfg = _seeds_cfg(spark, seeds)
-    # Narrow (url, content_type) meta table, computed ONCE per run and
-    # cached: the per-wave typecheck join must not re-read the corpus html
-    # column every wave (at the 10^10 design point this is a materialized
-    # Iceberg side table refreshed with corpus ingests — DESIGN.md).
-    pages_ct = pages_content_type(pages).persist()
+    from pyspark import StorageLevel
+
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch",
         str(config.arrow_batch_rows),
     )
+    fetch_cols = ["url", "html"] + (["text"] if config.verify_text else [])
+    corpus = pages.select(*fetch_cols)
+    ingest_pages = edges = None
+    if config.preparse:
+        # One corpus scan + one parse pass per run (see CrawlConfig.preparse):
+        # the UDF runs inside the parquet-scan stage, html never leaves it.
+        # Output is TWO narrow cached tables — the wave loop never touches
+        # html, never re-broadcasts a corpus-sized side, and never runs a
+        # UDF again:
+        #   ingest_pages(url, content_type, n_links, text_sha256, _txt_bad)
+        #   edges(src_url, pos, child_url, child_host)
+        # Child content-type is NOT resolved here: joining all ~L*N edges
+        # against pages_ct up front costs an L*N-row shuffle, while the
+        # per-wave typecheck only ever joins each *fresh* URL once
+        # (sum over waves = frontier size << edge count) — see _typecheck.
+        _p = parse_pages_udf(F.col("url"), F.col("html"))
+        parsedc = corpus.withColumn("p", _p).select(
+            "url",
+            content_type_col(F.col("html")).alias("content_type"),
+            F.col("p.links").alias("links"),
+            F.sha2(F.col("p.text").cast("binary"), 256).alias("text_sha256"),
+            *(
+                [(F.col("p.text") != F.col("text")).cast("long")
+                 .alias("_txt_bad")]
+                if config.verify_text
+                else [F.lit(0).cast("long").alias("_txt_bad")]
+            ),
+        )
+        # parsedc is cached only while the two derived tables materialize —
+        # otherwise the parse pass would run once per derived table
+        parsedc = parsedc.persist(StorageLevel.MEMORY_AND_DISK)
+        ingest_pages = parsedc.select(
+            "url", "content_type", F.size("links").alias("n_links"),
+            "text_sha256", "_txt_bad",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pages_ct = ingest_pages.select("url", "content_type")
+        # posexplode BEFORE dropping junk-scheme nulls keeps raw in-document
+        # positions (the oracle's pos counts junk hrefs too — O11/O18)
+        edges = (
+            parsedc.select(
+                F.col("url").alias("src_url"),
+                F.posexplode("links").alias("pos", "child_url"),
+            )
+            .filter(F.col("child_url").isNotNull())
+            .withColumn(
+                "child_host", F.regexp_extract("child_url", _HOST_RE, 1)
+            )
+            .select("src_url", "pos", "child_url", "child_host")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _t_ing = time.monotonic()
+        ingest_pages.count()   # parse runs exactly once, here
+        edges.count()          # from cached parsedc
+        parsedc.unpersist()
+        if os.environ.get("BOW_TIMING") == "1":
+            print(f"BOW_TIMING ingest={time.monotonic() - _t_ing:.2f}",
+                  flush=True)
+    else:
+        if config.cache_corpus:
+            corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        # Narrow (url, content_type) meta table, computed ONCE per run and
+        # cached: the per-wave typecheck join must not re-read the corpus
+        # html column every wave (at the 10^10 design point this is a
+        # materialized Iceberg side table refreshed with corpus ingests —
+        # DESIGN.md).
+        pages_ct = pages_content_type(corpus).persist()
 
     def _load(wave: int) -> CrawlState:
         return CrawlState(
@@ -260,7 +345,6 @@ def run_crawl(
         # full level membership (queued + already fetched) -> stable ranks
         ranks = level_ranks(state.frontier(), d)
 
-        fetch_cols = ["url", "html"] + (["text"] if config.verify_text else [])
         small_wave = queue_rows <= config.broadcast_wave_rows
         # only the columns the parse pass carries through — keeps the
         # broadcast (or shuffle) of the wave side narrow
@@ -268,54 +352,94 @@ def run_crawl(
             "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
             "parent_url", "wave",
         )
-        if small_wave:
-            # ship the wave to the corpus scan; pages never shuffles
-            fetched = pages.select(*fetch_cols).join(
-                F.broadcast(sched_j), "url", "inner"
+        if config.preparse:
+            # the wave probes the two cached NARROW ingest tables — no
+            # html, no UDF, and no corpus-sized broadcast build in the
+            # loop (the broadcast side is always the wave itself)
+            sched_r = sched_j.join(ranks, ["seed_url", "url_hash"])
+            if small_wave:
+                parsed = ingest_pages.join(
+                    F.broadcast(sched_r), "url", "inner"
+                ).persist()
+            else:
+                parsed = sched_r.join(
+                    ingest_pages.hint("shuffle_hash"), "url", "inner"
+                ).persist()
+            wave_parents = parsed.select(
+                F.col("url").alias("src_url"), "seed_url", "parent_rank"
+            )
+            if small_wave:
+                raw_links = edges.join(
+                    F.broadcast(wave_parents), "src_url", "inner"
+                )
+            else:
+                raw_links = wave_parents.join(
+                    edges.hint("shuffle_hash"), "src_url", "inner"
+                )
+            links = (
+                raw_links.select(
+                    "seed_url",
+                    F.col("src_url").alias("parent_url"),
+                    "parent_rank", "pos",
+                    F.col("child_url").alias("url"),
+                    F.col("child_host").alias("host"),
+                )
+                .join(
+                    F.broadcast(seeds_cfg.select("seed_url", "seed_host")),
+                    "seed_url",
+                )
+                .filter(F.col("host") == F.col("seed_host"))  # O9
+                .drop("seed_host")
             )
         else:
-            fetched = sched_j.join(
-                pages.select(*fetch_cols).hint("shuffle_hash"), "url", "inner"
-            )
-        # The parse UDF runs IN the corpus-scan stage: html bytes never
-        # shuffle (at 10^10 scale shuffling page bodies would dwarf every
-        # other cost). Parse is per-row pure, and scan partitions are
-        # uniform in BYTES regardless of host, so host skew cannot
-        # unbalance this stage — the north_star's salted host-hash
-        # repartition is applied to the narrow frontier rows instead
-        # (queue write below + the dedup/window shuffles). Parse
-        # parallelism therefore equals scan parallelism: size
-        # spark.sql.files.maxPartitionBytes so the pages scan yields
-        # several partitions per core (bench sets 16MB for the sandbox
-        # corpus; an Iceberg deployment gets it from bucket(N, url)).
-        parsed = fetched.withColumn(
-            "p", parse_pages_udf(F.col("url"), F.col("html"))
-        ).select(
-            "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
-            "parent_url", "wave",
-            F.col("p.links").alias("links"),
-            F.sha2(F.col("p.text").cast("binary"), 256).alias("text_sha256"),
-            *(
-                [(F.col("p.text") != F.col("text")).cast("long").alias("_txt_bad")]
-                if config.verify_text
-                else [F.lit(0).cast("long").alias("_txt_bad")]
-            ),
-        ).join(ranks, ["seed_url", "url_hash"]).persist()
+            if small_wave:
+                # ship the wave to the corpus scan; pages never shuffles
+                fetched = corpus.join(F.broadcast(sched_j), "url", "inner")
+            else:
+                fetched = sched_j.join(
+                    corpus.hint("shuffle_hash"), "url", "inner"
+                )
+            # The parse UDF runs IN the corpus-scan stage: html bytes never
+            # shuffle (at 10^10 scale shuffling page bodies would dwarf
+            # every other cost). Parse is per-row pure, and scan partitions
+            # are uniform in BYTES regardless of host, so host skew cannot
+            # unbalance this stage — the north_star's salted host-hash
+            # repartition is applied to the narrow frontier rows instead
+            # (queue write below + the dedup/window shuffles). Parse
+            # parallelism therefore equals scan parallelism: size
+            # spark.sql.files.maxPartitionBytes so the pages scan yields
+            # several partitions per core (bench sets 16MB for the sandbox
+            # corpus; an Iceberg deployment gets it from bucket(N, url)).
+            parsed = fetched.withColumn(
+                "p", parse_pages_udf(F.col("url"), F.col("html"))
+            ).select(
+                "seed_url", "url", "url_hash", "host", "depth",
+                "discovery_idx", "parent_url", "wave",
+                F.col("p.links").alias("links"),
+                F.sha2(F.col("p.text").cast("binary"), 256).alias(
+                    "text_sha256"),
+                *(
+                    [(F.col("p.text") != F.col("text")).cast("long")
+                     .alias("_txt_bad")]
+                    if config.verify_text
+                    else [F.lit(0).cast("long").alias("_txt_bad")]
+                ),
+            ).join(ranks, ["seed_url", "url_hash"]).persist()
 
-        links = (
-            parsed.select(
-                "seed_url",
-                F.col("url").alias("parent_url"),
-                "parent_rank",
-                F.posexplode("links").alias("pos", "url"),
+            links = (
+                parsed.select(
+                    "seed_url",
+                    F.col("url").alias("parent_url"),
+                    "parent_rank",
+                    F.posexplode("links").alias("pos", "url"),
+                )
+                .filter(F.col("url").isNotNull())  # O11 junk null-kept for pos
+                .withColumn("host", F.regexp_extract("url", _HOST_RE, 1))
+                .join(F.broadcast(seeds_cfg.select("seed_url", "seed_host")),
+                      "seed_url")
+                .filter(F.col("host") == F.col("seed_host"))  # O9
+                .drop("seed_host")
             )
-            .filter(F.col("url").isNotNull())  # O11 junk kept as null for pos
-            .withColumn("host", F.regexp_extract("url", _HOST_RE, 1))
-            .join(F.broadcast(seeds_cfg.select("seed_url", "seed_host")),
-                  "seed_url")
-            .filter(F.col("host") == F.col("seed_host"))  # O9
-            .drop("seed_host")
-        )
         links = robots_filter(links, config.robots)
         links = links.select(
             "seed_url", "url",
@@ -336,7 +460,14 @@ def run_crawl(
             config.bloom_partitions,
         )
         typed = _typecheck(
-            fresh, pages_ct, seeds_cfg, broadcast_candidates=small_wave
+            # preparse: pages_ct is a cached corpus-sized projection that
+            # grows no hash-build on the driver — shuffle-hash keeps the
+            # per-wave build partition-parallel (same rationale as the
+            # seen anti-join; it is also the only viable plan at 10^10)
+            fresh,
+            pages_ct.hint("shuffle_hash") if config.preparse else pages_ct,
+            seeds_cfg,
+            broadcast_candidates=small_wave
         ).persist()
         if bloom is not None:
             bloom.add_keys(typed.select("url_hash"))
@@ -374,7 +505,8 @@ def run_crawl(
         # persisted driver-side — no distributed metrics write
         m_parent = parsed.groupBy("host").agg(
             F.count("*").alias("pages_fetched"),
-            F.sum(F.size("links")).alias("links_extracted"),
+            (F.sum("n_links") if config.preparse
+             else F.sum(F.size("links"))).alias("links_extracted"),
             F.sum("_txt_bad").alias("text_mismatch"),
         )
         m_child = typed.groupBy("host").agg(
@@ -433,5 +565,11 @@ def run_crawl(
                 f"load={time.monotonic() - t_write:.2f}",
                 flush=True,
             )
-    pages_ct.unpersist()
+    if config.preparse:
+        ingest_pages.unpersist()
+        edges.unpersist()
+    else:
+        pages_ct.unpersist()
+        if config.cache_corpus:
+            corpus.unpersist()
     return state

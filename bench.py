@@ -32,10 +32,11 @@ BENCH_CORPUS_HOSTS = int(os.environ.get("BOW_BENCH_HOSTS", "200"))
 BENCH_SEEDS = int(os.environ.get("BOW_BENCH_SEEDS", "100"))
 BENCH_MAX_DEPTH = int(os.environ.get("BOW_BENCH_DEPTH", "5"))
 BENCH_PAGE_TOKENS = int(os.environ.get("BOW_BENCH_TOKENS", "400"))
+BENCH_LINKS = int(os.environ.get("BOW_BENCH_LINKS", "12"))
 CORPUS_DIR = os.environ.get(
     "BOW_BENCH_CORPUS",
     f"/tmp/bow_bench_corpus_p{BENCH_CORPUS_PAGES}_h{BENCH_CORPUS_HOSTS}"
-    f"_t{BENCH_PAGE_TOKENS}",
+    f"_t{BENCH_PAGE_TOKENS}_l{BENCH_LINKS}",
 )
 
 HEADLINE_QUERIES = [
@@ -64,6 +65,7 @@ def ensure_corpus(spark) -> str:
         write_bench_corpus(
             spark, CORPUS_DIR, n_pages=BENCH_CORPUS_PAGES,
             n_hosts=BENCH_CORPUS_HOSTS, page_tokens=BENCH_PAGE_TOKENS,
+            links_per_page=BENCH_LINKS,
         )
         with open(marker, "w") as f:
             f.write("ok")

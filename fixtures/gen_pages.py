@@ -210,46 +210,56 @@ def write_bench_corpus(
     branch = max(2, links_per_page - 2)
     t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
+    # yield in bounded chunks: a whole 50k-row partition of ~30KB pages in
+    # one pandas frame (1.5GB) blows the Arrow transfer allocator
+    chunk_rows = max(256, 64 * 1024 * 1024 // max(1, page_tokens * 8))
+
     def gen(batches):
         offs = b_offsets.value
         for batch in batches:
-            ids = batch["id"].to_numpy()
-            hosts = np.searchsorted(offs, ids, side="right") - 1
-            local = ids - offs[hosts]
-            host_sz = offs[hosts + 1] - offs[hosts]
-            rows = []
-            for gid, h, j, sz in zip(ids, hosts, local, host_sz):
-                url = f"http://host{h}.bench/p{j}"
-                if j % pdf_ratio == (pdf_ratio - 1) and j > 0:
-                    rows.append(
-                        (url + ".pdf", t0 + dt.timedelta(seconds=int(gid)),
-                         PDF_BODY, "", "en")
+            all_ids = batch["id"].to_numpy()
+            for s in range(0, len(all_ids), chunk_rows):
+                ids = all_ids[s:s + chunk_rows]
+                hosts = np.searchsorted(offs, ids, side="right") - 1
+                local = ids - offs[hosts]
+                host_sz = offs[hosts + 1] - offs[hosts]
+                rows = []
+                for gid, h, j, sz in zip(ids, hosts, local, host_sz):
+                    url = f"http://host{h}.bench/p{j}"
+                    if j % pdf_ratio == (pdf_ratio - 1) and j > 0:
+                        rows.append(
+                            (url + ".pdf",
+                             t0 + dt.timedelta(seconds=int(gid)),
+                             PDF_BODY, "", "en")
+                        )
+                        continue
+                    kids = []
+                    for k in range(1, branch + 1):
+                        c = j * branch + k
+                        if c < sz:
+                            suffix = (".pdf"
+                                      if c % pdf_ratio == (pdf_ratio - 1)
+                                      else "")
+                            kids.append(f"/p{c}{suffix}")
+                    # deterministic pseudo-text from the id (no RNG at
+                    # runtime); drawn from a 64k-token pool so the corpus
+                    # compresses like real web text (~3x), not like a
+                    # 16-word loop (~10x) — degenerate dictionaries make
+                    # scans and parses unrealistically cheap and skew the
+                    # scaling evidence
+                    g = int(gid)
+                    para = " ".join(
+                        _POOL[(g * 131 + t * 2654435761) & _POOL_MASK]
+                        for t in range(page_tokens)
                     )
-                    continue
-                kids = []
-                for k in range(1, branch + 1):
-                    c = j * branch + k
-                    if c < sz:
-                        suffix = ".pdf" if c % pdf_ratio == (pdf_ratio - 1) else ""
-                        kids.append(f"/p{c}{suffix}")
-                # deterministic pseudo-text from the id (no RNG at runtime);
-                # drawn from a 64k-token pool so the corpus compresses like
-                # real web text (~3x), not like a 16-word loop (~10x) —
-                # degenerate dictionaries make scans and parses
-                # unrealistically cheap and skew the scaling evidence
-                g = int(gid)
-                para = " ".join(
-                    _POOL[(g * 131 + t * 2654435761) & _POOL_MASK]
-                    for t in range(page_tokens)
+                    html = _page(f"bench h{h} p{j}", para, kids)
+                    rows.append(
+                        (url, t0 + dt.timedelta(seconds=int(gid)), html,
+                         extract_text(html), "en")
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
                 )
-                html = _page(f"bench h{h} p{j}", para, kids)
-                rows.append(
-                    (url, t0 + dt.timedelta(seconds=int(gid)), html,
-                     extract_text(html), "en")
-                )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
 
     n_part = max(32, math.ceil(total / 50_000))
     (
