@@ -45,6 +45,7 @@ from barkingowl_spark.operators.multimodal import attach_binary, decode_features
 from barkingowl_spark.operators.similarity import (
     cosine_topk,
     dot_topk,
+    embed_near_dup_pairs,
     ivf_assign,
     ivf_topk,
 )
@@ -267,6 +268,12 @@ def q_sim_topk_cosine(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"))
 
 
+def q_dedup_embed_cosine(spark, sf):
+    # embedding-cosine near-dup PAIRS, IVF-cell-blocked; exact quantized
+    # cosine^2 accept test -> bit-portable to the DuckDB oracle
+    return embed_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
 def q_ann_ivf_assign(spark, sf):
     return ivf_assign(_t(spark, sf, "embeddings"))
 
@@ -334,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_stats": q_text_token_stats,
@@ -568,6 +576,34 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
         # sim_topk_cosine: intentionally no oracle (float summation order)
+        "dedup_embed_cosine": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            c AS (SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, c_id AS bucket FROM (
+                SELECT v0.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                         CAST(list_sum(list_transform(
+                           range(1, len(c.qv) + 1),
+                           i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                         DESC, c.c_id) AS rn
+                FROM c, v0) WHERE rn = 1),
+            v AS (SELECT v0.vec_id, v0.v, asg.bucket,
+                    CAST(list_sum(list_transform(range(1, len(v0.v) + 1),
+                      i -> v0.v[i] * v0.v[i])) AS BIGINT) AS n2
+                  FROM v0 JOIN asg ON v0.vec_id = asg.vec_id),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                    a.n2 AS na2, b.n2 AS nb2
+                  FROM v a JOIN v b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT ia, ib, dot FROM p
+            WHERE dot > 0
+              AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+                  >= {0.45 * 0.45!r} * CAST(na2 AS DOUBLE)
+                     * CAST(nb2 AS DOUBLE)
+        """,
         "ann_ivf_assign": f"""
             WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
             c AS (SELECT vec_id AS c_id, v AS qv FROM v WHERE vec_id < 8),

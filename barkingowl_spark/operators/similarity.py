@@ -114,6 +114,55 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def embed_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45, n_centroids: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (dedup, not search):
+    cluster-then-compare. All-pairs cosine is O(n^2) — indefensible at
+    corpus scale — so candidates are restricted to vectors sharing a
+    coarse IVF cell (one centroid broadcast + one shuffle on bucket,
+    same dataflow as ivf_topk; bucket the stored table by cell id to
+    make the pair join shuffle-free at 100TB).
+
+    The accept test is cosine(a,b) >= threshold evaluated WITHOUT sqrt
+    or float accumulation:  dot > 0  AND  dot^2 >= thr^2 * |a|^2 * |b|^2
+    over integer-quantized vectors — every operand is an exactly
+    representable integer-valued double, and the float multiplies are
+    IEEE-deterministic, so any engine reproduces the identical pair set
+    (the DuckDB oracle does).
+    """
+    assign = ivf_assign(embeddings, n_centroids)
+    vecs = (
+        _quantized(embeddings)
+        .join(assign, "vec_id")
+        .withColumn(
+            "n2",
+            F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+                   " (acc, e) -> acc + e)"),
+        )
+    )
+    left = vecs.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("qv"),
+        F.col("n2").alias("na2"), "bucket",
+    )
+    right = vecs.select(
+        F.col("vec_id").alias("ib"), "v", F.col("n2").alias("nb2"), "bucket",
+    )
+    t2 = threshold * threshold
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.expr(_DOT).alias("dot"), "na2", "nb2")
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot").cast("double") * F.col("dot").cast("double")
+               >= F.lit(t2) * F.col("na2").cast("double")
+               * F.col("nb2").cast("double"))
+        )
+        .select("ia", "ib", "dot")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,

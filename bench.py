@@ -49,6 +49,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embed_cosine",
     "sim_topk_dot",
     "ann_ivf_topk",
     "text_token_stats",

@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-waves", type=int, default=100_000)
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--no-preparse", action="store_true",
+                   help="parse per wave after the fetch join instead of one "
+                        "ingest pass (for crawls touching a tiny corpus "
+                        "fraction)")
     args = p.parse_args(argv)
 
     from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
@@ -58,6 +62,7 @@ def main(argv: list[str] | None = None) -> None:
             checkpoint_dir=args.checkpoint,
             host_budget=args.budget,
             use_bloom=not args.no_bloom,
+            preparse=not args.no_preparse,
             max_waves=args.max_waves,
         ),
         resume=args.resume,

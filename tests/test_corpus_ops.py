@@ -126,6 +126,45 @@ def test_ivf_bucket_search_subset_of_bucket(spark):
         assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
 
 
+def test_embed_near_dup_planted_pair(spark):
+    """A planted near-duplicate pair must surface; the accept test must
+    agree with numpy's exact quantized cosine^2 on every candidate."""
+    from barkingowl_spark.operators.similarity import (
+        embed_near_dup_pairs,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant: vec 41 = vec 40 + tiny noise -> cosine ~0.999
+    vecs[41] = vecs[40] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs[41] /= np.linalg.norm(vecs[41])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    thr = 0.9
+    got = {(r["ia"], r["ib"]) for r in
+           embed_near_dup_pairs(df, threshold=thr, n_centroids=4).collect()}
+    assert (40, 41) in got
+    # numpy replay of the exact integer-quantized accept test, restricted
+    # to same-IVF-cell pairs (the operator's blocking contract)
+    q = np.round(vecs.astype(np.float64) * 1000)
+    n2 = (q * q).sum(axis=1)
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in ivf_assign(df, n_centroids=4).collect()}
+    want = set()
+    for a in range(50):
+        for b in range(a + 1, 50):
+            if buckets[a] != buckets[b]:
+                continue
+            dot = float(q[a] @ q[b])
+            if dot > 0 and dot * dot >= (thr * thr) * n2[a] * n2[b]:
+                want.add((a, b))
+    assert got == want
+
+
 def test_multimodal_stub_plumbing(spark, planted_docs):
     from barkingowl_spark.operators.multimodal import (
         attach_binary,

@@ -57,6 +57,22 @@ def crawl_state(spark, seeds_df, pages_df, tmp_path_factory):
     return run_crawl(spark, seeds_df, pages_df, cfg)
 
 
+def test_preparse_off_identical_outputs(spark, seeds_df, pages_df,
+                                        fixture_data, tmp_path_factory):
+    """The per-wave-parse fallback (preparse=False) must produce the
+    exact same trace/documents/text hashes as the default ingest path."""
+    cfg = CrawlConfig(
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_np")),
+        preparse=False,
+    )
+    state = run_crawl(spark, seeds_df, pages_df, cfg)
+    s_traces, s_docs, s_texts = spark_outputs(state)
+    o_traces, o_docs, o_texts = oracle_outputs(fixture_data)
+    assert s_traces == o_traces
+    assert s_docs == o_docs
+    assert s_texts == o_texts
+
+
 def test_trace_matches_oracle(crawl_state, fixture_data):
     o_traces, _, _ = oracle_outputs(fixture_data)
     s_traces, _, _ = spark_outputs(crawl_state)
