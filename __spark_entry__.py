@@ -42,6 +42,7 @@ from barkingowl_spark.operators.corpus_dedup import (
     simhash16,
 )
 from barkingowl_spark.operators.multimodal import attach_binary, decode_features
+from barkingowl_spark.operators.politeness import robots_filter
 from barkingowl_spark.operators.similarity import (
     cosine_topk,
     dot_topk,
@@ -159,6 +160,34 @@ def q_o20_politeness_topk(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", F.col("rn").alias("fetch_slot"))
     )
+
+
+def q_o20_robots_filter(spark, sf):
+    """O20 robots.txt disallow filter — the REAL operator
+    (operators/politeness.py::robots_filter, a broadcast dim join + native
+    array-EXISTS prefix test, no UDF) over links synthesized
+    deterministically from the documents table: host = source, path =
+    /<lang>/doc<id>; even-numbered hosts disallow the '/en' prefix."""
+    d = _t(spark, sf, "documents")
+    links = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".test/"),
+            F.col("lang"), F.lit("/doc"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    robots = (
+        d.select("source").distinct()
+        .filter(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 2 == 0
+        )
+        .select(
+            F.col("source").alias("host"),
+            F.array(F.lit("/en")).alias("disallow_prefixes"),
+        )
+    )
+    return robots_filter(links, robots).select("doc_id", "host", "url")
 
 
 def q_o21_union_dedup(spark, sf):
@@ -330,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
+        "o20_robots_filter": q_o20_robots_filter,
         "o21_union_dedup": q_o21_union_dedup,
         "o26_time_rollup": q_o26_time_rollup,
         "o1_recrawl_due": q_o1_recrawl_due,
@@ -496,6 +526,15 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "o20_robots_filter": """
+            SELECT doc_id, source AS host,
+                   'http://' || source || '.test/' || lang || '/doc'
+                     || doc_id AS url
+            FROM documents
+            WHERE NOT (
+                CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+                AND starts_with('/' || lang || '/doc' || doc_id, '/en'))
         """,
         "o21_union_dedup": """
             SELECT DISTINCT event_id, user_id FROM (

@@ -1,0 +1,85 @@
+"""Physical-plan regression guards (DESIGN.md "Plan review notes").
+
+These assert the plan SHAPES that the scaling work depends on, so a
+refactor can't silently reintroduce a driver-side broadcast of a
+corpus-sized table, a sort-merge join in the wave loop, or a fat corpus
+scan. String-matching executedPlan is crude but catches exactly the
+regressions that cost real wall-clock this round.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _seen_df(spark, n=100):
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "seed_url": ["http://s.test/p0"] * n,
+            "url_hash": list(range(n)),
+        })
+    )
+
+
+def test_seen_anti_join_is_shuffled_hash_not_broadcast(spark):
+    """O12: the seen side grows every wave — its hash build must be
+    partition-parallel (ShuffledHashJoin), never a driver broadcast and
+    never a sort-merge of the big side."""
+    from barkingowl_spark.operators.dedup import anti_join_new
+
+    cand = _seen_df(spark, 50).withColumn("depth", F.lit(1))
+    seen = _seen_df(spark, 100)
+    plan = _plan(anti_join_new(cand, seen, None, 8))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_robots_dim_join_is_broadcast(spark):
+    """O20 robots: the dim table is tiny and must broadcast (no shuffle
+    of the links side for a filter)."""
+    from barkingowl_spark.operators.politeness import robots_filter
+
+    links = spark.createDataFrame(
+        pd.DataFrame({
+            "host": ["a.test"] * 20,
+            "url": [f"http://a.test/p{i}" for i in range(20)],
+        })
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.test"], "disallow_prefixes": [["/x"]]})
+    )
+    plan = _plan(robots_filter(links, robots))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ingest_scan_is_column_pruned(spark, tmp_path):
+    """The ingest pass must read only (url, html, text) from the corpus —
+    a scan that also decodes warc_ts/lang for a parse pass is wrong at
+    100TB (input_hint column discipline)."""
+    from barkingowl_spark.functions.extract import parse_pages_udf
+    from barkingowl_spark.schemas import PAGES_SCHEMA
+
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("http://a.test/p0", None, b"<html></html>", "", "en")],
+        PAGES_SCHEMA,
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    parsed = pages.select("url", "html", "text").withColumn(
+        "q", parse_pages_udf(F.col("url"), F.col("html"))
+    ).select("url", F.col("q.links").alias("links"))
+    plan = _plan(parsed)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema and "lang" not in read_schema
+    # the parse UDF runs as an Arrow eval, not row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
