@@ -44,11 +44,7 @@ from pyspark.sql import functions as F
 from barkingowl_spark.functions.canon import canonicalize, host_of
 from barkingowl_spark.functions.extract import parse_pages_udf
 from barkingowl_spark.operators.dedup import IncrementalBloom, anti_join_new
-from barkingowl_spark.operators.match import (
-    content_type_col,
-    matched_by_col,
-    pages_content_type,
-)
+from barkingowl_spark.operators.match import matched_by_col, pages_content_type
 from barkingowl_spark.operators.ordering import (
     child_discovery_idx,
     first_discovery_wins,
@@ -99,6 +95,10 @@ class CrawlConfig:
     salt_partitions: int = 8                # hot-host salt for frontier writes
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
+    # checkpoint backend: None -> ParquetDirsIO(checkpoint_dir) (sandbox);
+    # a "catalog.ns.run" prefix -> IcebergIO (needs an Iceberg catalog in
+    # the session; see sources/tableio.py::IcebergIO)
+    iceberg_table_prefix: str | None = None
     verify_text: bool = True                # input_hint byte-identity counter
     # Arrow batch rows for the parse UDF: real pages are tens of KB, so the
     # session-wide 10k-row default would mean ~0.5GB batches per worker
@@ -208,7 +208,12 @@ def run_crawl(
     config: CrawlConfig,
     resume: bool = False,
 ) -> CrawlState:
-    io = ParquetDirsIO(config.checkpoint_dir)
+    if config.iceberg_table_prefix:
+        from barkingowl_spark.sources.tableio import IcebergIO
+
+        io = IcebergIO(config.iceberg_table_prefix)
+    else:
+        io = ParquetDirsIO(config.checkpoint_dir)
     seeds_cfg = _seeds_cfg(spark, seeds)
     from pyspark import StorageLevel
 
@@ -231,41 +236,20 @@ def run_crawl(
         # against pages_ct up front costs an L*N-row shuffle, while the
         # per-wave typecheck only ever joins each *fresh* URL once
         # (sum over waves = frontier size << edge count) — see _typecheck.
-        _p = parse_pages_udf(F.col("url"), F.col("html"))
-        parsedc = corpus.withColumn("p", _p).select(
-            "url",
-            content_type_col(F.col("html")).alias("content_type"),
-            F.col("p.links").alias("links"),
-            F.sha2(F.col("p.text").cast("binary"), 256).alias("text_sha256"),
-            *(
-                [(F.col("p.text") != F.col("text")).cast("long")
-                 .alias("_txt_bad")]
-                if config.verify_text
-                else [F.lit(0).cast("long").alias("_txt_bad")]
-            ),
+        from barkingowl_spark.plans.ingest import (
+            edges_of,
+            ingest_pages_of,
+            parsed_corpus,
         )
+
         # parsedc is cached only while the two derived tables materialize —
         # otherwise the parse pass would run once per derived table
-        parsedc = parsedc.persist(StorageLevel.MEMORY_AND_DISK)
-        ingest_pages = parsedc.select(
-            "url", "content_type", F.size("links").alias("n_links"),
-            "text_sha256", "_txt_bad",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        parsedc = parsed_corpus(corpus, config.verify_text).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        ingest_pages = ingest_pages_of(parsedc).persist(
+            StorageLevel.MEMORY_AND_DISK)
         pages_ct = ingest_pages.select("url", "content_type")
-        # posexplode BEFORE dropping junk-scheme nulls keeps raw in-document
-        # positions (the oracle's pos counts junk hrefs too — O11/O18)
-        edges = (
-            parsedc.select(
-                F.col("url").alias("src_url"),
-                F.posexplode("links").alias("pos", "child_url"),
-            )
-            .filter(F.col("child_url").isNotNull())
-            .withColumn(
-                "child_host", F.regexp_extract("child_url", _HOST_RE, 1)
-            )
-            .select("src_url", "pos", "child_url", "child_host")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        edges = edges_of(parsedc).persist(StorageLevel.MEMORY_AND_DISK)
         _t_ing = time.monotonic()
         ingest_pages.count()   # parse runs exactly once, here
         edges.count()          # from cached parsedc

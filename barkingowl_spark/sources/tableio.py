@@ -150,3 +150,109 @@ class ParquetDirsIO:
     def read_meta(self, wave: int) -> dict:
         with open(os.path.join(self._wave_dir(wave), "manifest.json")) as f:
             return json.load(f)
+
+
+class IcebergIO:
+    """Iceberg-backed checkpoint impl of the same seam (SURVEY.md section 7.0).
+
+    Config-switchable: requires a session with an Iceberg catalog
+    configured (spark.sql.catalog.<cat> = org.apache.iceberg.spark.
+    SparkCatalog + the iceberg-spark-runtime jar). The sandbox ships no
+    Iceberg jar and no network, so THIS CLASS IS UNTESTED HERE —
+    interface parity with ParquetDirsIO is pinned by
+    tests/test_plans.py::test_tableio_interface_parity, and every method
+    maps 1:1 onto a ParquetDirsIO call site:
+
+      write_wave        -> queue: overwritePartitions() of the small queue
+                           table; archive/metrics: append() deltas; the
+                           wave id is committed LAST as a snapshot tag
+                           (the atomic-manifest analogue: an untagged
+                           snapshot is never resumed into)
+      read_queue/.._archive/.._metrics -> time-travel read VERSION AS OF
+                           the wave's tagged snapshot
+      list_waves/latest_wave -> catalog snapshot-tag listing
+      read_meta         -> tag's snapshot summary properties
+
+    At 10^10 rows the archive table is partitioned bucket(N, url_hash)
+    and compacted with rewrite_data_files; queue is partitioned
+    (host, pmod(url_hash, S)) matching the salted repartition the wave
+    loop already performs before writing.
+    """
+
+    def __init__(self, table_prefix: str):
+        # e.g. "cat.crawl.run42" -> tables run42_queue / run42_archive /
+        # run42_metrics under catalog `cat`, namespace `crawl`
+        self.prefix = table_prefix
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.prefix}_{name}"
+
+    def _tag(self, wave: int) -> str:
+        return f"wave-{wave}"
+
+    def write_wave(self, wave, queue, archive_delta, meta) -> None:
+        spark = queue.sparkSession
+        queue.writeTo(self._tbl("queue")).createOrReplace()
+        archive_delta.writeTo(self._tbl("archive")).append()
+        for name in ("queue", "archive"):
+            spark.sql(
+                f"ALTER TABLE {self._tbl(name)} CREATE TAG"
+                f" `{self._tag(wave)}`"
+            )
+        import json as _json
+
+        spark.sql(
+            f"ALTER TABLE {self._tbl('queue')} SET TBLPROPERTIES"
+            f" ('bowspark.meta.wave{wave}' = '{_json.dumps(meta)}')"
+        )
+
+    def write_metrics_rows(self, wave, rows) -> None:
+        if not rows:
+            return
+        import pandas as pd
+
+        first = rows[0]
+        spark = SparkSession.getActiveSession()
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=list(first))
+        ).writeTo(self._tbl("metrics")).append()
+
+    def list_waves(self) -> list[int]:
+        spark = SparkSession.getActiveSession()
+        refs = spark.sql(
+            f"SELECT name FROM {self._tbl('queue')}.refs"
+            " WHERE type = 'TAG'"
+        ).collect()
+        return sorted(
+            int(r["name"].split("-", 1)[1])
+            for r in refs
+            if r["name"].startswith("wave-")
+        )
+
+    def latest_wave(self) -> int | None:
+        waves = self.list_waves()
+        return waves[-1] if waves else None
+
+    def read_queue(self, spark, wave) -> DataFrame:
+        return spark.read.option("tag", self._tag(wave)).table(
+            self._tbl("queue"))
+
+    def read_archive(self, spark, wave) -> DataFrame:
+        return spark.read.option("tag", self._tag(wave)).table(
+            self._tbl("archive"))
+
+    def read_metrics(self, spark, wave) -> DataFrame:
+        return spark.table(self._tbl("metrics")).filter(
+            F.col("wave") <= wave)
+
+    def read_meta(self, wave) -> dict:
+        import json as _json
+
+        spark = SparkSession.getActiveSession()
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {self._tbl('queue')}"
+            ).collect()
+        }
+        return _json.loads(props[f"bowspark.meta.wave{wave}"])

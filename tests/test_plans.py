@@ -80,3 +80,31 @@ def test_dot_topk_stays_jvm_side(spark):
     )
     plan = dot_topk(df, 2, 3)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_tableio_interface_parity():
+    """IcebergIO (untestable in the sandbox: no Iceberg jar, no network)
+    must expose exactly the public seam ParquetDirsIO implements, with
+    matching method signatures, so flipping
+    CrawlConfig.iceberg_table_prefix cannot hit a missing call site."""
+    import inspect
+
+    from barkingowl_spark.sources.tableio import IcebergIO, ParquetDirsIO
+
+    public = [
+        n for n in dir(ParquetDirsIO)
+        if not n.startswith("_")
+        and callable(getattr(ParquetDirsIO, n))
+    ]
+    assert public  # seam non-empty
+    for name in public:
+        assert hasattr(IcebergIO, name), f"IcebergIO missing {name}"
+        p_params = list(
+            inspect.signature(getattr(ParquetDirsIO, name)).parameters
+        )
+        i_params = list(
+            inspect.signature(getattr(IcebergIO, name)).parameters
+        )
+        assert p_params == i_params, (
+            f"{name}: {i_params} != {p_params}"
+        )
