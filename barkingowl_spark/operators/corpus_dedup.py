@@ -55,16 +55,32 @@ def jaccard_pairs(
     Blocks bound the pair count; at web scale the block key comes from
     minhash_band_pairs below instead of a metadata column.
     """
-    t = documents.select(
+    from barkingowl_spark.operators.util import fan_out
+
+    # fan_out: when the block-replicated side broadcasts, the probe side's
+    # input partitioning IS the join's parallelism — a single-file source
+    # would run every pair in one task
+    t = fan_out(documents).select(
         F.col("doc_id"), F.col(block_col).alias("blk"),
         _tokens_distinct().alias("toks"),
     )
-    a = t.alias("a")
-    b = t.alias("b")
+    # Grid salt: a blocked SELF-join on a low-cardinality key (5 langs)
+    # leaves at most |blocks| shuffle partitions doing ALL the O(pairs)
+    # intersect/union work (measured: 56s single-digit-task stage at
+    # sf0.1). Side a carries one salt, side b is replicated to every
+    # salt, join adds salt equality -> each pair still meets EXACTLY
+    # once, but across |blocks| * S partitions. This is the north_star's
+    # hot-key salting applied to a self-join.
+    S = documents.sparkSession.sparkContext.defaultParallelism
+    a = t.withColumn("g", F.pmod(F.xxhash64("doc_id"), F.lit(S))).alias("a")
+    b = t.withColumn(
+        "g", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.g") == F.col("b.g"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -82,8 +98,11 @@ def _with_shingles3(documents: DataFrame) -> DataFrame:
     Tokens are materialized as a column FIRST — referencing
     split(text, ' ') inside the transform lambda would re-evaluate the
     split per element (quadratic in document length)."""
+    from barkingowl_spark.operators.util import fan_out
+
     return (
-        documents.select("doc_id", F.split("text", " ").alias("w"))
+        fan_out(documents)
+        .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)  # sequence(0, size-3) turns descending <3
         .select(
             "doc_id",
@@ -120,16 +139,25 @@ def minhash_band_pairs(documents: DataFrame) -> DataFrame:
     """
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     sigs = minhash_signatures(documents)
-    bands = None
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            "|", *[F.col(f"sig_{b * rows_per_band + r}")
-                   for r in range(rows_per_band)]
+    # ONE pass + explode, not a per-band union: each branch of a union
+    # re-evaluates the shingle+md5 subplan (Spark reuses shuffles, not
+    # arbitrary identical subplans), which multiplied the signature
+    # computation by LSH_BANDS
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * rows_per_band + r}")
+                       for r in range(rows_per_band)]
+            ).alias("band_key"),
         )
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(LSH_BANDS)
+    ])
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bd"))
+        .select("doc_id", F.col("bd.band_id").alias("band_id"),
+                F.col("bd.band_key").alias("band_key"))
+    )
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -151,7 +179,9 @@ def simhash16(documents: DataFrame) -> DataFrame:
     +1/-1; simhash bit j = 1 iff the vote sum is positive. Pure integer
     exprs, one explode + one groupBy (partial aggregation map-side).
     """
-    toks = documents.select(
+    from barkingowl_spark.operators.util import fan_out
+
+    toks = fan_out(documents).select(
         "doc_id", F.explode(_tokens_distinct()).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),

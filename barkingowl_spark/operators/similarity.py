@@ -28,7 +28,9 @@ _DOT = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"
 
 
 def _quantized(embeddings: DataFrame) -> DataFrame:
-    return embeddings.select("vec_id", F.expr(QUANT).alias("v"))
+    from barkingowl_spark.operators.util import fan_out
+
+    return fan_out(embeddings).select("vec_id", F.expr(QUANT).alias("v"))
 
 
 def dot_topk(

@@ -47,6 +47,7 @@ HEADLINE_QUERIES = [
     "o20_politeness_topk",
     "events_sessionize",
     "dedup_exact",
+    "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embed_cosine",
