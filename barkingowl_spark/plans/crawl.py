@@ -487,29 +487,34 @@ def run_crawl(
         # D7 metrics: parent-host + child-host counters, merged; collected
         # to the driver (they double as the scheduler's bookkeeping) and
         # persisted driver-side — no distributed metrics write
-        m_parent = parsed.groupBy("host").agg(
-            F.count("*").alias("pages_fetched"),
-            (F.sum("n_links") if config.preparse
-             else F.sum(F.size("links"))).alias("links_extracted"),
-            F.sum("_txt_bad").alias("text_mismatch"),
+        # one shuffle, not three: parent- and child-side counters union
+        # into a single groupBy(host) (each side zero-fills the other's
+        # counters) instead of two groupBys + a full_outer join
+        _z = F.lit(0).cast("long")
+        m_parent = parsed.select(
+            "host",
+            F.lit(1).cast("long").alias("pages_fetched"),
+            (F.col("n_links") if config.preparse else F.size("links"))
+            .cast("long").alias("links_extracted"),
+            F.col("_txt_bad").cast("long").alias("text_mismatch"),
+            _z.alias("pages_missing"), _z.alias("new_urls"),
+            _z.alias("new_queued"), _z.alias("docs_found"),
         )
-        m_child = typed.groupBy("host").agg(
-            F.sum((F.col("status") == "missing").cast("long")).alias(
+        m_child = typed.select(
+            "host",
+            _z.alias("pages_fetched"), _z.alias("links_extracted"),
+            _z.alias("text_mismatch"),
+            (F.col("status") == "missing").cast("long").alias(
                 "pages_missing"),
-            F.count("*").alias("new_urls"),
-            F.sum((F.col("status") == "queued").cast("long")).alias(
-                "new_queued"),
-            F.sum((F.col("status") == "doc").cast("long")).alias("docs_found"),
+            F.lit(1).cast("long").alias("new_urls"),
+            (F.col("status") == "queued").cast("long").alias("new_queued"),
+            (F.col("status") == "doc").cast("long").alias("docs_found"),
         )
         m_rows = (
-            m_parent.join(m_child, "host", "full_outer")
-            .select(
-                F.lit(wave).alias("wave"), "host",
-                *[
-                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                    for c in METRIC_COUNTERS
-                ],
-            )
+            m_parent.unionByName(m_child)
+            .groupBy("host")
+            .agg(*[F.sum(c).alias(c) for c in METRIC_COUNTERS])
+            .select(F.lit(wave).alias("wave"), "host", *METRIC_COUNTERS)
         ).collect()
         t_compute = time.monotonic()
         sched_total = sum(r["pages_fetched"] for r in m_rows)
