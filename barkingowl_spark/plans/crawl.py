@@ -1,29 +1,41 @@
 """The crawl wave loop — SURVEY.md section 3.2 (O5/O6/O13/O14/O16/O21/O22, D7/D8).
 
-One wave = one DataFrame iteration:
+INGEST (once per run, default preparse=True — DESIGN.md
+"Parse-on-ingest"): one parse pass over the corpus inside the scan
+stage [O7/O8/O27] -> two cached narrow tables,
+``ingest_pages(url, content_type, n_links, text_sha256, _txt_bad)``
+and ``edges(src_url, pos, child_url, child_host)``. html never enters
+the wave loop.
+
+One wave = one DataFrame iteration over narrow rows only:
 
     due      = queue rows at the lowest incomplete depth          [O10]
     sched    = politeness top-B per host over due                 [O20, robots]
-    fetched  = sched JOIN pages on url                            [O5/O13]
-    parsed   = parse_pages_udf(html)  (links + text, one pass)    [O7/O27]
-    links    = posexplode -> canonical -> scope filter             [O8, O9, O11]
+    parsed   = sched(+level ranks) JOIN ingest_pages              [O5/O13]
+    links    = sched JOIN edges -> scope filter                   [O9, O11]
     fresh    = bloom prefilter -> anti-join seen -> first-wins     [O12, O19]
     typed    = fresh JOIN pages_ct -> doc | missing | queued | pruned [O15]
     queue'   = (queue - sched) UNION typed[queued]                [O21]
     archive += fetched UNION typed[terminal]                      [O22]
     docs    += typed[doc]                                         [O4]
-    metrics += per-(wave, host) counters                          [O16, D7]
+    metrics += per-(wave, host) counters (one fused shuffle)      [O16, D7]
     checkpoint(queue', archive, docs, metrics, K+1)               [O6]
 
-Scale notes (the 100TB design point, SURVEY.md section 4):
+(preparse=False keeps the original per-wave shape: fetch join against
+the raw corpus, then the parse UDF in the scan stage — for crawls that
+touch a tiny fraction of the corpus.)
+
+Scale notes (the 100TB design point, SURVEY.md section 4; full shuffle
+inventory in DESIGN.md):
   * State is split into a small rewritten ``queue`` and an append-only
     ``archive`` so a wave never rewrites the 10^10-row frontier; the
     seen-set for the anti-join is the union of their narrow key projections
     (columnar scans prune to 2 columns).
-  * The fetch join prunes the pages scan to (url, html, text); the per-wave
-    typecheck joins a once-computed narrow (url, content_type) meta table
-    instead of re-touching html.
-  * The parse pass repartitions by (host, salt) — pmod(url_hash, S) — to
+  * The broadcast side of every wave join is the WAVE (politeness-bounded),
+    never anything corpus-sized; big waves flip to shuffle-hash. The seen
+    anti-join and typecheck are always shuffle-hash (growing/corpus-sized
+    build sides must never be driver-broadcast per iteration).
+  * The queue write repartitions by (host, salt) — pmod(url_hash, S) — to
     split hot hosts across executors (north_star skew rule).
   * spark.sql.shuffle.partitions is re-sized per wave with the explicit
     ceil(queue_rows / 4M) rule (north_rule) using the previous wave's
