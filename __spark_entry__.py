@@ -41,7 +41,12 @@ from barkingowl_spark.operators.corpus_dedup import (
     minhash_signatures,
     simhash16,
 )
-from barkingowl_spark.operators.multimodal import attach_binary, decode_features
+from barkingowl_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+    resize_images,
+    sample_frames,
+)
 from barkingowl_spark.operators.politeness import robots_filter
 from barkingowl_spark.operators.similarity import (
     cosine_topk,
@@ -331,6 +336,17 @@ def q_mm_decode_stub(spark, sf):
     return decode_features(attach_binary(_t(spark, sf, "documents")))
 
 
+def q_mm_resize_stub(spark, sf):
+    # aspect-preserving bound to max_side=32 over the stub dims;
+    # integer floor math keeps the oracle bit-portable
+    return resize_images(attach_binary(_t(spark, sf, "documents")))
+
+
+def q_mm_frame_sample(spark, sf):
+    # one-to-many mapInPandas fan-out (video keyframe analogue)
+    return sample_frames(attach_binary(_t(spark, sf, "documents")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: frontier-expansion simulation — first-discovery
     dedup (O19) + per-type counters (O16) in one plan."""
@@ -379,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_decode_stub": q_mm_decode_stub,
+        "mm_resize_stub": q_mm_resize_stub,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -723,5 +741,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS height,
                    octet_length(encode(text)) > 1 AS is_valid
             FROM documents
+        """,
+        "mm_resize_stub": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN octet_length(encode(text)) > 0
+                          THEN (ascii(substring(text, 1, 1)) % 64) + 16
+                          ELSE 0 END AS width,
+                     CASE WHEN octet_length(encode(text)) > 1
+                          THEN (ascii(substring(text, 2, 1)) % 64) + 16
+                          ELSE 0 END AS height
+              FROM documents),
+            s AS (SELECT doc_id, width, height,
+                         greatest(width, height) AS side FROM d)
+            SELECT doc_id, width, height,
+                   CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+                        WHEN side <= 32 THEN width
+                        ELSE (width * 32) // side END AS INT) AS out_width,
+                   CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
+                        WHEN side <= 32 THEN height
+                        ELSE (height * 32) // side END AS INT) AS out_height,
+                   CAST((CASE WHEN width <= 0 OR height <= 0 THEN 0
+                         WHEN side <= 32 THEN width
+                         ELSE (width * 32) // side END)
+                        * (CASE WHEN width <= 0 OR height <= 0 THEN 0
+                           WHEN side <= 32 THEN height
+                           ELSE (height * 32) // side END) AS BIGINT)
+                     AS out_bytes
+            FROM s
+        """,
+        "mm_frame_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     octet_length(encode(text)) AS len FROM documents)
+            SELECT doc_id,
+                   CAST(unnest(range(least(8, (len + 63) // 64))) AS INT)
+                     AS frame_idx,
+                   CAST(unnest(range(least(8, (len + 63) // 64))) * 64
+                     AS BIGINT) AS frame_off,
+                   CAST(least(64,
+                     len - unnest(range(least(8, (len + 63) // 64))) * 64)
+                     AS BIGINT) AS frame_bytes
+            FROM d
         """,
     }

@@ -87,3 +87,73 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         run, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int,"
+    " out_bytes long"
+)
+
+
+def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
+    """mapInPandas resize: bound the longer side to ``max_side`` keeping
+    aspect (integer floor math — portable). The pixel work is stubbed
+    (codecs absent): output byte count is modeled as out_w*out_h, which
+    the oracle reproduces; with a real codec only the two marked lines
+    change (decode -> thumbnail -> re-encode), the batch shape and
+    schema stay identical."""
+    decode = _decode_image_real if _HAVE_PIL else _decode_image_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload if payload is not None else b""
+                w, h = decode(p)                      # real: Image.open
+                if w <= 0 or h <= 0:
+                    rows.append((doc_id, w, h, 0, 0, 0))
+                    continue
+                s = max(w, h)
+                ow = w if s <= max_side else (w * max_side) // s
+                oh = h if s <= max_side else (h * max_side) // s
+                rows.append((doc_id, w, h, ow, oh, ow * oh))  # real: len(jpeg)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "out_width",
+                               "out_height", "out_bytes"]
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_bytes long"
+
+
+def sample_frames(
+    multimodal: DataFrame, stride: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """mapInPandas frame sampling (video analogue): one-to-MANY batch
+    shape — each payload yields up to ``max_frames`` rows, one per
+    ``stride``-byte chunk ("frame"). With a real demuxer the chunking
+    becomes keyframe extraction; the fan-out plumbing (multiple output
+    rows per input row, Arrow-batched) is what this exercises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [],
+                   "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = payload if payload is not None else b""
+                n = min(max_frames, (len(p) + stride - 1) // stride)
+                for i in range(n):
+                    off = i * stride
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_bytes"].append(min(stride, len(p) - off))
+            yield pd.DataFrame(out)
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

@@ -165,6 +165,32 @@ def test_embed_near_dup_planted_pair(spark):
     assert got == want
 
 
+def test_multimodal_resize_and_frames(spark, planted_docs):
+    from barkingowl_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+        sample_frames,
+    )
+
+    mm = attach_binary(planted_docs)
+    for r in resize_images(mm, max_side=32).collect():
+        # aspect bound holds and never upsizes
+        assert max(r["out_width"], r["out_height"]) <= 32
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        assert r["out_bytes"] == r["out_width"] * r["out_height"]
+    texts = {r["doc_id"]: r["text"] for r in planted_docs.collect()}
+    frames = sample_frames(mm, stride=64, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n = len(texts[doc_id].encode("utf-8"))
+        assert len(rows) == min(8, (n + 63) // 64)
+        assert sum(r["frame_bytes"] for r in rows) == min(n, 8 * 64)
+        assert [r["frame_idx"] for r in sorted(
+            rows, key=lambda x: x["frame_off"])] == list(range(len(rows)))
+
+
 def test_multimodal_stub_plumbing(spark, planted_docs):
     from barkingowl_spark.operators.multimodal import (
         attach_binary,
