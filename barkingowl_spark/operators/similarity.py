@@ -117,7 +117,10 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
 
 
 def embed_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.45, n_centroids: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 8,
+    use_gemm: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (dedup, not search):
     cluster-then-compare. All-pairs cosine is O(n^2) — indefensible at
@@ -132,8 +135,44 @@ def embed_near_dup_pairs(
     representable integer-valued double, and the float multiplies are
     IEEE-deterministic, so any engine reproduces the identical pair set
     (the DuckDB oracle does).
+
+    use_gemm=True (default) scores each cell's pairs with one int64
+    numpy matmul inside applyInPandas — the "vectorized Pandas UDF for
+    the dot product" path: a blocked GEMM beats per-pair JVM
+    zip_with/aggregate (which allocates an intermediate array per pair),
+    and int64 matmul is EXACT, so the pair set is identical to the
+    column-expression path (both tested against the same oracle).
+    use_gemm=False keeps the pure-Catalyst variant.
     """
     assign = ivf_assign(embeddings, n_centroids)
+    if use_gemm:
+        import numpy as np
+        import pandas as pd
+
+        t2 = threshold * threshold
+
+        def score_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            q = np.array(pdf["v"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids, q = ids[order], q[order]
+            dots = q @ q.T                       # int64-exact
+            n2 = np.diag(dots).astype(np.float64)
+            d = dots.astype(np.float64)
+            # same IEEE double ops, same association as the SQL/column
+            # variant: dot*dot >= (t2 * na2) * nb2
+            ok = (dots > 0) & (d * d >= (t2 * n2[:, None]) * n2[None, :])
+            ia, ib = np.where(np.triu(ok, k=1))
+            return pd.DataFrame({
+                "ia": ids[ia], "ib": ids[ib], "dot": dots[ia, ib],
+            })
+
+        return (
+            _quantized(embeddings)
+            .join(assign, "vec_id")
+            .groupBy("bucket")
+            .applyInPandas(score_cell, schema="ia long, ib long, dot long")
+        )
     vecs = (
         _quantized(embeddings)
         .join(assign, "vec_id")
