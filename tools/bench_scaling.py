@@ -110,17 +110,10 @@ def run_once(cpus: int) -> dict:
     )
 
 
-def main(reps: int = 3) -> None:
-    lo, hi = PAIR
-    results: dict[int, list[dict]] = {lo: [], hi: []}
-    for rep in range(reps):
-        for cpus in PAIR:
-            r = run_once(cpus)
-            results[cpus].append(r)
-            print(f"rep={rep} local[{cpus}]: {r['urls']} urls "
-                  f"in {r['wall_s']:.1f}s -> {r['thr']:.0f} urls/s",
-                  flush=True)
-    med = {c: statistics.median(x["thr"] for x in results[c]) for c in results}
+def summarize(results: dict[int, list[dict]], lo: int, hi: int) -> dict:
+    done = min(len(results[lo]), len(results[hi]))
+    med = {c: statistics.median(x["thr"] for x in results[c][:done])
+           for c in results}
     # Efficiency is aggregated PER REP, then medianed: each rep's N and 4N
     # runs execute back-to-back (interleaved by design), so their ratio
     # cancels the host's slow CPU-speed drift/steal; medianing the two
@@ -129,7 +122,7 @@ def main(reps: int = 3) -> None:
     # reported.
     per_rep_eff = [
         (results[hi][i]["thr"] / results[lo][i]["thr"]) / 4
-        for i in range(reps)
+        for i in range(done)
     ]
     eff = statistics.median(per_rep_eff)
     urls = results[hi][0]["urls"]
@@ -147,14 +140,32 @@ def main(reps: int = 3) -> None:
         "scaling_efficiency": round(eff, 3),
         "per_rep_efficiency": [round(e, 3) for e in per_rep_eff],
         "efficiency_of_medians": round((med[hi] / med[lo]) / 4, 3),
-        "reps": reps,
+        "reps": done,
         "all": {str(k): [round(x["thr"], 1) for x in v]
                 for k, v in results.items()},
     }
+    return summary
+
+
+def main(reps: int = 3) -> None:
+    lo, hi = PAIR
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(reps):
+        for cpus in PAIR:
+            r = run_once(cpus)
+            results[cpus].append(r)
+            print(f"rep={rep} local[{cpus}]: {r['urls']} urls "
+                  f"in {r['wall_s']:.1f}s -> {r['thr']:.0f} urls/s",
+                  flush=True)
+        # write after EVERY completed rep pair: a long run interrupted
+        # mid-way still leaves a valid (smaller-N) summary on disk
+        summary = summarize(results, lo, hi)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"rep={rep} eff so far: "
+              f"{summary['scaling_efficiency']}", flush=True)
     print(json.dumps(summary, indent=2))
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
