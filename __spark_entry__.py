@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from barkingowl_spark.functions.extract import parse_pages_udf
 from barkingowl_spark.functions.textstats import (
     LANG_MARKERS,
     STOPWORDS,
@@ -78,6 +79,77 @@ def q_o5_fetch_join(spark, sf):
             F.round(F.col("o_totalprice") * 100).cast("long")
             .alias("price_cents"),
         )
+    )
+
+
+def _synth_pages(spark, sf):
+    """Common-Crawl-shaped pages (url, html BINARY) synthesized
+    deterministically from the documents table. The html embeds the doc
+    text plus four anchor traps (absolute fast-path, relative, junk
+    mailto:, uppercase-host+default-port+fragment) so the REAL parse UDF
+    (functions/extract.py::parse_pages_udf — O7/O8/O11/O27) is exercised
+    end-to-end while the oracle can regenerate the expected output from
+    the same fields without parsing."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test/dir/page"), sid
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p {margin:0}</style>"
+              "</head><body><h1>doc "), sid,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="http://'), F.col("source"),
+        F.lit(".test/doc"), sid, F.lit('">a</a><a href="rel'), sid,
+        F.lit('">b</a><a href="mailto:clerk@'), F.col("source"),
+        F.lit('.test">c</a><a href="HTTP://'), F.upper("source"),
+        F.lit(".TEST:80/doc"), sid,
+        F.lit('#frag">d</a><script>var x=1;</script></body></html>'),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def q_o7_link_extract(spark, sf):
+    """O7/O8/O11 via the real Arrow pandas UDF: canonical hrefs in
+    document order (posexplode keeps raw positions; junk schemes are NULL
+    entries filtered after the explode, so pos matches the oracle's
+    anchor positions — the mailto at pos 2 is absent from the output)."""
+    parsed = _synth_pages(spark, sf).select(
+        "doc_id", parse_pages_udf("url", "html").alias("parsed")
+    )
+    return (
+        parsed.select(
+            "doc_id", F.posexplode("parsed.links").alias("pos", "link")
+        )
+        .filter(F.col("link").isNotNull())
+        .select("doc_id", "pos", "link")
+    )
+
+
+def q_o27_text_extract(spark, sf):
+    """O27 byte-identical text extraction (the input_hint invariant) via
+    the real parse UDF: script/style dropped, tags stripped, whitespace
+    collapsed — the oracle rebuilds the expected string from doc fields."""
+    parsed = _synth_pages(spark, sf).select(
+        "doc_id", parse_pages_udf("url", "html").alias("parsed")
+    )
+    return parsed.select("doc_id", F.col("parsed.text").alias("text"))
+
+
+def q_o14_config_join(spark, sf):
+    """O14 seeds-config broadcast join analogue: every fact row picks up
+    its dim chain's config columns via two broadcast equi-joins (the
+    exact shape that annotates frontier rows with max_link_level and
+    doc_type from the tiny seeds table)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
     )
 
 
@@ -366,9 +438,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
+        "o7_link_extract": q_o7_link_extract,
         "o8_canonicalize": q_o8_canonicalize,
         "o9_scope_filter": q_o9_scope_filter,
         "o12_anti_join_dedup": q_o12_anti_join_dedup,
+        "o14_config_join": q_o14_config_join,
         "o15_doc_type_match": q_o15_doc_type_match,
         "o16_wave_counters": q_o16_wave_counters,
         "o17_cardinality": q_o17_cardinality,
@@ -378,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_robots_filter": q_o20_robots_filter,
         "o21_union_dedup": q_o21_union_dedup,
         "o26_time_rollup": q_o26_time_rollup,
+        "o27_text_extract": q_o27_text_extract,
         "o1_recrawl_due": q_o1_recrawl_due,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -488,6 +563,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, c_name, c_mktsegment,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "o7_link_extract": """
+            WITH l AS (
+              SELECT doc_id,
+                     'http://' || source || '.test/doc' || doc_id AS l_abs,
+                     'http://' || source || '.test/dir/rel' || doc_id
+                       AS l_rel
+              FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS pos, l_abs AS link FROM l
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT) AS pos, l_rel AS link FROM l
+            UNION ALL
+            SELECT doc_id, CAST(3 AS INT) AS pos, l_abs AS link FROM l
+        """,
+        "o14_config_join": """
+            SELECT c_custkey, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "o27_text_extract": """
+            SELECT doc_id,
+                   't doc ' || doc_id || ' ' || text || ' a b c d' AS text
+            FROM documents
         """,
         "o8_canonicalize": """
             SELECT doc_id,
