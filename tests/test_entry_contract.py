@@ -1,0 +1,53 @@
+"""Value-hash guards for the parse-UDF-backed driver-contract queries.
+
+The driver's correctness gate compares every ``__spark_entry__`` query
+against its DuckDB oracle at sf0.01 (CLAUDE.md). The parse-UDF queries
+(o7_link_extract / o27_text_extract) are the only contract entries whose
+Spark side runs Python code paths that pytest's oracle-e2e suite does not
+already pin through the crawl trace html-synthesis route, so guard them
+(plus the broadcast dim-chain o14) here at sf0.001 with the exact
+order-insensitive value-hash the driver uses (tools/compare_oracle.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.compare_oracle import TABLES, vhash
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", ["o7_link_extract", "o27_text_extract", "o14_config_join"]
+)
+def test_query_matches_oracle(spark, duck, name):
+    got = entrymod.queries()[name](spark, SF).toPandas()
+    want = duck.sql(entrymod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert vhash(got) == vhash(want)
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    qs = set(entrymod.queries())
+    osql = set(entrymod.oracle_sql())
+    assert osql <= qs
+    # rows-only entries must be the documented float-summation exceptions
+    assert qs - osql == {"sim_topk_cosine"}
