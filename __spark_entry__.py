@@ -28,12 +28,15 @@ from pyspark.sql import functions as F
 
 from barkingowl_spark.functions.extract import parse_pages_udf
 from barkingowl_spark.functions.textstats import (
+    BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    bpe_token_stats,
     fingerprint,
     lang_id,
     quality_score,
     token_stats,
+    winnow_fingerprints,
 )
 from barkingowl_spark.operators.corpus_dedup import (
     exact_dup_groups,
@@ -404,6 +407,14 @@ def q_doc_fingerprint(spark, sf):
     return fingerprint(_t(spark, sf, "documents"))
 
 
+def q_text_bpe_tokens(spark, sf):
+    return bpe_token_stats(_t(spark, sf, "documents"))
+
+
+def q_doc_winnow_fp(spark, sf):
+    return winnow_fingerprints(_t(spark, sf, "documents"))
+
+
 def q_mm_decode_stub(spark, sf):
     return decode_features(attach_binary(_t(spark, sf, "documents")))
 
@@ -469,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "doc_winnow_fp": q_doc_winnow_fp,
         "mm_decode_stub": q_mm_decode_stub,
         "mm_resize_stub": q_mm_resize_stub,
         "mm_frame_sample": q_mm_frame_sample,
@@ -822,6 +835,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "text_langid": _langid_sql(),
+        "text_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{BPE_PATTERN.replace("'", "''")}'))
+                     AS bpe_token_count,
+                   len(string_split(text, ' ')) AS ws_token_count,
+                   CAST(floor(len(regexp_extract_all(text,
+                       '{BPE_PATTERN.replace("'", "''")}')) * 1000000.0
+                       / len(string_split(text, ' '))) AS BIGINT)
+                     AS bpe_per_ws_ppm
+            FROM documents
+        """,
+        "doc_winnow_fp": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(w) - 1),
+                       i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) AS h
+              FROM t WHERE len(w) >= 3
+            ), wins AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                          ELSE list_transform(range(1, len(h) - 2),
+                                 j -> list_min(h[j:j+3]))
+                     END AS wm
+              FROM g)
+            SELECT doc_id, unnest(list_distinct(wm)) AS fp FROM wins
+        """,
         "doc_fingerprint": """
             SELECT doc_id, fp, substring(fp, 1, 2) AS bucket FROM (
               SELECT doc_id,

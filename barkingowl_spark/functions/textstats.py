@@ -98,6 +98,58 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax that Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex as a native
+    ``regexp_extract_all`` (codegen, no UDF) next to the whitespace count,
+    plus their ratio in ppm — the 'tokens per word' statistic a training
+    pipeline uses for corpus sizing."""
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    ws = F.size(_tokens())
+    return documents.select(
+        "doc_id",
+        bpe.alias("bpe_token_count"),
+        ws.alias("ws_token_count"),
+        F.floor(bpe * F.lit(1_000_000) / ws).cast("long")
+        .alias("bpe_per_ws_ppm"),
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every word k-gram (rolling window of the token stream), keep the min
+    hash of each w-window of consecutive k-gram hashes, emit the distinct
+    mins as (doc_id, fp) rows. Hashes are md5 hex (lexicographic min —
+    bit-portable to the DuckDB oracle, same idiom as the MinHash sigs).
+    Pure per-row array expressions: no shuffle, scales linearly."""
+    toks = _tokens()
+    kgrams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+        f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {k}))))"
+    )
+    docs = documents.filter(F.size(toks) >= k).select(
+        "doc_id", kgrams.alias("h")
+    )
+    wins = F.when(
+        F.size(F.col("h")) <= w, F.array(F.array_min("h"))
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(h) - {w - 1}),"
+            f" j -> array_min(slice(h, j, {w})))"
+        )
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     text, plus a 2-hex-char shard bucket (the partition key a 100TB dedup

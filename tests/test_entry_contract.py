@@ -35,7 +35,9 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["o7_link_extract", "o27_text_extract", "o14_config_join"]
+    "name",
+    ["o7_link_extract", "o27_text_extract", "o14_config_join",
+     "text_bpe_tokens", "doc_winnow_fp"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
