@@ -1,0 +1,155 @@
+"""spark-submit entry point for the post-crawl training-data hygiene
+pipeline: the corpus-level cleanup a web-text pipeline runs over the
+crawl's document archive before training.
+
+  spark-submit --py-files dist/bowspark.zip jobs/corpus_hygiene.py \
+      --documents <parquet of (doc_id, text, lang, ...)> --out <dir> \
+      [--jaccard-ppm 600000] [--langs en,de] [--min-tokens 20]
+
+Stages (each one shuffle, all native Catalyst — no UDFs):
+  1. exact dedup      — md5(normalized text) groups, keeper = min doc_id
+  2. near-dup         — MinHash-LSH band candidates (equi-join on band
+                        keys, never all-pairs), then exact token-Jaccard
+                        verification of ONLY the candidates; the larger
+                        doc_id of every verified pair is dropped (greedy
+                        pair-drop: deterministic and single-pass; a full
+                        connected-components pass is an iterative job and
+                        deliberately out of scope here)
+  3. quality gate     — stopword-ratio/length heuristic (textstats)
+  4. optional lang allow-list
+Outputs under --out:
+  decisions/   (doc_id, keep BOOLEAN, reason STRING) for every input doc
+  kept/        the surviving documents (all input columns)
+and prints one JSON stats line (input/kept/dropped per reason).
+
+Scale notes (100TB design point): stage 1 and the LSH band join shuffle
+on content-derived keys that are uniform by construction (md5/minhash),
+so no skew handling is needed; the candidate-pair verify join is bounded
+by band collisions (tune MINHASH_SEEDS/LSH_BANDS for the target recall);
+at re-run scale, bucket the archive by fp to make stage 1 shuffle-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hygiene_decisions(
+    docs: DataFrame,
+    jaccard_ppm: int = 600_000,
+    min_tokens: int = 20,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, keep, reason) for every input row. Deterministic; reasons
+    apply in stage order (a doc dropped as exact_dup is not re-judged)."""
+    from barkingowl_spark.functions.textstats import quality_score
+    from barkingowl_spark.operators.corpus_dedup import (
+        _tokens_distinct,
+        exact_dup_groups,
+        minhash_band_pairs,
+    )
+
+    ids = docs.select("doc_id")
+
+    # 1. exact duplicates: every doc whose fp-group keeper is not itself
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    fps = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+    exact_drop = (
+        fps.join(exact_dup_groups(docs), "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_drop, "doc_id", "left_anti")
+
+    # 2. near-duplicates among exact-survivors: LSH candidates, verified
+    # by exact token-Jaccard on only those pairs; drop the larger id
+    cand = minhash_band_pairs(survivors)
+    toks = survivors.select("doc_id", _tokens_distinct().alias("toks"))
+    a = toks.select(F.col("doc_id").alias("doc_a"),
+                    F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    near_drop = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            (inter * F.lit(1_000_000) / union).cast("long"),
+        )
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    # 3. quality gate on what's left
+    quality_drop = (
+        quality_score(survivors.join(near_drop, "doc_id", "left_anti"),
+                      min_tokens=min_tokens)
+        .filter(~F.col("is_quality"))
+        .select("doc_id")
+    )
+
+    # 4. language allow-list
+    lang_drop = (
+        survivors.filter(~F.col("lang").isin(langs)).select("doc_id")
+        if langs else None
+    )
+
+    reason = F.lit(None).cast("string")
+    for name, dropped in [
+        ("lang", lang_drop), ("low_quality", quality_drop),
+        ("near_dup", near_drop), ("exact_dup", exact_drop),
+    ]:
+        if dropped is None:
+            continue
+        flagged = dropped.withColumn(f"_{name}", F.lit(True))
+        ids = ids.join(flagged, "doc_id", "left")
+        reason = F.when(F.col(f"_{name}"), F.lit(name)).otherwise(reason)
+    return ids.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("reason")
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--documents", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--jaccard-ppm", type=int, default=600_000)
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--langs", default=None,
+                   help="comma-separated allow-list, e.g. en,de")
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
+        .getOrCreate()
+    docs = spark.read.parquet(args.documents)
+    decisions = hygiene_decisions(
+        docs,
+        jaccard_ppm=args.jaccard_ppm,
+        min_tokens=args.min_tokens,
+        langs=args.langs.split(",") if args.langs else None,
+    )
+    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+    decisions = spark.read.parquet(f"{args.out}/decisions")
+    kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+    kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in decisions.filter(~F.col("keep"))
+        .groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "input_docs": docs.count(),
+        "kept_docs": decisions.filter("keep").count(),
+        "dropped": by_reason,
+    }))
+
+
+if __name__ == "__main__":
+    main()
