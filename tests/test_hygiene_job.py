@@ -1,0 +1,60 @@
+"""End-to-end test of the corpus-hygiene pipeline (jobs/corpus_hygiene.py)
+with planted ground truth: an exact duplicate, a near-duplicate, a
+low-quality fragment, and an off-language doc must each be dropped with
+the right reason, in stage order, and the keeper must always survive."""
+
+from __future__ import annotations
+
+import pytest
+
+from jobs.corpus_hygiene import hygiene_decisions
+
+GOOD = (
+    "the city council met on tuesday to discuss the zoning permit "
+    "application for a new public library annex building downtown and "
+    "the committee voted to approve the budget resolution in the hearing"
+)
+
+
+@pytest.fixture(scope="module")
+def hygiene_docs(spark):
+    words = GOOD.split()
+    near = " ".join(["x" if i == 7 else w for i, w in enumerate(words)])
+    docs = [
+        (0, GOOD, "en", "src0", len(GOOD)),          # keeper
+        (1, GOOD, "en", "src1", len(GOOD)),          # exact dup of 0
+        (2, near, "en", "src2", len(near)),          # near dup of 0
+        (3, "short fragment", "en", "src3", 14),     # low quality
+        # off-language but quality-passing (>=20 tokens, 'in' stopword
+        # hits) and token-disjoint from the others, so the ONLY reason it
+        # can drop under langs=['en'] is the allow-list
+        (4, "der stadtrat traf sich in dieser woche um die genehmigung in "
+            "dem neuen bezirk zu besprechen und der ausschuss stimmte dem "
+            "haushalt zu wahrend der sitzung heute", "de", "src4", 160),
+        (5, "spark shuffle partitions behave adaptively when the optimizer "
+            "re-plans skewed joins at runtime and the scheduler pipelines "
+            "narrow stages into a single pass over the scanned data today",
+         "en", "src5", 180),                         # unrelated keeper
+    ]
+    return spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_decisions_reasons_and_stage_order(hygiene_docs):
+    d = {r["doc_id"]: (r["keep"], r["reason"])
+         for r in hygiene_decisions(hygiene_docs, langs=["en"]).collect()}
+    assert d[0] == (True, None)
+    assert d[1] == (False, "exact_dup")   # not re-judged by later stages
+    assert d[2] == (False, "near_dup")
+    assert d[3] == (False, "low_quality")
+    assert d[4] == (False, "lang")
+    assert d[5] == (True, None)
+
+
+def test_no_lang_filter_keeps_off_language(hygiene_docs):
+    d = {r["doc_id"]: r["reason"]
+         for r in hygiene_decisions(hygiene_docs).collect()}
+    assert d[4] is None  # off-language doc survives without an allow-list
+    assert d[0] is None and d[5] is None
