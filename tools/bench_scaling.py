@@ -7,14 +7,17 @@ each, subprocess), reporting frontier-expansion throughput (URLs
 discovered+deduped/sec) at both and the scaling efficiency
 eff = (thr_4N/thr_N) / 4, target >= 0.8.
 
-The pair is local[4] vs local[16] (overridable via BOW_SCALE_N). Why not
-8/32: this host's 32 vCPUs down-clock/steal as more of them load up — a
-pure-CPU multiprocessing regex benchmark (no Spark at all) tops out at
-2.7x from 8->32 procs (hard ceiling eff 0.68) but reaches 3.7x from
-4->16 (ceiling 0.93). The 4->16 pair measures what the question asks —
-does the JOB scale with cores — without conflating in the host's
-oversubscription behavior; on a real N vs 4N executor cluster each
-executor owns its cores either way.
+The pair (BOW_SCALE_N, default 4 -> local[4]/local[16]) must sit inside
+the host's linear-scaling region, and that region is HOST-INSTANCE-
+DEPENDENT: this VM's vCPUs down-clock/steal as more of them load up and
+the profile CHANGES ACROSS REBOOTS (measured: one instance scaled 3.7x
+from 4->16 procs, the next only 3.0x, while 2->8 held 3.6x). ALWAYS run
+the no-Spark control first — `python tools/cpu_control.py LO HI 3`
+(perfectly parallel regex parsing; any efficiency loss is the VM) — and
+pick a pair whose control ceiling is >= 0.9 before trusting any Spark
+number here. A pair outside that region measures the VM, not the job;
+on a real N vs 4N executor cluster each executor owns its cores either
+way.
 
 Results -> BENCH/scaling.json + BENCH/BASELINE.md. Repetitions:
 interleaved, median of N runs (default 3) — the VM shows run-to-run CPU
