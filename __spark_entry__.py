@@ -38,6 +38,7 @@ from barkingowl_spark.functions.textstats import (
     token_stats,
     winnow_fingerprints,
 )
+from barkingowl_spark.operators.components import near_dup_components
 from barkingowl_spark.operators.corpus_dedup import (
     exact_dup_groups,
     jaccard_pairs,
@@ -367,6 +368,12 @@ def q_dedup_simhash(spark, sf):
     return simhash16(_t(spark, sf, "documents"))
 
 
+def q_dedup_components(spark, sf):
+    # transitive near-dup clusters: LSH candidates -> Jaccard verify ->
+    # iterative min-label CC; oracle = DuckDB recursive-CTE closure
+    return near_dup_components(_t(spark, sf, "documents"))
+
+
 def q_sim_topk_dot(spark, sf):
     return dot_topk(_t(spark, sf, "embeddings"))
 
@@ -471,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
         "dedup_embed_cosine": q_dedup_embed_cosine,
@@ -732,6 +740,57 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
         """,
         "dedup_simhash": _simhash_sql(),
+        # DuckDB needs RECURSIVE on the whole WITH-chain, so the shingle
+        # CTE is inlined rather than prefixed via _SHINGLE_CTE
+        "dedup_components": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+              FROM t WHERE len(w) >= 3
+            ), sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents
+            ),
+            ver AS (
+              SELECT doc_a, doc_b
+              FROM cand
+              JOIN toks ta ON ta.doc_id = cand.doc_a
+              JOIN toks tb ON tb.doc_id = cand.doc_b
+              WHERE CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                    * 1000000.0
+                    / len(list_distinct(list_concat(ta.toks, tb.toks))))
+                    AS BIGINT) >= 600000
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM ver
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM ver
+            ),
+            reach AS (
+              SELECT s AS n, d AS m FROM edges
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            ),
+            comp AS (
+              SELECT n AS doc_id, least(n, min(m)) AS component_id
+              FROM reach GROUP BY n
+            )
+            SELECT doc_id, component_id,
+                   count(*) OVER (PARTITION BY component_id) AS csize
+            FROM comp
+        """,
         "sim_topk_dot": f"""
             WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
             q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),

@@ -1,0 +1,118 @@
+"""Transitive near-duplicate grouping: iterative connected components.
+
+The hygiene pipeline's near-dup stage (jobs/corpus_hygiene.py) is a
+deliberate single-pass greedy pair-drop; this module adds the full
+transitive answer as a separate iterative job, per DESIGN.md ("a
+transitive connected-components dedup is an iterative job that belongs
+in a separate pass"). A near-dup CHAIN A~B~C (A and C not directly
+similar) is one cluster here, so exactly one representative per cluster
+survives — the semantics most training-data dedup recipes (e.g. the
+MinHash dedup in GPT-3/C4-style pipelines) actually want.
+
+Algorithm: alternating min-label propagation + pointer jumping
+(label <- label[label]), the DataFrame rendering of the
+large-star/small-star CC of Kiveris et al. ("Connected Components in
+MapReduce and Beyond", SoCC'14). Propagation alone needs O(diameter)
+rounds; the pointer-jump halves label-chain depth each round, giving
+O(log n) rounds on pathological chains while staying one shuffle per
+round on the (bounded) edge list.
+
+Scale notes (the 10^10 design point):
+  * per-round cost is O(E) shuffle on content-derived ids — uniform by
+    construction, no skew salt needed; a giant component concentrates
+    its *label* key, but the groupBy-min is partially aggregated
+    map-side, so hot labels combine before the shuffle.
+  * each round materializes via localCheckpoint to truncate the
+    iterative lineage (same reason the wave loop checkpoints); on a
+    cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
+    for executor-loss-tolerant truncation.
+  * rounds are driver round-trips (one count per round) — the same
+    iteration-latency floor as the wave loop; fine because round count
+    is O(log n), not O(n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component_id) for every node in `pairs`; component_id = the
+    minimum node id of the component. Nodes with no edge never appear
+    in `pairs`, hence not in the output (they are singleton components).
+
+    Raises RuntimeError if not converged in max_iter rounds — with
+    pointer jumping that takes a component of diameter > ~2^max_iter,
+    i.e. it never legitimately happens; silence would mean wrong labels.
+    """
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # min label over neighbours (map-side partial agg absorbs hot keys)
+        nbr = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .groupBy("s").agg(F.min("label").alias("nbr_label"))
+        )
+        cand = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label <- label(label); halves chain depth
+        lut = cand.select(F.col("id").alias("l_id"),
+                          F.col("label").alias("l_label"))
+        new = (
+            cand.join(lut, cand["label"] == lut["l_id"], "left")
+            .select(cand["id"],
+                    F.coalesce("l_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "prev"), "id")
+            .filter(F.col("label") != F.col("prev")).count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("id"), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def near_dup_components(
+    documents: DataFrame, threshold_ppm: int = 600_000
+) -> DataFrame:
+    """(doc_id, component_id, csize): transitive near-dup clusters over
+    MinHash-LSH candidates verified by exact token-Jaccard >= threshold
+    (same pair source as the hygiene job's greedy stage). Singleton docs
+    (no verified near-dup) are not emitted."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        verified_near_dup_pairs,
+    )
+
+    pairs = verified_near_dup_pairs(documents, threshold_ppm)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        "doc_id", "component_id", F.count("*").over(w).alias("csize")
+    )

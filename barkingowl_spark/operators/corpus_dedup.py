@@ -172,6 +172,34 @@ def minhash_band_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def verified_near_dup_pairs(
+    documents: DataFrame, threshold_ppm: int = 600_000
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_ppm): MinHash-LSH band candidates verified
+    by exact token-set Jaccard — the scale-correct near-dup pair source
+    (candidate generation is one equi-join on band keys, never
+    all-pairs; the verify join touches ONLY candidate rows). Shared by
+    the hygiene job's greedy pair-drop and the transitive
+    connected-components pass (operators/components.py)."""
+    cand = minhash_band_pairs(documents)
+    toks = documents.select("doc_id", _tokens_distinct().alias("toks"))
+    a = toks.select(F.col("doc_id").alias("doc_a"),
+                    F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            (inter * F.lit(1_000_000) / union).cast("long"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "jaccard_ppm")
+    )
+
+
 def simhash16(documents: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct unigram tokens.
 

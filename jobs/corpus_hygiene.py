@@ -10,11 +10,12 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
   1. exact dedup      — md5(normalized text) groups, keeper = min doc_id
   2. near-dup         — MinHash-LSH band candidates (equi-join on band
                         keys, never all-pairs), then exact token-Jaccard
-                        verification of ONLY the candidates; the larger
-                        doc_id of every verified pair is dropped (greedy
-                        pair-drop: deterministic and single-pass; a full
-                        connected-components pass is an iterative job and
-                        deliberately out of scope here)
+                        verification of ONLY the candidates; default
+                        drop rule = the larger doc_id of every verified
+                        pair (greedy, single-pass); --transitive swaps
+                        in the iterative connected-components pass
+                        (operators/components.py) for one-keeper-per-
+                        cluster semantics
   3. quality gate     — stopword-ratio/length heuristic (textstats)
   4. optional lang allow-list
 Outputs under --out:
@@ -43,14 +44,19 @@ def hygiene_decisions(
     jaccard_ppm: int = 600_000,
     min_tokens: int = 20,
     langs: list[str] | None = None,
+    transitive: bool = False,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
-    apply in stage order (a doc dropped as exact_dup is not re-judged)."""
+    apply in stage order (a doc dropped as exact_dup is not re-judged).
+
+    transitive=True replaces the greedy pair-drop of stage 2 with the
+    connected-components pass (operators/components.py): one keeper (the
+    min doc_id) per transitive near-dup CLUSTER, so a chain A~B~C drops
+    both B and C even though A and C are not directly similar."""
     from barkingowl_spark.functions.textstats import quality_score
     from barkingowl_spark.operators.corpus_dedup import (
-        _tokens_distinct,
         exact_dup_groups,
-        minhash_band_pairs,
+        verified_near_dup_pairs,
     )
 
     ids = docs.select("doc_id")
@@ -66,25 +72,24 @@ def hygiene_decisions(
     survivors = docs.join(exact_drop, "doc_id", "left_anti")
 
     # 2. near-duplicates among exact-survivors: LSH candidates, verified
-    # by exact token-Jaccard on only those pairs; drop the larger id
-    cand = minhash_band_pairs(survivors)
-    toks = survivors.select("doc_id", _tokens_distinct().alias("toks"))
-    a = toks.select(F.col("doc_id").alias("doc_a"),
-                    F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"),
-                    F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    near_drop = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn(
-            "jaccard_ppm",
-            (inter * F.lit(1_000_000) / union).cast("long"),
+    # by exact token-Jaccard on only those pairs; then either drop the
+    # larger id of each pair (greedy, single-pass) or every non-keeper
+    # of each transitive cluster (iterative connected components)
+    pairs = verified_near_dup_pairs(survivors, jaccard_ppm)
+    if transitive:
+        from barkingowl_spark.operators.components import (
+            connected_components,
         )
-        .filter(F.col("jaccard_ppm") >= jaccard_ppm)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+
+        comp = connected_components(pairs)
+        near_drop = (
+            comp.filter(F.col("id") != F.col("component_id"))
+            .select(F.col("id").alias("doc_id"))
+        )
+    else:
+        near_drop = (
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        )
 
     # 3. quality gate on what's left
     quality_drop = (
@@ -123,6 +128,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list, e.g. en,de")
+    p.add_argument("--transitive", action="store_true",
+                   help="connected-components near-dup clusters instead "
+                        "of greedy pair-drop")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
@@ -133,6 +141,7 @@ def main(argv: list[str] | None = None) -> None:
         jaccard_ppm=args.jaccard_ppm,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
+        transitive=args.transitive,
     )
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")
