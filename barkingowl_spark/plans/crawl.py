@@ -67,6 +67,12 @@ from barkingowl_spark.operators.politeness import robots_filter, schedule_budget
 from barkingowl_spark.session import shuffle_partitions_for
 from barkingowl_spark.sources.tableio import ParquetDirsIO
 
+def salt_for(hot_rows: int, target_rows: int, cap: int) -> int:
+    """Adaptive hot-host salt: one salt bucket per ~target_rows rows of
+    the hottest host's queue, clamped to [1, cap]."""
+    return max(1, min(cap, -(-hot_rows // target_rows)))
+
+
 FRONTIER_COLS = [
     "seed_url", "url", "url_hash", "host", "depth", "discovery_idx",
     "parent_url", "status", "wave", "text_sha256", "matched_by", "doc_type",
@@ -104,7 +110,16 @@ class CrawlConfig:
     # (preparse=False only) cache the (url, html[, text]) fetch projection
     # instead of re-decoding parquet per wave. Memory-hungry: holds html.
     cache_corpus: bool = False
-    salt_partitions: int = 8                # hot-host salt for frontier writes
+    # Hot-host salt for the frontier-queue write (north_star skew rule):
+    # an int pins S; None (default) adapts S per wave from the hottest
+    # host's queued-row count (SURVEY.md section 4.2 — "S chosen from
+    # per-host counts of the previous wave"), fed by the same
+    # per-(wave,host) metrics collect the scheduler already does:
+    # S = ceil(hottest_host_rows / salt_target_rows), clamped to
+    # [1, salt_max].
+    salt_partitions: int | None = None
+    salt_target_rows: int = 1_000_000
+    salt_max: int = 256
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
     # checkpoint backend: None -> ParquetDirsIO(checkpoint_dir) (sandbox);
@@ -321,6 +336,28 @@ def run_crawl(
         bloom = IncrementalBloom(config.bloom_partitions)
         bloom.add_keys(state.frontier().select("url_hash"))
 
+    # Adaptive-salt ledger (SURVEY.md section 4.2): per-host queued-row
+    # counts maintained driver-side from the SAME per-(wave,host) metrics
+    # collect the scheduler already does — no extra jobs per wave. Entries
+    # below salt_target_rows/8 are pruned so the ledger stays O(hot hosts)
+    # at the 10^10 design point (at most frontier_rows/threshold entries
+    # can exceed the threshold); a pruned host re-earns its entry with its
+    # next big wave — the write-layout heuristic needs the hot tail, not
+    # exactness.
+    host_led: dict[str, int] = {}
+    salt_prune = max(1, config.salt_target_rows // 8)
+    if config.salt_partitions is None:
+        host_led = {
+            r["host"]: r["n"]
+            for r in state.queue.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+            if r["n"] >= salt_prune
+        }
+    cur_salt = config.salt_partitions or salt_for(
+        max(host_led.values(), default=0),
+        config.salt_target_rows, config.salt_max,
+    )
+
     default_par = spark.sparkContext.defaultParallelism
     while state.wave < config.max_waves:
         t0 = time.monotonic()
@@ -533,6 +570,18 @@ def run_crawl(
         new_queued_total = sum(r["new_queued"] for r in m_rows)
         due_remaining -= sched_total
         children += new_queued_total
+        if config.salt_partitions is None:
+            for r in m_rows:
+                c = (host_led.get(r["host"], 0)
+                     + r["new_queued"] - r["pages_fetched"])
+                if c >= salt_prune:
+                    host_led[r["host"]] = c
+                else:
+                    host_led.pop(r["host"], None)
+            cur_salt = salt_for(
+                max(host_led.values(), default=0),
+                config.salt_target_rows, config.salt_max,
+            )
 
         n_out = max(1, min(default_par, queue_rows // 250_000 + 1))
         io.write_metrics_rows(
@@ -546,7 +595,7 @@ def run_crawl(
             wave,
             queue2.repartition(
                 n_out, F.col("host"),
-                F.pmod(F.col("url_hash"), F.lit(config.salt_partitions)),
+                F.pmod(F.col("url_hash"), F.lit(cur_salt)),
             ),
             archive_delta.repartition(n_out),
             {"totals": {"last_queue_rows": queue_rows,

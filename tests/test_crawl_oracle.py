@@ -160,3 +160,31 @@ def test_oracle_is_frozen():
         "tests/oracle/ref_crawler.py changed — the oracle is frozen; "
         "fix the pipeline instead (or consciously re-freeze + document)"
     )
+
+
+def test_salt_for_clamps():
+    from barkingowl_spark.plans.crawl import salt_for
+
+    assert salt_for(0, 1_000_000, 256) == 1        # empty queue
+    assert salt_for(999_999, 1_000_000, 256) == 1  # below one bucket
+    assert salt_for(1_000_001, 1_000_000, 256) == 2  # ceil
+    assert salt_for(10**9, 1_000_000, 256) == 256  # cap
+    assert salt_for(5, 2, 256) == 3
+
+
+def test_adaptive_salt_identical_outputs(spark, seeds_df, pages_df,
+                                         fixture_data, tmp_path_factory):
+    """Adaptive per-wave salt (salt_partitions=None with a tiny
+    salt_target_rows, so S actually varies wave to wave) only changes
+    the queue write LAYOUT — trace/documents/texts must still match the
+    oracle exactly."""
+    cfg = CrawlConfig(
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_salt")),
+        salt_partitions=None, salt_target_rows=2, salt_max=4,
+    )
+    state = run_crawl(spark, seeds_df, pages_df, cfg)
+    s_traces, s_docs, s_texts = spark_outputs(state)
+    o_traces, o_docs, o_texts = oracle_outputs(fixture_data)
+    assert s_traces == o_traces
+    assert s_docs == o_docs
+    assert s_texts == o_texts
