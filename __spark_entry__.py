@@ -45,6 +45,7 @@ from barkingowl_spark.operators.corpus_dedup import (
     minhash_band_pairs,
     minhash_signatures,
     simhash16,
+    simhash_near_pairs,
 )
 from barkingowl_spark.operators.multimodal import (
     attach_binary,
@@ -57,8 +58,11 @@ from barkingowl_spark.operators.similarity import (
     cosine_topk,
     dot_topk,
     embed_near_dup_pairs,
+    hyperplanes,
     ivf_assign,
     ivf_topk,
+    lsh_assign,
+    lsh_topk,
 )
 
 
@@ -368,6 +372,20 @@ def q_dedup_simhash(spark, sf):
     return simhash16(_t(spark, sf, "documents"))
 
 
+def q_dedup_simhash_near(spark, sf):
+    # hamming-<=3 pairs via banded simhash equi-join (pigeonhole), exact
+    # bit_count(xor) verification on candidates only
+    return simhash_near_pairs(_t(spark, sf, "documents"))
+
+
+def q_ann_lsh_assign(spark, sf):
+    return lsh_assign(_t(spark, sf, "embeddings")).select("vec_id", "bucket")
+
+
+def q_ann_lsh_topk(spark, sf):
+    return lsh_topk(_t(spark, sf, "embeddings"))
+
+
 def q_dedup_components(spark, sf):
     # transitive near-dup clusters: LSH candidates -> Jaccard verify ->
     # iterative min-label CC; oracle = DuckDB recursive-CTE closure
@@ -478,7 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_components": q_dedup_components,
+        "ann_lsh_assign": q_ann_lsh_assign,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
         "dedup_embed_cosine": q_dedup_embed_cosine,
@@ -553,6 +574,39 @@ WITH toks AS (
 )
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
+
+
+def _simhash_near_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH s AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, b.band_id,
+         (simhash >> (4 * b.band_id)) & 15 AS band_bits
+  FROM s, (SELECT unnest(range(4)) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+def _lsh_bucket_expr() -> str:
+    # the SAME md5-derived hyperplane literals the Spark side inlines
+    # (testdata embeddings are dim-64 at every sf)
+    planes = hyperplanes(64, 4)
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),"
+        f" i -> v[i] * ([{', '.join(str(c) for c in p)}])[i])) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
 
 
 def _langid_sql() -> str:
@@ -740,6 +794,28 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_near": _simhash_near_sql(),
+        "ann_lsh_assign": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)
+            SELECT vec_id, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket
+            FROM v0
+        """,
+        "ann_lsh_topk": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            b AS (SELECT vec_id, v,
+                         CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket
+                  FROM v0),
+            q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
+                  WHERE vec_id < 10),
+            scored AS (
+              SELECT q.q_id, q.bucket, b.vec_id, {_DOT_SQL} AS score
+              FROM q JOIN b ON q.bucket = b.bucket AND q.q_id != b.vec_id)
+            SELECT q_id, bucket, vec_id, score, rank FROM (
+              SELECT q_id, bucket, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
         # DuckDB needs RECURSIVE on the whole WITH-chain, so the shingle
         # CTE is inlined rather than prefixed via _SHINGLE_CTE
         "dedup_components": f"""

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, per the training-data-pipeline contract:
+Three paths, per the training-data-pipeline contract:
 
   * brute-force top-k — the correctness baseline: broadcast the (small)
     query set against the full corpus, score JVM-side with
@@ -10,6 +10,9 @@ Two paths, per the training-data-pipeline contract:
     query's bucket — at 100TB this turns a full scan per query into a
     1/n_centroids partition-pruned scan; bucket the stored table by
     centroid id to make it shuffle-free.
+  * sign-LSH top-k — the data-independent scale path: random-hyperplane
+    sign buckets (no centroid training, no join for assignment), search
+    within the query's bucket.
 
 Scoring contract (oracle portability): embeddings are quantized to
 integer milli-units (round(x*1000)) and scored by integer dot product —
@@ -201,6 +204,82 @@ def embed_near_dup_pairs(
                * F.col("nb2").cast("double"))
         )
         .select("ia", "ib", "dot")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "hp") -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplanes for sign-LSH.
+
+    Components are md5-derived integers in [-1000, 1000], computed
+    driver-side and inlined as literals — the SAME numbers drop into the
+    DuckDB oracle SQL, so bucket assignment is engine-portable by
+    construction (no RNG, no float)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}#{j}#{i}".encode()).hexdigest()[:15], 16)
+            % 2001 - 1000
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_assign(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j of the bucket = sign of the
+    integer dot product with hyperplane j (random-hyperplane LSH —
+    cosine-similar vectors land in the same bucket with probability
+    (1 - angle/pi)^n_planes).
+
+    Scale shape: the hyperplane set is a tiny driver-side literal (no
+    join at all, unlike IVF's centroid broadcast), the assignment is one
+    narrow projection inside whole-stage codegen, and search shuffles
+    once on the bucket key; bucket the stored table by bucket id to make
+    repeated queries shuffle-free. n_planes=4 (16 buckets) suits the
+    sandbox corpus; at 10^9 vectors use 16-24 planes and multiple
+    independent tables OR'd together for recall."""
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    planes = hyperplanes(dim, n_planes)
+    v = _quantized(embeddings)
+    bucket = None
+    for j, p in enumerate(planes):
+        lits = ", ".join(f"{c}L" for c in p)
+        dot_j = F.expr(
+            f"aggregate(zip_with(v, array({lits}), (x, y) -> x * y), 0L,"
+            " (acc, e) -> acc + e)"
+        )
+        bit = (dot_j > 0).cast("long") * F.lit(1 << j)
+        bucket = bit if bucket is None else bucket + bit
+    return v.select("vec_id", "v", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: each query scans only its sign bucket
+    (the LSH counterpart of ivf_topk; same integer-dot scoring)."""
+    vecs = lsh_assign(embeddings, n_planes)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(vecs, ["bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "bucket", "vec_id", F.expr(_DOT).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "score", "rank")
     )
 
 

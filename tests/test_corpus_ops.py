@@ -227,3 +227,64 @@ def test_langid_and_quality(spark):
     q = {r["doc_id"]: r for r in quality_score(docs, min_tokens=5).collect()}
     assert not q[3]["is_quality"]  # zero stopwords
     assert q[0]["stop_ppm"] > 0
+
+
+def test_simhash_near_pairs_planted(planted_docs):
+    """Identical docs are hamming-0; the banded equi-join must surface
+    them; every emitted pair must satisfy the exact hamming bound; the
+    pigeonhole precondition is enforced."""
+    from barkingowl_spark.operators.corpus_dedup import simhash_near_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(planted_docs).collect()}
+    assert pairs[(0, 1)] == 0          # exact dup pair
+    assert all(h <= 3 for h in pairs.values())
+    with pytest.raises(ValueError):
+        simhash_near_pairs(planted_docs, max_hamming=4)
+
+
+def test_simhash_near_pairs_vs_bruteforce(planted_docs):
+    """Banded candidates + hamming filter == brute-force all-pairs
+    hamming<=3 over the same simhashes (pigeonhole completeness)."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        simhash16,
+        simhash_near_pairs,
+    )
+
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash16(planted_docs).collect()}
+    want = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a in sims for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_pairs(planted_docs).collect()}
+    assert got == want
+
+
+def test_lsh_bucket_search(spark):
+    """Sign-LSH: identical vectors share a bucket and find each other;
+    every hit stays inside the query's bucket; scores are exact
+    quantized dots."""
+    from barkingowl_spark.operators.similarity import lsh_assign, lsh_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[25] = vecs[2]                 # planted exact duplicate of q=2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_assign(df, n_planes=4).collect()}
+    assert set(buckets.values()) <= set(range(16))
+    assert buckets[2] == buckets[25]
+    hits = lsh_topk(df, n_queries=5, k=3, n_planes=4).collect()
+    q = np.round(vecs.astype(np.float64) * 1000)
+    scores = q @ q.T
+    for r in hits:
+        assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
+        assert r["score"] == int(scores[r["q_id"], r["vec_id"]])
+    top2 = [r for r in hits if r["q_id"] == 2 and r["rank"] == 1]
+    assert top2 and top2[0]["vec_id"] == 25   # the planted dup wins
