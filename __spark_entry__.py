@@ -215,6 +215,42 @@ def q_o17_cardinality(spark, sf):
     )
 
 
+def q_o16_metrics_rollup(spark, sf):
+    """O16 metrics reporting via ROLLUP (SURVEY §2.4 grouping-sets row):
+    per-(event_type, user_shard) counters with subtotal + grand-total
+    rows — the wave/host/overall lineage report shape. Hash-agg with
+    partial (map-side) combine at every grouping level; no extra shuffle
+    beyond the one the finest level already needs."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("user_shard", F.pmod(F.col("user_id"), F.lit(8)).cast("long"))
+        .rollup("event_type", "user_shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("user_shard"), F.lit(-1)).cast("long").alias("user_shard"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+def q_o12_semi_probe(spark, sf):
+    """O12 complement: left_semi probe of the seen set (SURVEY §2.3
+    join-shapes row). The anti-join keeps the *unseen* URLs; the semi
+    join is the 'already seen' side used for lineage/metrics (how many
+    candidates were dropped by dedup, per partition). Small seen dim →
+    broadcast, zero shuffle on the probe side."""
+    orders = _t(spark, sf, "orders")
+    seen = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return orders.join(
+        F.broadcast(seen), orders.o_custkey == seen.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
 def q_o18_bfs_order(spark, sf):
     """O18 BFS ordering analogue: row_number over (partition, order keys) —
     the exact window shape that assigns crawl_order."""
@@ -481,7 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_config_join": q_o14_config_join,
         "o15_doc_type_match": q_o15_doc_type_match,
         "o16_wave_counters": q_o16_wave_counters,
+        "o16_metrics_rollup": q_o16_metrics_rollup,
         "o17_cardinality": q_o17_cardinality,
+        "o12_semi_probe": q_o12_semi_probe,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -698,6 +736,21 @@ def oracle_sql() -> dict[str, str]:
         "o17_cardinality": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type
+        """,
+        "o16_metrics_rollup": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   CAST(coalesce(user_shard, -1) AS BIGINT) AS user_shard,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM (SELECT event_type, user_id % 8 AS user_shard, value
+                  FROM events)
+            GROUP BY ROLLUP (event_type, user_shard)
+        """,
+        "o12_semi_probe": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
         """,
         "o18_bfs_order": """
             SELECT user_id, event_id,
