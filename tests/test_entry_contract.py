@@ -37,7 +37,8 @@ def duck():
 @pytest.mark.parametrize(
     "name",
     ["o7_link_extract", "o27_text_extract", "o14_config_join",
-     "text_bpe_tokens", "doc_winnow_fp"],
+     "text_bpe_tokens", "doc_winnow_fp",
+     "o16_metrics_rollup", "o12_semi_probe"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
