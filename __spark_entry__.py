@@ -251,6 +251,17 @@ def q_o12_semi_probe(spark, sf):
     ).select("o_orderkey", "o_custkey")
 
 
+def q_o21_queue_intersect(spark, sf):
+    """§2.6 set-ops row (intersect): URLs present in two frontier
+    snapshots — here, users who appear under both event types. Spark
+    INTERSECT is distinct-set semantics (same as SQL); physically a
+    partial-agg'd hash semi on the shared key, one shuffle."""
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
 def q_o18_bfs_order(spark, sf):
     """O18 BFS ordering analogue: row_number over (partition, order keys) —
     the exact window shape that assigns crawl_order."""
@@ -525,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_politeness_topk": q_o20_politeness_topk,
         "o20_robots_filter": q_o20_robots_filter,
         "o21_union_dedup": q_o21_union_dedup,
+        "o21_queue_intersect": q_o21_queue_intersect,
         "o26_time_rollup": q_o26_time_rollup,
         "o27_text_extract": q_o27_text_extract,
         "o1_recrawl_due": q_o1_recrawl_due,
@@ -786,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, user_id FROM events WHERE event_type = 'click'
               UNION ALL
               SELECT event_id, user_id FROM events WHERE value > 90)
+        """,
+        "o21_queue_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'signup'
         """,
         "o26_time_rollup": """
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n,
