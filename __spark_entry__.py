@@ -13,10 +13,11 @@ Portability rules used throughout (so value-hashes match exactly):
   * ratios are integer ppm with explicit floor (Spark long-cast truncates,
     DuckDB CAST rounds — so the SQL says floor());
   * money sums are integer cents, never raw double sums;
+  * cosine similarity scores in fixed point (integer milli-quantized dot
+    + IEEE sqrt/floor) so even `sim_topk_cosine` value-hash-matches;
   * non-SQL-expressible ops (the crawl wave loop itself, the pandas-UDF
-    parse pass, the multimodal float-cosine variant) are covered by the
-    pytest oracle suite (tests/test_crawl_oracle.py) and appear here
-    rows-only where meaningful.
+    parse pass) are covered by the pytest oracle suite
+    (tests/test_crawl_oracle.py).
 """
 
 from __future__ import annotations
@@ -444,8 +445,8 @@ def q_sim_topk_dot(spark, sf):
 
 
 def q_sim_topk_cosine(spark, sf):
-    # float cosine: rows-only check (double summation order is
-    # engine-specific); the quantized-dot variant above is value-checked
+    # fixed-point cosine (integer dot + IEEE sqrt/floor): bit-portable,
+    # value-hash-checked against DuckDB like every other query
     return cosine_topk(_t(spark, sf, "embeddings"))
 
 
@@ -949,7 +950,28 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
         """,
-        # sim_topk_cosine: intentionally no oracle (float summation order)
+        "sim_topk_cosine": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     CAST(list_sum(list_transform(range(1, len(v) + 1),
+                       i -> v[i] * v[i])) AS BIGINT) AS n2
+              FROM v0),
+            nz AS (SELECT * FROM n WHERE n2 > 0),
+            q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2
+                  FROM nz WHERE vec_id < 10),
+            scored AS (
+              SELECT q_id, vec_id,
+                     CAST(floor(CAST({_DOT_SQL} AS DOUBLE) * 1000000.0
+                       / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                       AS BIGINT) AS cosine_ppm
+              FROM q, nz WHERE q_id != vec_id)
+            SELECT q_id, vec_id, cosine_ppm, rank FROM (
+              SELECT q_id, vec_id, cosine_ppm,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine_ppm DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
         "dedup_embed_cosine": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
             c AS (SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),

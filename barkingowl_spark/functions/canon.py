@@ -42,10 +42,16 @@ def canonicalize(base: str, href: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = (parts.hostname or "").lower()
+    try:
+        # .hostname/.port are lazy properties that re-parse the authority and
+        # raise ValueError on malformed input (e.g. href='//0::' -> "Port
+        # could not be cast to integer"); a junk authority is O11 junk.
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return None
     if not host:
         return None
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT[scheme]:
         netloc = f"{host}:{port}"

@@ -62,7 +62,9 @@ def quality_score(documents: DataFrame, min_tokens: int = 20) -> DataFrame:
         f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
     )
     t = _tokens()
-    stop_ppm = (stop_hits * F.lit(1_000_000) / F.size(t)).cast("long")
+    stop_ppm = (
+        stop_hits.cast("long") * F.lit(1_000_000) / F.size(t)
+    ).cast("long")
     return documents.select(
         "doc_id",
         F.size(t).alias("token_count"),
@@ -115,7 +117,7 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
         "doc_id",
         bpe.alias("bpe_token_count"),
         ws.alias("ws_token_count"),
-        F.floor(bpe * F.lit(1_000_000) / ws).cast("long")
+        F.floor(bpe.cast("long") * F.lit(1_000_000) / ws).cast("long")
         .alias("bpe_per_ws_ppm"),
     )
 

@@ -85,7 +85,7 @@ def jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (inter * F.lit(1_000_000) / union).cast("long")
+            (inter.cast("long") * F.lit(1_000_000) / union).cast("long")
             .alias("jaccard_ppm"),
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
@@ -193,7 +193,9 @@ def verified_near_dup_pairs(
         cand.join(a, "doc_a").join(b, "doc_b")
         .withColumn(
             "jaccard_ppm",
-            (inter * F.lit(1_000_000) / union).cast("long"),
+            # widen before multiplying: INT*INT wraps once |A∩B| > ~2147
+            # in non-ANSI Spark (long docs at corpus scale)
+            (inter.cast("long") * F.lit(1_000_000) / union).cast("long"),
         )
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "jaccard_ppm")

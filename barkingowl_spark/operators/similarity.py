@@ -16,9 +16,9 @@ Three paths, per the training-data-pipeline contract:
 
 Scoring contract (oracle portability): embeddings are quantized to
 integer milli-units (round(x*1000)) and scored by integer dot product —
-exact, associative, and identical across engines; float cosine is kept as
-`cosine_topk` for realism but checked rows-only (double summation order
-is engine-specific).
+exact, associative, and identical across engines. `cosine_topk` scores
+in fixed point (integer dot + IEEE-deterministic sqrt/divide/floor), so
+it too is value-hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -62,39 +62,46 @@ def dot_topk(
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
-    """Float cosine top-k (realistic variant; rows-only oracle check)."""
-    vecs = embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.expr(
-            "aggregate(v, 0D, (acc, e) -> acc + e * e)"
-        )),
-    )
+    """Fixed-point cosine top-k, fully oracle-checkable (closes the one
+    round-1 `no_oracle` gap).
+
+    cosine_ppm = floor(dot * 1e6 / sqrt(double(|a|^2) * double(|b|^2)))
+    over milli-quantized integer vectors. Every step is engine-portable:
+    the integer sums (dot, norms^2) are exact in ANY summation order
+    (< 2^53), and int64->double cast, multiply, IEEE sqrt, divide and
+    floor are all correctly rounded — so Spark and DuckDB produce
+    bit-identical ppm values and identical (ties broken by vec_id) ranks.
+    Accuracy vs true float cosine: quantization error ~1e-3, ppm
+    round-off 1e-6 — ranking-equivalent for dedup/search use."""
+    vecs = _quantized(embeddings).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+               " (acc, e) -> acc + e)"),
+    ).filter(F.col("n2") > 0)
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+        F.col("n2").alias("qn2"),
     )
     scored = (
         F.broadcast(queries)
         .join(vecs, F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id", "vec_id",
-            (F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,"
-                    " (acc, e) -> acc + e)")
-             / (F.col("qnorm") * F.col("norm"))).alias("cosine"),
+            F.floor(
+                F.expr(_DOT).cast("double") * F.lit(1_000_000.0)
+                / F.sqrt(F.col("qn2").cast("double")
+                         * F.col("n2").cast("double"))
+            ).alias("cosine_ppm"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
+        F.col("cosine_ppm").desc(), F.col("vec_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"),
-                "rank")
+        .select("q_id", "vec_id", "cosine_ppm", "rank")
     )
 
 

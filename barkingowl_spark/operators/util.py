@@ -18,6 +18,17 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     want = min_parts or sc.defaultParallelism
+    # At-scale fast path: a file-backed corpus with >= want files already
+    # scans wide — decided from inputFiles() (analysis only), so no
+    # df.rdd physical-plan conversion happens on the path a real
+    # deployment takes. Fewer files than cores (the sandbox's single
+    # unsplittable-row-group parquet) or a non-file source falls through
+    # to the partition-count check.
+    try:
+        if len(df.inputFiles()) >= want:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df

@@ -131,6 +131,12 @@ class CrawlConfig:
     # session-wide 10k-row default would mean ~0.5GB batches per worker
     arrow_batch_rows: int = 2048
 
+    def __post_init__(self) -> None:
+        if self.salt_partitions is not None and self.salt_partitions < 1:
+            raise ValueError(
+                "salt_partitions must be >= 1 (or None for adaptive)"
+            )
+
 
 @dataclass
 class CrawlState:
@@ -347,16 +353,21 @@ def run_crawl(
     host_led: dict[str, int] = {}
     salt_prune = max(1, config.salt_target_rows // 8)
     if config.salt_partitions is None:
+        # threshold applied IN the plan: only the hot tail (at most
+        # queue_rows/salt_prune hosts) ever reaches the driver
         host_led = {
             r["host"]: r["n"]
             for r in state.queue.groupBy("host")
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-            if r["n"] >= salt_prune
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= F.lit(salt_prune))
+            .collect()
         }
-    cur_salt = config.salt_partitions or salt_for(
-        max(host_led.values(), default=0),
-        config.salt_target_rows, config.salt_max,
-    )
+        cur_salt = salt_for(
+            max(host_led.values(), default=0),
+            config.salt_target_rows, config.salt_max,
+        )
+    else:
+        cur_salt = config.salt_partitions
 
     default_par = spark.sparkContext.defaultParallelism
     while state.wave < config.max_waves:
@@ -559,19 +570,52 @@ def run_crawl(
             (F.col("status") == "queued").cast("long").alias("new_queued"),
             (F.col("status") == "doc").cast("long").alias("docs_found"),
         )
-        m_rows = (
+        m_df = (
             m_parent.unionByName(m_child)
             .groupBy("host")
             .agg(*[F.sum(c).alias(c) for c in METRIC_COUNTERS])
             .select(F.lit(wave).alias("wave"), "host", *METRIC_COUNTERS)
-        ).collect()
+        ).persist()
+        # Full metrics rows are written DISTRIBUTED (never collected — at
+        # 10^10 hosts the per-wave host list must not ship to the driver);
+        # the scheduler's two scalar totals ride along in the same job via
+        # Observation, so bookkeeping costs zero extra jobs.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        io.write_metrics_df(
+            wave,
+            m_df.observe(
+                obs,
+                F.sum("pages_fetched").alias("fetched"),
+                F.sum("new_queued").alias("queued"),
+            ),
+        )
+        totals = obs.get
         t_compute = time.monotonic()
-        sched_total = sum(r["pages_fetched"] for r in m_rows)
-        new_queued_total = sum(r["new_queued"] for r in m_rows)
+        sched_total = int(totals["fetched"] or 0)
+        new_queued_total = int(totals["queued"] or 0)
         due_remaining -= sched_total
         children += new_queued_total
         if config.salt_partitions is None:
-            for r in m_rows:
+            # Hot-tail ledger update, O(hot hosts) on the driver: only rows
+            # whose wave delta can create an entry (>= salt_prune) or whose
+            # host already holds one (tiny broadcast semi-join) are
+            # collected — sub-threshold hosts never ship (same semantics as
+            # updating from all rows: a sub-threshold delta on an absent
+            # host was popped immediately anyway).
+            delta = F.col("new_queued") - F.col("pages_fetched")
+            tail = m_df.filter(delta >= F.lit(salt_prune))
+            if host_led:
+                led_df = spark.createDataFrame(
+                    [(h,) for h in host_led], "host string"
+                )
+                tail = tail.unionByName(
+                    m_df.join(F.broadcast(led_df), "host", "left_semi")
+                ).dropDuplicates(["host"])
+            for r in tail.select(
+                "host", "new_queued", "pages_fetched"
+            ).collect():
                 c = (host_led.get(r["host"], 0)
                      + r["new_queued"] - r["pages_fetched"])
                 if c >= salt_prune:
@@ -582,11 +626,9 @@ def run_crawl(
                 max(host_led.values(), default=0),
                 config.salt_target_rows, config.salt_max,
             )
+        m_df.unpersist()
 
         n_out = max(1, min(default_par, queue_rows // 250_000 + 1))
-        io.write_metrics_rows(
-            wave, [r.asDict() for r in m_rows]
-        )
         # frontier rows repartition by (host, salted hash) — north_star's
         # skew rule, applied to the narrow queue (hot hosts split over
         # salt_partitions buckets; the politeness window reads this back

@@ -81,6 +81,20 @@ class ParquetDirsIO:
                 ignore_errors=True,
             )
 
+    def write_metrics_df(self, wave: int, metrics: DataFrame) -> None:
+        """Distributed lineage write — per-(wave,host) rows never ship to
+        the driver (the 10^10-host path). Atomic via tmp-dir rename."""
+        path = self._metrics_dir(wave)
+        # prefix keeps a crash-orphaned tmp invisible to read_metrics'
+        # "wave=" listing
+        tmp = os.path.join(os.path.dirname(path), f"_tmp-wave={wave}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        metrics.write.parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
     def write_metrics_rows(self, wave: int, rows: list[dict]) -> None:
         """Driver-side lineage write (rows already collected — no job)."""
         import pyarrow as pa
@@ -205,6 +219,9 @@ class IcebergIO:
             f"ALTER TABLE {self._tbl('queue')} SET TBLPROPERTIES"
             f" ('bowspark.meta.wave{wave}' = '{_json.dumps(meta)}')"
         )
+
+    def write_metrics_df(self, wave, metrics) -> None:
+        metrics.writeTo(self._tbl("metrics")).append()
 
     def write_metrics_rows(self, wave, rows) -> None:
         if not rows:

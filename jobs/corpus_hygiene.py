@@ -99,9 +99,13 @@ def hygiene_decisions(
         .select("doc_id")
     )
 
-    # 4. language allow-list
+    # 4. language allow-list — strict gate: NULL (undetected) lang is NOT
+    # on the allow-list, so it drops too (isin alone evaluates to NULL for
+    # NULL lang and would silently keep those rows)
     lang_drop = (
-        survivors.filter(~F.col("lang").isin(langs)).select("doc_id")
+        survivors.filter(
+            ~F.col("lang").isin(langs) | F.col("lang").isNull()
+        ).select("doc_id")
         if langs else None
     )
 

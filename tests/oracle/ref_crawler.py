@@ -29,6 +29,11 @@ canonicalization — no imports from barkingowl_spark) so that oracle and
 pipeline are independent encodings of the same spec. FROZEN once written:
 sha256 recorded in tests/oracle/SHA256SUMS; do not edit to make tests pass —
 fix the pipeline instead (SURVEY.md section 5.3).
+
+RE-FREEZE LOG (crash fixes only — never semantics):
+  2026-08-17: guard .hostname/.port ValueError in oracle_canonicalize
+  (hypothesis example href='//0::'); identical guard applied to
+  barkingowl_spark/functions/canon.py. A crash is not a semantics.
 """
 
 from __future__ import annotations
@@ -79,12 +84,19 @@ def oracle_canonicalize(base: str, href: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = (parts.hostname or "").lower()
+    try:
+        # Crash-fix re-freeze 2026-08-17: .hostname/.port raise ValueError on
+        # malformed authorities (e.g. '//0::'); junk authority = O11 junk.
+        # Semantics unchanged for every input that previously returned.
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return None
     if not host:
         return None
     netloc = host
-    if parts.port is not None and str(parts.port) != _DEFAULT_PORT[scheme]:
-        netloc = f"{host}:{parts.port}"
+    if port is not None and str(port) != _DEFAULT_PORT[scheme]:
+        netloc = f"{host}:{port}"
     return urlunsplit((scheme, netloc, parts.path or "/", parts.query, ""))
 
 

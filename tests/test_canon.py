@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from barkingowl_spark.functions.canon import canonicalize, host_of
@@ -76,6 +76,9 @@ def test_batch_fast_path_matches_slow_path():
         max_size=40,
     )
 )
+@example("//0::")  # malformed authority: .port raises ValueError (round-1 red)
+@example("//a:b@c:99x/")  # non-integer port in authority
+@example("http://[::1/")  # unclosed IPv6 bracket
 def test_batch_matches_scalar_on_fuzz(href):
     got = canonicalize_batch(
         pd.Series([BASE]), pd.Series([href], dtype=object)

@@ -103,11 +103,13 @@ def test_similarity_matches_numpy(spark):
             (x for x in got if x["q_id"] == qi), key=lambda x: x["rank"])]
         assert got_ids == want_ids
 
-    cos = {(r["q_id"], r["vec_id"]): r["cosine"]
+    cos = {(r["q_id"], r["vec_id"]): r["cosine_ppm"]
            for r in cosine_topk(df, n_queries=2, k=3).collect()}
     full = vecs.astype(np.float64) @ vecs.astype(np.float64).T
     for (qi, vi), c in cos.items():
-        assert abs(c - full[qi, vi]) < 1e-3
+        # fixed-point ppm vs true float cosine: milli-quantization on
+        # dim-16 unit vectors bounds the error well under 5e-3
+        assert abs(c / 1e6 - full[qi, vi]) < 5e-3
 
 
 def test_ivf_bucket_search_subset_of_bucket(spark):

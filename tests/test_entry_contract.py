@@ -37,7 +37,7 @@ def duck():
 @pytest.mark.parametrize(
     "name",
     ["o7_link_extract", "o27_text_extract", "o14_config_join",
-     "text_bpe_tokens", "doc_winnow_fp",
+     "text_bpe_tokens", "doc_winnow_fp", "sim_topk_cosine",
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect"],
 )
 def test_query_matches_oracle(spark, duck, name):
@@ -52,5 +52,6 @@ def test_every_query_has_oracle_or_documented_exception():
     qs = set(entrymod.queries())
     osql = set(entrymod.oracle_sql())
     assert osql <= qs
-    # rows-only entries must be the documented float-summation exceptions
-    assert qs - osql == {"sim_topk_cosine"}
+    # every query is value-hash-checked (fixed-point cosine closed the
+    # round-1 no_oracle exception)
+    assert qs == osql
