@@ -229,7 +229,16 @@ def _seed_frontier_rows(pages_ct: DataFrame, seeds_cfg: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("parent_url"),
         F.lit(0).alias("wave"),
     )
-    return _typecheck(seed_rows, pages_ct, seeds_cfg)
+    # The seed set is tiny but pages_ct is corpus-sized: restrict it to the
+    # seed URLs with a broadcast LEFT SEMI first (a scan-side filter — no
+    # corpus shuffle), so the wave-0 typecheck join is tiny-vs-tiny. Without
+    # this, the left join below shuffles the whole (url, content_type)
+    # projection to look up a handful of seeds.
+    seed_ct = pages_ct.join(
+        F.broadcast(seeds_cfg.select(F.col("seed_url").alias("url"))),
+        "url", "left_semi",
+    )
+    return _typecheck(seed_rows, seed_ct, seeds_cfg)
 
 
 
@@ -322,25 +331,37 @@ def run_crawl(
                 sched_meta["d"], sched_meta["due"], sched_meta["children"],
             )
     else:
+        _t_seed = time.monotonic()
         typed0 = _seed_frontier_rows(pages_ct, seeds_cfg)
         queue0 = typed0.filter(F.col("status") == "queued").select(
             *FRONTIER_COLS)
         io.write_wave(
             0,
-            queue0.coalesce(1),
+            # repartition(1), NOT coalesce(1): coalesce would collapse the
+            # (narrow) broadcast-semi typecheck into one task that scans
+            # the corpus-sized pages_ct cache serially — the shuffle
+            # boundary keeps the scan parallel and ships only seed rows
+            queue0.repartition(1),
             typed0.filter(F.col("status") != "queued")
-            .select(*FRONTIER_COLS).coalesce(1),
+            .select(*FRONTIER_COLS).repartition(1),
             {"totals": {}, "sched": None},
         )
         io.write_metrics_rows(0, [])
         state = _load(0)
         d, due_remaining, children = 0, state.queue.count(), 0
+        if os.environ.get("BOW_TIMING") == "1":
+            print(f"BOW_TIMING seed_wave={time.monotonic() - _t_seed:.2f}",
+                  flush=True)
 
+    _t_pre = time.monotonic()
     bloom = None
     if config.use_bloom:
         # one full build at start (or resume); waves then OR in fresh keys
         bloom = IncrementalBloom(config.bloom_partitions)
         bloom.add_keys(state.frontier().select("url_hash"))
+    if os.environ.get("BOW_TIMING") == "1":
+        print(f"BOW_TIMING bloom_init={time.monotonic() - _t_pre:.2f}",
+              flush=True)
 
     # Adaptive-salt ledger (SURVEY.md section 4.2): per-host queued-row
     # counts maintained driver-side from the SAME per-(wave,host) metrics
@@ -368,6 +389,9 @@ def run_crawl(
         )
     else:
         cur_salt = config.salt_partitions
+    if os.environ.get("BOW_TIMING") == "1":
+        print(f"BOW_TIMING preloop_total={time.monotonic() - _t_pre:.2f}",
+              flush=True)
 
     default_par = spark.sparkContext.defaultParallelism
     while state.wave < config.max_waves:
@@ -575,21 +599,41 @@ def run_crawl(
             .groupBy("host")
             .agg(*[F.sum(c).alias(c) for c in METRIC_COUNTERS])
             .select(F.lit(wave).alias("wave"), "host", *METRIC_COUNTERS)
-        ).persist()
+        )
         # Full metrics rows are written DISTRIBUTED (never collected — at
-        # 10^10 hosts the per-wave host list must not ship to the driver);
-        # the scheduler's two scalar totals ride along in the same job via
-        # Observation, so bookkeeping costs zero extra jobs.
+        # 10^10 hosts the per-wave host list must not ship to the driver).
+        # Everything the driver needs from this wave rides the SAME write
+        # job via Observation: the scheduler's two scalar totals, plus the
+        # adaptive-salt hot tail as a collect_list over only the rows that
+        # can touch the ledger (wave delta >= salt_prune, or host already
+        # ledgered) — O(hot hosts), bounded by frontier/salt_prune. One
+        # job per wave for all metrics work, zero persists.
         from pyspark.sql import Observation
 
+        obs_aggs = [
+            F.sum("pages_fetched").alias("fetched"),
+            F.sum("new_queued").alias("queued"),
+        ]
+        if config.salt_partitions is None:
+            is_tail = (
+                F.col("new_queued") - F.col("pages_fetched")
+                >= F.lit(salt_prune)
+            )
+            if host_led:
+                is_tail = is_tail | F.col("host").isin(list(host_led))
+            obs_aggs.append(
+                F.collect_list(  # nulls (non-tail rows) are skipped
+                    F.when(is_tail, F.struct(
+                        "host", "new_queued", "pages_fetched"))
+                ).alias("hot_tail")
+            )
         obs = Observation()
+        # metrics rows are ~bytes/host: coalesce the write to the same
+        # row-scaled file count as the queue (1 in the sandbox; grows with
+        # the wave at 10^10 hosts) so the commit isn't 32 empty tasks
+        n_met = max(1, min(default_par, queue_rows // 250_000 + 1))
         io.write_metrics_df(
-            wave,
-            m_df.observe(
-                obs,
-                F.sum("pages_fetched").alias("fetched"),
-                F.sum("new_queued").alias("queued"),
-            ),
+            wave, m_df.observe(obs, *obs_aggs).coalesce(n_met)
         )
         totals = obs.get
         t_compute = time.monotonic()
@@ -598,24 +642,7 @@ def run_crawl(
         due_remaining -= sched_total
         children += new_queued_total
         if config.salt_partitions is None:
-            # Hot-tail ledger update, O(hot hosts) on the driver: only rows
-            # whose wave delta can create an entry (>= salt_prune) or whose
-            # host already holds one (tiny broadcast semi-join) are
-            # collected — sub-threshold hosts never ship (same semantics as
-            # updating from all rows: a sub-threshold delta on an absent
-            # host was popped immediately anyway).
-            delta = F.col("new_queued") - F.col("pages_fetched")
-            tail = m_df.filter(delta >= F.lit(salt_prune))
-            if host_led:
-                led_df = spark.createDataFrame(
-                    [(h,) for h in host_led], "host string"
-                )
-                tail = tail.unionByName(
-                    m_df.join(F.broadcast(led_df), "host", "left_semi")
-                ).dropDuplicates(["host"])
-            for r in tail.select(
-                "host", "new_queued", "pages_fetched"
-            ).collect():
+            for r in totals.get("hot_tail") or []:
                 c = (host_led.get(r["host"], 0)
                      + r["new_queued"] - r["pages_fetched"])
                 if c >= salt_prune:
@@ -626,7 +653,6 @@ def run_crawl(
                 max(host_led.values(), default=0),
                 config.salt_target_rows, config.salt_max,
             )
-        m_df.unpersist()
 
         n_out = max(1, min(default_par, queue_rows // 250_000 + 1))
         # frontier rows repartition by (host, salted hash) — north_star's
