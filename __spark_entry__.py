@@ -323,6 +323,52 @@ def q_o20_robots_filter(spark, sf):
     return robots_filter(links, robots).select("doc_id", "host", "url")
 
 
+def q_robots_parse(spark, sf):
+    """robots.txt corpus acquisition — the REAL parser
+    (operators/robots.py::robots_rules: pure relational
+    split/window/groupBy RFC-9309-subset state machine, no UDF) over
+    robots bodies synthesized deterministically from the documents
+    table: 7 hosts, one directive line per doc (UA-star / hashed
+    Disallow / non-star UA group / Disallow in whatever group precedes /
+    comment, keyed by doc_id % 5), joined in doc_id order."""
+    d = _t(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    line = (
+        F.when(m5 == 0, F.lit("User-agent: *"))
+        .when(m5 == 1, F.concat(
+            F.lit("Disallow: /"),
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        ))
+        .when(m5 == 2, F.lit("User-agent: crawler9"))
+        .when(m5 == 3, F.concat(
+            F.lit("Disallow: /blk"), (F.col("doc_id") % 10).cast("string")))
+        .otherwise(F.concat(F.lit("# c"), F.col("doc_id").cast("string")))
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"),
+        line.alias("line"),
+    )
+    pages = src.groupBy("host").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("body")
+    ).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+        .alias("url"),
+        "body",
+    )
+    from barkingowl_spark.operators.robots import robots_prefix_rows
+
+    return robots_prefix_rows(pages, body_col="body")
+
+
 def q_o21_union_dedup(spark, sf):
     """O21 frontier-union analogue: union two streams, dedup by key."""
     e = _t(spark, sf, "events")
@@ -536,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
         "o20_robots_filter": q_o20_robots_filter,
+        "robots_parse": q_robots_parse,
         "o21_union_dedup": q_o21_union_dedup,
         "o21_queue_intersect": q_o21_queue_intersect,
         "o26_time_rollup": q_o26_time_rollup,
@@ -793,6 +840,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (
                 CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
                 AND starts_with('/' || lang || '/doc' || doc_id, '/en'))
+        """,
+        "robots_parse": """
+            -- same RFC-9309-subset state machine as robots.py, over the
+            -- same synthesized lines (idx = line rank within host — the
+            -- split of the joined body is the identity here)
+            WITH src AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'User-agent: *'
+                       WHEN 1 THEN 'Disallow: /' ||
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       WHEN 2 THEN 'User-agent: crawler9'
+                       WHEN 3 THEN 'Disallow: /blk' ||
+                            CAST(doc_id % 10 AS VARCHAR)
+                       ELSE '# c' || CAST(doc_id AS VARCHAR)
+                     END AS line
+              FROM documents
+            ),
+            d0 AS (
+              SELECT host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                       - 1 AS idx,
+                     trim(regexp_replace(line, '#.*$', '')) AS l
+              FROM src
+            ),
+            d AS (
+              SELECT host, idx,
+                     lower(trim(split_part(l, ':', 1))) AS key,
+                     trim(regexp_extract(l, '^[^:]*:(.*)$', 1)) AS val
+              FROM d0 WHERE l <> ''
+            ),
+            dk AS (
+              SELECT * FROM d
+              WHERE key IN ('user-agent', 'disallow', 'allow')
+            ),
+            gs AS (
+              SELECT *,
+                     CASE WHEN key = 'user-agent'
+                          AND coalesce(
+                                lag(key) OVER (PARTITION BY host
+                                               ORDER BY idx), '')
+                              <> 'user-agent'
+                     THEN 1 ELSE 0 END AS grp_start
+              FROM dk
+            ),
+            g AS (
+              SELECT *,
+                     SUM(grp_start) OVER (PARTITION BY host ORDER BY idx
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+              FROM gs
+            ),
+            grps AS (
+              SELECT host, grp,
+                     max(CASE WHEN key = 'user-agent' AND val = '*'
+                         THEN 1 ELSE 0 END) AS star
+              FROM g WHERE grp > 0 GROUP BY host, grp
+            ),
+            pref AS (
+              SELECT g.host, g.idx, g.val
+              FROM g JOIN grps ON g.host = grps.host AND g.grp = grps.grp
+              WHERE grps.star = 1 AND g.key = 'disallow' AND g.val <> ''
+            )
+            SELECT host,
+                   CAST(row_number() OVER (PARTITION BY host ORDER BY idx)
+                        - 1 AS INT) AS ord,
+                   val AS prefix
+            FROM pref
         """,
         "o21_union_dedup": """
             SELECT DISTINCT event_id, user_id FROM (

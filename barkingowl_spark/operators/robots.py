@@ -1,0 +1,129 @@
+"""robots.txt acquisition + parsing out of the page corpus — SURVEY.md
+section 2 completeness note (robots support is DRV: the reference's own
+robots handling is C3-unverified, but north_star names "a per-host
+politeness scheduler with robots.txt caching" as part of the contract).
+
+The (host, disallow_prefixes) dim table consumed by
+operators/politeness.py::robots_filter is built FROM THE CORPUS ITSELF:
+rows whose url is exactly http(s)://<host>/robots.txt are parsed with
+pure relational dataflow — split / posexplode / window / groupBy, no
+UDF, fully whole-stage-codegen — so the parse distributes like any
+other aggregation and is byte-portable to the DuckDB oracle.
+
+Grammar (deterministic subset of RFC 9309):
+
+  * lines split on \\n; ``#`` comments stripped; blank lines ignored
+  * a GROUP starts at a ``User-agent`` line whose preceding surviving
+    line is not itself a User-agent line (consecutive UA lines share
+    one group); rules before the first UA line belong to no group and
+    are ignored (RFC 9309 section 2.2.1)
+  * a group applies iff one of its User-agent values is ``*`` (this
+    engine sends no product token)
+  * ``Disallow`` values of applying groups, in file order, become
+    ``disallow_prefixes``; an empty Disallow (allow-all) contributes
+    nothing; ``Allow`` lines are recognized but ignored — documented
+    deviation, matching robots_filter's prefix-only semantics
+  * a host whose applying groups have no non-empty Disallow is absent
+    from the output (== no restrictions)
+
+Scale shape: the robots subset of a 10^10-row corpus is ~one row per
+host; the parse is one narrow scan (url filter pushed to parquet) +
+one window + one groupBy on host — shuffle volume is O(robots lines),
+independent of corpus size. The result is cached per run (north_star's
+"robots.txt caching") and broadcast into the wave loop's link filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROBOTS_URL_RE = r"^https?://[^/?#]+/robots\.txt$"
+_HOST_RE = r"^https?://([^/?#]+)/"
+
+
+def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """Parse robots.txt pages out of ``pages`` into the politeness dim
+    table ``(host, disallow_prefixes array<string>)``.
+
+    ``pages`` needs (url, html BINARY) per PAGES_SCHEMA; pass
+    ``body_col`` to parse an already-decoded string column instead
+    (used by the driver query, whose fixture bodies are synthesized as
+    strings).
+    """
+    body = (
+        F.col(body_col) if body_col
+        else F.decode(F.col("html"), "UTF-8")
+    )
+    lines = (
+        pages.filter(F.col("url").rlike(ROBOTS_URL_RE))
+        .select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+            F.posexplode(F.split(body, "\n")).alias("idx", "line"),
+        )
+    )
+    # strip comments + whitespace; keep only directive lines we know
+    d = (
+        lines.select(
+            "host", "idx",
+            F.trim(F.regexp_replace("line", "#.*$", "")).alias("l"),
+        )
+        .filter(F.col("l") != "")
+        .select(
+            "host", "idx",
+            F.lower(F.trim(F.substring_index("l", ":", 1))).alias("key"),
+            F.trim(F.regexp_extract("l", "^[^:]*:(.*)$", 1)).alias("val"),
+        )
+        .filter(F.col("key").isin("user-agent", "disallow", "allow"))
+    )
+    # group id = running count of group-start lines (a UA line not
+    # preceded by another UA line); grp=0 rows precede any group.
+    # grp_start is materialized as its own column first — nesting lag()
+    # inside sum() OVER is a nested window expression some engines reject
+    w = Window.partitionBy("host").orderBy("idx")
+    g = d.withColumn(
+        "grp_start",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("grp_start").over(w))
+    grps = (
+        g.filter(F.col("grp") > 0)
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                ((F.col("key") == "user-agent") & (F.col("val") == "*"))
+                .cast("int")
+            ).alias("star"),
+            # collect_list skips the nulls (non-disallow / empty rows)
+            F.collect_list(
+                F.when(
+                    (F.col("key") == "disallow") & (F.col("val") != ""),
+                    F.struct("idx", "val"),
+                )
+            ).alias("dis"),
+        )
+    )
+    return (
+        grps.filter((F.col("star") == 1) & (F.size("dis") > 0))
+        .select("host", F.explode("dis").alias("e"))
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("e.idx").alias("idx"), F.col("e.val").alias("val")
+        ))).alias("s"))
+        .select(
+            "host",
+            F.transform("s", lambda x: x["val"]).alias("disallow_prefixes"),
+        )
+    )
+
+
+def robots_prefix_rows(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """Exploded oracle-friendly view: (host, ord, prefix) — one row per
+    disallow prefix in file order. Plain scalar columns so the driver
+    harness value-hashes it directly."""
+    return robots_rules(pages, body_col).select(
+        "host",
+        F.posexplode("disallow_prefixes").alias("ord", "prefix"),
+    )

@@ -122,6 +122,12 @@ class CrawlConfig:
     salt_max: int = 256
     max_waves: int = 100_000
     robots: DataFrame | None = None         # F3 dim table; None = off
+    # Build the robots dim table FROM THE CORPUS (north_star: "robots.txt
+    # caching"): parse http(s)://<host>/robots.txt rows into
+    # (host, disallow_prefixes) once per run (operators/robots.py), cache
+    # it, and apply it as the politeness link filter. Ignored when
+    # ``robots`` is supplied explicitly.
+    robots_from_corpus: bool = False
     # checkpoint backend: None -> ParquetDirsIO(checkpoint_dir) (sandbox);
     # a "catalog.ns.run" prefix -> IcebergIO (needs an Iceberg catalog in
     # the session; see sources/tableio.py::IcebergIO)
@@ -265,6 +271,17 @@ def run_crawl(
     )
     fetch_cols = ["url", "html"] + (["text"] if config.verify_text else [])
     corpus = pages.select(*fetch_cols)
+    robots = config.robots
+    if robots is None and config.robots_from_corpus:
+        # One narrow corpus scan (url filter pushed to parquet; html read
+        # only for the ~one-row-per-host robots subset), parsed with pure
+        # relational dataflow and CACHED for the run — the wave loop
+        # broadcasts the cached dim, never re-scans the corpus.
+        from barkingowl_spark.operators.robots import robots_rules
+
+        robots = robots_rules(pages.select("url", "html")).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        robots.count()
     ingest_pages = edges = None
     if config.preparse:
         # One corpus scan + one parse pass per run (see CrawlConfig.preparse):
@@ -508,7 +525,7 @@ def run_crawl(
                 .filter(F.col("host") == F.col("seed_host"))  # O9
                 .drop("seed_host")
             )
-        links = robots_filter(links, config.robots)
+        links = robots_filter(links, robots)
         links = links.select(
             "seed_url", "url",
             F.xxhash64("url").alias("url_hash"),
@@ -690,4 +707,6 @@ def run_crawl(
         pages_ct.unpersist()
         if config.cache_corpus:
             corpus.unpersist()
+    if robots is not None and config.robots is None:
+        robots.unpersist()  # the corpus-built cache, not a caller's dim
     return state

@@ -132,6 +132,26 @@ def fixture_corpus() -> tuple[dict[str, bytes], list[dict]]:
         )
         pages[f"{s2}/doc{i}.pdf"] = PDF_BODY
 
+    # --- robots.txt rows (operators/robots.py; unlinked, so the default
+    # crawl — robots off — never visits them and the oracle trace is
+    # unchanged). site0 disallows /d (the pdf names) for '*' plus a
+    # googlebot-only group that must NOT apply; site1 has no robots row;
+    # site2's star group disallows nothing (allow-all -> host absent from
+    # the dim table).
+    pages[f"{s0}/robots.txt"] = (
+        "# fixture robots\n"
+        "User-agent: googlebot\n"
+        "Disallow: /p\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /d\n"
+        "Allow: /d-ok\n"
+        "Disallow:\n"
+    ).encode("utf-8")
+    pages[f"{s2}/robots.txt"] = (
+        "User-agent: *\nDisallow:\n"
+    ).encode("utf-8")
+
     seeds = [
         {
             "url": f"{s0}/p0",
