@@ -46,6 +46,8 @@ from barkingowl_spark.operators.corpus_dedup import (
     minhash_band_pairs,
     minhash_signatures,
     simhash16,
+    simhash64,
+    simhash64_near_pairs,
     simhash_near_pairs,
 )
 from barkingowl_spark.operators.multimodal import (
@@ -472,6 +474,16 @@ def q_dedup_simhash_near(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"))
 
 
+def q_dedup_simhash64(spark, sf):
+    # 64-bit fingerprints — the corpus-scale variant (2^-16 band space)
+    return simhash64(_t(spark, sf, "documents"))
+
+
+def q_dedup_simhash64_near(spark, sf):
+    # four 16-bit bands over the 64-bit simhash; same pigeonhole join
+    return simhash64_near_pairs(_t(spark, sf, "documents"))
+
+
 def q_ann_lsh_assign(spark, sf):
     return lsh_assign(_t(spark, sf, "embeddings")).select("vec_id", "bucket")
 
@@ -595,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_simhash64": q_dedup_simhash64,
+        "dedup_simhash64_near": q_dedup_simhash64_near,
         "dedup_components": q_dedup_components,
         "ann_lsh_assign": q_ann_lsh_assign,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -685,6 +699,56 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+def _simhash64_sql() -> str:
+    # bits 0..59 from the low 60 bits of md5 (15 hex chars), 60..63 from
+    # hex char 16; bit 63 packs as LONG_MIN (disjoint bits: sum == OR)
+    votes = ", ".join(
+        f"sum(2 * ((h >> {j}) & 1) - 1) AS v{j}" if j < 60 else
+        f"sum(2 * ((hh >> {j - 60}) & 1) - 1) AS v{j}"
+        for j in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" if j < 63 else
+        f"(CASE WHEN v{j} > 0 THEN {-(1 << 63)} ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h,
+         CAST(('0x' || substring(md5(tok), 16, 1)) AS BIGINT) AS hh
+  FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash64 FROM votes
+"""
+
+
+def _simhash64_near_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH s AS ({_simhash64_sql()}),
+bands AS (
+  SELECT doc_id, simhash64, b.band_id,
+         (simhash64 >> (16 * b.band_id)) & 65535 AS band_bits
+  FROM s, (SELECT unnest(range(4)) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash64 AS sim_a, b.simhash64 AS sim_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_bits = b.band_bits
    AND a.doc_id < b.doc_id
@@ -981,6 +1045,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),
+        "dedup_simhash64": _simhash64_sql(),
+        "dedup_simhash64_near": _simhash64_near_sql(),
         "ann_lsh_assign": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings)
             SELECT vec_id, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket

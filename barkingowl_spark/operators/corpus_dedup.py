@@ -242,6 +242,99 @@ def simhash_dup_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over distinct unigram tokens — the corpus-scale
+    variant promised by simhash_near_pairs' docstring.
+
+    Token hash bits: 0..59 from the low 60 bits of md5 (15 hex chars ->
+    bigint, portable to DuckDB via '0x' cast), 60..63 from hex char 16.
+    The fingerprint packs bit j as +(1<<j) for j<=62 and adds LONG_MIN
+    for j=63 (two's complement: disjoint bit positions make the sum an
+    OR; both engines agree on the signed 64-bit pattern). Same dataflow
+    as simhash16: one explode + one groupBy with map-side partial agg —
+    the 64 vote columns quadruple the partial-agg width, not the
+    shuffle row count.
+    """
+    from barkingowl_spark.operators.util import fan_out
+
+    md = F.md5(F.col("tok").cast("binary"))
+    toks = (
+        fan_out(documents)
+        .select("doc_id", F.explode(_tokens_distinct()).alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h"),
+            F.conv(F.substring(md, 16, 1), 16, 10).cast("long").alias("hh"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h" if j < 60 else "hh"),
+                         j if j < 60 else j - 60)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(64):
+        term = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))
+        bit = F.when(F.col(f"v{j}") > 0, term).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash64"))
+
+
+SIMHASH64_BANDS = 4  # 16-bit bands over the 64-bit hash
+
+
+def simhash64_near_pairs(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within max_hamming over the 64-bit
+    simhash — four 16-bit bands, identical dataflow to
+    simhash_near_pairs but with 2^-16 (not 2^-4) chance band
+    collisions: the candidate join stays near-linear on a real corpus.
+    """
+    if max_hamming >= SIMHASH64_BANDS:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    s = simhash64(documents)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            # arithmetic shift + mask == logical shift + mask (the mask
+            # drops the sign-extension bits) — identical in DuckDB
+            F.shiftright(F.col("simhash64"), b * 16)
+            .bitwiseAND(F.lit((1 << 16) - 1))
+            .alias("band_bits"),
+        )
+        for b in range(SIMHASH64_BANDS)
+    ])
+    bands = (
+        s.select("doc_id", "simhash64", F.explode(band_arr).alias("bd"))
+        .select("doc_id", "simhash64",
+                F.col("bd.band_id").alias("band_id"),
+                F.col("bd.band_bits").alias("band_bits"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_bits") == F.col("b.band_bits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash64").alias("sim_a"),
+            F.col("b.simhash64").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
 SIMHASH_NEAR_BANDS = 4  # 4-bit bands over the 16-bit hash
 
 
@@ -257,9 +350,10 @@ def simhash_near_pairs(
     candidate generation is one shuffle on (band_id, band_bits) — never
     all-pairs — and the exact hamming check (bit_count(xor) <=
     max_hamming, native codegen in Spark and DuckDB alike) runs on
-    candidates only. The 16-bit/4-band split is sandbox-sized; at
-    corpus scale use a 64-bit simhash with four 16-bit bands (identical
-    dataflow, chance band collisions 2^-16 instead of 2^-4).
+    candidates only. The 16-bit/4-band split is sandbox-sized; the
+    corpus-scale variant is simhash64_near_pairs above — 64-bit
+    fingerprints, four 16-bit bands, chance band collisions 2^-16
+    instead of 2^-4.
     """
     if max_hamming >= SIMHASH_NEAR_BANDS:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")

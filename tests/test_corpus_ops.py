@@ -265,6 +265,32 @@ def test_simhash_near_pairs_vs_bruteforce(planted_docs):
     assert got == want
 
 
+def test_simhash64_near_pairs_vs_bruteforce(planted_docs):
+    """64-bit variant (the corpus-scale path): banded candidates +
+    hamming filter == brute-force all-pairs hamming<=3 over the same
+    64-bit fingerprints; identical dups are hamming-0; bit 63 packs as
+    LONG_MIN (signed pattern identical across engines)."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        simhash64,
+        simhash64_near_pairs,
+    )
+
+    sims = {r["doc_id"]: r["simhash64"]
+            for r in simhash64(planted_docs).collect()}
+    mask = (1 << 64) - 1
+    want = {
+        (a, b): bin((sims[a] ^ sims[b]) & mask).count("1")
+        for a in sims for b in sims
+        if a < b and bin((sims[a] ^ sims[b]) & mask).count("1") <= 3
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash64_near_pairs(planted_docs).collect()}
+    assert got == want
+    assert got[(0, 1)] == 0
+    with pytest.raises(ValueError):
+        simhash64_near_pairs(planted_docs, max_hamming=4)
+
+
 def test_lsh_bucket_search(spark):
     """Sign-LSH: identical vectors share a bucket and find each other;
     every hit stays inside the query's bucket; scores are exact
