@@ -78,21 +78,36 @@ def build_bloom(seen: DataFrame, n_partitions: int = 32) -> dict[int, tuple[byte
     return {r["pid"]: (r["bits"], r["m"]) for r in rows}
 
 
-class IncrementalBloom:
-    """Persistent cross-wave Bloom state (O12/O22).
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
 
-    Fixed-size per-partition bitsets so new keys OR in incrementally —
-    one distributed build over each wave's FRESH keys instead of a full
+
+class IncrementalBloom:
+    """Persistent cross-wave Bloom state (O12/O22) with ADAPTIVE sizing.
+
+    Per-partition bitsets so new keys OR in incrementally — one
+    distributed build over each wave's FRESH keys instead of a full
     seen-set rebuild per wave. Saturation only raises the FP rate (more
-    anti-join probes), never correctness. At the 10^10 design point the
-    same (pid, bitset) pairs live as a table and the OR happens in a
-    merge write; only the transport differs.
+    anti-join probes), never correctness — but a saturated prefilter
+    silently degenerates to the bare anti-join at exactly the scale it
+    was built for, so the filter GROWS: when the max per-partition fill
+    fraction passes ``target_fill`` (FP ~= fill^k: 0.5^7 ~ 0.8%), the
+    caller rebuilds via ``grow()`` with m re-targeted from the observed
+    key count (BITS_PER_KEY bits/key, next power of two). Doubling
+    schedule => O(log n) rebuilds over a run, each one distributed job.
+    At the 10^10 design point the same (pid, bitset) pairs live as a
+    table and the OR happens in a merge write; only the transport
+    differs.
     """
 
-    def __init__(self, n_partitions: int = 32, m_bits: int = 1 << 20):
+    def __init__(self, n_partitions: int = 32, m_bits: int = 1 << 20,
+                 target_fill: float = 0.5):
         self.n_partitions = n_partitions
         self.m = m_bits
+        self.target_fill = target_fill
         self.bits: dict[int, np.ndarray] = {}
+        self.n_keys = 0  # keys added since construction/last grow()
 
     def add_keys(self, keys: DataFrame) -> None:
         """OR the url_hash values of ``keys`` into the partition bitsets."""
@@ -107,21 +122,50 @@ class IncrementalBloom:
             vals = pdf["url_hash"].to_numpy(dtype=np.int64)
             return pd.DataFrame(
                 {"pid": [int(key[0])],
-                 "bits": [_build_bitset(vals, m).tobytes()]}
+                 "bits": [_build_bitset(vals, m).tobytes()],
+                 "n": [len(vals)]}
             )
 
         rows = (
             keyed.groupBy("pid")
-            .applyInPandas(make, schema="pid int, bits binary")
+            .applyInPandas(make, schema="pid int, bits binary, n long")
             .collect()
         )
         for r in rows:
             delta = np.frombuffer(r["bits"], dtype=np.uint8)
             pid = r["pid"]
+            self.n_keys += r["n"]
             if pid in self.bits:
                 self.bits[pid] = self.bits[pid] | delta
             else:
                 self.bits[pid] = delta.copy()
+
+    def fill_fraction(self) -> float:
+        """Max per-partition fraction of set bits (the FP driver)."""
+        if not self.bits:
+            return 0.0
+        return max(
+            float(_POPCOUNT_LUT[b].sum()) / self.m
+            for b in self.bits.values()
+        )
+
+    def needs_grow(self) -> bool:
+        return self.fill_fraction() > self.target_fill
+
+    def grow(self, all_keys: DataFrame) -> int:
+        """Re-target m from the observed key count and rebuild from the
+        authoritative seen-set (one distributed job). Returns new m."""
+        per_part = max(1, self.n_keys // self.n_partitions)
+        want = per_part * BITS_PER_KEY
+        new_m = self.m
+        while new_m < want:
+            new_m <<= 1
+        new_m <<= 1  # headroom: next doubling lands past target_fill/2
+        self.m = new_m
+        self.bits = {}
+        self.n_keys = 0
+        self.add_keys(all_keys)
+        return new_m
 
     def snapshot(self) -> dict[int, tuple[bytes, int]]:
         return {pid: (b.tobytes(), self.m) for pid, b in self.bits.items()}

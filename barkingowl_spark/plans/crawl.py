@@ -376,6 +376,8 @@ def run_crawl(
         # one full build at start (or resume); waves then OR in fresh keys
         bloom = IncrementalBloom(config.bloom_partitions)
         bloom.add_keys(state.frontier().select("url_hash"))
+        if bloom.needs_grow():  # resumed seen-set outgrew the default m
+            bloom.grow(state.frontier().select("url_hash"))
     if os.environ.get("BOW_TIMING") == "1":
         print(f"BOW_TIMING bloom_init={time.monotonic() - _t_pre:.2f}",
               flush=True)
@@ -691,6 +693,15 @@ def run_crawl(
         parsed.unpersist()
         typed.unpersist()
         state = _load(wave)
+        if bloom is not None and bloom.needs_grow():
+            # prefilter saturating (fill > target => FP ~ fill^k): re-target
+            # m from the observed key count and rebuild from the
+            # authoritative seen-set — doubling schedule, so O(log n)
+            # rebuilds over a run, each one distributed job
+            new_m = bloom.grow(state.frontier().select("url_hash"))
+            if os.environ.get("BOW_TIMING") == "1":
+                print(f"BOW_TIMING bloom_grow wave={wave} m={new_m}",
+                      flush=True)
         if os.environ.get("BOW_TIMING") == "1":
             print(
                 f"BOW_TIMING wave={wave} d={d} sched={sched_total} "
