@@ -132,6 +132,10 @@ class CrawlConfig:
     # a "catalog.ns.run" prefix -> IcebergIO (needs an Iceberg catalog in
     # the session; see sources/tableio.py::IcebergIO)
     iceberg_table_prefix: str | None = None
+    # fold archive deltas older than the resume window into one compact
+    # dir once more than this many accumulate (ParquetDirsIO; the Iceberg
+    # backend gets the same via rewrite_data_files). None = never.
+    archive_compact_every: int | None = 16
     verify_text: bool = True                # input_hint byte-identity counter
     # Arrow batch rows for the parse UDF: real pages are tens of KB, so the
     # session-wide 10k-row default would mean ~0.5GB batches per worker
@@ -261,7 +265,10 @@ def run_crawl(
 
         io = IcebergIO(config.iceberg_table_prefix)
     else:
-        io = ParquetDirsIO(config.checkpoint_dir)
+        io = ParquetDirsIO(
+            config.checkpoint_dir,
+            compact_every=config.archive_compact_every,
+        )
     seeds_cfg = _seeds_cfg(spark, seeds)
     from pyspark import StorageLevel
 

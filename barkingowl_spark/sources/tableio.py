@@ -42,8 +42,15 @@ from barkingowl_spark.schemas import FRONTIER_SCHEMA, METRICS_SCHEMA
 
 
 class ParquetDirsIO:
-    def __init__(self, root: str):
+    """``compact_every``: once more than this many archive delta dirs
+    accumulate behind the resume window, fold them into a single
+    ``compact/upto=K`` dir (the Iceberg rewrite_data_files analogue) —
+    without it, read_archive unions one more parquet dir per wave and
+    wave time grows O(waves). None disables compaction."""
+
+    def __init__(self, root: str, compact_every: int | None = 16):
         self.root = root
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
 
     def _wave_dir(self, wave: int) -> str:
@@ -74,12 +81,69 @@ class ParquetDirsIO:
         if os.path.exists(d):
             shutil.rmtree(d)
         os.rename(tmp, d)  # manifest presence == wave complete
-        # prune old QUEUE snapshots only; archive deltas live forever
+        # prune old QUEUE snapshots only; archive deltas are folded into
+        # compact/ dirs past the resume window (below), never dropped
         for w in self.list_waves()[:-2]:
             shutil.rmtree(
                 os.path.join(self._wave_dir(w), "data", "_t=queue"),
                 ignore_errors=True,
             )
+        if self.compact_every is not None:
+            self._maybe_compact(queue.sparkSession, wave)
+
+    # -- archive compaction ----------------------------------------------
+
+    def _compact_uptos(self) -> list[int]:
+        base = os.path.join(self.root, "compact")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(base)
+            if e.startswith("upto=") and not e.endswith(".tmp")
+        )
+
+    def _compact_path(self, upto: int) -> str:
+        return os.path.join(self.root, "compact", f"upto={upto}")
+
+    def _archive_dir(self, wave: int) -> str:
+        return os.path.join(self._wave_dir(wave), "data", "_t=archive")
+
+    def _maybe_compact(self, spark: SparkSession, wave: int) -> None:
+        """Fold archive deltas older than the 2-wave resume window into
+        one compact dir. Atomic: the new compact dir is committed by
+        rename BEFORE stale inputs are deleted — a crash in between
+        leaves extra dirs that read_archive ignores (it reads the
+        latest compact + only the deltas NEWER than it) and that the
+        next compaction removes."""
+        cutoff = wave - 2
+        uptos = self._compact_uptos()
+        latest = uptos[-1] if uptos else -1
+        pending = [
+            w for w in self.list_waves()
+            if latest < w <= cutoff and os.path.isdir(self._archive_dir(w))
+        ]
+        if len(pending) <= self.compact_every:
+            return
+        paths = ([self._compact_path(latest)] if latest >= 0 else []) + [
+            self._archive_dir(w) for w in pending
+        ]
+        new = self._compact_path(cutoff)
+        tmp = new + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.schema(FRONTIER_SCHEMA).parquet(*paths)
+            # one output file per input dir keeps file count ~flat over
+            # many compactions without shuffling the archive
+            .coalesce(max(1, len(paths)))
+            .write.parquet(tmp)
+        )
+        os.rename(tmp, new)  # commit point
+        for w in pending:
+            shutil.rmtree(self._archive_dir(w), ignore_errors=True)
+        for u in uptos:
+            shutil.rmtree(self._compact_path(u), ignore_errors=True)
 
     def write_metrics_df(self, wave: int, metrics: DataFrame) -> None:
         """Distributed lineage write — per-(wave,host) rows never ship to
@@ -139,11 +203,13 @@ class ParquetDirsIO:
         return spark.read.schema(FRONTIER_SCHEMA).parquet(p)
 
     def read_archive(self, spark: SparkSession, wave: int) -> DataFrame:
-        paths = []
+        cds = [u for u in self._compact_uptos() if u <= wave]
+        upto = cds[-1] if cds else -1
+        paths = [self._compact_path(upto)] if upto >= 0 else []
         for w in self.list_waves():
-            if w > wave:
+            if not (upto < w <= wave):
                 continue
-            p = os.path.join(self._wave_dir(w), "data", "_t=archive")
+            p = self._archive_dir(w)
             if os.path.isdir(p):
                 paths.append(p)
         if not paths:
