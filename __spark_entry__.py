@@ -1059,9 +1059,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM v0),
             q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
                   WHERE vec_id < 10),
+            -- multi-probe (hamming<=1 sign flips): the oracle says it as
+            -- a bit_count theta-join; the Spark side explodes the probe
+            -- buckets on the query side to keep the equi-join shuffle
             scored AS (
-              SELECT q.q_id, q.bucket, b.vec_id, {_DOT_SQL} AS score
-              FROM q JOIN b ON q.bucket = b.bucket AND q.q_id != b.vec_id)
+              SELECT q.q_id, b.bucket, b.vec_id, {_DOT_SQL} AS score
+              FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+               AND q.q_id != b.vec_id)
             SELECT q_id, bucket, vec_id, score, rank FROM (
               SELECT q_id, bucket, vec_id, score,
                      row_number() OVER (PARTITION BY q_id

