@@ -23,6 +23,8 @@ it too is value-hash-checked against DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,10 +107,99 @@ def cosine_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the quantized vectors: assignment
+    is an Arrow-batched GEMM argmin-distance pandas UDF (no per-row
+    Python); the mean step is a relational posexplode + groupBy(bucket,
+    pos) — exact integer sums, so the result is deterministic at any
+    parallelism. Init = first-k vectors (deterministic). Returns k
+    centroids in quantized (x1000) space, for ivf_assign/ivf_topk's
+    ``centroids=`` parameter.
+
+    Scale shape: one n*dim-row shuffle per iteration — at 10^9 vectors
+    train on a bounded sample (standard IVF practice: ~max(10^6, 256k)
+    rows via df.sample) and assign the full corpus once with the final
+    centroids; assignment itself is a map-only GEMM pass.
+    """
+    from pyspark.sql.types import IntegerType
+
+    vecs = _quantized(embeddings).select("vec_id", "v")
+    cents = np.array(
+        [r["v"] for r in vecs.filter(F.col("vec_id") < k)
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        @F.pandas_udf(IntegerType())
+        def nearest(v: pd.Series) -> pd.Series:
+            c = bc.value
+            x = np.array(v.tolist(), dtype=np.float64)
+            # argmin ||x-c||^2 == argmax(x.c - |c|^2/2); ties -> lowest id
+            score = x @ c.T - 0.5 * (c * c).sum(axis=1)
+            return pd.Series(np.argmax(score, axis=1).astype(np.int32))
+
+        assigned = vecs.withColumn("bucket", nearest("v"))
+        sums = (
+            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their old centroid
+        dim = cents.shape[1]
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["bucket"], np.zeros(dim + 1))
+            acc[r["bucket"]][r["pos"]] = r["s"]
+            acc[r["bucket"]][dim] = r["n"]
+        for b, row in acc.items():
+            if row[dim] > 0:
+                new[b] = row[:dim] / row[dim]
+        bc.unpersist()
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
+def kmeans_inertia(embeddings: DataFrame, centroids: list[list[float]]) -> float:
+    """Sum of squared distances to the nearest centroid (quantized
+    space) — the Lloyd's objective, for quality tests."""
+    from pyspark.sql.types import DoubleType
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.array(centroids, dtype=np.float64))
+
+    @F.pandas_udf(DoubleType())
+    def d2(v: pd.Series) -> pd.Series:
+        c = bc.value
+        x = np.array(v.tolist(), dtype=np.float64)
+        dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(dist.min(axis=1))
+
+    return (
+        _quantized(embeddings).select(d2("v").alias("d"))
+        .agg(F.sum("d")).collect()[0][0]
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
     """Coarse IVF assignment: centroid = argmax integer dot (ties: lowest
-    centroid id). Centroids here are the first n vectors (deterministic,
-    oracle-checkable); a real index would k-means them — same dataflow."""
+    centroid id). Default centroids are the first n vectors
+    (deterministic, oracle-checkable — the driver-contract path); pass
+    ``centroids=kmeans_centroids(...)`` for the trained index — same
+    dataflow either way."""
+    if centroids is not None:
+        return _ivf_assign_trained(embeddings, centroids)
     vecs = _quantized(embeddings)
     centroids = vecs.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("qv")
@@ -123,6 +214,29 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_id").alias("bucket"))
+    )
+
+
+def _ivf_assign_trained(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Map-only assignment against trained centroids: Arrow-batched GEMM
+    argmin-distance (same objective as kmeans_centroids), no join, no
+    shuffle — the full-corpus pass after sample training."""
+    from pyspark.sql.types import IntegerType
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.array(centroids, dtype=np.float64))
+
+    @F.pandas_udf(IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        c = bc.value
+        x = np.array(v.tolist(), dtype=np.float64)
+        score = x @ c.T - 0.5 * (c * c).sum(axis=1)
+        return pd.Series(np.argmax(score, axis=1).astype(np.int32))
+
+    return _quantized(embeddings).select(
+        "vec_id", nearest("v").cast("long").alias("bucket")
     )
 
 
@@ -314,9 +428,11 @@ def ivf_topk(
     n_queries: int = 10,
     k: int = 3,
     n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-bucketed search: each query scans only its own bucket."""
-    assign = ivf_assign(embeddings, n_centroids)
+    """IVF-bucketed search: each query scans only its own bucket. Pass
+    ``centroids=kmeans_centroids(...)`` to search the trained index."""
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
     vecs = _quantized(embeddings).join(assign, "vec_id")
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),

@@ -45,6 +45,34 @@ def test_lsh_multiprobe_recall_floor(emb, truth):
     assert _mean_recall(lsh_topk(emb, n_queries=Q, k=K), truth) >= 0.5
 
 
+def test_kmeans_improves_clustering_objective(emb):
+    """Trained IVF (distributed Lloyd's) must beat the first-n placeholder
+    on its own objective, monotonically per iteration (measured: 813M
+    first-n -> 464M after 5 iters on the fixture embeddings)."""
+    from barkingowl_spark.operators.similarity import (
+        _quantized,
+        ivf_assign,
+        kmeans_centroids,
+        kmeans_inertia,
+    )
+
+    firstn = [
+        [float(x) for x in r["v"]]
+        for r in _quantized(emb).filter("vec_id < 8").orderBy("vec_id")
+        .collect()
+    ]
+    i0 = kmeans_inertia(emb, firstn)
+    i1 = kmeans_inertia(emb, kmeans_centroids(emb, k=8, iters=1))
+    i5 = kmeans_inertia(emb, kmeans_centroids(emb, k=8, iters=5))
+    assert i1 < i0 and i5 <= i1  # Lloyd's monotonicity
+    assert i5 < 0.7 * i0        # and a real gap, not noise
+    # trained assignment is a map-only pass covering every vector
+    n = emb.count()
+    assigned = ivf_assign(emb, 8, centroids=kmeans_centroids(emb, k=8))
+    assert assigned.count() == n
+    assert assigned.select("bucket").distinct().count() <= 8
+
+
 def test_lsh_multiprobe_beats_single_probe(emb, truth):
     single = _mean_recall(
         lsh_topk(emb, n_queries=Q, k=K, probe_hamming=0), truth)
