@@ -371,6 +371,52 @@ def q_robots_parse(spark, sf):
     return robots_prefix_rows(pages, body_col="body")
 
 
+def q_robots_delay(spark, sf):
+    """Crawl-delay extraction through the same RFC-9309-subset parser:
+    star-group max delay, non-integer values (every 8th doc synthesizes
+    'junk') try_cast to NULL and drop out; non-star groups ignored."""
+    d = _t(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    line = (
+        F.when(m5 == 0, F.lit("User-agent: *"))
+        .when(m5 == 1, F.concat(
+            F.lit("Crawl-delay: "),
+            F.when(F.col("doc_id") % 8 == 1, F.lit("junk"))
+            .otherwise((F.col("doc_id") % 30).cast("string")),
+        ))
+        .when(m5 == 2, F.lit("User-agent: bot2"))
+        .when(m5 == 3, F.concat(
+            F.lit("Disallow: /x"), (F.col("doc_id") % 10).cast("string")))
+        .otherwise(F.concat(F.lit("# n"), F.col("doc_id").cast("string")))
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 6).cast("string"))
+        .alias("host"),
+        line.alias("line"),
+    )
+    pages = src.groupBy("host").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("body")
+    ).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+        .alias("url"),
+        "body",
+    )
+    from barkingowl_spark.operators.robots import robots_rules
+
+    return (
+        robots_rules(pages, body_col="body")
+        .filter(F.col("crawl_delay").isNotNull())
+        .select("host", "crawl_delay")
+    )
+
+
 def q_o21_union_dedup(spark, sf):
     """O21 frontier-union analogue: union two streams, dedup by key."""
     e = _t(spark, sf, "events")
@@ -595,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_politeness_topk": q_o20_politeness_topk,
         "o20_robots_filter": q_o20_robots_filter,
         "robots_parse": q_robots_parse,
+        "robots_delay": q_robots_delay,
         "o21_union_dedup": q_o21_union_dedup,
         "o21_queue_intersect": q_o21_queue_intersect,
         "o26_time_rollup": q_o26_time_rollup,
@@ -904,6 +951,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (
                 CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
                 AND starts_with('/' || lang || '/doc' || doc_id, '/en'))
+        """,
+        "robots_delay": """
+            WITH src AS (
+              SELECT doc_id,
+                     'd' || CAST(doc_id % 6 AS VARCHAR) AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'User-agent: *'
+                       WHEN 1 THEN 'Crawl-delay: ' ||
+                            CASE WHEN doc_id % 8 = 1 THEN 'junk'
+                                 ELSE CAST(doc_id % 30 AS VARCHAR) END
+                       WHEN 2 THEN 'User-agent: bot2'
+                       WHEN 3 THEN 'Disallow: /x' ||
+                            CAST(doc_id % 10 AS VARCHAR)
+                       ELSE '# n' || CAST(doc_id AS VARCHAR)
+                     END AS line
+              FROM documents
+            ),
+            d0 AS (
+              SELECT host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                       - 1 AS idx,
+                     trim(regexp_replace(line, '#.*$', '')) AS l
+              FROM src
+            ),
+            d AS (
+              SELECT host, idx,
+                     lower(trim(split_part(l, ':', 1))) AS key,
+                     trim(regexp_extract(l, '^[^:]*:(.*)$', 1)) AS val
+              FROM d0 WHERE l <> ''
+            ),
+            dk AS (
+              SELECT * FROM d
+              WHERE key IN ('user-agent', 'disallow', 'allow',
+                            'crawl-delay')
+            ),
+            gs AS (
+              SELECT *,
+                     CASE WHEN key = 'user-agent'
+                          AND coalesce(
+                                lag(key) OVER (PARTITION BY host
+                                               ORDER BY idx), '')
+                              <> 'user-agent'
+                     THEN 1 ELSE 0 END AS grp_start
+              FROM dk
+            ),
+            g AS (
+              SELECT *,
+                     SUM(grp_start) OVER (PARTITION BY host ORDER BY idx
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+              FROM gs
+            ),
+            grps AS (
+              SELECT host, grp,
+                     max(CASE WHEN key = 'user-agent' AND val = '*'
+                         THEN 1 ELSE 0 END) AS star
+              FROM g WHERE grp > 0 GROUP BY host, grp
+            )
+            SELECT g.host,
+                   max(TRY_CAST(g.val AS INT)) AS crawl_delay
+            FROM g JOIN grps ON g.host = grps.host AND g.grp = grps.grp
+            WHERE grps.star = 1 AND g.key = 'crawl-delay'
+            GROUP BY g.host
+            HAVING max(TRY_CAST(g.val AS INT)) IS NOT NULL
         """,
         "robots_parse": """
             -- same RFC-9309-subset state machine as robots.py, over the

@@ -15,15 +15,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def schedule_budget(due: DataFrame, budget: int | None) -> DataFrame:
-    """Top-B per host by discovery order; B=None means unlimited."""
-    if budget is None:
+def schedule_budget(
+    due: DataFrame,
+    budget: int | None,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
+    """Top-B per host by discovery order; B=None means unlimited.
+
+    ``host_budgets`` is a small (host, host_budget) dim — the per-host
+    override derived from robots.txt Crawl-delay (run_crawl turns delay
+    d into floor(politeness_wave_seconds / d), min 1 so every host
+    progresses). Broadcast joined; hosts without an entry fall back to
+    the global budget (or unlimited)."""
+    if budget is None and host_budgets is None:
         return due
     w = Window.partitionBy("host").orderBy("discovery_idx", "seed_url")
+    d = due.withColumn("_rn", F.row_number().over(w))
+    if host_budgets is None:
+        return d.filter(F.col("_rn") <= budget).drop("_rn")
+    cap = F.coalesce(
+        F.col("host_budget"),
+        F.lit(budget if budget is not None else (1 << 31) - 1),
+    )
     return (
-        due.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= budget)
-        .drop("_rn")
+        d.join(F.broadcast(host_budgets.select("host", "host_budget")),
+               "host", "left")
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "host_budget")
     )
 
 

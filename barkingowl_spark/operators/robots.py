@@ -23,8 +23,11 @@ Grammar (deterministic subset of RFC 9309):
     ``disallow_prefixes``; an empty Disallow (allow-all) contributes
     nothing; ``Allow`` lines are recognized but ignored — documented
     deviation, matching robots_filter's prefix-only semantics
-  * a host whose applying groups have no non-empty Disallow is absent
-    from the output (== no restrictions)
+  * ``Crawl-delay`` of applying groups (max if repeated; non-integer
+    values ignored) becomes ``crawl_delay`` seconds — the politeness
+    scheduler turns it into a per-host per-wave fetch budget
+  * a host whose applying groups have no non-empty Disallow and no
+    Crawl-delay is absent from the output (== no restrictions)
 
 Scale shape: the robots subset of a 10^10-row corpus is ~one row per
 host; the parse is one narrow scan (url filter pushed to parquet) +
@@ -74,7 +77,8 @@ def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
             F.lower(F.trim(F.substring_index("l", ":", 1))).alias("key"),
             F.trim(F.regexp_extract("l", "^[^:]*:(.*)$", 1)).alias("val"),
         )
-        .filter(F.col("key").isin("user-agent", "disallow", "allow"))
+        .filter(F.col("key").isin(
+            "user-agent", "disallow", "allow", "crawl-delay"))
     )
     # group id = running count of group-start lines (a UA line not
     # preceded by another UA line); grp=0 rows precede any group.
@@ -103,18 +107,33 @@ def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
                     F.struct("idx", "val"),
                 )
             ).alias("dis"),
+            # non-integer Crawl-delay values try_cast to NULL and drop out
+            F.max(
+                F.when(F.col("key") == "crawl-delay",
+                       F.col("val").try_cast("int"))
+            ).alias("delay"),
         )
     )
+    star = grps.filter(
+        (F.col("star") == 1)
+        & ((F.size("dis") > 0) | F.col("delay").isNotNull())
+    )
     return (
-        grps.filter((F.col("star") == 1) & (F.size("dis") > 0))
-        .select("host", F.explode("dis").alias("e"))
+        star.select("host", F.explode_outer("dis").alias("e"), "delay")
         .groupBy("host")
-        .agg(F.sort_array(F.collect_list(F.struct(
-            F.col("e.idx").alias("idx"), F.col("e.val").alias("val")
-        ))).alias("s"))
+        .agg(
+            # delay-only hosts explode to a NULL e; when() skips them
+            F.sort_array(F.collect_list(F.when(
+                F.col("e").isNotNull(),
+                F.struct(F.col("e.idx").alias("idx"),
+                         F.col("e.val").alias("val")),
+            ))).alias("s"),
+            F.max("delay").alias("crawl_delay"),
+        )
         .select(
             "host",
             F.transform("s", lambda x: x["val"]).alias("disallow_prefixes"),
+            "crawl_delay",
         )
     )
 

@@ -124,10 +124,17 @@ class CrawlConfig:
     robots: DataFrame | None = None         # F3 dim table; None = off
     # Build the robots dim table FROM THE CORPUS (north_star: "robots.txt
     # caching"): parse http(s)://<host>/robots.txt rows into
-    # (host, disallow_prefixes) once per run (operators/robots.py), cache
-    # it, and apply it as the politeness link filter. Ignored when
-    # ``robots`` is supplied explicitly.
+    # (host, disallow_prefixes, crawl_delay) once per run
+    # (operators/robots.py), cache it, and apply it as the politeness
+    # link filter. Ignored when ``robots`` is supplied explicitly.
     robots_from_corpus: bool = False
+    # Crawl-delay semantics (batch wave model): one wave stands for a
+    # politeness window of this many seconds, so a host with
+    # Crawl-delay d gets floor(seconds / d) fetch slots per wave
+    # (min 1 — every host progresses). None = ignore Crawl-delay.
+    # Deferral preserves discovery keys, so the trace order is invariant
+    # (same guarantee as host_budget).
+    politeness_wave_seconds: int | None = None
     # checkpoint backend: None -> ParquetDirsIO(checkpoint_dir) (sandbox);
     # a "catalog.ns.run" prefix -> IcebergIO (needs an Iceberg catalog in
     # the session; see sources/tableio.py::IcebergIO)
@@ -289,6 +296,20 @@ def run_crawl(
         robots = robots_rules(pages.select("url", "html")).persist(
             StorageLevel.MEMORY_AND_DISK)
         robots.count()
+    host_budgets = None
+    if (
+        config.politeness_wave_seconds is not None
+        and robots is not None
+        and "crawl_delay" in robots.columns
+    ):
+        host_budgets = robots.filter(F.col("crawl_delay") > 0).select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                (F.lit(config.politeness_wave_seconds)
+                 / F.col("crawl_delay")).cast("int"),
+            ).alias("host_budget"),
+        )
     ingest_pages = edges = None
     if config.preparse:
         # One corpus scan + one parse pass per run (see CrawlConfig.preparse):
@@ -434,7 +455,7 @@ def run_crawl(
         wave = state.wave + 1
 
         due = state.queue.filter(F.col("depth") == d)
-        sched = schedule_budget(due, config.host_budget)
+        sched = schedule_budget(due, config.host_budget, host_budgets)
 
         # full level membership (queued + already fetched) -> stable ranks
         ranks = level_ranks(state.frontier(), d)
@@ -581,10 +602,10 @@ def run_crawl(
         new_terminal = typed.filter(F.col("status") != "queued").select(
             *FRONTIER_COLS
         )
-        if config.host_budget is None:
-            # no budget -> sched == due == every depth-d row, so "queue
-            # minus scheduled" is a pure depth filter (no anti-join
-            # shuffle of the queue per wave)
+        if config.host_budget is None and host_budgets is None:
+            # no budget of any kind -> sched == due == every depth-d row,
+            # so "queue minus scheduled" is a pure depth filter (no
+            # anti-join shuffle of the queue per wave)
             queue_rest = state.queue.filter(F.col("depth") != d)
         else:
             sched_keys = sched.select("seed_url", "url_hash")

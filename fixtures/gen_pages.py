@@ -148,8 +148,11 @@ def fixture_corpus() -> tuple[dict[str, bytes], list[dict]]:
         "Allow: /d-ok\n"
         "Disallow:\n"
     ).encode("utf-8")
+    # site2: allow-all (no prefixes) but a Crawl-delay -> present in the
+    # dim only through crawl_delay; politeness turns it into a per-wave
+    # fetch budget when politeness_wave_seconds is set
     pages[f"{s2}/robots.txt"] = (
-        "User-agent: *\nDisallow:\n"
+        "User-agent: *\nDisallow:\nCrawl-delay: 5\n"
     ).encode("utf-8")
 
     seeds = [

@@ -5,6 +5,7 @@ the frozen oracle given the same disallow rules."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from barkingowl_spark.operators.robots import robots_prefix_rows, robots_rules
 from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
@@ -71,11 +72,32 @@ def robots_state(spark, seeds_df, pages_df, tmp_path_factory):
 
 
 def test_corpus_robots_dim_parsed(spark, pages_df):
-    out = {r["host"]: r["disallow_prefixes"]
+    out = {r["host"]: (r["disallow_prefixes"], r["crawl_delay"])
            for r in robots_rules(pages_df).collect()}
     # site0: star group disallows /d (googlebot group must not leak);
-    # site2's allow-all star group and site1's missing robots row -> absent
-    assert out == {"site0.test": ["/d"]}
+    # site2: allow-all but Crawl-delay 5; site1 has no robots row
+    assert out == {
+        "site0.test": (["/d"], None),
+        "site2.test": ([], 5),
+    }
+
+
+def test_crawl_delay_parsing_edges(spark):
+    body = (
+        "User-agent: bot1\n"
+        "Crawl-delay: 99\n"          # non-star group: ignored
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: junk\n"        # non-integer -> NULL, dropped
+        "Crawl-delay: 7\n"
+        "Crawl-delay: 3\n"           # max wins
+        "Disallow: /x\n"
+    )
+    df = _pages_df(spark, [("http://g.test/robots.txt", body.encode())])
+    r = robots_rules(df).collect()[0]
+    assert r["host"] == "g.test"
+    assert r["disallow_prefixes"] == ["/x"]
+    assert r["crawl_delay"] == 7
 
 
 def test_crawl_with_corpus_robots_matches_oracle(robots_state, fixture_data):
@@ -100,3 +122,30 @@ def test_crawl_with_corpus_robots_matches_oracle(robots_state, fixture_data):
     assert not any(u.startswith("http://site0.test/d") for (_, u, *_q) in docs)
     # but site1/site2 docs survive
     assert any(u.startswith("http://site1.test/") for (_, u, *_q) in docs)
+
+
+def test_crawl_delay_budget_invariance(spark, seeds_df, pages_df,
+                                       fixture_data, robots_state,
+                                       tmp_path_factory):
+    """politeness_wave_seconds turns site2's Crawl-delay 5 into a
+    2-fetch/wave budget (10s window): identical docs and trace (deferral
+    keeps discovery keys), strictly more waves, and site2 never fetches
+    more than its budget in any wave."""
+    from tests.test_crawl_oracle import spark_outputs
+
+    st = run_crawl(
+        spark, seeds_df, pages_df,
+        CrawlConfig(
+            checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_delay")),
+            robots_from_corpus=True,
+            politeness_wave_seconds=10,
+        ),
+    )
+    assert st.wave > robots_state.wave  # deferrals stretch the schedule
+    assert spark_outputs(st) == spark_outputs(robots_state)
+    per_wave = {
+        r["wave"]: r["n"]
+        for r in st.metrics.filter("host = 'site2.test'")
+        .groupBy("wave").agg(F.sum("pages_fetched").alias("n")).collect()
+    }
+    assert per_wave and all(n <= 2 for n in per_wave.values())
