@@ -45,6 +45,7 @@ def hygiene_decisions(
     min_tokens: int = 20,
     langs: list[str] | None = None,
     transitive: bool = False,
+    simhash_hamming: int | None = None,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -52,7 +53,13 @@ def hygiene_decisions(
     transitive=True replaces the greedy pair-drop of stage 2 with the
     connected-components pass (operators/components.py): one keeper (the
     min doc_id) per transitive near-dup CLUSTER, so a chain A~B~C drops
-    both B and C even though A and C are not directly similar."""
+    both B and C even though A and C are not directly similar.
+
+    simhash_hamming=H adds a SECOND near-dup detector after MinHash:
+    64-bit SimHash pairs within hamming H (banded pigeonhole equi-join,
+    corpus_dedup.simhash64_near_pairs) — catches boilerplate-style
+    near-dups whose token SETS differ enough to slip past Jaccard;
+    larger doc_id of each pair drops with reason 'simhash_near'."""
     from barkingowl_spark.functions.textstats import quality_score
     from barkingowl_spark.operators.corpus_dedup import (
         exact_dup_groups,
@@ -91,9 +98,25 @@ def hygiene_decisions(
             pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         )
 
+    # 2b. optional second near-dup detector: 64-bit SimHash hamming<=H
+    sim_drop = None
+    if simhash_hamming is not None:
+        from barkingowl_spark.operators.corpus_dedup import (
+            simhash64_near_pairs,
+        )
+
+        remaining = survivors.join(near_drop, "doc_id", "left_anti")
+        sim_drop = (
+            simhash64_near_pairs(remaining, max_hamming=simhash_hamming)
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+        )
+
     # 3. quality gate on what's left
+    after_near = survivors.join(near_drop, "doc_id", "left_anti")
+    if sim_drop is not None:
+        after_near = after_near.join(sim_drop, "doc_id", "left_anti")
     quality_drop = (
-        quality_score(survivors.join(near_drop, "doc_id", "left_anti"),
+        quality_score(after_near,
                       min_tokens=min_tokens)
         .filter(~F.col("is_quality"))
         .select("doc_id")
@@ -112,6 +135,7 @@ def hygiene_decisions(
     reason = F.lit(None).cast("string")
     for name, dropped in [
         ("lang", lang_drop), ("low_quality", quality_drop),
+        ("simhash_near", sim_drop),
         ("near_dup", near_drop), ("exact_dup", exact_drop),
     ]:
         if dropped is None:
@@ -132,6 +156,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list, e.g. en,de")
+    p.add_argument("--simhash-hamming", type=int, default=None)
     p.add_argument("--transitive", action="store_true",
                    help="connected-components near-dup clusters instead "
                         "of greedy pair-drop")
@@ -146,6 +171,7 @@ def main(argv: list[str] | None = None) -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         transitive=args.transitive,
+        simhash_hamming=args.simhash_hamming,
     )
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")

@@ -58,3 +58,34 @@ def test_no_lang_filter_keeps_off_language(hygiene_docs):
          for r in hygiene_decisions(hygiene_docs).collect()}
     assert d[4] is None  # off-language doc survives without an allow-list
     assert d[0] is None and d[5] is None
+
+
+def test_simhash_second_detector(spark):
+    """--simhash-hamming adds a second near-dup pass AFTER MinHash: a
+    doc that shares almost every token with the keeper (hamming-0
+    simhash) but was diluted below the Jaccard threshold by extra
+    vocabulary drops only when the simhash stage is on, with its own
+    reason; MinHash-caught pairs keep the 'near_dup' reason."""
+    # two appended tokens chosen (deterministic search over the md5
+    # simhash space) so the pair is hamming-1 in simhash64 but only
+    # 931034 ppm token-Jaccard — under a 950000 threshold it slips the
+    # MinHash/Jaccard stage and ONLY the simhash stage can catch it
+    diluted = GOOD + " extra21a extra21b"
+    docs = spark.createDataFrame(
+        [
+            (0, GOOD, "en", "src0", len(GOOD)),
+            (6, diluted, "en", "src6", len(diluted)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = {r["doc_id"]: r["reason"]
+            for r in hygiene_decisions(docs, jaccard_ppm=950_000).collect()}
+    with_sim = {
+        r["doc_id"]: r["reason"]
+        for r in hygiene_decisions(
+            docs, jaccard_ppm=950_000, simhash_hamming=3
+        ).collect()
+    }
+    assert base[6] is None                  # slips past strict Jaccard
+    assert with_sim[6] == "simhash_near"    # caught by the 64-bit pass
+    assert with_sim[0] is None              # keeper survives
