@@ -347,7 +347,9 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "hp") -> list[list[int]]:
     ]
 
 
-def lsh_assign(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+def lsh_assign(
+    embeddings: DataFrame, n_planes: int = 4, seed: str = "hp"
+) -> DataFrame:
     """Sign-LSH bucket per vector: bit j of the bucket = sign of the
     integer dot product with hyperplane j (random-hyperplane LSH —
     cosine-similar vectors land in the same bucket with probability
@@ -361,7 +363,7 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     sandbox corpus; at 10^9 vectors use 16-24 planes and multiple
     independent tables OR'd together for recall."""
     dim = embeddings.select(F.size("embedding")).first()[0]
-    planes = hyperplanes(dim, n_planes)
+    planes = hyperplanes(dim, n_planes, seed)
     v = _quantized(embeddings)
     bucket = None
     for j, p in enumerate(planes):
@@ -392,9 +394,29 @@ def lsh_topk(
     set explodes on the query side (tiny, broadcast), so search is still
     ONE equi-join shuffle on the bucket key; each candidate lives in
     exactly one bucket, so no dedup is needed."""
+    scored = _lsh_scored_pairs(
+        embeddings, n_queries, n_planes, probe_hamming, seed="hp"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "score", "rank")
+    )
+
+
+def _lsh_scored_pairs(
+    embeddings: DataFrame,
+    n_queries: int,
+    n_planes: int,
+    probe_hamming: int,
+    seed: str,
+) -> DataFrame:
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming must be 0 or 1")
-    vecs = lsh_assign(embeddings, n_planes)
+    vecs = lsh_assign(embeddings, n_planes, seed)
     flips = [0] + (
         [1 << j for j in range(n_planes)] if probe_hamming else []
     )
@@ -407,19 +429,49 @@ def lsh_topk(
             ])).alias("bucket"),
         )
     )
-    scored = (
+    return (
         F.broadcast(queries)
         .join(vecs, ["bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "bucket", "vec_id", F.expr(_DOT).alias("score"))
     )
+
+
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multiple independent LSH tables OR'd together — the recall path
+    lsh_assign's docstring names for corpus scale. Table t hashes with
+    its own md5-derived hyperplane set (seed 'hp', 'hp1', 'hp2', ...);
+    a neighbor is found if ANY table buckets it with the query
+    (P_miss = P_miss_one^T). Each table is one equi-join shuffle;
+    candidate pairs found by several tables dedup on (q_id, vec_id)
+    (the integer score is table-independent) before the one global
+    rank. Per-table bucket ids are meaningless across tables, so the
+    output drops the bucket column."""
+    per_table = [
+        _lsh_scored_pairs(
+            embeddings, n_queries, n_planes, probe_hamming,
+            seed="hp" if t == 0 else f"hp{t}",
+        ).drop("bucket")
+        for t in range(n_tables)
+    ]
+    cands = per_table[0]
+    for t in per_table[1:]:
+        cands = cands.unionByName(t)
+    cands = cands.dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "bucket", "vec_id", "score", "rank")
+        .select("q_id", "vec_id", "score", "rank")
     )
 
 
