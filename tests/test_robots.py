@@ -62,6 +62,93 @@ def test_prefix_rows_exploded_order(spark):
     assert got == [("f.test", 0, "/b"), ("f.test", 1, "/a")]  # file order
 
 
+def _ref_parse(body: str) -> tuple[list[str], int | None]:
+    """Pure-Python reference of the documented grammar (the oracle for
+    the relational state machine): returns (disallow_prefixes,
+    crawl_delay) for one host."""
+    groups: list[dict] = []
+    cur = None
+    prev_key = None
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key not in ("user-agent", "disallow", "allow", "crawl-delay"):
+            continue
+        if key == "user-agent":
+            if prev_key != "user-agent":
+                cur = {"star": False, "dis": [], "delay": None}
+                groups.append(cur)
+            if val == "*":
+                cur["star"] = True
+        elif cur is not None:
+            if key == "disallow" and val:
+                cur["dis"].append(val)
+            elif key == "crawl-delay":
+                try:
+                    d = int(val)
+                except ValueError:
+                    d = None
+                if d is not None:
+                    cur["delay"] = max(cur["delay"] or d, d)
+        prev_key = key
+    dis, delay = [], None
+    for g in groups:
+        if g["star"]:
+            dis.extend(g["dis"])
+            if g["delay"] is not None:
+                delay = max(delay or g["delay"], g["delay"])
+    return dis, delay
+
+
+_LINE_POOL = [
+    "User-agent: *",
+    "User-agent: botA",
+    "user-agent:  * ",
+    "Disallow: /a",
+    "Disallow: /b/c",
+    "Disallow:",
+    "Disallow: /x  # tail comment",
+    "Allow: /a/ok",
+    "Crawl-delay: 4",
+    "Crawl-delay: 11",
+    "Crawl-delay: soon",
+    "crawl-DELAY: 2",
+    "# just a comment",
+    "",
+    "   ",
+    "Sitemap: http://h.test/map.xml",
+    "noise without colon",
+]
+
+
+@pytest.mark.parametrize("salt", range(3))
+def test_parser_matches_reference_on_random_bodies(spark, salt):
+    """Randomized (seeded) bodies over a grammar-covering line pool: the
+    relational state machine must agree with the pure-Python reference
+    on every host. One Spark job checks 40 hosts per salt."""
+    import random
+
+    rng = random.Random(1000 + salt)
+    rows, want = [], {}
+    for h in range(40):
+        body = "\n".join(
+            rng.choice(_LINE_POOL) for _ in range(rng.randint(0, 14))
+        )
+        host = f"h{salt}x{h}.test"
+        rows.append((f"http://{host}/robots.txt", body.encode()))
+        dis, delay = _ref_parse(body)
+        if dis or delay is not None:
+            want[host] = (dis, delay)
+    got = {
+        r["host"]: (r["disallow_prefixes"], r["crawl_delay"])
+        for r in robots_rules(_pages_df(spark, rows)).collect()
+    }
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def robots_state(spark, seeds_df, pages_df, tmp_path_factory):
     cfg = CrawlConfig(
