@@ -59,6 +59,26 @@ def test_robots_dim_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_host_budget_join_is_broadcast(spark):
+    """O20 crawl-delay budgets: the (host, host_budget) dim must
+    broadcast into the scheduling window, never shuffle the due side."""
+    from barkingowl_spark.operators.politeness import schedule_budget
+
+    due = spark.createDataFrame(
+        pd.DataFrame({
+            "host": ["a.test"] * 10,
+            "seed_url": ["s"] * 10,
+            "discovery_idx": list(range(10)),
+        })
+    )
+    budgets = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.test"], "host_budget": [2]})
+    )
+    plan = _plan(schedule_budget(due, None, budgets))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ingest_scan_is_column_pruned(spark, tmp_path):
     """The ingest pass must read only (url, html, text) from the corpus —
     a scan that also decodes warc_ts/lang for a parse pass is wrong at
