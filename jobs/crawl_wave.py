@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="parse per wave after the fetch join instead of one "
                         "ingest pass (for crawls touching a tiny corpus "
                         "fraction)")
+    p.add_argument("--robots", action="store_true",
+                   help="parse robots.txt rows out of the corpus and apply "
+                        "disallow prefixes (and Crawl-delay with "
+                        "--politeness-seconds) per host")
+    p.add_argument("--politeness-seconds", type=int, default=None,
+                   help="seconds one wave stands for: Crawl-delay d hosts "
+                        "get floor(seconds/d) fetches per wave")
     args = p.parse_args(argv)
 
     from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
@@ -64,6 +71,8 @@ def main(argv: list[str] | None = None) -> None:
             use_bloom=not args.no_bloom,
             preparse=not args.no_preparse,
             max_waves=args.max_waves,
+            robots_from_corpus=args.robots,
+            politeness_wave_seconds=args.politeness_seconds,
         ),
         resume=args.resume,
     )
