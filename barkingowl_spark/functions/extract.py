@@ -49,12 +49,23 @@ _WS_RE = re.compile(r"\s+")
 _FAST_ABS_RE = re.compile(r"^https?://[a-z0-9.\-]+/[^#\s]*$")
 
 
+# Links per page are capped at the discovery_idx encoding width
+# (ordering.DISCOVERY_IDX_SHIFT): pos < 2^20 makes
+# parent_rank * SHIFT + pos injective BY CONSTRUCTION — a pathological
+# >1M-anchor page truncates (documented bound) instead of silently
+# colliding with the next parent's index space.
+MAX_LINKS_PER_PAGE = 1 << 20
+
+
 def extract_links(html: bytes | str) -> list[str]:
-    """All <a href> values in document order (raw, un-canonicalized)."""
+    """All <a href> values in document order (raw, un-canonicalized),
+    capped at MAX_LINKS_PER_PAGE."""
     s = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
     out = []
     for m in HREF_RE.finditer(s):
         out.append(next(g for g in m.groups() if g is not None))
+        if len(out) >= MAX_LINKS_PER_PAGE:
+            break
     return out
 
 
@@ -127,7 +138,9 @@ def _parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         # RAW document order (the oracle's pos counts junk hrefs too);
         # the caller filters nulls after posexplode (O11).
         canon = canonicalize_batch(base, href)
-        grouped = canon.groupby(level=0).agg(list)
+        grouped = canon.groupby(level=0).agg(
+            lambda v: list(v)[:MAX_LINKS_PER_PAGE]
+        )
     else:
         grouped = pd.Series(dtype=object)
     links = url.index.to_series().map(grouped).where(

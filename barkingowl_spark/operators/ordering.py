@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DISCOVERY_IDX_SHIFT = 2**20  # >2^20 links/page would collide; see overflow test
+# extract.MAX_LINKS_PER_PAGE truncates pathological pages at this bound,
+# so the encoding is injective by construction (test_extract overflow test)
+DISCOVERY_IDX_SHIFT = 2**20
 
 
 def level_ranks(frontier: DataFrame, depth: int) -> DataFrame:

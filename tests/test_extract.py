@@ -81,3 +81,29 @@ def test_corpus_text_column_is_byte_identical(pages_df):
         .count()
     )
     assert bad == 0
+
+
+def test_discovery_idx_overflow_capped():
+    """The promised overflow guard: a pathological >2^20-anchor page
+    truncates at MAX_LINKS_PER_PAGE, keeping
+    parent_rank * SHIFT + pos injective by construction (pos is always
+    < SHIFT, so rank r's last slot sorts before rank r+1's first)."""
+    from barkingowl_spark.functions.extract import (
+        MAX_LINKS_PER_PAGE,
+        extract_links,
+    )
+    from barkingowl_spark.operators.ordering import DISCOVERY_IDX_SHIFT
+
+    assert MAX_LINKS_PER_PAGE == DISCOVERY_IDX_SHIFT
+    n = MAX_LINKS_PER_PAGE + 7
+    html = "<html><body>" + "".join(
+        f'<a href="/p{i}">x</a>' for i in range(n)
+    ) + "</body></html>"
+    links = extract_links(html)
+    assert len(links) == MAX_LINKS_PER_PAGE
+    assert links[0] == "/p0"
+    assert links[-1] == f"/p{MAX_LINKS_PER_PAGE - 1}"
+    # boundary ordering: (rank, last pos) < (rank+1, first pos)
+    last_of_r = 1 * DISCOVERY_IDX_SHIFT + (MAX_LINKS_PER_PAGE - 1)
+    first_of_r1 = 2 * DISCOVERY_IDX_SHIFT + 0
+    assert last_of_r < first_of_r1
