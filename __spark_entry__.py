@@ -297,6 +297,33 @@ def q_o20_politeness_topk(spark, sf):
     )
 
 
+def q_o20_host_budget(spark, sf):
+    """O20 per-host budget OVERRIDE — the REAL operator
+    (operators/politeness.py::schedule_budget with a broadcast
+    (host, host_budget) dim, the Crawl-delay path): events mapped onto
+    the frontier schema, per-user budget 1 + user_id % 4; users ending
+    in 0 have no dim row and fall back to the global budget 2."""
+    from barkingowl_spark.operators.politeness import schedule_budget
+
+    e = _t(spark, sf, "events")
+    due = e.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").cast("long").alias("discovery_idx"),
+        F.lit("s").alias("seed_url"),
+        "user_id", "event_id",
+    )
+    budgets = (
+        e.select("user_id").distinct()
+        .filter(F.col("user_id") % 10 != 0)
+        .select(
+            F.col("user_id").cast("string").alias("host"),
+            (F.lit(1) + F.col("user_id") % 4).cast("int")
+            .alias("host_budget"),
+        )
+    )
+    return schedule_budget(due, 2, budgets).select("user_id", "event_id")
+
+
 def q_o20_robots_filter(spark, sf):
     """O20 robots.txt disallow filter — the REAL operator
     (operators/politeness.py::robots_filter, a broadcast dim join + native
@@ -640,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
         "o20_robots_filter": q_o20_robots_filter,
+        "o20_host_budget": q_o20_host_budget,
         "robots_parse": q_robots_parse,
         "robots_delay": q_robots_delay,
         "o21_union_dedup": q_o21_union_dedup,
@@ -942,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "o20_host_budget": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS rn
+              FROM events)
+            WHERE rn <= CASE WHEN user_id % 10 <> 0
+                             THEN 1 + user_id % 4 ELSE 2 END
         """,
         "o20_robots_filter": """
             SELECT doc_id, source AS host,
