@@ -475,20 +475,80 @@ def lsh_topk_multi(
     )
 
 
+def _ivf_query_probes(
+    vecs: DataFrame,
+    n_queries: int,
+    n_centroids: int,
+    nprobe: int,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """(q_id, qv, bucket): each query's top-``nprobe`` centroid cells.
+
+    nprobe=1 reduces to the query's own assignment (the driver-contract
+    oracle path). Default (first-n) centroids rank by the SAME argmax-dot
+    rule as ivf_assign; trained centroids rank by the SAME
+    argmin-distance rule as _ivf_assign_trained — either way, probe
+    list r=1 equals the assignment, so recall can only grow with nprobe.
+    """
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+    )
+    if centroids is not None:
+        bc = vecs.sparkSession.sparkContext.broadcast(
+            np.array(centroids, dtype=np.float64))
+
+        @F.pandas_udf("array<int>")
+        def probes(v: pd.Series) -> pd.Series:
+            c = bc.value
+            x = np.array(v.tolist(), dtype=np.float64)
+            score = x @ c.T - 0.5 * (c * c).sum(axis=1)
+            # ties break toward the lower centroid id (stable mergesort
+            # on -score keeps index order within equal scores)
+            order = np.argsort(-score, axis=1, kind="stable")
+            return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+        return queries.select(
+            "q_id", "qv",
+            F.explode(probes("qv")).alias("bucket"),
+        ).withColumn("bucket", F.col("bucket").cast("long"))
+    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L,"
+        " (acc, e) -> acc + e)"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .select("q_id", "qv", F.col("c_id"), dot.alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "qv", F.col("c_id").alias("bucket"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
     k: int = 3,
     n_centroids: int = 8,
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed search: each query scans only its own bucket. Pass
-    ``centroids=kmeans_centroids(...)`` to search the trained index."""
+    """IVF-bucketed search: each query scans its top-``nprobe`` centroid
+    cells (nprobe=1 — the default and the oracle path — is exactly its
+    own cell; higher nprobe trades a proportionally larger scan for
+    recall, the standard IVF knob). Pass
+    ``centroids=kmeans_centroids(...)`` to search the trained index.
+    Data vectors live in exactly one cell, so probing P distinct cells
+    never duplicates a candidate — no dedup needed."""
     assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
     vecs = _quantized(embeddings).join(assign, "vec_id")
-    queries = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("bucket"),
+    queries = _ivf_query_probes(
+        vecs, n_queries, n_centroids, nprobe, centroids
     )
     scored = (
         F.broadcast(queries)
