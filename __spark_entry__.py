@@ -571,6 +571,23 @@ def q_dedup_components(spark, sf):
     return near_dup_components(_t(spark, sf, "documents"))
 
 
+def q_ann_lsh_multi(spark, sf):
+    """Multi-table multi-probe LSH ANN (the corpus-scale recall path):
+    3 independent hyperplane tables OR'd, candidates deduped on
+    (q_id, vec_id), one global rank."""
+    from barkingowl_spark.operators.similarity import lsh_topk_multi
+
+    return lsh_topk_multi(
+        _t(spark, sf, "embeddings"), n_queries=10, k=3, n_tables=3)
+
+
+def q_ann_ivf_nprobe(spark, sf):
+    """IVF with nprobe=2: each query scans its two best centroid cells
+    (first-n centroids — the deterministic oracle path)."""
+    return ivf_topk(_t(spark, sf, "embeddings"), n_queries=10, k=3,
+                    nprobe=2)
+
+
 def q_sim_topk_dot(spark, sf):
     return dot_topk(_t(spark, sf, "embeddings"))
 
@@ -687,11 +704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_lsh_assign": q_ann_lsh_assign,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multi": q_ann_lsh_multi,
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -834,10 +853,10 @@ FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
-def _lsh_bucket_expr() -> str:
+def _lsh_bucket_expr(seed: str = "hp") -> str:
     # the SAME md5-derived hyperplane literals the Spark side inlines
     # (testdata embeddings are dim-64 at every sf)
-    planes = hyperplanes(64, 4)
+    planes = hyperplanes(64, 4, seed)
     return " + ".join(
         f"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),"
         f" i -> v[i] * ([{', '.join(str(c) for c in p)}])[i])) > 0"
@@ -1199,6 +1218,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket
             FROM v0
         """,
+        "ann_lsh_multi": f"""
+            -- 3 independent tables, each multi-probed at hamming<=1;
+            -- the OR-join yields each qualifying pair once (the Spark
+            -- side dedups its per-table unions to the same set)
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            b AS (SELECT vec_id, v,
+                         CAST({_lsh_bucket_expr("hp")} AS BIGINT) AS b0,
+                         CAST({_lsh_bucket_expr("hp1")} AS BIGINT) AS b1,
+                         CAST({_lsh_bucket_expr("hp2")} AS BIGINT) AS b2
+                  FROM v0),
+            q AS (SELECT vec_id AS q_id, v AS qv, b0 AS qb0, b1 AS qb1,
+                         b2 AS qb2
+                  FROM b WHERE vec_id < 10),
+            cand AS (
+              SELECT q.q_id, b.vec_id, {_DOT_SQL} AS score
+              FROM q JOIN b ON q.q_id <> b.vec_id AND (
+                   bit_count(xor(q.qb0, b.b0)) <= 1
+                OR bit_count(xor(q.qb1, b.b1)) <= 1
+                OR bit_count(xor(q.qb2, b.b2)) <= 1))
+            SELECT q_id, vec_id, score, rank FROM (
+              SELECT q_id, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM cand) WHERE rank <= 3
+        """,
         "ann_lsh_topk": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
             b AS (SELECT vec_id, v,
@@ -1342,6 +1386,39 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY score DESC, c_id) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        "ann_ivf_nprobe": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            c AS (SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, c_id AS bucket FROM (
+                SELECT v0.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                         CAST(list_sum(list_transform(
+                           range(1, len(c.qv) + 1),
+                           i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                         DESC, c.c_id) AS rn
+                FROM c, v0) WHERE rn = 1),
+            v AS (SELECT v0.vec_id, v0.v, asg.bucket
+                  FROM v0 JOIN asg ON v0.vec_id = asg.vec_id),
+            qp AS (
+              SELECT q_id, qv, c_id AS bucket FROM (
+                SELECT v0.vec_id AS q_id, v0.v AS qv, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                         CAST(list_sum(list_transform(
+                           range(1, len(c.qv) + 1),
+                           i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                         DESC, c.c_id) AS rn
+                FROM c, v0 WHERE v0.vec_id < 10) WHERE rn <= 2),
+            scored AS (
+              SELECT qp.q_id, qp.bucket, v.vec_id, {_DOT_SQL} AS score
+              FROM qp JOIN v ON qp.bucket = v.bucket
+               AND qp.q_id <> v.vec_id)
+            SELECT q_id, bucket, vec_id, score, rank FROM (
+              SELECT q_id, bucket, vec_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 3
         """,
         "ann_ivf_topk": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
