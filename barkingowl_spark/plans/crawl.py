@@ -189,10 +189,16 @@ def _seeds_cfg(spark: SparkSession, seeds: DataFrame) -> DataFrame:
     Seeds are tiny (driver-side canonicalization mirrors the oracle's)."""
     rows = seeds.collect()
     out = []
-    for r in rows:
+    seen: set[str] = set()
+    # insertion-order dedup on the CANONICAL url: two seed rows that
+    # canonicalize identically (dup entry, case variant, default port)
+    # would otherwise build two identical frontier trees under one
+    # seed_url key; first row wins (lowest seed_idx = dispatch order)
+    for r in sorted(rows, key=lambda r: int(r["seed_idx"])):
         canon = canonicalize(r["url"], r["url"])
-        if canon is None:
+        if canon is None or canon in seen:
             continue
+        seen.add(canon)
         out.append(
             (canon, host_of(canon), int(r["max_link_level"]), r["doc_type"],
              int(r["seed_idx"]))

@@ -50,3 +50,36 @@ def test_latest_finish_wins(spark):
     )
     out = due_seeds(_seeds(spark), last, RUN_TS).collect()
     assert [r["seed_idx"] for r in out] == [1, 2, 3]
+
+
+def test_duplicate_seeds_dedup_to_one_tree(spark, fixture_data,
+                                           tmp_path_factory):
+    """Two seed rows that canonicalize to the same URL (exact dup or
+    case/port variant) must build ONE frontier tree — first row
+    (lowest seed_idx) wins — with outputs identical to the
+    single-seed run."""
+    from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
+    from barkingowl_spark.schemas import PAGES_SCHEMA, SEED_SCHEMA
+    from fixtures.gen_pages import pages_rows
+
+    pages, _ = fixture_data
+    pages_df = spark.createDataFrame(pages_rows(pages), PAGES_SCHEMA)
+    one = [("http://site0.test/p0", "t", "d", 2, "application/pdf", 0, 0)]
+    dup = one + [
+        ("http://site0.test/p0", "t", "d", 5, "application/pdf", 0, 1),
+        ("HTTP://SITE0.TEST:80/p0", "t", "d", 5, "application/pdf", 0, 2),
+    ]
+    outs = []
+    for rows in (one, dup):
+        st = run_crawl(
+            spark,
+            spark.createDataFrame(rows, SEED_SCHEMA),
+            pages_df,
+            CrawlConfig(checkpoint_dir=str(
+                tmp_path_factory.mktemp("ckpt_dupseed"))),
+        )
+        outs.append(sorted(
+            (r["seed_url"], r["crawl_order"], r["url"], r["status"])
+            for r in st.trace().collect()
+        ))
+    assert outs[0] == outs[1]
