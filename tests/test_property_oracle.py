@@ -78,3 +78,47 @@ def test_random_graph_equivalence(spark, tmp_path, seed):
         for r in state.documents.collect()
     )
     assert got_docs == want_docs
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_graph_with_robots_equivalence(spark, tmp_path, seed):
+    """Random graphs + random robots disallow rules, parsed FROM the
+    corpus: the full acquisition->parse->filter chain must match the
+    oracle given the same rules."""
+    from fixtures.gen_pages import pages_rows
+
+    rng = random.Random(1000 + seed)
+    pages = random_site(seed)
+    host = f"rnd{seed}.test"
+    # 1-3 random single-char path prefixes (pages are /pN, docs /docN.pdf)
+    prefixes = sorted({rng.choice(["/p1", "/p2", "/p3", "/doc"])
+                       for _ in range(rng.randint(1, 3))})
+    body = "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\n" + \
+        "".join(f"Disallow: {p}\n" for p in prefixes)
+    pages[f"http://{host}/robots.txt"] = body.encode()
+    seed_url = f"http://{host}/p0"
+    max_level = 3
+
+    o = oracle_crawl(pages, seed_url, max_level,
+                     robots_disallow={host: prefixes})
+    pages_df = spark.createDataFrame(pages_rows(pages), PAGES_SCHEMA)
+    seeds_df = spark.createDataFrame(
+        [(seed_url, "r", "r", max_level, "application/pdf", 0, 0)],
+        SEED_SCHEMA,
+    )
+    state = run_crawl(
+        spark, seeds_df, pages_df,
+        CrawlConfig(checkpoint_dir=str(tmp_path / f"ckr{seed}"),
+                    robots_from_corpus=True),
+    )
+    got_trace = sorted(
+        (r["crawl_order"], r["url"], r["depth"], r["discovery_idx"],
+         r["status"])
+        for r in state.trace().collect()
+    )
+    assert got_trace == o.trace()
+    got_docs = sorted(
+        (r["doc_url"], r["depth"], r["parent_url"], r["matched_by"])
+        for r in state.documents.collect()
+    )
+    assert got_docs == o.documents()
