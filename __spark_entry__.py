@@ -667,6 +667,37 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_o12_cuckoo_evict(spark, sf):
+    """O12/O22/O1 via the REAL cuckoo-filter seen-set
+    (operators/cuckoo.py): build the filter over a seen subset of
+    documents, evict a re-crawl-due sub-subset (delete_keys — the
+    operation the Bloom family cannot do), then anti_join_new with the
+    cuckoo probe. The prefilter only prunes shuffle; the result is the
+    exact set difference, so the oracle is plain relational SQL."""
+    from barkingowl_spark.operators.cuckoo import (
+        IncrementalCuckoo,
+        cuckoo_maybe_seen_udf,
+    )
+    from barkingowl_spark.operators.dedup import anti_join_new
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".test/dir/page"),
+                   F.col("doc_id").cast("string"))
+    rows = d.select(
+        "doc_id", url.alias("url"),
+        F.lit("s").alias("seed_url"), F.xxhash64(url).alias("url_hash"),
+    )
+    seen = rows.filter(F.col("doc_id") % 3 == 0)
+    due = seen.filter(F.col("doc_id") % 9 == 0)  # re-crawl-due eviction
+    ck = IncrementalCuckoo(n_partitions=4, n_buckets=1 << 12)
+    ck.add_keys(seen.select("url_hash"))
+    ck.delete_keys(due.select("url_hash"))
+    seen_after = seen.join(due.select("url_hash"), "url_hash", "left_anti")
+    probe = cuckoo_maybe_seen_udf(spark, ck.snapshot(), 4)
+    return anti_join_new(rows, seen_after, probe=probe).select(
+        "doc_id", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -680,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o16_metrics_rollup": q_o16_metrics_rollup,
         "o17_cardinality": q_o17_cardinality,
         "o12_semi_probe": q_o12_semi_probe,
+        "o12_cuckoo_evict": q_o12_cuckoo_evict,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -969,6 +1001,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
+        """,
+        "o12_cuckoo_evict": """
+            SELECT doc_id,
+                   'http://' || source || '.test/dir/page'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0
         """,
         "o18_bfs_order": """
             SELECT user_id, event_id,

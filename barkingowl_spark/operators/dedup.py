@@ -199,22 +199,31 @@ def anti_join_new(
     seen: DataFrame,
     blooms: dict[int, tuple[bytes, int]] | None = None,
     n_partitions: int = 32,
+    probe=None,
 ) -> DataFrame:
-    """Exactly-new candidates. With blooms, definite-new rows carry a NULL
-    join key — a null key matches nothing, so one left_anti pass both
+    """Exactly-new candidates. With a prefilter, definite-new rows carry a
+    NULL join key — a null key matches nothing, so one left_anti pass both
     bypasses the shuffle for definite-new rows (null keys don't need to
     reach the build side) and confirms possible-members exactly. Single
     pass: no branch/union, upstream lineage evaluated once.
+
+    The stage-1 prefilter is either ``blooms`` (an IncrementalBloom
+    snapshot, the default family) or ``probe`` (any vectorized
+    url_hash->maybe-seen pandas UDF — e.g. cuckoo_maybe_seen_udf from
+    operators/cuckoo.py, whose filter additionally supports deletion for
+    re-crawl eviction). Both may only false-POSITIVE, never
+    false-negative, so the result is exact either way.
 
     The seen side is hinted shuffle_hash: the seen-set GROWS every wave,
     and letting Catalyst broadcast it would rebuild a driver-side hash
     table per wave (serial, and impossible at 10^10 rows anyway); the
     shuffled build is partition-parallel and is the at-scale plan."""
     seen_keys = seen.select("seed_url", "url_hash").hint("shuffle_hash")
-    if blooms is None:
+    if blooms is None and probe is None:
         return candidates.join(seen_keys, ["seed_url", "url_hash"], "left_anti")
-    spark = candidates.sparkSession
-    probe = bloom_maybe_seen_udf(spark, blooms, n_partitions)
+    if probe is None:
+        spark = candidates.sparkSession
+        probe = bloom_maybe_seen_udf(spark, blooms, n_partitions)
     tagged = candidates.withColumn(
         "_jk", F.when(probe(F.col("url_hash")), F.col("url_hash"))
     )

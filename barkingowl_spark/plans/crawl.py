@@ -55,6 +55,10 @@ from pyspark.sql import functions as F
 
 from barkingowl_spark.functions.canon import canonicalize, host_of
 from barkingowl_spark.functions.extract import parse_pages_udf
+from barkingowl_spark.operators.cuckoo import (
+    IncrementalCuckoo,
+    cuckoo_maybe_seen_udf,
+)
 from barkingowl_spark.operators.dedup import IncrementalBloom, anti_join_new
 from barkingowl_spark.operators.match import matched_by_col, pages_content_type
 from barkingowl_spark.operators.ordering import (
@@ -91,6 +95,12 @@ class CrawlConfig:
     host_budget: int | None = None          # O20; None = oracle-match mode
     use_bloom: bool = True                  # O12 stage-1 prefilter
     bloom_partitions: int = 32
+    # O12 prefilter family (north_star: "partitioned Bloom/cuckoo
+    # filters"). "bloom" = IncrementalBloom (grow-only); "cuckoo" =
+    # IncrementalCuckoo (supports delete_keys for re-crawl eviction).
+    # Either way the anti-join stays exact; use_bloom=False disables the
+    # stage entirely.
+    prefilter: str = "bloom"
     # waves smaller than this are broadcast into the pages/pages_ct joins
     # (corpus side never shuffles); bigger waves fall back to shuffle hash
     # join + AQE (the 10^10 path, where the wave itself is too big to ship)
@@ -407,10 +417,16 @@ def run_crawl(
     _t_pre = time.monotonic()
     bloom = None
     if config.use_bloom:
-        # one full build at start (or resume); waves then OR in fresh keys
-        bloom = IncrementalBloom(config.bloom_partitions)
+        # one full build at start (or resume); waves then add fresh keys
+        # incrementally. Both families share the add/grow/snapshot API;
+        # only the probe constructor differs (see _prefilter_probe).
+        bloom = (
+            IncrementalCuckoo(config.bloom_partitions)
+            if config.prefilter == "cuckoo"
+            else IncrementalBloom(config.bloom_partitions)
+        )
         bloom.add_keys(state.frontier().select("url_hash"))
-        if bloom.needs_grow():  # resumed seen-set outgrew the default m
+        if bloom.needs_grow():  # resumed seen-set outgrew the default size
             bloom.grow(state.frontier().select("url_hash"))
     if os.environ.get("BOW_TIMING") == "1":
         print(f"BOW_TIMING bloom_init={time.monotonic() - _t_pre:.2f}",
@@ -575,11 +591,18 @@ def run_crawl(
 
         deduped = first_discovery_wins(links)
         seen_keys = state.frontier().select("seed_url", "url_hash")
-        fresh = anti_join_new(
-            deduped, seen_keys,
-            bloom.snapshot() if bloom is not None else None,
-            config.bloom_partitions,
-        )
+        if isinstance(bloom, IncrementalCuckoo):
+            fresh = anti_join_new(
+                deduped, seen_keys,
+                probe=cuckoo_maybe_seen_udf(
+                    spark, bloom.snapshot(), config.bloom_partitions),
+            )
+        else:
+            fresh = anti_join_new(
+                deduped, seen_keys,
+                bloom.snapshot() if bloom is not None else None,
+                config.bloom_partitions,
+            )
         typed = _typecheck(
             # preparse: pages_ct is a cached corpus-sized projection that
             # grows no hash-build on the driver — shuffle-hash keeps the
