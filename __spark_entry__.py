@@ -698,6 +698,77 @@ def q_o12_cuckoo_evict(spark, sf):
         "doc_id", "url")
 
 
+# ---------------------------------------------------------------------------
+# link-graph analytics (operators/linkgraph.py) — deterministic synthetic
+# edge set over documents: src=doc_id, dst=(src*src + 13k) % n for
+# k in {1,2,3}. Quadratic residues collide mod n, so in-degrees (and
+# hence PageRank) are non-uniform — the queries discriminate.
+# ---------------------------------------------------------------------------
+
+def _synth_edges(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    return d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select(
+        "src",
+        ((F.col("src") * F.col("src") + 13 * F.col("k")) % n).alias("dst"),
+    ), n
+
+
+_EDGES_SQL = """
+        nd AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id + 13 * k.k) % nd.n AS dst
+            FROM documents d CROSS JOIN nd, (VALUES (1), (2), (3)) k(k)
+        )
+"""
+
+
+def q_graph_degree(spark, sf):
+    """In/out degree per node of the synthetic link graph — the crawl
+    prioritization signal (operators/linkgraph.py::degree_stats)."""
+    from barkingowl_spark.operators.linkgraph import degree_stats
+
+    edges, _ = _synth_edges(spark, sf)
+    return degree_stats(edges)
+
+
+def q_graph_pagerank(spark, sf):
+    """3-iteration fixed-point PageRank (integer div throughout, so the
+    bigint ranks value-hash-match DuckDB's // arithmetic exactly)."""
+    from barkingowl_spark.operators.linkgraph import pagerank_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    return pagerank_fixed(edges, n_iter=3)
+
+
+def q_graph_host_agg(spark, sf):
+    """Host-level link-graph rollup: URL edges built from the documents'
+    source field, hosts re-extracted by the crawl netloc regex
+    (operators/linkgraph.py::host_graph)."""
+    from barkingowl_spark.operators.linkgraph import host_graph
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    edges, _ = _synth_edges(spark, sf)
+    src_d = d.select(F.col("doc_id").alias("src"),
+                     F.col("source").alias("src_source"))
+    dst_d = d.select(F.col("doc_id").alias("dst"),
+                     F.col("source").alias("dst_source"))
+    urls = (
+        edges.join(src_d, "src").join(dst_d, "dst")
+        .select(
+            F.concat(F.lit("http://"), "src_source", F.lit(".test/p"),
+                     F.col("src").cast("string")).alias("src"),
+            F.concat(F.lit("http://"), "dst_source", F.lit(".test/p"),
+                     F.col("dst").cast("string")).alias("dst"),
+        )
+    )
+    return host_graph(urls)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -712,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o17_cardinality": q_o17_cardinality,
         "o12_semi_probe": q_o12_semi_probe,
         "o12_cuckoo_evict": q_o12_cuckoo_evict,
+        "graph_degree": q_graph_degree,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_host_agg": q_graph_host_agg,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1008,6 +1082,71 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) AS url
             FROM documents
             WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0
+        """,
+        "graph_degree": f"""
+            WITH {_EDGES_SQL},
+            o AS (SELECT src AS node, count(*) AS out_deg
+                  FROM edges GROUP BY src),
+            i AS (SELECT dst AS node, count(*) AS in_deg
+                  FROM edges GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg
+            FROM o FULL OUTER JOIN i ON o.node = i.node
+        """,
+        "graph_pagerank": f"""
+            WITH {_EDGES_SQL},
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            c AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src AS node, count(*) AS outdeg
+                   FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1000000000000 // c.n AS rank_fp
+                   FROM nodes CROSS JOIN c),
+            s1 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s1.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s1 ON s1.node = nodes.node),
+            s2 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s2.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s2 ON s2.node = nodes.node),
+            s3 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s3.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s3 ON s3.node = nodes.node)
+            SELECT node, rank_fp FROM r3
+        """,
+        "graph_host_agg": f"""
+            WITH {_EDGES_SQL}
+            SELECT ds.source || '.test' AS src_host,
+                   dd.source || '.test' AS dst_host,
+                   count(*) AS n_links
+            FROM edges e
+            JOIN documents ds ON ds.doc_id = e.src
+            JOIN documents dd ON dd.doc_id = e.dst
+            GROUP BY 1, 2
         """,
         "o18_bfs_order": """
             SELECT user_id, event_id,

@@ -1,0 +1,141 @@
+"""Link-graph analytics over the crawl's discovered edges — the analysis
+layer a frontier crawler feeds (prioritization, seed scoring, spam-farm
+spotting). SURVEY.md §2 extension rows; no reference counterpart exists
+(the reference's dispatcher never looked at the graph it was building —
+/root/reference is empty, see SURVEY §0), so semantics here are defined
+by this module + the DuckDB oracles in __spark_entry__.py.
+
+Everything is integer-exact so the driver's value-hash oracle holds:
+
+  * degrees/host rollups are plain counts;
+  * PageRank runs in FIXED POINT — ranks are bigints scaled by
+    ``scale``, every division is integer `div` (Spark) == `//` (DuckDB,
+    positive operands), so a 3-iteration rank is bit-identical across
+    engines and across cluster sizes (no float summation-order drift,
+    the same trick sim_topk_cosine uses).
+
+Scale shapes (10^10-edge design point):
+
+  * edges_from_archive: one narrow projection of the archive — no html.
+  * degree_stats: two map-side-combined counts + one full outer join on
+    node; the union trick (tag + single groupBy) would be one shuffle
+    fewer but double-scans, a wash at this width.
+  * host_graph: groupBy (src_host, dst_host) — host-skew (everyone
+    links to twitter.com) is absorbed by map-side partial counts.
+  * pagerank_fixed: per iteration, one shuffle-join ranks⋈edges on src
+    (both sides hash-partitioned on the same key, so AQE reuses the
+    exchange) + one groupBy dst with map-side partial sums (hub pages
+    combine before the shuffle — the skew answer). localCheckpoint per
+    iteration truncates lineage exactly like operators/components.py;
+    dangling mass is dropped, documented, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_NUM = 85   # damping = 85/100, kept as an integer ratio
+DAMP_DEN = 100
+
+
+def edges_from_archive(archive: DataFrame) -> DataFrame:
+    """(src, dst) string edges from the crawl archive's parent links —
+    the seed rows (parent_url NULL) contribute nothing."""
+    return (
+        archive.filter(F.col("parent_url").isNotNull())
+        .select(F.col("parent_url").alias("src"), F.col("url").alias("dst"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg) for every node on either edge side."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def host_graph(edges: DataFrame, host_expr=None) -> DataFrame:
+    """Host-level rollup (src_host, dst_host, n_links) of a URL edge
+    list. ``host_expr``: column-fn url -> host; defaults to the crawl
+    canon host. Self-loops (intra-host links) are kept — they are the
+    politeness scheduler's per-host load signal."""
+    if host_expr is None:
+        # same netloc regex the wave loop uses (plans/crawl.py _HOST_RE):
+        # relational, whole-stage-codegen — no UDF
+        host_expr = lambda c: F.regexp_extract(  # noqa: E731
+            c, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    return (
+        edges.select(
+            host_expr(F.col("src")).alias("src_host"),
+            host_expr(F.col("dst")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(node, rank_fp): ``n_iter`` synchronous PageRank iterations in
+    fixed point. rank_fp is the rank scaled by ``scale``, floor at every
+    division, damping DAMP_NUM/DAMP_DEN:
+
+        base      = (scale * (DAMP_DEN - DAMP_NUM)) div (DAMP_DEN * N)
+        contrib_u = (rank_u * DAMP_NUM) div (DAMP_DEN * outdeg_u)
+        rank'_v   = base + sum(contrib_u for u -> v)
+
+    Dangling-node mass evaporates (no redistribution) — deterministic
+    and engine-portable; ranks are a priority signal, not a probability
+    distribution. All arithmetic stays in int64: scale=1e12 and
+    DAMP_NUM=85 keep the max intermediate under 9e13 << 2^63."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        # alias the edge columns: nodes/ranks derive from e, so an
+        # unaliased join is an ambiguous self-join
+        ee = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        contribs = (
+            ranks.join(outdeg, "node")
+            .join(ee, F.col("node") == F.col("e_src"))
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(
+                    f"(rank_fp * {DAMP_NUM}) div ({DAMP_DEN}L * outdeg)"
+                ).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("inflow", F.lit(0)))
+                .cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

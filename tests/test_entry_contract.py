@@ -39,7 +39,8 @@ def duck():
     ["o7_link_extract", "o27_text_extract", "o14_config_join",
      "text_bpe_tokens", "doc_winnow_fp", "sim_topk_cosine",
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
-     "o12_cuckoo_evict"],
+     "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
+     "graph_host_agg"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

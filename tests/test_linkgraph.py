@@ -1,0 +1,114 @@
+"""Link-graph analytics (operators/linkgraph.py): degree stats, host
+rollup, fixed-point PageRank. PageRank is pinned against an independent
+pure-Python rendering of the same integer recurrence (scale, div-floor,
+85/100 damping) — bit-exact, not approximate — plus an end-to-end run
+over the crawl fixture's real discovered edges."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from barkingowl_spark.operators.linkgraph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    degree_stats,
+    edges_from_archive,
+    host_graph,
+    pagerank_fixed,
+)
+
+SCALE = 1_000_000_000_000
+
+
+def ref_pagerank(edges, n_iter=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = Counter(s for s, _ in edges)
+    r = {v: scale // n for v in nodes}
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += (r[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        r = {v: base + inflow.get(v, 0) for v in nodes}
+    return r
+
+
+TINY = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+# d is a source (in_deg 0); no dangling node here — c links back to a
+
+
+def _edges_df(spark, edges=TINY):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_degree_stats_tiny(spark):
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(_edges_df(spark)).collect()
+    }
+    assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 3), "d": (1, 0)}
+
+
+def test_pagerank_bit_exact_vs_reference(spark):
+    for n_iter in (1, 3, 5):
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(_edges_df(spark), n_iter).collect()
+        }
+        assert got == ref_pagerank(TINY, n_iter), f"n_iter={n_iter}"
+
+
+def test_pagerank_dangling_mass_evaporates(spark):
+    """With a dangling node (x -> y, y has no out-edges), total rank
+    strictly decreases but every rank stays >= base — the documented
+    no-redistribution semantics."""
+    edges = [("x", "y"), ("z", "y"), ("y2", "x"), ("y2", "z")]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed(_edges_df(spark, edges), 3).collect()
+    }
+    assert got == ref_pagerank(edges, 3)
+    assert sum(got.values()) < SCALE  # y's inflow never re-emitted
+    base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * len(got))
+    assert all(v >= base for v in got.values())
+
+
+def test_host_graph_rollup(spark):
+    edges = [
+        ("http://a.test/1", "http://b.test/2"),
+        ("http://a.test/3", "http://b.test/2"),
+        ("http://a.test:8080/1", "http://a.test/9"),  # port = distinct host
+        ("http://b.test/1", "http://b.test/5"),       # self-loop kept
+    ]
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(_edges_df(spark, edges)).collect()
+    }
+    assert got == {
+        ("a.test", "b.test"): 2,
+        ("a.test:8080", "a.test"): 1,
+        ("b.test", "b.test"): 1,
+    }
+
+
+def test_pagerank_over_crawl_archive(spark, seeds_df, pages_df,
+                                     tmp_path_factory):
+    """The real pipeline: crawl -> archive edges -> degree + rank, ranks
+    bit-exact vs the reference recurrence run on the same edge list."""
+    from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
+
+    st = run_crawl(spark, seeds_df, pages_df, CrawlConfig(
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_lg"))))
+    edges_df = edges_from_archive(st.frontier()).distinct()
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    assert len(edges) > 50
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed(edges_df, 3).collect()
+    }
+    assert got == ref_pagerank(edges, 3)
+    degs = degree_stats(edges_df)
+    assert degs.filter(F.col("in_deg") + F.col("out_deg") == 0).count() == 0
