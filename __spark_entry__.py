@@ -769,6 +769,58 @@ def q_graph_host_agg(spark, sf):
     return host_graph(urls)
 
 
+def _synth_sitemaps(spark, sf):
+    """One sitemap.xml page per documents source-host: <url> blocks in
+    doc_id order (lastmod only on even ids — exercises the NULL path,
+    whitespace inside <loc> exercises trimming), one foreign-host entry
+    (exercises the seed scope filter) and one <sitemap> index block."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    day = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    frag = F.concat(
+        F.lit("<url><loc> http://"), F.col("source"), F.lit(".test/p"), sid,
+        F.lit(" </loc>"),
+        F.coalesce(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("<lastmod>2026-01-"), day,
+                            F.lit("</lastmod>"))),
+            F.lit("")),
+        F.lit("</url>"),
+    )
+    return (
+        d.select("source", F.struct("doc_id", frag.alias("frag")).alias("sf"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("sf")).alias("s"))
+        .select(
+            F.concat(F.lit("http://"), "source",
+                     F.lit(".test/sitemap.xml")).alias("url"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.transform("s", lambda x: x["frag"]), ""),
+                F.lit('<url><loc>http://evil.test/x</loc></url>'
+                      "<sitemap><loc>http://"), F.col("source"),
+                F.lit(".test/sitemap2.xml</loc></sitemap></urlset>"),
+            ).alias("body"),
+        )
+    )
+
+
+def q_sitemap_parse(spark, sf):
+    """Sitemap acquisition (operators/sitemap.py): every <url>/<sitemap>
+    block of the synthesized sitemap pages, in document order."""
+    from barkingowl_spark.operators.sitemap import sitemap_entries
+
+    return sitemap_entries(_synth_sitemaps(spark, sf), body_col="body")
+
+
+def q_sitemap_seeds(spark, sf):
+    """Frontier seed candidates from urlset entries — same-host scope
+    drops the planted foreign-host loc (O9 applied at acquisition)."""
+    from barkingowl_spark.operators.sitemap import sitemap_seed_urls
+
+    return sitemap_seed_urls(_synth_sitemaps(spark, sf), body_col="body")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -786,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_host_agg": q_graph_host_agg,
+        "sitemap_parse": q_sitemap_parse,
+        "sitemap_seeds": q_sitemap_seeds,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1147,6 +1201,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents ds ON ds.doc_id = e.src
             JOIN documents dd ON dd.doc_id = e.dst
             GROUP BY 1, 2
+        """,
+        "sitemap_parse": """
+            SELECT source || '.test' AS host, 'url' AS kind,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) - 1
+                        AS BIGINT) AS ord,
+                   'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS loc,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2026-01-'
+                             || lpad(CAST(doc_id % 27 + 1 AS VARCHAR),
+                                     2, '0')
+                   END AS lastmod
+            FROM documents
+            UNION ALL
+            SELECT d.source || '.test', 'url',
+                   (SELECT count(*) FROM documents d2
+                    WHERE d2.source = d.source),
+                   'http://evil.test/x', NULL
+            FROM (SELECT DISTINCT source FROM documents) d
+            UNION ALL
+            SELECT source || '.test', 'sitemap', 0,
+                   'http://' || source || '.test/sitemap2.xml', NULL
+            FROM (SELECT DISTINCT source FROM documents)
+        """,
+        "sitemap_seeds": """
+            SELECT DISTINCT source || '.test' AS host,
+                   'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS loc
+            FROM documents
         """,
         "o18_bfs_order": """
             SELECT user_id, event_id,

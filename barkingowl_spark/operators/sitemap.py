@@ -1,0 +1,99 @@
+"""Sitemap acquisition out of the page corpus — the discovery-side
+sibling of operators/robots.py (north_star's politeness scheduler reads
+robots.txt; the same hosts publish sitemap.xml, and a frontier that
+ignores them re-discovers every URL the site already listed). No
+reference counterpart exists (/root/reference is empty, SURVEY §0);
+semantics are defined here + the DuckDB oracle in __spark_entry__.py.
+
+Like the robots parser, this is PURE RELATIONAL dataflow — regexp /
+posexplode / filter, no UDF, fully whole-stage-codegen, and the regexes
+are RE2-compatible so the DuckDB oracle runs them verbatim.
+
+Grammar (deterministic subset of sitemaps.org 0.9):
+
+  * a sitemap page is a corpus row whose url matches
+    ``^https?://<host>/sitemap*.xml`` (query/fragment-free);
+  * ``<url>...</url>`` blocks (kind='url') and ``<sitemap>...</sitemap>``
+    blocks (kind='sitemap', sitemap-index nesting) are extracted with a
+    dotall lazy match, in document order (``ord`` = 0-based position,
+    numbered per kind);
+  * per block, ``<loc>`` (required — blockless or empty loc rows are
+    dropped) and ``<lastmod>`` (optional, kept as the raw trimmed string
+    so value-hashing is type-stable; cast downstream) are extracted;
+  * XML namespaces, attributes, CDATA and entity decoding are out of
+    scope — Common-Crawl-style sitemaps in the plain form only.
+
+Scale shape: the sitemap subset of a 10^10-row corpus is O(hosts) rows;
+one pushed-down url-regex scan + per-row regexp work, shuffle-free until
+the caller aggregates. Seed expansion (``sitemap_seed_urls``) is OPT-IN:
+the default crawl plan is pinned byte-exact to the frozen oracle, which
+predates sitemaps, so the expansion joins the frontier only when a job
+asks for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SITEMAP_URL_RE = r"^https?://[^/?#]+/sitemap[^/?#]*\.xml$"
+_HOST_RE = r"^https?://([^/?#]+)/"
+_BLOCK_RES = {"url": r"(?s)<url>(.*?)</url>",
+              "sitemap": r"(?s)<sitemap>(.*?)</sitemap>"}
+_LOC_RE = r"<loc>\s*([^<]*?)\s*</loc>"
+_LASTMOD_RE = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def sitemap_entries(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """(host, kind, ord, loc, lastmod) for every sitemap block in the
+    corpus's sitemap pages. ``kind`` is 'url' (urlset entry) or 'sitemap'
+    (sitemap-index nesting); ``lastmod`` is the raw string or NULL.
+    ``body_col`` parses an already-decoded string column (driver-query
+    fixtures) instead of the html bytes."""
+    body = (
+        F.col(body_col) if body_col else F.decode(F.col("html"), "UTF-8")
+    )
+    maps = pages.filter(F.col("url").rlike(SITEMAP_URL_RE)).select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        body.alias("body"),
+    )
+    parts = []
+    for kind, block_re in _BLOCK_RES.items():
+        parts.append(
+            maps.select(
+                "host",
+                F.lit(kind).alias("kind"),
+                F.posexplode(F.regexp_extract_all("body", F.lit(block_re),
+                                                  F.lit(1)))
+                .alias("ord", "block"),
+            )
+        )
+    blocks = parts[0].unionByName(parts[1])
+    return (
+        blocks.select(
+            "host", "kind", "ord",
+            F.regexp_extract("block", _LOC_RE, 1).alias("loc"),
+            F.nullif(F.regexp_extract("block", _LASTMOD_RE, 1), F.lit(""))
+            .alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def sitemap_seed_urls(
+    pages: DataFrame,
+    body_col: str | None = None,
+    same_host_only: bool = True,
+) -> DataFrame:
+    """(host, loc) frontier-candidate URLs from urlset entries —
+    http(s) locs only, scoped (by default) to the publishing host so a
+    sitemap cannot inject foreign-host URLs into its seed's crawl (the
+    O9 scope rule applied at acquisition time)."""
+    e = sitemap_entries(pages, body_col).filter(
+        (F.col("kind") == "url") & F.col("loc").rlike(r"^https?://")
+    )
+    if same_host_only:
+        e = e.filter(
+            F.regexp_extract("loc", _HOST_RE, 1) == F.col("host")
+        )
+    return e.select("host", "loc").distinct()

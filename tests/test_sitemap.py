@@ -1,0 +1,81 @@
+"""Sitemap acquisition (operators/sitemap.py): block extraction order,
+loc trimming, lastmod NULL path, sitemap-index nesting, url-filter
+precision, and the same-host seed scope — all through the real html
+BINARY route (the driver query covers the body_col string route)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barkingowl_spark.operators.sitemap import (
+    sitemap_entries,
+    sitemap_seed_urls,
+)
+
+BODY = (
+    "<urlset>"
+    "<url><loc>  http://a.test/p1 </loc>"
+    "<lastmod> 2026-02-03 </lastmod></url>"
+    "<url><loc>http://a.test/p2</loc></url>"
+    "<url><loc></loc></url>"                       # empty loc -> dropped
+    "<url><lastmod>2026-01-01</lastmod></url>"     # no loc -> dropped
+    "<url><loc>http://other.test/x</loc></url>"    # foreign host
+    "<url><loc>ftp://a.test/f</loc></url>"         # non-http scheme
+    "<sitemap><loc>http://a.test/sitemap2.xml</loc>"
+    "<lastmod>2025-12-31</lastmod></sitemap>"
+    "</urlset>"
+)
+
+
+def _pages(spark, rows):
+    df = spark.createDataFrame(rows, "url string, body string")
+    return df.select("url", F.encode("body", "UTF-8").alias("html"))
+
+
+def test_entries_order_trim_and_kinds(spark):
+    pages = _pages(spark, [
+        ("http://a.test/sitemap.xml", BODY),
+        ("http://a.test/page.html", "<url><loc>http://a.test/no</loc></url>"),
+        ("http://a.test/sitemap.xml.html", BODY),     # not *.xml -> ignored
+        ("http://a.test/dir/sitemap.xml", BODY),      # not root -> ignored
+    ])
+    got = sorted(
+        (r["kind"], r["ord"], r["loc"], r["lastmod"])
+        for r in sitemap_entries(pages).collect()
+    )
+    assert got == [
+        ("sitemap", 0, "http://a.test/sitemap2.xml", "2025-12-31"),
+        ("url", 0, "http://a.test/p1", "2026-02-03"),
+        ("url", 1, "http://a.test/p2", None),
+        # ord counts BLOCKS: the two dropped blocks still advance it
+        ("url", 4, "http://other.test/x", None),
+        ("url", 5, "ftp://a.test/f", None),
+    ]
+    hosts = {r["host"] for r in sitemap_entries(pages).collect()}
+    assert hosts == {"a.test"}
+
+
+def test_seed_urls_scope(spark):
+    pages = _pages(spark, [("http://a.test/sitemap.xml", BODY)])
+    scoped = {r["loc"] for r in sitemap_seed_urls(pages).collect()}
+    # foreign host + ftp + sitemap-index all excluded
+    assert scoped == {"http://a.test/p1", "http://a.test/p2"}
+    unscoped = {
+        r["loc"]
+        for r in sitemap_seed_urls(pages, same_host_only=False).collect()
+    }
+    assert unscoped == scoped | {"http://other.test/x"}
+
+
+def test_sitemap_variants_and_dedup(spark):
+    """sitemap-news.xml style names match; duplicate locs across two
+    sitemap files of one host dedup in the seed view but not in the
+    per-file entries view."""
+    b1 = "<urlset><url><loc>http://b.test/1</loc></url></urlset>"
+    pages = _pages(spark, [
+        ("http://b.test/sitemap.xml", b1),
+        ("http://b.test/sitemap-news.xml", b1),
+        ("https://b.test/sitemap_2.xml", b1),
+    ])
+    assert sitemap_entries(pages).count() == 3
+    assert sitemap_seed_urls(pages).count() == 1
