@@ -821,6 +821,32 @@ def q_sitemap_seeds(spark, sf):
     return sitemap_seed_urls(_synth_sitemaps(spark, sf), body_col="body")
 
 
+def q_trap_signals(spark, sf):
+    """Crawler-trap heuristics (operators/traps.py) over four synthetic
+    URL shapes per doc_id%4: clean path / path loop / numeric lattice /
+    param explosion. The REAL column expressions compute the signals;
+    the oracle regenerates them per shape."""
+    from barkingowl_spark.operators.traps import url_trap_signals
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/a"), sid, F.lit("/b/c")))
+        .when(m == 1, F.lit("/loop/x/loop/x/loop"))
+        .when(m == 2, F.concat(F.lit("/"), (F.col("doc_id") % 9)
+                               .cast("string"), F.lit("/12/13/14/15")))
+        .otherwise(F.concat(F.lit("/p"), sid,
+                            F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test"), path)
+        .alias("url"),
+    )
+    return url_trap_signals(urls)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -840,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_agg": q_graph_host_agg,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
+        "trap_signals": q_trap_signals,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1231,6 +1258,30 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.test/p'
                        || CAST(doc_id AS VARCHAR) AS loc
             FROM documents
+        """,
+        "trap_signals": """
+            WITH u AS (
+                SELECT doc_id, doc_id % 4 AS m,
+                       'http://' || source || '.test' ||
+                       CASE doc_id % 4
+                         WHEN 0 THEN '/a' || CAST(doc_id AS VARCHAR)
+                                     || '/b/c'
+                         WHEN 1 THEN '/loop/x/loop/x/loop'
+                         WHEN 2 THEN '/' || CAST(doc_id % 9 AS VARCHAR)
+                                     || '/12/13/14/15'
+                         ELSE '/p' || CAST(doc_id AS VARCHAR)
+                              || '?a=1&b=2&c=3&d=4&e=5&f=6&g=7'
+                       END AS url
+                FROM documents)
+            SELECT doc_id, url,
+                   CASE m WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 5
+                          ELSE 1 END AS depth,
+                   CASE m WHEN 1 THEN 3 ELSE 0 END AS dup_segments,
+                   CASE m WHEN 3 THEN 7 ELSE 0 END AS n_params,
+                   CASE m WHEN 2 THEN 5 ELSE 0 END AS n_numeric,
+                   length(url) AS url_len,
+                   m IN (1, 2, 3) AS is_trap
+            FROM u
         """,
         "o18_bfs_order": """
             SELECT user_id, event_id,

@@ -1,0 +1,93 @@
+"""Crawler-trap detection — URL-shape heuristics that keep the frontier
+out of infinite URL spaces (calendar pages, session-id explosions,
+self-linking path loops). A real frontier at the 10^10 design point
+MUST bound these: every trap URL admitted costs a fetch join + a seen
+row forever. No reference counterpart (/root/reference is empty,
+SURVEY §0); thresholds here define the semantics and the DuckDB oracle
+in __spark_entry__.py reproduces them.
+
+All signals are pure Catalyst column expressions over the url string
+(split / array ops / regexp — JVM-side, no UDF, no shuffle; the
+higher-order lambdas sit outside whole-stage codegen but are still
+vectorized JVM evaluation), so the filter composes with the wave loop's
+candidate pipeline at zero extra passes. Opt-in, like sitemap seeding:
+the default crawl is pinned byte-exact to the frozen oracle, which
+predates trap rules.
+
+Signals per URL (see the threshold constants):
+
+  * depth           — non-empty path segments; bounded BFS already caps
+                      link depth, this caps PATH depth (trap pages mint
+                      deep paths at link-depth 1)
+  * dup_segments    — len(segments) - len(distinct segments): >= 2 means
+                      some segment(s) recur, the /a/b/a/b/a loop shape
+  * n_params        — &-separated query params; session-id / faceted-
+                      search explosions
+  * n_numeric       — all-digit segments; >= 4 is the calendar/pagination
+                      lattice shape
+  * url_len         — raw string length backstop
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 8
+MAX_DUP_SEGMENTS = 1
+MAX_PARAMS = 6
+MAX_NUMERIC_SEGMENTS = 3
+MAX_URL_LEN = 512
+
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+
+def _segments(url: Column) -> Column:
+    return F.filter(
+        F.split(F.regexp_extract(url, _PATH_RE, 1), "/"),
+        lambda x: x != "",
+    )
+
+
+def url_trap_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the five signal columns + ``is_trap`` to ``df``."""
+    url = F.col(url_col)
+    segs = _segments(url)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    out = df.withColumns({
+        "depth": F.size(segs),
+        "dup_segments": F.size(segs) - F.size(F.array_distinct(segs)),
+        "n_params": F.when(q == "", F.lit(0)).otherwise(
+            F.size(F.split(q, "&"))),
+        "n_numeric": F.size(F.filter(segs, lambda x: x.rlike(r"^[0-9]+$"))),
+        "url_len": F.length(url),
+    })
+    return out.withColumn(
+        "is_trap",
+        (F.col("depth") > MAX_DEPTH)
+        | (F.col("dup_segments") > MAX_DUP_SEGMENTS)
+        | (F.col("n_params") > MAX_PARAMS)
+        | (F.col("n_numeric") > MAX_NUMERIC_SEGMENTS)
+        | (F.col("url_len") > MAX_URL_LEN),
+    )
+
+
+def trap_filter(candidates: DataFrame, url_col: str = "url") -> DataFrame:
+    """Candidates with trap URLs pruned — same schema in, same out.
+    Composes into the wave loop's candidate pipeline as one more
+    codegen'd predicate (no extra pass, no shuffle)."""
+    url = F.col(url_col)
+    segs = _segments(url)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    keep = ~(
+        (F.size(segs) > MAX_DEPTH)
+        | ((F.size(segs) - F.size(F.array_distinct(segs)))
+           > MAX_DUP_SEGMENTS)
+        | (F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&")))
+           > MAX_PARAMS)
+        | (F.size(F.filter(segs, lambda x: x.rlike(r"^[0-9]+$")))
+           > MAX_NUMERIC_SEGMENTS)
+        | (F.length(url) > MAX_URL_LEN)
+    )
+    return candidates.filter(keep)

@@ -40,7 +40,8 @@ def duck():
      "text_bpe_tokens", "doc_winnow_fp", "sim_topk_cosine",
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
      "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
-     "graph_host_agg", "sitemap_parse", "sitemap_seeds"],
+     "graph_host_agg", "sitemap_parse", "sitemap_seeds",
+     "trap_signals"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
