@@ -847,6 +847,28 @@ def q_trap_signals(spark, sf):
     return url_trap_signals(urls)
 
 
+def q_o20_scored_topk(spark, sf):
+    """Priority-scored politeness budget (operators/politeness.py::
+    schedule_scored): per-host top-3 by a fixed-point rank signal, the
+    rank-aware frontier scheduling mode. Scores are deterministic
+    ((doc_id*37)%1000) so the oracle reproduces the ordering."""
+    from barkingowl_spark.operators.politeness import schedule_scored
+
+    d = _t(spark, sf, "documents")
+    due = d.select(
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("url_hash"),
+        F.col("doc_id").alias("discovery_idx"),
+        F.lit("s").alias("seed_url"),
+    )
+    scores = d.select(
+        F.col("doc_id").alias("url_hash"),
+        ((F.col("doc_id") * 37) % 1000).alias("score_fp"),
+    )
+    return schedule_scored(due, 3, scores).select(
+        "host", "url_hash", "discovery_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -867,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
+        "o20_scored_topk": q_o20_scored_topk,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1258,6 +1281,20 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.test/p'
                        || CAST(doc_id AS VARCHAR) AS loc
             FROM documents
+        """,
+        "o20_scored_topk": """
+            WITH due AS (
+                SELECT source AS host, doc_id AS url_hash,
+                       doc_id AS discovery_idx,
+                       (doc_id * 37) % 1000 AS score_fp
+                FROM documents),
+            r AS (
+                SELECT host, url_hash, discovery_idx,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY score_fp DESC, discovery_idx) AS rn
+                FROM due)
+            SELECT host, url_hash, discovery_idx FROM r WHERE rn <= 3
         """,
         "trap_signals": """
             WITH u AS (

@@ -45,6 +45,42 @@ def schedule_budget(
     )
 
 
+def schedule_scored(
+    due: DataFrame,
+    budget: int | None,
+    url_scores: DataFrame | None,
+    score_col: str = "score_fp",
+) -> DataFrame:
+    """Priority-scored top-B per host: within each host the budget goes
+    to the highest-scored URLs first (score desc, then the oracle's
+    (discovery_idx, seed_url) order as the deterministic tie-break).
+    ``url_scores`` is (url_hash, score_fp) — e.g. fixed-point PageRank
+    from operators/linkgraph.py over the discovered edge graph; unscored
+    URLs sort last (coalesce to long-min), so a cold-start frontier with
+    no rank yet behaves exactly like schedule_budget. Opt-in, like the
+    other non-oracle semantics (SURVEY §7.2).
+
+    Scale shape: url_scores is O(frontier), so the join is hinted
+    shuffle_hash (never a driver broadcast of a growing side — the same
+    rule as the seen anti-join); the window is per-host, bounded by the
+    budget's own skew cap."""
+    if url_scores is None:
+        return schedule_budget(due, budget)
+    scored = due.join(
+        url_scores.select("url_hash", score_col).hint("shuffle_hash"),
+        "url_hash", "left",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc_nulls_last(
+            F.coalesce(F.col(score_col), F.lit(-(1 << 62)))),
+        "discovery_idx", "seed_url",
+    )
+    d = scored.withColumn("_rn", F.row_number().over(w)).drop(score_col)
+    if budget is None:
+        return d.drop("_rn")
+    return d.filter(F.col("_rn") <= budget).drop("_rn")
+
+
 def robots_filter(links: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop links whose canonical path starts with a disallowed prefix.
 
