@@ -869,6 +869,44 @@ def q_o20_scored_topk(spark, sf):
         "host", "url_hash", "discovery_idx")
 
 
+def q_text_boilerplate(spark, sf):
+    """Per-host boilerplate stripping (operators/boilerplate.py) over
+    multi-line docs synthesized from documents: a nav header and a
+    copyright footer shared by every doc of a host (stripped) around the
+    doc's own text line (kept unless the host repeats it past the
+    threshold — the oracle runs the SAME relational rule, so exact-dup
+    fixture texts resolve identically)."""
+    from barkingowl_spark.operators.boilerplate import strip_boilerplate
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.concat(F.lit("nav "), F.col("source"), F.lit("\n"),
+                 F.col("text"), F.lit("\ncopyright "), F.col("source"))
+        .alias("text"),
+    )
+    return strip_boilerplate(d)
+
+
+def q_text_decontam(spark, sf):
+    """n-gram test-set decontamination (operators/decontam.py): the eval
+    set is synthesized deterministically from the corpus itself — every
+    doc_id % 37 == 5 document contributes a 9-token snippet (tokens
+    2..10), so those docs and their exact-dup siblings carry overlapping
+    5-grams while most of the corpus stays clean. Eval side is
+    distinct-reduced then broadcast; the corpus shingle explosion never
+    shuffles for the probe."""
+    from barkingowl_spark.operators.decontam import ngram_decontaminate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    ev = (
+        d.filter(F.col("doc_id") % 37 == 5)
+        .select(F.expr(f"concat_ws(' ', slice({toks}, 2, 9))")
+                .alias("text"))
+    )
+    return ngram_decontaminate(d, ev, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -890,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
         "o20_scored_topk": q_o20_scored_topk,
+        "text_boilerplate": q_text_boilerplate,
+        "text_decontam": q_text_decontam,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1281,6 +1321,88 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.test/p'
                        || CAST(doc_id AS VARCHAR) AS loc
             FROM documents
+        """,
+        "text_boilerplate": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'nav ' || source || chr(10) || text || chr(10)
+                           || 'copyright ' || source AS t
+                FROM documents),
+            lines0 AS (
+                SELECT doc_id, source,
+                       unnest(generate_series(
+                           1, len(string_split(t, chr(10))))) AS pos,
+                       unnest(string_split(t, chr(10))) AS rawl
+                FROM d),
+            lines AS (
+                SELECT doc_id, source, pos, trim(rawl) AS l
+                FROM lines0 WHERE trim(rawl) <> ''),
+            hn AS (SELECT source, count(DISTINCT doc_id) AS host_docs
+                   FROM d GROUP BY source),
+            ln AS (SELECT source, l, count(DISTINCT doc_id) AS n_docs
+                   FROM lines GROUP BY source, l),
+            bp AS (SELECT ln.source, ln.l
+                   FROM ln JOIN hn USING (source)
+                   WHERE n_docs >= 2
+                     AND n_docs * 1000000 >= 500000 * host_docs),
+            kept AS (
+                SELECT k.doc_id, k.pos, k.l
+                FROM lines k LEFT JOIN bp
+                  ON bp.source = k.source AND bp.l = k.l
+                WHERE bp.l IS NULL)
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.l, chr(10) ORDER BY k.pos), '')
+                       AS text_clean
+            FROM d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "text_decontam": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(toks[pos:pos+4], ' ') AS ngram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                                 AS pos
+                      FROM d WHERE len(toks) >= 5)),
+            ev AS (
+                SELECT array_to_string(toks[2:10], ' ') AS text
+                FROM d WHERE doc_id % 37 = 5),
+            evt AS (
+                SELECT list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS toks
+                FROM ev),
+            evg AS (
+                SELECT DISTINCT
+                       array_to_string(toks[pos:pos+4], ' ') AS ngram
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                                 AS pos
+                      FROM evt WHERE len(toks) >= 5)),
+            tot AS (
+                SELECT doc_id, count(*) AS total_ngrams
+                FROM grams GROUP BY doc_id),
+            hits AS (
+                SELECT doc_id, count(*) AS hit_ngrams
+                FROM grams
+                WHERE ngram IN (SELECT ngram FROM evg)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.total_ngrams, 0) AS total_ngrams,
+                   COALESCE(h.hit_ngrams, 0) AS hit_ngrams,
+                   CASE WHEN COALESCE(t.total_ngrams, 0) > 0
+                        THEN CAST(floor(COALESCE(h.hit_ngrams, 0)
+                                        * 1000000 / t.total_ngrams)
+                                  AS BIGINT)
+                        ELSE 0 END AS hit_ppm,
+                   COALESCE(h.hit_ngrams, 0) > 0 AS contaminated
+            FROM d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
         """,
         "o20_scored_topk": """
             WITH due AS (

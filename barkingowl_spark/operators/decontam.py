@@ -1,0 +1,95 @@
+"""Test-set decontamination — the n-gram overlap scan every LLM training
+pipeline runs before a corpus ships: any document sharing an n-gram with
+a held-out eval/benchmark set is flagged (and usually dropped), so the
+benchmark can't leak into training (GPT-3 App. C / PaLM-style 13-gram
+rule; n is a parameter — the sandbox fixtures use smaller n because the
+synthetic docs are short).
+
+Relational dataflow (integer-exact, so the DuckDB oracle runs the SAME
+rule): tokens = whitespace-split non-empty; a doc's n-grams are the
+size-n sliding windows joined by single spaces; a doc is contaminated
+iff any of its n-gram positions matches any distinct eval-set n-gram.
+Output is per-doc overlap stats in exact longs (no floats).
+
+Scale shape (100 TB corpus, 10^5..10^7 eval n-grams): the eval side is
+tiny and static — distinct-reduce it, then BROADCAST it; the corpus
+side then never shuffles for the probe (map-side hash lookup), and the
+per-doc re-aggregation is a partial-agg-friendly groupBy on doc_id,
+which parquet row-grouping already co-locates. The corpus-side explode
+is ×(tokens−n+1) rows but each row is (doc_id, ngram) — at real scale
+probe on xxhash64(ngram) to cut the row to 16 bytes (collisions only
+ever ADD a flagged doc, the safe direction for decontamination); the
+sandbox keeps the string so the oracle comparison is definitionally
+collision-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngrams(df: DataFrame, text_col: str, n: int):
+    """Column expr: array of space-joined n-grams of the whitespace
+    tokens of text_col (empty array when the doc has < n tokens)."""
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def eval_ngram_set(eval_df: DataFrame, n: int,
+                   text_col: str = "text") -> DataFrame:
+    """Distinct n-grams of the eval set — the (small) probe side."""
+    return (
+        eval_df.select(F.explode(_ngrams(eval_df, text_col, n))
+                       .alias("ngram"))
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc (doc_id, total_ngrams, hit_ngrams, hit_ppm, contaminated):
+    hit_ngrams counts n-gram POSITIONS whose gram is in the eval set
+    (repeats count — that is what share-of-doc contamination means),
+    hit_ppm = floor(hit*1e6/total) over longs, contaminated = any hit.
+    Docs shorter than n tokens have total 0 and are clean by definition.
+    """
+    grams = docs.select(
+        id_col,
+        F.posexplode_outer(_ngrams(docs, text_col, n))
+        .alias("pos", "ngram"),
+    )
+    evals = F.broadcast(eval_ngram_set(eval_df, n, text_col))
+    hits = grams.join(evals, "ngram", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("hit_ngrams"))
+    totals = grams.filter(F.col("ngram").isNotNull()) \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("hit_ngrams", F.lit(0)).alias("hit_ngrams"),
+            F.when(
+                F.coalesce("total_ngrams", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("hit_ngrams", F.lit(0)).cast("long")
+                    * F.lit(1_000_000)
+                    / F.col("total_ngrams")
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("hit_ppm"),
+            (F.coalesce("hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

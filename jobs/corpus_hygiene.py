@@ -7,6 +7,10 @@ crawl's document archive before training.
       [--jaccard-ppm 600000] [--langs en,de] [--min-tokens 20]
 
 Stages (each one shuffle, all native Catalyst — no UDFs):
+  0. optional boilerplate strip (--strip-boilerplate HOST_COL): per-host
+     repeated-line removal (operators/boilerplate.py) BEFORE hashing, so
+     two docs differing only in nav/footer chrome become exact dups in
+     stage 1 instead of slipping to (or past) the near-dup stage
   1. exact dedup      — md5(normalized text) groups, keeper = min doc_id
   2. near-dup         — MinHash-LSH band candidates (equi-join on band
                         keys, never all-pairs), then exact token-Jaccard
@@ -157,6 +161,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list, e.g. en,de")
     p.add_argument("--simhash-hamming", type=int, default=None)
+    p.add_argument("--strip-boilerplate", metavar="HOST_COL", default=None,
+                   help="strip per-host boilerplate lines (stage 0) "
+                        "using this host column, e.g. 'source'")
     p.add_argument("--transitive", action="store_true",
                    help="connected-components near-dup clusters instead "
                         "of greedy pair-drop")
@@ -165,6 +172,14 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
         .getOrCreate()
     docs = spark.read.parquet(args.documents)
+    if args.strip_boilerplate:
+        from barkingowl_spark.operators.boilerplate import (
+            strip_boilerplate,
+        )
+
+        cleaned = strip_boilerplate(docs, host_col=args.strip_boilerplate)
+        docs = docs.drop("text").join(
+            cleaned.withColumnRenamed("text_clean", "text"), "doc_id")
     decisions = hygiene_decisions(
         docs,
         jaccard_ppm=args.jaccard_ppm,

@@ -41,7 +41,8 @@ def duck():
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
      "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
      "graph_host_agg", "sitemap_parse", "sitemap_seeds",
-     "trap_signals", "o20_scored_topk"],
+     "trap_signals", "o20_scored_topk", "text_boilerplate",
+     "text_decontam"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
