@@ -907,6 +907,23 @@ def q_text_decontam(spark, sf):
     return ngram_decontaminate(d, ev, n=5)
 
 
+def q_text_paradedup(spark, sf):
+    """Corpus-global paragraph dedup (operators/paradedup.py): every
+    doc gets a 'shared intro <doc_id%7>' first line, so each of the 7
+    intro variants survives only in its lowest-doc_id carrier; the
+    fixture's exact-dup document texts likewise resolve to the first
+    (doc_id, pos) copy. One paragraph-partitioned window shuffle."""
+    from barkingowl_spark.operators.paradedup import paragraph_dedup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("shared intro "),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("\n"), F.col("text")).alias("text"),
+    )
+    return paragraph_dedup(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -930,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_scored_topk": q_o20_scored_topk,
         "text_boilerplate": q_text_boilerplate,
         "text_decontam": q_text_decontam,
+        "text_paradedup": q_text_paradedup,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1350,6 +1368,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM lines k LEFT JOIN bp
                   ON bp.source = k.source AND bp.l = k.l
                 WHERE bp.l IS NULL)
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.l, chr(10) ORDER BY k.pos), '')
+                       AS text_clean
+            FROM d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "text_paradedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       'shared intro ' || CAST(doc_id % 7 AS VARCHAR)
+                           || chr(10) || text AS t
+                FROM documents),
+            lines0 AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           1, len(string_split(t, chr(10))))) AS pos,
+                       unnest(string_split(t, chr(10))) AS rawl
+                FROM d),
+            lines AS (
+                SELECT doc_id, pos, trim(rawl) AS l
+                FROM lines0 WHERE trim(rawl) <> ''),
+            ranked AS (
+                SELECT doc_id, pos, l,
+                       row_number() OVER (
+                           PARTITION BY l ORDER BY doc_id, pos) AS rn
+                FROM lines),
+            kept AS (SELECT doc_id, pos, l FROM ranked WHERE rn = 1)
             SELECT d.doc_id,
                    COALESCE(string_agg(k.l, chr(10) ORDER BY k.pos), '')
                        AS text_clean
