@@ -924,6 +924,35 @@ def q_text_paradedup(spark, sf):
     return paragraph_dedup(d)
 
 
+def _mix_quotas(d):
+    """Deterministic per-host quota dim for the mix driver queries:
+    keep_ppm = 125000 * (1 + len(host) % 7), mirrored in the oracle."""
+    return d.select("source").distinct().select(
+        "source",
+        (F.lit(125_000) * (F.lit(1) + F.length("source") % 7))
+        .cast("long").alias("keep_ppm"),
+    )
+
+
+def q_mix_sample(spark, sf):
+    """Deterministic domain-mix sampling (operators/mix.py): per-host
+    keep quotas applied via a portable md5 draw — no RNG, oracle runs
+    the same draw. Broadcast quota dim; sampling is map-side only."""
+    from barkingowl_spark.operators.mix import mix_sample
+
+    d = _t(spark, sf, "documents")
+    return mix_sample(d, _mix_quotas(d))
+
+
+def q_mix_report(spark, sf):
+    """Achieved-mix rollup (operators/mix.py mix_report): per-host
+    total/kept/kept_ppm over the deterministic sample."""
+    from barkingowl_spark.operators.mix import mix_report, mix_sample
+
+    d = _t(spark, sf, "documents")
+    return mix_report(mix_sample(d, _mix_quotas(d)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -948,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_decontam": q_text_decontam,
         "text_paradedup": q_text_paradedup,
+        "mix_sample": q_mix_sample,
+        "mix_report": q_mix_report,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1400,6 +1431,45 @@ def oracle_sql() -> dict[str, str]:
                        AS text_clean
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        "mix_sample": """
+            WITH q AS (
+                SELECT DISTINCT source,
+                       125000 * (1 + length(source) % 7) AS keep_ppm
+                FROM documents),
+            d AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substring(
+                           md5(source || '#'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 1000000 AS u_ppm
+                FROM documents)
+            SELECT d.doc_id, d.source, d.u_ppm,
+                   d.u_ppm < q.keep_ppm AS keep
+            FROM d JOIN q USING (source)
+        """,
+        "mix_report": """
+            WITH q AS (
+                SELECT DISTINCT source,
+                       125000 * (1 + length(source) % 7) AS keep_ppm
+                FROM documents),
+            d AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substring(
+                           md5(source || '#'
+                               || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 1000000 AS u_ppm
+                FROM documents),
+            s AS (
+                SELECT d.source,
+                       CASE WHEN d.u_ppm < q.keep_ppm
+                            THEN 1 ELSE 0 END AS k
+                FROM d JOIN q USING (source))
+            SELECT source, count(*) AS total,
+                   CAST(sum(k) AS BIGINT) AS kept,
+                   CAST(floor(sum(k) * 1000000 / count(*)) AS BIGINT)
+                       AS kept_ppm
+            FROM s GROUP BY source
         """,
         "text_decontam": """
             WITH d AS (
