@@ -953,6 +953,33 @@ def q_mix_report(spark, sf):
     return mix_report(mix_sample(d, _mix_quotas(d)))
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style duplicate-line share (functions/repetition.py):
+    docs synthesized two-line — every doc_id % 3 == 0 doc repeats its
+    own text line (a planted within-doc dup), the rest get a unique
+    second line. Oracle runs the same per-(doc, line) counting."""
+    from barkingowl_spark.functions.repetition import line_repetition
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.lit("unique "),
+                                F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return line_repetition(d)
+
+
+def q_text_top_bigram(spark, sf):
+    """Top word-bigram share (functions/repetition.py) over the raw
+    documents text — natural token repeats make the signal vary."""
+    from barkingowl_spark.functions.repetition import top_bigram_share
+
+    return top_bigram_share(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -979,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paradedup": q_text_paradedup,
         "mix_sample": q_mix_sample,
         "mix_report": q_mix_report,
+        "text_repetition": q_text_repetition,
+        "text_top_bigram": q_text_top_bigram,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1431,6 +1460,78 @@ def oracle_sql() -> dict[str, str]:
                        AS text_clean
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        "text_repetition": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) ||
+                       CASE WHEN doc_id % 3 = 0 THEN text
+                            ELSE 'unique ' || CAST(doc_id AS VARCHAR)
+                       END AS t
+                FROM documents),
+            lines0 AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS rawl
+                FROM d),
+            lines AS (
+                SELECT doc_id, trim(rawl) AS l
+                FROM lines0 WHERE trim(rawl) <> ''),
+            pl AS (SELECT doc_id, l, count(*) AS n
+                   FROM lines GROUP BY doc_id, l),
+            pd AS (
+                SELECT doc_id,
+                       sum(n) AS total_lines,
+                       sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+                           AS dup_lines,
+                       sum(len(l) * n) AS total_chars,
+                       sum(CASE WHEN n > 1 THEN len(l) * n ELSE 0 END)
+                           AS dup_chars
+                FROM pl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(total_lines, 0) AS BIGINT)
+                       AS total_lines,
+                   CAST(COALESCE(dup_lines, 0) AS BIGINT) AS dup_lines,
+                   CASE WHEN COALESCE(total_lines, 0) > 0
+                        THEN CAST(floor(COALESCE(dup_lines, 0)
+                                        * 1000000 / total_lines)
+                                  AS BIGINT)
+                        ELSE 0 END AS dup_line_ppm,
+                   CASE WHEN COALESCE(total_chars, 0) > 0
+                        THEN CAST(floor(COALESCE(dup_chars, 0)
+                                        * 1000000 / total_chars)
+                                  AS BIGINT)
+                        ELSE 0 END AS dup_line_char_ppm
+            FROM d LEFT JOIN pd USING (doc_id)
+        """,
+        "text_top_bigram": """
+            WITH f AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           replace(text, chr(10), ' '), ' '),
+                           x -> x <> '') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(toks[i:i+1], ' ') AS bg
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1))
+                                 AS i
+                      FROM f WHERE len(toks) >= 2)),
+            pg AS (SELECT doc_id, bg, count(*) AS n
+                   FROM grams GROUP BY doc_id, bg),
+            pd AS (SELECT doc_id, sum(n) AS total_bigrams,
+                          max(n) AS top_bigram_n
+                   FROM pg GROUP BY doc_id)
+            SELECT f.doc_id,
+                   CAST(COALESCE(total_bigrams, 0) AS BIGINT)
+                       AS total_bigrams,
+                   CAST(COALESCE(top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n,
+                   CASE WHEN COALESCE(total_bigrams, 0) > 0
+                        THEN CAST(floor(COALESCE(top_bigram_n, 0)
+                                        * 1000000 / total_bigrams)
+                                  AS BIGINT)
+                        ELSE 0 END AS top_bigram_ppm
+            FROM f LEFT JOIN pd USING (doc_id)
         """,
         "mix_sample": """
             WITH q AS (
