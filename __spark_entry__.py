@@ -980,6 +980,43 @@ def q_text_top_bigram(spark, sf):
     return top_bigram_share(_t(spark, sf, "documents"))
 
 
+def _pii_docs(spark, sf):
+    """Spark twin of _pii_doc_sql(): every doc_id % 5 == 0 doc gets an
+    email token appended, % 5 == 1 a phone token, the rest 'clean'."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                         F.lit("@mail.test")),
+            ).when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit("+1-555"),
+                         (F.lit(1_000_000) + F.col("doc_id"))
+                         .cast("string")),
+            ).otherwise(F.lit("clean")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scan(spark, sf):
+    """Per-doc PII token counts (functions/pii.py) over a planted-PII
+    corpus — primitive-only predicates, no regex dialect risk."""
+    from barkingowl_spark.functions.pii import pii_scan
+
+    return pii_scan(_pii_docs(spark, sf))
+
+
+def q_pii_redact(spark, sf):
+    """Byte-exact PII masking (functions/pii.py redact): emails ->
+    <EMAIL>, phones -> <PHONE>, all other bytes identical."""
+    from barkingowl_spark.functions.pii import redact
+
+    return redact(_pii_docs(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1008,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "text_repetition": q_text_repetition,
         "text_top_bigram": q_text_top_bigram,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1214,6 +1253,80 @@ WITH h AS (
 )
 SELECT doc_id, {pred} AS pred_lang, ({pred}) = lang AS is_correct FROM h
 """
+
+
+def _pii_doc_sql() -> str:
+    """Planted-PII corpus shared by the pii_scan/pii_redact oracles."""
+    return """
+        SELECT doc_id, text || ' ' ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.test'
+                    WHEN doc_id % 5 = 1
+                    THEN '+1-555'
+                         || CAST(1000000 + doc_id AS VARCHAR)
+                    ELSE 'clean' END AS t
+        FROM documents"""
+
+
+def _pii_email_pred(t: str) -> str:
+    return (
+        f"(length({t}) - length(replace({t}, '@', '')) = 1"
+        f" AND length(split_part({t}, '@', 1)) >= 1"
+        f" AND length(split_part({t}, '@', 2)) >= 3"
+        f" AND split_part({t}, '@', 2) LIKE '%.%'"
+        f" AND NOT split_part({t}, '@', 2) LIKE '.%'"
+        f" AND NOT split_part({t}, '@', 2) LIKE '%.')"
+    )
+
+
+def _pii_phone_pred(t: str) -> str:
+    return (
+        f"(length(translate({t}, '+-()', '')) >= 7"
+        f" AND translate(translate({t}, '+-()', ''),"
+        f" '0123456789', '') = '')"
+    )
+
+
+def _pii_scan_sql() -> str:
+    email, phone = _pii_email_pred("x"), _pii_phone_pred("x")
+    return f"""
+        WITH d AS ({_pii_doc_sql()}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(
+                       replace(t, chr(10), ' '), ' '),
+                       x -> x <> '') AS tk
+            FROM d)
+        SELECT doc_id,
+               CAST(len(list_filter(tk, x -> {email})) AS BIGINT)
+                   AS email_tokens,
+               CAST(len(list_filter(tk,
+                        x -> NOT {email} AND {phone})) AS BIGINT)
+                   AS phone_tokens,
+               len(list_filter(tk, x -> {email})) > 0
+                   OR len(list_filter(tk,
+                          x -> NOT {email} AND {phone})) > 0
+                   AS has_pii
+        FROM toks
+    """
+
+
+def _pii_redact_sql() -> str:
+    email, phone = _pii_email_pred("t2"), _pii_phone_pred("t2")
+    return f"""
+        WITH d AS ({_pii_doc_sql()})
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   string_split(t, chr(10)), line ->
+                   array_to_string(list_transform(
+                       string_split(line, ' '), t2 ->
+                       CASE WHEN {email} THEN '<EMAIL>'
+                            WHEN {phone} THEN '<PHONE>'
+                            ELSE t2 END), ' ')), chr(10))
+                   AS text_redacted
+        FROM d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1461,6 +1574,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
         """,
+        "pii_scan": _pii_scan_sql(),
+        "pii_redact": _pii_redact_sql(),
         "text_repetition": """
             WITH d AS (
                 SELECT doc_id,
