@@ -27,11 +27,18 @@ MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // LSH_BANDS = 2
 
 
+def content_fp(text_col: str = "text") -> F.Column:
+    """md5 of whitespace-normalized text — THE content fingerprint,
+    shared by batch exact dedup and the streaming dedup stage so both
+    layers agree on what 'same document' means."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
 def exact_dup_groups(documents: DataFrame) -> DataFrame:
     """Exact dedup: md5-of-normalized-text groups; keeper = min doc_id."""
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     return (
-        documents.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        documents.select("doc_id", content_fp().alias("fp"))
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keep_id"),
