@@ -21,7 +21,20 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
                         (operators/components.py) for one-keeper-per-
                         cluster semantics
   3. quality gate     — stopword-ratio/length heuristic (textstats)
+  3b. optional repetition gate (--max-dup-line-ppm / --max-top-bigram-
+      ppm): Gopher-style within-doc repetition shares (functions/
+      repetition.py), reason 'repetitive'
+  3c. optional decontamination (--decontam EVAL_PARQUET [--decontam-n
+      13]): any doc sharing an n-gram with the eval set drops with
+      reason 'contaminated' (operators/decontam.py, broadcast probe)
   4. optional lang allow-list
+Post-decision output transforms (applied to kept/ only):
+  --redact-pii        mask email/phone tokens in the surviving text
+                      (functions/pii.py, byte-exact elsewhere)
+  --mix-quotas DIM    deterministic domain-mix downsampling of the
+                      survivors (operators/mix.py; DIM = parquet of
+                      (source, keep_ppm)); dropped count reported as
+                      'mix_sampled' in the stats line
 Outputs under --out:
   decisions/   (doc_id, keep BOOLEAN, reason STRING) for every input doc
   kept/        the surviving documents (all input columns)
@@ -50,6 +63,10 @@ def hygiene_decisions(
     langs: list[str] | None = None,
     transitive: bool = False,
     simhash_hamming: int | None = None,
+    max_dup_line_ppm: int | None = None,
+    max_top_bigram_ppm: int | None = None,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -126,6 +143,40 @@ def hygiene_decisions(
         .select("doc_id")
     )
 
+    # 3b. within-doc repetition gate (Gopher-style), reason 'repetitive'
+    rep_drop = None
+    if max_dup_line_ppm is not None or max_top_bigram_ppm is not None:
+        from barkingowl_spark.functions.repetition import (
+            line_repetition,
+            top_bigram_share,
+        )
+
+        parts = []
+        if max_dup_line_ppm is not None:
+            parts.append(
+                line_repetition(after_near)
+                .filter(F.col("dup_line_ppm") > max_dup_line_ppm)
+                .select("doc_id"))
+        if max_top_bigram_ppm is not None:
+            parts.append(
+                top_bigram_share(after_near)
+                .filter(F.col("top_bigram_ppm") > max_top_bigram_ppm)
+                .select("doc_id"))
+        rep_drop = parts[0] if len(parts) == 1 else \
+            parts[0].union(parts[1]).distinct()
+
+    # 3c. eval-set decontamination, reason 'contaminated'
+    contam_drop = None
+    if eval_docs is not None:
+        from barkingowl_spark.operators.decontam import (
+            ngram_decontaminate,
+        )
+
+        contam_drop = (
+            ngram_decontaminate(after_near, eval_docs, n=decontam_n)
+            .filter("contaminated").select("doc_id")
+        )
+
     # 4. language allow-list — strict gate: NULL (undetected) lang is NOT
     # on the allow-list, so it drops too (isin alone evaluates to NULL for
     # NULL lang and would silently keep those rows)
@@ -139,6 +190,7 @@ def hygiene_decisions(
     reason = F.lit(None).cast("string")
     for name, dropped in [
         ("lang", lang_drop), ("low_quality", quality_drop),
+        ("repetitive", rep_drop), ("contaminated", contam_drop),
         ("simhash_near", sim_drop),
         ("near_dup", near_drop), ("exact_dup", exact_drop),
     ]:
@@ -167,6 +219,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--transitive", action="store_true",
                    help="connected-components near-dup clusters instead "
                         "of greedy pair-drop")
+    p.add_argument("--max-dup-line-ppm", type=int, default=None,
+                   help="drop docs whose duplicate-line share exceeds "
+                        "this (reason 'repetitive')")
+    p.add_argument("--max-top-bigram-ppm", type=int, default=None,
+                   help="drop docs whose top-bigram share exceeds this "
+                        "(reason 'repetitive')")
+    p.add_argument("--decontam", metavar="EVAL_PARQUET", default=None,
+                   help="parquet of eval-set texts; docs sharing any "
+                        "n-gram drop (reason 'contaminated')")
+    p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="mask email/phone tokens in the kept/ output")
+    p.add_argument("--mix-quotas", metavar="DIM_PARQUET", default=None,
+                   help="parquet of (source, keep_ppm): deterministic "
+                        "domain-mix downsampling of the survivors")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
@@ -187,10 +254,32 @@ def main(argv: list[str] | None = None) -> None:
         langs=args.langs.split(",") if args.langs else None,
         transitive=args.transitive,
         simhash_hamming=args.simhash_hamming,
+        max_dup_line_ppm=args.max_dup_line_ppm,
+        max_top_bigram_ppm=args.max_top_bigram_ppm,
+        eval_docs=(spark.read.parquet(args.decontam)
+                   if args.decontam else None),
+        decontam_n=args.decontam_n,
     )
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")
     kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+
+    mix_dropped = 0
+    if args.mix_quotas:
+        from barkingowl_spark.operators.mix import mix_sample
+
+        quotas = spark.read.parquet(args.mix_quotas)
+        verdicts = mix_sample(kept, quotas).select("doc_id", "keep") \
+            .withColumnRenamed("keep", "_mix_keep")
+        kept = kept.join(verdicts, "doc_id")
+        mix_dropped = kept.filter(~F.col("_mix_keep")).count()
+        kept = kept.filter("_mix_keep").drop("_mix_keep")
+    if args.redact_pii:
+        from barkingowl_spark.functions.pii import redact
+
+        kept = kept.drop("text").join(
+            redact(kept).withColumnRenamed("text_redacted", "text"),
+            "doc_id")
     kept.write.mode("overwrite").parquet(f"{args.out}/kept")
 
     by_reason = {
@@ -198,9 +287,11 @@ def main(argv: list[str] | None = None) -> None:
         for r in decisions.filter(~F.col("keep"))
         .groupBy("reason").agg(F.count("*").alias("n")).collect()
     }
+    if mix_dropped:
+        by_reason["mix_sampled"] = mix_dropped
     print(json.dumps({
         "input_docs": docs.count(),
-        "kept_docs": decisions.filter("keep").count(),
+        "kept_docs": decisions.filter("keep").count() - mix_dropped,
         "dropped": by_reason,
     }))
 

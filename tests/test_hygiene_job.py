@@ -89,3 +89,81 @@ def test_simhash_second_detector(spark):
     assert base[6] is None                  # slips past strict Jaccard
     assert with_sim[6] == "simhash_near"    # caught by the 64-bit pass
     assert with_sim[0] is None              # keeper survives
+
+
+SPARK_TEXT = (
+    "spark shuffle partitions behave adaptively when the optimizer "
+    "re-plans skewed joins at runtime and the scheduler pipelines "
+    "narrow stages into a single pass over the scanned data today"
+)
+
+
+def _mini(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_repetition_gate(spark):
+    """--max-dup-line-ppm: a quality-passing doc that repeats its own
+    line drops with reason 'repetitive' only when the gate is on."""
+    rep = SPARK_TEXT + "\n" + SPARK_TEXT
+    docs = _mini(spark, [(0, GOOD, "en", "s0", 1),
+                         (7, rep, "en", "s7", 1)])
+    off = {r["doc_id"]: r["reason"]
+           for r in hygiene_decisions(docs).collect()}
+    on = {r["doc_id"]: r["reason"]
+          for r in hygiene_decisions(
+              docs, max_dup_line_ppm=500_000).collect()}
+    assert off[7] is None
+    assert on[7] == "repetitive" and on[0] is None
+
+
+def test_decontam_gate(spark):
+    """--decontam: a doc sharing a 5-gram with the eval set drops with
+    reason 'contaminated'; disjoint docs survive."""
+    docs = _mini(spark, [(0, GOOD, "en", "s0", 1),
+                         (5, SPARK_TEXT, "en", "s5", 1)])
+    ev = spark.createDataFrame(
+        [("the city council met on",)], "text string")
+    got = {r["doc_id"]: r["reason"]
+           for r in hygiene_decisions(
+               docs, eval_docs=ev, decontam_n=5).collect()}
+    assert got[0] == "contaminated"
+    assert got[5] is None
+
+
+def test_main_end_to_end_with_mix_and_redaction(spark, tmp_path, capsys):
+    """The spark-submit surface: decisions + kept outputs, deterministic
+    mix downsampling (keep_ppm=0 kills a whole host) and PII redaction
+    applied to the surviving text only."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    docs = _mini(spark, [
+        (0, GOOD + " mail bob@example.com ok", "en", "hostA", 1),
+        (5, SPARK_TEXT, "en", "hostB", 1),
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(
+        [("hostA", 1_000_000), ("hostB", 0)],
+        "source string, keep_ppm long",
+    ).write.parquet(str(tmp_path / "quotas"))
+
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1",
+          "--redact-pii",
+          "--mix-quotas", str(tmp_path / "quotas")])
+
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == 2
+    assert stats["kept_docs"] == 1
+    assert stats["dropped"].get("mix_sampled") == 1
+
+    kept = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+    assert "<EMAIL>" in kept[0]["text"]
+    assert "bob@example.com" not in kept[0]["text"]
