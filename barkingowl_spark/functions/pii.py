@@ -54,12 +54,19 @@ def pii_scan(docs: DataFrame, id_col: str = "doc_id",
     toks = "filter(split(t0, ' '), x -> x <> '')"
     email = _EMAIL_PRED.format(t="x")
     phone = _PHONE_PRED.format(t="x")
+    # NULL text scans as 0/0/False (a doc with no text has no PII);
+    # redact() instead preserves NULL -> NULL (no text to mask)
     counted = flat.select(
         id_col,
-        F.expr(f"size(filter({toks}, x -> {email}))")
-        .cast("long").alias("email_tokens"),
-        F.expr(f"size(filter({toks}, x -> NOT {email} AND {phone}))")
-        .cast("long").alias("phone_tokens"),
+        F.coalesce(
+            F.expr(f"size(filter({toks}, x -> {email}))").cast("long"),
+            F.lit(0),
+        ).alias("email_tokens"),
+        F.coalesce(
+            F.expr(f"size(filter({toks}, x -> NOT {email} AND {phone}))")
+            .cast("long"),
+            F.lit(0),
+        ).alias("phone_tokens"),
     )
     return counted.select(
         id_col, "email_tokens", "phone_tokens",

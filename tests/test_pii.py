@@ -17,6 +17,7 @@ DOCS = [
     # exactly-7-digit phone at the boundary; 6 digits is not a phone
     (3, "call 5551234 not 555123"),
     (4, ""),
+    (5, None),   # NULL text: scans clean, redacts to NULL
 ]
 
 
@@ -34,6 +35,7 @@ def test_scan_planted(spark):
         2: (0, 0, False),
         3: (0, 1, True),
         4: (0, 0, False),
+        5: (0, 0, False),
     }
 
 
@@ -45,6 +47,7 @@ def test_redact_planted(spark):
     assert got[2] == DOCS[2][1]          # whitespace byte-identical
     assert got[3] == "call <PHONE> not 555123"
     assert got[4] == ""
+    assert got[5] is None
 
 
 def test_redaction_is_shuffle_free(spark):
