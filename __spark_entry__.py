@@ -1017,6 +1017,27 @@ def q_pii_redact(spark, sf):
     return redact(_pii_docs(spark, sf))
 
 
+def q_shard_assign(spark, sf):
+    """Deterministic training-shard assignment (operators/shards.py):
+    pure map-side md5 draw, no shuffle; oracle runs the same draw."""
+    from barkingowl_spark.operators.shards import assign_shards
+
+    return assign_shards(
+        _t(spark, sf, "documents").select("doc_id"), 16)
+
+
+def q_shard_manifest(spark, sf):
+    """Per-shard audit manifest (operators/shards.py): doc/token counts
+    plus an order-independent bit_xor content fingerprint."""
+    from barkingowl_spark.operators.shards import (
+        assign_shards,
+        shard_manifest,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return shard_manifest(assign_shards(d, 16))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1047,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigram": q_text_top_bigram,
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
+        "shard_assign": q_shard_assign,
+        "shard_manifest": q_shard_manifest,
         "o18_bfs_order": q_o18_bfs_order,
         "o19_first_discovery": q_o19_first_discovery,
         "o20_politeness_topk": q_o20_politeness_topk,
@@ -1576,6 +1599,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scan": _pii_scan_sql(),
         "pii_redact": _pii_redact_sql(),
+        "shard_assign": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substring(
+                       md5('shard#' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 16 AS INTEGER) AS shard_id
+            FROM documents
+        """,
+        "shard_manifest": """
+            WITH a AS (
+                SELECT doc_id, text,
+                       CAST(CAST(('0x' || substring(
+                           md5('shard#' || CAST(doc_id AS VARCHAR)),
+                           1, 15)) AS BIGINT) % 16 AS INTEGER)
+                           AS shard_id
+                FROM documents)
+            SELECT shard_id,
+                   count(*) AS docs,
+                   CAST(sum(COALESCE(len(list_filter(
+                       string_split(text, ' '), x -> x <> '')), 0))
+                       AS BIGINT) AS tokens,
+                   bit_xor(CAST(('0x' || substring(
+                       md5('doc#' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT)) AS content_fp
+            FROM a GROUP BY shard_id
+        """,
         "text_repetition": """
             WITH d AS (
                 SELECT doc_id,

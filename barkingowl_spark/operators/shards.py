@@ -1,0 +1,72 @@
+"""Deterministic training-shard assignment — the export step between a
+cleaned corpus and a training run: every document goes to exactly one
+of N shards, chosen by a content-independent portable hash of its id,
+so the sharding is reproducible bit-for-bit across runs, engines, and
+cluster sizes (the same determinism contract as operators/mix.py — a
+re-export after adding one document moves ONLY that document).
+
+shard_id = (low 60 bits of md5('shard#' || doc_id)) mod n_shards. The
+'shard#' salt decorrelates the draw from mix.py's (host, doc_id) draw
+and any other id-keyed decision. md5-hex -> bigint is the repo's
+portable-hash idiom; DuckDB reproduces it exactly.
+
+The manifest is the auditable unit: per-shard doc count, whitespace
+token count, and an order-independent content fingerprint — bit_xor of
+each member's md5-low-60 of its id (XOR commutes and never overflows,
+so the fingerprint is stable under any row order and any shard size).
+Two exports agree iff their manifests agree; it is a drift detector,
+not a cryptographic commitment (XOR of a set is forgeable).
+
+Scale shape (10^10 docs): assignment is a map-side expression (no
+shuffle); the export's one shuffle is repartition(n_shards, shard_id)
+— uniform by construction (md5 on unique ids) — and the manifest is a
+groupBy(shard_id) with map-side combine into n_shards rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(key) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def assign_shards(docs: DataFrame, n_shards: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Input columns + shard_id in [0, n_shards)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.concat(F.lit("shard#"), F.col(id_col).cast("string"))
+    return docs.withColumn(
+        "shard_id", (_h60(key) % F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(assigned: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(shard_id, docs, tokens, content_fp): the audit row per shard.
+    tokens = whitespace tokens of text_col (0 for NULL text);
+    content_fp = bit_xor of md5-low-60('doc#' || id) over members —
+    order-independent, so any two equal shards fingerprint equally."""
+    tok = F.coalesce(
+        F.size(F.expr(
+            f"filter(split({text_col}, ' '), x -> x <> '')"
+        )).cast("long"),
+        F.lit(0),
+    )
+    member_fp = _h60(F.concat(F.lit("doc#"),
+                              F.col(id_col).cast("string")))
+    return (
+        assigned
+        .withColumn("_tok", tok)
+        .withColumn("_mfp", member_fp)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_tok").alias("tokens"),
+            F.expr("bit_xor(_mfp)").alias("content_fp"),
+        )
+    )

@@ -43,7 +43,8 @@ def duck():
      "graph_host_agg", "sitemap_parse", "sitemap_seeds",
      "trap_signals", "o20_scored_topk", "text_boilerplate",
      "text_decontam", "text_paradedup", "mix_sample", "mix_report",
-     "text_repetition", "text_top_bigram", "pii_scan", "pii_redact"],
+     "text_repetition", "text_top_bigram", "pii_scan", "pii_redact",
+     "shard_assign", "shard_manifest"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
