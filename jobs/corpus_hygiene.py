@@ -89,10 +89,21 @@ def hygiene_decisions(
 
     ids = docs.select("doc_id")
 
+    # Each drop-id set below is consumed 2-3 times (the next stage's
+    # anti-join + the final label union). They are TINY (ids of dropped
+    # docs), but their lineage is the expensive detection chain — and
+    # Catalyst does not exchange-reuse across the differently-pruned
+    # consumers (measured: verify subtree planned 2x, 0 ReusedExchange).
+    # persist() pins each set so every detector runs exactly once; the
+    # corpus itself is never cached (at 10^10 docs re-scanning parquet
+    # is the designed trade, caching it is not an option).
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.persist()
+
     # 1. exact duplicates: every doc whose fp-group keeper is not itself
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     fps = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
-    exact_drop = (
+    exact_drop = _pin(
         fps.join(exact_dup_groups(docs), "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
@@ -118,6 +129,7 @@ def hygiene_decisions(
         near_drop = (
             pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         )
+    near_drop = _pin(near_drop)
 
     # 2b. optional second near-dup detector: 64-bit SimHash hamming<=H
     sim_drop = None
@@ -127,7 +139,7 @@ def hygiene_decisions(
         )
 
         remaining = survivors.join(near_drop, "doc_id", "left_anti")
-        sim_drop = (
+        sim_drop = _pin(
             simhash64_near_pairs(remaining, max_hamming=simhash_hamming)
             .select(F.col("doc_b").alias("doc_id")).distinct()
         )
@@ -187,20 +199,32 @@ def hygiene_decisions(
         if langs else None
     )
 
-    reason = F.lit(None).cast("string")
-    for name, dropped in [
-        ("lang", lang_drop), ("low_quality", quality_drop),
-        ("repetitive", rep_drop), ("contaminated", contam_drop),
+    # label assembly: ONE union of the (sparse) drop sets + a min-
+    # priority agg + ONE join back to ids — not a left join per stage
+    # (a doc can sit in several drop sets; the lowest priority number =
+    # the earliest pipeline stage wins, same precedence as before)
+    ranked = [
+        ("exact_dup", exact_drop), ("near_dup", near_drop),
         ("simhash_near", sim_drop),
-        ("near_dup", near_drop), ("exact_dup", exact_drop),
-    ]:
-        if dropped is None:
-            continue
-        flagged = dropped.withColumn(f"_{name}", F.lit(True))
-        ids = ids.join(flagged, "doc_id", "left")
-        reason = F.when(F.col(f"_{name}"), F.lit(name)).otherwise(reason)
-    return ids.select(
-        "doc_id", reason.isNull().alias("keep"), reason.alias("reason")
+        ("contaminated", contam_drop), ("repetitive", rep_drop),
+        ("low_quality", quality_drop), ("lang", lang_drop),
+    ]
+    branches = [
+        d.select("doc_id", F.lit(prio).alias("_prio"),
+                 F.lit(name).alias("reason"))
+        for prio, (name, d) in enumerate(ranked) if d is not None
+    ]
+    dropped = branches[0]
+    for b in branches[1:]:
+        dropped = dropped.unionByName(b)
+    best = (
+        dropped.groupBy("doc_id")
+        .agg(F.min_by("reason", "_prio").alias("reason"))
+    )
+    return ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("reason").isNull().alias("keep"),
+        "reason",
     )
 
 
