@@ -11,6 +11,10 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
      repeated-line removal (operators/boilerplate.py) BEFORE hashing, so
      two docs differing only in nav/footer chrome become exact dups in
      stage 1 instead of slipping to (or past) the near-dup stage
+  0b. optional incremental gate (--prior KEPT_PARQUET): docs whose
+      content fingerprint already exists in a PRIOR run's kept/ output
+      drop first with reason 'prior_dup' — the re-run path: only new
+      content flows into the in-batch stages below
   1. exact dedup      — md5(normalized text) groups, keeper = min doc_id
   2. near-dup         — MinHash-LSH band candidates (equi-join on band
                         keys, never all-pairs), then exact token-Jaccard
@@ -67,6 +71,7 @@ def hygiene_decisions(
     max_top_bigram_ppm: int | None = None,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
+    prior_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -100,15 +105,26 @@ def hygiene_decisions(
     def _pin(df: DataFrame) -> DataFrame:
         return df.persist()
 
+    from barkingowl_spark.operators.corpus_dedup import content_fp
+
+    fps = docs.select("doc_id", content_fp().alias("fp"))
+
+    # 0b. incremental: content already kept by a prior run drops first
+    prior_drop = None
+    remaining = docs
+    if prior_docs is not None:
+        prior_fps = prior_docs.select(content_fp().alias("fp")).distinct()
+        prior_drop = _pin(
+            fps.join(prior_fps, "fp", "left_semi").select("doc_id"))
+        remaining = docs.join(prior_drop, "doc_id", "left_anti")
+
     # 1. exact duplicates: every doc whose fp-group keeper is not itself
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-    fps = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
     exact_drop = _pin(
-        fps.join(exact_dup_groups(docs), "fp")
+        fps.join(exact_dup_groups(remaining), "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
-    survivors = docs.join(exact_drop, "doc_id", "left_anti")
+    survivors = remaining.join(exact_drop, "doc_id", "left_anti")
 
     # 2. near-duplicates among exact-survivors: LSH candidates, verified
     # by exact token-Jaccard on only those pairs; then either drop the
@@ -204,6 +220,7 @@ def hygiene_decisions(
     # (a doc can sit in several drop sets; the lowest priority number =
     # the earliest pipeline stage wins, same precedence as before)
     ranked = [
+        ("prior_dup", prior_drop),
         ("exact_dup", exact_drop), ("near_dup", near_drop),
         ("simhash_near", sim_drop),
         ("contaminated", contam_drop), ("repetitive", rep_drop),
@@ -255,6 +272,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument("--redact-pii", action="store_true",
                    help="mask email/phone tokens in the kept/ output")
+    p.add_argument("--prior", metavar="KEPT_PARQUET", default=None,
+                   help="a prior run's kept/ output: docs whose content "
+                        "fingerprint already exists there drop with "
+                        "reason 'prior_dup' (incremental re-run)")
     p.add_argument("--mix-quotas", metavar="DIM_PARQUET", default=None,
                    help="parquet of (source, keep_ppm): deterministic "
                         "domain-mix downsampling of the survivors")
@@ -283,6 +304,8 @@ def main(argv: list[str] | None = None) -> None:
         eval_docs=(spark.read.parquet(args.decontam)
                    if args.decontam else None),
         decontam_n=args.decontam_n,
+        prior_docs=(spark.read.parquet(args.prior)
+                    if args.prior else None),
     )
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")

@@ -134,6 +134,26 @@ def test_decontam_gate(spark):
     assert got[5] is None
 
 
+def test_incremental_prior_gate(spark):
+    """--prior: content already kept by an earlier run drops first with
+    reason 'prior_dup' (even whitespace-variant copies — shared
+    content_fp normalization); genuinely new content still runs the
+    in-batch stages, including exact dedup among the new docs."""
+    prior = _mini(spark, [(100, GOOD, "en", "p0", 1)]).select("text")
+    batch = _mini(spark, [
+        (0, GOOD, "en", "s0", 1),              # prior dup (exact)
+        (1, "  " + GOOD + " ", "en", "s1", 1),  # prior dup (ws variant)
+        (2, SPARK_TEXT, "en", "s2", 1),         # new -> kept
+        (3, SPARK_TEXT, "en", "s3", 1),         # in-batch exact dup of 2
+    ])
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in hygiene_decisions(batch, prior_docs=prior).collect()}
+    assert got[0] == (False, "prior_dup")
+    assert got[1] == (False, "prior_dup")
+    assert got[2] == (True, None)
+    assert got[3] == (False, "exact_dup")
+
+
 def test_main_end_to_end_with_mix_and_redaction(spark, tmp_path, capsys):
     """The spark-submit surface: decisions + kept outputs, deterministic
     mix downsampling (keep_ppm=0 kills a whole host) and PII redaction
