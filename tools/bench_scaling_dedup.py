@@ -12,8 +12,8 @@ tools/cpu_control.py LO HI 3` FIRST and use a pair whose no-Spark
 ceiling is >= 0.9 (host-instance-dependent; changes across reboots).
 
 Corpus: deterministic, generated IN Spark and cached under /tmp —
-BOW_DEDUP_DOCS (default 60k) docs of BOW_DEDUP_TOKENS (default 200)
-pseudo-random vocab words; every 10th doc is a one-token-changed
+BOW_DEDUP_DOCS docs (default 240k — the size BENCH/BASELINE.md
+documents) of BOW_DEDUP_TOKENS (default 200) pseudo-random vocab words; every 10th doc is a one-token-changed
 near-dup of its predecessor, every 23rd an exact dup two back, and
 every 11th token is a stopword so the quality gate sees realistic
 ratios. Workload is md5-dominated (8 minhash seeds x ~198 shingles per
@@ -42,12 +42,18 @@ from pyspark.sql import functions as F
 from barkingowl_spark.session import get_spark
 
 cpus = int(sys.argv[1])
-docs = int(os.environ.get("BOW_DEDUP_DOCS", "60000"))
+docs = int(os.environ.get("BOW_DEDUP_DOCS", "240000"))
 tokens = int(os.environ.get("BOW_DEDUP_TOKENS", "200"))
 vocab = int(os.environ.get("BOW_DEDUP_VOCAB", "50000"))
 
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus * 2,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               # the corpus is a few hundred MB: the
+                               # 128MB default would coalesce the scan
+                               # to a handful of partitions and
+                               # serialize the map-side minhash md5
+                               "spark.sql.files.maxPartitionBytes":
+                                   str(2 * 1024 * 1024)}})
 spark.sparkContext.setLogLevel("ERROR")
 
 path = f"/tmp/bowspark_dedup_{{docs}}_{{tokens}}_{{vocab}}.parquet"
