@@ -75,15 +75,27 @@ def strip_boilerplate(
     host_col: str = "source",
     threshold_ppm: int = THRESHOLD_PPM,
     min_docs: int = MIN_DOCS,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """(id, text_clean): each document with its host's boilerplate lines
     removed, survivors in original order. Documents whose every line is
-    boilerplate (or empty) come back as ''."""
+    boilerplate (or empty) come back as ''.
+
+    join_on_hash=True is the corpus-scale path: the anti-join carries
+    (host, xxhash64(line)) instead of the line string, cutting shuffle
+    width; a 64-bit collision strips one extra line of one host — noise
+    at corpus scale, but the sandbox default keeps the string so the
+    oracle comparison is collision-free."""
     lines = _lines(docs, id_col, text_col, host_col)
     bp = boilerplate_lines(
         docs, id_col, text_col, host_col, threshold_ppm, min_docs
     ).select(host_col, "l")
-    kept = lines.join(bp, [host_col, "l"], "left_anti")
+    if join_on_hash:
+        lines = lines.withColumn("lh", F.xxhash64("l"))
+        bp = bp.select(host_col, F.xxhash64("l").alias("lh"))
+        kept = lines.join(bp, [host_col, "lh"], "left_anti").drop("lh")
+    else:
+        kept = lines.join(bp, [host_col, "l"], "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -57,19 +57,34 @@ def ngram_decontaminate(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    probe_on_hash: bool = False,
 ) -> DataFrame:
     """Per-doc (doc_id, total_ngrams, hit_ngrams, hit_ppm, contaminated):
     hit_ngrams counts n-gram POSITIONS whose gram is in the eval set
     (repeats count — that is what share-of-doc contamination means),
     hit_ppm = floor(hit*1e6/total) over longs, contaminated = any hit.
     Docs shorter than n tokens have total 0 and are clean by definition.
-    """
+
+    probe_on_hash=True is the corpus-scale path: the probe carries
+    xxhash64(ngram) (8 bytes) instead of the n-gram string (~100 bytes
+    at n=13) through the broadcast and the join — a 64-bit collision
+    can only ADD a flagged doc, the safe direction for decontamination.
+    The sandbox default keeps strings so the DuckDB oracle comparison
+    is definitionally collision-free."""
     grams = docs.select(
         id_col,
         F.posexplode_outer(_ngrams(docs, text_col, n))
         .alias("pos", "ngram"),
     )
-    evals = F.broadcast(eval_ngram_set(eval_df, n, text_col))
+    evals = eval_ngram_set(eval_df, n, text_col)
+    if probe_on_hash:
+        grams = grams.withColumn(
+            "ngram_h",
+            F.when(F.col("ngram").isNotNull(),
+                   F.xxhash64("ngram"))).drop("ngram") \
+            .withColumnRenamed("ngram_h", "ngram")
+        evals = evals.select(F.xxhash64("ngram").alias("ngram"))
+    evals = F.broadcast(evals)
     hits = grams.join(evals, "ngram", "left_semi") \
         .groupBy(id_col).agg(F.count(F.lit(1)).alias("hit_ngrams"))
     totals = grams.filter(F.col("ngram").isNotNull()) \

@@ -34,9 +34,16 @@ def paragraph_first_occurrence(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shuffle_on_hash: bool = False,
 ) -> DataFrame:
     """(id, pos, l, is_first) for every trimmed non-empty paragraph;
-    is_first marks the corpus-global (doc_id, pos)-order first copy."""
+    is_first marks the corpus-global (doc_id, pos)-order first copy.
+
+    shuffle_on_hash=True is the corpus-scale path: the window
+    partitions on xxhash64(paragraph) so the shuffle carries an 8-byte
+    key instead of the paragraph string; a 64-bit collision merges two
+    paragraphs (the extra copy drops — the safe direction for dedup).
+    Sandbox default keeps the string for a collision-free oracle."""
     lines = (
         docs.select(
             id_col,
@@ -47,7 +54,8 @@ def paragraph_first_occurrence(
         .filter(F.col("l") != "")
         .drop("rawl")
     )
-    w = Window.partitionBy("l").orderBy(id_col, "pos")
+    key = F.xxhash64("l") if shuffle_on_hash else F.col("l")
+    w = Window.partitionBy(key).orderBy(id_col, "pos")
     return lines.withColumn(
         "is_first", F.row_number().over(w) == F.lit(1))
 
@@ -56,11 +64,12 @@ def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shuffle_on_hash: bool = False,
 ) -> DataFrame:
     """(id, text_clean): documents rewritten with only first-occurrence
     paragraphs, original order preserved; fully-duplicated docs -> ''."""
-    kept = paragraph_first_occurrence(docs, id_col, text_col) \
-        .filter("is_first")
+    kept = paragraph_first_occurrence(
+        docs, id_col, text_col, shuffle_on_hash).filter("is_first")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
