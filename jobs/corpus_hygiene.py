@@ -72,6 +72,7 @@ def hygiene_decisions(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     prior_docs: DataFrame | None = None,
+    scale_keys: bool = False,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -201,7 +202,8 @@ def hygiene_decisions(
         )
 
         contam_drop = (
-            ngram_decontaminate(after_near, eval_docs, n=decontam_n)
+            ngram_decontaminate(after_near, eval_docs, n=decontam_n,
+                                probe_on_hash=scale_keys)
             .filter("contaminated").select("doc_id")
         )
 
@@ -270,6 +272,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet of eval-set texts; docs sharing any "
                         "n-gram drop (reason 'contaminated')")
     p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument("--scale-keys", action="store_true",
+                   help="use the 8-byte xxhash64 key variants for the "
+                        "boilerplate anti-join and the decontamination "
+                        "probe (cuts shuffle width at corpus scale; "
+                        "2^-64 collisions only ever DROP/FLAG an extra "
+                        "doc, never keep a duplicate)")
     p.add_argument("--redact-pii", action="store_true",
                    help="mask email/phone tokens in the kept/ output")
     p.add_argument("--prior", metavar="KEPT_PARQUET", default=None,
@@ -289,7 +297,8 @@ def main(argv: list[str] | None = None) -> None:
             strip_boilerplate,
         )
 
-        cleaned = strip_boilerplate(docs, host_col=args.strip_boilerplate)
+        cleaned = strip_boilerplate(docs, host_col=args.strip_boilerplate,
+                                    join_on_hash=args.scale_keys)
         docs = docs.drop("text").join(
             cleaned.withColumnRenamed("text_clean", "text"), "doc_id")
     decisions = hygiene_decisions(
@@ -306,6 +315,7 @@ def main(argv: list[str] | None = None) -> None:
         decontam_n=args.decontam_n,
         prior_docs=(spark.read.parquet(args.prior)
                     if args.prior else None),
+        scale_keys=args.scale_keys,
     )
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")
@@ -341,6 +351,9 @@ def main(argv: list[str] | None = None) -> None:
         "kept_docs": decisions.filter("keep").count() - mix_dropped,
         "dropped": by_reason,
     }))
+    # the decision DAG pinned its drop-id sets (persist); outputs are
+    # on disk now, so release executor memory before the app moves on
+    spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

@@ -132,6 +132,12 @@ def test_decontam_gate(spark):
                docs, eval_docs=ev, decontam_n=5).collect()}
     assert got[0] == "contaminated"
     assert got[5] is None
+    # --scale-keys (hashed probe) must decide identically
+    hashed = {r["doc_id"]: r["reason"]
+              for r in hygiene_decisions(
+                  docs, eval_docs=ev, decontam_n=5,
+                  scale_keys=True).collect()}
+    assert hashed == got
 
 
 def test_incremental_prior_gate(spark):
