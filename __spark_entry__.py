@@ -898,7 +898,7 @@ def q_text_decontam(spark, sf):
     from barkingowl_spark.operators.decontam import ngram_decontaminate
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = "filter(split(text, ' '), x -> x <> '')"
+    toks = "filter(split(translate(text, '\\n', ' '), ' '), x -> x <> '')"
     ev = (
         d.filter(F.col("doc_id") % 37 == 5)
         .select(F.expr(f"concat_ws(' ', slice({toks}, 2, 9))")
@@ -1738,8 +1738,9 @@ def oracle_sql() -> dict[str, str]:
         "text_decontam": """
             WITH d AS (
                 SELECT doc_id,
-                       list_filter(string_split(text, ' '),
-                                   x -> x <> '') AS toks
+                       list_filter(string_split(
+                           replace(text, chr(10), ' '), ' '),
+                           x -> x <> '') AS toks
                 FROM documents),
             grams AS (
                 SELECT doc_id,

@@ -31,8 +31,11 @@ from pyspark.sql import functions as F
 
 def _ngrams(df: DataFrame, text_col: str, n: int):
     """Column expr: array of space-joined n-grams of the whitespace
-    tokens of text_col (empty array when the doc has < n tokens)."""
-    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    tokens of text_col (empty array when the doc has < n tokens).
+    Newlines are token separators too — an n-gram SPANS line breaks
+    (an eval snippet reflowed across lines must still match)."""
+    toks = (f"filter(split(translate({text_col}, '\\n', ' '), ' '), "
+            "x -> x <> '')")
     return F.expr(
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n} + 1), "

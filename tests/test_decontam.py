@@ -22,6 +22,8 @@ DOCS = [
     (3, "b c"),
     # doc 4: multi-space runs collapse (empty tokens dropped) -> hit
     (4, "q  b   c  d"),
+    # doc 5: the eval gram SPANS a line break -> still a hit
+    (5, "b c\nd e"),
 ]
 EVAL = [(100, "b c d"), (101, "zz zz zz")]
 
@@ -51,6 +53,7 @@ def test_decontaminate_planted(spark):
         2: (3, 0, 0, False),
         3: (0, 0, 0, False),
         4: (2, 1, 500_000, True),
+        5: (2, 1, 500_000, True),
     }
 
 
