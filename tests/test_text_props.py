@@ -152,6 +152,82 @@ def test_line_repetition_matches_reference(spark, seed):
     assert got == ref_line_repetition(docs)
 
 
+def ref_top_bigram(docs):
+    from collections import Counter
+    out = {}
+    for i, _, text in docs:
+        toks = [t for t in text.replace("\n", " ").split(" ") if t]
+        c = Counter(" ".join(toks[j:j + 2])
+                    for j in range(len(toks) - 1))
+        total = sum(c.values())
+        top = max(c.values()) if c else 0
+        out[i] = (total, top,
+                  top * 1_000_000 // total if total else 0)
+    return out
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_top_bigram_matches_reference(spark, seed):
+    from barkingowl_spark.functions.repetition import top_bigram_share
+
+    docs = _rand_corpus(seed)
+    got = {r["doc_id"]: (r["total_bigrams"], r["top_bigram_n"],
+                         r["top_bigram_ppm"])
+           for r in top_bigram_share(
+               _df(spark, docs).select("doc_id", "text")).collect()}
+    assert got == ref_top_bigram(docs)
+
+
+def _is_email(t):
+    if t.count("@") != 1:
+        return False
+    local, dom = t.split("@")
+    return (len(local) >= 1 and len(dom) >= 3 and "." in dom
+            and not dom.startswith(".") and not dom.endswith("."))
+
+
+def _is_phone(t):
+    s = "".join(ch for ch in t if ch not in "+-()")
+    return len(s) >= 7 and s != "" and s.isdigit() \
+        and all(ch in "0123456789" for ch in s)
+
+
+def ref_pii(docs):
+    out = {}
+    for i, _, text in docs:
+        toks = [t for t in text.replace("\n", " ").split(" ") if t]
+        e = sum(1 for t in toks if _is_email(t))
+        p = sum(1 for t in toks if not _is_email(t) and _is_phone(t))
+        out[i] = (e, p, e + p > 0)
+    return out
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63])
+def test_pii_matches_reference(spark, seed):
+    from barkingowl_spark.functions.pii import pii_scan
+
+    rng = random.Random(seed)
+    base = _rand_corpus(seed)
+    docs = []
+    for i, h, text in base:
+        extra = []
+        for _ in range(rng.randint(0, 3)):
+            extra.append(rng.choice([
+                f"user{rng.randint(0, 99)}@mail.test",
+                f"+1-(555){rng.randint(1000000, 9999999)}",
+                "a@@b.c", "x@.com", "x@com.", "@nope.com", "12345",
+                f"{rng.randint(1000000, 99999999)}",
+                "a@b", "e@f.g",
+            ]))
+        joined = (text + " " + " ".join(extra)).strip()
+        docs.append((i, h, joined))
+    got = {r["doc_id"]: (r["email_tokens"], r["phone_tokens"],
+                         r["has_pii"])
+           for r in pii_scan(
+               _df(spark, docs).select("doc_id", "text")).collect()}
+    assert got == ref_pii(docs)
+
+
 @pytest.mark.parametrize("seed", [41, 42])
 def test_decontam_matches_reference(spark, seed):
     from barkingowl_spark.operators.decontam import ngram_decontaminate
