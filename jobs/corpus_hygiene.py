@@ -11,6 +11,10 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
      repeated-line removal (operators/boilerplate.py) BEFORE hashing, so
      two docs differing only in nav/footer chrome become exact dups in
      stage 1 instead of slipping to (or past) the near-dup stage
+  0a'. optional corpus-global paragraph dedup (--dedup-paragraphs):
+      first-occurrence-wins paragraph rewrite (operators/paradedup.py)
+      after the boilerplate strip — mirrors/syndication collapse into
+      shorter docs (possibly '') before any hashing
   0b. optional incremental gate (--prior KEPT_PARQUET): docs whose
       content fingerprint already exists in a PRIOR run's kept/ output
       drop first with reason 'prior_dup' — the re-run path: only new
@@ -259,6 +263,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--strip-boilerplate", metavar="HOST_COL", default=None,
                    help="strip per-host boilerplate lines (stage 0) "
                         "using this host column, e.g. 'source'")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="corpus-global first-occurrence paragraph "
+                        "rewrite before hashing (stage 0a')")
     p.add_argument("--transitive", action="store_true",
                    help="connected-components near-dup clusters instead "
                         "of greedy pair-drop")
@@ -301,6 +308,13 @@ def main(argv: list[str] | None = None) -> None:
                                     join_on_hash=args.scale_keys)
         docs = docs.drop("text").join(
             cleaned.withColumnRenamed("text_clean", "text"), "doc_id")
+    if args.dedup_paragraphs:
+        from barkingowl_spark.operators.paradedup import paragraph_dedup
+
+        rewritten = paragraph_dedup(docs,
+                                    shuffle_on_hash=args.scale_keys)
+        docs = docs.drop("text").join(
+            rewritten.withColumnRenamed("text_clean", "text"), "doc_id")
     decisions = hygiene_decisions(
         docs,
         jaccard_ppm=args.jaccard_ppm,

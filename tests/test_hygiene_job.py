@@ -160,6 +160,30 @@ def test_incremental_prior_gate(spark):
     assert got[3] == (False, "exact_dup")
 
 
+def test_main_dedup_paragraphs_flag(spark, tmp_path, capsys):
+    """--dedup-paragraphs: a doc whose every paragraph first appeared
+    elsewhere rewrites to '' and drops at the quality gate; the
+    first-occurrence carriers keep their (rewritten) text."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    docs = _mini(spark, [
+        (0, GOOD + "\n" + SPARK_TEXT, "en", "h0", 1),
+        (1, SPARK_TEXT + "\n" + GOOD, "en", "h1", 1),  # both paras lose
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--dedup-paragraphs"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept_docs"] == 1
+    assert stats["dropped"] == {"low_quality": 1}
+    [kept] = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
+    assert kept["doc_id"] == 0
+    assert kept["text"] == GOOD + "\n" + SPARK_TEXT
+
+
 def test_main_end_to_end_with_mix_and_redaction(spark, tmp_path, capsys):
     """The spark-submit surface: decisions + kept outputs, deterministic
     mix downsampling (keep_ppm=0 kills a whole host) and PII redaction
