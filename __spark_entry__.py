@@ -1038,6 +1038,79 @@ def q_shard_manifest(spark, sf):
     return shard_manifest(assign_shards(d, 16))
 
 
+def _synth_redirects(spark, sf):
+    """Deterministic redirect map over a single host: doc i redirects to
+    doc i-1 unless i is a multiple of 8 (chain terminals), giving chains
+    of length 0..7 — resolved in ceil(log2(7)) = 3 doubling rounds."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return d.filter(i % 8 != 0).select(
+        F.concat(F.lit("http://r.test/p"), i.cast("string")).alias("src"),
+        F.concat(F.lit("http://r.test/p"), (i - 1).cast("string")).alias("dst"),
+    )
+
+
+def q_redirect_resolve(spark, sf):
+    """Pointer-jumping redirect-chain resolution (operators/redirects.py):
+    every chain collapses to its terminal target with the hop count;
+    oracle = DuckDB recursive-CTE walk to the same terminals."""
+    from barkingowl_spark.operators.redirects import resolve_redirects
+
+    return resolve_redirects(_synth_redirects(spark, sf), max_chain=8)
+
+
+def q_anchor_rollup(spark, sf):
+    """Per-target anchor-text rollup (functions/anchors.py): the synth
+    pages' four anchors collapse to two canonical targets per doc — the
+    uppercase-host+port+fragment anchor 'd' merges with the absolute
+    anchor 'a' (canonicalization fold), the mailto anchor is dropped."""
+    from barkingowl_spark.functions.anchors import anchor_rollup
+
+    return anchor_rollup(_synth_pages(spark, sf))
+
+
+def q_idx_postings(spark, sf):
+    """Inverted-index build (operators/invindex.py::postings): per-term
+    doc_freq / total_tf plus a window-capped exemplar postings list."""
+    from barkingowl_spark.operators.invindex import postings
+
+    return postings(_t(spark, sf, "documents"))
+
+
+def q_idx_topk_terms(spark, sf):
+    """Per-doc salient terms (operators/invindex.py::topk_terms): integer
+    tf/df fixed-point score, top-5 per doc, term-ascending tie-break."""
+    from barkingowl_spark.operators.invindex import topk_terms
+
+    return topk_terms(_t(spark, sf, "documents"))
+
+
+def q_crawl_diff(spark, sf):
+    """Re-crawl snapshot diff (operators/snapshots.py): previous pass
+    synthesized from documents (every 11th doc absent = added now, every
+    7th carries a ' v1' text suffix = changed, every 13th contributes a
+    vanished key = removed), fingerprints md5 over coalesce(text,'')."""
+    from barkingowl_spark.operators.snapshots import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    cur = d.select(i.alias("doc_id"), F.md5(txt).alias("fp"))
+    prev_kept = d.filter(i % 11 != 0).select(
+        i.alias("doc_id"),
+        F.md5(
+            F.when(i % 7 == 0, F.concat(txt, F.lit(" v1"))).otherwise(txt)
+        ).alias("fp"),
+    )
+    prev_gone = d.filter(i % 13 == 0).select(
+        (i + 1_000_000).alias("doc_id"),
+        F.md5(F.concat(F.lit("gone"), i.cast("string"))).alias("fp"),
+    )
+    return snapshot_diff(
+        prev_kept.unionByName(prev_gone), cur, key="doc_id", fp="fp"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1110,6 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": q_mm_decode_stub,
         "mm_resize_stub": q_mm_resize_stub,
         "mm_frame_sample": q_mm_frame_sample,
+        "redirect_resolve": q_redirect_resolve,
+        "anchor_rollup": q_anchor_rollup,
+        "idx_postings": q_idx_postings,
+        "idx_topk_terms": q_idx_topk_terms,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -2412,5 +2490,90 @@ def oracle_sql() -> dict[str, str]:
                      len - unnest(range(least(8, (len + 63) // 64))) * 64)
                      AS BIGINT) AS frame_bytes
             FROM d
+        """,
+        "redirect_resolve": """
+            WITH RECURSIVE e AS (
+              SELECT 'http://r.test/p' || CAST(doc_id AS VARCHAR) AS src,
+                     'http://r.test/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 8 <> 0
+            ),
+            walk AS (
+              SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM e
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN e ON w.dst = e.src
+            )
+            SELECT src, dst AS final_dst, hops, TRUE AS resolved
+            FROM walk w
+            WHERE dst NOT IN (SELECT src FROM e)
+        """,
+        "anchor_rollup": """
+            WITH l AS (SELECT doc_id, source FROM documents)
+            SELECT 'http://' || source || '.test/doc' || doc_id AS target,
+                   CAST(2 AS BIGINT) AS n_inlinks,
+                   CAST(2 AS INT) AS n_texts,
+                   'a,d' AS anchors
+            FROM l
+            UNION ALL
+            SELECT 'http://' || source || '.test/dir/rel' || doc_id,
+                   CAST(1 AS BIGINT), CAST(1 AS INT), 'b'
+            FROM l
+        """,
+        "idx_postings": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t
+              WHERE term <> '' GROUP BY doc_id, term),
+            r AS (
+              SELECT doc_id, term, tf,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM tf)
+            SELECT term, count(*) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   string_agg(CASE WHEN rn <= 8
+                              THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM r GROUP BY term
+        """,
+        "idx_topk_terms": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t
+              WHERE term <> '' GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+                     (tf.tf * 1000000) // df.doc_freq AS score_fp
+              FROM tf JOIN df ON tf.term = df.term)
+            SELECT doc_id, term, tf, doc_freq, score_fp, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score_fp DESC, term ASC) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "crawl_diff": """
+            WITH cur AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+            prev AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 7 = 0
+                         THEN coalesce(text, '') || ' v1'
+                         ELSE coalesce(text, '') END) AS fp
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     md5('gone' || CAST(doc_id AS VARCHAR))
+              FROM documents WHERE doc_id % 13 = 0)
+            SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+                   CASE WHEN prev.fp IS NULL THEN 'added'
+                        WHEN cur.fp IS NULL THEN 'removed'
+                        WHEN prev.fp <> cur.fp THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
         """,
     }

@@ -1,0 +1,87 @@
+"""Inverted-index construction + per-doc salient terms (tf-idf order).
+
+A training-data pipeline over webtext wants both directions of the
+term-document matrix:
+
+  * postings(term -> docs): the search-index build — used here for
+    corpus introspection (which documents carry a contamination term,
+    which hosts own a keyword) without rescanning text;
+  * topk_terms(doc -> terms): per-document salient terms under a
+    tf/df score — a cheap relevance/topic feature and the usual input
+    to keyword-based mix balancing.
+
+Everything is native column expressions over one tokenize+explode pass:
+no UDFs, integer-only scoring (ppm fixed point, floor division) so the
+DuckDB oracle value-hash-matches bit-for-bit.
+
+Scale notes (the 10^10 design point):
+  * the explode output is (doc_id, term) — shuffled once on term for
+    the index and once on doc_id for the per-doc ranking; both keys are
+    content-derived and uniform except stopword terms, whose heat is
+    absorbed map-side (partial count/sum) before the shuffle.
+  * postings lists are CAPPED via a row_number window *before* any
+    collect_list, so no executor ever materializes an unbounded list —
+    the stopword row carries a count and a truncated exemplar list,
+    exactly what an index shard header needs (full postings for hot
+    terms belong in a bucketed layout, not one array cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def term_freqs(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): whitespace tokenization, empty terms dropped,
+    NULL text yields no rows (explode of NULL array)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def postings(documents: DataFrame, max_postings: int = 8) -> DataFrame:
+    """(term, doc_freq, total_tf, postings): doc_freq/total_tf are over
+    ALL occurrences; postings is the first `max_postings` doc_ids
+    ascending, comma-joined (the bounded exemplar list)."""
+    tf = term_freqs(documents)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    # collect_list skips NULLs -> only the first max_postings doc ids
+    # ever enter the list; the count/sum still cover every row.
+    capped = F.when(F.col("rn") <= max_postings, F.col("doc_id"))
+    return ranked.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(capped)),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+def topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, doc_freq, score_fp, rank): top-k terms per doc
+    by score_fp = tf * 1e6 // doc_freq (integer tf-idf surrogate —
+    monotone in tf, inverse in df; floor div keeps it bit-portable),
+    ties broken by term ascending."""
+    tf = term_freqs(documents)
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(df_counts, "term").withColumn(
+        "score_fp",
+        F.expr(f"CAST((tf * {PPM}) DIV doc_freq AS BIGINT)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "score_fp", "rank")
+    )
