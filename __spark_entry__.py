@@ -769,6 +769,15 @@ def q_graph_host_agg(spark, sf):
     return host_graph(urls)
 
 
+def q_graph_hits(spark, sf):
+    """2-iteration unnormalized integer HITS (hubs & authorities) —
+    bit-exact bigint sums, no float norm (operators/linkgraph.py)."""
+    from barkingowl_spark.operators.linkgraph import hits_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    return hits_fixed(edges, n_iter=2)
+
+
 def _synth_sitemaps(spark, sf):
     """One sitemap.xml page per documents source-host: <url> blocks in
     doc_id order (lastmod only on even ids — exercises the NULL path,
@@ -1085,6 +1094,20 @@ def q_idx_topk_terms(spark, sf):
     return topk_terms(_t(spark, sf, "documents"))
 
 
+def q_o20_waterfill(spark, sf):
+    """Global-budget waterfilling (operators/politeness.py::
+    waterfill_budget): max-min-fair per-host caps under one global wave
+    budget; synthetic skewed demands = per-source sum(doc_id % 7)."""
+    from barkingowl_spark.operators.politeness import waterfill_budget
+
+    q = (
+        _t(spark, sf, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum(F.col("doc_id") % 7).alias("n_queued"))
+    )
+    return waterfill_budget(q, budget=1400)
+
+
 def q_crawl_diff(spark, sf):
     """Re-crawl snapshot diff (operators/snapshots.py): previous pass
     synthesized from documents (every 11th doc absent = added now, every
@@ -1128,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_host_agg": q_graph_host_agg,
+        "graph_hits": q_graph_hits,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
@@ -1188,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_postings": q_idx_postings,
         "idx_topk_terms": q_idx_topk_terms,
         "crawl_diff": q_crawl_diff,
+        "o20_waterfill": q_o20_waterfill,
     }
 
 
@@ -1583,6 +1608,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents ds ON ds.doc_id = e.src
             JOIN documents dd ON dd.doc_id = e.dst
             GROUP BY 1, 2
+        """,
+        "graph_hits": f"""
+            WITH {_EDGES_SQL},
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+                   FROM edges GROUP BY dst),
+            a1f AS (SELECT n.node, coalesce(a1.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1 ON a1.node = n.node),
+            h1 AS (SELECT e.src AS node, CAST(sum(a1f.a) AS BIGINT) AS h
+                   FROM edges e JOIN a1f ON a1f.node = e.dst
+                   GROUP BY e.src),
+            h1f AS (SELECT n.node, coalesce(h1.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1 ON h1.node = n.node),
+            a2 AS (SELECT e.dst AS node, CAST(sum(h1f.h) AS BIGINT) AS a
+                   FROM edges e JOIN h1f ON h1f.node = e.src
+                   GROUP BY e.dst),
+            a2f AS (SELECT n.node, coalesce(a2.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2 ON a2.node = n.node),
+            h2 AS (SELECT e.src AS node, CAST(sum(a2f.a) AS BIGINT) AS h
+                   FROM edges e JOIN a2f ON a2f.node = e.dst
+                   GROUP BY e.src),
+            h2f AS (SELECT n.node, coalesce(h2.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2 ON h2.node = n.node)
+            SELECT n.node, h2f.h AS hub_fp, a2f.a AS auth_fp
+            FROM nodes n
+            JOIN h2f ON h2f.node = n.node
+            JOIN a2f ON a2f.node = n.node
         """,
         "sitemap_parse": """
             SELECT source || '.test' AS host, 'url' AS kind,
@@ -2575,5 +2628,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN prev.fp <> cur.fp THEN 'changed'
                         ELSE 'unchanged' END AS change
             FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        """,
+        "o20_waterfill": """
+            WITH q AS (
+              SELECT source AS host,
+                     CAST(sum(doc_id % 7) AS BIGINT) AS n_queued
+              FROM documents GROUP BY source),
+            s AS (
+              SELECT host, n_queued,
+                     row_number() OVER (ORDER BY n_queued, host) AS k,
+                     CAST(sum(n_queued) OVER (ORDER BY n_queued, host
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+                     count(*) OVER () AS h
+              FROM q),
+            sat AS (
+              SELECT *, CASE WHEN (pk - n_queued)
+                             + n_queued * (h - k + 1) <= 1400
+                        THEN 1 ELSE 0 END AS is_sat
+              FROM s),
+            l AS (
+              SELECT CAST(sum(is_sat) AS BIGINT) AS kk,
+                     CAST(coalesce(sum(CASE WHEN is_sat = 1
+                                       THEN n_queued END), 0) AS BIGINT)
+                       AS psat,
+                     count(*) AS h2
+              FROM sat)
+            SELECT host, n_queued,
+                   CAST(CASE WHEN is_sat = 1 THEN n_queued
+                        WHEN k - kk <= (1400 - psat) % (h2 - kk)
+                        THEN (1400 - psat) // (h2 - kk) + 1
+                        ELSE (1400 - psat) // (h2 - kk) END AS BIGINT)
+                     AS alloc
+            FROM sat, l
         """,
     }

@@ -139,3 +139,70 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits_fixed(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """(node, hub_fp, auth_fp): ``n_iter`` HITS iterations (Kleinberg's
+    hubs & authorities), UNNORMALIZED integer recurrence — exact bigint
+    sums instead of the usual L2 normalization, so scores are
+    bit-identical across engines and cluster sizes (the float norm is
+    where classic HITS loses portability):
+
+        auth'(v) = sum(hub(u)   for u -> v)     then
+        hub'(v)  = sum(auth'(w) for v -> w)     (auth updates first)
+
+    starting from hub = auth = 1. Magnitudes grow like (max_deg^2)^iter
+    — with n_iter=2 the bound is deg^4, safe in int64 for any real host
+    graph (deg <= ~10^4); at corpus scale rescale between rounds with a
+    global `div max(1, max_hub >> 20)` — same floor-div portability.
+    Relative order (the crawl-priority signal) is what the recurrence
+    preserves.
+
+    Scale shape: per half-step one shuffle-join scores⋈edges + one
+    map-side-combined groupBy — identical to pagerank_fixed's round;
+    localCheckpoint truncates lineage per iteration.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.select(
+        "node",
+        F.lit(1).cast("long").alias("hub_fp"),
+        F.lit(1).cast("long").alias("auth_fp"),
+    )
+    for _ in range(n_iter):
+        ee = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        auth = (
+            scores.join(ee, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("auth_new"))
+        )
+        with_auth = (
+            scores.join(auth, "node", "left")
+            .select(
+                "node", "hub_fp",
+                F.coalesce("auth_new", F.lit(0).cast("long"))
+                .alias("auth_fp"),
+            )
+        )
+        hub = (
+            with_auth.join(ee, F.col("node") == F.col("e_dst"))
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum("auth_fp").alias("hub_new"))
+        )
+        scores = (
+            with_auth.select("node", "auth_fp")
+            .join(hub, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_new", F.lit(0).cast("long"))
+                .alias("hub_fp"),
+                "auth_fp",
+            )
+            .localCheckpoint()
+        )
+    return scores.select("node", "hub_fp", "auth_fp")

@@ -81,6 +81,72 @@ def schedule_scored(
     return d.filter(F.col("_rn") <= budget).drop("_rn")
 
 
+def waterfill_budget(queue_counts: DataFrame, budget: int) -> DataFrame:
+    """Max-min-fair division of a GLOBAL wave budget across hosts
+    (integer waterfilling) — the allocator that turns "fetch at most G
+    URLs this wave" into per-host caps for schedule_budget.
+
+    queue_counts: (host, n_queued). Returns (host, n_queued, alloc)
+    with sum(alloc) == min(G, sum(n_queued)), alloc <= n_queued, and
+    the water-level property: every host short of its demand receives
+    within 1 of every other short host (remainder units go to short
+    hosts in (n_queued, host) order).
+
+    Closed-form, no iteration: hosts sorted by demand ascending; a host
+    is `saturated` (gets its full queue) iff raising the water level to
+    its demand costs <= G — that cost, prefix_sum_before + demand *
+    hosts_remaining, is monotone in the sort order, so saturation is a
+    prefix and two window passes + one tiny broadcast of the level
+    scalars decide every allocation.
+
+    Scale shape: the input is the per-host COUNT table — O(hosts),
+    ~16 bytes/row, never the per-URL frontier — so the global-rank
+    window's single-partition pass is a few hundred MB even at 10^7
+    hosts (the same boundary any global sort has; range-partitioned
+    two-level prefix sums are the generalization if hosts ever outgrow
+    one task). The obvious alternative — a driver loop over hosts —
+    serializes on exactly the axis that grows.
+    """
+    w_ord = Window.orderBy("n_queued", "host")
+    s = queue_counts.select(
+        "host", F.col("n_queued").cast("long").alias("n_queued")
+    ).withColumn("_k", F.row_number().over(w_ord)).withColumn(
+        "_pk", F.sum("n_queued").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_h", F.count("*").over(
+        Window.partitionBy(F.lit(1))))
+    sat = s.withColumn(
+        "_is_sat",
+        ((F.col("_pk") - F.col("n_queued"))
+         + F.col("n_queued") * (F.col("_h") - F.col("_k") + 1)
+         <= F.lit(budget)).cast("int"),
+    )
+    lvl = sat.agg(
+        F.coalesce(F.sum("_is_sat"), F.lit(0)).alias("_kk"),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_sat") == 1, F.col("n_queued"))),
+            F.lit(0).cast("long"),
+        ).alias("_psat"),
+        F.count("*").alias("_h2"),
+    ).selectExpr(
+        "_kk",
+        f"CASE WHEN _h2 > _kk THEN CAST(({budget} - _psat)"
+        " DIV (_h2 - _kk) AS BIGINT) END AS _lvl",
+        f"CASE WHEN _h2 > _kk THEN ({budget} - _psat)"
+        " % (_h2 - _kk) END AS _rem",
+    )
+    alloc = (
+        F.when(F.col("_is_sat") == 1, F.col("n_queued"))
+        .when(F.col("_k") - F.col("_kk") <= F.col("_rem"),
+              F.col("_lvl") + 1)
+        .otherwise(F.col("_lvl"))
+    )
+    return (
+        sat.crossJoin(F.broadcast(lvl))
+        .select("host", "n_queued", alloc.cast("long").alias("alloc"))
+    )
+
+
 def robots_filter(links: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop links whose canonical path starts with a disallowed prefix.
 

@@ -112,3 +112,35 @@ def test_pagerank_over_crawl_archive(spark, seeds_df, pages_df,
     assert got == ref_pagerank(edges, 3)
     degs = degree_stats(edges_df)
     assert degs.filter(F.col("in_deg") + F.col("out_deg") == 0).count() == 0
+
+
+def ref_hits(edges, n_iter=2):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: 1 for v in nodes}
+    auth = {v: 1 for v in nodes}
+    for _ in range(n_iter):
+        new_auth = {v: 0 for v in nodes}
+        for s, d in edges:
+            new_auth[d] += hub[s]
+        auth = new_auth
+        new_hub = {v: 0 for v in nodes}
+        for s, d in edges:
+            new_hub[s] += auth[d]
+        hub = new_hub
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_bit_exact_vs_reference(spark):
+    from barkingowl_spark.operators.linkgraph import hits_fixed
+
+    for n_iter in (1, 2, 3):
+        got = {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits_fixed(_edges_df(spark), n_iter).collect()
+        }
+        assert got == ref_hits(TINY, n_iter), n_iter
+    # d is a pure hub (no in-links): auth 0 after one update; c is the
+    # dominant authority (3 in-links)
+    one = ref_hits(TINY, 1)
+    assert one["d"][1] == 0
+    assert one["c"][1] == max(a for _, a in one.values())
