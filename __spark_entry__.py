@@ -1094,6 +1094,25 @@ def q_idx_topk_terms(spark, sf):
     return topk_terms(_t(spark, sf, "documents"))
 
 
+def q_text_len_pctl(spark, sf):
+    """Per-source exact discrete token-length percentiles
+    (functions/textstats.py::length_percentiles) — integer ceil-index
+    formulas, bit-portable (no approx sketch, no float interpolation)."""
+    from barkingowl_spark.functions.textstats import length_percentiles
+
+    return length_percentiles(_t(spark, sf, "documents"))
+
+
+def q_pack_chunks(spark, sf):
+    """Concat-and-cut sequence packing per shard (operators/shards.py::
+    pack_chunks): md5-sharded docs laid end-to-end, cut every 256
+    tokens; each doc's span + the chunk indexes it straddles."""
+    from barkingowl_spark.operators.shards import assign_shards, pack_chunks
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return pack_chunks(assign_shards(d, 16), 256)
+
+
 def q_o20_waterfill(spark, sf):
     """Global-budget waterfilling (operators/politeness.py::
     waterfill_budget): max-min-fair per-host caps under one global wave
@@ -1213,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_topk_terms": q_idx_topk_terms,
         "crawl_diff": q_crawl_diff,
         "o20_waterfill": q_o20_waterfill,
+        "pack_chunks": q_pack_chunks,
+        "text_len_pctl": q_text_len_pctl,
     }
 
 
@@ -2660,5 +2681,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1400 - psat) // (h2 - kk) END AS BIGINT)
                      AS alloc
             FROM sat, l
+        """,
+        "pack_chunks": """
+            WITH a AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substring(
+                         md5('shard#' || CAST(doc_id AS VARCHAR)),
+                         1, 15)) AS BIGINT) % 16 AS INTEGER) AS shard_id,
+                     CAST(COALESCE(len(list_filter(
+                         string_split(text, ' '), x -> x <> '')), 0)
+                       AS BIGINT) AS tok
+              FROM documents),
+            d AS (SELECT * FROM a WHERE tok > 0),
+            s AS (
+              SELECT doc_id, shard_id, tok,
+                     CAST(sum(tok) OVER (PARTITION BY shard_id
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - tok AS BIGINT) AS tok_start
+              FROM d)
+            SELECT doc_id, shard_id, tok, tok_start,
+                   CAST(tok_start // 256 AS BIGINT) AS chunk_first,
+                   CAST((tok_start + tok - 1) // 256 AS BIGINT)
+                     AS chunk_last
+            FROM s
+        """,
+        "text_len_pctl": """
+            WITH d AS (
+              SELECT source,
+                     CAST(COALESCE(len(list_filter(
+                         string_split(text, ' '), x -> x <> '')), 0)
+                       AS BIGINT) AS tok
+              FROM documents),
+            r AS (
+              SELECT source, tok,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY tok) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d)
+            SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                   max(CASE WHEN rn = (n + 3) // 4 THEN tok END) AS p25,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN tok END) AS p50,
+                   max(CASE WHEN rn = (3 * n + 3) // 4 THEN tok END)
+                     AS p75,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN tok END)
+                     AS p90
+            FROM r GROUP BY source
         """,
     }

@@ -161,3 +161,50 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 2).alias("bucket")
     )
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-source EXACT discrete token-length percentiles:
+    (source, n_docs, p25, p50, p75, p90) where p_q is the ceil(q*n)-th
+    smallest whitespace token count (NULL text counts as 0 tokens).
+
+    Exactness over approx_percentile on purpose: the corpus-monitoring
+    report this feeds gates hygiene thresholds, and t-digest outputs
+    are neither engine-portable nor run-stable. The explicit integer
+    ceil-index formulas ((n+3) div 4, (n+1) div 2, (3n+3) div 4,
+    (9n+9) div 10) make Spark and DuckDB agree bit-for-bit — the same
+    reason the quality scores are ppm integers, not doubles.
+
+    Scale shape: one window sort per source partition (the per-group
+    sort any exact percentile needs — source cardinality is O(hosts),
+    rows per group bounded by host size; hot hosts are exactly the
+    partitions the salting machinery already splits for other per-host
+    sorts) + one map-side-combined groupBy. For a monitoring-grade
+    answer at 10^12 docs, swap in approx_percentile and drop the
+    oracle claim — documented tradeoff, not a default.
+    """
+    from pyspark.sql import Window
+
+    tok = F.coalesce(
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+    w = Window.partitionBy("source").orderBy("tok")
+    d = (
+        documents.select("source", tok.alias("tok"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    def _at(expr_idx: str, name: str) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.expr(expr_idx), F.col("tok"))
+        ).alias(name)
+
+    return d.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        _at("(n + 3) div 4", "p25"),
+        _at("(n + 1) div 2", "p50"),
+        _at("(3 * n + 3) div 4", "p75"),
+        _at("(9 * n + 9) div 10", "p90"),
+    )

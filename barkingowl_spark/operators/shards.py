@@ -45,6 +45,62 @@ def assign_shards(docs: DataFrame, n_shards: int,
         "shard_id", (_h60(key) % F.lit(n_shards)).cast("int"))
 
 
+def pack_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    part_col: str | None = "shard_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: lay documents end-to-end in
+    deterministic ``id_col`` order and cut every ``chunk_tokens`` tokens
+    — the standard pretraining packing (a doc may straddle a cut; the
+    trainer's loader re-reads the span). Emits per doc:
+
+        (id, [part_col], tok, tok_start, chunk_first, chunk_last)
+
+    where tok_start is the doc's offset in the concatenated token
+    stream of its partition and chunk_first/chunk_last the first/last
+    chunk indexes it touches (chunk_k covers tokens [k*C, (k+1)*C)).
+    Zero-token docs (NULL/empty text) are dropped — they occupy no span.
+
+    Scale shape: packing is inherently sequential, so it runs PER
+    PARTITION (``part_col`` — normally assign_shards' shard_id): one
+    window cumsum per shard, shards in parallel, no global order. A
+    corpus-global pack (part_col=None) exists for tests/small corpora
+    but funnels the cumsum through one task — documented, not the
+    default."""
+    tok = F.coalesce(
+        F.size(F.expr(
+            f"filter(split({text_col}, ' '), x -> x <> '')"
+        )).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col) if part_col is not None
+        else Window.partitionBy()
+    ).orderBy(id_col)
+    d = docs.withColumn("tok", tok).filter(F.col("tok") > 0)
+    start = (
+        F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("tok")
+    )
+    cols = [id_col] + ([part_col] if part_col is not None else [])
+    return (
+        d.withColumn("tok_start", start)
+        .select(
+            *cols, "tok", "tok_start",
+            F.expr(f"CAST(tok_start DIV {chunk_tokens} AS BIGINT)")
+            .alias("chunk_first"),
+            F.expr(
+                f"CAST((tok_start + tok - 1) DIV {chunk_tokens} AS BIGINT)"
+            ).alias("chunk_last"),
+        )
+    )
+
+
 def shard_manifest(assigned: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(shard_id, docs, tokens, content_fp): the audit row per shard.

@@ -86,3 +86,56 @@ def test_export_job_is_reproducible(spark, tmp_path):
     # every doc's directory matches its assignment
     for s, d, _ in rows["a"]:
         assert s == _shard(d, 4)
+
+def ref_pack(rows, chunk, by_part=True):
+    # rows: (id, part, tok); returns {id: (tok_start, first, last)}
+    out = {}
+    parts = sorted({p for _, p, _ in rows}) if by_part else [None]
+    for p in parts:
+        sel = sorted(
+            (i, t) for i, pp, t in rows if (pp == p or not by_part) and t > 0
+        )
+        off = 0
+        for i, t in sel:
+            out[i] = (off, off // chunk, (off + t - 1) // chunk)
+            off += t
+    return out
+
+
+def test_pack_chunks_global(spark):
+    from barkingowl_spark.operators.shards import pack_chunks
+
+    rows = [(i, 0, t) for i, t in enumerate([3, 5, 4, 0, 10, 2])]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t) if t else None) for i, _, t in rows],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["tok_start"], r["chunk_first"], r["chunk_last"])
+        for r in pack_chunks(docs, 8, part_col=None).collect()
+    }
+    assert got == ref_pack(rows, 8, by_part=False)
+    # doc 4 (10 tokens starting at offset 12) straddles chunks 1..2
+    assert got[4] == (12, 1, 2)
+    assert 3 not in got  # zero-token doc dropped
+
+
+def test_pack_chunks_per_shard(spark):
+    from barkingowl_spark.operators.shards import pack_chunks
+
+    rows = [(0, 0, 4), (1, 1, 6), (2, 0, 7), (3, 1, 2), (4, 0, 9)]
+    docs = spark.createDataFrame(
+        [(i, p, " ".join(["x"] * t)) for i, p, t in rows],
+        "doc_id long, shard_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard_id"], r["tok_start"],
+                      r["chunk_first"], r["chunk_last"])
+        for r in pack_chunks(docs, 5).collect()
+    }
+    want = ref_pack(rows, 5)
+    assert got == {
+        i: (p, *want[i]) for i, p, _ in rows
+    }
+    # shard streams are independent: both start at offset 0
+    assert got[0][1] == 0 and got[1][1] == 0
