@@ -44,7 +44,9 @@ def duck():
      "trap_signals", "o20_scored_topk", "text_boilerplate",
      "text_decontam", "text_paradedup", "mix_sample", "mix_report",
      "text_repetition", "text_top_bigram", "pii_scan", "pii_redact",
-     "shard_assign", "shard_manifest"],
+     "shard_assign", "shard_manifest", "redirect_resolve",
+     "anchor_rollup", "idx_postings", "idx_topk_terms", "crawl_diff",
+     "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

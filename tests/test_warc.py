@@ -1,0 +1,84 @@
+"""WARC container source (sources/warc.py): record split/parse units
+(plain + gzip-member layouts) and the Spark binaryFile+mapInPandas
+reader round-tripping against the writer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from barkingowl_spark.sources.warc import (
+    parse_record,
+    read_warc,
+    split_members,
+    split_warc_records,
+    warc_bytes,
+)
+
+PAGES = [
+    {
+        "url": f"http://h{i}.test/p{i}",
+        "warc_ts": datetime(2013, 1, 1, 0, 0, i),
+        "html": f"<html><a href='http://h{i}.test/d{i}'>x</a>€</html>"
+        .encode(),
+        "content_type": "text/html" if i % 2 else "application/pdf",
+    }
+    for i in range(5)
+]
+
+
+def test_split_and_parse_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        blob = warc_bytes(PAGES, gzip_members=gz)
+        assert len(split_members(blob)) == (5 if gz else 1)
+        recs = split_warc_records(blob)
+        assert len(recs) == 5
+        for want, rec in zip(PAGES, recs):
+            got = parse_record(rec)
+            assert got["url"] == want["url"]
+            assert got["html"] == want["html"]
+            assert got["content_type"] == want["content_type"]
+
+
+def test_non_response_skipped_and_truncation_tolerated():
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd"
+        b"\r\n\r\n"
+        + warc_bytes(PAGES[:2])
+        + b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Targ"  # torn tail
+    )
+    parsed = [parse_record(r) for r in split_warc_records(blob)]
+    assert sum(1 for p in parsed if p) == 2
+    assert parsed[0] is None  # the warcinfo record
+
+
+def test_read_warc_spark_roundtrip(spark, tmp_path):
+    # two containers, mixed layouts -> one corpus DataFrame
+    (tmp_path / "a.warc").write_bytes(warc_bytes(PAGES[:3]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        warc_bytes(PAGES[3:], gzip_members=True))
+    got = {
+        r["url"]: r
+        for r in read_warc(spark, str(tmp_path) + "/*").collect()
+    }
+    assert len(got) == 5
+    for p in PAGES:
+        r = got[p["url"]]
+        assert bytes(r["html"]) == p["html"]
+        assert r["content_type"] == p["content_type"]
+        assert r["warc_ts"] == p["warc_ts"]
+
+
+def test_read_warc_feeds_the_parse_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.functions.extract import parse_pages_udf
+
+    (tmp_path / "c.warc.gz").write_bytes(
+        warc_bytes(PAGES, gzip_members=True))
+    corpus = read_warc(spark, str(tmp_path) + "/*")
+    parsed = corpus.select(
+        "url", parse_pages_udf("url", "html").alias("p")
+    ).select("url", F.col("p.links").alias("links"))
+    links = {r["url"]: r["links"] for r in parsed.collect()}
+    for i, p in enumerate(PAGES):
+        assert links[p["url"]] == [f"http://h{i}.test/d{i}"]
