@@ -158,6 +158,68 @@ def read_warc(spark, path: str):
     return files.mapInPandas(_files_to_rows, schema=READ_SCHEMA)
 
 
+def write_warc(pages, out_dir: str, gzip_members: bool = True):
+    """Distributed corpus -> WARC export (the sink paired with
+    read_warc): every input partition serializes its rows into ONE
+    .warc[.gz] container under ``out_dir`` and emits a manifest row
+    (file, records, bytes). Returns the manifest DataFrame — running
+    any action on it performs the export.
+
+    Determinism: rows are sorted by url WITHIN the partition and the
+    container is named by the md5 of its member urls, so re-exporting
+    identical content rewrites identical files under identical names
+    (the idempotence contract operators/shards.py's manifest audits);
+    partition→file assignment follows the input partitioning — export
+    after repartition(N, shard_id) for a stable N-file layout.
+
+    Scale shape: pure per-partition work (mapInPandas, no shuffle of
+    its own); one container per partition mirrors the CC layout of ~1GB
+    files — size partitions accordingly upstream.
+    """
+    import hashlib
+    import os
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    {
+                        "url": r.url,
+                        "warc_ts": r.warc_ts,
+                        "html": bytes(r.html) if r.html is not None else b"",
+                        "content_type": getattr(r, "content_type", None),
+                    }
+                )
+        if not rows:
+            yield pd.DataFrame(
+                columns=["file", "records", "bytes"]
+            ).astype({"records": "int64", "bytes": "int64"})
+            return
+        rows.sort(key=lambda r: r["url"])
+        os.makedirs(out_dir, exist_ok=True)  # executor-side (shared FS)
+        blob = warc_bytes(rows, gzip_members=gzip_members)
+        name_h = hashlib.md5(
+            "\n".join(r["url"] for r in rows).encode()).hexdigest()[:16]
+        ext = ".warc.gz" if gzip_members else ".warc"
+        path = os.path.join(out_dir, f"part-{name_h}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic publish, idempotent re-export
+        yield pd.DataFrame(
+            [{"file": os.path.basename(path), "records": len(rows),
+              "bytes": len(blob)}]
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [c for c in ("url", "warc_ts", "html", "content_type")
+            if c in pages.columns]
+    return pages.select(*cols).mapInPandas(
+        _write, schema="file string, records long, bytes long"
+    )
+
+
 def warc_bytes(pages: list[dict], gzip_members: bool = False) -> bytes:
     """Serialize (url, warc_ts, html[, content_type]) dicts into a WARC
     container — the test/fixture writer proving read_warc round-trips.

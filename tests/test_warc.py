@@ -82,3 +82,36 @@ def test_read_warc_feeds_the_parse_pass(spark, tmp_path):
     links = {r["url"]: r["links"] for r in parsed.collect()}
     for i, p in enumerate(PAGES):
         assert links[p["url"]] == [f"http://h{i}.test/d{i}"]
+
+
+def test_write_warc_roundtrip_and_idempotence(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.sources.warc import write_warc
+
+    rows = [
+        (p["url"], p["warc_ts"], p["html"], p["content_type"])
+        for p in PAGES
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary,"
+        " content_type string"
+    ).repartition(2, "url")
+    out = str(tmp_path / "export")
+    man1 = write_warc(df, out).collect()
+    files1 = sorted(os.listdir(out))
+    assert sum(m["records"] for m in man1) == 5
+    assert {m["file"] for m in man1 if m["records"]} == set(files1)
+    # read back: byte-identical corpus rows
+    got = {r["url"]: r for r in read_warc(spark, out + "/*").collect()}
+    assert len(got) == 5
+    for p in PAGES:
+        assert bytes(got[p["url"]]["html"]) == p["html"]
+        assert got[p["url"]]["warc_ts"] == p["warc_ts"]
+    # idempotence: re-export writes the same files under the same names
+    man2 = write_warc(df, out).collect()
+    assert sorted(os.listdir(out)) == files1
+    assert sorted((m["file"], m["records"], m["bytes"]) for m in man1) == \
+        sorted((m["file"], m["records"], m["bytes"]) for m in man2)
