@@ -8,6 +8,11 @@ deterministic training shards with an auditable manifest.
 Layout under --out:
   shards/shard_id=K/   the documents of shard K, rows ordered by doc_id
   manifest/            (shard_id, docs, tokens, content_fp)
+  packing/             (doc_id, shard_id, tok, tok_start, chunk_first,
+                        chunk_last) — only with --chunk-tokens C: the
+                        concat-and-cut packing layout per shard, so the
+                        trainer's loader knows every doc's chunk span
+                        without re-tokenizing
 and prints one JSON stats line.
 
 Determinism contract (operators/shards.py): shard membership is a pure
@@ -34,10 +39,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--documents", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--shards", type=int, required=True)
+    p.add_argument("--chunk-tokens", type=int, default=None,
+                   help="also emit the concat-and-cut packing table "
+                        "(operators/shards.py::pack_chunks)")
     args = p.parse_args(argv)
 
     from barkingowl_spark.operators.shards import (
         assign_shards,
+        pack_chunks,
         shard_manifest,
     )
 
@@ -55,17 +64,30 @@ def main(argv: list[str] | None = None) -> None:
     manifest = shard_manifest(assigned)
     manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
 
+    n_chunks = None
+    if args.chunk_tokens:
+        packed = pack_chunks(assigned, args.chunk_tokens)
+        packed.write.mode("overwrite").parquet(f"{args.out}/packing")
+        pk = spark.read.parquet(f"{args.out}/packing")
+        n_chunks = pk.agg(
+            F.sum(F.col("chunk_last") - F.col("chunk_first") + 1)
+        ).collect()[0][0]
+
     m = spark.read.parquet(f"{args.out}/manifest")
     totals = m.agg(
         F.sum("docs").alias("docs"), F.sum("tokens").alias("tokens"),
         F.count(F.lit(1)).alias("nonempty_shards"),
     ).collect()[0]
-    print(json.dumps({
+    stats = {
         "shards": args.shards,
         "nonempty_shards": totals["nonempty_shards"],
         "docs": totals["docs"],
         "tokens": totals["tokens"],
-    }))
+    }
+    if n_chunks is not None:
+        stats["chunk_tokens"] = args.chunk_tokens
+        stats["doc_chunk_spans"] = n_chunks
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":

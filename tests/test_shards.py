@@ -139,3 +139,27 @@ def test_pack_chunks_per_shard(spark):
     }
     # shard streams are independent: both start at offset 0
     assert got[0][1] == 0 and got[1][1] == 0
+
+
+def test_export_job_with_packing(spark, tmp_path):
+    docs = _docs(spark, 40)
+    docs.write.parquet(str(tmp_path / "docs"))
+
+    from jobs.export_shards import main
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "o"), "--shards", "4",
+          "--chunk-tokens", "16"])
+
+    packed = spark.read.parquet(str(tmp_path / "o" / "packing"))
+    rows = [(r["doc_id"], r["shard_id"], r["tok"]) for r in
+            packed.select("doc_id", "shard_id", "tok").collect()]
+    want = ref_pack(rows, 16)
+    got = {
+        r["doc_id"]: (r["tok_start"], r["chunk_first"], r["chunk_last"])
+        for r in packed.collect()
+    }
+    assert got == want
+    # every doc assigned per the md5 shard function, none lost
+    assert len(got) == 40
+    for d, s, _ in rows:
+        assert s == _shard(d, 4)
