@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", required=True,
                    help="parquet path (or iceberg table) of the page corpus")
+    p.add_argument("--pages-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="'warc' reads WARC containers (.warc/.warc.gz, "
+                        "per-record gzip members supported) via "
+                        "sources/warc.py — text/lang derive in the "
+                        "ingest parse pass exactly as for parquet")
     p.add_argument("--seeds", required=True,
                    help="parquet path OR inline JSON list of seed objects")
     p.add_argument("--checkpoint", required=True)
@@ -51,7 +57,14 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("bowspark-crawl").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    pages = spark.read.parquet(args.pages)
+    if args.pages_format == "warc":
+        from barkingowl_spark.sources.warc import read_warc
+
+        # WARC containers carry no pre-extracted text column, so the
+        # input_hint byte-identity counter has nothing to verify against
+        pages = read_warc(spark, args.pages).select("url", "warc_ts", "html")
+    else:
+        pages = spark.read.parquet(args.pages)
     if args.seeds.strip().startswith("["):
         rows = [
             (s["url"], s.get("title"), s.get("description"),
@@ -73,6 +86,7 @@ def main(argv: list[str] | None = None) -> None:
             max_waves=args.max_waves,
             robots_from_corpus=args.robots,
             politeness_wave_seconds=args.politeness_seconds,
+            verify_text=args.pages_format != "warc",
         ),
         resume=args.resume,
     )

@@ -94,3 +94,34 @@ def test_rewrite_to_final(spark):
     )
     # a1 rewrites to a0; cyclic x is dropped; non-redirect urls pass
     assert got == ["a0", "a0", "fresh"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_random_functional_graphs(spark, mapping):
+    # arbitrary functional graph (self-loops/cycles arise naturally);
+    # resolved rows must match the reference walk exactly, unresolved
+    # rows must be exactly the cycle-bound sources
+    edges = [(f"n{s}", f"n{d}") for s, d in mapping.items()]
+    want = ref_resolve(edges, max_chain=32)
+    got = {
+        r["src"]: (r["final_dst"], r["hops"], r["resolved"])
+        for r in resolve_redirects(_df(spark, edges), max_chain=32).collect()
+    }
+    assert set(got) == set(want)
+    for src, (w_dst, w_hops, w_ok) in want.items():
+        g_dst, g_hops, g_ok = got[src]
+        assert g_ok == w_ok, src
+        if w_ok:
+            assert (g_dst, g_hops) == (w_dst, w_hops), src

@@ -115,3 +115,36 @@ def test_write_warc_roundtrip_and_idempotence(spark, tmp_path):
     assert sorted(os.listdir(out)) == files1
     assert sorted((m["file"], m["records"], m["bytes"]) for m in man1) == \
         sorted((m["file"], m["records"], m["bytes"]) for m in man2)
+
+
+def test_crawl_over_warc_input_matches_parquet(
+    spark, seeds_df, pages_df, tmp_path
+):
+    """The integration contract: a crawl whose corpus came through the
+    WARC source produces the identical trace + documents as the same
+    crawl over the parquet pages table (verify_text off — WARC carries
+    no pre-extracted text column)."""
+    from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
+    from barkingowl_spark.sources.warc import read_warc, write_warc
+
+    seed1 = seeds_df.orderBy("seed_idx").limit(1)
+    out = str(tmp_path / "warc")
+    write_warc(pages_df.repartition(3, "url"), out).collect()
+    warc_pages = read_warc(spark, out + "/*").select(
+        "url", "warc_ts", "html")
+    assert warc_pages.count() == pages_df.count()
+
+    runs = {}
+    for name, corpus in (("pq", pages_df), ("warc", warc_pages)):
+        st = run_crawl(
+            spark, seed1, corpus,
+            CrawlConfig(checkpoint_dir=str(tmp_path / f"ck_{name}"),
+                        verify_text=False),
+        )
+        runs[name] = (
+            [tuple(r) for r in st.trace().collect()],
+            sorted(tuple(r) for r in st.documents.select(
+                "doc_url", "depth").collect()),
+        )
+    assert runs["pq"][0] == runs["warc"][0]
+    assert runs["pq"][1] == runs["warc"][1]
