@@ -155,6 +155,10 @@ def main() -> None:
         "sf": sf_dir,
         "crawl": crawl,
         "cpus": int(cpus),
+        # this VM's absolute speed shifted ~1.6-2x across a mid-round
+        # host reboot on identical code (BENCH/BASELINE.md "Post-reboot
+        # drift"); compare totals within-instance against that note
+        "baseline_note": "see BENCH/BASELINE.md post-reboot band",
     }
     spark.stop()
     print(json.dumps(result))

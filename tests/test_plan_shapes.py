@@ -103,3 +103,36 @@ def test_ingest_scan_is_column_pruned(spark, tmp_path):
     # the parse UDF runs as an Arrow eval, not row-at-a-time Python
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_postings_reuses_term_partitioning(spark):
+    """invindex.postings: the per-term cap window and the per-term agg
+    hash on the same key — exactly ONE shuffle of the (doc_id, term)
+    explode output (+ the tiny explode-source exchange), and the
+    collect_list is fed by the rn cap, never the raw rows."""
+    from barkingowl_spark.operators.invindex import postings
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20),
+                      "text": ["a b c"] * 20})
+    )
+    plan = _plan(postings(docs))
+    # window partition (term) then groupBy(term): Catalyst must not add
+    # a second hashpartitioning(term) exchange between them
+    assert plan.count("hashpartitioning(term") == 1, plan
+
+
+def test_waterfill_is_all_dataframe_no_cartesian_blowup(spark):
+    """waterfill: one global-rank window + one 1-row broadcast of the
+    level scalars — no SortMergeJoin, no nested-loop join of the hosts
+    table against itself."""
+    from barkingowl_spark.operators.politeness import waterfill_budget
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"host": [f"h{i}" for i in range(30)],
+                      "n_queued": [i % 7 + 1 for i in range(30)]})
+    )
+    plan = _plan(waterfill_budget(q, 40))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
