@@ -1153,6 +1153,116 @@ def q_crawl_diff(spark, sf):
     )
 
 
+def q_dupspan_spans(spark, sf):
+    """Exact duplicate-substring spans (operators/dupspans.py — the
+    ExactSubstr operator of Lee et al. 2022): 5-token windows occurring
+    at >=2 positions corpus-wide, merged into maximal per-doc spans.
+    ONE gram-keyed shuffle flags windows; islands merge per doc."""
+    from barkingowl_spark.operators.dupspans import duplicate_spans
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    s = duplicate_spans(d, n=5)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+def q_dupspan_cut(spark, sf):
+    """Duplicate-substring cut (operators/dupspans.py::
+    cut_duplicate_spans): every doc with its corpus-duplicated 5-token
+    spans removed — the reference implementation's all-copies rule."""
+    from barkingowl_spark.operators.dupspans import cut_duplicate_spans
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    return cut_duplicate_spans(d, n=5)
+
+
+def _recrawl_history(spark, sf):
+    """Synthetic 4-pass crawl history: fp changes whenever the integer
+    version floor((doc_id%5)*pass/4) steps — doc_id%5==0 never changes,
+    %5==4 changes every pass; every 11th doc misses pass 2 (sparse
+    observation coverage)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, 3)")).alias("pass_idx"),
+            F.coalesce("text", F.lit("")).alias("t"),
+        )
+        .filter(~((F.col("doc_id") % 11 == 0) & (F.col("pass_idx") == 2)))
+        .select(
+            "doc_id",
+            "pass_idx",
+            F.md5(
+                F.concat(
+                    F.col("t"),
+                    F.lit("#"),
+                    F.expr(
+                        "CAST(((doc_id % 5) * pass_idx) DIV 4 AS STRING)"
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+def q_recrawl_rates(spark, sf):
+    """Per-page change-rate estimation (operators/snapshots.py::
+    change_rates — Cho & Garcia-Molina ratio estimator in ppm) over a
+    synthetic 4-pass history; one doc_id-keyed shuffle covers the lag
+    window and the rollup."""
+    from barkingowl_spark.operators.snapshots import change_rates
+
+    return change_rates(_recrawl_history(spark, sf), key="doc_id")
+
+
+def q_recrawl_schedule(spark, sf):
+    """Recrawl top-k (operators/snapshots.py::recrawl_schedule): the 50
+    pages most worth refetching by change_ppm x (staleness+1), compiled
+    to TakeOrderedAndProject (never a global sort)."""
+    from barkingowl_spark.operators.snapshots import (
+        change_rates,
+        recrawl_schedule,
+    )
+
+    rates = change_rates(_recrawl_history(spark, sf), key="doc_id")
+    return recrawl_schedule(rates, budget=50, key="doc_id")
+
+
+def q_mix_epoch_plan(spark, sf):
+    """Token-budget epoch planning (operators/mix.py::epoch_plan):
+    per-source token counts, md5-derived target weights, 20k-token
+    budget under a 3-epoch repetition cap — capped domains' shortfall
+    redistributed once to domains with headroom; DECIMAL(38,0) * DIV
+    math, bit-identical to DuckDB HUGEINT."""
+    from barkingowl_spark.operators.mix import epoch_plan
+
+    d = _t(spark, sf, "documents")
+    toks = "filter(split(translate(text, '\\n', ' '), ' '), x -> x <> '')"
+    counts = d.groupBy(F.col("source").alias("domain")).agg(
+        F.sum(F.expr(f"size({toks})")).cast("long").alias("tokens")
+    )
+    weights = counts.select(
+        "domain",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("domain").cast("binary")), 1, 15),
+                16, 10,
+            ).cast("long") % 400_000 + 100_000
+        ).alias("weight_ppm"),
+    )
+    return epoch_plan(
+        counts, weights, budget_tokens=20_000, max_epochs_ppm=3_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1234,6 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_waterfill": q_o20_waterfill,
         "pack_chunks": q_pack_chunks,
         "text_len_pctl": q_text_len_pctl,
+        "dupspan_spans": q_dupspan_spans,
+        "dupspan_cut": q_dupspan_cut,
+        "recrawl_rates": q_recrawl_rates,
+        "recrawl_schedule": q_recrawl_schedule,
+        "mix_epoch_plan": q_mix_epoch_plan,
     }
 
 
@@ -2726,5 +2841,177 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (9 * n + 9) // 10 THEN tok END)
                      AS p90
             FROM r GROUP BY source
+        """,
+        "dupspan_spans": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                         replace(coalesce(text, ''), chr(10), ' '), ' '),
+                         x -> x <> '') AS w
+              FROM documents),
+            win AS (
+              SELECT doc_id, pos,
+                     array_to_string(w[pos:pos+4], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS pos
+                    FROM d WHERE len(w) >= 5)),
+            fl AS (
+              SELECT doc_id, pos
+              FROM (SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY gram) AS c
+                    FROM win)
+              WHERE c >= 2),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (
+                                  PARTITION BY doc_id ORDER BY pos) > 5
+                                THEN 1 ELSE 0 END AS b
+                    FROM fl))
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT)
+                     AS span_tokens
+            FROM isl GROUP BY doc_id, g
+        """,
+        "dupspan_cut": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                         replace(coalesce(text, ''), chr(10), ' '), ' '),
+                         x -> x <> '') AS w
+              FROM documents),
+            win AS (
+              SELECT doc_id, pos,
+                     array_to_string(w[pos:pos+4], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS pos
+                    FROM d WHERE len(w) >= 5)),
+            fl AS (
+              SELECT doc_id, pos
+              FROM (SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY gram) AS c
+                    FROM win)
+              WHERE c >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id,
+                     unnest(generate_series(pos, pos + 4)) AS cp
+              FROM fl),
+            covl AS (
+              SELECT doc_id, list(cp) AS covered FROM cov
+              GROUP BY doc_id),
+            k AS (
+              SELECT doc_id, w,
+                     list_filter(list_transform(range(1, len(w) + 1),
+                         i -> CASE WHEN covered IS NULL
+                                     OR NOT list_contains(covered, i)
+                                   THEN w[i] END),
+                         x -> x IS NOT NULL) AS kept
+              FROM d LEFT JOIN covl USING (doc_id))
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS tokens_total,
+                   CAST(len(w) - len(kept) AS BIGINT) AS tokens_removed,
+                   coalesce(array_to_string(kept, ' '), '') AS text_kept
+            FROM k
+        """,
+        "recrawl_rates": """
+            WITH h AS (
+              SELECT doc_id, p AS pass_idx,
+                     md5(coalesce(text, '') || '#' ||
+                         CAST(((doc_id % 5) * p) // 4 AS VARCHAR)) AS fp
+              FROM documents
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)
+              WHERE NOT (doc_id % 11 = 0 AND p = 2)),
+            lagd AS (
+              SELECT doc_id, pass_idx,
+                     CASE WHEN fp <> lag(fp) OVER (
+                            PARTITION BY doc_id ORDER BY pass_idx)
+                          THEN 1 ELSE 0 END AS chg
+              FROM h)
+            SELECT doc_id,
+                   CAST(count(*) - 1 AS BIGINT) AS n_intervals,
+                   CAST(sum(chg) AS BIGINT) AS n_changed,
+                   CAST(CASE WHEN count(*) > 1 THEN
+                          floor(sum(chg) * 1000000 / (count(*) - 1))
+                        ELSE 0 END AS BIGINT) AS change_ppm,
+                   CAST(max(pass_idx) - coalesce(
+                          max(CASE WHEN chg = 1 THEN pass_idx END),
+                          min(pass_idx)) AS BIGINT) AS staleness
+            FROM lagd GROUP BY doc_id
+        """,
+        "recrawl_schedule": """
+            WITH h AS (
+              SELECT doc_id, p AS pass_idx,
+                     md5(coalesce(text, '') || '#' ||
+                         CAST(((doc_id % 5) * p) // 4 AS VARCHAR)) AS fp
+              FROM documents
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)
+              WHERE NOT (doc_id % 11 = 0 AND p = 2)),
+            lagd AS (
+              SELECT doc_id, pass_idx,
+                     CASE WHEN fp <> lag(fp) OVER (
+                            PARTITION BY doc_id ORDER BY pass_idx)
+                          THEN 1 ELSE 0 END AS chg
+              FROM h),
+            rates AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN count(*) > 1 THEN
+                            floor(sum(chg) * 1000000 / (count(*) - 1))
+                          ELSE 0 END AS BIGINT) AS change_ppm,
+                     CAST(max(pass_idx) - coalesce(
+                            max(CASE WHEN chg = 1 THEN pass_idx END),
+                            min(pass_idx)) AS BIGINT) AS staleness
+              FROM lagd GROUP BY doc_id)
+            SELECT doc_id, change_ppm, staleness,
+                   CAST(change_ppm * (staleness + 1) AS BIGINT) AS score
+            FROM rates
+            ORDER BY score DESC, doc_id
+            LIMIT 50
+        """,
+        "mix_epoch_plan": """
+            WITH c AS (
+              SELECT source AS domain,
+                     CAST(sum(len(list_filter(string_split(
+                         replace(text, chr(10), ' '), ' '),
+                         x -> x <> ''))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT domain,
+                     CAST(('0x' || substring(md5(domain), 1, 15))
+                          AS BIGINT) % 400000 + 100000 AS weight_ppm
+              FROM c),
+            base AS (
+              SELECT domain, tokens, weight_ppm,
+                     CAST((CAST(20000 AS HUGEINT) * weight_ppm)
+                          // 1000000 AS BIGINT) AS requested,
+                     CAST((CAST(tokens AS HUGEINT) * 3000000)
+                          // 1000000 AS BIGINT) AS cap
+              FROM c JOIN w USING (domain)),
+            b2 AS (
+              SELECT *, least(requested, cap) AS alloc1,
+                     cap - least(requested, cap) AS room
+              FROM base),
+            tot AS (
+              SELECT coalesce(sum(requested - alloc1), 0) AS s,
+                     coalesce(sum(CASE WHEN room > 0
+                                       THEN weight_ppm END), 0) AS wsum
+              FROM b2),
+            fin AS (
+              SELECT domain, tokens, weight_ppm, requested,
+                     alloc1 + CASE WHEN room > 0 AND wsum > 0
+                       THEN least(room,
+                            CAST((CAST(s AS HUGEINT) * weight_ppm)
+                                 // wsum AS BIGINT))
+                       ELSE 0 END AS alloc
+              FROM b2, tot)
+            SELECT domain, tokens, weight_ppm, requested,
+                   CAST(alloc AS BIGINT) AS alloc,
+                   CAST(CASE WHEN tokens > 0 THEN
+                          CAST((CAST(alloc AS HUGEINT) * 1000000)
+                               // tokens AS BIGINT)
+                        ELSE 0 END AS BIGINT) AS epochs_ppm
+            FROM fin
         """,
     }

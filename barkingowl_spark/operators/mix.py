@@ -61,6 +61,90 @@ def mix_sample(
     )
 
 
+def epoch_plan(
+    counts: DataFrame,
+    weights: DataFrame,
+    budget_tokens: int,
+    max_epochs_ppm: int = 5_000_000,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Token-budget allocation across domains — the mix table a training
+    run is actually launched with (The-Pile-style weight/epochs tables):
+    given per-domain token counts, target mix weights (ppm), a total
+    token budget, and a repetition ceiling (max_epochs_ppm, e.g.
+    5_000_000 = each domain's data may be seen at most 5 times):
+
+      requested_d = floor(B * w_d / 1e6)
+      cap_d       = floor(tokens_d * max_epochs_ppm / 1e6)
+      alloc_d     = min(requested_d, cap_d), then ONE redistribution
+                    pass hands the capped domains' shortfall to domains
+                    with headroom, proportional to their weights
+                    (bonus_d = min(room_d, floor(S * w_d / W_unsat))).
+
+    A single redistribution pass — not the fixed point — is the
+    documented contract: it is what production mix tables do, it is
+    closed-form (no driver iteration), and the residual slack is
+    auditable as B - sum(alloc). All arithmetic is DECIMAL(38,0)
+    multiply + integer DIV, bit-identical in DuckDB HUGEINT math
+    (B ~ 1e13 tokens x 1e6 ppm overflows int64; never multiply in
+    longs). Counts and weights join on domain (inner: a domain with no
+    weight is not in the mix).
+
+    Scale shape: both inputs are per-domain dims (10^5..10^7 rows at
+    web scale); the shortfall/headroom scalars are one tiny aggregate
+    broadcast back — no corpus-sized anything."""
+    j = counts.select(domain_col, F.col("tokens").cast("long")
+                      .alias("tokens")).join(
+        weights.select(domain_col, F.col("weight_ppm").cast("long")
+                       .alias("weight_ppm")),
+        domain_col,
+    )
+    base = j.select(
+        domain_col,
+        "tokens",
+        "weight_ppm",
+        F.expr(
+            f"CAST((CAST({int(budget_tokens)} AS DECIMAL(38,0))"
+            " * weight_ppm) DIV 1000000 AS BIGINT)"
+        ).alias("requested"),
+        F.expr(
+            f"CAST((CAST(tokens AS DECIMAL(38,0)) * {int(max_epochs_ppm)})"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("_cap"),
+    ).withColumn(
+        "_alloc1", F.least("requested", "_cap")
+    ).withColumn("_room", F.col("_cap") - F.col("_alloc1"))
+    tot = base.agg(
+        F.coalesce(F.sum(F.col("requested") - F.col("_alloc1")),
+                   F.lit(0).cast("long")).alias("_s"),
+        F.coalesce(F.sum(F.when(F.col("_room") > 0, F.col("weight_ppm"))),
+                   F.lit(0).cast("long")).alias("_w"),
+    )
+    out = base.crossJoin(F.broadcast(tot)).withColumn(
+        "_bonus",
+        F.when(
+            (F.col("_room") > 0) & (F.col("_w") > 0),
+            F.least(
+                F.col("_room"),
+                F.expr("CAST((CAST(_s AS DECIMAL(38,0)) * weight_ppm)"
+                       " DIV _w AS BIGINT)"),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn("alloc", F.col("_alloc1") + F.col("_bonus"))
+    return out.select(
+        domain_col,
+        "tokens",
+        "weight_ppm",
+        "requested",
+        "alloc",
+        F.when(
+            F.col("tokens") > 0,
+            F.expr("CAST((CAST(alloc AS DECIMAL(38,0)) * 1000000)"
+                   " DIV tokens AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("long")).alias("epochs_ppm"),
+    )
+
+
 def mix_report(sampled: DataFrame,
                host_col: str = "source") -> DataFrame:
     """(host, total, kept, kept_ppm): the achieved mix, for asserting

@@ -46,7 +46,9 @@ def duck():
      "text_repetition", "text_top_bigram", "pii_scan", "pii_redact",
      "shard_assign", "shard_manifest", "redirect_resolve",
      "anchor_rollup", "idx_postings", "idx_topk_terms", "crawl_diff",
-     "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl"],
+     "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl",
+     "dupspan_spans", "dupspan_cut", "recrawl_rates",
+     "recrawl_schedule", "mix_epoch_plan"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

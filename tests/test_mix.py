@@ -78,3 +78,73 @@ def test_sampling_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# epoch_plan
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.mix import epoch_plan  # noqa: E402
+
+
+def _plan(spark, counts, weights, budget, epochs_ppm=2_000_000):
+    c = spark.createDataFrame(counts, "domain string, tokens long")
+    w = spark.createDataFrame(weights, "domain string, weight_ppm long")
+    return {
+        r["domain"]: (r["requested"], r["alloc"], r["epochs_ppm"])
+        for r in epoch_plan(c, w, budget, epochs_ppm).collect()
+    }
+
+
+def test_epoch_plan_caps_and_redistributes(spark):
+    got = _plan(
+        spark,
+        [("A", 100), ("B", 400), ("C", 50)],
+        [("A", 500_000), ("B", 300_000), ("C", 200_000)],
+        budget=1000,
+    )
+    # A wants 500 capped at 2 epochs = 200; C wants 200 capped at 100;
+    # shortfall 400 all flows to B (the only domain with headroom).
+    assert got == {
+        "A": (500, 200, 2_000_000),
+        "B": (300, 700, 1_750_000),
+        "C": (200, 100, 2_000_000),
+    }
+    assert sum(a for _, a, _ in got.values()) == 1000
+
+
+def test_epoch_plan_no_shortfall_identity(spark):
+    got = _plan(
+        spark,
+        [("A", 1000), ("B", 1000)],
+        [("A", 600_000), ("B", 400_000)],
+        budget=1000,
+    )
+    assert got == {"A": (600, 600, 600_000), "B": (400, 400, 400_000)}
+
+
+def test_epoch_plan_all_capped_leaves_slack(spark):
+    got = _plan(
+        spark,
+        [("A", 10), ("B", 10)],
+        [("A", 500_000), ("B", 500_000)],
+        budget=1000,
+    )
+    # both cap at 20 tokens; 960 of budget is unplaceable slack
+    assert got == {"A": (500, 20, 2_000_000), "B": (500, 20, 2_000_000)}
+
+
+def test_epoch_plan_unweighted_domain_excluded(spark):
+    got = _plan(spark, [("A", 100), ("Z", 999)], [("A", 1_000_000)], 100)
+    assert set(got) == {"A"}
+
+
+def test_epoch_plan_survives_int64_overflow_scale(spark):
+    got = _plan(
+        spark,
+        [("A", 10_000_000_000_000)],
+        [("A", 999_999)],
+        budget=10_000_000_000_000,
+        epochs_ppm=1_000_000,
+    )
+    assert got == {"A": (9_999_990_000_000, 9_999_990_000_000, 999_999)}

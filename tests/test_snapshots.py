@@ -37,3 +37,60 @@ def test_custom_key_and_fp_columns(spark):
         for r in snapshot_diff(prev, cur, key="doc_id", fp="h").collect()
     }
     assert got == {1: "changed", 2: "added"}
+
+
+# ---------------------------------------------------------------------------
+# change_rates / recrawl_schedule
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.snapshots import (  # noqa: E402
+    change_rates,
+    recrawl_schedule,
+)
+
+HIST = [
+    # url, pass_idx, fp
+    ("hot", 0, "a"), ("hot", 1, "b"), ("hot", 2, "c"), ("hot", 3, "d"),
+    ("half", 0, "a"), ("half", 1, "a"), ("half", 2, "b"), ("half", 3, "b"),
+    ("cold", 0, "a"), ("cold", 1, "a"), ("cold", 2, "a"), ("cold", 3, "a"),
+    ("once", 5, "a"),
+    ("gap", 0, "a"), ("gap", 7, "b"),      # sparse passes still 1 interval
+]
+
+
+def _hist(spark):
+    return spark.createDataFrame(HIST, "url string, pass_idx long, fp string")
+
+
+def test_change_rates_values(spark):
+    got = {
+        r["url"]: (r["n_intervals"], r["n_changed"], r["change_ppm"],
+                   r["staleness"])
+        for r in change_rates(_hist(spark)).collect()
+    }
+    assert got == {
+        "hot": (3, 3, 1_000_000, 0),
+        "half": (3, 1, 333333, 1),      # changed at pass 2, last pass 3
+        "cold": (3, 0, 0, 3),           # never changed: age since first
+        "once": (0, 0, 0, 0),           # single observation
+        "gap": (1, 1, 1_000_000, 0),
+    }
+
+
+def test_recrawl_schedule_rank_and_ties(spark):
+    rates = change_rates(_hist(spark))
+    got = [tuple(r) for r in recrawl_schedule(rates, budget=3).collect()]
+    # scores: hot 1e6*1, half 333333*2=666666, cold/once/gap... gap 1e6*1
+    # tie between "gap" and "hot" at 1e6 -> key asc: gap first
+    assert got == [
+        ("gap", 1_000_000, 0, 1_000_000),
+        ("hot", 1_000_000, 0, 1_000_000),
+        ("half", 333333, 1, 666666),
+    ]
+
+
+def test_recrawl_schedule_is_take_ordered(spark):
+    plan = recrawl_schedule(
+        change_rates(_hist(spark)), budget=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
