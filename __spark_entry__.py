@@ -1263,6 +1263,69 @@ def q_mix_epoch_plan(spark, sf):
     )
 
 
+def q_dedup_keep_best(spark, sf):
+    """Keep-best canonical selection over transitive near-dup clusters
+    (operators/components.py::cluster_representatives): same LSH->verify
+    ->connected-components chain as dedup_components, keeper = highest
+    distinct-token count (ties: lowest doc_id) via a map-side-combined
+    groupBy argmax — never a whole-cluster sort."""
+    from barkingowl_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+    from barkingowl_spark.operators.corpus_dedup import (
+        verified_near_dup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    comp = connected_components(
+        verified_near_dup_pairs(d, 600_000)
+    ).withColumnRenamed("id", "doc_id")
+    qual = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long")
+        .alias("quality"),
+    )
+    return cluster_representatives(comp, qual, quality_col="quality")
+
+
+def q_cdx_index(spark, sf):
+    """SURT-keyed CDX capture index (operators/cdx.py): synthetic
+    two-pass capture log over documents (urls rebuilt from source +
+    doc_id, digest steps for doc_id%5==4 on pass 1), revisit = same
+    (surt, digest) seen at an earlier (ts, url)."""
+    from barkingowl_spark.operators.cdx import cdx_index
+
+    d = _t(spark, sf, "documents")
+    cap = d.select(
+        F.explode(F.expr("sequence(0, 1)")).alias("p"),
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("t"),
+        "source",
+    ).select(
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("www."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        (F.lit(20260801000000) + F.col("p") + F.col("doc_id") * 10)
+        .cast("long").alias("ts"),
+        F.md5(
+            F.concat(
+                F.col("t"),
+                F.lit("#"),
+                F.expr("CAST(((doc_id % 5) * p) DIV 4 AS STRING)"),
+            )
+        ).alias("digest"),
+    )
+    return cdx_index(cap)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1349,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_rates": q_recrawl_rates,
         "recrawl_schedule": q_recrawl_schedule,
         "mix_epoch_plan": q_mix_epoch_plan,
+        "dedup_keep_best": q_dedup_keep_best,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -3013,5 +3078,113 @@ def oracle_sql() -> dict[str, str]:
                                // tokens AS BIGINT)
                         ELSE 0 END AS BIGINT) AS epochs_ppm
             FROM fin
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+              FROM t WHERE len(w) >= 3
+            ), sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents
+            ),
+            ver AS (
+              SELECT doc_a, doc_b
+              FROM cand
+              JOIN toks ta ON ta.doc_id = cand.doc_a
+              JOIN toks tb ON tb.doc_id = cand.doc_b
+              WHERE CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                    * 1000000.0
+                    / len(list_distinct(list_concat(ta.toks, tb.toks))))
+                    AS BIGINT) >= 600000
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM ver
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM ver
+            ),
+            reach AS (
+              SELECT s AS n, d AS m FROM edges
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            ),
+            comp AS (
+              SELECT n AS doc_id, least(n, min(m)) AS component_id
+              FROM reach GROUP BY n
+            ),
+            qual AS (
+              SELECT doc_id,
+                     CAST(len(list_distinct(string_split(text, ' ')))
+                          AS BIGINT) AS quality
+              FROM documents
+            ),
+            r AS (
+              SELECT comp.doc_id, component_id, quality
+              FROM comp JOIN qual USING (doc_id)
+            ),
+            k AS (
+              SELECT component_id, doc_id AS keeper_id
+              FROM (SELECT doc_id, component_id,
+                           row_number() OVER (PARTITION BY component_id
+                               ORDER BY quality DESC, doc_id) AS rn
+                    FROM r)
+              WHERE rn = 1
+            )
+            SELECT r.doc_id, r.component_id, k.keeper_id,
+                   r.doc_id = k.keeper_id AS is_keeper
+            FROM r JOIN k USING (component_id)
+        """,
+        "cdx_index": """
+            WITH cap AS (
+              SELECT 'http://'
+                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.'
+                              ELSE '' END)
+                     || source || '.test/p/' || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '?a=1'
+                              ELSE '' END) AS url,
+                     CAST(20260801000000 + p + doc_id * 10 AS BIGINT)
+                       AS ts,
+                     md5(coalesce(text, '') || '#' ||
+                         CAST(((doc_id % 5) * p) // 4 AS VARCHAR))
+                       AS digest
+              FROM documents
+              CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS p)),
+            s AS (
+              SELECT url, ts, digest,
+                     regexp_replace(lower(url),
+                         '^[a-z][a-z0-9+.-]*://', '') AS rest
+              FROM cap),
+            s2 AS (
+              SELECT url, ts, digest, rest,
+                     regexp_replace(regexp_replace(
+                         regexp_extract(rest, '^([^/?#]*)', 1),
+                         ':[0-9]+$', ''), '^www\\.', '') AS host,
+                     regexp_replace(regexp_replace(rest,
+                         '^[^/?#]*', ''), '#.*$', '') AS pathq
+              FROM s),
+            s3 AS (
+              SELECT url, ts, digest,
+                     array_to_string(list_reverse(
+                         string_split(host, '.')), ',')
+                     || ')'
+                     || (CASE WHEN pathq = '' THEN '/' ELSE pathq END)
+                       AS surt
+              FROM s2)
+            SELECT surt, ts, url, digest,
+                   row_number() OVER (PARTITION BY surt, digest
+                                      ORDER BY ts, url) > 1 AS revisit
+            FROM s3
         """,
     }

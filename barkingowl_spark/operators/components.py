@@ -116,3 +116,52 @@ def near_dup_components(
     return comp.select(
         "doc_id", "component_id", F.count("*").over(w).alias("csize")
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """(id, component_id, keeper_id, is_keeper): per near-dup cluster,
+    the highest-quality member (ties: lowest id) is the keeper; every
+    other member is the drop set. This is the keep-best refinement of
+    the hygiene job's keep-lowest-id rule — dedup recipes that score
+    documents (length, quality classifier) keep the best copy, not the
+    first-crawled one.
+
+    quality: (id, quality) — members missing from it rank below every
+    scored member (quality coalesced to long-min), they never win over
+    a scored sibling.
+
+    Scale shape: the keeper per cluster is a groupBy argmax via
+    max(struct(quality, -id)) — partial-aggregated map-side, so a giant
+    cluster combines before the shuffle (a window rank would sort the
+    whole cluster in one task); the member<-keeper join shuffles on the
+    same comp key the argmax just produced, so AQE reuses the exchange.
+    Numeric ids required (the -id tie-break); that is the repo-wide
+    doc_id contract."""
+    j = components.join(
+        quality.select(id_col, quality_col), id_col, "left"
+    ).withColumn(
+        "_q",
+        F.coalesce(F.col(quality_col).cast("long"),
+                   F.lit(-(1 << 62)).cast("long")),
+    )
+    k = (
+        j.groupBy(comp_col)
+        .agg(F.max(F.struct(
+            F.col("_q").alias("q"),
+            (-F.col(id_col)).cast("long").alias("nid"),
+        )).alias("_m"))
+        .select(comp_col, (-F.col("_m.nid")).cast("long")
+                .alias("keeper_id"))
+    )
+    return j.join(k, comp_col).select(
+        id_col,
+        comp_col,
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+    )

@@ -105,3 +105,44 @@ def test_hygiene_greedy_vs_transitive(v_docs):
                for r in hygiene_decisions(v_docs,
                                           transitive=True).collect()}
     assert reasons[1] == "near_dup" and reasons[2] == "near_dup"
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.components import (  # noqa: E402
+    cluster_representatives,
+)
+
+
+def test_keep_best_argmax_and_ties(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component_id long",
+    )
+    qual = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, quality long",
+    )
+    got = {
+        r["doc_id"]: (r["keeper_id"], r["is_keeper"])
+        for r in cluster_representatives(comp, qual).collect()
+    }
+    # cluster 1: quality tie 9 between 2 and 3 -> lowest id (2) wins
+    assert got == {
+        1: (2, False), 2: (2, True), 3: (2, False),
+        10: (10, True), 11: (10, False),   # tie -> lowest id
+    }
+
+
+def test_keep_best_unscored_member_never_wins(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, component_id long"
+    )
+    qual = spark.createDataFrame([(2, 0)], "doc_id long, quality long")
+    got = {
+        r["doc_id"]: r["is_keeper"]
+        for r in cluster_representatives(comp, qual).collect()
+    }
+    assert got == {1: False, 2: True}

@@ -48,7 +48,8 @@ def duck():
      "anchor_rollup", "idx_postings", "idx_topk_terms", "crawl_diff",
      "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl",
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
-     "recrawl_schedule", "mix_epoch_plan"],
+     "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
+     "cdx_index"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
