@@ -15,6 +15,12 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
       first-occurrence-wins paragraph rewrite (operators/paradedup.py)
       after the boilerplate strip — mirrors/syndication collapse into
       shorter docs (possibly '') before any hashing
+  0a''. optional exact duplicate-substring cut (--cut-dup-spans N):
+      corpus-duplicated N-token spans are cut from every doc
+      (operators/dupspans.py, Lee et al. 2022 ExactSubstr) after the
+      paragraph pass — catches mid-paragraph syndication the
+      line-aligned passes miss; note the rewrite re-joins tokens with
+      single spaces (whitespace-normalizing, like the packing path)
   0b. optional incremental gate (--prior KEPT_PARQUET): docs whose
       content fingerprint already exists in a PRIOR run's kept/ output
       drop first with reason 'prior_dup' — the re-run path: only new
@@ -266,6 +272,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dedup-paragraphs", action="store_true",
                    help="corpus-global first-occurrence paragraph "
                         "rewrite before hashing (stage 0a')")
+    p.add_argument("--cut-dup-spans", type=int, metavar="N", default=None,
+                   help="cut corpus-duplicated N-token spans from every "
+                        "doc before hashing (stage 0a''; ExactSubstr)")
     p.add_argument("--transitive", action="store_true",
                    help="connected-components near-dup clusters instead "
                         "of greedy pair-drop")
@@ -315,6 +324,16 @@ def main(argv: list[str] | None = None) -> None:
                                     shuffle_on_hash=args.scale_keys)
         docs = docs.drop("text").join(
             rewritten.withColumnRenamed("text_clean", "text"), "doc_id")
+    if args.cut_dup_spans:
+        from barkingowl_spark.operators.dupspans import (
+            cut_duplicate_spans,
+        )
+
+        cut = cut_duplicate_spans(docs, n=args.cut_dup_spans,
+                                  hash_grams=args.scale_keys)
+        docs = docs.drop("text").join(
+            cut.select("doc_id", F.col("text_kept").alias("text")),
+            "doc_id")
     decisions = hygiene_decisions(
         docs,
         jaccard_ppm=args.jaccard_ppm,

@@ -217,3 +217,37 @@ def test_main_end_to_end_with_mix_and_redaction(spark, tmp_path, capsys):
     assert len(kept) == 1 and kept[0]["doc_id"] == 0
     assert "<EMAIL>" in kept[0]["text"]
     assert "bob@example.com" not in kept[0]["text"]
+
+
+def test_main_cut_dup_spans_flag(spark, tmp_path, capsys):
+    """--cut-dup-spans N: a 6-token phrase shared by three docs is cut
+    from ALL of them (ExactSubstr all-copies rule) before hashing; the
+    doc that was nothing but the phrase rewrites to '' and drops at the
+    quality gate, the others keep their now-distinct remainders."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    common = "one two three four five six"
+    docs = _mini(spark, [
+        (0, "the alpha beta gamma delta " + common
+            + " epsilon zeta eta in theta", "en", "h0", 1),
+        (1, "the psi omega " + common + " mu nu xi omicron in pi rho",
+         "en", "h1", 1),
+        (2, common, "en", "h2", 1),
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--cut-dup-spans", "4"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept_docs"] == 2
+    assert stats["dropped"] == {"low_quality": 1}
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "kept"))
+        .collect()
+    }
+    assert kept[0] == \
+        "the alpha beta gamma delta epsilon zeta eta in theta"
+    assert kept[1] == "the psi omega mu nu xi omicron in pi rho"

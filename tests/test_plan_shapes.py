@@ -136,3 +136,41 @@ def test_waterfill_is_all_dataframe_no_cartesian_blowup(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dupspan_cut_one_gram_shuffle_no_python(spark):
+    """Duplicate-substring cut: exactly ONE gram-keyed exchange flags
+    windows; the two per-doc windows and the span collect share one
+    doc_id exchange; the token rebuild is native (no Python seam)."""
+    import pandas as pd
+
+    from barkingowl_spark.operators.dupspans import cut_duplicate_spans
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["a b c d e f"] * 10
+                + [f"u{i} v w x y z" for i in range(10)],
+    }))
+    plan = _plan(cut_duplicate_spans(docs, n=3))
+    assert plan.count("Exchange hashpartitioning(_g") == 1
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cdx_sorted_range_partition_not_global_sort(spark):
+    """CDX layout: rangepartitioning + per-partition sorts (global flag
+    false everywhere) — never a single-task global Sort; the revisit
+    window shuffles on the content-derived (surt, digest)."""
+    import pandas as pd
+
+    from barkingowl_spark.operators.cdx import cdx_index, cdx_sorted
+
+    caps = spark.createDataFrame(pd.DataFrame({
+        "url": [f"http://h{i % 5}.test/p{i}" for i in range(40)],
+        "ts": range(40),
+        "digest": [f"d{i % 9}" for i in range(40)],
+    }))
+    plan = _plan(cdx_sorted(cdx_index(caps), 4))
+    assert "rangepartitioning(surt" in plan
+    assert "Exchange hashpartitioning(surt" in plan
+    assert "], true, 0" not in plan   # no global Sort node
