@@ -1326,6 +1326,33 @@ def q_cdx_index(spark, sf):
     return cdx_index(cap)
 
 
+def q_politeness_timeline(spark, sf):
+    """Per-host fetch calendar (operators/politeness.py::
+    fetch_timeline): slot k fetches at wave_start + (k-1)*delay; delays
+    are an md5-derived per-host dim with ~1/3 of hosts absent
+    (default-delay path); one host-keyed window shuffle, broadcast dim."""
+    from barkingowl_spark.operators.politeness import fetch_timeline
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("url_id"),
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("discovery_idx"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("host").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    delays = (
+        d.select("host").distinct()
+        .select("host", h.alias("_h"))
+        .filter(F.col("_h") % 3 != 0)
+        .select("host", (F.lit(200) + F.col("_h") % 2000)
+                .cast("long").alias("delay_ms"))
+    )
+    return fetch_timeline(
+        d, delays, id_col="url_id", wave_start_ms=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1414,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_epoch_plan": q_mix_epoch_plan,
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
+        "politeness_timeline": q_politeness_timeline,
     }
 
 
@@ -3186,5 +3214,27 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY surt, digest
                                       ORDER BY ts, url) > 1 AS revisit
             FROM s3
+        """,
+        "politeness_timeline": """
+            WITH s AS (
+              SELECT doc_id AS url_id, source AS host, doc_id AS d
+              FROM documents),
+            del AS (
+              SELECT host, CAST(200 + h % 2000 AS BIGINT) AS delay_ms
+              FROM (SELECT DISTINCT source AS host,
+                           CAST(('0x' || substring(md5(source), 1, 15))
+                                AS BIGINT) AS h
+                    FROM documents)
+              WHERE h % 3 <> 0),
+            r AS (
+              SELECT url_id, s.host,
+                     row_number() OVER (PARTITION BY s.host
+                                        ORDER BY d) AS slot,
+                     delay_ms
+              FROM s LEFT JOIN del USING (host))
+            SELECT url_id, host, CAST(slot AS BIGINT) AS slot,
+                   CAST(1000 + (slot - 1) * coalesce(delay_ms, 1000)
+                        AS BIGINT) AS fetch_at_ms
+            FROM r
         """,
     }

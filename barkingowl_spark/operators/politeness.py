@@ -167,3 +167,58 @@ def robots_filter(links: DataFrame, robots: DataFrame | None) -> DataFrame:
         .filter(F.col("disallow_prefixes").isNull() | ~disallowed)
         .drop("disallow_prefixes")
     )
+
+
+def fetch_timeline(
+    scheduled: DataFrame,
+    delays: DataFrame | None = None,
+    id_col: str = "url",
+    host_col: str = "host",
+    order_cols: tuple = ("discovery_idx",),
+    default_delay_ms: int = 1000,
+    wave_start_ms: int = 0,
+) -> DataFrame:
+    """(id, host, slot, fetch_at_ms): the dispatch calendar of one wave.
+    Per host, the k-th fetch in order_cols order happens at
+    wave_start_ms + (k-1) * crawl_delay_ms — the reference's
+    one-at-a-time per-site politeness (SURVEY §2 O20) made explicit as
+    timestamps a distributed fetcher fleet can execute against without
+    coordinating: every worker reads its own host's calendar.
+
+    delays: (host, delay_ms) small dim (robots.txt Crawl-delay,
+    operators/robots.py); hosts absent fall back to default_delay_ms.
+
+    Scale shape: one window shuffle on host (the same partitioning any
+    per-host fetch queue needs anyway); the delay dim is broadcast —
+    map-side after the window. Hot hosts concentrate a partition, but
+    the per-row work is a counter, and a host's calendar is
+    intrinsically sequential (that is what politeness MEANS), so
+    host-level parallelism is the true upper bound, not a plan defect."""
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    d = scheduled.withColumn("slot", F.row_number().over(w))
+    if delays is not None:
+        d = d.join(
+            F.broadcast(delays.select(host_col, "delay_ms")),
+            host_col, "left",
+        )
+        delay = F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+    else:
+        delay = F.lit(default_delay_ms)
+    return d.select(
+        id_col,
+        host_col,
+        F.col("slot").cast("long").alias("slot"),
+        (F.lit(wave_start_ms) + (F.col("slot") - 1) * delay)
+        .cast("long").alias("fetch_at_ms"),
+    )
+
+
+def timeline_makespan(timeline: DataFrame,
+                      host_col: str = "host") -> DataFrame:
+    """(host, n_fetches, makespan_ms): each host's last-fetch offset;
+    the wave's wall-clock floor is max(makespan_ms) — the politeness
+    critical path that no amount of executors shortens."""
+    return timeline.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.max("fetch_at_ms").alias("makespan_ms"),
+    )

@@ -87,3 +87,55 @@ def test_reference_invariants(counts, budget):
     assert all(0 <= alloc[h] <= counts[h] for h in counts)
     short = [alloc[h] for h in counts if alloc[h] < counts[h]]
     assert not short or max(short) - min(short) <= 1
+
+
+# ---------------------------------------------------------------------------
+# fetch_timeline / timeline_makespan
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.politeness import (  # noqa: E402
+    fetch_timeline,
+    timeline_makespan,
+)
+
+
+def _sched(spark):
+    rows = [
+        ("u1", "a.test", 3), ("u2", "a.test", 1), ("u3", "a.test", 2),
+        ("u4", "b.test", 1), ("u5", "b.test", 2),
+        ("u6", "c.test", 1),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, host string, discovery_idx long"
+    )
+
+
+def test_timeline_slots_and_delays(spark):
+    delays = spark.createDataFrame(
+        [("a.test", 500), ("b.test", 2000)], "host string, delay_ms long"
+    )
+    got = {
+        r["url"]: (r["slot"], r["fetch_at_ms"])
+        for r in fetch_timeline(
+            _sched(spark), delays, wave_start_ms=100
+        ).collect()
+    }
+    assert got == {
+        "u2": (1, 100), "u3": (2, 600), "u1": (3, 1100),   # 500ms gaps
+        "u4": (1, 100), "u5": (2, 2100),                   # 2000ms gaps
+        "u6": (1, 100),            # no dim row -> default 1000 unused
+    }
+
+
+def test_timeline_makespan(spark):
+    delays = spark.createDataFrame(
+        [("a.test", 500), ("b.test", 2000)], "host string, delay_ms long"
+    )
+    tl = fetch_timeline(_sched(spark), delays)
+    got = {
+        r["host"]: (r["n_fetches"], r["makespan_ms"])
+        for r in timeline_makespan(tl).collect()
+    }
+    assert got == {
+        "a.test": (3, 1000), "b.test": (2, 2000), "c.test": (1, 0),
+    }
