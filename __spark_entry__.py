@@ -1353,6 +1353,23 @@ def q_politeness_timeline(spark, sf):
     )
 
 
+def q_graph_trustrank(spark, sf):
+    """3-iteration fixed-point TrustRank (operators/linkgraph.py::
+    trustrank_fixed — Gyongyi et al. VLDB'04): teleport restricted to
+    the node%17==0 trusted seeds; unreachable (spam-island) nodes
+    converge to 0. Same bigint floor-div recurrence as PageRank."""
+    from barkingowl_spark.operators.linkgraph import trustrank_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    trusted = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 17 == 0)
+    )
+    return trustrank_fixed(edges, trusted, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1442,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
+        "graph_trustrank": q_graph_trustrank,
     }
 
 
@@ -1682,6 +1700,47 @@ def _pii_redact_sql() -> str:
                    AS text_redacted
         FROM d
     """
+
+
+def _trustrank_sql(n_iter: int = 3) -> str:
+    """Unrolled TrustRank recurrence (same shape as graph_pagerank's
+    oracle, teleport restricted to the node%17==0 seeds)."""
+    base_case = (
+        "CASE WHEN tr.node IS NOT NULL THEN"
+        " 15000000000000 // (100 * tc.n) ELSE 0 END"
+    )
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "tr AS (SELECT node FROM nodes WHERE node % 17 = 0)",
+        "tc AS (SELECT count(*) AS n FROM tr)",
+        "od AS (SELECT src AS node, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT nodes.node, CASE WHEN tr.node IS NOT NULL THEN"
+        " 1000000000000 // tc.n ELSE 0 END AS trust_fp"
+        " FROM nodes CROSS JOIN tc"
+        " LEFT JOIN tr ON tr.node = nodes.node)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM((r.trust_fp * 85) // (100 * o.outdeg))"
+            f" AS BIGINT) AS inflow"
+            f" FROM edges e JOIN r{i-1} r ON r.node = e.src"
+            f" JOIN od o ON o.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, {base_case}"
+            f" + COALESCE(s{i}.inflow, 0) AS trust_fp"
+            f" FROM nodes CROSS JOIN tc"
+            f" LEFT JOIN tr ON tr.node = nodes.node"
+            f" LEFT JOIN s{i} ON s{i}.node = nodes.node)"
+        )
+    return (
+        f"WITH {_EDGES_SQL}, " + ", ".join(parts)
+        + f" SELECT node, CAST(trust_fp AS BIGINT) AS trust_fp"
+          f" FROM r{n_iter}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3215,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, url) > 1 AS revisit
             FROM s3
         """,
+        "graph_trustrank": _trustrank_sql(),
         "politeness_timeline": """
             WITH s AS (
               SELECT doc_id AS url_id, source AS host, doc_id AS d

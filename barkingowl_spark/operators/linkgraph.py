@@ -206,3 +206,82 @@ def hits_fixed(edges: DataFrame, n_iter: int = 2) -> DataFrame:
             .localCheckpoint()
         )
     return scores.select("node", "hub_fp", "auth_fp")
+
+
+def trustrank_fixed(
+    edges: DataFrame,
+    trusted: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(node, trust_fp): TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    "Combating Web Spam with TrustRank", VLDB 2004) — PageRank with the
+    teleport restricted to a trusted seed set T:
+
+        base_v   = (scale * (DAMP_DEN - DAMP_NUM)) div (DAMP_DEN * |T|)
+                   for v in T, else 0
+        trust0_v = scale div |T| for v in T, else 0
+        contrib and iteration exactly as pagerank_fixed.
+
+    Trust flows OUT of the seeds along links, attenuating with
+    distance; pages unreachable from any seed converge to 0 — the
+    rank-vs-trust gap is the spam-demotion signal. Same int64 fixed
+    point, floor-div everywhere, bit-identical across engines and
+    cluster sizes; same per-iteration shape as pagerank_fixed (one
+    shuffle join + one map-side-combined agg), lineage truncated per
+    round. trusted: one (node) column; deduplicated here, |T| is its
+    distinct count."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    t = trusted.select("node").distinct().localCheckpoint()
+    nt = t.count()
+    if nt == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("trust_fp"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * nt)
+    tflag = t.withColumn("_t", F.lit(1))
+    ranks = (
+        nodes.join(tflag, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_t") == 1, F.lit(scale // nt))
+            .otherwise(F.lit(0)).cast("long").alias("trust_fp"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        ee = e.select(F.col("src").alias("e_src"),
+                      F.col("dst").alias("e_dst"))
+        contribs = (
+            ranks.join(outdeg, "node")
+            .join(ee, F.col("node") == F.col("e_src"))
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(
+                    f"(trust_fp * {DAMP_NUM}) div ({DAMP_DEN}L * outdeg)"
+                ).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(tflag, "node", "left")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_t") == 1, F.lit(base))
+                    .otherwise(F.lit(0))
+                    + F.coalesce("inflow", F.lit(0))
+                ).cast("long").alias("trust_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

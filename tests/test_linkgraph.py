@@ -144,3 +144,66 @@ def test_hits_bit_exact_vs_reference(spark):
     one = ref_hits(TINY, 1)
     assert one["d"][1] == 0
     assert one["c"][1] == max(a for _, a in one.values())
+
+
+# ---------------------------------------------------------------------------
+# trustrank_fixed
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.linkgraph import trustrank_fixed  # noqa: E402
+
+
+def ref_trustrank(edges, trusted, n_iter=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    t = set(trusted)
+    nt = len(t)
+    outdeg = Counter(s for s, _ in edges)
+    r = {v: (scale // nt if v in t else 0) for v in nodes}
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * nt)
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += (r[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        r = {v: (base if v in t else 0) + inflow.get(v, 0)
+             for v in nodes}
+    return r
+
+
+def _trusted_df(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def test_trustrank_bit_exact_vs_reference(spark):
+    for n_iter in (1, 3):
+        got = {
+            r["node"]: r["trust_fp"]
+            for r in trustrank_fixed(
+                _edges_df(spark), _trusted_df(spark, ["a"]), n_iter
+            ).collect()
+        }
+        assert got == ref_trustrank(TINY, ["a"], n_iter), n_iter
+
+
+def test_trustrank_unreachable_gets_zero(spark):
+    # spam island x->y unreachable from trusted 'a'
+    edges = TINY + [("x", "y"), ("y", "x")]
+    got = {
+        r["node"]: r["trust_fp"]
+        for r in trustrank_fixed(
+            _edges_df(spark, edges), _trusted_df(spark, ["a"]), 3
+        ).collect()
+    }
+    assert got == ref_trustrank(edges, ["a"], 3)
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > 0 and got["c"] > 0      # reachable from the seed
+
+
+def test_trustrank_with_all_nodes_trusted_is_pagerank(spark):
+    nodes = ["a", "b", "c", "d"]
+    got = {
+        r["node"]: r["trust_fp"]
+        for r in trustrank_fixed(
+            _edges_df(spark), _trusted_df(spark, nodes), 3
+        ).collect()
+    }
+    assert got == ref_pagerank(TINY, 3)
