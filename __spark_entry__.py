@@ -1370,6 +1370,30 @@ def q_graph_trustrank(spark, sf):
     return trustrank_fixed(edges, trusted, n_iter=3)
 
 
+def q_trap_templates(spark, sf):
+    """URL template mining (operators/traps.py::url_templates): digit
+    runs in path+query collapse to '#'; a template dominating its host
+    at volume is a generated URL space (calendar/faceted-search trap).
+    Count-table rollup + host-window share, never the frontier twice."""
+    from barkingowl_spark.operators.traps import url_templates
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test"),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit("/cal/"), (i % 12).cast("string"),
+                     F.lit("/"), (i % 28).cast("string")),
+        ).otherwise(F.concat(F.lit("/page/"), i.cast("string"))),
+        F.when(i % 3 == 0, F.concat(F.lit("?s="), i.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    u = d.select(url.alias("url"),
+                 F.concat(F.col("source"), F.lit(".test")).alias("host"))
+    return url_templates(u, explosive_min_urls=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1460,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
         "graph_trustrank": q_graph_trustrank,
+        "trap_templates": q_trap_templates,
     }
 
 
@@ -3275,6 +3300,43 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "graph_trustrank": _trustrank_sql(),
+        "trap_templates": """
+            WITH u AS (
+              SELECT 'http://' || source || '.test'
+                     || (CASE WHEN doc_id % 4 = 0 THEN
+                           '/cal/' || CAST(doc_id % 12 AS VARCHAR)
+                           || '/' || CAST(doc_id % 28 AS VARCHAR)
+                         ELSE '/page/' || CAST(doc_id AS VARCHAR)
+                         END)
+                     || (CASE WHEN doc_id % 3 = 0 THEN
+                           '?s=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END) AS url,
+                     source || '.test' AS host
+              FROM documents),
+            t AS (
+              SELECT host,
+                     regexp_replace(
+                         regexp_extract(url,
+                             '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                         '[0-9]+', '#', 'g') AS template
+              FROM u),
+            per AS (
+              SELECT host, template, count(*) AS n_urls
+              FROM t GROUP BY host, template),
+            tot AS (
+              SELECT *,
+                     sum(n_urls) OVER (PARTITION BY host) AS host_urls
+              FROM per)
+            SELECT host, template,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(host_urls AS BIGINT) AS host_urls,
+                   CAST(floor(n_urls * 1000000 / host_urls) AS BIGINT)
+                     AS share_ppm,
+                   n_urls >= 10
+                   AND floor(n_urls * 1000000 / host_urls) >= 200000
+                     AS explosive
+            FROM tot
+        """,
         "politeness_timeline": """
             WITH s AS (
               SELECT doc_id AS url_id, source AS host, doc_id AS d

@@ -30,7 +30,7 @@ Signals per URL (see the threshold constants):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_DEPTH = 8
@@ -91,3 +91,56 @@ def trap_filter(candidates: DataFrame, url_col: str = "url") -> DataFrame:
         | (F.length(url) > MAX_URL_LEN)
     )
     return candidates.filter(keep)
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    explosive_min_urls: int = 100,
+    explosive_min_share_ppm: int = 200_000,
+) -> DataFrame:
+    """(host, template, n_urls, host_urls, share_ppm, explosive): the
+    host-level aggregate the per-URL signals above can't see — URL
+    TEMPLATE mining. template = path+query with every digit run
+    replaced by '#' ('/cal/2026/08/18?page=3' -> '/cal/#/#/#?page=#');
+    a template that dominates its host (share_ppm) at volume
+    (n_urls) is a generated URL space — calendar lattices, faceted
+    search, session-id mints — and the frontier should cap or drop it
+    (the same corrective the per-URL trap_filter applies, but
+    triggered by corpus evidence instead of per-URL shape).
+
+    The template rewrite is one global regexp (JVM-side, fused into
+    the scan); the rollup is a (host, template) groupBy with map-side
+    partial agg, then a host-window share — both over the COUNT table,
+    never the raw frontier twice. At 10^7 hosts x small templates/host
+    the result is a dim, broadcastable back as a frontier filter."""
+    path_q = F.regexp_extract(
+        F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    template = F.regexp_replace(path_q, "[0-9]+", "#")
+    per = (
+        df.select(F.col(host_col).alias("host"),
+                  template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    w = Window.partitionBy("host")
+    per = per.withColumn(
+        "host_urls", F.sum("n_urls").over(w).cast("long")
+    ).withColumn(
+        "share_ppm",
+        F.floor(F.col("n_urls") * F.lit(1_000_000)
+                / F.col("host_urls")).cast("long"),
+    )
+    return per.select(
+        "host",
+        "template",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "host_urls",
+        "share_ppm",
+        (
+            (F.col("n_urls") >= explosive_min_urls)
+            & (F.col("share_ppm") >= explosive_min_share_ppm)
+        ).alias("explosive"),
+    )

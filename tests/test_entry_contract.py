@@ -49,7 +49,8 @@ def duck():
      "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl",
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
-     "cdx_index", "politeness_timeline", "graph_trustrank"],
+     "cdx_index", "politeness_timeline", "graph_trustrank",
+     "trap_templates"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -60,3 +60,30 @@ def test_filter_stays_jvm_side_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Filter ") == 1  # one fused predicate node
+
+
+# ---------------------------------------------------------------------------
+# url_templates
+# ---------------------------------------------------------------------------
+
+from barkingowl_spark.operators.traps import url_templates  # noqa: E402
+
+
+def test_url_template_mining(spark):
+    rows = (
+        [(f"http://cal.test/d/2026/{m}/{d}?p={i}", "cal.test")
+         for i, (m, d) in enumerate((m, d) for m in range(1, 11)
+                                    for d in range(1, 11))]
+        + [("http://cal.test/about", "cal.test")]
+        + [(f"http://ok.test/page/{i}", "ok.test") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["host_urls"],
+                                     r["share_ppm"], r["explosive"])
+        for r in url_templates(df, explosive_min_urls=50).collect()
+    }
+    assert got[("cal.test", "/d/#/#/#?p=#")] == (100, 101, 990099, True)
+    assert got[("cal.test", "/about")] == (1, 101, 9900, False)
+    # volume too small to be explosive even at 100% share
+    assert got[("ok.test", "/page/#")] == (3, 3, 1_000_000, False)
