@@ -74,3 +74,38 @@ def test_cdx_sorted_is_globally_ordered_across_shards(spark):
     )
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_export_cdx_job(spark, tmp_path, capsys):
+    """jobs/export_cdx.py end-to-end: parquet index with stats line,
+    and the CDXJ text layout."""
+    import json as _json
+
+    from jobs.export_cdx import main
+
+    caps = spark.createDataFrame(
+        [("http://www.a.test/p", 2, "d1"), ("http://a.test/p", 1, "d1"),
+         ("http://a.test/p", 3, "d2"), ("http://b.test/q", 4, "d3")],
+        "url string, ts long, digest string",
+    )
+    caps.write.parquet(str(tmp_path / "caps"))
+    main(["--captures", str(tmp_path / "caps"),
+          "--out", str(tmp_path / "out"), "--shards", "2"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"captures": 4, "surts": 2, "revisits": 1}
+    idx = spark.read.parquet(str(tmp_path / "out" / "cdx"))
+    got = {(r["url"], r["ts"]): r["revisit"] for r in idx.collect()}
+    assert got[("http://www.a.test/p", 2)] is True   # www variant dedups
+
+    main(["--captures", str(tmp_path / "caps"),
+          "--out", str(tmp_path / "out2"), "--shards", "2",
+          "--format", "cdxj"])
+    stats2 = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == {"captures": 4}
+    lines = [r["value"] for r in
+             spark.read.text(str(tmp_path / "out2" / "cdx")).collect()]
+    assert len(lines) == 4
+    surt, ts, payload = lines[0].split(" ", 2)
+    assert surt.endswith(")/p") or surt.endswith(")/q")
+    assert set(_json.loads(payload)) == {"url", "digest", "revisit"}
