@@ -537,6 +537,15 @@ def q_dedup_minhash_lsh(spark, sf):
     return minhash_band_pairs(_t(spark, sf, "documents"))
 
 
+def q_dedup_containment(spark, sf):
+    """One-sided containment over the LSH candidates (Broder 1997):
+    catches excerpt/sub-document duplication symmetric Jaccard dilutes;
+    verify join touches candidates only."""
+    from barkingowl_spark.operators.corpus_dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf, "documents"))
+
+
 def q_dedup_simhash(spark, sf):
     return simhash16(_t(spark, sf, "documents"))
 
@@ -1394,6 +1403,86 @@ def q_trap_templates(spark, sf):
     return url_templates(u, explosive_min_urls=10)
 
 
+def _mirror_caps(spark, sf):
+    """Synthetic capture log with planted mirrors: every doc is a page
+    on its source host; docs with doc_id%3==0 are replicated byte-
+    identical on 'm-<source>' (a mirror), and docs with doc_id%5==0
+    give the mirror host an own-content page too (so most mirror
+    scores are < 1.0 — normalized by the smaller host)."""
+    d = _t(spark, sf, "documents")
+    txt = F.coalesce("text", F.lit(""))
+    path = F.concat(F.lit(".test/p/"), F.col("doc_id").cast("string"))
+    base = d.select(
+        F.concat(F.lit("http://"), F.col("source"), path).alias("url"),
+        F.md5(txt).alias("digest"),
+    )
+    mirr = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("http://m-"), F.col("source"), path).alias("url"),
+        F.md5(txt).alias("digest"),
+    )
+    own = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("http://m-"), F.col("source"),
+                 F.lit(".test/own/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.md5(F.concat(txt, F.lit("x"))).alias("digest"),
+    )
+    return base.unionByName(mirr).unionByName(own)
+
+
+def q_mirror_pairs(spark, sf):
+    """Mirror-host detection (operators/mirrors.py, Bharat & Broder
+    WWW8 1999): host pairs sharing (path, digest) resources, scored by
+    containment of the smaller host. Stop-key cap bounds the self-join
+    fan-out; sizes table broadcast."""
+    from barkingowl_spark.operators.mirrors import mirror_pairs
+
+    return mirror_pairs(_mirror_caps(spark, sf))
+
+
+def q_mirror_replicas(spark, sf):
+    """Replica demotion list: for each is_mirror pair keep the lexmin
+    host as canonical — the host-level complement of document dedup
+    (the frontier skips replicas BEFORE fetching)."""
+    from barkingowl_spark.operators.mirrors import (
+        mirror_pairs,
+        mirror_replicas,
+    )
+
+    return mirror_replicas(mirror_pairs(_mirror_caps(spark, sf)))
+
+
+def _c4_docs(spark, sf):
+    """Synthetic multi-line corpus for the C4 rules: the frequent token
+    'a' becomes a sentence break ('.\\n'), turning the single-line word
+    salad into pages with a realistic mix of terminated / unterminated
+    lines. Same replace() runs in the DuckDB oracle."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")).alias("text"),
+    )
+
+
+_C4_KW = dict(min_words=4, min_lines=1, blocklist=("big table",),
+              line_drop_word="spark")
+
+
+def q_c4_clean(spark, sf):
+    """C4 line-level cleaning (functions/c4rules.py, Raffel et al.
+    2020): per-doc decision + rebuilt text. Map-only — the stage that
+    shrinks every later hygiene shuffle at 100 TB."""
+    from barkingowl_spark.functions.c4rules import c4_clean
+
+    return c4_clean(_c4_docs(spark, sf), **_C4_KW)
+
+
+def q_c4_stats(spark, sf):
+    """Corpus rollup of the C4 decisions (one map-side-combined shuffle
+    on a 4-value key) — the hygiene run's monitoring table."""
+    from barkingowl_spark.functions.c4rules import c4_stats
+
+    return c4_stats(_c4_docs(spark, sf), **_C4_KW)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1444,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_containment": q_dedup_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_simhash64": q_dedup_simhash64,
@@ -1485,6 +1575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_timeline": q_politeness_timeline,
         "graph_trustrank": q_graph_trustrank,
         "trap_templates": q_trap_templates,
+        "c4_clean": q_c4_clean,
+        "c4_stats": q_c4_stats,
+        "mirror_pairs": q_mirror_pairs,
+        "mirror_replicas": q_mirror_replicas,
     }
 
 
@@ -1766,6 +1860,46 @@ def _trustrank_sql(n_iter: int = 3) -> str:
         + f" SELECT node, CAST(trust_fp AS BIGINT) AS trust_fp"
           f" FROM r{n_iter}"
     )
+
+
+_MIRROR_SQL = """
+    WITH caps AS (
+      SELECT source || '.test' AS host,
+             '/p/' || CAST(doc_id AS VARCHAR) AS path,
+             md5(coalesce(text, '')) AS digest
+      FROM documents
+      UNION ALL
+      SELECT 'm-' || source || '.test',
+             '/p/' || CAST(doc_id AS VARCHAR),
+             md5(coalesce(text, ''))
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'm-' || source || '.test',
+             '/own/' || CAST(doc_id AS VARCHAR),
+             md5(coalesce(text, '') || 'x')
+      FROM documents WHERE doc_id % 5 = 0),
+    t AS (SELECT DISTINCT host, path, digest FROM caps),
+    keyn AS (
+      SELECT path, digest FROM t GROUP BY path, digest
+      HAVING count(*) BETWEEN 2 AND 16),
+    t2 AS (SELECT t.* FROM t JOIN keyn USING (path, digest)),
+    sh AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM t2 a JOIN t2 b
+        ON a.path = b.path AND a.digest = b.digest
+       AND a.host < b.host
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY host),
+    scored AS (
+      SELECT host_a, host_b, shared,
+             sa.sz AS size_a, sb.sz AS size_b,
+             CAST(floor(shared * 1000000.0 / least(sa.sz, sb.sz))
+                  AS BIGINT) AS score_ppm
+      FROM sh JOIN sizes sa ON sa.host = sh.host_a
+              JOIN sizes sb ON sb.host = sh.host_b)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2504,6 +2638,30 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        "dedup_containment": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            tk AS (SELECT doc_id,
+                         list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents),
+            scored AS (
+              SELECT doc_a, doc_b,
+                     CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                          * 1000000.0 / len(ta.toks)) AS BIGINT)
+                       AS cont_a_ppm,
+                     CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                          * 1000000.0 / len(tb.toks)) AS BIGINT)
+                       AS cont_b_ppm
+              FROM cand JOIN tk ta ON ta.doc_id = cand.doc_a
+                        JOIN tk tb ON tb.doc_id = cand.doc_b)
+            SELECT doc_a, doc_b, cont_a_ppm, cont_b_ppm FROM scored
+            WHERE greatest(cont_a_ppm, cont_b_ppm) >= 600000
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_near": _simhash_near_sql(),
@@ -3358,5 +3516,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 + (slot - 1) * coalesce(delay_ms, 1000)
                         AS BIGINT) AS fetch_at_ms
             FROM r
+        """,
+        "c4_clean": """
+            WITH d AS (
+              SELECT doc_id,
+                     replace(text, ' a ', '.' || chr(10)) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                       x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+                            AND len(string_split(trim(x), ' ')) >= 4
+                            AND NOT contains(lower(x), 'spark')) AS kept
+              FROM d)
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), 'big table')
+                          THEN 'blocklist'
+                        WHEN contains(text, '{') THEN 'brace'
+                        WHEN len(kept) < 1 THEN 'short'
+                        ELSE 'keep' END AS reason,
+                   CAST(len(lines) AS BIGINT) AS total_lines,
+                   CAST(len(kept) AS BIGINT) AS kept_lines,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS clean_text
+            FROM l
+        """,
+        "c4_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     replace(text, ' a ', '.' || chr(10)) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                       x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+                            AND len(string_split(trim(x), ' ')) >= 4
+                            AND NOT contains(lower(x), 'spark')) AS kept
+              FROM d),
+            dec AS (
+              SELECT CASE WHEN contains(lower(text), 'big table')
+                            THEN 'blocklist'
+                          WHEN contains(text, '{') THEN 'brace'
+                          WHEN len(kept) < 1 THEN 'short'
+                          ELSE 'keep' END AS reason,
+                     len(lines) AS total_lines, len(kept) AS kept_lines
+              FROM l)
+            SELECT reason, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(total_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(kept_lines) AS BIGINT) AS kept_lines
+            FROM dec GROUP BY reason
+        """,
+        "mirror_pairs": _MIRROR_SQL + """
+            SELECT host_a, host_b, shared, size_a, size_b, score_ppm,
+                   (score_ppm >= 500000 AND shared >= 2) AS is_mirror
+            FROM scored
+        """,
+        "mirror_replicas": _MIRROR_SQL + """
+            SELECT host_b AS host, min(host_a) AS canonical_host
+            FROM scored
+            WHERE score_ppm >= 500000 AND shared >= 2
+            GROUP BY host_b
         """,
     }

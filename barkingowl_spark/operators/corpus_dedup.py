@@ -209,6 +209,43 @@ def verified_near_dup_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame, threshold_ppm: int = 600_000
+) -> DataFrame:
+    """(doc_a, doc_b, cont_a_ppm, cont_b_ppm): MinHash-LSH candidates
+    scored by ONE-SIDED containment C(A,B) = |A∩B| / |A| (Broder 1997's
+    resemblance-vs-containment split) — the asymmetric score that
+    catches excerpt/quote/sub-document duplication symmetric Jaccard
+    dilutes (a 50-token quote inside a 5000-token page has Jaccard
+    ~0.01 but containment ~1.0 from the quote's side). A pair survives
+    if EITHER direction clears the threshold.
+
+    Scale shape: identical to verified_near_dup_pairs — the band-key
+    equi-join generates candidates, the exact score touches only
+    candidate rows, never all-pairs. Caveat carried from MinHash: band
+    recall is driven by symmetric resemblance, so low-Jaccard/high-
+    containment pairs need shingle-level LSH tuned for containment
+    (more bands / shorter shingles) at corpus scale; documented here
+    because the candidate source is shared."""
+    cand = minhash_band_pairs(documents)
+    toks = documents.select("doc_id", _tokens_distinct().alias("toks"))
+    a = toks.select(F.col("doc_id").alias("doc_a"),
+                    F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    cont_a = (inter * F.lit(1_000_000) / F.size("toks_a")).cast("long")
+    cont_b = (inter * F.lit(1_000_000) / F.size("toks_b")).cast("long")
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("cont_a_ppm", cont_a)
+        .withColumn("cont_b_ppm", cont_b)
+        .filter(F.greatest("cont_a_ppm", "cont_b_ppm")
+                >= F.lit(threshold_ppm))
+        .select("doc_a", "doc_b", "cont_a_ppm", "cont_b_ppm")
+    )
+
+
 def simhash16(documents: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct unigram tokens.
 

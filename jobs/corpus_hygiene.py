@@ -7,6 +7,12 @@ crawl's document archive before training.
       [--jaccard-ppm 600000] [--langs en,de] [--min-tokens 20]
 
 Stages (each one shuffle, all native Catalyst — no UDFs):
+  0-pre. optional C4 line rules (--c4-rules): Raffel et al. 2020 line
+     filter (terminal punctuation, min words, no 'javascript') + page
+     gates ('lorem ipsum', curly brace, min surviving lines) BEFORE any
+     other stage — map-only (functions/c4rules.py), so it shrinks every
+     downstream shuffle; page-rule drops land in decisions/ with reason
+     'c4_blocklist' / 'c4_brace' / 'c4_short'
   0. optional boilerplate strip (--strip-boilerplate HOST_COL): per-host
      repeated-line removal (operators/boilerplate.py) BEFORE hashing, so
      two docs differing only in nav/footer chrome become exact dups in
@@ -266,6 +272,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list, e.g. en,de")
     p.add_argument("--simhash-hamming", type=int, default=None)
+    p.add_argument("--c4-rules", action="store_true",
+                   help="C4 line filter + page gates before every other "
+                        "stage (functions/c4rules.py defaults)")
     p.add_argument("--strip-boilerplate", metavar="HOST_COL", default=None,
                    help="strip per-host boilerplate lines (stage 0) "
                         "using this host column, e.g. 'source'")
@@ -308,6 +317,21 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
         .getOrCreate()
     docs = spark.read.parquet(args.documents)
+    c4_drops = None
+    if args.c4_rules:
+        from barkingowl_spark.functions.c4rules import c4_clean
+
+        dec4 = c4_clean(docs)
+        c4_drops = dec4.filter(F.col("reason") != "keep").select(
+            "doc_id",
+            F.lit(False).alias("keep"),
+            F.concat(F.lit("c4_"), F.col("reason")).alias("reason"),
+        )
+        docs = docs.drop("text").join(
+            dec4.filter(F.col("reason") == "keep")
+            .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
     if args.strip_boilerplate:
         from barkingowl_spark.operators.boilerplate import (
             strip_boilerplate,
@@ -350,6 +374,8 @@ def main(argv: list[str] | None = None) -> None:
                     if args.prior else None),
         scale_keys=args.scale_keys,
     )
+    if c4_drops is not None:
+        decisions = decisions.unionByName(c4_drops)
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")
     kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
@@ -380,7 +406,10 @@ def main(argv: list[str] | None = None) -> None:
     if mix_dropped:
         by_reason["mix_sampled"] = mix_dropped
     print(json.dumps({
-        "input_docs": docs.count(),
+        # with --c4-rules `docs` is already cut, but decisions/ has one
+        # row per ORIGINAL doc, so count inputs there
+        "input_docs": (decisions.count() if c4_drops is not None
+                       else docs.count()),
         "kept_docs": decisions.filter("keep").count() - mix_dropped,
         "dropped": by_reason,
     }))

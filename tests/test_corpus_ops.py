@@ -323,3 +323,36 @@ def test_lsh_bucket_search(spark):
     for r in lsh_topk(df, n_queries=5, k=3, n_planes=4,
                       probe_hamming=0).collect():
         assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
+
+
+def test_containment_catches_excerpt(spark):
+    """One-sided containment: an excerpt doc whose token set is fully
+    inside a longer doc scores cont=1.0 from the excerpt's side while
+    Jaccard is well below it; scores match an independent set-math
+    check on every emitted pair."""
+    from barkingowl_spark.operators.corpus_dedup import containment_pairs
+
+    long_words = [f"w{i}" for i in range(45)]
+    docs = [
+        (0, " ".join(long_words), "en", "s0", 1),
+        (1, " ".join(long_words[:30]), "en", "s1", 1),   # pure excerpt
+        (2, "totally unrelated text about adaptive query execution",
+         "en", "s2", 1),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    got = {(r["doc_a"], r["doc_b"]): (r["cont_a_ppm"], r["cont_b_ppm"])
+           for r in containment_pairs(df, threshold_ppm=900_000)
+           .collect()}
+    assert (0, 1) in got
+    cont_0, cont_1 = got[(0, 1)]
+    # |A∩B|=30: from the long doc's side 30/45, from the excerpt's 30/30
+    assert cont_0 == 30 * 1_000_000 // 45
+    assert cont_1 == 1_000_000
+    toks = {d: set(t.split()) for d, t, *_ in docs}
+    for (a, b), (ca, cb) in got.items():
+        inter = len(toks[a] & toks[b])
+        assert ca == inter * 1_000_000 // len(toks[a])
+        assert cb == inter * 1_000_000 // len(toks[b])

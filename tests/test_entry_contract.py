@@ -50,7 +50,8 @@ def duck():
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
      "cdx_index", "politeness_timeline", "graph_trustrank",
-     "trap_templates"],
+     "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
+     "mirror_pairs", "mirror_replicas"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -251,3 +251,37 @@ def test_main_cut_dup_spans_flag(spark, tmp_path, capsys):
     assert kept[0] == \
         "the alpha beta gamma delta epsilon zeta eta in theta"
     assert kept[1] == "the psi omega mu nu xi omicron in pi rho"
+
+
+def test_main_c4_rules_flag(spark, tmp_path, capsys):
+    """--c4-rules: page-rule failures drop with reason c4_*, line-rule
+    junk is cut from survivors BEFORE hashing (so two docs differing
+    only in a javascript line become exact dups in stage 1)."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    body = ("the city council met on tuesday to approve the budget.\n"
+            "the committee voted in favor of the resolution on zoning.\n"
+            "a public hearing is scheduled for the end of the month.")
+    docs = _mini(spark, [
+        (0, body, "en", "h0", 1),                        # keeper
+        (1, "please enable javascript to view this page now.\n" + body,
+         "en", "h1", 1),                                 # dup after c4
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            + body, "en", "h2", 1),                      # blocklist page
+        (3, "if (x) { return 1; }\n" + body, "en", "h3", 1),  # brace page
+        (4, "too short\nno punct lines here", "en", "h4", 1),  # c4_short
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--c4-rules"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == 5
+    assert stats["kept_docs"] == 1
+    assert stats["dropped"] == {"exact_dup": 1, "c4_blocklist": 1,
+                                "c4_brace": 1, "c4_short": 1}
+    kept = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+    assert kept[0]["text"] == body  # javascript line never in keeper
