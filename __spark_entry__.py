@@ -1483,6 +1483,89 @@ def q_c4_stats(spark, sf):
     return c4_stats(_c4_docs(spark, sf), **_C4_KW)
 
 
+def q_lm_surprisal(spark, sf):
+    """Unigram-LM surprisal in integer log2 (functions/lmscore.py,
+    CCNet / Wenzek et al. 2020): self-trained model, one token shuffle
+    + broadcast-join scoring; floor(log2) == bin-length both engines."""
+    from barkingowl_spark.functions.lmscore import surprisal_scores
+
+    return surprisal_scores(_t(spark, sf, "documents"))
+
+
+def q_lm_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity tiers WITHOUT a global sort:
+    rank thresholds over the tiny score-value distribution, broadcast
+    back; ties share a bucket."""
+    from barkingowl_spark.functions.lmscore import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents"), n_buckets=3)
+
+
+def _bm25_docs(spark, sf):
+    """Marker-token corpus for BM25: rare 'needle'/'haystack' terms
+    planted by doc_id residue (the 31-word salad vocabulary appears in
+    every doc, so unplanted terms all have idf 0 — which the query also
+    demonstrates via 'scan')."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.expr("repeat(' needle', CAST(1 + doc_id % 3 AS INT))"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" haystack"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_search_bm25(spark, sf):
+    """Integer fixed-point BM25 top-k (operators/invindex.py::
+    bm25_topk, Robertson & Zaragoza 2009): half-bit idf via squared
+    DECIMAL(38,0) ratios, ppm tf-saturation, TakeOrderedAndProject
+    cut — the ranked-retrieval face of the inverted index."""
+    from barkingowl_spark.operators.invindex import bm25_topk
+
+    return bm25_topk(
+        _bm25_docs(spark, sf), ["needle", "haystack", "scan"], k=25
+    )
+
+
+_SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
+_SHARD_W5 = _SHARD_W4 + ["crawler-e"]
+
+
+def q_shard_assign(spark, sf):
+    """Consistent-hash host->worker assignment (operators/
+    frontier_shard.py, UbiCrawler): the ring is a config-sized literal
+    array, the lookup a pure map — zero shuffle, zero join."""
+    from barkingowl_spark.operators.frontier_shard import assign_hosts
+
+    return assign_hosts(_hosts_distinct(spark, sf), _SHARD_W4)
+
+
+def q_shard_moves(spark, sf):
+    """Migration matrix for growing the fleet 4->5: both generations
+    computed in one projection; off-diagonal rows only ever point into
+    the new worker (minimal-disruption property, test-pinned)."""
+    from barkingowl_spark.operators.frontier_shard import (
+        rebalance_summary,
+    )
+
+    return rebalance_summary(
+        _hosts_distinct(spark, sf), _SHARD_W4, _SHARD_W5
+    )
+
+
+def _hosts_distinct(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .select(F.concat(F.col("source"), F.lit(".test")).alias("host"))
+        .distinct()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1579,6 +1662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_stats": q_c4_stats,
         "mirror_pairs": q_mirror_pairs,
         "mirror_replicas": q_mirror_replicas,
+        "lm_surprisal": q_lm_surprisal,
+        "lm_buckets": q_lm_buckets,
+        "search_bm25": q_search_bm25,
+        "shard_assign": q_shard_assign,
+        "shard_moves": q_shard_moves,
     }
 
 
@@ -1899,6 +1987,113 @@ _MIRROR_SQL = """
                   AS BIGINT) AS score_ppm
       FROM sh JOIN sizes sa ON sa.host = sh.host_a
               JOIN sizes sb ON sb.host = sh.host_b)
+"""
+
+
+_LM_CTE = """
+    WITH tok AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    lm AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS lm_total FROM lm),
+    bits AS (
+      SELECT doc_id,
+             length(bin(lm_total // cnt)) - 1 AS b
+      FROM tok JOIN lm USING (token), tot),
+    sc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(b) AS BIGINT) AS sum_bits
+      FROM bits GROUP BY doc_id),
+    scored AS (
+      SELECT doc_id, n_tokens, sum_bits,
+             CAST((sum_bits * 100) // n_tokens AS BIGINT)
+               AS mean_surprisal_cb
+      FROM sc)
+"""
+
+
+def _shard_owner_sql(workers: list[str], vnodes: int = 64) -> str:
+    """DuckDB successor-lookup expression over the same python-built
+    ring literal the Spark operator inlines (list indexing is
+    1-based in both)."""
+    from barkingowl_spark.operators.frontier_shard import ring_points
+
+    pts = ring_points(workers, vnodes)
+    points = "[" + ", ".join(str(p) for p, _ in pts) + "]"
+    owners = "[" + ", ".join("'" + w + "'" for _, w in pts) + "]"
+    return (
+        f"({owners})[len(list_filter({points}, p -> p < h))"
+        f" % {len(pts)} + 1]"
+    )
+
+
+_SHARD_HOSTS_SQL = """
+    WITH hosts AS (
+      SELECT DISTINCT source || '.test' AS host FROM documents),
+    hh AS (
+      SELECT host,
+             CAST(('0x' || substring(md5(host), 1, 15)) AS BIGINT) AS h
+      FROM hosts)
+"""
+
+
+_BM25_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                  THEN repeat(' needle', CAST(1 + doc_id % 3 AS INT))
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                  ELSE '' END AS text
+      FROM documents),
+    tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+      WHERE t <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    tfq AS (
+      SELECT * FROM tf
+      WHERE term IN ('needle', 'haystack', 'scan')),
+    dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tfq GROUP BY term),
+    j AS (
+      SELECT tfq.doc_id, tfq.tf, dft.df, dl.dl, n_docs, total_len,
+             2 * n_docs - 2 * df + 1 AS num, 2 * df + 1 AS den
+      FROM tfq JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+    j2 AS (
+      SELECT doc_id, tf,
+             CASE WHEN num < den THEN 0
+               ELSE length(bin(CAST((num::HUGEINT * num)
+                    // (den::HUGEINT * den) AS BIGINT))) - 1 END
+               AS idf_hb,
+             CAST((1000000 - 750000)
+                  + (750000::HUGEINT * dl * n_docs) // total_len
+                  AS BIGINT) AS norm_ppm
+      FROM j),
+    j3 AS (
+      SELECT doc_id, idf_hb,
+             CAST((tf::HUGEINT * (1200000 + 1000000) * 1000000)
+                  // (tf * 1000000 + (1200000 * norm_ppm) // 1000000)
+                  AS BIGINT) AS sat_ppm
+      FROM j2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
+    FROM j3 GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id LIMIT 25
 """
 
 
@@ -3578,5 +3773,39 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE score_ppm >= 500000 AND shared >= 2
             GROUP BY host_b
+        """,
+        "lm_surprisal": _LM_CTE + """
+            SELECT doc_id, n_tokens, sum_bits, mean_surprisal_cb
+            FROM scored
+        """,
+        "lm_buckets": _LM_CTE + """
+            , dist AS (
+              SELECT mean_surprisal_cb, count(*) AS nv
+              FROM scored GROUP BY mean_surprisal_cb),
+            ranked AS (
+              SELECT mean_surprisal_cb,
+                     coalesce(sum(nv) OVER (
+                       ORDER BY mean_surprisal_cb
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below,
+                     sum(nv) OVER () AS n
+              FROM dist)
+            SELECT doc_id, mean_surprisal_cb,
+                   CAST(1 + (below * 3) // n AS INT) AS bucket
+            FROM scored JOIN ranked USING (mean_surprisal_cb)
+        """,
+        "search_bm25": _BM25_SQL,
+        "shard_assign": _SHARD_HOSTS_SQL + f"""
+            SELECT host, {_shard_owner_sql(_SHARD_W4)} AS owner
+            FROM hh
+        """,
+        "shard_moves": _SHARD_HOSTS_SQL + f"""
+            , r AS (
+              SELECT {_shard_owner_sql(_SHARD_W4)} AS owner_before,
+                     {_shard_owner_sql(_SHARD_W5)} AS owner_after
+              FROM hh)
+            SELECT owner_before, owner_after,
+                   CAST(count(*) AS BIGINT) AS n_hosts
+            FROM r GROUP BY owner_before, owner_after
         """,
     }

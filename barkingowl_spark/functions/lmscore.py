@@ -1,0 +1,153 @@
+"""Unigram-LM surprisal scoring + perplexity bucketing (CCNet-style).
+
+Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") partitions a crawled corpus into
+head/middle/tail quality tiers by language-model perplexity; the same
+gate (with bigger LMs) underlies most published webtext pipelines.
+This module is that gate re-expressed relationally with a unigram LM
+and INTEGER log2 arithmetic so the score is bit-identical across
+engines and cluster sizes (the repo-wide no-floats discipline):
+
+  surprisal_bits(token) = floor(log2(total / count(token)))
+                        = length(bin(total DIV count)) - 1
+
+(`floor(log2(a/b)) == floor(log2(a DIV b))` exactly, because no power
+of two lies strictly between `a DIV b` and `a/b`; `bin()` has identical
+no-leading-zeros semantics in Spark and DuckDB.)
+
+Pipeline shape at the 10^10-doc design point:
+  * unigram_lm: one explode + map-side-combined groupBy on token — the
+    only corpus-wide shuffle; `min_count` prunes the junk-token tail so
+    the model is broadcastable (CCNet ships its SentencePiece+KenLM
+    model to every worker the same way).
+  * surprisal_scores: exploded tokens LEFT-join the broadcast model;
+    out-of-vocabulary tokens get the ceiling `floor(log2(total)) + 1`
+    ("rarer than anything retained"). Per-doc rollup is one groupBy on
+    doc_id.
+  * perplexity_buckets: CCNet's head/middle/tail WITHOUT a global sort:
+    the score distribution is grouped by VALUE (mean surprisal in
+    centibits is bounded, so the distribution table is tiny), a running
+    count over that tiny table yields each value's rank, and
+    bucket = 1 + floor(rank_below * n / N) maps back via broadcast
+    join. Ties share a bucket (threshold-on-value, exactly CCNet's
+    cutoff semantics); no single-partition ntile window ever sees the
+    corpus-sized side.
+
+Reference: BarkingOwl archives page text (SURVEY.md §2 O27); this is
+the corpus-quality tiering a training-data consumer applies to that
+archive. Tokenization contract shared with functions/textstats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _tokens_exploded(documents: DataFrame) -> DataFrame:
+    """(doc_id, token) with multiplicity — frequency matters for LM
+    counts, unlike the dedup shingle paths."""
+    return documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def unigram_lm(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """(token, cnt): corpus unigram counts, pruned to cnt >= min_count.
+    One map-side-combined shuffle; prune before broadcast."""
+    return (
+        _tokens_exploded(documents)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def _floor_log2(col: F.Column) -> F.Column:
+    """floor(log2(x)) for x >= 1, pure integer: bin() emits no leading
+    zeros in Spark or DuckDB."""
+    return (F.length(F.bin(col)) - 1).cast("int")
+
+
+def surprisal_scores(
+    documents: DataFrame,
+    lm: DataFrame | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, sum_bits, mean_surprisal_cb): per-doc total
+    and mean (centibits, floor) unigram surprisal. `lm` defaults to a
+    model trained on `documents` itself (then no token is OOV); pass a
+    pruned external model + its `total` token count to score a corpus
+    against a reference LM (the CCNet setup). OOV surprisal is
+    floor(log2(total)) + 1."""
+    if lm is None:
+        lm = unigram_lm(documents)
+    if total is None:
+        totals = lm.agg(F.sum("cnt").alias("lm_total"))
+    else:
+        totals = None
+    toks = _tokens_exploded(documents)
+    scored = toks.join(broadcast(lm), "token", "left")
+    if totals is not None:
+        scored = scored.crossJoin(broadcast(totals))
+    else:
+        scored = scored.withColumn("lm_total", F.lit(int(total)))
+    oov = _floor_log2(F.col("lm_total")) + F.lit(1)
+    bits = F.when(
+        F.col("cnt").isNotNull(),
+        _floor_log2(F.expr("lm_total DIV cnt")),
+    ).otherwise(oov)
+    return (
+        scored.withColumn("bits", bits)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_surprisal_cb",
+            F.expr("CAST((sum_bits * 100) DIV n_tokens AS BIGINT)"),
+        )
+    )
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    n_buckets: int = 3,
+    lm: DataFrame | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """(doc_id, mean_surprisal_cb, bucket): CCNet head/middle/tail.
+    bucket = 1 + floor(docs_with_strictly_lower_score * n / N) — rank
+    thresholds on the VALUE distribution (tiny table: centibit scores
+    are bounded), so equal scores always share a bucket and the corpus
+    side never enters a global sort. bucket 1 = lowest surprisal =
+    CCNet's 'head'."""
+    s = surprisal_scores(documents, lm=lm, total=total)
+    dist = s.groupBy("mean_surprisal_cb").agg(
+        F.count(F.lit(1)).alias("_nv")
+    )
+    # running count over the tiny distinct-value table (single narrow
+    # partition of O(distinct scores) rows — never corpus-sized)
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("mean_surprisal_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dist = dist.select(
+        "mean_surprisal_cb",
+        F.coalesce(F.sum("_nv").over(w), F.lit(0)).alias("_below"),
+        F.sum("_nv").over(wall).alias("_n"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"CAST(1 + (_below * {int(n_buckets)}) DIV _n AS INT)"),
+    )
+    return s.join(
+        broadcast(dist.select("mean_surprisal_cb", "bucket")),
+        "mean_surprisal_cb",
+    ).select("doc_id", "mean_surprisal_cb", "bucket")

@@ -66,6 +66,85 @@ def postings(documents: DataFrame, max_postings: int = 8) -> DataFrame:
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1_ppm: int = 1_200_000,
+    b_ppm: int = 750_000,
+) -> DataFrame:
+    """(doc_id, n_terms, score_fp): top-k documents for a bag-of-terms
+    query under BM25 (Robertson & Zaragoza 2009), every quantity in
+    integer fixed point so ranking is bit-identical across engines:
+
+      idf_hb  = floor(2 * log2((2N - 2df + 1) / (2df + 1)))   [half-bits,
+                clamped at 0 — the +-0.5 survives via the doubled form;
+                floor(2*log2(a/b)) == bitlen(a^2 DIV b^2) - 1 exactly,
+                squared in DECIMAL(38,0) so N up to ~2^31 is safe]
+      norm_ppm = (1e6 - b) + b * dl * N DIV total_len          [b, ppm]
+      sat_ppm  = tf*(k1 + 1e6)*1e6 DIV (tf*1e6 + k1*norm_ppm DIV 1e6)
+      score_fp = sum over query terms of idf_hb * sat_ppm
+
+    Plan shape: term_freqs is the one corpus-wide shuffle (shared with
+    the index build); df is computed from the query-filtered slice and
+    broadcast (O(|Q|) rows); corpus stats are a 1-row cross join; the
+    final top-k is TakeOrderedAndProject, never a global sort. A
+    deployed search tier would read tf/df/dl from the prebuilt
+    postings()/doc-length tables instead of re-tokenizing — the scoring
+    algebra is identical."""
+    tf = term_freqs(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tfq = tf.filter(F.col("term").isin(list(query_terms)))
+    df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfq.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_num", F.expr("2 * n_docs - 2 * df + 1"))
+        .withColumn("_den", F.expr("2 * df + 1"))
+        .withColumn(
+            "idf_hb",
+            F.expr(
+                "CASE WHEN _num < _den THEN 0 ELSE "
+                "length(bin(CAST((CAST(_num AS DECIMAL(38,0)) * _num)"
+                " DIV (CAST(_den AS DECIMAL(38,0)) * _den)"
+                " AS BIGINT))) - 1 END"
+            ),
+        )
+        .withColumn(
+            "norm_ppm",
+            F.expr(
+                f"CAST((1000000 - {int(b_ppm)})"
+                f" + (CAST({int(b_ppm)} AS DECIMAL(38,0)) * dl * n_docs)"
+                f" DIV total_len AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                f"CAST((CAST(tf AS DECIMAL(38,0))"
+                f" * ({int(k1_ppm)} + 1000000) * 1000000)"
+                f" DIV (tf * 1000000"
+                f" + ({int(k1_ppm)} * norm_ppm) DIV 1000000)"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.expr("idf_hb * sat_ppm")).alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, doc_freq, score_fp, rank): top-k terms per doc
     by score_fp = tf * 1e6 // doc_freq (integer tf-idf surrogate —

