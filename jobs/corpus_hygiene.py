@@ -47,6 +47,11 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
   3c. optional decontamination (--decontam EVAL_PARQUET [--decontam-n
       13]): any doc sharing an n-gram with the eval set drops with
       reason 'contaminated' (operators/decontam.py, broadcast probe)
+  3d. optional CCNet perplexity-tail cut (--ppl-drop-bucket N
+      [--ppl-buckets 3]): unigram-LM surprisal tiers in integer log2
+      (functions/lmscore.py); docs in bucket >= N drop with reason
+      'ppl_tail' — after dedup, so duplicated mass never sets the
+      thresholds
   4. optional lang allow-list
 Post-decision output transforms (applied to kept/ only):
   --redact-pii        mask email/phone tokens in the surviving text
@@ -89,6 +94,8 @@ def hygiene_decisions(
     decontam_n: int = 13,
     prior_docs: DataFrame | None = None,
     scale_keys: bool = False,
+    ppl_drop_bucket: int | None = None,
+    ppl_buckets: int = 3,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -223,6 +230,20 @@ def hygiene_decisions(
             .filter("contaminated").select("doc_id")
         )
 
+    # 3d. CCNet perplexity-tail gate (functions/lmscore.py), reason
+    # 'ppl_tail': docs in bucket >= ppl_drop_bucket of the surprisal
+    # distribution drop — after dedup (CCNet's order: the LM shouldn't
+    # be trained on, or thresholds set by, duplicated mass)
+    ppl_drop = None
+    if ppl_drop_bucket is not None:
+        from barkingowl_spark.functions.lmscore import perplexity_buckets
+
+        ppl_drop = (
+            perplexity_buckets(after_near, n_buckets=ppl_buckets)
+            .filter(F.col("bucket") >= ppl_drop_bucket)
+            .select("doc_id")
+        )
+
     # 4. language allow-list — strict gate: NULL (undetected) lang is NOT
     # on the allow-list, so it drops too (isin alone evaluates to NULL for
     # NULL lang and would silently keep those rows)
@@ -242,7 +263,8 @@ def hygiene_decisions(
         ("exact_dup", exact_drop), ("near_dup", near_drop),
         ("simhash_near", sim_drop),
         ("contaminated", contam_drop), ("repetitive", rep_drop),
-        ("low_quality", quality_drop), ("lang", lang_drop),
+        ("low_quality", quality_drop), ("ppl_tail", ppl_drop),
+        ("lang", lang_drop),
     ]
     branches = [
         d.select("doc_id", F.lit(prio).alias("_prio"),
@@ -272,6 +294,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list, e.g. en,de")
     p.add_argument("--simhash-hamming", type=int, default=None)
+    p.add_argument("--ppl-drop-bucket", type=int, default=None,
+                   help="drop docs in surprisal bucket >= N (CCNet "
+                        "tail cut; buckets 1..--ppl-buckets)")
+    p.add_argument("--ppl-buckets", type=int, default=3)
     p.add_argument("--c4-rules", action="store_true",
                    help="C4 line filter + page gates before every other "
                         "stage (functions/c4rules.py defaults)")
@@ -373,6 +399,8 @@ def main(argv: list[str] | None = None) -> None:
         prior_docs=(spark.read.parquet(args.prior)
                     if args.prior else None),
         scale_keys=args.scale_keys,
+        ppl_drop_bucket=args.ppl_drop_bucket,
+        ppl_buckets=args.ppl_buckets,
     )
     if c4_drops is not None:
         decisions = decisions.unionByName(c4_drops)

@@ -285,3 +285,30 @@ def test_main_c4_rules_flag(spark, tmp_path, capsys):
     kept = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
     assert len(kept) == 1 and kept[0]["doc_id"] == 0
     assert kept[0]["text"] == body  # javascript line never in keeper
+
+
+def test_main_ppl_tail_flag(spark, tmp_path, capsys):
+    """--ppl-drop-bucket 3: the all-rare-token doc lands in the tail
+    surprisal bucket and drops with reason 'ppl_tail'; the common-token
+    docs sit in bucket 1 and survive."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    docs = _mini(spark, [
+        (i, f"of alpha beta gamma delta u{i}", "en", f"h{i}", 1)
+        for i in range(5)
+    ] + [(9, "of zz1 zz2 zz3 zz4 zz5", "en", "h9", 1)])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--jaccard-ppm", "990000",
+          "--ppl-drop-bucket", "3"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept_docs"] == 5
+    assert stats["dropped"] == {"ppl_tail": 1}
+    dec = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in spark.read.parquet(
+               str(tmp_path / "out" / "decisions")).collect()}
+    assert dec[9] == (False, "ppl_tail")
+    assert all(dec[i] == (True, None) for i in range(5))
