@@ -1536,7 +1536,7 @@ _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
 
-def q_shard_assign(spark, sf):
+def q_ring_assign(spark, sf):
     """Consistent-hash host->worker assignment (operators/
     frontier_shard.py, UbiCrawler): the ring is a config-sized literal
     array, the lookup a pure map — zero shuffle, zero join."""
@@ -1545,7 +1545,7 @@ def q_shard_assign(spark, sf):
     return assign_hosts(_hosts_distinct(spark, sf), _SHARD_W4)
 
 
-def q_shard_moves(spark, sf):
+def q_ring_moves(spark, sf):
     """Migration matrix for growing the fleet 4->5: both generations
     computed in one projection; off-diagonal rows only ever point into
     the new worker (minimal-disruption property, test-pinned)."""
@@ -1563,6 +1563,45 @@ def _hosts_distinct(spark, sf):
         _t(spark, sf, "documents")
         .select(F.concat(F.col("source"), F.lit(".test")).alias("host"))
         .distinct()
+    )
+
+
+def _rate_events(spark, sf):
+    return _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("host"), "ts"
+    )
+
+
+def q_events_rate_windows(spark, sf):
+    """Per-host tumbling-window fetch rates (streaming/telemetry.py
+    batch body — the same expression the watermarked stream runs):
+    one (window, host)-keyed map-side-combined shuffle; epoch-seconds
+    output keeps the hash compare timezone-proof."""
+    from barkingowl_spark.streaming.telemetry import host_rate_windows
+
+    return host_rate_windows(
+        _rate_events(spark, sf), window="5 minutes"
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "host",
+        "fetches",
+    )
+
+
+def q_events_rate_alerts(spark, sf):
+    """Over-budget windows (telemetry.rate_alerts): the alert feed a
+    politeness throttle consumes — map-only filter over the rate log."""
+    from barkingowl_spark.streaming.telemetry import (
+        host_rate_windows,
+        rate_alerts,
+    )
+
+    r = host_rate_windows(_rate_events(spark, sf), window="5 minutes")
+    return rate_alerts(r, max_fetches=1).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "host",
+        "fetches",
+        "over",
     )
 
 
@@ -1665,8 +1704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "lm_buckets": q_lm_buckets,
         "search_bm25": q_search_bm25,
-        "shard_assign": q_shard_assign,
-        "shard_moves": q_shard_moves,
+        "ring_assign": q_ring_assign,
+        "ring_moves": q_ring_moves,
+        "events_rate_windows": q_events_rate_windows,
+        "events_rate_alerts": q_events_rate_alerts,
     }
 
 
@@ -3795,11 +3836,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scored JOIN ranked USING (mean_surprisal_cb)
         """,
         "search_bm25": _BM25_SQL,
-        "shard_assign": _SHARD_HOSTS_SQL + f"""
+        "ring_assign": _SHARD_HOSTS_SQL + f"""
             SELECT host, {_shard_owner_sql(_SHARD_W4)} AS owner
             FROM hh
         """,
-        "shard_moves": _SHARD_HOSTS_SQL + f"""
+        "ring_moves": _SHARD_HOSTS_SQL + f"""
             , r AS (
               SELECT {_shard_owner_sql(_SHARD_W4)} AS owner_before,
                      {_shard_owner_sql(_SHARD_W5)} AS owner_after
@@ -3807,5 +3848,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT owner_before, owner_after,
                    CAST(count(*) AS BIGINT) AS n_hosts
             FROM r GROUP BY owner_before, owner_after
+        """,
+        "events_rate_windows": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts))
+                        AS BIGINT) AS window_start_s,
+                   CAST(user_id AS VARCHAR) AS host,
+                   CAST(count(*) AS BIGINT) AS fetches
+            FROM events GROUP BY 1, 2
+        """,
+        "events_rate_alerts": """
+            WITH r AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts))
+                          AS BIGINT) AS window_start_s,
+                     CAST(user_id AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS fetches
+              FROM events GROUP BY 1, 2)
+            SELECT window_start_s, host, fetches,
+                   CAST(fetches - 1 AS BIGINT) AS over
+            FROM r WHERE fetches > 1
         """,
     }

@@ -52,7 +52,8 @@ def duck():
      "cdx_index", "politeness_timeline", "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
-     "search_bm25", "shard_assign", "shard_moves"],
+     "search_bm25", "ring_assign", "ring_moves",
+     "events_rate_windows", "events_rate_alerts"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
