@@ -1605,6 +1605,23 @@ def q_events_rate_alerts(spark, sf):
     )
 
 
+def q_clf_scores(spark, sf):
+    """fastText-architecture quality-classifier inference
+    (functions/hashclf.py, Joulin et al. 2017): hashed unigram+bigram
+    buckets, broadcast sparse weight table (deterministic synthetic
+    model over every 3rd of 4096 buckets), mean-pooled integer milli
+    score. Explode + broadcast join + one doc_id rollup."""
+    from barkingowl_spark.functions.hashclf import clf_scores
+
+    weights = spark.range(0, 4096, 3).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 21 - 10).cast("long").alias("weight_milli"),
+    )
+    return clf_scores(
+        _t(spark, sf, "documents"), weights, n_buckets=4096
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1708,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
         "events_rate_alerts": q_events_rate_alerts,
+        "clf_scores": q_clf_scores,
     }
 
 
@@ -3866,5 +3884,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_s, host, fetches,
                    CAST(fetches - 1 AS BIGINT) AS over
             FROM r WHERE fetches > 1
+        """,
+        "clf_scores": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS a
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(a || CASE WHEN len(a) < 2
+                       THEN []::VARCHAR[]
+                       ELSE list_transform(
+                         generate_series(1, len(a) - 1),
+                         i -> a[i] || '_' || a[i + 1]) END) AS gram
+              FROM toks),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(gram), 1, 15))
+                          AS BIGINT) % 4096 AS bucket
+              FROM grams),
+            w AS (
+              SELECT range AS bucket,
+                     CAST(range % 21 - 10 AS BIGINT) AS weight_milli
+              FROM range(0, 4096, 3)),
+            s AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum(coalesce(weight_milli, 0)) AS BIGINT)
+                       AS wsum
+              FROM feats LEFT JOIN w USING (bucket)
+              GROUP BY doc_id)
+            SELECT doc_id, n_feats,
+                   CAST((wsum * 1000) // n_feats AS BIGINT)
+                     AS score_milli,
+                   ((wsum * 1000) // n_feats) >= 0 AS keep
+            FROM s
         """,
     }

@@ -52,6 +52,10 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
       (functions/lmscore.py); docs in bucket >= N drop with reason
       'ppl_tail' — after dedup, so duplicated mass never sets the
       thresholds
+  3e. optional classifier gate (--clf-weights WEIGHTS_PARQUET
+      [--clf-threshold-milli 0] [--clf-buckets 262144]): fastText-style
+      hashed-ngram linear score (functions/hashclf.py); docs below the
+      threshold drop with reason 'clf_reject'
   4. optional lang allow-list
 Post-decision output transforms (applied to kept/ only):
   --redact-pii        mask email/phone tokens in the surviving text
@@ -96,6 +100,9 @@ def hygiene_decisions(
     scale_keys: bool = False,
     ppl_drop_bucket: int | None = None,
     ppl_buckets: int = 3,
+    clf_weights: DataFrame | None = None,
+    clf_threshold_milli: int = 0,
+    clf_buckets: int = 262_144,
 ) -> DataFrame:
     """(doc_id, keep, reason) for every input row. Deterministic; reasons
     apply in stage order (a doc dropped as exact_dup is not re-judged).
@@ -244,6 +251,19 @@ def hygiene_decisions(
             .select("doc_id")
         )
 
+    # 3e. model-based quality classifier (functions/hashclf.py), reason
+    # 'clf_reject': mean-pooled hashed-ngram linear score below the
+    # threshold — the fastText-style filter after the heuristic gates
+    clf_drop = None
+    if clf_weights is not None:
+        from barkingowl_spark.functions.hashclf import clf_scores
+
+        clf_drop = (
+            clf_scores(after_near, clf_weights, n_buckets=clf_buckets,
+                       threshold_milli=clf_threshold_milli)
+            .filter(~F.col("keep")).select("doc_id")
+        )
+
     # 4. language allow-list — strict gate: NULL (undetected) lang is NOT
     # on the allow-list, so it drops too (isin alone evaluates to NULL for
     # NULL lang and would silently keep those rows)
@@ -264,7 +284,7 @@ def hygiene_decisions(
         ("simhash_near", sim_drop),
         ("contaminated", contam_drop), ("repetitive", rep_drop),
         ("low_quality", quality_drop), ("ppl_tail", ppl_drop),
-        ("lang", lang_drop),
+        ("clf_reject", clf_drop), ("lang", lang_drop),
     ]
     branches = [
         d.select("doc_id", F.lit(prio).alias("_prio"),
@@ -298,6 +318,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="drop docs in surprisal bucket >= N (CCNet "
                         "tail cut; buckets 1..--ppl-buckets)")
     p.add_argument("--ppl-buckets", type=int, default=3)
+    p.add_argument("--clf-weights", metavar="WEIGHTS_PARQUET",
+                   default=None,
+                   help="hashed-ngram classifier model (bucket, "
+                        "weight_milli); docs scoring below "
+                        "--clf-threshold-milli drop as 'clf_reject'")
+    p.add_argument("--clf-threshold-milli", type=int, default=0)
+    p.add_argument("--clf-buckets", type=int, default=262_144)
     p.add_argument("--c4-rules", action="store_true",
                    help="C4 line filter + page gates before every other "
                         "stage (functions/c4rules.py defaults)")
@@ -401,6 +428,10 @@ def main(argv: list[str] | None = None) -> None:
         scale_keys=args.scale_keys,
         ppl_drop_bucket=args.ppl_drop_bucket,
         ppl_buckets=args.ppl_buckets,
+        clf_weights=(spark.read.parquet(args.clf_weights)
+                     if args.clf_weights else None),
+        clf_threshold_milli=args.clf_threshold_milli,
+        clf_buckets=args.clf_buckets,
     )
     if c4_drops is not None:
         decisions = decisions.unionByName(c4_drops)

@@ -312,3 +312,35 @@ def test_main_ppl_tail_flag(spark, tmp_path, capsys):
                str(tmp_path / "out" / "decisions")).collect()}
     assert dec[9] == (False, "ppl_tail")
     assert all(dec[i] == (True, None) for i in range(5))
+
+
+def test_main_clf_gate_flag(spark, tmp_path, capsys):
+    """--clf-weights: docs scoring below the threshold under the
+    hashed-ngram model drop with reason 'clf_reject'."""
+    import hashlib
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    junk_bucket = int(
+        hashlib.md5(b"junk").hexdigest()[:15], 16) % 64
+    spark.createDataFrame(
+        [(junk_bucket, -500)], "bucket long, weight_milli long"
+    ).write.parquet(str(tmp_path / "w"))
+    docs = _mini(spark, [
+        (0, "of good words about that city", "en", "h0", 1),
+        (1, "of junk junk junk junk junk", "en", "h1", 1),
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1",
+          "--clf-weights", str(tmp_path / "w"),
+          "--clf-buckets", "64"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped"] == {"clf_reject": 1}
+    dec = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in spark.read.parquet(
+               str(tmp_path / "out" / "decisions")).collect()}
+    assert dec[1] == (False, "clf_reject")
+    assert dec[0] == (True, None)
