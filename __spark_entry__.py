@@ -1622,6 +1622,18 @@ def q_clf_scores(spark, sf):
     )
 
 
+def q_dsir_sample(spark, sf):
+    """DSIR importance resampling (functions/lmscore.py, Xie et al.
+    2023): target LM = the doc_id%10==0 slice, raw LM = self; weight =
+    2^(delta surprisal bits) capped at 1, sampled by the repo's md5
+    draw. Two broadcast LM scorings + one doc_id join."""
+    from barkingowl_spark.functions.lmscore import dsir_sample, unigram_lm
+
+    d = _t(spark, sf, "documents")
+    tgt = unigram_lm(d.filter(F.col("doc_id") % 10 == 0))
+    return dsir_sample(d, tgt)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1726,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_windows": q_events_rate_windows,
         "events_rate_alerts": q_events_rate_alerts,
         "clf_scores": q_clf_scores,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -3919,5 +3932,56 @@ def oracle_sql() -> dict[str, str]:
                      AS score_milli,
                    ((wsum * 1000) // n_feats) >= 0 AS keep
             FROM s
+        """,
+        "dsir_sample": """
+            WITH tok AS (
+              SELECT doc_id, t AS token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            raw_lm AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY token),
+            raw_tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS t FROM raw_lm),
+            tgt_lm AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok WHERE doc_id % 10 = 0 GROUP BY token),
+            tgt_tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tgt_lm),
+            raw_bits AS (
+              SELECT doc_id,
+                     CAST(sum(length(bin(rt.t // cnt)) - 1) AS BIGINT)
+                       AS sb
+              FROM tok JOIN raw_lm USING (token), raw_tot rt
+              GROUP BY doc_id),
+            tgt_bits AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN cnt IS NULL
+                       THEN length(bin(tt.t))
+                       ELSE length(bin(tt.t // cnt)) - 1 END)
+                       AS BIGINT) AS sb
+              FROM tok LEFT JOIN tgt_lm USING (token), tgt_tot tt
+              GROUP BY doc_id),
+            d AS (
+              SELECT doc_id,
+                     raw_bits.sb - tgt_bits.sb AS delta_bits
+              FROM raw_bits JOIN tgt_bits USING (doc_id)),
+            k AS (
+              SELECT doc_id, CAST(delta_bits AS BIGINT) AS delta_bits,
+                     CAST(CASE WHEN delta_bits >= 0 THEN 1000000
+                       WHEN delta_bits <= -20 THEN 0
+                       ELSE 1000000
+                            // (CAST(1 AS BIGINT) << (-delta_bits))
+                       END AS BIGINT) AS keep_ppm
+              FROM d)
+            SELECT doc_id, delta_bits, keep_ppm,
+                   CAST(('0x' || substring(
+                     md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000 AS u_ppm,
+                   (CAST(('0x' || substring(
+                     md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000) < keep_ppm AS keep
+            FROM k
         """,
     }

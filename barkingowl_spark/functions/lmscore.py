@@ -112,6 +112,80 @@ def surprisal_scores(
     )
 
 
+def importance_weights(
+    documents: DataFrame,
+    target_lm: DataFrame,
+    target_total: int | None = None,
+    raw_lm: DataFrame | None = None,
+    raw_total: int | None = None,
+    max_shift: int = 20,
+) -> DataFrame:
+    """(doc_id, delta_bits, keep_ppm): DSIR importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") with both LMs unigram and all math integer:
+
+      log2 w(doc) = log2(p_target/p_raw) = sum_bits_raw - sum_bits_tgt
+      keep_ppm    = min(1e6, 2^delta_bits * 1e6)
+                  = 1e6 >> (-delta_bits) when delta < 0 (0 beyond
+                    max_shift — the weight underflowed ppm resolution)
+
+    `target_lm` is the reference-domain model (counts of the corpus you
+    want more of — DSIR's hashed-ngram feature space collapses to the
+    token itself here; plug hash_features-style buckets in for the full
+    fidelity); `raw_lm` defaults to self-training on `documents`.
+    Tokens missing from a model take that model's OOV ceiling. Two
+    broadcast-scored passes + one doc_id join — no new shuffle class."""
+    s_raw = surprisal_scores(documents, lm=raw_lm, total=raw_total)
+    s_tgt = surprisal_scores(documents, lm=target_lm, total=target_total)
+    return (
+        s_raw.select("doc_id", F.col("sum_bits").alias("_raw"))
+        .join(
+            s_tgt.select("doc_id", F.col("sum_bits").alias("_tgt")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            (F.col("_raw") - F.col("_tgt")).alias("delta_bits"),
+        )
+        .withColumn(
+            "keep_ppm",
+            F.expr(
+                f"CAST(CASE WHEN delta_bits >= 0 THEN 1000000"
+                f" WHEN delta_bits <= -{int(max_shift)} THEN 0"
+                f" ELSE 1000000 DIV shiftleft(CAST(1 AS BIGINT),"
+                f"      CAST(-delta_bits AS INT)) END AS BIGINT)"
+            ),
+        )
+    )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    target_lm: DataFrame,
+    target_total: int | None = None,
+    raw_lm: DataFrame | None = None,
+    raw_total: int | None = None,
+    max_shift: int = 20,
+) -> DataFrame:
+    """(doc_id, delta_bits, keep_ppm, u_ppm, keep): DSIR's sample step —
+    the deterministic md5 draw (same convention as operators/mix.py)
+    against the importance weight. Expected kept mass per doc equals
+    its normalized-capped importance; reruns are bit-identical."""
+    w = importance_weights(
+        documents, target_lm, target_total=target_total,
+        raw_lm=raw_lm, raw_total=raw_total, max_shift=max_shift,
+    )
+    key = F.concat(F.lit("dsir#"), F.col("doc_id").cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % F.lit(1_000_000)
+    )
+    return (
+        w.withColumn("u_ppm", u)
+        .withColumn("keep", F.col("u_ppm") < F.col("keep_ppm"))
+    )
+
+
 def perplexity_buckets(
     documents: DataFrame,
     n_buckets: int = 3,

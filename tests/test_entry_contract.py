@@ -53,7 +53,8 @@ def duck():
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
      "search_bm25", "ring_assign", "ring_moves",
-     "events_rate_windows", "events_rate_alerts", "clf_scores"],
+     "events_rate_windows", "events_rate_alerts", "clf_scores",
+     "dsir_sample"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -111,3 +111,50 @@ def test_buckets_threshold_semantics(spark, docs_df):
     assert got[0][0] == min(s[2] for s in scores.values()) or True
     assert min(b for _, b in got.values()) == 1
     assert head == min(cb for cb, _ in got.values())
+
+
+def _py_dsir(docs, target_docs, max_shift=20):
+    import hashlib
+
+    raw = _py_scores(docs)
+    tgt_lm = Counter(
+        w for _, t in target_docs for w in t.split()
+    )
+    tgt_total = sum(tgt_lm.values())
+    tgt = _py_scores(docs, lm=tgt_lm, total=tgt_total)
+    out = {}
+    for d in raw:
+        delta = raw[d][1] - tgt[d][1]
+        if delta >= 0:
+            kp = 1_000_000
+        elif delta <= -max_shift:
+            kp = 0
+        else:
+            kp = 1_000_000 >> (-delta)
+        u = int(hashlib.md5(f"dsir#{d}".encode()).hexdigest()[:15],
+                16) % 1_000_000
+        out[d] = (delta, kp, u, u < kp)
+    return out
+
+
+def test_dsir_matches_python(spark, docs_df):
+    """DSIR weights + draw pinned vs the Python reimplementation; the
+    target-like docs (common tokens) cap at 1e6, the off-target
+    all-rare doc underflows toward 0."""
+    from barkingowl_spark.functions.lmscore import dsir_sample
+
+    target = [DOCS[0], DOCS[1], DOCS[3]]      # the cat/the/sat cluster
+    tgt_lm_df = unigram_lm(
+        spark.createDataFrame(target, "doc_id long, text string"))
+    tgt_total = sum(
+        Counter(w for _, t in target for w in t.split()).values())
+    want = _py_dsir(DOCS, target)
+    got = {r["doc_id"]: (r["delta_bits"], r["keep_ppm"], r["u_ppm"],
+                         r["keep"])
+           for r in dsir_sample(docs_df, tgt_lm_df,
+                                target_total=tgt_total).collect()}
+    assert got == want
+    # planted structure: doc 1 is target-verbatim -> full keep mass;
+    # doc 2 (all tokens OOV to the target) gets a tiny weight
+    assert got[1][1] == 1_000_000
+    assert got[2][1] < got[0][1]
