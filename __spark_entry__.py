@@ -1634,6 +1634,26 @@ def q_dsir_sample(spark, sf):
     return dsir_sample(d, tgt)
 
 
+def q_host_scorecard(spark, sf):
+    """Per-host corpus-quality rollup (operators/scorecard.py): dup
+    share, quality-pass share, token-weighted mean surprisal — the host
+    dimension joining hygiene evidence back to crawl control."""
+    from barkingowl_spark.operators.scorecard import host_scorecard
+
+    return host_scorecard(_t(spark, sf, "documents"))
+
+
+def q_host_quotas(spark, sf):
+    """Quota policy over the scorecard: keep_ppm = non-dup share,
+    zeroed below the quality floor — the mix_sample input table."""
+    from barkingowl_spark.operators.scorecard import (
+        host_quotas,
+        host_scorecard,
+    )
+
+    return host_quotas(host_scorecard(_t(spark, sf, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1739,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_alerts": q_events_rate_alerts,
         "clf_scores": q_clf_scores,
         "dsir_sample": q_dsir_sample,
+        "host_scorecard": q_host_scorecard,
+        "host_quotas": q_host_quotas,
     }
 
 
@@ -2166,6 +2188,45 @@ _BM25_SQL = """
            CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
     FROM j3 GROUP BY doc_id
     ORDER BY score_fp DESC, doc_id LIMIT 25
+"""
+
+
+_SCORECARD_SQL = _LM_CTE + f"""
+    , f AS (
+      SELECT doc_id, source AS host,
+             md5(CAST(regexp_replace(trim(text), '\\s+', ' ', 'g')
+                 AS VARCHAR)) AS fp
+      FROM documents),
+    g AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+    dupd AS (
+      SELECT doc_id, host,
+             CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END AS is_dup
+      FROM f JOIN g USING (fp)),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 20
+                   AND stop_ppm > 0 AND stop_ppm < 500000
+               THEN 1 ELSE 0 END AS is_q
+      FROM (SELECT doc_id, text,
+              CAST(floor(len(list_filter(string_split(text, ' '),
+                   x -> x IN ({_STOP_LIST}))) * 1000000.0
+                   / len(string_split(text, ' '))) AS BIGINT)
+                AS stop_ppm
+            FROM documents)),
+    hostagg AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+             CAST(sum(is_q) AS BIGINT) AS qd,
+             CAST(sum(n_tokens) AS BIGINT) AS nt,
+             CAST(sum(sum_bits) AS BIGINT) AS sb
+      FROM dupd JOIN q USING (doc_id) JOIN scored USING (doc_id)
+      GROUP BY host),
+    card AS (
+      SELECT host, n_docs, dup_docs,
+             CAST((dup_docs * 1000000) // n_docs AS BIGINT) AS dup_ppm,
+             CAST((qd * 1000000) // n_docs AS BIGINT) AS quality_ppm,
+             CAST((sb * 100) // nt AS BIGINT) AS mean_surprisal_cb
+      FROM hostagg)
 """
 
 
@@ -3983,5 +4044,17 @@ def oracle_sql() -> dict[str, str]:
                      md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 15))
                      AS BIGINT) % 1000000) < keep_ppm AS keep
             FROM k
+        """,
+        "host_scorecard": _SCORECARD_SQL + """
+            SELECT host, n_docs, dup_docs, dup_ppm, quality_ppm,
+                   mean_surprisal_cb
+            FROM card
+        """,
+        "host_quotas": _SCORECARD_SQL + """
+            SELECT host,
+                   CAST(CASE WHEN quality_ppm < 250000 THEN 0
+                        ELSE 1000000 - dup_ppm END AS BIGINT)
+                     AS keep_ppm
+            FROM card
         """,
     }
