@@ -88,3 +88,14 @@ def test_unigrams_only(spark, docs_df, weights_df):
            for r in clf_scores(docs_df, weights_df, n_buckets=D,
                                bigrams=False).collect()}
     assert got == want
+
+
+def test_clf_plan_broadcasts_model(spark, docs_df, weights_df):
+    """The weight table joins as a broadcast; the only non-broadcast
+    exchange is the doc_id rollup."""
+    plan = (
+        clf_scores(docs_df, weights_df, n_buckets=D)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -158,3 +158,18 @@ def test_dsir_matches_python(spark, docs_df):
     # doc 2 (all tokens OOV to the target) gets a tiny weight
     assert got[1][1] == 1_000_000
     assert got[2][1] < got[0][1]
+
+
+def test_buckets_plan_shape(spark, docs_df):
+    """The corpus re-acquires its bucket via a broadcast join; nothing
+    sort-merges; the only unpartitioned window input is the tiny
+    distinct-score distribution (asserted by the Window sitting above
+    an aggregate, not above the token explode)."""
+    from barkingowl_spark.functions.lmscore import perplexity_buckets
+
+    plan = (
+        perplexity_buckets(docs_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
