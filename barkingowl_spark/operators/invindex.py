@@ -98,6 +98,27 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
     )
+    return bm25_from_index(
+        tf, dl, stats, query_terms, k=k, k1_ppm=k1_ppm, b_ppm=b_ppm
+    )
+
+
+def bm25_from_index(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1_ppm: int = 1_200_000,
+    b_ppm: int = 750_000,
+) -> DataFrame:
+    """BM25 top-k from PREBUILT index tables — the deployed search
+    path (jobs/build_index.py exports them once; queries never
+    re-tokenize the corpus): tf = (doc_id, term, tf), dl = (doc_id,
+    dl), stats = 1 row (n_docs, total_len). Identical scoring algebra
+    and plan shape to bm25_topk; the term filter prunes the tf scan
+    (partition/bucket the export by term at scale and the filter
+    becomes partition pruning)."""
     tfq = tf.filter(F.col("term").isin(list(query_terms)))
     df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -1,0 +1,57 @@
+"""Search-index build + query job (jobs/build_index.py): the prebuilt
+index answers BM25 identically to the direct corpus path, and the
+query CLI never touches the raw documents."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+DOCS = [
+    (0, "cat sat on the mat with the cat"),
+    (1, "the dog sat on the dog bed"),
+    (2, "needle in the haystack"),
+    (3, "needle needle haystack"),
+    (4, "the the the filler page"),
+] + [(5 + i, f"filler page number {i} with plain words")
+     for i in range(5)]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory, capsys_mod=None):
+    base = tmp_path_factory.mktemp("bidx")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(base / "docs"))
+    from jobs.build_index import main
+
+    main(["--documents", str(base / "docs"),
+          "--out", str(base / "idx")])
+    return base
+
+
+def test_build_outputs(spark, built, capsys):
+    stats = spark.read.parquet(str(built / "idx" / "stats")).collect()[0]
+    assert stats["n_docs"] == 10
+    assert stats["total_len"] == sum(len(t.split()) for _, t in DOCS)
+    tf = {(r["doc_id"], r["term"]): r["tf"]
+          for r in spark.read.parquet(
+              str(built / "idx" / "termfreqs")).collect()}
+    assert tf[(0, "cat")] == 2 and tf[(3, "needle")] == 2
+
+
+def test_query_matches_direct_path(spark, built, capsys):
+    from barkingowl_spark.operators.invindex import bm25_topk
+    from jobs.build_index import main
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    want = [(r["doc_id"], r["n_terms"], r["score_fp"])
+            for r in bm25_topk(docs, ["needle", "haystack"],
+                               k=5).collect()]
+    main(["--index", str(built / "idx"),
+          "--query", "needle,haystack", "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = [(h["doc_id"], h["n_terms"], h["score_fp"])
+           for h in out["hits"]]
+    assert got == want
+    assert got[0][0] == 3     # the two-rare-term doc ranks first
