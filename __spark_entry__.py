@@ -1654,6 +1654,17 @@ def q_host_quotas(spark, sf):
     return host_quotas(host_scorecard(_t(spark, sf, "documents")))
 
 
+def q_graph_reciprocal(spark, sf):
+    """Nepotistic-link share per node (operators/linkgraph.py::
+    reciprocal_stats, Davison 2000): distinct edges, LEFT SEMI probe of
+    the reversed key, src rollup — the link-farm feature TrustRank's
+    teleport set should exclude."""
+    from barkingowl_spark.operators.linkgraph import reciprocal_stats
+
+    edges, _ = _synth_edges(spark, sf)
+    return reciprocal_stats(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1761,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
         "host_quotas": q_host_quotas,
+        "graph_reciprocal": q_graph_reciprocal,
     }
 
 
@@ -4056,5 +4068,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1000000 - dup_ppm END AS BIGINT)
                      AS keep_ppm
             FROM card
+        """,
+        "graph_reciprocal": "WITH " + _EDGES_SQL + """
+            , e AS (
+              SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            recip AS (
+              SELECT a.src, CAST(count(*) AS BIGINT) AS recip_deg
+              FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+              GROUP BY a.src),
+            outd AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+              FROM e GROUP BY src)
+            SELECT outd.src AS node, out_deg,
+                   coalesce(recip_deg, 0) AS recip_deg,
+                   CAST((coalesce(recip_deg, 0) * 1000000) // out_deg
+                        AS BIGINT) AS recip_ppm
+            FROM outd LEFT JOIN recip USING (src)
         """,
     }

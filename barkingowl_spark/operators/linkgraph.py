@@ -64,6 +64,45 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def reciprocal_stats(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, recip_deg, recip_ppm): per source node, how many
+    of its distinct out-edges have the reverse edge present — the
+    'nepotistic link' share (Davison, 2000; a core feature of the
+    link-spam detectors in Becchetti et al. 2008). Organic link
+    neighborhoods are mostly asymmetric; link farms and exchange rings
+    approach recip_ppm = 1e6.
+
+    Self-loops are dropped and edges de-duplicated first, so the ppm is
+    over distinct directed pairs. Shape: one distinct shuffle on (src,
+    dst), one LEFT SEMI self-join against the reversed key (same
+    partitioning, content-derived keys), one src rollup — no node ever
+    sees more than its own adjacency."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("recip_deg"))
+    )
+    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return (
+        out_d.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.coalesce("recip_deg", F.lit(0)).alias("recip_deg"),
+            F.expr(
+                "CAST((coalesce(recip_deg, 0) * 1000000) DIV out_deg"
+                " AS BIGINT)"
+            ).alias("recip_ppm"),
+        )
+    )
+
+
 def host_graph(edges: DataFrame, host_expr=None) -> DataFrame:
     """Host-level rollup (src_host, dst_host, n_links) of a URL edge
     list. ``host_expr``: column-fn url -> host; defaults to the crawl

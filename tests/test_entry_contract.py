@@ -54,7 +54,8 @@ def duck():
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
      "search_bm25", "ring_assign", "ring_moves",
      "events_rate_windows", "events_rate_alerts", "clf_scores",
-     "dsir_sample", "host_scorecard", "host_quotas"],
+     "dsir_sample", "host_scorecard", "host_quotas",
+     "graph_reciprocal"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

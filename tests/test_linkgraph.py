@@ -207,3 +207,29 @@ def test_trustrank_with_all_nodes_trusted_is_pagerank(spark):
         ).collect()
     }
     assert got == ref_pagerank(TINY, 3)
+
+
+def test_reciprocal_stats(spark):
+    """Planted ring (all reciprocal), chain (none), mixed node, dup
+    edges and self-loops collapsed/dropped before the ppm."""
+    from barkingowl_spark.operators.linkgraph import reciprocal_stats
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),           # reciprocal pair
+            (1, 3), (3, 1),           # reciprocal pair
+            (1, 4),                   # one-way
+            (4, 5), (5, 6),           # chain, no reciprocity
+            (7, 7),                   # self-loop -> dropped
+            (2, 1),                   # duplicate edge -> collapsed
+        ],
+        "src long, dst long",
+    )
+    got = {r["node"]: (r["out_deg"], r["recip_deg"], r["recip_ppm"])
+           for r in reciprocal_stats(edges).collect()}
+    assert got[1] == (3, 2, 2 * 1_000_000 // 3)
+    assert got[2] == (1, 1, 1_000_000)
+    assert got[3] == (1, 1, 1_000_000)
+    assert got[4] == (1, 0, 0)
+    assert got[5] == (1, 0, 0)
+    assert 7 not in got                  # only the self-loop -> no rows
