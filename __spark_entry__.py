@@ -1665,6 +1665,17 @@ def q_graph_reciprocal(spark, sf):
     return reciprocal_stats(edges)
 
 
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test split (operators/mix.py::
+    split_assign): map-only md5 draw, stable under corpus growth —
+    the export-time split assignment."""
+    from barkingowl_spark.operators.mix import split_assign
+
+    return split_assign(
+        _t(spark, sf, "documents"), val_ppm=100_000, test_ppm=100_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1773,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_scorecard": q_host_scorecard,
         "host_quotas": q_host_quotas,
         "graph_reciprocal": q_graph_reciprocal,
+        "split_assign": q_split_assign,
     }
 
 
@@ -4084,5 +4096,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST((coalesce(recip_deg, 0) * 1000000) // out_deg
                         AS BIGINT) AS recip_ppm
             FROM outd LEFT JOIN recip USING (src)
+        """,
+        "split_assign": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(
+                       md5('split#' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 1000000 AS u_ppm
+              FROM documents)
+            SELECT doc_id, u_ppm,
+                   CASE WHEN u_ppm < 100000 THEN 'val'
+                        WHEN u_ppm < 200000 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM u
         """,
     }

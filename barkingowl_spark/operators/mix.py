@@ -157,3 +157,36 @@ def mix_report(sampled: DataFrame,
             / F.count(F.lit(1))
         ).cast("long").alias("kept_ppm"),
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """(id, u_ppm, split): deterministic train/val/test assignment by
+    the md5 draw on (salt, id) — the split every training-data export
+    needs, with the properties that matter at corpus scale: map-only
+    (no shuffle, no sampling pass), stable across reruns AND across
+    corpus growth (a doc's split never changes when other docs are
+    added/removed, unlike randomSplit), and disjoint by construction.
+
+    Draw < val_ppm -> 'val'; < val_ppm + test_ppm -> 'test'; rest
+    'train'. Change `salt` to derive independent splits (e.g. per
+    evaluation round) from the same ids."""
+    key = F.concat(F.lit(salt), F.lit("#"),
+                   F.col(id_col).cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % F.lit(PPM)
+    ).alias("u_ppm")
+    return docs.select(id_col, u).select(
+        id_col,
+        "u_ppm",
+        F.when(F.col("u_ppm") < val_ppm, F.lit("val"))
+        .when(F.col("u_ppm") < val_ppm + test_ppm, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

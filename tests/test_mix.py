@@ -148,3 +148,34 @@ def test_epoch_plan_survives_int64_overflow_scale(spark):
         epochs_ppm=1_000_000,
     )
     assert got == {"A": (9_999_990_000_000, 9_999_990_000_000, 999_999)}
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    """Splits match the independent hashlib draw, are disjoint, and a
+    doc's split is invariant under corpus growth (the anti-randomSplit
+    property); a different salt re-draws."""
+    import hashlib
+
+    from barkingowl_spark.operators.mix import split_assign
+
+    def py_split(i, salt="split", val=200_000, test=200_000):
+        u = int(hashlib.md5(f"{salt}#{i}".encode()).hexdigest()[:15],
+                16) % 1_000_000
+        return "val" if u < val else ("test" if u < val + test
+                                      else "train")
+
+    small = spark.range(50).withColumnRenamed("id", "doc_id")
+    big = spark.range(500).withColumnRenamed("id", "doc_id")
+    got_small = {r["doc_id"]: r["split"]
+                 for r in split_assign(small, 200_000,
+                                       200_000).collect()}
+    got_big = {r["doc_id"]: r["split"]
+               for r in split_assign(big, 200_000, 200_000).collect()}
+    assert got_small == {i: py_split(i) for i in range(50)}
+    assert all(got_big[i] == got_small[i] for i in range(50))
+    assert {"train", "val", "test"} == set(got_big.values())
+    resalted = {r["doc_id"]: r["split"]
+                for r in split_assign(big, 200_000, 200_000,
+                                      salt="round2").collect()}
+    assert resalted != got_big
+    assert resalted == {i: py_split(i, "round2") for i in range(500)}
