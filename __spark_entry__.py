@@ -1676,6 +1676,15 @@ def q_split_assign(spark, sf):
     )
 
 
+def q_winnow_pairs(spark, sf):
+    """MOSS-style local text-reuse pairs (functions/textstats.py::
+    winnow_pairs): shared winnowing-fingerprint join with a stop-
+    fingerprint cap — catches passage reuse whole-doc MinHash dilutes."""
+    from barkingowl_spark.functions.textstats import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1785,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quotas": q_host_quotas,
         "graph_reciprocal": q_graph_reciprocal,
         "split_assign": q_split_assign,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -4109,5 +4119,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN u_ppm < 200000 THEN 'test'
                         ELSE 'train' END AS split
             FROM u
+        """,
+        "winnow_pairs": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(w) - 1),
+                       i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) AS h
+              FROM t WHERE len(w) >= 3
+            ), wins AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                          ELSE list_transform(range(1, len(h) - 2),
+                                 j -> list_min(h[j:j+3]))
+                     END AS wm
+              FROM g),
+            fps AS (
+              SELECT doc_id, unnest(list_distinct(wm)) AS fp FROM wins),
+            keyn AS (
+              SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 32),
+            live AS (SELECT fps.* FROM fps JOIN keyn USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM live a JOIN live b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
     }

@@ -152,6 +152,44 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 32,
+) -> DataFrame:
+    """(doc_a, doc_b, shared): document pairs sharing >= min_shared
+    winnowing fingerprints — the MOSS detection join (Schleimer et al.
+    2003 §4) on top of winnow_fingerprints: local text reuse
+    (plagiarism, syndicated passages) that whole-document MinHash
+    dilutes away, caught by position-robust k-gram mins.
+
+    Same scale guards as the mirror join (operators/mirrors.py): a
+    fingerprint carried by more than max_docs_per_fp documents is a
+    stop fingerprint (boilerplate phrase) and is dropped BEFORE the
+    self-join, bounding per-key fan-out at max_docs_per_fp^2; output
+    is O(pairs that actually share rare fingerprints), never
+    all-pairs."""
+    fps = winnow_fingerprints(documents, k=k, w=w)
+    keyn = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_docs_per_fp))
+        .select("fp")
+    )
+    t = fps.join(keyn, "fp")
+    a = t.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = t.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     text, plus a 2-hex-char shard bucket (the partition key a 100TB dedup

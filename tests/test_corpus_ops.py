@@ -356,3 +356,52 @@ def test_containment_catches_excerpt(spark):
         inter = len(toks[a] & toks[b])
         assert ca == inter * 1_000_000 // len(toks[a])
         assert cb == inter * 1_000_000 // len(toks[b])
+
+
+def test_winnow_pairs_moss_join(spark):
+    """MOSS-style reuse detection: docs sharing a long passage pair up
+    with shared >= min_shared; a boilerplate phrase on many docs is a
+    stop fingerprint and generates no pairs; counts match a pure-Python
+    winnowing reimplementation."""
+    import hashlib
+
+    from barkingowl_spark.functions.textstats import winnow_pairs
+
+    passage = ("the committee approved the zoning variance after a "
+               "lengthy public comment period on tuesday evening")
+    boiler = "all rights reserved worldwide"
+    docs = [
+        (0, passage + " and then some extra words follow here"),
+        (1, "intro words first " + passage),
+        (2, "totally different content about query optimizers today"),
+    ] + [(10 + i, boiler + f" unique{i} tail{i} words{i} here{i}")
+         for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def py_winnow(text, k=3, w=4):
+        ws = text.split(" ")
+        if len(ws) < k:
+            return set()
+        h = [hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+             for i in range(len(ws) - k + 1)]
+        if len(h) <= w:
+            return {min(h)}
+        return {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+
+    fps = {d: py_winnow(t) for d, t in docs}
+    # python-side expected pairs under the same stop-fp cap
+    from collections import Counter
+    carry = Counter(f for s in fps.values() for f in s)
+    live = {f for f, c in carry.items() if 2 <= c <= 32}
+    want = {}
+    ids = [d for d, _ in docs]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(fps[a] & fps[b] & live)
+            if n >= 2:
+                want[(min(a, b), max(a, b))] = n
+    got = {(r["doc_a"], r["doc_b"]): r["shared"]
+           for r in winnow_pairs(df).collect()}
+    assert got == want
+    assert (0, 1) in got          # the shared passage is detected
+    assert all(a < 10 or b < 10 for a, b in got)  # boiler: no pairs
