@@ -1685,6 +1685,26 @@ def q_winnow_pairs(spark, sf):
     return winnow_pairs(_t(spark, sf, "documents"))
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher document-level quality gate (functions/gopherrules.py,
+    Rae et al. 2021 table A1): map-only measurements + first-failing-
+    rule label. Symbols planted on doc_id%9==0, short docs on %17==0."""
+    from barkingowl_spark.functions.gopherrules import gopher_quality
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("tiny doc here"))
+        .otherwise(
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.when(F.col("doc_id") % 9 == 0,
+                       F.expr("repeat(' #', 30)")).otherwise(F.lit("")),
+            )
+        ).alias("text"),
+    )
+    return gopher_quality(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1795,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocal": q_graph_reciprocal,
         "split_assign": q_split_assign,
         "winnow_pairs": q_winnow_pairs,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -4146,5 +4167,67 @@ def oracle_sql() -> dict[str, str]:
             FROM live a JOIN live b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "gopher_quality": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN 'tiny doc here'
+                          ELSE coalesce(text, '')
+                               || CASE WHEN doc_id % 9 = 0
+                                    THEN repeat(' #', 30) ELSE '' END
+                     END AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '')
+                       AS ws,
+                     string_split(t, chr(10)) AS ls,
+                     t
+              FROM d),
+            meas AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST((list_sum(list_transform(ws,
+                            x -> length(x))) * 1000000)
+                          // greatest(len(ws), 1) AS BIGINT)
+                       AS mean_word_len_ppm,
+                     CAST((len(list_filter(ls,
+                            x -> starts_with(trim(x), '-')
+                              OR starts_with(trim(x), '*')))
+                          * 1000000) // greatest(len(ls), 1) AS BIGINT)
+                       AS bullet_ppm,
+                     CAST((len(list_filter(ls,
+                            x -> ends_with(trim(x), '...')))
+                          * 1000000) // greatest(len(ls), 1) AS BIGINT)
+                       AS ellipsis_ppm,
+                     CAST((len(list_filter(ws,
+                            x -> regexp_matches(x, '[a-zA-Z]')))
+                          * 1000000) // greatest(len(ws), 1) AS BIGINT)
+                       AS alpha_ppm,
+                     CAST(((length(t) - length(replace(t, '#', '')))
+                          + CAST((length(t)
+                              - length(replace(t, '...', ''))) / 3
+                              AS BIGINT))
+                          * 1000000 // greatest(len(ws), 1) AS BIGINT)
+                       AS symbol_ppm,
+                     CAST(len(list_filter(ws,
+                            x -> x IN ({_STOP_LIST}))) AS BIGINT)
+                       AS stop_hits
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len_ppm, bullet_ppm,
+                   ellipsis_ppm, alpha_ppm, symbol_ppm, stop_hits,
+                   CASE WHEN n_words < 50 THEN 'too_short'
+                        WHEN n_words > 100000 THEN 'too_long'
+                        WHEN mean_word_len_ppm < 3000000
+                          THEN 'word_len_low'
+                        WHEN mean_word_len_ppm > 10000000
+                          THEN 'word_len_high'
+                        WHEN bullet_ppm > 900000 THEN 'bullets'
+                        WHEN ellipsis_ppm > 300000 THEN 'ellipses'
+                        WHEN alpha_ppm < 800000 THEN 'non_alpha'
+                        WHEN symbol_ppm > 100000 THEN 'symbols'
+                        WHEN stop_hits < 2 THEN 'stopwords'
+                        ELSE 'keep' END AS reason
+            FROM meas
         """,
     }

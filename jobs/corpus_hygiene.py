@@ -7,6 +7,10 @@ crawl's document archive before training.
       [--jaccard-ppm 600000] [--langs en,de] [--min-tokens 20]
 
 Stages (each one shuffle, all native Catalyst — no UDFs):
+  0-pre'. optional Gopher doc gate (--gopher-rules): Rae et al. 2021
+     document-level thresholds (word count/length, bullet/ellipsis
+     shares, alpha share, symbol ratio, stopword floor) — map-only
+     (functions/gopherrules.py); drops land as 'gopher_<rule>'
   0-pre. optional C4 line rules (--c4-rules): Raffel et al. 2020 line
      filter (terminal punctuation, min words, no 'javascript') + page
      gates ('lorem ipsum', curly brace, min surviving lines) BEFORE any
@@ -325,6 +329,10 @@ def main(argv: list[str] | None = None) -> None:
                         "--clf-threshold-milli drop as 'clf_reject'")
     p.add_argument("--clf-threshold-milli", type=int, default=0)
     p.add_argument("--clf-buckets", type=int, default=262_144)
+    p.add_argument("--gopher-rules", action="store_true",
+                   help="Gopher doc-level quality gate before every "
+                        "other stage (functions/gopherrules.py "
+                        "defaults); drops land as 'gopher_<rule>'")
     p.add_argument("--c4-rules", action="store_true",
                    help="C4 line filter + page gates before every other "
                         "stage (functions/c4rules.py defaults)")
@@ -370,6 +378,20 @@ def main(argv: list[str] | None = None) -> None:
     spark = SparkSession.builder.appName("bowspark-corpus-hygiene") \
         .getOrCreate()
     docs = spark.read.parquet(args.documents)
+    gopher_drops = None
+    if args.gopher_rules:
+        from barkingowl_spark.functions.gopherrules import gopher_quality
+
+        gq = gopher_quality(docs)
+        gopher_drops = gq.filter(F.col("reason") != "keep").select(
+            "doc_id",
+            F.lit(False).alias("keep"),
+            F.concat(F.lit("gopher_"), F.col("reason")).alias("reason"),
+        )
+        docs = docs.join(
+            gq.filter(F.col("reason") == "keep").select("doc_id"),
+            "doc_id", "left_semi",
+        )
     c4_drops = None
     if args.c4_rules:
         from barkingowl_spark.functions.c4rules import c4_clean
@@ -433,6 +455,8 @@ def main(argv: list[str] | None = None) -> None:
         clf_threshold_milli=args.clf_threshold_milli,
         clf_buckets=args.clf_buckets,
     )
+    if gopher_drops is not None:
+        decisions = decisions.unionByName(gopher_drops)
     if c4_drops is not None:
         decisions = decisions.unionByName(c4_drops)
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
@@ -467,7 +491,9 @@ def main(argv: list[str] | None = None) -> None:
     print(json.dumps({
         # with --c4-rules `docs` is already cut, but decisions/ has one
         # row per ORIGINAL doc, so count inputs there
-        "input_docs": (decisions.count() if c4_drops is not None
+        "input_docs": (decisions.count()
+                       if (c4_drops is not None
+                           or gopher_drops is not None)
                        else docs.count()),
         "kept_docs": decisions.filter("keep").count() - mix_dropped,
         "dropped": by_reason,

@@ -55,7 +55,8 @@ def duck():
      "search_bm25", "ring_assign", "ring_moves",
      "events_rate_windows", "events_rate_alerts", "clf_scores",
      "dsir_sample", "host_scorecard", "host_quotas",
-     "graph_reciprocal", "split_assign", "winnow_pairs"],
+     "graph_reciprocal", "split_assign", "winnow_pairs",
+     "gopher_quality"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

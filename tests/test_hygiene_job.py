@@ -344,3 +344,35 @@ def test_main_clf_gate_flag(spark, tmp_path, capsys):
                str(tmp_path / "out" / "decisions")).collect()}
     assert dec[1] == (False, "clf_reject")
     assert dec[0] == (True, None)
+
+
+def test_main_gopher_rules_flag(spark, tmp_path, capsys):
+    """--gopher-rules: doc-level rule failures drop as gopher_<rule>
+    before any other stage; clean docs flow through."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    body = ("the city council met on tuesday to approve the budget "
+            "and the committee voted in favor of the resolution on "
+            "zoning after a public hearing was held downtown today "
+            "with many residents of the district in the room again "
+            "and the final tally was recorded by the clerk for all")
+    docs = _mini(spark, [
+        (0, body, "en", "h0", 1),                        # keeper
+        (1, "tiny doc here", "en", "h1", 1),             # gopher_too_short
+        (2, body + " " + "##### " * 5, "en", "h2", 1),   # gopher_symbols
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--gopher-rules"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == 3
+    assert stats["kept_docs"] == 1
+    assert stats["dropped"] == {"gopher_too_short": 1,
+                                "gopher_symbols": 1}
+    dec = {r["doc_id"]: r["reason"]
+           for r in spark.read.parquet(
+               str(tmp_path / "out" / "decisions")).collect()}
+    assert dec == {0: None, 1: "gopher_too_short", 2: "gopher_symbols"}
