@@ -1705,6 +1705,31 @@ def q_gopher_quality(spark, sf):
     return gopher_quality(d)
 
 
+def q_url_filter(spark, sf):
+    """RefinedWeb-style URL gate (functions/urlfilter.py): literal
+    blocklist + keyword score in one codegen map. Blocked hosts on
+    doc_id%11==0 (incl. a subdomain variant on %22), keywords planted
+    by residue."""
+    from barkingowl_spark.functions.urlfilter import url_filter
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 22 == 0, F.lit("sub.blocked.test"))
+        .when(i % 11 == 0, F.lit("blocked.test"))
+        .otherwise(F.concat(F.col("source"), F.lit(".test")))
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), i.cast("string"),
+        F.when(i % 6 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("/article")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("?next=login")).otherwise(F.lit("")),
+    )
+    return url_filter(
+        d.select(url.alias("url")), blocked_domains=["blocked.test"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1816,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "winnow_pairs": q_winnow_pairs,
         "gopher_quality": q_gopher_quality,
+        "url_filter": q_url_filter,
     }
 
 
@@ -4229,5 +4255,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN stop_hits < 2 THEN 'stopwords'
                         ELSE 'keep' END AS reason
             FROM meas
+        """,
+        "url_filter": """
+            WITH u AS (
+              SELECT 'http://'
+                     || CASE WHEN doc_id % 22 = 0 THEN 'sub.blocked.test'
+                             WHEN doc_id % 11 = 0 THEN 'blocked.test'
+                             ELSE source || '.test' END
+                     || '/p/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 6 = 0 THEN '/casino'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '/article'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '?next=login'
+                             ELSE '' END AS url
+              FROM documents),
+            s AS (
+              SELECT url,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                     lower(url) AS lu
+              FROM u),
+            sc AS (
+              SELECT url, host,
+                     (host = 'blocked.test'
+                      OR ends_with(host, '.blocked.test')) AS blocked,
+                     CAST(
+                       (CASE WHEN contains(lu, 'article') THEN 100
+                             ELSE 0 END)
+                     + (CASE WHEN contains(lu, 'blog') THEN 100
+                             ELSE 0 END)
+                     + (CASE WHEN contains(lu, 'casino') THEN -500
+                             ELSE 0 END)
+                     + (CASE WHEN contains(lu, 'login') THEN -200
+                             ELSE 0 END)
+                     + (CASE WHEN contains(lu, 'signup') THEN -200
+                             ELSE 0 END) AS BIGINT) AS kw_score_milli
+              FROM s)
+            SELECT url, host, blocked, kw_score_milli,
+                   (NOT blocked AND kw_score_milli >= -250) AS keep
+            FROM sc
         """,
     }
