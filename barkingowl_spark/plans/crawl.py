@@ -153,6 +153,14 @@ class CrawlConfig:
     # dir once more than this many accumulate (ParquetDirsIO; the Iceberg
     # backend gets the same via rewrite_data_files). None = never.
     archive_compact_every: int | None = 16
+    # Opt-in URL-level frontier gate applied to candidate links right
+    # after the robots filter, BEFORE hashing/dedup/enqueue — the hook
+    # for operators/traps.py::trap_filter or a
+    # functions/urlfilter.py::url_filter keep-projection. Receives the
+    # links frame (has 'url', 'host', 'seed_url', ...) and must return
+    # it filtered with columns intact. None = oracle-match mode (the
+    # default plan is byte-identical).
+    link_filter: object | None = None
     verify_text: bool = True                # input_hint byte-identity counter
     # Arrow batch rows for the parse UDF: real pages are tens of KB, so the
     # session-wide 10k-row default would mean ~0.5GB batches per worker
@@ -578,6 +586,8 @@ def run_crawl(
                 .drop("seed_host")
             )
         links = robots_filter(links, robots)
+        if config.link_filter is not None:
+            links = config.link_filter(links)
         links = links.select(
             "seed_url", "url",
             F.xxhash64("url").alias("url_hash"),
