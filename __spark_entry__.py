@@ -1730,6 +1730,36 @@ def q_url_filter(spark, sf):
     )
 
 
+def q_mix_epochs_out(spark, sf):
+    """Epoch materialization (operators/mix.py::materialize_epochs):
+    the epoch_plan allocation turned into actual repeated rows — whole
+    epochs replicate, the fractional epoch is the per-doc md5 draw;
+    broadcast plan dim, map-side explode, zero shuffle."""
+    from barkingowl_spark.operators.mix import (
+        epoch_plan,
+        materialize_epochs,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = "filter(split(translate(text, '\n', ' '), ' '), x -> x <> '')"
+    counts = d.groupBy(F.col("source").alias("domain")).agg(
+        F.sum(F.expr(f"size({toks})")).cast("long").alias("tokens")
+    )
+    weights = counts.select(
+        "domain",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("domain").cast("binary")), 1, 15),
+                16, 10,
+            ).cast("long") % 400_000 + 100_000
+        ).alias("weight_ppm"),
+    )
+    plan = epoch_plan(
+        counts, weights, budget_tokens=20_000, max_epochs_ppm=3_000_000
+    )
+    return materialize_epochs(d, plan)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1842,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "gopher_quality": q_gopher_quality,
         "url_filter": q_url_filter,
+        "mix_epochs_out": q_mix_epochs_out,
     }
 
 
@@ -2308,6 +2339,53 @@ _SCORECARD_SQL = _LM_CTE + f"""
              CAST((qd * 1000000) // n_docs AS BIGINT) AS quality_ppm,
              CAST((sb * 100) // nt AS BIGINT) AS mean_surprisal_cb
       FROM hostagg)
+"""
+
+
+_EPOCH_PLAN_CTE = """
+    WITH c AS (
+      SELECT source AS domain,
+             CAST(sum(len(list_filter(string_split(
+                 replace(text, chr(10), ' '), ' '),
+                 x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT domain,
+             CAST(('0x' || substring(md5(domain), 1, 15))
+                  AS BIGINT) % 400000 + 100000 AS weight_ppm
+      FROM c),
+    base AS (
+      SELECT domain, tokens, weight_ppm,
+             CAST((CAST(20000 AS HUGEINT) * weight_ppm)
+                  // 1000000 AS BIGINT) AS requested,
+             CAST((CAST(tokens AS HUGEINT) * 3000000)
+                  // 1000000 AS BIGINT) AS cap
+      FROM c JOIN w USING (domain)),
+    b2 AS (
+      SELECT *, least(requested, cap) AS alloc1,
+             cap - least(requested, cap) AS room
+      FROM base),
+    tot AS (
+      SELECT coalesce(sum(requested - alloc1), 0) AS s,
+             coalesce(sum(CASE WHEN room > 0
+                               THEN weight_ppm END), 0) AS wsum
+      FROM b2),
+    fin AS (
+      SELECT domain, tokens, weight_ppm, requested,
+             alloc1 + CASE WHEN room > 0 AND wsum > 0
+               THEN least(room,
+                    CAST((CAST(s AS HUGEINT) * weight_ppm)
+                         // wsum AS BIGINT))
+               ELSE 0 END AS alloc
+      FROM b2, tot),
+    eplan AS (
+      SELECT domain, tokens, weight_ppm, requested,
+             CAST(alloc AS BIGINT) AS alloc,
+             CAST(CASE WHEN tokens > 0 THEN
+                    CAST((CAST(alloc AS HUGEINT) * 1000000)
+                         // tokens AS BIGINT)
+                  ELSE 0 END AS BIGINT) AS epochs_ppm
+      FROM fin)
 """
 
 
@@ -3714,49 +3792,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id
             LIMIT 50
         """,
-        "mix_epoch_plan": """
-            WITH c AS (
-              SELECT source AS domain,
-                     CAST(sum(len(list_filter(string_split(
-                         replace(text, chr(10), ' '), ' '),
-                         x -> x <> ''))) AS BIGINT) AS tokens
-              FROM documents GROUP BY source),
-            w AS (
-              SELECT domain,
-                     CAST(('0x' || substring(md5(domain), 1, 15))
-                          AS BIGINT) % 400000 + 100000 AS weight_ppm
-              FROM c),
-            base AS (
-              SELECT domain, tokens, weight_ppm,
-                     CAST((CAST(20000 AS HUGEINT) * weight_ppm)
-                          // 1000000 AS BIGINT) AS requested,
-                     CAST((CAST(tokens AS HUGEINT) * 3000000)
-                          // 1000000 AS BIGINT) AS cap
-              FROM c JOIN w USING (domain)),
-            b2 AS (
-              SELECT *, least(requested, cap) AS alloc1,
-                     cap - least(requested, cap) AS room
-              FROM base),
-            tot AS (
-              SELECT coalesce(sum(requested - alloc1), 0) AS s,
-                     coalesce(sum(CASE WHEN room > 0
-                                       THEN weight_ppm END), 0) AS wsum
-              FROM b2),
-            fin AS (
-              SELECT domain, tokens, weight_ppm, requested,
-                     alloc1 + CASE WHEN room > 0 AND wsum > 0
-                       THEN least(room,
-                            CAST((CAST(s AS HUGEINT) * weight_ppm)
-                                 // wsum AS BIGINT))
-                       ELSE 0 END AS alloc
-              FROM b2, tot)
-            SELECT domain, tokens, weight_ppm, requested,
-                   CAST(alloc AS BIGINT) AS alloc,
-                   CAST(CASE WHEN tokens > 0 THEN
-                          CAST((CAST(alloc AS HUGEINT) * 1000000)
-                               // tokens AS BIGINT)
-                        ELSE 0 END AS BIGINT) AS epochs_ppm
-            FROM fin
+        "mix_epoch_plan": _EPOCH_PLAN_CTE + """
+            SELECT domain, tokens, weight_ppm, requested, alloc,
+                   epochs_ppm
+            FROM eplan
+        """,
+        "mix_epochs_out": _EPOCH_PLAN_CTE + """
+            , j AS (
+              SELECT d.doc_id, c2.domain, eplan.epochs_ppm,
+                     CAST(eplan.epochs_ppm // 1000000 AS INT) AS fl,
+                     eplan.epochs_ppm % 1000000 AS fr,
+                     CAST(('0x' || substring(
+                       md5('epoch#' || CAST(d.doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1000000 AS u
+              FROM documents d
+              JOIN (SELECT doc_id, source AS domain
+                    FROM documents) c2 USING (doc_id)
+              JOIN eplan USING (domain)),
+            ex AS (
+              SELECT doc_id, domain, fl, fr, u,
+                     unnest(generate_series(1, fl + 1)) AS epoch
+              FROM j)
+            SELECT doc_id, domain, CAST(epoch AS INT) AS epoch
+            FROM ex WHERE epoch <= fl OR u < fr
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE t AS (

@@ -190,3 +190,48 @@ def split_assign(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def materialize_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, domain, epoch): the dataset-construction step for
+    epoch_plan — turn the per-domain epochs_ppm allocation into actual
+    repeated rows: every doc of a domain appears
+    floor(epochs_ppm / 1e6) times (epoch = 1..full), plus one more
+    (epoch = full + 1) iff its deterministic md5 draw lands under the
+    fractional part — so each domain's expected token count equals its
+    allocation, reruns are bit-identical, and per-doc fan-out is
+    bounded by the repetition cap (never data-dependent explosion).
+
+    Shape: the plan is a per-domain dim (broadcast); the explode is
+    map-side; no shuffle at all — the writer downstream repartitions
+    by shard as usual (operators/shards.py)."""
+    key = F.concat(F.lit("epoch#"), F.col(id_col).cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % F.lit(PPM)
+    )
+    j = (
+        docs.select(id_col, F.col(domain_col).alias("domain"))
+        .join(
+            F.broadcast(plan.select("domain", "epochs_ppm")), "domain"
+        )
+        .withColumn("_full", F.expr(f"CAST(epochs_ppm DIV {PPM} AS INT)"))
+        .withColumn("_frac", F.expr(f"epochs_ppm % {PPM}"))
+        .withColumn("_u", u)
+    )
+    return (
+        j.select(
+            id_col, "domain", "_full", "_frac", "_u",
+            F.explode(F.expr("sequence(1, _full + 1)")).alias("epoch"),
+        )
+        .filter(
+            (F.col("epoch") <= F.col("_full"))
+            | (F.col("_u") < F.col("_frac"))
+        )
+        .select(id_col, "domain", "epoch")
+    )

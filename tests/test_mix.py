@@ -179,3 +179,40 @@ def test_split_assign_deterministic_and_stable(spark):
                                       salt="round2").collect()}
     assert resalted != got_big
     assert resalted == {i: py_split(i, "round2") for i in range(500)}
+
+
+def test_materialize_epochs(spark):
+    """Whole epochs replicate every doc; the fractional epoch is the
+    deterministic per-doc draw; zero-allocation domains vanish; counts
+    match the hashlib reimplementation exactly."""
+    import hashlib
+
+    from barkingowl_spark.operators.mix import materialize_epochs
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "z"][i % 4]) for i in range(40)],
+        "doc_id long, source string",
+    )
+    plan = spark.createDataFrame(
+        [("a", 2_500_000), ("b", 1_000_000), ("c", 400_000),
+         ("z", 0)],
+        "domain string, epochs_ppm long",
+    )
+    got = {}
+    for r in materialize_epochs(docs, plan).collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+
+    def u(i):
+        return int(hashlib.md5(f"epoch#{i}".encode()).hexdigest()[:15],
+                   16) % 1_000_000
+
+    for i in range(40):
+        dom = ["a", "b", "c", "z"][i % 4]
+        ppm = {"a": 2_500_000, "b": 1_000_000, "c": 400_000, "z": 0}[dom]
+        full, frac = ppm // 1_000_000, ppm % 1_000_000
+        want = list(range(1, full + 1))
+        if u(i) < frac:
+            want.append(full + 1)
+        assert sorted(got.get(i, [])) == want, (i, dom)
+    # domain b: exactly one epoch per doc, no fractional draws
+    assert all(got[i] == [1] for i in range(40) if i % 4 == 1)
