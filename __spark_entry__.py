@@ -1760,6 +1760,26 @@ def q_mix_epochs_out(spark, sf):
     return materialize_epochs(d, plan)
 
 
+def q_search_hybrid(spark, sf):
+    """Hybrid retrieval: RRF fusion (operators/fusion.py, Cormack et
+    al. 2009) of the BM25 top-25 and the integer-dot embedding top-25
+    (probe = vec 0) — the modern lexical+vector search stack; fusion
+    itself is O(k), TakeOrderedAndProject cut."""
+    from barkingowl_spark.operators.fusion import rank_by, rrf_fuse
+    from barkingowl_spark.operators.invindex import bm25_topk
+    from barkingowl_spark.operators.similarity import dot_topk
+
+    b = rank_by(
+        bm25_topk(_bm25_docs(spark, sf),
+                  ["needle", "haystack", "scan"], k=25),
+        "score_fp",
+    )
+    v = dot_topk(
+        _t(spark, sf, "embeddings"), n_queries=1, k=25
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([b, v], topk=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1873,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_filter": q_url_filter,
         "mix_epochs_out": q_mix_epochs_out,
+        "search_hybrid": q_search_hybrid,
     }
 
 
@@ -3791,6 +3812,33 @@ def oracle_sql() -> dict[str, str]:
             FROM rates
             ORDER BY score DESC, doc_id
             LIMIT 50
+        """,
+        "search_hybrid": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score_fp DESC, doc_id)
+                       AS rank
+              FROM ({_BM25_SQL})),
+            v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM v
+                  WHERE vec_id < 1),
+            sc AS (
+              SELECT vec_id, {_DOT_SQL} AS score
+              FROM q, v WHERE q_id != vec_id),
+            vr AS (
+              SELECT vec_id AS doc_id, rank FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY score DESC, vec_id)
+                         AS rank
+                FROM sc) WHERE rank <= 25),
+            contrib AS (
+              SELECT doc_id, 1000000000 // (60 + rank) AS c FROM b
+              UNION ALL
+              SELECT doc_id, 1000000000 // (60 + rank) AS c FROM vr)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+                   CAST(sum(c) AS BIGINT) AS rrf_fp
+            FROM contrib GROUP BY doc_id
+            ORDER BY rrf_fp DESC, doc_id LIMIT 10
         """,
         "mix_epoch_plan": _EPOCH_PLAN_CTE + """
             SELECT domain, tokens, weight_ppm, requested, alloc,

@@ -56,7 +56,8 @@ def duck():
      "events_rate_windows", "events_rate_alerts", "clf_scores",
      "dsir_sample", "host_scorecard", "host_quotas",
      "graph_reciprocal", "split_assign", "winnow_pairs",
-     "gopher_quality", "url_filter", "mix_epochs_out"],
+     "gopher_quality", "url_filter", "mix_epochs_out",
+     "search_hybrid"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
