@@ -1780,6 +1780,32 @@ def q_search_hybrid(spark, sf):
     return rrf_fuse([b, v], topk=10)
 
 
+def q_pq_codes(spark, sf):
+    """PQ encoding (operators/pq.py, Jegou et al. 2011): 64-dim vectors
+    -> 4 codebook ids (untrained first-16 codebook = the oracle path;
+    trained path pytest-pinned via distortion). Broadcast codebook +
+    map-combined argmin."""
+    from barkingowl_spark.operators.pq import pq_encode
+
+    c = pq_encode(_t(spark, sf, "embeddings"), m=4, ksub=16)
+    return c.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+def q_ann_pq_topk(spark, sf):
+    """ADC top-k over PQ codes: integer lookup-table distances — the
+    compressed-domain search that pairs with IVF at 10^10 vectors."""
+    from barkingowl_spark.operators.pq import pq_topk
+
+    return pq_topk(
+        _t(spark, sf, "embeddings"), n_queries=10, k=5, m=4, ksub=16
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1894,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "mix_epochs_out": q_mix_epochs_out,
         "search_hybrid": q_search_hybrid,
+        "pq_codes": q_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -2407,6 +2435,30 @@ _EPOCH_PLAN_CTE = """
                          // tokens AS BIGINT)
                   ELSE 0 END AS BIGINT) AS epochs_ppm
       FROM fin)
+"""
+
+
+_PQ_CTE = f"""
+    WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv
+      FROM v0, (VALUES (0), (1), (2), (3)) s(j)),
+    cb AS (
+      SELECT j, CAST(vec_id AS INT) AS code, sv AS cv
+      FROM sub WHERE vec_id < 16),
+    d AS (
+      SELECT sub.vec_id, sub.j, cb.code,
+             CAST(list_sum(list_transform(
+               range(1, len(sub.sv) + 1),
+               i -> (sub.sv[i] - cb.cv[i])
+                    * (sub.sv[i] - cb.cv[i]))) AS BIGINT) AS d2
+      FROM sub JOIN cb ON sub.j = cb.j),
+    best AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM d) WHERE rn = 1)
 """
 
 
@@ -3839,6 +3891,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS BIGINT) AS rrf_fp
             FROM contrib GROUP BY doc_id
             ORDER BY rrf_fp DESC, doc_id LIMIT 10
+        """,
+        "pq_codes": _PQ_CTE + """
+            SELECT vec_id,
+                   array_to_string(list(code ORDER BY j), ',') AS codes
+            FROM best GROUP BY vec_id
+        """,
+        "ann_pq_topk": _PQ_CTE + """
+            , lut AS (
+              SELECT sub.vec_id AS q_id, sub.j, cb.code,
+                     CAST(list_sum(list_transform(
+                       range(1, len(sub.sv) + 1),
+                       i -> (sub.sv[i] - cb.cv[i])
+                            * (sub.sv[i] - cb.cv[i]))) AS BIGINT) AS d2
+              FROM sub JOIN cb ON sub.j = cb.j
+              WHERE sub.vec_id < 10),
+            scored AS (
+              SELECT lut.q_id, best.vec_id,
+                     CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+              FROM best JOIN lut
+                ON best.j = lut.j AND best.code = lut.code
+              WHERE lut.q_id != best.vec_id
+              GROUP BY lut.q_id, best.vec_id)
+            SELECT q_id, vec_id, adc_d2, rank FROM (
+              SELECT q_id, vec_id, adc_d2,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_d2, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
         """,
         "mix_epoch_plan": _EPOCH_PLAN_CTE + """
             SELECT domain, tokens, weight_ppm, requested, alloc,
