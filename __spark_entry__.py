@@ -1806,6 +1806,19 @@ def q_ann_pq_topk(spark, sf):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf):
+    """Composed IVF+PQ search (operators/pq.py::ivfpq_topk): coarse
+    cell routing + in-cell ADC — per-query cost |cell| * m lookups,
+    the 10^10-vector serving shape. Untrained quantizers (oracle
+    path); trained path pytest-pinned."""
+    from barkingowl_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf, "embeddings"),
+        n_queries=10, k=5, m=4, ksub=16, n_centroids=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": q_search_hybrid,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -3915,6 +3929,43 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY lut.q_id, best.vec_id)
             SELECT q_id, vec_id, adc_d2, rank FROM (
               SELECT q_id, vec_id, adc_d2,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_d2, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "ann_ivfpq_topk": _PQ_CTE + f"""
+            , c AS (
+              SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, c_id AS bucket FROM (
+                SELECT v0.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id
+                         ORDER BY
+                           CAST(list_sum(list_transform(
+                             range(1, len(c.qv) + 1),
+                             i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                           DESC, c.c_id) AS rn
+                FROM c, v0) WHERE rn = 1),
+            lut AS (
+              SELECT sub.vec_id AS q_id, sub.j, cb.code,
+                     CAST(list_sum(list_transform(
+                       range(1, len(sub.sv) + 1),
+                       i -> (sub.sv[i] - cb.cv[i])
+                            * (sub.sv[i] - cb.cv[i]))) AS BIGINT) AS d2
+              FROM sub JOIN cb ON sub.j = cb.j
+              WHERE sub.vec_id < 10),
+            scored AS (
+              SELECT lut.q_id, qa.bucket, best.vec_id,
+                     CAST(sum(lut.d2) AS BIGINT) AS adc_d2
+              FROM best
+              JOIN asg xa ON xa.vec_id = best.vec_id
+              JOIN lut ON best.j = lut.j AND best.code = lut.code
+              JOIN asg qa ON qa.vec_id = lut.q_id
+                         AND qa.bucket = xa.bucket
+              WHERE lut.q_id != best.vec_id
+              GROUP BY lut.q_id, qa.bucket, best.vec_id)
+            SELECT q_id, bucket, vec_id, adc_d2, rank FROM (
+              SELECT q_id, bucket, vec_id, adc_d2,
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY adc_d2, vec_id) AS rank
               FROM scored) WHERE rank <= 5

@@ -179,6 +179,65 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    codebooks: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(q_id, bucket, vec_id, adc_d2, rank): the composed IVF+PQ index
+    (Jegou et al. 2011 §IV) — the coarse quantizer (similarity.
+    ivf_assign) routes each query to its cell, and ADC scores only the
+    PQ codes INSIDE that cell: per-query cost = |cell| * m integer
+    lookups, the memory- and compute-shape that serves 10^10 vectors.
+    Untrained defaults for both quantizers keep it oracle-expressible;
+    pass trained centroids/codebooks for the production index (same
+    dataflow)."""
+    from barkingowl_spark.operators.similarity import _quantized, ivf_assign
+
+    if codebooks is None:
+        codebooks = default_codebooks(embeddings, m=m, ksub=ksub)
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    vecs = _quantized(embeddings)
+    dim = _dim_of(vecs)
+    codes = pq_encode(embeddings, m=m, ksub=ksub, codebooks=codebooks)
+    cell = codes.join(assign, "vec_id").select(
+        "vec_id", "bucket", F.posexplode("codes").alias("j", "code")
+    )
+    lut = (
+        _subvectors(vecs.filter(F.col("vec_id") < n_queries), m, dim)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(broadcast(codebooks), "j")
+        .select("q_id", "j", "code", F.expr(_D2).alias("d2"))
+        .join(
+            broadcast(
+                assign.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("q_id"), "bucket"
+                )
+            ),
+            "q_id",
+        )
+    )
+    scored = (
+        cell.join(broadcast(lut), ["j", "code", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "bucket", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "vec_id", "adc_d2", "rank")
+    )
+
+
 def pq_distortion(
     embeddings: DataFrame,
     m: int = 4,

@@ -106,3 +106,27 @@ def test_training_reduces_distortion(spark, emb):
     trained = pq_codebooks(emb, m=M, ksub=KSUB, iters=4)
     t = pq_distortion(emb, m=M, ksub=KSUB, codebooks=trained)
     assert t <= base
+
+
+def test_ivfpq_restricts_to_cell(spark, emb):
+    """IVF+PQ: every hit shares the query's coarse bucket, scores equal
+    the flat-ADC scores for those candidates, and the candidate set is
+    exactly the cell minus self."""
+    from barkingowl_spark.operators.pq import ivfpq_topk
+    from barkingowl_spark.operators.similarity import ivf_assign
+
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in ivf_assign(emb, n_centroids=4).collect()}
+    flat = {(r["q_id"], r["vec_id"]): r["adc_d2"]
+            for r in pq_topk(emb, n_queries=3, k=63, m=M,
+                             ksub=KSUB).collect()}
+    got = {}
+    for r in ivfpq_topk(emb, n_queries=3, k=63, m=M, ksub=KSUB,
+                        n_centroids=4).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        assert buckets[r["vec_id"]] == buckets[r["q_id"]] == r["bucket"]
+        assert flat[(r["q_id"], r["vec_id"])] == r["adc_d2"]
+    for q in range(3):
+        want = {i for i, b in buckets.items()
+                if b == buckets[q] and i != q}
+        assert got[q] == want, q
