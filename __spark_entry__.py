@@ -1819,6 +1819,15 @@ def q_ann_ivfpq_topk(spark, sf):
     )
 
 
+def q_dedup_weights(spark, sf):
+    """Soft dedup (operators/components.py::dedup_weights): cluster
+    members split one unit of training mass (1e6 DIV csize) instead of
+    dropping — the reweighting alternative that feeds mix/export."""
+    from barkingowl_spark.operators.components import dedup_weights
+
+    return dedup_weights(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1936,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "dedup_weights": q_dedup_weights,
     }
 
 
@@ -2474,6 +2484,54 @@ _PQ_CTE = f"""
                                   ORDER BY d2, code) AS rn
         FROM d) WHERE rn = 1)
 """
+
+
+_CC_CTE = f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+              FROM t WHERE len(w) >= 3
+            ), sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents
+            ),
+            ver AS (
+              SELECT doc_a, doc_b
+              FROM cand
+              JOIN toks ta ON ta.doc_id = cand.doc_a
+              JOIN toks tb ON tb.doc_id = cand.doc_b
+              WHERE CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                    * 1000000.0
+                    / len(list_distinct(list_concat(ta.toks, tb.toks))))
+                    AS BIGINT) >= 600000
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM ver
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM ver
+            ),
+            reach AS (
+              SELECT s AS n, d AS m FROM edges
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            ),
+            comp AS (
+              SELECT n AS doc_id, least(n, min(m)) AS component_id
+              FROM reach GROUP BY n
+            )
+            """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3293,54 +3351,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DuckDB needs RECURSIVE on the whole WITH-chain, so the shingle
         # CTE is inlined rather than prefixed via _SHINGLE_CTE
-        "dedup_components": f"""
-            WITH RECURSIVE t AS (
-              SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(w) - 1),
-                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-              FROM t WHERE len(w) >= 3
-            ), sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
-            bands AS ({_BANDS_SQL}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_id = b.band_id AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-            ),
-            toks AS (
-              SELECT doc_id,
-                     list_distinct(string_split(text, ' ')) AS toks
-              FROM documents
-            ),
-            ver AS (
-              SELECT doc_a, doc_b
-              FROM cand
-              JOIN toks ta ON ta.doc_id = cand.doc_a
-              JOIN toks tb ON tb.doc_id = cand.doc_b
-              WHERE CAST(floor(len(list_intersect(ta.toks, tb.toks))
-                    * 1000000.0
-                    / len(list_distinct(list_concat(ta.toks, tb.toks))))
-                    AS BIGINT) >= 600000
-            ),
-            edges AS (
-              SELECT doc_a AS s, doc_b AS d FROM ver
-              UNION
-              SELECT doc_b AS s, doc_a AS d FROM ver
-            ),
-            reach AS (
-              SELECT s AS n, d AS m FROM edges
-              UNION
-              SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
-            ),
-            comp AS (
-              SELECT n AS doc_id, least(n, min(m)) AS component_id
-              FROM reach GROUP BY n
-            )
+        "dedup_components": _CC_CTE + """
             SELECT doc_id, component_id,
                    count(*) OVER (PARTITION BY component_id) AS csize
             FROM comp
+        """,
+        "dedup_weights": _CC_CTE + """
+            , cw AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY component_id) AS csize
+              FROM comp)
+            SELECT d.doc_id,
+                   CAST(coalesce(cw.csize, 1) AS BIGINT) AS csize,
+                   CAST(1000000 // coalesce(cw.csize, 1) AS BIGINT)
+                     AS weight_ppm
+            FROM documents d LEFT JOIN cw USING (doc_id)
         """,
         "sim_topk_dot": f"""
             WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),

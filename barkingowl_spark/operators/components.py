@@ -165,3 +165,34 @@ def cluster_representatives(
         "keeper_id",
         (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
     )
+
+
+def dedup_weights(
+    documents: DataFrame, threshold_ppm: int = 600_000
+) -> DataFrame:
+    """(doc_id, csize, weight_ppm): SOFT dedup — every member of a
+    transitive near-dup cluster is down-weighted to 1e6 DIV csize
+    instead of dropped, so each distinct content item carries one unit
+    of total training mass however many times it was crawled (the
+    reweighting alternative to hard removal: it preserves natural
+    duplication signal for frequency-sensitive objectives while killing
+    the over-representation that Lee et al. 2022 showed harms LMs).
+    Singletons keep weight_ppm = 1e6.
+
+    The weights feed the selection stack directly: multiply into
+    mix_sample keep_ppm, or use as sampling weights at export. Shape:
+    the component pass's shuffles + one LEFT broadcast-ish join back to
+    the id table (component table is O(clustered docs), typically a
+    small fraction of the corpus)."""
+    comp = near_dup_components(documents, threshold_ppm)
+    return (
+        documents.select("doc_id")
+        .join(comp.select("doc_id", "csize"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("csize", F.lit(1)).cast("long").alias("csize"),
+            F.expr(
+                "CAST(1000000 DIV coalesce(csize, 1) AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )

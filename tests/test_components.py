@@ -146,3 +146,27 @@ def test_keep_best_unscored_member_never_wins(spark):
         for r in cluster_representatives(comp, qual).collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_dedup_weights_soft(spark):
+    """Soft dedup: cluster members split one unit of mass; singletons
+    keep full weight; total mass ~= number of distinct contents."""
+    from barkingowl_spark.operators.components import dedup_weights
+
+    base = ("the city council met on tuesday to approve the zoning "
+            "budget resolution after the public hearing downtown")
+    words = base.split()
+    near = " ".join(["x" if i == 3 else w for i, w in enumerate(words)])
+    near2 = " ".join(["y" if i == 5 else w for i, w in enumerate(words)])
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, near2),
+         (3, "totally different text about adaptive query planning "
+             "inside the optimizer during runtime execution stages")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["csize"], r["weight_ppm"])
+           for r in dedup_weights(docs).collect()}
+    assert got[0] == (3, 333_333)
+    assert got[1] == (3, 333_333)
+    assert got[2] == (3, 333_333)
+    assert got[3] == (1, 1_000_000)

@@ -57,7 +57,8 @@ def duck():
      "dsir_sample", "host_scorecard", "host_quotas",
      "graph_reciprocal", "split_assign", "winnow_pairs",
      "gopher_quality", "url_filter", "mix_epochs_out",
-     "search_hybrid", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk"],
+     "search_hybrid", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
+     "dedup_weights"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
