@@ -1828,6 +1828,25 @@ def q_dedup_weights(spark, sf):
     return dedup_weights(_t(spark, sf, "documents"))
 
 
+def q_eval_compromise(spark, sf):
+    """Eval-owner contamination view (operators/decontam.py::
+    eval_compromise): per eval item, leaked-gram share + carrier-doc
+    counts — the benchmark-retirement table; same synthetic eval set
+    as text_decontam, broadcast-probe-pruned corpus side."""
+    from barkingowl_spark.operators.decontam import eval_compromise
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = "filter(split(translate(text, '\n', ' '), ' '), x -> x <> '')"
+    ev = (
+        d.filter(F.col("doc_id") % 37 == 5)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.expr(f"concat_ws(' ', slice({toks}, 2, 9))").alias("text"),
+        )
+    )
+    return eval_compromise(ev, d, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1946,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_weights": q_dedup_weights,
+        "eval_compromise": q_eval_compromise,
     }
 
 
@@ -3994,6 +4014,59 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY adc_d2, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "eval_compromise": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           replace(text, chr(10), ' '), ' '),
+                           x -> x <> '') AS toks
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[pos:pos+4], ' ') AS ngram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                                 AS pos
+                      FROM d WHERE len(toks) >= 5)),
+            ev AS (
+                SELECT doc_id AS eval_id,
+                       array_to_string(toks[2:10], ' ') AS text
+                FROM d WHERE doc_id % 37 = 5),
+            evt AS (
+                SELECT eval_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS toks
+                FROM ev),
+            eg AS (
+                SELECT DISTINCT eval_id,
+                       array_to_string(toks[pos:pos+4], ' ') AS ngram
+                FROM (SELECT eval_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                                 AS pos
+                      FROM evt WHERE len(toks) >= 5)),
+            gd AS (
+                SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+                FROM grams
+                WHERE ngram IN (SELECT ngram FROM eg)
+                GROUP BY ngram),
+            agg AS (
+                SELECT eval_id,
+                       CAST(count(*) AS BIGINT) AS total_grams,
+                       CAST(sum(CASE WHEN n_docs IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS hit_grams,
+                       CAST(coalesce(sum(n_docs), 0) AS BIGINT)
+                         AS corpus_doc_grams
+                FROM eg LEFT JOIN gd USING (ngram)
+                GROUP BY eval_id)
+            SELECT eval_id, total_grams, hit_grams,
+                   CAST(CASE WHEN total_grams > 0
+                        THEN (hit_grams * 1000000) // total_grams
+                        ELSE 0 END AS BIGINT) AS hit_ppm,
+                   corpus_doc_grams,
+                   hit_grams > 0 AS compromised
+            FROM agg
         """,
         "mix_epoch_plan": _EPOCH_PLAN_CTE + """
             SELECT domain, tokens, weight_ppm, requested, alloc,

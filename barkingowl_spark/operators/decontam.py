@@ -111,3 +111,67 @@ def ngram_decontaminate(
             (F.coalesce("hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def eval_compromise(
+    eval_df: DataFrame,
+    docs: DataFrame,
+    n: int = 13,
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The eval-owner's view of contamination: per eval item,
+    (eval_id, total_grams, hit_grams, hit_ppm, corpus_docs,
+    compromised) — how much of the item's n-gram content appears in
+    the training corpus and how many distinct corpus docs carry it.
+    The flip side of ngram_decontaminate (which reports per CORPUS
+    doc): dropping contaminated corpus docs cleans future training,
+    but an eval item whose grams already leaked is burned for every
+    model trained before the cleanup — this table is what decides
+    benchmark retirement.
+
+    Scale shape: the eval gram set is the SMALL side (broadcast probe,
+    same as the decontaminate direction); the corpus gram explosion is
+    LEFT SEMI pruned by that broadcast BEFORE its distinct shuffle, so
+    only eval-relevant grams (a vanishing fraction at n=13) ever
+    shuffle; per-gram doc counts then join back to the eval grams
+    broadcast-side."""
+    eg = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(_ngrams(eval_df, text_col, n)).alias("ngram"),
+    ).distinct()
+    probe = eg.select("ngram").distinct()
+    hits = (
+        docs.select(
+            "doc_id", F.explode(_ngrams(docs, text_col, n)).alias("ngram")
+        )
+        .join(F.broadcast(probe), "ngram", "left_semi")
+        .distinct()
+    )
+    gram_docs = hits.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        eg.join(F.broadcast(gram_docs), "ngram", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(
+                F.when(F.col("n_docs").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("hit_grams"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+            .alias("corpus_doc_grams"),
+        )
+        .select(
+            "eval_id",
+            "total_grams",
+            "hit_grams",
+            F.expr(
+                "CAST(CASE WHEN total_grams > 0 THEN"
+                " (hit_grams * 1000000) DIV total_grams"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("hit_ppm"),
+            "corpus_doc_grams",
+            (F.col("hit_grams") > 0).alias("compromised"),
+        )
+    )

@@ -68,3 +68,31 @@ def test_plan_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     # the semi probe itself must never sort-merge (corpus-side shuffle)
     assert not re.search(r"SortMergeJoin.*LeftSemi", plan)
+
+
+def test_eval_compromise_report(spark):
+    """Per-eval-item view: a fully-leaked item reports hit_ppm 1e6 and
+    counts its carrier docs; a partially-reflowed item reports the
+    leaked share; an unseen item is clean."""
+    from barkingowl_spark.operators.decontam import eval_compromise
+
+    base = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " extra"), (2, "z y x w v u t s r q")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, base),                       # fully inside docs 0 and 1
+         (101, "c d e f g h i j k l m n"),  # 5-gram prefix overlaps
+         (102, "p1 p2 p3 p4 p5 p6 p7")],    # unseen
+        "eval_id long, text string",
+    )
+    got = {r["eval_id"]: (r["total_grams"], r["hit_grams"],
+                          r["hit_ppm"], r["corpus_doc_grams"],
+                          r["compromised"])
+           for r in eval_compromise(evals, docs, n=5).collect()}
+    # eval 100: 8 distinct 5-grams, all present, each in docs 0 AND 1
+    assert got[100] == (8, 8, 1_000_000, 16, True)
+    # eval 101: grams starting at c..h exist (6 of 8), each in 2 docs
+    assert got[101] == (8, 6, 750_000, 12, True)
+    assert got[102] == (3, 0, 0, 0, False)
