@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--politeness-seconds", type=int, default=None,
                    help="seconds one wave stands for: Crawl-delay d hosts "
                         "get floor(seconds/d) fetches per wave")
+    p.add_argument("--block-domains", default=None,
+                   help="comma-separated domain blocklist applied to "
+                        "candidate links in the wave loop "
+                        "(functions/urlfilter.py via "
+                        "CrawlConfig.link_filter; subdomain-aware)")
+    p.add_argument("--url-keyword-gate", action="store_true",
+                   help="also apply the default keyword score gate "
+                        "(threshold -250 milli) to candidate links")
     args = p.parse_args(argv)
 
     from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
@@ -76,9 +84,28 @@ def main(argv: list[str] | None = None) -> None:
     else:
         seeds = spark.read.parquet(args.seeds)
 
+    link_filter = None
+    if args.block_domains or args.url_keyword_gate:
+        from pyspark.sql import functions as F
+
+        from barkingowl_spark.functions.urlfilter import url_filter
+
+        doms = ([d for d in args.block_domains.split(",") if d]
+                if args.block_domains else [])
+        kw = None if args.url_keyword_gate else {}
+
+        def link_filter(links, _doms=doms, _kw=kw):
+            kept = url_filter(
+                links.select("url").distinct(),
+                blocked_domains=_doms,
+                kw_milli=_kw,
+            ).filter("keep").select("url")
+            return links.join(kept, "url", "left_semi")
+
     state = run_crawl(
         spark, seeds, pages,
         CrawlConfig(
+            link_filter=link_filter,
             checkpoint_dir=args.checkpoint,
             host_budget=args.budget,
             use_bloom=not args.no_bloom,
