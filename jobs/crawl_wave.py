@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> None:
     from barkingowl_spark.plans.crawl import CrawlConfig, run_crawl
     from barkingowl_spark.schemas import SEED_SCHEMA
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("bowspark-crawl").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -123,7 +124,10 @@ def main(argv: list[str] | None = None) -> None:
         "documents": state.documents.count(),
     }
     print(json.dumps(summary))
-    spark.stop()
+    # only tear down a session this invocation created (spark-submit);
+    # under pytest the suite's shared session must survive
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
