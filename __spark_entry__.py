@@ -1847,6 +1847,19 @@ def q_eval_compromise(spark, sf):
     return eval_compromise(ev, d, n=5)
 
 
+def q_hll_shingles(spark, sf):
+    """Deterministic HLL cardinality (functions/hll.py): distinct
+    3-gram shingle count of the corpus, sketch vs exact side by side —
+    the approximate face of O17, integer-exact in both engines (unlike
+    HLL++ whose sketches differ between Spark and DuckDB)."""
+    from barkingowl_spark.functions.hll import hll_count
+    from barkingowl_spark.operators.decontam import _ngrams
+
+    d = _t(spark, sf, "documents")
+    keys = d.select(F.explode(_ngrams(d, "text", 3)).alias("key"))
+    return hll_count(keys, p=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -1966,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_weights": q_dedup_weights,
         "eval_compromise": q_eval_compromise,
+        "hll_shingles": q_hll_shingles,
     }
 
 
@@ -4067,6 +4081,51 @@ def oracle_sql() -> dict[str, str]:
                    corpus_doc_grams,
                    hit_grams > 0 AS compromised
             FROM agg
+        """,
+        "hll_shingles": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           replace(text, chr(10), ' '), ' '),
+                           x -> x <> '') AS toks
+                FROM documents),
+            grams AS (
+                SELECT array_to_string(toks[pos:pos+2], ' ') AS key
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 2))
+                                 AS pos
+                      FROM d WHERE len(toks) >= 3)),
+            hs AS (
+                SELECT CAST(('0x' || substring(md5(key), 1, 15))
+                            AS BIGINT) AS h
+                FROM grams),
+            rk AS (
+                SELECT h % 64 AS bucket,
+                       CASE WHEN h // 64 > 0
+                         THEN 54 - (length(bin(h // 64)) - 1)
+                         ELSE 55 END AS rank
+                FROM hs),
+            regs AS (
+                SELECT bucket, max(rank) AS max_rank
+                FROM rk GROUP BY bucket),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS registers_set,
+                       CAST(sum(CAST(1 AS BIGINT)
+                                << (55 - max_rank)) AS BIGINT) AS s
+                FROM regs),
+            ex AS (
+                SELECT CAST(count(DISTINCT key) AS BIGINT)
+                         AS exact_distinct
+                FROM grams)
+            SELECT CAST(64 AS BIGINT) AS n_registers, registers_set,
+                   CAST((CAST(709365 AS HUGEINT) * 64 * 64
+                         * (CAST(1 AS BIGINT) << 55))
+                        // (CAST(1000000 AS HUGEINT)
+                            * (s + (64 - registers_set)
+                                   * (CAST(1 AS BIGINT) << 55)))
+                        AS BIGINT) AS estimate,
+                   exact_distinct
+            FROM agg, ex
         """,
         "mix_epoch_plan": _EPOCH_PLAN_CTE + """
             SELECT domain, tokens, weight_ppm, requested, alloc,
