@@ -1379,6 +1379,34 @@ def q_graph_trustrank(spark, sf):
     return trustrank_fixed(edges, trusted, n_iter=3)
 
 
+def q_graph_opic(spark, sf):
+    """3-round OPIC crawl prioritization (operators/linkgraph.py::
+    opic_fixed — Abiteboul et al. WWW'03): cash/history recurrence in
+    int64 fixed point, dangling cash re-spread uniformly (the virtual
+    root page); hist+cash is the anytime frontier-priority signal."""
+    from barkingowl_spark.operators.linkgraph import opic_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    return opic_fixed(edges, n_iter=3)
+
+
+def q_graph_spam_mass(spark, sf):
+    """Spam-mass estimation (operators/linkgraph.py::spam_mass_fixed —
+    Gyongyi et al. VLDB'06): ordinary PageRank and good-core-teleport
+    PageRank in one fused recurrence; rel_mass_ppm = rank share NOT
+    attributable to the node%13==0 trusted core."""
+    from barkingowl_spark.operators.linkgraph import spam_mass_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    trusted = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return spam_mass_fixed(edges, trusted, n_iter=3)
+
+
 def q_trap_templates(spark, sf):
     """URL template mining (operators/traps.py::url_templates): digit
     runs in path+query collapse to '#'; a template dominating its host
@@ -1951,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
         "graph_trustrank": q_graph_trustrank,
+        "graph_opic": q_graph_opic,
+        "graph_spam_mass": q_graph_spam_mass,
         "trap_templates": q_trap_templates,
         "c4_clean": q_c4_clean,
         "c4_stats": q_c4_stats,
@@ -2259,6 +2289,96 @@ def _trustrank_sql(n_iter: int = 3) -> str:
     return (
         f"WITH {_EDGES_SQL}, " + ", ".join(parts)
         + f" SELECT node, CAST(trust_fp AS BIGINT) AS trust_fp"
+          f" FROM r{n_iter}"
+    )
+
+
+def _opic_sql(n_iter: int = 3) -> str:
+    """Unrolled OPIC cash/history recurrence (graph_opic's oracle):
+    per round, per-edge cash//outdeg inflow, dangling cash re-spread
+    as dangle//N, history accumulates the pre-round cash."""
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nc AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT src AS node, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000000000 // nc.n AS BIGINT)"
+        " AS cash, CAST(0 AS BIGINT) AS hist"
+        " FROM nodes CROSS JOIN nc)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r.cash // o.outdeg) AS BIGINT) AS inflow"
+            f" FROM edges e JOIN r{i-1} r ON r.node = e.src"
+            f" JOIN od o ON o.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM(r.cash), 0) AS BIGINT)"
+            f" AS dangle FROM r{i-1} r"
+            f" LEFT JOIN od o ON o.node = r.node WHERE o.node IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT r.node,"
+            f" CAST(COALESCE(s{i}.inflow, 0) + d.dangle // nc.n"
+            f" AS BIGINT) AS cash,"
+            f" CAST(r.hist + r.cash AS BIGINT) AS hist"
+            f" FROM r{i-1} r CROSS JOIN d{i} d CROSS JOIN nc"
+            f" LEFT JOIN s{i} ON s{i}.node = r.node)"
+        )
+    return (
+        f"WITH {_EDGES_SQL}, " + ", ".join(parts)
+        + f" SELECT node, cash AS cash_fp, hist AS hist_fp FROM r{n_iter}"
+    )
+
+
+def _spam_mass_sql(n_iter: int = 3) -> str:
+    """Unrolled fused rank/white recurrence (graph_spam_mass's oracle):
+    white teleports only to the node%13==0 core at weight 1/N (the
+    VLDB'06 non-normalized jump vector)."""
+    base = "(15000000000000 // (100 * nc.n))"
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nc AS (SELECT count(*) AS n FROM nodes)",
+        "tr AS (SELECT node FROM nodes WHERE node % 13 = 0)",
+        "od AS (SELECT src AS node, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT nodes.node,"
+        " CAST(1000000000000 // nc.n AS BIGINT) AS rank_fp,"
+        " CAST(CASE WHEN tr.node IS NOT NULL THEN 1000000000000 // nc.n"
+        " ELSE 0 END AS BIGINT) AS white_fp"
+        " FROM nodes CROSS JOIN nc"
+        " LEFT JOIN tr ON tr.node = nodes.node)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg))"
+            f" AS BIGINT) AS in_rank,"
+            f" CAST(SUM((r.white_fp * 85) // (100 * o.outdeg))"
+            f" AS BIGINT) AS in_white"
+            f" FROM edges e JOIN r{i-1} r ON r.node = e.src"
+            f" JOIN od o ON o.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST({base} + COALESCE(s{i}.in_rank, 0) AS BIGINT)"
+            f" AS rank_fp,"
+            f" CAST(CASE WHEN tr.node IS NOT NULL THEN {base} ELSE 0 END"
+            f" + COALESCE(s{i}.in_white, 0) AS BIGINT) AS white_fp"
+            f" FROM nodes CROSS JOIN nc"
+            f" LEFT JOIN tr ON tr.node = nodes.node"
+            f" LEFT JOIN s{i} ON s{i}.node = nodes.node)"
+        )
+    return (
+        f"WITH {_EDGES_SQL}, " + ", ".join(parts)
+        + f" SELECT node, rank_fp, white_fp,"
+          f" CAST(rank_fp - white_fp AS BIGINT) AS mass_fp,"
+          f" CAST(CASE WHEN rank_fp > 0 THEN"
+          f" ((rank_fp - white_fp) * 1000000) // rank_fp"
+          f" ELSE 0 END AS BIGINT) AS rel_mass_ppm"
           f" FROM r{n_iter}"
     )
 
@@ -4260,6 +4380,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "graph_trustrank": _trustrank_sql(),
+        "graph_opic": _opic_sql(),
+        "graph_spam_mass": _spam_mass_sql(),
         "trap_templates": """
             WITH u AS (
               SELECT 'http://' || source || '.test'

@@ -324,3 +324,178 @@ def trustrank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def opic_fixed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(node, cash_fp, hist_fp): ``n_iter`` synchronous rounds of OPIC
+    (Abiteboul, Preda & Cobena, "Adaptive On-Line Page Importance
+    Computation", WWW 2003) in the same int64 fixed point as
+    pagerank_fixed. OPIC is the crawl-frontier prioritization signal the
+    paper designed for exactly this setting: unlike PageRank it needs no
+    convergence before being useful — ``hist_fp + cash_fp`` is an
+    anytime importance estimate, so a frontier can rank URLs after every
+    wave.
+
+    Batch recurrence (cash starts uniform, history at 0):
+
+        hist'_v = hist_v + cash_v
+        cash'_v = sum(cash_u div outdeg_u  for each edge u -> v)
+                  + dangle div N
+        dangle  = sum(cash_u for u with outdeg_u = 0)
+
+    The dangle term is the paper's virtual-root page (every dangling
+    page links to it, it links to everyone) folded into one scalar:
+    dangling cash is re-spread uniformly next round instead of
+    evaporating, so total cash is conserved up to floor-div remainders
+    — importance stays comparable across rounds. All floor divisions,
+    bit-identical across engines and cluster sizes.
+
+    Scale shape: per round, one shuffle-join cash⋈edges on src + one
+    map-side-combined groupBy dst (identical to pagerank_fixed's round)
+    plus ONE 1-row aggregate for the dangle scalar (a broadcast, never
+    a driver collect of per-node state); lineage truncated per round.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    state = nodes.select(
+        "node",
+        F.lit(scale // n).cast("long").alias("cash_fp"),
+        F.lit(0).cast("long").alias("hist_fp"),
+    )
+    for _ in range(n_iter):
+        ee = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        with_deg = state.join(outdeg, "node", "left")
+        inflow = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(ee, F.col("node") == F.col("e_src"))
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr("cash_fp div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        dangle = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("cash_fp"), F.lit(0)).alias("dangle"))
+        )
+        state = (
+            state.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangle))
+            .select(
+                "node",
+                (
+                    F.coalesce("inflow", F.lit(0))
+                    + F.expr(f"dangle div {n}L")
+                ).cast("long").alias("cash_fp"),
+                (F.col("hist_fp") + F.col("cash_fp"))
+                .cast("long").alias("hist_fp"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", "cash_fp", "hist_fp")
+
+
+def spam_mass_fixed(
+    edges: DataFrame,
+    trusted: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(node, rank_fp, white_fp, mass_fp, rel_mass_ppm): spam-mass
+    estimation (Gyongyi, Berkhin, Garcia-Molina & Pedersen, "Link Spam
+    Detection Based on Mass Estimation", VLDB 2006). Two PageRank
+    recurrences over the SAME edges in one pass:
+
+      * rank_fp  — ordinary PageRank (uniform teleport, = pagerank_fixed)
+      * white_fp — PageRank with the teleport restricted to the trusted
+        core T but NOT re-normalized: teleport weight stays 1/N per
+        trusted node (the paper's non-normalized jump vector), so
+        white_fp measures the rank attributable to good-core reachability
+        on the same absolute scale as rank_fp.
+
+    Then mass_fp = rank_fp - white_fp (the rank NOT explainable by the
+    good core) and rel_mass_ppm = mass_fp * 1e6 div rank_fp — the
+    paper's relative mass, the spam-demotion threshold signal. Floor
+    division is monotone, white's start/base are per-node dominated by
+    rank's, so 0 <= white_fp <= rank_fp and rel_mass_ppm is always in
+    [0, 1e6] (0 when rank_fp = 0). Max intermediate rank_fp*1e6 <=
+    scale*1e6 = 1e18 < 2^63.
+
+    Both recurrences share the edges⋈state join and the groupBy — the
+    per-iteration cost is pagerank_fixed's, not 2x (one wide row instead
+    of two jobs). Same scale shape: one shuffle join + one map-side
+    combined agg per round, lineage truncated per round."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    tflag = trusted.select("node").distinct().withColumn("_t", F.lit(1))
+    state = (
+        nodes.join(tflag, "node", "left")
+        .select(
+            "node",
+            F.lit(scale // n).cast("long").alias("rank_fp"),
+            F.when(F.col("_t") == 1, F.lit(scale // n))
+            .otherwise(F.lit(0)).cast("long").alias("white_fp"),
+            F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        ee = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        contribs = (
+            state.join(outdeg, "node")
+            .join(ee, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(
+                F.sum(F.expr(
+                    f"(rank_fp * {DAMP_NUM}) div ({DAMP_DEN}L * outdeg)"
+                )).alias("in_rank"),
+                F.sum(F.expr(
+                    f"(white_fp * {DAMP_NUM}) div ({DAMP_DEN}L * outdeg)"
+                )).alias("in_white"),
+            )
+        )
+        state = (
+            state.select("node", "_t")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("in_rank", F.lit(0)))
+                .cast("long").alias("rank_fp"),
+                (
+                    F.when(F.col("_t") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.coalesce("in_white", F.lit(0))
+                ).cast("long").alias("white_fp"),
+                "_t",
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "node", "rank_fp", "white_fp",
+        (F.col("rank_fp") - F.col("white_fp")).alias("mass_fp"),
+        F.when(
+            F.col("rank_fp") > 0,
+            F.expr("((rank_fp - white_fp) * 1000000L) div rank_fp"),
+        ).otherwise(F.lit(0)).cast("long").alias("rel_mass_ppm"),
+    )

@@ -233,3 +233,123 @@ def test_reciprocal_stats(spark):
     assert got[4] == (1, 0, 0)
     assert got[5] == (1, 0, 0)
     assert 7 not in got                  # only the self-loop -> no rows
+
+
+def ref_opic(edges, n_iter=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = Counter(s for s, _ in edges)
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += cash[s] // outdeg[s]
+        dangle = sum(c for v, c in cash.items() if outdeg[v] == 0)
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: inflow.get(v, 0) + dangle // n for v in nodes}
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+def test_opic_bit_exact_vs_reference(spark):
+    from barkingowl_spark.operators.linkgraph import opic_fixed
+
+    # y is dangling: its cash must re-spread, not evaporate
+    edges = TINY + [("c", "y")]
+    for n_iter in (1, 3):
+        got = {
+            r["node"]: (r["cash_fp"], r["hist_fp"])
+            for r in opic_fixed(_edges_df(spark, edges), n_iter).collect()
+        }
+        assert got == ref_opic(edges, n_iter), f"n_iter={n_iter}"
+
+
+def test_opic_cash_conserved_up_to_floor(spark):
+    """Total cash never grows, and shrinks only by floor-div remainders
+    (< one unit per distributing node per round) — the virtual-root
+    re-spread keeps importance comparable across rounds."""
+    from barkingowl_spark.operators.linkgraph import opic_fixed
+
+    edges = TINY + [("c", "y")]
+    n_nodes = len({s for s, _ in edges} | {d for _, d in edges})
+    rounds = 4
+    got = opic_fixed(_edges_df(spark, edges), rounds).agg(
+        F.sum("cash_fp")).collect()[0][0]
+    assert got <= SCALE
+    # each round loses < n_nodes units to edge floors + n to the dangle
+    assert got > SCALE - rounds * (len(edges) + n_nodes + 1)
+
+
+def ref_spam_mass(edges, trusted, n_iter=3, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = Counter(s for s, _ in edges)
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    rank = {v: scale // n for v in nodes}
+    white = {v: scale // n if v in trusted else 0 for v in nodes}
+    for _ in range(n_iter):
+        in_r, in_w = defaultdict(int), defaultdict(int)
+        for s, d in edges:
+            in_r[d] += (rank[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+            in_w[d] += (white[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        rank = {v: base + in_r.get(v, 0) for v in nodes}
+        white = {
+            v: (base if v in trusted else 0) + in_w.get(v, 0)
+            for v in nodes
+        }
+    out = {}
+    for v in nodes:
+        mass = rank[v] - white[v]
+        rel = (mass * 1_000_000) // rank[v] if rank[v] > 0 else 0
+        out[v] = (rank[v], white[v], mass, rel)
+    return out
+
+
+def test_spam_mass_bit_exact_vs_reference(spark):
+    from barkingowl_spark.operators.linkgraph import spam_mass_fixed
+
+    trusted = {"a", "d"}
+    tdf = _edges_df(spark).sparkSession.createDataFrame(
+        [(t,) for t in trusted], "node string")
+    got = {
+        r["node"]: (r["rank_fp"], r["white_fp"], r["mass_fp"],
+                    r["rel_mass_ppm"])
+        for r in spam_mass_fixed(_edges_df(spark), tdf, 3).collect()
+    }
+    assert got == ref_spam_mass(TINY, trusted, 3)
+
+
+def test_spam_mass_bounds_and_island(spark):
+    """white <= rank everywhere (rel_mass in [0, 1e6]); a spam island
+    unreachable from the trusted core gets rel_mass -> ~1e6, while
+    trusted nodes keep low relative mass."""
+    from barkingowl_spark.operators.linkgraph import spam_mass_fixed
+
+    edges = TINY + [("s1", "s2"), ("s2", "s1")]  # island off the core
+    tdf = _edges_df(spark).sparkSession.createDataFrame(
+        [("a",)], "node string")
+    rows = {
+        r["node"]: r
+        for r in spam_mass_fixed(_edges_df(spark, edges), tdf, 3).collect()
+    }
+    for r in rows.values():
+        assert 0 <= r["white_fp"] <= r["rank_fp"]
+        assert 0 <= r["rel_mass_ppm"] <= 1_000_000
+    # the island never sees white mass: its rank is 100% unexplained
+    assert rows["s1"]["white_fp"] == 0
+    assert rows["s1"]["rel_mass_ppm"] == 1_000_000
+    assert rows["a"]["rel_mass_ppm"] < 1_000_000
+
+
+def test_spam_mass_all_trusted_is_zero_mass(spark):
+    """With every node trusted, white == rank: relative mass is 0 —
+    the white recurrence degenerates to PageRank (same identity
+    trustrank satisfies)."""
+    from barkingowl_spark.operators.linkgraph import spam_mass_fixed
+
+    tdf = _edges_df(spark).select(F.col("src").alias("node")).union(
+        _edges_df(spark).select(F.col("dst").alias("node"))).distinct()
+    rows = spam_mass_fixed(_edges_df(spark), tdf, 3).collect()
+    assert all(r["mass_fp"] == 0 and r["rel_mass_ppm"] == 0 for r in rows)
+    got = {r["node"]: r["rank_fp"] for r in rows}
+    assert got == ref_pagerank(TINY, 3)
