@@ -1888,6 +1888,21 @@ def q_hll_shingles(spark, sf):
     return hll_count(keys, p=6)
 
 
+def q_cms_tokens(spark, sf):
+    """Count-Min heavy-hitter audit (functions/cms.py): token
+    frequencies estimated through a 3x64 mergeable sketch next to the
+    exact counts — est >= exact always (one-sided CM guarantee), the
+    width-64 squeeze makes collisions real at this sf so over_cnt is
+    non-trivially exercised."""
+    from barkingowl_spark.functions.cms import cms_audit
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .alias("key"))
+    return cms_audit(toks, depth=3, width=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -2010,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_weights": q_dedup_weights,
         "eval_compromise": q_eval_compromise,
         "hll_shingles": q_hll_shingles,
+        "cms_tokens": q_cms_tokens,
     }
 
 
@@ -4201,6 +4217,40 @@ def oracle_sql() -> dict[str, str]:
                    corpus_doc_grams,
                    hit_grams > 0 AS compromised
             FROM agg
+        """,
+        "cms_tokens": """
+            WITH tok AS (
+                SELECT t AS key FROM (
+                    SELECT unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            js(j) AS (VALUES (0), (1), (2)),
+            cells AS (
+                SELECT key, j AS r,
+                       CAST(('0x' || substring(md5(
+                           CAST(j AS VARCHAR) || '#' || key), 1, 15))
+                            AS BIGINT) % 64 AS c
+                FROM tok CROSS JOIN js),
+            sk AS (
+                SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM cells GROUP BY r, c),
+            probe AS (SELECT DISTINCT key FROM tok),
+            pc AS (
+                SELECT key, j AS r,
+                       CAST(('0x' || substring(md5(
+                           CAST(j AS VARCHAR) || '#' || key), 1, 15))
+                            AS BIGINT) % 64 AS c
+                FROM probe CROSS JOIN js),
+            est AS (
+                SELECT key, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT)
+                           AS est_cnt
+                FROM pc LEFT JOIN sk USING (r, c) GROUP BY key),
+            exact AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM tok GROUP BY key)
+            SELECT exact.key, exact_cnt, est_cnt,
+                   CAST(est_cnt - exact_cnt AS BIGINT) AS over_cnt
+            FROM exact JOIN est USING (key)
         """,
         "hll_shingles": """
             WITH d AS (
