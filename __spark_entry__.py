@@ -1903,6 +1903,18 @@ def q_cms_tokens(spark, sf):
     return cms_audit(toks, depth=3, width=64)
 
 
+def q_mix_temperature(spark, sf):
+    """Temperature-balanced domain quotas (operators/mix.py::
+    temperature_quotas — the mC4/XLM-R alpha-sampling rule): weight =
+    n^(5/8) via the exact integer-sqrt chain (r1*r3 for the 101b
+    expansion), quota_ppm normalized by one broadcast total."""
+    from barkingowl_spark.operators.mix import temperature_quotas
+
+    d = _t(spark, sf, "documents")
+    return temperature_quotas(d, group_col="source",
+                              alpha_num=5, alpha_den=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -2026,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_compromise": q_eval_compromise,
         "hll_shingles": q_hll_shingles,
         "cms_tokens": q_cms_tokens,
+        "mix_temperature": q_mix_temperature,
     }
 
 
@@ -2397,6 +2410,35 @@ def _spam_mass_sql(n_iter: int = 3) -> str:
           f" ELSE 0 END AS BIGINT) AS rel_mass_ppm"
           f" FROM r{n_iter}"
     )
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt in SQL — same +/-1-corrected double estimate
+    as operators/mix.py::_isqrt."""
+    s0 = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {x} THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > {x} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _mix_temperature_sql() -> str:
+    """mix_temperature's oracle: n^(5/8) = r1 * r3 over the isqrt
+    chain, quota_ppm = weight * 1e6 // total."""
+    return f"""
+        WITH c AS (
+            SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source),
+        l1 AS (SELECT *, {_isqrt_sql('n_docs')} AS r1 FROM c),
+        l2 AS (SELECT *, {_isqrt_sql('r1')} AS r2 FROM l1),
+        l3 AS (SELECT *, {_isqrt_sql('r2')} AS r3 FROM l2),
+        w AS (SELECT "group", n_docs,
+                     CAST(r1 * r3 AS BIGINT) AS weight FROM l3),
+        t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+        SELECT "group", n_docs, weight,
+               CAST((weight * 1000000) // tw AS BIGINT) AS quota_ppm
+        FROM w CROSS JOIN t
+    """
 
 
 _MIRROR_SQL = """
@@ -4432,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_trustrank": _trustrank_sql(),
         "graph_opic": _opic_sql(),
         "graph_spam_mass": _spam_mass_sql(),
+        "mix_temperature": _mix_temperature_sql(),
         "trap_templates": """
             WITH u AS (
               SELECT 'http://' || source || '.test'

@@ -235,3 +235,76 @@ def materialize_epochs(
         )
         .select(id_col, "domain", "epoch")
     )
+
+
+def _isqrt(col: F.Column) -> F.Column:
+    """Exact integer sqrt: double-sqrt estimate corrected by +/-1 —
+    floor(sqrt(x)) bit-exact in Spark and DuckDB for x <= 2^52 (the
+    IEEE estimate is within one of the true root there; doc counts per
+    group are far below that)."""
+    s0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= col, s0 + 1)
+        .when(s0 * s0 > col, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """(group, n_docs, weight, quota_ppm): temperature-balanced
+    sampling quotas — the multilingual/domain balancing rule of mC4
+    (Raffel et al. 2020 appendix) and XLM-R (Conneau et al. 2020):
+    sample group g proportionally to n_g^alpha, alpha in (0, 1], so
+    head groups are downweighted and tail groups upweighted relative
+    to natural frequency.
+
+    alpha = alpha_num / alpha_den with alpha_den a power of two <= 8.
+    n^alpha is computed as the FLOOR-EXACT integer product over the
+    binary expansion of alpha: with r1 = isqrt(n), r2 = isqrt(r1),
+    r3 = isqrt(r2) (n^(1/2), n^(1/4), n^(1/8) floored), weight =
+    prod(r_i for set bit i of alpha_num). This is a deterministic
+    integer approximation of n^alpha (floors compose monotonically:
+    weight is nondecreasing in n and within a few ulps of the real
+    power) — determinism and engine-parity are the contract, the
+    absolute value is a sampling weight. quota_ppm = weight * 1e6 div
+    total_weight: feed (group, quota_ppm * PPM div (n share...)) — or
+    directly mix_sample keep_ppm = min(1e6, quota_ppm * total_docs div
+    n_docs) — downstream; this operator just fixes the target mix.
+
+    Scale shape: one map-side-combined groupBy(group) count (the only
+    pass over the corpus), pure expressions for the roots, ONE 1-row
+    total broadcast for the normalization — the output is a per-group
+    dim table, O(groups)."""
+    if alpha_den not in (2, 4, 8):
+        raise ValueError("alpha_den must be 2, 4 or 8")
+    if not (1 <= alpha_num <= alpha_den):
+        raise ValueError("alpha_num must be in [1, alpha_den]")
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    if alpha_num == alpha_den:
+        w = F.col("n_docs")
+    else:
+        k = alpha_den.bit_length() - 1
+        roots, cur = [], F.col("n_docs")
+        for _ in range(k):
+            cur = _isqrt(cur)
+            roots.append(cur)
+        w = F.lit(1).cast("long")
+        for i in range(k):
+            if (alpha_num >> (k - 1 - i)) & 1:
+                w = w * roots[i]
+    weighted = counts.select("group", "n_docs",
+                             w.cast("long").alias("weight"))
+    total = weighted.agg(F.sum("weight").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "group", "n_docs", "weight",
+            F.expr(f"(weight * {PPM}L) div _tw").alias("quota_ppm"),
+        )
+    )

@@ -59,7 +59,8 @@ def duck():
      "gopher_quality", "url_filter", "mix_epochs_out",
      "search_hybrid", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
      "dedup_weights", "eval_compromise", "hll_shingles",
-     "graph_opic", "graph_spam_mass", "cms_tokens"],
+     "graph_opic", "graph_spam_mass", "cms_tokens",
+     "mix_temperature"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

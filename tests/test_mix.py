@@ -216,3 +216,98 @@ def test_materialize_epochs(spark):
         assert sorted(got.get(i, [])) == want, (i, dom)
     # domain b: exactly one epoch per doc, no fractional draws
     assert all(got[i] == [1] for i in range(40) if i % 4 == 1)
+
+
+# ---- temperature_quotas (mC4/XLM-R alpha-sampling) ----------------
+
+import math  # noqa: E402
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from barkingowl_spark.operators.mix import (  # noqa: E402
+    _isqrt,
+    temperature_quotas,
+)
+
+
+def ref_temperature(counts: dict, alpha_num: int, alpha_den: int):
+    def weight(n):
+        if alpha_num == alpha_den:
+            return n
+        k = alpha_den.bit_length() - 1
+        roots, cur = [], n
+        for _ in range(k):
+            cur = math.isqrt(cur)
+            roots.append(cur)
+        w = 1
+        for i in range(k):
+            if (alpha_num >> (k - 1 - i)) & 1:
+                w *= roots[i]
+        return w
+
+    ws = {g: weight(n) for g, n in counts.items()}
+    tw = sum(ws.values())
+    return {
+        g: (counts[g], ws[g], ws[g] * 1_000_000 // tw) for g in counts
+    }
+
+
+def test_isqrt_exact(spark):
+    vals = sorted(
+        {0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**6 - 1, 10**6,
+         2**40 - 1, 2**40, 2**52 - 1}
+        | {x for s in (7, 81, 4096, 99980001) for x in (s - 1, s, s + 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["s"] for r in df.select(
+        "x", _isqrt(F.col("x")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+@pytest.mark.parametrize(
+    "num,den", [(1, 2), (1, 4), (3, 4), (5, 8), (7, 8), (8, 8)])
+def test_temperature_quotas_vs_reference(spark, num, den):
+    counts = {"en": 100_000, "fr": 10_000, "de": 3_000, "sw": 11,
+              "is": 1}
+    rows = [(g, i) for g, n in counts.items() for i in range(n % 997 + 5)]
+    # use the synthetic doc rows' real counts, not the dict above
+    real = {}
+    for g, _ in rows:
+        real[g] = real.get(g, 0) + 1
+    docs = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        r["group"]: (r["n_docs"], r["weight"], r["quota_ppm"])
+        for r in temperature_quotas(
+            docs, group_col="lang", alpha_num=num, alpha_den=den
+        ).collect()
+    }
+    assert got == ref_temperature(real, num, den)
+
+
+def test_temperature_flattens_the_head(spark):
+    """alpha < 1 moves quota share from head to tail relative to the
+    natural (alpha=1) mix; alpha=1 IS the natural mix."""
+    rows = [("head", i) for i in range(900)] + [
+        ("tail", i) for i in range(30)]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long")
+    nat = {r["group"]: r["quota_ppm"] for r in temperature_quotas(
+        docs, "lang", 2, 2).collect()}
+    cool = {r["group"]: r["quota_ppm"] for r in temperature_quotas(
+        docs, "lang", 1, 2).collect()}
+    assert nat["head"] == 900 * 1_000_000 // 930
+    assert cool["head"] < nat["head"]
+    assert cool["tail"] > nat["tail"]
+    # quotas always sum to <= 1e6 (floor) and > 1e6 - n_groups
+    for q in (nat, cool):
+        assert 1_000_000 - 2 < sum(q.values()) <= 1_000_000
+
+
+def test_temperature_alpha_validation(spark):
+    docs = spark.createDataFrame([("a", 1)], "lang string, doc_id long")
+    with pytest.raises(ValueError):
+        temperature_quotas(docs, "lang", 1, 3)
+    with pytest.raises(ValueError):
+        temperature_quotas(docs, "lang", 9, 8)
+    with pytest.raises(ValueError):
+        temperature_quotas(docs, "lang", 0, 2)
