@@ -1915,6 +1915,16 @@ def q_mix_temperature(spark, sf):
                               alpha_num=5, alpha_den=8)
 
 
+def q_chunk_overlap(spark, sf):
+    """Sliding-window chunking (operators/shards.py::chunk_overlap):
+    32-token windows, stride 24 (8-token overlap) — the retrieval-
+    corpus split; pure map-side fan-out, no shuffle."""
+    from barkingowl_spark.operators.shards import chunk_overlap
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return chunk_overlap(d, window=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -2039,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shingles": q_hll_shingles,
         "cms_tokens": q_cms_tokens,
         "mix_temperature": q_mix_temperature,
+        "chunk_overlap": q_chunk_overlap,
     }
 
 
@@ -4475,6 +4486,29 @@ def oracle_sql() -> dict[str, str]:
         "graph_opic": _opic_sql(),
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),
+        "chunk_overlap": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS nt
+                  FROM d WHERE len(toks) > 0),
+            c AS (SELECT doc_id, toks, nt,
+                         unnest(generate_series(0, (nt - 1) // 24))
+                             AS chunk_idx
+                  FROM n)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 24 AS BIGINT) AS tok_start,
+                   CAST(least(32, nt - chunk_idx * 24) AS BIGINT)
+                       AS n_tok,
+                   nt - chunk_idx * 24 >= 32 AS is_full,
+                   array_to_string(
+                       toks[chunk_idx * 24 + 1 :
+                            least(chunk_idx * 24 + 32, nt)], ' ')
+                       AS chunk
+            FROM c
+        """,
         "trap_templates": """
             WITH u AS (
               SELECT 'http://' || source || '.test'

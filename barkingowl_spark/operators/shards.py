@@ -126,3 +126,61 @@ def shard_manifest(assigned: DataFrame, id_col: str = "doc_id",
             F.expr("bit_xor(_mfp)").alias("content_fp"),
         )
     )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the long-document split
+    used for retrieval corpora and striding encoders (chunk k covers
+    tokens [k*stride, k*stride + window)): emits per chunk
+
+        (id, chunk_idx, tok_start, n_tok, is_full, chunk)
+
+    Starts run 0, stride, 2*stride, ... while start < n_tokens, so
+    every token is covered and consecutive chunks share window-stride
+    tokens; the tail chunk may be shorter (is_full=false — drop it
+    downstream if the consumer needs fixed-width only). Zero-token
+    docs emit nothing. Chunk text re-joins the whitespace tokens with
+    single spaces (the repo-wide token normalization, same as
+    pack_chunks' counter).
+
+    Scale shape: pure map-side expressions — split once, one
+    posexplode-style sequence fan-out, array slice per chunk; no
+    shuffle at all (chunking is embarrassingly per-doc). The fan-out
+    factor is ~n_tokens/stride; partition sizing is the only knob.
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("need 1 <= stride <= window")
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+    d = (
+        docs.select(id_col, toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    return (
+        d.select(
+            id_col, "_toks", "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(_n - 1) div {stride}"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
+            F.least(
+                F.lit(window),
+                F.col("_n") - F.col("chunk_idx") * stride
+            ).cast("long").alias("n_tok"),
+            (F.col("_n") - F.col("chunk_idx") * stride >= window)
+            .alias("is_full"),
+            F.array_join(
+                F.expr(f"slice(_toks, chunk_idx * {stride} + 1, {window})"),
+                " ").alias("chunk"),
+        )
+    )

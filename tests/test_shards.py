@@ -163,3 +163,76 @@ def test_export_job_with_packing(spark, tmp_path):
     assert len(got) == 40
     for d, s, _ in rows:
         assert s == _shard(d, 4)
+
+
+# ---- chunk_overlap (sliding-window split) --------------------------
+
+from barkingowl_spark.operators.shards import chunk_overlap  # noqa: E402
+
+
+def ref_chunks(text, window, stride):
+    toks = [t for t in (text or "").split(" ") if t]
+    n = len(toks)
+    out = []
+    start = 0
+    while start < n:
+        piece = toks[start:start + window]
+        out.append((start // stride, start, len(piece),
+                    len(piece) == window, " ".join(piece)))
+        start += stride
+    return out
+
+
+def test_chunk_overlap_matches_reference(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "one  two   three"),          # multi-space collapse
+        (3, ""),                          # empty -> no chunks
+        (4, None),                        # NULL -> no chunks
+        (5, "solo"),
+        (6, " ".join(f"t{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, stride in [(4, 4), (4, 3), (8, 2), (1, 1)]:
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["tok_start"], r["n_tok"],
+             r["is_full"], r["chunk"])
+            for r in chunk_overlap(docs, window, stride).collect()
+        )
+        want = sorted(
+            (i, ci, st, nt, full, ch)
+            for i, text in rows
+            for ci, st, nt, full, ch in ref_chunks(text, window, stride)
+        )
+        assert got == want, f"window={window} stride={stride}"
+
+
+def test_chunk_overlap_covers_every_token_once_per_window(spark):
+    """Union of [tok_start, tok_start+n_tok) covers [0, n) and each
+    interior token appears in exactly ceil(window/stride) windows
+    (boundary effects aside): the striding invariant."""
+    n = 100
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(n)))],
+        "doc_id long, text string")
+    rows = chunk_overlap(docs, window=10, stride=5).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r["tok_start"], r["tok_start"] + r["n_tok"]))
+    assert covered == set(range(n))
+    counts = {}
+    for r in rows:
+        for t in range(r["tok_start"], r["tok_start"] + r["n_tok"]):
+            counts[t] = counts.get(t, 0) + 1
+    assert all(counts[t] == 2 for t in range(5, n - 5))
+
+
+def test_chunk_overlap_validation_and_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_overlap(docs, window=2, stride=3)
+    with pytest.raises(ValueError):
+        chunk_overlap(docs, window=0, stride=0)
+    plan = chunk_overlap(docs, 4, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side fan-out
