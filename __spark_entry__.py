@@ -1903,6 +1903,43 @@ def q_cms_tokens(spark, sf):
     return cms_audit(toks, depth=3, width=64)
 
 
+def q_robots_sitemaps(spark, sf):
+    """Sitemap: directive discovery (operators/robots.py::
+    robots_sitemaps — the robots->sitemap acquisition bridge):
+    group-independent lines, first-occurrence dedup per host, file
+    order; bodies synthesized from documents (7 hosts, line kind by
+    doc_id%4 incl. a lowercase 'sitemap:' variant and within-host
+    duplicates)."""
+    d = _t(spark, sf, "documents")
+    m4 = F.col("doc_id") % 4
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    line = (
+        F.when(m4 == 0, F.concat(
+            F.lit("Sitemap: http://"), host, F.lit(".test/sm"),
+            (F.col("doc_id") % 3).cast("string"), F.lit(".xml")))
+        .when(m4 == 1, F.lit("User-agent: *"))
+        .when(m4 == 2, F.concat(F.lit("# c"),
+                                F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("sitemap: http://"), host, F.lit(".test/alt.xml")))
+    )
+    pages = (
+        d.select("doc_id", host.alias("host"), line.alias("line"))
+        .groupBy("host")
+        .agg(F.array_join(F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
+            lambda x: x["line"]), "\n").alias("body"))
+        .select(
+            F.concat(F.lit("http://"), F.col("host"),
+                     F.lit("/robots.txt")).alias("url"),
+            "body",
+        )
+    )
+    from barkingowl_spark.operators.robots import robots_sitemaps
+
+    return robots_sitemaps(pages, body_col="body")
+
+
 def q_mix_temperature(spark, sf):
     """Temperature-balanced domain quotas (operators/mix.py::
     temperature_quotas — the mC4/XLM-R alpha-sampling rule): weight =
@@ -2050,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "mix_temperature": q_mix_temperature,
         "chunk_overlap": q_chunk_overlap,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -3355,6 +3393,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE grps.star = 1 AND g.key = 'crawl-delay'
             GROUP BY g.host
             HAVING max(TRY_CAST(g.val AS INT)) IS NOT NULL
+        """,
+        "robots_sitemaps": """
+            WITH src AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'Sitemap: http://h' ||
+                            CAST(doc_id % 7 AS VARCHAR) || '.test/sm' ||
+                            CAST(doc_id % 3 AS VARCHAR) || '.xml'
+                       WHEN 1 THEN 'User-agent: *'
+                       WHEN 2 THEN '# c' || CAST(doc_id AS VARCHAR)
+                       ELSE 'sitemap: http://h' ||
+                            CAST(doc_id % 7 AS VARCHAR) || '.test/alt.xml'
+                     END AS line
+              FROM documents
+            ),
+            d0 AS (
+              SELECT host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                       - 1 AS idx,
+                     trim(regexp_replace(line, '#.*$', '')) AS l
+              FROM src
+            ),
+            d AS (
+              SELECT host, idx,
+                     lower(trim(split_part(l, ':', 1))) AS key,
+                     trim(regexp_extract(l, '^[^:]*:(.*)$', 1)) AS val
+              FROM d0 WHERE l <> ''
+            ),
+            sm AS (
+              SELECT host, val, min(idx) AS idx
+              FROM d WHERE key = 'sitemap' AND val <> ''
+              GROUP BY host, val
+            )
+            SELECT host,
+                   CAST(row_number() OVER (PARTITION BY host ORDER BY idx)
+                        - 1 AS INT) AS ord,
+                   val AS sitemap_url
+            FROM sm
         """,
         "robots_parse": """
             -- same RFC-9309-subset state machine as robots.py, over the

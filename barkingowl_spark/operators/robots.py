@@ -45,15 +45,10 @@ ROBOTS_URL_RE = r"^https?://[^/?#]+/robots\.txt$"
 _HOST_RE = r"^https?://([^/?#]+)/"
 
 
-def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
-    """Parse robots.txt pages out of ``pages`` into the politeness dim
-    table ``(host, disallow_prefixes array<string>)``.
-
-    ``pages`` needs (url, html BINARY) per PAGES_SCHEMA; pass
-    ``body_col`` to parse an already-decoded string column instead
-    (used by the driver query, whose fixture bodies are synthesized as
-    strings).
-    """
+def _directives(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """(host, idx, key, val): the comment-stripped directive lines of
+    every robots.txt page in the corpus, in file order — the shared
+    front half of robots_rules and robots_sitemaps."""
     body = (
         F.col(body_col) if body_col
         else F.decode(F.col("html"), "UTF-8")
@@ -65,8 +60,7 @@ def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
             F.posexplode(F.split(body, "\n")).alias("idx", "line"),
         )
     )
-    # strip comments + whitespace; keep only directive lines we know
-    d = (
+    return (
         lines.select(
             "host", "idx",
             F.trim(F.regexp_replace("line", "#.*$", "")).alias("l"),
@@ -77,9 +71,20 @@ def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
             F.lower(F.trim(F.substring_index("l", ":", 1))).alias("key"),
             F.trim(F.regexp_extract("l", "^[^:]*:(.*)$", 1)).alias("val"),
         )
-        .filter(F.col("key").isin(
-            "user-agent", "disallow", "allow", "crawl-delay"))
     )
+
+
+def robots_rules(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """Parse robots.txt pages out of ``pages`` into the politeness dim
+    table ``(host, disallow_prefixes array<string>)``.
+
+    ``pages`` needs (url, html BINARY) per PAGES_SCHEMA; pass
+    ``body_col`` to parse an already-decoded string column instead
+    (used by the driver query, whose fixture bodies are synthesized as
+    strings).
+    """
+    d = _directives(pages, body_col).filter(F.col("key").isin(
+        "user-agent", "disallow", "allow", "crawl-delay"))
     # group id = running count of group-start lines (a UA line not
     # preceded by another UA line); grp=0 rows precede any group.
     # grp_start is materialized as its own column first — nesting lag()
@@ -145,4 +150,34 @@ def robots_prefix_rows(pages: DataFrame, body_col: str | None = None) -> DataFra
     return robots_rules(pages, body_col).select(
         "host",
         F.posexplode("disallow_prefixes").alias("ord", "prefix"),
+    )
+
+
+def robots_sitemaps(
+    pages: DataFrame, body_col: str | None = None
+) -> DataFrame:
+    """(host, ord, sitemap_url): ``Sitemap:`` directives per host — the
+    sitemaps.org cross-link RFC 9309 carries (group-INDEPENDENT: a
+    Sitemap line is valid anywhere in the file, regardless of which
+    User-agent group surrounds it, so this never consults the group
+    state machine). Exact duplicate URLs within a host collapse to
+    their first occurrence; ord is the surviving file order.
+
+    This is the acquisition bridge robots.py -> operators/sitemap.py:
+    feed sitemap_url into the fetch frontier as seed candidates, then
+    parse the fetched bodies with sitemap_entries / sitemap_seed_urls.
+
+    Scale shape: same as robots_rules — one narrow filtered scan
+    (O(hosts) rows), one groupBy + one window over per-host sitemap
+    lines (a handful per host). Comment stripping eats ``#fragment``
+    suffixes; per RFC that IS a comment, and fragments are meaningless
+    in sitemap URLs anyway."""
+    sm = _directives(pages, body_col).filter(
+        (F.col("key") == "sitemap") & (F.col("val") != ""))
+    first = sm.groupBy("host", "val").agg(F.min("idx").alias("idx"))
+    w = Window.partitionBy("host").orderBy("idx")
+    return first.select(
+        "host",
+        (F.row_number().over(w) - 1).cast("int").alias("ord"),
+        F.col("val").alias("sitemap_url"),
     )

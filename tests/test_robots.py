@@ -236,3 +236,60 @@ def test_crawl_delay_budget_invariance(spark, seeds_df, pages_df,
         .groupBy("wave").agg(F.sum("pages_fetched").alias("n")).collect()
     }
     assert per_wave and all(n <= 2 for n in per_wave.values())
+
+
+def test_sitemap_directives(spark):
+    from barkingowl_spark.operators.robots import robots_sitemaps
+
+    body = "\n".join([
+        "Sitemap: http://a.test/one.xml",     # before any group: valid
+        "User-agent: crawler9",               # non-star group...
+        "Disallow: /x",
+        "sitemap: http://a.test/two.xml",     # ...does NOT gate sitemaps
+        "User-agent: *",
+        "Sitemap: http://a.test/one.xml",     # duplicate -> first wins
+        "Sitemap:",                           # empty value ignored
+        "Sitemap: http://a.test/three.xml#frag",  # '#' starts a comment
+        "# Sitemap: http://a.test/ghost.xml",     # fully commented out
+    ])
+    pages = spark.createDataFrame(
+        [("http://a.test/robots.txt", body),
+         ("http://b.test/robots.txt", "Sitemap: http://b.test/s.xml"),
+         ("http://c.test/page.html", "Sitemap: http://c.test/no.xml")],
+        "url string, body string")
+    got = sorted(
+        (r["host"], r["ord"], r["sitemap_url"])
+        for r in robots_sitemaps(pages, body_col="body").collect()
+    )
+    assert got == [
+        ("a.test", 0, "http://a.test/one.xml"),
+        ("a.test", 1, "http://a.test/two.xml"),
+        ("a.test", 2, "http://a.test/three.xml"),
+        ("b.test", 0, "http://b.test/s.xml"),
+        # c.test absent: not a robots.txt url
+    ]
+
+
+def test_sitemap_bridge_feeds_sitemap_parser(spark):
+    """End-to-end bridge: robots Sitemap: url -> fetch that url out of
+    the corpus -> sitemap_entries parses its body."""
+    from barkingowl_spark.operators.robots import robots_sitemaps
+    from barkingowl_spark.operators.sitemap import sitemap_entries
+
+    sm_body = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc>http://a.test/p1</loc></url>"
+        "<url><loc>http://a.test/p2</loc></url></urlset>"
+    )
+    pages = spark.createDataFrame(
+        [("http://a.test/robots.txt", "Sitemap: http://a.test/sitemap.xml"),
+         ("http://a.test/sitemap.xml", sm_body)],
+        "url string, body string")
+    sm_urls = robots_sitemaps(pages, body_col="body")
+    fetched = pages.join(
+        sm_urls.select(F.col("sitemap_url").alias("url")), "url")
+    locs = sorted(
+        r["loc"]
+        for r in sitemap_entries(fetched, body_col="body").collect()
+    )
+    assert locs == ["http://a.test/p1", "http://a.test/p2"]
