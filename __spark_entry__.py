@@ -613,6 +613,16 @@ def q_dedup_embed_cosine(spark, sf):
     return embed_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup (operators/similarity.py::semantic_dedup, Abbas et al.
+    2023): IVF-cell-blocked cosine pairs -> connected components ->
+    max-norm keeper per semantic group; is_keeper=false is the drop
+    list. Composition of three independently-oracled primitives."""
+    from barkingowl_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
 def q_ann_ivf_assign(spark, sf):
     return ivf_assign(_t(spark, sf, "embeddings"))
 
@@ -2088,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": q_mix_temperature,
         "chunk_overlap": q_chunk_overlap,
         "robots_sitemaps": q_robots_sitemaps,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -3728,6 +3739,56 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
                   >= {0.45 * 0.45!r} * CAST(na2 AS DOUBLE)
                      * CAST(nb2 AS DOUBLE)
+        """,
+        "dedup_semantic": f"""
+            WITH RECURSIVE
+            v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            c AS (SELECT vec_id AS c_id, v AS qv FROM v0 WHERE vec_id < 8),
+            asg AS (
+              SELECT vec_id, c_id AS bucket FROM (
+                SELECT v0.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY v0.vec_id ORDER BY
+                         CAST(list_sum(list_transform(
+                           range(1, len(c.qv) + 1),
+                           i -> c.qv[i] * v0.v[i])) AS BIGINT)
+                         DESC, c.c_id) AS rn
+                FROM c, v0) WHERE rn = 1),
+            v AS (SELECT v0.vec_id, v0.v, asg.bucket,
+                    CAST(list_sum(list_transform(range(1, len(v0.v) + 1),
+                      i -> v0.v[i] * v0.v[i])) AS BIGINT) AS n2
+                  FROM v0 JOIN asg ON v0.vec_id = asg.vec_id),
+            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                    a.n2 AS na2, b.n2 AS nb2
+                  FROM v a JOIN v b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            ver AS (
+              SELECT ia, ib FROM p
+              WHERE dot > 0
+                AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+                    >= {0.45 * 0.45!r} * CAST(na2 AS DOUBLE)
+                       * CAST(nb2 AS DOUBLE)),
+            edges AS (
+              SELECT ia AS s, ib AS d FROM ver
+              UNION
+              SELECT ib AS s, ia AS d FROM ver),
+            reach AS (
+              SELECT s AS n, d AS m FROM edges
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+            comp AS (
+              SELECT n AS vec_id, least(n, min(m)) AS component_id
+              FROM reach GROUP BY n),
+            keeper AS (
+              SELECT component_id, vec_id AS keeper_id FROM (
+                SELECT comp.component_id, comp.vec_id,
+                       row_number() OVER (PARTITION BY comp.component_id
+                         ORDER BY v.n2 DESC, comp.vec_id) AS rn
+                FROM comp JOIN v ON v.vec_id = comp.vec_id) WHERE rn = 1)
+            SELECT comp.vec_id, comp.component_id, keeper.keeper_id,
+                   comp.vec_id = keeper.keeper_id AS is_keeper
+            FROM comp JOIN keeper USING (component_id)
         """,
         "ann_ivf_assign": f"""
             WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),

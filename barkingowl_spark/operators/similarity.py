@@ -564,3 +564,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "bucket", "vec_id", "score", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 8,
+    use_gemm: bool = True,
+) -> DataFrame:
+    """(vec_id, component_id, keeper_id, is_keeper): SemDeDup (Abbas,
+    Tirumala, Simig, Ganguli & Morcos 2023, arXiv:2303.09540) —
+    semantic deduplication over the embedding space: cluster coarsely,
+    flag within-cluster pairs above a cosine threshold, keep ONE
+    representative per connected near-dup group and drop the rest.
+
+    Composition of three audited primitives (each with its own oracle):
+
+      1. embed_near_dup_pairs — IVF-cell-blocked integer-exact cosine
+         pairs (never all-pairs; the cell join is the scale shape);
+      2. connected_components — min-label + pointer jumping, O(log n)
+         rounds over the pair graph (semantic dup groups are transitive:
+         a~b, b~c usually means a,b,c are one concept);
+      3. cluster_representatives — keeper = the max-squared-norm member
+         (ties: lowest vec_id). The paper keeps the member farthest
+         from the centroid; the squared quantized norm is the
+         integer-portable stand-in — the contract is ONE deterministic
+         representative per group, identical across engines.
+
+    Vectors with no near-dup pair are absent from the output: they are
+    implicitly their own keepers (same singleton convention as
+    near_dup_components). Filter is_keeper=false for the drop list.
+    """
+    from barkingowl_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = embed_near_dup_pairs(
+        embeddings, threshold=threshold, n_centroids=n_centroids,
+        use_gemm=use_gemm)
+    comps = connected_components(pairs, src="ia", dst="ib") \
+        .withColumnRenamed("id", "vec_id")
+    n2 = _quantized(embeddings).select(
+        "vec_id",
+        F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+               " (acc, e) -> acc + e)").alias("n2"),
+    )
+    return cluster_representatives(
+        comps, n2, id_col="vec_id", comp_col="component_id",
+        quality_col="n2")

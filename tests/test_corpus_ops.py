@@ -405,3 +405,49 @@ def test_winnow_pairs_moss_join(spark):
     assert got == want
     assert (0, 1) in got          # the shared passage is detected
     assert all(a < 10 or b < 10 for a, b in got)  # boiler: no pairs
+
+
+def test_semantic_dedup_groups_and_keeper(spark):
+    """SemDeDup composition: transitive near-dup group collapses to one
+    keeper (max squared quantized norm, ties lowest id); singletons are
+    absent; gemm and pure-Catalyst paths agree row-for-row."""
+    from barkingowl_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    vecs = rng.normal(size=(20, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant a 3-chain: 10 ~ 11 ~ 12 (10 and 12 still close here, but
+    # transitivity is what the CC stage guarantees regardless);
+    # 11 gets a LONGER vector so it must win the keeper argmax
+    vecs[10] = base
+    vecs[11] = base * 1.5
+    vecs[12] = base + rng.normal(scale=0.01, size=16)
+    vecs[12] /= np.linalg.norm(vecs[12])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = semantic_dedup(df, threshold=0.95, n_centroids=4).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert {10, 11, 12} <= set(by_id)
+    comp = {by_id[i]["component_id"] for i in (10, 11, 12)}
+    assert comp == {10}  # min-id labeling
+    assert all(by_id[i]["keeper_id"] == 11 for i in (10, 11, 12))
+    assert by_id[11]["is_keeper"] and not by_id[10]["is_keeper"]
+    # every emitted component has exactly one keeper
+    keepers = {}
+    for r in rows:
+        keepers.setdefault(r["component_id"], 0)
+        keepers[r["component_id"]] += int(r["is_keeper"])
+    assert all(v == 1 for v in keepers.values())
+    # gemm and column-expression paths are identical
+    got_gemm = sorted(map(tuple, (
+        (r["vec_id"], r["component_id"], r["keeper_id"], r["is_keeper"])
+        for r in rows)))
+    got_cat = sorted(map(tuple, (
+        (r["vec_id"], r["component_id"], r["keeper_id"], r["is_keeper"])
+        for r in semantic_dedup(df, threshold=0.95, n_centroids=4,
+                                use_gemm=False).collect())))
+    assert got_gemm == got_cat

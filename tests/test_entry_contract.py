@@ -60,7 +60,8 @@ def duck():
      "search_hybrid", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
      "dedup_weights", "eval_compromise", "hll_shingles",
      "graph_opic", "graph_spam_mass", "cms_tokens",
-     "mix_temperature", "chunk_overlap", "robots_sitemaps"],
+     "mix_temperature", "chunk_overlap", "robots_sitemaps",
+     "dedup_semantic"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
