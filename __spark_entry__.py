@@ -1950,6 +1950,21 @@ def q_robots_sitemaps(spark, sf):
     return robots_sitemaps(pages, body_col="body")
 
 
+def q_bpe_merges(spark, sf):
+    """BPE vocabulary induction (functions/bpe.py::bpe_train, Sennrich
+    et al. ACL'16): 4 merge rounds over the corpus's lowercase-ascii
+    word types (the multibyte-safe pre-tokenization subset), weighted
+    adjacent-pair argmax with lexicographic tie-break, greedy
+    non-overlapping merge application. The oracle re-derives each round
+    positionally (islands + parity) — an independent algorithm for the
+    same spec."""
+    from barkingowl_spark.functions.bpe import bpe_train, word_counts
+
+    d = _t(spark, sf, "documents")
+    words = word_counts(d).filter(F.col("word").rlike("^[a-z]+$"))
+    return bpe_train(words, n_merges=4)
+
+
 def q_mix_temperature(spark, sf):
     """Temperature-balanced domain quotas (operators/mix.py::
     temperature_quotas — the mC4/XLM-R alpha-sampling rule): weight =
@@ -2099,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "robots_sitemaps": q_robots_sitemaps,
         "dedup_semantic": q_dedup_semantic,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2470,6 +2486,72 @@ def _spam_mass_sql(n_iter: int = 3) -> str:
           f" ELSE 0 END AS BIGINT) AS rel_mass_ppm"
           f" FROM r{n_iter}"
     )
+
+
+def _bpe_sql(n_merges: int = 4) -> str:
+    """bpe_merges' oracle: per round, weighted adjacent-pair argmax
+    (ties lexicographic), then a POSITIONAL merge application —
+    hit-run islands + odd-offset parity — instead of the Spark side's
+    left-to-right fold; the two algorithms agree exactly on greedy
+    non-overlapping semantics."""
+    parts = [
+        "toks AS (SELECT t AS word FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS t FROM documents)"
+        "  WHERE t <> '' AND regexp_matches(t, '^[a-z]+$'))",
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq"
+        " FROM toks GROUP BY word)",
+        "w0 AS (SELECT word, freq,"
+        " list_transform(range(1, length(word) + 1), i -> word[i])"
+        " AS syms FROM wc)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT syms[j] AS lhs, syms[j+1] AS rhs,"
+            f" CAST(sum(freq) AS BIGINT) AS pf"
+            f" FROM w{i-1}, unnest(generate_series(1, len(syms) - 1))"
+            f" AS t{i}(j) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT lhs, rhs, pf FROM p{i}"
+            f" ORDER BY pf DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f"e{i} AS (SELECT word, freq, j, syms[j] AS s,"
+            f" syms[j+1] AS nx"
+            f" FROM w{i-1}, unnest(generate_series(1, len(syms)))"
+            f" AS u{i}(j))"
+        )
+        parts.append(
+            f"m{i} AS (SELECT e.*, coalesce(e.s = b.lhs"
+            f" AND e.nx = b.rhs, FALSE) AS hit"
+            f" FROM e{i} e CROSS JOIN b{i} b)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT *, CASE WHEN hit THEN j - row_number()"
+            f" OVER (PARTITION BY word, hit ORDER BY j) END AS isl"
+            f" FROM m{i})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT *, CASE WHEN hit THEN (row_number()"
+            f" OVER (PARTITION BY word, isl ORDER BY j)) % 2 = 1"
+            f" ELSE FALSE END AS chosen FROM h{i})"
+        )
+        parts.append(
+            f"r{i} AS (SELECT word, freq, j,"
+            f" CASE WHEN chosen THEN s || nx ELSE s END AS sym,"
+            f" coalesce(lag(chosen) OVER (PARTITION BY word ORDER BY j),"
+            f" FALSE) AS skip FROM c{i})"
+        )
+        parts.append(
+            f"w{i} AS (SELECT word, freq, list(sym ORDER BY j) AS syms"
+            f" FROM r{i} WHERE NOT skip GROUP BY word, freq)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, lhs, rhs, pf AS pair_freq"
+        f" FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + finals
 
 
 def _isqrt_sql(x: str) -> str:
@@ -4624,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_opic": _opic_sql(),
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),
+        "bpe_merges": _bpe_sql(),
         "chunk_overlap": """
             WITH d AS (
                 SELECT doc_id,
