@@ -1417,6 +1417,26 @@ def q_graph_spam_mass(spark, sf):
     return spam_mass_fixed(edges, trusted, n_iter=3)
 
 
+def q_graph_entropy(spark, sf):
+    """Per-host outlink-diversity entropy in integer millibits
+    (operators/linkgraph.py::outlink_entropy) — floor-log2 surrogate,
+    the link-farm complement to graph_spam_mass; host edges derived by
+    joining the synthetic edge endpoints to their documents' source."""
+    from barkingowl_spark.operators.linkgraph import outlink_entropy
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    edges, _ = _synth_edges(spark, sf)
+    he = (
+        edges
+        .join(d.select(F.col("doc_id").alias("src"),
+                       F.col("source").alias("src_host")), "src")
+        .join(d.select(F.col("doc_id").alias("dst"),
+                       F.col("source").alias("dst_host")), "dst")
+        .select("src_host", "dst_host")
+    )
+    return outlink_entropy(he)
+
+
 def q_trap_templates(spark, sf):
     """URL template mining (operators/traps.py::url_templates): digit
     runs in path+query collapse to '#'; a template dominating its host
@@ -2115,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "dedup_semantic": q_dedup_semantic,
         "bpe_merges": q_bpe_merges,
+        "graph_entropy": q_graph_entropy,
     }
 
 
@@ -4707,6 +4728,26 @@ def oracle_sql() -> dict[str, str]:
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),
         "bpe_merges": _bpe_sql(),
+        "graph_entropy": f"""
+            WITH {_EDGES_SQL},
+            he AS (
+              SELECT ds.source AS src_host, dd.source AS dst_host
+              FROM edges e
+              JOIN documents ds ON ds.doc_id = e.src
+              JOIN documents dd ON dd.doc_id = e.dst),
+            pc AS (
+              SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS c
+              FROM he GROUP BY 1, 2),
+            tt AS (
+              SELECT *, CAST(sum(c) OVER (PARTITION BY src_host)
+                             AS BIGINT) AS t
+              FROM pc)
+            SELECT src_host, CAST(max(t) AS BIGINT) AS out_links,
+                   CAST(count(*) AS BIGINT) AS dst_hosts,
+                   CAST(sum(c * 1000 * (length(bin(t // c)) - 1))
+                        // max(t) AS BIGINT) AS entropy_millibits
+            FROM tt GROUP BY src_host
+        """,
         "chunk_overlap": """
             WITH d AS (
                 SELECT doc_id,

@@ -499,3 +499,50 @@ def spam_mass_fixed(
             F.expr("((rank_fp - white_fp) * 1000000L) div rank_fp"),
         ).otherwise(F.lit(0)).cast("long").alias("rel_mass_ppm"),
     )
+
+
+def outlink_entropy(edges: DataFrame) -> DataFrame:
+    """(src_host, out_links, dst_hosts, entropy_millibits): per-host
+    outlink diversity — the link-farm signal (a host whose links all
+    point at one or two destinations has near-zero outlink entropy; a
+    nepotistic spam ring shows low entropy AND high reciprocal share,
+    see reciprocal_stats). Entropy is the floor-log2 INTEGER surrogate
+
+        H = sum_d c_d * 1000 * floor(log2(t div c_d)) div t  millibits
+
+    over destination-host counts c_d (t = total outlinks) —
+    floor(log2(x)) == length(bin(x)) - 1, the repo-wide integer-log2
+    identity (functions/lmscore.py), so the score is bit-identical
+    across engines. It preserves the ordering signal (0 for a
+    single-destination host, ~log2(k) for k uniform destinations);
+    absolute calibration is not the contract.
+
+    Scale shape: one groupBy (src_host, dst_host) with map-side
+    combine (hot hosts pre-aggregate), a window sum over src_host for
+    the total (same partitioning — AQE reuses the exchange), then one
+    map-side-combined groupBy src_host. Never a per-host array: a hub
+    linking to 10^5 hosts stays row-distributed."""
+    pairs = (
+        edges.select("src_host", "dst_host")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_host")
+    terms = pairs.withColumn("t", F.sum("c").over(w)).withColumn(
+        "term",
+        F.expr("c * 1000L * (length(bin(t div c)) - 1)"),
+    )
+    return (
+        terms.groupBy("src_host")
+        .agg(
+            F.max("t").alias("out_links"),
+            F.count(F.lit(1)).cast("long").alias("dst_hosts"),
+            F.sum("term").alias("_s"),
+        )
+        .select(
+            "src_host", "out_links", "dst_hosts",
+            F.expr("_s div out_links").alias("entropy_millibits"),
+        )
+    )

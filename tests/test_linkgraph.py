@@ -353,3 +353,42 @@ def test_spam_mass_all_trusted_is_zero_mass(spark):
     assert all(r["mass_fp"] == 0 and r["rel_mass_ppm"] == 0 for r in rows)
     got = {r["node"]: r["rank_fp"] for r in rows}
     assert got == ref_pagerank(TINY, 3)
+
+
+def ref_entropy(host_edges):
+    from collections import Counter
+
+    by_src = defaultdict(Counter)
+    for s, d in host_edges:
+        by_src[s][d] += 1
+    out = {}
+    for s, cs in by_src.items():
+        t = sum(cs.values())
+        h = sum(c * 1000 * ((t // c).bit_length() - 1)
+                for c in cs.values()) // t
+        out[s] = (t, len(cs), h)
+    return out
+
+
+def test_outlink_entropy_reference_and_landmarks(spark):
+    from barkingowl_spark.operators.linkgraph import outlink_entropy
+
+    he = (
+        # farm: 6 links, all to one destination -> entropy 0
+        [("farm", "x")] * 6
+        # hub: 8 links to 8 distinct hosts -> 1000 * log2(8) = 3000
+        + [("hub", f"d{i}") for i in range(8)]
+        # mixed: 4 to a, 2 to b, 2 to c
+        + [("mix", "a")] * 4 + [("mix", "b")] * 2 + [("mix", "c")] * 2
+    )
+    df = spark.createDataFrame(he, "src_host string, dst_host string")
+    got = {
+        r["src_host"]: (r["out_links"], r["dst_hosts"],
+                        r["entropy_millibits"])
+        for r in outlink_entropy(df).collect()
+    }
+    assert got == ref_entropy(he)
+    assert got["farm"][2] == 0
+    assert got["hub"][2] == 3000
+    # mix: 4*1000*floor(log2(2)) + 2*1000*floor(log2(4)) * 2 = 12000 // 8
+    assert got["mix"][2] == (4 * 1000 * 1 + 2 * 1000 * 2 * 2) // 8
