@@ -1970,6 +1970,49 @@ def q_robots_sitemaps(spark, sf):
     return robots_sitemaps(pages, body_col="body")
 
 
+def q_canonical_resolve(spark, sf):
+    """rel=canonical extraction + resolution (functions/canonical.py):
+    the real Arrow UDF parses synthesized pages — id%3==1 declares
+    p(id-1) (single-quoted, href-before-rel), id%3==2 declares p(id-1)
+    (double-quoted) forming 2-hop chains, id%3==0 has only a stylesheet
+    link; id%21==0 adds a planted q<id>a <-> q<id>b 2-cycle
+    (quarantined: resolved=false, hops=2^6 at the doubling horizon).
+    The oracle states the closed-form expected rows."""
+    from barkingowl_spark.functions.canonical import canonical_resolve
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    prev = (F.col("doc_id") - 1).cast("string")
+    m3 = F.col("doc_id") % 3
+    html = (
+        F.when(m3 == 1, F.concat(
+            F.lit("<html><head><link href='http://c.test/p"), prev,
+            F.lit("' rel='canonical'></head><body>v</body></html>")))
+        .when(m3 == 2, F.concat(
+            F.lit('<head><link rel="canonical" href="http://c.test/p'),
+            prev, F.lit('"></head>')))
+        .otherwise(F.lit(
+            '<head><link rel="stylesheet" href="/s.css"></head>'))
+    )
+    doc_pages = d.select(
+        F.concat(F.lit("http://c.test/p"), sid).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    cyc = d.filter(F.col("doc_id") % 21 == 0)
+    cyc_pages = cyc.select(
+        F.concat(F.lit("http://c.test/q"), sid, F.lit("a")).alias("url"),
+        F.encode(F.concat(
+            F.lit('<link rel=canonical href="http://c.test/q'), sid,
+            F.lit('b">')), "UTF-8").alias("html"),
+    ).unionByName(cyc.select(
+        F.concat(F.lit("http://c.test/q"), sid, F.lit("b")).alias("url"),
+        F.encode(F.concat(
+            F.lit('<link rel="canonical" href="http://c.test/q'), sid,
+            F.lit('a">')), "UTF-8").alias("html"),
+    ))
+    return canonical_resolve(doc_pages.unionByName(cyc_pages))
+
+
 def q_bpe_merges(spark, sf):
     """BPE vocabulary induction (functions/bpe.py::bpe_train, Sennrich
     et al. ACL'16): 4 merge rounds over the corpus's lowercase-ascii
@@ -2136,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "bpe_merges": q_bpe_merges,
         "graph_entropy": q_graph_entropy,
+        "canonical_resolve": q_canonical_resolve,
     }
 
 
@@ -4728,6 +4772,32 @@ def oracle_sql() -> dict[str, str]:
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),
         "bpe_merges": _bpe_sql(),
+        "canonical_resolve": """
+            -- closed-form expectation of the synthesized canonical
+            -- graph: 1-hop for id%3==1, composed 2-hop for id%3==2,
+            -- planted 2-cycles quarantined at the 2^6 doubling horizon
+            WITH ids AS (SELECT doc_id AS id FROM documents)
+            SELECT 'http://c.test/p' || CAST(id AS VARCHAR) AS src,
+                   'http://c.test/p' || CAST(id - 1 AS VARCHAR)
+                       AS final_dst,
+                   CAST(1 AS INT) AS hops, TRUE AS resolved
+            FROM ids WHERE id % 3 = 1
+            UNION ALL
+            SELECT 'http://c.test/p' || CAST(id AS VARCHAR),
+                   'http://c.test/p' || CAST(id - 2 AS VARCHAR),
+                   CAST(2 AS INT), TRUE
+            FROM ids WHERE id % 3 = 2
+            UNION ALL
+            SELECT 'http://c.test/q' || CAST(id AS VARCHAR) || 'a',
+                   'http://c.test/q' || CAST(id AS VARCHAR) || 'a',
+                   CAST(64 AS INT), FALSE
+            FROM ids WHERE id % 21 = 0
+            UNION ALL
+            SELECT 'http://c.test/q' || CAST(id AS VARCHAR) || 'b',
+                   'http://c.test/q' || CAST(id AS VARCHAR) || 'b',
+                   CAST(64 AS INT), FALSE
+            FROM ids WHERE id % 21 = 0
+        """,
         "graph_entropy": f"""
             WITH {_EDGES_SQL},
             he AS (

@@ -61,7 +61,8 @@ def duck():
      "dedup_weights", "eval_compromise", "hll_shingles",
      "graph_opic", "graph_spam_mass", "cms_tokens",
      "mix_temperature", "chunk_overlap", "robots_sitemaps",
-     "dedup_semantic", "bpe_merges", "graph_entropy"],
+     "dedup_semantic", "bpe_merges", "graph_entropy",
+     "canonical_resolve"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
