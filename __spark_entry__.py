@@ -2050,6 +2050,19 @@ def q_chunk_overlap(spark, sf):
     return chunk_overlap(d, window=32, stride=24)
 
 
+def q_ams_tokens(spark, sf):
+    """AMS/Tug-of-War F2 sketch (functions/ams.py): the corpus token
+    stream's self-join size (sum of squared counts — the shuffle-size
+    predictor) estimated from 5 sign sums, next to the exact value."""
+    from barkingowl_spark.functions.ams import ams_audit
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .alias("key"))
+    return ams_audit(toks, depth=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o5_fetch_join": q_o5_fetch_join,
@@ -2180,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "graph_entropy": q_graph_entropy,
         "canonical_resolve": q_canonical_resolve,
+        "ams_tokens": q_ams_tokens,
     }
 
 
@@ -4555,6 +4569,28 @@ def oracle_sql() -> dict[str, str]:
                    corpus_doc_grams,
                    hit_grams > 0 AS compromised
             FROM agg
+        """,
+        "ams_tokens": """
+            WITH tok AS (
+                SELECT t AS key FROM (
+                    SELECT unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            js(j) AS (VALUES (0), (1), (2), (3), (4)),
+            s AS (
+                SELECT j, CAST(SUM(CASE WHEN
+                    CAST(('0x' || substring(md5(
+                        CAST(j AS VARCHAR) || '#' || key), 1, 15))
+                         AS BIGINT) % 2 = 1
+                    THEN 1 ELSE -1 END) AS BIGINT) AS sj
+                FROM tok CROSS JOIN js GROUP BY j),
+            est AS (
+                SELECT CAST(sj * sj AS BIGINT) AS estimate FROM s
+                ORDER BY sj * sj LIMIT 1 OFFSET 2),
+            ex AS (
+                SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+                    SELECT count(*) AS c FROM tok GROUP BY key))
+            SELECT f2_exact, estimate FROM ex CROSS JOIN est
         """,
         "cms_tokens": """
             WITH tok AS (
