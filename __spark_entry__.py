@@ -1437,6 +1437,26 @@ def q_graph_entropy(spark, sf):
     return outlink_entropy(he)
 
 
+def q_graph_cocite(spark, sf):
+    """Co-citation host similarity (operators/linkgraph.py::cocitation,
+    Small 1973): destination hosts sharing citers, overlap-coefficient
+    sim_ppm, mega-hub sources dropped by the stop-key cap (max_out=8
+    here so the cap actually fires on the synthetic graph)."""
+    from barkingowl_spark.operators.linkgraph import cocitation
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    edges, _ = _synth_edges(spark, sf)
+    he = (
+        edges
+        .join(d.select(F.col("doc_id").alias("src"),
+                       F.col("source").alias("src_host")), "src")
+        .join(d.select(F.col("doc_id").alias("dst"),
+                       F.col("source").alias("dst_host")), "dst")
+        .select("src_host", "dst_host")
+    )
+    return cocitation(he, max_out=8)
+
+
 def q_trap_templates(spark, sf):
     """URL template mining (operators/traps.py::url_templates): digit
     runs in path+query collapse to '#'; a template dominating its host
@@ -2194,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_entropy": q_graph_entropy,
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
+        "graph_cocite": q_graph_cocite,
     }
 
 
@@ -4833,6 +4854,33 @@ def oracle_sql() -> dict[str, str]:
                    'http://c.test/q' || CAST(id AS VARCHAR) || 'b',
                    CAST(64 AS INT), FALSE
             FROM ids WHERE id % 21 = 0
+        """,
+        "graph_cocite": f"""
+            WITH {_EDGES_SQL},
+            he AS (
+              SELECT DISTINCT ds.source AS src_host, dd.source AS dst_host
+              FROM edges e
+              JOIN documents ds ON ds.doc_id = e.src
+              JOIN documents dd ON dd.doc_id = e.dst),
+            deg AS (SELECT src_host, count(*) AS od FROM he
+                    GROUP BY src_host),
+            kept AS (SELECT he.* FROM he JOIN deg USING (src_host)
+                     WHERE deg.od <= 8),
+            pairs AS (
+              SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+                     CAST(count(*) AS BIGINT) AS cocite
+              FROM kept a JOIN kept b ON a.src_host = b.src_host
+               AND a.dst_host < b.dst_host
+              GROUP BY 1, 2),
+            ind AS (SELECT dst_host AS h, CAST(count(*) AS BIGINT) AS ind
+                    FROM kept GROUP BY dst_host)
+            SELECT host_a, host_b, cocite,
+                   ia.ind AS in_a, ib.ind AS in_b,
+                   CAST((cocite * 1000000) // least(ia.ind, ib.ind)
+                        AS BIGINT) AS sim_ppm
+            FROM pairs
+            JOIN ind ia ON ia.h = pairs.host_a
+            JOIN ind ib ON ib.h = pairs.host_b
         """,
         "graph_entropy": f"""
             WITH {_EDGES_SQL},

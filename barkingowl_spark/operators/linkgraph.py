@@ -546,3 +546,52 @@ def outlink_entropy(edges: DataFrame) -> DataFrame:
             F.expr("_s div out_links").alias("entropy_millibits"),
         )
     )
+
+
+def cocitation(edges: DataFrame, max_out: int = 64) -> DataFrame:
+    """(host_a, host_b, cocite, in_a, in_b, sim_ppm): co-citation
+    similarity between destination hosts (Small 1973) — two hosts are
+    related when many of the same source hosts link to BOTH. The
+    related-host discovery signal, and (with reciprocal_stats /
+    outlink_entropy) a spam-ring detector: a farm's satellites are
+    co-cited by the same few hubs.
+
+    Counted over the DISTINCT (src_host, dst_host) edge set; sim_ppm =
+    cocite * 1e6 div min(in_a, in_b) (overlap coefficient — 1e6 when
+    the smaller host's citers are a subset of the larger's).
+
+    Scale shape: the pair generator is a self-join on src_host, which
+    explodes quadratically on mega-hubs — so sources with out-degree >
+    ``max_out`` are DROPPED first (the same stop-key cap as
+    operators/mirrors.py: a hub citing everyone carries no pairwise
+    signal, exactly like a stop word; the cap bounds the join fan-out
+    at max_out^2 per source and is the documented precision/recall
+    knob). In-degrees for the normalization are counted over the SAME
+    capped edge set, keeping sim_ppm <= 1e6 an invariant."""
+    e = edges.select("src_host", "dst_host").distinct()
+    deg = e.groupBy("src_host").agg(F.count(F.lit(1)).alias("od"))
+    kept = e.join(
+        deg.filter(F.col("od") <= max_out).select("src_host"),
+        "src_host")
+    a = kept.select("src_host", F.col("dst_host").alias("host_a"))
+    b = kept.select("src_host", F.col("dst_host").alias("host_b"))
+    pairs = (
+        a.join(b, "src_host")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cocite"))
+    )
+    indeg = kept.groupBy(F.col("dst_host").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind"))
+    return (
+        pairs
+        .join(indeg.select(F.col("h").alias("host_a"),
+                           F.col("ind").alias("in_a")), "host_a")
+        .join(indeg.select(F.col("h").alias("host_b"),
+                           F.col("ind").alias("in_b")), "host_b")
+        .select(
+            "host_a", "host_b", "cocite", "in_a", "in_b",
+            F.expr("(cocite * 1000000L) div least(in_a, in_b)")
+            .alias("sim_ppm"),
+        )
+    )

@@ -392,3 +392,49 @@ def test_outlink_entropy_reference_and_landmarks(spark):
     assert got["hub"][2] == 3000
     # mix: 4*1000*floor(log2(2)) + 2*1000*floor(log2(4)) * 2 = 12000 // 8
     assert got["mix"][2] == (4 * 1000 * 1 + 2 * 1000 * 2 * 2) // 8
+
+
+def ref_cocitation(host_edges, max_out):
+    e = sorted(set(host_edges))
+    od = Counter(s for s, _ in e)
+    kept = [(s, d) for s, d in e if od[s] <= max_out]
+    by_src = defaultdict(list)
+    for s, d in kept:
+        by_src[s].append(d)
+    cocite = Counter()
+    for s, ds in by_src.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cocite[(ds[i], ds[j])] += 1
+    ind = Counter(d for _, d in kept)
+    return {
+        (a, b): (c, ind[a], ind[b], c * 1_000_000 // min(ind[a], ind[b]))
+        for (a, b), c in cocite.items()
+    }
+
+
+def test_cocitation_reference_and_stop_key_cap(spark):
+    from barkingowl_spark.operators.linkgraph import cocitation
+
+    he = (
+        # s1, s2 both cite (x, y): cocite(x,y)=2
+        [("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"),
+         ("s2", "z"),
+         # duplicate edge must not double-count
+         ("s1", "x")]
+        # hub cites 5 hosts -> dropped at max_out=4
+        + [("hub", f"d{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(he, "src_host string, dst_host string")
+    got = {
+        (r["host_a"], r["host_b"]):
+            (r["cocite"], r["in_a"], r["in_b"], r["sim_ppm"])
+        for r in cocitation(df, max_out=4).collect()
+    }
+    assert got == ref_cocitation(he, 4)
+    assert got[("x", "y")][0] == 2
+    assert got[("x", "y")][3] == 1_000_000  # full overlap
+    assert not any("d0" in p for p in got)  # hub pairs capped away
+    # sim_ppm bounded by construction
+    assert all(v[3] <= 1_000_000 for v in got.values())
