@@ -1,0 +1,103 @@
+"""BPE tokenizer training job (jobs/train_tokenizer.py): the exported
+merge table matches a direct bpe_train run, the vocab rollup adds up,
+min-freq pruning drops hapaxes from the type table, and the segment
+CLI reproduces bpe_segment from the prebuilt table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+DOCS = [
+    (0, "low low low low low lower lower newest newest newest"),
+    (1, "newest newest newest widest widest widest new new"),
+    (2, "low lower widest Mixed-Case dropped123 keep keep"),
+]
+
+
+@pytest.fixture(scope="module")
+def trained(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bpe")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(base / "docs"))
+    from jobs.train_tokenizer import main
+
+    main(["--documents", str(base / "docs"),
+          "--out", str(base / "tok"), "--merges", "6"])
+    return base
+
+
+def test_merge_table_matches_direct_train(spark, trained):
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.functions.bpe import bpe_train, word_counts
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    words = word_counts(docs).filter(F.col("word").rlike("^[a-z]+$"))
+    want = sorted(
+        (r["rank"], r["lhs"], r["rhs"], r["pair_freq"])
+        for r in bpe_train(words, 6).collect())
+    got = sorted(
+        (r["rank"], r["lhs"], r["rhs"], r["pair_freq"])
+        for r in spark.read.parquet(
+            str(trained / "tok" / "merges")).collect())
+    assert got == want
+    # pattern gate: no piece of 'Mixed-Case'/'dropped123' ever trained
+    assert all("-" not in l and "1" not in l for _, l, _, _ in got)
+
+
+def test_vocab_rolls_up(spark, trained):
+    vocab = {r["piece"]: (r["n_words"], r["total_freq"])
+             for r in spark.read.parquet(
+                 str(trained / "tok" / "vocab")).collect()}
+    from collections import Counter
+
+    wf = Counter(
+        w for _, t in DOCS for w in t.split()
+        if w.isalpha() and w.islower())
+    # every piece's weighted count sums to the corpus token mass
+    # (each word contributes len(pieces(word)) pieces)
+    assert sum(n for _, n in vocab.values()) >= sum(wf.values())
+    # 'low' is a whole word after 6 merges on this corpus: the piece
+    # appears in low/lower at least
+    assert "low" in vocab and vocab["low"][0] >= 2
+
+
+def test_segment_cli(spark, trained, capsys):
+    from jobs.train_tokenizer import main
+
+    main(["--merge-table", str(trained / "tok" / "merges"),
+          "--segment", "lowest,newest"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"lowest", "newest"}
+    assert "".join(out["lowest"]) == "lowest"
+    assert "".join(out["newest"]) == "newest"
+    # merges actually fired: fewer pieces than characters
+    assert len(out["newest"]) < len("newest")
+
+
+def test_min_freq_prunes_hapaxes(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+    from jobs.train_tokenizer import main
+
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "tok2"), "--merges", "2",
+          "--min-freq", "3"])
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.functions.bpe import bpe_train, word_counts
+
+    words = (
+        word_counts(docs).filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.col("freq") >= 3)
+    )
+    want = sorted(
+        (r["rank"], r["lhs"], r["rhs"], r["pair_freq"])
+        for r in bpe_train(words, 2).collect())
+    got = sorted(
+        (r["rank"], r["lhs"], r["rhs"], r["pair_freq"])
+        for r in spark.read.parquet(
+            str(tmp_path / "tok2" / "merges")).collect())
+    assert got == want
