@@ -2070,6 +2070,26 @@ def q_chunk_overlap(spark, sf):
     return chunk_overlap(d, window=32, stride=24)
 
 
+def q_density_labels(spark, sf):
+    """Per-line density labels (functions/densitytext.py::line_density,
+    boilerpipe/jusText shallow features): LONG lines are content, SHORT
+    are chrome, MEDIUM lines inherit from an adjacent LONG neighbor
+    (the context-smoothing lever)."""
+    from barkingowl_spark.functions.densitytext import line_density
+
+    return line_density(_t(spark, sf, "documents"))
+
+
+def q_density_clean(spark, sf):
+    """Main-content extraction (functions/densitytext.py::
+    density_clean): content lines re-joined in order, kept_ppm the
+    hygiene gate signal; groupBy rides the window's doc-keyed
+    exchange."""
+    from barkingowl_spark.functions.densitytext import density_clean
+
+    return density_clean(_t(spark, sf, "documents"))
+
+
 def q_ams_tokens(spark, sf):
     """AMS/Tug-of-War F2 sketch (functions/ams.py): the corpus token
     stream's self-join size (sum of squared counts — the shuffle-size
@@ -2215,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
         "graph_cocite": q_graph_cocite,
+        "density_labels": q_density_labels,
+        "density_clean": q_density_clean,
     }
 
 
@@ -4881,6 +4903,75 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN ind ia ON ia.h = pairs.host_a
             JOIN ind ib ON ib.h = pairs.host_b
+        """,
+        "density_labels": """
+            WITH lines0 AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) - 1
+                           AS line_no,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents),
+            lines AS (
+                SELECT doc_id, line_no, line,
+                       len(list_filter(string_split(line, ' '),
+                                       x -> x <> '')) AS wc
+                FROM lines0),
+            ctx AS (
+                SELECT doc_id, line_no, line, wc,
+                       COALESCE(lag(wc) OVER (
+                           PARTITION BY doc_id ORDER BY line_no), 0)
+                           AS prev_wc,
+                       COALESCE(lead(wc) OVER (
+                           PARTITION BY doc_id ORDER BY line_no), 0)
+                           AS next_wc
+                FROM lines)
+            SELECT doc_id, line_no, line, wc,
+                   CASE WHEN wc >= 10
+                             OR (wc >= 4 AND (prev_wc >= 10
+                                              OR next_wc >= 10))
+                        THEN 'content' ELSE 'boilerplate' END AS label
+            FROM ctx
+        """,
+        "density_clean": """
+            WITH lines0 AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) - 1
+                           AS line_no,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents),
+            lines AS (
+                SELECT doc_id, line_no, line,
+                       len(list_filter(string_split(line, ' '),
+                                       x -> x <> '')) AS wc
+                FROM lines0),
+            ctx AS (
+                SELECT doc_id, line_no, line, wc,
+                       COALESCE(lag(wc) OVER (
+                           PARTITION BY doc_id ORDER BY line_no), 0)
+                           AS prev_wc,
+                       COALESCE(lead(wc) OVER (
+                           PARTITION BY doc_id ORDER BY line_no), 0)
+                           AS next_wc
+                FROM lines),
+            lab AS (
+                SELECT doc_id, line_no, line,
+                       (wc >= 10 OR (wc >= 4 AND (prev_wc >= 10
+                                                  OR next_wc >= 10)))
+                           AS is_content
+                FROM ctx)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                       FILTER (WHERE is_content), '') AS text_main,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(sum(CASE WHEN is_content THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS n_kept,
+                   CAST((COALESCE(sum(CASE WHEN is_content THEN 1
+                                           ELSE 0 END), 0) * 1000000)
+                        // count(*) AS BIGINT) AS kept_ppm
+            FROM lab GROUP BY doc_id
         """,
         "graph_entropy": f"""
             WITH {_EDGES_SQL},

@@ -62,7 +62,8 @@ def duck():
      "graph_opic", "graph_spam_mass", "cms_tokens",
      "mix_temperature", "chunk_overlap", "robots_sitemaps",
      "dedup_semantic", "bpe_merges", "graph_entropy",
-     "canonical_resolve", "ams_tokens", "graph_cocite"],
+     "canonical_resolve", "ams_tokens", "graph_cocite",
+     "density_labels", "density_clean"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
