@@ -1579,6 +1579,26 @@ def q_lm_buckets(spark, sf):
     return perplexity_buckets(_t(spark, sf, "documents"), n_buckets=3)
 
 
+def q_lm_bigram_model(spark, sf):
+    """Bigram-LM TRAINING in-engine (functions/lmscore.py::bigram_lm):
+    pairs derived map-side from the token array (no window), one
+    map-side-combined shuffle on the pair key, Zipf-pruned to
+    cnt >= 2 (the broadcastable model CCNet-style scoring consumes)."""
+    from barkingowl_spark.functions.lmscore import bigram_lm
+
+    return bigram_lm(_t(spark, sf, "documents"), min_count=2)
+
+
+def q_lm_bigram_surprisal(spark, sf):
+    """Add-one-smoothed bigram surprisal in integer log2
+    (functions/lmscore.py::bigram_surprisal): floor(log2((ctx+V) DIV
+    (cnt+1))) via the bin-length identity; model + context rollup are
+    broadcast sides, the pair stream is scored map-side."""
+    from barkingowl_spark.functions.lmscore import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf, "documents"))
+
+
 def _bm25_docs(spark, sf):
     """Marker-token corpus for BM25: rare 'needle'/'haystack' terms
     planted by doc_id residue (the 31-word salad vocabulary appears in
@@ -2203,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_replicas": q_mirror_replicas,
         "lm_surprisal": q_lm_surprisal,
         "lm_buckets": q_lm_buckets,
+        "lm_bigram_model": q_lm_bigram_model,
+        "lm_bigram_surprisal": q_lm_bigram_surprisal,
         "search_bm25": q_search_bm25,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
@@ -2768,6 +2790,22 @@ _LM_CTE = """
              CAST((sum_bits * 100) // n_tokens AS BIGINT)
                AS mean_surprisal_cb
       FROM sc)
+"""
+
+
+_BIGRAM_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY w1, w2)
 """
 
 
@@ -5140,6 +5178,31 @@ def oracle_sql() -> dict[str, str]:
         "lm_surprisal": _LM_CTE + """
             SELECT doc_id, n_tokens, sum_bits, mean_surprisal_cb
             FROM scored
+        """,
+        "lm_bigram_model": _BIGRAM_CTE + """
+            SELECT w1, w2, cnt FROM c2 WHERE cnt >= 2
+        """,
+        "lm_bigram_surprisal": _BIGRAM_CTE + """
+            , c1 AS (
+              SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+              FROM c2 GROUP BY w1),
+            v AS (
+              SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM (
+                SELECT unnest(string_split(text, ' ')) AS t
+                FROM documents) WHERE t <> ''),
+            bits AS (
+              SELECT p.doc_id,
+                     length(bin((c1.ctx_cnt + v.vocab)
+                                // (c2.cnt + 1))) - 1 AS b
+              FROM pairs p
+              JOIN c2 USING (w1, w2)
+              JOIN c1 USING (w1), v)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(b) AS BIGINT) AS sum_bits,
+                   CAST((sum(b) * 100) // count(*) AS BIGINT)
+                       AS mean_surprisal_cb
+            FROM bits GROUP BY doc_id
         """,
         "lm_buckets": _LM_CTE + """
             , dist AS (

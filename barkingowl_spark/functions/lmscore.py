@@ -225,3 +225,104 @@ def perplexity_buckets(
         broadcast(dist.select("mean_surprisal_cb", "bucket")),
         "mean_surprisal_cb",
     ).select("doc_id", "mean_surprisal_cb", "bucket")
+
+
+def bigram_pairs(documents: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): adjacent token pairs, derived MAP-SIDE from
+    the per-doc token array (transform over an index sequence — no
+    window, no per-doc sort, no shuffle). Docs with < 2 tokens
+    contribute nothing."""
+    w = documents.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    ).filter(F.size("w") >= 2)
+    return w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " j -> struct(w[j] AS w1, w[j + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+
+
+def bigram_lm(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """(w1, w2, cnt): corpus bigram counts, pruned to cnt >= min_count.
+    The training half of the CCNet gate that `surprisal_scores` only
+    consumes: the model is TRAINED in-engine with the same one
+    map-side-combined shuffle shape as `unigram_lm` (key = the pair).
+    Prune before persisting/broadcasting — Zipf makes the cnt >= 2
+    table a small fraction of the distinct-pair space."""
+    return (
+        bigram_pairs(documents)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def bigram_surprisal(
+    documents: DataFrame,
+    lm: DataFrame | None = None,
+    vocab: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, sum_bits, mean_surprisal_cb): per-doc
+    add-one-smoothed bigram surprisal, integer log2 throughout:
+
+      bits(w1 -> w2) = floor(log2( (c(w1·) + V) / (c(w1,w2) + 1) ))
+                     = length(bin((ctx + V) DIV (cnt + 1))) - 1
+
+    with c(w1·) the context count (sum of the model row counts for
+    w1) and V the vocabulary size. ctx + V >= cnt + V >= cnt + 1, so
+    the ratio is >= 1 and the DIV/log2 floor identity holds. The SAME
+    formula covers out-of-model transitions when an external `lm` is
+    passed (coalesce counts to 0): unseen pair in a seen context pays
+    floor(log2(ctx + V)); an unseen context degrades to the uniform
+    floor(log2(V)) — exactly add-one semantics, no special cases.
+
+    Scale shape: the pruned model and its w1-rollup are both broadcast
+    sides; the corpus-sized pair stream is scored in two map-side
+    (broadcast) left joins + one doc_id rollup — no new shuffle class.
+    `lm` defaults to self-training
+    on `documents` (then every pair is in-model). Docs with < 2 tokens
+    have no transitions and are absent (no 0/0 mean)."""
+    if lm is None:
+        lm = bigram_lm(documents)
+    ctx = lm.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    if vocab is None:
+        vtab = (
+            documents.select(
+                F.explode(F.split("text", " ")).alias("t")
+            )
+            .filter(F.col("t") != "")
+            .agg(F.count_distinct("t").cast("long").alias("vocab"))
+        )
+    else:
+        vtab = None
+    scored = (
+        bigram_pairs(documents)
+        .join(broadcast(lm), ["w1", "w2"], "left")
+        .join(broadcast(ctx), ["w1"], "left")
+    )
+    if vtab is not None:
+        scored = scored.crossJoin(broadcast(vtab))
+    else:
+        scored = scored.withColumn("vocab", F.lit(int(vocab)))
+    bits = _floor_log2(
+        F.expr(
+            "(coalesce(ctx_cnt, 0L) + vocab) DIV (coalesce(cnt, 0L) + 1)"
+        )
+    )
+    return (
+        scored.withColumn("bits", bits)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .withColumn(
+            "mean_surprisal_cb",
+            F.expr("CAST((sum_bits * 100) DIV n_bigrams AS BIGINT)"),
+        )
+    )

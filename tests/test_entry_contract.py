@@ -63,7 +63,8 @@ def duck():
      "mix_temperature", "chunk_overlap", "robots_sitemaps",
      "dedup_semantic", "bpe_merges", "graph_entropy",
      "canonical_resolve", "ams_tokens", "graph_cocite",
-     "density_labels", "density_clean"],
+     "density_labels", "density_clean", "lm_bigram_model",
+     "lm_bigram_surprisal"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

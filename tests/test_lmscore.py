@@ -173,3 +173,92 @@ def test_buckets_plan_shape(spark, docs_df):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- bigram LM (training + add-one scoring) ----------------------------
+
+def _py_bigram(docs, lm=None, vocab=None):
+    """Independent add-one bigram reimplementation (Counter + //)."""
+    toks = {d: t.split() for d, t in docs}
+    pairs = {d: list(zip(ws, ws[1:])) for d, ws in toks.items()}
+    if lm is None:
+        lm = Counter(p for ps in pairs.values() for p in ps)
+        vocab = len({w for ws in toks.values() for w in ws})
+    ctx = Counter()
+    for (w1, _), c in lm.items():
+        ctx[w1] += c
+    out = {}
+    for d, ps in pairs.items():
+        if not ps:
+            continue
+        bits = sum(
+            ((ctx.get(p[0], 0) + vocab) // (lm.get(p, 0) + 1))
+            .bit_length() - 1
+            for p in ps
+        )
+        out[d] = (len(ps), bits, bits * 100 // len(ps))
+    return out
+
+
+def test_bigram_lm_counts(spark, docs_df):
+    from barkingowl_spark.functions.lmscore import bigram_lm
+
+    got = {(r.w1, r.w2): r.cnt for r in bigram_lm(docs_df).collect()}
+    want = Counter(
+        p for _, t in DOCS for p in zip(t.split(), t.split()[1:])
+    )
+    assert got == dict(want)
+    # min_count prunes
+    got2 = {(r.w1, r.w2): r.cnt
+            for r in bigram_lm(docs_df, min_count=2).collect()}
+    assert got2 == {p: c for p, c in want.items() if c >= 2}
+
+
+def test_bigram_scores_match_python(spark, docs_df):
+    from barkingowl_spark.functions.lmscore import bigram_surprisal
+
+    want = _py_bigram(DOCS)
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_bits, r.mean_surprisal_cb)
+        for r in bigram_surprisal(docs_df).collect()
+    }
+    assert got == want
+
+
+def test_bigram_external_model_oov_tiers(spark):
+    """The one-formula OOV semantics: in-model pair, unseen pair in a
+    seen context, and unseen context all fall out of
+    (ctx + V) DIV (cnt + 1)."""
+    from barkingowl_spark.functions.lmscore import (
+        bigram_lm,
+        bigram_surprisal,
+    )
+
+    train = [(0, "a b a b a b c d")]
+    train_df = spark.createDataFrame(train, "doc_id long, text string")
+    lm = bigram_lm(train_df)
+    V = 4  # a b c d
+    score = [
+        (10, "a b"),     # in-model: ctx(a)=3(ab)+0=3... see python
+        (11, "a zzz"),   # unseen pair, seen context a
+        (12, "zzz a"),   # unseen context
+        (13, "solo"),    # no bigrams -> absent
+    ]
+    score_df = spark.createDataFrame(score, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_bits)
+        for r in bigram_surprisal(score_df, lm=lm, vocab=V).collect()
+    }
+    lm_py = Counter(
+        p for _, t in train for p in zip(t.split(), t.split()[1:])
+    )
+    want = {
+        d: (v[0], v[1])
+        for d, v in _py_bigram(score, lm=lm_py, vocab=V).items()
+    }
+    assert got == want
+    assert 13 not in got
+    # spot-check the tiers concretely: ctx(a)=3, cnt(a,b)=3
+    assert got[10] == (1, ((3 + V) // 4).bit_length() - 1)   # = 0 bits
+    assert got[11] == (1, ((3 + V) // 1).bit_length() - 1)   # ctx kept
+    assert got[12] == (1, ((0 + V) // 1).bit_length() - 1)   # uniform
