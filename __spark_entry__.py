@@ -1105,6 +1105,30 @@ def q_idx_postings(spark, sf):
     return postings(_t(spark, sf, "documents"))
 
 
+def q_idx_positions(spark, sf):
+    """Positional index (operators/invindex.py::positional_postings):
+    (term, doc_id, pos) over the filtered token sequence — one
+    map-side posexplode, the layout phrase search intersects."""
+    from barkingowl_spark.operators.invindex import positional_postings
+
+    return positional_postings(_t(spark, sf, "documents"))
+
+
+def q_search_phrase(spark, sf):
+    """Exact-phrase retrieval by positional-list intersection
+    (operators/invindex.py::phrase_match, 'value table'): per phrase
+    term one pushed-down index slice, k-1 (doc_id, pos) equi-joins —
+    the corpus text is never rescanned."""
+    from barkingowl_spark.operators.invindex import (
+        phrase_match,
+        positional_postings,
+    )
+
+    return phrase_match(
+        positional_postings(_t(spark, sf, "documents")), "value table"
+    )
+
+
 def q_idx_topk_terms(spark, sf):
     """Per-doc salient terms (operators/invindex.py::topk_terms): integer
     tf/df fixed-point score, top-5 per doc, term-ascending tie-break."""
@@ -2200,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "anchor_rollup": q_anchor_rollup,
         "idx_postings": q_idx_postings,
+        "idx_positions": q_idx_positions,
+        "search_phrase": q_search_phrase,
         "idx_topk_terms": q_idx_topk_terms,
         "crawl_diff": q_crawl_diff,
         "o20_waterfill": q_o20_waterfill,
@@ -4244,6 +4270,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://' || source || '.test/dir/rel' || doc_id,
                    CAST(1 AS BIGINT), CAST(1 AS INT), 'b'
             FROM l
+        """,
+        "idx_positions": """
+            SELECT t AS term, doc_id, CAST(i - 1 AS BIGINT) AS pos
+            FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS t,
+                     unnest(generate_series(1, len(list_filter(
+                         string_split(text, ' '), x -> x <> '')))) AS i
+              FROM documents)
+        """,
+        "search_phrase": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                     unnest(list_filter(generate_series(1, len(w) - 1),
+                            j -> w[j] = 'value'
+                                 AND w[j + 1] = 'table')) AS j
+              FROM toks WHERE len(w) >= 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(min(j) - 1 AS BIGINT) AS first_pos
+            FROM hits GROUP BY doc_id
         """,
         "idx_postings": """
             WITH t AS (

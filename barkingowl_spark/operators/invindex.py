@@ -185,3 +185,56 @@ def topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "doc_freq", "score_fp", "rank")
     )
+
+
+def positional_postings(documents: DataFrame) -> DataFrame:
+    """(term, doc_id, pos): the positional index in its relational
+    (exploded) layout — pos is the 0-based offset in the doc's
+    empty-token-filtered whitespace token sequence (so adjacent rows
+    are adjacent words, the invariant phrase search needs).
+
+    Scale shape: one map-side posexplode; persisted index shards should
+    be written bucketed/sorted by term so a phrase query's per-term
+    filters become partition-pruned scans (jobs/build_index.py layout
+    convention). No shuffle here — downstream consumers pick the key.
+    """
+    w = documents.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    return w.select(
+        "doc_id", F.posexplode("w").alias("pos", "term")
+    ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_match(postings: DataFrame, phrase: str) -> DataFrame:
+    """(doc_id, n_hits, first_pos): exact-phrase retrieval by
+    positional-list intersection over a `positional_postings` table —
+    the classic search-engine phrase plan (term-at-a-time merge):
+
+      docs with phrase t0..tk-1 = rows of t0 at pos p such that
+      (t_i, doc, p + i) exists for every i.
+
+    Each phrase term contributes ONE filtered slice of the index
+    (predicate pushes to the scan; with a term-bucketed layout only k
+    buckets are read — the corpus itself is never touched), and the
+    k-1 equi-joins are on (doc_id, pos), a uniform content-derived
+    key. Join order: ascending selectivity doesn't matter at k<=5;
+    AQE re-plans if a term is a stopword. Rows: n_hits counts
+    overlapping occurrences too (positions are exact)."""
+    terms = [t for t in phrase.split(" ") if t != ""]
+    if not terms:
+        raise ValueError("empty phrase")
+    base = (
+        postings.filter(F.col("term") == terms[0])
+        .select("doc_id", "pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        base = base.join(nxt, ["doc_id", "pos"])
+    return base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -136,3 +136,81 @@ def test_bm25_topk_plan_and_cut(spark):
     got = [(r["doc_id"], (r["n_terms"], r["score_fp"]))
            for r in q.collect()]
     assert got == want
+
+
+# ---- positional postings + exact phrase search --------------------------
+
+PHRASE_DOCS = [
+    (0, "a b c a b c a b"),        # "a b" x3, "a b c" x2
+    (1, "x a b y"),                # "a b" once at pos 1
+    (2, "b a b a b"),              # "a b" x2 (pos 1, 3); "b a b" x2 overlapping
+    (3, "a a a a"),                # repeated-term phrase "a a" x3 overlapping
+    (4, "nothing here"),
+    (5, "a  b"),                   # double space: still adjacent after filter
+]
+
+
+def _phrase_fixture(spark):
+    return spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+
+
+def test_positional_postings_layout(spark):
+    from barkingowl_spark.operators.invindex import positional_postings
+
+    df = _phrase_fixture(spark)
+    rows = {(r.term, r.doc_id, r.pos)
+            for r in positional_postings(df).collect()}
+    assert ("a", 0, 0) in rows and ("b", 0, 1) in rows
+    # empty tokens from the double space never get a position
+    assert ("a", 5, 0) in rows and ("b", 5, 1) in rows
+    assert not any(t == "" for t, _, _ in rows)
+
+
+def _hits(spark, phrase):
+    from barkingowl_spark.operators.invindex import (
+        phrase_match,
+        positional_postings,
+    )
+
+    idx = positional_postings(_phrase_fixture(spark))
+    return {r.doc_id: (r.n_hits, r.first_pos)
+            for r in phrase_match(idx, phrase).collect()}
+
+
+def test_phrase_bigram(spark):
+    assert _hits(spark, "a b") == {
+        0: (3, 0), 1: (1, 1), 2: (2, 1), 5: (1, 0)}
+
+
+def test_phrase_trigram(spark):
+    assert _hits(spark, "a b c") == {0: (2, 0)}
+
+
+def test_phrase_overlapping_and_repeated_term(spark):
+    # "b a b": occurrences may overlap (pos 0 and 2 in doc 2)
+    assert _hits(spark, "b a b") == {2: (2, 0)}
+    # repeated-term phrase "a a": 3 overlapping hits in doc 3
+    assert _hits(spark, "a a") == {3: (3, 0)}
+
+
+def test_phrase_single_term_and_empty(spark):
+    import pytest as _pytest
+
+    assert _hits(spark, "y") == {1: (1, 3)}
+    with _pytest.raises(ValueError):
+        _hits(spark, " ")
+
+
+def test_phrase_python_crosscheck(spark):
+    """Every phrase result equals a straight substring-window scan."""
+    for phrase in ["a b", "a b c", "b a b", "a a", "c a b"]:
+        terms = phrase.split()
+        want = {}
+        for d, t in PHRASE_DOCS:
+            ws = t.split()
+            ws = [w for w in ws if w]
+            pos = [j for j in range(len(ws) - len(terms) + 1)
+                   if ws[j:j + len(terms)] == terms]
+            if pos:
+                want[d] = (len(pos), pos[0])
+        assert _hits(spark, phrase) == want, phrase
