@@ -1727,6 +1727,22 @@ def q_events_rate_alerts(spark, sf):
     )
 
 
+def q_aimd_rates(spark, sf):
+    """AIMD per-host fetch-rate adaptation (operators/politeness.py::
+    aimd_rates, the TCP discipline on politeness): additive increase
+    on success, clamped halving on error, replayed as ONE Catalyst
+    aggregate fold over each host's time-sorted outcomes — no UDF, one
+    host shuffle; oracle = recursive CTE."""
+    from barkingowl_spark.operators.politeness import aimd_rates
+
+    log = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("host"),
+        "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return aimd_rates(log)
+
+
 def q_clf_scores(spark, sf):
     """fastText-architecture quality-classifier inference
     (functions/hashclf.py, Joulin et al. 2017): hashed unigram+bigram
@@ -2256,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
         "events_rate_alerts": q_events_rate_alerts,
+        "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -5291,6 +5308,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id AS VARCHAR) AS host,
                    CAST(count(*) AS BIGINT) AS fetches
             FROM events GROUP BY 1, 2
+        """,
+        "aimd_rates": """
+            WITH RECURSIVE ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS host, event_id,
+                     (event_type = 'error') AS is_err,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS seq
+              FROM events),
+            n AS (SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_errors
+                  FROM ev GROUP BY host),
+            steps AS (
+              SELECT host, 0 AS seq, CAST(1000 AS BIGINT) AS rate,
+                     CAST(1000 AS BIGINT) AS mn,
+                     CAST(1000 AS BIGINT) AS mx
+              FROM n
+              UNION ALL
+              SELECT s.host, e.seq,
+                     CASE WHEN e.is_err
+                          THEN greatest(125, s.rate // 2)
+                          ELSE least(8000, s.rate + 100) END,
+                     least(s.mn, CASE WHEN e.is_err
+                          THEN greatest(125, s.rate // 2)
+                          ELSE least(8000, s.rate + 100) END),
+                     greatest(s.mx, CASE WHEN e.is_err
+                          THEN greatest(125, s.rate // 2)
+                          ELSE least(8000, s.rate + 100) END)
+              FROM steps s JOIN ev e
+                ON e.host = s.host AND e.seq = s.seq + 1)
+            SELECT n.host, n.n_events, n.n_errors,
+                   CAST(st.rate AS BIGINT) AS rate_final,
+                   CAST(st.mn AS BIGINT) AS rate_min,
+                   CAST(st.mx AS BIGINT) AS rate_max
+            FROM n JOIN steps st
+              ON st.host = n.host AND st.seq = n.n_events
         """,
         "events_rate_alerts": """
             WITH r AS (

@@ -222,3 +222,65 @@ def timeline_makespan(timeline: DataFrame,
         F.count(F.lit(1)).alias("n_fetches"),
         F.max("fetch_at_ms").alias("makespan_ms"),
     )
+
+
+def aimd_rates(
+    fetch_log: DataFrame,
+    base_rate: int = 1000,
+    add_step: int = 100,
+    min_rate: int = 125,
+    max_rate: int = 8000,
+) -> DataFrame:
+    """(host, n_events, n_errors, rate_final, rate_min, rate_max):
+    AIMD per-host fetch-rate adaptation — the TCP-congestion-control
+    discipline applied to politeness (the adaptive-delay family in
+    production crawlers, e.g. Heritrix): replay each host's fetch
+    outcomes in time order, ADD `add_step` milli-requests/min on a
+    success, HALVE (floor, clamped to `min_rate`) on an error/timeout,
+    cap at `max_rate`. rate_min/rate_max trace the excursion (includes
+    the starting rate), the scheduler's stability signal.
+
+    `fetch_log` columns: host, ts, event_id, is_error. The sequential
+    recurrence runs as ONE Catalyst `aggregate` fold over the host's
+    time-sorted outcome array (array_sort on struct(ts, event_id) makes
+    the order total and engine-portable) — no UDF, no iteration, one
+    shuffle on host. Per-host state is the telemetry window's event
+    count — bounded by the same retention the scheduler already needs;
+    at the 10^10 design point the log is windowed per host BEFORE this
+    fold (the rate is a control signal, not an archive)."""
+    b, s, lo, hi = (
+        int(base_rate), int(add_step), int(min_rate), int(max_rate)
+    )
+
+    def _next(acc_rate: str) -> str:
+        return (
+            f"CASE WHEN e.is_error THEN"
+            f" greatest(CAST({lo} AS BIGINT), {acc_rate} DIV 2)"
+            f" ELSE least(CAST({hi} AS BIGINT), {acc_rate} + {s}) END"
+        )
+
+    fold = (
+        "aggregate("
+        " array_sort(collect_list(struct(ts, event_id, is_error))),"
+        f" named_struct('rate', CAST({b} AS BIGINT),"
+        f"              'mn', CAST({b} AS BIGINT),"
+        f"              'mx', CAST({b} AS BIGINT)),"
+        " (acc, e) -> named_struct("
+        f"   'rate', {_next('acc.rate')},"
+        f"   'mn', least(acc.mn, {_next('acc.rate')}),"
+        f"   'mx', greatest(acc.mx, {_next('acc.rate')})))"
+    )
+    return (
+        fetch_log.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+            F.expr(fold).alias("_st"),
+        )
+        .select(
+            "host", "n_events", "n_errors",
+            F.col("_st.rate").alias("rate_final"),
+            F.col("_st.mn").alias("rate_min"),
+            F.col("_st.mx").alias("rate_max"),
+        )
+    )

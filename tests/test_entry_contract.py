@@ -64,7 +64,8 @@ def duck():
      "dedup_semantic", "bpe_merges", "graph_entropy",
      "canonical_resolve", "ams_tokens", "graph_cocite",
      "density_labels", "density_clean", "lm_bigram_model",
-     "lm_bigram_surprisal", "idx_positions", "search_phrase"],
+     "lm_bigram_surprisal", "idx_positions", "search_phrase",
+     "aimd_rates"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
