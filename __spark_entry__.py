@@ -2130,6 +2130,28 @@ def q_chunk_overlap(spark, sf):
     return chunk_overlap(d, window=32, stride=24)
 
 
+def q_graph_communities(spark, sf):
+    """Label-propagation host communities (operators/linkgraph.py::
+    label_propagation, Raghavan et al. 2007, deterministic variant:
+    synchronous rounds, unweighted distinct undirected edges,
+    min-label ties): two shuffles per round, lineage truncated."""
+    from barkingowl_spark.operators.linkgraph import label_propagation
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    edges, _ = _synth_edges(spark, sf)
+    he = (
+        edges
+        .join(d.select(F.col("doc_id").alias("src"),
+                       F.col("source").alias("src_host")), "src")
+        .join(d.select(F.col("doc_id").alias("dst"),
+                       F.col("source").alias("dst_host")), "dst")
+        .select(F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(he, n_iter=4)
+
+
 def q_density_labels(spark, sf):
     """Per-line density labels (functions/densitytext.py::line_density,
     boilerpipe/jusText shallow features): LONG lines are content, SHORT
@@ -2300,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
         "graph_cocite": q_graph_cocite,
+        "graph_communities": q_graph_communities,
         "density_labels": q_density_labels,
         "density_clean": q_density_clean,
     }
@@ -5009,6 +5032,69 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN ind ia ON ia.h = pairs.host_a
             JOIN ind ib ON ib.h = pairs.host_b
+        """,
+        "graph_communities": f"""
+            WITH {_EDGES_SQL},
+            he AS (SELECT DISTINCT ds.source AS src, dd.source AS dst
+                   FROM edges e
+                   JOIN documents ds ON ds.doc_id = e.src
+                   JOIN documents dd ON dd.doc_id = e.dst),
+            nodes AS (SELECT src AS node FROM he
+                      UNION SELECT dst FROM he),
+            und AS (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM he
+                      UNION ALL SELECT dst, src FROM he)
+                    WHERE src <> dst),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l0 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p1 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v1)
+                     WHERE rn = 1),
+            l1 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p1 p USING (node)),
+            v2 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l1 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p2 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v2)
+                     WHERE rn = 1),
+            l2 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p2 p USING (node)),
+            v3 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l2 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p3 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v3)
+                     WHERE rn = 1),
+            l3 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p3 p USING (node)),
+            v4 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l3 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p4 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v4)
+                     WHERE rn = 1),
+            l4 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p4 p USING (node)),
+            sz AS (SELECT label,
+                          CAST(count(*) AS BIGINT) AS community_size
+                   FROM l4 GROUP BY label)
+            SELECT l4.node, l4.label AS community, sz.community_size
+            FROM l4 JOIN sz USING (label)
         """,
         "density_labels": """
             WITH lines0 AS (

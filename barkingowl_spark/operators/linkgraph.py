@@ -595,3 +595,73 @@ def cocitation(edges: DataFrame, max_out: int = 64) -> DataFrame:
             .alias("sim_ppm"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """(node, community, community_size): synchronous label propagation
+    (Raghavan, Albert & Kumara 2007) over the UNDIRECTED, deduplicated
+    edge set — the near-linear community detector (host clusters: link
+    farms, mirror constellations, topical neighborhoods).
+
+    Determinism (the published algorithm is randomized; this variant is
+    not): updates are synchronous (round i reads only round i-1), every
+    node votes once per distinct undirected neighbor (unweighted), and
+    a count tie picks the SMALLEST label — encoded as
+    min(struct(-cnt, label)), so Spark and any SQL engine agree
+    bit-for-bit. Self-loops are dropped; a node with no non-self
+    neighbors keeps its own label. Labels start as the node id.
+
+    Scale shape per round: one shuffle join (labels x edges on src) +
+    one map-side-combined (node, label) count + one node argmin — the
+    same two-shuffle-per-round class as pagerank_fixed;
+    localCheckpoint truncates lineage. n_iter is a cap, not a
+    convergence test (LPA oscillates on bipartite structures;
+    synchronous + fixed rounds keeps it a pure dataflow)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(n_iter):
+        uu = und.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+        )
+        pick = (
+            labels.join(uu, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .groupBy("e_dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("_m")
+            )
+            .select(
+                F.col("e_dst").alias("node"),
+                F.col("_m.label").alias("new_label"),
+            )
+        )
+        labels = (
+            nodes.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )

@@ -65,7 +65,7 @@ def duck():
      "canonical_resolve", "ams_tokens", "graph_cocite",
      "density_labels", "density_clean", "lm_bigram_model",
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
-     "aimd_rates"],
+     "aimd_rates", "graph_communities"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -438,3 +438,98 @@ def test_cocitation_reference_and_stop_key_cap(spark):
     assert not any("d0" in p for p in got)  # hub pairs capped away
     # sim_ppm bounded by construction
     assert all(v[3] <= 1_000_000 for v in got.values())
+
+
+# ---- label propagation communities ---------------------------------------
+
+def _py_lpa(edges, n_iter=4):
+    """Independent synchronous LPA: unweighted distinct undirected
+    edges, min-label ties, self-loops dropped."""
+    und = {}
+    nodes = set()
+    for s, d in edges:
+        nodes |= {s, d}
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    lab = {n: n for n in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for n in nodes:
+            votes = {}
+            for m in und.get(n, ()):
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = n
+        lab = nxt
+    return lab
+
+
+def _run_lpa(spark, edges, n_iter=4):
+    from barkingowl_spark.operators.linkgraph import label_propagation
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: (r.community, r.community_size)
+            for r in label_propagation(df, n_iter=n_iter).collect()}
+
+
+def test_lpa_two_disconnected_cliques(spark):
+    clique1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    clique2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    edges = clique1 + clique2
+    got = _run_lpa(spark, edges)
+    want = _py_lpa(edges)
+    assert {n: c for n, (c, _) in got.items()} == want
+    # disconnected triangles resolve to two distinct communities of 3
+    assert len({got[n][0] for n in ("a1", "a2", "a3")}) == 1
+    assert len({got[n][0] for n in ("b1", "b2", "b3")}) == 1
+    assert got["a2"][0] != got["b2"][0]
+    assert got["a1"][1] == got["b1"][1] == 3
+
+
+def test_lpa_isolated_and_self_loop(spark):
+    edges = [("x", "x"), ("p", "q")]
+    got = _run_lpa(spark, edges)
+    # self-loop-only node keeps its own label, size 1
+    assert got["x"] == ("x", 1)
+    # a lone pair oscillates with period 2 under synchronous updates
+    # (the docstring's bipartite caveat); after the even default round
+    # count each node is back on its own label — and matches Python
+    assert got["p"][0] == "p" and got["q"][0] == "q"
+    assert {n: c for n, (c, _) in got.items()} == _py_lpa(edges)
+
+
+def test_lpa_tie_picks_min_label(spark):
+    # m has two neighbors with distinct labels -> tie -> min
+    edges = [("aaa", "m"), ("zzz", "m")]
+    got = _run_lpa(spark, edges, n_iter=1)
+    assert got["m"][0] == "aaa"
+
+
+def test_lpa_parallel_edges_vote_once(spark):
+    # duplicated edge must not double the vote: two zzz-edges vs one
+    # aaa-edge; dedup makes it a tie -> aaa wins
+    edges = [("zzz", "m"), ("zzz", "m"), ("aaa", "m")]
+    got = _run_lpa(spark, edges, n_iter=1)
+    assert got["m"][0] == "aaa"
+
+
+def test_lpa_random_crosscheck(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+    ]
+    got = _run_lpa(spark, edges, n_iter=3)
+    want = _py_lpa(edges, n_iter=3)
+    assert {n: c for n, (c, _) in got.items()} == want
+    # community_size is the label multiplicity
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    assert all(sz == sizes[c] for c, sz in got.values())
