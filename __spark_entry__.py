@@ -670,6 +670,56 @@ def q_mm_frame_sample(spark, sf):
     return sample_frames(attach_binary(_t(spark, sf, "documents")))
 
 
+def _mm_logo_table(spark, sf):
+    """Synthetic image table for the perceptual-hash queries: docs of
+    one (source, doc_id%7) cell share a 64-char md5-derived payload
+    (same 'logo' -> hamming 0), and doc_id%9==0 docs carry a one-pixel
+    'z' perturbation (hamming <= 1 inside the cell; hex pixels are
+    bimodal digit/letter so the mean shift flips nothing else).
+    Distinct cells land ~32 bits apart — real clusters, no smear. The
+    bytes are a string expression both engines rebuild (ascii-only, so
+    DuckDB char offsets == byte offsets)."""
+    base = (
+        "repeat(md5(cast(concat(source, '#',"
+        " CAST(doc_id % 7 AS STRING)) AS BINARY)), 2)"
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(
+            F.expr(
+                f"concat(substr({base}, 1, 63),"
+                f" CASE WHEN doc_id % 9 = 0 THEN 'z'"
+                f" ELSE substr({base}, 64, 1) END)"
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+
+
+def q_mm_phash(spark, sf):
+    """64-bit perceptual hash (operators/multimodal.py::
+    perceptual_hash): aHash over the binary payload via the same
+    Arrow-batched mapInPandas plumbing as the decode stub — payloads
+    read once, dedup runs on the 8-byte column."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_mm_logo_table(spark, sf))
+
+
+def q_mm_phash_pairs(spark, sf):
+    """Image near-dup pairs within hamming<=3 (multimodal.py::
+    phash_near_pairs): the shared pigeonhole banded equi-join
+    (corpus_dedup.hamming_band_pairs) on the phash column; the oracle
+    is the brute-force O(n^2) hamming join — equal by the pigeonhole
+    guarantee."""
+    from barkingowl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+    )
+
+    return phash_near_pairs(perceptual_hash(_mm_logo_table(spark, sf)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: frontier-expansion simulation — first-discovery
     dedup (O19) + per-type counters (O16) in one plan."""
@@ -2257,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_winnow_fp": q_doc_winnow_fp,
         "mm_decode_stub": q_mm_decode_stub,
+        "mm_phash": q_mm_phash,
+        "mm_phash_pairs": q_mm_phash_pairs,
         "mm_resize_stub": q_mm_resize_stub,
         "mm_frame_sample": q_mm_frame_sample,
         "redirect_resolve": q_redirect_resolve,
@@ -2856,6 +2908,37 @@ _LM_CTE = """
              CAST((sum_bits * 100) // n_tokens AS BIGINT)
                AS mean_surprisal_cb
       FROM sc)
+"""
+
+
+_PHASH_CTE = """
+    WITH b AS (
+      SELECT doc_id,
+             repeat(md5(source || '#' || CAST(doc_id % 7 AS VARCHAR)),
+                    2) AS base
+      FROM documents),
+    img AS (
+      SELECT doc_id,
+             substring(base, 1, 63)
+               || CASE WHEN doc_id % 9 = 0 THEN 'z'
+                       ELSE substring(base, 64, 1) END AS s
+      FROM b),
+    px AS (
+      SELECT doc_id, j, ascii(substring(s, j, 1)) AS p
+      FROM img, (SELECT unnest(generate_series(1, 64)) AS j)),
+    m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY doc_id),
+    hb AS (
+      SELECT px.doc_id,
+             sum(CASE WHEN px.p > m.mean
+                 THEN (CAST(1 AS HUGEINT) << (px.j - 1))
+                 ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+    ph AS (
+      SELECT doc_id,
+             CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN h - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE h END AS BIGINT) AS phash
+      FROM hb)
 """
 
 
@@ -4228,6 +4311,16 @@ def oracle_sql() -> dict[str, str]:
                      md5(CAST(regexp_replace(trim(text), '\\s+', ' ', 'g')
                          AS VARCHAR)) AS fp
               FROM documents)
+        """,
+        "mm_phash": _PHASH_CTE + """
+            SELECT doc_id, phash FROM ph
+        """,
+        "mm_phash_pairs": _PHASH_CTE + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "mm_decode_stub": """
             SELECT doc_id,

@@ -331,31 +331,36 @@ def simhash64(documents: DataFrame) -> DataFrame:
 SIMHASH64_BANDS = 4  # 16-bit bands over the 64-bit hash
 
 
-def simhash64_near_pairs(
-    documents: DataFrame, max_hamming: int = 3
+def hamming_band_pairs(
+    sigs: DataFrame,
+    hash_col: str,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) within max_hamming over the 64-bit
-    simhash — four 16-bit bands, identical dataflow to
-    simhash_near_pairs but with 2^-16 (not 2^-4) chance band
-    collisions: the candidate join stays near-linear on a real corpus.
-    """
-    if max_hamming >= SIMHASH64_BANDS:
+    """(doc_a, doc_b, hamming) within max_hamming over any signed-64-bit
+    fingerprint column — the pigeonhole banded equi-join shared by
+    simhash64_near_pairs and multimodal.phash_near_pairs: with
+    max_hamming < n_bands at least one band is bit-identical, so the
+    candidate set is an equi-join on (band_id, band_bits), never
+    all-pairs; exact bit_count runs on candidates only. `sigs` is
+    (doc_id, <hash_col>)."""
+    if max_hamming >= n_bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
-    s = simhash64(documents)
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
             # arithmetic shift + mask == logical shift + mask (the mask
             # drops the sign-extension bits) — identical in DuckDB
-            F.shiftright(F.col("simhash64"), b * 16)
-            .bitwiseAND(F.lit((1 << 16) - 1))
+            F.shiftright(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias("band_bits"),
         )
-        for b in range(SIMHASH64_BANDS)
+        for b in range(n_bands)
     ])
     bands = (
-        s.select("doc_id", "simhash64", F.explode(band_arr).alias("bd"))
-        .select("doc_id", "simhash64",
+        sigs.select("doc_id", hash_col, F.explode(band_arr).alias("bd"))
+        .select("doc_id", F.col(hash_col).alias("_sig"),
                 F.col("bd.band_id").alias("band_id"),
                 F.col("bd.band_bits").alias("band_bits"))
     )
@@ -367,8 +372,8 @@ def simhash64_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash64").alias("sim_a"),
-            F.col("b.simhash64").alias("sim_b"),
+            F.col("a._sig").alias("sim_a"),
+            F.col("b._sig").alias("sim_b"),
         )
         .distinct()
     )
@@ -376,6 +381,20 @@ def simhash64_near_pairs(
     return (
         cand.filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+def simhash64_near_pairs(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within max_hamming over the 64-bit
+    simhash — four 16-bit bands, identical dataflow to
+    simhash_near_pairs but with 2^-16 (not 2^-4) chance band
+    collisions: the candidate join stays near-linear on a real corpus.
+    """
+    return hamming_band_pairs(
+        simhash64(documents), "simhash64",
+        n_bands=SIMHASH64_BANDS, band_bits=16, max_hamming=max_hamming,
     )
 
 

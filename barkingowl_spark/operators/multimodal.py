@@ -157,3 +157,72 @@ def sample_frames(
     return multimodal.select("doc_id", "payload").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+def _ahash_real(payload: bytes) -> int:
+    """Real perceptual hash — decode, grayscale, 8x8 downsample,
+    average-hash. Requires an image codec, absent here by design."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "the deterministic stub below exercises the same plumbing"
+    )
+
+
+def _ahash_stub(payload: bytes) -> int:
+    """Deterministic fake aHash: the first 64 payload bytes stand in
+    for the 8x8 grayscale block (zero-padded); bit i set iff
+    'pixel' i exceeds the floor mean. Signed-int64 two's complement so
+    the column round-trips Arrow/Spark/DuckDB identically."""
+    px = list(payload[:64])
+    px += [0] * (64 - len(px))
+    mean = sum(px) // 64
+    h = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, phash): 64-bit average-hash per binary payload — the
+    image near-dup fingerprint (aHash; the cheap member of the
+    aHash/dHash/pHash family). Same mapInPandas Arrow-batch plumbing as
+    decode_features: payload bytes never cross the boundary row-wise,
+    and swapping _ahash_stub for _ahash_real (codec present) changes
+    nothing else. Downstream near-dup runs on the 8-byte hash only —
+    the payloads are read exactly once."""
+    hash_fn = _ahash_real if _HAVE_PIL else _ahash_stub
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["payload"]
+                .map(lambda b: hash_fn(bytes(b)))
+                .astype("int64"),
+            })
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, phash long"
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate images within
+    `max_hamming` bits of perceptual hash — four 16-bit bands through
+    the shared pigeonhole machinery (corpus_dedup.hamming_band_pairs):
+    candidates are an equi-join on band bits, never all-pairs; the
+    exact bit_count touches candidates only. `hashes` is
+    perceptual_hash() output (or a persisted phash table — at the
+    10^10 design point the hash column is computed once at ingest and
+    this join never re-reads a payload)."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        hamming_band_pairs,
+    )
+
+    return hamming_band_pairs(
+        hashes, "phash", n_bands=4, band_bits=16,
+        max_hamming=max_hamming,
+    )

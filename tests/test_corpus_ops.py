@@ -451,3 +451,66 @@ def test_semantic_dedup_groups_and_keeper(spark):
         for r in semantic_dedup(df, threshold=0.95, n_centroids=4,
                                 use_gemm=False).collect())))
     assert got_gemm == got_cat
+
+
+# ---- perceptual hash (multimodal near-dup) -------------------------------
+
+def test_ahash_stub_bits_and_sign():
+    from barkingowl_spark.operators.multimodal import _ahash_stub
+
+    # all-zero payload: no pixel exceeds mean 0 -> hash 0
+    assert _ahash_stub(b"\x00" * 64) == 0
+    # single high byte at position 63 sets the sign bit (two's compl.)
+    h = _ahash_stub(b"\x00" * 63 + b"\xff")
+    assert h == -(1 << 63)
+    # short payload zero-pads: 'z' at pos 0 -> mean 1 -> bit 0 only
+    assert _ahash_stub(b"z") == 1
+    # deterministic
+    assert _ahash_stub(b"hello world") == _ahash_stub(b"hello world")
+
+
+def test_perceptual_hash_matches_stub(spark):
+    from barkingowl_spark.operators.multimodal import (
+        _ahash_stub,
+        perceptual_hash,
+    )
+
+    payloads = [
+        (0, b"the quick brown fox jumps over the lazy dog " * 2),
+        (1, b""),
+        (2, bytes(range(64))),
+        (3, b"\xff" * 64),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
+    assert got == {d: _ahash_stub(p) for d, p in payloads}
+
+
+def test_phash_pairs_banded_equals_bruteforce(spark):
+    from barkingowl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+    )
+
+    # clusters: ids 0-2 share payload A, 3-4 share B with a 1-bit-ish
+    # tweak, 5 is far away
+    A = bytes(range(64))
+    B = A[:63] + b"\x00"
+    far = bytes(reversed(range(64)))
+    payloads = [(0, A), (1, A), (2, A), (3, B), (4, B), (5, far)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashes = perceptual_hash(df)
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in phash_near_pairs(hashes, max_hamming=3).collect()}
+    # brute force over the collected hashes
+    hs = {r.doc_id: r.phash for r in hashes.collect()}
+    want = {}
+    for a in sorted(hs):
+        for b in sorted(hs):
+            if a < b:
+                ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+                if ham <= 3:
+                    want[(a, b)] = ham
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (5, 0) not in got and (0, 5) not in got

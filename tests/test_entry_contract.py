@@ -65,7 +65,8 @@ def duck():
      "canonical_resolve", "ams_tokens", "graph_cocite",
      "density_labels", "density_clean", "lm_bigram_model",
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
-     "aimd_rates", "graph_communities"],
+     "aimd_rates", "graph_communities", "mm_phash",
+     "mm_phash_pairs"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
