@@ -17,6 +17,11 @@ Stages (each one shuffle, all native Catalyst — no UDFs):
      other stage — map-only (functions/c4rules.py), so it shrinks every
      downstream shuffle; page-rule drops land in decisions/ with reason
      'c4_blocklist' / 'c4_brace' / 'c4_short'
+  0-pre''. optional line-density main-content extraction
+     (--density-clean [MIN_KEPT_PPM]): boilerpipe/jusText-style chrome
+     removal by word-count density with neighbor smoothing
+     (functions/densitytext.py) — one doc-keyed window; all-chrome
+     docs drop as 'density_empty', thin ones as 'density_low'
   0. optional boilerplate strip (--strip-boilerplate HOST_COL): per-host
      repeated-line removal (operators/boilerplate.py) BEFORE hashing, so
      two docs differing only in nav/footer chrome become exact dups in
@@ -336,6 +341,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--c4-rules", action="store_true",
                    help="C4 line filter + page gates before every other "
                         "stage (functions/c4rules.py defaults)")
+    p.add_argument("--density-clean", type=int, nargs="?", const=0,
+                   default=None, metavar="MIN_KEPT_PPM",
+                   help="rewrite each doc to its line-density main "
+                        "content (functions/densitytext.py, "
+                        "boilerpipe/jusText-style) before hashing; "
+                        "docs whose every line is chrome drop as "
+                        "'density_empty', docs below MIN_KEPT_PPM "
+                        "kept-line share as 'density_low'")
     p.add_argument("--strip-boilerplate", metavar="HOST_COL", default=None,
                    help="strip per-host boilerplate lines (stage 0) "
                         "using this host column, e.g. 'source'")
@@ -407,6 +420,24 @@ def main(argv: list[str] | None = None) -> None:
             .select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
         )
+    density_drops = None
+    if args.density_clean is not None:
+        from barkingowl_spark.functions.densitytext import density_clean
+
+        dd = density_clean(docs)
+        min_ppm = max(int(args.density_clean), 1)
+        bad = dd.filter(F.col("kept_ppm") < min_ppm).select(
+            "doc_id",
+            F.lit(False).alias("keep"),
+            F.when(F.col("kept_ppm") == 0, F.lit("density_empty"))
+            .otherwise(F.lit("density_low")).alias("reason"),
+        )
+        density_drops = bad
+        docs = docs.drop("text").join(
+            dd.filter(F.col("kept_ppm") >= min_ppm)
+            .select("doc_id", F.col("text_main").alias("text")),
+            "doc_id",
+        )
     if args.strip_boilerplate:
         from barkingowl_spark.operators.boilerplate import (
             strip_boilerplate,
@@ -459,6 +490,8 @@ def main(argv: list[str] | None = None) -> None:
         decisions = decisions.unionByName(gopher_drops)
     if c4_drops is not None:
         decisions = decisions.unionByName(c4_drops)
+    if density_drops is not None:
+        decisions = decisions.unionByName(density_drops)
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     decisions = spark.read.parquet(f"{args.out}/decisions")
     kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
@@ -493,7 +526,8 @@ def main(argv: list[str] | None = None) -> None:
         # row per ORIGINAL doc, so count inputs there
         "input_docs": (decisions.count()
                        if (c4_drops is not None
-                           or gopher_drops is not None)
+                           or gopher_drops is not None
+                           or density_drops is not None)
                        else docs.count()),
         "kept_docs": decisions.filter("keep").count() - mix_dropped,
         "dropped": by_reason,

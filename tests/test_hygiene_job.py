@@ -376,3 +376,38 @@ def test_main_gopher_rules_flag(spark, tmp_path, capsys):
            for r in spark.read.parquet(
                str(tmp_path / "out" / "decisions")).collect()}
     assert dec == {0: None, 1: "gopher_too_short", 2: "gopher_symbols"}
+
+
+def test_main_density_clean_flag(spark, tmp_path, capsys):
+    """--density-clean: chrome lines are stripped from survivors before
+    hashing (two docs differing only in nav chrome become exact dups),
+    all-chrome docs drop as density_empty, thin docs below MIN_KEPT_PPM
+    as density_low."""
+    import json as _json
+
+    from jobs.corpus_hygiene import main
+
+    long1 = ("the city council met on tuesday to approve the annual "
+             "budget for the parks.")
+    long2 = ("a public hearing on the zoning resolution is scheduled "
+             "for the end of the month.")
+    body = long1 + "\n" + long2
+    docs = _mini(spark, [
+        (0, body, "en", "h0", 1),                       # keeper
+        (1, "nav menu\n" + body + "\nfooter bar", "en", "h1", 1),
+        (2, "nav one\nnav two\nnav three", "en", "h2", 1),  # all chrome
+        (3, long1 + "\nnav a\nnav b\nnav c\nnav d\nnav e\nnav f\nnav g",
+         "en", "h3", 1),                                # thin: 1/8 kept
+    ])
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "out"),
+          "--min-tokens", "1", "--density-clean", "200000"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_docs"] == 4
+    assert stats["kept_docs"] == 1
+    assert stats["dropped"] == {"exact_dup": 1, "density_empty": 1,
+                                "density_low": 1}
+    kept = spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+    assert kept[0]["text"] == body  # chrome never reached the keeper
