@@ -2180,6 +2180,16 @@ def q_chunk_overlap(spark, sf):
     return chunk_overlap(d, window=32, stride=24)
 
 
+def q_mix_stratified(spark, sf):
+    """Exact-k deterministic stratified sample (operators/mix.py::
+    stratified_sample_exact): min(k,|stratum|) rows per source by the
+    shared md5 draw — one stratum-keyed window with WindowGroupLimit
+    pushdown; the exact-count complement to mix_sample's rate draw."""
+    from barkingowl_spark.operators.mix import stratified_sample_exact
+
+    return stratified_sample_exact(_t(spark, sf, "documents"), k=3)
+
+
 def q_graph_communities(spark, sf):
     """Label-propagation host communities (operators/linkgraph.py::
     label_propagation, Raghavan et al. 2007, deterministic variant:
@@ -2374,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
         "graph_cocite": q_graph_cocite,
+        "mix_stratified": q_mix_stratified,
         "graph_communities": q_graph_communities,
         "density_labels": q_density_labels,
         "density_clean": q_density_clean,
@@ -4311,6 +4322,20 @@ def oracle_sql() -> dict[str, str]:
                      md5(CAST(regexp_replace(trim(text), '\\s+', ' ', 'g')
                          AS VARCHAR)) AS fp
               FROM documents)
+        """,
+        "mix_stratified": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substring(md5(source || '#'
+                         || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         AS hh
+              FROM documents),
+            r AS (SELECT doc_id, source,
+                         CAST(row_number() OVER (
+                             PARTITION BY source ORDER BY hh, doc_id)
+                             AS BIGINT) AS "rank"
+                  FROM h)
+            SELECT doc_id, source, "rank" FROM r WHERE "rank" <= 3
         """,
         "mm_phash": _PHASH_CTE + """
             SELECT doc_id, phash FROM ph

@@ -22,7 +22,7 @@ is one groupBy(host) with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -307,4 +307,37 @@ def temperature_quotas(
             "group", "n_docs", "weight",
             F.expr(f"(weight * {PPM}L) div _tw").alias("quota_ppm"),
         )
+    )
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """(id, strata, rank): EXACTLY min(k, |stratum|) rows per stratum,
+    deterministic and growth-stable-ish — rows are ranked by the same
+    md5 draw as mix_sample (full 60-bit hash, doc_id tie-break), so
+    which k win is a pure function of (strata, id): re-runs are
+    bit-identical, and adding new docs evicts an old winner only when
+    a new doc hashes below the stratum's k-th draw. The exact-k
+    complement to mix_sample's expected-rate draw — eval holdouts and
+    per-host probe sets need exact counts, not rates.
+
+    Scale shape: one window shuffle on the stratum key with
+    WindowGroupLimit pushdown (rank <= k prunes to k rows per group
+    map-side before the final sort) — the same plan class as
+    postings' capped lists; never a global sort."""
+    key = F.concat(F.col(strata_col), F.lit("#"),
+                   F.col(id_col).cast("string"))
+    h = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col))
+    return (
+        docs.select(id_col, strata_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
     )

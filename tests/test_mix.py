@@ -311,3 +311,49 @@ def test_temperature_alpha_validation(spark):
         temperature_quotas(docs, "lang", 9, 8)
     with pytest.raises(ValueError):
         temperature_quotas(docs, "lang", 0, 2)
+
+
+# ---- exact-k stratified sample -------------------------------------------
+
+def test_stratified_exact_counts_and_determinism(spark):
+    from barkingowl_spark.operators.mix import stratified_sample_exact
+
+    rows = [(i, f"h{i % 4}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = stratified_sample_exact(df, k=3).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r.source, []).append((r.rank, r.doc_id))
+    # exactly min(k, |stratum|) rows, ranks 1..n contiguous
+    assert {s: sorted(x)[-1][0] for s, x in by_stratum.items()} == {
+        "h0": 3, "h1": 3, "h2": 3, "h3": 3, "tiny": 1}
+    # bit-identical on re-run
+    again = stratified_sample_exact(df, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_stratified_growth_stability(spark):
+    """Adding docs only changes a stratum's winners if a new doc
+    hashes below the old k-th draw — winners are a pure function of
+    the (stratum, id) hash order, never of partitioning or arrival."""
+    import hashlib
+
+    from barkingowl_spark.operators.mix import stratified_sample_exact
+
+    def draw(src, i):
+        h = hashlib.md5(f"{src}#{i}".encode()).hexdigest()
+        return (int(h[:15], 16), i)
+
+    base = [(i, "h") for i in range(10)]
+    grown = base + [(i, "h") for i in range(10, 25)]
+    df1 = spark.createDataFrame(base, "doc_id long, source string")
+    df2 = spark.createDataFrame(grown, "doc_id long, source string")
+    k = 4
+    got1 = {r.doc_id for r in stratified_sample_exact(df1, k).collect()}
+    got2 = {r.doc_id for r in stratified_sample_exact(df2, k).collect()}
+    want1 = {i for _, i in sorted(draw("h", i) for i, _ in base)[:k]}
+    want2 = {i for _, i in sorted(draw("h", i) for i, _ in grown)[:k]}
+    assert got1 == want1 and got2 == want2
+    # survivors of the grown run that were present before were winners
+    # before (no reshuffling among old docs)
+    assert got2 & got1 == got2 & set(i for i, _ in base)
