@@ -1179,6 +1179,48 @@ def q_search_phrase(spark, sf):
     )
 
 
+def _idx_delta(spark, sf):
+    """Re-crawl delta: every doc_id%9==0 page re-parsed with fresh
+    text (old terms vanish, new ones appear) — same expression in the
+    oracle's merged corpus."""
+    return _t(spark, sf, "documents").filter("doc_id % 9 = 0").select(
+        "doc_id",
+        F.concat(F.lit("fresh update from "), F.col("source"))
+        .alias("text"),
+    )
+
+
+def q_idx_merge_tf(spark, sf):
+    """Index upsert after a re-crawl batch (operators/invindex.py::
+    upsert_term_freqs): delta docs replace their base rows
+    (last-write-wins); one doc-keyed anti-join + union."""
+    from barkingowl_spark.operators.invindex import (
+        term_freqs,
+        upsert_term_freqs,
+    )
+
+    base = term_freqs(_t(spark, sf, "documents"))
+    return upsert_term_freqs(base, term_freqs(_idx_delta(spark, sf)))
+
+
+def q_idx_merge_df(spark, sf):
+    """Incremental doc-frequency maintenance (invindex.py::
+    merge_doc_freqs): df' = df + added - removed, touching only the
+    re-crawled docs; the oracle recomputes from scratch on the merged
+    corpus, so the hash match IS the incremental==recompute proof."""
+    from barkingowl_spark.operators.invindex import (
+        merge_doc_freqs,
+        term_freqs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base_tf = term_freqs(docs)
+    base_df = base_tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    return merge_doc_freqs(
+        base_df, base_tf, term_freqs(_idx_delta(spark, sf)))
+
+
 def q_idx_topk_terms(spark, sf):
     """Per-doc salient terms (operators/invindex.py::topk_terms): integer
     tf/df fixed-point score, top-5 per doc, term-ascending tie-break."""
@@ -2324,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "anchor_rollup": q_anchor_rollup,
         "idx_postings": q_idx_postings,
+        "idx_merge_tf": q_idx_merge_tf,
+        "idx_merge_df": q_idx_merge_df,
         "idx_positions": q_idx_positions,
         "search_phrase": q_search_phrase,
         "idx_topk_terms": q_idx_topk_terms,
@@ -4428,6 +4472,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://' || source || '.test/dir/rel' || doc_id,
                    CAST(1 AS BIGINT), CAST(1 AS INT), 'b'
             FROM l
+        """,
+        "idx_merge_tf": """
+            WITH merged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN 'fresh update from ' || source
+                          ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM merged)
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM t WHERE term <> '' GROUP BY doc_id, term
+        """,
+        "idx_merge_df": """
+            WITH merged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN 'fresh update from ' || source
+                          ELSE text END AS text
+              FROM documents),
+            t AS (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM merged)
+            SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM t WHERE term <> '' GROUP BY term
         """,
         "idx_positions": """
             SELECT t AS term, doc_id, CAST(i - 1 AS BIGINT) AS pos

@@ -238,3 +238,67 @@ def phrase_match(postings: DataFrame, phrase: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def upsert_term_freqs(
+    base_tf: DataFrame, delta_tf: DataFrame
+) -> DataFrame:
+    """(doc_id, term, tf): the index's source-of-truth table after a
+    re-crawl batch — delta docs REPLACE their base rows entirely
+    (last-write-wins per doc_id; a re-parsed page's old term rows must
+    not survive). One anti-join on doc_id + a union: O(base) read but
+    only the delta shuffles (the anti-join's build side is the delta's
+    distinct doc set)."""
+    upd = delta_tf.select("doc_id").distinct()
+    return delta_tf.unionByName(
+        base_tf.join(upd, "doc_id", "left_anti")
+    )
+
+
+def merge_doc_freqs(
+    base_df: DataFrame, base_tf: DataFrame, delta_tf: DataFrame
+) -> DataFrame:
+    """(term, doc_freq): document frequencies of the POST-upsert corpus
+    computed incrementally — only the re-crawled docs' old and new term
+    sets are touched, never the full corpus:
+
+        df'(t) = df(t) + |delta docs newly containing t|
+                       - |delta docs that contained t and no longer do|
+
+    so a 10^10-doc index absorbs a million-doc re-crawl with
+    O(delta)-sized joins (the base side contributes one semi-join probe
+    and the final term-keyed merge of the tiny Δdf table). Terms whose
+    df' reaches 0 drop out (the last doc carrying them was re-crawled
+    away). Equals a from-scratch recount by construction — pinned by
+    the driver oracle, which recomputes on the merged corpus."""
+    upd = delta_tf.select("doc_id").distinct()
+    old_terms = (
+        base_tf.join(upd, "doc_id", "left_semi")
+        .select("doc_id", "term").distinct()
+    )
+    new_terms = delta_tf.select("doc_id", "term").distinct()
+    added = (
+        new_terms.join(old_terms, ["doc_id", "term"], "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_add"))
+    )
+    removed = (
+        old_terms.join(new_terms, ["doc_id", "term"], "left_anti")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_rm"))
+    )
+    delta = added.join(removed, "term", "full_outer").select(
+        "term",
+        (F.coalesce("_add", F.lit(0)) - F.coalesce("_rm", F.lit(0)))
+        .alias("_d"),
+    )
+    return (
+        base_df.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("doc_freq", F.lit(0))
+             + F.coalesce("_d", F.lit(0)))
+            .cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") > 0)
+    )

@@ -66,7 +66,8 @@ def duck():
      "density_labels", "density_clean", "lm_bigram_model",
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
      "aimd_rates", "graph_communities", "mm_phash",
-     "mm_phash_pairs", "mix_stratified"],
+     "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
+     "idx_merge_df"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -214,3 +214,58 @@ def test_phrase_python_crosscheck(spark):
             if pos:
                 want[d] = (len(pos), pos[0])
         assert _hits(spark, phrase) == want, phrase
+
+
+# ---------------------------------------------------------------- merge
+
+
+def _tf_rows(df):
+    return {(r["doc_id"], r["term"]): r["tf"] for r in df.collect()}
+
+
+def test_upsert_replaces_whole_doc(spark):
+    """A re-crawled doc's OLD term rows must vanish, not merge."""
+    from barkingowl_spark.operators.invindex import (
+        term_freqs,
+        upsert_term_freqs,
+    )
+
+    base = term_freqs(_docs(spark))
+    delta = term_freqs(_docs(spark, [(0, "bird bird"), (5, "new doc")]))
+    got = _tf_rows(upsert_term_freqs(base, delta))
+    assert got[(0, "bird")] == 2
+    assert (0, "the") not in got and (0, "cat") not in got
+    assert got[(5, "new")] == 1 and got[(5, "doc")] == 1
+    assert got[(1, "dog")] == 1  # untouched doc survives
+
+
+def test_merge_doc_freqs_equals_recompute(spark):
+    """Incremental df must equal a from-scratch recount on the merged
+    corpus, including a term whose df drops to 0 ('dog': its only doc
+    is re-crawled away) and a brand-new term."""
+    from barkingowl_spark.operators.invindex import (
+        merge_doc_freqs,
+        term_freqs,
+        upsert_term_freqs,
+    )
+
+    base_tf = term_freqs(_docs(spark))
+    base_df = base_tf.groupBy("term").count().withColumnRenamed(
+        "count", "doc_freq")
+    delta_tf = term_freqs(
+        _docs(spark, [(1, "the cat returned"), (6, "zebra")]))
+    got = {
+        r["term"]: r["doc_freq"]
+        for r in merge_doc_freqs(base_df, base_tf, delta_tf).collect()
+    }
+    merged = upsert_term_freqs(base_tf, delta_tf)
+    want = {
+        r["term"]: r["doc_freq"]
+        for r in merged.select("term", "doc_id").distinct()
+        .groupBy("term").count().withColumnRenamed("count", "doc_freq")
+        .collect()
+    }
+    assert got == want
+    assert "dog" not in got          # df hit 0 -> row dropped
+    assert got["zebra"] == 1         # new term, new doc
+    assert got["returned"] == 1      # new term, re-crawled doc
