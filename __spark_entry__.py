@@ -529,6 +529,16 @@ def q_dedup_jaccard(spark, sf):
     return jaccard_pairs(_t(spark, sf, "documents"))
 
 
+def q_dedup_setjoin(spark, sf):
+    """EXACT all-pairs Jaccard join via prefix filtering (operators/
+    setjoin.py — SSJoin/All-Pairs): the oracle is a global brute force,
+    so the hash match IS the prefix-filter exactness proof; no LSH
+    recall parameter, candidates pruned by theorem."""
+    from barkingowl_spark.operators.setjoin import prefix_filter_pairs
+
+    return prefix_filter_pairs(_t(spark, sf, "documents"))
+
+
 def q_dedup_minhash_sigs(spark, sf):
     return minhash_signatures(_t(spark, sf, "documents"))
 
@@ -2335,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_setjoin": q_dedup_setjoin,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_containment": q_dedup_containment,
@@ -4013,6 +4024,20 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(list_concat(a.toks, b.toks))))
                         AS BIGINT) AS jaccard_ppm
             FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
+                  / len(list_distinct(list_concat(a.toks, b.toks))))
+                  AS BIGINT) >= 600000
+        """,
+        "dedup_setjoin": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents WHERE text IS NOT NULL)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
+                        / len(list_distinct(list_concat(a.toks, b.toks))))
+                        AS BIGINT) AS jaccard_ppm
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
                   / len(list_distinct(list_concat(a.toks, b.toks))))
                   AS BIGINT) >= 600000

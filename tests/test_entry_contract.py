@@ -67,7 +67,7 @@ def duck():
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
      "aimd_rates", "graph_communities", "mm_phash",
      "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
-     "idx_merge_df"],
+     "idx_merge_df", "dedup_setjoin"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
