@@ -857,6 +857,29 @@ def q_graph_hits(spark, sf):
     return hits_fixed(edges, n_iter=2)
 
 
+def q_graph_hyperball(spark, sf):
+    """HyperBall ball-size table (node, t, ball_est) for t=0..2 —
+    per-node HLL registers grown one hop per round, HLL++ linear-
+    counting small-range correction as a frozen integer table
+    (operators/hyperball.py; Boldi & Vigna WWW'14). The oracle
+    recomputes exact reach sets then applies the identical integer
+    register/estimate math."""
+    from barkingowl_spark.operators.hyperball import hyperball_sizes
+
+    edges, _ = _synth_edges(spark, sf)
+    return hyperball_sizes(edges, n_iter=2)
+
+
+def q_graph_harmonic(spark, sf):
+    """Harmonic/closeness centrality from HyperBall shells on the
+    reversed graph (who reaches me), per-term floor-div fixed point
+    with the standard nonnegative-shell clamp."""
+    from barkingowl_spark.operators.hyperball import hyperball_centrality
+
+    edges, _ = _synth_edges(spark, sf)
+    return hyperball_centrality(edges, n_iter=2)
+
+
 def _synth_sitemaps(spark, sf):
     """One sitemap.xml page per documents source-host: <url> blocks in
     doc_id order (lastmod only on even ids — exercises the NULL path,
@@ -2315,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_host_agg": q_graph_host_agg,
         "graph_hits": q_graph_hits,
+        "graph_hyperball": q_graph_hyperball,
+        "graph_harmonic": q_graph_harmonic,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
@@ -3263,6 +3288,58 @@ _CC_CTE = f"""
             """
 
 
+def _hyperball_sql(reverse: bool) -> str:
+    """Per-t HyperBall CTE chain (t = 0..2) over the synthetic edges:
+    EXACT reach sets by iterated joins, then the identical integer
+    register/estimate math as operators/hyperball.py (h60 md5 draw,
+    p=6, HLL++ linear counting from the same frozen table) — ends with
+    a `sizes(node, t, ball_est)` CTE."""
+    from barkingowl_spark.operators.hyperball import LC_TABLE
+
+    lc = ", ".join(str(v) for v in LC_TABLE[6])
+    e_sel = ("SELECT DISTINCT dst AS src, src AS dst FROM edges"
+             if reverse else "SELECT DISTINCT src, dst FROM edges")
+    parts = [
+        f"e AS ({e_sel})",
+        "n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node AS u, node AS v FROM n0)",
+    ]
+    for t in (1, 2):
+        parts.append(
+            f"r{t} AS (SELECT u, v FROM r{t-1} UNION"
+            f" SELECT e.src AS u, r.v AS v"
+            f" FROM e JOIN r{t-1} r ON r.u = e.dst)")
+    for t in (0, 1, 2):
+        parts.append(
+            f"rk{t} AS (SELECT u, h % 64 AS bucket,"
+            f" CASE WHEN h // 64 > 0"
+            f" THEN 54 - (length(bin(h // 64)) - 1)"
+            f" ELSE 55 END AS rank FROM ("
+            f"SELECT u, CAST(('0x' || substring("
+            f"md5('hb#' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" AS h FROM r{t}))")
+        parts.append(
+            f"ag{t} AS (SELECT u, count(*) AS c,"
+            f" CAST(sum(CAST(1 AS BIGINT) << (55 - mr)) AS BIGINT)"
+            f" AS s FROM (SELECT u, bucket, max(rank) AS mr"
+            f" FROM rk{t} GROUP BY u, bucket) GROUP BY u)")
+        parts.append(
+            f"es{t} AS (SELECT u, CAST(CASE"
+            f" WHEN raw <= 160 AND c < 64"
+            f" THEN ([{lc}])[64 - c] ELSE raw END AS BIGINT)"
+            f" AS ball_est FROM (SELECT u, c,"
+            f" CAST((CAST(709365 AS HUGEINT) * 64 * 64"
+            f" * (CAST(1 AS BIGINT) << 55))"
+            f" // (CAST(1000000 AS HUGEINT)"
+            f" * (s + (64 - c) * (CAST(1 AS BIGINT) << 55)))"
+            f" AS BIGINT) AS raw FROM ag{t}))")
+    parts.append(
+        "sizes AS (" + " UNION ALL ".join(
+            f"SELECT u AS node, CAST({t} AS INT) AS t, ball_est"
+            f" FROM es{t}" for t in (0, 1, 2)) + ")")
+    return ",\n            ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "o5_fetch_join": """
@@ -3444,6 +3521,31 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN h2f ON h2f.node = n.node
             JOIN a2f ON a2f.node = n.node
+        """,
+        "graph_hyperball": f"""
+            WITH {_EDGES_SQL},
+            {_hyperball_sql(reverse=False)}
+            SELECT node, t, ball_est FROM sizes
+        """,
+        "graph_harmonic": f"""
+            WITH {_EDGES_SQL},
+            {_hyperball_sql(reverse=True)},
+            sh AS (
+                SELECT node, t,
+                       greatest(CAST(0 AS BIGINT),
+                                ball_est - lag(ball_est) OVER (
+                                    PARTITION BY node ORDER BY t))
+                           AS shell
+                FROM sizes)
+            SELECT node,
+                   CAST(sum(shell) AS BIGINT) AS reached_est,
+                   CAST(sum(t * shell) AS BIGINT) AS sum_dist_est,
+                   CAST(sum((shell * 1000000) // t) AS BIGINT)
+                       AS harmonic_micro,
+                   CAST(CASE WHEN sum(t * shell) > 0
+                        THEN (sum(shell) * 1000000) // sum(t * shell)
+                        ELSE 0 END AS BIGINT) AS closeness_micro
+            FROM sh WHERE t >= 1 GROUP BY node
         """,
         "sitemap_parse": """
             SELECT source || '.test' AS host, 'url' AS kind,

@@ -67,7 +67,8 @@ def duck():
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
      "aimd_rates", "graph_communities", "mm_phash",
      "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
-     "idx_merge_df", "dedup_setjoin"],
+     "idx_merge_df", "dedup_setjoin", "graph_hyperball",
+     "graph_harmonic"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
