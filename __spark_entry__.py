@@ -880,6 +880,52 @@ def q_graph_harmonic(spark, sf):
     return hyperball_centrality(edges, n_iter=2)
 
 
+def _host_shingles(spark, sf):
+    """(source, shingle): each host's distinct word-3-gram vocabulary
+    — the key set the KMV host-overlap sketches summarize."""
+    d = (
+        _t(spark, sf, "documents")
+        .select("source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    return d.select(
+        "source",
+        F.explode(F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        )).alias("shingle"),
+    )
+
+
+def q_kmv_host_distinct(spark, sf):
+    """Per-host distinct-shingle estimate from a KMV (theta) sketch —
+    k smallest md5 draws per host, (k-1)*2^60 div h_(k), exact below k
+    (operators/kmv.py; Beyer et al. SIGMOD'07)."""
+    from barkingowl_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(_host_shingles(spark, sf),
+                    group_col="source", key_col="shingle", k=32)
+    return kmv_estimate(sk, k=32).select(
+        F.col("grp").alias("host"), "sketch_size", "distinct_est")
+
+
+def q_kmv_host_overlap(spark, sf):
+    """Host-pair shared-vocabulary estimation from KMV sketches alone
+    (jaccard/intersection via the k-smallest-of-union rule) — the
+    sketch-cost mirror screen; all pair math runs on hosts*k rows."""
+    from barkingowl_spark.operators.kmv import (
+        kmv_overlap_pairs,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(_host_shingles(spark, sf),
+                    group_col="source", key_col="shingle", k=32)
+    return kmv_overlap_pairs(sk, k=32).select(
+        F.col("grp_a").alias("host_a"), F.col("grp_b").alias("host_b"),
+        "matches", "union_k", "jaccard_est_ppm", "union_est",
+        "inter_est")
+
+
 def _synth_sitemaps(spark, sf):
     """One sitemap.xml page per documents source-host: <url> blocks in
     doc_id order (lastmod only on even ids — exercises the NULL path,
@@ -2340,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
+        "kmv_host_distinct": q_kmv_host_distinct,
+        "kmv_host_overlap": q_kmv_host_overlap,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
@@ -2494,6 +2542,31 @@ WITH t AS (
          list_distinct(list_transform(range(1, len(w) - 1),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
   FROM t WHERE len(w) >= 3
+)
+"""
+
+# host-keyed distinct-3-gram KMV sketch (operators/kmv.py parity):
+# same tokens (split on single space, '' kept), same 'kmv#' draw,
+# k = 32 smallest distinct h per host
+_KMV_SKETCH_CTE = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), shg AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM t WHERE len(w) >= 3
+), hs AS (
+  SELECT DISTINCT source AS grp,
+         CAST(('0x' || substring(md5('kmv#' || shingle), 1, 15))
+              AS BIGINT) AS h
+  FROM shg
+), sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (
+        PARTITION BY grp ORDER BY h) AS rn
+    FROM hs) WHERE rn <= 32
 )
 """
 
@@ -3526,6 +3599,58 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES_SQL},
             {_hyperball_sql(reverse=False)}
             SELECT node, t, ball_est FROM sizes
+        """,
+        "kmv_host_distinct": _KMV_SKETCH_CTE + """
+            , est AS (SELECT grp, count(*) AS c, max(h) AS kth
+                      FROM sk GROUP BY grp)
+            SELECT grp AS host, CAST(c AS BIGINT) AS sketch_size,
+                   CAST(CASE WHEN c < 32 THEN c
+                        ELSE CAST((CAST(31 AS HUGEINT)
+                                   * (CAST(1 AS BIGINT) << 60))
+                                  // greatest(kth, 1) AS BIGINT)
+                        END AS BIGINT) AS distinct_est
+            FROM est
+        """,
+        "kmv_host_overlap": _KMV_SKETCH_CTE + """
+            , cand AS (
+                SELECT DISTINCT a.grp AS grp_a, b.grp AS grp_b
+                FROM sk a JOIN sk b ON a.h = b.h AND a.grp < b.grp),
+            m AS (
+                SELECT grp_a, grp_b, h,
+                       max(in_a) AS in_a, max(in_b) AS in_b
+                FROM (
+                    SELECT c.grp_a, c.grp_b, s.h, 1 AS in_a, 0 AS in_b
+                    FROM cand c JOIN sk s ON s.grp = c.grp_a
+                    UNION ALL
+                    SELECT c.grp_a, c.grp_b, s.h, 0, 1
+                    FROM cand c JOIN sk s ON s.grp = c.grp_b)
+                GROUP BY 1, 2, 3),
+            top AS (
+                SELECT * FROM (
+                    SELECT m.*, row_number() OVER (
+                        PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+                    FROM m) WHERE rn <= 32),
+            agg AS (
+                SELECT grp_a, grp_b,
+                       CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+                       CAST(count(*) AS BIGINT) AS union_k,
+                       max(h) AS kth
+                FROM top GROUP BY 1, 2),
+            est AS (
+                SELECT grp_a, grp_b, matches, union_k,
+                       CAST((matches * 1000000) // union_k AS BIGINT)
+                           AS jaccard_est_ppm,
+                       CAST(CASE WHEN union_k < 32 THEN union_k
+                            ELSE CAST((CAST(31 AS HUGEINT)
+                                       * (CAST(1 AS BIGINT) << 60))
+                                      // greatest(kth, 1) AS BIGINT)
+                            END AS BIGINT) AS union_est
+                FROM agg)
+            SELECT grp_a AS host_a, grp_b AS host_b, matches, union_k,
+                   jaccard_est_ppm, union_est,
+                   CAST((CAST(jaccard_est_ppm AS HUGEINT) * union_est)
+                        // 1000000 AS BIGINT) AS inter_est
+            FROM est
         """,
         "graph_harmonic": f"""
             WITH {_EDGES_SQL},
