@@ -1423,6 +1423,8 @@ def _recrawl_history(spark, sf):
                     ),
                 )
             ).alias("fp"),
+            # body size per fetch for the revalidation accounting
+            (F.octet_length("t") + F.lit(64)).cast("long").alias("bytes"),
         )
     )
 
@@ -1448,6 +1450,29 @@ def q_recrawl_schedule(spark, sf):
 
     rates = change_rates(_recrawl_history(spark, sf), key="doc_id")
     return recrawl_schedule(rates, budget=50, key="doc_id")
+
+
+def q_fetch_revalidate(spark, sf):
+    """Conditional-GET what-if per fetch (operators/snapshots.py::
+    revalidation_audit): 'first'/'not_modified'/'modified' per
+    observation of the synthetic 4-pass history — the RFC 9110 §13
+    validator simulation."""
+    from barkingowl_spark.operators.snapshots import revalidation_audit
+
+    return revalidation_audit(_recrawl_history(spark, sf), key="doc_id")
+
+
+def q_fetch_reval_savings(spark, sf):
+    """Per-host avoidable-transfer rollup (revalidation_savings): how
+    many bytes If-None-Match would have saved each source host."""
+    from barkingowl_spark.operators.snapshots import (
+        revalidation_audit,
+        revalidation_savings,
+    )
+
+    audit = revalidation_audit(_recrawl_history(spark, sf), key="doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return revalidation_savings(audit.join(docs, "doc_id"), "source")
 
 
 def q_mix_epoch_plan(spark, sf):
@@ -2463,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dupspan_cut": q_dupspan_cut,
         "recrawl_rates": q_recrawl_rates,
         "recrawl_schedule": q_recrawl_schedule,
+        "fetch_revalidate": q_fetch_revalidate,
+        "fetch_reval_savings": q_fetch_reval_savings,
         "mix_epoch_plan": q_mix_epoch_plan,
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
@@ -4982,6 +5009,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w) - len(kept) AS BIGINT) AS tokens_removed,
                    coalesce(array_to_string(kept, ' '), '') AS text_kept
             FROM k
+        """,
+        "fetch_revalidate": """
+            WITH h AS (
+              SELECT doc_id, p AS pass_idx,
+                     md5(coalesce(text, '') || '#' ||
+                         CAST(((doc_id % 5) * p) // 4 AS VARCHAR)) AS fp,
+                     strlen(coalesce(text, '')) + 64 AS bytes
+              FROM documents
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)
+              WHERE NOT (doc_id % 11 = 0 AND p = 2))
+            SELECT doc_id, pass_idx,
+                   CASE WHEN lag(fp) OVER w IS NULL THEN 'first'
+                        WHEN lag(fp) OVER w = fp THEN 'not_modified'
+                        ELSE 'modified' END AS status,
+                   CAST(bytes AS BIGINT) AS body_bytes
+            FROM h
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pass_idx)
+        """,
+        "fetch_reval_savings": """
+            WITH h AS (
+              SELECT doc_id, p AS pass_idx,
+                     md5(coalesce(text, '') || '#' ||
+                         CAST(((doc_id % 5) * p) // 4 AS VARCHAR)) AS fp,
+                     strlen(coalesce(text, '')) + 64 AS bytes
+              FROM documents
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p)
+              WHERE NOT (doc_id % 11 = 0 AND p = 2)),
+            audit AS (
+              SELECT doc_id,
+                     CASE WHEN lag(fp) OVER w IS NULL THEN 'first'
+                          WHEN lag(fp) OVER w = fp THEN 'not_modified'
+                          ELSE 'modified' END AS status,
+                     CAST(bytes AS BIGINT) AS body_bytes
+              FROM h
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pass_idx)),
+            g AS (
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS fetches,
+                     CAST(sum(CASE WHEN status = 'first' THEN 1
+                              ELSE 0 END) AS BIGINT) AS first_fetches,
+                     CAST(sum(CASE WHEN status = 'not_modified' THEN 1
+                              ELSE 0 END) AS BIGINT) AS not_modified,
+                     CAST(sum(CASE WHEN status = 'modified' THEN 1
+                              ELSE 0 END) AS BIGINT) AS modified,
+                     CAST(sum(body_bytes) AS BIGINT) AS body_bytes,
+                     CAST(sum(CASE WHEN status = 'not_modified'
+                              THEN body_bytes ELSE 0 END) AS BIGINT)
+                         AS bytes_saved
+              FROM audit JOIN documents d USING (doc_id)
+              GROUP BY d.source)
+            SELECT source, fetches, first_fetches, not_modified,
+                   modified, body_bytes, bytes_saved,
+                   CAST(CASE WHEN body_bytes > 0 THEN
+                          (CAST(bytes_saved AS HUGEINT) * 1000000)
+                          // body_bytes
+                        ELSE 0 END AS BIGINT) AS saved_ppm
+            FROM g
         """,
         "recrawl_rates": """
             WITH h AS (

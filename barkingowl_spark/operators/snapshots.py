@@ -118,3 +118,70 @@ def recrawl_schedule(
         .limit(budget)
         .select(key, "change_ppm", "staleness", "score")
     )
+
+
+def revalidation_audit(
+    history: DataFrame,
+    key: str = "url",
+    pass_col: str = "pass_idx",
+    fp_col: str = "fp",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """(key, pass_idx, status, body_bytes): what an HTTP conditional
+    GET (If-None-Match/If-Modified-Since, RFC 9110 §13) would have
+    returned at each observation of a multi-pass crawl history —
+    'first' (no validator cached yet), 'not_modified' (the 304 path:
+    headers only, body transfer avoided), or 'modified' (full body).
+
+    The crawler-side what-if: given the fetch history we DID pay for,
+    how much transfer would validators have saved — the number that
+    justifies storing ETags in the frontier state (Heritrix's
+    FetchHistoryProcessor keeps exactly this). Same single key-keyed
+    lag-window shuffle as change_rates; at 10^10 pages the history is
+    bucketed on the key and the window is shuffle-free."""
+    w = Window.partitionBy(key).orderBy(pass_col)
+    prev = F.lag(fp_col).over(w)
+    status = (
+        F.when(prev.isNull(), F.lit("first"))
+        .when(prev == F.col(fp_col), F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+    )
+    return history.select(
+        key, pass_col, status.alias("status"),
+        F.col(bytes_col).cast("long").alias("body_bytes"),
+    )
+
+
+def revalidation_savings(
+    audit: DataFrame, group_col: str
+) -> DataFrame:
+    """(group, fetches, first_fetches, not_modified, modified,
+    body_bytes, bytes_saved, saved_ppm): per-group transfer accounting
+    of a revalidation_audit — 304s ship no body, so bytes_saved is the
+    body volume of 'not_modified' fetches; saved_ppm the group's
+    avoidable-transfer share. One map-side-combined groupBy; the ppm
+    division widens to DECIMAL(38,0) first (group byte sums at the
+    100 TB point overflow int64 when multiplied by 1e6)."""
+    is304 = (F.col("status") == "not_modified").cast("long")
+    return (
+        audit.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fetches"),
+            F.sum((F.col("status") == "first").cast("long"))
+            .alias("first_fetches"),
+            F.sum(is304).alias("not_modified"),
+            F.sum((F.col("status") == "modified").cast("long"))
+            .alias("modified"),
+            F.sum("body_bytes").alias("body_bytes"),
+            F.sum(F.col("body_bytes") * is304).alias("bytes_saved"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "CASE WHEN body_bytes > 0 THEN"
+                " CAST((CAST(bytes_saved AS DECIMAL(38,0)) * 1000000)"
+                " DIV body_bytes AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )

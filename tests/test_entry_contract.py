@@ -68,7 +68,8 @@ def duck():
      "aimd_rates", "graph_communities", "mm_phash",
      "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
      "idx_merge_df", "dedup_setjoin", "graph_hyperball",
-     "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap"],
+     "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
+     "fetch_revalidate", "fetch_reval_savings"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -94,3 +94,43 @@ def test_recrawl_schedule_is_take_ordered(spark):
         change_rates(_hist(spark)), budget=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_revalidation_audit_classes(spark):
+    from barkingowl_spark.operators.snapshots import revalidation_audit
+
+    hist = spark.createDataFrame(
+        [("u1", 0, "a", 100), ("u1", 1, "a", 100), ("u1", 2, "b", 120),
+         ("u1", 3, "b", 120),
+         ("u2", 0, "x", 50),
+         ("u3", 1, "p", 10), ("u3", 3, "p", 10)],  # sparse passes
+        "url string, pass_idx int, fp string, bytes int")
+    got = {(r["url"], r["pass_idx"]): (r["status"], r["body_bytes"])
+           for r in revalidation_audit(hist).collect()}
+    assert got == {
+        ("u1", 0): ("first", 100), ("u1", 1): ("not_modified", 100),
+        ("u1", 2): ("modified", 120), ("u1", 3): ("not_modified", 120),
+        ("u2", 0): ("first", 50),
+        ("u3", 1): ("first", 10), ("u3", 3): ("not_modified", 10),
+    }
+
+
+def test_revalidation_savings_rollup(spark):
+    from barkingowl_spark.operators.snapshots import (
+        revalidation_audit,
+        revalidation_savings,
+    )
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [("u1", 0, "a", 100), ("u1", 1, "a", 100), ("u1", 2, "b", 120),
+         ("u2", 0, "x", 50), ("u2", 1, "y", 60)],
+        "url string, pass_idx int, fp string, bytes int")
+    audit = revalidation_audit(hist).withColumn(
+        "host", F.lit("h1"))
+    r = revalidation_savings(audit, "host").collect()[0]
+    # u1: first(100), 304(100), modified(120); u2: first(50), mod(60)
+    assert (r["fetches"], r["first_fetches"], r["not_modified"],
+            r["modified"]) == (5, 2, 1, 2)
+    assert (r["body_bytes"], r["bytes_saved"]) == (430, 100)
+    assert r["saved_ppm"] == 100 * 1_000_000 // 430
