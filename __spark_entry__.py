@@ -1956,6 +1956,26 @@ def q_clf_scores(spark, sf):
     )
 
 
+def q_focused_frontier(spark, sf):
+    """Focused-crawl frontier priorities (operators/focused.py,
+    Chakrabarti et al. WWW'99): hashclf relevance scores max-propagated
+    2 hops down the synthetic link graph with 0.5/hop ppm decay, ties
+    to fewer hops via the packed-int64 argmax."""
+    from barkingowl_spark.functions.hashclf import clf_scores
+    from barkingowl_spark.operators.focused import focused_priorities
+
+    weights = spark.range(0, 4096, 3).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 21 - 10).cast("long").alias("weight_milli"),
+    )
+    scores = clf_scores(
+        _t(spark, sf, "documents"), weights, n_buckets=4096
+    ).select(F.col("doc_id").alias("node"), "score_milli")
+    edges, _ = _synth_edges(spark, sf)
+    return focused_priorities(edges, scores, n_hops=2,
+                              decay_ppm=500_000)
+
+
 def q_dsir_sample(spark, sf):
     """DSIR importance resampling (functions/lmscore.py, Xie et al.
     2023): target LM = the doc_id%10==0 slice, raw LM = self; weight =
@@ -2513,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
+        "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
         "host_quotas": q_host_quotas,
@@ -5964,6 +5985,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_s, host, fetches,
                    CAST(fetches - 1 AS BIGINT) AS over
             FROM r WHERE fetches > 1
+        """,
+        "focused_frontier": f"""
+            WITH {_EDGES_SQL},
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS a
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(a || CASE WHEN len(a) < 2
+                       THEN []::VARCHAR[]
+                       ELSE list_transform(
+                         generate_series(1, len(a) - 1),
+                         i -> a[i] || '_' || a[i + 1]) END) AS gram
+              FROM toks),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(gram), 1, 15))
+                          AS BIGINT) % 4096 AS bucket
+              FROM grams),
+            w AS (
+              SELECT range AS bucket,
+                     CAST(range % 21 - 10 AS BIGINT) AS weight_milli
+              FROM range(0, 4096, 3)),
+            s AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum(coalesce(weight_milli, 0)) AS BIGINT)
+                       AS wsum
+              FROM feats LEFT JOIN w USING (bucket)
+              GROUP BY doc_id),
+            p0 AS (
+              SELECT doc_id AS node,
+                     greatest(CAST(0 AS BIGINT),
+                              (wsum * 1000) // n_feats) * 1000 + 999
+                         AS packed
+              FROM s),
+            c1 AS (
+              SELECT e.dst AS node,
+                     ((p.packed // 1000) * 500000) // 1000000 * 1000
+                       + (p.packed % 1000 - 1) AS packed
+              FROM edges e JOIN p0 p ON p.node = e.src),
+            p1 AS (
+              SELECT node, max(packed) AS packed
+              FROM (SELECT * FROM p0 UNION ALL SELECT * FROM c1)
+              GROUP BY node),
+            c2 AS (
+              SELECT e.dst AS node,
+                     ((p.packed // 1000) * 500000) // 1000000 * 1000
+                       + (p.packed % 1000 - 1) AS packed
+              FROM edges e JOIN p1 p ON p.node = e.src),
+            p2 AS (
+              SELECT node, max(packed) AS packed
+              FROM (SELECT * FROM p1 UNION ALL SELECT * FROM c2)
+              GROUP BY node)
+            SELECT node,
+                   CAST(packed // 1000 AS BIGINT) AS priority_milli,
+                   CAST(999 - packed % 1000 AS INT) AS hops
+            FROM p2
         """,
         "clf_scores": """
             WITH toks AS (

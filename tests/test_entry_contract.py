@@ -69,7 +69,7 @@ def duck():
      "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
      "idx_merge_df", "dedup_setjoin", "graph_hyperball",
      "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
-     "fetch_revalidate", "fetch_reval_savings"],
+     "fetch_revalidate", "fetch_reval_savings", "focused_frontier"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
