@@ -1475,6 +1475,39 @@ def q_fetch_reval_savings(spark, sf):
     return revalidation_savings(audit.join(docs, "doc_id"), "source")
 
 
+def q_suffix_ranks(spark, sf):
+    """Prefix-doubled suffix ranks (operators/suffixes.py, Manber &
+    Myers via 3 doubling rounds = dense rank of each suffix's 8-token
+    sentinel-padded prefix): every round is one equi-join + one
+    scalable global dense rank (operators/ranking.py — range shuffle +
+    partitioned window + bounded driver offsets, never a
+    single-partition window). Oracle recomputes the invariant directly
+    from padded rank lists."""
+    from barkingowl_spark.operators.suffixes import (
+        corpus_stream,
+        suffix_ranks,
+    )
+
+    return suffix_ranks(corpus_stream(_t(spark, sf, "documents")), 3)
+
+
+def q_suffix_dup8(spark, sf):
+    """Repeated-phrase mining from the suffix ranks: 8-token prefixes
+    occurring at more than one corpus position (rank, n_positions) —
+    the every-length generalization dupspans fixes n for."""
+    from barkingowl_spark.operators.suffixes import (
+        corpus_stream,
+        suffix_ranks,
+    )
+
+    r = suffix_ranks(corpus_stream(_t(spark, sf, "documents")), 3)
+    return (
+        r.groupBy("rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_positions"))
+        .filter(F.col("n_positions") > 1)
+    )
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2510,6 +2543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "fetch_revalidate": q_fetch_revalidate,
         "fetch_reval_savings": q_fetch_reval_savings,
+        "suffix_ranks": q_suffix_ranks,
+        "suffix_dup8": q_suffix_dup8,
         "mix_epoch_plan": q_mix_epoch_plan,
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
@@ -2590,6 +2625,44 @@ WITH t AS (
          list_distinct(list_transform(range(1, len(w) - 1),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
   FROM t WHERE len(w) >= 3
+)
+"""
+
+# suffix ranks after 3 prefix-doubling rounds (operators/suffixes.py
+# parity): the doubling invariant says rank_3[i] is the dense rank of
+# the 8-token sentinel-padded prefix of suffix i, so the oracle builds
+# those prefixes directly (frame window) and dense-ranks them
+_SUFFIX_RANKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+  FROM documents
+), stream AS (
+  SELECT doc_id, p AS pos,
+         CASE WHEN p <= len(w) THEN w[p]
+              ELSE chr(1) || '#' || CAST(doc_id AS VARCHAR)
+         END AS term
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) + 1)) AS p
+        FROM toks)
+), g AS (
+  SELECT doc_id, pos, term,
+         row_number() OVER (ORDER BY doc_id, pos) AS gpos
+  FROM stream
+), tr AS (
+  SELECT gpos, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS r0
+  FROM g
+), seq AS (
+  SELECT gpos, list(r0) OVER (
+      ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS l
+  FROM tr
+), pad AS (
+  SELECT gpos,
+         l || list_transform(range(8 - len(l)),
+                             x -> CAST(-1 AS BIGINT)) AS pl
+  FROM seq
+), sr AS (
+  SELECT CAST(gpos AS BIGINT) AS gpos,
+         CAST(dense_rank() OVER (ORDER BY pl) AS BIGINT) AS rank
+  FROM pad
 )
 """
 
@@ -5030,6 +5103,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w) - len(kept) AS BIGINT) AS tokens_removed,
                    coalesce(array_to_string(kept, ' '), '') AS text_kept
             FROM k
+        """,
+        "suffix_ranks": _SUFFIX_RANKS_SQL + """
+            SELECT gpos, rank FROM sr
+        """,
+        "suffix_dup8": _SUFFIX_RANKS_SQL + """
+            SELECT rank, CAST(count(*) AS BIGINT) AS n_positions
+            FROM sr GROUP BY rank HAVING count(*) > 1
         """,
         "fetch_revalidate": """
             WITH h AS (

@@ -1,0 +1,91 @@
+"""Scalable global dense ranking — contiguous 1-based ranks over the
+distinct sort order of arbitrary key columns WITHOUT a single-partition
+window.
+
+`Window.orderBy(...)` with no partitionBy is the classic Spark scale
+trap: every row funnels through one task. The standard distributed
+alternative (what RDD zipWithIndex does internally, expressed here in
+DataFrame terms):
+
+  1. distinct keys,
+  2. range-repartition by the keys (partition p holds keys strictly
+     below partition p+1; equal keys always co-locate),
+  3. per-partition local rank — a window PARTITIONED by the partition
+     id, so it's parallel,
+  4. per-partition distinct-key counts (O(#partitions) rows) to the
+     driver, prefix-summed into offsets, broadcast back,
+  5. global rank = offset[pid] + local rank.
+
+The result is canonical — determined entirely by the key ordering,
+independent of partition boundaries, cluster size, or sampling inside
+the range partitioner — which is what lets DuckDB's plain
+dense_rank() OVER (ORDER BY key) serve as the value-hash oracle.
+
+The driver-side collect is one row per shuffle partition (the same
+bounded-ledger discipline as the crawl plan's adaptive salt, see
+plans/crawl.py) — never one row per key.
+
+Primary consumer: operators/suffixes.py prefix doubling, which needs a
+fresh global dense rank per round. No reference counterpart
+(/root/reference is empty, SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "rank",
+    pin: bool = True,
+) -> DataFrame:
+    """df + out_col: the 1-based dense rank of each row's key tuple in
+    the global ascending distinct-key order. NULL keys sort first
+    (Spark NULLS FIRST default; keep keys non-null for engine
+    portability — the oracle contract documents this).
+
+    One distinct + one range shuffle + one partitioned window + one
+    broadcast-offset equi-join back onto df.
+
+    pin=True localCheckpoints the ranked key table so the range
+    partitioner's sampled boundaries are fixed across its two uses
+    (the offset collect and the final join) — required for
+    correctness; pin=False is for plan audits only (localCheckpoint
+    erases lineage from .explain)."""
+    keys = df.select(*key_cols).distinct()
+    ranked = (
+        keys.repartitionByRange(*[F.col(c) for c in key_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    *[F.asc(c) for c in key_cols])),
+        )
+    )
+    if pin:
+        ranked = ranked.localCheckpoint()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranked.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[
+            F.lit(x) for pid in sorted(offsets)
+            for x in (pid, offsets[pid])
+        ]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    ranked = ranked.select(
+        *key_cols,
+        (off_expr + F.col("_lrank")).cast("long").alias(out_col),
+    )
+    return df.join(ranked, key_cols)

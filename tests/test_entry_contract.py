@@ -69,7 +69,8 @@ def duck():
      "mm_phash_pairs", "mix_stratified", "idx_merge_tf",
      "idx_merge_df", "dedup_setjoin", "graph_hyperball",
      "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
-     "fetch_revalidate", "fetch_reval_savings", "focused_frontier"],
+     "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
+     "suffix_ranks", "suffix_dup8"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

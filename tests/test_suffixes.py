@@ -1,0 +1,101 @@
+"""Distributed suffix array (operators/suffixes.py) + the scalable
+global dense rank it rides on (operators/ranking.py): pinned against
+brute-force sorted suffixes / padded-prefix ranks in pure Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from barkingowl_spark.operators.ranking import global_dense_rank
+from barkingowl_spark.operators.suffixes import (
+    SEP,
+    corpus_stream,
+    suffix_array,
+    suffix_ranks,
+)
+
+DOCS = [
+    (0, "a b a b a b c"),
+    (1, "b a b a"),
+    (2, "the cat sat on the cat mat"),
+    (3, None),          # NULL -> '' -> one empty token
+    (4, "a b a b a b c"),   # exact dup of 0: long cross-doc repeats
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_stream():
+    out = []
+    for doc_id, text in DOCS:
+        toks = (text if text is not None else "").split(" ")
+        for i, t in enumerate(toks):
+            out.append((doc_id, i + 1, t))
+        out.append((doc_id, len(toks) + 1, f"{SEP}{doc_id}"))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return [(d, p, t, i + 1) for i, (d, p, t) in enumerate(out)]
+
+
+def test_global_dense_rank_matches_python(spark):
+    rows = [(x % 7, f"k{x % 5}") for x in range(40)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    got = {(r["a"], r["b"]): r["rank"]
+           for r in global_dense_rank(df, ["a", "b"]).collect()}
+    uniq = sorted(set(rows))
+    want = {k: i + 1 for i, k in enumerate(uniq)}
+    assert got == want
+    # every input row keeps its rank (duplicates share)
+    assert global_dense_rank(df, ["a", "b"]).count() == 40
+
+
+def test_corpus_stream_positions(spark):
+    got = sorted(
+        (r["doc_id"], r["pos"], r["term"], r["gpos"])
+        for r in corpus_stream(_docs_df(spark)).collect()
+    )
+    assert got == _py_stream()
+
+
+def _py_ranks(rounds):
+    stream = _py_stream()
+    terms = [t for _, _, t, _ in stream]
+    n = len(terms)
+    width = 1 << rounds
+    pads = [tuple(terms[i:i + width]) for i in range(n)]
+    # rank tokens first, pad with -1 (below every real rank)
+    tr = {t: i + 1 for i, t in enumerate(sorted(set(terms)))}
+    keys = [tuple(tr[t] for t in p) + (-1,) * (width - len(p))
+            for p in pads]
+    uniq = sorted(set(keys))
+    kr = {k: i + 1 for i, k in enumerate(uniq)}
+    return {i + 1: kr[keys[i]] for i in range(n)}
+
+
+@pytest.mark.parametrize("rounds", [0, 1, 2, 3])
+def test_suffix_ranks_are_padded_prefix_ranks(spark, rounds):
+    got = {r["gpos"]: r["rank"]
+           for r in suffix_ranks(corpus_stream(_docs_df(spark)),
+                                 rounds).collect()}
+    assert got == _py_ranks(rounds)
+
+
+def test_suffix_array_is_sorted_suffix_order(spark):
+    stream = _py_stream()
+    terms = [t for _, _, t, _ in stream]
+    n = len(terms)
+    order = sorted(range(n), key=lambda i: terms[i:])
+    want_rank = {gpos0 + 1: rank + 1
+                 for rank, gpos0 in enumerate(order)}
+    sa = suffix_array(corpus_stream(_docs_df(spark))).collect()
+    got = {r["gpos"]: r["sa_rank"] for r in sa}
+    assert got == want_rank
+    # row metadata round-trips
+    meta = {(r["doc_id"], r["pos"]): r["gpos"] for r in sa}
+    assert meta == {(d, p): g for d, p, _, g in stream}
+
+
+def test_rounds_validation(spark):
+    with pytest.raises(ValueError):
+        suffix_ranks(corpus_stream(_docs_df(spark)), -1)
