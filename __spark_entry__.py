@@ -857,6 +857,17 @@ def q_graph_hits(spark, sf):
     return hits_fixed(edges, n_iter=2)
 
 
+def q_graph_kcore(spark, sf):
+    """Two synchronous rounds of 4-core peeling on the undirected
+    simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
+    the dense-subgraph / link-farm screen; oracle unrolls the same
+    rounds."""
+    from barkingowl_spark.operators.linkgraph import kcore_peel
+
+    edges, _ = _synth_edges(spark, sf)
+    return kcore_peel(edges, k=4, n_rounds=2)
+
+
 def q_graph_hyperball(spark, sf):
     """HyperBall ball-size table (node, t, ball_est) for t=0..2 —
     per-node HLL registers grown one hop per round, HLL++ linear-
@@ -2462,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_host_agg": q_graph_host_agg,
         "graph_hits": q_graph_hits,
+        "graph_kcore": q_graph_kcore,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -3715,6 +3727,28 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN h2f ON h2f.node = n.node
             JOIN a2f ON a2f.node = n.node
+        """,
+        "graph_kcore": f"""
+            WITH {_EDGES_SQL},
+            e0 AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+                WHERE src <> dst),
+            d1 AS (SELECT src AS node, count(*) AS deg
+                   FROM e0 GROUP BY src),
+            a1 AS (SELECT node FROM d1 WHERE deg >= 4),
+            e1 AS (SELECT e.src, e.dst FROM e0 e
+                   JOIN a1 x ON x.node = e.src
+                   JOIN a1 y ON y.node = e.dst),
+            d2 AS (SELECT src AS node, count(*) AS deg
+                   FROM e1 GROUP BY src),
+            a2 AS (SELECT node FROM d2 WHERE deg >= 4),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   JOIN a2 x ON x.node = e.src
+                   JOIN a2 y ON y.node = e.dst)
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e2 GROUP BY src
         """,
         "graph_hyperball": f"""
             WITH {_EDGES_SQL},

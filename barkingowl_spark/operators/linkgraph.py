@@ -665,3 +665,89 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"
     )
+
+
+def _undirected_simple(edges: DataFrame) -> DataFrame:
+    """Deduplicated undirected edge set, self-loops dropped (the
+    label_propagation normalization, shared)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, n_rounds: int = 3
+) -> DataFrame:
+    """(node, degree): survivors of `n_rounds` of SYNCHRONOUS k-core
+    peeling (Seidman, "Network structure and minimum degree", Social
+    Networks 1983) on the undirected simple graph, with their degree
+    in the final surviving subgraph.
+
+    Peeling round: compute every surviving node's degree among
+    surviving edges, then drop ALL nodes with degree < k at once
+    (synchronous — round i reads only round i-1, so the result is a
+    pure dataflow, bit-identical across engines and cluster sizes).
+    The fixed-round form is the oracle-checkable prefix of the
+    converged k-core; `kcore` below iterates to the fixed point. The
+    k-core is the crawler's dense-subgraph screen — link farms and
+    mirror constellations live in high cores, genuine editorial pages
+    rarely exceed small k (TrustRank/spam-mass's structural
+    complement).
+
+    Scale shape per round: one map-side-combined degree count + two
+    semi-joins (src-alive, dst-alive) — the peel never materializes
+    anything bigger than the surviving edge set; lineage truncated per
+    round like pagerank_fixed."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    und = _undirected_simple(edges)
+    sub = und
+    for _ in range(n_rounds):
+        deg = sub.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        sub = (
+            sub.join(alive.withColumnRenamed("node", "src"), "src",
+                     "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint()
+        )
+    return sub.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 100) -> DataFrame:
+    """(node, degree): the converged k-core — kcore_peel iterated until
+    the surviving edge count is stable (one driver-side count probe
+    per round, the components.py convergence discipline). Every
+    remaining node has degree >= k in the returned subgraph."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _undirected_simple(edges)
+    sub = und
+    prev = sub.count()
+    for _ in range(max_rounds):
+        deg = sub.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        sub = (
+            sub.join(alive.withColumnRenamed("node", "src"), "src",
+                     "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint()
+        )
+        cur = sub.count()
+        if cur == prev:
+            break
+        prev = cur
+    return sub.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))

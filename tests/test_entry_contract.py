@@ -70,7 +70,7 @@ def duck():
      "idx_merge_df", "dedup_setjoin", "graph_hyperball",
      "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
      "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
-     "suffix_ranks", "suffix_dup8"],
+     "suffix_ranks", "suffix_dup8", "graph_kcore"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

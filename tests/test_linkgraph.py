@@ -533,3 +533,43 @@ def test_lpa_random_crosscheck(spark):
 
     sizes = Counter(want.values())
     assert all(sz == sizes[c] for c, sz in got.values())
+
+
+def test_kcore_peel_and_converged(spark):
+    """Triangle {0,1,2} + pendant chain 2-3-4 + square {5,6,7,8}:
+    2-core = triangle + square (chain peels off in 2 rounds);
+    3-core empty. Pinned against an independent Python peeler."""
+    from barkingowl_spark.operators.linkgraph import kcore, kcore_peel
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4),
+             (5, 6), (6, 7), (7, 8), (8, 5), (4, 4)]  # self-loop drops
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def py_peel(k, rounds):
+        und = {(a, b) for a, b in edges if a != b}
+        und |= {(b, a) for a, b in und}
+        for _ in range(rounds):
+            deg = {}
+            for a, _b in und:
+                deg[a] = deg.get(a, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            und = {(a, b) for a, b in und
+                   if a in alive and b in alive}
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        return deg
+
+    for k in (1, 2, 3):
+        for rounds in (0, 1, 2):
+            got = {r["node"]: r["degree"]
+                   for r in kcore_peel(df, k=k, n_rounds=rounds).collect()}
+            assert got == py_peel(k, rounds), (k, rounds)
+
+    got2 = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 2, 5: 2, 6: 2, 7: 2, 8: 2}
+    assert kcore(df, k=3).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcore_peel(df, k=0)
