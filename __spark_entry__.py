@@ -730,6 +730,56 @@ def q_mm_phash_pairs(spark, sf):
     return phash_near_pairs(perceptual_hash(_mm_logo_table(spark, sf)))
 
 
+def _audio_tracks(spark, sf):
+    """Synthetic audio table: 128 ascii 'sample' bytes per doc (four
+    chained md5 hexes), BINARY payload — the stand-in waveform the
+    stub constellation reads (operators/audiofp.py)."""
+    s = " || ".join(
+        f"md5(cast(concat('trk#', CAST(doc_id AS STRING), '#{j}')"
+        f" AS BINARY))" for j in range(4)
+    )
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("track_id"),
+        F.encode(F.expr(s), "utf-8").alias("payload"),
+    )
+
+
+def q_audio_landmarks(spark, sf):
+    """Shazam constellation landmarks (operators/audiofp.py, Wang
+    ISMIR'03): stub peaks over the binary payload via mapInPandas,
+    then the (f1,f2,dt) combinatorial hash — target-zone self-join +
+    WindowGroupLimit fan-out cap."""
+    from barkingowl_spark.operators.audiofp import (
+        extract_peaks,
+        landmark_hashes,
+    )
+
+    return landmark_hashes(extract_peaks(_audio_tracks(spark, sf)))
+
+
+def q_audio_match(spark, sf):
+    """Snippet-to-track matching: 64-byte clips cut at byte 17 of
+    every 5th track, matched by the vote-histogram offset alignment
+    (match_fingerprints + best_matches) — each clip should win its
+    own track at offset 17."""
+    from barkingowl_spark.operators.audiofp import (
+        best_matches,
+        extract_peaks,
+        landmark_hashes,
+        match_fingerprints,
+    )
+
+    tracks = _audio_tracks(spark, sf)
+    idx = landmark_hashes(extract_peaks(tracks))
+    clips = tracks.filter(F.col("track_id") % 5 == 0).select(
+        (F.col("track_id") + 1_000_000).alias("query_id"),
+        F.expr("substring(payload, 18, 64)").alias("payload"),
+    )
+    qlm = landmark_hashes(
+        extract_peaks(clips, id_col="query_id"), id_col="query_id")
+    return best_matches(match_fingerprints(idx, qlm))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: frontier-expansion simulation — first-discovery
     dedup (O19) + per-type counters (O16) in one plan."""
@@ -2556,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_revalidate": q_fetch_revalidate,
         "fetch_reval_savings": q_fetch_reval_savings,
         "suffix_ranks": q_suffix_ranks,
+        "audio_landmarks": q_audio_landmarks,
+        "audio_match": q_audio_match,
         "suffix_dup8": q_suffix_dup8,
         "mix_epoch_plan": q_mix_epoch_plan,
         "dedup_keep_best": q_dedup_keep_best,
@@ -2637,6 +2689,36 @@ WITH t AS (
          list_distinct(list_transform(range(1, len(w) - 1),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
   FROM t WHERE len(w) >= 3
+)
+"""
+
+# Shazam-landmark parity (operators/audiofp.py): same 128-char track
+# strings, same strict-rise/gte-fall stub peaks (t = 0-based byte),
+# same (f1*256+f2)*64+dt hash, fanout 3 within 16 frames
+_AUDIO_LM_CTE = """
+WITH tr AS (
+  SELECT doc_id AS track_id,
+         md5('trk#' || CAST(doc_id AS VARCHAR) || '#0')
+      || md5('trk#' || CAST(doc_id AS VARCHAR) || '#1')
+      || md5('trk#' || CAST(doc_id AS VARCHAR) || '#2')
+      || md5('trk#' || CAST(doc_id AS VARCHAR) || '#3') AS s
+  FROM documents
+), pk AS (
+  SELECT track_id, i - 1 AS t, ascii(substr(s, i, 1)) AS f
+  FROM tr, (SELECT unnest(range(2, 128)) AS i)
+  WHERE ascii(substr(s, i - 1, 1)) < ascii(substr(s, i, 1))
+    AND ascii(substr(s, i, 1)) >= ascii(substr(s, i + 1, 1))
+), lm AS (
+  SELECT track_id, t1,
+         CAST((f1 * 256 + f2) * 64 + dt AS BIGINT) AS h
+  FROM (
+    SELECT a.track_id, a.t AS t1, a.f AS f1, b.f AS f2,
+           b.t - a.t AS dt,
+           row_number() OVER (PARTITION BY a.track_id, a.t
+                              ORDER BY b.t) AS rn
+    FROM pk a JOIN pk b ON a.track_id = b.track_id
+         AND b.t > a.t AND b.t - a.t <= 16)
+  WHERE rn <= 3
 )
 """
 
@@ -5137,6 +5219,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w) - len(kept) AS BIGINT) AS tokens_removed,
                    coalesce(array_to_string(kept, ' '), '') AS text_kept
             FROM k
+        """,
+        "audio_landmarks": _AUDIO_LM_CTE + """
+            SELECT track_id, CAST(t1 AS BIGINT) AS t1, h FROM lm
+        """,
+        "audio_match": _AUDIO_LM_CTE + """
+            , cl AS (
+              SELECT track_id + 1000000 AS query_id,
+                     substr(s, 18, 64) AS s
+              FROM tr WHERE track_id % 5 = 0),
+            qpk AS (
+              SELECT query_id, i - 1 AS t, ascii(substr(s, i, 1)) AS f
+              FROM cl, (SELECT unnest(range(2, 64)) AS i)
+              WHERE ascii(substr(s, i - 1, 1)) < ascii(substr(s, i, 1))
+                AND ascii(substr(s, i, 1)) >= ascii(substr(s, i + 1, 1))),
+            qlm AS (
+              SELECT query_id, t1,
+                     CAST((f1 * 256 + f2) * 64 + dt AS BIGINT) AS h
+              FROM (
+                SELECT a.query_id, a.t AS t1, a.f AS f1, b.f AS f2,
+                       b.t - a.t AS dt,
+                       row_number() OVER (PARTITION BY a.query_id, a.t
+                                          ORDER BY b.t) AS rn
+                FROM qpk a JOIN qpk b ON a.query_id = b.query_id
+                     AND b.t > a.t AND b.t - a.t <= 16)
+              WHERE rn <= 3),
+            hist AS (
+              SELECT q.query_id, l.track_id,
+                     CAST(l.t1 - q.t1 AS BIGINT) AS "offset",
+                     CAST(count(*) AS BIGINT) AS votes
+              FROM qlm q JOIN lm l ON q.h = l.h
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+            SELECT query_id, track_id, "offset", votes FROM (
+              SELECT hist.*, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY votes DESC, track_id, "offset") AS rn
+              FROM hist) WHERE rn = 1
         """,
         "suffix_ranks": _SUFFIX_RANKS_SQL + """
             SELECT gpos, rank FROM sr

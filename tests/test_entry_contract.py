@@ -70,7 +70,8 @@ def duck():
      "idx_merge_df", "dedup_setjoin", "graph_hyperball",
      "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
      "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
-     "suffix_ranks", "suffix_dup8", "graph_kcore"],
+     "suffix_ranks", "suffix_dup8", "graph_kcore",
+     "audio_landmarks", "audio_match"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
