@@ -1569,6 +1569,19 @@ def q_suffix_dup8(spark, sf):
     )
 
 
+def q_suffix_lcp8(spark, sf):
+    """Capped LCP array (operators/suffixes.py::lcp_capped, Flick &
+    Aluru SC'15 binary descent over the doubling rank tables): lcp of
+    each suffix vs its predecessor in the 8-token-prefix order, capped
+    at 7; sa_pos from the scalable global dense rank."""
+    from barkingowl_spark.operators.suffixes import (
+        corpus_stream,
+        lcp_capped,
+    )
+
+    return lcp_capped(corpus_stream(_t(spark, sf, "documents")), 3)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_landmarks": q_audio_landmarks,
         "audio_match": q_audio_match,
         "suffix_dup8": q_suffix_dup8,
+        "suffix_lcp8": q_suffix_lcp8,
         "mix_epoch_plan": q_mix_epoch_plan,
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
@@ -5262,6 +5276,20 @@ def oracle_sql() -> dict[str, str]:
         "suffix_dup8": _SUFFIX_RANKS_SQL + """
             SELECT rank, CAST(count(*) AS BIGINT) AS n_positions
             FROM sr GROUP BY rank HAVING count(*) > 1
+        """,
+        "suffix_lcp8": _SUFFIX_RANKS_SQL + """
+            , ord AS (
+              SELECT gpos, pl,
+                     row_number() OVER (ORDER BY pl, gpos) AS sa_pos,
+                     lag(pl) OVER (ORDER BY pl, gpos) AS prev
+              FROM pad)
+            SELECT CAST(gpos AS BIGINT) AS gpos,
+                   CAST(sa_pos AS BIGINT) AS sa_pos,
+                   CAST(CASE WHEN prev IS NULL THEN 0 ELSE
+                        len(list_filter(range(1, 8),
+                            j -> pl[1:j] = prev[1:j]))
+                        END AS BIGINT) AS lcp
+            FROM ord
         """,
         "fetch_revalidate": """
             WITH h AS (

@@ -138,3 +138,90 @@ def suffix_array(
         .join(stream.select("gpos", "doc_id", "pos"), "gpos")
         .select("sa_rank", "gpos", "doc_id", "pos")
     )
+
+
+def _rank_tables(stream: DataFrame, rounds: int) -> list[DataFrame]:
+    """[r_0 .. r_rounds]: the per-round rank tables (r_k ranks the
+    2^k-token padded prefixes) — suffix_ranks keeping every level, the
+    input the LCP binary descent needs."""
+    r = global_dense_rank(
+        stream.select("gpos", "term"), ["term"], out_col="rank"
+    ).select("gpos", "rank").localCheckpoint()
+    tables = [r]
+    for k in range(rounds):
+        step = 1 << k
+        a = r.select(F.col("gpos"), F.col("rank").alias("r1"))
+        b = r.select((F.col("gpos") - F.lit(step)).alias("gpos"),
+                     F.col("rank").alias("r2"))
+        pairs = (
+            a.join(b, "gpos", "left")
+            .select(
+                "gpos", "r1",
+                F.coalesce("r2", F.lit(-1).cast("long")).alias("r2"),
+            )
+        )
+        r = global_dense_rank(
+            pairs, ["r1", "r2"], out_col="rank"
+        ).select("gpos", "rank").localCheckpoint()
+        tables.append(r)
+    return tables
+
+
+def lcp_capped(stream: DataFrame, rounds: int) -> DataFrame:
+    """(gpos, sa_pos, lcp): the LCP array of the (2^rounds)-prefix
+    suffix order — sa_pos is each suffix's position in the
+    (rank, gpos) order (a scalable global dense rank, no
+    single-partition window), lcp the length of the longest common
+    prefix with the PREVIOUS suffix in that order, measured by binary
+    descent over the doubling rank tables (Flick & Aluru SC'15 §4:
+    level r contributes 2^r iff the 2^r-prefixes at the advanced
+    positions still agree) and therefore CAPPED at 2^rounds - 1 —
+    rank-tied neighbours (true LCP >= 2^rounds) read the cap. The
+    first suffix's lcp is 0 by convention.
+
+    Adjacent-pair state is one row per suffix; the descent is
+    2*rounds equi-joins against the (gpos, rank) level tables — the
+    published distributed-LCP cost, log-many narrow shuffles, nothing
+    quadratic. With rounds at the suffix_array convergence point the
+    cap is never hit and this IS the exact LCP array (pinned in
+    tests/test_suffixes.py)."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    tables = _rank_tables(stream, rounds)
+    pos = global_dense_rank(
+        tables[-1], ["rank", "gpos"], out_col="sa_pos"
+    ).select("gpos", "sa_pos")
+    prev = pos.select((F.col("sa_pos") + 1).alias("sa_pos"),
+                      F.col("gpos").alias("pa"))
+    st = (
+        pos.join(prev, "sa_pos")
+        .select("sa_pos", "pa", F.col("gpos").alias("pb"),
+                F.lit(0).cast("long").alias("lcp"))
+    )
+    for r in range(rounds - 1, -1, -1):
+        t = tables[r]
+        ta = t.select(F.col("gpos").alias("pa"),
+                      F.col("rank").alias("ra"))
+        tb = t.select(F.col("gpos").alias("pb"),
+                      F.col("rank").alias("rb"))
+        step = 1 << r
+        eq = (F.col("ra").isNotNull() & F.col("rb").isNotNull()
+              & (F.col("ra") == F.col("rb"))).cast("long")
+        st = (
+            st.join(ta, "pa", "left")
+            .join(tb, "pb", "left")
+            .select(
+                "sa_pos",
+                (F.col("pa") + eq * step).alias("pa"),
+                (F.col("pb") + eq * step).alias("pb"),
+                (F.col("lcp") + eq * step).alias("lcp"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pos.join(st.select("sa_pos", "lcp"), "sa_pos", "left")
+        .select(
+            "gpos", "sa_pos",
+            F.coalesce("lcp", F.lit(0).cast("long")).alias("lcp"),
+        )
+    )

@@ -99,3 +99,69 @@ def test_suffix_array_is_sorted_suffix_order(spark):
 def test_rounds_validation(spark):
     with pytest.raises(ValueError):
         suffix_ranks(corpus_stream(_docs_df(spark)), -1)
+
+
+def _py_lcp(rounds):
+    """Brute-force capped LCP array: order suffixes by (padded
+    2^rounds-prefix rank, gpos); lcp vs previous = common-prefix
+    length of the PADDED prefixes, capped at 2^rounds - 1."""
+    stream = _py_stream()
+    terms = [t for _, _, t, _ in stream]
+    n = len(terms)
+    width = 1 << rounds
+    tr = {t: i + 1 for i, t in enumerate(sorted(set(terms)))}
+    keys = [tuple(tr[t] for t in terms[i:i + width])
+            + (-1,) * (width - min(width, n - i)) for i in range(n)]
+    order = sorted(range(n), key=lambda i: (keys[i], i))
+    out = {}
+    for sa_pos, i in enumerate(order, start=1):
+        if sa_pos == 1:
+            out[i + 1] = (sa_pos, 0)
+            continue
+        j = order[sa_pos - 2]
+        a, b = keys[i], keys[j]
+        lcp = 0
+        while lcp < width - 1 and a[lcp] == b[lcp]:
+            lcp += 1
+        out[i + 1] = (sa_pos, lcp)
+    return out
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_lcp_capped_matches_brute(spark, rounds):
+    from barkingowl_spark.operators.suffixes import lcp_capped
+
+    got = {r["gpos"]: (r["sa_pos"], r["lcp"])
+           for r in lcp_capped(corpus_stream(_docs_df(spark)),
+                               rounds).collect()}
+    assert got == _py_lcp(rounds)
+
+
+def test_lcp_converged_is_exact(spark):
+    """At rounds past convergence the cap is never hit: lcp equals the
+    true common-prefix length of adjacent sorted suffixes — and the
+    duplicated doc pair (0 vs 4) surfaces the corpus-max LCP of 7
+    (the full 7-token doc; the per-doc sentinels differ at token 8)."""
+    from barkingowl_spark.operators.suffixes import lcp_capped
+
+    stream = _py_stream()
+    terms = [t for _, _, t, _ in stream]
+    n = len(terms)
+    order = sorted(range(n), key=lambda i: terms[i:])
+    want = {}
+    for sa_pos, i in enumerate(order, start=1):
+        if sa_pos == 1:
+            want[i + 1] = (sa_pos, 0)
+            continue
+        j = order[sa_pos - 2]
+        a, b = terms[i:], terms[j:]
+        lcp = 0
+        while lcp < min(len(a), len(b)) and a[lcp] == b[lcp]:
+            lcp += 1
+        want[i + 1] = (sa_pos, lcp)
+    got = {r["gpos"]: (r["sa_pos"], r["lcp"])
+           for r in lcp_capped(corpus_stream(_docs_df(spark)),
+                               5).collect()}
+    assert got == want
+    assert max(l for _, l in want.values()) == max(
+        l for _, l in got.values()) == 7
