@@ -907,6 +907,16 @@ def q_graph_hits(spark, sf):
     return hits_fixed(edges, n_iter=2)
 
 
+def q_graph_adamic(spark, sf):
+    """Adamic-Adar link prediction (operators/linkgraph.py::
+    adamic_adar, Social Networks 2003): common-neighbor pairs weighted
+    by 1e6 div (1+floor log2 deg) with the hub wedge-center cap."""
+    from barkingowl_spark.operators.linkgraph import adamic_adar
+
+    edges, _ = _synth_edges(spark, sf)
+    return adamic_adar(edges, max_deg=64)
+
+
 def q_graph_kcore(spark, sf):
     """Two synchronous rounds of 4-core peeling on the undirected
     simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
@@ -2537,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_agg": q_graph_host_agg,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
+        "graph_adamic": q_graph_adamic,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -3823,6 +3834,28 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN h2f ON h2f.node = n.node
             JOIN a2f ON a2f.node = n.node
+        """,
+        "graph_adamic": f"""
+            WITH {_EDGES_SQL},
+            e0 AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+                WHERE src <> dst),
+            deg AS (SELECT src AS w, count(*) AS deg
+                    FROM e0 GROUP BY src),
+            ctr AS (SELECT w,
+                           1000000 // (1 + (length(bin(deg)) - 1))
+                               AS wt
+                    FROM deg WHERE deg <= 64),
+            wdg AS (SELECT e1.src AS w, e1.dst AS node_a,
+                           e2.dst AS node_b
+                    FROM e0 e1 JOIN e0 e2
+                      ON e1.src = e2.src AND e1.dst < e2.dst)
+            SELECT node_a, node_b,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   CAST(sum(wt) AS BIGINT) AS aa_micro
+            FROM wdg JOIN ctr USING (w) GROUP BY 1, 2
         """,
         "graph_kcore": f"""
             WITH {_EDGES_SQL},

@@ -751,3 +751,47 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 100) -> DataFrame:
         prev = cur
     return sub.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree"))
+
+
+def adamic_adar(edges: DataFrame, max_deg: int = 64) -> DataFrame:
+    """(node_a, node_b, common_neighbors, aa_micro): Adamic-Adar
+    link-prediction scores (Adamic & Adar, "Friends and neighbors on
+    the Web", Social Networks 2003; the strongest simple predictor in
+    Liben-Nowell & Kleinberg CIKM'03) over the undirected simple
+    graph: pairs sharing neighbors, each common neighbor w weighted
+    inversely by how promiscuous it is —
+
+        aa_micro(u,v) = sum_w 1e6 div (1 + floor(log2(deg(w))))
+
+    the repo's integer floor-log2 surrogate of 1/log deg (same
+    bin-length identity as outlink_entropy; 1+ keeps degree-1 bridges
+    finite at weight 1e6). High AA between unlinked hosts = related
+    content / candidate seeds; combined with reciprocal_stats it
+    separates organic neighborhoods from nepotistic rings.
+
+    Scale shape: the wedge self-join on the shared neighbor w is the
+    quadratic hazard — a 10^6-degree hub alone yields 10^12 pairs —
+    so hubs above max_deg are EXCLUDED as wedge centers (the
+    mirrors.py/cocitation stop-key discipline; dropped volume is
+    countable by comparing degree tables). One degree agg + one
+    self-equi-join + one map-side-combined pair agg."""
+    und = _undirected_simple(edges)
+    deg = und.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= max_deg).withColumn(
+        "wt",
+        F.expr("1000000L div (1 + (length(bin(deg)) - 1))"),
+    )
+    wedge = und.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    a = wedge.select("w", F.col("n").alias("node_a"))
+    b = wedge.select("w", F.col("n").alias("node_b"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(centers.select("w", "wt"), "w")
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("wt").cast("long").alias("aa_micro"),
+        )
+    )

@@ -71,7 +71,8 @@ def duck():
      "graph_harmonic", "kmv_host_distinct", "kmv_host_overlap",
      "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
      "suffix_ranks", "suffix_dup8", "graph_kcore",
-     "audio_landmarks", "audio_match", "suffix_lcp8"],
+     "audio_landmarks", "audio_match", "suffix_lcp8",
+     "graph_adamic"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -573,3 +573,53 @@ def test_kcore_peel_and_converged(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kcore_peel(df, k=0)
+
+
+def test_adamic_adar_matches_python(spark):
+    from barkingowl_spark.operators.linkgraph import adamic_adar
+
+    edges = [(0, 2), (1, 2), (0, 3), (1, 3), (2, 3), (4, 0), (4, 1),
+             (5, 5), (9, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    want = {}
+    for w, d in deg.items():
+        if d > 64:
+            continue
+        wt = 1_000_000 // (1 + (d.bit_length() - 1))
+        ns = sorted(nbrs[w])
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                c, s = want.get((u, v), (0, 0))
+                want[(u, v)] = (c + 1, s + wt)
+    got = {(r["node_a"], r["node_b"]): (r["common_neighbors"],
+                                        r["aa_micro"])
+           for r in adamic_adar(df).collect()}
+    assert got == want
+    # hand value: 0 and 1 share neighbors {2, 3, 4} with degs 3, 4, 2
+    w23 = 1_000_000 // 2
+    w4 = 1_000_000 // 2
+    assert got[(0, 1)] == (3, w23 * 2 + w4)
+
+
+def test_adamic_adar_hub_cap(spark):
+    from barkingowl_spark.operators.linkgraph import adamic_adar
+
+    # star center 100 with 5 leaves: max_deg=4 drops it as a wedge
+    edges = [(100, i) for i in range(5)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node_a"], r["node_b"])
+           for r in adamic_adar(df, max_deg=4).collect()}
+    # only wedges through leaves survive: 0 and 1 (deg 2) connect
+    # (100, each other's neighbor sets)
+    assert all(100 in (a, b) or (a, b) == (0, 1) for a, b in got) \
+        or got == set()
+    assert not any({a, b} <= set(range(5)) for a, b in got)
