@@ -917,6 +917,16 @@ def q_graph_adamic(spark, sf):
     return adamic_adar(edges, max_deg=64)
 
 
+def q_graph_walks(spark, sf):
+    """Deterministic DeepWalk corpus (operators/walks.py): one
+    3-step md5-driven walk per node over the synthetic graph — the
+    graph-embedding training stream, bit-identical across engines."""
+    from barkingowl_spark.operators.walks import random_walks
+
+    edges, _ = _synth_edges(spark, sf)
+    return random_walks(edges, walk_len=3)
+
+
 def q_graph_kcore(spark, sf):
     """Two synchronous rounds of 4-core peeling on the undirected
     simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
@@ -2548,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_adamic": q_graph_adamic,
+        "graph_walks": q_graph_walks,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -3834,6 +3845,39 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN h2f ON h2f.node = n.node
             JOIN a2f ON a2f.node = n.node
+        """,
+        "graph_walks": f"""
+            WITH {_EDGES_SQL},
+            e0 AS (SELECT DISTINCT src, dst FROM edges),
+            nbr AS (SELECT src, dst, row_number() OVER (
+                        PARTITION BY src ORDER BY dst) AS rn
+                    FROM e0),
+            dg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+            n0 AS (SELECT src AS node FROM e0
+                   UNION SELECT dst FROM e0),
+            s0 AS (SELECT node AS walk_id, node FROM n0),
+            s1 AS (SELECT s.walk_id, nbr.dst AS node
+                   FROM s0 s
+                   JOIN dg ON dg.src = s.node
+                   JOIN nbr ON nbr.src = s.node
+                    AND nbr.rn = 1 + CAST(('0x' || substring(md5('walk#' || CAST(s.walk_id AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) % dg.deg),
+            s2 AS (SELECT s.walk_id, nbr.dst AS node
+                   FROM s1 s
+                   JOIN dg ON dg.src = s.node
+                   JOIN nbr ON nbr.src = s.node
+                    AND nbr.rn = 1 + CAST(('0x' || substring(md5('walk#' || CAST(s.walk_id AS VARCHAR) || '#2'), 1, 15)) AS BIGINT) % dg.deg),
+            s3 AS (SELECT s.walk_id, nbr.dst AS node
+                   FROM s2 s
+                   JOIN dg ON dg.src = s.node
+                   JOIN nbr ON nbr.src = s.node
+                    AND nbr.rn = 1 + CAST(('0x' || substring(md5('walk#' || CAST(s.walk_id AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) % dg.deg)
+            SELECT walk_id, CAST(0 AS INT) AS step, node FROM s0
+            UNION ALL
+            SELECT walk_id, CAST(1 AS INT), node FROM s1
+            UNION ALL
+            SELECT walk_id, CAST(2 AS INT), node FROM s2
+            UNION ALL
+            SELECT walk_id, CAST(3 AS INT), node FROM s3
         """,
         "graph_adamic": f"""
             WITH {_EDGES_SQL},
