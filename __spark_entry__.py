@@ -1602,6 +1602,50 @@ def q_suffix_lcp8(spark, sf):
     return lcp_capped(corpus_stream(_t(spark, sf, "documents")), 3)
 
 
+def q_events_asof(spark, sf):
+    """As-of join (operators/temporal.py::asof_join — the kdb aj /
+    merge_asof shape as ONE key-partitioned window, no range join):
+    each event matched to the latest purchase at or before it by the
+    same user, ties to the larger event_id."""
+    from barkingowl_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    pur = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    return asof_join(e, pur, key="user_id", ts="ts",
+                     right_cols=["event_id"], tie="event_id")
+
+
+def q_events_interval(spark, sf):
+    """Bucketed range join (operators/temporal.py::interval_join):
+    events inside synthetic 2-day-per-week maintenance windows per
+    user — (user_id, bucket) equi-join candidates, exact containment
+    filter, 1-day buckets; never a per-key cartesian."""
+    from barkingowl_spark.operators.temporal import interval_join
+
+    day_us = 86_400_000_000
+    epoch0 = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    pts = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    ivs = (
+        _t(spark, sf, "events").select("user_id").distinct()
+        .select("user_id",
+                F.explode(F.expr("sequence(0, 3)")).alias("k"))
+        .select(
+            "user_id",
+            (F.col("user_id") * 10 + F.col("k")).alias("iid"),
+            (F.lit(epoch0) + F.col("k") * 7 * day_us).alias("lo"),
+            (F.lit(epoch0) + F.col("k") * 7 * day_us
+             + 2 * day_us).alias("hi"),
+        )
+    )
+    return interval_join(pts, ivs, key="user_id", t="t",
+                         lo="lo", hi="hi", bucket_width=day_us)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2591,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o27_text_extract": q_o27_text_extract,
         "o1_recrawl_due": q_o1_recrawl_due,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_setjoin": q_dedup_setjoin,
@@ -5346,6 +5392,35 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "events_asof": """
+            WITH pur AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+            best AS (
+              SELECT e.event_id AS lid,
+                     max(struct_pack(ts := p.ts, eid := p.event_id))
+                         AS b
+              FROM events e JOIN pur p
+                ON p.user_id = e.user_id AND p.ts <= e.ts
+              GROUP BY e.event_id)
+            SELECT e.event_id, e.user_id, e.ts,
+                   b.b.eid AS r_event_id, b.b.ts AS r_ts
+            FROM events e LEFT JOIN best b ON b.lid = e.event_id
+        """,
+        "events_interval": """
+            WITH pts AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+            ivs AS (
+              SELECT user_id, user_id * 10 + k AS iid,
+                     1704067200000000 + k * 7 * 86400000000 AS lo,
+                     1704067200000000 + k * 7 * 86400000000
+                       + 2 * 86400000000 AS hi
+              FROM (SELECT DISTINCT user_id FROM events),
+                   (SELECT unnest(generate_series(0, 3)) AS k))
+            SELECT p.event_id, p.user_id, p.t, i.iid, i.lo, i.hi
+            FROM pts p JOIN ivs i
+              ON i.user_id = p.user_id AND p.t >= i.lo AND p.t < i.hi
         """,
         "suffix_ranks": _SUFFIX_RANKS_SQL + """
             SELECT gpos, rank FROM sr

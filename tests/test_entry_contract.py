@@ -72,7 +72,8 @@ def duck():
      "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
      "suffix_ranks", "suffix_dup8", "graph_kcore",
      "audio_landmarks", "audio_match", "suffix_lcp8",
-     "graph_adamic", "graph_walks"],
+     "graph_adamic", "graph_walks", "events_asof",
+     "events_interval"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
