@@ -1646,6 +1646,25 @@ def q_events_interval(spark, sf):
                          lo="lo", hi="hi", bucket_width=day_us)
 
 
+def q_hdr_len_quantiles(spark, sf):
+    """Mergeable HDR-histogram percentiles (functions/hdrhist.py):
+    per-host p50/p90/p99 of document byte length from the log-bucket
+    sketch — <=2^-5 relative error, no global sort (the scale
+    alternative to textstats.length_percentiles)."""
+    from barkingowl_spark.functions.hdrhist import (
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    v = _t(spark, sf, "documents").select(
+        "source",
+        F.octet_length(F.coalesce("text", F.lit(""))).cast("long")
+        .alias("blen"),
+    )
+    return hdr_quantiles(hdr_sketch(v, "blen", "source"),
+                         [50, 90, 99])
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2636,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_recrawl_due": q_o1_recrawl_due,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "hdr_len_quantiles": q_hdr_len_quantiles,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5392,6 +5412,36 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "hdr_len_quantiles": """
+            WITH v AS (
+              SELECT source AS grp,
+                     strlen(coalesce(text, '')) AS v
+              FROM documents),
+            b AS (
+              SELECT grp,
+                     CASE WHEN v < 32 THEN v
+                          ELSE ((length(bin(v)) - 1) - 5) * 32
+                               + (v >> ((length(bin(v)) - 1) - 5))
+                     END AS idx,
+                     CASE WHEN v < 32 THEN v
+                          ELSE (v >> ((length(bin(v)) - 1) - 5))
+                               << ((length(bin(v)) - 1) - 5)
+                     END AS lower
+              FROM v),
+            sk AS (SELECT grp, idx, lower, count(*) AS n
+                   FROM b GROUP BY 1, 2, 3),
+            c AS (
+              SELECT grp, lower,
+                     sum(n) OVER (PARTITION BY grp ORDER BY idx)
+                         AS cum,
+                     sum(n) OVER (PARTITION BY grp) AS total
+              FROM sk)
+            SELECT grp, CAST(q AS INT) AS q,
+                   CAST(min(lower) AS BIGINT) AS estimate
+            FROM c, (VALUES (50), (90), (99)) qs(q)
+            WHERE cum >= (total * q + 99) // 100
+            GROUP BY grp, q
         """,
         "events_asof": """
             WITH pur AS (
