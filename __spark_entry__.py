@@ -1665,6 +1665,23 @@ def q_hdr_len_quantiles(spark, sf):
                          [50, 90, 99])
 
 
+def q_url_path_tree(spark, sf):
+    """Site-structure map (operators/urltree.py::path_tree): captured-
+    URL counts per (host, depth, path prefix) over synthetic 3-level
+    paths — the generated-URL-space / subtree-budget signal."""
+    from barkingowl_spark.operators.urltree import path_tree
+
+    urls = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("http://"), "source", F.lit(".test/a"),
+            (F.col("doc_id") % 3).cast("string"), F.lit("/b"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return path_tree(urls)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2656,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "hdr_len_quantiles": q_hdr_len_quantiles,
+        "url_path_tree": q_url_path_tree,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5412,6 +5430,30 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "url_path_tree": """
+            WITH u AS (
+              SELECT 'http://' || source || '.test/a'
+                     || CAST(doc_id % 3 AS VARCHAR) || '/b'
+                     || CAST(doc_id % 7 AS VARCHAR) || '/p'
+                     || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            p AS (
+              SELECT string_split(url, '/') AS parts FROM u),
+            b AS (
+              SELECT parts[3] AS host,
+                     list_filter(parts[4:], x -> x <> '') AS segs
+              FROM p),
+            e AS (
+              SELECT host, d AS depth,
+                     CASE WHEN d = 0 THEN '/'
+                          ELSE '/' || array_to_string(segs[1:d], '/')
+                     END AS prefix
+              FROM b, LATERAL (SELECT unnest(
+                  generate_series(0, len(segs))) AS d))
+            SELECT host, CAST(depth AS INT) AS depth, prefix,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM e GROUP BY 1, 2, 3
         """,
         "hdr_len_quantiles": """
             WITH v AS (
