@@ -1682,6 +1682,34 @@ def q_url_path_tree(spark, sf):
     return path_tree(urls)
 
 
+def q_meta_robots(spark, sf):
+    """Page-level robots directives (functions/metarobots.py): the
+    REP indexing half — first-tag-wins, case-insensitive, trimmed,
+    'none' alias. Html synthesized per doc_id%5 (uppercase / padded /
+    alias / absent variants); the oracle re-derives the INTENT of the
+    synthesis rule (an independent path for the same spec — the
+    generic parser itself is pinned by tests/test_metarobots.py)."""
+    from barkingowl_spark.functions.metarobots import robots_directives
+
+    tag = (
+        "CASE doc_id % 5"
+        " WHEN 1 THEN '<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\">'"
+        " WHEN 2 THEN '<meta name=\"robots\" content=\" nofollow \">'"
+        " WHEN 3 THEN '<meta name=\"robots\" content=\"none\">'"
+        " WHEN 4 THEN ''"
+        " ELSE '<meta name=\"robots\" content=\"index, follow\">'"
+        " END"
+    )
+    pages = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat('<html><head>', {tag}, '</head><body>',"
+            f" coalesce(text, ''), '</body></html>')"
+        ).alias("html"),
+    )
+    return robots_directives(pages)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2674,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
+        "meta_robots": q_meta_robots,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5430,6 +5459,12 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "meta_robots": """
+            SELECT doc_id,
+                   (doc_id % 5 = 1 OR doc_id % 5 = 3) AS noindex,
+                   (doc_id % 5 = 2 OR doc_id % 5 = 3) AS nofollow
+            FROM documents
         """,
         "url_path_tree": """
             WITH u AS (

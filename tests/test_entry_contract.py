@@ -73,7 +73,8 @@ def duck():
      "suffix_ranks", "suffix_dup8", "graph_kcore",
      "audio_landmarks", "audio_match", "suffix_lcp8",
      "graph_adamic", "graph_walks", "events_asof",
-     "events_interval", "hdr_len_quantiles", "url_path_tree"],
+     "events_interval", "hdr_len_quantiles", "url_path_tree",
+     "meta_robots"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
