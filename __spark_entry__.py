@@ -1710,6 +1710,71 @@ def q_meta_robots(spark, sf):
     return robots_directives(pages)
 
 
+def _synth_feeds(spark, sf):
+    """One RSS body per source host: <item> blocks in doc_id order
+    (pubDate only on even ids — exercises the NULL path; padded
+    whitespace inside <link> exercises trimming)."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    frag = F.concat(
+        F.lit("<item><link> http://"), F.col("source"),
+        F.lit(".test/p"), sid, F.lit(" </link><title>Doc "), sid,
+        F.lit("</title>"),
+        F.coalesce(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("<pubDate>D"), sid,
+                            F.lit("</pubDate>"))),
+            F.lit("")),
+        F.lit("</item>"),
+    )
+    return (
+        d.select("source",
+                 F.struct("doc_id", frag.alias("frag")).alias("sf"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("sf")).alias("s"))
+        .select(
+            F.concat(F.lit("http://"), "source",
+                     F.lit(".test/feed.xml")).alias("url"),
+            F.concat(
+                F.lit("<rss><channel>"),
+                F.array_join(F.transform("s", lambda x: x["frag"]), ""),
+                F.lit("</channel></rss>"),
+            ).alias("body"),
+        )
+    )
+
+
+def q_feed_parse(spark, sf):
+    """RSS item parsing (operators/feeds.py::feed_items) over the
+    synthesized per-host feeds; oracle re-derives the synthesis
+    intent (item_idx = doc_id rank within host)."""
+    from barkingowl_spark.operators.feeds import feed_items
+
+    return feed_items(_synth_feeds(spark, sf))
+
+
+def q_feed_discover(spark, sf):
+    """Feed discovery (operators/feeds.py::feed_discover): pages of
+    doc_id%4==0 advertise their host feed via the alternate-link
+    tag."""
+    from barkingowl_spark.operators.feeds import feed_discover
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(F.lit("http://"), "source", F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "concat('<html><head>',"
+            " CASE WHEN doc_id % 4 = 0 THEN"
+            " concat('<link rel=\"alternate\""
+            " type=\"application/rss+xml\" href=\"http://',"
+            " source, '.test/feed.xml\">') ELSE '' END,"
+            " '</head><body>', coalesce(text, ''), '</body></html>')"
+        ).alias("html"),
+    )
+    return feed_discover(pages)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2703,6 +2768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
+        "feed_parse": q_feed_parse,
+        "feed_discover": q_feed_discover,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5459,6 +5526,25 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "feed_parse": """
+            SELECT 'http://' || source || '.test/feed.xml' AS url,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) - 1
+                     AS INT) AS item_idx,
+                   'http://' || source || '.test/p'
+                     || CAST(doc_id AS VARCHAR) AS link,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'D' || CAST(doc_id AS VARCHAR)
+                   END AS pub_date
+            FROM documents
+        """,
+        "feed_discover": """
+            SELECT 'http://' || source || '.test/p'
+                     || CAST(doc_id AS VARCHAR) AS page_url,
+                   'http://' || source || '.test/feed.xml' AS feed_url
+            FROM documents WHERE doc_id % 4 = 0
         """,
         "meta_robots": """
             SELECT doc_id,

@@ -74,7 +74,7 @@ def duck():
      "audio_landmarks", "audio_match", "suffix_lcp8",
      "graph_adamic", "graph_walks", "events_asof",
      "events_interval", "hdr_len_quantiles", "url_path_tree",
-     "meta_robots"],
+     "meta_robots", "feed_parse", "feed_discover"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
