@@ -1775,6 +1775,44 @@ def q_feed_discover(spark, sf):
     return feed_discover(pages)
 
 
+def _synth_hreflang_pages(spark, sf):
+    d = _t(spark, sf, "documents")
+    base = ("'http://' || source || '.test/p' ||"
+            " CAST(doc_id AS STRING)")
+    return d.select(
+        F.expr(base).alias("url"),
+        F.expr(
+            f"concat('<html><head>', CASE WHEN doc_id % 3 = 0 THEN"
+            f" concat('<link rel=\"alternate\" hreflang=\"de\""
+            f" href=\"', {base}, '-de\">',"
+            f" '<link rel=\"alternate\" hreflang=\"fr\""
+            f" href=\"', {base}, '-fr\">')"
+            f" ELSE '' END, '</head>')"
+        ).alias("html"),
+    )
+
+
+def q_hreflang_parse(spark, sf):
+    """hreflang alternate-link extraction (operators/feeds.py::
+    hreflang_links): every doc_id%3==0 page declares de/fr variants."""
+    from barkingowl_spark.operators.feeds import hreflang_links
+
+    return hreflang_links(_synth_hreflang_pages(spark, sf))
+
+
+def q_hreflang_clusters(spark, sf):
+    """Language-variant clusters (feeds.py::hreflang_clusters):
+    connected components over the declaration edges, min-URL labels
+    (reuses operators/components.py pointer jumping)."""
+    from barkingowl_spark.operators.feeds import (
+        hreflang_clusters,
+        hreflang_links,
+    )
+
+    return hreflang_clusters(
+        hreflang_links(_synth_hreflang_pages(spark, sf)))
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2770,6 +2808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "feed_parse": q_feed_parse,
         "feed_discover": q_feed_discover,
+        "hreflang_parse": q_hreflang_parse,
+        "hreflang_clusters": q_hreflang_clusters,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5526,6 +5566,25 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "hreflang_parse": """
+            WITH b AS (
+              SELECT 'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT u AS page_url, 'de' AS hreflang,
+                   u || '-de' AS href FROM b
+            UNION ALL
+            SELECT u, 'fr', u || '-fr' FROM b
+        """,
+        "hreflang_clusters": """
+            WITH b AS (
+              SELECT 'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT u AS url, u AS cluster_id FROM b
+            UNION ALL SELECT u || '-de', u FROM b
+            UNION ALL SELECT u || '-fr', u FROM b
         """,
         "feed_parse": """
             SELECT 'http://' || source || '.test/feed.xml' AS url,

@@ -80,3 +80,55 @@ def feed_discover(
         )
         .filter(F.col("feed_url").isNotNull())
     )
+
+
+_HREFLANG_TAG_RE = '<link[^>]*hreflang="[^"]*"[^>]*>'
+
+
+def hreflang_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, hreflang, href): every rel="alternate" hreflang
+    advertisement in a page (RFC 8288 link relations as used by the
+    hreflang de-facto standard; double-quoted attribute subset, same
+    discipline as feed_discover). Pages declare their language
+    variants; x-default is passed through as a value."""
+    return (
+        pages.select(
+            F.col(url_col).alias("page_url"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(_HREFLANG_TAG_RE), F.lit(0))
+            ).alias("tag"),
+        )
+        .select(
+            "page_url",
+            F.nullif(
+                F.regexp_extract("tag", 'hreflang="([^"]*)"', 1),
+                F.lit("")).alias("hreflang"),
+            F.nullif(
+                F.regexp_extract("tag", 'href="([^"]*)"', 1),
+                F.lit("")).alias("href"),
+        )
+        .filter(F.col("href").isNotNull()
+                & F.col("hreflang").isNotNull())
+    )
+
+
+def hreflang_clusters(links: DataFrame) -> DataFrame:
+    """(url, cluster_id): language-variant page clusters — connected
+    components over the declaration edges (page_url <-> href), labels
+    the component-minimum URL (operators/components.py pointer
+    jumping, the canonical.py resolution discipline). Declarations
+    are rarely symmetric in the wild; the undirected closure is the
+    standard repair."""
+    from barkingowl_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = links.select(
+        F.col("page_url").alias("doc_a"), F.col("href").alias("doc_b")
+    ).filter(F.col("doc_a") != F.col("doc_b")).distinct()
+    return connected_components(pairs).select(
+        F.col("id").alias("url"), F.col("component_id")
+        .alias("cluster_id"))

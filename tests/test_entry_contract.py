@@ -74,7 +74,8 @@ def duck():
      "audio_landmarks", "audio_match", "suffix_lcp8",
      "graph_adamic", "graph_walks", "events_asof",
      "events_interval", "hdr_len_quantiles", "url_path_tree",
-     "meta_robots", "feed_parse", "feed_discover"],
+     "meta_robots", "feed_parse", "feed_discover",
+     "hreflang_parse", "hreflang_clusters"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

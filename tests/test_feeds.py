@@ -52,3 +52,39 @@ def test_feed_discover(spark):
         ("http://a.test/", "http://a.test/feed.xml"),
         ("http://a.test/", "http://a.test/atom.xml"),
     }
+
+
+def test_hreflang_links_and_clusters(spark):
+    from barkingowl_spark.operators.feeds import (
+        hreflang_clusters,
+        hreflang_links,
+    )
+
+    pages = [
+        ("http://a.test/en",
+         '<link rel="alternate" hreflang="de" href="http://a.test/de">'
+         '<link rel="alternate" hreflang="x-default" '
+         'href="http://a.test/en">'),
+        # asymmetric: /de declares nothing back
+        ("http://a.test/de", "<html>nichts</html>"),
+        ("http://b.test/fr",
+         '<link hreflang="en" href="http://b.test/en">'),
+        ("http://c.test/solo", '<link hreflang="" href="x">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    links = {(r["page_url"], r["hreflang"], r["href"])
+             for r in hreflang_links(df).collect()}
+    assert links == {
+        ("http://a.test/en", "de", "http://a.test/de"),
+        ("http://a.test/en", "x-default", "http://a.test/en"),
+        ("http://b.test/fr", "en", "http://b.test/en"),
+    }
+    clusters = {r["url"]: r["cluster_id"]
+                for r in hreflang_clusters(
+                    hreflang_links(df)).collect()}
+    # a.test pair clusters together (self-edge dropped); b.test pair
+    # separately; the min-url label convention
+    assert clusters["http://a.test/en"] == clusters["http://a.test/de"]
+    assert clusters["http://b.test/fr"] == clusters["http://b.test/en"]
+    assert clusters["http://a.test/de"] == "http://a.test/de"
+    assert clusters["http://b.test/en"] == "http://b.test/en"
