@@ -1813,6 +1813,21 @@ def q_hreflang_clusters(spark, sf):
         hreflang_links(_synth_hreflang_pages(spark, sf)))
 
 
+def q_host_budget_select(spark, sf):
+    """Greedy crawl-budget allocation (operators/ranking.py::
+    budget_select, Dantzig knapsack prefix): hosts by bytes-per-fetch
+    density until a 300-fetch budget is spent — cum cost via the
+    scalable global running sum (no single-partition sort)."""
+    from barkingowl_spark.operators.ranking import budget_select
+
+    items = _t(spark, sf, "documents").groupBy("source").agg(
+        F.sum(F.octet_length(F.coalesce("text", F.lit(""))))
+        .cast("long").alias("value"),
+        F.count(F.lit(1)).cast("long").alias("cost"),
+    )
+    return budget_select(items, "source", "value", "cost", budget=300)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2810,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discover": q_feed_discover,
         "hreflang_parse": q_hreflang_parse,
         "hreflang_clusters": q_hreflang_clusters,
+        "host_budget_select": q_host_budget_select,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5566,6 +5582,24 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "host_budget_select": """
+            WITH it AS (
+              SELECT source AS id,
+                     CAST(sum(strlen(coalesce(text, ''))) AS BIGINT)
+                         AS value,
+                     CAST(count(*) AS BIGINT) AS cost
+              FROM documents GROUP BY source),
+            d AS (SELECT id, value, cost,
+                         (value * 1000) // cost AS density_milli
+                  FROM it),
+            r AS (SELECT d.*, sum(cost) OVER (
+                      ORDER BY -density_milli, id) AS cum_cost
+                  FROM d)
+            SELECT id, value, cost,
+                   CAST(density_milli AS BIGINT) AS density_milli,
+                   CAST(cum_cost AS BIGINT) AS cum_cost
+            FROM r WHERE cum_cost <= 300
         """,
         "hreflang_parse": """
             WITH b AS (

@@ -89,3 +89,90 @@ def global_dense_rank(
         (off_expr + F.col("_lrank")).cast("long").alias(out_col),
     )
     return df.join(ranked, key_cols)
+
+
+def global_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+) -> DataFrame:
+    """df + out_col: the INCLUSIVE running sum of value_col in the
+    global ascending (key_cols) order — the same
+    range-shuffle + pid-partitioned-window + bounded-driver-offsets
+    shape as global_dense_rank, for cumulative sums instead of ranks.
+
+    key_cols MUST be unique per row (include a tiebreaker id):
+    a running sum at duplicate keys would depend on their arbitrary
+    relative order and stop being engine-portable."""
+    ranked = (
+        df.repartitionByRange(*[F.col(c) for c in key_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lsum",
+            F.sum(F.col(value_col)).over(
+                Window.partitionBy("_pid")
+                .orderBy(*[F.asc(c) for c in key_cols])
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)),
+        )
+        .localCheckpoint()
+    )
+    # per-partition total = sum of the values, NOT max(_lsum): with
+    # negative values the running max is not the partition total
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranked.groupBy("_pid").agg(
+            F.sum(F.col(value_col)).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = F.element_at(
+        F.create_map(*[
+            F.lit(x) for pid in sorted(offsets)
+            for x in (pid, offsets[pid])
+        ]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    return ranked.select(
+        *df.columns,
+        (off_expr + F.col("_lsum")).cast("long").alias(out_col),
+    )
+
+
+def budget_select(
+    items: DataFrame,
+    id_col: str,
+    value_col: str,
+    cost_col: str,
+    budget: int,
+) -> DataFrame:
+    """(id, value, cost, density_milli, cum_cost): the greedy
+    fractional-knapsack prefix (Dantzig 1957) — items in descending
+    value-per-cost order (integer milli density, ties to smaller id)
+    while the running cost fits the budget. The crawl-budget
+    allocator: hosts by expected value per fetch until the fetch
+    budget is spent. Costs must be positive.
+
+    One global_running_sum over the density order (no single-partition
+    sort) + one filter; at 10^10 items this is two narrow shuffles."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    dens = items.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(cost_col).cast("long").alias("cost"),
+    ).withColumn(
+        "density_milli",
+        F.expr("CASE WHEN cost > 0 THEN (value * 1000L) div cost"
+               " ELSE CAST(raise_error("
+               "'budget_select: nonpositive cost') AS BIGINT) END"),
+    ).withColumn("_negd", -F.col("density_milli"))
+    run = global_running_sum(
+        dens, ["_negd", "id"], "cost", out_col="cum_cost")
+    return (
+        run.filter(F.col("cum_cost") <= budget)
+        .select("id", "value", "cost", "density_milli", "cum_cost")
+    )

@@ -165,3 +165,40 @@ def test_lcp_converged_is_exact(spark):
     assert got == want
     assert max(l for _, l in want.values()) == max(
         l for _, l in got.values()) == 7
+
+
+def test_global_running_sum_matches_python(spark):
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    rows = [(i, ((i * 37) % 11) - 3) for i in range(50)]  # negatives
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["id"]: r["running"]
+           for r in global_running_sum(df, ["id"], "v").collect()}
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_budget_select_greedy_prefix(spark):
+    from barkingowl_spark.operators.ranking import budget_select
+
+    items = [(1, 100, 10), (2, 50, 10), (3, 90, 10), (4, 100, 10),
+             (5, 1, 1)]
+    df = spark.createDataFrame(items, "host long, val long, cost long")
+    got = {r["id"]: (r["density_milli"], r["cum_cost"])
+           for r in budget_select(df, "host", "val", "cost",
+                                  budget=31).collect()}
+    # density order: 1 and 4 (10000, tie -> id 1 first), 3 (9000),
+    # 2 (5000), 5 (1000); budget 31 fits 1,4,3 (cum 30) + 5? no —
+    # greedy order reaches 2 (cum 40 > 31) and stops the prefix there;
+    # 5 is after 2 in density order so its cum (41) also exceeds
+    assert got == {1: (10000, 10), 4: (10000, 20), 3: (9000, 30)}
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="nonpositive cost"):
+        budget_select(
+            spark.createDataFrame([(1, 5, 0)],
+                                  "host long, val long, cost long"),
+            "host", "val", "cost", 10).collect()
