@@ -1828,6 +1828,21 @@ def q_host_budget_select(spark, sf):
     return budget_select(items, "source", "value", "cost", budget=300)
 
 
+def q_search_snippet(spark, sf):
+    """Snippet selection on the positional index (operators/
+    invindex.py::best_snippet): densest 8-token window of
+    'value'/'table'/'data' hits per doc, ties earliest — one
+    RANGE-frame window + the packed argmax; text never rescanned."""
+    from barkingowl_spark.operators.invindex import (
+        best_snippet,
+        positional_postings,
+    )
+
+    return best_snippet(
+        positional_postings(_t(spark, sf, "documents")),
+        ["value", "table", "data"], window=8)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2826,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_parse": q_hreflang_parse,
         "hreflang_clusters": q_hreflang_clusters,
         "host_budget_select": q_host_budget_select,
+        "search_snippet": q_search_snippet,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5582,6 +5598,34 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "search_snippet": """
+            WITH pp AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS t,
+                       unnest(generate_series(1, len(list_filter(
+                           string_split(text, ' '),
+                           x -> x <> '')))) AS i
+                FROM documents)
+              WHERE t IN ('value', 'table', 'data')),
+            sc AS (
+              SELECT doc_id, pos, count(*) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
+              FROM pp),
+            pk AS (
+              SELECT doc_id,
+                     max(h * 1099511627776
+                         + (1099511627775 - pos)) AS pack
+              FROM sc GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(1099511627775 - pack % 1099511627776
+                        AS BIGINT) AS snippet_start,
+                   CAST(pack // 1099511627776 AS BIGINT) AS hits
+            FROM pk
         """,
         "host_budget_select": """
             WITH it AS (

@@ -302,3 +302,45 @@ def merge_doc_freqs(
         )
         .filter(F.col("doc_freq") > 0)
     )
+
+
+def best_snippet(
+    postings: DataFrame, query_terms: list[str], window: int = 8
+) -> DataFrame:
+    """(doc_id, snippet_start, hits): per matching doc, the start
+    position of the `window`-token span containing the most query-term
+    hits (occurrences, not distinct terms), ties to the earliest
+    start — the search-result snippet selector, computed entirely on
+    the positional index (the corpus text is never rescanned; the
+    caller slices tokens [start, start+window) for display).
+
+    Plan: filter the index to the query terms (pushed-down scan, k
+    bucket reads under the build_index.py layout), ONE doc-keyed
+    RANGE-frame window counts hits in [pos, pos+window), and the
+    winner is a plain max over hits*2^40 + (2^40-1-pos) — the packed
+    argmax (operators/focused.py discipline), valid while docs stay
+    under 2^40 tokens."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    big = 1 << 40
+    hits = postings.filter(
+        F.col("term").isin(list(query_terms))).select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    scored = hits.withColumn(
+        "h", F.count(F.lit(1)).over(w).cast("long"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max(F.col("h") * big + (F.lit(big - 1) - F.col("pos")))
+             .alias("pack"))
+        .selectExpr(
+            "doc_id",
+            f"CAST({big - 1} - pack % {big} AS BIGINT)"
+            f" AS snippet_start",
+            f"CAST(pack div {big} AS BIGINT) AS hits",
+        )
+    )

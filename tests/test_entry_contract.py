@@ -75,7 +75,8 @@ def duck():
      "graph_adamic", "graph_walks", "events_asof",
      "events_interval", "hdr_len_quantiles", "url_path_tree",
      "meta_robots", "feed_parse", "feed_discover",
-     "hreflang_parse", "hreflang_clusters", "host_budget_select"],
+     "hreflang_parse", "hreflang_clusters", "host_budget_select",
+     "search_snippet"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -269,3 +269,40 @@ def test_merge_doc_freqs_equals_recompute(spark):
     assert "dog" not in got          # df hit 0 -> row dropped
     assert got["zebra"] == 1         # new term, new doc
     assert got["returned"] == 1      # new term, re-crawled doc
+
+
+def test_best_snippet_matches_brute(spark):
+    from barkingowl_spark.operators.invindex import (
+        best_snippet,
+        positional_postings,
+    )
+
+    docs = [
+        (0, "x q a q b q c x x x q"),       # dense early cluster
+        (1, "q x x x x x x x x q q"),       # pair at the end wins
+        (2, "no hits here at all"),
+        (3, "q"),                           # single hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms, W = ["q"], 4
+    got = {r["doc_id"]: (r["snippet_start"], r["hits"])
+           for r in best_snippet(positional_postings(df), terms,
+                                 window=W).collect()}
+    want = {}
+    for d, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        hits = [i for i, t in enumerate(toks) if t in terms]
+        best = None
+        for p in hits:
+            h = sum(1 for x in hits if p <= x < p + W)
+            cand = (h, -p)
+            if best is None or cand > best:
+                best = cand
+        if best:
+            want[d] = (-best[1], best[0])
+    assert got == want
+    assert got[0] == (1, 2) and got[1] == (9, 2) and 2 not in got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        best_snippet(positional_postings(df), [])
