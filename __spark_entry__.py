@@ -1843,6 +1843,15 @@ def q_search_snippet(spark, sf):
         ["value", "table", "data"], window=8)
 
 
+def q_text_collocations(spark, sf):
+    """Top-50 collocations by integer lift = exp(PMI) in ppm
+    (functions/lmscore.py::collocations, Church & Hanks 1990),
+    min_count 3 — TakeOrderedAndProject cut, DECIMAL-exact ranking."""
+    from barkingowl_spark.functions.lmscore import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2842,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "host_budget_select": q_host_budget_select,
         "search_snippet": q_search_snippet,
+        "text_collocations": q_text_collocations,
         "events_interval": q_events_interval,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5598,6 +5608,30 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        "text_collocations": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+              FROM documents),
+            prs AS (
+              SELECT w[j] AS w1, w[j + 1] AS w2
+              FROM (SELECT w, unnest(generate_series(1, len(w) - 1))
+                        AS j
+                    FROM toks WHERE len(w) >= 2)),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prs),
+            c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                   FROM prs GROUP BY w1),
+            c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2
+                   FROM prs GROUP BY w2),
+            cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                    FROM prs GROUP BY w1, w2 HAVING count(*) >= 3)
+            SELECT w1, w2, cnt,
+                   CAST((CAST(cnt AS HUGEINT) * n * 1000000)
+                        // (CAST(c1 AS HUGEINT) * c2) AS BIGINT)
+                       AS lift_ppm
+            FROM cab JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+            ORDER BY lift_ppm DESC, w1, w2 LIMIT 50
         """,
         "search_snippet": """
             WITH pp AS (

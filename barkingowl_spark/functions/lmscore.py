@@ -326,3 +326,56 @@ def bigram_surprisal(
             F.expr("CAST((sum_bits * 100) DIV n_bigrams AS BIGINT)"),
         )
     )
+
+
+def collocations(
+    documents: DataFrame, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """(w1, w2, cnt, lift_ppm): the corpus's top-k collocations —
+    adjacent pairs occurring far more often than their parts predict
+    (Church & Hanks, "Word Association Norms, Mutual Information, and
+    Lexicography", Computational Linguistics 1990). The ranking score
+    is the integer LIFT
+
+        lift_ppm = (c_ab * N * 1e6) DIV (c_a1 * c_b2)
+
+    — exp(PMI) in ppm (c_a1/c_b2 = positional unigram counts over the
+    bigram stream, N = total bigrams), monotone in PMI and exact in
+    DECIMAL(38,0), so the ranking is engine-portable where a float
+    log2 would drift. min_count guards the classic PMI
+    rare-pair blowup; ties break (w1, w2) ascending.
+
+    Scale shape: ONE map-side bigram explode feeds three
+    map-side-combined counts (pair, first-position, second-position);
+    the scoring joins touch only the cnt>=min_count pair table
+    (Zipf-small), N rides a 1-row broadcast, and the top-k is
+    TakeOrderedAndProject — never a global sort."""
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
+    pairs = bigram_pairs(documents)
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    c1 = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = pairs.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    cab = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        cab.join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(total))
+        .selectExpr(
+            "w1", "w2", "cnt",
+            "CAST((CAST(cnt AS DECIMAL(38,0)) * n_tot * 1000000)"
+            " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            " AS lift_ppm",
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

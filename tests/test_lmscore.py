@@ -262,3 +262,41 @@ def test_bigram_external_model_oov_tiers(spark):
     assert got[10] == (1, ((3 + V) // 4).bit_length() - 1)   # = 0 bits
     assert got[11] == (1, ((3 + V) // 1).bit_length() - 1)   # ctx kept
     assert got[12] == (1, ((0 + V) // 1).bit_length() - 1)   # uniform
+
+
+def test_collocations_match_python(spark):
+    from barkingowl_spark.functions.lmscore import collocations
+
+    docs = [
+        (0, "new york new york city hall"),
+        (1, "new york is a big city"),
+        (2, "a big city hall in new york"),
+        (3, "york new haven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["w1"], r["w2"], r["cnt"], r["lift_ppm"])
+           for r in collocations(df, min_count=2, k=5).collect()]
+
+    # independent reimplementation
+    from collections import Counter
+
+    pairs = []
+    for _, t in docs:
+        w = [x for x in t.split(" ") if x]
+        pairs += list(zip(w, w[1:]))
+    n = len(pairs)
+    cab, c1, c2 = Counter(pairs), Counter(p[0] for p in pairs), \
+        Counter(p[1] for p in pairs)
+    want = sorted(
+        ((a, b, c, c * n * 1_000_000 // (c1[a] * c2[b]))
+         for (a, b), c in cab.items() if c >= 2),
+        key=lambda r: (-r[3], r[0], r[1]))[:5]
+    assert got == want
+    # 'new york' (cnt 4) makes the list; 'a big' out-lifts it because
+    # its parts are rarer — the PMI-vs-frequency trade, as designed
+    assert ("new", "york", 4) in [r[:3] for r in got]
+    assert got[0][:2] == ("a", "big")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        collocations(df, min_count=0)
