@@ -927,6 +927,17 @@ def q_graph_walks(spark, sf):
     return random_walks(edges, walk_len=3)
 
 
+def q_graph_triangles(spark, sf):
+    """Exact triangle counts + local clustering (operators/
+    linkgraph.py::triangle_stats, degree-ordered orientation — wedge
+    work bounded by arboricity, no hub cap needed); oracle is the
+    canonical a<b<c brute-force 3-join."""
+    from barkingowl_spark.operators.linkgraph import triangle_stats
+
+    edges, _ = _synth_edges(spark, sf)
+    return triangle_stats(edges)
+
+
 def q_graph_kcore(spark, sf):
     """Two synchronous rounds of 4-core peeling on the undirected
     simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
@@ -2809,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_adamic": q_graph_adamic,
         "graph_walks": q_graph_walks,
+        "graph_triangles": q_graph_triangles,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -4162,6 +4174,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS common_neighbors,
                    CAST(sum(wt) AS BIGINT) AS aa_micro
             FROM wdg JOIN ctr USING (w) GROUP BY 1, 2
+        """,
+        "graph_triangles": f"""
+            WITH {_EDGES_SQL},
+            e0 AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+                WHERE src <> dst),
+            deg AS (SELECT src AS node,
+                           CAST(count(*) AS BIGINT) AS degree
+                    FROM e0 GROUP BY src),
+            tri AS (
+                SELECT x.src AS a, x.dst AS b, y.dst AS c
+                FROM e0 x
+                JOIN e0 y ON y.src = x.dst AND y.dst > x.dst
+                JOIN e0 z ON z.src = x.src AND z.dst = y.dst
+                WHERE x.src < x.dst),
+            pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(pn.triangles, 0) AS triangles,
+                   CAST(CASE WHEN d.degree >= 2 THEN
+                        (CAST(2 AS HUGEINT)
+                         * coalesce(pn.triangles, 0) * 1000000)
+                        // (CAST(d.degree AS HUGEINT)
+                            * (d.degree - 1))
+                        ELSE 0 END AS BIGINT) AS clustering_ppm
+            FROM deg d LEFT JOIN pn ON pn.node = d.node
         """,
         "graph_kcore": f"""
             WITH {_EDGES_SQL},

@@ -795,3 +795,77 @@ def adamic_adar(edges: DataFrame, max_deg: int = 64) -> DataFrame:
             F.sum("wt").cast("long").alias("aa_micro"),
         )
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(node, degree, triangles, clustering_ppm): exact per-node
+    triangle counts and local clustering coefficient over the
+    undirected simple graph — the link-farm density microscope (spam
+    rings are triangle-dense; editorial link neighborhoods are
+    sparse), next to kcore/adamic_adar in the structural toolkit.
+
+    Algorithm: degree-ordered orientation (Cohen's MapReduce triangle
+    scheme / Chiba-Nishizeki): orient every undirected edge from the
+    (degree, node)-smaller endpoint to the larger, so each node's
+    out-degree is bounded by ~sqrt(m) on any graph (arboricity bound)
+    — the wedge self-join that explodes quadratically on hubs in the
+    naive scheme is provably bounded here, no stop-key cap needed.
+    Each triangle is generated exactly once (its orientation is a
+    total order), then credited to all three corners.
+
+    Plan: one degree agg, one orientation filter-join, ONE wedge
+    self-equi-join on the wedge center + ONE (b, c) equi-join closing
+    the triangle, one explode+count. clustering_ppm =
+    2*T*1e6 div (deg*(deg-1)), DECIMAL-widened."""
+    und = _undirected_simple(edges)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    o = (
+        und.join(deg.withColumnRenamed("node", "src")
+                 .withColumnRenamed("deg", "deg_s"), "src")
+        .join(deg.withColumnRenamed("node", "dst")
+              .withColumnRenamed("deg", "deg_d"), "dst")
+        .filter((F.col("deg_s") < F.col("deg_d"))
+                | ((F.col("deg_s") == F.col("deg_d"))
+                   & (F.col("src") < F.col("dst"))))
+        .select("src", "dst", "deg_d")
+        .localCheckpoint()
+    )
+    w1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                  F.col("deg_d").alias("deg_b"))
+    w2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                  F.col("deg_d").alias("deg_c"))
+    wedges = (
+        w1.join(w2, "a")
+        .filter((F.col("deg_b") < F.col("deg_c"))
+                | ((F.col("deg_b") == F.col("deg_c"))
+                   & (F.col("b") < F.col("c"))))
+        .select("a", "b", "c")
+    )
+    closing = o.select(F.col("src").alias("b"),
+                       F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0).cast("long"))
+            .alias("triangles"),
+        )
+        .withColumn(
+            "clustering_ppm",
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                " CAST((CAST(2 AS DECIMAL(38,0)) * triangles"
+                " * 1000000) DIV (CAST(degree AS DECIMAL(38,0))"
+                " * (degree - 1)) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )

@@ -623,3 +623,35 @@ def test_adamic_adar_hub_cap(spark):
     assert all(100 in (a, b) or (a, b) == (0, 1) for a, b in got) \
         or got == set()
     assert not any({a, b} <= set(range(5)) for a, b in got)
+
+
+def test_triangle_stats_matches_brute(spark):
+    from barkingowl_spark.operators.linkgraph import triangle_stats
+
+    # two triangles sharing edge (0,1); a square (no triangle); a
+    # pendant; a self-loop and duplicate edges to normalize away
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 1),
+             (4, 5), (5, 6), (6, 7), (7, 4),
+             (8, 0), (9, 9), (0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    nodes = sorted(nbrs)
+    want = {}
+    for v in nodes:
+        d = len(nbrs[v])
+        ns = sorted(nbrs[v])
+        t = sum(1 for i, x in enumerate(ns) for y in ns[i + 1:]
+                if y in nbrs[x])
+        cl = (2 * t * 1_000_000 // (d * (d - 1))) if d >= 2 else 0
+        want[v] = (d, t, cl)
+    got = {r["node"]: (r["degree"], r["triangles"],
+                       r["clustering_ppm"])
+           for r in triangle_stats(df).collect()}
+    assert got == want
+    assert got[0] == (4, 2, 2 * 2 * 1_000_000 // (4 * 3))
+    assert got[4][1] == 0  # square has no triangles
