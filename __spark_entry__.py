@@ -1863,6 +1863,24 @@ def q_text_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
 
 
+def q_events_cms_windows(spark, sf):
+    """Per-window Count-Min sketch cells (streaming/heavyhitters.py
+    batch body — the identical expression the watermarked sketch
+    stream runs): event-type keys, 1-hour tumbling windows, one
+    (window, row, col)-keyed map-side-combined shuffle; state/output
+    bounded by depth*width regardless of key cardinality."""
+    from barkingowl_spark.streaming.heavyhitters import windowed_cms
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("key"), "ts")
+    return windowed_cms(
+        ev, window="1 hour", depth=4, width=64
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "row", "col", "cnt",
+    )
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2939,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
+        "events_cms_windows": q_events_cms_windows,
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
@@ -5820,6 +5839,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c, (VALUES (50), (90), (99)) qs(q)
             WHERE cum >= (total * q + 99) // 100
             GROUP BY grp, q
+        """,
+        "events_cms_windows": """
+            WITH ev AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts))
+                          AS BIGINT) AS w,
+                     event_type AS key
+              FROM events),
+            cells AS (SELECT w, CAST(0 AS INT) AS row, CAST(('0x' || substring(md5('0#' || key), 1, 15)) AS BIGINT) % 64 AS col FROM ev UNION ALL SELECT w, CAST(1 AS INT) AS row, CAST(('0x' || substring(md5('1#' || key), 1, 15)) AS BIGINT) % 64 AS col FROM ev UNION ALL SELECT w, CAST(2 AS INT) AS row, CAST(('0x' || substring(md5('2#' || key), 1, 15)) AS BIGINT) % 64 AS col FROM ev UNION ALL SELECT w, CAST(3 AS INT) AS row, CAST(('0x' || substring(md5('3#' || key), 1, 15)) AS BIGINT) % 64 AS col FROM ev)
+            SELECT w AS window_start_s, row, col,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2, 3
         """,
         "events_asof": """
             WITH pur AS (

@@ -76,7 +76,8 @@ def duck():
      "events_interval", "hdr_len_quantiles", "url_path_tree",
      "meta_robots", "feed_parse", "feed_discover",
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
-     "search_snippet", "text_collocations", "graph_triangles"],
+     "search_snippet", "text_collocations", "graph_triangles",
+     "events_cms_windows"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
