@@ -1881,6 +1881,28 @@ def q_events_cms_windows(spark, sf):
     )
 
 
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/cdc.py, Manber'94 / LBFS
+    anchors): ~8-token chunks cut where the 4-token window hash hits
+    the mask — entirely map-side; the oracle re-chunks with identical
+    list math."""
+    from barkingowl_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf, "documents"), w=4, mask_bits=3)
+
+
+def q_cdc_dedup(spark, sf):
+    """Chunk-store dedup accounting (cdc.py::cdc_dedup_stats): what a
+    content-addressed store saves on the corpus, in ppm."""
+    from barkingowl_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_dedup_stats,
+    )
+
+    return cdc_dedup_stats(
+        cdc_chunks(_t(spark, sf, "documents"), w=4, mask_bits=3))
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2886,6 +2908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_setjoin": q_dedup_setjoin,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_containment": q_dedup_containment,
@@ -3048,6 +3072,37 @@ WITH tr AS (
     FROM pk a JOIN pk b ON a.track_id = b.track_id
          AND b.t > a.t AND b.t - a.t <= 16)
   WHERE rn <= 3
+)
+"""
+
+# content-defined chunking parity (operators/cdc.py): 1-based cut
+# position j marks a chunk end where the w-token window hash masks out
+_CDC_CHUNKS_CTE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok
+  FROM documents WHERE text IS NOT NULL
+), ct AS (
+  SELECT doc_id, tok,
+         list_sort(list_distinct(list_concat(
+           CASE WHEN len(tok) >= 4 THEN
+             list_filter(range(4, len(tok) + 1),
+               j -> CAST(('0x' || substring(md5('cdc#' ||
+                    array_to_string(tok[j - 3:j], ' ')), 1, 15))
+                    AS BIGINT) % 8 = 0)
+           ELSE [] END,
+           [CAST(len(tok) AS BIGINT)]))) AS cuts
+  FROM t
+), ch AS (
+  SELECT doc_id,
+         CAST(k - 1 AS INT) AS chunk_idx,
+         md5(array_to_string(
+             tok[CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END
+                 : cuts[k]], ' ')) AS fp,
+         CAST(cuts[k] - CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END
+              AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, tok, cuts,
+               unnest(generate_series(1, len(cuts))) AS k
+        FROM ct)
 )
 """
 
@@ -5879,6 +5934,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, p.t, i.iid, i.lo, i.hi
             FROM pts p JOIN ivs i
               ON i.user_id = p.user_id AND p.t >= i.lo AND p.t < i.hi
+        """,
+        "cdc_chunks": _CDC_CHUNKS_CTE + """
+            SELECT doc_id, chunk_idx, fp, n_tokens FROM ch
+        """,
+        "cdc_dedup": _CDC_CHUNKS_CTE + """
+            , pf AS (
+              SELECT fp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(max(n_tokens) AS BIGINT) AS n_tokens
+              FROM ch GROUP BY fp),
+            ag AS (
+              SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+                     CAST(count(*) AS BIGINT) AS distinct_chunks,
+                     CAST(sum(n * n_tokens) AS BIGINT)
+                         AS total_tokens,
+                     CAST(sum(n_tokens) AS BIGINT) AS stored_tokens
+              FROM pf)
+            SELECT total_chunks, distinct_chunks, total_tokens,
+                   stored_tokens,
+                   CAST(CASE WHEN total_tokens > 0 THEN
+                        ((CAST(total_tokens AS HUGEINT)
+                          - stored_tokens) * 1000000) // total_tokens
+                        ELSE 0 END AS BIGINT) AS saved_ppm
+            FROM ag
         """,
         "suffix_ranks": _SUFFIX_RANKS_SQL + """
             SELECT gpos, rank FROM sr
