@@ -1903,6 +1903,23 @@ def q_cdc_dedup(spark, sf):
         cdc_chunks(_t(spark, sf, "documents"), w=4, mask_bits=3))
 
 
+def q_events_zorder(spark, sf):
+    """Morton layout keys (functions/zorder.py, Delta OPTIMIZE
+    ZORDER's technique): 16-bit (user, time) interleave per event —
+    range-writing on zkey gives per-file min/max pruning on BOTH
+    dimensions."""
+    from barkingowl_spark.functions.zorder import with_zkey
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.expr("user_id % 65536").alias("ub"),
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+               " % 65536 AS BIGINT)").alias("tb"),
+    )
+    return with_zkey(ev, ["ub", "tb"], bits=16).select(
+        "event_id", "zkey")
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -2982,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
         "events_cms_windows": q_events_cms_windows,
+        "events_zorder": q_events_zorder,
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
@@ -5905,6 +5923,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS window_start_s, row, col,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM cells GROUP BY 1, 2, 3
+        """,
+        "events_zorder": """
+            WITH b AS (
+              SELECT event_id,
+                     user_id % 65536 AS ub,
+                     (epoch_us(ts) // 1000000) % 65536 AS tb
+              FROM events)
+            SELECT event_id,
+                   CAST((((ub >> 0) & 1) << 0) + (((ub >> 1) & 1) << 2) + (((ub >> 2) & 1) << 4) + (((ub >> 3) & 1) << 6) + (((ub >> 4) & 1) << 8) + (((ub >> 5) & 1) << 10) + (((ub >> 6) & 1) << 12) + (((ub >> 7) & 1) << 14) + (((ub >> 8) & 1) << 16) + (((ub >> 9) & 1) << 18) + (((ub >> 10) & 1) << 20) + (((ub >> 11) & 1) << 22) + (((ub >> 12) & 1) << 24) + (((ub >> 13) & 1) << 26) + (((ub >> 14) & 1) << 28) + (((ub >> 15) & 1) << 30) + (((tb >> 0) & 1) << 1) + (((tb >> 1) & 1) << 3) + (((tb >> 2) & 1) << 5) + (((tb >> 3) & 1) << 7) + (((tb >> 4) & 1) << 9) + (((tb >> 5) & 1) << 11) + (((tb >> 6) & 1) << 13) + (((tb >> 7) & 1) << 15) + (((tb >> 8) & 1) << 17) + (((tb >> 9) & 1) << 19) + (((tb >> 10) & 1) << 21) + (((tb >> 11) & 1) << 23) + (((tb >> 12) & 1) << 25) + (((tb >> 13) & 1) << 27) + (((tb >> 14) & 1) << 29) + (((tb >> 15) & 1) << 31) AS BIGINT) AS zkey
+            FROM b
         """,
         "events_asof": """
             WITH pur AS (

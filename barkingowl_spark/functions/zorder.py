@@ -1,0 +1,66 @@
+"""Z-order (Morton) interleaving for multi-dimensional data layout —
+Morton 1966; the technique behind Delta Lake's OPTIMIZE ZORDER BY and
+Iceberg's sort-order z-curves: rows close in EVERY clustered dimension
+land close in ONE scalar sort key, so range-partitioned files carry
+tight min/max stats on ALL the dimensions at once and a scan with a
+predicate on any of them prunes files (a single-column sort gives that
+for one dimension and destroys it for the rest).
+
+Crawl-corpus use: archive/event tables queried by (host, time) —
+z-ordering the write layout makes both per-host scans AND time-slice
+scans prune, without duplicating the data per key.
+
+The bit math is an explicit sum of shifted bit-tests, generated column
+by column — no magic-number bit-spreading tricks, so the identical
+expression runs on Spark and DuckDB (integer-exact, oracle-checkable).
+Inputs must already be normalized to [0, 2^bits) per dimension (a
+plain `% 2^bits` for hash-like columns, an affine rescale for time);
+k*bits must fit a signed int64 (k*bits <= 62 validated).
+
+Pinned by tests/test_zorder.py's independent Python interleave and the
+events_zorder driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue_expr(cols: list[str], bits: int = 16) -> str:
+    """SQL expression interleaving `cols` (each pre-normalized into
+    [0, 2^bits)) into one Morton key: bit i of column j lands at
+    position i*k + j."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= k * bits <= 62:
+        raise ValueError("k*bits must be in [1, 62]")
+    terms = [
+        f"(shiftleft((shiftright(CAST({c} AS BIGINT), {i}) & 1),"
+        f" {i * k + j}))"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def with_zkey(
+    df: DataFrame, cols: list[str], bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """df + out_col: the Morton key over the (pre-normalized) columns."""
+    return df.withColumn(out_col, F.expr(zvalue_expr(cols, bits)))
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """df physically clustered by the z-curve: range-repartitioned and
+    sorted within partitions on the Morton key — write THIS out and
+    every file's min/max covers a small z-range = a small box in every
+    clustered dimension. The zkey column is kept (harmless, useful for
+    later compaction)."""
+    z = with_zkey(df, cols, bits)
+    return z.repartitionByRange(F.col("zkey")).sortWithinPartitions(
+        "zkey")

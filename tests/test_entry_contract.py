@@ -77,7 +77,8 @@ def duck():
      "meta_robots", "feed_parse", "feed_discover",
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
      "search_snippet", "text_collocations", "graph_triangles",
-     "events_cms_windows", "cdc_chunks", "cdc_dedup"],
+     "events_cms_windows", "cdc_chunks", "cdc_dedup",
+     "events_zorder"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
