@@ -938,6 +938,17 @@ def q_graph_triangles(spark, sf):
     return triangle_stats(edges)
 
 
+def q_graph_indegree_skew(spark, sf):
+    """Shuffle-key pre-flight (operators/ranking.py::skew_report):
+    in-degree skew of the synthetic graph — integer Gini + max key
+    share, order statistics via the scalable global dense rank."""
+    from barkingowl_spark.operators.ranking import skew_report
+
+    edges, _ = _synth_edges(spark, sf)
+    return skew_report(edges, ["dst"]).selectExpr(
+        "n_keys", "total_rows", "max_share_ppm", "gini_ppm")
+
+
 def q_graph_kcore(spark, sf):
     """Two synchronous rounds of 4-core peeling on the undirected
     simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
@@ -2878,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic": q_graph_adamic,
         "graph_walks": q_graph_walks,
         "graph_triangles": q_graph_triangles,
+        "graph_indegree_skew": q_graph_indegree_skew,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -4298,6 +4310,27 @@ def oracle_sql() -> dict[str, str]:
                             * (d.degree - 1))
                         ELSE 0 END AS BIGINT) AS clustering_ppm
             FROM deg d LEFT JOIN pn ON pn.node = d.node
+        """,
+        "graph_indegree_skew": f"""
+            WITH {_EDGES_SQL},
+            c AS (SELECT dst, CAST(count(*) AS BIGINT) AS cnt
+                  FROM edges GROUP BY dst),
+            r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, dst)
+                      AS i
+                  FROM c),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS t,
+                         CAST(max(cnt) AS BIGINT) AS m,
+                         CAST(sum(i * cnt) AS BIGINT) AS s
+                  FROM r)
+            SELECT n AS n_keys, t AS total_rows,
+                   CAST((CAST(m AS HUGEINT) * 1000000) // t
+                        AS BIGINT) AS max_share_ppm,
+                   CAST((CAST(2 AS HUGEINT) * s
+                         - (CAST(n AS HUGEINT) + 1) * t) * 1000000
+                        // (CAST(n AS HUGEINT) * t) AS BIGINT)
+                       AS gini_ppm
+            FROM a
         """,
         "graph_kcore": f"""
             WITH {_EDGES_SQL},

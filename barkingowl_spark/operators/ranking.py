@@ -176,3 +176,41 @@ def budget_select(
         run.filter(F.col("cum_cost") <= budget)
         .select("id", "value", "cost", "density_milli", "cum_cost")
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """1 row (n_keys, total_rows, max_share_ppm, gini_ppm): how skewed
+    a prospective shuffle key is — the pre-flight check before keying
+    a join/agg on it (a max_share near 1e6 means one reducer owns the
+    job; gini is the whole-distribution version). Integer Gini over
+    per-key counts c_(1) <= ... <= c_(n):
+
+        G_ppm = (2*S - (n+1)*T) * 1e6  div  (n*T),   S = sum i*c_(i)
+
+    one exact division, DECIMAL(38,0)-widened. The order statistics
+    come from global_dense_rank over (count, key) — distinct keys
+    only, no single-partition sort; everything else is two
+    map-side-combined aggregates."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"))
+    ranked = global_dense_rank(
+        counts, ["_cnt", *key_cols], out_col="_i")
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_cnt").cast("long").alias("total_rows"),
+            F.max("_cnt").cast("long").alias("_max"),
+            F.sum(F.col("_i") * F.col("_cnt")).cast("long").alias("_s"),
+        )
+        .selectExpr(
+            "n_keys", "total_rows",
+            "CAST((CAST(_max AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_rows AS BIGINT) AS max_share_ppm",
+            "CAST((CAST(2 AS DECIMAL(38,0)) * _s"
+            " - (CAST(n_keys AS DECIMAL(38,0)) + 1) * total_rows)"
+            " * 1000000 DIV (CAST(n_keys AS DECIMAL(38,0))"
+            " * total_rows) AS BIGINT) AS gini_ppm",
+        )
+    )

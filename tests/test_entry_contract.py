@@ -78,7 +78,7 @@ def duck():
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
      "search_snippet", "text_collocations", "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
-     "events_zorder"],
+     "events_zorder", "graph_indegree_skew"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

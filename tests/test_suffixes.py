@@ -202,3 +202,27 @@ def test_budget_select_greedy_prefix(spark):
             spark.createDataFrame([(1, 5, 0)],
                                   "host long, val long, cost long"),
             "host", "val", "cost", 10).collect()
+
+
+def test_skew_report_matches_python(spark):
+    from barkingowl_spark.operators.ranking import skew_report
+
+    rows = [(f"k{min(i, 12)}",) for i in range(40)]  # k12 is hot
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, ["k"]).collect()[0]
+
+    from collections import Counter
+
+    c = Counter(x for x, in rows)
+    n, tot = len(c), sum(c.values())
+    ordered = [cnt for cnt, _ in sorted(
+        (cnt, k) for k, cnt in c.items())]
+    s = sum(i * cnt for i, cnt in enumerate(ordered, start=1))
+    gini = (2 * s - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert (r["n_keys"], r["total_rows"]) == (n, tot)
+    assert r["max_share_ppm"] == max(c.values()) * 1_000_000 // tot
+    assert r["gini_ppm"] == gini
+    # uniform key -> gini 0
+    u = spark.createDataFrame([(f"u{i}",) for i in range(10)],
+                              "k string")
+    assert skew_report(u, ["k"]).collect()[0]["gini_ppm"] == 0
