@@ -949,6 +949,31 @@ def q_graph_indegree_skew(spark, sf):
         "n_keys", "total_rows", "max_share_ppm", "gini_ppm")
 
 
+def q_graph_salsa(spark, sf):
+    """SALSA hubs/authorities (operators/linkgraph.py::salsa_fixed,
+    Lempel & Moran WWW'00): HITS with random-walk normalization in
+    1e12 fixed point — per-edge floor division, oracle unrolls the
+    same 2 rounds."""
+    from barkingowl_spark.operators.linkgraph import salsa_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    return salsa_fixed(edges, n_iter=2)
+
+
+def q_cdc_near_dup(spark, sf):
+    """Chunk-level verbatim-reuse pairs (operators/cdc.py::
+    cdc_near_pairs): docs sharing >=20% of their content-defined
+    chunks — the CDC containment screen (hot boilerplate chunks
+    capped out as pair generators)."""
+    from barkingowl_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_near_pairs,
+    )
+
+    ch = cdc_chunks(_t(spark, sf, "documents"), w=4, mask_bits=3)
+    return cdc_near_pairs(ch, threshold_ppm=200_000, max_fp_docs=64)
+
+
 def q_graph_kcore(spark, sf):
     """Two synchronous rounds of 4-core peeling on the undirected
     simple graph (operators/linkgraph.py::kcore_peel, Seidman 1983) —
@@ -2890,6 +2915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_triangles": q_graph_triangles,
         "graph_indegree_skew": q_graph_indegree_skew,
+        "graph_salsa": q_graph_salsa,
+        "cdc_near_dup": q_cdc_near_dup,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
         "kmv_host_distinct": q_kmv_host_distinct,
@@ -4331,6 +4358,75 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(n AS HUGEINT) * t) AS BIGINT)
                        AS gini_ppm
             FROM a
+        """,
+        "graph_salsa": f"""
+            WITH {_EDGES_SQL},
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            od AS (SELECT src AS node, count(*) AS outdeg
+                   FROM edges GROUP BY src),
+            idg AS (SELECT dst AS node, count(*) AS indeg
+                    FROM edges GROUP BY dst),
+            h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS h
+                   FROM nodes),
+            a1 AS (SELECT e.dst AS node,
+                          CAST(sum(h0.h // od.outdeg) AS BIGINT) AS a
+                   FROM edges e JOIN h0 ON h0.node = e.src
+                        JOIN od ON od.node = e.src
+                   GROUP BY e.dst),
+            a1f AS (SELECT n.node, coalesce(a1.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1 ON a1.node = n.node),
+            h1 AS (SELECT e.src AS node,
+                          CAST(sum(a1f.a // idg.indeg) AS BIGINT) AS h
+                   FROM edges e JOIN a1f ON a1f.node = e.dst
+                        JOIN idg ON idg.node = e.dst
+                   GROUP BY e.src),
+            h1f AS (SELECT n.node, coalesce(h1.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1 ON h1.node = n.node),
+            a2 AS (SELECT e.dst AS node,
+                          CAST(sum(h1f.h // od.outdeg) AS BIGINT) AS a
+                   FROM edges e JOIN h1f ON h1f.node = e.src
+                        JOIN od ON od.node = e.src
+                   GROUP BY e.dst),
+            a2f AS (SELECT n.node, coalesce(a2.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2 ON a2.node = n.node),
+            h2 AS (SELECT e.src AS node,
+                          CAST(sum(a2f.a // idg.indeg) AS BIGINT) AS h
+                   FROM edges e JOIN a2f ON a2f.node = e.dst
+                        JOIN idg ON idg.node = e.dst
+                   GROUP BY e.src),
+            h2f AS (SELECT n.node, coalesce(h2.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2 ON h2.node = n.node)
+            SELECT n.node, h2f.h AS hub_fp, a2f.a AS auth_fp
+            FROM nodes n
+            JOIN h2f ON h2f.node = n.node
+            JOIN a2f ON a2f.node = n.node
+        """,
+        "cdc_near_dup": _CDC_CHUNKS_CTE + """
+            , d AS (SELECT DISTINCT doc_id, fp FROM ch),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+                       AS n_chunks
+                   FROM d GROUP BY doc_id),
+            hot AS (SELECT fp FROM d GROUP BY fp
+                    HAVING count(*) > 64),
+            cold AS (SELECT d.* FROM d
+                     WHERE fp NOT IN (SELECT fp FROM hot)),
+            sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(count(*) AS BIGINT) AS shared
+                   FROM cold a JOIN cold b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b, shared,
+                   CAST((shared * 1000000) // na.n_chunks AS BIGINT)
+                       AS share_a_ppm,
+                   CAST((shared * 1000000) // nb.n_chunks AS BIGINT)
+                       AS share_b_ppm
+            FROM sh
+            JOIN pd na ON na.doc_id = sh.doc_a
+            JOIN pd nb ON nb.doc_id = sh.doc_b
+            WHERE greatest((shared * 1000000) // na.n_chunks,
+                           (shared * 1000000) // nb.n_chunks)
+                  >= 200000
         """,
         "graph_kcore": f"""
             WITH {_EDGES_SQL},

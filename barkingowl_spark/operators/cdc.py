@@ -107,3 +107,56 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
                 " AS BIGINT) ELSE CAST(0 AS BIGINT) END"),
         )
     )
+
+
+def cdc_near_pairs(
+    chunks: DataFrame,
+    threshold_ppm: int = 300_000,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, share_a_ppm, share_b_ppm): doc pairs
+    sharing content-defined chunks — the CDC face of near-dup
+    detection: where MinHash asks "do the token SETS resemble", this
+    asks "how much VERBATIM SPAN content is reused" (share = shared
+    distinct chunks / the doc's distinct chunks; one-sided high share
+    = excerpt/quotation, both high = near-identical — the containment
+    split of corpus_dedup.containment_pairs, at chunk granularity).
+
+    Chunks shared by more than max_fp_docs docs are dropped as pair
+    generators (boilerplate chunks — the mirrors.py stop-key cap;
+    without it one header chunk fans out docs^2 pairs). One fp-keyed
+    self-join on the capped chunk table + one pair rollup."""
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    d = chunks.select("doc_id", "fp").distinct().localCheckpoint()
+    per_doc = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    hot = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > max_fp_docs).select("fp")
+    )
+    cold = d.join(hot, "fp", "left_anti")
+    a = cold.select("fp", F.col("doc_id").alias("doc_a"))
+    b = cold.select("fp", F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    na = per_doc.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_chunks").alias("n_a"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_chunks").alias("n_b"))
+    return (
+        shared.join(na, "doc_a").join(nb, "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "shared",
+            "CAST((shared * CAST(1000000 AS BIGINT)) div n_a"
+            " AS BIGINT) AS share_a_ppm",
+            "CAST((shared * CAST(1000000 AS BIGINT)) div n_b"
+            " AS BIGINT) AS share_b_ppm",
+        )
+        .filter(F.expr(
+            f"greatest(share_a_ppm, share_b_ppm) >= {threshold_ppm}"))
+    )

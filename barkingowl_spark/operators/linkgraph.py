@@ -869,3 +869,75 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def salsa_fixed(
+    edges: DataFrame, n_iter: int = 2,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(node, hub_fp, auth_fp): SALSA (Lempel & Moran, "The Stochastic
+    Approach for Link-Structure Analysis", WWW 2000 / TOIS 2001 — the
+    ranking behind Twitter's Who-To-Follow): HITS with random-walk
+    normalization, which kills HITS's TKC (tightly-knit community)
+    capture — a small dense ring can't hoard all the score because
+    every node redistributes only probability mass:
+
+        auth'(v) = sum( hub(u)  div outdeg(u)  for u -> v )
+        hub'(v)  = sum( auth'(w) div indeg(w)  for v -> w )
+
+    in `scale` fixed point, per-edge floor division (the
+    pagerank_fixed portability discipline; mass leaks by at most 1
+    unit per edge per step — deterministic, engine-portable). Start
+    hub = auth = scale. Same two-shuffles-per-half-step plan as
+    hits_fixed, localCheckpoint per round."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("indeg"))
+    scores = nodes.select(
+        "node",
+        F.lit(scale).cast("long").alias("hub_fp"),
+        F.lit(scale).cast("long").alias("auth_fp"),
+    )
+    for _ in range(n_iter):
+        ee = e.select(F.col("src").alias("e_src"),
+                      F.col("dst").alias("e_dst"))
+        auth = (
+            scores.join(outdeg, "node")
+            .join(ee, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.expr("hub_fp div outdeg")).alias("auth_new"))
+        )
+        with_auth = (
+            scores.join(auth, "node", "left")
+            .select(
+                "node", "hub_fp",
+                F.coalesce("auth_new", F.lit(0).cast("long"))
+                .alias("auth_fp"),
+            )
+        )
+        hub = (
+            with_auth.join(indeg, "node")
+            .join(ee, F.col("node") == F.col("e_dst"))
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum(F.expr("auth_fp div indeg")).alias("hub_new"))
+        )
+        scores = (
+            with_auth.select("node", "auth_fp")
+            .join(hub, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_new", F.lit(0).cast("long"))
+                .alias("hub_fp"),
+                "auth_fp",
+            )
+            .localCheckpoint()
+        )
+    return scores.select("node", "hub_fp", "auth_fp")

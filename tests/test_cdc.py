@@ -81,3 +81,39 @@ def test_dedup_stats(spark):
         // r["total_tokens"])
     with pytest.raises(ValueError):
         cdc_chunks(df, w=0)
+
+
+def test_cdc_near_pairs(spark):
+    from barkingowl_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_near_pairs,
+    )
+
+    long = " ".join(f"t{(j * 7) % 19}" for j in range(120))
+    docs = [(0, long), (1, "PREFIX " + long),      # heavy reuse
+            (2, "totally different words entirely here now"),
+            (3, long + " SUFFIX tail")]            # reuse again
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ch = cdc_chunks(df, w=W, mask_bits=MB)
+    got = {(r["doc_a"], r["doc_b"]): (r["shared"], r["share_a_ppm"],
+                                      r["share_b_ppm"])
+           for r in cdc_near_pairs(ch, threshold_ppm=300_000).collect()}
+
+    # independent: distinct chunk fp sets per doc
+    sets = {}
+    for r in ch.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sh = len(sets[a] & sets[b])
+            if sh == 0:
+                continue
+            pa = sh * 1_000_000 // len(sets[a])
+            pb = sh * 1_000_000 // len(sets[b])
+            if max(pa, pb) >= 300_000:
+                want[(a, b)] = (sh, pa, pb)
+    assert got == want
+    assert (0, 1) in got and (0, 3) in got
+    assert not any(2 in p for p in got)

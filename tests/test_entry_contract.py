@@ -78,7 +78,8 @@ def duck():
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
      "search_snippet", "text_collocations", "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
-     "events_zorder", "graph_indegree_skew"],
+     "events_zorder", "graph_indegree_skew", "graph_salsa",
+     "cdc_near_dup"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -655,3 +655,34 @@ def test_triangle_stats_matches_brute(spark):
     assert got == want
     assert got[0] == (4, 2, 2 * 2 * 1_000_000 // (4 * 3))
     assert got[4][1] == 0  # square has no triangles
+
+
+def test_salsa_matches_python(spark):
+    from barkingowl_spark.operators.linkgraph import salsa_fixed
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    S = 10_000
+
+    out = {}
+    ind = {}
+    for a, b in edges:
+        out[a] = out.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    hub = {v: S for v in nodes}
+    auth = {v: S for v in nodes}
+    for _ in range(2):
+        na = {v: 0 for v in nodes}
+        for a, b in edges:
+            na[b] += hub[a] // out[a]
+        auth = na
+        nh = {v: 0 for v in nodes}
+        for a, b in edges:
+            nh[a] += auth[b] // ind[b]
+        hub = nh
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in salsa_fixed(df, n_iter=2, scale=S).collect()}
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    # sinks have hub 0, sources auth 0
+    assert got[4][1] == 0
