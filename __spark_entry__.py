@@ -2158,6 +2158,90 @@ def q_graph_cocite(spark, sf):
     return cocitation(he, max_out=8)
 
 
+_SCC_CAP = 200  # SCC/bow-tie are outer-iterative (peel rounds × pointer
+# jumping); the cap keeps the sf0.01 sweep fast while the mod-cap
+# quadratic graph keeps a giant SCC + singleton IN/OUT sea — the Broder
+# shape the operator exists for.
+
+
+def _synth_edges_capped(spark, sf):
+    """The synthetic quadratic graph truncated to min(n, _SCC_CAP)
+    nodes (dst re-modded so edges stay inside the truncation)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = min(d.count(), _SCC_CAP)
+    return (
+        d.filter(F.col("doc_id") < n)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * F.col("src") + 13 * F.col("k")) % n).alias(
+                "dst"
+            ),
+        )
+    )
+
+
+def q_graph_scc(spark, sf):
+    """Strongly connected components + SCC sizes (operators/scc.py,
+    Orzan coloring + pointer jumping) of the capped synthetic graph.
+    Oracle: DuckDB recursive transitive closure — scc_id = min mutual-
+    reachability peer; two completely different algorithms, same
+    labels."""
+    from barkingowl_spark.operators.scc import scc_with_sizes
+
+    return scc_with_sizes(_synth_edges_capped(spark, sf))
+
+
+def q_graph_bowtie(spark, sf):
+    """Broder bow-tie decomposition (operators/scc.py::bowtie) against
+    the largest SCC: CORE / IN / OUT / TUBE / TENDRIL / DISCONNECTED
+    per node, each reachability flag one supernode min-reach probe.
+    Oracle: the same segments off the DuckDB closure CTE."""
+    from barkingowl_spark.operators.scc import bowtie
+
+    return bowtie(_synth_edges_capped(spark, sf))
+
+
+# Shared DuckDB fragment for the SCC/bow-tie oracles: capped edges, the
+# recursive transitive closure, and min-mutual-peer SCC labels. Must be
+# opened with `WITH RECURSIVE`.
+_SCC_SQL = f"""
+        nd AS (SELECT least(count(*), {_SCC_CAP}) AS n FROM documents),
+        edges AS (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * d.doc_id + 13 * k.k) % nd.n AS dst
+            FROM documents d CROSS JOIN nd, (VALUES (1), (2), (3)) k(k)
+            WHERE d.doc_id < nd.n
+        ),
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        -- DuckDB trap: inside WITH RECURSIVE, ANY cte whose body is a
+        -- top-level setop gets the recursive-iteration treatment even
+        -- if it never references itself (measured: a UNION one returned
+        -- 14673 rows for a <=200-node set; chained ones hang).  Only
+        -- the genuinely self-referencing reach/ureach may use UNION at
+        -- top level; everything else is SELECT DISTINCT over UNION ALL.
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+        ),
+        mutual AS (SELECT DISTINCT node, peer FROM (
+            SELECT node, node AS peer FROM nodes
+            UNION ALL
+            SELECT a.src AS node, a.dst AS peer
+            FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src)),
+        scc AS (SELECT node, min(peer) AS scc_id
+                FROM mutual GROUP BY node),
+        sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+                  FROM scc GROUP BY scc_id)
+"""
+
+
 def q_trap_templates(spark, sf):
     """URL template mining (operators/traps.py::url_templates): digit
     runs in path+query collapse to '#'; a template dominating its host
@@ -2916,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_indegree_skew": q_graph_indegree_skew,
         "graph_salsa": q_graph_salsa,
+        "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "cdc_near_dup": q_cdc_near_dup,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
@@ -4358,6 +4444,69 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(n AS HUGEINT) * t) AS BIGINT)
                        AS gini_ppm
             FROM a
+        """,
+        "graph_scc": f"""
+            WITH RECURSIVE {_SCC_SQL}
+            SELECT s.node, s.scc_id, z.scc_size
+            FROM scc s JOIN sizes z USING (scc_id)
+        """,
+        "graph_bowtie": f"""
+            WITH RECURSIVE {_SCC_SQL},
+            core AS (SELECT node FROM scc WHERE scc_id =
+                     (SELECT scc_id FROM sizes
+                      ORDER BY scc_size DESC, scc_id LIMIT 1)),
+            tocore AS (SELECT DISTINCT node FROM (
+                       SELECT node FROM core
+                       UNION ALL SELECT r.src FROM reach r
+                                 JOIN core c ON r.dst = c.node)),
+            fromcore AS (SELECT DISTINCT node FROM (
+                         SELECT node FROM core
+                         UNION ALL SELECT r.dst FROM reach r
+                                   JOIN core c ON r.src = c.node)),
+            inset AS (SELECT node FROM tocore WHERE node NOT IN
+                      (SELECT node FROM fromcore)),
+            outset AS (SELECT node FROM fromcore WHERE node NOT IN
+                       (SELECT node FROM tocore)),
+            fromin AS (SELECT DISTINCT node FROM (
+                       SELECT node FROM inset
+                       UNION ALL SELECT r.dst FROM reach r
+                                 JOIN inset i ON r.src = i.node)),
+            toout AS (SELECT DISTINCT node FROM (
+                      SELECT node FROM outset
+                      UNION ALL SELECT r.src FROM reach r
+                                JOIN outset o ON r.dst = o.node)),
+            eu AS (SELECT DISTINCT src, dst FROM (
+                   SELECT src, dst FROM e
+                   UNION ALL SELECT dst, src FROM e)),
+            ureach(src, dst) AS (
+                SELECT src, dst FROM eu
+                UNION
+                SELECT u.src, eu.dst FROM ureach u
+                JOIN eu ON eu.src = u.dst
+            ),
+            comp AS (SELECT n.node,
+                            least(n.node,
+                                  coalesce(min(u.dst), n.node)) AS comp_id
+                     FROM nodes n LEFT JOIN ureach u ON u.src = n.node
+                     GROUP BY n.node),
+            corecomp AS (SELECT min(c.comp_id) AS cid
+                         FROM comp c JOIN core k ON c.node = k.node)
+            SELECT n.node,
+                   CASE WHEN tc.node IS NOT NULL
+                             AND fc.node IS NOT NULL THEN 'CORE'
+                        WHEN tc.node IS NOT NULL THEN 'IN'
+                        WHEN fc.node IS NOT NULL THEN 'OUT'
+                        WHEN c.comp_id <> (SELECT cid FROM corecomp)
+                             THEN 'DISCONNECTED'
+                        WHEN fi.node IS NOT NULL
+                             AND tt.node IS NOT NULL THEN 'TUBE'
+                        ELSE 'TENDRIL' END AS segment
+            FROM nodes n
+            JOIN comp c ON c.node = n.node
+            LEFT JOIN tocore tc ON tc.node = n.node
+            LEFT JOIN fromcore fc ON fc.node = n.node
+            LEFT JOIN fromin fi ON fi.node = n.node
+            LEFT JOIN toout tt ON tt.node = n.node
         """,
         "graph_salsa": f"""
             WITH {_EDGES_SQL},
