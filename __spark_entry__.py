@@ -539,6 +539,17 @@ def q_dedup_setjoin(spark, sf):
     return prefix_filter_pairs(_t(spark, sf, "documents"))
 
 
+def q_simjoin_cosine(spark, sf):
+    """EXACT weighted-cosine all-pairs join via L2 prefix filtering
+    (operators/simjoin.py — Bayardo WWW'07 / L2AP): tf vectors,
+    cos >= 0.95, all-integer accept test and squared-cosine ppm score.
+    The oracle is a DuckDB HUGEINT brute force over all pairs, so the
+    hash match IS the norm-bound prefix-filter exactness proof."""
+    from barkingowl_spark.operators.simjoin import cosine_pairs
+
+    return cosine_pairs(_t(spark, sf, "documents"), 950_000)
+
+
 def q_dedup_minhash_sigs(spark, sf):
     return minhash_signatures(_t(spark, sf, "documents"))
 
@@ -3050,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_setjoin": q_dedup_setjoin,
+        "simjoin_cosine": q_simjoin_cosine,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup": q_cdc_dedup,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -5272,6 +5284,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(floor(len(list_intersect(a.toks, b.toks)) * 1000000.0
                   / len(list_distinct(list_concat(a.toks, b.toks))))
                   AS BIGINT) >= 600000
+        """,
+        "simjoin_cosine": """
+            WITH tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE text IS NOT NULL)
+              GROUP BY doc_id, tok),
+            n2 AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+                   FROM tf GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              FROM tf a JOIN tf b
+                ON b.tok = a.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST((dot::HUGEINT * dot * 1000000)
+                        // (na.n2::HUGEINT * nb.n2) AS BIGINT)
+                     AS cos2_ppm
+            FROM dots
+            JOIN n2 na ON na.doc_id = doc_a
+            JOIN n2 nb ON nb.doc_id = doc_b
+            WHERE dot::HUGEINT * dot * 1000000000000
+                  >= 950000::HUGEINT * 950000 * na.n2 * nb.n2
         """,
         "dedup_minhash_sigs": _SHINGLE_CTE + f"""
             SELECT doc_id, {_SIG_SELECTS} FROM sh
