@@ -1143,6 +1143,109 @@ def q_trap_signals(spark, sf):
     return url_trap_signals(urls)
 
 
+def _dust_captures(spark, sf):
+    """Synthetic capture log for the DUST queries: two captures per
+    doc; `page` is content-bearing (digest depends on it), `sessionid`
+    rotates mod 7 (content-irrelevant, shared across docs so groups
+    form), `ref` appears only on pass 1 of doc_id%3==0. The oracle
+    regenerates the identical log."""
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id")
+    cap = d.select(
+        "doc_id", "source",
+        F.explode(F.expr("sequence(0, 1)")).alias("p"))
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test/p"),
+        (sid % 12).cast("string"),
+        F.lit("?page="), (sid % 5).cast("string"),
+        F.when((sid % 3 == 0) & (F.col("p") == 1), F.lit("&ref=r"))
+        .otherwise(F.lit("")),
+        F.lit("&sessionid=s"), ((sid * 2 + F.col("p")) % 7)
+        .cast("string"),
+    )
+    digest = F.md5(F.concat(
+        F.col("source"), F.lit("|"), (sid % 12).cast("string"),
+        F.lit("|"), (sid % 5).cast("string")))
+    return cap.select(url.alias("url"), digest.alias("digest")).distinct()
+
+
+# Shared DuckDB fragment for the DUST oracles: the identical synthetic
+# capture log, the URL-split convention from operators/dust.py, and the
+# per-(host, param) informative groups.
+_DUST_SQL = """
+        WITH caps AS (
+            SELECT DISTINCT
+                'http://' || source || '.test/p' || (doc_id % 12)
+                  || '?page=' || (doc_id % 5)
+                  || (CASE WHEN doc_id % 3 = 0 AND t.p = 1
+                           THEN '&ref=r' ELSE '' END)
+                  || '&sessionid=s' || ((doc_id * 2 + t.p) % 7) AS url,
+                md5(source || '|' || (doc_id % 12) || '|'
+                    || (doc_id % 5)) AS digest
+            FROM documents, (VALUES (0), (1)) t(p)),
+        parsed AS (
+            SELECT url, digest,
+                   split_part(split_part(url, '://', 2), '/', 1)
+                     AS host,
+                   substr(split_part(url, '://', 2),
+                          strlen(split_part(split_part(url, '://', 2),
+                                            '/', 1)) + 1) AS pathq
+            FROM caps),
+        p2 AS (
+            SELECT url, digest, host,
+                   split_part(pathq, '?', 1) AS path,
+                   CASE WHEN strpos(pathq, '?') > 0
+                        THEN substr(pathq, strpos(pathq, '?') + 1)
+                        ELSE '' END AS query
+            FROM parsed),
+        kv AS (SELECT url, unnest(string_split(query, '&')) AS item
+               FROM p2 WHERE query <> ''),
+        vocab AS (SELECT DISTINCT p2.host,
+                         split_part(k.item, '=', 1) AS param
+                  FROM kv k JOIN p2 USING (url)),
+        restv AS (
+            SELECT c.url, c.host, v.param, c.path, c.digest,
+                   coalesce(string_agg(k.item, '&' ORDER BY k.item)
+                            FILTER (WHERE split_part(k.item, '=', 1)
+                                          <> v.param), '') AS rest,
+                   coalesce(string_agg(k.item, '&' ORDER BY k.item)
+                            FILTER (WHERE split_part(k.item, '=', 1)
+                                          = v.param), '<absent>')
+                     AS variant
+            FROM p2 c
+            JOIN vocab v ON v.host = c.host
+            LEFT JOIN kv k ON k.url = c.url
+            GROUP BY ALL),
+        grp AS (
+            SELECT host, param, path, rest,
+                   count(DISTINCT variant) AS nv,
+                   count(DISTINCT digest) AS nd
+            FROM restv GROUP BY ALL
+            HAVING count(DISTINCT variant) >= 2)
+"""
+
+
+def q_dust_rules(spark, sf):
+    """DUST content-irrelevant URL-param mining (operators/dust.py,
+    Bar-Yossef WWW'07): params whose removal provably preserves the
+    content digest — support = informative groups with one digest,
+    refuted must be 0. sessionid qualifies, page is refuted, ref needs
+    enough scale for its groups to form."""
+    from barkingowl_spark.operators.dust import param_rules
+
+    return param_rules(_dust_captures(spark, sf), 2)
+
+
+def q_dust_canon(spark, sf):
+    """Learned-rule URL canonicalizer (operators/dust.py::apply_rules):
+    strip mined-safe params + canonical param order — the frontier
+    dedup key a DUST-aware crawler uses instead of the raw URL."""
+    from barkingowl_spark.operators.dust import apply_rules, param_rules
+
+    caps = _dust_captures(spark, sf)
+    return apply_rules(caps, param_rules(caps, 2))
+
+
 def q_o20_scored_topk(spark, sf):
     """Priority-scored politeness budget (operators/politeness.py::
     schedule_scored): per-host top-3 by a fixed-point rank signal, the
@@ -3021,6 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
         "trap_signals": q_trap_signals,
+        "dust_rules": q_dust_rules,
+        "dust_canon": q_dust_canon,
         "o20_scored_topk": q_o20_scored_topk,
         "text_boilerplate": q_text_boilerplate,
         "text_decontam": q_text_decontam,
@@ -4979,6 +5084,37 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score_fp DESC, discovery_idx) AS rn
                 FROM due)
             SELECT host, url_hash, discovery_idx FROM r WHERE rn <= 3
+        """,
+        "dust_rules": _DUST_SQL + """
+            SELECT host, param,
+                   CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS support,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS refuted
+            FROM grp GROUP BY host, param
+            HAVING sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) >= 2
+               AND sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+        """,
+        "dust_canon": _DUST_SQL + """
+            , rules AS (
+                SELECT host, param FROM grp GROUP BY host, param
+                HAVING sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) >= 2
+                   AND sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+            SELECT c.url,
+                   c.host || c.path ||
+                   CASE WHEN count(k.item) FILTER (
+                            WHERE k.item IS NOT NULL
+                              AND r.param IS NULL) = 0
+                        THEN ''
+                        ELSE '?' || string_agg(k.item, '&'
+                                               ORDER BY k.item)
+                                    FILTER (WHERE r.param IS NULL) END
+                     AS canon_url
+            FROM p2 c
+            LEFT JOIN kv k ON k.url = c.url
+            LEFT JOIN rules r ON r.host = c.host
+                             AND r.param = split_part(k.item, '=', 1)
+            GROUP BY c.url, c.host, c.path
         """,
         "trap_signals": """
             WITH u AS (

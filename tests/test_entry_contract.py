@@ -79,7 +79,8 @@ def duck():
      "search_snippet", "text_collocations", "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
      "events_zorder", "graph_indegree_skew", "graph_salsa",
-     "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine"],
+     "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
+     "dust_rules", "dust_canon"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
