@@ -2533,6 +2533,47 @@ _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
 
+def q_search_bm25f(spark, sf):
+    """Fielded BM25F top-25 (operators/invindex.py::bm25f_topk,
+    Robertson CIKM'04): body = raw text (w=1, b=0.75), anchor =
+    planted synthetic anchor text (w=3, b=0.5), title = planted
+    two-word titles (w=2, b=0 — short fields get no length norm).
+    Field-weighted pseudo-frequencies saturate ONCE; all integer
+    fixed point, oracle replays the algebra in HUGEINT."""
+    from barkingowl_spark.operators.invindex import bm25f_topk, term_freqs
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    body = d.select("doc_id", "text")
+    anchor = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 7 == 0, F.lit("needle needle link"))
+            .otherwise(F.lit("home page")),
+            F.when(did % 13 == 0, F.lit(" haystack"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    title = d.select(
+        "doc_id",
+        F.when(did % 11 == 0, F.lit("scan guide"))
+        .otherwise(F.lit("web page")).alias("text"),
+    )
+    field_tf = (
+        term_freqs(body).withColumn("field", F.lit("body"))
+        .unionByName(
+            term_freqs(anchor).withColumn("field", F.lit("anchor")))
+        .unionByName(
+            term_freqs(title).withColumn("field", F.lit("title")))
+    )
+    return bm25f_topk(
+        field_tf,
+        {"body": (1, 750_000), "anchor": (3, 500_000), "title": (2, 0)},
+        ["needle", "haystack", "scan"],
+        k=25,
+    )
+
+
 def q_ring_assign(spark, sf):
     """Consistent-hash host->worker assignment (operators/
     frontier_shard.py, UbiCrawler): the ring is a config-sized literal
@@ -3237,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_model": q_lm_bigram_model,
         "lm_bigram_surprisal": q_lm_bigram_surprisal,
         "search_bm25": q_search_bm25,
+        "search_bm25f": q_search_bm25f,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
@@ -7346,6 +7388,79 @@ def oracle_sql() -> dict[str, str]:
             FROM scored JOIN ranked USING (mean_surprisal_cb)
         """,
         "search_bm25": _BM25_SQL,
+        "search_bm25f": """
+            WITH an AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 7 = 0 THEN 'needle needle link'
+                           ELSE 'home page' END)
+                     || (CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                              ELSE '' END) AS text
+              FROM documents),
+            ti AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 'scan guide'
+                          ELSE 'web page' END AS text
+              FROM documents),
+            ftf AS (
+              SELECT field, doc_id, term,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM (
+                SELECT 'body' AS field, doc_id,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT 'anchor', doc_id,
+                       unnest(string_split(text, ' ')) FROM an
+                UNION ALL
+                SELECT 'title', doc_id,
+                       unnest(string_split(text, ' ')) FROM ti)
+              WHERE term <> '' GROUP BY ALL),
+            dlf AS (SELECT doc_id, field,
+                           CAST(sum(tf) AS BIGINT) AS dl
+                    FROM ftf GROUP BY ALL),
+            fstats AS (SELECT field, CAST(count(*) AS BIGINT) AS n_f,
+                              CAST(sum(dl) AS BIGINT) AS total_f
+                       FROM dlf GROUP BY field),
+            par(field, w, b_ppm) AS (
+              VALUES ('body', 1, 750000), ('anchor', 3, 500000),
+                     ('title', 2, 0)),
+            norms AS (
+              SELECT doc_id, field,
+                     CAST((1000000 - b_ppm)
+                          + (b_ppm::HUGEINT * dl * n_f) // total_f
+                          AS BIGINT) AS norm_ppm, w
+              FROM dlf JOIN fstats USING (field)
+                       JOIN par USING (field)),
+            tfq AS (SELECT * FROM ftf
+                    WHERE term IN ('needle', 'haystack', 'scan')),
+            dft AS (SELECT term,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tfq GROUP BY term),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                            AS n_docs FROM ftf),
+            tfn AS (
+              SELECT doc_id, term,
+                     CAST(sum((w::HUGEINT * tf * 1000000 * 1000000)
+                              // norm_ppm) AS BIGINT) AS tfn_ppm
+              FROM tfq JOIN norms USING (doc_id, field)
+              GROUP BY doc_id, term),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN (2*n_docs - 2*df + 1) < (2*df + 1)
+                          THEN 0
+                          ELSE length(bin(CAST(
+                            ((2*n_docs - 2*df + 1)::HUGEINT
+                             * (2*n_docs - 2*df + 1))
+                            // ((2*df + 1)::HUGEINT * (2*df + 1))
+                            AS BIGINT))) - 1 END AS idf_hb,
+                     CAST((tfn_ppm::HUGEINT * 1000000)
+                          // (tfn_ppm + 1200000) AS BIGINT) AS sat_ppm
+              FROM tfn JOIN dft USING (term), nd)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
+            FROM sc GROUP BY doc_id
+            ORDER BY score_fp DESC, doc_id LIMIT 25
+        """,
         "ring_assign": _SHARD_HOSTS_SQL + f"""
             SELECT host, {_shard_owner_sql(_SHARD_W4)} AS owner
             FROM hh

@@ -344,3 +344,104 @@ def best_snippet(
             f"CAST(pack div {big} AS BIGINT) AS hits",
         )
     )
+
+
+def bm25f_topk(
+    field_tf: DataFrame,
+    field_params: dict[str, tuple[int, int]],
+    query_terms: list[str],
+    k: int = 10,
+    k1_ppm: int = 1_200_000,
+) -> DataFrame:
+    """(doc_id, n_terms, score_fp): top-k under BM25F (Robertson,
+    Zaragoza, Taylor CIKM'04 "Simple BM25 extension to multiple
+    weighted fields") over a fielded index
+    field_tf = (doc_id, field, term, tf).
+
+    field_params maps field -> (weight, b_ppm). Per field the length
+    norm is the BM25 one (avg length over docs HAVING the field):
+
+      norm_ppm(d,f)  = (1e6 - b_f) + b_f * dl_f * n_f DIV total_f
+
+    and per (doc, term) the field-weighted pseudo-frequency is
+
+      tfn_ppm(d,t)   = sum_f  w_f * tf_f * 1e12 DIV norm_ppm(d,f)
+
+    saturated ONCE (the whole point of BM25F — per-field saturation
+    would let one spammy field dominate):
+
+      sat_ppm        = tfn_ppm * 1e6 DIV (tfn_ppm + k1)
+      score_fp       = sum_t idf_hb(t) * sat_ppm
+
+    idf is the half-bit integer idf shared with bm25_topk; df(t) counts
+    docs containing t in ANY field, N counts docs having any field. All
+    floor-division fixed point, DuckDB-reproducible.
+
+    Plan shape: two broadcast dims (per-field stats: |fields| rows;
+    per-term df: |Q| rows), one doc-keyed join of the query-pruned tf
+    slice against the (doc, field) norms, one doc-keyed rollup, top-k
+    via TakeOrderedAndProject. At scale the fielded index is bucketed
+    by term, so the isin() prune becomes partition pruning exactly as
+    in bm25_from_index."""
+    rows = [(f, int(w), int(b)) for f, (w, b) in sorted(field_params.items())]
+    params = field_tf.sparkSession.createDataFrame(
+        rows, "field string, w long, b_ppm long")
+    dlf = field_tf.groupBy("doc_id", "field").agg(
+        F.sum("tf").cast("long").alias("dl"))
+    fstats = dlf.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_f"),
+        F.sum("dl").cast("long").alias("total_f"))
+    norms = (
+        dlf.join(F.broadcast(fstats), "field")
+        .join(F.broadcast(params), "field")
+        .selectExpr(
+            "doc_id", "field",
+            "CAST((1000000 - b_ppm)"
+            " + (CAST(b_ppm AS DECIMAL(38,0)) * dl * n_f)"
+            " DIV total_f AS BIGINT) AS norm_ppm",
+            "w")
+    )
+    tfq = field_tf.filter(F.col("term").isin(list(query_terms)))
+    df_t = (
+        tfq.select("term", "doc_id").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n_docs = field_tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tfn = (
+        tfq.join(norms, ["doc_id", "field"])
+        .groupBy("doc_id", "term")
+        .agg(F.sum(F.expr(
+            "CAST((CAST(w AS DECIMAL(38,0)) * tf * 1000000 * 1000000)"
+            " DIV norm_ppm AS BIGINT)")).alias("tfn_ppm"))
+    )
+    scored = (
+        tfn.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_num", F.expr("2 * n_docs - 2 * df + 1"))
+        .withColumn("_den", F.expr("2 * df + 1"))
+        .withColumn(
+            "idf_hb",
+            F.expr(
+                "CASE WHEN _num < _den THEN 0 ELSE "
+                "length(bin(CAST((CAST(_num AS DECIMAL(38,0)) * _num)"
+                " DIV (CAST(_den AS DECIMAL(38,0)) * _den)"
+                " AS BIGINT))) - 1 END"),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                f"CAST((CAST(tfn_ppm AS DECIMAL(38,0)) * 1000000)"
+                f" DIV (tfn_ppm + {int(k1_ppm)}) AS BIGINT)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.expr("idf_hb * sat_ppm")).cast("long")
+            .alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
