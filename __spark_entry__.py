@@ -1009,6 +1009,19 @@ def q_graph_hyperball(spark, sf):
     return hyperball_sizes(edges, n_iter=2)
 
 
+def q_graph_diameter(spark, sf):
+    """Effective diameter d50/d90 off the HyperBall ball-size table
+    (operators/hyperball.py::effective_diameter, ANF/Palmer KDD'02):
+    smallest t whose pair coverage clears the quantile + micro-unit
+    linear interpolation inside the last shell. Everything after the
+    per-t rollup runs on diameter+1 rows."""
+    from barkingowl_spark.operators.hyperball import (
+        effective_diameter, hyperball_sizes)
+
+    edges, _ = _synth_edges(spark, sf)
+    return effective_diameter(hyperball_sizes(edges, n_iter=2))
+
+
 def q_graph_harmonic(spark, sf):
     """Harmonic/closeness centrality from HyperBall shells on the
     reversed graph (who reaches me), per-term floor-div fixed point
@@ -3160,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_near_dup": q_cdc_near_dup,
         "graph_hyperball": q_graph_hyperball,
         "graph_harmonic": q_graph_harmonic,
+        "graph_diameter": q_graph_diameter,
         "kmv_host_distinct": q_kmv_host_distinct,
         "kmv_host_overlap": q_kmv_host_overlap,
         "sitemap_parse": q_sitemap_parse,
@@ -4814,6 +4828,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(jaccard_est_ppm AS HUGEINT) * union_est)
                         // 1000000 AS BIGINT) AS inter_est
             FROM est
+        """,
+        "graph_diameter": f"""
+            WITH {_EDGES_SQL},
+            {_hyperball_sql(reverse=False)},
+            nt AS (SELECT t, CAST(sum(ball_est) AS BIGINT) AS n
+                   FROM sizes GROUP BY t),
+            lagd AS (SELECT t, n,
+                            lag(n, 1, 0) OVER (ORDER BY t) AS n_prev
+                     FROM nt),
+            tot AS (SELECT CAST(max_by(n, t) AS BIGINT) AS total
+                    FROM nt),
+            qs(q_ppm) AS (VALUES (500000), (900000)),
+            hits AS (
+                SELECT q_ppm, t, n, n_prev, total,
+                       CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST((t - 1) * 1000000
+                                 + (q_ppm::HUGEINT * total
+                                    - n_prev::HUGEINT * 1000000)
+                                   // (n - n_prev) AS BIGINT) END
+                         AS d_micro
+                FROM qs, lagd, tot
+                WHERE n::HUGEINT * 1000000 >= q_ppm::HUGEINT * total)
+            SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(min(t) AS BIGINT) AS t_eff,
+                   CAST(min_by(d_micro, t) AS BIGINT) AS d_eff_micro
+            FROM hits GROUP BY q_ppm
         """,
         "graph_harmonic": f"""
             WITH {_EDGES_SQL},

@@ -220,3 +220,56 @@ def hyperball_centrality(
     surface: hyperball_sizes + centralities_from_sizes."""
     return centralities_from_sizes(
         hyperball_sizes(edges, n_iter=n_iter, p=p, reverse=True))
+
+
+def effective_diameter(
+    sizes: DataFrame, q_ppms: tuple[int, ...] = (500_000, 900_000)
+) -> DataFrame:
+    """(q_ppm, t_eff, d_eff_micro): effective diameter at each quantile
+    from a HyperBall (node, t, ball_est) table (ANF / Palmer KDD'02;
+    Boldi & Vigna WWW'14 report exactly this off the same sketches).
+
+    N(t) = sum over nodes of ball_est(node, t) estimates the number of
+    pairs within distance t; t_eff is the smallest t with
+    N(t) * 1e6 >= q * N(t_max), and d_eff_micro linearly interpolates
+    inside the last shell (the standard effective-diameter definition):
+
+        d = (t - 1) + (q*N(max) - N(t-1)) / (N(t) - N(t-1)),  d(0) = 0
+
+    in micro units with floor division — engine-portable.
+
+    Scale note: everything after the per-t rollup operates on a table
+    of diameter+1 rows; the unpartitioned lag window is bounded by the
+    graph's diameter (tens), not its size — the one place a global
+    window is the RIGHT plan."""
+    from pyspark.sql import Window
+
+    spark = sizes.sparkSession
+    nt = sizes.groupBy("t").agg(
+        F.sum("ball_est").cast("long").alias("n"))
+    lagd = nt.withColumn(
+        "n_prev",
+        F.lag("n", 1, 0).over(Window.orderBy("t")))
+    tot = nt.agg(F.expr("max_by(n, t)").cast("long").alias("total"))
+    qs = spark.createDataFrame(
+        [(int(q),) for q in q_ppms], "q_ppm long")
+    hits = (
+        qs.crossJoin(F.broadcast(tot))
+        .crossJoin(lagd)
+        .filter(
+            F.col("n").cast("decimal(38,0)") * F.lit(MICRO)
+            >= F.col("q_ppm").cast("decimal(38,0)") * F.col("total"))
+        .withColumn(
+            "d_micro",
+            F.expr(
+                f"CASE WHEN t = 0 THEN CAST(0 AS BIGINT) ELSE"
+                f" CAST((t - 1) * CAST({MICRO} AS BIGINT)"
+                f" + (CAST(q_ppm AS DECIMAL(38,0)) * total"
+                f"    - CAST(n_prev AS DECIMAL(38,0)) * {MICRO})"
+                f"   DIV (n - n_prev) AS BIGINT) END"),
+        )
+    )
+    return hits.groupBy("q_ppm").agg(
+        F.min("t").cast("long").alias("t_eff"),
+        F.expr("min_by(d_micro, t)").cast("long").alias("d_eff_micro"),
+    )
