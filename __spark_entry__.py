@@ -2083,6 +2083,25 @@ def q_events_zorder(spark, sf):
         "event_id", "zkey")
 
 
+def q_events_hilbert(spark, sf):
+    """Hilbert layout keys (functions/zorder.py::hilbert_expr): the
+    same 16-bit (user, time) box as events_zorder but walked by the
+    Hilbert curve — consecutive keys are always grid-adjacent, so
+    range-written files cover tighter boxes than Morton's quadrant
+    jumps. Loop-carried (x,y,d) state folds in one Catalyst
+    aggregate(); the oracle replays it as a recursive CTE."""
+    from barkingowl_spark.functions.zorder import with_hilbert_key
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.expr("user_id % 65536").alias("ub"),
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+               " % 65536 AS BIGINT)").alias("tb"),
+    )
+    return with_hilbert_key(ev, "ub", "tb", bits=16).select(
+        "event_id", "hkey")
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -3298,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_windows": q_events_rate_windows,
         "events_cms_windows": q_events_cms_windows,
         "events_zorder": q_events_zorder,
+        "events_hilbert": q_events_hilbert,
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
@@ -6466,6 +6486,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST((((ub >> 0) & 1) << 0) + (((ub >> 1) & 1) << 2) + (((ub >> 2) & 1) << 4) + (((ub >> 3) & 1) << 6) + (((ub >> 4) & 1) << 8) + (((ub >> 5) & 1) << 10) + (((ub >> 6) & 1) << 12) + (((ub >> 7) & 1) << 14) + (((ub >> 8) & 1) << 16) + (((ub >> 9) & 1) << 18) + (((ub >> 10) & 1) << 20) + (((ub >> 11) & 1) << 22) + (((ub >> 12) & 1) << 24) + (((ub >> 13) & 1) << 26) + (((ub >> 14) & 1) << 28) + (((ub >> 15) & 1) << 30) + (((tb >> 0) & 1) << 1) + (((tb >> 1) & 1) << 3) + (((tb >> 2) & 1) << 5) + (((tb >> 3) & 1) << 7) + (((tb >> 4) & 1) << 9) + (((tb >> 5) & 1) << 11) + (((tb >> 6) & 1) << 13) + (((tb >> 7) & 1) << 15) + (((tb >> 8) & 1) << 17) + (((tb >> 9) & 1) << 19) + (((tb >> 10) & 1) << 21) + (((tb >> 11) & 1) << 23) + (((tb >> 12) & 1) << 25) + (((tb >> 13) & 1) << 27) + (((tb >> 14) & 1) << 29) + (((tb >> 15) & 1) << 31) AS BIGINT) AS zkey
             FROM b
+        """,
+        "events_hilbert": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id,
+                     user_id % 65536 AS x,
+                     (epoch_us(ts) // 1000000) % 65536 AS y
+              FROM events),
+            h AS (
+              SELECT event_id, x, y, CAST(0 AS BIGINT) AS d, 15 AS i
+              FROM ev
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                          THEN 65535 - y ELSE y END) ELSE x END,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                          THEN 65535 - x ELSE x END) ELSE y END,
+                     d + (CAST(1 AS BIGINT) << (2 * i))
+                         * xor(3 * rx, ry),
+                     i - 1
+              FROM (SELECT event_id, x, y, d, i,
+                           CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0
+                                THEN 1 ELSE 0 END AS rx,
+                           CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0
+                                THEN 1 ELSE 0 END AS ry
+                    FROM h WHERE i >= 0) s)
+            SELECT event_id, d AS hkey FROM h WHERE i = -1
         """,
         "events_asof": """
             WITH pur AS (

@@ -64,3 +64,52 @@ def zorder_layout(
     z = with_zkey(df, cols, bits)
     return z.repartitionByRange(F.col("zkey")).sortWithinPartitions(
         "zkey")
+
+
+def hilbert_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    """SQL expression for the 2-D Hilbert index of (xcol, ycol), each
+    pre-normalized into [0, 2^bits) — the classical xy2d walk (Hilbert
+    1891; the per-level rotate-and-accumulate formulation everyone
+    ships): per level s = 2^(bits-1)..1, quadrant digit
+    (3*rx) XOR ry weighted by s^2, then the lower square is rotated
+    (ry=0: reflect when rx=1, then swap axes).
+
+    Hilbert beats Morton on locality (no quadrant-boundary jumps:
+    consecutive indexes are always grid-adjacent), which is why newer
+    layout engines cluster on it; the write path is the same
+    repartitionByRange + sortWithinPartitions as zorder_layout.
+
+    The loop-carried (x, y, d) state is folded with a Catalyst
+    `aggregate()` over the level sequence — single JVM expression, no
+    UDF, constant size in `bits` (the DuckDB oracle replays it as a
+    recursive CTE; XOR spelled ^ here and xor() there)."""
+    if not 1 <= 2 * bits <= 62:
+        raise ValueError("2*bits must be in [1, 62]")
+    n1 = (1 << bits) - 1  # n - 1
+    rx = "(CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), i)) > 0" \
+         " THEN 1 ELSE 0 END)"
+    ry = "(CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), i)) > 0" \
+         " THEN 1 ELSE 0 END)"
+    s2 = "shiftleft(CAST(1 AS BIGINT), 2 * i)"  # s * s
+    return (
+        f"aggregate(sequence({bits - 1}, 0, -1),"
+        f" struct(CAST({xcol} AS BIGINT) AS x,"
+        f"        CAST({ycol} AS BIGINT) AS y,"
+        f"        CAST(0 AS BIGINT) AS d),"
+        f" (acc, i) -> struct("
+        f"   CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f"     THEN {n1} - acc.y ELSE acc.y END) ELSE acc.x END AS x,"
+        f"   CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f"     THEN {n1} - acc.x ELSE acc.x END) ELSE acc.y END AS y,"
+        f"   acc.d + {s2} * ((3 * {rx}) ^ {ry}) AS d),"
+        f" acc -> acc.d)"
+    )
+
+
+def with_hilbert_key(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 16,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """df + out_col: the Hilbert index over the two (pre-normalized)
+    columns."""
+    return df.withColumn(out_col, F.expr(hilbert_expr(xcol, ycol, bits)))

@@ -80,7 +80,8 @@ def duck():
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
      "events_zorder", "graph_indegree_skew", "graph_salsa",
      "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
-     "dust_rules", "dust_canon", "search_bm25f", "graph_diameter"],
+     "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
+     "events_hilbert"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

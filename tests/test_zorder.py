@@ -76,3 +76,45 @@ def test_validation(spark):
         zvalue_expr([], 8)
     with pytest.raises(ValueError):
         zvalue_expr(["a", "b", "c", "d"], 16)
+
+
+def _xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    from barkingowl_spark.functions.zorder import with_hilbert_key
+
+    import itertools
+
+    pts = list(itertools.product(range(8), range(8)))
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long")
+    got = {(r["x"], r["y"]): r["hkey"]
+           for r in with_hilbert_key(df, "x", "y", bits=3).collect()}
+    assert got == {(x, y): _xy2d(8, x, y) for x, y in pts}
+    # the curve's point: consecutive indexes are grid-adjacent (Morton
+    # is not — its quadrant seams jump)
+    inv = {d: xy for xy, d in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1])
+        == 1
+        for d in range(63))
+
+
+def test_hilbert_validation(spark):
+    from barkingowl_spark.functions.zorder import hilbert_expr
+
+    with pytest.raises(ValueError):
+        hilbert_expr("a", "b", 32)
