@@ -1793,6 +1793,25 @@ def q_events_asof(spark, sf):
                      right_cols=["event_id"], tie="event_id")
 
 
+def q_events_change_audit(spark, sf):
+    """Horizon-bounded pair audit (streaming/joins.py::
+    pairs_within_horizon — the BATCH face of the watermarked
+    stream-stream interval join, same definition both ways): purchases
+    within 5 minutes AFTER a click by the same user. The time-range
+    condition is what bounds streaming state; here it is the exact
+    non-equi filter over the user-keyed equi-join."""
+    from barkingowl_spark.streaming.joins import pairs_within_horizon
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    fetches = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    changes = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts")
+    return pairs_within_horizon(
+        fetches, changes, key="user_id", horizon="5 minutes")
+
+
 def q_events_interval(spark, sf):
     """Bucketed range join (operators/temporal.py::interval_join):
     events inside synthetic 2-day-per-week maintenance windows per
@@ -3237,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippet": q_search_snippet,
         "text_collocations": q_text_collocations,
         "events_interval": q_events_interval,
+        "events_change_audit": q_events_change_audit,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_setjoin": q_dedup_setjoin,
@@ -6527,6 +6547,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts,
                    b.b.eid AS r_event_id, b.b.ts AS r_ts
             FROM events e LEFT JOIN best b ON b.lid = e.event_id
+        """,
+        "events_change_audit": """
+            SELECT f.user_id,
+                   c.ts AS change_ts,
+                   f.ts AS fetch_ts,
+                   CAST(epoch_us(f.ts) - epoch_us(c.ts) AS BIGINT)
+                     AS lag_us
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase') f
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON c.user_id = f.user_id
+             AND f.ts >= c.ts
+             AND f.ts < c.ts + INTERVAL 5 MINUTE
         """,
         "events_interval": """
             WITH pts AS (
