@@ -2580,6 +2580,20 @@ def q_search_bm25(spark, sf):
     )
 
 
+def q_search_qld(spark, sf):
+    """Dirichlet query-likelihood top-k (operators/invindex.py::
+    qld_topk, Zhai & Lafferty TOIS'04): half-bit integer log2 term
+    weights vs the collection model, per-doc length normalizer,
+    cf=0 terms excluded, TakeOrderedAndProject cut — the language-
+    modeling third of the ranking triad (BM25 / BM25F / QLD) over the
+    same planted-marker corpus."""
+    from barkingowl_spark.operators.invindex import qld_topk
+
+    return qld_topk(
+        _bm25_docs(spark, sf), ["needle", "haystack", "scan"], k=25
+    )
+
+
 _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
@@ -3332,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_surprisal": q_lm_bigram_surprisal,
         "search_bm25": q_search_bm25,
         "search_bm25f": q_search_bm25f,
+        "search_qld": q_search_qld,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
@@ -7508,6 +7523,57 @@ def oracle_sql() -> dict[str, str]:
             FROM scored JOIN ranked USING (mean_surprisal_cb)
         """,
         "search_bm25": _BM25_SQL,
+        "search_qld": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN repeat(' needle',
+                                      CAST(1 + doc_id % 3 AS INT))
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                          ELSE '' END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM d)
+              WHERE t <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY doc_id),
+            stats AS (
+              SELECT CAST(sum(dl) AS BIGINT) AS c_tokens FROM dl),
+            tfq AS (
+              SELECT * FROM tf
+              WHERE term IN ('needle', 'haystack', 'scan')),
+            cfq AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+              FROM tfq GROUP BY term),
+            nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM cfq),
+            w AS (
+              SELECT doc_id,
+                     length(bin(CAST(
+                       ((tf::HUGEINT * c_tokens + 2000::HUGEINT * cf)
+                        * (tf::HUGEINT * c_tokens + 2000::HUGEINT * cf))
+                       // ((2000::HUGEINT * cf) * (2000::HUGEINT * cf))
+                       AS BIGINT))) - 1 AS w_hb
+              FROM tfq JOIN cfq USING (term), stats),
+            g AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     sum(w_hb) AS sum_w
+              FROM w GROUP BY doc_id)
+            SELECT doc_id, n_terms,
+                   CAST(sum_w - n_q * (length(bin(CAST(
+                     ((dl + 2000)::HUGEINT * (dl + 2000))
+                     // (2000 * 2000) AS BIGINT))) - 1)
+                   AS BIGINT) AS score_hb
+            FROM g JOIN dl USING (doc_id), nq
+            ORDER BY score_hb DESC, doc_id LIMIT 25
+        """,
         "search_bm25f": """
             WITH an AS (
               SELECT doc_id,

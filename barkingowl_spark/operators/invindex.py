@@ -445,3 +445,90 @@ def bm25f_topk(
         .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def qld_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+) -> DataFrame:
+    """(doc_id, n_terms, score_hb): top-k documents under the Dirichlet
+    query-likelihood model (Zhai & Lafferty, TOIS 2004) — the language-
+    modeling third of the classic ranking triad next to bm25_topk and
+    bm25f_topk. Query-constant terms dropped, the ranking-equivalent
+    decomposition is
+
+        score(d) = sum_{t in Q, tf>0} log(1 + tf*C / (mu*cf_t))
+                   + |Q_c| * log(mu / (dl + mu))
+
+    with C = total corpus tokens, cf_t = collection frequency, and
+    |Q_c| = query terms that exist in the corpus (cf = 0 terms carry no
+    probability mass under the collection model, so they are excluded
+    on both sides — the standard practice).
+
+    Integer half-bit fixed point (same bitlen identity as BM25's idf):
+
+        w_hb   = floor(2*log2((tf*C + mu*cf) / (mu*cf)))
+               = bitlen((tf*C + mu*cf)^2 DIV (mu*cf)^2) - 1
+        len_hb = floor(2*log2((dl + mu) / mu))
+        score_hb = sum(w_hb) - |Q_c| * len_hb          [may be negative]
+
+    Both numerators square inside DECIMAL(38,0) (HUGEINT in the
+    oracle), so tf*C is safe to ~10^18 total corpus tokens — past that,
+    divide C and cf by a common power of two first (the ratio is all
+    that matters).
+
+    Plan shape is bm25_from_index's: the term filter prunes the one
+    tokenize+explode pass, cf/stats are O(|Q|)- and 1-row broadcast
+    sides, candidates are docs holding >= 1 query term, and the cut is
+    TakeOrderedAndProject — no global sort, no dense corpus x query
+    scoring."""
+    tf = term_freqs(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("c_tokens"))
+    tfq = tf.filter(F.col("term").isin(list(query_terms)))
+    cfq = tfq.groupBy("term").agg(F.sum("tf").alias("cf"))
+    nq = cfq.agg(F.count(F.lit(1)).alias("n_q"))
+    scored = (
+        tfq.join(F.broadcast(cfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nq))
+        .withColumn(
+            "w_hb",
+            F.expr(
+                f"length(bin(CAST("
+                f"(CAST(tf AS DECIMAL(38,0)) * c_tokens"
+                f" + CAST({int(mu)} AS DECIMAL(38,0)) * cf)"
+                f" * (CAST(tf AS DECIMAL(38,0)) * c_tokens"
+                f" + CAST({int(mu)} AS DECIMAL(38,0)) * cf)"
+                f" DIV (CAST({int(mu)} AS DECIMAL(38,0)) * cf"
+                f" * CAST({int(mu)} AS DECIMAL(38,0)) * cf)"
+                f" AS BIGINT))) - 1"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl", "n_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_hb").alias("sum_w"),
+        )
+        .withColumn(
+            "len_hb",
+            F.expr(
+                f"length(bin(CAST("
+                f"CAST(dl + {int(mu)} AS DECIMAL(38,0))"
+                f" * (dl + {int(mu)})"
+                f" DIV CAST({int(mu) * int(mu)} AS DECIMAL(38,0))"
+                f" AS BIGINT))) - 1"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("sum_w") - F.col("n_q") * F.col("len_hb"))
+            .cast("long").alias("score_hb"),
+        )
+        .orderBy(F.col("score_hb").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -306,3 +306,70 @@ def test_best_snippet_matches_brute(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         best_snippet(positional_postings(df), [])
+
+
+def _py_qld(rows, query, mu=2000):
+    """Independent integer Dirichlet QL (floor division throughout)."""
+    toks = {d: [w for w in (t or "").split(" ") if w] for d, t in rows}
+    toks = {d: ws for d, ws in toks.items() if ws}
+    c_tokens = sum(len(ws) for ws in toks.values())
+    cf = {t: sum(ws.count(t) for ws in toks.values()) for t in set(query)}
+    n_q = sum(1 for t in cf if cf[t] > 0)
+    out = {}
+    for d, ws in toks.items():
+        dl = len(ws)
+        sum_w, n_terms = 0, 0
+        for t in set(query):
+            tf = ws.count(t)
+            if not tf:
+                continue
+            a = tf * c_tokens + mu * cf[t]
+            b = mu * cf[t]
+            sum_w += ((a * a) // (b * b)).bit_length() - 1
+            n_terms += 1
+        if n_terms:
+            a = dl + mu
+            len_hb = ((a * a) // (mu * mu)).bit_length() - 1
+            out[d] = (n_terms, sum_w - n_q * len_hb)
+    return out
+
+
+def test_qld_matches_python_reimpl(spark):
+    from barkingowl_spark.operators.invindex import qld_topk
+
+    rows = [
+        (0, "cat sat on the mat with the cat"),
+        (1, "the dog sat on the dog bed"),
+        (2, "cat cat cat cat cat cat cat cat cat cat cat cat"),
+        (3, "needle in the haystack"),
+        (4, "the the the the the the the the"),
+        (5, None),
+        (6, "needle needle haystack"),
+    ]
+    # 'zebra' has cf=0: excluded from n_q and from every doc's score
+    query = ["cat", "needle", "haystack", "zebra"]
+    want = _py_qld(rows, query)
+    got = {r["doc_id"]: (r["n_terms"], r["score_hb"])
+           for r in qld_topk(_docs(spark, rows), query, k=10).collect()}
+    assert got == want
+
+
+def test_qld_ranking_sanity(spark):
+    """More query mass -> higher rank; length normalizer punishes the
+    long doc that merely mentions a term once."""
+    from barkingowl_spark.operators.invindex import qld_topk
+
+    rows = [
+        (0, "needle haystack needle"),
+        (1, "needle " + "filler " * 60 + "pad"),
+        (2, "haystack"),
+        (3, "unrelated words only"),
+    ]
+    # mu scaled to the toy corpus (default 2000 >> 69 tokens floors
+    # every half-bit weight to 0 — resolution, not correctness)
+    got = [r["doc_id"]
+           for r in qld_topk(_docs(spark, rows),
+                             ["needle", "haystack"], k=10, mu=2).collect()]
+    assert got[0] == 0            # both terms, dense
+    assert 3 not in got           # no query term -> not a candidate
+    assert got.index(2) < got.index(1)   # short on-topic beats diluted
