@@ -2594,6 +2594,75 @@ def q_search_qld(spark, sf):
     )
 
 
+_EVAL_QUERY_BATCH = [
+    (1, "needle"),
+    (2, "haystack"),
+    (3, "needle"),
+    (3, "haystack"),
+    (3, "scan"),
+]
+
+
+def _eval_queries(spark):
+    return spark.createDataFrame(
+        _EVAL_QUERY_BATCH, "query_id long, term string")
+
+
+def _eval_qrels(docs, qdim):
+    """Conjunctive-containment judgments: doc relevant to a query iff
+    it contains EVERY term of the query (deterministic, engine-neutral
+    — the oracle derives the same table from the same corpus)."""
+    from barkingowl_spark.operators.invindex import term_freqs
+
+    qd = qdim.distinct()
+    qn = qd.groupBy("query_id").agg(F.count(F.lit(1)).alias("q_n"))
+    return (
+        term_freqs(docs).select("doc_id", "term")
+        .join(F.broadcast(qd), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("n_matched") == F.col("q_n"))
+        .select("query_id", "doc_id")
+    )
+
+
+def q_search_runs(spark, sf):
+    """Multi-query batch BM25 (operators/ireval.py::bm25_runs): the
+    whole query batch scored in ONE tokenize+explode pass — query dim
+    broadcast into the posting slice, per-query rank cut via a
+    query-partitioned window (never a global sort)."""
+    from barkingowl_spark.operators.ireval import bm25_runs
+
+    return bm25_runs(
+        _bm25_docs(spark, sf), _eval_queries(spark), k=10)
+
+
+def q_search_eval(spark, sf):
+    """TREC-style ranking evaluation (operators/ireval.py::
+    rank_metrics): per-query hits@k / P@k / recall / RR / AP in ppm
+    floor-division fixed point against conjunctive-containment qrels
+    derived from the corpus itself."""
+    from barkingowl_spark.operators.ireval import bm25_runs, rank_metrics
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return rank_metrics(
+        bm25_runs(docs, qdim, k=10), _eval_qrels(docs, qdim), k=10)
+
+
+def q_search_eval_macro(spark, sf):
+    """Macro-averaged MRR/MAP/recall/P@k (operators/ireval.py::
+    eval_macro): the 1-row scoreboard over the per-query metrics."""
+    from barkingowl_spark.operators.ireval import (
+        bm25_runs, eval_macro, rank_metrics)
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return eval_macro(rank_metrics(
+        bm25_runs(docs, qdim, k=10), _eval_qrels(docs, qdim), k=10))
+
+
 _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
@@ -3347,6 +3416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_bm25f": q_search_bm25f,
         "search_qld": q_search_qld,
+        "search_runs": q_search_runs,
+        "search_eval": q_search_eval,
+        "search_eval_macro": q_search_eval_macro,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
@@ -4170,6 +4242,113 @@ _BM25_SQL = """
            CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
     FROM j3 GROUP BY doc_id
     ORDER BY score_fp DESC, doc_id LIMIT 25
+"""
+
+
+_RUNS_CTE = """
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                  THEN repeat(' needle', CAST(1 + doc_id % 3 AS INT))
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                  ELSE '' END AS text
+      FROM documents),
+    tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+      WHERE t <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    queries(query_id, term) AS (
+      VALUES (1, 'needle'), (2, 'haystack'),
+             (3, 'needle'), (3, 'haystack'), (3, 'scan')),
+    qdim AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+      FROM queries),
+    terms AS (SELECT DISTINCT term FROM qdim),
+    tft AS (SELECT tf.* FROM tf JOIN terms USING (term)),
+    dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tft GROUP BY term),
+    j AS (
+      SELECT qdim.query_id, tft.doc_id, tft.tf, dft.df, dl.dl,
+             n_docs, total_len,
+             2 * n_docs - 2 * df + 1 AS num, 2 * df + 1 AS den
+      FROM tft JOIN qdim USING (term) JOIN dft USING (term)
+               JOIN dl USING (doc_id), stats),
+    j2 AS (
+      SELECT query_id, doc_id, tf,
+             CASE WHEN num < den THEN 0
+               ELSE length(bin(CAST((num::HUGEINT * num)
+                    // (den::HUGEINT * den) AS BIGINT))) - 1 END
+               AS idf_hb,
+             CAST((1000000 - 750000)
+                  + (750000::HUGEINT * dl * n_docs) // total_len
+                  AS BIGINT) AS norm_ppm
+      FROM j),
+    j3 AS (
+      SELECT query_id, doc_id, idf_hb,
+             CAST((tf::HUGEINT * (1200000 + 1000000) * 1000000)
+                  // (tf * 1000000 + (1200000 * norm_ppm) // 1000000)
+                  AS BIGINT) AS sat_ppm
+      FROM j2),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
+      FROM j3 GROUP BY query_id, doc_id),
+    runk AS (
+      SELECT * FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+               score_fp
+        FROM sc)
+      WHERE rank <= 10),
+    qn AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS q_n
+      FROM qdim GROUP BY query_id),
+    matched AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched
+      FROM tft JOIN qdim USING (term) GROUP BY query_id, doc_id),
+    qrels AS (
+      SELECT query_id, doc_id FROM matched JOIN qn USING (query_id)
+      WHERE n_matched = q_n),
+    nrel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY query_id),
+    hits AS (
+      SELECT r.query_id, r.rank,
+             CAST(row_number() OVER (
+               PARTITION BY r.query_id ORDER BY r.rank) AS BIGINT)
+               AS h_r
+      FROM runk r JOIN qrels USING (query_id, doc_id)),
+    perq AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS hits_at_k,
+             min(rank) AS first_rel_rank,
+             CAST(sum((1000000 * h_r) // rank) AS BIGINT) AS sum_p
+      FROM hits GROUP BY query_id),
+    met AS (
+      SELECT query_id, n_rel,
+             CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+             CAST((1000000 * coalesce(hits_at_k, 0)) // 10
+                  AS BIGINT) AS p_at_k_ppm,
+             CAST((1000000 * coalesce(hits_at_k, 0)) // n_rel
+                  AS BIGINT) AS recall_ppm,
+             CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                       ELSE 1000000 // first_rel_rank END
+                  AS BIGINT) AS rr_ppm,
+             CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
+      FROM nrel LEFT JOIN perq USING (query_id))
 """
 
 
@@ -7573,6 +7752,19 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS score_hb
             FROM g JOIN dl USING (doc_id), nq
             ORDER BY score_hb DESC, doc_id LIMIT 25
+        """,
+        "search_runs": _RUNS_CTE
+        + "SELECT query_id, doc_id, rank, score_fp FROM runk",
+        "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        "search_eval_macro": _RUNS_CTE + """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,
+                   CAST(sum(ap_ppm) // count(*) AS BIGINT) AS map_ppm,
+                   CAST(sum(recall_ppm) // count(*) AS BIGINT)
+                     AS mean_recall_ppm,
+                   CAST(sum(p_at_k_ppm) // count(*) AS BIGINT)
+                     AS mean_p_at_k_ppm
+            FROM met
         """,
         "search_bm25f": """
             WITH an AS (

@@ -81,7 +81,8 @@ def duck():
      "events_zorder", "graph_indegree_skew", "graph_salsa",
      "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
-     "events_hilbert", "events_change_audit", "search_qld"],
+     "events_hilbert", "events_change_audit", "search_qld",
+     "search_runs", "search_eval", "search_eval_macro"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
