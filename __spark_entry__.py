@@ -2663,6 +2663,41 @@ def q_search_eval_macro(spark, sf):
         bm25_runs(docs, qdim, k=10), _eval_qrels(docs, qdim), k=10))
 
 
+def _weighted_docs(spark, sf):
+    """(doc_id, source, w): token-count weights for the priority
+    sampler (>= 1 by the split-of-empty-string convention, identical
+    in both engines)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        .cast("long").alias("w"),
+    )
+
+
+def q_sample_priority(spark, sf):
+    """Priority sampling (operators/mix.py::priority_sample, Duffield
+    Lund & Thorup JACM'07): ONE weight-proportional top-k-by-priority
+    sample whose max(w, tau) estimator answers every subset-sum query
+    unbiased — TakeOrderedAndProject(k+1) is the only cut, no corpus
+    shuffle."""
+    from barkingowl_spark.operators.mix import priority_sample
+
+    return priority_sample(_weighted_docs(spark, sf), k=50)
+
+
+def q_sample_priority_est(spark, sf):
+    """Priority-sample subset-sum audit (operators/mix.py::
+    priority_estimate): estimated vs exact total token weight and the
+    realized err_ppm — the small-scale qualification a pipeline runs
+    before trusting the sampler's telemetry at 100TB."""
+    from barkingowl_spark.operators.mix import (
+        priority_estimate, priority_sample)
+
+    wd = _weighted_docs(spark, sf)
+    return priority_estimate(
+        priority_sample(wd, k=50), wd.select("doc_id", "w"))
+
+
 _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
@@ -3419,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_runs": q_search_runs,
         "search_eval": q_search_eval,
         "search_eval_macro": q_search_eval_macro,
+        "sample_priority": q_sample_priority,
+        "sample_priority_est": q_sample_priority_est,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
@@ -4349,6 +4386,34 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+_PRIORITY_CTE = """
+    WITH wt AS (
+      SELECT doc_id,
+             CAST(len(string_split(coalesce(text, ''), ' '))
+                  AS BIGINT) AS w,
+             CAST(('0x' || substring(
+                 md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1099511627776 + 1 AS u
+      FROM documents),
+    pri AS (
+      SELECT doc_id, w, u,
+             CAST((w::HUGEINT * 1099511627776) // u AS BIGINT)
+               AS priority
+      FROM wt),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY priority DESC, doc_id) AS BIGINT) AS rn FROM pri),
+    tauv AS (
+      SELECT CAST(coalesce(
+               max(CASE WHEN rn = 51 THEN priority END), 0)
+             AS BIGINT) AS tau FROM ranked),
+    samp AS (
+      SELECT doc_id, w, u, priority, tau,
+             greatest(w, tau) AS w_est
+      FROM ranked, tauv WHERE rn <= 50)
 """
 
 
@@ -7756,6 +7821,19 @@ def oracle_sql() -> dict[str, str]:
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        "sample_priority": _PRIORITY_CTE
+        + "SELECT doc_id, w, u, priority, tau, w_est FROM samp",
+        "sample_priority_est": _PRIORITY_CTE + """
+            SELECT n_sampled, tau, est_total, true_total,
+                   CAST(abs(est_total - true_total) * 1000000
+                        // true_total AS BIGINT) AS err_ppm
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                         max(tau) AS tau,
+                         CAST(sum(w_est) AS BIGINT) AS est_total,
+                         (SELECT CAST(sum(w) AS BIGINT) FROM wt)
+                           AS true_total
+                  FROM samp)
+        """,
         "search_eval_macro": _RUNS_CTE + """
             SELECT CAST(count(*) AS BIGINT) AS n_queries,
                    CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,

@@ -341,3 +341,95 @@ def stratified_sample_exact(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= int(k))
     )
+
+
+_U40 = 1 << 40
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """(doc_id, w, u, priority, tau, w_est): weight-proportional
+    sample of size k via PRIORITY SAMPLING (Duffield, Lund & Thorup,
+    JACM 2007): each item draws u uniform in [1, 2^40] (deterministic
+    md5 on host#id — same decorrelation rationale as _draw_ppm),
+    priority = floor(w * 2^40 / u), the sample is the top-k by
+    (priority desc, id asc) and tau is the (k+1)-th priority. The
+    per-item estimator w_est = max(w, tau) makes ANY subset-sum
+    unbiased (up to the 2^-40 floor bias, far below the estimator's
+    own variance): sum(w_est) over the sample estimates total weight,
+    sum over a filtered slice estimates that slice's weight — the ONE
+    sample that answers every subset query, which is why it beats
+    per-query sampling for corpus telemetry.
+
+    Weights must be >= 1; priorities stay in BIGINT for w < 2^22 even
+    at the adversarial u = 1 (doc-length-class weights; for byte-count
+    weights at the 100TB point, shift both w and the 2^40 scale down
+    by a common power of two — only the ratio orders).
+
+    Plan shape: the scan computes (w, u, priority) map-side; the ONLY
+    cut is TakeOrderedAndProject(k+1) — no global sort, no shuffle of
+    the corpus; tau and the rank trim run on the k+1 survivors (one
+    tiny single-partition window, bounded by k)."""
+    key = F.concat(F.col(host_col), F.lit("#"),
+                   F.col(id_col).cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % F.lit(_U40) + 1
+    ).alias("u")
+    pri = F.expr(
+        f"CAST(CAST(w AS DECIMAL(38,0)) * {_U40} DIV u AS BIGINT)"
+    ).alias("priority")
+    topk1 = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("w"),
+            u,
+        )
+        .select("doc_id", "w", "u", pri)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(k + 1)
+    )
+    w_rank = Window.orderBy(F.col("priority").desc(),
+                            F.col("doc_id").asc())
+    ranked = topk1.withColumn("rn", F.row_number().over(w_rank))
+    tau = ranked.agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("priority")))
+        .alias("tau"))
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id", "w", "u", "priority",
+            F.coalesce("tau", F.lit(0)).alias("tau"),
+            F.greatest(F.col("w"), F.coalesce("tau", F.lit(0)))
+            .alias("w_est"),
+        )
+    )
+
+
+def priority_estimate(sample: DataFrame, truth: DataFrame) -> DataFrame:
+    """1 row (n_sampled, tau, est_total, true_total, err_ppm): the
+    subset-sum estimate from a priority_sample next to the exact total
+    (truth = (doc_id, w) full table; one agg each, the exact side is
+    the audit a pipeline runs at small scale to qualify the sampler
+    before trusting it at large)."""
+    est = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.max("tau").alias("tau"),
+        F.sum("w_est").cast("long").alias("est_total"),
+    )
+    tot = truth.agg(F.sum("w").cast("long").alias("true_total"))
+    return (
+        est.crossJoin(tot)
+        .select(
+            "n_sampled", "tau", "est_total", "true_total",
+            F.expr(
+                "CAST(abs(est_total - true_total) * 1000000"
+                " DIV true_total AS BIGINT)").alias("err_ppm"),
+        )
+    )

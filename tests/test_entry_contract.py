@@ -82,7 +82,8 @@ def duck():
      "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
      "events_hilbert", "events_change_audit", "search_qld",
-     "search_runs", "search_eval", "search_eval_macro"],
+     "search_runs", "search_eval", "search_eval_macro",
+     "sample_priority", "sample_priority_est"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
