@@ -2698,6 +2698,35 @@ def q_sample_priority_est(spark, sf):
         priority_sample(wd, k=50), wd.select("doc_id", "w"))
 
 
+def q_idx_blockmax(spark, sf):
+    """Block-max postings metadata (operators/invindex.py::
+    block_max_postings, Ding & Suel SIGIR'11): per (term, 64-doc
+    block) the BM25 upper bound ub_fp any member can contribute —
+    the skip table an index shard persists next to its postings; the
+    only ordering is a term-PARTITIONED window, no global sort."""
+    from barkingowl_spark.operators.invindex import block_max_postings
+
+    return block_max_postings(
+        _bm25_docs(spark, sf), ["needle", "haystack", "scan"], block=64)
+
+
+def q_idx_blockmax_prune(spark, sf):
+    """MaxScore/BMW pruning audit (operators/invindex.py::
+    blockmax_prune_stats): with theta = the 25th first-pass BM25
+    score, count the posting blocks provably skippable per term —
+    the posting-I/O savings number a 100TB index capacity plan is
+    built on."""
+    from barkingowl_spark.operators.invindex import (
+        blockmax_prune_stats, block_max_postings, bm25_topk)
+
+    docs = _bm25_docs(spark, sf)
+    terms = ["needle", "haystack", "scan"]
+    theta = bm25_topk(docs, terms, k=25).agg(
+        F.min("score_fp").alias("theta_fp"))
+    return blockmax_prune_stats(
+        block_max_postings(docs, terms, block=64), theta)
+
+
 _SHARD_W4 = ["crawler-a", "crawler-b", "crawler-c", "crawler-d"]
 _SHARD_W5 = _SHARD_W4 + ["crawler-e"]
 
@@ -3456,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval_macro": q_search_eval_macro,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
+        "idx_blockmax": q_idx_blockmax,
+        "idx_blockmax_prune": q_idx_blockmax_prune,
         "ring_assign": q_ring_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
@@ -4386,6 +4417,70 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+_BLOCKMAX_CTE = """
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                  THEN repeat(' needle', CAST(1 + doc_id % 3 AS INT))
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                  ELSE '' END AS text
+      FROM documents),
+    tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+      WHERE t <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    tfq AS (
+      SELECT * FROM tf
+      WHERE term IN ('needle', 'haystack', 'scan')),
+    dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tfq GROUP BY term),
+    j AS (
+      SELECT tfq.term, tfq.doc_id, tfq.tf, dft.df, dl.dl,
+             n_docs, total_len,
+             2 * n_docs - 2 * df + 1 AS num, 2 * df + 1 AS den
+      FROM tfq JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+    j2 AS (
+      SELECT term, doc_id, tf,
+             CASE WHEN num < den THEN 0
+               ELSE length(bin(CAST((num::HUGEINT * num)
+                    // (den::HUGEINT * den) AS BIGINT))) - 1 END
+               AS idf_hb,
+             CAST((1000000 - 750000)
+                  + (750000::HUGEINT * dl * n_docs) // total_len
+                  AS BIGINT) AS norm_ppm
+      FROM j),
+    j3 AS (
+      SELECT term, doc_id, idf_hb,
+             CAST((tf::HUGEINT * (1200000 + 1000000) * 1000000)
+                  // (tf * 1000000 + (1200000 * norm_ppm) // 1000000)
+                  AS BIGINT) AS sat_ppm
+      FROM j2),
+    blk AS (
+      SELECT term, doc_id, idf_hb, sat_ppm,
+             CAST((row_number() OVER (
+               PARTITION BY term ORDER BY doc_id) - 1) // 64
+               AS BIGINT) AS block_id
+      FROM j3),
+    bm AS (
+      SELECT term, block_id, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             CAST(max(idf_hb) * max(sat_ppm) AS BIGINT) AS ub_fp
+      FROM blk GROUP BY term, block_id)
 """
 
 
@@ -7821,6 +7916,31 @@ def oracle_sql() -> dict[str, str]:
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        "idx_blockmax": _BLOCKMAX_CTE
+        + ("SELECT term, block_id, n_docs, min_doc_id, max_doc_id,"
+           " ub_fp FROM bm"),
+        "idx_blockmax_prune": _BLOCKMAX_CTE + """
+            , sc AS (
+              SELECT doc_id,
+                     CAST(sum(idf_hb * sat_ppm) AS BIGINT) AS score_fp
+              FROM j3 GROUP BY doc_id),
+            theta AS (
+              SELECT min(score_fp) AS theta_fp FROM (
+                SELECT score_fp FROM sc
+                ORDER BY score_fp DESC, doc_id LIMIT 25)),
+            gm AS (
+              SELECT term, max(ub_fp) AS term_max
+              FROM bm GROUP BY term),
+            tot AS (
+              SELECT CAST(sum(term_max) AS BIGINT) AS all_max FROM gm)
+            SELECT term, CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(CASE WHEN ub_fp + (all_max - term_max)
+                                      < theta_fp
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_skippable
+            FROM bm JOIN gm USING (term), tot, theta
+            GROUP BY term
+        """,
         "sample_priority": _PRIORITY_CTE
         + "SELECT doc_id, w, u, priority, tau, w_est FROM samp",
         "sample_priority_est": _PRIORITY_CTE + """

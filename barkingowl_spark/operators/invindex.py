@@ -532,3 +532,119 @@ def qld_topk(
         .orderBy(F.col("score_hb").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def block_max_postings(
+    documents: DataFrame,
+    query_terms: list[str] | None = None,
+    block: int = 64,
+    k1_ppm: int = 1_200_000,
+    b_ppm: int = 750_000,
+) -> DataFrame:
+    """(term, block_id, n_docs, min_doc_id, max_doc_id, ub_fp):
+    block-max skip metadata over doc_id-ordered postings (Ding &
+    Suel's Block-Max WAND, SIGIR 2011) — each term's postings list is
+    chunked into fixed blocks and each block carries the upper bound
+    ub_fp = idf_hb * max(sat_ppm) any of its documents can contribute
+    to a BM25 score. A query-time scorer skips a whole block when the
+    bound proves it can't reach the current top-k threshold; the table
+    is what an index shard persists next to the postings.
+
+    Plan shape: one tokenize+explode pass (shared algebra with
+    bm25_from_index), the only per-term ordering is a window
+    PARTITIONED by term (rank -> block_id), then one groupBy
+    (term, block_id) — no global sort; at scale the window's term
+    partitioning is the same key the postings export is already
+    bucketed by."""
+    tf = term_freqs(documents)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tfq = tf if query_terms is None else tf.filter(
+        F.col("term").isin(list(query_terms)))
+    df_t = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfq.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_num", F.expr("2 * n_docs - 2 * df + 1"))
+        .withColumn("_den", F.expr("2 * df + 1"))
+        .withColumn(
+            "idf_hb",
+            F.expr(
+                "CASE WHEN _num < _den THEN 0 ELSE "
+                "length(bin(CAST((CAST(_num AS DECIMAL(38,0)) * _num)"
+                " DIV (CAST(_den AS DECIMAL(38,0)) * _den)"
+                " AS BIGINT))) - 1 END"),
+        )
+        .withColumn(
+            "norm_ppm",
+            F.expr(
+                f"CAST((1000000 - {int(b_ppm)})"
+                f" + (CAST({int(b_ppm)} AS DECIMAL(38,0)) * dl * n_docs)"
+                f" DIV total_len AS BIGINT)"),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                f"CAST((CAST(tf AS DECIMAL(38,0))"
+                f" * ({int(k1_ppm)} + 1000000) * 1000000)"
+                f" DIV (tf * 1000000"
+                f" + ({int(k1_ppm)} * norm_ppm) DIV 1000000)"
+                f" AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "block_id",
+            F.expr(f"CAST((rn - 1) DIV {int(block)} AS BIGINT)"))
+        .groupBy("term", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            (F.max("idf_hb") * F.max("sat_ppm")).cast("long")
+            .alias("ub_fp"),
+        )
+    )
+
+
+def blockmax_prune_stats(
+    block_maxima: DataFrame, theta: DataFrame
+) -> DataFrame:
+    """(term, n_blocks, n_skippable): per query term, how many of its
+    postings blocks a MaxScore-style bound proves skippable at
+    threshold theta (1 row, column theta_fp — typically the k-th score
+    of a first-pass top-k): block b of term t is skippable iff
+
+        ub_fp(b) + sum over other terms t' of max_b ub_fp(t', b)
+          < theta_fp
+
+    i.e. even paired with every other term's single best block the
+    block can't reach the heap threshold. The pruning RATE is the
+    quantity a capacity plan needs: it says what fraction of posting
+    I/O the skip metadata saves at this corpus shape."""
+    gm = block_maxima.groupBy("term").agg(
+        F.max("ub_fp").alias("term_max"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    tot = gm.agg(F.sum("term_max").alias("all_max"))
+    return (
+        block_maxima
+        .join(F.broadcast(gm), "term")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(theta))
+        .withColumn(
+            "skippable",
+            F.expr("ub_fp + (all_max - term_max) < theta_fp"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.expr("CASE WHEN skippable THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_skippable"),
+        )
+    )

@@ -83,7 +83,8 @@ def duck():
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
      "events_hilbert", "events_change_audit", "search_qld",
      "search_runs", "search_eval", "search_eval_macro",
-     "sample_priority", "sample_priority_est"],
+     "sample_priority", "sample_priority_est",
+     "idx_blockmax", "idx_blockmax_prune"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -373,3 +373,81 @@ def test_qld_ranking_sanity(spark):
     assert got[0] == 0            # both terms, dense
     assert 3 not in got           # no query term -> not a candidate
     assert got.index(2) < got.index(1)   # short on-topic beats diluted
+
+
+def test_block_max_postings_hand_pinned(spark):
+    from barkingowl_spark.operators.invindex import block_max_postings
+
+    rows = [
+        (0, "cat sat on the mat with the cat"),
+        (1, "the dog sat on the dog bed"),
+        (2, "cat cat cat cat cat cat cat cat cat cat cat cat"),
+        (3, "needle in the haystack"),
+        (4, "the the the the the the the the"),
+        (5, None),
+        (6, "needle needle haystack"),
+    ]
+    got = {
+        (r["term"], r["block_id"]):
+            (r["n_docs"], r["min_doc_id"], r["max_doc_id"], r["ub_fp"])
+        for r in block_max_postings(
+            _docs(spark, rows), ["cat", "needle"], block=1).collect()
+    }
+    # postings: cat -> docs 0,2; needle -> docs 3,6 (block=1: one each)
+    per_doc = _py_bm25(rows, ["cat", "needle"])
+    # block=1 -> per-block ub equals the doc's own term contribution;
+    # reconstruct it for single-term docs (cat docs carry only 'cat')
+    assert set(got) == {("cat", 0), ("cat", 1),
+                        ("needle", 0), ("needle", 1)}
+    assert got[("cat", 0)][1:3] == (0, 0)
+    assert got[("cat", 1)][1:3] == (2, 2)
+    assert got[("needle", 0)][1:3] == (3, 3)
+    assert got[("needle", 1)][1:3] == (6, 6)
+    assert got[("cat", 0)][3] == per_doc[0][1]   # doc 0: only 'cat'
+    assert got[("cat", 1)][3] == per_doc[2][1]   # doc 2: only 'cat'
+
+
+def test_blockmax_prune_soundness(spark):
+    """WAND invariant: every doc whose full score reaches theta sits
+    exclusively in non-skippable blocks."""
+    from barkingowl_spark.operators.invindex import (
+        blockmax_prune_stats, block_max_postings, bm25_topk)
+    from pyspark.sql import functions as F
+
+    rows = [(i,
+             ("cat " * (1 + i % 4)
+              + ("needle " if i % 3 == 0 else "mat ")
+              + "filler" + str(i % 7)))
+            for i in range(60)]
+    docs = _docs(spark, rows)
+    query = ["cat", "needle"]
+    bm = block_max_postings(docs, query, block=4).cache()
+    top = bm25_topk(docs, query, k=5)
+    theta = top.agg(F.min("score_fp").alias("theta_fp"))
+    stats = {r["term"]: (r["n_blocks"], r["n_skippable"])
+             for r in blockmax_prune_stats(bm, theta).collect()}
+    assert set(stats) == {"cat", "needle"}
+    # recompute skippability locally and check no top-5 doc is caught
+    blocks = bm.collect()
+    th = theta.collect()[0]["theta_fp"]
+    gmax = {}
+    for r in blocks:
+        gmax[r["term"]] = max(gmax.get(r["term"], 0), r["ub_fp"])
+    all_max = sum(gmax.values())
+    skip = {(r["term"], r["block_id"])
+            for r in blocks
+            if r["ub_fp"] + (all_max - gmax[r["term"]]) < th}
+    assert {t: sum(1 for tt, _ in skip if tt == t) for t in stats} == {
+        t: stats[t][1] for t in stats}
+    top_ids = {r["doc_id"] for r in top.collect()}
+    from barkingowl_spark.operators.invindex import term_freqs
+    tf = term_freqs(docs).filter(F.col("term").isin(query)).collect()
+    # doc -> its (term, block) cells
+    ranked = {}
+    for t in set(r["term"] for r in tf):
+        ds = sorted(r["doc_id"] for r in tf if r["term"] == t)
+        for i, d in enumerate(ds):
+            ranked.setdefault(d, []).append((t, i // 4))
+    for d in top_ids:
+        for cell in ranked[d]:
+            assert cell not in skip, (d, cell)
