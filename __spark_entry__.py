@@ -1812,6 +1812,29 @@ def q_events_change_audit(spark, sf):
         fetches, changes, key="user_id", horizon="5 minutes")
 
 
+def q_events_change_sla(spark, sf):
+    """SLA-breach face of the watermarked stream-stream join
+    (streaming/joins.py::pairs_within_horizon how='leftOuter', the
+    BATCH face — in streaming the NULL-extended row emits exactly when
+    the watermark proves no match can still arrive): clicks with NO
+    purchase by the same user within 5 minutes."""
+    from barkingowl_spark.streaming.joins import pairs_within_horizon
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    fetches = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    changes = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts")
+    return (
+        pairs_within_horizon(
+            fetches, changes, key="user_id", horizon="5 minutes",
+            how="leftOuter")
+        .filter(F.col("fetch_ts").isNull())
+        .select("user_id", "change_ts")
+    )
+
+
 def q_events_interval(spark, sf):
     """Bucketed range join (operators/temporal.py::interval_join):
     events inside synthetic 2-day-per-week maintenance windows per
@@ -3404,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "events_interval": q_events_interval,
         "events_change_audit": q_events_change_audit,
+        "events_change_sla": q_events_change_sla,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_setjoin": q_dedup_setjoin,
@@ -6915,6 +6939,17 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = f.user_id
              AND f.ts >= c.ts
              AND f.ts < c.ts + INTERVAL 5 MINUTE
+        """,
+        "events_change_sla": """
+            SELECT c.user_id, c.ts AS change_ts
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events f
+              WHERE f.event_type = 'purchase'
+                AND f.user_id = c.user_id
+                AND f.ts >= c.ts
+                AND f.ts < c.ts + INTERVAL 5 MINUTE)
         """,
         "events_interval": """
             WITH pts AS (

@@ -42,28 +42,37 @@ def pairs_within_horizon(
     changes: DataFrame,
     key: str = "host",
     horizon: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """(key, change_ts, fetch_ts, lag_sec): every fetch within
+    """(key, change_ts, fetch_ts, lag_us): every fetch within
     [change.ts, change.ts + horizon) on the same key. Works on static
-    AND streaming inputs (watermark streaming inputs first)."""
+    AND streaming inputs (watermark streaming inputs first).
+
+    how='leftOuter' keeps CHANGES as the preserved side: a change row
+    with no fetch inside its horizon emits once with NULL
+    fetch_ts/lag_us — in streaming, exactly when the fetch watermark
+    passes change_ts + horizon and the engine can PROVE no match is
+    still possible (the SLA-breach alert); in batch, immediately (the
+    retroactive audit)."""
     f = fetches.select(
         F.col(key).alias("k"), F.col("ts").alias("fetch_ts"))
     c = changes.select(
         F.col(key).alias("ck"), F.col("ts").alias("change_ts"))
-    return (
-        f.join(
-            c,
-            F.expr(
-                f"k = ck AND fetch_ts >= change_ts"
-                f" AND fetch_ts < change_ts + interval {horizon}"),
-        )
-        .select(
-            F.col("k").alias(key),
-            "change_ts",
-            "fetch_ts",
-            (F.unix_micros("fetch_ts") - F.unix_micros("change_ts"))
-            .cast("long").alias("lag_us"),
-        )
+    cond = F.expr(
+        f"k = ck AND fetch_ts >= change_ts"
+        f" AND fetch_ts < change_ts + interval {horizon}")
+    if how == "inner":
+        joined = f.join(c, cond)
+    elif how == "leftOuter":
+        joined = c.join(f, cond, "leftOuter")
+    else:
+        raise ValueError(f"unsupported join face: {how!r}")
+    return joined.select(
+        F.coalesce(F.col("ck"), F.col("k")).alias(key),
+        "change_ts",
+        "fetch_ts",
+        (F.unix_micros("fetch_ts") - F.unix_micros("change_ts"))
+        .cast("long").alias("lag_us"),
     )
 
 
@@ -77,6 +86,7 @@ def stream_change_audit(
     key: str = "host",
     horizon: str = "5 minutes",
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> StreamingQuery:
     """File-source -> parquet-sink audit stream (availableNow, so tests
     and cron backfills drain everything present and stop). Both inputs
@@ -89,7 +99,7 @@ def stream_change_audit(
         spark.readStream.schema(schema).parquet(change_dir)
         .withWatermark("ts", watermark)
     )
-    joined = pairs_within_horizon(fetches, changes, key, horizon)
+    joined = pairs_within_horizon(fetches, changes, key, horizon, how)
     return (
         joined.writeStream.format("parquet")
         .option("path", out_dir)
