@@ -741,6 +741,54 @@ def q_mm_phash_pairs(spark, sf):
     return phash_near_pairs(perceptual_hash(_mm_logo_table(spark, sf)))
 
 
+def _mm_video_table(spark, sf):
+    """Synthetic 3-frame video table: frames keyed by (source,
+    doc_id%7, frame) so same-cell videos share footage; doc_id%3==0
+    videos swap frame 3 for unique content (partial overlap). Each
+    frame is 64 ascii chars (two md5 hexes), payload = concat — the
+    frame_phash stride recovers them exactly."""
+    def frame(j):
+        shared = (
+            f"repeat(md5(cast(concat('vid#', source, '#',"
+            f" CAST(doc_id % 7 AS STRING), '#', '{j}')"
+            f" AS BINARY)), 2)")
+        if j == 3:
+            uniq = ("repeat(md5(cast(concat('uniq#',"
+                    " CAST(doc_id AS STRING)) AS BINARY)), 2)")
+            return f"CASE WHEN doc_id % 3 = 0 THEN {uniq} ELSE {shared} END"
+        return shared
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(
+            F.expr(f"concat({frame(1)}, {frame(2)}, {frame(3)})"),
+            "utf-8",
+        ).alias("payload"),
+    )
+
+
+def q_mm_video_frames(spark, sf):
+    """Per-frame perceptual hashes (operators/multimodal.py::
+    frame_phash): sample_frames' one-to-many Arrow fan-out fused with
+    the per-chunk aHash — payloads read once, the video signature is
+    3 longs/video."""
+    from barkingowl_spark.operators.multimodal import frame_phash
+
+    return frame_phash(_mm_video_table(spark, sf))
+
+
+def q_mm_video_pairs(spark, sf):
+    """Video near-dup pairs (operators/multimodal.py::
+    video_near_pairs): equi-join on frame hash (matching frames
+    co-locate, no all-pairs), stop-frame frequency cap, containment
+    overlap_ppm vs the shorter video."""
+    from barkingowl_spark.operators.multimodal import (
+        frame_phash, video_near_pairs)
+
+    return video_near_pairs(
+        frame_phash(_mm_video_table(spark, sf)), min_shared=2)
+
+
 def _audio_tracks(spark, sf):
     """Synthetic audio table: 128 ascii 'sample' bytes per doc (four
     chained md5 hexes), BINARY payload — the stand-in waveform the
@@ -3460,6 +3508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": q_mm_decode_stub,
         "mm_phash": q_mm_phash,
         "mm_phash_pairs": q_mm_phash_pairs,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_video_pairs": q_mm_video_pairs,
         "mm_resize_stub": q_mm_resize_stub,
         "mm_frame_sample": q_mm_frame_sample,
         "redirect_resolve": q_redirect_resolve,
@@ -4441,6 +4491,36 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+_VIDFRAME_CTE = """
+    WITH fr AS (
+      SELECT doc_id, j,
+             CASE WHEN j = 3 AND doc_id % 3 = 0
+               THEN repeat(md5('uniq#' || CAST(doc_id AS VARCHAR)), 2)
+               ELSE repeat(md5('vid#' || source || '#'
+                    || CAST(doc_id % 7 AS VARCHAR) || '#'
+                    || CAST(j AS VARCHAR)), 2) END AS s
+      FROM documents, (SELECT unnest(generate_series(1, 3)) AS j)),
+    px AS (
+      SELECT doc_id, j, i, ascii(substring(s, i, 1)) AS p
+      FROM fr, (SELECT unnest(generate_series(1, 64)) AS i)),
+    m AS (
+      SELECT doc_id, j, sum(p) // 64 AS mean
+      FROM px GROUP BY doc_id, j),
+    hb AS (
+      SELECT px.doc_id, px.j,
+             sum(CASE WHEN px.p > m.mean
+                 THEN (CAST(1 AS HUGEINT) << (px.i - 1))
+                 ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM px JOIN m USING (doc_id, j) GROUP BY px.doc_id, px.j),
+    ph AS (
+      SELECT doc_id, CAST(j - 1 AS INT) AS frame_idx,
+             CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN h - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE h END AS BIGINT) AS phash
+      FROM hb)
 """
 
 
@@ -6319,6 +6399,31 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM ph a JOIN ph b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "mm_video_frames": _VIDFRAME_CTE + """
+            SELECT doc_id, frame_idx, phash FROM ph
+        """,
+        "mm_video_pairs": _VIDFRAME_CTE + """
+            , fhd AS (SELECT DISTINCT doc_id, phash FROM ph),
+            sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM fhd GROUP BY doc_id),
+            freq AS (
+              SELECT phash FROM fhd GROUP BY phash
+              HAVING count(*) <= 1024),
+            cold AS (SELECT fhd.* FROM fhd JOIN freq USING (phash)),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS shared_frames
+              FROM cold a JOIN cold b USING (phash)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, shared_frames,
+                   CAST(shared_frames * 1000000 // least(sa.n, sb.n)
+                        AS BIGINT) AS overlap_ppm
+            FROM p JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
         """,
         "mm_decode_stub": """
             SELECT doc_id,

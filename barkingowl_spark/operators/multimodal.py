@@ -226,3 +226,84 @@ def phash_near_pairs(
         hashes, "phash", n_bands=4, band_bits=16,
         max_hamming=max_hamming,
     )
+
+
+def frame_phash(
+    multimodal: DataFrame, stride: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """(doc_id, frame_idx, phash): per-FRAME perceptual hash — the
+    video near-dup signature. Combines sample_frames' one-to-many
+    fan-out with perceptual_hash's per-chunk aHash in a single
+    mapInPandas pass, so payload bytes are read once and never cross
+    the Arrow boundary row-wise; with a real demuxer the chunking
+    becomes keyframe extraction and _ahash_real replaces the stub,
+    nothing else changes."""
+    hash_fn = _ahash_real if _HAVE_PIL else _ahash_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                n = min(max_frames, (len(p) + stride - 1) // stride)
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["phash"].append(
+                        hash_fn(p[i * stride:(i + 1) * stride]))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32",
+                 "phash": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, frame_idx int, phash long"
+    )
+
+
+def video_near_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 2,
+    hot_cap: int = 1024,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_frames, overlap_ppm): video pairs sharing
+    >= min_shared DISTINCT frame hashes; overlap_ppm = shared * 1e6
+    DIV min(|frames_a|, |frames_b|) (containment-style, so a clip
+    inside a longer video still scores high).
+
+    Candidates come from an EQUI-join on the frame hash — matching
+    frames co-locate in one shuffle, never an all-pairs product. The
+    classic hot-bucket pathology (a black/intro frame shared by
+    everything) is cut by the frequency cap: hashes carried by more
+    than `hot_cap` videos are dropped from pair generation (they are
+    stop-frames — zero dedup signal, quadratic cost), same move as the
+    LSH band cap in corpus_dedup."""
+    fh = frame_hashes.select("doc_id", "phash").distinct()
+    # sizes is corpus-sized (one row per video): joined shuffle-side on
+    # the (already aggregated, far smaller) pair keys — never broadcast
+    sizes = fh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"))
+    freq = fh.groupBy("phash").agg(F.count(F.lit(1)).alias("n_docs"))
+    cold = fh.join(
+        freq.filter(F.col("n_docs") <= hot_cap).select("phash"),
+        "phash")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_frames").alias("n_a")),
+              "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_frames").alias("n_b")),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_frames",
+            F.expr("CAST(shared_frames * 1000000"
+                   " DIV least(n_a, n_b) AS BIGINT)")
+            .alias("overlap_ppm"),
+        )
+    )

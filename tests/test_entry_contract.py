@@ -84,7 +84,8 @@ def duck():
      "events_hilbert", "events_change_audit", "search_qld",
      "search_runs", "search_eval", "search_eval_macro",
      "sample_priority", "sample_priority_est",
-     "idx_blockmax", "idx_blockmax_prune", "events_change_sla"],
+     "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
+     "mm_video_frames", "mm_video_pairs"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
