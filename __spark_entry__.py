@@ -2309,6 +2309,24 @@ def q_politeness_timeline(spark, sf):
     )
 
 
+def q_graph_ppr(spark, sf):
+    """Multi-source personalized PageRank (operators/linkgraph.py::
+    ppr_fixed): one SPARSE rank vector per node%17==0 seed, all seeds
+    batched through one shuffle-join recurrence per round — the
+    focused-crawl seed-attribution primitive (which seed's
+    neighborhood is this page in, and how strongly)."""
+    from barkingowl_spark.operators.linkgraph import ppr_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 17 == 0)
+    )
+    return ppr_fixed(edges, seeds, n_iter=3)
+
+
 def q_graph_trustrank(spark, sf):
     """3-iteration fixed-point TrustRank (operators/linkgraph.py::
     trustrank_fixed — Gyongyi et al. VLDB'04): teleport restricted to
@@ -3540,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
         "graph_trustrank": q_graph_trustrank,
+        "graph_ppr": q_graph_ppr,
         "graph_opic": q_graph_opic,
         "graph_spam_mass": q_graph_spam_mass,
         "trap_templates": q_trap_templates,
@@ -4005,6 +4024,40 @@ def _trustrank_sql(n_iter: int = 3) -> str:
         f"WITH {_EDGES_SQL}, " + ", ".join(parts)
         + f" SELECT node, CAST(trust_fp AS BIGINT) AS trust_fp"
           f" FROM r{n_iter}"
+    )
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    """Unrolled SPARSE multi-seed PPR recurrence (graph_ppr's oracle):
+    per round one inflow agg keyed (seed, node) plus the UNION ALL
+    base re-injection — mirrors ppr_fixed exactly, dangling mass
+    dropped on both sides."""
+    parts = [
+        "sd AS (SELECT node FROM (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges) WHERE node % 17 = 0)",
+        "od AS (SELECT src AS node, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node AS seed, node,"
+        " CAST(1000000000000 AS BIGINT) AS ppr_fp FROM sd)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT r.seed, e.dst AS node,"
+            f" CAST(SUM((r.ppr_fp * 85) // (100 * o.outdeg))"
+            f" AS BIGINT) AS ppr_fp"
+            f" FROM edges e JOIN r{i-1} r ON r.node = e.src"
+            f" JOIN od o ON o.node = e.src GROUP BY r.seed, e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT seed, node, CAST(SUM(v) AS BIGINT)"
+            f" AS ppr_fp FROM ("
+            f"SELECT seed, node, ppr_fp AS v FROM s{i}"
+            f" UNION ALL SELECT node, node, 150000000000 FROM sd)"
+            f" GROUP BY seed, node)"
+        )
+    return (
+        f"WITH {_EDGES_SQL}, " + ", ".join(parts)
+        + f" SELECT seed, node, ppr_fp FROM r{n_iter}"
     )
 
 
@@ -7603,6 +7656,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "graph_trustrank": _trustrank_sql(),
+        "graph_ppr": _ppr_sql(),
         "graph_opic": _opic_sql(),
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),

@@ -941,3 +941,73 @@ def salsa_fixed(
             .localCheckpoint()
         )
     return scores.select("node", "hub_fp", "auth_fp")
+
+
+def ppr_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """(seed, node, ppr_fp): multi-source PERSONALIZED PageRank — one
+    rank vector per seed, all seeds propagated in a single batched
+    iteration (Page et al. 1999 §6; the focused-crawl relevance /
+    seed-attribution primitive trustrank_fixed's single merged vector
+    cannot give, because it collapses WHICH seed the mass came from):
+
+        r_s^0(v)     = scale                       iff v = s
+        r_s^{i+1}(v) = base * [v = s]
+                       + sum over in-edges (u,v) of
+                           (r_s^i(u) * DAMP_NUM) div (DAMP_DEN * out(u))
+        base         = scale * (DAMP_DEN - DAMP_NUM) div DAMP_DEN
+
+    Dangling mass is dropped (not redistributed) — the conservative
+    choice for seed attribution, stated so the oracle matches exactly.
+    Same int64 floor-div fixed point as pagerank_fixed.
+
+    REPRESENTATION IS SPARSE: rank rows exist only for (seed, node)
+    pairs already reached, so memory is sum over seeds of |ball(s,
+    n_iter)|, not |S| x |V| — with frontier-sized seed sets this is
+    the only shape that survives the 10^10-node design point. Each
+    round is ONE shuffle join on the edge key plus one map-side-
+    combined agg keyed (seed, node); the base term re-enters via
+    unionByName + re-agg, never a per-round driver collect. Lineage
+    and carried size stats truncated per round (util.iter_checkpoint
+    — see its docstring for the originStats-squaring pathology)."""
+    from barkingowl_spark.operators.util import iter_checkpoint
+
+    e = edges.select("src", "dst").localCheckpoint()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    s = seeds.select("node").distinct().localCheckpoint()
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    base_rows = s.select(
+        F.col("node").alias("seed"),
+        F.col("node").alias("node"),
+        F.lit(base).cast("long").alias("ppr_fp"),
+    )
+    ranks = s.select(
+        F.col("node").alias("seed"),
+        F.col("node").alias("node"),
+        F.lit(scale).cast("long").alias("ppr_fp"),
+    )
+    ee = e.select(F.col("src").alias("e_src"),
+                  F.col("dst").alias("e_dst"))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(outdeg, "node")
+            .join(ee, F.col("node") == F.col("e_src"))
+            .select(
+                "seed",
+                F.col("e_dst").alias("node"),
+                F.expr(
+                    f"(ppr_fp * {DAMP_NUM}) div ({DAMP_DEN}L * outdeg)"
+                ).alias("ppr_fp"),
+            )
+        )
+        ranks = iter_checkpoint(
+            contribs.unionByName(base_rows)
+            .groupBy("seed", "node")
+            .agg(F.sum("ppr_fp").cast("long").alias("ppr_fp"))
+        )
+    return ranks

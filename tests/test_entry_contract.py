@@ -85,7 +85,7 @@ def duck():
      "search_runs", "search_eval", "search_eval_macro",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
-     "mm_video_frames", "mm_video_pairs"],
+     "mm_video_frames", "mm_video_pairs", "graph_ppr"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
