@@ -2192,6 +2192,30 @@ def q_events_hilbert(spark, sf):
         "event_id", "hkey")
 
 
+def q_events_layout_audit(spark, sf):
+    """File-skipping layout audit (functions/zorder.py::
+    layout_skip_audit): the SAME events laid out time-linear vs
+    Morton vs Hilbert, zone-mapped into 1024-row files, pruned by an
+    (user, time) box exactly as a parquet reader prunes row groups —
+    the measured evidence behind the zorder/hilbert key queries, per
+    layout one scalable global rank (no single-partition window)."""
+    from barkingowl_spark.functions.zorder import (
+        hilbert_expr, layout_skip_audit, zvalue_expr)
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.expr("user_id % 65536").alias("ub"),
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+               " % 65536 AS BIGINT)").alias("tb"),
+    )
+    ev = ev.withColumn("zkey", F.expr(zvalue_expr(["ub", "tb"], 16)))
+    ev = ev.withColumn("hkey", F.expr(hilbert_expr("ub", "tb", 16)))
+    return layout_skip_audit(
+        ev, {"linear_ts": "tb", "zorder": "zkey", "hilbert": "hkey"},
+        "event_id", "ub", "tb", (0, 8191, 0, 8191),
+        rows_per_file=1024)
+
+
 def q_mix_epoch_plan(spark, sf):
     """Token-budget epoch planning (operators/mix.py::epoch_plan):
     per-source token counts, md5-derived target weights, 20k-token
@@ -3586,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_windows": q_events_cms_windows,
         "events_zorder": q_events_zorder,
         "events_hilbert": q_events_hilbert,
+        "events_layout_audit": q_events_layout_audit,
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
@@ -3984,6 +4009,15 @@ def _pii_redact_sql() -> str:
                    AS text_redacted
         FROM d
     """
+
+
+def _duck_zexpr(xc: str, yc: str, bits: int = 16) -> str:
+    """DuckDB Morton interleave matching functions/zorder.zvalue_expr
+    ([x, y] column order: x bits at even positions)."""
+    terms = [f"((({xc} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({yc} >> {i}) & 1) << {2 * i + 1})"
+              for i in range(bits)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def _trustrank_sql(n_iter: int = 3) -> str:
@@ -7042,6 +7076,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST((((ub >> 0) & 1) << 0) + (((ub >> 1) & 1) << 2) + (((ub >> 2) & 1) << 4) + (((ub >> 3) & 1) << 6) + (((ub >> 4) & 1) << 8) + (((ub >> 5) & 1) << 10) + (((ub >> 6) & 1) << 12) + (((ub >> 7) & 1) << 14) + (((ub >> 8) & 1) << 16) + (((ub >> 9) & 1) << 18) + (((ub >> 10) & 1) << 20) + (((ub >> 11) & 1) << 22) + (((ub >> 12) & 1) << 24) + (((ub >> 13) & 1) << 26) + (((ub >> 14) & 1) << 28) + (((ub >> 15) & 1) << 30) + (((tb >> 0) & 1) << 1) + (((tb >> 1) & 1) << 3) + (((tb >> 2) & 1) << 5) + (((tb >> 3) & 1) << 7) + (((tb >> 4) & 1) << 9) + (((tb >> 5) & 1) << 11) + (((tb >> 6) & 1) << 13) + (((tb >> 7) & 1) << 15) + (((tb >> 8) & 1) << 17) + (((tb >> 9) & 1) << 19) + (((tb >> 10) & 1) << 21) + (((tb >> 11) & 1) << 23) + (((tb >> 12) & 1) << 25) + (((tb >> 13) & 1) << 27) + (((tb >> 14) & 1) << 29) + (((tb >> 15) & 1) << 31) AS BIGINT) AS zkey
             FROM b
+        """,
+        "events_layout_audit": f"""
+            WITH RECURSIVE ev AS (
+              SELECT event_id,
+                     user_id % 65536 AS x,
+                     (epoch_us(ts) // 1000000) % 65536 AS y
+              FROM events),
+            h AS (
+              SELECT event_id, x, y, CAST(0 AS BIGINT) AS d, 15 AS i
+              FROM ev
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                          THEN 65535 - y ELSE y END) ELSE x END,
+                     CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                          THEN 65535 - x ELSE x END) ELSE y END,
+                     d + (CAST(1 AS BIGINT) << (2 * i))
+                         * xor(3 * rx, ry),
+                     i - 1
+              FROM (SELECT event_id, x, y, d, i,
+                           CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0
+                                THEN 1 ELSE 0 END AS rx,
+                           CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0
+                                THEN 1 ELSE 0 END AS ry
+                    FROM h WHERE i >= 0) s),
+            hk AS (SELECT event_id, d AS key FROM h WHERE i = -1),
+            lay AS (
+              SELECT 'linear_ts' AS layout, event_id,
+                     CAST(y AS BIGINT) AS key, x, y FROM ev
+              UNION ALL
+              SELECT 'zorder', event_id,
+                     {_duck_zexpr('x', 'y', 16)}, x, y FROM ev
+              UNION ALL
+              SELECT 'hilbert', ev.event_id, hk.key, ev.x, ev.y
+              FROM ev JOIN hk USING (event_id)),
+            rnk AS (
+              SELECT layout, x, y, row_number() OVER (
+                PARTITION BY layout ORDER BY key, event_id) AS rn
+              FROM lay),
+            files AS (
+              SELECT layout, (rn - 1) // 1024 AS f,
+                     min(x) AS min_x, max(x) AS max_x,
+                     min(y) AS min_y, max(y) AS max_y,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM rnk GROUP BY layout, f),
+            fl AS (
+              SELECT *, (min_x <= 8191 AND max_x >= 0
+                         AND min_y <= 8191 AND max_y >= 0) AS needed
+              FROM files)
+            SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN needed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS files_scanned,
+                   CAST(sum(CASE WHEN needed THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS rows_scanned,
+                   CAST((count(*)
+                         - sum(CASE WHEN needed THEN 1 ELSE 0 END))
+                        * 1000000 // count(*) AS BIGINT) AS skip_ppm
+            FROM fl GROUP BY layout
         """,
         "events_hilbert": """
             WITH RECURSIVE ev AS (

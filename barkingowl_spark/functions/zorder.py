@@ -113,3 +113,85 @@ def with_hilbert_key(
     """df + out_col: the Hilbert index over the two (pre-normalized)
     columns."""
     return df.withColumn(out_col, F.expr(hilbert_expr(xcol, ycol, bits)))
+
+
+def layout_skip_audit(
+    df: DataFrame,
+    layouts: dict[str, str],
+    id_col: str,
+    xcol: str,
+    ycol: str,
+    box: tuple[int, int, int, int],
+    rows_per_file: int = 1024,
+) -> DataFrame:
+    """(layout, n_files, files_scanned, rows_scanned, skip_ppm): the
+    FILE-SKIPPING audit that turns a layout choice into a number.
+    For each named layout (layout -> its sort-key column, already on
+    df), the table is laid out as range-written files of
+    `rows_per_file` rows in (key, id) order; each file's (x, y)
+    min/max zone map is intersected with the query box
+    (x_lo, x_hi, y_lo, y_hi, inclusive) exactly the way a parquet
+    reader prunes row groups. skip_ppm = files NOT touched, ppm.
+
+    This is the evidence query behind with_zkey/hilbert_expr: a
+    time-linear layout scans ~every file for a (user, time) box while
+    the space-filling layouts bound it — measured, not asserted.
+
+    Scale shape: per layout one scalable global rank
+    (operators/ranking.global_dense_rank: range exchange + pid
+    offsets, no single-partition window), one (layout, file) agg over
+    O(n_files) rows, one 1-row rollup; layouts are unioned as
+    independent branches so nothing corpus-sized carries a 3-way
+    skew key."""
+    from barkingowl_spark.operators.ranking import global_dense_rank
+
+    x_lo, x_hi, y_lo, y_hi = box
+    outs = []
+    for name, key in layouts.items():
+        ranked = global_dense_rank(
+            df.select(
+                F.col(key).alias("_key"),
+                F.col(id_col).alias("_id"),
+                F.col(xcol).alias("_x"),
+                F.col(ycol).alias("_y"),
+            ),
+            ["_key", "_id"],
+            out_col="_rank",
+        )
+        files = (
+            ranked.withColumn(
+                "_file",
+                F.expr(f"(_rank - 1) DIV {int(rows_per_file)}"))
+            .groupBy("_file")
+            .agg(
+                F.min("_x").alias("min_x"), F.max("_x").alias("max_x"),
+                F.min("_y").alias("min_y"), F.max("_y").alias("max_y"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .withColumn(
+                "needed",
+                F.expr(
+                    f"min_x <= {int(x_hi)} AND max_x >= {int(x_lo)}"
+                    f" AND min_y <= {int(y_hi)}"
+                    f" AND max_y >= {int(y_lo)}"),
+            )
+        )
+        outs.append(
+            files.agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(F.expr("CASE WHEN needed THEN 1 ELSE 0 END"))
+                .cast("long").alias("files_scanned"),
+                F.sum(F.expr("CASE WHEN needed THEN n_rows"
+                             " ELSE 0 END"))
+                .cast("long").alias("rows_scanned"),
+            ).select(
+                F.lit(name).alias("layout"),
+                "n_files", "files_scanned", "rows_scanned",
+                F.expr("CAST((n_files - files_scanned) * 1000000"
+                       " DIV n_files AS BIGINT)").alias("skip_ppm"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

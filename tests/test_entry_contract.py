@@ -85,7 +85,8 @@ def duck():
      "search_runs", "search_eval", "search_eval_macro",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
-     "mm_video_frames", "mm_video_pairs", "graph_ppr"],
+     "mm_video_frames", "mm_video_pairs", "graph_ppr",
+     "events_layout_audit"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
