@@ -2693,6 +2693,48 @@ def q_search_bm25(spark, sf):
     )
 
 
+_HOST_CASE = """CASE doc_id % 10
+ WHEN 0 THEN concat('www.d', CAST(doc_id % 50 AS STRING), '.com')
+ WHEN 1 THEN concat('a.b.d', CAST(doc_id % 50 AS STRING), '.co.uk')
+ WHEN 2 THEN concat('u', CAST(doc_id % 13 AS STRING), '.github.io')
+ WHEN 3 THEN concat('foo.bar', CAST(doc_id % 5 AS STRING), '.ck')
+ WHEN 4 THEN 'www.ck'
+ WHEN 5 THEN 'ck'
+ WHEN 6 THEN concat('blog', CAST(doc_id % 7 AS STRING),
+                    '.blogspot.com')
+ WHEN 7 THEN concat('internal', CAST(doc_id % 3 AS STRING))
+ WHEN 8 THEN 'cdn.s3.amazonaws.com'
+ ELSE 'x.y.city.kawasaki.jp' END"""
+
+
+def _psl_hosts(spark, sf):
+    """Synthetic host mix covering every PSL rule shape: exact,
+    multi-level, private-section platform suffixes, wildcard *.ck,
+    the !www.ck exception, suffix-only and unknown-TLD hosts."""
+    return _t(spark, sf, "documents").select(
+        F.expr(_HOST_CASE).alias("host")).distinct()
+
+
+def q_url_site(spark, sf):
+    """Registrable-domain (eTLD+1) extraction (functions/psl.py::
+    site_split, the publicsuffix.org algorithm): candidate suffixes
+    via one bounded posexplode, rule match via a broadcast equi-join
+    (exact + wildcardized forms), prevailing rule by integer argmax —
+    NO UDF; the host->site key under per-site budgets and politeness."""
+    from barkingowl_spark.functions.psl import site_split
+
+    return site_split(_psl_hosts(spark, sf))
+
+
+def q_url_site_rollup(spark, sf):
+    """Hosts-per-site rollup (functions/psl.py::site_rollup): group
+    the host table by registrable domain; suffix-only hosts excluded
+    (infrastructure, not sites)."""
+    from barkingowl_spark.functions.psl import site_rollup, site_split
+
+    return site_rollup(site_split(_psl_hosts(spark, sf)))
+
+
 def q_search_qld(spark, sf):
     """Dirichlet query-likelihood top-k (operators/invindex.py::
     qld_topk, Zhai & Lafferty TOIS'04): half-bit integer log2 term
@@ -3597,6 +3639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_bm25f": q_search_bm25f,
         "search_qld": q_search_qld,
+        "url_site": q_url_site,
+        "url_site_rollup": q_url_site_rollup,
         "search_runs": q_search_runs,
         "search_eval": q_search_eval,
         "search_eval_macro": q_search_eval_macro,
@@ -4008,6 +4052,62 @@ def _pii_redact_sql() -> str:
                             ELSE t2 END), ' ')), chr(10))
                    AS text_redacted
         FROM d
+    """
+
+
+def _psl_sql() -> str:
+    """publicsuffix.org algorithm over the SAME functions/psl.py rule
+    constant (one source of truth for both engines) and the same
+    synthetic host mix (_HOST_CASE, STRING->VARCHAR)."""
+    from barkingowl_spark.functions.psl import PSL_RULES
+
+    host_case = _HOST_CASE.replace("AS STRING", "AS VARCHAR").replace(
+        "concat(", "concat(")
+    rules = ", ".join(
+        f"('{r}', {'true' if e else 'false'})" for r, e in PSL_RULES)
+    return f"""
+        WITH hosts AS (
+          SELECT DISTINCT {host_case} AS host FROM documents),
+        b AS (
+          SELECT host, string_split(host, '.') AS labs,
+                 len(string_split(host, '.')) AS n
+          FROM hosts),
+        cand AS (
+          SELECT host, labs, n, take
+          FROM b, (SELECT unnest(generate_series(1, 8)) AS take)
+          WHERE take <= n),
+        forms AS (
+          SELECT host, n, take,
+                 array_to_string(labs[n - take + 1 : n], '.') AS form,
+                 1 AS is_exact
+          FROM cand
+          UNION ALL
+          SELECT host, n, take,
+                 '*.' || array_to_string(labs[n - take + 2 : n], '.'),
+                 0
+          FROM cand WHERE take >= 2),
+        rules(form, is_exc) AS (VALUES {rules}),
+        m AS (
+          SELECT f.host,
+                 CASE WHEN r.is_exc THEN 1048576 ELSE 0 END
+                   + f.take * 4 + f.is_exact AS prio,
+                 CASE WHEN r.is_exc THEN f.take - 1
+                      ELSE f.take END AS ps_take
+          FROM forms f JOIN rules r ON r.form = f.form),
+        best AS (SELECT host, max(prio) AS prio FROM m GROUP BY host),
+        prev AS (SELECT m.host, m.ps_take
+                 FROM m JOIN best USING (host, prio)),
+        res AS (
+          SELECT b.host, coalesce(p.ps_take, 1) AS k, b.labs, b.n
+          FROM b LEFT JOIN prev p USING (host)),
+        split AS (
+          SELECT host,
+                 array_to_string(labs[n - k + 1 : n], '.')
+                   AS public_suffix,
+                 CASE WHEN n > k THEN labs[n - k] || '.'
+                      || array_to_string(labs[n - k + 1 : n], '.')
+                 END AS registrable
+          FROM res)
     """
 
 
@@ -8148,6 +8248,13 @@ def oracle_sql() -> dict[str, str]:
             FROM scored JOIN ranked USING (mean_surprisal_cb)
         """,
         "search_bm25": _BM25_SQL,
+        "url_site": _psl_sql()
+        + "SELECT host, public_suffix, registrable FROM split",
+        "url_site_rollup": _psl_sql() + """
+            SELECT registrable, CAST(count(*) AS BIGINT) AS n_hosts
+            FROM split WHERE registrable IS NOT NULL
+            GROUP BY registrable
+        """,
         "search_qld": """
             WITH d AS (
               SELECT doc_id,
