@@ -2351,6 +2351,48 @@ def q_graph_ppr(spark, sf):
     return ppr_fixed(edges, seeds, n_iter=3)
 
 
+def _graph_nodes(edges):
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def q_graph_landmark_bfs(spark, sf):
+    """Bounded multi-source BFS (operators/linkgraph.py::bounded_bfs):
+    exact <=3-hop distances from the node%23==0 landmarks, sparse
+    (seed, node) rows, one min-relax shuffle round per hop with
+    iter_checkpoint lineage+stats truncation."""
+    from barkingowl_spark.operators.linkgraph import bounded_bfs
+
+    edges, _ = _synth_edges(spark, sf)
+    lm = _graph_nodes(edges).filter(F.col("node") % 23 == 0)
+    return bounded_bfs(edges, lm, max_depth=3)
+
+
+def q_graph_dist_est(spark, sf):
+    """Landmark distance-oracle estimates (operators/linkgraph.py::
+    landmark_estimates, Potamias et al. CIKM'09): est(a,b) =
+    min_L d(a->L) + d(L->b) from the forward + reversed BFS sketches —
+    triangle-inequality upper bounds, equi-joined on the landmark key,
+    never the |V|^2 matrix."""
+    from barkingowl_spark.operators.linkgraph import (
+        bounded_bfs, landmark_estimates)
+
+    edges, _ = _synth_edges(spark, sf)
+    nodes = _graph_nodes(edges)
+    lm = nodes.filter(F.col("node") % 23 == 0)
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    return landmark_estimates(
+        bounded_bfs(edges, lm, max_depth=3),
+        bounded_bfs(rev, lm, max_depth=3),
+        nodes.filter(F.col("node") % 53 == 0),
+        nodes.filter(F.col("node") % 59 == 0),
+    )
+
+
 def q_graph_trustrank(spark, sf):
     """3-iteration fixed-point TrustRank (operators/linkgraph.py::
     trustrank_fixed — Gyongyi et al. VLDB'04): teleport restricted to
@@ -3625,6 +3667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_timeline": q_politeness_timeline,
         "graph_trustrank": q_graph_trustrank,
         "graph_ppr": q_graph_ppr,
+        "graph_landmark_bfs": q_graph_landmark_bfs,
+        "graph_dist_est": q_graph_dist_est,
         "graph_opic": q_graph_opic,
         "graph_spam_mass": q_graph_spam_mass,
         "trap_templates": q_trap_templates,
@@ -4193,6 +4237,46 @@ def _ppr_sql(n_iter: int = 3) -> str:
         f"WITH {_EDGES_SQL}, " + ", ".join(parts)
         + f" SELECT seed, node, ppr_fp FROM r{n_iter}"
     )
+
+
+def _landmark_sql(n_iter: int = 3, final: str = "bfs") -> str:
+    """Unrolled bounded-BFS min-relax rounds (graph_landmark_bfs /
+    graph_dist_est oracles): forward chain f0..fN on edges, backward
+    chain b0..bN on reversed edges, landmarks node%23==0."""
+    parts = [
+        "nodesl AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "lm AS (SELECT node FROM nodesl WHERE node % 23 = 0)",
+        "redges AS (SELECT dst AS src, src AS dst FROM edges)",
+    ]
+    for tag, etab in (("f", "edges"), ("b", "redges")):
+        parts.append(
+            f"{tag}0 AS (SELECT node AS seed, node,"
+            f" CAST(0 AS BIGINT) AS dist FROM lm)")
+        for i in range(1, n_iter + 1):
+            parts.append(
+                f"{tag}s{i} AS (SELECT r.seed, e.dst AS node,"
+                f" r.dist + 1 AS dist"
+                f" FROM {etab} e JOIN {tag}{i-1} r ON r.node = e.src)")
+            parts.append(
+                f"{tag}{i} AS (SELECT seed, node,"
+                f" CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+                f"SELECT * FROM {tag}{i-1}"
+                f" UNION ALL SELECT * FROM {tag}s{i})"
+                f" GROUP BY seed, node)")
+    if final == "bfs":
+        tail = f"SELECT seed, node, dist FROM f{n_iter}"
+    else:
+        parts.append(
+            f"din AS (SELECT seed, node AS a, dist AS da"
+            f" FROM b{n_iter} WHERE node % 53 = 0)")
+        parts.append(
+            f"dout AS (SELECT seed, node AS b, dist AS db"
+            f" FROM f{n_iter} WHERE node % 59 = 0)")
+        tail = ("SELECT a AS src_probe, b AS dst_probe,"
+                " CAST(min(da + db) AS BIGINT) AS est_dist"
+                " FROM din JOIN dout USING (seed) GROUP BY a, b")
+    return f"WITH {_EDGES_SQL}, " + ", ".join(parts) + " " + tail
 
 
 def _opic_sql(n_iter: int = 3) -> str:
@@ -7849,6 +7933,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_trustrank": _trustrank_sql(),
         "graph_ppr": _ppr_sql(),
+        "graph_landmark_bfs": _landmark_sql(final="bfs"),
+        "graph_dist_est": _landmark_sql(final="est"),
         "graph_opic": _opic_sql(),
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),

@@ -1011,3 +1011,83 @@ def ppr_fixed(
             .agg(F.sum("ppr_fp").cast("long").alias("ppr_fp"))
         )
     return ranks
+
+
+def bounded_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(seed, node, dist): DIRECTED bounded multi-source BFS — exact
+    hop distance from every seed to every node reachable within
+    `max_depth` (the landmark side of a distance oracle; run it on
+    reversed edges for distances TO the seeds).
+
+    Sparse like ppr_fixed: rows exist only for reached (seed, node)
+    pairs. Each round is one shuffle join + one min-agg; the frame is
+    iter_checkpoint()ed so the growing distance side neither carries
+    lineage nor poisoned size stats. Relaxation is monotone (min), so
+    round i holds exact distances <= i."""
+    from barkingowl_spark.operators.util import iter_checkpoint
+
+    e = edges.select(F.col("src").alias("e_src"),
+                     F.col("dst").alias("e_dst")).localCheckpoint()
+    dist = iter_checkpoint(
+        sources.select(F.col("node").alias("seed")).distinct().select(
+            "seed", F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(max_depth):
+        nxt = (
+            dist.join(e, F.col("node") == F.col("e_src"))
+            .select("seed", F.col("e_dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = iter_checkpoint(
+            dist.unionByName(nxt)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist
+
+
+def landmark_estimates(
+    bfs_fwd: DataFrame,
+    bfs_rev: DataFrame,
+    srcs: DataFrame,
+    dsts: DataFrame,
+) -> DataFrame:
+    """(src_probe, dst_probe, est_dist): landmark distance-oracle
+    upper bounds (Potamias et al., CIKM 2009):
+
+        est(a, b) = min over landmarks L of d(a -> L) + d(L -> b)
+
+    with d(a -> L) from `bfs_rev` (bounded_bfs on REVERSED edges) and
+    d(L -> b) from `bfs_fwd`. An upper bound by the triangle
+    inequality; exact whenever some shortest path passes a landmark.
+    Pairs with no landmark on any <= 2*max_depth path are absent
+    (unknown, not infinite).
+
+    Shape: both probe dims are semi-join filters into the sketch
+    tables, the only join is an equi-join on the landmark key, and the
+    min-agg is keyed by the probe pair — never touches the full
+    |V|^2 matrix."""
+    d_in = (
+        bfs_rev.join(
+            srcs.select(F.col("node").alias("a")).distinct(),
+            bfs_rev["node"] == F.col("a"))
+        .select(F.col("seed"), "a", F.col("dist").alias("da"))
+    )
+    d_out = (
+        bfs_fwd.join(
+            dsts.select(F.col("node").alias("b")).distinct(),
+            bfs_fwd["node"] == F.col("b"))
+        .select(F.col("seed"), "b", F.col("dist").alias("db"))
+    )
+    return (
+        d_in.join(d_out, "seed")
+        .groupBy(F.col("a").alias("src_probe"),
+                 F.col("b").alias("dst_probe"))
+        .agg(F.min(F.col("da") + F.col("db")).cast("long")
+             .alias("est_dist"))
+    )

@@ -86,7 +86,8 @@ def duck():
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
      "mm_video_frames", "mm_video_pairs", "graph_ppr",
-     "events_layout_audit", "url_site", "url_site_rollup"],
+     "events_layout_audit", "url_site", "url_site_rollup",
+     "graph_landmark_bfs", "graph_dist_est"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
