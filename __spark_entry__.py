@@ -352,6 +352,55 @@ def q_o20_robots_filter(spark, sf):
     return robots_filter(links, robots).select("doc_id", "host", "url")
 
 
+def q_robots_wildcard(spark, sf):
+    """Wildcard robots decision (operators/robots.py::
+    robots_wildcard_match, Google robots.txt spec): '*' runs,
+    terminal-'$' anchor, longest-pattern-wins with allow breaking
+    ties — one relationally-built regex rlike over a broadcast rule
+    dim + an integer argmax, no UDF."""
+    from barkingowl_spark.operators.robots import robots_wildcard_match
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"))
+    m6 = F.col("doc_id") % 6
+    rules = (
+        d.select(
+            "host",
+            F.when(m6 == 0, F.lit("/private/*"))
+            .when(m6 == 1, F.lit("/private/*/pub"))
+            .when(m6 == 2, F.lit("/tmp"))
+            .when(m6 == 3, F.lit("/*.json$"))
+            .when(m6 == 4, F.lit("/tmp/keep")).alias("pattern"),
+            m6.isin(1, 4).alias("allow"),
+        )
+        .filter(F.col("pattern").isNotNull())
+        .distinct()
+    )
+    m8 = F.col("doc_id") % 8
+    urls = d.select(
+        "host",
+        F.when(m8 == 0, F.concat(F.lit("/private/x"),
+                                 (F.col("doc_id") % 4).cast("string")))
+        .when(m8 == 1, F.concat(F.lit("/private/"),
+                                (F.col("doc_id") % 3).cast("string"),
+                                F.lit("/pub")))
+        .when(m8 == 2, F.lit("/tmp"))
+        .when(m8 == 3, F.concat(F.lit("/data/"),
+                                (F.col("doc_id") % 5).cast("string"),
+                                F.lit(".json")))
+        .when(m8 == 4, F.concat(F.lit("/data/"),
+                                (F.col("doc_id") % 5).cast("string"),
+                                F.lit(".json.bak")))
+        .when(m8 == 5, F.concat(F.lit("/public/page"),
+                                (F.col("doc_id") % 10).cast("string")))
+        .when(m8 == 6, F.lit("/tmp/keep"))
+        .otherwise(F.lit("/tmpX")).alias("path"),
+    ).distinct()
+    return robots_wildcard_match(urls, rules)
+
+
 def q_robots_parse(spark, sf):
     """robots.txt corpus acquisition — the REAL parser
     (operators/robots.py::robots_rules: pure relational
@@ -3580,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o20_politeness_topk": q_o20_politeness_topk,
         "o20_robots_filter": q_o20_robots_filter,
         "o20_host_budget": q_o20_host_budget,
+        "robots_wildcard": q_robots_wildcard,
         "robots_parse": q_robots_parse,
         "robots_delay": q_robots_delay,
         "o21_union_dedup": q_o21_union_dedup,
@@ -6130,6 +6180,54 @@ def oracle_sql() -> dict[str, str]:
                         - 1 AS INT) AS ord,
                    val AS sitemap_url
             FROM sm
+        """,
+        "robots_wildcard": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+              FROM documents),
+            rules AS (
+              SELECT DISTINCT host,
+                     CASE doc_id % 6
+                       WHEN 0 THEN '/private/*'
+                       WHEN 1 THEN '/private/*/pub'
+                       WHEN 2 THEN '/tmp'
+                       WHEN 3 THEN '/*.json$'
+                       WHEN 4 THEN '/tmp/keep' END AS pattern,
+                     doc_id % 6 IN (1, 4) AS allow
+              FROM d WHERE doc_id % 6 < 5),
+            urls AS (
+              SELECT DISTINCT host,
+                     CASE doc_id % 8
+                       WHEN 0 THEN '/private/x'
+                                   || CAST(doc_id % 4 AS VARCHAR)
+                       WHEN 1 THEN '/private/'
+                                   || CAST(doc_id % 3 AS VARCHAR)
+                                   || '/pub'
+                       WHEN 2 THEN '/tmp'
+                       WHEN 3 THEN '/data/'
+                                   || CAST(doc_id % 5 AS VARCHAR)
+                                   || '.json'
+                       WHEN 4 THEN '/data/'
+                                   || CAST(doc_id % 5 AS VARCHAR)
+                                   || '.json.bak'
+                       WHEN 5 THEN '/public/page'
+                                   || CAST(doc_id % 10 AS VARCHAR)
+                       WHEN 6 THEN '/tmp/keep'
+                       ELSE '/tmpX' END AS path
+              FROM d),
+            m AS (
+              SELECT u.host, u.path,
+                     max(length(r.pattern) * 2
+                         + CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+              FROM urls u JOIN rules r ON r.host = u.host
+              WHERE regexp_matches(u.path,
+                    '^' || replace(replace(r.pattern, '.', '\\.'),
+                                   '*', '.*'))
+              GROUP BY u.host, u.path)
+            SELECT u.host, u.path,
+                   coalesce(m.best % 2 = 1, true) AS allowed
+            FROM urls u LEFT JOIN m USING (host, path)
         """,
         "robots_parse": """
             -- same RFC-9309-subset state machine as robots.py, over the

@@ -181,3 +181,101 @@ def robots_sitemaps(
         (F.row_number().over(w) - 1).cast("int").alias("ord"),
         F.col("val").alias("sitemap_url"),
     )
+
+
+def robots_pattern_rows(
+    pages: DataFrame, body_col: str | None = None
+) -> DataFrame:
+    """(host, ord, pattern, allow): Allow AND Disallow lines of the
+    applying (star) groups in file order — the rule dim
+    robots_wildcard_match consumes. Superset of robots_prefix_rows'
+    information (which keeps the prefix-only Disallow view for the
+    legacy politeness filter)."""
+    d = _directives(pages, body_col).filter(F.col("key").isin(
+        "user-agent", "disallow", "allow"))
+    w = Window.partitionBy("host").orderBy("idx")
+    g = d.withColumn(
+        "grp_start",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("grp_start").over(w))
+    grps = (
+        g.filter(F.col("grp") > 0)
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                ((F.col("key") == "user-agent") & (F.col("val") == "*"))
+                .cast("int")
+            ).alias("star"),
+            F.collect_list(
+                F.when(
+                    F.col("key").isin("allow", "disallow")
+                    & (F.col("val") != ""),
+                    F.struct("idx", "key", "val"),
+                )
+            ).alias("rules"),
+        )
+    )
+    return (
+        grps.filter((F.col("star") == 1) & (F.size("rules") > 0))
+        .select("host", F.explode("rules").alias("e"))
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_list("e")).alias("s"))
+        .select("host", F.posexplode("s").alias("ord", "e"))
+        .select(
+            "host", "ord",
+            F.col("e.val").alias("pattern"),
+            (F.col("e.key") == "allow").alias("allow"),
+        )
+    )
+
+
+def robots_wildcard_match(
+    urls: DataFrame, rules: DataFrame
+) -> DataFrame:
+    """(host, path, allowed): the RFC 9309 / Google longest-match
+    decision over wildcard rules. `urls` = (host, path); `rules` =
+    (host, pattern, allow) where a pattern is a path prefix that may
+    contain `*` (any char run) and a TERMINAL `$` (end anchor) —
+    exactly the two metacharacters the Google robots.txt spec defines.
+
+    Precedence: the matching rule with the LONGEST pattern wins;
+    allow wins a length tie; no matching rule means allowed. Encoded
+    as one integer argmax — packed = length(pattern) * 2 + allow — so
+    the whole decision is join + filter + max, no UDF:
+
+      * the rule dim is O(hosts x rules/host): broadcast, like every
+        robots artifact (never corpus-sized);
+      * the regex is BUILT RELATIONALLY from the pattern column
+        ('.' escaped, '*' -> '.*', '^' prepended; terminal '$' passes
+        through as the anchor it means) and evaluated with rlike —
+        both engines' regex dialects agree on this restricted class.
+
+    Patterns are assumed %-decoded, newline-free and free of other
+    regex metacharacters (RFC-safe path chars) — the parser upstream
+    guarantees that for corpus-derived rules."""
+    regex = F.expr(
+        r"concat('^', replace(replace(pattern, '.', '\\.'),"
+        r" '*', '.*'))")
+    matched = (
+        urls.join(F.broadcast(rules), "host")
+        .withColumn("_re", regex)
+        .filter(F.expr("path rlike _re"))
+        .withColumn(
+            "_packed",
+            F.expr("length(pattern) * 2"
+                   " + CASE WHEN allow THEN 1 ELSE 0 END"),
+        )
+        .groupBy("host", "path")
+        .agg(F.max("_packed").alias("_best"))
+    )
+    return (
+        urls.join(matched, ["host", "path"], "left")
+        .select(
+            "host", "path",
+            F.coalesce(F.col("_best") % 2 == 1, F.lit(True))
+            .alias("allowed"),
+        )
+    )
