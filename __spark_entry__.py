@@ -3120,6 +3120,75 @@ def q_clf_scores(spark, sf):
     )
 
 
+def _clf_weights(spark):
+    return spark.range(0, 4096, 3).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 21 - 10).cast("long").alias("weight_milli"),
+    )
+
+
+def _clf_labels(spark, sf):
+    """(a, b): the classifier verdict vs the token-count rule — the
+    two boolean labelers the audit queries compare."""
+    from barkingowl_spark.functions.hashclf import clf_scores
+
+    docs = _t(spark, sf, "documents")
+    a = clf_scores(docs, _clf_weights(spark), n_buckets=4096).select(
+        "doc_id", "score_milli", F.col("keep").alias("label"))
+    b = docs.select(
+        "doc_id",
+        (F.size(F.filter(F.split(F.coalesce("text", F.lit("")), " "),
+                         lambda x: x != "")) >= 20).alias("label"),
+    )
+    return a, b
+
+
+def q_clf_kappa(spark, sf):
+    """Cohen's kappa filter audit (operators/ireval.py::
+    agreement_stats): chance-corrected agreement between the hashed
+    linear classifier and the token-count rule — the number a pipeline
+    checks before swapping one quality gate for another; sign-split
+    ppm division, DECIMAL-widened marginal products."""
+    from barkingowl_spark.operators.ireval import agreement_stats
+
+    a, b = _clf_labels(spark, sf)
+    return agreement_stats(a.select("doc_id", "label"), b)
+
+
+def q_clf_calibration(spark, sf):
+    """Reliability bins (operators/ireval.py::calibration_bins): the
+    classifier score clamped into a ppm 'probability' vs the realized
+    label rate per bin — is the score usable as a probability, not
+    just a ranking?"""
+    from barkingowl_spark.operators.ireval import calibration_bins
+
+    a, b = _clf_labels(spark, sf)
+    scored = (
+        a.select("doc_id", F.expr(
+            "least(1000000, greatest(0, score_milli * 100 + 500000))")
+            .alias("prob_ppm"))
+        .join(b, "doc_id")
+    )
+    return calibration_bins(scored)
+
+
+def q_clf_ece(spark, sf):
+    """Expected calibration error (operators/ireval.py::
+    calibration_ece, Naeini et al. AAAI'15): the 1-row mass-weighted
+    rollup of the reliability bins."""
+    from barkingowl_spark.operators.ireval import (
+        calibration_bins, calibration_ece)
+
+    a, b = _clf_labels(spark, sf)
+    scored = (
+        a.select("doc_id", F.expr(
+            "least(1000000, greatest(0, score_milli * 100 + 500000))")
+            .alias("prob_ppm"))
+        .join(b, "doc_id")
+    )
+    return calibration_ece(calibration_bins(scored))
+
+
 def q_focused_frontier(spark, sf):
     """Focused-crawl frontier priorities (operators/focused.py,
     Chakrabarti et al. WWW'99): hashclf relevance scores max-propagated
@@ -3752,6 +3821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_alerts": q_events_rate_alerts,
         "aimd_rates": q_aimd_rates,
         "clf_scores": q_clf_scores,
+        "clf_kappa": q_clf_kappa,
+        "clf_calibration": q_clf_calibration,
+        "clf_ece": q_clf_ece,
         "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -4906,6 +4978,48 @@ _BLOCKMAX_CTE = """
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
              CAST(max(idf_hb) * max(sat_ppm) AS BIGINT) AS ub_fp
       FROM blk GROUP BY term, block_id)
+"""
+
+
+_CLF_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> x <> '') AS a
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(a || CASE WHEN len(a) < 2
+               THEN []::VARCHAR[]
+               ELSE list_transform(
+                 generate_series(1, len(a) - 1),
+                 i -> a[i] || '_' || a[i + 1]) END) AS gram
+      FROM toks),
+    feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 15))
+                  AS BIGINT) % 4096 AS bucket
+      FROM grams),
+    w AS (
+      SELECT range AS bucket,
+             CAST(range % 21 - 10 AS BIGINT) AS weight_milli
+      FROM range(0, 4096, 3)),
+    s AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(coalesce(weight_milli, 0)) AS BIGINT)
+               AS wsum
+      FROM feats LEFT JOIN w USING (bucket)
+      GROUP BY doc_id),
+    sc AS (
+      SELECT doc_id, CAST((wsum * 1000) // n_feats AS BIGINT)
+               AS score_milli,
+             ((wsum * 1000) // n_feats) >= 0 AS la
+      FROM s),
+    lb AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             x -> x <> '')) >= 20 AS lb
+      FROM documents)
 """
 
 
@@ -8740,40 +8854,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(999 - packed % 1000 AS INT) AS hops
             FROM p2
         """,
-        "clf_scores": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '),
-                                 x -> x <> '') AS a
-              FROM documents),
-            grams AS (
-              SELECT doc_id,
-                     unnest(a || CASE WHEN len(a) < 2
-                       THEN []::VARCHAR[]
-                       ELSE list_transform(
-                         generate_series(1, len(a) - 1),
-                         i -> a[i] || '_' || a[i + 1]) END) AS gram
-              FROM toks),
-            feats AS (
-              SELECT doc_id,
-                     CAST(('0x' || substring(md5(gram), 1, 15))
-                          AS BIGINT) % 4096 AS bucket
-              FROM grams),
-            w AS (
-              SELECT range AS bucket,
-                     CAST(range % 21 - 10 AS BIGINT) AS weight_milli
-              FROM range(0, 4096, 3)),
-            s AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                     CAST(sum(coalesce(weight_milli, 0)) AS BIGINT)
-                       AS wsum
-              FROM feats LEFT JOIN w USING (bucket)
-              GROUP BY doc_id)
+        "clf_scores": _CLF_CTE + """
             SELECT doc_id, n_feats,
                    CAST((wsum * 1000) // n_feats AS BIGINT)
                      AS score_milli,
                    ((wsum * 1000) // n_feats) >= 0 AS keep
             FROM s
+        """,
+        "clf_kappa": _CLF_CTE + """
+            , ct AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n11,
+                     CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0
+                              END) AS BIGINT) AS n10,
+                     CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0
+                              END) AS BIGINT) AS n01,
+                     CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1
+                              ELSE 0 END) AS BIGINT) AS n00
+              FROM sc JOIN lb USING (doc_id)),
+            k AS (
+              SELECT *,
+                     CAST(1000000 * (n00 + n11) // n AS BIGINT)
+                       AS po_ppm,
+                     CAST(((n11 + n10)::HUGEINT * (n11 + n01)
+                           + (n00 + n01)::HUGEINT * (n00 + n10))
+                          * 1000000 // (n::HUGEINT * n) AS BIGINT)
+                       AS pe_ppm
+              FROM ct)
+            SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+                   CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)
+                        WHEN po_ppm >= pe_ppm THEN
+                          CAST((po_ppm - pe_ppm) * 1000000
+                               // (1000000 - pe_ppm) AS BIGINT)
+                        ELSE -CAST((pe_ppm - po_ppm) * 1000000
+                               // (1000000 - pe_ppm) AS BIGINT) END
+                     AS kappa_ppm
+            FROM k
+        """,
+        "clf_calibration": _CLF_CTE + """
+            , p AS (
+              SELECT sc.doc_id,
+                     least(1000000,
+                           greatest(0, score_milli * 100 + 500000))
+                       AS prob_ppm,
+                     lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            bins AS (
+              SELECT least(prob_ppm * 10 // 1000000, 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(prob_ppm) // count(*) AS BIGINT)
+                       AS mean_prob_ppm,
+                     CAST(1000000 * sum(CASE WHEN label THEN 1
+                          ELSE 0 END) // count(*) AS BIGINT)
+                       AS frac_pos_ppm
+              FROM p GROUP BY bin)
+            SELECT bin, n, mean_prob_ppm, frac_pos_ppm,
+                   CAST(abs(mean_prob_ppm - frac_pos_ppm) AS BIGINT)
+                     AS gap_ppm
+            FROM bins
+        """,
+        "clf_ece": _CLF_CTE + """
+            , p AS (
+              SELECT sc.doc_id,
+                     least(1000000,
+                           greatest(0, score_milli * 100 + 500000))
+                       AS prob_ppm,
+                     lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            bins AS (
+              SELECT least(prob_ppm * 10 // 1000000, 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(prob_ppm) // count(*) AS BIGINT)
+                       AS mean_prob_ppm,
+                     CAST(1000000 * sum(CASE WHEN label THEN 1
+                          ELSE 0 END) // count(*) AS BIGINT)
+                       AS frac_pos_ppm
+              FROM p GROUP BY bin)
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(n * abs(mean_prob_ppm - frac_pos_ppm))
+                        // sum(n) AS BIGINT) AS ece_ppm
+            FROM bins
         """,
         "dsir_sample": """
             WITH tok AS (

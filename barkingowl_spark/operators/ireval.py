@@ -171,3 +171,102 @@ def eval_macro(metrics: DataFrame) -> DataFrame:
         F.expr("CAST(sum(p_at_k_ppm) AS BIGINT) DIV count(*)")
         .alias("mean_p_at_k_ppm"),
     )
+
+
+def agreement_stats(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n11, n10, n01, n00, po_ppm, pe_ppm, kappa_ppm):
+    Cohen's kappa between two boolean labelers over their common ids —
+    the filter-audit a pipeline runs before swapping one quality gate
+    for another (raw agreement po is inflated by chance; kappa
+    subtracts the chance agreement pe of two independent labelers with
+    the same marginals).
+
+    Integer ppm throughout; kappa may be negative, so the division is
+    sign-split (floor-vs-truncate division of negatives differs across
+    engines — the CASE keeps both sides on |num| DIV den)."""
+    a = labels_a.select(F.col(id_col).alias("_id"),
+                        F.col(label_col).alias("la"))
+    b = labels_b.select(F.col(id_col).alias("_id"),
+                        F.col(label_col).alias("lb"))
+    ct = a.join(b, "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN la AND lb THEN 1 ELSE 0 END"))
+        .cast("long").alias("n11"),
+        F.sum(F.expr("CASE WHEN la AND NOT lb THEN 1 ELSE 0 END"))
+        .cast("long").alias("n10"),
+        F.sum(F.expr("CASE WHEN NOT la AND lb THEN 1 ELSE 0 END"))
+        .cast("long").alias("n01"),
+        F.sum(F.expr("CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END"))
+        .cast("long").alias("n00"),
+    )
+    return (
+        ct.withColumn(
+            "po_ppm",
+            F.expr("CAST(1000000 * (n00 + n11) DIV n AS BIGINT)"))
+        .withColumn(
+            # widened: the marginal products are ~n^2 and the *1e6
+            # overflows int64 already at n ~ 3e6 — DECIMAL(38,0)
+            # (HUGEINT in the oracle) carries the 100TB design point
+            "pe_ppm",
+            F.expr(
+                "CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+                " + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10))"
+                " * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+        .withColumn(
+            "kappa_ppm",
+            F.expr(
+                "CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)"
+                " WHEN po_ppm >= pe_ppm THEN"
+                " CAST((po_ppm - pe_ppm) * 1000000"
+                " DIV (1000000 - pe_ppm) AS BIGINT)"
+                " ELSE -CAST((pe_ppm - po_ppm) * 1000000"
+                " DIV (1000000 - pe_ppm) AS BIGINT) END"))
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    prob_col: str = "prob_ppm",
+    label_col: str = "label",
+) -> DataFrame:
+    """(bin, n, mean_prob_ppm, frac_pos_ppm, gap_ppm): reliability
+    diagram over equal-width probability bins — is a classifier's
+    score USABLE as a probability (for threshold picking / expected-
+    yield planning), not just as a ranking? gap = |confidence -
+    accuracy| per bin."""
+    return (
+        scored.withColumn(
+            "bin",
+            F.expr(f"least(CAST({prob_col} * {int(n_bins)}"
+                   f" DIV 1000000 AS BIGINT), {int(n_bins) - 1})"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"CAST(sum({prob_col}) DIV count(*) AS BIGINT)")
+            .alias("mean_prob_ppm"),
+            F.expr(f"CAST(1000000 * sum(CASE WHEN {label_col} THEN 1"
+                   f" ELSE 0 END) DIV count(*) AS BIGINT)")
+            .alias("frac_pos_ppm"),
+        )
+        .withColumn(
+            "gap_ppm",
+            F.expr("CAST(abs(mean_prob_ppm - frac_pos_ppm)"
+                   " AS BIGINT)"))
+    )
+
+
+def calibration_ece(bins: DataFrame) -> DataFrame:
+    """1 row (n, ece_ppm): expected calibration error — the bin gaps
+    weighted by bin mass (Naeini et al., AAAI 2015)."""
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.expr("CAST(sum(n * gap_ppm) DIV sum(n) AS BIGINT)")
+        .alias("ece_ppm"),
+    )

@@ -93,3 +93,68 @@ def test_eval_macro(spark):
     assert m["n_queries"] == 3
     assert m["mrr_ppm"] == 500_000 // 3
     assert m["mean_recall_ppm"] == 666_666 // 3
+
+
+def test_bm25_runs_plan_no_global_sort(spark):
+    """The rank cut is a query-partitioned window: the plan has a
+    hashpartitioning(query_id) exchange, never a rangepartitioning
+    (global sort) over the scored rows."""
+    q = bm25_runs(_docs(spark), _queries(spark), k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(query_id" in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---- classifier audit: kappa + calibration ------------------------------
+
+
+def test_agreement_stats_kappa(spark):
+    from barkingowl_spark.operators.ireval import agreement_stats
+
+    # 10 ids: a = id < 6, b = id < 4 or id == 9
+    a = spark.createDataFrame(
+        [(i, i < 6) for i in range(10)], "doc_id long, label boolean")
+    b = spark.createDataFrame(
+        [(i, i < 4 or i == 9) for i in range(10)],
+        "doc_id long, label boolean")
+    r = agreement_stats(a, b).collect()[0]
+    # n11=4 (0-3), n10=2 (4,5), n01=1 (9), n00=3 (6,7,8)
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == \
+        (10, 4, 2, 1, 3)
+    po = 1_000_000 * 7 // 10
+    pe = (6 * 5 + 4 * 5) * 1_000_000 // 100
+    assert r["po_ppm"] == po and r["pe_ppm"] == pe
+    assert r["kappa_ppm"] == (po - pe) * 1_000_000 // (1_000_000 - pe)
+    # negative-kappa branch: systematic DISagreement
+    c = spark.createDataFrame(
+        [(i, i >= 6) for i in range(10)], "doc_id long, label boolean")
+    r2 = agreement_stats(a, c).collect()[0]
+    assert r2["kappa_ppm"] < 0
+    # sign-split floor: -(|num| * 1e6 DIV den)
+    num = r2["pe_ppm"] - r2["po_ppm"]
+    assert r2["kappa_ppm"] == -(num * 1_000_000
+                                // (1_000_000 - r2["pe_ppm"]))
+
+
+def test_calibration_bins_and_ece(spark):
+    from barkingowl_spark.operators.ireval import (
+        calibration_bins, calibration_ece)
+
+    rows = [
+        (0, 50_000, False), (1, 80_000, False),     # bin 0
+        (2, 950_000, True), (3, 990_000, True),     # bin 9
+        (4, 1_000_000, True),                       # prob 1.0 -> bin 9
+        (5, 550_000, True), (6, 560_000, False),    # bin 5
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prob_ppm long, label boolean")
+    bins = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(bins) == {0, 5, 9}
+    assert bins[0]["n"] == 2 and bins[0]["frac_pos_ppm"] == 0
+    assert bins[0]["mean_prob_ppm"] == 65_000
+    assert bins[0]["gap_ppm"] == 65_000
+    assert bins[9]["n"] == 3 and bins[9]["frac_pos_ppm"] == 1_000_000
+    assert bins[5]["frac_pos_ppm"] == 500_000
+    e = calibration_ece(calibration_bins(df)).collect()[0]
+    want = sum(bins[b]["n"] * bins[b]["gap_ppm"] for b in bins) // 7
+    assert e["n"] == 7 and e["ece_ppm"] == want

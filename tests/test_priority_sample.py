@@ -75,3 +75,13 @@ def test_estimator_accuracy_and_exact_when_k_covers_all(spark):
     assert full["tau"] == 0
     assert full["est_total"] == true_total
     assert full["err_ppm"] == 0
+
+
+def test_priority_sample_plan_is_takeordered(spark):
+    """The only cut is TakeOrderedAndProject — no global Sort, no
+    single-partition exchange over the corpus."""
+    q = priority_sample(_df(spark), k=20)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split(
+        "TakeOrderedAndProject")[0]
