@@ -13,6 +13,8 @@ Build:
     doclens/    (doc_id, dl)            BM25 length normalization
     stats/      (n_docs, total_len)     1-row corpus stats
     postings/   (term, doc_freq, total_tf, postings)  capped exemplars
+    blockmax/   (term, block_id, n_docs, min_doc_id, max_doc_id,
+                 ub_fp)  BMW skip metadata (--blockmax N, optional)
   and prints one JSON stats line.
 
 Query (reads a prebuilt --index, never the raw corpus):
@@ -44,6 +46,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--documents", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--max-postings", type=int, default=8)
+    p.add_argument("--blockmax", type=int, default=0,
+                   help="also export block-max skip metadata with this"
+                        " block size (0 = off)")
     p.add_argument("--index", default=None,
                    help="prebuilt index dir (query mode)")
     p.add_argument("--query", default=None,
@@ -90,12 +95,23 @@ def main(argv: list[str] | None = None) -> None:
     ).write.mode("overwrite").parquet(f"{args.out}/stats")
     postings(docs, max_postings=args.max_postings).write \
         .mode("overwrite").parquet(f"{args.out}/postings")
+    n_blocks = None
+    if args.blockmax > 0:
+        from barkingowl_spark.operators.invindex import (
+            block_max_postings)
+
+        block_max_postings(docs, None, block=args.blockmax).write \
+            .mode("overwrite").parquet(f"{args.out}/blockmax")
+        n_blocks = spark.read.parquet(f"{args.out}/blockmax").count()
     stats = spark.read.parquet(f"{args.out}/stats").collect()[0]
-    print(json.dumps({
+    out = {
         "n_docs": stats["n_docs"],
         "total_len": stats["total_len"],
         "n_terms": spark.read.parquet(f"{args.out}/postings").count(),
-    }))
+    }
+    if n_blocks is not None:
+        out["n_blocks"] = n_blocks
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

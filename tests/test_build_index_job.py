@@ -55,3 +55,23 @@ def test_query_matches_direct_path(spark, built, capsys):
            for h in out["hits"]]
     assert got == want
     assert got[0][0] == 3     # the two-rare-term doc ranks first
+
+
+def test_blockmax_export_matches_direct(spark, tmp_path, capsys):
+    from jobs.build_index import main
+    from barkingowl_spark.operators.invindex import block_max_postings
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "idx"), "--blockmax", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exported = {
+        (r["term"], r["block_id"]): (r["n_docs"], r["ub_fp"])
+        for r in spark.read.parquet(
+            str(tmp_path / "idx" / "blockmax")).collect()}
+    want = {
+        (r["term"], r["block_id"]): (r["n_docs"], r["ub_fp"])
+        for r in block_max_postings(docs, None, block=4).collect()}
+    assert exported == want
+    assert out["n_blocks"] == len(want)
