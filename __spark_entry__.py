@@ -1462,6 +1462,16 @@ def q_mix_report(spark, sf):
     return mix_report(mix_sample(d, _mix_quotas(d)))
 
 
+def q_text_entropy(spark, sf):
+    """Half-bit token entropy (functions/textstats.py::token_entropy):
+    per-doc Shannon entropy of the token distribution via the squared-
+    DECIMAL bitlen identity — the interleaved-repetition signal
+    duplicate-line ratios miss; two shuffles corpus-wide."""
+    from barkingowl_spark.functions.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"))
+
+
 def q_text_repetition(spark, sf):
     """Gopher-style duplicate-line share (functions/repetition.py):
     docs synthesized two-line — every doc_id % 3 == 0 doc repeats its
@@ -3687,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paradedup": q_text_paradedup,
         "mix_sample": q_mix_sample,
         "mix_report": q_mix_report,
+        "text_entropy": q_text_entropy,
         "text_repetition": q_text_repetition,
         "text_top_bigram": q_text_top_bigram,
         "pii_scan": q_pii_scan,
@@ -5925,6 +5936,26 @@ def oracle_sql() -> dict[str, str]:
                        md5('doc#' || CAST(doc_id AS VARCHAR)),
                        1, 15)) AS BIGINT)) AS content_fp
             FROM a GROUP BY shard_id
+        """,
+        "text_entropy": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+                     CAST(count(*) AS BIGINT) AS n_types
+              FROM tf GROUP BY doc_id)
+            SELECT doc_id, dl, n_types,
+                   CAST(sum(tf * (length(bin(CAST(
+                        (dl::HUGEINT * dl) // (tf::HUGEINT * tf)
+                        AS BIGINT))) - 1)) // dl AS BIGINT) AS ent_hb
+            FROM tf JOIN dl USING (doc_id)
+            GROUP BY doc_id, dl, n_types
         """,
         "text_repetition": """
             WITH d AS (

@@ -246,3 +246,43 @@ def length_percentiles(documents: DataFrame) -> DataFrame:
         _at("(3 * n + 3) div 4", "p75"),
         _at("(9 * n + 9) div 10", "p90"),
     )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, dl, n_types, ent_hb): per-document token-distribution
+    Shannon entropy in HALF-BITS per token (integer):
+
+        ent_hb = (sum over types t of tf_t * floor(2*log2(dl / tf_t)))
+                 DIV dl
+
+    via the squared-DECIMAL bitlen identity (invindex.py's idf trick).
+    Low entropy = repetitive text (a boilerplate/keyword-stuffing
+    signal Gopher-style duplicate-line ratios miss when the repetition
+    is interleaved); the all-unique-tokens ceiling is 2*log2(dl).
+
+    One tokenize+explode pass, one (doc_id, term) agg, one doc_id
+    rollup — entropy of a 10^10-doc corpus is two shuffles."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .withColumn(
+            "w_hb",
+            F.expr(
+                "tf * (length(bin(CAST("
+                "CAST(dl AS DECIMAL(38,0)) * dl"
+                " DIV (CAST(tf AS DECIMAL(38,0)) * tf)"
+                " AS BIGINT))) - 1)"),
+        )
+        .groupBy("doc_id", "dl", "n_types")
+        .agg(F.expr("CAST(sum(w_hb) DIV dl AS BIGINT)")
+             .alias("ent_hb"))
+        .select("doc_id", F.col("dl").cast("long"),
+                F.col("n_types").cast("long"), "ent_hb")
+    )
