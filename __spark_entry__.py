@@ -2919,6 +2919,29 @@ def q_search_eval_macro(spark, sf):
         bm25_runs(docs, qdim, k=10), _eval_qrels(docs, qdim), k=10))
 
 
+def q_search_rm3_terms(spark, sf):
+    """RM3 pseudo-relevance-feedback expansion (operators/ireval.py::
+    rm3_expand): relevance-model term weights from the top-3 feedback
+    docs of a first-pass BM25 run, top-5 terms kept, interpolated 0.6/
+    0.4 with the original query — all ppm floor math."""
+    from barkingowl_spark.operators.ireval import bm25_runs, rm3_expand
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return rm3_expand(docs, bm25_runs(docs, qdim, k=3), qdim,
+                      fb_docs=3, fb_terms=5)
+
+
+def q_search_rm3(spark, sf):
+    """Two-pass RM3 retrieval (operators/ireval.py::rm3_runs): BM25
+    pass 1 -> feedback expansion -> weighted BM25 re-score, per-term
+    floor products, per-query rank-cut window."""
+    from barkingowl_spark.operators.ireval import rm3_runs
+
+    return rm3_runs(_bm25_docs(spark, sf), _eval_queries(spark), k=10,
+                    fb_docs=3, fb_terms=5)
+
+
 def _weighted_docs(spark, sf):
     """(doc_id, source, w): token-count weights for the priority
     sampler (>= 1 by the split-of-empty-string convention, identical
@@ -3818,6 +3841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_runs": q_search_runs,
         "search_eval": q_search_eval,
         "search_eval_macro": q_search_eval_macro,
+        "search_rm3_terms": q_search_rm3_terms,
+        "search_rm3": q_search_rm3,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
         "idx_blockmax": q_idx_blockmax,
@@ -4895,6 +4920,95 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+# RM3 continuation of _RUNS_CTE (appends more CTEs after met): feedback
+# slice -> relevance-model weights -> interpolated expansion (expq) ->
+# weighted BM25 re-score (rrunk). Integer floor math mirrors
+# operators/ireval.py::rm3_expand / rm3_runs bit-for-bit.
+_RM3_CTE = """
+    , fb AS (SELECT query_id, doc_id FROM runk WHERE rank <= 3),
+    fbd AS (SELECT DISTINCT doc_id FROM fb),
+    fsl AS (SELECT tf.* FROM tf JOIN fbd USING (doc_id)),
+    fdl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS fdl
+      FROM fsl GROUP BY doc_id),
+    rm AS (
+      SELECT fb.query_id, fsl.term,
+             CAST(sum((1000000 * fsl.tf) // fdl.fdl) AS BIGINT)
+               AS rm_fp
+      FROM fsl JOIN fb USING (doc_id) JOIN fdl USING (doc_id)
+      GROUP BY fb.query_id, fsl.term),
+    rmtot AS (
+      SELECT query_id, CAST(sum(rm_fp) AS BIGINT) AS rm_tot
+      FROM rm GROUP BY query_id),
+    rmrank AS (
+      SELECT query_id, term, rm_fp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rm_fp DESC, term) AS rn
+      FROM rm),
+    rmk AS (
+      SELECT query_id, term,
+             CAST((1000000 * rm_fp) // rm_tot AS BIGINT) AS rm_ppm
+      FROM rmrank JOIN rmtot USING (query_id) WHERE rn <= 5),
+    qn2 AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS q_n
+      FROM qdim GROUP BY query_id),
+    origw AS (
+      SELECT query_id, term, CAST(1000000 // q_n AS BIGINT) AS orig_ppm
+      FROM qdim JOIN qn2 USING (query_id)),
+    expq AS (
+      SELECT coalesce(o.query_id, r.query_id) AS query_id,
+             coalesce(o.term, r.term) AS term,
+             CAST(coalesce(o.orig_ppm, 0) AS BIGINT) AS orig_ppm,
+             CAST(coalesce(r.rm_ppm, 0) AS BIGINT) AS rm_ppm,
+             CAST((600000 * coalesce(o.orig_ppm, 0)) // 1000000
+                  + (400000 * coalesce(r.rm_ppm, 0)) // 1000000
+                  AS BIGINT) AS weight_ppm
+      FROM origw o FULL OUTER JOIN rmk r
+        ON o.query_id = r.query_id AND o.term = r.term),
+    rterms AS (SELECT DISTINCT term FROM expq),
+    rtft AS (SELECT tf.* FROM tf JOIN rterms USING (term)),
+    rdft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM rtft GROUP BY term),
+    rj AS (
+      SELECT expq.query_id, expq.weight_ppm, rtft.doc_id, rtft.tf,
+             rdft.df, dl.dl, n_docs, total_len,
+             2 * n_docs - 2 * df + 1 AS num, 2 * df + 1 AS den
+      FROM rtft JOIN expq USING (term) JOIN rdft USING (term)
+                JOIN dl USING (doc_id), stats),
+    rj2 AS (
+      SELECT query_id, weight_ppm, doc_id, tf,
+             CASE WHEN num < den THEN 0
+               ELSE length(bin(CAST((num::HUGEINT * num)
+                    // (den::HUGEINT * den) AS BIGINT))) - 1 END
+               AS idf_hb,
+             CAST((1000000 - 750000)
+                  + (750000::HUGEINT * dl * n_docs) // total_len
+                  AS BIGINT) AS norm_ppm
+      FROM rj),
+    rj3 AS (
+      SELECT query_id, weight_ppm, doc_id, idf_hb,
+             CAST((tf::HUGEINT * (1200000 + 1000000) * 1000000)
+                  // (tf * 1000000 + (1200000 * norm_ppm) // 1000000)
+                  AS BIGINT) AS sat_ppm
+      FROM rj2),
+    rsc AS (
+      SELECT query_id, doc_id,
+             CAST(sum((weight_ppm * idf_hb * sat_ppm) // 1000000)
+                  AS BIGINT) AS score_fp
+      FROM rj3 GROUP BY query_id, doc_id),
+    rrunk AS (
+      SELECT * FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+               score_fp
+        FROM rsc)
+      WHERE rank <= 10)
 """
 
 
@@ -8638,6 +8752,11 @@ def oracle_sql() -> dict[str, str]:
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        "search_rm3_terms": _RUNS_CTE + _RM3_CTE
+        + ("SELECT query_id, term, orig_ppm, rm_ppm, weight_ppm"
+           " FROM expq"),
+        "search_rm3": _RUNS_CTE + _RM3_CTE
+        + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
         "idx_blockmax": _BLOCKMAX_CTE
         + ("SELECT term, block_id, n_docs, min_doc_id, max_doc_id,"
            " ub_fp FROM bm"),

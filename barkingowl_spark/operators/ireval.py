@@ -55,9 +55,26 @@ def bm25_runs(
     Scoring algebra is bit-identical to invindex.bm25_from_index
     (half-bit idf, ppm saturation); see that docstring for the
     fixed-point identities."""
+    qdim = queries.select("query_id", "term").distinct()
+    scored = (
+        _bm25_parts(documents, qdim, k1_ppm, b_ppm)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("idf_hb * sat_ppm")).alias("score_fp"))
+    )
+    return _rank_cut(scored, k)
+
+
+def _bm25_parts(
+    documents: DataFrame,
+    qdim: DataFrame,
+    k1_ppm: int,
+    b_ppm: int,
+) -> DataFrame:
+    """(query_id, term, doc_id, idf_hb, sat_ppm): the per-term BM25
+    score parts shared by bm25_runs (plain sum) and rm3_runs (weighted
+    sum). `qdim` must already be distinct on (query_id, term)."""
     from barkingowl_spark.operators.invindex import term_freqs
 
-    qdim = queries.select("query_id", "term").distinct()
     tf = term_freqs(documents)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -69,7 +86,7 @@ def bm25_runs(
     terms = qdim.select("term").distinct()
     tft = tf.join(F.broadcast(terms), "term")
     df_t = tft.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
+    return (
         tft.join(F.broadcast(qdim), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(df_t), "term")
@@ -100,9 +117,12 @@ def bm25_runs(
                 f" + ({int(k1_ppm)} * norm_ppm) DIV 1000000)"
                 f" AS BIGINT)"),
         )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.expr("idf_hb * sat_ppm")).alias("score_fp"))
+        .select("query_id", "term", "doc_id", "idf_hb", "sat_ppm")
     )
+
+
+def _rank_cut(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k rank cut, deterministic (score desc, doc asc)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_fp").desc(), F.col("doc_id").asc()
     )
@@ -112,6 +132,132 @@ def bm25_runs(
         .select("query_id", "doc_id", "rank",
                 F.col("score_fp").cast("long"))
     )
+
+
+def rm3_expand(
+    documents: DataFrame,
+    run: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_lambda_ppm: int = 600_000,
+) -> DataFrame:
+    """(query_id, term, orig_ppm, rm_ppm, weight_ppm): RM3 pseudo-
+    relevance-feedback query expansion (Lavrenko & Croft SIGIR'01
+    relevance models; the RM3 interpolation of Abdul-Jaleel et al.,
+    TREC'04). Per query q with feedback set = top `fb_docs` of `run`:
+
+        rm_fp(w)  = sum over feedback docs D of (1e6 * tf(w,D)) DIV |D|
+                    (uniform document prior — RM1 with P(Q|D) constant,
+                    the deterministic integer form)
+        rm_ppm(w) = (1e6 * rm_fp(w)) DIV sum over ALL candidates w' of
+                    rm_fp(w'), kept for the top `fb_terms` terms only
+                    (rm_fp desc, term asc tie-break)
+        orig_ppm(w) = 1e6 DIV |distinct terms of q|   (bag-of-distinct
+                    -terms, matching bm25_runs)
+        weight_ppm  = (λ * orig_ppm) DIV 1e6 + ((1e6-λ) * rm_ppm) DIV 1e6
+
+    All-integer floor math so the DuckDB oracle value-hash-matches.
+
+    Scale shape (10^10 docs, 10^4-query batches): the feedback set is
+    |Q| * fb_docs rows — broadcast into the tokenize pass, so only
+    feedback documents' term rows survive the slice (O(|Q| * fb_docs *
+    doc_len), never corpus-wide); the term cut is a per-query window
+    over that slice; the final outer merge is |Q| * (q_n + fb_terms)
+    rows."""
+    from barkingowl_spark.operators.invindex import term_freqs
+
+    qdim = queries.select("query_id", "term").distinct()
+    fb = run.filter(F.col("rank") <= fb_docs).select(
+        "query_id", "doc_id")
+    fbd = fb.select("doc_id").distinct()
+    # tf restricted to feedback docs keeps ALL their terms, so the
+    # per-doc length computed from the slice equals the full length.
+    sliced = term_freqs(documents).join(F.broadcast(fbd), "doc_id")
+    dls = sliced.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    rm = (
+        sliced.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(dls), "doc_id")
+        .withColumn(
+            "c_ppm",
+            F.expr(f"CAST({PPM} AS BIGINT) * tf DIV dl"))
+        .groupBy("query_id", "term")
+        .agg(F.sum("c_ppm").alias("rm_fp"))
+    )
+    tot = rm.groupBy("query_id").agg(F.sum("rm_fp").alias("rm_tot"))
+    wcut = Window.partitionBy("query_id").orderBy(
+        F.col("rm_fp").desc(), F.col("term").asc())
+    top = (
+        rm.withColumn("rn", F.row_number().over(wcut))
+        .filter(F.col("rn") <= fb_terms)
+        .join(F.broadcast(tot), "query_id")
+        .select(
+            "query_id", "term",
+            F.expr(f"CAST({PPM} AS BIGINT) * rm_fp DIV rm_tot")
+            .alias("rm_ppm"))
+    )
+    qn = qdim.groupBy("query_id").agg(F.count(F.lit(1)).alias("q_n"))
+    orig = qdim.join(F.broadcast(qn), "query_id").select(
+        "query_id", "term",
+        F.expr(f"CAST({PPM} AS BIGINT) DIV q_n").alias("orig_ppm"))
+    lam = int(orig_lambda_ppm)
+    return (
+        orig.join(top, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id", "term",
+            F.expr("CAST(coalesce(orig_ppm, 0) AS BIGINT)")
+            .alias("orig_ppm"),
+            F.expr("CAST(coalesce(rm_ppm, 0) AS BIGINT)")
+            .alias("rm_ppm"),
+            F.expr(
+                f"CAST(({lam} * coalesce(orig_ppm, 0)) DIV {PPM}"
+                f" + (({PPM} - {lam}) * coalesce(rm_ppm, 0))"
+                f" DIV {PPM} AS BIGINT)").alias("weight_ppm"),
+        )
+    )
+
+
+def rm3_runs(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_lambda_ppm: int = 600_000,
+    k1_ppm: int = 1_200_000,
+    b_ppm: int = 750_000,
+) -> DataFrame:
+    """(query_id, doc_id, rank, score_fp): two-pass RM3 retrieval —
+    pass 1 is bm25_runs on the original batch, pass 2 re-scores with
+    the expanded weighted queries:
+
+        score_fp = sum over expanded terms w of
+                   (weight_ppm(w) * idf_hb(w) * sat_ppm(w,D)) DIV 1e6
+
+    (per-term floor, then sum — deterministic and bigint-safe: the
+    product is <= 1e6 * 63 * 2.2e6 ≈ 1.4e14 per term). Terms with
+    weight 0 after interpolation contribute 0 but stay in the plan —
+    the slice cost is bounded by their df, not their weight.
+
+    Scale: two passes over the same single tokenize+explode pass shape
+    as bm25_runs; the expansion table is |Q| * (q_n + fb_terms) rows,
+    broadcast both as the term slice and the weight join."""
+    run1 = bm25_runs(documents, queries, k=fb_docs,
+                     k1_ppm=k1_ppm, b_ppm=b_ppm)
+    exp = rm3_expand(documents, run1, queries, fb_docs=fb_docs,
+                     fb_terms=fb_terms,
+                     orig_lambda_ppm=orig_lambda_ppm)
+    wq = exp.select("query_id", "term", "weight_ppm")
+    parts = _bm25_parts(documents, wq.select("query_id", "term"),
+                        k1_ppm, b_ppm)
+    scored = (
+        parts.join(F.broadcast(wq), ["query_id", "term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr(
+            f"(weight_ppm * idf_hb * sat_ppm) DIV {PPM}"))
+            .alias("score_fp"))
+    )
+    return _rank_cut(scored, k)
 
 
 def rank_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:

@@ -158,3 +158,160 @@ def test_calibration_bins_and_ece(spark):
     e = calibration_ece(calibration_bins(df)).collect()[0]
     want = sum(bins[b]["n"] * bins[b]["gap_ppm"] for b in bins) // 7
     assert e["n"] == 7 and e["ece_ppm"] == want
+
+
+# ---- RM3 pseudo-relevance feedback --------------------------------------
+
+
+def _py_bm25_parts(docs, qterms, k1=1_200_000, b=750_000):
+    """Python mirror of _bm25_parts: {(term, doc_id): (idf_hb,
+    sat_ppm)} over the distinct query terms, integer floor math."""
+    tf, dl = {}, {}
+    for doc_id, text in docs:
+        toks = [t for t in (text or "").split(" ") if t]
+        if not toks:
+            continue
+        dl[doc_id] = len(toks)
+        for t in toks:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    n_docs, total_len = len(dl), sum(dl.values())
+    df = {}
+    for (doc_id, t) in tf:
+        if t in qterms:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for (doc_id, t), f in tf.items():
+        if t not in qterms:
+            continue
+        num, den = 2 * n_docs - 2 * df[t] + 1, 2 * df[t] + 1
+        idf_hb = 0 if num < den else (num * num // (den * den)).bit_length() - 1
+        norm = (1_000_000 - b) + (b * dl[doc_id] * n_docs) // total_len
+        sat = (f * (k1 + 1_000_000) * 1_000_000) // (
+            f * 1_000_000 + (k1 * norm) // 1_000_000)
+        out[(t, doc_id)] = (idf_hb, sat)
+    return out
+
+
+def _py_runs(docs, queries, k, weights=None):
+    """Ranked lists from parts; weights = {(qid, term): w_ppm} for the
+    RM3 face, else plain sum."""
+    qdim = sorted(set(queries) if weights is None else set(weights))
+    qterms = {t for _, t in qdim}
+    parts = _py_bm25_parts(docs, qterms)
+    scores = {}
+    for qid, t in qdim:
+        for (term, doc_id), (idf, sat) in parts.items():
+            if term != t:
+                continue
+            c = (idf * sat if weights is None
+                 else (weights.get((qid, t), 0) * idf * sat) // 1_000_000)
+            scores[(qid, doc_id)] = scores.get((qid, doc_id), 0) + c
+    out = {}
+    for (qid, doc_id), s in scores.items():
+        out.setdefault(qid, []).append((-s, doc_id))
+    run = {}
+    for qid, lst in out.items():
+        for rank, (negs, doc_id) in enumerate(sorted(lst)[:k], start=1):
+            run[(qid, rank)] = (doc_id, -negs)
+    return run
+
+
+def _py_rm3(docs, queries, fb_docs=3, fb_terms=5, lam=600_000):
+    """Full python RM3: returns (expand_rows, final_run)."""
+    run1 = _py_runs(docs, queries, k=fb_docs)
+    tf, dl = {}, {}
+    for doc_id, text in docs:
+        toks = [t for t in (text or "").split(" ") if t]
+        for t in toks:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+        if toks:
+            dl[doc_id] = len(toks)
+    fb = {}
+    for (qid, rank), (doc_id, _s) in run1.items():
+        if rank <= fb_docs:
+            fb.setdefault(qid, []).append(doc_id)
+    rm = {}
+    for qid, fdocs in fb.items():
+        for d in fdocs:
+            for (doc_id, t), f in tf.items():
+                if doc_id == d:
+                    key = (qid, t)
+                    rm[key] = rm.get(key, 0) + (1_000_000 * f) // dl[d]
+    tot = {}
+    for (qid, t), v in rm.items():
+        tot[qid] = tot.get(qid, 0) + v
+    top = {}
+    for qid in fb:
+        cand = sorted(((-v, t) for (q, t), v in rm.items() if q == qid))
+        for negv, t in cand[:fb_terms]:
+            top[(qid, t)] = (1_000_000 * -negv) // tot[qid]
+    qdim = sorted(set(queries))
+    qn = {}
+    for qid, _t in qdim:
+        qn[qid] = qn.get(qid, 0) + 1
+    orig = {(qid, t): 1_000_000 // qn[qid] for qid, t in qdim}
+    rows = {}
+    for key in set(orig) | set(top):
+        o, r = orig.get(key, 0), top.get(key, 0)
+        w = (lam * o) // 1_000_000 + ((1_000_000 - lam) * r) // 1_000_000
+        rows[key] = (o, r, w)
+    weights = {k: v[2] for k, v in rows.items()}
+    return rows, _py_runs(docs, queries, k=10, weights=weights)
+
+
+def test_rm3_expand_matches_bruteforce(spark):
+    from barkingowl_spark.operators.ireval import rm3_expand
+
+    run = bm25_runs(_docs(spark), _queries(spark), k=3)
+    got = {
+        (r["query_id"], r["term"]):
+            (r["orig_ppm"], r["rm_ppm"], r["weight_ppm"])
+        for r in rm3_expand(
+            _docs(spark), run, _queries(spark),
+            fb_docs=3, fb_terms=5).collect()
+    }
+    want, _ = _py_rm3(DOCS, QUERIES, fb_docs=3, fb_terms=5)
+    assert got == want
+
+
+def test_rm3_runs_matches_bruteforce(spark):
+    from barkingowl_spark.operators.ireval import rm3_runs
+
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_fp"])
+        for r in rm3_runs(
+            _docs(spark), _queries(spark), k=10,
+            fb_docs=3, fb_terms=5).collect()
+    }
+    _, want = _py_rm3(DOCS, QUERIES, fb_docs=3, fb_terms=5)
+    assert got == want
+
+
+def test_rm3_expansion_actually_adds_terms(spark):
+    """Feedback must pull in co-occurring terms the query never named
+    (e.g. 'haystack' docs for the 'needle'-only query batch would add
+    'in'/'the'), and orig terms keep nonzero weight at lambda=0.6."""
+    from barkingowl_spark.operators.ireval import rm3_expand
+
+    run = bm25_runs(_docs(spark), _queries(spark), k=3)
+    rows = rm3_expand(_docs(spark), run, _queries(spark)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["term"]] = r
+    # query 2 = {needle, haystack}; its feedback docs 3/6 contain 'in'
+    # and 'the' -> expansion-only terms with orig_ppm 0, rm_ppm > 0
+    added = [t for t, r in by_q[2].items()
+             if r["orig_ppm"] == 0 and r["rm_ppm"] > 0]
+    assert added
+    assert by_q[2]["needle"]["orig_ppm"] == 500_000
+    assert by_q[2]["needle"]["weight_ppm"] >= 300_000
+
+
+def test_rm3_runs_plan_no_global_sort(spark):
+    from barkingowl_spark.operators.ireval import rm3_runs
+
+    q = rm3_runs(_docs(spark), _queries(spark), k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(query_id" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
