@@ -2942,6 +2942,26 @@ def q_search_rm3(spark, sf):
                     fb_docs=3, fb_terms=5)
 
 
+def q_idx_compress(spark, sf):
+    """Posting-list codec audit (operators/invindex.py::
+    posting_compression): Elias-Fano vs VByte vs bitmap bit costs per
+    term over the id universe, winner by the deterministic cutover
+    rule — the layout table an index build consults per list."""
+    from barkingowl_spark.operators.invindex import posting_compression
+
+    return posting_compression(_t(spark, sf, "documents"))
+
+
+def q_idx_compress_rollup(spark, sf):
+    """Whole-index codec totals + the pick-per-list mixed layout
+    (operators/invindex.py::compression_rollup)."""
+    from barkingowl_spark.operators.invindex import (
+        compression_rollup, posting_compression)
+
+    return compression_rollup(
+        posting_compression(_t(spark, sf, "documents")))
+
+
 def _weighted_docs(spark, sf):
     """(doc_id, source, w): token-count weights for the priority
     sampler (>= 1 by the split-of-empty-string convention, identical
@@ -3843,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval_macro": q_search_eval_macro,
         "search_rm3_terms": q_search_rm3_terms,
         "search_rm3": q_search_rm3,
+        "idx_compress": q_idx_compress,
+        "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
         "idx_blockmax": q_idx_blockmax,
@@ -4920,6 +4942,48 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+# Posting-list codec audit: EF/VByte/bitmap bit math mirrors
+# operators/invindex.py::posting_compression bit-for-bit.
+_COMPRESS_CTE = """
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+          AS t FROM documents)
+      WHERE t <> ''),
+    tfd AS (SELECT DISTINCT doc_id, term FROM tok),
+    u AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS u FROM tfd),
+    g AS (
+      SELECT term, doc_id,
+             doc_id - lag(doc_id, 1, -1) OVER (
+               PARTITION BY term ORDER BY doc_id) AS gap
+      FROM tfd),
+    v AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(8 * sum((length(bin(gap)) + 6) // 7) AS BIGINT)
+               AS vbyte_bits
+      FROM g GROUP BY term),
+    c AS (
+      SELECT term, df, vbyte_bits,
+             length(bin(u // df)) - 1 AS l, u
+      FROM v, u),
+    p AS (
+      SELECT term, df,
+             CAST(df * l + df + (u >> l) AS BIGINT) AS ef_bits,
+             vbyte_bits, CAST(u AS BIGINT) AS bitmap_bits
+      FROM c),
+    b AS (
+      SELECT term, df, ef_bits, vbyte_bits, bitmap_bits,
+             CASE WHEN ef_bits =
+                    least(ef_bits, vbyte_bits, bitmap_bits) THEN 'ef'
+                  WHEN vbyte_bits =
+                    least(ef_bits, vbyte_bits, bitmap_bits)
+                    THEN 'vbyte'
+                  ELSE 'bitmap' END AS best,
+             least(ef_bits, vbyte_bits, bitmap_bits) AS best_bits
+      FROM p)
 """
 
 
@@ -8757,6 +8821,23 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        "idx_compress": _COMPRESS_CTE
+        + ("SELECT term, df, ef_bits, vbyte_bits, bitmap_bits,"
+           " best, best_bits FROM b"),
+        "idx_compress_rollup": _COMPRESS_CTE + """
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(ef_bits) AS BIGINT) AS ef_bits,
+                   CAST(sum(vbyte_bits) AS BIGINT) AS vbyte_bits,
+                   CAST(sum(bitmap_bits) AS BIGINT) AS bitmap_bits,
+                   CAST(sum(best_bits) AS BIGINT) AS mixed_bits,
+                   CAST(sum(CASE WHEN best = 'ef' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ef,
+                   CAST(sum(CASE WHEN best = 'vbyte' THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_vbyte,
+                   CAST(sum(CASE WHEN best = 'bitmap' THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_bitmap
+            FROM b
+        """,
         "idx_blockmax": _BLOCKMAX_CTE
         + ("SELECT term, block_id, n_docs, min_doc_id, max_doc_id,"
            " ub_fp FROM bm"),

@@ -648,3 +648,79 @@ def blockmax_prune_stats(
             .cast("long").alias("n_skippable"),
         )
     )
+
+
+def posting_compression(documents: DataFrame) -> DataFrame:
+    """(term, df, ef_bits, vbyte_bits, bitmap_bits, best, best_bits):
+    per-posting-list storage cost under three classic encodings — the
+    layout-planning table an index build consults before choosing a
+    per-list codec (Vigna, "Quasi-succinct indices", WSDM 2013 for
+    Elias-Fano; 7-bit varint a la Scholer et al. SIGIR 2002 for VByte;
+    a dense bitmap as the high-df baseline, the roaring-style cutover).
+
+    All-integer bit math over the universe U = max(doc_id) + 1:
+
+        EF:     l = floor(log2(U DIV n))  (0 when U DIV n = 1)
+                bits = n*l + n + (U >> l)       (lower bits + unary)
+        VByte:  bits = 8 * sum over gaps g of (bitlen(g) + 6) DIV 7
+                gaps from doc_id-sorted postings, first gap = id + 1
+        bitmap: bits = U
+
+    best picks the smallest (tie order ef < vbyte < bitmap — the
+    deterministic cutover rule).
+
+    Scale shape: one tokenize+explode pass; the gap window is
+    PARTITIONED by term (the key the postings export is already
+    bucketed by — no global sort) feeding one map-side-combined
+    groupBy(term); U is a 1-row broadcast."""
+    tf = term_freqs(documents)
+    u = tf.agg((F.max("doc_id") + F.lit(1)).alias("u"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = (
+        tf.select("term", "doc_id")
+        .withColumn("gap", F.col("doc_id") - F.lag("doc_id", 1, -1).over(w))
+        .withColumn("vb", F.expr("(length(bin(gap)) + 6) DIV 7"))
+    )
+    per = g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.expr("CAST(8 * sum(vb) AS BIGINT)").alias("vbyte_bits"),
+    )
+    return (
+        per.crossJoin(F.broadcast(u))
+        .withColumn("l", F.expr("length(bin(u DIV df)) - 1"))
+        .withColumn(
+            "ef_bits",
+            F.expr("CAST(df * l + df + shiftright(u, CAST(l AS INT))"
+                   " AS BIGINT)"))
+        .withColumn("bitmap_bits", F.col("u").cast("long"))
+        .withColumn(
+            "best_bits",
+            F.expr("least(ef_bits, vbyte_bits, bitmap_bits)"))
+        .withColumn(
+            "best",
+            F.expr("CASE WHEN ef_bits = best_bits THEN 'ef'"
+                   " WHEN vbyte_bits = best_bits THEN 'vbyte'"
+                   " ELSE 'bitmap' END"))
+        .select("term", "df", "ef_bits", "vbyte_bits", "bitmap_bits",
+                "best", "best_bits")
+    )
+
+
+def compression_rollup(per_term: DataFrame) -> DataFrame:
+    """1 row (n_terms, ef_bits, vbyte_bits, bitmap_bits, mixed_bits,
+    n_ef, n_vbyte, n_bitmap): whole-index totals per codec plus the
+    pick-per-list mixed layout (what a real index ships) — mixed_bits
+    <= min of the pure totals by construction."""
+    return per_term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("ef_bits").cast("long").alias("ef_bits"),
+        F.sum("vbyte_bits").cast("long").alias("vbyte_bits"),
+        F.sum("bitmap_bits").cast("long").alias("bitmap_bits"),
+        F.sum("best_bits").cast("long").alias("mixed_bits"),
+        F.sum(F.expr("CASE WHEN best = 'ef' THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_ef"),
+        F.sum(F.expr("CASE WHEN best = 'vbyte' THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_vbyte"),
+        F.sum(F.expr("CASE WHEN best = 'bitmap' THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_bitmap"),
+    )
