@@ -2962,6 +2962,17 @@ def q_idx_compress_rollup(spark, sf):
         posting_compression(_t(spark, sf, "documents")))
 
 
+def q_shard_cori(spark, sf):
+    """CORI shard selection (operators/shards.py::cori_shard_ranks):
+    rank the 8 md5-sharded index partitions per query by summed term
+    beliefs (Callan et al. SIGIR'95, ppm floor form) — the broker's
+    query-routing table."""
+    from barkingowl_spark.operators.shards import cori_shard_ranks
+
+    return cori_shard_ranks(
+        _bm25_docs(spark, sf), _eval_queries(spark), n_shards=8)
+
+
 def _weighted_docs(spark, sf):
     """(doc_id, source, w): token-count weights for the priority
     sampler (>= 1 by the split-of-empty-string convention, identical
@@ -3864,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rm3_terms": q_search_rm3_terms,
         "search_rm3": q_search_rm3,
         "idx_compress": q_idx_compress,
+        "shard_cori": q_shard_cori,
         "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
@@ -4942,6 +4954,81 @@ _RUNS_CTE = """
                   AS BIGINT) AS rr_ppm,
              CAST(coalesce(sum_p, 0) // n_rel AS BIGINT) AS ap_ppm
       FROM nrel LEFT JOIN perq USING (query_id))
+"""
+
+
+# CORI shard selection over the _bm25_docs transform: md5 shard draw,
+# per-shard df/cw stats, ppm belief math mirroring
+# operators/shards.py::cori_shard_ranks (C=8, db=0.4, iden_hb=6).
+_CORI_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                  THEN repeat(' needle', CAST(1 + doc_id % 3 AS INT))
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                  ELSE '' END AS text
+      FROM documents),
+    a AS (
+      SELECT doc_id, text,
+             CAST(CAST(('0x' || substring(
+                 md5('shard#' || CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard_id
+      FROM d),
+    tok AS (
+      SELECT shard_id, doc_id, t AS term FROM (
+        SELECT shard_id, doc_id, unnest(string_split(text, ' ')) AS t
+        FROM a)
+      WHERE t <> ''),
+    cw AS (
+      SELECT shard_id, CAST(count(*) AS BIGINT) AS cw
+      FROM tok GROUP BY shard_id),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total_cw FROM cw),
+    queries(query_id, term) AS (
+      VALUES (1, 'needle'), (2, 'haystack'),
+             (3, 'needle'), (3, 'haystack'), (3, 'scan')),
+    qdim AS (
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+      FROM queries),
+    terms AS (SELECT DISTINCT term FROM qdim),
+    dfts AS (
+      SELECT term, shard_id,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok JOIN terms USING (term) GROUP BY term, shard_id),
+    cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf
+      FROM dfts GROUP BY term),
+    bel AS (
+      SELECT term, shard_id,
+             (1000000 - 400000) *
+             (((1000000 * df
+                // (df + 50 + (150::HUGEINT * cw * 8) // total_cw))
+               * ((1000000 *
+                   (length(bin(289 // (4 * cf * cf))) - 1)) // 6))
+              // 1000000) // 1000000 AS extra_ppm
+      FROM dfts JOIN cf USING (term) JOIN cw USING (shard_id), tot),
+    ex AS (
+      SELECT query_id, shard_id,
+             CAST(sum(extra_ppm) AS BIGINT) AS sum_extra
+      FROM bel JOIN qdim USING (term)
+      GROUP BY query_id, shard_id),
+    qn AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS q_n
+      FROM qdim GROUP BY query_id),
+    grid AS (
+      SELECT query_id, q_n, CAST(s AS INTEGER) AS shard_id
+      FROM qn, (SELECT unnest(generate_series(0, 7)) AS s)),
+    sc AS (
+      SELECT query_id, shard_id,
+             CAST(q_n * 400000 + coalesce(sum_extra, 0) AS BIGINT)
+               AS score_fp
+      FROM grid LEFT JOIN ex USING (query_id, shard_id))
+    SELECT query_id, shard_id, score_fp,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score_fp DESC, shard_id) AS BIGINT) AS rank
+    FROM sc
 """
 
 
@@ -8821,6 +8908,7 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        "shard_cori": _CORI_SQL,
         "idx_compress": _COMPRESS_CTE
         + ("SELECT term, df, ef_bits, vbyte_bits, bitmap_bits,"
            " best, best_bits FROM b"),

@@ -184,3 +184,95 @@ def chunk_overlap(
                 " ").alias("chunk"),
         )
     )
+
+
+def cori_shard_ranks(
+    documents: DataFrame,
+    queries: DataFrame,
+    n_shards: int,
+    db_ppm: int = 400_000,
+) -> DataFrame:
+    """(query_id, shard_id, score_fp, rank): CORI collection/shard
+    selection (Callan, Lu & Croft SIGIR'95) — given the corpus sharded
+    by assign_shards, rank shards per query by the summed term beliefs,
+    so a distributed search tier can route each query to the few shards
+    worth probing instead of broadcasting it to all of them.
+
+    Integer form (ppm floor math; C = n_shards, df = docs in shard s
+    containing t, cw = shard token count, cf = shards containing t):
+
+        T_ppm  = 1e6 * df DIV (df + 50 + (150 * cw * C) DIV total_cw)
+        I_hb   = bitlen(((2C+1)^2) DIV (4*cf^2)) - 1      (half-bit
+                 log2 of (C+0.5)/cf — 0 when the term is everywhere)
+        I_ppm  = 1e6 * I_hb DIV bitlen((C+1)^2) - 1-style denominator
+        belief = db + (1e6-db) * (T_ppm * I_ppm DIV 1e6) DIV 1e6
+        score  = sum over query terms (absent terms contribute db)
+
+    Scale shape: one tokenize pass over the sharded corpus; per-shard
+    stats are groupBy(shard) / groupBy(term, shard) with map-side
+    combine; the query grid is |Q| x C rows (broadcast); the rank is a
+    query-partitioned window. Nothing is per-document downstream of
+    the stats — the table a broker keeps IS this output."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    C, db, PPM = int(n_shards), int(db_ppm), 1_000_000
+    iden_hb = ((C + 1) * (C + 1)).bit_length() - 1
+    qdim = queries.select("query_id", "term").distinct()
+    terms = qdim.select("term").distinct()
+    a = assign_shards(documents, C)
+    toks = a.select(
+        "shard_id", "doc_id",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cw = toks.groupBy("shard_id").agg(F.count(F.lit(1)).alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("total_cw"))
+    dfts = (
+        toks.join(F.broadcast(terms), "term")
+        .select("term", "shard_id", "doc_id").distinct()
+        .groupBy("term", "shard_id")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cf = dfts.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    extras = (
+        dfts.join(F.broadcast(cf), "term")
+        .join(F.broadcast(cw), "shard_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t_ppm",
+            F.expr(
+                f"CAST({PPM} * df DIV (df + 50"
+                f" + (CAST(150 AS DECIMAL(38,0)) * cw * {C})"
+                f" DIV total_cw) AS BIGINT)"))
+        .withColumn(
+            "i_hb",
+            F.expr(
+                f"length(bin(CAST(({(2 * C + 1) ** 2})"
+                f" DIV (4 * cf * cf) AS BIGINT))) - 1"))
+        .withColumn(
+            "i_ppm",
+            F.expr(f"CAST({PPM} * i_hb DIV {iden_hb} AS BIGINT)"))
+        .withColumn(
+            "extra_ppm",
+            F.expr(
+                f"CAST(({PPM} - {db}) * ((t_ppm * i_ppm) DIV {PPM})"
+                f" DIV {PPM} AS BIGINT)"))
+        .join(F.broadcast(qdim), "term")
+        .groupBy("query_id", "shard_id")
+        .agg(F.sum("extra_ppm").alias("sum_extra"))
+    )
+    qn = qdim.groupBy("query_id").agg(F.count(F.lit(1)).alias("q_n"))
+    spark = documents.sparkSession
+    grid = qn.crossJoin(F.broadcast(
+        spark.range(C).select(F.col("id").cast("int").alias("shard_id"))
+    ))
+    score = grid.join(extras, ["query_id", "shard_id"], "left").select(
+        "query_id", "shard_id",
+        F.expr(f"CAST(q_n * {db} + coalesce(sum_extra, 0) AS BIGINT)")
+        .alias("score_fp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("shard_id").asc())
+    return score.withColumn(
+        "rank", F.row_number().over(w).cast("long"))
