@@ -2962,6 +2962,16 @@ def q_idx_compress_rollup(spark, sf):
         posting_compression(_t(spark, sf, "documents")))
 
 
+def q_dedup_lsh_recall(spark, sf):
+    """Measured LSH operating point (operators/corpus_dedup.py::
+    lsh_recall_audit): banding candidates vs EXACT all-pairs shingle-
+    Jaccard truth (prefix-filter join) — recall/precision in ppm, the
+    'measure, don't guess' number for the dedup tier."""
+    from barkingowl_spark.operators.corpus_dedup import lsh_recall_audit
+
+    return lsh_recall_audit(_t(spark, sf, "documents"))
+
+
 def q_shard_cori(spark, sf):
     """CORI shard selection (operators/shards.py::cori_shard_ranks):
     rank the 8 md5-sharded index partitions per query by summed term
@@ -3876,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rm3": q_search_rm3,
         "idx_compress": q_idx_compress,
         "shard_cori": q_shard_cori,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
@@ -8908,6 +8919,43 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        "dedup_lsh_recall": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            pr AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) AS tot
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            truth AS (
+              SELECT doc_a, doc_b FROM pr
+              WHERE inter > 0
+                AND 1000000::BIGINT * inter // (tot - inter)
+                    >= 600000),
+            hit AS (
+              SELECT t.doc_a FROM truth t JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+            n AS (
+              SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)
+                       AS n_true,
+                     CAST((SELECT count(*) FROM cand) AS BIGINT)
+                       AS n_cand,
+                     CAST((SELECT count(*) FROM hit) AS BIGINT)
+                       AS n_hit)
+            SELECT n_true, n_cand, n_hit,
+                   CAST(CASE WHEN n_true = 0 THEN 0
+                        ELSE 1000000 * n_hit // n_true END AS BIGINT)
+                     AS recall_ppm,
+                   CAST(CASE WHEN n_cand = 0 THEN 0
+                        ELSE 1000000 * n_hit // n_cand END AS BIGINT)
+                     AS precision_ppm
+            FROM n
+        """,
         "shard_cori": _CORI_SQL,
         "idx_compress": _COMPRESS_CTE
         + ("SELECT term, df, ef_bits, vbyte_bits, bitmap_bits,"

@@ -455,3 +455,56 @@ def simhash_near_pairs(
         cand.filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+def lsh_recall_audit(
+    documents: DataFrame, threshold_ppm: int = 600_000
+) -> DataFrame:
+    """1 row (n_true, n_cand, n_hit, recall_ppm, precision_ppm): does
+    the MinHash-LSH banding actually find the near-duplicates it is
+    deployed to find? Ground truth = EXACT all-pairs shingle-Jaccard
+    >= threshold (no sampling, no second sketch), candidates =
+    minhash_band_pairs; recall = hit fraction of truth, precision =
+    true fraction of candidates — the measured (not theoretical)
+    S-curve operating point of the banding scheme.
+
+    The exact truth reuses setjoin.prefix_filter_pairs (prefix-filter
+    theorem, never all-pairs) over a shingles-as-tokens rewrite: each
+    distinct 3-shingle becomes one token with its inner spaces swapped
+    for chr(31), so distinct-token Jaccard of the rewrite EQUALS
+    shingle-Jaccard of the document (exact unless a word itself
+    contains the \\x1f unit separator — not a token the webtext
+    tokenizer emits). Docs under 3 tokens have no shingles and drop
+    from both sides, matching minhash semantics.
+
+    Scale note: the audit intentionally prices the exact join — run it
+    on a sampled stratum at the 100TB point; candidates are evaluated
+    twice in this plan (count + semi join), which a production audit
+    would persist() between."""
+    from barkingowl_spark.operators.setjoin import prefix_filter_pairs
+
+    sh_docs = _with_shingles3(documents).select(
+        "doc_id",
+        F.expr("concat_ws(' ', transform(sh, s -> replace(s, ' ',"
+               " chr(31))))").alias("text"),
+    )
+    truth = prefix_filter_pairs(sh_docs, threshold_ppm).select(
+        "doc_a", "doc_b")
+    cand = minhash_band_pairs(documents)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+        .crossJoin(
+            hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.expr("CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT)"
+                   " ELSE CAST(1000000 * n_hit DIV n_true AS BIGINT)"
+                   " END").alias("recall_ppm"),
+            F.expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)"
+                   " ELSE CAST(1000000 * n_hit DIV n_cand AS BIGINT)"
+                   " END").alias("precision_ppm"),
+        )
+    )

@@ -514,3 +514,47 @@ def test_phash_pairs_banded_equals_bruteforce(spark):
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 0
     assert (5, 0) not in got and (0, 5) not in got
+
+
+def test_lsh_recall_audit(spark):
+    """Truth from an independent python brute force; the audit's
+    counters must match exactly (recall may be < 1e6 — LSH banding is
+    allowed to miss, that is the point of measuring it)."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        lsh_recall_audit, minhash_band_pairs)
+
+    docs = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),          # exact dup of 0
+        (2, "a b c d e f g x"),          # near dup of 0/1
+        (3, "p q r s t u v w"),          # unrelated
+        (4, "p q r s t u v w y z"),      # near dup of 3
+        (5, "one two"),                  # < 3 tokens: no shingles
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text):
+        w = [t for t in (text or "").split(" ")]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)} \
+            if len(w) >= 3 else set()
+
+    sh = {d: shingles(t) for d, t in docs if shingles(t)}
+    truth = set()
+    for a in sh:
+        for b in sh:
+            if a < b:
+                j = len(sh[a] & sh[b]) * 1_000_000 // len(sh[a] | sh[b])
+                if j >= 600_000:
+                    truth.add((a, b))
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_band_pairs(df).collect()}
+    row = lsh_recall_audit(df).collect()[0]
+    assert row["n_true"] == len(truth)
+    assert row["n_cand"] == len(cand)
+    assert row["n_hit"] == len(truth & cand)
+    if truth:
+        assert row["recall_ppm"] == \
+            1_000_000 * len(truth & cand) // len(truth)
+    # the planted exact dup must always be caught (identical sigs)
+    assert (0, 1) in cand and row["n_hit"] >= 1
