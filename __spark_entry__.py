@@ -2962,6 +2962,24 @@ def q_idx_compress_rollup(spark, sf):
         posting_compression(_t(spark, sf, "documents")))
 
 
+def q_sched_ucb(spark, sf):
+    """UCB1 explore/exploit host scheduling (operators/politeness.py::
+    ucb_host_ranks): top-10 hosts by observed doc yield + base-2
+    exploration bonus (exact integer isqrt, half-bit log2)."""
+    from barkingowl_spark.operators.politeness import ucb_host_ranks
+
+    stats = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("user_id").cast("string").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1"
+                         " ELSE 0 END")).cast("long").alias("reward"),
+        )
+    )
+    return ucb_host_ranks(stats, k=10)
+
+
 def q_dedup_lsh_recall(spark, sf):
     """Measured LSH operating point (operators/corpus_dedup.py::
     lsh_recall_audit): banding candidates vs EXACT all-pairs shingle-
@@ -3887,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_compress": q_idx_compress,
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "sched_ucb": q_sched_ucb,
         "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
@@ -8919,6 +8938,47 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        "sched_ucb": """
+            WITH s AS (
+              SELECT CAST(user_id AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END) AS BIGINT) AS reward
+              FROM events GROUP BY user_id),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM s),
+            e AS (
+              SELECT host, n, reward,
+                     length(bin(t * t)) - 1 AS hb,
+                     CAST(1000000 * reward // n AS BIGINT) AS mean_ppm
+              FROM s, t),
+            x AS (
+              SELECT *,
+                     CAST((693147::BIGINT * 1000000 * hb) // n
+                       AS BIGINT) AS bx
+              FROM e),
+            s0 AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(bx AS DOUBLE))) AS BIGINT)
+                       AS r0
+              FROM x),
+            b AS (
+              SELECT host, n, reward, mean_ppm,
+                     CASE WHEN (r0 + 1) * (r0 + 1) <= bx THEN r0 + 1
+                          WHEN r0 * r0 > bx THEN r0 - 1
+                          ELSE r0 END AS bonus_ppm
+              FROM s0),
+            u AS (
+              SELECT host, n, reward, mean_ppm, bonus_ppm,
+                     CAST(mean_ppm + bonus_ppm AS BIGINT) AS ucb_ppm
+              FROM b)
+            SELECT host, n, reward, mean_ppm, bonus_ppm, ucb_ppm,
+                   rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (
+                       ORDER BY ucb_ppm DESC, host) AS BIGINT) AS rank
+              FROM u)
+            WHERE rank <= 10
+        """,
         "dedup_lsh_recall": _SHINGLE_CTE + f"""
             , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
             bands AS ({_BANDS_SQL}),

@@ -284,3 +284,71 @@ def aimd_rates(
             F.col("_st.mx").alias("rate_max"),
         )
     )
+
+
+def ucb_host_ranks(stats: DataFrame, k: int = 10) -> DataFrame:
+    """(host, n, reward, mean_ppm, bonus_ppm, ucb_ppm, rank): UCB1
+    explore/exploit host scheduling (Auer, Cesa-Bianchi & Fischer,
+    Machine Learning 2002) — which hosts should the next crawl wave
+    spend budget on, balancing observed document yield (exploit)
+    against under-sampled hosts (explore)?
+
+    `stats` is the per-host ledger (host, n plays >= 1, reward
+    successes <= n * r_max). Integer base-2 form of the UCB1 bonus
+    sqrt(2 ln t / n), all floor math so the DuckDB oracle value-hash
+    matches:
+
+        t         = sum(n) over all hosts         (epoch plays,
+                    contract t < 2^31 so t^2 fits int64)
+        hb        = bitlen(t*t) - 1               (= floor(2*log2 t))
+        2*ln t    ~= hb * ln2  ->  bonus_ppm
+                  = isqrt((693147 * 1e6 * hb) DIV n)
+        mean_ppm  = 1e6 * reward DIV n
+        ucb_ppm   = mean_ppm + bonus_ppm
+
+    isqrt is EXACT despite the double sqrt: the +-1 correction clause
+    repairs the only representable-rounding error possible at this
+    magnitude (x <= ~4.3e13 << 2^52).
+
+    Unplayed hosts (n = 0) are the caller's job — UCB gives them
+    infinite priority, i.e. they go straight into the wave before this
+    ranking is consulted; rows with n <= 0 are rejected here.
+
+    Scale shape: one map-side-combined groupBy feeds a 1-row broadcast
+    (t); top-k is orderBy+limit => TakeOrderedAndProject (per-partition
+    heaps, never a global sort shuffle); the final rank window runs
+    over k rows only."""
+    tot = stats.agg(F.sum("n").alias("t"))
+    scored = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("hb", F.expr("length(bin(t * t)) - 1"))
+        .withColumn(
+            # assert_true returns NULL on success (throws on n <= 0),
+            # so the coalesce keeps the check inside the used column
+            "mean_ppm",
+            F.expr("coalesce(CAST(assert_true(n > 0,"
+                   " 'ucb_host_ranks: n must be >= 1') AS BIGINT),"
+                   " CAST(1000000 * reward DIV n AS BIGINT))"))
+        .withColumn(
+            "_x", F.expr("CAST((CAST(693147 AS BIGINT) * 1000000 * hb)"
+                         " DIV greatest(n, 1) AS BIGINT)"))
+        .withColumn(
+            "_s0",
+            F.expr("CAST(floor(sqrt(CAST(_x AS DOUBLE))) AS BIGINT)"))
+        .withColumn(
+            "bonus_ppm",
+            F.expr("CASE WHEN (_s0 + 1) * (_s0 + 1) <= _x"
+                   " THEN _s0 + 1"
+                   " WHEN _s0 * _s0 > _x THEN _s0 - 1"
+                   " ELSE _s0 END"))
+        .withColumn(
+            "ucb_ppm", F.expr("CAST(mean_ppm + bonus_ppm AS BIGINT)"))
+    )
+    top = (
+        scored.select("host", "n", "reward", "mean_ppm", "bonus_ppm",
+                      "ucb_ppm")
+        .orderBy(F.col("ucb_ppm").desc(), F.col("host").asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("ucb_ppm").desc(), F.col("host").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
