@@ -2962,6 +2962,15 @@ def q_idx_compress_rollup(spark, sf):
         posting_compression(_t(spark, sf, "documents")))
 
 
+def q_text_novelty(spark, sf):
+    """Per-doc shingle novelty vs all lower-doc_id docs (operators/
+    corpus_dedup.py::shingle_novelty): the corpus-growth curve — two
+    shingle-key shuffles, no all-pairs."""
+    from barkingowl_spark.operators.corpus_dedup import shingle_novelty
+
+    return shingle_novelty(_t(spark, sf, "documents"))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3906,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "text_novelty": q_text_novelty,
         "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
         "sample_priority_est": q_sample_priority_est,
@@ -8938,6 +8948,19 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        "text_novelty": _SHINGLE_CTE + """
+            , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            f AS (
+              SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc
+              FROM ex GROUP BY s)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+                   CAST(sum(CASE WHEN doc_id = first_doc THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(1000000 * sum(CASE WHEN doc_id = first_doc
+                            THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+                     AS novelty_ppm
+            FROM ex JOIN f USING (s) GROUP BY doc_id
+        """,
         "sched_ucb": """
             WITH s AS (
               SELECT CAST(user_id AS VARCHAR) AS host,

@@ -113,9 +113,15 @@ def _with_shingles3(documents: DataFrame) -> DataFrame:
         .filter(F.size("w") >= 3)  # sequence(0, size-3) turns descending <3
         .select(
             "doc_id",
+            # the CASE repeats the >= 3 guard INSIDE the expression:
+            # InferFiltersFromGenerate copies size(sh)>0 below the
+            # filter, and under ANSI the unguarded transform throws
+            # INVALID_ARRAY_INDEX on the short rows it probes there
             F.expr(
-                "array_distinct(transform(sequence(0, size(w) - 3),"
+                "CASE WHEN size(w) >= 3 THEN"
+                " array_distinct(transform(sequence(0, size(w) - 3),"
                 " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                " ELSE array() END"
             ).alias("sh"),
         )
     )
@@ -507,4 +513,38 @@ def lsh_recall_audit(
                    " ELSE CAST(1000000 * n_hit DIV n_cand AS BIGINT)"
                    " END").alias("precision_ppm"),
         )
+    )
+
+
+def shingle_novelty(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, n_new, novelty_ppm): how much of each document's
+    distinct 3-shingle set is NEW relative to every lower-doc_id
+    document — the novelty curve a corpus builder watches while
+    appending crawl snapshots (a slice whose novelty collapses is
+    re-crawl, not new text; the doc-level form of the dedup tier's
+    corpus-growth question).
+
+    First occurrence is attributed to the smallest doc_id holding the
+    shingle (deterministic under any execution order); docs with < 3
+    tokens have no shingles and drop out, matching minhash semantics.
+
+        novelty_ppm = 1e6 * n_new DIV n_sh
+
+    Scale shape: one shingle explode -> groupBy(sh) min(doc_id) (map-
+    side combined) -> equi-join back on sh -> groupBy(doc_id); two
+    content-derived uniform shuffle keys, no windows, no all-pairs."""
+    sh = _with_shingles3(documents).select(
+        "doc_id", F.explode("sh").alias("sh"))
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(F.expr("CASE WHEN doc_id = first_doc THEN 1 ELSE 0"
+                         " END")).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(1000000 * n_new DIV n_sh AS BIGINT)"))
     )

@@ -558,3 +558,23 @@ def test_lsh_recall_audit(spark):
             1_000_000 * len(truth & cand) // len(truth)
     # the planted exact dup must always be caught (identical sigs)
     assert (0, 1) in cand and row["n_hit"] >= 1
+
+
+def test_shingle_novelty(spark):
+    from barkingowl_spark.operators.corpus_dedup import shingle_novelty
+
+    docs = [
+        (0, "a b c d"),        # shingles {abc, bcd} — all new
+        (1, "a b c d"),        # exact dup -> novelty 0
+        (2, "a b c x y"),      # {abc, bcx, cxy}: 1 seen, 2 new
+        (3, "one two"),        # no shingles -> absent
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_sh"], r["n_new"], r["novelty_ppm"])
+           for r in shingle_novelty(df).collect()}
+    assert got == {
+        0: (2, 2, 1_000_000),
+        1: (2, 0, 0),
+        2: (3, 2, 666_666),
+    }
