@@ -2971,6 +2971,19 @@ def q_text_novelty(spark, sf):
     return shingle_novelty(_t(spark, sf, "documents"))
 
 
+def q_search_qpp(spark, sf):
+    """Pre-retrieval query-performance prediction (operators/
+    ireval.py::qpp_features): avICTF / IDF stats / SCQ in half-bit
+    integer logs, incl. an OOV probe term — route hard queries deeper
+    before reading a single posting."""
+    from barkingowl_spark.operators.ireval import qpp_features
+
+    qs = spark.createDataFrame(
+        _EVAL_QUERY_BATCH + [(4, "zz_oov"), (4, "needle")],
+        "query_id long, term string")
+    return qpp_features(_bm25_docs(spark, sf), qs)
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3915,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "search_qpp": q_search_qpp,
         "text_novelty": q_text_novelty,
         "idx_compress_rollup": q_idx_compress_rollup,
         "sample_priority": q_sample_priority,
@@ -8960,6 +8974,78 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) // count(*) AS BIGINT)
                      AS novelty_ppm
             FROM ex JOIN f USING (s) GROUP BY doc_id
+        """,
+        "search_qpp": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN repeat(' needle',
+                                      CAST(1 + doc_id % 3 AS INT))
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                          ELSE '' END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM d)
+              WHERE t <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY doc_id),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+            queries(query_id, term) AS (
+              VALUES (1, 'needle'), (2, 'haystack'),
+                     (3, 'needle'), (3, 'haystack'), (3, 'scan'),
+                     (4, 'zz_oov'), (4, 'needle')),
+            qdim AS (
+              SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+                     term
+              FROM queries),
+            terms AS (SELECT DISTINCT term FROM qdim),
+            pt AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS ctf
+              FROM tf JOIN terms USING (term) GROUP BY term),
+            pt2 AS (
+              SELECT term,
+                     CASE WHEN 2 * n_docs - 2 * df + 1 < 2 * df + 1
+                       THEN 0
+                       ELSE length(bin(CAST(
+                         ((2 * n_docs - 2 * df + 1)::HUGEINT
+                          * (2 * n_docs - 2 * df + 1))
+                         // ((2 * df + 1)::HUGEINT * (2 * df + 1))
+                         AS BIGINT))) - 1 END AS idf_hb,
+                     length(bin(CAST((total_len::HUGEINT * total_len)
+                       // (ctf::HUGEINT * ctf) AS BIGINT))) - 1
+                       AS ictf_hb,
+                     CAST(0 AS BIGINT)
+                       + (2 + length(bin(CAST(ctf::HUGEINT * ctf
+                            AS BIGINT))) - 1) AS ctf_f
+              FROM pt, stats),
+            j AS (
+              SELECT qdim.query_id, pt2.idf_hb, pt2.ictf_hb,
+                     CAST(pt2.ctf_f * pt2.idf_hb AS BIGINT) AS scq_fp
+              FROM qdim LEFT JOIN pt2 USING (term))
+            SELECT query_id,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CASE WHEN idf_hb IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_oov,
+                   CAST(max(coalesce(idf_hb, 0)) AS BIGINT)
+                     AS max_idf_hb,
+                   CAST(sum(coalesce(idf_hb, 0)) // count(*)
+                     AS BIGINT) AS avg_idf_hb,
+                   CAST(sum(coalesce(ictf_hb, 0)) // count(*)
+                     AS BIGINT) AS avg_ictf_hb,
+                   CAST(sum(coalesce(scq_fp, 0)) AS BIGINT)
+                     AS sum_scq_fp
+            FROM j GROUP BY query_id
         """,
         "sched_ucb": """
             WITH s AS (

@@ -416,3 +416,85 @@ def calibration_ece(bins: DataFrame) -> DataFrame:
         F.expr("CAST(sum(n * gap_ppm) DIV sum(n) AS BIGINT)")
         .alias("ece_ppm"),
     )
+
+
+def qpp_features(documents: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, n_terms, n_oov, max_idf_hb, avg_idf_hb, avg_ictf_hb,
+    sum_scq_fp): PRE-retrieval query-performance prediction features
+    (He & Ounis SIGIR'04 avICTF; Zhao, Scholer & Tsegay ECIR'08 SCQ)
+    — route hard queries to deeper retrieval (RM3, larger k) and easy
+    ones to the cheap path BEFORE spending a single posting read.
+
+    Base-2 half-bit integer forms (hb(x) = floor(2*log2 x), the repo's
+    squared-DECIMAL bitlen identity — same int64 envelope as BM25's
+    idf: ratio^2 must fit int64):
+
+        idf_hb  = BM25's half-bit idf            (0 for df > ~N/2)
+        ictf_hb = hb(total_tokens / ctf)
+        scq_fp  = (2 + hb(ctf)) * idf_hb         (the '1 + ln ctf'
+                  factor in half-bits)
+
+    OOV terms (df = 0) contribute 0 to every sum but stay in the
+    n_terms denominator and are counted in n_oov — a query full of
+    unseen terms predicts as maximally hard, which is the point.
+
+    Scale shape: the stats ride the same broadcast-dim-into-posting-
+    slice pass as bm25_runs; per-query reduce is one groupBy over
+    |Q| x q_n rows."""
+    from barkingowl_spark.operators.invindex import term_freqs
+
+    qdim = queries.select("query_id", "term").distinct()
+    tf = term_freqs(documents)
+    stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    terms = qdim.select("term").distinct()
+    per_term = (
+        tf.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.sum("tf").alias("ctf"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_num", F.expr("2 * n_docs - 2 * df + 1"))
+        .withColumn("_den", F.expr("2 * df + 1"))
+        .withColumn(
+            "idf_hb",
+            F.expr(
+                "CASE WHEN _num < _den THEN 0 ELSE "
+                "length(bin(CAST((CAST(_num AS DECIMAL(38,0)) * _num)"
+                " DIV (CAST(_den AS DECIMAL(38,0)) * _den)"
+                " AS BIGINT))) - 1 END"),
+        )
+        .withColumn(
+            "ictf_hb",
+            F.expr(
+                "length(bin(CAST((CAST(total_len AS DECIMAL(38,0))"
+                " * total_len) DIV (CAST(ctf AS DECIMAL(38,0)) * ctf)"
+                " AS BIGINT))) - 1"),
+        )
+        .withColumn(
+            "scq_fp",
+            F.expr(
+                "CAST((2 + length(bin(CAST(CAST(ctf AS DECIMAL(38,0))"
+                " * ctf AS BIGINT))) - 1) * idf_hb AS BIGINT)"),
+        )
+        .select("term", "idf_hb", "ictf_hb", "scq_fp")
+    )
+    return (
+        qdim.join(per_term, "term", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.expr("CASE WHEN idf_hb IS NULL THEN 1 ELSE 0"
+                         " END")).cast("long").alias("n_oov"),
+            F.max(F.coalesce("idf_hb", F.lit(0))).cast("long")
+            .alias("max_idf_hb"),
+            F.expr("CAST(sum(coalesce(idf_hb, 0)) DIV count(*)"
+                   " AS BIGINT)").alias("avg_idf_hb"),
+            F.expr("CAST(sum(coalesce(ictf_hb, 0)) DIV count(*)"
+                   " AS BIGINT)").alias("avg_ictf_hb"),
+            F.sum(F.coalesce("scq_fp", F.lit(0))).cast("long")
+            .alias("sum_scq_fp"),
+        )
+    )

@@ -315,3 +315,48 @@ def test_rm3_runs_plan_no_global_sort(spark):
     assert "hashpartitioning(query_id" in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_qpp_features_bruteforce(spark):
+    from barkingowl_spark.operators.ireval import qpp_features
+
+    tf, dl = {}, {}
+    for doc_id, text in DOCS:
+        toks = [t for t in (text or "").split(" ") if t]
+        if toks:
+            dl[doc_id] = len(toks)
+        for t in toks:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    n_docs, total = len(dl), sum(dl.values())
+    qs = QUERIES + [(4, "zzz_unseen"), (4, "cat")]
+    qdim = sorted(set(qs))
+    df, ctf = {}, {}
+    for (d, t), f in tf.items():
+        df[t] = df.get(t, 0) + 1
+        ctf[t] = ctf.get(t, 0) + f
+    want = {}
+    for qid in {q for q, _ in qdim}:
+        terms = [t for q, t in qdim if q == qid]
+        idfs, ictfs, scqs, oov = [], [], [], 0
+        for t in terms:
+            if t not in df:
+                oov += 1
+                idfs.append(0); ictfs.append(0); scqs.append(0)
+                continue
+            num, den = 2 * n_docs - 2 * df[t] + 1, 2 * df[t] + 1
+            ih = 0 if num < den else \
+                (num * num // (den * den)).bit_length() - 1
+            ictf = ((total * total) // (ctf[t] * ctf[t])).bit_length() - 1
+            scq = (2 + (ctf[t] * ctf[t]).bit_length() - 1) * ih
+            idfs.append(ih); ictfs.append(ictf); scqs.append(scq)
+        want[qid] = (len(terms), oov, max(idfs), sum(idfs) // len(terms),
+                     sum(ictfs) // len(terms), sum(scqs))
+    docs = _docs(spark)
+    qsdf = spark.createDataFrame(qs, "query_id long, term string")
+    got = {
+        r["query_id"]: (r["n_terms"], r["n_oov"], r["max_idf_hb"],
+                        r["avg_idf_hb"], r["avg_ictf_hb"],
+                        r["sum_scq_fp"])
+        for r in qpp_features(docs, qsdf).collect()
+    }
+    assert got == want
