@@ -2984,6 +2984,17 @@ def q_search_qpp(spark, sf):
     return qpp_features(_bm25_docs(spark, sf), qs)
 
 
+def q_dedup_triplets(spark, sf):
+    """Contrastive (anchor, positive, hard-negative) triplets
+    (operators/corpus_dedup.py::contrastive_triplets): positives from
+    the verified LSH band [0.3, 0.9], negatives = next same-source
+    doc_id via one lead window — label-free embedding supervision."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        contrastive_triplets)
+
+    return contrastive_triplets(_t(spark, sf, "documents"))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3928,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "dedup_triplets": q_dedup_triplets,
         "search_qpp": q_search_qpp,
         "text_novelty": q_text_novelty,
         "idx_compress_rollup": q_idx_compress_rollup,
@@ -9046,6 +9058,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(coalesce(scq_fp, 0)) AS BIGINT)
                      AS sum_scq_fp
             FROM j GROUP BY query_id
+        """,
+        "dedup_triplets": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            tk AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_a AS anchor, doc_b AS positive,
+                     CAST(1000000 * len(list_intersect(ta.toks,
+                                                       tb.toks))
+                          // (len(ta.toks) + len(tb.toks)
+                              - len(list_intersect(ta.toks, tb.toks)))
+                          AS BIGINT) AS jaccard_ppm
+              FROM cand JOIN tk ta ON cand.doc_a = ta.doc_id
+                        JOIN tk tb ON cand.doc_b = tb.doc_id),
+            inband AS (
+              SELECT * FROM pos
+              WHERE jaccard_ppm BETWEEN 300000 AND 900000),
+            nb AS (
+              SELECT doc_id AS anchor,
+                     lead(doc_id, 1) OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS l1,
+                     lead(doc_id, 2) OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS l2
+              FROM documents)
+            SELECT anchor, positive, jaccard_ppm,
+                   CASE WHEN l1 = positive THEN l2 ELSE l1 END
+                     AS negative
+            FROM inband JOIN nb USING (anchor)
+            WHERE CASE WHEN l1 = positive THEN l2 ELSE l1 END
+                  IS NOT NULL
         """,
         "sched_ucb": """
             WITH s AS (

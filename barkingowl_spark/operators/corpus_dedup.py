@@ -548,3 +548,46 @@ def shingle_novelty(documents: DataFrame) -> DataFrame:
             "novelty_ppm",
             F.expr("CAST(1000000 * n_new DIV n_sh AS BIGINT)"))
     )
+
+
+def contrastive_triplets(
+    documents: DataFrame,
+    lo_ppm: int = 300_000,
+    hi_ppm: int = 900_000,
+) -> DataFrame:
+    """(anchor, positive, jaccard_ppm, negative): (anchor, positive,
+    hard-negative) triplets mined from the corpus for contrastive
+    embedding training (SimCSE/DPR-style supervision without labels):
+
+      * positive  = verified LSH near-dup partner with token Jaccard
+        in [lo, hi] — similar enough to be a paraphrase/revision pair,
+        below the exact-dup band that teaches nothing;
+      * negative  = the next doc_id after the anchor WITHIN THE SAME
+        source (window lead, skipping the positive) — same-site docs
+        share template/topic vocabulary, which is exactly what makes
+        them HARD negatives; anchors that are the tail of their source
+        drop out (no negative exists under the deterministic rule).
+
+    Scale shape: positives ride the already-bucketed LSH verify join;
+    negatives are ONE lead window per source partition (no self-join,
+    no per-anchor scan); the triplet join keys on doc_id."""
+    pos = verified_near_dup_pairs(documents, threshold_ppm=lo_ppm) \
+        .filter(F.col("jaccard_ppm") <= hi_ppm)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    nb = (
+        documents.select("doc_id", "source")
+        .withColumn("l1", F.lead("doc_id", 1).over(w))
+        .withColumn("l2", F.lead("doc_id", 2).over(w))
+        .withColumnRenamed("doc_id", "anchor")
+        .drop("source")
+    )
+    return (
+        pos.select(F.col("doc_a").alias("anchor"),
+                   F.col("doc_b").alias("positive"), "jaccard_ppm")
+        .join(nb, "anchor")
+        .withColumn(
+            "negative",
+            F.expr("CASE WHEN l1 = positive THEN l2 ELSE l1 END"))
+        .filter(F.col("negative").isNotNull())
+        .select("anchor", "positive", "jaccard_ppm", "negative")
+    )

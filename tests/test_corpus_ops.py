@@ -578,3 +578,36 @@ def test_shingle_novelty(spark):
         1: (2, 0, 0),
         2: (3, 2, 666_666),
     }
+
+
+def test_contrastive_triplets(spark):
+    from barkingowl_spark.operators.corpus_dedup import (
+        contrastive_triplets, verified_near_dup_pairs)
+
+    docs = [
+        # source s1: 10/11 near-dups (not exact), 12/13 fillers
+        (10, "a b c d e f g h i j", "s1"),
+        (11, "a b c d e f g h i x", "s1"),
+        (12, "p q r s t u v w", "s1"),
+        (13, "completely different words here now", "s1"),
+        # source s2: 20/21 exact dups (jaccard 1e6 -> excluded by hi)
+        (20, "m n o p q r s t", "s2"),
+        (21, "m n o p q r s t", "s2"),
+        # s3 singleton: near-dup of nothing
+        (30, "z y x w v u t s", "s3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {(r["anchor"], r["positive"]): r["negative"]
+           for r in contrastive_triplets(df).collect()}
+    ver = {(r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+           for r in verified_near_dup_pairs(df, 300_000).collect()}
+    # 10/11 is a verified in-band pair; anchor 10's next same-source id
+    # is 11 == positive, so the negative must skip to 12
+    assert (10, 11) in ver and 300_000 <= ver[(10, 11)] <= 900_000
+    assert got[(10, 11)] == 12
+    # exact dups 20/21 are excluded by the hi bound
+    assert (20, 21) in ver and ver[(20, 21)] == 1_000_000
+    assert (20, 21) not in got
+    # every emitted negative differs from anchor and positive
+    for (a, p), n in got.items():
+        assert n not in (a, p)
