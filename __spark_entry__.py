@@ -2995,6 +2995,17 @@ def q_dedup_triplets(spark, sf):
     return contrastive_triplets(_t(spark, sf, "documents"))
 
 
+def q_dedup_threshold_curve(spark, sf):
+    """Near-dup threshold calibration curve (operators/
+    corpus_dedup.py::near_dup_threshold_curve): surviving verified
+    pairs per candidate threshold — one bucketed count, reverse
+    cumulative over 10 rows."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        near_dup_threshold_curve)
+
+    return near_dup_threshold_curve(_t(spark, sf, "documents"))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3939,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_triplets": q_dedup_triplets,
         "search_qpp": q_search_qpp,
         "text_novelty": q_text_novelty,
@@ -9096,6 +9108,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inband JOIN nb USING (anchor)
             WHERE CASE WHEN l1 = positive THEN l2 ELSE l1 END
                   IS NOT NULL
+        """,
+        "dedup_threshold_curve": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            tk AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+            ver AS (
+              SELECT CAST(1000000 * len(list_intersect(ta.toks,
+                                                       tb.toks))
+                          // (len(ta.toks) + len(tb.toks)
+                              - len(list_intersect(ta.toks, tb.toks)))
+                          AS BIGINT) AS j
+              FROM cand JOIN tk ta ON cand.doc_a = ta.doc_id
+                        JOIN tk tb ON cand.doc_b = tb.doc_id),
+            grid AS (
+              SELECT CAST(500000 + 50000 * unnest(generate_series(0, 9))
+                          AS BIGINT) AS threshold_ppm)
+            SELECT threshold_ppm,
+                   CAST((SELECT count(*) FROM ver
+                         WHERE j >= threshold_ppm) AS BIGINT)
+                     AS n_pairs_ge
+            FROM grid
         """,
         "sched_ucb": """
             WITH s AS (

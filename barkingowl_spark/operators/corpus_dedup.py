@@ -591,3 +591,44 @@ def contrastive_triplets(
         .filter(F.col("negative").isNotNull())
         .select("anchor", "positive", "jaccard_ppm", "negative")
     )
+
+
+def near_dup_threshold_curve(
+    documents: DataFrame,
+    lo_ppm: int = 500_000,
+    step_ppm: int = 50_000,
+    n_steps: int = 10,
+) -> DataFrame:
+    """(threshold_ppm, n_pairs_ge): how many verified near-dup pairs
+    survive each candidate threshold in [lo, lo + (n-1)*step] — the
+    calibration table for picking the dedup knob (too low deletes
+    paraphrases, too high keeps boilerplate clones; this is the curve
+    you read before choosing).
+
+    Scale shape: pairs are bucketed once (integer bucket key, map-side
+    combine) into n_steps counters; the reverse-cumulative sum runs
+    over n_steps rows — the per-pair work never multiplies by the
+    number of thresholds."""
+    lo, step, n = int(lo_ppm), int(step_ppm), int(n_steps)
+    pairs = verified_near_dup_pairs(documents, threshold_ppm=lo)
+    counts = (
+        pairs.withColumn(
+            "bkt",
+            F.expr(f"least(CAST((jaccard_ppm - {lo}) DIV {step}"
+                   f" AS BIGINT), {n - 1})"))
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    spark = documents.sparkSession
+    grid = spark.range(n).select(F.col("id").alias("bkt"))
+    w = (Window.orderBy(F.col("bkt").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        grid.join(counts, "bkt", "left")
+        .withColumn("n_in", F.coalesce("n_in", F.lit(0)))
+        .withColumn("n_pairs_ge", F.sum("n_in").over(w).cast("long"))
+        .select(
+            F.expr(f"CAST({lo} + bkt * {step} AS BIGINT)")
+            .alias("threshold_ppm"),
+            "n_pairs_ge",
+        )
+    )

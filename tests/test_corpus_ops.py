@@ -611,3 +611,31 @@ def test_contrastive_triplets(spark):
     # every emitted negative differs from anchor and positive
     for (a, p), n in got.items():
         assert n not in (a, p)
+
+
+def test_near_dup_threshold_curve(spark):
+    from barkingowl_spark.operators.corpus_dedup import (
+        near_dup_threshold_curve, verified_near_dup_pairs)
+
+    docs = [
+        (0, "a b c d e f g h i j", "s"),
+        (1, "a b c d e f g h i j", "s"),    # j = 1.0
+        (2, "a b c d e f g h i x", "s"),    # high-j with 0/1
+        (3, "a b c d e z z2 z3 z4 z5", "s"),
+        (4, "completely different words here today", "s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    ver = [r["jaccard_ppm"]
+           for r in verified_near_dup_pairs(df, 500_000).collect()]
+    got = {r["threshold_ppm"]: r["n_pairs_ge"]
+           for r in near_dup_threshold_curve(df).collect()}
+    assert set(got) == {500_000 + 50_000 * i for i in range(10)}
+    for t, n in got.items():
+        if t == 950_000:
+            # top bucket is open-ended: counts jaccard >= 950k incl 1e6
+            assert n == sum(1 for j in ver if j >= 950_000)
+        else:
+            assert n == sum(1 for j in ver if j >= t)
+    # monotone non-increasing in threshold
+    ts = sorted(got)
+    assert all(got[a] >= got[b] for a, b in zip(ts, ts[1:]))
