@@ -15,6 +15,9 @@ Build:
     postings/   (term, doc_freq, total_tf, postings)  capped exemplars
     blockmax/   (term, block_id, n_docs, min_doc_id, max_doc_id,
                  ub_fp)  BMW skip metadata (--blockmax N, optional)
+    codec/      (term, df, ef_bits, vbyte_bits, bitmap_bits, best,
+                 best_bits)  per-list layout audit (--codec-audit),
+                 with the whole-index totals on the JSON stats line
   and prints one JSON stats line.
 
 Query (reads a prebuilt --index, never the raw corpus):
@@ -49,6 +52,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--blockmax", type=int, default=0,
                    help="also export block-max skip metadata with this"
                         " block size (0 = off)")
+    p.add_argument("--codec-audit", action="store_true",
+                   help="also export the per-list compression audit"
+                        " (EF/VByte/bitmap bits, winner) + totals")
     p.add_argument("--index", default=None,
                    help="prebuilt index dir (query mode)")
     p.add_argument("--query", default=None,
@@ -103,6 +109,15 @@ def main(argv: list[str] | None = None) -> None:
         block_max_postings(docs, None, block=args.blockmax).write \
             .mode("overwrite").parquet(f"{args.out}/blockmax")
         n_blocks = spark.read.parquet(f"{args.out}/blockmax").count()
+    codec_totals = None
+    if args.codec_audit:
+        from barkingowl_spark.operators.invindex import (
+            compression_rollup, posting_compression)
+
+        per = posting_compression(docs)
+        per.write.mode("overwrite").parquet(f"{args.out}/codec")
+        per = spark.read.parquet(f"{args.out}/codec")
+        codec_totals = compression_rollup(per).collect()[0].asDict()
     stats = spark.read.parquet(f"{args.out}/stats").collect()[0]
     out = {
         "n_docs": stats["n_docs"],
@@ -111,6 +126,8 @@ def main(argv: list[str] | None = None) -> None:
     }
     if n_blocks is not None:
         out["n_blocks"] = n_blocks
+    if codec_totals is not None:
+        out["codec"] = codec_totals
     print(json.dumps(out))
 
 

@@ -75,3 +75,22 @@ def test_blockmax_export_matches_direct(spark, tmp_path, capsys):
         for r in block_max_postings(docs, None, block=4).collect()}
     assert exported == want
     assert out["n_blocks"] == len(want)
+
+
+def test_codec_audit_export(spark, tmp_path, capsys):
+    from barkingowl_spark.operators.invindex import posting_compression
+    from jobs.build_index import main
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "idx"), "--codec-audit"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["term"]: (r["ef_bits"], r["vbyte_bits"], r["best"])
+           for r in spark.read.parquet(
+               str(tmp_path / "idx" / "codec")).collect()}
+    want = {r["term"]: (r["ef_bits"], r["vbyte_bits"], r["best"])
+            for r in posting_compression(docs).collect()}
+    assert got == want
+    assert out["codec"]["n_terms"] == len(want)
+    assert out["codec"]["mixed_bits"] <= out["codec"]["ef_bits"]
