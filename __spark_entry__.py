@@ -3006,6 +3006,17 @@ def q_dedup_threshold_curve(spark, sf):
     return near_dup_threshold_curve(_t(spark, sf, "documents"))
 
 
+def q_search_mincover(spark, sf):
+    """Minimal covering span proximity (operators/invindex.py::
+    min_cover_span, Tao & Zhai CIKM'07 MinCover): shortest window
+    containing BOTH rare terms per doc — one doc-partitioned window
+    sweep, no pairwise joins."""
+    from barkingowl_spark.operators.invindex import min_cover_span
+
+    return min_cover_span(_bm25_docs(spark, sf),
+                          ["needle", "haystack"])
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3950,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "search_mincover": q_search_mincover,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_triplets": q_dedup_triplets,
         "search_qpp": q_search_qpp,
@@ -9137,6 +9149,47 @@ def oracle_sql() -> dict[str, str]:
                          WHERE j >= threshold_ppm) AS BIGINT)
                      AS n_pairs_ge
             FROM grid
+        """,
+        "search_mincover": """
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN repeat(' needle',
+                                      CAST(1 + doc_id % 3 AS INT))
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' haystack'
+                          ELSE '' END AS text
+              FROM documents),
+            pp AS (
+              SELECT doc_id, t AS term, CAST(i - 1 AS BIGINT) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS t,
+                       unnest(generate_series(1, len(list_filter(
+                           string_split(text, ' '),
+                           x -> x <> '')))) AS i
+                FROM d)
+              WHERE t IN ('needle', 'haystack')),
+            sw AS (
+              SELECT doc_id, pos,
+                     max(CASE WHEN term = 'needle' THEN pos END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS l0,
+                     max(CASE WHEN term = 'haystack' THEN pos END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS l1
+              FROM pp)
+            SELECT doc_id,
+                   CAST(min(CASE WHEN l0 IS NOT NULL
+                                  AND l1 IS NOT NULL
+                            THEN pos - least(l0, l1) + 1 END)
+                     AS BIGINT) AS min_span,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM sw GROUP BY doc_id
+            HAVING min(CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
+                       THEN pos - least(l0, l1) + 1 END) IS NOT NULL
         """,
         "sched_ucb": """
             WITH s AS (

@@ -724,3 +724,51 @@ def compression_rollup(per_term: DataFrame) -> DataFrame:
         F.sum(F.expr("CASE WHEN best = 'bitmap' THEN 1 ELSE 0 END"))
         .cast("long").alias("n_bitmap"),
     )
+
+
+def min_cover_span(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, min_span, n_hits): the shortest token window covering
+    ALL query terms per document (MinCover — the proximity evidence of
+    Tao & Zhai CIKM'07: rank-equivalent retrieval treats a tight span
+    as near-phrase relevance that bag-of-words scores cannot see).
+
+    Classic one-pass sweep, relationalized: for each query-term hit at
+    position p, the candidate span is p - min over terms t of
+    (latest position of t at or before p) + 1, defined only once every
+    term has appeared; min over candidates = the exact minimal cover
+    (the optimal window always ends at some hit). Per term the latest
+    position is a running MAX window over the doc's hit sequence — m
+    columns for an m-term query, all sharing ONE doc-partitioned
+    window sort. Docs missing any term drop out (no cover exists).
+
+    Scale shape: the positional slice is df-bounded (term filters push
+    to the scan; term-bucketed index layout prunes); the sweep is one
+    window + one groupBy, both keyed doc_id — no self-joins, no
+    per-pair work, unlike the O(m^2) pairwise-distance variants."""
+    terms = list(dict.fromkeys(terms))
+    if len(terms) < 2:
+        raise ValueError("min_cover_span needs >= 2 distinct terms")
+    pos = positional_postings(documents).filter(
+        F.col("term").isin(terms))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w)
+        .alias(f"_l{i}")
+        for i, t in enumerate(terms)
+    ]
+    hits = pos.select("doc_id", "pos", *lasts)
+    cols = [f"_l{i}" for i in range(len(terms))]
+    # least() skips NULLs in both engines, so gate on every term seen
+    span = F.expr(
+        "CASE WHEN " + " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        + " THEN pos - least(" + ", ".join(cols) + ") + 1 END")
+    return (
+        hits.withColumn("_span", span)     # NULL until all terms seen
+        .groupBy("doc_id")
+        .agg(
+            F.min("_span").cast("long").alias("min_span"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("min_span").isNotNull())
+    )

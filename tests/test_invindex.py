@@ -451,3 +451,49 @@ def test_blockmax_prune_soundness(spark):
     for d in top_ids:
         for cell in ranked[d]:
             assert cell not in skip, (d, cell)
+
+
+def test_min_cover_span_bruteforce(spark):
+    from barkingowl_spark.operators.invindex import min_cover_span
+
+    docs = [
+        (0, "a x x x b"),             # cover a..b = 5
+        (1, "x a b x"),               # adjacent = 2
+        (2, "b x x a x b x a b"),     # best = a b at the end = 2
+        (3, "a a a"),                 # missing b -> absent
+        (4, None),
+        (5, "b a"),                   # order-insensitive = 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(text, terms):
+        toks = [t for t in (text or "").split(" ") if t]
+        best = None
+        for i in range(len(toks)):
+            for j in range(i, len(toks)):
+                win = toks[i:j + 1]
+                if all(t in win for t in terms):
+                    best = min(best or 10**9, j - i + 1)
+                    break
+        return best
+
+    got = {r["doc_id"]: (r["min_span"], r["n_hits"])
+           for r in min_cover_span(df, ["a", "b"]).collect()}
+    for doc_id, text in docs:
+        want = brute(text, ["a", "b"])
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id][0] == want
+    assert got[2][1] == 5    # all a/b occurrences counted
+
+
+def test_min_cover_span_three_terms(spark):
+    from barkingowl_spark.operators.invindex import min_cover_span
+
+    df = spark.createDataFrame(
+        [(0, "a x b x c a b c x"), (1, "c b a")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["min_span"]
+           for r in min_cover_span(df, ["a", "b", "c"]).collect()}
+    assert got == {0: 3, 1: 3}
