@@ -3017,6 +3017,35 @@ def q_search_mincover(spark, sf):
                           ["needle", "haystack"])
 
 
+def q_idx_champions(spark, sf):
+    """Champion lists / high-impact tier (operators/invindex.py::
+    champion_lists): top-4 tf docs per term via WindowGroupLimit on
+    the index's own term partitioning."""
+    from barkingowl_spark.operators.invindex import champion_lists
+
+    return champion_lists(_t(spark, sf, "documents"), m=4)
+
+
+def q_text_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth at 10 doc_id checkpoints
+    (functions/textstats.py::vocab_growth): the corpus-level novelty
+    curve."""
+    from barkingowl_spark.functions.textstats import vocab_growth
+
+    return vocab_growth(_t(spark, sf, "documents"), n_checkpoints=10)
+
+
+def q_graph_assortativity(spark, sf):
+    """Directed out-in degree assortativity (operators/linkgraph.py::
+    degree_assortativity, Newman 2002): 1-row Pearson in sign-split
+    ppm with the exact-isqrt denominator convention."""
+    from barkingowl_spark.operators.linkgraph import (
+        degree_assortativity)
+
+    edges, _ = _synth_edges(spark, sf)
+    return degree_assortativity(edges)
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3961,6 +3990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "idx_champions": q_idx_champions,
+        "text_vocab_growth": q_text_vocab_growth,
+        "graph_assortativity": q_graph_assortativity,
         "search_mincover": q_search_mincover,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_triplets": q_dedup_triplets,
@@ -9190,6 +9222,97 @@ def oracle_sql() -> dict[str, str]:
             FROM sw GROUP BY doc_id
             HAVING min(CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
                        THEN pos - least(l0, l1) + 1 END) IS NOT NULL
+        """,
+        "idx_champions": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                         AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term)
+            SELECT term, doc_id, tf, champ_rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY term
+                       ORDER BY tf DESC, doc_id) AS BIGINT)
+                       AS champ_rank
+              FROM tf)
+            WHERE champ_rank <= 4
+        """,
+        "text_vocab_growth": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                         AS t
+                FROM documents)
+              WHERE t <> ''),
+            mxv AS (SELECT max(doc_id) AS mx FROM tok),
+            grid AS (
+              SELECT CAST(((i + 1) * mx) // 10 AS BIGINT) AS cp
+              FROM mxv, (SELECT unnest(generate_series(0, 9)) AS i)),
+            fd AS (
+              SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY doc_id)
+            SELECT cp AS checkpoint_doc_id,
+                   CAST((SELECT count(*) FROM fd WHERE fd <= cp)
+                     AS BIGINT) AS vocab_size,
+                   CAST((SELECT coalesce(sum(dl), 0) FROM dl
+                         WHERE doc_id <= cp) AS BIGINT) AS tokens_cum
+            FROM grid
+        """,
+        "graph_assortativity": "WITH " + _EDGES_SQL + """
+            , outd AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS od
+              FROM edges GROUP BY src),
+            ind AS (
+              SELECT dst, CAST(count(*) AS BIGINT) AS idg
+              FROM edges GROUP BY dst),
+            j AS (
+              SELECT od, idg FROM edges
+              JOIN outd USING (src) JOIN ind USING (dst)),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     sum(od::HUGEINT) AS sx, sum(idg::HUGEINT) AS sy,
+                     sum(od::HUGEINT * idg) AS sxy,
+                     sum(od::HUGEINT * od) AS sxx,
+                     sum(idg::HUGEINT * idg) AS syy
+              FROM j),
+            v AS (
+              SELECT m, CAST(m * sxx - sx * sx AS BIGINT) AS vx,
+                     CAST(m * syy - sy * sy AS BIGINT) AS vy,
+                     m * sxy - sx * sy AS num
+              FROM s),
+            r0 AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)
+                       AS s0,
+                     CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)
+                       AS s1
+              FROM v),
+            rr AS (
+              SELECT m, num,
+                     CASE WHEN vx = 0 THEN 0
+                          WHEN (s0 + 1) * (s0 + 1) <= vx THEN s0 + 1
+                          WHEN s0 * s0 > vx THEN s0 - 1
+                          ELSE s0 END AS rx,
+                     CASE WHEN vy = 0 THEN 0
+                          WHEN (s1 + 1) * (s1 + 1) <= vy THEN s1 + 1
+                          WHEN s1 * s1 > vy THEN s1 - 1
+                          ELSE s1 END AS ry
+              FROM r0)
+            SELECT m,
+                   CAST(CASE WHEN rx * ry = 0 THEN 0
+                        WHEN num >= 0 THEN
+                          (1000000 * num) // (rx * ry)
+                        ELSE -((1000000 * (-num)) // (rx * ry))
+                        END AS BIGINT) AS r_ppm
+            FROM rr
         """,
         "sched_ucb": """
             WITH s AS (

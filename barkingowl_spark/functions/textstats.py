@@ -286,3 +286,60 @@ def token_entropy(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.col("dl").cast("long"),
                 F.col("n_types").cast("long"), "ent_hb")
     )
+
+
+def vocab_growth(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
+    """(checkpoint_doc_id, vocab_size, tokens_cum): Heaps'-law audit —
+    distinct vocabulary and cumulative token count after ingesting the
+    corpus prefix up to each doc_id checkpoint. A corpus whose
+    vocabulary curve flattens is re-crawling the same text (the
+    corpus-level twin of the per-doc novelty curve); a curve that
+    keeps its power-law slope is still finding new language.
+
+    Checkpoints are a deterministic grid: c_i = ((i+1) * max_doc_id)
+    DIV n, i = 0..n-1 (the last always covers the whole corpus).
+    vocab_size counts a term at the first checkpoint >= its earliest
+    doc_id.
+
+    Scale shape: one tokenize pass -> groupBy(term) min(doc_id) (map-
+    side combined, the only corpus-wide shuffle) -> broadcast the
+    n-row grid, min-match each term/doc to its checkpoint, count into
+    n cells; the cumulative sum runs over n rows."""
+    from pyspark.sql import Window
+
+    n = int(n_checkpoints)
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    mx = toks.agg(F.max("doc_id").alias("mx"))
+    spark = documents.sparkSession
+    grid = (
+        spark.range(n).select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(mx))
+        .select("i", F.expr("CAST(((i + 1) * mx) DIV " + str(n)
+                            + " AS BIGINT)").alias("cp"))
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    vcell = (
+        first.join(F.broadcast(grid), F.col("cp") >= F.col("fd"))
+        .groupBy("term").agg(F.min("i").alias("i"))
+        .groupBy("i").agg(F.count(F.lit(1)).alias("v_in"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tcell = (
+        dl.join(F.broadcast(grid), F.col("cp") >= F.col("doc_id"))
+        .groupBy("doc_id", "dl").agg(F.min("i").alias("i"))
+        .groupBy("i").agg(F.sum("dl").alias("t_in"))
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(vcell, "i", "left").join(tcell, "i", "left")
+        .withColumn("vocab_size",
+                    F.sum(F.coalesce("v_in", F.lit(0))).over(w)
+                    .cast("long"))
+        .withColumn("tokens_cum",
+                    F.sum(F.coalesce("t_in", F.lit(0))).over(w)
+                    .cast("long"))
+        .select(F.col("cp").alias("checkpoint_doc_id"),
+                "vocab_size", "tokens_cum")
+    )

@@ -772,3 +772,28 @@ def min_cover_span(documents: DataFrame, terms: list[str]) -> DataFrame:
         )
         .filter(F.col("min_span").isNotNull())
     )
+
+
+def champion_lists(
+    documents: DataFrame, m: int = 4
+) -> DataFrame:
+    """(term, doc_id, tf, champ_rank): the top-m highest-tf documents
+    per term — champion lists / high-impact tier (Manning, Raghavan &
+    Schuetze IIR ch.7): a query evaluator probes these first and only
+    falls back to the full postings when the tier can't fill top-k,
+    which at web scale skips almost every posting block for almost
+    every query.
+
+    Deterministic tier cut: tf desc, doc_id asc. Scale shape: the
+    same hashpartitioning(term) the index build already uses —
+    WindowGroupLimit prunes to m rows per term BEFORE the final sort
+    per partition; no global sort, no collect_list."""
+    tf = term_freqs(documents)
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc())
+    return (
+        tf.withColumn("champ_rank",
+                      F.row_number().over(w).cast("long"))
+        .filter(F.col("champ_rank") <= int(m))
+        .select("term", "doc_id", "tf", "champ_rank")
+    )

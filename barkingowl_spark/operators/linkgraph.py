@@ -1091,3 +1091,68 @@ def landmark_estimates(
         .agg(F.min(F.col("da") + F.col("db")).cast("long")
              .alias("est_dist"))
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1 row (m, r_ppm): directed degree assortativity — the Pearson
+    correlation, over edges (u, v), between out-degree(u) and
+    in-degree(v) (Newman PRL 2002/2003, the out-in face). The web
+    graph is famously DISassortative (hubs point at low-in-degree
+    pages); a crawled subgraph that comes out strongly assortative is
+    a sampling artifact worth investigating before graph features are
+    trained on.
+
+    Integer form with the repo's exact-isqrt idiom and a documented
+    floor convention for the denominator:
+
+        num  = m*Sxy - Sx*Sy                    (sign-split division)
+        r_ppm = sign(num) * 1e6 * |num|
+                DIV (isqrt(m*Sxx - Sx^2) * isqrt(m*Syy - Sy^2))
+
+    (denominator = product of integer square roots, NOT isqrt of the
+    product — deterministic, engine-portable, < 1 half-ulp from the
+    real Pearson at any realistic m). Degenerate variance -> r = 0.
+    Multi-edges count per occurrence; envelope: the variance terms
+    must fit int64 (m * Sxx < 2^63 — beyond that, pre-aggregate per
+    degree value first).
+
+    Scale shape: two degree groupBys + two equi-joins back onto the
+    edge list (content-derived uniform keys), then ONE 1-row
+    aggregate; no windows, no driver loops."""
+    e = edges.select("src", "dst")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    j = e.join(outd, "src").join(ind, "dst")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.expr("sum(CAST(od AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(idg AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(od AS DECIMAL(38,0)) * idg)").alias("sxy"),
+        F.expr("sum(CAST(od AS DECIMAL(38,0)) * od)").alias("sxx"),
+        F.expr("sum(CAST(idg AS DECIMAL(38,0)) * idg)").alias("syy"),
+    )
+    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+           "(CASE WHEN (_s{n} + 1) * (_s{n} + 1) <= ({v})"
+           " THEN _s{n} + 1"
+           " WHEN _s{n} * _s{n} > ({v}) THEN _s{n} - 1"
+           " ELSE _s{n} END) END")
+    return (
+        s.withColumn("vx", F.expr("CAST(m * sxx - sx * sx AS BIGINT)"))
+        .withColumn("vy", F.expr("CAST(m * syy - sy * sy AS BIGINT)"))
+        .withColumn("num", F.expr("m * sxy - sx * sy"))
+        .withColumn("_s0", F.expr(
+            "CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)"))
+        .withColumn("_s1", F.expr(
+            "CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)"))
+        .withColumn("rx", F.expr(isq.format(v="vx", n=0)))
+        .withColumn("ry", F.expr(isq.format(v="vy", n=1)))
+        .select(
+            "m",
+            F.expr(
+                "CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN num >= 0 THEN"
+                " CAST((1000000 * num) DIV (rx * ry) AS BIGINT)"
+                " ELSE -CAST((1000000 * (-num)) DIV (rx * ry)"
+                " AS BIGINT) END").alias("r_ppm"),
+        )
+    )

@@ -639,3 +639,28 @@ def test_near_dup_threshold_curve(spark):
     # monotone non-increasing in threshold
     ts = sorted(got)
     assert all(got[a] >= got[b] for a, b in zip(ts, ts[1:]))
+
+
+def test_vocab_growth(spark):
+    from barkingowl_spark.functions.textstats import vocab_growth
+
+    docs = [
+        (0, "a b a"),
+        (1, "b c"),
+        (4, "c d e"),
+        (7, None),
+        (10, "a f"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["checkpoint_doc_id"]: (r["vocab_size"], r["tokens_cum"])
+           for r in vocab_growth(df, n_checkpoints=5).collect()}
+    # max doc_id = 10 -> checkpoints 2, 4, 6, 8, 10
+    def brute(cp):
+        vocab, toks = set(), 0
+        for d, t in docs:
+            if d <= cp:
+                ts = [x for x in (t or "").split(" ") if x]
+                vocab |= set(ts)
+                toks += len(ts)
+        return (len(vocab), toks)
+    assert got == {cp: brute(cp) for cp in (2, 4, 6, 8, 10)}

@@ -497,3 +497,33 @@ def test_min_cover_span_three_terms(spark):
     got = {r["doc_id"]: r["min_span"]
            for r in min_cover_span(df, ["a", "b", "c"]).collect()}
     assert got == {0: 3, 1: 3}
+
+
+def test_champion_lists(spark):
+    from barkingowl_spark.operators.invindex import champion_lists
+
+    docs = [
+        (0, "cat cat cat dog"),
+        (1, "cat cat dog dog dog"),
+        (2, "cat dog"),
+        (3, "cat cat cat cat"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["term"], r["champ_rank"]): (r["doc_id"], r["tf"])
+           for r in champion_lists(df, m=2).collect()}
+    assert got == {
+        ("cat", 1): (3, 4), ("cat", 2): (0, 3),
+        ("dog", 1): (1, 3), ("dog", 2): (0, 1),  # tie tf=1 -> doc 0
+    }
+
+
+def test_champion_lists_plan(spark):
+    from barkingowl_spark.operators.invindex import champion_lists
+
+    df = spark.createDataFrame(
+        [(i, "a b") for i in range(10)], "doc_id long, text string")
+    plan = champion_lists(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan

@@ -686,3 +686,43 @@ def test_salsa_matches_python(spark):
     assert got == {v: (hub[v], auth[v]) for v in nodes}
     # sinks have hub 0, sources auth 0
     assert got[4][1] == 0
+
+
+def test_degree_assortativity(spark):
+    import math
+
+    from barkingowl_spark.operators.linkgraph import degree_assortativity
+
+    # star out of 0 (disassortative) + a reciprocal pair
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 0), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    od, idg = {}, {}
+    for u, v in edges:
+        od[u] = od.get(u, 0) + 1
+        idg[v] = idg.get(v, 0) + 1
+    xs = [od[u] for u, v in edges]
+    ys = [idg[v] for u, v in edges]
+    m = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num = m * sxy - sx * sy
+    rx = math.isqrt(m * sxx - sx * sx)
+    ry = math.isqrt(m * syy - sy * sy)
+    want = (1_000_000 * num // (rx * ry) if num >= 0
+            else -(1_000_000 * (-num) // (rx * ry)))
+    row = degree_assortativity(df).collect()[0]
+    assert row["m"] == m
+    assert row["r_ppm"] == want
+    assert row["r_ppm"] < 0   # the hub makes it disassortative
+
+
+def test_degree_assortativity_degenerate(spark):
+    from barkingowl_spark.operators.linkgraph import degree_assortativity
+
+    # every edge from distinct src to distinct dst: all degrees 1 ->
+    # zero variance -> r = 0 by contract
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(5)], "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert (row["m"], row["r_ppm"]) == (5, 0)
