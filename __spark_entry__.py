@@ -3046,6 +3046,15 @@ def q_graph_assortativity(spark, sf):
     return degree_assortativity(edges)
 
 
+def q_text_oov_rate(spark, sf):
+    """Per-source OOV rate vs the corpus top-16 vocabulary
+    (functions/textstats.py::oov_rate): tokenizer-coverage audit —
+    TakeOrdered vocab, broadcast probe, one groupBy."""
+    from barkingowl_spark.functions.textstats import oov_rate
+
+    return oov_rate(_t(spark, sf, "documents"), vocab_size=16)
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3990,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "text_oov_rate": q_text_oov_rate,
         "idx_champions": q_idx_champions,
         "text_vocab_growth": q_text_vocab_growth,
         "graph_assortativity": q_graph_assortativity,
@@ -9313,6 +9323,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -((1000000 * (-num)) // (rx * ry))
                         END AS BIGINT) AS r_ppm
             FROM rr
+        """,
+        "text_oov_rate": """
+            WITH tok AS (
+              SELECT source, t AS term FROM (
+                SELECT source,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                         AS t
+                FROM documents)
+              WHERE t <> ''),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS ctf FROM tok GROUP BY term)
+              ORDER BY ctf DESC, term LIMIT 16)
+            SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+                   CAST(sum(CASE WHEN vocab.term IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS oov_tokens,
+                   CAST(1000000 * sum(CASE WHEN vocab.term IS NULL
+                            THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+                     AS oov_ppm
+            FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+            GROUP BY source
         """,
         "sched_ucb": """
             WITH s AS (

@@ -343,3 +343,41 @@ def vocab_growth(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
         .select(F.col("cp").alias("checkpoint_doc_id"),
                 "vocab_size", "tokens_cum")
     )
+
+
+def oov_rate(
+    documents: DataFrame, vocab_size: int = 16,
+    by_col: str = "source",
+) -> DataFrame:
+    """(source, tokens, oov_tokens, oov_ppm): out-of-vocabulary token
+    rate per corpus slice against the corpus's own top-`vocab_size`
+    vocabulary (total tf desc, term asc) — the coverage audit run
+    before freezing a tokenizer vocab: a slice with a high OOV rate
+    will fragment into bytes/unks and train badly.
+
+    Scale shape: the vocabulary is a global TakeOrderedAndProject
+    (per-partition heaps over the term-aggregated counts — never a
+    global sort) broadcast back as a LEFT-join probe; the per-slice
+    reduce is one map-side-combined groupBy."""
+    toks = documents.select(
+        F.col(by_col).alias("source"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+        .orderBy(F.col("ctf").desc(), F.col("term").asc())
+        .limit(int(vocab_size))
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tokens"),
+            F.sum(F.expr("CASE WHEN _inv IS NULL THEN 1 ELSE 0 END"))
+            .cast("long").alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("CAST(1000000 * oov_tokens DIV tokens AS BIGINT)"))
+    )

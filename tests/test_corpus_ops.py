@@ -664,3 +664,23 @@ def test_vocab_growth(spark):
                 toks += len(ts)
         return (len(vocab), toks)
     assert got == {cp: brute(cp) for cp in (2, 4, 6, 8, 10)}
+
+
+def test_oov_rate(spark):
+    from barkingowl_spark.functions.textstats import oov_rate
+
+    docs = [
+        (0, "the the the cat", "a"),
+        (1, "the dog ran", "a"),
+        (2, "xylophone quartz", "b"),
+        (3, None, "b"),
+        (4, "the", "b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    # vocab_size=2 -> vocab = {the(5), cat/dog/ran/... tie -> 'cat'}
+    got = {r["source"]: (r["tokens"], r["oov_tokens"], r["oov_ppm"])
+           for r in oov_rate(df, vocab_size=2).collect()}
+    # source a: 7 tokens, in-vocab: 4x the + cat -> 2 oov (dog, ran)
+    assert got["a"] == (7, 2, 2_000_000 // 7)
+    # source b: 3 tokens, 'the' in vocab -> 2 oov
+    assert got["b"] == (3, 2, 2_000_000 // 3)
