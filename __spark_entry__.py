@@ -3055,6 +3055,16 @@ def q_text_oov_rate(spark, sf):
     return oov_rate(_t(spark, sf, "documents"), vocab_size=16)
 
 
+def q_graph_ktruss(spark, sf):
+    """Fixed-round k-truss peel (operators/linkgraph.py::ktruss_peel,
+    Cohen 2008): 3 synchronous support-peel rounds at k=3 + final
+    recount — the triangle-density link-farm screen."""
+    from barkingowl_spark.operators.linkgraph import ktruss_peel
+
+    edges, _ = _synth_edges(spark, sf)
+    return ktruss_peel(edges, k=3, n_rounds=3)
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -3999,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "graph_ktruss": q_graph_ktruss,
         "text_oov_rate": q_text_oov_rate,
         "idx_champions": q_idx_champions,
         "text_vocab_growth": q_text_vocab_growth,
@@ -9344,6 +9355,79 @@ def oracle_sql() -> dict[str, str]:
                      AS oov_ppm
             FROM tok LEFT JOIN vocab ON tok.term = vocab.term
             GROUP BY source
+        """,
+        "graph_ktruss": "WITH " + _EDGES_SQL + """
+            , e0 AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+            t0 AS MATERIALIZED (
+              SELECT ab.a AS x, ab.b AS y, ac.b AS z
+              FROM e0 ab JOIN e0 ac
+                ON ab.a = ac.a AND ac.b > ab.b
+              WHERE EXISTS (SELECT 1 FROM e0 bc
+                            WHERE bc.a = ab.b AND bc.b = ac.b)),
+            s0 AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS support
+              FROM (
+                SELECT x AS a, y AS b FROM t0
+                UNION ALL SELECT x AS a, z AS b FROM t0
+                UNION ALL SELECT y AS a, z AS b FROM t0)
+              GROUP BY a, b),
+            e1 AS MATERIALIZED (
+              SELECT e0.a, e0.b
+              FROM e0 LEFT JOIN s0 USING (a, b)
+              WHERE coalesce(support, 0) >= 1),
+            t1 AS MATERIALIZED (
+              SELECT ab.a AS x, ab.b AS y, ac.b AS z
+              FROM e1 ab JOIN e1 ac
+                ON ab.a = ac.a AND ac.b > ab.b
+              WHERE EXISTS (SELECT 1 FROM e1 bc
+                            WHERE bc.a = ab.b AND bc.b = ac.b)),
+            s1 AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS support
+              FROM (
+                SELECT x AS a, y AS b FROM t1
+                UNION ALL SELECT x AS a, z AS b FROM t1
+                UNION ALL SELECT y AS a, z AS b FROM t1)
+              GROUP BY a, b),
+            e2 AS MATERIALIZED (
+              SELECT e1.a, e1.b
+              FROM e1 LEFT JOIN s1 USING (a, b)
+              WHERE coalesce(support, 0) >= 1),
+            t2 AS MATERIALIZED (
+              SELECT ab.a AS x, ab.b AS y, ac.b AS z
+              FROM e2 ab JOIN e2 ac
+                ON ab.a = ac.a AND ac.b > ab.b
+              WHERE EXISTS (SELECT 1 FROM e2 bc
+                            WHERE bc.a = ab.b AND bc.b = ac.b)),
+            s2 AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS support
+              FROM (
+                SELECT x AS a, y AS b FROM t2
+                UNION ALL SELECT x AS a, z AS b FROM t2
+                UNION ALL SELECT y AS a, z AS b FROM t2)
+              GROUP BY a, b),
+            e3 AS MATERIALIZED (
+              SELECT e2.a, e2.b
+              FROM e2 LEFT JOIN s2 USING (a, b)
+              WHERE coalesce(support, 0) >= 1),
+            t3 AS MATERIALIZED (
+              SELECT ab.a AS x, ab.b AS y, ac.b AS z
+              FROM e3 ab JOIN e3 ac
+                ON ab.a = ac.a AND ac.b > ab.b
+              WHERE EXISTS (SELECT 1 FROM e3 bc
+                            WHERE bc.a = ab.b AND bc.b = ac.b)),
+            s3 AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS support
+              FROM (
+                SELECT x AS a, y AS b FROM t3
+                UNION ALL SELECT x AS a, z AS b FROM t3
+                UNION ALL SELECT y AS a, z AS b FROM t3)
+              GROUP BY a, b)
+            SELECT e3.a, e3.b,
+                   CAST(coalesce(support, 0) AS BIGINT) AS support
+            FROM e3 LEFT JOIN s3 USING (a, b)
         """,
         "sched_ucb": """
             WITH s AS (

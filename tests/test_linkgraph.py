@@ -726,3 +726,51 @@ def test_degree_assortativity_degenerate(spark):
         [(i, 100 + i) for i in range(5)], "src long, dst long")
     row = degree_assortativity(df).collect()[0]
     assert (row["m"], row["r_ppm"]) == (5, 0)
+
+
+def test_ktruss_peel_bruteforce(spark):
+    from barkingowl_spark.operators.linkgraph import ktruss_peel
+
+    # K4 clique (0-3) + a pendant triangle (3,4,5) + a tail edge (5,6)
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+           (3, 4), (3, 5), (4, 5), (5, 6)]
+    df = spark.createDataFrame(und, "src long, dst long")
+
+    def brute(edges, k, rounds):
+        cur = {tuple(sorted(e)) for e in edges}
+        for _ in range(rounds + 1):
+            nodes = {}
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if _ == rounds:           # final recount, no drop
+                return {e: sup[e] for e in cur}
+            cur = nxt
+        return {}
+
+    for k in (3, 4):
+        got = {(r["a"], r["b"]): r["support"]
+               for r in ktruss_peel(df, k=k, n_rounds=3).collect()}
+        # replicate: 3 peel rounds then one recount
+        cur = {tuple(sorted(e)) for e in und}
+        for _ in range(3):
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            cur = {e for e in cur
+                   if len(adj[e[0]] & adj[e[1]]) >= k - 2}
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+        assert got == want, k
+    # k=4: exactly the K4 survives, every edge support 2
+    got4 = {(r["a"], r["b"]): r["support"]
+            for r in ktruss_peel(df, k=4, n_rounds=3).collect()}
+    assert set(got4) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert set(got4.values()) == {2}
