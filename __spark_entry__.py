@@ -3065,6 +3065,24 @@ def q_graph_ktruss(spark, sf):
     return ktruss_peel(edges, k=3, n_rounds=3)
 
 
+def q_text_zipf(spark, sf):
+    """Zipf exponent check (functions/textstats.py::zipf_slope):
+    half-bit log-log regression over the top-64 terms — natural
+    language sits near -1e6 ppm."""
+    from barkingowl_spark.functions.textstats import zipf_slope
+
+    return zipf_slope(_t(spark, sf, "documents"), top_n=64)
+
+
+def q_emb_health(spark, sf):
+    """Embedding-table health audit (operators/similarity.py::
+    embedding_health): dims/zeros/norm range on the quantized grid,
+    one map-side pass."""
+    from barkingowl_spark.operators.similarity import embedding_health
+
+    return embedding_health(_t(spark, sf, "embeddings"))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4009,6 +4027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "text_zipf": q_text_zipf,
+        "emb_health": q_emb_health,
         "graph_ktruss": q_graph_ktruss,
         "text_oov_rate": q_text_oov_rate,
         "idx_champions": q_idx_champions,
@@ -9428,6 +9448,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT e3.a, e3.b,
                    CAST(coalesce(support, 0) AS BIGINT) AS support
             FROM e3 LEFT JOIN s3 USING (a, b)
+        """,
+        "text_zipf": """
+            WITH tok AS (
+              SELECT t AS term FROM (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                  AS t
+                FROM documents)
+              WHERE t <> ''),
+            top AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY term
+              ORDER BY tf DESC, term LIMIT 64),
+            xy AS (
+              SELECT length(bin(r * r)) - 1 AS x,
+                     length(bin(tf * tf)) - 1 AS y
+              FROM (
+                SELECT tf, CAST(row_number() OVER (
+                         ORDER BY tf DESC, term) AS BIGINT) AS r
+                FROM top)),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(CAST(x AS BIGINT) * y) AS BIGINT)
+                       AS sxy,
+                     CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT)
+                       AS sxx
+              FROM xy)
+            SELECT n AS n_terms,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        WHEN n * sxy - sx * sy >= 0 THEN
+                          (1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                        ELSE -((1000000 * (sx * sy - n * sxy))
+                          // (n * sxx - sx * sx)) END AS BIGINT)
+                     AS slope_ppm
+            FROM s
+        """,
+        "emb_health": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                            AS BIGINT)) AS v
+              FROM embeddings),
+            h AS (
+              SELECT vec_id, len(v) AS d,
+                     CAST(list_sum(list_transform(v, x -> x * x))
+                       AS BIGINT) AS n2
+              FROM q)
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(min(d) AS BIGINT) AS dim,
+                   CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_zero,
+                   CAST(min(n2) AS BIGINT) AS min_norm2,
+                   CAST(max(n2) AS BIGINT) AS max_norm2,
+                   CAST(sum(n2) // count(*) AS BIGINT) AS avg_norm2
+            FROM h
         """,
         "sched_ucb": """
             WITH s AS (

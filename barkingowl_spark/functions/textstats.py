@@ -381,3 +381,61 @@ def oov_rate(
             "oov_ppm",
             F.expr("CAST(1000000 * oov_tokens DIV tokens AS BIGINT)"))
     )
+
+
+def zipf_slope(documents: DataFrame, top_n: int = 64) -> DataFrame:
+    """1 row (n_terms, slope_ppm): integer least-squares slope of
+    half-bit log2(frequency) against half-bit log2(rank) over the
+    corpus's top-`top_n` terms — the Zipf exponent check (natural
+    language sits near slope -1, i.e. -1e6 ppm; template/boilerplate
+    floods flatten it, gibberish steepens it).
+
+    x = hb(rank), y = hb(tf) with hb(v) = bitlen(v^2)-1 (the repo's
+    half-bit identity; int64 envelope tf < ~3e9 per term):
+
+        slope_ppm = sign * (1e6 * |n*Sxy - Sx*Sy|)
+                    DIV (n*Sxx - Sx^2)
+
+    Scale shape: one tokenize pass -> term counts -> global
+    TakeOrderedAndProject(top_n) (per-partition heaps) -> the rank
+    window + regression run over top_n rows only."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    top = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    xy = (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.expr("length(bin(CAST(rank AS BIGINT) * rank)) - 1")
+            .alias("x"),
+            F.expr("length(bin(CAST(tf AS BIGINT) * tf)) - 1")
+            .alias("y"),
+        )
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.expr("CAST(sum(CAST(x AS BIGINT))  AS BIGINT)").alias("_sx"),
+        F.expr("CAST(sum(CAST(y AS BIGINT)) AS BIGINT)").alias("_sy"),
+        F.expr("CAST(sum(CAST(x AS BIGINT) * y) AS BIGINT)")
+        .alias("_sxy"),
+        F.expr("CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT)")
+        .alias("_sxx"),
+    ).select(
+        "n_terms",
+        F.expr(
+            "CASE WHEN n_terms * _sxx - _sx * _sx = 0"
+            " THEN CAST(0 AS BIGINT)"
+            " WHEN n_terms * _sxy - _sx * _sy >= 0 THEN"
+            " CAST((1000000 * (n_terms * _sxy - _sx * _sy))"
+            " DIV (n_terms * _sxx - _sx * _sx) AS BIGINT)"
+            " ELSE -CAST((1000000 * (_sx * _sy - n_terms * _sxy))"
+            " DIV (n_terms * _sxx - _sx * _sx) AS BIGINT) END"
+        ).alias("slope_ppm"),
+    )

@@ -613,3 +613,36 @@ def semantic_dedup(
     return cluster_representatives(
         comps, n2, id_col="vec_id", comp_col="component_id",
         quality_col="n2")
+
+
+def embedding_health(embeddings: DataFrame) -> DataFrame:
+    """1 row (n_vecs, dim, n_zero, min_norm2, max_norm2, avg_norm2):
+    embedding-table health audit on the x1000-quantized integer grid —
+    run BEFORE building any index on a delivered embedding column:
+    zero vectors poison cosine math, a dim mismatch poisons everything,
+    and a norm range spanning orders of magnitude says the table mixes
+    unnormalized model outputs.
+
+    dim is asserted uniform (min=max across rows — a mixed-dim table
+    fails loudly here instead of deep inside a GEMM batch).
+
+    Scale shape: ONE map-side pass + a 1-row aggregate; no shuffle of
+    vector payloads."""
+    v = _quantized(embeddings).select(
+        "vec_id",
+        F.size("v").alias("d"),
+        F.expr("aggregate(transform(v, x -> x * x), 0L,"
+               " (acc, e) -> acc + e)").alias("n2"),
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("coalesce(CAST(assert_true(min(d) = max(d),"
+               " 'embedding_health: mixed dims') AS BIGINT),"
+               " CAST(min(d) AS BIGINT))").alias("dim"),
+        F.sum(F.expr("CASE WHEN n2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_zero"),
+        F.min("n2").cast("long").alias("min_norm2"),
+        F.max("n2").cast("long").alias("max_norm2"),
+        F.expr("CAST(sum(n2) DIV count(*) AS BIGINT)")
+        .alias("avg_norm2"),
+    )

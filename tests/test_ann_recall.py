@@ -109,3 +109,30 @@ def test_lsh_multiprobe_beats_single_probe(emb, truth):
     assert multi > single
     with pytest.raises(ValueError):
         lsh_topk(emb, probe_hamming=2)
+
+
+def test_embedding_health(spark):
+    from barkingowl_spark.operators.similarity import embedding_health
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),
+         (1, [0.0, 0.0, 0.0]),       # zero vector
+         (2, [0.5, 0.5, -0.5])],
+        "vec_id long, embedding array<float>")
+    r = embedding_health(emb).collect()[0]
+    assert (r["n_vecs"], r["dim"], r["n_zero"]) == (3, 3, 1)
+    assert r["min_norm2"] == 0
+    assert r["max_norm2"] == 1_000_000
+    assert r["avg_norm2"] == (1_000_000 + 0 + 750_000) // 3
+
+
+def test_embedding_health_mixed_dims_fails(spark):
+    import pytest
+
+    from barkingowl_spark.operators.similarity import embedding_health
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="mixed dims"):
+        embedding_health(emb).collect()

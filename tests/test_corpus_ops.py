@@ -684,3 +684,35 @@ def test_oov_rate(spark):
     assert got["a"] == (7, 2, 2_000_000 // 7)
     # source b: 3 tokens, 'the' in vocab -> 2 oov
     assert got["b"] == (3, 2, 2_000_000 // 3)
+
+
+def test_zipf_slope(spark):
+    from barkingowl_spark.functions.textstats import zipf_slope
+
+    # zipfian-ish: term_i appears ~N/i times
+    docs = []
+    did = 0
+    for i in range(1, 9):
+        for _ in range(64 // i):
+            docs.append((did, f"w{i}"))
+            did += 1
+    df = (spark.createDataFrame(docs, "doc_id long, text string"))
+    row = zipf_slope(df, top_n=8).collect()[0]
+    # brute force the identical integer regression
+    import collections
+    tf = collections.Counter(t for _, t in docs)
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    xs = [((r * r).bit_length() - 1) for r in range(1, len(top) + 1)]
+    ys = [((c * c).bit_length() - 1) for _, c in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    want = (1_000_000 * num // den if num >= 0
+            else -(1_000_000 * (-num) // den))
+    assert row["n_terms"] == n
+    assert row["slope_ppm"] == want
+    # zipf f ~ 1/r -> hb slope near -1e6
+    assert -1_300_000 < row["slope_ppm"] < -700_000
