@@ -3083,6 +3083,18 @@ def q_emb_health(spark, sf):
     return embedding_health(_t(spark, sf, "embeddings"))
 
 
+def q_cache_hit_curve(spark, sf):
+    """Static-cache capacity curve (operators/ranking.py::
+    cache_hit_curve): request coverage of top-C hosts for C = 1..512
+    over the event stream — fetch/robots/DNS cache sizing."""
+    from barkingowl_spark.operators.ranking import cache_hit_curve
+
+    return cache_hit_curve(
+        _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("key")),
+        max_size_log2=9)
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4027,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "cache_hit_curve": q_cache_hit_curve,
         "text_zipf": q_text_zipf,
         "emb_health": q_emb_health,
         "graph_ktruss": q_graph_ktruss,
@@ -9506,6 +9519,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n2) AS BIGINT) AS max_norm2,
                    CAST(sum(n2) // count(*) AS BIGINT) AS avg_norm2
             FROM h
+        """,
+        "cache_hit_curve": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS k,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+            top AS (
+              SELECT * FROM c ORDER BY c DESC, k LIMIT 512),
+            ranked AS (
+              SELECT c, k,
+                     row_number() OVER (ORDER BY c DESC, k) AS r,
+                     sum(c) OVER (ORDER BY c DESC, k
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM top),
+            sizes AS (
+              SELECT CAST(power(2, i) AS BIGINT) AS cache_size
+              FROM (SELECT unnest(generate_series(0, 9)) AS i))
+            SELECT cache_size,
+                   CAST(1000000 * coalesce(max(cum), 0) // max(total)
+                     AS BIGINT) AS hit_ppm
+            FROM sizes LEFT JOIN ranked ON r <= cache_size, tot
+            GROUP BY cache_size
         """,
         "sched_ucb": """
             WITH s AS (

@@ -214,3 +214,54 @@ def skew_report(
             " * total_rows) AS BIGINT) AS gini_ppm",
         )
     )
+
+
+def cache_hit_curve(
+    requests: DataFrame,
+    key_col: str = "key",
+    max_size_log2: int = 9,
+) -> DataFrame:
+    """(cache_size, hit_ppm): request coverage of a STATIC cache
+    holding the top-C most frequent keys, for C = 1, 2, 4, ...,
+    2^max_size_log2 — the capacity-planning curve for a fetch cache /
+    robots cache / DNS cache in front of the crawl tier (static
+    most-frequent is the stationary-optimum admission policy; a real
+    LFU converges to it, so this is the honest upper bound to size
+    against).
+
+        hit_ppm(C) = 1e6 * (requests to top-C keys) DIV total
+
+    Deterministic tie: count desc, key asc. Scale shape: one map-side-
+    combined key count, then TakeOrderedAndProject(2^max) — only the
+    top 2^max rows ever leave the aggregate — and the curve is a
+    cumulative window over those rows; the request stream is read
+    once."""
+    n = int(max_size_log2)
+    counts = requests.select(F.col(key_col).alias("k")) \
+        .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("total"))
+    top = counts.orderBy(F.col("c").desc(), F.col("k").asc()) \
+        .limit(1 << n)
+    w = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    ranked = (
+        top.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+                                          0)))
+    )
+    spark = requests.sparkSession
+    sizes = spark.range(n + 1).select(
+        F.expr("CAST(power(2, id) AS BIGINT)").alias("cache_size"))
+    return (
+        F.broadcast(sizes)
+        .join(ranked, F.col("r") <= F.col("cache_size"), "left")
+        .groupBy("cache_size")
+        .agg(F.max(F.coalesce("cum", F.lit(0))).alias("_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cache_size",
+            F.expr("CAST(1000000 * _hits DIV total AS BIGINT)")
+            .alias("hit_ppm"),
+        )
+    )

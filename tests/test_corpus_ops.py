@@ -716,3 +716,22 @@ def test_zipf_slope(spark):
     assert row["slope_ppm"] == want
     # zipf f ~ 1/r -> hb slope near -1e6
     assert -1_300_000 < row["slope_ppm"] < -700_000
+
+
+def test_cache_hit_curve(spark):
+    from barkingowl_spark.operators.ranking import cache_hit_curve
+
+    # keys with frequencies a:8 b:4 c:2 d:1 e:1
+    reqs = [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + \
+        [("d",)], [("e",)]
+    rows = [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + \
+        [("d",), ("e",)]
+    df = spark.createDataFrame(rows, "key string")
+    got = {r["cache_size"]: r["hit_ppm"]
+           for r in cache_hit_curve(df, max_size_log2=3).collect()}
+    total = 16
+    assert got[1] == 1_000_000 * 8 // total
+    assert got[2] == 1_000_000 * 12 // total
+    assert got[4] == 1_000_000 * 15 // total    # a,b,c,d (d before e)
+    assert got[8] == 1_000_000                  # everything cached
+    assert sorted(got) == [1, 2, 4, 8]
