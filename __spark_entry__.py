@@ -3095,6 +3095,18 @@ def q_cache_hit_curve(spark, sf):
         max_size_log2=9)
 
 
+def q_host_health(spark, sf):
+    """Per-host error rate with Wilson lower bound at z=2
+    (operators/politeness.py::host_health): the small-sample-safe
+    backoff gate, exact-isqrt integer form."""
+    from barkingowl_spark.operators.politeness import host_health
+
+    return host_health(
+        _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("host"),
+            (F.col("event_type") == "error").alias("is_error")))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4039,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "host_health": q_host_health,
         "cache_hit_curve": q_cache_hit_curve,
         "text_zipf": q_text_zipf,
         "emb_health": q_emb_health,
@@ -9542,6 +9555,35 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS hit_ppm
             FROM sizes LEFT JOIN ranked ON r <= cache_size, tot
             GROUP BY cache_size
+        """,
+        "host_health": """
+            WITH a AS (
+              SELECT CAST(user_id AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                              ELSE 0 END) AS BIGINT) AS errors
+              FROM events GROUP BY user_id),
+            x AS (
+              SELECT *,
+                     CAST(1000000 AS BIGINT) * 1000000
+                       * (errors * (n - errors) + n) // n AS bx
+              FROM a),
+            s0 AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(bx AS DOUBLE))) AS BIGINT)
+                       AS r0
+              FROM x),
+            s AS (
+              SELECT host, n, errors, bx,
+                     CASE WHEN (r0 + 1) * (r0 + 1) <= bx THEN r0 + 1
+                          WHEN r0 * r0 > bx THEN r0 - 1
+                          ELSE r0 END AS rs
+              FROM s0)
+            SELECT host, n, errors,
+                   CAST(1000000 * errors // n AS BIGINT) AS err_ppm,
+                   CAST(greatest(0, 1000000 * (errors + 2) - 2 * rs)
+                        // (n + 4) AS BIGINT) AS wilson_lb_ppm
+            FROM s
         """,
         "sched_ucb": """
             WITH s AS (

@@ -352,3 +352,57 @@ def ucb_host_ranks(stats: DataFrame, k: int = 10) -> DataFrame:
     )
     w = Window.orderBy(F.col("ucb_ppm").desc(), F.col("host").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def host_health(
+    outcomes: DataFrame,
+    host_col: str = "host",
+    error_col: str = "is_error",
+) -> DataFrame:
+    """(host, n, errors, err_ppm, wilson_lb_ppm): per-host error rate
+    with the Wilson score LOWER bound at z=2 (~95.4%) — the backoff
+    gate that won't blacklist a host over 1 failed fetch in 2 (raw
+    rate 50%, Wilson LB ~6%) yet fires fast on persistent failures.
+
+    Integer form (z=2, z^2=4; exact-isqrt idiom, all floor):
+
+        lb = (e + 2 - 2*sqrt((e*(n-e) + n) / n)) / (n + 4)
+        wilson_lb_ppm = max(0, 1e6*(e+2) - 2*isqrt(1e12*(e*(n-e)+n)
+                        DIV n)) DIV (n + 4)
+
+    Envelope: 1e12 * e * (n-e) DIV n must fit int64 — holds to n ~
+    3.6e7 fetches per host per window (slice longer windows upstream).
+
+    Scale shape: ONE map-side-combined groupBy(host); the Wilson math
+    is per-row expressions in codegen."""
+    agg = (
+        outcomes.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(f"CASE WHEN {error_col} THEN 1 ELSE 0 END"))
+            .cast("long").alias("errors"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "err_ppm",
+            F.expr("CAST(1000000 * errors DIV n AS BIGINT)"))
+        .withColumn(
+            "_x",
+            F.expr("CAST(1000000 AS BIGINT) * 1000000"
+                   " * (errors * (n - errors) + n) DIV n"))
+        .withColumn(
+            "_s0",
+            F.expr("CAST(floor(sqrt(CAST(_x AS DOUBLE))) AS BIGINT)"))
+        .withColumn(
+            "_s",
+            F.expr("CASE WHEN (_s0 + 1) * (_s0 + 1) <= _x"
+                   " THEN _s0 + 1"
+                   " WHEN _s0 * _s0 > _x THEN _s0 - 1 ELSE _s0 END"))
+        .withColumn(
+            "wilson_lb_ppm",
+            F.expr("CAST(greatest(CAST(0 AS BIGINT),"
+                   " 1000000 * (errors + 2) - 2 * _s)"
+                   " DIV (n + 4) AS BIGINT)"))
+        .select("host", "n", "errors", "err_ppm", "wilson_lb_ppm")
+    )

@@ -77,3 +77,32 @@ def test_rejects_zero_plays(spark):
         [("a", 0, 0)], "host string, n long, reward long")
     with pytest.raises(Exception, match="n must be >= 1"):
         ucb_host_ranks(df, k=1).collect()
+
+
+def test_host_health_wilson(spark):
+    from barkingowl_spark.operators.politeness import host_health
+
+    rows = []
+    # host a: 1 error in 2 fetches; host b: 90 errors in 100;
+    # host c: 0 errors in 50
+    rows += [("a", True), ("a", False)]
+    rows += [("b", i < 90) for i in range(100)]
+    rows += [("c", False)] * 50
+    df = spark.createDataFrame(rows, "host string, is_error boolean")
+    got = {r["host"]: r for r in host_health(df).collect()}
+
+    def wilson(n, e):
+        x = 10**12 * (e * (n - e) + n) // n
+        s = math.isqrt(x)
+        return max(0, 10**6 * (e + 2) - 2 * s) // (n + 4)
+
+    for h, n, e in [("a", 2, 1), ("b", 100, 90), ("c", 50, 0)]:
+        assert got[h]["n"] == n and got[h]["errors"] == e
+        assert got[h]["err_ppm"] == 10**6 * e // n
+        assert got[h]["wilson_lb_ppm"] == wilson(n, e)
+    # small-sample forgiveness: raw 50% but LB tiny
+    assert got["a"]["err_ppm"] == 500_000
+    assert got["a"]["wilson_lb_ppm"] < 100_000
+    # persistent failure: LB stays high
+    assert got["b"]["wilson_lb_ppm"] > 800_000
+    assert got["c"]["wilson_lb_ppm"] == 0
