@@ -3107,6 +3107,15 @@ def q_host_health(spark, sf):
             (F.col("event_type") == "error").alias("is_error")))
 
 
+def q_lang_confusion(spark, sf):
+    """Language-ID confusion matrix vs the declared lang column
+    (functions/textstats.py::lang_confusion): row-normalized misroute
+    rates per declared language."""
+    from barkingowl_spark.functions.textstats import lang_confusion
+
+    return lang_confusion(_t(spark, sf, "documents"))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4051,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "lang_confusion": q_lang_confusion,
         "host_health": q_host_health,
         "cache_hit_curve": q_cache_hit_curve,
         "text_zipf": q_text_zipf,
@@ -9585,6 +9595,18 @@ def oracle_sql() -> dict[str, str]:
                         // (n + 4) AS BIGINT) AS wilson_lb_ppm
             FROM s
         """,
+        "lang_confusion": (
+            "WITH p AS (" + _langid_sql().replace(
+                "\nSELECT doc_id,", "\nSELECT doc_id, lang,", 1)
+            + """), cells AS (
+              SELECT lang, pred_lang,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY lang, pred_lang)
+            SELECT lang, pred_lang, n,
+                   CAST(1000000 * n // sum(n) OVER
+                        (PARTITION BY lang) AS BIGINT) AS share_ppm
+            FROM cells
+        """),
         "sched_ucb": """
             WITH s AS (
               SELECT CAST(user_id AS VARCHAR) AS host,

@@ -439,3 +439,32 @@ def zipf_slope(documents: DataFrame, top_n: int = 64) -> DataFrame:
             " DIV (n_terms * _sxx - _sx * _sx) AS BIGINT) END"
         ).alias("slope_ppm"),
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """(lang, pred_lang, n, share_ppm): confusion matrix of the
+    marker-token language-ID against the declared lang column —
+    share_ppm is the row-normalized rate within each declared
+    language, i.e. the per-language misroute profile a corpus builder
+    reads before trusting lang-blocked dedup or lang-stratified
+    mixing.
+
+    Scale shape: detection is per-row codegen (lang_id); the matrix is
+    one map-side-combined groupBy over at most |langs|^2+|langs| cells
+    and the row normalization a window over those cells."""
+    from pyspark.sql import Window
+
+    pred = lang_id(documents).select("doc_id", "pred_lang")
+    cells = (
+        documents.select("doc_id", "lang").join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("_tot", F.sum("n").over(w))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(1000000 * n DIV _tot AS BIGINT)"))
+        .drop("_tot")
+    )

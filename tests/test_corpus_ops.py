@@ -735,3 +735,24 @@ def test_cache_hit_curve(spark):
     assert got[4] == 1_000_000 * 15 // total    # a,b,c,d (d before e)
     assert got[8] == 1_000_000                  # everything cached
     assert sorted(got) == [1, 2, 4, 8]
+
+
+def test_lang_confusion(spark):
+    from barkingowl_spark.functions.textstats import (
+        LANG_MARKERS, lang_confusion)
+
+    en = LANG_MARKERS["en"][0]
+    de = LANG_MARKERS["de"][0]
+    docs = [
+        (0, f"{en} {en} text", "en"),       # correct en
+        (1, f"{de} wort", "en"),            # declared en, detected de
+        (2, "zz qq", "de"),                 # no markers -> und
+        (3, f"{de} {de}", "de"),            # correct de
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {(r["lang"], r["pred_lang"]): (r["n"], r["share_ppm"])
+           for r in lang_confusion(df).collect()}
+    assert got[("en", "en")] == (1, 500_000)
+    assert got[("en", "de")] == (1, 500_000)
+    assert got[("de", "und")] == (1, 500_000)
+    assert got[("de", "de")] == (1, 500_000)
