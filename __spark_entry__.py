@@ -3116,6 +3116,20 @@ def q_lang_confusion(spark, sf):
     return lang_confusion(_t(spark, sf, "documents"))
 
 
+def q_search_rm3_eval(spark, sf):
+    """Macro-averaged effectiveness of the RM3 rerun vs the same
+    conjunctive qrels as search_eval_macro — the measured answer to
+    'did feedback help?' (operators/ireval.py composition)."""
+    from barkingowl_spark.operators.ireval import (
+        eval_macro, rank_metrics, rm3_runs)
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return eval_macro(rank_metrics(
+        rm3_runs(docs, qdim, k=10, fb_docs=3, fb_terms=5),
+        _eval_qrels(docs, qdim), k=10))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4060,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "search_rm3_eval": q_search_rm3_eval,
         "lang_confusion": q_lang_confusion,
         "host_health": q_host_health,
         "cache_hit_curve": q_cache_hit_curve,
@@ -9607,6 +9622,42 @@ def oracle_sql() -> dict[str, str]:
                         (PARTITION BY lang) AS BIGINT) AS share_ppm
             FROM cells
         """),
+        "search_rm3_eval": _RUNS_CTE + _RM3_CTE + """
+            , hits2 AS (
+              SELECT r.query_id, r.rank,
+                     CAST(row_number() OVER (
+                       PARTITION BY r.query_id ORDER BY r.rank)
+                       AS BIGINT) AS h_r
+              FROM rrunk r JOIN qrels USING (query_id, doc_id)),
+            perq2 AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS hits_at_k,
+                     min(rank) AS first_rel_rank,
+                     CAST(sum((1000000 * h_r) // rank) AS BIGINT)
+                       AS sum_p
+              FROM hits2 GROUP BY query_id),
+            met2 AS (
+              SELECT query_id, n_rel,
+                     CAST(coalesce(hits_at_k, 0) AS BIGINT)
+                       AS hits_at_k,
+                     CAST((1000000 * coalesce(hits_at_k, 0)) // 10
+                          AS BIGINT) AS p_at_k_ppm,
+                     CAST((1000000 * coalesce(hits_at_k, 0)) // n_rel
+                          AS BIGINT) AS recall_ppm,
+                     CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                               ELSE 1000000 // first_rel_rank END
+                          AS BIGINT) AS rr_ppm,
+                     CAST(coalesce(sum_p, 0) // n_rel AS BIGINT)
+                       AS ap_ppm
+              FROM nrel LEFT JOIN perq2 USING (query_id))
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,
+                   CAST(sum(ap_ppm) // count(*) AS BIGINT) AS map_ppm,
+                   CAST(sum(recall_ppm) // count(*) AS BIGINT)
+                     AS mean_recall_ppm,
+                   CAST(sum(p_at_k_ppm) // count(*) AS BIGINT)
+                     AS mean_p_at_k_ppm
+            FROM met2
+        """,
         "sched_ucb": """
             WITH s AS (
               SELECT CAST(user_id AS VARCHAR) AS host,
