@@ -1186,10 +1186,13 @@ def ktruss_peel(
         raise ValueError("k must be >= 3")
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
-    und = _undirected_simple(edges)
+    # canonical a<b orientation in one pass (not via
+    # _undirected_simple: that doubles the edge set only to halve it)
     cur = (
-        und.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
     )
 
     def _support(e: DataFrame) -> DataFrame:

@@ -233,9 +233,9 @@ def cache_hit_curve(
 
     Deterministic tie: count desc, key asc. Scale shape: one map-side-
     combined key count, then TakeOrderedAndProject(2^max) — only the
-    top 2^max rows ever leave the aggregate — and the curve is a
-    cumulative window over those rows; the request stream is read
-    once."""
+    top 2^max rows ever leave the aggregate — and the curve joins the
+    size grid against the broadcast ranked rows; the request stream
+    is read once."""
     n = int(max_size_log2)
     counts = requests.select(F.col(key_col).alias("k")) \
         .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
@@ -254,8 +254,10 @@ def cache_hit_curve(
     sizes = spark.range(n + 1).select(
         F.expr("CAST(power(2, id) AS BIGINT)").alias("cache_size"))
     return (
-        F.broadcast(sizes)
-        .join(ranked, F.col("r") <= F.col("cache_size"), "left")
+        # the <=2^max ranked rows are the broadcastable side (a LEFT
+        # join can only build its right side)
+        sizes.join(F.broadcast(ranked),
+                   F.col("r") <= F.col("cache_size"), "left")
         .groupBy("cache_size")
         .agg(F.max(F.coalesce("cum", F.lit(0))).alias("_hits"))
         .crossJoin(F.broadcast(tot))

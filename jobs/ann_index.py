@@ -37,9 +37,6 @@ from __future__ import annotations
 import argparse
 import json
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -66,6 +63,13 @@ def main(argv: list[str] | None = None) -> None:
     if args.n_queries > 0:
         if args.index is None:
             raise SystemExit("query mode requires --index")
+        # probe selection + scoring REUSE the direct-path helpers so
+        # the prebuilt-index answer cannot drift from ivf_topk
+        from barkingowl_spark.operators.similarity import (
+            _DOT,
+            _ivf_query_probes,
+        )
+
         vecs = (
             spark.read.parquet(f"{args.index}/vectors")
             .join(spark.read.parquet(f"{args.index}/assignments"),
@@ -75,40 +79,21 @@ def main(argv: list[str] | None = None) -> None:
             r["cv"] for r in spark.read.parquet(
                 f"{args.index}/centroids").orderBy("c_id").collect()
         ]
-        bc = spark.sparkContext.broadcast(
-            np.array(cents, dtype=np.float64))
-        nprobe = int(args.nprobe)
-
-        @F.pandas_udf("array<int>")
-        def probes(v: pd.Series) -> pd.Series:
-            c = bc.value
-            x = np.array(v.tolist(), dtype=np.float64)
-            score = x @ c.T - 0.5 * (c * c).sum(axis=1)
-            order = np.argsort(-score, axis=1, kind="stable")
-            return pd.Series(list(order[:, :nprobe].astype(np.int32)))
-
-        queries = (
-            vecs.filter(F.col("vec_id") < args.n_queries)
-            .select(F.col("vec_id").alias("q_id"),
-                    F.col("v").alias("qv"))
-            .select("q_id", "qv",
-                    F.explode(probes("qv")).alias("bucket"))
-            .withColumn("bucket", F.col("bucket").cast("long"))
-        )
-        dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y),"
-                     " 0L, (acc, e) -> acc + e)")
+        queries = _ivf_query_probes(
+            vecs, args.n_queries, len(cents), int(args.nprobe), cents)
         w = Window.partitionBy("q_id").orderBy(
             F.col("score").desc(), F.col("vec_id"))
         hits = (
             F.broadcast(queries).join(vecs, ["bucket"])
             .filter(F.col("q_id") != F.col("vec_id"))
-            .select("q_id", "bucket", "vec_id", dot.alias("score"))
+            .select("q_id", "bucket", "vec_id",
+                    F.expr(_DOT).alias("score"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= args.topk)
             .collect()
         )
         print(json.dumps({
-            "nprobe": nprobe, "k": args.topk,
+            "nprobe": int(args.nprobe), "k": args.topk,
             "hits": [
                 {"q_id": r["q_id"], "vec_id": r["vec_id"],
                  "bucket": r["bucket"], "score": r["score"],

@@ -722,8 +722,6 @@ def test_cache_hit_curve(spark):
     from barkingowl_spark.operators.ranking import cache_hit_curve
 
     # keys with frequencies a:8 b:4 c:2 d:1 e:1
-    reqs = [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + \
-        [("d",)], [("e",)]
     rows = [("a",)] * 8 + [("b",)] * 4 + [("c",)] * 2 + \
         [("d",), ("e",)]
     df = spark.createDataFrame(rows, "key string")
