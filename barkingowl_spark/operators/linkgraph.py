@@ -1195,36 +1195,69 @@ def ktruss_peel(
         .distinct()
     )
 
-    def _support(e: DataFrame) -> DataFrame:
-        ab = e.alias("ab")
-        ac = e.alias("ac")
-        bc = e.alias("bc")
-        tri = (
-            ab.join(ac, (F.col("ab.a") == F.col("ac.a"))
-                    & (F.col("ac.b") > F.col("ab.b")))
-            .select(F.col("ab.a").alias("x"),
-                    F.col("ab.b").alias("y"),
-                    F.col("ac.b").alias("z"))
-            .join(bc, (F.col("y") == F.col("bc.a"))
-                  & (F.col("z") == F.col("bc.b")), "left_semi")
-        )
-        roles = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionAll(tri.select(F.col("x").alias("a"),
-                                 F.col("z").alias("b")))
-            .unionAll(tri.select(F.col("y").alias("a"),
-                                 F.col("z").alias("b")))
-        )
-        sup = roles.groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("support"))
-        return (
-            e.join(sup, ["a", "b"], "left")
-            .withColumn("support",
-                        F.coalesce("support", F.lit(0)).cast("long"))
-        )
-
     for _ in range(n_rounds):
         cur = iter_checkpoint(
-            _support(cur).filter(F.col("support") >= k - 2)
+            _truss_support(cur).filter(F.col("support") >= k - 2)
             .select("a", "b"))
-    return _support(cur).select("a", "b", "support")
+    return _truss_support(cur).select("a", "b", "support")
+
+
+def _truss_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support within the (a<b)-oriented edge set
+    `e`: triangles enumerated once, each crediting its 3 edges."""
+    ab = e.alias("ab")
+    ac = e.alias("ac")
+    bc = e.alias("bc")
+    tri = (
+        ab.join(ac, (F.col("ab.a") == F.col("ac.a"))
+                & (F.col("ac.b") > F.col("ab.b")))
+        .select(F.col("ab.a").alias("x"),
+                F.col("ab.b").alias("y"),
+                F.col("ac.b").alias("z"))
+        .join(bc, (F.col("y") == F.col("bc.a"))
+              & (F.col("z") == F.col("bc.b")), "left_semi")
+    )
+    roles = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("x").alias("a"),
+                             F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("y").alias("a"),
+                             F.col("z").alias("b")))
+    )
+    sup = roles.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("support"))
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .withColumn("support",
+                    F.coalesce("support", F.lit(0)).cast("long"))
+    )
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, max_rounds: int = 100
+) -> DataFrame:
+    """(a, b, support): the CONVERGED k-truss — ktruss_peel iterated
+    until the surviving edge count is stable (one driver-side count
+    probe per round, the kcore/components convergence discipline).
+    Every remaining edge closes >= k-2 triangles within the returned
+    subgraph."""
+    from barkingowl_spark.operators.util import iter_checkpoint
+
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    prev = cur.count()
+    for _ in range(max_rounds):
+        cur = iter_checkpoint(
+            _truss_support(cur).filter(F.col("support") >= k - 2)
+            .select("a", "b"))
+        n = cur.count()
+        if n == prev:
+            break
+        prev = n
+    return _truss_support(cur).select("a", "b", "support")

@@ -774,3 +774,22 @@ def test_ktruss_peel_bruteforce(spark):
             for r in ktruss_peel(df, k=4, n_rounds=3).collect()}
     assert set(got4) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
     assert set(got4.values()) == {2}
+
+
+def test_ktruss_converged(spark):
+    from barkingowl_spark.operators.linkgraph import ktruss
+
+    # chain of triangles sharing single edges: each edge is in exactly
+    # 1 triangle until peeling unravels the chain from... nowhere —
+    # a pure triangle chain is its own 3-truss fixed point; adding a
+    # dangling wedge (no triangle) must be peeled away fully.
+    und = [(0, 1), (1, 2), (0, 2),      # triangle A
+           (2, 3), (3, 4), (2, 4),      # triangle B
+           (4, 5), (5, 6)]              # wedge tail (no triangle)
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {(r["a"], r["b"]): r["support"]
+           for r in ktruss(df, k=3).collect()}
+    assert set(got) == {(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)}
+    assert set(got.values()) == {1}
+    # k=4 demands 2 triangles per edge: nothing here qualifies
+    assert ktruss(df, k=4).count() == 0
