@@ -3130,6 +3130,22 @@ def q_search_rm3_eval(spark, sf):
         _eval_qrels(docs, qdim), k=10))
 
 
+def q_events_health_windows(spark, sf):
+    """Windowed per-host Wilson health (streaming/telemetry.py::
+    host_health_windows batch body — the stream runs the identical
+    expression): (window, host)-keyed shuffle + post-agg isqrt math."""
+    from barkingowl_spark.streaming.telemetry import host_health_windows
+
+    return host_health_windows(
+        _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("host"), "ts",
+            (F.col("event_type") == "error").alias("is_error")),
+        window="5 minutes",
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "host", "n", "errors", "err_ppm", "wilson_lb_ppm")
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4074,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "events_health_windows": q_events_health_windows,
         "search_rm3_eval": q_search_rm3_eval,
         "lang_confusion": q_lang_confusion,
         "host_health": q_host_health,
@@ -9657,6 +9674,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p_at_k_ppm) // count(*) AS BIGINT)
                      AS mean_p_at_k_ppm
             FROM met2
+        """,
+        "events_health_windows": """
+            WITH a AS (
+              SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts))
+                          AS BIGINT) AS window_start_s,
+                     CAST(user_id AS VARCHAR) AS host,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                              ELSE 0 END) AS BIGINT) AS errors
+              FROM events GROUP BY 1, 2),
+            x AS (
+              SELECT *,
+                     CAST(1000000 AS BIGINT) * 1000000
+                       * (errors * (n - errors) + n) // n AS bx
+              FROM a),
+            s0 AS (
+              SELECT *, CAST(floor(sqrt(CAST(bx AS DOUBLE)))
+                             AS BIGINT) AS r0
+              FROM x),
+            s AS (
+              SELECT window_start_s, host, n, errors, bx,
+                     CASE WHEN (r0 + 1) * (r0 + 1) <= bx THEN r0 + 1
+                          WHEN r0 * r0 > bx THEN r0 - 1
+                          ELSE r0 END AS rs
+              FROM s0)
+            SELECT window_start_s, host, n, errors,
+                   CAST(1000000 * errors // n AS BIGINT) AS err_ppm,
+                   CAST(greatest(0, 1000000 * (errors + 2) - 2 * rs)
+                        // (n + 4) AS BIGINT) AS wilson_lb_ppm
+            FROM s
         """,
         "sched_ucb": """
             WITH s AS (
