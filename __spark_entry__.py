@@ -3146,6 +3146,30 @@ def q_events_health_windows(spark, sf):
         "host", "n", "errors", "err_ppm", "wilson_lb_ppm")
 
 
+def q_mm_sniff_mime(spark, sf):
+    """Magic-byte MIME sniff vs declared Content-Type (operators/
+    multimodal.py::sniff_mime): planted magics by doc_id residue,
+    declared types on a different residue so the audit sees lies —
+    8-byte prefix reads, pure codegen."""
+    from barkingowl_spark.operators.multimodal import sniff_mime
+
+    d = _t(spark, sf, "documents")
+    payload = F.concat(
+        F.unhex(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("25504446"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("89504E47"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("3C68746D"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("504B0304"))
+            .otherwise(F.lit("FFD8FF"))),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8"))
+    declared = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("application/pdf"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("text/html"))
+        .otherwise(F.lit("image/png")))
+    return sniff_mime(d.select(
+        "doc_id", payload.alias("payload"), declared.alias("mime")))
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4090,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "mm_sniff_mime": q_mm_sniff_mime,
         "events_health_windows": q_events_health_windows,
         "search_rm3_eval": q_search_rm3_eval,
         "lang_confusion": q_lang_confusion,
@@ -9703,6 +9728,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * errors // n AS BIGINT) AS err_ppm,
                    CAST(greatest(0, 1000000 * (errors + 2) - 2 * rs)
                         // (n + 4) AS BIGINT) AS wilson_lb_ppm
+            FROM s
+        """,
+        "mm_sniff_mime": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '25504446'
+                       WHEN 1 THEN '89504E47'
+                       WHEN 2 THEN '3C68746D'
+                       WHEN 3 THEN '504B0304'
+                       ELSE 'FFD8FF' END
+                     || upper(hex(coalesce(text, ''))) AS hx,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'application/pdf'
+                       WHEN 1 THEN 'text/html'
+                       ELSE 'image/png' END AS declared
+              FROM documents),
+            s AS (
+              SELECT doc_id, declared,
+                     CASE
+                       WHEN hx LIKE '25504446%' THEN 'application/pdf'
+                       WHEN hx LIKE '89504E47%' THEN 'image/png'
+                       WHEN hx LIKE '47494638%' THEN 'image/gif'
+                       WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+                       WHEN hx LIKE '504B0304%' THEN 'application/zip'
+                       WHEN hx LIKE '3C%' THEN 'text/html'
+                       ELSE 'application/octet-stream' END AS sniffed
+              FROM p)
+            SELECT doc_id, declared, sniffed,
+                   declared = sniffed AS agree
             FROM s
         """,
         "sched_ucb": """

@@ -307,3 +307,35 @@ def video_near_pairs(
             .alias("overlap_ppm"),
         )
     )
+
+
+def sniff_mime(
+    multimodal: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """(doc_id, declared, sniffed, agree): magic-byte content sniffing
+    vs the declared Content-Type — servers lie about MIME constantly,
+    and the doc_types matcher (O15) must not trust headers alone. The
+    sniff is the first-bytes prefix table (PDF/PNG/GIF/JPEG/ZIP/'<'
+    -> html), falling back to application/octet-stream; NULL payloads
+    fall back too.
+
+    Pure native expressions over hex(prefix) — the payload column is
+    read 8 bytes deep, never scanned, never crossing to Python."""
+    hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 8)")))
+    sniffed = (
+        F.when(hx.startswith("25504446"), "application/pdf")
+        .when(hx.startswith("89504E47"), "image/png")
+        .when(hx.startswith("47494638"), "image/gif")
+        .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(hx.startswith("504B0304"), "application/zip")
+        .when(hx.startswith("3C"), "text/html")
+        .otherwise("application/octet-stream")
+    )
+    return multimodal.select(
+        "doc_id",
+        F.col(mime_col).alias("declared"),
+        sniffed.alias("sniffed"),
+        (F.col(mime_col) == sniffed).alias("agree"),
+    )

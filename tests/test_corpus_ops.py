@@ -754,3 +754,30 @@ def test_lang_confusion(spark):
     assert got[("en", "de")] == (1, 500_000)
     assert got[("de", "und")] == (1, 500_000)
     assert got[("de", "de")] == (1, 500_000)
+
+
+def test_sniff_mime(spark):
+    from barkingowl_spark.operators.multimodal import sniff_mime
+
+    rows = [
+        (0, b"%PDF-1.4 blah", "application/pdf"),
+        (1, b"\x89PNG\r\n\x1a\n....", "application/pdf"),   # lies
+        (2, b"<html><body>", "text/html"),
+        (3, b"GIF89a......", "image/gif"),
+        (4, b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (5, b"PK\x03\x04zipzip", "text/plain"),             # lies
+        (6, b"plain words", "text/plain"),
+        (7, None, "application/pdf"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime string")
+    got = {r["doc_id"]: (r["sniffed"], r["agree"])
+           for r in sniff_mime(df).collect()}
+    assert got[0] == ("application/pdf", True)
+    assert got[1] == ("image/png", False)
+    assert got[2] == ("text/html", True)
+    assert got[3] == ("image/gif", True)
+    assert got[4] == ("image/jpeg", True)
+    assert got[5] == ("application/zip", False)
+    assert got[6] == ("application/octet-stream", False)
+    assert got[7] == ("application/octet-stream", False)
