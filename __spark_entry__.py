@@ -3170,6 +3170,26 @@ def q_mm_sniff_mime(spark, sf):
         "doc_id", payload.alias("payload"), declared.alias("mime")))
 
 
+def q_trap_soft404(spark, sf):
+    """Soft-404 detection (operators/traps.py::soft404_scores):
+    planted error-page phrasing by doc_id residue; marker-substring +
+    shortness heuristic, pure codegen."""
+    from barkingowl_spark.operators.traps import soft404_scores
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("404 page not found - it does not exist"),
+        ).when(
+            F.col("doc_id") % 11 == 1,
+            F.concat(F.lit("this page has been removed 404 "),
+                     F.coalesce("text", F.lit(""))),
+        ).otherwise(F.col("text")).alias("text"))
+    return soft404_scores(d).select(
+        "doc_id", "marker_hits", "n_tokens", "soft404")
+
+
 def q_sched_ucb(spark, sf):
     """UCB1 explore/exploit host scheduling (operators/politeness.py::
     ucb_host_ranks): top-10 hosts by observed doc yield + base-2
@@ -4114,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_cori": q_shard_cori,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "sched_ucb": q_sched_ucb,
+        "trap_soft404": q_trap_soft404,
         "mm_sniff_mime": q_mm_sniff_mime,
         "events_health_windows": q_events_health_windows,
         "search_rm3_eval": q_search_rm3_eval,
@@ -9759,6 +9780,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, declared, sniffed,
                    declared = sniffed AS agree
             FROM s
+        """,
+        "trap_soft404": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                       THEN '404 page not found - it does not exist'
+                       WHEN doc_id % 11 = 1
+                       THEN 'this page has been removed 404 '
+                            || coalesce(text, '')
+                       ELSE text END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS low,
+                     CAST(len(list_filter(
+                       string_split(coalesce(text, ''), ' '),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM d),
+            h AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CASE WHEN contains(low, 'not found') THEN 1 ELSE 0 END + CASE WHEN contains(low, 'page not found') THEN 1 ELSE 0 END + CASE WHEN contains(low, '404') THEN 1 ELSE 0 END + CASE WHEN contains(low, 'no longer exists') THEN 1 ELSE 0 END + CASE WHEN contains(low, 'does not exist') THEN 1 ELSE 0 END + CASE WHEN contains(low, 'page unavailable') THEN 1 ELSE 0 END + CASE WHEN contains(low, 'been removed') THEN 1 ELSE 0 END AS BIGINT) AS marker_hits
+              FROM l)
+            SELECT doc_id, marker_hits, n_tokens,
+                   (marker_hits >= 3
+                    OR (marker_hits >= 2 AND n_tokens < 40))
+                     AS soft404
+            FROM h
         """,
         "sched_ucb": """
             WITH s AS (

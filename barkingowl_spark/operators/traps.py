@@ -144,3 +144,44 @@ def url_templates(
             & (F.col("share_ppm") >= explosive_min_share_ppm)
         ).alias("explosive"),
     )
+
+
+SOFT404_MARKERS = [
+    "not found", "page not found", "404", "no longer exists",
+    "does not exist", "page unavailable", "been removed",
+]
+
+
+def soft404_scores(
+    pages: DataFrame,
+    text_col: str = "text",
+    short_tokens: int = 40,
+) -> DataFrame:
+    """(input columns +) (marker_hits, n_tokens, soft404): soft-404
+    detection — servers that answer 200 with a human "not found" page
+    poison both the archive (junk documents) and the link graph (every
+    dead URL resolves "successfully"). Industrial heuristic (Bar-
+    Yossef et al. WWW'04 motivate the problem; this is the marker
+    form): a page is a soft 404 when it is SHORT and carries >= 2
+    error-phrase markers, or >= 3 markers at any length.
+
+    Marker matching is substring `contains` on the lowercased text —
+    pure codegen, one pass, no regex, no UDF; the marker list is a
+    compile-time literal (extend per language the corpus carries)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hits = sum(
+        F.when(low.contains(m), 1).otherwise(0)
+        for m in SOFT404_MARKERS
+    )
+    n_tok = F.size(F.expr(
+        f"filter(split(coalesce({text_col}, ''), ' '), x -> x <> '')"))
+    return (
+        pages.withColumn("marker_hits", hits.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "soft404",
+            (F.col("marker_hits") >= 3)
+            | ((F.col("marker_hits") >= 2)
+               & (F.col("n_tokens") < short_tokens)),
+        )
+    )

@@ -781,3 +781,23 @@ def test_sniff_mime(spark):
     assert got[5] == ("application/zip", False)
     assert got[6] == ("application/octet-stream", False)
     assert got[7] == ("application/octet-stream", False)
+
+
+def test_soft404_scores(spark):
+    from barkingowl_spark.operators.traps import soft404_scores
+
+    rows = [
+        (0, "Page Not Found - the page does not exist (404)"),
+        (1, "404 error: page not found. it has been removed."),
+        (2, "our catalogue of 404 ceramic tiles " + "word " * 100),
+        (3, "regular article about nothing special at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["marker_hits"], r["soft404"])
+           for r in soft404_scores(df).collect()}
+    assert got[0][1] is True          # short + many markers
+    assert got[1][1] is True
+    assert got[2] == (1, False)       # long page, single marker
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
