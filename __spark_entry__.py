@@ -3509,6 +3509,66 @@ def q_clf_ece(spark, sf):
     return calibration_ece(calibration_bins(scored))
 
 
+def q_clf_auc(spark, sf):
+    """Exact tie-corrected ROC-AUC (operators/ireval.py::roc_auc,
+    Hanley & McNeil 1982 via the Mann-Whitney midrank identity): the
+    classifier's milli score as a RANKER of the token-count truth —
+    the audit next to clf_kappa's thresholded one. Midrank sums ride
+    DECIMAL(38,0); the cumulative is the range-shuffle running-sum
+    primitive, never a single-partition window."""
+    from barkingowl_spark.operators.ireval import roc_auc
+
+    a, b = _clf_labels(spark, sf)
+    scored = a.select("doc_id", "score_milli").join(
+        b.select("doc_id", "label"), "doc_id")
+    return roc_auc(scored)
+
+
+def q_text_readability(spark, sf):
+    """Flesch-Kincaid grade + reading ease in integer milli
+    (functions/textstats.py::readability, Kincaid et al. 1975):
+    sentence punctuation planted by doc_id residue (the raw word
+    salad has none), syllables = vowel-group runs, floor at every
+    division. Map-only codegen pass."""
+    from barkingowl_spark.functions.textstats import readability
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce("text", F.lit("")),
+                     F.lit(". Done. Really!")),
+        ).when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.coalesce("text", F.lit("")), F.lit("?")),
+        ).otherwise(F.col("text")).alias("text"))
+    return readability(d)
+
+
+def q_text_mojibake(spark, sf):
+    """Encoding-damage detection (functions/textstats.py::
+    mojibake_scores): double-decoded-UTF-8 artifacts planted by
+    doc_id residue (e→Ã© mangling, U+FFFD replacement runs, Â
+    padding); occurrence counts by length-difference after replace —
+    no regex, no UDF."""
+    from barkingowl_spark.functions.textstats import mojibake_scores
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.expr("replace(coalesce(text, ''), 'e', 'Ã©')"),
+        ).when(
+            F.col("doc_id") % 13 == 1,
+            F.concat(F.coalesce("text", F.lit("")),
+                     F.lit(" ï¿½ â€” broken")),
+        ).when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(F.lit("Â Â "), F.coalesce("text", F.lit(""))),
+        ).otherwise(F.col("text")).alias("text"))
+    return mojibake_scores(d)
+
+
 def q_focused_frontier(spark, sf):
     """Focused-crawl frontier priorities (operators/focused.py,
     Chakrabarti et al. WWW'99): hashclf relevance scores max-propagated
@@ -4171,6 +4231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_kappa": q_clf_kappa,
         "clf_calibration": q_clf_calibration,
         "clf_ece": q_clf_ece,
+        "clf_auc": q_clf_auc,
+        "text_readability": q_text_readability,
+        "text_mojibake": q_text_mojibake,
         "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -10231,6 +10294,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n * abs(mean_prob_ppm - frac_pos_ppm))
                         // sum(n) AS BIGINT) AS ece_ppm
             FROM bins
+        """,
+        "clf_auc": _CLF_CTE + """
+            , j AS (
+              SELECT sc.score_milli AS score, lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            g AS (
+              SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+              FROM j GROUP BY score),
+            r AS (
+              SELECT *, sum(cnt) OVER (
+                ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+              FROM g),
+            t AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+                     CAST(count(*) AS BIGINT) AS n_score_groups,
+                     sum(pos::HUGEINT * (2 * cum - cnt + 1)) AS r2p
+              FROM r)
+            SELECT n, n_pos, n_neg, n_score_groups,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     CAST((r2p - n_pos::HUGEINT * (n_pos + 1))
+                          * 1000000
+                          // (2 * n_pos::HUGEINT * n_neg) AS BIGINT)
+                   END AS auc_ppm
+            FROM t
+        """,
+        "text_readability": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                       THEN coalesce(text, '') || '. Done. Really!'
+                       WHEN doc_id % 5 = 1
+                       THEN coalesce(text, '') || '?'
+                       ELSE text END AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split(coalesce(text, ''), ' '),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                     CAST(greatest(1,
+                       (len(coalesce(text, ''))
+                        - len(replace(coalesce(text, ''), '.', '')))
+                       + (len(coalesce(text, ''))
+                        - len(replace(coalesce(text, ''), '!', '')))
+                       + (len(coalesce(text, ''))
+                        - len(replace(coalesce(text, ''), '?', ''))))
+                       AS BIGINT) AS n_sents,
+                     CAST(greatest(0,
+                       len(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[aeiouy]+'))
+                       - 1) AS BIGINT) AS runs
+              FROM d),
+            s AS (
+              SELECT doc_id, n_words, n_sents,
+                     greatest(runs, n_words) AS n_syll
+              FROM m)
+            SELECT doc_id, n_words, n_sents, n_syll,
+                   CASE WHEN n_words > 0 THEN
+                     CAST((390 * n_words) // n_sents
+                          + (11800 * n_syll) // n_words
+                          - 15590 AS BIGINT) END AS grade_milli,
+                   CASE WHEN n_words > 0 THEN
+                     CAST(206835 - (1015 * n_words) // n_sents
+                          - (84600 * n_syll) // n_words AS BIGINT)
+                   END AS ease_milli
+            FROM s
+        """,
+        "text_mojibake": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                       THEN replace(coalesce(text, ''), 'e', 'Ã©')
+                       WHEN doc_id % 13 = 1
+                       THEN coalesce(text, '') || ' ï¿½ â€” broken'
+                       WHEN doc_id % 13 = 2
+                       THEN 'Â Â ' || coalesce(text, '')
+                       ELSE text END AS text
+              FROM documents),
+            o AS (
+              SELECT doc_id,
+                     (len(coalesce(text, ''))
+                      - len(replace(coalesce(text, ''), 'Ã', '')))
+                       // 1 AS o0,
+                     (len(coalesce(text, ''))
+                      - len(replace(coalesce(text, ''), 'â€', '')))
+                       // 2 AS o1,
+                     (len(coalesce(text, ''))
+                      - len(replace(coalesce(text, ''), 'Â', '')))
+                       // 1 AS o2,
+                     (len(coalesce(text, ''))
+                      - len(replace(coalesce(text, ''), 'ï¿½', '')))
+                       // 3 AS o3,
+                     (len(coalesce(text, ''))
+                      - len(replace(coalesce(text, ''), '�', '')))
+                       // 1 AS o4
+              FROM d)
+            SELECT doc_id,
+                   CAST(o0 + o1 + o2 + o3 + o4 AS BIGINT)
+                     AS moji_hits,
+                   CAST((CASE WHEN o0 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN o1 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN o2 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN o3 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN o4 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS moji_kinds,
+                   (o0 + o1 + o2 + o3 + o4 >= 3
+                    OR (CASE WHEN o0 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o1 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o2 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o3 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o4 > 0 THEN 1 ELSE 0 END) >= 2)
+                     AS moji_suspect
+            FROM o
         """,
         "dsir_sample": """
             WITH tok AS (

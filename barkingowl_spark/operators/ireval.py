@@ -418,6 +418,78 @@ def calibration_ece(bins: DataFrame) -> DataFrame:
     )
 
 
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n_pos, n_neg, n_score_groups, auc_ppm): EXACT ROC-AUC
+    of a score against a boolean truth, tie-corrected, via the
+    Mann-Whitney rank-sum identity (Hanley & McNeil, Radiology 1982):
+
+        AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+    with R_pos the sum of MIDRANKS of the positives in ascending score
+    order (ties share their average rank — skipping the correction
+    biases AUC up on quantized scores, and integer milli scores are
+    exactly the tied regime). Kappa (agreement_stats) audits a
+    THRESHOLDED gate; AUC audits the score as a RANKER — the number to
+    check before moving the threshold at all.
+
+    Integer-exact everywhere: midranks are half-integers, so the sums
+    carry 2*midrank = 2*cum_before + cnt + 1 and the final division
+    folds the 2 into the denominator:
+
+        auc_ppm = (R2_pos - n_pos*(n_pos+1)) * 1e6
+                  DIV (2 * n_pos * n_neg)
+
+    Scale shape: one groupBy(score) — distinct quantized scores, not
+    rows — then global_running_sum's range-shuffle + bounded-offsets
+    cumulative (NO single-partition window), then a 1-row agg. Rank
+    sums are O(n^2) ~ 1e20 at n = 1e10 rows, so the sums ride
+    DECIMAL(38,0) (HUGEINT in the oracle). Degenerate inputs (no
+    positives or no negatives) yield auc_ppm NULL rather than a
+    divide-by-zero."""
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    g = (
+        scored.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr(
+                f"CASE WHEN {label_col} THEN 1 ELSE 0 END"))
+            .cast("long").alias("pos"),
+        )
+    )
+    g = global_running_sum(g, ["score"], "cnt", out_col="cum")
+    return (
+        g.select(
+            # 2*midrank of the group = 2*(cum - cnt) + cnt + 1
+            F.expr(
+                "CAST(pos AS DECIMAL(38,0))"
+                " * (2 * cum - cnt + 1)").alias("r2p"),
+            "cnt", "pos",
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(F.expr("cnt - pos")).cast("long").alias("n_neg"),
+            F.count(F.lit(1)).cast("long").alias("n_score_groups"),
+            F.sum("r2p").alias("_r2_pos"),
+        )
+        .withColumn(
+            "auc_ppm",
+            F.expr(
+                "CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+                " CAST((_r2_pos - CAST(n_pos AS DECIMAL(38,0))"
+                " * (n_pos + 1)) * 1000000"
+                " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " AS BIGINT) END"),
+        )
+        .select("n", "n_pos", "n_neg", "n_score_groups", "auc_ppm")
+    )
+
+
 def qpp_features(documents: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, n_terms, n_oov, max_idf_hb, avg_idf_hb, avg_ictf_hb,
     sum_scq_fp): PRE-retrieval query-performance prediction features

@@ -801,3 +801,47 @@ def test_soft404_scores(spark):
     assert got[2] == (1, False)       # long page, single marker
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_readability(spark):
+    from barkingowl_spark.functions.textstats import readability
+
+    rows = [(0, "hello world."), (1, ""), (2, None),
+            (3, "why try my gym")]  # y-only vowels
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in readability(df).collect()}
+    # "hello world.": W=2 S=1 runs=3 -> syll=3
+    assert got[0]["n_words"] == 2
+    assert got[0]["n_sents"] == 1
+    assert got[0]["n_syll"] == 3
+    assert got[0]["grade_milli"] == 390 * 2 + 11800 * 3 // 2 - 15590
+    assert got[0]["ease_milli"] == 206835 - 1015 * 2 - 84600 * 3 // 2
+    # empty / NULL text: no words -> NULL scores, sentence floor 1
+    for d in (1, 2):
+        assert got[d]["n_words"] == 0
+        assert got[d]["n_sents"] == 1
+        assert got[d]["grade_milli"] is None
+        assert got[d]["ease_milli"] is None
+    # y counts as a vowel: 4 words, 4 runs
+    assert got[3]["n_syll"] == 4
+
+
+def test_mojibake_scores(spark):
+    from barkingowl_spark.functions.textstats import mojibake_scores
+
+    rows = [
+        (0, "caffÃ© latte"),            # one Ã
+        (1, "bad Ã text â€” x"),  # Ã + â€ -> 2 kinds
+        (2, "a � b � c �"),        # 3 replacement chars
+        (3, "clean ascii text"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["moji_hits"], r["moji_kinds"],
+                         r["moji_suspect"])
+           for r in mojibake_scores(df).collect()}
+    assert got[0] == (1, 1, False)
+    assert got[1] == (2, 2, True)
+    assert got[2] == (3, 1, True)
+    assert got[3] == (0, 0, False)
+    assert got[4] == (0, 0, False)

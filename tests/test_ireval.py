@@ -360,3 +360,29 @@ def test_qpp_features_bruteforce(spark):
         for r in qpp_features(docs, qsdf).collect()
     }
     assert got == want
+
+
+def test_roc_auc_midranks(spark):
+    from barkingowl_spark.operators.ireval import roc_auc
+
+    # scores 1,1,2,3,3 / labels F,T,F,T,T: midranks of positives are
+    # 1.5, 4.5, 4.5 -> AUC = (10.5 - 6) / 6 = 0.75
+    rows = [(1, False), (1, True), (2, False), (3, True), (3, True)]
+    df = spark.createDataFrame(rows, "score_milli long, label boolean")
+    r = roc_auc(df).collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (5, 3, 2)
+    assert r["n_score_groups"] == 3
+    assert r["auc_ppm"] == 750_000
+
+    # perfect and inverted rankers hit the envelope ends exactly
+    perfect = spark.createDataFrame(
+        [(i, i >= 5) for i in range(10)], "score_milli long, label boolean")
+    assert roc_auc(perfect).collect()[0]["auc_ppm"] == 1_000_000
+    inverted = spark.createDataFrame(
+        [(i, i < 5) for i in range(10)], "score_milli long, label boolean")
+    assert roc_auc(inverted).collect()[0]["auc_ppm"] == 0
+
+    # degenerate: one class only -> NULL, not a crash
+    allpos = spark.createDataFrame(
+        [(1, True), (2, True)], "score_milli long, label boolean")
+    assert roc_auc(allpos).collect()[0]["auc_ppm"] is None
