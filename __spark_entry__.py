@@ -3569,6 +3569,64 @@ def q_text_mojibake(spark, sf):
     return mojibake_scores(d)
 
 
+def q_lm_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (functions/lmscore.py::
+    kneser_ney_bigram, Chen & Goodman 1998 eq. 4.26): D=3/4 absolute
+    discount + continuation-count backoff in two-floor integer ppm;
+    context/continuation rollups ride the bigram table's own keying,
+    output pruned to c(u,w) >= 2."""
+    from barkingowl_spark.functions.lmscore import kneser_ney_bigram
+
+    return kneser_ney_bigram(_t(spark, sf, "documents"), min_count=2)
+
+
+def q_lm_source_kl(spark, sf):
+    """Per-source unigram KL drift vs the whole corpus (functions/
+    lmscore.py::source_divergence): signed half-bit weights via the
+    squared-DECIMAL bitlen identity, sign-split floors both engines
+    — the domain-drift audit next to mix_temperature."""
+    from barkingowl_spark.functions.lmscore import source_divergence
+
+    return source_divergence(_t(spark, sf, "documents"))
+
+
+def q_search_suggest(spark, sf):
+    """Query autocompletion (operators/invindex.py::suggest_topk):
+    top-3 completions by document frequency for every 1..4-char term
+    prefix — the vocabulary (never the corpus) exploded, ONE
+    prefix-partitioned WindowGroupLimit cut."""
+    from barkingowl_spark.operators.invindex import suggest_topk
+
+    return suggest_topk(_t(spark, sf, "documents"), k=3, max_prefix=4)
+
+
+def q_search_spell(spark, sf):
+    """SymSpell spelling correction (operators/spell.py, Garbe's
+    deletion-neighborhood join): candidates from a variant equi-join
+    (never a fuzzy scan), verified with built-in levenshtein <= 1 on
+    candidates only; misspellings synthesized from the corpus's own
+    vocabulary by md5 residue (3rd char dropped)."""
+    from barkingowl_spark.operators.invindex import term_freqs
+    from barkingowl_spark.operators.spell import spell_correct
+
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        term_freqs(docs).groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    base = vocab.filter(F.length("term") >= 6).select(
+        "term",
+        (F.conv(F.substring(F.md5(F.col("term").cast("binary")),
+                            1, 15), 16, 10).cast("long") % 7)
+        .alias("h"))
+    q1 = base.filter(F.col("h") == 0).select(
+        F.concat(F.substring("term", 1, 2),
+                 F.expr("substr(term, 4, length(term))"))
+        .alias("query"))
+    q2 = base.filter(F.col("h") == 1).select(
+        F.col("term").alias("query"))
+    return spell_correct(vocab, q1.union(q2).distinct(), topk=3)
+
+
 def q_focused_frontier(spark, sf):
     """Focused-crawl frontier priorities (operators/focused.py,
     Chakrabarti et al. WWW'99): hashclf relevance scores max-propagated
@@ -4234,6 +4292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_auc": q_clf_auc,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
+        "lm_kn_bigram": q_lm_kn_bigram,
+        "lm_source_kl": q_lm_source_kl,
+        "search_suggest": q_search_suggest,
+        "search_spell": q_search_spell,
         "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -10413,6 +10475,155 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN o4 > 0 THEN 1 ELSE 0 END) >= 2)
                      AS moji_suspect
             FROM o
+        """,
+        "lm_kn_bigram": _BIGRAM_CTE + """
+            , ctx AS (
+              SELECT w1, CAST(sum(cnt) AS BIGINT) AS c_u,
+                     CAST(count(*) AS BIGINT) AS n1_fwd
+              FROM c2 GROUP BY w1),
+            cont AS (
+              SELECT w2, CAST(count(*) AS BIGINT) AS n1_back
+              FROM c2 GROUP BY w2),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM c2)
+            SELECT w1, w2, cnt AS c_uw, c_u, n1_fwd, n1_back,
+                   CAST((4 * cnt - 3)::HUGEINT * 1000000
+                          // (4 * c_u)
+                        + (3::HUGEINT * n1_fwd * n1_back * 1000000)
+                          // (4::HUGEINT * c_u * n_bi)
+                        AS BIGINT) AS pkn_ppm
+            FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2)
+                 CROSS JOIN nb
+            WHERE cnt >= 2
+        """,
+        "lm_source_kl": """
+            WITH tok AS (
+              SELECT source, t FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            st AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+              FROM tok GROUP BY source, t),
+            ct AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c_t
+              FROM tok GROUP BY t),
+            ns AS (
+              SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+                     CAST(count(*) AS BIGINT) AS n_types
+              FROM st GROUP BY source),
+            nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM ct),
+            w AS (
+              SELECT source, n_s, n_types, c_st,
+                     CASE WHEN c_st::HUGEINT * n_tot
+                               >= n_s::HUGEINT * c_t THEN
+                       length(bin(CAST(
+                         (c_st::HUGEINT * n_tot)
+                         * (c_st::HUGEINT * n_tot)
+                         // ((n_s::HUGEINT * c_t)
+                             * (n_s::HUGEINT * c_t))
+                         AS BIGINT))) - 1
+                     ELSE -(length(bin(CAST(
+                         (n_s::HUGEINT * c_t)
+                         * (n_s::HUGEINT * c_t)
+                         // ((c_st::HUGEINT * n_tot)
+                             * (c_st::HUGEINT * n_tot))
+                         AS BIGINT))) - 1) END AS w_hb
+              FROM st JOIN ct USING (t) JOIN ns USING (source)
+                   CROSS JOIN nt),
+            s AS (
+              SELECT source, n_s, n_types,
+                     CAST(sum(c_st * w_hb) AS BIGINT) AS num
+              FROM w GROUP BY source, n_s, n_types)
+            SELECT source, n_s AS n_tokens, n_types,
+                   CASE WHEN num >= 0 THEN
+                     CAST(num // n_s AS BIGINT)
+                   ELSE -CAST((-num) // n_s AS BIGINT) END AS kl_hb
+            FROM s
+        """,
+        "search_suggest": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            dfr AS (
+              SELECT term,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+            pref AS (
+              SELECT substr(term, 1, i) AS prefix, term, df FROM (
+                SELECT term, df,
+                       unnest(generate_series(
+                         1, least(len(term), 4))) AS i
+                FROM dfr)),
+            r AS (
+              SELECT prefix, term, df,
+                     CAST(row_number() OVER (
+                       PARTITION BY prefix
+                       ORDER BY df DESC, term ASC) AS INTEGER) AS rnk
+              FROM pref)
+            SELECT prefix, rnk, term, df FROM r WHERE rnk <= 3
+        """,
+        "search_spell": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            dfr AS (
+              SELECT term,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+            base AS (
+              SELECT term,
+                     CAST(('0x' || substring(md5(term), 1, 15))
+                          AS BIGINT) % 7 AS h
+              FROM dfr WHERE len(term) >= 6),
+            q AS (
+              SELECT DISTINCT
+                     CASE WHEN h = 0
+                       THEN substr(term, 1, 2)
+                            || substr(term, 4, len(term))
+                       ELSE term END AS query
+              FROM base WHERE h IN (0, 1)),
+            vv0 AS (
+              SELECT term, df, unnest(list_distinct(list_prepend(
+                       term, list_transform(
+                         generate_series(1, len(term)),
+                         i -> substr(term, 1, i - 1)
+                              || substr(term, i + 1, len(term))))))
+                       AS variant
+              FROM dfr),
+            vv AS (SELECT * FROM vv0 WHERE len(variant) >= 2),
+            stop AS (
+              SELECT variant FROM vv
+              GROUP BY variant HAVING count(*) <= 64),
+            vv2 AS (SELECT vv.* FROM vv JOIN stop USING (variant)),
+            qq0 AS (
+              SELECT query, unnest(list_distinct(list_prepend(
+                       query, list_transform(
+                         generate_series(1, len(query)),
+                         i -> substr(query, 1, i - 1)
+                              || substr(query, i + 1, len(query))))))
+                       AS variant
+              FROM q),
+            qq AS (SELECT * FROM qq0 WHERE len(variant) >= 2),
+            c AS (
+              SELECT DISTINCT query, term, df
+              FROM qq JOIN vv2 USING (variant)),
+            v AS (
+              SELECT query, term, df,
+                     CAST(levenshtein(query, term) AS INTEGER)
+                       AS dist
+              FROM c WHERE levenshtein(query, term) <= 1),
+            r AS (
+              SELECT query, term, df, dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY query
+                       ORDER BY dist ASC, df DESC, term ASC)
+                       AS INTEGER) AS rnk
+              FROM v)
+            SELECT query, rnk, term, df, dist FROM r WHERE rnk <= 3
         """,
         "dsir_sample": """
             WITH tok AS (

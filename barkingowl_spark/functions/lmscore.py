@@ -379,3 +379,131 @@ def collocations(
         scored.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def kneser_ney_bigram(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """(w1, w2, c_uw, c_u, n1_fwd, n1_back, pkn_ppm): interpolated
+    Kneser-Ney bigram probabilities (Kneser & Ney ICASSP'95; Chen &
+    Goodman 1998 eq. 4.26) with absolute discount D = 3/4, in integer
+    ppm fixed point. The add-one model (bigram_surprisal) over-smooths
+    exactly where web text is burstiest; KN's continuation
+    distribution ("how many contexts does w complete?") is the
+    standard fix and every count it needs is relational:
+
+        P_KN(w|u) = max(c(u,w) - D, 0)/c(u)
+                    + D * N1+(u,*)/c(u) * N1+(*,w)/N_bi
+
+    With D = 3/4 both addends clear their denominators in integers:
+
+        pkn_ppm = (4*c(u,w) - 3) * 1e6 DIV (4*c(u))
+                  + 3 * N1+(u,*) * N1+(*,w) * 1e6
+                      DIV (4 * c(u) * N_bi)
+
+    (two floors, mirrored exactly in the oracle; c(u,w) >= 1 keeps
+    the first numerator positive). Scale shape: bigram counts are one
+    map-side-combined shuffle; the context rollup (c_u, N1+(u,*))
+    re-uses the SAME w1 keying (shuffle-hash join, no broadcast of a
+    vocab-sized dim); the continuation rollup joins on w2; N_bi is a
+    1-row broadcast. Products ride DECIMAL(38,0): at 1e8-type
+    vocabularies 3 * N1fwd * N1back * 1e6 ~ 3e28 and the denominator
+    4 * c_u * N_bi ~ 4e20 both fit."""
+    bi = bigram_lm(documents, min_count=1)
+    ctx = bi.groupBy("w1").agg(
+        F.sum("cnt").cast("long").alias("c_u"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_back"))
+    nbi = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    return (
+        bi.filter(F.col("cnt") >= min_count)
+        .withColumnRenamed("cnt", "c_uw")
+        .join(ctx.hint("shuffle_hash"), "w1")
+        .join(cont.hint("shuffle_hash"), "w2")
+        .crossJoin(broadcast(nbi))
+        .select(
+            "w1", "w2", "c_uw", "c_u", "n1_fwd", "n1_back",
+            F.expr(
+                "CAST((4 * c_uw - 3) * CAST(1000000 AS DECIMAL(38,0))"
+                " DIV (4 * c_u)"
+                " + CAST(3 AS DECIMAL(38,0)) * n1_fwd * n1_back"
+                "   * 1000000"
+                "   DIV (CAST(4 AS DECIMAL(38,0)) * c_u * n_bi)"
+                " AS BIGINT)").alias("pkn_ppm"),
+        )
+    )
+
+
+def source_divergence(documents: DataFrame) -> DataFrame:
+    """(source, n_tokens, n_types, kl_hb): per-source KL divergence
+    of the source's unigram token distribution from the whole-corpus
+    distribution, in signed HALF-BITS (floor) — the domain-drift
+    number a mixer reads next to mix_temperature: a source whose
+    language matches the corpus scores ~0; jargon/spam/off-language
+    sources score high.
+
+        KL(P_s || Q) = sum_t p_t * log2(p_t / q_t),
+        p_t = c_st / n_s,  q_t = c_t / N
+
+    Per-term weight in half-bits via the squared-DECIMAL bitlen
+    identity on r = (c_st * N) / (n_s * c_t), sign-split because r
+    crosses 1: w = hb(r) for r >= 1, else -hb(1/r) (hb(x) =
+    bitlen(floor(x^2)) - 1 = floor(2*log2 x); the negative branch is
+    -floor rather than ceil — documented, mirrored in the oracle).
+    True KL is >= 0 but the floors can push a near-uniform source a
+    half-bit negative, so the final division is sign-split like
+    kappa's. int64/DECIMAL envelope: num^2 = (c_st * N)^2 must fit
+    DECIMAL(38,0) — fine to N ~ 1e9 tokens per the qpp idf note;
+    shard the rollup beyond that.
+
+    Scale shape: one (source, token) map-side-combined shuffle, one
+    token-keyed shuffle-hash join against the token totals (both
+    sides token-keyed — no vocab-sized broadcast), a broadcast of the
+    |sources|-row totals dim, one source rollup."""
+    tok = documents.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    st = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st"))
+    ct = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_types"))
+    ntot = ct.agg(F.sum("c_t").cast("long").alias("n_tot"))
+    w = (
+        st.join(ct.hint("shuffle_hash"), "t")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(ntot))
+        .withColumn(
+            "_w_hb",
+            F.expr(
+                "CASE WHEN CAST(c_st AS DECIMAL(38,0)) * n_tot"
+                " >= CAST(n_s AS DECIMAL(38,0)) * c_t THEN"
+                " length(bin(CAST("
+                " (CAST(c_st AS DECIMAL(38,0)) * n_tot)"
+                " * (CAST(c_st AS DECIMAL(38,0)) * n_tot)"
+                " DIV ((CAST(n_s AS DECIMAL(38,0)) * c_t)"
+                "      * (CAST(n_s AS DECIMAL(38,0)) * c_t))"
+                " AS BIGINT))) - 1"
+                " ELSE -(length(bin(CAST("
+                " (CAST(n_s AS DECIMAL(38,0)) * c_t)"
+                " * (CAST(n_s AS DECIMAL(38,0)) * c_t)"
+                " DIV ((CAST(c_st AS DECIMAL(38,0)) * n_tot)"
+                "      * (CAST(c_st AS DECIMAL(38,0)) * n_tot))"
+                " AS BIGINT))) - 1) END"),
+        )
+    )
+    return (
+        w.groupBy("source", "n_s", "n_types")
+        .agg(F.sum(F.expr("c_st * _w_hb")).cast("long").alias("_num"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            F.expr(
+                "CASE WHEN _num >= 0 THEN CAST(_num DIV n_s AS BIGINT)"
+                " ELSE -CAST((-_num) DIV n_s AS BIGINT) END"
+            ).alias("kl_hb"),
+        )
+    )

@@ -797,3 +797,44 @@ def champion_lists(
         .filter(F.col("champ_rank") <= int(m))
         .select("term", "doc_id", "tf", "champ_rank")
     )
+
+
+def suggest_topk(
+    documents: DataFrame,
+    k: int = 3,
+    max_prefix: int = 6,
+    min_prefix: int = 1,
+) -> DataFrame:
+    """(prefix, rnk, term, df): query autocompletion — for every term
+    prefix of length min_prefix..max_prefix, the top-k completions by
+    document frequency (ties by term ascending). The search-box
+    counterpart of champion_lists: precomputed, keyed by what the
+    user has TYPED rather than by term.
+
+    Scale shape: the vocabulary (not the corpus) is exploded at most
+    max_prefix-fold, then ONE prefix-partitioned window cut
+    (WindowGroupLimit pushes the k-cut below the sort). Short
+    prefixes are the hot keys, but the group size is bounded by
+    |vocab with that prefix| and the output by k per prefix — no
+    corpus-sized skew. At web vocabularies, drop min_prefix=1 groups
+    downstream if single-letter boxes aren't served; the operator
+    keeps them because the cut bounds the cost anyway."""
+    df_tab = (
+        term_freqs(documents)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    pref = df_tab.select(
+        "term", "df",
+        F.explode(F.expr(
+            f"transform(sequence({int(min_prefix)},"
+            f" least(length(term), {int(max_prefix)})),"
+            " i -> substr(term, 1, i))")).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("df"), F.asc("term"))
+    return (
+        pref.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select("prefix", "rnk", "term", "df")
+    )

@@ -93,7 +93,9 @@ def duck():
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",
      "sched_ucb", "text_novelty", "search_qpp", "dedup_triplets", "dedup_threshold_curve", "search_mincover", "idx_champions", "text_vocab_growth",
      "graph_assortativity", "text_oov_rate", "graph_ktruss", "text_zipf", "emb_health", "cache_hit_curve", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
-     "clf_auc", "text_readability", "text_mojibake"],
+     "clf_auc", "text_readability", "text_mojibake",
+     "lm_kn_bigram", "lm_source_kl", "search_suggest",
+     "search_spell"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

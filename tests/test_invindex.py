@@ -527,3 +527,22 @@ def test_champion_lists_plan(spark):
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_suggest_topk(spark):
+    from barkingowl_spark.operators.invindex import suggest_topk
+
+    rows = [(0, "apple apply banana"), (1, "apple ant banana"),
+            (2, "apple banana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = suggest_topk(df, k=2, max_prefix=3).collect()
+    by_prefix = {}
+    for r in got:
+        by_prefix.setdefault(r["prefix"], []).append(
+            (r["rnk"], r["term"], r["df"]))
+    # 'ap' completions: apple (df 3) then apply (df 1)
+    assert sorted(by_prefix["ap"]) == [(1, "apple", 3), (2, "apply", 1)]
+    # 'a' has three candidates but k=2 cuts: apple(3), ant(1) beats
+    # apply(1) on the term tiebreak
+    assert sorted(by_prefix["a"]) == [(1, "apple", 3), (2, "ant", 1)]
+    assert sorted(by_prefix["ban"]) == [(1, "banana", 3)]

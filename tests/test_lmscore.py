@@ -300,3 +300,44 @@ def test_collocations_match_python(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         collocations(df, min_count=0)
+
+
+def test_kneser_ney_bigram_hand_case(spark):
+    from barkingowl_spark.functions.lmscore import kneser_ney_bigram
+
+    # corpus "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1
+    df = spark.createDataFrame([(0, "a b a b a c")],
+                               "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r.asDict()
+           for r in kneser_ney_bigram(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["c_uw"], ab["c_u"], ab["n1_fwd"], ab["n1_back"]) == \
+        (2, 3, 2, 1)
+    # (4*2-3)*1e6 DIV 12 + 3*2*1*1e6 DIV 36
+    assert ab["pkn_ppm"] == 416_666 + 166_666
+    assert got[("a", "c")]["pkn_ppm"] == 83_333 + 166_666
+    assert got[("b", "a")]["pkn_ppm"] == 625_000 + 125_000
+    # discounted mass + backoff stays a (sub-)distribution per context
+    import collections
+    per_ctx = collections.Counter()
+    for (w1, _), r in got.items():
+        per_ctx[w1] += r["pkn_ppm"]
+    for w1, s in per_ctx.items():
+        assert s <= 1_000_000
+
+
+def test_source_divergence_identical_and_skewed(spark):
+    from barkingowl_spark.functions.lmscore import source_divergence
+
+    rows = [(0, "x x", "s1"), (1, "y y", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in source_divergence(df).collect()}
+    # each source owns its token exclusively: KL = log2(2) = 1 bit
+    assert got["s1"]["kl_hb"] == 2 and got["s2"]["kl_hb"] == 2
+    assert got["s1"]["n_tokens"] == 2 and got["s1"]["n_types"] == 1
+
+    same = spark.createDataFrame(
+        [(0, "x y", "s1"), (1, "x y", "s2")],
+        "doc_id long, text string, source string")
+    got2 = {r["source"]: r["kl_hb"] for r in source_divergence(same).collect()}
+    assert got2 == {"s1": 0, "s2": 0}
