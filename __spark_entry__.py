@@ -1093,6 +1093,32 @@ def q_graph_kcore(spark, sf):
     return kcore_peel(edges, k=4, n_rounds=2)
 
 
+def q_graph_densest(spark, sf):
+    """Parallel densest-subgraph peeling (operators/linkgraph.py::
+    densest_peel, Bahmani-Kumar-Vattani VLDB'12): two rounds of
+    remove-below-(1+eps)-average-degree with per-round density in
+    milli and the best round flagged — the link-farm core finder;
+    thresholds DECIMAL-widened, stats ride a 1-row broadcast, oracle
+    unrolls the same rounds."""
+    from barkingowl_spark.operators.linkgraph import densest_peel
+
+    edges, _ = _synth_edges(spark, sf)
+    return densest_peel(edges, n_rounds=2)
+
+
+def q_emb_matryoshka(spark, sf):
+    """Matryoshka prefix-dimension retrieval audit (operators/
+    similarity.py::matryoshka_recall, Kusupati et al. 2022): top-5
+    recall of 8/16/32-dim prefixes of the integer-quantized
+    embeddings against the full-width dot-product truth — the
+    is-prefix-routing-safe number."""
+    from barkingowl_spark.operators.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        _t(spark, sf, "embeddings"), dims=(8, 16, 32),
+        n_queries=10, k=5)
+
+
 def q_graph_hyperball(spark, sf):
     """HyperBall ball-size table (node, t, ball_est) for t=0..2 —
     per-node HLL registers grown one hop per round, HLL++ linear-
@@ -4296,6 +4322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_source_kl": q_lm_source_kl,
         "search_suggest": q_search_suggest,
         "search_spell": q_search_spell,
+        "graph_densest": q_graph_densest,
+        "emb_matryoshka": q_emb_matryoshka,
         "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -10624,6 +10652,138 @@ def oracle_sql() -> dict[str, str]:
                        AS INTEGER) AS rnk
               FROM v)
             SELECT query, rnk, term, df, dist FROM r WHERE rnk <= 3
+        """,
+        "graph_densest": "WITH " + _EDGES_SQL + """
+            , e0 AS (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+                WHERE src <> dst),
+            d0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                   FROM e0 GROUP BY src),
+            s0 AS (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) AS e2,
+                          CAST(count(*) AS BIGINT) AS n FROM d0),
+            a0 AS (SELECT node FROM d0, s0
+                   WHERE 8::HUGEINT * deg * n > 9::HUGEINT * e2),
+            ee1 AS (SELECT e.src, e.dst FROM e0 e
+                    JOIN a0 x ON x.node = e.src
+                    JOIN a0 y ON y.node = e.dst),
+            d1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                   FROM ee1 GROUP BY src),
+            s1 AS (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) AS e2,
+                          CAST(count(*) AS BIGINT) AS n FROM d1),
+            a1 AS (SELECT node FROM d1, s1
+                   WHERE 8::HUGEINT * deg * n > 9::HUGEINT * e2),
+            ee2 AS (SELECT e.src, e.dst FROM ee1 e
+                    JOIN a1 x ON x.node = e.src
+                    JOIN a1 y ON y.node = e.dst),
+            d2 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                   FROM ee2 GROUP BY src),
+            s2 AS (SELECT CAST(coalesce(sum(deg), 0) AS BIGINT) AS e2,
+                          CAST(count(*) AS BIGINT) AS n FROM d2),
+            u AS (
+              SELECT CAST(0 AS BIGINT) AS round, n AS n_nodes,
+                     CAST(e2 // 2 AS BIGINT) AS n_edges,
+                     CASE WHEN n > 0 THEN CAST(500 * e2 // n AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS density_milli
+              FROM s0
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), n, CAST(e2 // 2 AS BIGINT),
+                     CASE WHEN n > 0 THEN CAST(500 * e2 // n AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END
+              FROM s1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), n, CAST(e2 // 2 AS BIGINT),
+                     CASE WHEN n > 0 THEN CAST(500 * e2 // n AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END
+              FROM s2),
+            mx AS (SELECT max(density_milli) AS m FROM u),
+            br AS (SELECT min(round) AS b FROM u, mx
+                   WHERE density_milli = m)
+            SELECT round, n_nodes, n_edges, density_milli,
+                   round = b AS is_best
+            FROM u, br
+        """,
+        "emb_matryoshka": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(round(CAST(x AS DOUBLE) * 1000)
+                            AS BIGINT)) AS v
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv
+                  FROM v WHERE vec_id < 10),
+            sc AS (
+              SELECT q_id, vec_id,
+                     CAST(list_sum(list_transform(
+                       range(1, len(qv) + 1), i -> qv[i] * v[i]))
+                       AS BIGINT) AS score
+              FROM q, v WHERE q_id != vec_id),
+            t AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, vec_id) AS rnk
+                FROM sc) WHERE rnk <= 5),
+            nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT)
+                     AS n_q FROM t),
+            sc8 AS (
+              SELECT q_id, vec_id,
+                     CAST(list_sum(list_transform(range(1, 9),
+                       i -> qv[i] * v[i])) AS BIGINT) AS score
+              FROM q, v WHERE q_id != vec_id),
+            t8 AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, vec_id) AS rnk
+                FROM sc8) WHERE rnk <= 5),
+            h8 AS (SELECT CAST(count(*) AS BIGINT) AS th
+                   FROM t8 JOIN t USING (q_id, vec_id)),
+            sc16 AS (
+              SELECT q_id, vec_id,
+                     CAST(list_sum(list_transform(range(1, 17),
+                       i -> qv[i] * v[i])) AS BIGINT) AS score
+              FROM q, v WHERE q_id != vec_id),
+            t16 AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, vec_id) AS rnk
+                FROM sc16) WHERE rnk <= 5),
+            h16 AS (SELECT CAST(count(*) AS BIGINT) AS th
+                    FROM t16 JOIN t USING (q_id, vec_id)),
+            sc32 AS (
+              SELECT q_id, vec_id,
+                     CAST(list_sum(list_transform(range(1, 33),
+                       i -> qv[i] * v[i])) AS BIGINT) AS score
+              FROM q, v WHERE q_id != vec_id),
+            t32 AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, vec_id) AS rnk
+                FROM sc32) WHERE rnk <= 5),
+            h32 AS (SELECT CAST(count(*) AS BIGINT) AS th
+                    FROM t32 JOIN t USING (q_id, vec_id))
+            SELECT CAST(8 AS BIGINT) AS dims, n_q,
+                   th AS total_hits,
+                   CASE WHEN n_q > 0 THEN
+                     CAST(1000000 * th // (5 * n_q) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS recall_ppm
+            FROM h8, nq
+            UNION ALL
+            SELECT CAST(16 AS BIGINT), n_q, th,
+                   CASE WHEN n_q > 0 THEN
+                     CAST(1000000 * th // (5 * n_q) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END
+            FROM h16, nq
+            UNION ALL
+            SELECT CAST(32 AS BIGINT), n_q, th,
+                   CASE WHEN n_q > 0 THEN
+                     CAST(1000000 * th // (5 * n_q) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END
+            FROM h32, nq
         """,
         "dsir_sample": """
             WITH tok AS (

@@ -646,3 +646,74 @@ def embedding_health(embeddings: DataFrame) -> DataFrame:
         F.expr("CAST(sum(n2) DIV count(*) AS BIGINT)")
         .alias("avg_norm2"),
     )
+
+
+def _topk_int_dot(vecs: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """(q_id, vec_id, rank) top-k by integer dot over (vec_id, v)."""
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = (
+        F.broadcast(queries)
+        .join(vecs, F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.expr(_DOT).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """(dims, n_q, total_hits, recall_ppm): Matryoshka-style prefix-
+    dimension audit (Kusupati et al., NeurIPS 2022): top-k retrieval
+    quality when only the first `dims` coordinates of every embedding
+    are used, against the full-width integer-dot truth. MRL-trained
+    embedding models front-load information precisely so a pipeline
+    can shard/route on a cheap prefix and rescore on the full vector
+    — this measures whether the corpus's embeddings actually permit
+    that (recall collapses on non-MRL embeddings; then prefix
+    routing is NOT safe).
+
+    recall_ppm = 1e6 * |prefix top-k ∩ full top-k| DIV (k * n_q),
+    one row per prefix width. Scale shape per width: the same
+    broadcast-queries brute-force scan as dot_topk (the baseline
+    path; IVF/PQ are the indexed paths) over vectors SLICED map-side
+    — the scan reads shorter arrays, which is the whole economy MRL
+    promises; the truth set is computed once."""
+    from pyspark.sql.functions import broadcast
+
+    vecs = _quantized(embeddings)
+    truth = _topk_int_dot(vecs, n_queries, k)
+    nq = truth.agg(
+        F.count_distinct("q_id").cast("long").alias("n_q"))
+    frames = []
+    for d in dims:
+        pv = vecs.select(
+            "vec_id", F.expr(f"slice(v, 1, {int(d)})").alias("v"))
+        got = _topk_int_dot(pv, n_queries, k)
+        hits = got.join(truth, ["q_id", "vec_id"], "left_semi")
+        frames.append(
+            hits.agg(F.count(F.lit(1)).cast("long")
+                     .alias("total_hits"))
+            .crossJoin(broadcast(nq))
+            .select(
+                F.lit(int(d)).cast("long").alias("dims"),
+                "n_q", "total_hits",
+                F.expr(f"CASE WHEN n_q > 0 THEN CAST(1000000 *"
+                       f" total_hits DIV ({int(k)} * n_q) AS BIGINT)"
+                       f" ELSE CAST(0 AS BIGINT) END")
+                .alias("recall_ppm"),
+            )
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u

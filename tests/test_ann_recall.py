@@ -136,3 +136,18 @@ def test_embedding_health_mixed_dims_fails(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="mixed dims"):
         embedding_health(emb).collect()
+
+
+def test_matryoshka_recall_monotone_and_exact_at_full_width(spark):
+    from barkingowl_spark.operators.similarity import matryoshka_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    got = {r["dims"]: r["recall_ppm"]
+           for r in matryoshka_recall(
+               emb, dims=(8, 32, dim), n_queries=8, k=5).collect()}
+    # full-width prefix IS the truth
+    assert got[dim] == 1_000_000
+    # wider prefixes should not do worse on these embeddings
+    assert got[8] <= got[32] <= got[dim]
+    assert 0 <= got[8] <= 1_000_000

@@ -793,3 +793,29 @@ def test_ktruss_converged(spark):
     assert set(got.values()) == {1}
     # k=4 demands 2 triangles per edge: nothing here qualifies
     assert ktruss(df, k=4).count() == 0
+
+
+def test_densest_peel_finds_the_clique(spark):
+    from barkingowl_spark.operators.linkgraph import densest_peel
+
+    # a K5 (density 2.0) with a long pendant path hanging off it:
+    # round 0 density is diluted; peeling strips the path (degree <=
+    # average-ish) and the best round converges on the clique
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4 + i, 5 + i) for i in range(1, 20)]
+    df = spark.createDataFrame(k5 + path, "src long, dst long")
+    rows = {r["round"]: r.asDict()
+            for r in densest_peel(df, n_rounds=2).collect()}
+    assert rows[0]["n_nodes"] == 25 and rows[0]["n_edges"] == 29
+    # best round is a later, denser one — and its density is the K5's
+    best = [r for r in rows.values() if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["round"] > 0
+    assert best[0]["density_milli"] == 2000  # 10 edges / 5 nodes
+    assert best[0]["n_nodes"] == 5
+
+    # empty graph: all-zero rows, round 0 flagged best, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    rows0 = densest_peel(empty, n_rounds=1).collect()
+    assert {r["n_nodes"] for r in rows0} == {0}
+    assert sum(1 for r in rows0 if r["is_best"]) == 1
