@@ -1057,6 +1057,17 @@ def q_graph_indegree_skew(spark, sf):
         "n_keys", "total_rows", "max_share_ppm", "gini_ppm")
 
 
+def q_source_hhi(spark, sf):
+    """Corpus-mix concentration pre-flight (operators/ranking.py::
+    concentration_report): Herfindahl-Hirschman index of documents
+    over their source column, exact integer ppm + the 1/HHI
+    effective-source count in milli — the head-weighted companion to
+    graph_indegree_skew's Gini."""
+    from barkingowl_spark.operators.ranking import concentration_report
+
+    return concentration_report(_t(spark, sf, "documents"), ["source"])
+
+
 def q_graph_salsa(spark, sf):
     """SALSA hubs/authorities (operators/linkgraph.py::salsa_fixed,
     Lempel & Moran WWW'00): HITS with random-walk normalization in
@@ -4131,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_triangles": q_graph_triangles,
         "graph_indegree_skew": q_graph_indegree_skew,
+        "source_hhi": q_source_hhi,
         "graph_salsa": q_graph_salsa,
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
@@ -6235,6 +6247,22 @@ def oracle_sql() -> dict[str, str]:
                             * (d.degree - 1))
                         ELSE 0 END AS BIGINT) AS clustering_ppm
             FROM deg d LEFT JOIN pn ON pn.node = d.node
+        """,
+        "source_hhi": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY source),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS t,
+                         CAST(sum(CAST(cnt AS HUGEINT) * cnt)
+                              AS HUGEINT) AS ss
+                  FROM c)
+            SELECT n AS n_keys, t AS total_rows,
+                   CAST(ss * 1000000
+                        // (CAST(t AS HUGEINT) * t) AS BIGINT)
+                       AS hhi_ppm,
+                   CAST(CAST(t AS HUGEINT) * t * 1000 // ss
+                        AS BIGINT) AS eff_keys_milli
+            FROM a
         """,
         "graph_indegree_skew": f"""
             WITH {_EDGES_SQL},

@@ -216,6 +216,45 @@ def skew_report(
     )
 
 
+def concentration_report(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """1 row (n_keys, total_rows, hhi_ppm, eff_keys_milli):
+    Herfindahl-Hirschman concentration of rows over a key — the
+    market-concentration number read next to skew_report's Gini when
+    sizing a shuffle or auditing a corpus mix (HHI weights the HEAD:
+    one source owning half the corpus dominates it regardless of how
+    the tail splits, which max_share sees only if it is the single
+    largest and Gini dilutes across the tail):
+
+        HHI_ppm        = sum(c_k^2) * 1e6  div  T^2
+        eff_keys_milli = T^2 * 1000  div  sum(c_k^2)   (1/HHI, the
+                         "equivalent equal-size sources" count)
+
+    Exact integer floors, DECIMAL(38,0)-widened (sum of squares <=
+    T^2 <= 1e20 at 1e10 rows; *1e6 keeps it inside 38 digits), both
+    mirrored by HUGEINT `//` in the oracle. Scale shape: ONE
+    map-side-combined groupBy over distinct keys + a 1-row aggregate
+    — no ranks, no window, no second shuffle."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"))
+    return (
+        counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_cnt").cast("long").alias("total_rows"),
+            F.sum(F.col("_cnt").cast("decimal(38,0)") * F.col("_cnt"))
+            .alias("_ss"),
+        )
+        .selectExpr(
+            "n_keys", "total_rows",
+            "CAST(_ss * 1000000 DIV (CAST(total_rows AS DECIMAL(38,0))"
+            " * total_rows) AS BIGINT) AS hhi_ppm",
+            "CAST(CAST(total_rows AS DECIMAL(38,0)) * total_rows"
+            " * 1000 DIV _ss AS BIGINT) AS eff_keys_milli",
+        )
+    )
+
+
 def cache_hit_curve(
     requests: DataFrame,
     key_col: str = "key",

@@ -226,3 +226,30 @@ def test_skew_report_matches_python(spark):
     u = spark.createDataFrame([(f"u{i}",) for i in range(10)],
                               "k string")
     assert skew_report(u, ["k"]).collect()[0]["gini_ppm"] == 0
+
+
+def test_concentration_report_matches_python(spark):
+    from barkingowl_spark.operators.ranking import concentration_report
+
+    rows = [(f"k{min(i, 12)}",) for i in range(40)]  # k12 is hot
+    df = spark.createDataFrame(rows, "k string")
+    r = concentration_report(df, ["k"]).collect()[0]
+
+    from collections import Counter
+
+    c = Counter(x for x, in rows)
+    tot = sum(c.values())
+    ss = sum(v * v for v in c.values())
+    assert (r["n_keys"], r["total_rows"]) == (len(c), tot)
+    assert r["hhi_ppm"] == ss * 1_000_000 // (tot * tot)
+    assert r["eff_keys_milli"] == tot * tot * 1000 // ss
+    # one key owns everything -> HHI 1e6, effective count 1.000
+    m = spark.createDataFrame([("k",)] * 7, "k string")
+    one = concentration_report(m, ["k"]).collect()[0]
+    assert one["hhi_ppm"] == 1_000_000
+    assert one["eff_keys_milli"] == 1000
+    # n uniform keys -> effective count n
+    u = spark.createDataFrame([(f"u{i}",) for i in range(10)],
+                              "k string")
+    assert concentration_report(u, ["k"]).collect()[0][
+        "eff_keys_milli"] == 10_000
