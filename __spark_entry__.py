@@ -1937,6 +1937,17 @@ def q_events_asof(spark, sf):
                      right_cols=["event_id"], tie="event_id")
 
 
+def q_events_burstiness(spark, sf):
+    """Per-user inter-arrival burstiness (operators/temporal.py::
+    burstiness, Goh & Barabási 2008): B = (sigma-mu)/(sigma+mu) of
+    the gap distribution in exact integer milli via the shared
+    +/-1-corrected isqrt — clockwork users read -1000, bursty ones
+    positive; the revisit-scheduler's regularity signal."""
+    from barkingowl_spark.operators.temporal import burstiness
+
+    return burstiness(_t(spark, sf, "events"))
+
+
 def q_events_change_audit(spark, sf):
     """Horizon-bounded pair audit (streaming/joins.py::
     pairs_within_horizon — the BATCH face of the watermarked
@@ -4185,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_recrawl_due": q_o1_recrawl_due,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_burstiness": q_events_burstiness,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -8325,6 +8337,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts,
                    b.b.eid AS r_event_id, b.b.ts AS r_ts
             FROM events e LEFT JOIN best b ON b.lid = e.event_id
+        """,
+        "events_burstiness": f"""
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts, event_id))) // 1000000 AS gap
+              FROM events),
+            a AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_gaps,
+                     CAST(sum(gap) AS BIGINT) AS s1,
+                     sum(CAST(gap AS HUGEINT) * gap) AS s2
+              FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+            r AS (
+              SELECT *,
+                     {_isqrt_sql('(CAST(n_gaps AS HUGEINT) * s2'
+                                 ' - CAST(s1 AS HUGEINT) * s1)')} AS rr
+              FROM a)
+            SELECT user_id, n_gaps, s1 AS sum_gap_s,
+                   CASE WHEN rr + s1 = 0 THEN NULL
+                        WHEN rr >= s1 THEN
+                          CAST(1000 * (rr - s1) // (rr + s1) AS BIGINT)
+                        ELSE
+                          CAST(-(1000 * (s1 - rr) // (rr + s1))
+                               AS BIGINT)
+                   END AS burst_milli
+            FROM r
         """,
         "events_change_audit": """
             SELECT f.user_id,

@@ -136,3 +136,83 @@ def interval_join(
         .filter((F.col(t) >= F.col(lo)) & (F.col(t) < F.col(hi)))
         .drop("_b")
     )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, n_gaps, sum_gap_s, burst_milli): Goh-Barabási burstiness
+    (EPL 2008) of the inter-arrival gaps per key,
+
+        B = (sigma - mu) / (sigma + mu)   in [-1, 1),
+
+    the revisit-scheduler's regularity signal: B near -1 means
+    clockwork arrivals (poll at the period and stop probing), B near
+    0 Poisson, B near 1 means bursts (rate-limit by burst, not by
+    mean — the mean gap is a lie). Sessionization reads gaps against
+    a threshold; this reads their SHAPE.
+
+    Integer-exact form: gaps in whole seconds (epoch-micro difference
+    floor-divided by 1e6 — diff first, then floor, identically in the
+    oracle), and with S1 = sum(g), S2 = sum(g^2), R = isqrt(n*S2 -
+    S1^2) = n*sigma the n's cancel:
+
+        burst_milli = 1000 * (R - S1)  div  (R + S1)
+
+    sign-split (Spark DIV truncates, DuckDB // floors — they agree
+    only on non-negatives, so the negative branch is -(1000*(S1-R)
+    DIV (R+S1)), mirrored in the oracle). The shared +/-1-corrected
+    double isqrt is bit-exact for its argument <= 2^52 — per-key
+    n * sum(gap^2) stays inside that for any sane key (1e4 events x
+    1e5-s gaps ~ 1e14); keys beyond it need the gap unit coarsened.
+    Keys with one event have no gaps and are absent; an all-zero-gap
+    key (S1 = 0, R = 0) yields NULL rather than 0/0.
+
+    Scale shape: ONE hash shuffle on the key + a per-key window sort
+    (ts, id tiebreak — gap multiset is tie-order invariant, the
+    tiebreak is pure determinism), then a map-side-combined groupBy
+    on the SAME key — no second exchange; the isqrt correction runs
+    post-aggregate on one row per key."""
+    from barkingowl_spark.operators.mix import _isqrt
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gaps = (
+        events.select(key_col, ts_col, id_col)
+        .withColumn("_prev", F.lag(F.col(ts_col)).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            key_col,
+            # cast("timestamp") accepts TIMESTAMP_NTZ sources too —
+            # offset-free because the session timezone is pinned UTC
+            ((F.unix_micros(F.col(ts_col).cast("timestamp"))
+              - F.unix_micros(F.col("_prev").cast("timestamp")))
+             .cast("long") / F.lit(1_000_000))
+            .cast("long").alias("_gap"),
+        )
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_s1"),
+        F.sum(F.col("_gap").cast("decimal(38,0)") * F.col("_gap"))
+        .alias("_s2"),
+    )
+    rr = _isqrt(
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s1").cast("decimal(38,0)") * F.col("_s1"))
+    return (
+        agg.withColumn("_r", rr)
+        .select(
+            key_col,
+            "n_gaps",
+            F.col("_s1").alias("sum_gap_s"),
+            F.when(F.col("_r") + F.col("_s1") == 0, F.lit(None))
+            .when(
+                F.col("_r") >= F.col("_s1"),
+                F.expr("1000 * (_r - _s1) DIV (_r + _s1)"))
+            .otherwise(F.expr("-(1000 * (_s1 - _r) DIV (_r + _s1))"))
+            .cast("long").alias("burst_milli"),
+        )
+    )

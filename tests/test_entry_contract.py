@@ -95,7 +95,8 @@ def duck():
      "graph_assortativity", "text_oov_rate", "graph_ktruss", "text_zipf", "emb_health", "cache_hit_curve", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
      "clf_auc", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
-     "search_spell", "graph_densest", "emb_matryoshka"],
+     "search_spell", "graph_densest", "emb_matryoshka",
+     "events_burstiness"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

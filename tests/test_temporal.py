@@ -1,12 +1,17 @@
 """Temporal joins (operators/temporal.py): as-of (backward/forward,
 ties, no-match) and bucketed interval join, pinned against independent
-Python reimplementations and a brute-force range join."""
+Python reimplementations and a brute-force range join; Goh-Barabási
+burstiness pinned against exact math.isqrt integer arithmetic."""
 
 from __future__ import annotations
 
+import datetime as dt
+import math
+
 import pytest
 
-from barkingowl_spark.operators.temporal import asof_join, interval_join
+from barkingowl_spark.operators.temporal import (
+    asof_join, burstiness, interval_join)
 
 LEFT = [  # (key, ts, lid)
     ("a", 10, 1), ("a", 20, 2), ("a", 20, 3), ("a", 5, 4),
@@ -82,3 +87,65 @@ def test_interval_join_matches_brute(spark):
     with pytest.raises(ValueError):
         interval_join(p, i, key="key", t="t", lo="lo", hi="hi",
                       bucket_width=0)
+
+
+def _py_burst(rows):
+    """Exact-integer reference: gaps in whole seconds per key over
+    (ts, id)-sorted events; burst_milli via math.isqrt (exact, unlike
+    the pipeline's corrected double isqrt — agreement on the test
+    domain is the point of the test)."""
+    by_key = {}
+    for k, ts, eid in rows:
+        by_key.setdefault(k, []).append((ts, eid))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        us = [int(t.replace(tzinfo=dt.timezone.utc).timestamp()
+                  * 1_000_000) for t, _ in evs]
+        gaps = [(b - a) // 1_000_000 for a, b in zip(us, us[1:])]
+        if not gaps:
+            continue
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        r = math.isqrt(n * s2 - s1 * s1)
+        if r + s1 == 0:
+            bm = None
+        elif r >= s1:
+            bm = 1000 * (r - s1) // (r + s1)
+        else:
+            bm = -((1000 * (s1 - r)) // (r + s1))
+        out[k] = (n, s1, bm)
+    return out
+
+
+def test_burstiness_matches_python(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # clockwork: equal 60s gaps -> sigma=0 -> B = -1 exactly
+        *[("clock", t0 + dt.timedelta(seconds=60 * i), i)
+          for i in range(5)],
+        # bursty: three 1s gaps then one 10000s gap -> B near +1
+        ("burst", t0, 10), ("burst", t0 + dt.timedelta(seconds=1), 11),
+        ("burst", t0 + dt.timedelta(seconds=2), 12),
+        ("burst", t0 + dt.timedelta(seconds=3), 13),
+        ("burst", t0 + dt.timedelta(seconds=10003), 14),
+        # irregular mix incl. a sub-second (floor-to-0) gap
+        ("mix", t0, 20),
+        ("mix", t0 + dt.timedelta(milliseconds=400), 21),
+        ("mix", t0 + dt.timedelta(seconds=7), 22),
+        ("mix", t0 + dt.timedelta(seconds=100), 23),
+        # duplicate timestamps only -> all-zero gaps -> NULL
+        ("zero", t0, 30), ("zero", t0, 31), ("zero", t0, 32),
+        # single event -> no gaps -> absent from output
+        ("lone", t0, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long")
+    got = {r["user_id"]: (r["n_gaps"], r["sum_gap_s"], r["burst_milli"])
+           for r in burstiness(df).collect()}
+    assert got == _py_burst(rows)
+    assert "lone" not in got
+    assert got["clock"][2] == -1000          # sigma=0 -> exactly -1
+    assert got["zero"][2] is None            # 0/0 guarded
+    # gaps [1,1,1,10000]: sigma/mu = 17318/10003 -> B = +0.267
+    assert got["burst"][2] == 267
