@@ -4097,6 +4097,93 @@ def q_graph_communities(spark, sf):
     return label_propagation(he, n_iter=4)
 
 
+def q_graph_modularity(spark, sf):
+    """Partition-quality audit of the LPA host communities
+    (operators/linkgraph.py::community_stats, Newman-Girvan PNAS
+    2004): per-community modularity contribution q_ppm (sign-split
+    DECIMAL div) + conductance — one groupBy(community) after two
+    endpoint-tagging joins, grand total on a 1-row broadcast."""
+    from barkingowl_spark.operators.linkgraph import (
+        community_stats,
+        label_propagation,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    edges, _ = _synth_edges(spark, sf)
+    he = (
+        edges
+        .join(d.select(F.col("doc_id").alias("src"),
+                       F.col("source").alias("src_host")), "src")
+        .join(d.select(F.col("doc_id").alias("dst"),
+                       F.col("source").alias("dst_host")), "dst")
+        .select(F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    return community_stats(he, label_propagation(he, n_iter=4))
+
+
+# 4 synchronous LPA rounds over the distinct undirected host graph —
+# shared CTE prefix of the graph_communities / graph_modularity oracles
+# (expects an `edges` CTE in scope; yields he/nodes/und/l4).
+_LPA4_SQL = """
+            he AS (SELECT DISTINCT ds.source AS src, dd.source AS dst
+                   FROM edges e
+                   JOIN documents ds ON ds.doc_id = e.src
+                   JOIN documents dd ON dd.doc_id = e.dst),
+            nodes AS (SELECT src AS node FROM he
+                      UNION SELECT dst FROM he),
+            und AS (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM he
+                      UNION ALL SELECT dst, src FROM he)
+                    WHERE src <> dst),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l0 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p1 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v1)
+                     WHERE rn = 1),
+            l1 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p1 p USING (node)),
+            v2 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l1 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p2 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v2)
+                     WHERE rn = 1),
+            l2 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p2 p USING (node)),
+            v3 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l2 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p3 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v3)
+                     WHERE rn = 1),
+            l3 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p3 p USING (node)),
+            v4 AS (SELECT u.dst AS node, l.label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                     FROM und u JOIN l3 l ON l.node = u.src
+                     GROUP BY u.dst, l.label),
+            p4 AS (SELECT node, label FROM (
+                       SELECT node, label, row_number() OVER (
+                         PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn FROM v4)
+                     WHERE rn = 1),
+            l4 AS (SELECT n.node, coalesce(p.label, n.node) AS label
+                     FROM nodes n LEFT JOIN p4 p USING (node))"""
+
+
 def q_density_labels(spark, sf):
     """Per-line density labels (functions/densitytext.py::line_density,
     boilerpipe/jusText shallow features): LONG lines are content, SHORT
@@ -4377,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocite": q_graph_cocite,
         "mix_stratified": q_mix_stratified,
         "graph_communities": q_graph_communities,
+        "graph_modularity": q_graph_modularity,
         "density_labels": q_density_labels,
         "density_clean": q_density_clean,
     }
@@ -9000,66 +9088,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_communities": f"""
             WITH {_EDGES_SQL},
-            he AS (SELECT DISTINCT ds.source AS src, dd.source AS dst
-                   FROM edges e
-                   JOIN documents ds ON ds.doc_id = e.src
-                   JOIN documents dd ON dd.doc_id = e.dst),
-            nodes AS (SELECT src AS node FROM he
-                      UNION SELECT dst FROM he),
-            und AS (SELECT DISTINCT src, dst FROM (
-                      SELECT src, dst FROM he
-                      UNION ALL SELECT dst, src FROM he)
-                    WHERE src <> dst),
-            l0 AS (SELECT node, node AS label FROM nodes),
-            v1 AS (SELECT u.dst AS node, l.label,
-                         CAST(count(*) AS BIGINT) AS cnt
-                     FROM und u JOIN l0 l ON l.node = u.src
-                     GROUP BY u.dst, l.label),
-            p1 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node
-                         ORDER BY cnt DESC, label) AS rn FROM v1)
-                     WHERE rn = 1),
-            l1 AS (SELECT n.node, coalesce(p.label, n.node) AS label
-                     FROM nodes n LEFT JOIN p1 p USING (node)),
-            v2 AS (SELECT u.dst AS node, l.label,
-                         CAST(count(*) AS BIGINT) AS cnt
-                     FROM und u JOIN l1 l ON l.node = u.src
-                     GROUP BY u.dst, l.label),
-            p2 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node
-                         ORDER BY cnt DESC, label) AS rn FROM v2)
-                     WHERE rn = 1),
-            l2 AS (SELECT n.node, coalesce(p.label, n.node) AS label
-                     FROM nodes n LEFT JOIN p2 p USING (node)),
-            v3 AS (SELECT u.dst AS node, l.label,
-                         CAST(count(*) AS BIGINT) AS cnt
-                     FROM und u JOIN l2 l ON l.node = u.src
-                     GROUP BY u.dst, l.label),
-            p3 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node
-                         ORDER BY cnt DESC, label) AS rn FROM v3)
-                     WHERE rn = 1),
-            l3 AS (SELECT n.node, coalesce(p.label, n.node) AS label
-                     FROM nodes n LEFT JOIN p3 p USING (node)),
-            v4 AS (SELECT u.dst AS node, l.label,
-                         CAST(count(*) AS BIGINT) AS cnt
-                     FROM und u JOIN l3 l ON l.node = u.src
-                     GROUP BY u.dst, l.label),
-            p4 AS (SELECT node, label FROM (
-                       SELECT node, label, row_number() OVER (
-                         PARTITION BY node
-                         ORDER BY cnt DESC, label) AS rn FROM v4)
-                     WHERE rn = 1),
-            l4 AS (SELECT n.node, coalesce(p.label, n.node) AS label
-                     FROM nodes n LEFT JOIN p4 p USING (node)),
+            {_LPA4_SQL},
             sz AS (SELECT label,
                           CAST(count(*) AS BIGINT) AS community_size
                    FROM l4 GROUP BY label)
             SELECT l4.node, l4.label AS community, sz.community_size
             FROM l4 JOIN sz USING (label)
+        """,
+        "graph_modularity": f"""
+            WITH {_EDGES_SQL},
+            {_LPA4_SQL},
+            tagged AS (SELECT u.src, u.dst, ls.label AS c_src,
+                              ld.label AS c_dst
+                       FROM und u
+                       JOIN l4 ls ON ls.node = u.src
+                       JOIN l4 ld ON ld.node = u.dst),
+            per AS (SELECT c_src AS community,
+                           CAST(count(*) AS BIGINT) AS volume,
+                           CAST(sum(CASE WHEN c_src = c_dst
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                               AS internal_pairs
+                    FROM tagged GROUP BY c_src),
+            csz AS (SELECT label AS community,
+                           CAST(count(*) AS BIGINT) AS n_nodes
+                    FROM l4 GROUP BY label),
+            tot AS (SELECT CAST(coalesce(sum(volume), 0) AS BIGINT)
+                               AS m2 FROM per),
+            j AS (SELECT s.community, s.n_nodes,
+                         CAST(coalesce(p.volume, 0) AS BIGINT)
+                             AS volume,
+                         CAST(coalesce(p.internal_pairs, 0) AS BIGINT)
+                             AS internal_pairs,
+                         CAST(coalesce(p.volume, 0)
+                              - coalesce(p.internal_pairs, 0)
+                              AS BIGINT) AS cut_pairs,
+                         t.m2,
+                         CAST(coalesce(p.internal_pairs, 0) AS HUGEINT)
+                             * t.m2
+                         - CAST(coalesce(p.volume, 0) AS HUGEINT)
+                             * coalesce(p.volume, 0) AS qn
+                  FROM csz s LEFT JOIN per p USING (community)
+                  CROSS JOIN tot t)
+            SELECT community, n_nodes, volume, internal_pairs,
+                   cut_pairs,
+                   CASE WHEN least(volume, m2 - volume) > 0
+                        THEN CAST(1000000 * cut_pairs
+                                  // least(volume, m2 - volume)
+                                  AS BIGINT)
+                        ELSE NULL END AS conductance_ppm,
+                   CASE WHEN m2 = 0 THEN NULL
+                        WHEN qn >= 0 THEN CAST(
+                            (1000000 * qn)
+                            // (CAST(m2 AS HUGEINT) * m2) AS BIGINT)
+                        ELSE CAST(-((1000000 * (-qn))
+                            // (CAST(m2 AS HUGEINT) * m2)) AS BIGINT)
+                   END AS q_ppm
+            FROM j
         """,
         "density_labels": """
             WITH lines0 AS (

@@ -1350,3 +1350,93 @@ def densest_peel(
             (F.col("round") == F.col("_br")).alias("is_best"),
         )
     )
+
+
+def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(community, n_nodes, volume, internal_pairs, cut_pairs,
+    conductance_ppm, q_ppm): partition-quality audit of a community
+    assignment over the undirected simple graph — Newman-Girvan
+    modularity (PNAS 2004) decomposed per community, plus each
+    community's conductance. The is-this-partition-real check behind
+    label_propagation: a link-farm "community" shows near-zero
+    conductance and an outsized q_ppm; a noise label shows
+    conductance near 1e6 and q_ppm <= 0.
+
+    With directed-pair counts (und holds both directions; M2 = 2|E|,
+    vol_c = sum of member degrees, in_c = 2 x internal edges):
+
+        Q = sum_c (in_c * M2 - vol_c^2) / M2^2
+        phi(c) = cut_c / min(vol_c, M2 - vol_c),  cut_c = vol_c - in_c
+
+    q_ppm is each community's floored ppm contribution (sign-split:
+    Spark DIV truncates, DuckDB // floors — they agree only on
+    non-negatives; q_num < 0 happens whenever a community's degree
+    mass exceeds its internal density). Global modularity =
+    sum(q_ppm) up to one ppm floor error per community — deterministic
+    and engine-portable, which exact rationals are not. conductance is
+    non-negative so a single DIV suffices; NULL when the community has
+    no edge mass (isolated or self-loop-only nodes) or spans the whole
+    graph (M2 - vol = 0). Products are DECIMAL(38,0)-widened:
+    in_c * M2 overflows int64 at ~10^9.5 directed pairs, and 1e6 x
+    M2^2 stays inside DECIMAL(38) to M2 ~ 1e15.
+
+    Scale shape: two label-broadcast-or-shuffle hash joins tag the
+    endpoint communities (one shuffle each on src/dst), then ONE
+    map-side-combined groupBy(community); the grand total rides a
+    1-row broadcast crossJoin (densest_peel's idiom) — no driver
+    collect, no per-community loop."""
+    from pyspark.sql.functions import broadcast
+
+    und = _undirected_simple(edges)
+    lab = labels.select("node", "community")
+    tagged = (
+        und.join(
+            lab.select(F.col("node").alias("src"),
+                       F.col("community").alias("_c_src")), "src")
+        .join(
+            lab.select(F.col("node").alias("dst"),
+                       F.col("community").alias("_c_dst")), "dst")
+    )
+    per = tagged.groupBy(F.col("_c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum((F.col("_c_src") == F.col("_c_dst")).cast("long"))
+        .cast("long").alias("internal_pairs"),
+    )
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    tot = per.agg(
+        F.coalesce(F.sum("volume"), F.lit(0)).cast("long").alias("m2"))
+    j = (
+        sizes.join(per, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+            F.coalesce("internal_pairs", F.lit(0)).cast("long")
+            .alias("internal_pairs"),
+        )
+        .crossJoin(broadcast(tot))
+        .withColumn(
+            "cut_pairs",
+            (F.col("volume") - F.col("internal_pairs")).cast("long"))
+        .withColumn(
+            "_qn",
+            F.expr("CAST(internal_pairs AS DECIMAL(38,0)) * m2"
+                   " - CAST(volume AS DECIMAL(38,0)) * volume"))
+    )
+    return j.select(
+        "community", "n_nodes", "volume", "internal_pairs", "cut_pairs",
+        F.when(
+            F.least(F.col("volume"), F.col("m2") - F.col("volume")) > 0,
+            F.expr("1000000 * cut_pairs"
+                   " DIV least(volume, m2 - volume)"),
+        ).cast("long").alias("conductance_ppm"),
+        F.when(F.col("m2") == 0, F.lit(None))
+        .when(
+            F.col("_qn") >= 0,
+            F.expr("(CAST(1000000 AS DECIMAL(38,0)) * _qn)"
+                   " DIV (CAST(m2 AS DECIMAL(38,0)) * m2)"))
+        .otherwise(
+            F.expr("-((CAST(1000000 AS DECIMAL(38,0)) * (-_qn))"
+                   " DIV (CAST(m2 AS DECIMAL(38,0)) * m2))"))
+        .cast("long").alias("q_ppm"),
+    )

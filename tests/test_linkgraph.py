@@ -819,3 +819,81 @@ def test_densest_peel_finds_the_clique(spark):
     rows0 = densest_peel(empty, n_rounds=1).collect()
     assert {r["n_nodes"] for r in rows0} == {0}
     assert sum(1 for r in rows0 if r["is_best"]) == 1
+
+
+def _ref_community_stats(und_pairs, labels):
+    """Exact-integer reference: und_pairs = directed pair set (both
+    directions, no self-loops), labels = {node: community}."""
+    m2 = len(und_pairs)
+    vol, inn = Counter(), Counter()
+    for s, d in und_pairs:
+        vol[labels[s]] += 1
+        if labels[s] == labels[d]:
+            inn[labels[s]] += 1
+    out = {}
+    for c in sorted(set(labels.values())):
+        v, i = vol[c], inn[c]
+        cut = v - i
+        den = min(v, m2 - v)
+        cond = 1_000_000 * cut // den if den > 0 else None
+        qn = i * m2 - v * v
+        if m2 == 0:
+            q = None
+        elif qn >= 0:
+            q = 1_000_000 * qn // (m2 * m2)
+        else:
+            q = -((1_000_000 * -qn) // (m2 * m2))
+        n_nodes = sum(1 for x in labels.values() if x == c)
+        out[c] = (n_nodes, v, i, cut, cond, q)
+    return out
+
+
+def test_community_stats_two_triangles(spark):
+    from barkingowl_spark.operators.linkgraph import community_stats
+
+    # two triangles + one bridge + a self-loop-only node
+    e = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (7, 7)]
+    labels = {1: 10, 2: 10, 3: 10, 4: 20, 5: 20, 6: 20, 7: 30}
+    und = {(a, b) for a, b in e if a != b} | {
+        (b, a) for a, b in e if a != b}
+    edges = spark.createDataFrame(e, "src long, dst long")
+    lab = spark.createDataFrame(
+        sorted(labels.items()), "node long, community long")
+    got = {
+        r["community"]: (r["n_nodes"], r["volume"], r["internal_pairs"],
+                         r["cut_pairs"], r["conductance_ppm"], r["q_ppm"])
+        for r in community_stats(edges, lab).collect()
+    }
+    assert got == _ref_community_stats(und, labels)
+    # hand values: M2=14, each triangle vol=7 in=6 cut=1
+    assert got[10] == (3, 7, 6, 1, 142857, 178571)
+    assert got[30] == (1, 0, 0, 0, None, 0)
+    # modularity of the 2-triangle split: 2*178571 ppm ~ 0.357 (exact
+    # rational 5/14) -- a good partition scores well clear of zero
+    assert sum(v[5] for v in got.values()) == 357142
+
+
+def test_community_stats_negative_q_and_whole_graph(spark):
+    from barkingowl_spark.operators.linkgraph import community_stats
+
+    # star: center 0, leaves 1..4. Partition A = {0} (hub only, all
+    # cut, qn = 0*8 - 16 < 0 -> negative contribution), B = leaves.
+    e = [(0, i) for i in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    lab = spark.createDataFrame(
+        [(0, 1)] + [(i, 2) for i in (1, 2, 3, 4)],
+        "node long, community long")
+    got = {
+        r["community"]: (r["volume"], r["internal_pairs"],
+                         r["conductance_ppm"], r["q_ppm"])
+        for r in community_stats(edges, lab).collect()
+    }
+    # M2=8: hub vol=4 in=0 -> qn=-16, q_ppm=-(16e6//64)=-250000
+    assert got[1] == (4, 0, 1_000_000, -250000)
+    assert got[2] == (4, 0, 1_000_000, -250000)
+    # single community spanning everything: m2 - vol = 0 -> cond NULL
+    one = spark.createDataFrame(
+        [(i, 9) for i in range(5)], "node long, community long")
+    g1 = community_stats(edges, one).collect()
+    assert len(g1) == 1 and g1[0]["conductance_ppm"] is None
+    assert g1[0]["q_ppm"] == 0    # qn = 8*8 - 64 = 0
