@@ -1948,6 +1948,18 @@ def q_events_burstiness(spark, sf):
     return burstiness(_t(spark, sf, "events"))
 
 
+def q_events_periodicity(spark, sf):
+    """Per-user event-rate autocorrelation at fixed hour-bucket lags
+    (operators/temporal.py::periodicity): r(lag) in sign-split floored
+    milli over the densified per-bucket count series — the CYCLE face
+    of the revisit-scheduler signal pair (burstiness reads gap shape;
+    a high r at lag 24 on hour buckets means a daily rhythm worth
+    phase-aligning revisits to)."""
+    from barkingowl_spark.operators.temporal import periodicity
+
+    return periodicity(_t(spark, sf, "events"), lags=(1, 2, 3, 6, 12, 24))
+
+
 def q_events_change_audit(spark, sf):
     """Horizon-bounded pair audit (streaming/joins.py::
     pairs_within_horizon — the BATCH face of the watermarked
@@ -4284,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_burstiness": q_events_burstiness,
+        "events_periodicity": q_events_periodicity,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -8453,6 +8466,51 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_periodicity": """
+            WITH c AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS t,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            sp AS (
+              SELECT user_id, min(t) AS tmin, max(t) AS tmax,
+                     CAST(sum(x) AS BIGINT) AS s,
+                     CAST(max(t) - min(t) + 1 AS BIGINT) AS n
+              FROM c GROUP BY user_id
+              HAVING max(t) - min(t) + 1 BETWEEN 2 AND 4096),
+            d AS (
+              SELECT user_id, n, s,
+                     unnest(generate_series(tmin, tmax)) AS t
+              FROM sp),
+            xs AS (
+              SELECT d.user_id, d.n, d.t,
+                     CAST(d.n * coalesce(c.x, 0) - d.s AS BIGINT) AS xc
+              FROM d LEFT JOIN c
+                ON c.user_id = d.user_id AND c.t = d.t),
+            den AS (
+              SELECT user_id, any_value(n) AS n_buckets,
+                     sum(CAST(xc AS HUGEINT) * xc) AS den
+              FROM xs GROUP BY user_id),
+            lags(lag) AS (VALUES (1),(2),(3),(6),(12),(24)),
+            num AS (
+              SELECT a.user_id, l.lag,
+                     sum(CAST(a.xc AS HUGEINT) * b.xc) AS num
+              FROM xs a
+              CROSS JOIN lags l
+              LEFT JOIN xs b
+                ON b.user_id = a.user_id AND b.t = a.t + l.lag
+              GROUP BY a.user_id, l.lag)
+            SELECT n.user_id, CAST(n.lag AS BIGINT) AS lag,
+                   d.n_buckets,
+                   CASE WHEN d.den > 0 AND n.num IS NOT NULL THEN
+                     CASE WHEN n.num >= 0
+                          THEN CAST(1000 * n.num // d.den AS BIGINT)
+                          ELSE CAST(-((1000 * -n.num) // d.den)
+                                    AS BIGINT)
+                     END
+                   END AS r_milli
+            FROM num n JOIN den d USING (user_id)
         """,
         "events_change_audit": """
             SELECT f.user_id,

@@ -216,3 +216,117 @@ def burstiness(
             .cast("long").alias("burst_milli"),
         )
     )
+
+
+def periodicity(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24),
+    bucket_s: int = 3600,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(key, lag, n_buckets, r_milli): integer sample autocorrelation
+    of the per-key event-count series at fixed lags — the
+    periodicity face of the revisit-scheduler signal pair
+    (burstiness reads the gap SHAPE; this reads the CYCLE: r high at
+    lag 24 on hour buckets = daily rhythm -> schedule revisits on the
+    phase, r flat = no cycle -> fall back to the Poisson rate).
+
+    Series: x_t = events in bucket t (t = epoch_us DIV bucket_us,
+    non-negative timestamps assumed), densified over the key's
+    observed span [tmin, tmax] (missing buckets are real zeros).
+    Centering without rationals: X_t = n*x_t - S (n = span length,
+    S = total events) is n times the centered series, and the n's
+    cancel in the ratio
+
+        r(lag) = sum_t X_t * X_{t+lag}  /  sum_t X_t^2   in [-1, 1]
+
+    reported in sign-split floored milli (Spark DIV truncates,
+    DuckDB // floors; they agree on non-negatives). NULL when the
+    denominator is 0 (a perfectly uniform series: every X_t = 0) or
+    the lag has no overlap (lag >= n). Products DECIMAL(38,0)-widened:
+    X_t ~ n * x_max already overflows int64 squared at x_max ~ 3e4
+    per bucket with n = 4096.
+
+    Keys spanning fewer than 2 or more than max_span buckets are
+    dropped (a span cap is what bounds the densified row count —
+    sum of spans <= keys * max_span; an unbounded sequence() explode
+    is the non-scalable shape this cap exists to forbid).
+
+    Scale shape: counts roll up map-side on (key, t); the span stats
+    and the final sums are groupBys on key; densification is an
+    explode of sequence(tmin, tmax) left-joined back to the counts on
+    (key, t); all L lags ride ONE window sort (L lead columns over
+    the same (key, t) ordering), then one explode turns the per-key
+    row into L output rows — no per-lag pass over the data."""
+    if not lags or any(int(x) < 1 for x in lags):
+        raise ValueError("lags must be positive")
+    if max_span < 2:
+        raise ValueError("max_span must be >= 2")
+    bucket_us = int(bucket_s) * 1_000_000
+    counts = (
+        events.select(
+            key_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .withColumn("_t", F.expr(f"_us DIV {bucket_us}"))
+        .groupBy(key_col, "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_x"))
+    )
+    spans = (
+        counts.groupBy(key_col)
+        .agg(
+            F.min("_t").alias("_tmin"),
+            F.max("_t").alias("_tmax"),
+            F.sum("_x").cast("long").alias("_s"),
+        )
+        .withColumn("_n", (F.col("_tmax") - F.col("_tmin") + 1)
+                    .cast("long"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_span)))
+    )
+    dense = (
+        spans.select(
+            key_col, "_n", "_s",
+            F.explode(F.sequence("_tmin", "_tmax")).alias("_t"))
+        .join(counts, [key_col, "_t"], "left")
+        .select(
+            key_col, "_n", "_t",
+            (F.col("_n") * F.coalesce("_x", F.lit(0)) - F.col("_s"))
+            .cast("long").alias("_X"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("_t")
+    led = dense.select(
+        key_col, "_n", "_X",
+        *[F.lead("_X", int(l)).over(w).alias(f"_l{l}") for l in lags],
+    )
+    xd = F.col("_X").cast("decimal(38,0)")
+    agg = led.groupBy(key_col).agg(
+        F.first("_n").alias("n_buckets"),
+        F.sum(xd * F.col("_X")).alias("_den"),
+        *[F.sum(xd * F.col(f"_l{l}")).alias(f"_num{l}") for l in lags],
+    )
+    stacked = agg.select(
+        key_col, "n_buckets", "_den",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(int(l)).cast("long").alias("lag"),
+                F.col(f"_num{l}").alias("_num"),
+            ) for l in lags
+        ])).alias("_e"),
+    ).select(key_col, F.col("_e.lag").alias("lag"), "n_buckets",
+             "_den", F.col("_e._num").alias("_num"))
+    return stacked.select(
+        key_col, "lag", "n_buckets",
+        F.when(
+            (F.col("_den") > 0) & F.col("_num").isNotNull(),
+            F.when(
+                F.col("_num") >= 0,
+                F.expr("(CAST(1000 AS DECIMAL(38,0)) * _num)"
+                       " DIV _den"))
+            .otherwise(
+                F.expr("-((CAST(1000 AS DECIMAL(38,0)) * (-_num))"
+                       " DIV _den)")),
+        ).cast("long").alias("r_milli"),
+    )

@@ -96,7 +96,8 @@ def duck():
      "clf_auc", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "graph_densest", "emb_matryoshka",
-     "events_burstiness", "graph_modularity"],
+     "events_burstiness", "graph_modularity",
+     "events_periodicity"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -149,3 +149,80 @@ def test_burstiness_matches_python(spark):
     assert got["zero"][2] is None            # 0/0 guarded
     # gaps [1,1,1,10000]: sigma/mu = 17318/10003 -> B = +0.267
     assert got["burst"][2] == 267
+
+
+def _py_periodicity(rows, lags, bucket_s=3600, max_span=4096):
+    by_key = {}
+    for k, ts, _ in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000)
+        by_key.setdefault(k, []).append(us // (bucket_s * 1_000_000))
+    out = {}
+    for k, ts_buckets in by_key.items():
+        c = {}
+        for t in ts_buckets:
+            c[t] = c.get(t, 0) + 1
+        tmin, tmax = min(c), max(c)
+        n, s = tmax - tmin + 1, len(ts_buckets)
+        if not (2 <= n <= max_span):
+            continue
+        x = [n * c.get(t, 0) - s for t in range(tmin, tmax + 1)]
+        den = sum(v * v for v in x)
+        for lag in lags:
+            num = (sum(x[t] * x[t + lag] for t in range(n - lag))
+                   if lag < n else None)
+            if den == 0 or num is None:
+                r = None
+            elif num >= 0:
+                r = 1000 * num // den
+            else:
+                r = -((1000 * -num) // den)
+            out[(k, lag)] = (n, r)
+    return out
+
+
+def test_periodicity_matches_python(spark):
+    from barkingowl_spark.operators.temporal import periodicity
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # daily cycle: burst at hour 0 of each of 10 days
+    for d in range(10):
+        for i in range(3):
+            rows.append(("daily", t0 + dt.timedelta(days=d, minutes=i),
+                         d * 10 + i))
+    # uniform 2/hour for 48h: X all zero -> den 0 -> NULL
+    for h in range(48):
+        rows.append(("flat", t0 + dt.timedelta(hours=h), 1000 + h))
+        rows.append(("flat", t0 + dt.timedelta(hours=h, minutes=30),
+                     2000 + h))
+    # alternating 3,1 per hour: r(1) << 0, r(2) >> 0
+    for h in range(24):
+        for i in range(3 if h % 2 == 0 else 1):
+            rows.append(("alt", t0 + dt.timedelta(hours=h, minutes=i),
+                         3000 + h * 10 + i))
+    rows.append(("lone", t0, 9999))   # single bucket -> dropped
+    lags = (1, 2, 3, 6, 12, 24)
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long")
+    got = {(r["user_id"], r["lag"]): (r["n_buckets"], r["r_milli"])
+           for r in periodicity(df, lags=lags).collect()}
+    assert got == _py_periodicity(rows, lags)
+    assert not any(k[0] == "lone" for k in got)
+    assert got[("daily", 24)][1] > 800       # daily rhythm detected
+    assert got[("flat", 1)][1] is None       # uniform -> undefined
+    assert got[("alt", 1)][1] < -900         # anti-phase at lag 1
+    assert got[("alt", 2)][1] > 900          # in-phase at lag 2
+
+
+def test_periodicity_validates(spark):
+    from barkingowl_spark.operators.temporal import periodicity
+
+    df = spark.createDataFrame(
+        [], "user_id string, ts timestamp, event_id long")
+    with pytest.raises(ValueError):
+        periodicity(df, lags=())
+    with pytest.raises(ValueError):
+        periodicity(df, lags=(0, 1))
+    with pytest.raises(ValueError):
+        periodicity(df, max_span=1)
