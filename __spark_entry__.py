@@ -1960,6 +1960,19 @@ def q_events_periodicity(spark, sf):
     return periodicity(_t(spark, sf, "events"), lags=(1, 2, 3, 6, 12, 24))
 
 
+def q_events_anomaly(spark, sf):
+    """Hampel/MAD anomalous hours per user (operators/temporal.py::
+    mad_anomalies, Davies & Gather 1993): buckets of the densified
+    per-hour count series where 1000*|x - low-median| > 4450 * MAD —
+    the robust telemetry gate whose threshold one spike cannot drag
+    the way it drags mean/stddev; MAD == 0 degenerates to
+    any-deviation-flags (a dead-flat host suddenly bursting IS the
+    signal)."""
+    from barkingowl_spark.operators.temporal import mad_anomalies
+
+    return mad_anomalies(_t(spark, sf, "events"))
+
+
 def q_events_change_audit(spark, sf):
     """Horizon-bounded pair audit (streaming/joins.py::
     pairs_within_horizon — the BATCH face of the watermarked
@@ -4297,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_burstiness": q_events_burstiness,
         "events_periodicity": q_events_periodicity,
+        "events_anomaly": q_events_anomaly,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -8511,6 +8525,48 @@ def oracle_sql() -> dict[str, str]:
                      END
                    END AS r_milli
             FROM num n JOIN den d USING (user_id)
+        """,
+        "events_anomaly": """
+            WITH c AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS t,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            sp AS (
+              SELECT user_id, min(t) AS tmin, max(t) AS tmax,
+                     CAST(max(t) - min(t) + 1 AS BIGINT) AS n
+              FROM c GROUP BY user_id
+              HAVING max(t) - min(t) + 1 BETWEEN 2 AND 4096),
+            d AS (
+              SELECT user_id, n,
+                     unnest(generate_series(tmin, tmax)) AS t
+              FROM sp),
+            xs AS (
+              SELECT d.user_id, d.n, d.t,
+                     CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM d LEFT JOIN c
+                ON c.user_id = d.user_id AND c.t = d.t),
+            med AS (
+              SELECT user_id, x AS med FROM (
+                SELECT user_id, x, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY x, t) AS rn
+                FROM xs)
+              WHERE rn = (n + 1) // 2),
+            dv AS (
+              SELECT xs.user_id, xs.n, xs.t, xs.x, med.med,
+                     abs(xs.x - med.med) AS dev
+              FROM xs JOIN med USING (user_id)),
+            mad AS (
+              SELECT user_id, dev AS mad FROM (
+                SELECT user_id, dev, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY dev, t) AS rn
+                FROM dv)
+              WHERE rn = (n + 1) // 2)
+            SELECT dv.user_id, dv.t, dv.x, dv.med, mad.mad
+            FROM dv JOIN mad USING (user_id)
+            WHERE 1000 * dv.dev > 4450 * mad.mad
         """,
         "events_change_audit": """
             SELECT f.user_id,

@@ -218,6 +218,54 @@ def burstiness(
     )
 
 
+def _dense_series(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int,
+    max_span: int,
+) -> DataFrame:
+    """(key, _n, _s, _t, _x): per-bucket event counts densified over
+    each key's observed span [tmin, tmax] (missing buckets are real
+    zeros; t = epoch_us DIV bucket_us). _n = span length in buckets,
+    _s = total events. Keys spanning fewer than 2 or more than
+    max_span buckets are dropped — the span cap is what bounds the
+    densified row count (sum of spans <= keys * max_span; an
+    unbounded sequence() explode is the non-scalable shape this cap
+    exists to forbid). Shared by periodicity and mad_anomalies."""
+    bucket_us = int(bucket_s) * 1_000_000
+    counts = (
+        events.select(
+            key_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .withColumn("_t", F.expr(f"_us DIV {bucket_us}"))
+        .groupBy(key_col, "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    spans = (
+        counts.groupBy(key_col)
+        .agg(
+            F.min("_t").alias("_tmin"),
+            F.max("_t").alias("_tmax"),
+            F.sum("_c").cast("long").alias("_s"),
+        )
+        .withColumn("_n", (F.col("_tmax") - F.col("_tmin") + 1)
+                    .cast("long"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_span)))
+    )
+    return (
+        spans.select(
+            key_col, "_n", "_s",
+            F.explode(F.sequence("_tmin", "_tmax")).alias("_t"))
+        .join(counts, [key_col, "_t"], "left")
+        .select(
+            key_col, "_n", "_s", "_t",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_x"),
+        )
+    )
+
+
 def periodicity(
     events: DataFrame,
     key_col: str = "user_id",
@@ -264,38 +312,12 @@ def periodicity(
         raise ValueError("lags must be positive")
     if max_span < 2:
         raise ValueError("max_span must be >= 2")
-    bucket_us = int(bucket_s) * 1_000_000
-    counts = (
-        events.select(
-            key_col,
-            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
-        )
-        .withColumn("_t", F.expr(f"_us DIV {bucket_us}"))
-        .groupBy(key_col, "_t")
-        .agg(F.count(F.lit(1)).cast("long").alias("_x"))
-    )
-    spans = (
-        counts.groupBy(key_col)
-        .agg(
-            F.min("_t").alias("_tmin"),
-            F.max("_t").alias("_tmax"),
-            F.sum("_x").cast("long").alias("_s"),
-        )
-        .withColumn("_n", (F.col("_tmax") - F.col("_tmin") + 1)
-                    .cast("long"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_span)))
-    )
-    dense = (
-        spans.select(
-            key_col, "_n", "_s",
-            F.explode(F.sequence("_tmin", "_tmax")).alias("_t"))
-        .join(counts, [key_col, "_t"], "left")
+    dense = _dense_series(events, key_col, ts_col, bucket_s, max_span) \
         .select(
             key_col, "_n", "_t",
-            (F.col("_n") * F.coalesce("_x", F.lit(0)) - F.col("_s"))
+            (F.col("_n") * F.col("_x") - F.col("_s"))
             .cast("long").alias("_X"),
         )
-    )
     w = Window.partitionBy(key_col).orderBy("_t")
     led = dense.select(
         key_col, "_n", "_X",
@@ -329,4 +351,74 @@ def periodicity(
                 F.expr("-((CAST(1000 AS DECIMAL(38,0)) * (-_num))"
                        " DIV _den)")),
         ).cast("long").alias("r_milli"),
+    )
+
+
+def mad_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    k_milli: int = 4450,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(key, t, x, med, mad): the anomalous buckets of each key's
+    event-count series under the Hampel identifier (Davies & Gather
+    1993; the robust outlier gate telemetry pipelines use because one
+    spike cannot drag the threshold the way it drags mean/stddev):
+    flag bucket t when
+
+        1000 * |x_t - median| > k_milli * MAD
+
+    with median = LOW median of the densified per-bucket counts
+    (element at rank (n+1) DIV 2 of the ascending sort — stays
+    integer, no midpoint average) and MAD = low median of
+    |x_t - median|. k_milli = 4450 is the classic 3-sigma-equivalent
+    3 * 1.4826 in milli. MAD == 0 (over half the buckets identical)
+    degenerates to "any deviating bucket flags" — the standard Hampel
+    convention, right for crawl telemetry where a dead-flat host
+    suddenly bursting IS the signal.
+
+    Series and span-cap semantics are _dense_series's (missing
+    buckets are real zeros; keys with span outside [2, max_span]
+    dropped).
+
+    Scale shape: one (key, t) map-side count rollup; densification
+    bounded by max_span; the two medians are each ONE window sort
+    partitioned by key (rank == (n+1) DIV 2 filter — n rides every
+    row from the span stats, so no extra count agg or self-join);
+    stats rejoin on key. No driver-side state, no UDFs."""
+    if k_milli < 0:
+        raise ValueError("k_milli must be >= 0")
+    if max_span < 2:
+        raise ValueError("max_span must be >= 2")
+    dense = _dense_series(events, key_col, ts_col, bucket_s, max_span)
+    half = F.expr("(_n + 1) DIV 2")
+    w_x = Window.partitionBy(key_col).orderBy("_x", "_t")
+    med = (
+        dense.withColumn("_rn", F.row_number().over(w_x))
+        .filter(F.col("_rn") == half)
+        .select(key_col, F.col("_x").alias("_med"))
+    )
+    dev = dense.join(med, key_col).select(
+        key_col, "_n", "_t", "_x", "_med",
+        F.abs(F.col("_x") - F.col("_med")).alias("_dev"),
+    )
+    w_d = Window.partitionBy(key_col).orderBy("_dev", "_t")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(w_d))
+        .filter(F.col("_rn") == half)
+        .select(key_col, F.col("_dev").alias("_mad"))
+    )
+    return (
+        dev.join(mad, key_col)
+        .filter(F.lit(1000) * F.col("_dev")
+                > F.lit(int(k_milli)) * F.col("_mad"))
+        .select(
+            key_col,
+            F.col("_t").alias("t"),
+            F.col("_x").alias("x"),
+            F.col("_med").alias("med"),
+            F.col("_mad").alias("mad"),
+        )
     )

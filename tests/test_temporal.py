@@ -226,3 +226,70 @@ def test_periodicity_validates(spark):
         periodicity(df, lags=(0, 1))
     with pytest.raises(ValueError):
         periodicity(df, max_span=1)
+
+
+def _py_mad_anomalies(rows, bucket_s=3600, k_milli=4450,
+                      max_span=4096):
+    by_key = {}
+    for k, ts, _ in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000)
+        by_key.setdefault(k, []).append(us // (bucket_s * 1_000_000))
+    out = set()
+    for k, buckets in by_key.items():
+        c = {}
+        for t in buckets:
+            c[t] = c.get(t, 0) + 1
+        tmin, tmax = min(c), max(c)
+        n = tmax - tmin + 1
+        if not (2 <= n <= max_span):
+            continue
+        xs = [(c.get(t, 0), t) for t in range(tmin, tmax + 1)]
+        med = sorted(xs)[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(x - med), t) for x, t in xs)
+        mad = devs[(n + 1) // 2 - 1][0]
+        for x, t in xs:
+            if 1000 * abs(x - med) > k_milli * mad:
+                out.add((k, t, x, med, mad))
+    return out
+
+
+def test_mad_anomalies_matches_python(spark):
+    from barkingowl_spark.operators.temporal import mad_anomalies
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # steady 2/hour for 24h, one 40-event spike at hour 10
+    for h in range(24):
+        for i in range(40 if h == 10 else 2):
+            rows.append(("spike", t0 + dt.timedelta(hours=h, minutes=i),
+                         h * 100 + i))
+    # dead-flat 1/hour, one hour with 2: MAD = 0 -> any deviation flags
+    for h in range(12):
+        rows.append(("flat", t0 + dt.timedelta(hours=h), 5000 + h))
+    rows.append(("flat", t0 + dt.timedelta(hours=3, minutes=9), 5999))
+    # perfectly constant: nothing flags
+    for h in range(6):
+        rows.append(("const", t0 + dt.timedelta(hours=h), 7000 + h))
+    rows.append(("lone", t0, 9999))      # single bucket -> dropped
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long")
+    got = {(r["user_id"], r["t"], r["x"], r["med"], r["mad"])
+           for r in mad_anomalies(df).collect()}
+    assert got == _py_mad_anomalies(rows)
+    keys = {k for k, *_ in got}
+    assert "spike" in keys and "flat" in keys
+    assert "const" not in keys and "lone" not in keys
+    spike = [g for g in got if g[0] == "spike"]
+    assert spike == [("spike", 491478, 40, 2, 0)] or len(spike) == 1
+
+
+def test_mad_anomalies_validates(spark):
+    from barkingowl_spark.operators.temporal import mad_anomalies
+
+    df = spark.createDataFrame(
+        [], "user_id string, ts timestamp, event_id long")
+    with pytest.raises(ValueError):
+        mad_anomalies(df, k_milli=-1)
+    with pytest.raises(ValueError):
+        mad_anomalies(df, max_span=1)
