@@ -1973,6 +1973,23 @@ def q_events_anomaly(spark, sf):
     return mad_anomalies(_t(spark, sf, "events"))
 
 
+def q_events_cusum(spark, sf):
+    """Page's one-sided upper CUSUM change-point alarms per user
+    (operators/temporal.py::cusum_alarms, Page 1954): buckets of the
+    densified per-hour count series where the running
+    max(0, S + x - med - k) statistic exceeds h — the sequential
+    detector for sustained rate SHIFTS that per-bucket gates
+    (events_anomaly) never accumulate; closed-form as prefix-sum
+    minus running-min, two stacked windows, no recursion. Keyed by
+    event_type (hourly per-type counts run med≈3 on this table, so
+    the allowance k=1 / decision interval h=6 pair detects sustained
+    +2/hour shifts; per-user series are too sparse for CUSUM —
+    med=0 makes every count a no-op or an instant alarm)."""
+    from barkingowl_spark.operators.temporal import cusum_alarms
+
+    return cusum_alarms(_t(spark, sf, "events"), key_col="event_type")
+
+
 def q_events_change_audit(spark, sf):
     """Horizon-bounded pair audit (streaming/joins.py::
     pairs_within_horizon — the BATCH face of the watermarked
@@ -4311,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": q_events_burstiness,
         "events_periodicity": q_events_periodicity,
         "events_anomaly": q_events_anomaly,
+        "events_cusum": q_events_cusum,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -8567,6 +8585,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT dv.user_id, dv.t, dv.x, dv.med, mad.mad
             FROM dv JOIN mad USING (user_id)
             WHERE 1000 * dv.dev > 4450 * mad.mad
+        """,
+        "events_cusum": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS t,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            sp AS (
+              SELECT event_type, min(t) AS tmin, max(t) AS tmax,
+                     CAST(max(t) - min(t) + 1 AS BIGINT) AS n
+              FROM c GROUP BY event_type
+              HAVING max(t) - min(t) + 1 BETWEEN 2 AND 4096),
+            d AS (
+              SELECT event_type, n,
+                     unnest(generate_series(tmin, tmax)) AS t
+              FROM sp),
+            xs AS (
+              SELECT d.event_type, d.n, d.t,
+                     CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM d LEFT JOIN c
+                ON c.event_type = d.event_type AND c.t = d.t),
+            med AS (
+              SELECT event_type, x AS med FROM (
+                SELECT event_type, x, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY x, t) AS rn
+                FROM xs)
+              WHERE rn = (n + 1) // 2),
+            p AS (
+              SELECT xs.event_type, xs.t, xs.x, med.med,
+                     sum(xs.x - med.med - 1) OVER (
+                       PARTITION BY xs.event_type ORDER BY xs.t
+                       ROWS UNBOUNDED PRECEDING) AS p
+              FROM xs JOIN med USING (event_type)),
+            s AS (
+              SELECT event_type, t, x, med,
+                     p - least(0, min(p) OVER (
+                       PARTITION BY event_type ORDER BY t
+                       ROWS UNBOUNDED PRECEDING)) AS s
+              FROM p)
+            SELECT event_type, t, x, med, CAST(s AS BIGINT) AS s
+            FROM s WHERE s > 6
         """,
         "events_change_audit": """
             SELECT f.user_id,

@@ -354,6 +354,21 @@ def periodicity(
     )
 
 
+def _low_median(df: DataFrame, key_col: str, val_col: str,
+                out_col: str) -> DataFrame:
+    """(key, out_col): the LOW median of val_col per key — the element
+    at rank (_n + 1) DIV 2 of the (val, _t) ascending sort, where _n
+    (the key's row count) already rides every _dense_series row, so
+    this is ONE window sort + rank filter, no extra count agg or
+    self-join. Low (not midpoint-averaged) keeps everything integer."""
+    w = Window.partitionBy(key_col).orderBy(val_col, "_t")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(key_col, F.col(val_col).alias(out_col))
+    )
+
+
 def mad_anomalies(
     events: DataFrame,
     key_col: str = "user_id",
@@ -393,23 +408,12 @@ def mad_anomalies(
     if max_span < 2:
         raise ValueError("max_span must be >= 2")
     dense = _dense_series(events, key_col, ts_col, bucket_s, max_span)
-    half = F.expr("(_n + 1) DIV 2")
-    w_x = Window.partitionBy(key_col).orderBy("_x", "_t")
-    med = (
-        dense.withColumn("_rn", F.row_number().over(w_x))
-        .filter(F.col("_rn") == half)
-        .select(key_col, F.col("_x").alias("_med"))
-    )
+    med = _low_median(dense, key_col, "_x", "_med")
     dev = dense.join(med, key_col).select(
         key_col, "_n", "_t", "_x", "_med",
         F.abs(F.col("_x") - F.col("_med")).alias("_dev"),
     )
-    w_d = Window.partitionBy(key_col).orderBy("_dev", "_t")
-    mad = (
-        dev.withColumn("_rn", F.row_number().over(w_d))
-        .filter(F.col("_rn") == half)
-        .select(key_col, F.col("_dev").alias("_mad"))
-    )
+    mad = _low_median(dev, key_col, "_dev", "_mad")
     return (
         dev.join(mad, key_col)
         .filter(F.lit(1000) * F.col("_dev")
@@ -421,4 +425,64 @@ def mad_anomalies(
             F.col("_med").alias("med"),
             F.col("_mad").alias("mad"),
         )
+    )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    k: int = 1,
+    h: int = 6,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(key, t, x, med, s): buckets where Page's one-sided upper CUSUM
+    (Page 1954) over each key's densified per-bucket count series
+    exceeds the decision interval h — the classic sequential
+    change-point detector for "this host's event rate has SHIFTED UP
+    and stayed up", complementing mad_anomalies (which flags isolated
+    spikes, while CUSUM accumulates small sustained drifts a
+    per-bucket gate never sees).
+
+    Recursion S_t = max(0, S_{t-1} + x_t - med - k) has the closed
+    form  S_t = P_t - min(0, min_{j<=t} P_j)  with P the running
+    prefix sum of the drift-adjusted deviations d_t = x_t - med - k
+    (med = per-key LOW median as the in-control level, k = the
+    allowance that absorbs noise; both integer). Alarm when S_t > h.
+
+    Scale shape: _dense_series's one count rollup + span-capped
+    densification, the _low_median window sort, then TWO stacked
+    running windows (sum, then min) per key partition — no self-join,
+    no recursion, no UDF; everything stays long-integer so the DuckDB
+    oracle reproduces it bit-exactly."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    if max_span < 2:
+        raise ValueError("max_span must be >= 2")
+    dense = _dense_series(events, key_col, ts_col, bucket_s, max_span)
+    med = _low_median(dense, key_col, "_x", "_med")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = dense.join(med, key_col).select(
+        key_col, "_t", "_x", "_med",
+        F.sum(F.col("_x") - F.col("_med") - F.lit(int(k)))
+        .over(w).cast("long").alias("_p"),
+    )
+    scored = pref.select(
+        key_col, "_t", "_x", "_med",
+        (F.col("_p") - F.least(F.lit(0), F.min("_p").over(w)))
+        .cast("long").alias("_s"),
+    )
+    return scored.filter(F.col("_s") > int(h)).select(
+        key_col,
+        F.col("_t").alias("t"),
+        F.col("_x").alias("x"),
+        F.col("_med").alias("med"),
+        F.col("_s").alias("s"),
     )

@@ -97,7 +97,7 @@ def duck():
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "graph_densest", "emb_matryoshka",
      "events_burstiness", "graph_modularity",
-     "events_periodicity", "events_anomaly"],
+     "events_periodicity", "events_anomaly", "events_cusum"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()

@@ -293,3 +293,76 @@ def test_mad_anomalies_validates(spark):
         mad_anomalies(df, k_milli=-1)
     with pytest.raises(ValueError):
         mad_anomalies(df, max_span=1)
+
+
+def _py_cusum(rows, bucket_s=3600, k=1, h=6, max_span=4096):
+    """Literal Page recursion S_t = max(0, S_{t-1} + x - med - k) —
+    independent of the operator's prefix-sum/running-min closed form."""
+    by_key = {}
+    for key, ts, _ in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000)
+        by_key.setdefault(key, []).append(us // (bucket_s * 1_000_000))
+    out = set()
+    for key, buckets in by_key.items():
+        c = {}
+        for t in buckets:
+            c[t] = c.get(t, 0) + 1
+        tmin, tmax = min(c), max(c)
+        n = tmax - tmin + 1
+        if not (2 <= n <= max_span):
+            continue
+        xs = [(c.get(t, 0), t) for t in range(tmin, tmax + 1)]
+        med = sorted(xs)[(n + 1) // 2 - 1][0]
+        s = 0
+        for x, t in sorted(xs, key=lambda p: p[1]):
+            s = max(0, s + x - med - k)
+            if s > h:
+                out.add((key, t, x, med, s))
+    return out
+
+
+def test_cusum_matches_python_recursion(spark):
+    from barkingowl_spark.operators.temporal import cusum_alarms
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # level shift: 1/hour for 12h then 4/hour for 12h -> alarms in the
+    # shifted half once the drift accumulates past h
+    for hh in range(24):
+        for i in range(4 if hh >= 12 else 1):
+            rows.append(("shift", t0 + dt.timedelta(hours=hh, minutes=i),
+                         hh * 100 + i))
+    # isolated spike that CUSUM with h=6 should still catch (one +39)
+    for hh in range(24):
+        for i in range(40 if hh == 10 else 2):
+            rows.append(("spike", t0 + dt.timedelta(hours=hh, minutes=i),
+                         10_000 + hh * 100 + i))
+    # steady: never alarms; resets to 0 keep S at bay
+    for hh in range(24):
+        rows.append(("steady", t0 + dt.timedelta(hours=hh), 20_000 + hh))
+    rows.append(("lone", t0, 9999))      # single bucket -> dropped
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long")
+    got = {(r["user_id"], r["t"], r["x"], r["med"], r["s"])
+           for r in cusum_alarms(df).collect()}
+    want = _py_cusum(rows)
+    assert got == want
+    keys = {k for k, *_ in got}
+    assert "shift" in keys and "spike" in keys
+    assert "steady" not in keys and "lone" not in keys
+    # the shift key alarms on a RUN of buckets, not one
+    assert len([g for g in got if g[0] == "shift"]) >= 6
+
+
+def test_cusum_validates(spark):
+    from barkingowl_spark.operators.temporal import cusum_alarms
+
+    df = spark.createDataFrame(
+        [], "user_id string, ts timestamp, event_id long")
+    with pytest.raises(ValueError):
+        cusum_alarms(df, k=-1)
+    with pytest.raises(ValueError):
+        cusum_alarms(df, h=-1)
+    with pytest.raises(ValueError):
+        cusum_alarms(df, max_span=1)
