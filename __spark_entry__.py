@@ -1990,6 +1990,35 @@ def q_events_cusum(spark, sf):
     return cusum_alarms(_t(spark, sf, "events"), key_col="event_type")
 
 
+def q_events_funnel(spark, sf):
+    """Per-user ordered funnel first-touch times (operators/cohorts.py
+    ::funnel_times): view -> click -> purchase, each stage at-or-after
+    the previous and inside a 7-day horizon anchored at the first
+    view — stage-wise min-agg (K-1 equi-joins on user_id), never a
+    per-user sequence window."""
+    from barkingowl_spark.operators.cohorts import funnel_times
+
+    return funnel_times(_t(spark, sf, "events"))
+
+
+def q_events_funnel_report(spark, sf):
+    """Funnel step-conversion rollup (operators/cohorts.py::
+    funnel_report): users reaching each stage + integer-ppm conversion
+    vs the previous stage, unpivoted one-row agg."""
+    from barkingowl_spark.operators.cohorts import funnel_report
+
+    return funnel_report(_t(spark, sf, "events"))
+
+
+def q_events_retention(spark, sf):
+    """Daily cohort retention triangle (operators/cohorts.py::
+    retention_matrix): users cohorted by first-event day, counted at
+    each day offset they were active — two rollups on derived keys."""
+    from barkingowl_spark.operators.cohorts import retention_matrix
+
+    return retention_matrix(_t(spark, sf, "events"), bucket_s=86400)
+
+
 def q_events_change_audit(spark, sf):
     """Horizon-bounded pair audit (streaming/joins.py::
     pairs_within_horizon — the BATCH face of the watermarked
@@ -4329,6 +4358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodicity": q_events_periodicity,
         "events_anomaly": q_events_anomaly,
         "events_cusum": q_events_cusum,
+        "events_funnel": q_events_funnel,
+        "events_funnel_report": q_events_funnel_report,
+        "events_retention": q_events_retention,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -8627,6 +8659,80 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT event_type, t, x, med, CAST(s AS BIGINT) AS s
             FROM s WHERE s > 6
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                AND e.ts < s1.t1 + INTERVAL 604800 SECOND
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e
+              JOIN s1 ON s1.user_id = e.user_id
+              JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                AND e.ts < s1.t1 + INTERVAL 604800 SECOND
+              GROUP BY 1)
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+                   CAST(1 + CAST(s2.t2 IS NOT NULL AS INT)
+                          + CAST(s3.t3 IS NOT NULL AS INT)
+                        AS BIGINT) AS reached
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+        """,
+        "events_funnel_report": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                AND e.ts < s1.t1 + INTERVAL 604800 SECOND
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e
+              JOIN s1 ON s1.user_id = e.user_id
+              JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                AND e.ts < s1.t1 + INTERVAL 604800 SECOND
+              GROUP BY 1),
+            c AS (
+              SELECT (SELECT count(*) FROM s1) AS c1,
+                     (SELECT count(*) FROM s2) AS c2,
+                     (SELECT count(*) FROM s3) AS c3)
+            SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_type,
+                   CAST(c1 AS BIGINT) AS users,
+                   CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+            UNION ALL
+            SELECT 2, 'click', CAST(c2 AS BIGINT),
+                   CASE WHEN c1 = 0 THEN NULL
+                        ELSE CAST(c2 * 1000000 // c1 AS BIGINT) END
+            FROM c
+            UNION ALL
+            SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+                   CASE WHEN c2 = 0 THEN NULL
+                        ELSE CAST(c3 * 1000000 // c2 AS BIGINT) END
+            FROM c
+        """,
+        "events_retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS b
+              FROM events),
+            c AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1)
+            SELECT CAST(c.c AS BIGINT) AS cohort,
+                   CAST(a.b - c.c AS BIGINT) AS "offset",
+                   CAST(count(*) AS BIGINT) AS users
+            FROM a JOIN c ON c.user_id = a.user_id
+            GROUP BY 1, 2
         """,
         "events_change_audit": """
             SELECT f.user_id,

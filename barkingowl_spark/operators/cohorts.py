@@ -1,0 +1,162 @@
+"""Behavioral analytics over the events stream: ordered funnels and
+cohort retention — the two product-analytics staples (Amplitude /
+Mixpanel / GA-style) every events table eventually gets asked, and a
+crawl engine's own telemetry asks of its fetch lifecycle (queued →
+fetched → parsed → matched is a funnel; per-host weekly liveness is a
+retention matrix).
+
+funnel — stage-wise min-aggregation, NOT a per-key sequence scan:
+  "earliest completion time of stage i at-or-after stage i-1, inside
+  the horizon anchored at stage 1" is computed one stage at a time:
+  filter the events to stage i's type, equi-join the survivors-so-far
+  on the key, keep ts >= t_{i-1} and ts < t_1 + horizon, take
+  min(ts). K stages cost K-1 (filter -> join -> partial-agg) passes,
+  every one an equi-shuffle on the SAME key (AQE reuses the
+  partitioning), and each pass touches only that stage's events —
+  never a window over each key's full event history, never a
+  cross-stage explosion. Matches the standard "first touch, strictly
+  ordered, windowed" funnel semantics (ties at equal ts count, like
+  the as-of join's inclusive bound).
+
+retention — two rollups:
+  activity dedup to distinct (key, bucket), cohort = min bucket per
+  key, then count keys per (cohort, offset). Both shuffles are on
+  uniform derived keys; output is O(span^2 / 2) buckets independent
+  of row count.
+
+No reference counterpart (/root/reference is empty, SURVEY §0);
+pinned by tests/test_cohorts.py (independent Python reimpls) and the
+events_funnel / events_funnel_report / events_retention DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_s: int = 7 * 86400,
+) -> DataFrame:
+    """(key, t1..tK, reached): per-key first-touch funnel times.
+
+    t1 = min ts of stage-1 events; t_i = min ts of stage-i events at
+    or after t_{i-1} and strictly inside [t1, t1 + horizon_s); NULL
+    once a stage is unreached (and every later stage stays NULL by
+    construction — stage i only joins keys that reached i-1).
+    reached = number of completed stages (>= 1 for every emitted key;
+    keys with no stage-1 event do not appear)."""
+    if len(stages) < 2:
+        raise ValueError("need at least 2 stages")
+    if horizon_s <= 0:
+        raise ValueError("horizon_s must be positive")
+    base = events.select(
+        key_col,
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    )
+    cur = (
+        base.filter(F.col("_ty") == stages[0])
+        .groupBy(key_col)
+        .agg(F.min("_ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {int(horizon_s)} SECOND")
+    for i, st in enumerate(stages[1:], start=2):
+        carry = [key_col, "t1"] + ([f"t{i - 1}"] if i > 2 else [])
+        hit = (
+            base.filter(F.col("_ty") == st)
+            .join(cur.select(*carry), key_col)
+            .filter(
+                (F.col("_ts") >= F.col(f"t{i - 1}"))
+                & (F.col("_ts") < deadline)
+            )
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(hit, key_col, "left")
+    reached = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        reached = reached + F.col(f"t{i}").isNotNull().cast("int")
+    return cur.select(
+        key_col,
+        *[f"t{i}" for i in range(1, len(stages) + 1)],
+        reached.cast("long").alias("reached"),
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_s: int = 7 * 86400,
+) -> DataFrame:
+    """(stage, stage_type, users, conv_ppm): keys reaching each funnel
+    stage and the step conversion vs the PREVIOUS stage in integer ppm
+    (stage 1 = 1_000_000 by definition). One 1-row aggregation over
+    funnel_times, unpivoted stage-per-row — integer throughout."""
+    times = funnel_times(events, stages, key_col, type_col, ts_col,
+                         horizon_s)
+    counts = times.agg(
+        *[F.count(f"t{i}").cast("long").alias(f"c{i}")
+          for i in range(1, len(stages) + 1)]
+    )
+    stack = ", ".join(
+        f"{i}L, '{st}', c{i}" for i, st in enumerate(stages, start=1)
+    )
+    long = counts.select(
+        F.expr(f"stack({len(stages)}, {stack})")
+        .alias("stage", "stage_type", "users")
+    )
+    w = Window.orderBy("stage")
+    return (
+        long.withColumn("_prev", F.lag("users").over(w))
+        .select(
+            "stage", "stage_type", "users",
+            F.when(F.col("stage") == 1, F.lit(1_000_000).cast("long"))
+            .when(F.col("_prev") == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("(users * 1000000) DIV _prev"))
+            .cast("long").alias("conv_ppm"),
+        )
+    )
+
+
+def retention_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 7 * 86400,
+) -> DataFrame:
+    """(cohort, offset, users): classic retention triangle — keys are
+    cohorted by the bucket of their FIRST event (bucket = epoch_us DIV
+    bucket_us, weekly by default), and users counts the cohort's keys
+    active (>= 1 event) at each bucket offset from their cohort
+    bucket. offset 0 rows equal the cohort sizes by construction."""
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    bucket_us = int(bucket_s) * 1_000_000
+    active = (
+        events.select(
+            key_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        )
+        .withColumn("_b", F.expr(f"_us DIV {bucket_us}"))
+        .select(key_col, "_b")
+        .distinct()
+    )
+    cohort = active.groupBy(key_col).agg(F.min("_b").alias("_c"))
+    return (
+        active.join(cohort, key_col)
+        .groupBy(
+            F.col("_c").cast("long").alias("cohort"),
+            (F.col("_b") - F.col("_c")).cast("long").alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )

@@ -1,0 +1,159 @@
+"""operators/cohorts.py vs independent Python reimplementations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from barkingowl_spark.operators.cohorts import (
+    funnel_report,
+    funnel_times,
+    retention_matrix,
+)
+
+STAGES = ("view", "click", "purchase")
+
+
+def _us(ts):
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def _py_funnel(rows, stages=STAGES, horizon_s=7 * 86400):
+    """Literal per-key sequential scan — independent of the operator's
+    stage-wise min-agg formulation."""
+    by_key = {}
+    for key, ty, ts in rows:
+        by_key.setdefault(key, []).append((_us(ts), ty))
+    out = {}
+    for key, evs in by_key.items():
+        evs.sort()
+        t1s = [t for t, ty in evs if ty == stages[0]]
+        if not t1s:
+            continue
+        times = [t1s[0]] + [None] * (len(stages) - 1)
+        deadline = times[0] + horizon_s * 1_000_000
+        for i, st in enumerate(stages[1:], start=1):
+            prev = times[i - 1]
+            cand = [t for t, ty in evs
+                    if ty == st and t >= prev and t < deadline]
+            if not cand:
+                break
+            times[i] = cand[0]
+        reached = sum(t is not None for t in times)
+        out[key] = (tuple(times), reached)
+    return out
+
+
+def _mk_rows():
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # full conversion, strictly ordered
+    rows += [("u_full", "view", t0),
+             ("u_full", "click", t0 + dt.timedelta(hours=1)),
+             ("u_full", "purchase", t0 + dt.timedelta(hours=2))]
+    # purchase BEFORE click -> stage 3 unreached from that event, but a
+    # later purchase converts
+    rows += [("u_order", "view", t0),
+             ("u_order", "purchase", t0 + dt.timedelta(minutes=30)),
+             ("u_order", "click", t0 + dt.timedelta(hours=1)),
+             ("u_order", "purchase", t0 + dt.timedelta(hours=3))]
+    # click only before the view -> never progresses past stage 1
+    rows += [("u_pre", "click", t0 - dt.timedelta(hours=1)),
+             ("u_pre", "view", t0)]
+    # conversion outside the horizon -> stage 2 unreached
+    rows += [("u_late", "view", t0),
+             ("u_late", "click", t0 + dt.timedelta(days=8))]
+    # same-instant tie: click at exactly the view ts counts (>=)
+    rows += [("u_tie", "view", t0), ("u_tie", "click", t0)]
+    # never enters the funnel (no view) -> absent from output
+    rows += [("u_none", "purchase", t0)]
+    # second view earlier than first click: t1 is the FIRST view
+    rows += [("u_two", "view", t0 + dt.timedelta(hours=5)),
+             ("u_two", "view", t0),
+             ("u_two", "click", t0 + dt.timedelta(hours=1))]
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, ty, ts) for k, ty, ts in rows],
+        "user_id string, event_type string, ts timestamp")
+
+
+def test_funnel_times_matches_python(spark):
+    rows = _mk_rows()
+    got = {
+        r["user_id"]: (
+            tuple(None if r[f"t{i}"] is None else _us(r[f"t{i}"])
+                  for i in (1, 2, 3)),
+            r["reached"],
+        )
+        for r in funnel_times(_df(spark, rows)).collect()
+    }
+    assert got == _py_funnel(rows)
+    assert "u_none" not in got
+    assert got["u_full"][1] == 3
+    assert got["u_order"][1] == 3          # later purchase rescues it
+    assert got["u_pre"][1] == 1
+    assert got["u_late"][1] == 1
+    assert got["u_tie"][1] == 2            # inclusive >= at equal ts
+    assert got["u_two"][0][0] == _us(dt.datetime(2026, 1, 1))
+
+
+def test_funnel_report_counts_and_ppm(spark):
+    rows = _mk_rows()
+    rep = {r["stage"]: r for r in
+           funnel_report(_df(spark, rows)).collect()}
+    want = _py_funnel(rows)
+    for i in (1, 2, 3):
+        assert rep[i]["users"] == sum(1 for _, r in want.values()
+                                      if r >= i)
+    assert rep[1]["conv_ppm"] == 1_000_000
+    assert rep[2]["conv_ppm"] == rep[2]["users"] * 1_000_000 // rep[1]["users"]
+    assert rep[3]["conv_ppm"] == rep[3]["users"] * 1_000_000 // rep[2]["users"]
+    assert rep[2]["stage_type"] == "click"
+
+
+def _py_retention(rows, bucket_s=7 * 86400):
+    active = {(k, _us(ts) // (bucket_s * 1_000_000))
+              for k, _, ts in rows}
+    cohort = {}
+    for k, b in active:
+        cohort[k] = min(cohort.get(k, b), b)
+    out = {}
+    for k, b in active:
+        cell = (cohort[k], b - cohort[k])
+        out[cell] = out.get(cell, 0) + 1
+    return out
+
+
+def test_retention_matches_python(spark):
+    t0 = dt.datetime(2026, 1, 5)
+    rows = []
+    # cohort A: 3 users, u1 active weeks 0/1/3, u2 weeks 0/1, u3 week 0
+    for k, weeks in (("u1", (0, 1, 3)), ("u2", (0, 1)), ("u3", (0,))):
+        for w in weeks:
+            rows.append((k, "view", t0 + dt.timedelta(weeks=w)))
+            rows.append((k, "click", t0 + dt.timedelta(weeks=w, hours=2)))
+    # cohort B (one week later): 1 user active weeks 1/2
+    rows += [("u4", "view", t0 + dt.timedelta(weeks=1)),
+             ("u4", "view", t0 + dt.timedelta(weeks=2))]
+    got = {(r["cohort"], r["offset"]): r["users"]
+           for r in retention_matrix(_df(spark, rows)).collect()}
+    assert got == _py_retention(rows)
+    cohorts = sorted({c for c, _ in got})
+    a, b = cohorts[0], cohorts[1]
+    assert got[(a, 0)] == 3 and got[(a, 1)] == 2 and got[(a, 3)] == 1
+    assert (a, 2) not in got
+    assert got[(b, 0)] == 1 and got[(b, 1)] == 1
+
+
+def test_cohorts_validate(spark):
+    df = _df(spark, [])
+    with pytest.raises(ValueError):
+        funnel_times(df, stages=("view",))
+    with pytest.raises(ValueError):
+        funnel_times(df, horizon_s=0)
+    with pytest.raises(ValueError):
+        retention_matrix(df, bucket_s=0)

@@ -97,7 +97,8 @@ def duck():
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "graph_densest", "emb_matryoshka",
      "events_burstiness", "graph_modularity",
-     "events_periodicity", "events_anomaly", "events_cusum"],
+     "events_periodicity", "events_anomaly", "events_cusum",
+     "events_funnel", "events_funnel_report", "events_retention"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
