@@ -982,6 +982,24 @@ def q_graph_pagerank(spark, sf):
     return pagerank_fixed(edges, n_iter=3)
 
 
+def q_frontier_coverage(spark, sf):
+    """Per-host frontier-coverage estimate (operators/coverage.py::
+    species_richness): bias-corrected Chao1 URL-richness lower bound +
+    Good-Turing unseen-link mass from the discovery log (every link
+    edge = one observation of its target URL, keyed by the target's
+    host) — the "is this site mined out?" stop/budget signal. Two
+    map-side-combined shuffles, integer-exact, no sketch."""
+    from barkingowl_spark.operators.coverage import species_richness
+
+    edges, _ = _synth_edges(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    obs = edges.join(d, edges.dst == d.doc_id).select(
+        F.col("source").alias("host"), F.col("dst").alias("item"))
+    return species_richness(
+        obs, key_col="host", item_col="item"
+    ).withColumnRenamed("key", "host")
+
+
 def q_graph_host_agg(spark, sf):
     """Host-level link-graph rollup: URL edges built from the documents'
     source field, hosts re-extracted by the crawl netloc regex
@@ -1988,6 +2006,33 @@ def q_events_cusum(spark, sf):
     from barkingowl_spark.operators.temporal import cusum_alarms
 
     return cusum_alarms(_t(spark, sf, "events"), key_col="event_type")
+
+
+def q_emb_pca_power(spark, sf):
+    """Dominant principal direction of the embedding corpus by integer
+    power iteration (operators/similarity.py::pca_power): 3 snapshots
+    of C u = V^T (V u) computed in one fused projection+posexplode
+    pass + 64-key rollup per iteration, renormalized to milli on the
+    driver (d longs of coordinator state) — the spectral-methods
+    analogue of graph_pagerank's fixed-point loop, over vectors
+    instead of edges."""
+    from barkingowl_spark.operators.similarity import pca_power
+
+    return pca_power(_t(spark, sf, "embeddings"), iters=3)
+
+
+def q_emb_kcenter(spark, sf):
+    """Greedy farthest-point k-center coreset (operators/similarity.py
+    ::kcenter_select): 4 maximally-spread exemplars from the embedding
+    corpus plus the squared coverage-radius curve — the
+    diversity-selection primitive for training-data curation. Each
+    step is one map-only integer-distance pass against the <=k chosen
+    centers (broadcast literals) ending in a TakeOrdered(1); exact
+    milli-grid L2, ties -> lowest vec_id, so DuckDB reproduces it
+    bit-for-bit."""
+    from barkingowl_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
 def q_events_funnel(spark, sf):
@@ -3643,6 +3688,23 @@ def q_clf_auc(spark, sf):
     return roc_auc(scored)
 
 
+def q_clf_ap(spark, sf):
+    """Exact tie-bounded Average Precision (operators/ireval.py::
+    average_precision): the head-weighted ranker audit next to
+    clf_auc's pair-ordering one. Quantized scores make within-tie
+    order unobservable, so the op reports the exact [pessimistic,
+    optimistic] AP interval (positives last / first inside each tied
+    group) — per-positive terms floored to ppm, group-level math
+    only (sequence aggregate, no row explode), running prefix counts
+    via the range-shuffle primitive."""
+    from barkingowl_spark.operators.ireval import average_precision
+
+    a, b = _clf_labels(spark, sf)
+    scored = a.select("doc_id", "score_milli").join(
+        b.select("doc_id", "label"), "doc_id")
+    return average_precision(scored)
+
+
 def q_text_readability(spark, sf):
     """Flesch-Kincaid grade + reading ease in integer milli
     (functions/textstats.py::readability, Kincaid et al. 1975):
@@ -4305,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_host_agg": q_graph_host_agg,
+        "frontier_coverage": q_frontier_coverage,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_adamic": q_graph_adamic,
@@ -4358,6 +4421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodicity": q_events_periodicity,
         "events_anomaly": q_events_anomaly,
         "events_cusum": q_events_cusum,
+        "emb_pca_power": q_emb_pca_power,
+        "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
         "events_funnel_report": q_events_funnel_report,
         "events_retention": q_events_retention,
@@ -4504,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_calibration": q_clf_calibration,
         "clf_ece": q_clf_ece,
         "clf_auc": q_clf_auc,
+        "clf_ap": q_clf_ap,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -6299,6 +6365,29 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN c
                    LEFT JOIN s3 ON s3.node = nodes.node)
             SELECT node, rank_fp FROM r3
+        """,
+        "frontier_coverage": f"""
+            WITH {_EDGES_SQL},
+            obs AS (SELECT d.source AS host, e.dst AS item
+                    FROM edges e JOIN documents d ON d.doc_id = e.dst),
+            pc AS (SELECT host, item, CAST(count(*) AS BIGINT) AS c
+                   FROM obs GROUP BY host, item),
+            a AS (SELECT host,
+                         CAST(sum(c) AS BIGINT) AS n_obs,
+                         CAST(count(*) AS BIGINT) AS s_obs,
+                         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS f1,
+                         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS f2
+                  FROM pc GROUP BY host)
+            SELECT host, n_obs, s_obs, f1, f2,
+                   CAST(s_obs + f1 * (f1 - 1) // (2 * (f2 + 1))
+                        AS BIGINT) AS chao1_est,
+                   CAST(1000000 * f1 // n_obs AS BIGINT)
+                     AS unseen_mass_ppm,
+                   CAST(1000000 - 1000000 * f1 // n_obs AS BIGINT)
+                     AS coverage_ppm
+            FROM a
         """,
         "graph_host_agg": f"""
             WITH {_EDGES_SQL}
@@ -10847,6 +10936,53 @@ def oracle_sql() -> dict[str, str]:
                    END AS auc_ppm
             FROM t
         """,
+        # tie-bounded AP: DESC-order prefix counts, per-positive ppm
+        # terms via list_transform(range(1, pos+1)) — the SQL mirror
+        # of the Spark side's aggregate(sequence(1, pos)).
+        "clf_ap": _CLF_CTE + """
+            , j AS (
+              SELECT sc.score_milli AS score, lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            g AS (
+              SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+              FROM j GROUP BY score),
+            r AS (
+              SELECT *,
+                     sum(cnt) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cumr,
+                     sum(pos) OVER (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cump
+              FROM g),
+            aps AS (
+              SELECT cnt, pos,
+                     CASE WHEN pos > 0 THEN
+                       list_sum(list_transform(range(1, pos + 1),
+                         i -> 1000000 * (cump - pos + i)
+                              // (cumr - cnt + i)))
+                     ELSE 0 END AS t_opt,
+                     CASE WHEN pos > 0 THEN
+                       list_sum(list_transform(range(1, pos + 1),
+                         i -> 1000000 * (cump - pos + i)
+                              // (cumr - pos + i)))
+                     ELSE 0 END AS t_pes
+              FROM r),
+            apt AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(count(*) AS BIGINT) AS n_score_groups,
+                     sum(t_opt) AS so, sum(t_pes) AS sp
+              FROM aps)
+            SELECT n, n_pos, n_score_groups,
+                   CASE WHEN n_pos > 0 THEN
+                     CAST(so // n_pos AS BIGINT) END AS ap_opt_ppm,
+                   CASE WHEN n_pos > 0 THEN
+                     CAST(sp // n_pos AS BIGINT) END AS ap_pes_ppm
+            FROM apt
+        """,
         "text_readability": """
             WITH d AS (
               SELECT doc_id,
@@ -11216,6 +11352,96 @@ def oracle_sql() -> dict[str, str]:
                      CAST(1000000 * th // (5 * n_q) AS BIGINT)
                    ELSE CAST(0 AS BIGINT) END
             FROM h32, nq
+        """,
+        # 3 unrolled power iterations C u = V^T (V u) (same unrolled-
+        # fixed-point idiom as graph_pagerank); renormalization uses
+        # sign-magnitude integer division, portable across engines.
+        "emb_pca_power": f"""
+            WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            e AS (SELECT vec_id, unnest(range(0, len(v))) AS j,
+                         unnest(v) AS val FROM v),
+            p1 AS (SELECT vec_id, CAST(1000 * sum(val) AS BIGINT) AS p
+                   FROM e GROUP BY vec_id),
+            w1 AS (SELECT e.j, CAST(sum(p1.p * e.val) AS BIGINT) AS w
+                   FROM e JOIN p1 USING (vec_id) GROUP BY e.j),
+            m1 AS (SELECT max(abs(w)) AS m FROM w1),
+            u1 AS (SELECT j, CASE WHEN m1.m = 0 THEN 0
+                                  WHEN w >= 0 THEN (w * 1000) // m1.m
+                                  ELSE -(((-w) * 1000) // m1.m) END AS u
+                   FROM w1, m1),
+            p2 AS (SELECT e.vec_id, CAST(sum(e.val * u1.u) AS BIGINT) AS p
+                   FROM e JOIN u1 USING (j) GROUP BY e.vec_id),
+            w2 AS (SELECT e.j, CAST(sum(p2.p * e.val) AS BIGINT) AS w
+                   FROM e JOIN p2 USING (vec_id) GROUP BY e.j),
+            m2 AS (SELECT max(abs(w)) AS m FROM w2),
+            u2 AS (SELECT j, CASE WHEN m2.m = 0 THEN 0
+                                  WHEN w >= 0 THEN (w * 1000) // m2.m
+                                  ELSE -(((-w) * 1000) // m2.m) END AS u
+                   FROM w2, m2),
+            p3 AS (SELECT e.vec_id, CAST(sum(e.val * u2.u) AS BIGINT) AS p
+                   FROM e JOIN u2 USING (j) GROUP BY e.vec_id),
+            w3 AS (SELECT e.j, CAST(sum(p3.p * e.val) AS BIGINT) AS w
+                   FROM e JOIN p3 USING (vec_id) GROUP BY e.j),
+            m3 AS (SELECT max(abs(w)) AS m FROM w3),
+            u3 AS (SELECT j, CASE WHEN m3.m = 0 THEN 0
+                                  WHEN w >= 0 THEN (w * 1000) // m3.m
+                                  ELSE -(((-w) * 1000) // m3.m) END AS u
+                   FROM w3, m3)
+            SELECT CAST(t AS BIGINT) AS t, CAST(j AS BIGINT) AS j,
+                   CAST(u AS BIGINT) AS u_milli
+            FROM (SELECT 1 AS t, j, u FROM u1
+                  UNION ALL SELECT 2, j, u FROM u2
+                  UNION ALL SELECT 3, j, u FROM u3)
+        """,
+        # unrolled greedy farthest-point selection, k=4: each pX picks
+        # the argmax of the running min-distance dX (ties -> lowest
+        # vec_id), exactly the Spark coordinator loop's per-pass pick.
+        "emb_kcenter": f"""
+            WITH v AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            e AS (SELECT vec_id, unnest(range(0, len(v))) AS j,
+                         unnest(v) AS val FROM v),
+            c1 AS (SELECT min(vec_id) AS id FROM v),
+            d1 AS (SELECT a.vec_id,
+                          CAST(sum((a.val - b.val) * (a.val - b.val))
+                               AS BIGINT) AS m
+                   FROM e a JOIN e b ON a.j = b.j
+                            JOIN c1 ON b.vec_id = c1.id
+                   GROUP BY a.vec_id),
+            p2 AS (SELECT vec_id, m FROM d1, c1 WHERE vec_id <> c1.id
+                   ORDER BY m DESC, vec_id LIMIT 1),
+            x2 AS (SELECT a.vec_id,
+                          CAST(sum((a.val - b.val) * (a.val - b.val))
+                               AS BIGINT) AS m
+                   FROM e a JOIN e b ON a.j = b.j
+                            JOIN p2 ON b.vec_id = p2.vec_id
+                   GROUP BY a.vec_id),
+            d2 AS (SELECT d1.vec_id, least(d1.m, x2.m) AS m
+                   FROM d1 JOIN x2 USING (vec_id)),
+            p3 AS (SELECT vec_id, m FROM d2, c1
+                   WHERE vec_id <> c1.id
+                     AND vec_id NOT IN (SELECT vec_id FROM p2)
+                   ORDER BY m DESC, vec_id LIMIT 1),
+            x3 AS (SELECT a.vec_id,
+                          CAST(sum((a.val - b.val) * (a.val - b.val))
+                               AS BIGINT) AS m
+                   FROM e a JOIN e b ON a.j = b.j
+                            JOIN p3 ON b.vec_id = p3.vec_id
+                   GROUP BY a.vec_id),
+            d3 AS (SELECT d2.vec_id, least(d2.m, x3.m) AS m
+                   FROM d2 JOIN x3 USING (vec_id)),
+            p4 AS (SELECT vec_id, m FROM d3, c1
+                   WHERE vec_id <> c1.id
+                     AND vec_id NOT IN (SELECT vec_id FROM p2)
+                     AND vec_id NOT IN (SELECT vec_id FROM p3)
+                   ORDER BY m DESC, vec_id LIMIT 1)
+            SELECT CAST(sel_rank AS BIGINT) AS sel_rank,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(radius2 AS BIGINT) AS radius2
+            FROM (SELECT 0 AS sel_rank, c1.id AS vec_id, 0 AS radius2
+                  FROM c1
+                  UNION ALL SELECT 1, vec_id, m FROM p2
+                  UNION ALL SELECT 2, vec_id, m FROM p3
+                  UNION ALL SELECT 3, vec_id, m FROM p4)
         """,
         "dsir_sample": """
             WITH tok AS (

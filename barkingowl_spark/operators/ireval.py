@@ -570,3 +570,78 @@ def qpp_features(documents: DataFrame, queries: DataFrame) -> DataFrame:
             .alias("sum_scq_fp"),
         )
     )
+
+
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n_pos, n_score_groups, ap_opt_ppm, ap_pes_ppm): EXACT
+    tie-bounded Average Precision of a score against a boolean truth —
+    the ranker audit that (unlike roc_auc's pair-ordering view) weights
+    the head of the ranking, i.e. the number to read when the gate
+    keeps only the top slice of the corpus.
+
+    Under quantized (milli) scores, AP depends on the unobservable
+    within-tie order, so instead of picking an arbitrary tiebreaker
+    this reports the exact interval: ``ap_opt_ppm`` places every
+    positive first inside its tied score group, ``ap_pes_ppm`` places
+    it last; any total order consistent with the score lands between
+    them. With positives contiguous inside a group that starts after
+    R rows of which P positive, the i-th positive's precision term is
+    (P + i) / (R + i) (optimistic) or (P + i) / (R + c - p + i)
+    (pessimistic); each term is floored to ppm individually — a
+    defined, engine-portable quantization (total error < n_pos
+    micro-units) — and AP = floor(sum / n_pos). Degenerate input
+    (no positives) yields NULL bounds.
+
+    Scale shape: one groupBy(score) (distinct quantized scores, not
+    rows), the same range-shuffle + bounded-driver-offsets running
+    sums as roc_auc for the DESC-order prefix counts (never a
+    single-partition window), a per-group JVM-side
+    aggregate(sequence(1, pos)) — positives only, no row explode —
+    and a 1-row agg. Terms stay under 1e6 * n, long-safe through
+    n = 9e12 rows."""
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    g = (
+        scored.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr(
+                f"CASE WHEN {label_col} THEN 1 ELSE 0 END"))
+            .cast("long").alias("pos"),
+        )
+        .withColumn("negscore", -F.col("score"))
+    )
+    g = global_running_sum(g, ["negscore"], "cnt", out_col="cumr")
+    g = global_running_sum(g, ["negscore"], "pos", out_col="cump")
+    term_sum = (
+        "CASE WHEN pos > 0 THEN aggregate(sequence(1L, pos),"
+        " 0L, (acc, i) -> acc + 1000000 * (cump - pos + i)"
+        " DIV ({den})) ELSE 0L END"
+    )
+    return (
+        g.select(
+            "cnt", "pos",
+            F.expr(term_sum.format(den="cumr - cnt + i"))
+            .alias("t_opt"),
+            F.expr(term_sum.format(den="cumr - pos + i"))
+            .alias("t_pes"),
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_score_groups"),
+            F.sum("t_opt").cast("long").alias("_so"),
+            F.sum("t_pes").cast("long").alias("_sp"),
+        )
+        .select(
+            "n", "n_pos", "n_score_groups",
+            F.expr("CASE WHEN n_pos > 0 THEN _so DIV n_pos END")
+            .alias("ap_opt_ppm"),
+            F.expr("CASE WHEN n_pos > 0 THEN _sp DIV n_pos END")
+            .alias("ap_pes_ppm"),
+        )
+    )

@@ -717,3 +717,145 @@ def matryoshka_recall(
     for fr in frames[1:]:
         u = u.unionByName(fr)
     return u
+
+
+def pca_pass(vecs: DataFrame, u: list[int]) -> DataFrame:
+    """One power-iteration pass over quantized (vec_id, v): (j, w)
+    with w = (V^T (V u))_j, u a literal array — the distributed half
+    of pca_power, exposed so the plan is auditable (one fused
+    projection+posexplode map pass, one d-key map-side-combined
+    groupBy; no join, no broadcast table)."""
+    u_col = F.array(*[F.lit(int(x)).cast("long") for x in u])
+    proj = F.aggregate(
+        F.zip_with(F.col("v"), u_col, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.select(proj.alias("p"), F.posexplode("v").alias("j", "val"))
+        .groupBy("j")
+        .agg(F.sum(F.col("p") * F.col("val")).alias("w"))
+    )
+
+
+def pca_power(embeddings: DataFrame, iters: int = 3) -> DataFrame:
+    """(t, j, u_milli): the dominant principal direction of the
+    (uncentered) second-moment matrix C = V^T V of the quantized
+    vectors, by integer power iteration — one direction snapshot per
+    iteration t, components in milli (normalized so max|u_j| = 1000).
+
+    Never forms the d x d matrix: each iteration computes
+    C u = V^T (V u) in two data-parallel steps fused into ONE pass —
+    every row evaluates its scalar projection p_i = <v_i, u> (u is a
+    64-literal array, JVM-side zip_with/aggregate) and posexplodes, a
+    64-key groupBy sums w_j = sum_i p_i * v_ij, and the driver
+    renormalizes the 64 longs (u'_j = sign * (1000|w_j|) DIV
+    max|w|, truncation toward zero — the engine-portable integer
+    division both Spark and DuckDB reproduce). Start u0 = all-1000s.
+
+    Scale shape: per iteration, one projection+explode map pass and
+    one 64-key shuffle; driver state is d longs (the same
+    coordinator pattern as kmeans_centroids / graph_pagerank's fixed
+    iterations). int64 headroom: |w_j| <= n * d * 1000 * max|v|^2 —
+    fine through ~1e8 rows at |v|<=1000; past that, rescale p by a
+    power of two per iteration (documented, not needed at sandbox
+    scale). Same shape Spark MLlib's RowMatrix power iteration and
+    the randomized-SVD first pass use."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = embeddings.sparkSession
+    vecs = _quantized(embeddings).select("vec_id", "v")
+    d = vecs.select(F.size("v").alias("d")).first()["d"]
+    u = [1000] * d
+    rows = []
+    for t in range(1, iters + 1):
+        w_rows = pca_pass(vecs, u).collect()
+        w = [0] * d
+        for r in w_rows:
+            w[r["j"]] = r["w"]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            u = [0] * d
+        else:
+            u = [
+                (x * 1000) // m if x >= 0 else -(((-x) * 1000) // m)
+                for x in w
+            ]
+        rows.extend((t, j, u[j]) for j in range(d))
+    return spark.createDataFrame(rows, "t long, j long, u_milli long")
+
+
+def kcenter_pick(
+    vecs: DataFrame, chosen: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """One greedy farthest-point pass over quantized (vec_id, v): the
+    single row (vec_id, v, d2) maximizing min integer L2 to the
+    chosen (id, vector) centers (ties -> lowest vec_id) — the
+    distributed half of kcenter_select, exposed so the plan is
+    auditable (center literals inside whole-stage codegen,
+    TakeOrderedAndProject(limit=1), no full sort)."""
+    d2s = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(int(x)).cast("long") for x in cv]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for _, cv in chosen
+    ]
+    return (
+        vecs.where(~F.col("vec_id").isin([cid for cid, _ in chosen]))
+        .select(
+            "vec_id", "v",
+            (d2s[0] if len(d2s) == 1 else F.least(*d2s)).alias("d2"))
+        .orderBy(F.col("d2").desc(), F.col("vec_id"))
+        .limit(1)
+    )
+
+
+def kcenter_select(embeddings: DataFrame, k: int = 4) -> DataFrame:
+    """(sel_rank, vec_id, radius2): greedy farthest-point k-center
+    coreset (Gonzalez's 2-approximation) over the quantized vectors —
+    the diversity-selection primitive for training-data curation:
+    pick k maximally-spread exemplars; ``radius2`` is the squared
+    min-distance of the exemplar to the already-chosen set at the
+    moment it was added, i.e. the max-min coverage curve vs k
+    (monotone non-increasing from rank 1 on; rank 0 is the seed,
+    radius2 = 0 by convention).
+
+    Deterministic: seed = lowest vec_id; step t takes the corpus
+    argmax of min squared L2 distance (exact integer math on the
+    milli grid) to the t chosen centers, ties -> lowest vec_id.
+
+    Scale shape: k-1 passes, each a map-only distance evaluation
+    against <= k broadcast center literals (JVM-side
+    aggregate(zip_with(...)), whole-stage codegen) ending in a
+    TakeOrdered(1) — no shuffle wider than one row per partition;
+    driver state is k*d longs (same coordinator pattern as
+    kmeans_centroids / pca_power). Pass t recomputes the min over
+    all t centers from scratch — O(n*k^2*d) arithmetic total but
+    stateless plans with zero lineage growth; for k in the hundreds
+    cache a running mind2 column (checkpointed every few steps)
+    instead — documented trade, not needed at coreset-scale k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = embeddings.sparkSession
+    vecs = _quantized(embeddings).select("vec_id", "v")
+    seed = vecs.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_rank long, vec_id long, radius2 long")
+    chosen = [(seed[0]["vec_id"], list(seed[0]["v"]))]
+    rows = [(0, chosen[0][0], 0)]
+    for t in range(1, k):
+        pick = kcenter_pick(vecs, chosen).collect()
+        if not pick:  # corpus smaller than k
+            break
+        chosen.append((pick[0]["vec_id"], list(pick[0]["v"])))
+        rows.append((t, pick[0]["vec_id"], pick[0]["d2"]))
+    return spark.createDataFrame(
+        rows, "sel_rank long, vec_id long, radius2 long")

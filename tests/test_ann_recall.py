@@ -151,3 +151,119 @@ def test_matryoshka_recall_monotone_and_exact_at_full_width(spark):
     # wider prefixes should not do worse on these embeddings
     assert got[8] <= got[32] <= got[dim]
     assert 0 <= got[8] <= 1_000_000
+
+
+def test_pca_power_matches_numpy_recurrence(spark):
+    """pca_power's integer recurrence == literal numpy power iteration
+    (arbitrary-precision object math, so any int64 overflow in the
+    Spark path would show up as a divergence, not wrap the same way)."""
+    import numpy as np
+
+    from barkingowl_spark.operators.similarity import pca_power
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    got = pca_power(emb, iters=3).toPandas()
+    V = np.array([
+        np.round(np.asarray(e, dtype=np.float64) * 1000).astype(object)
+        for e in emb.toPandas()["embedding"]])
+    d = V.shape[1]
+    assert sorted(got.columns) == ["j", "t", "u_milli"]
+    assert len(got) == 3 * d
+    u = np.full(d, 1000, dtype=object)
+    for t in range(1, 4):
+        w = V.T @ (V @ u)
+        m = max(abs(int(x)) for x in w)
+        u = np.array(
+            [(int(x) * 1000) // m if int(x) >= 0
+             else -(((-int(x)) * 1000) // m) for x in w],
+            dtype=object) if m else np.zeros(d, dtype=object)
+        snap = got[got.t == t].sort_values("j")["u_milli"].tolist()
+        assert snap == [int(x) for x in u]
+        # renormalization invariant: components live on the milli grid
+        assert max(abs(x) for x in snap) in (0, 1000)
+
+
+def test_pca_power_dominant_direction_on_planted_spike(spark):
+    """On a corpus whose variance is overwhelmingly along axis 1, the
+    iterate aligns with that axis (sign-free check via |u|)."""
+    from barkingowl_spark.operators.similarity import pca_power
+
+    rows = [(i, [0.001 * (i % 3 - 1), 1.0 if i % 2 == 0 else -1.0,
+                 0.002 * (i % 5 - 2)]) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    last = {r["j"]: r["u_milli"]
+            for r in pca_power(emb, iters=3).collect() if r["t"] == 3}
+    assert abs(last[1]) == 1000
+    assert abs(last[0]) < 100 and abs(last[2]) < 100
+
+
+def test_pca_power_rejects_bad_iters(spark):
+    import pytest as _pytest
+
+    from barkingowl_spark.operators.similarity import pca_power
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        pca_power(emb, iters=0)
+
+
+def test_kcenter_matches_greedy_reference(spark):
+    """kcenter_select == the literal O(n*k) greedy farthest-point
+    reference in arbitrary-precision math, on the real fixture."""
+    import numpy as np
+
+    from barkingowl_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["sel_rank"], r["vec_id"], r["radius2"])
+           for r in kcenter_select(emb, k=4).collect()]
+    pdf = emb.toPandas()
+    V = {int(r.vec_id):
+         np.round(np.asarray(r.embedding, dtype=np.float64)
+                  * 1000).astype(object)
+         for r in pdf.itertuples()}
+    chosen = [min(V)]
+    want = [(0, chosen[0], 0)]
+    for t in range(1, 4):
+        best = None
+        for i in sorted(V):
+            if i in chosen:
+                continue
+            m = min(int(((V[i] - V[c]) ** 2).sum()) for c in chosen)
+            if best is None or m > best[1]:
+                best = (i, m)
+        chosen.append(best[0])
+        want.append((t, best[0], best[1]))
+    assert got == want
+    # coverage-radius curve is non-increasing from rank 1 on
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_planted_clusters_and_small_corpus(spark):
+    from barkingowl_spark.operators.similarity import kcenter_select
+
+    # 3 tight clusters at corners; greedy must pick one per cluster
+    pts = ([(i, [0.001 * i, 0.0]) for i in range(5)]
+           + [(10 + i, [10.0, 0.001 * i]) for i in range(5)]
+           + [(20 + i, [0.001 * i, 10.0]) for i in range(5)])
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>")
+    sel = {r["sel_rank"]: r["vec_id"]
+           for r in kcenter_select(emb, k=3).collect()}
+    assert sel[0] == 0
+    assert {sel[1] // 10, sel[2] // 10} == {1, 2}
+    # corpus smaller than k stops early instead of erroring
+    tiny = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rows = kcenter_select(tiny, k=5).collect()
+    assert [r["vec_id"] for r in rows] == [7, 9]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcenter_select(tiny, k=0)

@@ -40,7 +40,8 @@ def duck():
      "text_bpe_tokens", "doc_winnow_fp", "sim_topk_cosine",
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
      "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
-     "graph_host_agg", "sitemap_parse", "sitemap_seeds",
+     "graph_host_agg", "frontier_coverage",
+     "sitemap_parse", "sitemap_seeds",
      "trap_signals", "o20_scored_topk", "text_boilerplate",
      "text_decontam", "text_paradedup", "mix_sample", "mix_report",
      "text_repetition", "text_top_bigram", "pii_scan", "pii_redact",
@@ -93,11 +94,12 @@ def duck():
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",
      "sched_ucb", "text_novelty", "search_qpp", "dedup_triplets", "dedup_threshold_curve", "search_mincover", "idx_champions", "text_vocab_growth",
      "graph_assortativity", "text_oov_rate", "graph_ktruss", "text_zipf", "emb_health", "cache_hit_curve", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
-     "clf_auc", "text_readability", "text_mojibake",
+     "clf_auc", "clf_ap", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "graph_densest", "emb_matryoshka",
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
+     "emb_pca_power", "emb_kcenter",
      "events_funnel", "events_funnel_report", "events_retention"],
 )
 def test_query_matches_oracle(spark, duck, name):

@@ -386,3 +386,76 @@ def test_roc_auc_midranks(spark):
     allpos = spark.createDataFrame(
         [(1, True), (2, True)], "score_milli long, label boolean")
     assert roc_auc(allpos).collect()[0]["auc_ppm"] is None
+
+
+def _ap_bounds_ref(rows):
+    """Brute-force tie-bounded AP: materialize positives-first and
+    positives-last total orders, per-term ppm floors."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, sc, lb in rows:
+        groups[sc].append(lb)
+
+    def ap(order):
+        npos = sum(1 for x in order if x)
+        if not npos:
+            return None
+        p = s = 0
+        for r, lab in enumerate(order, 1):
+            if lab:
+                p += 1
+                s += (1_000_000 * p) // r
+        return s // npos
+
+    best, worst = [], []
+    for sc in sorted(groups, reverse=True):
+        best += sorted(groups[sc], reverse=True)
+        worst += sorted(groups[sc])
+    return ap(best), ap(worst)
+
+
+def test_average_precision_matches_bruteforce(spark):
+    import random
+
+    from barkingowl_spark.operators.ireval import average_precision
+
+    random.seed(11)
+    rows = [(i, random.randint(0, 4) * 250, random.random() < 0.3)
+            for i in range(120)]
+    got = average_precision(
+        spark.createDataFrame(
+            rows, "doc_id long, score_milli long, label boolean")
+    ).collect()[0]
+    opt, pes = _ap_bounds_ref(rows)
+    assert (got["ap_opt_ppm"], got["ap_pes_ppm"]) == (opt, pes)
+    assert got["ap_pes_ppm"] <= got["ap_opt_ppm"]
+    assert got["n"] == 120
+    assert got["n_score_groups"] == len({r[1] for r in rows})
+
+
+def test_average_precision_degenerate_and_exact_cases(spark):
+    from barkingowl_spark.operators.ireval import average_precision
+
+    # no positives -> NULL bounds
+    got = average_precision(
+        spark.createDataFrame(
+            [(0, 100, False), (1, 200, False)],
+            "doc_id long, score_milli long, label boolean")
+    ).collect()[0]
+    assert got["ap_opt_ppm"] is None and got["ap_pes_ppm"] is None
+    # untied perfect ranking -> AP = 1 exactly, bounds collapse
+    got = average_precision(
+        spark.createDataFrame(
+            [(0, 300, True), (1, 200, True), (2, 100, False)],
+            "doc_id long, score_milli long, label boolean")
+    ).collect()[0]
+    assert got["ap_opt_ppm"] == got["ap_pes_ppm"] == 1_000_000
+    # one fully-tied group: interval brackets any consistent order
+    got = average_precision(
+        spark.createDataFrame(
+            [(i, 500, i == 2) for i in range(4)],
+            "doc_id long, score_milli long, label boolean")
+    ).collect()[0]
+    assert got["ap_opt_ppm"] == 1_000_000  # positive first: 1/1
+    assert got["ap_pes_ppm"] == 250_000    # positive last: 1/4
