@@ -3047,6 +3047,38 @@ def _eval_qrels(docs, qdim):
     )
 
 
+def _eval_qrels_graded(docs, qdim):
+    """Graded judgments: grade = number of DISTINCT query terms the doc
+    contains (1..|q|) — the partial-containment generalization of
+    _eval_qrels' conjunctive rule, derived identically by the oracle
+    (the `matched` CTE)."""
+    from barkingowl_spark.operators.invindex import term_freqs
+
+    qd = qdim.distinct()
+    return (
+        term_freqs(docs).select("doc_id", "term")
+        .join(F.broadcast(qd), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("grade"))
+    )
+
+
+def q_search_ndcg(spark, sf):
+    """Exact fixed-point nDCG@10 with graded relevance (operators/
+    ireval.py::ndcg_at_k, Järvelin & Kekäläinen 2002): gains 2^g - 1
+    by bit shift, discounts from a driver-built literal table shared
+    verbatim with the oracle SQL — no float/log in either engine's
+    dataflow. Grades = distinct-query-terms-contained; the rank-
+    position-weighted completion of search_eval's set metrics."""
+    from barkingowl_spark.operators.ireval import bm25_runs, ndcg_at_k
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return ndcg_at_k(
+        bm25_runs(docs, qdim, k=10),
+        _eval_qrels_graded(docs, qdim), k=10)
+
+
 def q_search_runs(spark, sf):
     """Multi-query batch BM25 (operators/ireval.py::bm25_runs): the
     whole query batch scored in ONE tokenize+explode pass — query dim
@@ -4524,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_site_rollup": q_url_site_rollup,
         "search_runs": q_search_runs,
         "search_eval": q_search_eval,
+        "search_ndcg": q_search_ndcg,
         "search_eval_macro": q_search_eval_macro,
         "search_rm3_terms": q_search_rm3_terms,
         "search_rm3": q_search_rm3,
@@ -4618,6 +4651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+def _ndcg_w_sql(k: int = 10) -> str:
+    """DuckDB list literal of the SAME fixed-point DCG discounts the
+    Spark plan embeds (one Python source of truth — no engine log)."""
+    from barkingowl_spark.operators.ireval import dcg_weights
+
+    return "[" + ", ".join(str(x) for x in dcg_weights(k)) + "]"
+
 
 _QUANT_SQL = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)"
@@ -9854,6 +9895,40 @@ def oracle_sql() -> dict[str, str]:
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        # graded nDCG@10: gains by bit shift, discounts from the SAME
+        # literal table the Spark plan embeds (_ndcg_w_sql).
+        "search_ndcg": _RUNS_CTE + f"""
+            , wl AS (SELECT {_ndcg_w_sql(10)} AS l),
+            gq AS (SELECT query_id, doc_id, n_matched AS grade
+                   FROM matched),
+            dcg AS (
+              SELECT r.query_id,
+                     CAST(sum(((1::BIGINT << grade) - 1)
+                              * wl.l[CAST(r.rank AS INT)]) AS BIGINT)
+                       AS dcg_fp
+              FROM runk r JOIN gq USING (query_id, doc_id), wl
+              WHERE r.rank <= 10
+              GROUP BY r.query_id),
+            ideal AS (
+              SELECT query_id, grade,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY grade DESC, doc_id) AS r
+              FROM gq),
+            idcg AS (
+              SELECT query_id,
+                     CAST(count(*) AS BIGINT) AS n_ideal,
+                     CAST(sum(((1::BIGINT << grade) - 1)
+                              * wl.l[CAST(r AS INT)]) AS BIGINT)
+                       AS idcg_fp
+              FROM ideal, wl WHERE r <= 10
+              GROUP BY query_id)
+            SELECT i.query_id, i.n_ideal,
+                   CAST(coalesce(d.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+                   i.idcg_fp,
+                   CAST(1000000 * coalesce(d.dcg_fp, 0) // i.idcg_fp
+                        AS BIGINT) AS ndcg_ppm
+            FROM idcg i LEFT JOIN dcg d USING (query_id)
+        """,
         "search_rm3_terms": _RUNS_CTE + _RM3_CTE
         + ("SELECT query_id, term, orig_ppm, rm_ppm, weight_ppm"
            " FROM expq"),

@@ -83,7 +83,7 @@ def duck():
      "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
      "events_hilbert", "events_change_audit", "search_qld",
-     "search_runs", "search_eval", "search_eval_macro",
+     "search_runs", "search_eval", "search_eval_macro", "search_ndcg",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
      "mm_video_frames", "mm_video_pairs", "graph_ppr",

@@ -459,3 +459,69 @@ def test_average_precision_degenerate_and_exact_cases(spark):
     ).collect()[0]
     assert got["ap_opt_ppm"] == 1_000_000  # positive first: 1/1
     assert got["ap_pes_ppm"] == 250_000    # positive last: 1/4
+
+
+def test_dcg_weights_pinned():
+    """The discount table is part of the cross-engine contract — pin it
+    against platform libm drift."""
+    from barkingowl_spark.operators.ireval import dcg_weights
+
+    assert dcg_weights(10) == [
+        1048576, 661578, 524288, 451597, 405645,
+        373510, 349525, 330789, 315653, 303106]
+
+
+def test_ndcg_hand_case(spark):
+    from barkingowl_spark.operators.ireval import dcg_weights, ndcg_at_k
+
+    w = dcg_weights(3)
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),   # q1: grades 1, 0, 3
+         (2, 20, 1), (2, 21, 2)],              # q2: ideal order hit
+        "query_id long, doc_id long, rank long")
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 3), (1, 13, 2),   # doc 13 never retrieved
+         (2, 20, 2), (2, 21, 1)],
+        "query_id long, doc_id long, grade long")
+    got = {r["query_id"]: r.asDict()
+           for r in ndcg_at_k(run, qrels, k=3).collect()}
+    # q1 DCG: gain(1)*w1 + gain(3)*w3 = 1*w1 + 7*w3
+    #    IDCG: grades [3,2,1] -> 7*w1 + 3*w2 + 1*w3
+    dcg1 = 1 * w[0] + 7 * w[2]
+    idcg1 = 7 * w[0] + 3 * w[1] + 1 * w[2]
+    assert got[1]["dcg_fp"] == dcg1
+    assert got[1]["idcg_fp"] == idcg1
+    assert got[1]["ndcg_ppm"] == 1_000_000 * dcg1 // idcg1
+    assert got[1]["n_ideal"] == 3
+    # q2 retrieved its two judgments in ideal order -> nDCG = 1
+    assert got[2]["ndcg_ppm"] == 1_000_000
+    # judged query with nothing retrieved -> present, ndcg 0
+    qrels3 = qrels.union(spark.createDataFrame(
+        [(3, 99, 2)], "query_id long, doc_id long, grade long"))
+    got3 = {r["query_id"]: r["ndcg_ppm"]
+            for r in ndcg_at_k(run, qrels3, k=3).collect()}
+    assert got3[3] == 0
+
+
+def test_ndcg_invariants_random(spark):
+    import random
+
+    from barkingowl_spark.operators.ireval import ndcg_at_k
+
+    random.seed(5)
+    qrels = [(q, d, random.randint(1, 3))
+             for q in range(6) for d in random.sample(range(40), 8)]
+    runs = []
+    for q in range(6):
+        docs = random.sample(range(40), 10)
+        runs += [(q, d, r + 1) for r, d in enumerate(docs)]
+    out = ndcg_at_k(
+        spark.createDataFrame(
+            runs, "query_id long, doc_id long, rank long"),
+        spark.createDataFrame(
+            qrels, "query_id long, doc_id long, grade long"),
+        k=10).collect()
+    assert {r["query_id"] for r in out} == set(range(6))
+    for r in out:
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert r["dcg_fp"] <= r["idcg_fp"]

@@ -174,3 +174,46 @@ def test_cdx_sorted_range_partition_not_global_sort(spark):
     assert "rangepartitioning(surt" in plan
     assert "Exchange hashpartitioning(surt" in plan
     assert "], true, 0" not in plan   # no global Sort node
+
+
+def test_kcenter_pick_is_takeordered_no_full_sort(spark):
+    """kcenter_select's per-pass argmax must be TakeOrderedAndProject
+    (per-partition top-1 + driver merge), never a global Sort, and the
+    center distances must be literal expressions (no join at all)."""
+    from barkingowl_spark.operators.similarity import (
+        _quantized, kcenter_pick)
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(30),
+            "embedding": [[(i * 3 + j) % 7 / 6.0 for j in range(4)]
+                          for i in range(30)],
+        })
+    )
+    vecs = _quantized(emb).select("vec_id", "v")
+    plan = _plan(kcenter_pick(vecs, [(0, [1000] * 4), (5, [0] * 4)]))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # no shuffle at all pre-merge
+
+
+def test_pca_pass_single_dkey_aggregate_no_join(spark):
+    """pca_power's C·u pass is one map pass + one d-key hash aggregate:
+    exactly one shuffle, partial aggregation before it, no join, no
+    Python."""
+    from barkingowl_spark.operators.similarity import (
+        _quantized, pca_pass)
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": range(30),
+            "embedding": [[(i * 5 + j) % 9 / 8.0 for j in range(4)]
+                          for i in range(30)],
+        })
+    )
+    vecs = _quantized(emb).select("vec_id", "v")
+    plan = _plan(pca_pass(vecs, [1000] * 4))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
