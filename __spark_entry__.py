@@ -3688,6 +3688,25 @@ def q_clf_calibration(spark, sf):
     return calibration_bins(scored)
 
 
+def q_clf_brier(spark, sf):
+    """Brier score + Murphy reliability/resolution/uncertainty
+    decomposition (operators/ireval.py::brier_decomposition) of the
+    clamped ppm probability vs the token-count truth — the 1-row
+    "should we recalibrate?" scoreboard over clf_calibration's bins,
+    with the within-bin/quantization remainder reported as resid_ppm
+    instead of hidden. Exact integer sums on DECIMAL(38,0)/HUGEINT."""
+    from barkingowl_spark.operators.ireval import brier_decomposition
+
+    a, b = _clf_labels(spark, sf)
+    scored = (
+        a.select("doc_id", F.expr(
+            "least(1000000, greatest(0, score_milli * 100 + 500000))")
+            .alias("prob_ppm"))
+        .join(b, "doc_id")
+    )
+    return brier_decomposition(scored)
+
+
 def q_clf_ece(spark, sf):
     """Expected calibration error (operators/ireval.py::
     calibration_ece, Naeini et al. AAAI'15): the 1-row mass-weighted
@@ -4603,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_ece": q_clf_ece,
         "clf_auc": q_clf_auc,
         "clf_ap": q_clf_ap,
+        "clf_brier": q_clf_brier,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -10958,6 +10978,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(mean_prob_ppm - frac_pos_ppm) AS BIGINT)
                      AS gap_ppm
             FROM bins
+        """,
+        # Murphy decomposition: bin means quantized to ppm FIRST (abs
+        # before //, nonneg operands, so Spark DIV == DuckDB //);
+        # exact squared sums ride HUGEINT.
+        "clf_brier": _CLF_CTE + """
+            , p AS (
+              SELECT sc.doc_id,
+                     least(1000000,
+                           greatest(0, score_milli * 100 + 500000))
+                       AS prob_ppm,
+                     lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            bb AS (
+              SELECT least(prob_ppm * 10 // 1000000, 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS nk,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS posk,
+                     sum(CAST(prob_ppm AS HUGEINT)) AS pk,
+                     sum(CAST(prob_ppm - CASE WHEN label THEN 1000000
+                              ELSE 0 END AS HUGEINT)
+                         * (prob_ppm - CASE WHEN label THEN 1000000
+                            ELSE 0 END)) AS sqk
+              FROM p GROUP BY bin),
+            b2 AS (
+              SELECT nk, posk, sqk,
+                     abs(pk - CAST(posk AS HUGEINT) * 1000000) // nk
+                       AS gapk,
+                     1000000 * posk // nk AS oacck
+              FROM bb),
+            tt AS (
+              SELECT CAST(sum(nk) AS BIGINT) AS n,
+                     CAST(sum(posk) AS BIGINT) AS n_pos,
+                     CAST(count(*) AS BIGINT) AS n_bins_used,
+                     sum(sqk) AS sq,
+                     sum(CAST(nk AS HUGEINT) * gapk * gapk) AS rel
+              FROM b2),
+            rr AS (
+              SELECT sum(CAST(b2.nk AS HUGEINT)
+                         * abs(b2.oacck - 1000000 * tt.n_pos // tt.n)
+                         * abs(b2.oacck - 1000000 * tt.n_pos // tt.n))
+                       AS res
+              FROM b2, tt)
+            SELECT n, n_pos, n_bins_used, brier_ppm, rel_ppm, res_ppm,
+                   unc_ppm,
+                   CAST(brier_ppm - (rel_ppm - res_ppm + unc_ppm)
+                        AS BIGINT) AS resid_ppm
+            FROM (
+              SELECT tt.n, tt.n_pos, tt.n_bins_used,
+                     CAST(sq // (CAST(tt.n AS HUGEINT) * 1000000)
+                          AS BIGINT) AS brier_ppm,
+                     CAST(rel // (CAST(tt.n AS HUGEINT) * 1000000)
+                          AS BIGINT) AS rel_ppm,
+                     CAST(rr.res // (CAST(tt.n AS HUGEINT) * 1000000)
+                          AS BIGINT) AS res_ppm,
+                     CAST(CAST(1000000 AS HUGEINT) * tt.n_pos
+                          * (tt.n - tt.n_pos)
+                          // (CAST(tt.n AS HUGEINT) * tt.n)
+                          AS BIGINT) AS unc_ppm
+              FROM tt, rr)
         """,
         "clf_ece": _CLF_CTE + """
             , p AS (

@@ -722,3 +722,93 @@ def ndcg_at_k(
                 " AS BIGINT)").alias("ndcg_ppm"),
         )
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    n_bins: int = 10,
+    prob_col: str = "prob_ppm",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n_pos, n_bins_used, brier_ppm, rel_ppm, res_ppm,
+    unc_ppm, resid_ppm): the Brier score and its Murphy (J. Appl.
+    Meteor. 1973) reliability/resolution/uncertainty decomposition
+    over the same equal-width bins as calibration_bins — REL is "how
+    miscalibrated", RES "how much sharper than the base rate", UNC the
+    irreducible base-rate entropy; lower REL and higher RES are what a
+    recalibration (clf_calibration's gap table) should buy.
+
+    Integer contract: brier_ppm is exact (sum of squared ppm errors,
+    one floor at the end). The components quantize each bin's mean
+    gap to ppm FIRST (floor; abs before DIV so Spark's truncating DIV
+    and DuckDB's flooring // agree) then weight by bin size — the
+    standard reporting resolution, and the reason
+    brier != rel - res + unc exactly: resid_ppm carries the (small,
+    possibly negative) within-bin-variance + quantization remainder,
+    reported rather than hidden. Squared sums ride DECIMAL(38,0)
+    (HUGEINT in the oracle); exact through ~1e9 rows per call, shard
+    beyond.
+
+    Scale shape: one map-side-combined groupBy(bin) (<= n_bins rows)
+    then a 1-row agg — same skeleton as calibration_bins with the
+    exact-sum columns carried along."""
+    g = (
+        scored.withColumn(
+            "bin",
+            F.expr(f"least(CAST({prob_col} * {int(n_bins)}"
+                   f" DIV 1000000 AS BIGINT), {int(n_bins) - 1})"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nk"),
+            F.sum(F.expr(f"CASE WHEN {label_col} THEN 1 ELSE 0 END"))
+            .cast("long").alias("posk"),
+            F.sum(F.col(prob_col)).cast("decimal(38,0)").alias("pk"),
+            F.sum(F.expr(
+                f"CAST(({prob_col} - CASE WHEN {label_col}"
+                f" THEN 1000000 ELSE 0 END) AS DECIMAL(38,0))"
+                f" * ({prob_col} - CASE WHEN {label_col}"
+                f" THEN 1000000 ELSE 0 END)"))
+            .cast("decimal(38,0)").alias("sqk"),
+        )
+        .select(
+            "nk", "posk", "sqk",
+            F.expr("abs(pk - CAST(posk AS DECIMAL(38,0)) * 1000000)"
+                   " DIV nk").cast("long").alias("gapk_ppm"),
+            F.expr("1000000 * posk DIV nk").cast("long")
+            .alias("oacck_ppm"),
+        )
+    )
+    return (
+        g.agg(
+            F.sum("nk").cast("long").alias("n"),
+            F.sum("posk").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+            F.sum("sqk").alias("_sq"),
+            F.sum(F.expr(
+                "CAST(nk AS DECIMAL(38,0)) * gapk_ppm * gapk_ppm"))
+            .alias("_rel"),
+            # resolution needs the global base rate -> carry the bin
+            # rows' pieces and finish below with a second tiny agg
+            F.collect_list(F.struct("nk", "oacck_ppm")).alias("_bins"),
+        )
+        .select(
+            "n", "n_pos", "n_bins_used",
+            F.expr("CAST(_sq DIV (CAST(n AS DECIMAL(38,0)) * 1000000)"
+                   " AS BIGINT)").alias("brier_ppm"),
+            F.expr("CAST(_rel DIV (CAST(n AS DECIMAL(38,0)) * 1000000)"
+                   " AS BIGINT)").alias("rel_ppm"),
+            F.expr("""CAST(aggregate(_bins, CAST(0 AS DECIMAL(38,0)),
+                     (acc, b) -> acc + CAST(b.nk AS DECIMAL(38,0))
+                       * abs(b.oacck_ppm - 1000000 * n_pos DIV n)
+                       * abs(b.oacck_ppm - 1000000 * n_pos DIV n))
+                   DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)
+                   """).alias("res_ppm"),
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pos"
+                   " * (n - n_pos) DIV (CAST(n AS DECIMAL(38,0)) * n)"
+                   " AS BIGINT)").alias("unc_ppm"),
+        )
+        .withColumn(
+            "resid_ppm",
+            F.expr("brier_ppm - (rel_ppm - res_ppm + unc_ppm)")
+            .cast("long"))
+    )

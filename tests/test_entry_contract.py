@@ -89,7 +89,8 @@ def duck():
      "mm_video_frames", "mm_video_pairs", "graph_ppr",
      "events_layout_audit", "url_site", "url_site_rollup",
      "graph_landmark_bfs", "graph_dist_est", "robots_wildcard",
-     "clf_kappa", "clf_calibration", "clf_ece", "text_entropy",
+     "clf_kappa", "clf_calibration", "clf_ece", "clf_brier",
+     "text_entropy",
      "search_rm3_terms", "search_rm3", "idx_compress",
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",
      "sched_ucb", "text_novelty", "search_qpp", "dedup_triplets", "dedup_threshold_curve", "search_mincover", "idx_champions", "text_vocab_growth",

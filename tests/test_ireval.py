@@ -525,3 +525,70 @@ def test_ndcg_invariants_random(spark):
     for r in out:
         assert 0 <= r["ndcg_ppm"] <= 1_000_000
         assert r["dcg_fp"] <= r["idcg_fp"]
+
+
+def _brier_ref(rows, n_bins=10):
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for _, p, y in rows:
+        bins[min(p * n_bins // 1_000_000, n_bins - 1)].append((p, y))
+    n = len(rows)
+    npos = sum(1 for _, _, y in rows if y)
+    sq = sum((p - (1_000_000 if y else 0)) ** 2 for _, p, y in rows)
+    rel = res = 0
+    obar = 1_000_000 * npos // n
+    for items in bins.values():
+        nk = len(items)
+        posk = sum(1 for _, y in items if y)
+        pk = sum(p for p, _ in items)
+        gapk = abs(pk - posk * 1_000_000) // nk
+        rel += nk * gapk * gapk
+        res += nk * abs(1_000_000 * posk // nk - obar) ** 2
+    return {
+        "n": n, "n_pos": npos, "n_bins_used": len(bins),
+        "brier_ppm": sq // (n * 1_000_000),
+        "rel_ppm": rel // (n * 1_000_000),
+        "res_ppm": res // (n * 1_000_000),
+        "unc_ppm": 1_000_000 * npos * (n - npos) // (n * n),
+    }
+
+
+def test_brier_decomposition_matches_reference(spark):
+    import random
+
+    from barkingowl_spark.operators.ireval import brier_decomposition
+
+    random.seed(13)
+    rows = [(i, random.randint(0, 1_000_000),
+             random.random() < 0.35) for i in range(300)]
+    got = brier_decomposition(
+        spark.createDataFrame(
+            rows, "doc_id long, prob_ppm long, label boolean")
+    ).collect()[0].asDict()
+    want = _brier_ref(rows)
+    for k, v in want.items():
+        assert got[k] == v, k
+    assert got["resid_ppm"] == (
+        want["brier_ppm"]
+        - (want["rel_ppm"] - want["res_ppm"] + want["unc_ppm"]))
+
+
+def test_brier_decomposition_calibrated_vs_miscalibrated(spark):
+    """A perfectly sharp, calibrated forecaster: brier ~ 0, rel ~ 0;
+    flipping its probabilities maximizes brier and reliability."""
+    from barkingowl_spark.operators.ireval import brier_decomposition
+
+    good = [(i, 1_000_000 if i % 3 == 0 else 0, i % 3 == 0)
+            for i in range(90)]
+    bad = [(i, 0 if i % 3 == 0 else 1_000_000, i % 3 == 0)
+           for i in range(90)]
+    sch = "doc_id long, prob_ppm long, label boolean"
+    g = brier_decomposition(
+        spark.createDataFrame(good, sch)).collect()[0]
+    b = brier_decomposition(
+        spark.createDataFrame(bad, sch)).collect()[0]
+    assert g["brier_ppm"] == 0 and g["rel_ppm"] == 0
+    assert g["res_ppm"] == g["unc_ppm"]  # perfect resolution
+    assert b["brier_ppm"] == 1_000_000
+    assert b["rel_ppm"] > 900_000
