@@ -2339,6 +2339,18 @@ def q_text_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
 
 
+def q_text_textrank(spark, sf):
+    """TextRank keywords (operators/textrank.py::textrank_keywords,
+    Mihalcea & Tarau EMNLP 2004): every document's word co-occurrence
+    graph ranked SIMULTANEOUSLY — node key (doc_id, word), 2 weighted
+    fixed-point PageRank rounds as global equi-join + agg passes, k=5
+    WindowGroupLimit cut. The query-independent salience signal next
+    to idx_topk_terms' tf/df one."""
+    from barkingowl_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf, "documents"), n_iter=2, k=5)
+
+
 def q_events_cms_windows(spark, sf):
     """Per-window Count-Min sketch cells (streaming/heavyhitters.py
     batch body — the identical expression the watermarked sketch
@@ -4487,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_select": q_host_budget_select,
         "search_snippet": q_search_snippet,
         "text_collocations": q_text_collocations,
+        "text_textrank": q_text_textrank,
         "events_interval": q_events_interval,
         "events_change_audit": q_events_change_audit,
         "events_change_sla": q_events_change_sla,
@@ -8364,6 +8377,79 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY votes DESC, track_id, "offset") AS rn
               FROM hist) WHERE rn = 1
+        """,
+        # per-doc weighted PageRank, 2 unrolled rounds — the
+        # graph_pagerank idiom with (doc_id, word) as the node key
+        "text_textrank": f"""
+            WITH s AS (SELECT doc_id,
+                              string_split(coalesce(text, ''), ' ')
+                                AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+                           unnest(w) AS t FROM s),
+            filt AS (SELECT doc_id, t,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY pos) AS rn
+                     FROM tok
+                     WHERE t <> '' AND t NOT IN ({_STOP_LIST})),
+            pr AS (SELECT f1.doc_id, least(f1.t, f2.t) AS a,
+                          greatest(f1.t, f2.t) AS b
+                   FROM filt f1 JOIN filt f2
+                     ON f1.doc_id = f2.doc_id AND f2.rn = f1.rn + 1
+                   WHERE f1.t <> f2.t),
+            und AS (SELECT doc_id, a, b,
+                           CAST(count(*) AS BIGINT) AS wgt
+                    FROM pr GROUP BY doc_id, a, b),
+            ed AS (SELECT doc_id, a AS u, b AS v, wgt FROM und
+                   UNION ALL
+                   SELECT doc_id, b, a, wgt FROM und),
+            twu AS (SELECT doc_id, u AS word,
+                           CAST(sum(wgt) AS BIGINT) AS w_tot
+                    FROM ed GROUP BY doc_id, u),
+            tnd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_d
+                    FROM twu GROUP BY doc_id),
+            tr0 AS (SELECT twu.doc_id, twu.word,
+                           1000000000000 // tnd.n_d AS rank_fp
+                    FROM twu JOIN tnd USING (doc_id)),
+            tc1 AS (SELECT ed.doc_id, ed.v AS word,
+                           CAST(sum(r.rank_fp * 85 * ed.wgt
+                                    // (100 * twu.w_tot)) AS BIGINT)
+                             AS inflow
+                    FROM ed
+                    JOIN tr0 r ON r.doc_id = ed.doc_id
+                              AND r.word = ed.u
+                    JOIN twu ON twu.doc_id = ed.doc_id
+                            AND twu.word = ed.u
+                    GROUP BY ed.doc_id, ed.v),
+            tr1 AS (SELECT twu.doc_id, twu.word,
+                           150000000000 // tnd.n_d
+                           + coalesce(tc1.inflow, 0) AS rank_fp
+                    FROM twu JOIN tnd USING (doc_id)
+                    LEFT JOIN tc1 ON tc1.doc_id = twu.doc_id
+                                 AND tc1.word = twu.word),
+            tc2 AS (SELECT ed.doc_id, ed.v AS word,
+                           CAST(sum(r.rank_fp * 85 * ed.wgt
+                                    // (100 * twu.w_tot)) AS BIGINT)
+                             AS inflow
+                    FROM ed
+                    JOIN tr1 r ON r.doc_id = ed.doc_id
+                              AND r.word = ed.u
+                    JOIN twu ON twu.doc_id = ed.doc_id
+                            AND twu.word = ed.u
+                    GROUP BY ed.doc_id, ed.v),
+            tr2 AS (SELECT twu.doc_id, twu.word,
+                           150000000000 // tnd.n_d
+                           + coalesce(tc2.inflow, 0) AS rank_fp
+                    FROM twu JOIN tnd USING (doc_id)
+                    LEFT JOIN tc2 ON tc2.doc_id = twu.doc_id
+                                 AND tc2.word = twu.word)
+            SELECT doc_id, word, CAST(rank_fp AS BIGINT) AS rank_fp,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT doc_id, word, rank_fp,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY rank_fp DESC, word) AS rk
+                  FROM tr2)
+            WHERE rk <= 5
         """,
         "text_collocations": """
             WITH toks AS (

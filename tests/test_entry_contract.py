@@ -77,7 +77,8 @@ def duck():
      "events_interval", "hdr_len_quantiles", "url_path_tree",
      "meta_robots", "feed_parse", "feed_discover",
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
-     "search_snippet", "text_collocations", "graph_triangles",
+     "search_snippet", "text_collocations", "text_textrank",
+     "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
      "events_zorder", "graph_indegree_skew", "graph_salsa",
      "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
