@@ -2628,6 +2628,33 @@ def q_graph_dist_est(spark, sf):
     )
 
 
+def q_politeness_audit(spark, sf):
+    """Politeness-compliance scoreboard (operators/politeness.py::
+    politeness_audit): per-host disallow hits + crawl-delay gap
+    violations over a synthesized fetch log — the after-the-fact twin
+    of fetch_timeline/robots_filter, sharing robots_filter's EXISTS
+    prefix test verbatim. Two broadcast dims, one host window, one
+    agg."""
+    from barkingowl_spark.operators.politeness import politeness_audit
+
+    d = _t(spark, sf, "documents")
+    fetches = d.select(
+        F.col("source").alias("host"),
+        ((F.col("doc_id") * 137) % 50000).cast("long").alias("ts_ms"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".test/p"),
+            (F.col("doc_id") % 20).cast("string")).alias("url"),
+    )
+    robots = d.select(F.col("source").alias("host")).distinct().select(
+        "host", F.array(F.lit("/p1"), F.lit("/q"))
+        .alias("disallow_prefixes"))
+    delays = d.select(F.col("source").alias("host")).distinct().select(
+        "host",
+        (F.lit(200) + (F.ascii(F.substring(F.col("host"), 1, 1)) % 5)
+         * F.lit(250)).cast("long").alias("delay_ms"))
+    return politeness_audit(fetches, robots, delays)
+
+
 def q_graph_trustrank(spark, sf):
     """3-iteration fixed-point TrustRank (operators/linkgraph.py::
     trustrank_fixed — Gyongyi et al. VLDB'04): teleport restricted to
@@ -4566,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
+        "politeness_audit": q_politeness_audit,
         "graph_trustrank": q_graph_trustrank,
         "graph_ppr": q_graph_ppr,
         "graph_landmark_bfs": q_graph_landmark_bfs,
@@ -9809,6 +9837,43 @@ def oracle_sql() -> dict[str, str]:
                    AND floor(n_urls * 1000000 / host_urls) >= 200000
                      AS explosive
             FROM tot
+        """,
+        "politeness_audit": """
+            WITH f AS (
+              SELECT source AS host,
+                     CAST((doc_id * 137) % 50000 AS BIGINT) AS ts_ms,
+                     'http://' || source || '.test/p'
+                       || CAST(doc_id % 20 AS VARCHAR) AS url
+              FROM documents),
+            dl AS (
+              SELECT DISTINCT source AS host,
+                     CAST(200 + (ascii(substr(source, 1, 1)) % 5) * 250
+                          AS BIGINT) AS delay_ms
+              FROM documents),
+            g AS (
+              SELECT f.host, f.ts_ms,
+                     CASE WHEN regexp_extract(f.url,
+                            '^[a-z][a-z0-9+.-]*://[^/]+([^?]*)', 1)
+                            LIKE '/p1%'
+                          OR regexp_extract(f.url,
+                            '^[a-z][a-z0-9+.-]*://[^/]+([^?]*)', 1)
+                            LIKE '/q%'
+                       THEN 1 ELSE 0 END AS dis,
+                     dl.delay_ms,
+                     f.ts_ms - lag(f.ts_ms) OVER (PARTITION BY f.host
+                       ORDER BY f.ts_ms, f.url) AS gap
+              FROM f JOIN dl USING (host))
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(sum(dis) AS BIGINT) AS n_disallowed,
+                   CAST(min(delay_ms) AS BIGINT) AS delay_ms,
+                   CAST(min(gap) AS BIGINT) AS min_gap_ms,
+                   CAST(sum(CASE WHEN gap < delay_ms THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gap_violations,
+                   (sum(dis) = 0 AND
+                    sum(CASE WHEN gap < delay_ms THEN 1 ELSE 0 END) = 0)
+                     AS compliant
+            FROM g GROUP BY host
         """,
         "politeness_timeline": """
             WITH s AS (

@@ -406,3 +406,79 @@ def host_health(
                    " DIV (n + 4) AS BIGINT)"))
         .select("host", "n", "errors", "err_ppm", "wilson_lb_ppm")
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    robots: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """(host, n_fetches, n_disallowed, delay_ms, min_gap_ms,
+    n_gap_violations, compliant): did the fetcher fleet actually honor
+    robots + crawl-delay? The after-the-fact compliance scoreboard over
+    a realized fetch log (host, ts_ms, url) — the operational twin of
+    fetch_timeline (which plans) and robots_filter (which gates):
+
+      * n_disallowed counts fetched urls whose path starts with a
+        disallow prefix — the SAME native EXISTS expression
+        robots_filter applies, so gate and audit can never disagree on
+        semantics;
+      * gap violations compare each host's successive fetch gaps
+        (ordered ts_ms, url — deterministic under timestamp ties)
+        against its crawl-delay (dim, else default_delay_ms);
+        min_gap_ms is NULL for single-fetch hosts;
+      * compliant = no disallowed fetches and no gap violations.
+
+    Scale shape: two broadcast dims (robots, delays — host-keyed and
+    small), ONE host-partitioned window for the lag (the same
+    partitioning any per-host politeness machinery needs), one
+    map-side-combined per-host agg."""
+    path = F.regexp_extract(
+        F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]+([^?]*)", 1)
+    if robots is not None:
+        disallowed = F.exists(
+            F.col("disallow_prefixes"),
+            lambda p: F.coalesce(path, F.lit("/")).startswith(p),
+        )
+        j = (
+            fetches.join(
+                F.broadcast(robots.select("host", "disallow_prefixes")),
+                "host", "left")
+            .withColumn(
+                "_dis",
+                F.when(F.col("disallow_prefixes").isNotNull()
+                       & disallowed, 1).otherwise(0))
+            .drop("disallow_prefixes")
+        )
+    else:
+        j = fetches.withColumn("_dis", F.lit(0))
+    if delays is not None:
+        j = j.join(
+            F.broadcast(delays.select("host", "delay_ms")),
+            "host", "left")
+        j = j.withColumn(
+            "_delay",
+            F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+            .cast("long")).drop("delay_ms")
+    else:
+        j = j.withColumn(
+            "_delay", F.lit(default_delay_ms).cast("long"))
+    w = Window.partitionBy("host").orderBy("ts_ms", "url")
+    j = j.withColumn(
+        "_gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("_dis").cast("long").alias("n_disallowed"),
+            F.first("_delay").cast("long").alias("delay_ms"),
+            F.min("_gap").cast("long").alias("min_gap_ms"),
+            F.sum(F.when(F.col("_gap") < F.col("_delay"), 1)
+                  .otherwise(0)).cast("long").alias("n_gap_violations"),
+        )
+        .withColumn(
+            "compliant",
+            (F.col("n_disallowed") == 0)
+            & (F.col("n_gap_violations") == 0))
+    )

@@ -50,7 +50,8 @@ def duck():
      "o20_waterfill", "graph_hits", "pack_chunks", "text_len_pctl",
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
-     "cdx_index", "politeness_timeline", "graph_trustrank",
+     "cdx_index", "politeness_timeline", "politeness_audit",
+     "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
      "search_bm25", "ring_assign", "ring_moves",
