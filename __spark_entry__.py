@@ -2628,6 +2628,23 @@ def q_graph_dist_est(spark, sf):
     )
 
 
+def q_fetch_backoff(spark, sf):
+    """Exponential-backoff retry plan (operators/dispatch.py::
+    backoff_schedule): trailing failure streak per host computed
+    relationally (one host window, two expressions on one Exchange),
+    next attempt at last_ts + base * 2^min(streak, cap) via bit shift
+    — the flapping-host scheduler policy. Outcome log synthesized by
+    doc_id residue."""
+    from barkingowl_spark.operators.dispatch import backoff_schedule
+
+    att = _t(spark, sf, "documents").select(
+        F.col("source").alias("host"),
+        ((F.col("doc_id") * 61) % 40000).cast("long").alias("ts_ms"),
+        (F.col("doc_id") % 4 != 0).alias("ok"),
+    )
+    return backoff_schedule(att, base_ms=1000, cap=5)
+
+
 def q_politeness_audit(spark, sf):
     """Politeness-compliance scoreboard (operators/politeness.py::
     politeness_audit): per-host disallow hits + crawl-delay gap
@@ -4594,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
         "politeness_audit": q_politeness_audit,
+        "fetch_backoff": q_fetch_backoff,
         "graph_trustrank": q_graph_trustrank,
         "graph_ppr": q_graph_ppr,
         "graph_landmark_bfs": q_graph_landmark_bfs,
@@ -9837,6 +9855,34 @@ def oracle_sql() -> dict[str, str]:
                    AND floor(n_urls * 1000000 / host_urls) >= 200000
                      AS explosive
             FROM tot
+        """,
+        "fetch_backoff": """
+            WITH att AS (
+              SELECT source AS host,
+                     CAST((doc_id * 61) % 40000 AS BIGINT) AS ts_ms,
+                     (doc_id % 4) <> 0 AS ok
+              FROM documents),
+            r AS (
+              SELECT host, ts_ms, ok,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY ts_ms, ok) AS rn
+              FROM att),
+            g AS (
+              SELECT host,
+                     CAST(count(*) AS BIGINT) AS n_attempts,
+                     CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_failures,
+                     CAST(max(rn) - coalesce(
+                          max(CASE WHEN ok THEN rn END), 0)
+                          AS BIGINT) AS fail_streak,
+                     CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
+              FROM r GROUP BY host)
+            SELECT host, n_attempts, n_failures, fail_streak,
+                   last_ts_ms,
+                   CAST(last_ts_ms + 1000 *
+                        (1::BIGINT << least(fail_streak, 5))
+                        AS BIGINT) AS next_attempt_ms
+            FROM g
         """,
         "politeness_audit": """
             WITH f AS (

@@ -83,3 +83,61 @@ def test_duplicate_seeds_dedup_to_one_tree(spark, fixture_data,
             for r in st.trace().collect()
         ))
     assert outs[0] == outs[1]
+
+
+def test_backoff_schedule_hand_cases(spark):
+    import pytest
+
+    from barkingowl_spark.operators.dispatch import backoff_schedule
+
+    rows = [
+        ("a", 0, True), ("a", 100, False), ("a", 200, False),
+        ("a", 300, False),
+        ("b", 0, False), ("b", 50, True),
+        # 7 straight failures: wait capped at base * 2^5
+        *[("c", 10 * i, False) for i in range(7)],
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_ms long, ok boolean")
+    got = {r["host"]: r.asDict()
+           for r in backoff_schedule(df, base_ms=1000, cap=5).collect()}
+    a = got["a"]
+    assert (a["n_attempts"], a["n_failures"], a["fail_streak"]) == (4, 3, 3)
+    assert a["next_attempt_ms"] == 300 + 1000 * 8
+    b = got["b"]  # last attempt succeeded -> plain base delay
+    assert b["fail_streak"] == 0
+    assert b["next_attempt_ms"] == 50 + 1000
+    c = got["c"]
+    assert c["fail_streak"] == 7
+    assert c["next_attempt_ms"] == 60 + 1000 * 32  # capped at 2^5
+
+    with pytest.raises(ValueError):
+        backoff_schedule(df, base_ms=0)
+    with pytest.raises(ValueError):
+        backoff_schedule(df, cap=-1)
+
+
+def test_backoff_streak_is_order_insensitive_to_input_partitioning(spark):
+    import random
+
+    from barkingowl_spark.operators.dispatch import backoff_schedule
+
+    random.seed(23)
+    rows = [(f"h{i % 5}", random.randint(0, 10_000) * 10,
+             random.random() < 0.6) for i in range(200)]
+    df = spark.createDataFrame(rows, "host string, ts_ms long, ok boolean")
+    a = sorted(tuple(r) for r in backoff_schedule(df).collect())
+    b = sorted(tuple(r) for r in
+               backoff_schedule(df.repartition(13)).collect())
+    assert a == b
+    # reference streak per host
+    from collections import defaultdict
+    per = defaultdict(list)
+    for h, t, ok in rows:
+        per[h].append((t, ok))
+    got = {r[0]: r for r in a}
+    for h, evs in per.items():
+        evs.sort()
+        streak = 0
+        for _, ok in evs:
+            streak = 0 if ok else streak + 1
+        assert got[h][3] == streak, h
