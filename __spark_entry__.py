@@ -2645,6 +2645,18 @@ def q_fetch_backoff(spark, sf):
     return backoff_schedule(att, base_ms=1000, cap=5)
 
 
+def q_dedup_lsh_plan(spark, sf):
+    """MinHash-LSH banding design table (operators/corpus_dedup.py::
+    lsh_plan): the collision S-curve p = 1 - (1 - s^r)^b for every
+    (b, r) factorization of a 16-perm signature, on a 50k-ppm Jaccard
+    grid, crossover points flagged — the read-before-you-shuffle
+    planner for dedup_minhash_lsh (bands multiply the shuffle, rows
+    sharpen the curve). Iterated fixed-point powers, no float pow."""
+    from barkingowl_spark.operators.corpus_dedup import lsh_plan
+
+    return lsh_plan(spark, n_perms=16, grid_step_ppm=50_000)
+
+
 def q_politeness_audit(spark, sf):
     """Politeness-compliance scoreboard (operators/politeness.py::
     politeness_audit): per-host disallow hits + crawl-delay gap
@@ -4611,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "politeness_timeline": q_politeness_timeline,
         "politeness_audit": q_politeness_audit,
+        "dedup_lsh_plan": q_dedup_lsh_plan,
         "fetch_backoff": q_fetch_backoff,
         "graph_trustrank": q_graph_trustrank,
         "graph_ppr": q_graph_ppr,
@@ -9855,6 +9868,35 @@ def oracle_sql() -> dict[str, str]:
                    AND floor(n_urls * 1000000 / host_urls) >= 200000
                      AS explosive
             FROM tot
+        """,
+        # divisor pairs of n_perms=16 as zipped unnests; powers via
+        # list_reduce over repeated factors (first step exact, so it
+        # equals the Spark side's 1e6-seeded aggregate)
+        "dedup_lsh_plan": """
+            WITH br AS (
+              SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS b,
+                     CAST(unnest([16, 8, 4, 2, 1]) AS BIGINT) AS r),
+            g AS (
+              SELECT CAST(unnest(range(0, 1000001, 50000)) AS BIGINT)
+                AS s_ppm),
+            x AS (
+              SELECT b, r, s_ppm,
+                     list_reduce(
+                       list_transform(range(1, r + 1), i -> s_ppm),
+                       (a, c) -> a * c // 1000000) AS xx
+              FROM br, g),
+            p AS (
+              SELECT b, r, s_ppm,
+                     CAST(1000000 - list_reduce(
+                       list_transform(range(1, b + 1),
+                                      i -> 1000000 - xx),
+                       (a, c) -> a * c // 1000000) AS BIGINT) AS p_ppm
+              FROM x)
+            SELECT b, r, s_ppm, p_ppm,
+                   (p_ppm >= 500000 AND
+                    coalesce(lag(p_ppm) OVER (PARTITION BY b, r
+                      ORDER BY s_ppm), -1) < 500000) AS crossover
+            FROM p
         """,
         "fetch_backoff": """
             WITH att AS (

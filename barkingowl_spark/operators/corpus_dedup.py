@@ -632,3 +632,61 @@ def near_dup_threshold_curve(
             "n_pairs_ge",
         )
     )
+
+
+def lsh_plan(
+    spark,
+    n_perms: int = 16,
+    grid_step_ppm: int = 50_000,
+    half_ppm: int = 500_000,
+) -> DataFrame:
+    """(b, r, s_ppm, p_ppm, crossover): the MinHash-LSH banding design
+    table — for every (bands b, rows-per-band r) factorization of the
+    signature width, the collision S-curve p = 1 - (1 - s^r)^b
+    evaluated on a Jaccard grid, with ``crossover`` marking the grid
+    point where p first reaches half_ppm (~the (1/b)^(1/r) threshold).
+    This is the table you read BEFORE running dedup_minhash_lsh at
+    corpus scale: pick the (b, r) whose crossover sits at your target
+    near-dup threshold, because band count multiplies the shuffle
+    (b rows per doc) while r sharpens the curve.
+
+    Integer contract: powers are iterated fixed-point products
+    (x <- x * s DIV 1e6, starting at 1e6 — first step exact, so the
+    sequence equals DuckDB's list_reduce over r copies of s), floors
+    at every step; no float pow anywhere, so both engines produce the
+    identical curve.
+
+    Scale shape: a generated table of |divisors| x |grid| rows — tiny,
+    driver-independent; one (b, r)-partitioned lag window for the
+    crossover flag."""
+    if n_perms < 1 or grid_step_ppm < 1:
+        raise ValueError("n_perms and grid_step_ppm must be >= 1")
+    pairs = [(b, n_perms // b) for b in range(1, n_perms + 1)
+             if n_perms % b == 0]
+    br = spark.createDataFrame(pairs, "b long, r long")
+    grid = spark.range(
+        0, 1_000_001, grid_step_ppm).withColumnRenamed("id", "s_ppm")
+    d = (
+        br.crossJoin(grid)
+        .withColumn(
+            "_x",
+            F.expr(
+                "aggregate(sequence(1L, r), CAST(1000000 AS BIGINT),"
+                " (acc, i) -> acc * s_ppm DIV 1000000)"))
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "1000000 - aggregate(sequence(1L, b),"
+                " CAST(1000000 AS BIGINT),"
+                " (acc, i) -> acc * (1000000 - _x) DIV 1000000)")
+            .cast("long"))
+    )
+    w = Window.partitionBy("b", "r").orderBy("s_ppm")
+    return (
+        d.withColumn(
+            "crossover",
+            (F.col("p_ppm") >= half_ppm)
+            & (F.coalesce(F.lag("p_ppm").over(w), F.lit(-1))
+               < half_ppm))
+        .select("b", "r", "s_ppm", "p_ppm", "crossover")
+    )

@@ -845,3 +845,43 @@ def test_mojibake_scores(spark):
     assert got[2] == (3, 1, True)
     assert got[3] == (0, 0, False)
     assert got[4] == (0, 0, False)
+
+
+def test_lsh_plan_matches_reference_curve(spark):
+    import pytest
+
+    from barkingowl_spark.operators.corpus_dedup import lsh_plan
+
+    rows = lsh_plan(spark, n_perms=12, grid_step_ppm=100_000).collect()
+
+    def p_ref(s, b, r):
+        x = 10 ** 6
+        for _ in range(r):
+            x = x * s // 10 ** 6
+        y = 10 ** 6
+        for _ in range(b):
+            y = y * (10 ** 6 - x) // 10 ** 6
+        return 10 ** 6 - y
+
+    assert {(t["b"], t["r"]) for t in rows} == {
+        (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)}
+    for t in rows:
+        assert t["p_ppm"] == p_ref(t["s_ppm"], t["b"], t["r"])
+    # exactly one crossover per (b, r) and the curve is monotone in s
+    from collections import defaultdict
+    per = defaultdict(list)
+    for t in rows:
+        per[(t["b"], t["r"])].append(t)
+    for pts in per.values():
+        pts.sort(key=lambda t: t["s_ppm"])
+        ps = [t["p_ppm"] for t in pts]
+        assert ps == sorted(ps)
+        assert sum(1 for t in pts if t["crossover"]) == 1
+    # more bands -> curve shifts left (collides at lower similarity)
+    cross = {(t["b"], t["r"]): t["s_ppm"] for t in rows
+             if t["crossover"]}
+    ordered = [cross[k] for k in sorted(cross)]  # b ascending
+    assert ordered == sorted(ordered, reverse=True)
+
+    with pytest.raises(ValueError):
+        lsh_plan(spark, n_perms=0)
