@@ -2035,6 +2035,20 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_events_forecast_skill(spark, sf):
+    """Seasonal-naive vs naive-1 forecast skill (operators/temporal.py
+    ::forecast_skill, MASE after Hyndman & Koehler 2006) per
+    event_type on hourly buckets, season 24 — the DECISION face of
+    events_periodicity's lag-24 autocorrelation: mase_milli < 1000
+    says season-aware thresholds/revisit phases will beat the plain
+    rate model for this key. Shared densify, both lags on one window
+    sort, one floor."""
+    from barkingowl_spark.operators.temporal import forecast_skill
+
+    return forecast_skill(
+        _t(spark, sf, "events"), key_col="event_type", season=24)
+
+
 def q_events_funnel(spark, sf):
     """Per-user ordered funnel first-touch times (operators/cohorts.py
     ::funnel_times): view -> click -> purchase, each stage at-or-after
@@ -4540,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodicity": q_events_periodicity,
         "events_anomaly": q_events_anomaly,
         "events_cusum": q_events_cusum,
+        "events_forecast_skill": q_events_forecast_skill,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -8825,6 +8840,45 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_forecast_skill": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS t,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            sp AS (
+              SELECT event_type, min(t) AS tmin, max(t) AS tmax,
+                     CAST(max(t) - min(t) + 1 AS BIGINT) AS n
+              FROM c GROUP BY event_type
+              HAVING max(t) - min(t) + 1 BETWEEN 2 AND 4096),
+            d AS (
+              SELECT event_type, n,
+                     unnest(generate_series(tmin, tmax)) AS t
+              FROM sp),
+            xs AS (
+              SELECT d.event_type, d.n, d.t,
+                     coalesce(c.x, 0) AS x
+              FROM d LEFT JOIN c
+                ON c.event_type = d.event_type AND c.t = d.t),
+            lg AS (
+              SELECT event_type, n, x,
+                     lag(x, 1) OVER (PARTITION BY event_type
+                       ORDER BY t) AS p1,
+                     lag(x, 24) OVER (PARTITION BY event_type
+                       ORDER BY t) AS ps
+              FROM xs)
+            SELECT event_type AS key,
+                   CAST(any_value(n) AS BIGINT) AS n_buckets,
+                   CAST(sum(abs(x - p1)) AS BIGINT) AS naive_sae,
+                   CAST(sum(abs(x - ps)) AS BIGINT) AS seas_sae,
+                   CAST(count(p1) AS BIGINT) AS n1,
+                   CAST(count(ps) AS BIGINT) AS ns,
+                   CASE WHEN count(ps) > 0 AND sum(abs(x - p1)) > 0
+                     THEN CAST(1000 * sum(abs(x - ps)) * count(p1)
+                          // (count(ps) * sum(abs(x - p1)))
+                          AS BIGINT) END AS mase_milli
+            FROM lg GROUP BY event_type
         """,
         "events_periodicity": """
             WITH c AS (

@@ -486,3 +486,61 @@ def cusum_alarms(
         F.col("_med").alias("med"),
         F.col("_s").alias("s"),
     )
+
+
+def forecast_skill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    season: int = 24,
+    bucket_s: int = 3600,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(key, n_buckets, naive_sae, seas_sae, n1, ns, mase_milli):
+    does seasonal forecasting beat last-value forecasting for this
+    key's event rate? Hyndman & Koehler's MASE idea (Int. J.
+    Forecasting 2006) specialized to the two cheapest forecasters a
+    scheduler actually has: seasonal-naive x̂_t = x_{t-season} scored
+    against naive-1 x̂_t = x_{t-1} on the same densified series.
+
+        mase_milli = 1000 * (seas_sae / ns) / (naive_sae / n1)
+                   = (1000 * seas_sae * n1) DIV (ns * naive_sae)
+
+    — one floor, nonneg operands. Below 1000: the key has exploitable
+    seasonal structure (alert thresholds and revisit phases should be
+    season-aware — the decision face of what periodicity's lag-24
+    autocorrelation measures); at/above 1000 or NULL (no seasonal
+    pairs, or a constant series with naive_sae = 0): fall back to the
+    rate model. Series and span-cap semantics are _dense_series's
+    (missing buckets are real zeros).
+
+    Scale shape: the shared densify (one count rollup + span-capped
+    explode), both lags on ONE (key, t) window sort, one per-key agg."""
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    if max_span < 2:
+        raise ValueError("max_span must be >= 2")
+    dense = _dense_series(events, key_col, ts_col, bucket_s, max_span)
+    w = Window.partitionBy(key_col).orderBy("_t")
+    d = dense.select(
+        key_col, "_n", "_x",
+        F.lag("_x", 1).over(w).alias("_p1"),
+        F.lag("_x", int(season)).over(w).alias("_ps"),
+    )
+    g = d.groupBy(key_col).agg(
+        F.first("_n").cast("long").alias("n_buckets"),
+        F.sum(F.abs(F.col("_x") - F.col("_p1"))).cast("long")
+        .alias("naive_sae"),
+        F.sum(F.abs(F.col("_x") - F.col("_ps"))).cast("long")
+        .alias("seas_sae"),
+        F.count("_p1").cast("long").alias("n1"),
+        F.count("_ps").cast("long").alias("ns"),
+    )
+    return g.select(
+        F.col(key_col).alias("key"), "n_buckets", "naive_sae",
+        "seas_sae", "n1", "ns",
+        F.expr(
+            "CASE WHEN ns > 0 AND naive_sae > 0 THEN"
+            " 1000 * seas_sae * n1 DIV (ns * naive_sae) END")
+        .cast("long").alias("mase_milli"),
+    )

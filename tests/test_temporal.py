@@ -366,3 +366,67 @@ def test_cusum_validates(spark):
         cusum_alarms(df, h=-1)
     with pytest.raises(ValueError):
         cusum_alarms(df, max_span=1)
+
+
+def test_forecast_skill_seasonal_vs_noise(spark):
+    """A strongly daily-periodic key scores mase << 1000; a
+    constant-rate key has naive_sae > 0 from edge jitter... instead
+    pin exact values on small hand series."""
+    import datetime as dt
+
+    import pytest
+
+    from barkingowl_spark.operators.temporal import forecast_skill
+
+    base = dt.datetime(2026, 1, 1)
+
+    def ev(key, hour, n):
+        return [(key, base + dt.timedelta(hours=hour))] * n
+
+    rows = []
+    # key "per": periodic with period 3 over span 0..9:
+    # counts 5,0,0,5,0,0,5,0,0,5
+    for d in range(4):
+        rows += ev("per", d * 3, 5)
+    # key "one": single bucket -> dropped by the span filter
+    rows += ev("one", 0, 3)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["key"]: r.asDict()
+           for r in forecast_skill(
+               df, key_col="event_type", season=3,
+               bucket_s=3600).collect()}
+    assert set(got) == {"per"}
+    p = got["per"]
+    # series: 5,0,0,5,0,0,5,0,0,5  (t=0..9)
+    # naive1 diffs: |0-5|,|0-0|,|5-0|,... = 5,0,5,5,0,5,5,0,5 -> 30, n1=9
+    # season-3 diffs: x_t vs x_{t-3}, t=3..9: all 0 -> 0, ns=7
+    assert (p["n_buckets"], p["n1"], p["ns"]) == (10, 9, 7)
+    assert p["naive_sae"] == 30 and p["seas_sae"] == 0
+    assert p["mase_milli"] == 0
+    # degenerate guards
+    with pytest.raises(ValueError):
+        forecast_skill(df, season=0)
+    with pytest.raises(ValueError):
+        forecast_skill(df, max_span=1)
+
+
+def test_forecast_skill_null_when_no_seasonal_pairs_or_flat(spark):
+    import datetime as dt
+
+    from barkingowl_spark.operators.temporal import forecast_skill
+
+    base = dt.datetime(2026, 1, 1)
+    rows = (
+        # span 3 < season 24 -> ns = 0 -> NULL skill
+        [("short", base), ("short", base + dt.timedelta(hours=2))]
+        # constant series -> naive_sae = 0 -> NULL skill
+        + [("flat", base + dt.timedelta(hours=h)) for h in range(30)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["key"]: r.asDict()
+           for r in forecast_skill(
+               df, key_col="event_type", season=24).collect()}
+    assert got["short"]["ns"] == 0
+    assert got["short"]["mase_milli"] is None
+    assert got["flat"]["naive_sae"] == 0
+    assert got["flat"]["mase_milli"] is None
