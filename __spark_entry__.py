@@ -2659,6 +2659,53 @@ def q_fetch_backoff(spark, sf):
     return backoff_schedule(att, base_ms=1000, cap=5)
 
 
+def q_url_dates(spark, sf):
+    """Publication dates from slash-delimited URL paths (operators/
+    urltree.py::url_dates) — the cheapest freshness prior (a dated
+    URL's change rate collapses once its date passes). RE2-safe
+    regex shared verbatim with the oracle; out-of-range dates flagged
+    valid=false, never dropped. Map-only."""
+    from barkingowl_spark.operators.urltree import url_dates
+
+    d = _t(spark, sf, "documents")
+    m5 = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test"),
+        F.when(m5 == 0, F.concat(
+            F.lit("/"), (2000 + F.col("doc_id") % 30).cast("string"),
+            F.lit("/"), (F.col("doc_id") % 15).cast("string"),
+            F.lit("/"), (F.col("doc_id") % 35).cast("string"),
+            F.lit("/x")))
+        .when(m5 == 1, F.concat(
+            F.lit("/blog/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("/d/"), F.col("doc_id").cast("string"))))
+    return url_dates(d.select(url.alias("url")))
+
+
+def q_url_pagination(spark, sf):
+    """Pagination-chain mining (operators/urltree.py::
+    pagination_chains): ?page=N and /page/N/ urls collapsed to their
+    chain base with distinct-page span stats and a contiguity flag —
+    the budget unit a frontier walks head-first (gappy monster chains
+    are trap signals). One base-keyed map-side-combined agg."""
+    from barkingowl_spark.operators.urltree import pagination_chains
+
+    d = _t(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test"),
+        F.when(m3 == 0, F.concat(
+            F.lit("/list"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("?page="), (F.col("doc_id") % 7).cast("string")))
+        .when(m3 == 1, F.concat(
+            F.lit("/arch/page/"),
+            (F.col("doc_id") % 5).cast("string"), F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("/p"), F.col("doc_id").cast("string"))))
+    return pagination_chains(d.select(url.alias("url")))
+
+
 def q_dedup_lsh_plan(spark, sf):
     """MinHash-LSH banding design table (operators/corpus_dedup.py::
     lsh_plan): the collision S-curve p = 1 - (1 - s^r)^b for every
@@ -4639,6 +4686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_timeline": q_politeness_timeline,
         "politeness_audit": q_politeness_audit,
         "dedup_lsh_plan": q_dedup_lsh_plan,
+        "url_dates": q_url_dates,
+        "url_pagination": q_url_pagination,
         "fetch_backoff": q_fetch_backoff,
         "graph_trustrank": q_graph_trustrank,
         "graph_ppr": q_graph_ppr,
@@ -9926,6 +9975,74 @@ def oracle_sql() -> dict[str, str]:
         # divisor pairs of n_perms=16 as zipped unnests; powers via
         # list_reduce over repeated factors (first step exact, so it
         # equals the Spark side's 1e6-seeded aggregate)
+        "url_dates": """
+            WITH u AS (
+              SELECT 'http://' || source || '.test' ||
+                CASE WHEN doc_id % 5 = 0 THEN
+                       '/' || CAST(2000 + doc_id % 30 AS VARCHAR)
+                       || '/' || CAST(doc_id % 15 AS VARCHAR)
+                       || '/' || CAST(doc_id % 35 AS VARCHAR) || '/x'
+                     WHEN doc_id % 5 = 1 THEN
+                       '/blog/p' || CAST(doc_id AS VARCHAR)
+                     ELSE '/d/' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents),
+            e AS (
+              SELECT url,
+                regexp_extract(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1),
+                  '/((?:19|20)[0-9]{2})/([0-9]{1,2})/([0-9]{1,2})(?:/|$)',
+                  1) AS ys,
+                regexp_extract(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1),
+                  '/((?:19|20)[0-9]{2})/([0-9]{1,2})/([0-9]{1,2})(?:/|$)',
+                  2) AS ms,
+                regexp_extract(regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://[^/]+([^?#]*)', 1),
+                  '/((?:19|20)[0-9]{2})/([0-9]{1,2})/([0-9]{1,2})(?:/|$)',
+                  3) AS ds
+              FROM u)
+            SELECT url,
+                   CAST(nullif(ys, '') AS BIGINT) AS y,
+                   CAST(nullif(ms, '') AS BIGINT) AS m,
+                   CAST(nullif(ds, '') AS BIGINT) AS d,
+                   CASE WHEN nullif(ys, '') IS NULL THEN false
+                        ELSE CAST(ms AS BIGINT) BETWEEN 1 AND 12
+                         AND CAST(ds AS BIGINT) BETWEEN 1 AND 31
+                   END AS valid
+            FROM e
+        """,
+        "url_pagination": """
+            WITH u AS (
+              SELECT 'http://' || source || '.test' ||
+                CASE WHEN doc_id % 3 = 0 THEN
+                       '/list' || CAST(doc_id % 4 AS VARCHAR)
+                       || '?page=' || CAST(doc_id % 7 AS VARCHAR)
+                     WHEN doc_id % 3 = 1 THEN
+                       '/arch/page/' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/'
+                     ELSE '/p' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents),
+            e AS (
+              SELECT
+                regexp_replace(regexp_replace(url,
+                  '[?&]page=([0-9]+)', ''),
+                  '/page/([0-9]+)(/|$)', '/') AS base,
+                CAST(coalesce(
+                  nullif(regexp_extract(url,
+                    '[?&]page=([0-9]+)', 1), ''),
+                  nullif(regexp_extract(url,
+                    '/page/([0-9]+)(?:/|$)', 1), '')) AS BIGINT)
+                  AS page
+              FROM u)
+            SELECT base,
+                   CAST(count(DISTINCT page) AS BIGINT) AS n_pages,
+                   CAST(min(page) AS BIGINT) AS min_page,
+                   CAST(max(page) AS BIGINT) AS max_page,
+                   (max(page) - min(page) + 1 = count(DISTINCT page))
+                     AS contiguous
+            FROM e WHERE page IS NOT NULL
+            GROUP BY base
+        """,
         "dedup_lsh_plan": """
             WITH br AS (
               SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS b,
