@@ -2706,6 +2706,22 @@ def q_url_pagination(spark, sf):
     return pagination_chains(d.select(url.alias("url")))
 
 
+def q_sample_neyman(spark, sf):
+    """Neyman-optimal labeling-budget allocation across sources
+    (operators/mix.py::neyman_allocation): 10k seats split
+    proportionally to N_h * sigma_h of document length — exact isqrt
+    radicand, floored shares + largest-remainder top-up so the seats
+    sum to the budget exactly. One groupBy; the remainder window runs
+    on the one-row-per-stratum table only."""
+    from barkingowl_spark.operators.mix import neyman_allocation
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.length(F.coalesce("text", F.lit(""))).cast("long")
+        .alias("val"))
+    return neyman_allocation(d, 10_000, group_col="source")
+
+
 def q_dedup_lsh_plan(spark, sf):
     """MinHash-LSH banding design table (operators/corpus_dedup.py::
     lsh_plan): the collision S-curve p = 1 - (1 - s^r)^b for every
@@ -4686,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_timeline": q_politeness_timeline,
         "politeness_audit": q_politeness_audit,
         "dedup_lsh_plan": q_dedup_lsh_plan,
+        "sample_neyman": q_sample_neyman,
         "url_dates": q_url_dates,
         "url_pagination": q_url_pagination,
         "fetch_backoff": q_fetch_backoff,
@@ -9975,6 +9992,54 @@ def oracle_sql() -> dict[str, str]:
         # divisor pairs of n_perms=16 as zipped unnests; powers via
         # list_reduce over repeated factors (first step exact, so it
         # equals the Spark side's 1e6-seeded aggregate)
+        # Neyman shares: exact-isqrt idiom (double estimate, +/-1
+        # correction) on the HUGEINT radicand; largest-remainder seats
+        "sample_neyman": """
+            WITH sv AS (
+              SELECT source AS "group",
+                     CAST(len(coalesce(text, '')) AS BIGINT) AS v
+              FROM documents),
+            ga AS (
+              SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(v) AS BIGINT) AS s1,
+                     CAST(sum(v * v) AS BIGINT) AS ss
+              FROM sv GROUP BY "group"),
+            rad AS (
+              SELECT "group", n_docs,
+                     n_docs * ss - s1 * s1 AS r0,
+                     CAST(floor(sqrt(CAST(n_docs * ss - s1 * s1
+                                          AS DOUBLE))) AS BIGINT) AS e
+              FROM ga),
+            wc AS (
+              SELECT "group", n_docs,
+                     CASE WHEN (e + 1) * (e + 1) <= r0 THEN e + 1
+                          WHEN e * e > r0 THEN e - 1
+                          ELSE e END AS w
+              FROM rad),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                         CAST(sum(n_docs) AS BIGINT) AS tn FROM wc),
+            j AS (
+              SELECT wc."group", wc.n_docs, wc.w,
+                     CASE WHEN t.tw > 0 THEN wc.w
+                          ELSE wc.n_docs END AS wsel,
+                     CASE WHEN t.tw > 0 THEN t.tw ELSE t.tn END AS wtot
+              FROM wc, t),
+            fl AS (
+              SELECT "group", n_docs, w,
+                     10000 * wsel // wtot AS f,
+                     10000 * wsel % wtot AS rem
+              FROM j),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (ORDER BY rem DESC, "group")
+                       AS r,
+                     (SELECT 10000 - sum(f) FROM fl) AS lft
+              FROM fl)
+            SELECT "group", n_docs, CAST(w AS BIGINT) AS w,
+                   CAST(f + CASE WHEN r <= lft THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM rk
+        """,
         "url_dates": """
             WITH u AS (
               SELECT 'http://' || source || '.test' ||

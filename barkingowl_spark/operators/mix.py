@@ -433,3 +433,79 @@ def priority_estimate(sample: DataFrame, truth: DataFrame) -> DataFrame:
                 " DIV true_total AS BIGINT)").alias("err_ppm"),
         )
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    val_col: str = "val",
+) -> DataFrame:
+    """(group, n_docs, w, alloc): optimal (Neyman 1934) sample-size
+    allocation of a labeling/eval budget across strata — sample
+    stratum h proportionally to N_h * sigma_h, which minimizes the
+    variance of the stratified mean at fixed total budget. The
+    standard answer to "we can hand-label 10k docs; how many from each
+    source?" — uniform splits waste budget on low-variance strata.
+
+    Integer contract: N_h * sigma_h = sqrt(N_h * sumsq_h - sum_h^2)
+    exactly (population variance), taken with the exact-isqrt idiom
+    (bit-exact for the radicand <= 2^52 — fine through ~60M docs per
+    stratum at |val| <= 1e3; shard beyond). Seats are floored
+    proportional shares plus largest-remainder top-up (remainder desc,
+    group asc), so sum(alloc) == budget exactly and the result is
+    engine-portable. All-constant strata (every w = 0) fall back to
+    proportional-to-size on N_h — documented, deterministic.
+
+    Scale shape: one map-side-combined groupBy(group); everything
+    after runs on the strata table (one row per group — tiny), so the
+    single-partition remainder window costs nothing."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    g = (
+        docs.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(val_col)).cast("long").alias("_s"),
+            F.sum(F.col(val_col) * F.col(val_col)).cast("long")
+            .alias("_ss"),
+        )
+        .withColumn(
+            "w",
+            _isqrt(F.col("n_docs") * F.col("_ss")
+                   - F.col("_s") * F.col("_s")).cast("long"))
+    )
+    # NB: Spark resolves column names case-insensitively — _W vs _w
+    # would collide, hence the distinct _wsel/_wtot names below
+    tot = g.agg(
+        F.sum("w").cast("long").alias("_W"),
+        F.sum("n_docs").cast("long").alias("_N"))
+    j = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_wsel",
+            F.when(F.col("_W") > 0, F.col("w"))
+            .otherwise(F.col("n_docs")))
+        .withColumn(
+            "_wtot",
+            F.when(F.col("_W") > 0, F.col("_W"))
+            .otherwise(F.col("_N")))
+        .withColumn(
+            "_floor",
+            F.expr(f"CAST({int(budget)} AS BIGINT) * _wsel DIV _wtot"))
+        .withColumn(
+            "_rem", F.expr(f"CAST({int(budget)} AS BIGINT) * _wsel % _wtot"))
+    )
+    wrank = Window.orderBy(F.col("_rem").desc(), F.col("group"))
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        j.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("_left",
+                    F.lit(int(budget)) - F.sum("_floor").over(wall))
+        .select(
+            "group", "n_docs", "w",
+            (F.col("_floor")
+             + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+            .cast("long").alias("alloc"),
+        )
+    )

@@ -51,7 +51,8 @@ def duck():
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
      "cdx_index", "politeness_timeline", "politeness_audit",
-     "fetch_backoff", "dedup_lsh_plan", "url_dates", "url_pagination",
+     "fetch_backoff", "dedup_lsh_plan", "sample_neyman",
+     "url_dates", "url_pagination",
      "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",

@@ -357,3 +357,53 @@ def test_stratified_growth_stability(spark):
     # survivors of the grown run that were present before were winners
     # before (no reshuffling among old docs)
     assert got2 & got1 == got2 & set(i for i, _ in base)
+
+
+def test_neyman_allocation_matches_reference(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    from barkingowl_spark.operators.mix import neyman_allocation
+
+    random.seed(41)
+    rows = ([("low", 100 + random.randint(0, 2)) for _ in range(50)]
+            + [("hi", random.randint(0, 1000)) for _ in range(50)]
+            + [("mid", random.randint(400, 600)) for _ in range(100)])
+    df = spark.createDataFrame(rows, "source string, val long")
+    got = {r["group"]: r.asDict()
+           for r in neyman_allocation(df, 1000, val_col="val").collect()}
+    per = defaultdict(list)
+    for s, v in rows:
+        per[s].append(v)
+    W = {s: math.isqrt(len(vs) * sum(v * v for v in vs)
+                       - sum(vs) ** 2) for s, vs in per.items()}
+    tw = sum(W.values())
+    fl = {s: 1000 * W[s] // tw for s in W}
+    rem = {s: 1000 * W[s] % tw for s in W}
+    for i, s in enumerate(sorted(rem, key=lambda s: (-rem[s], s))):
+        if i < 1000 - sum(fl.values()):
+            fl[s] += 1
+    total = 0
+    for s in per:
+        assert got[s]["w"] == W[s]
+        assert got[s]["alloc"] == fl[s]
+        total += got[s]["alloc"]
+    assert total == 1000
+    # high-variance stratum dominates the equal-size low-variance one
+    assert got["hi"]["alloc"] > got["low"]["alloc"]
+
+
+def test_neyman_allocation_constant_strata_fallback(spark):
+    import pytest
+
+    from barkingowl_spark.operators.mix import neyman_allocation
+
+    # every stratum constant -> all w = 0 -> proportional-to-size
+    rows = [("a", 7)] * 30 + [("b", 9)] * 10
+    df = spark.createDataFrame(rows, "source string, val long")
+    got = {r["group"]: r["alloc"]
+           for r in neyman_allocation(df, 100, val_col="val").collect()}
+    assert got == {"a": 75, "b": 25}
+    with pytest.raises(ValueError):
+        neyman_allocation(df, -1)
