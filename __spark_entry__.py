@@ -2353,6 +2353,19 @@ def q_text_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
 
 
+def q_text_keyness(spark, sf):
+    """Per-source distinctive terms (functions/textstats.py::
+    source_keyness): smoothed relative-risk lift in ppm — monotone in
+    pointwise MI without a log, the collocations trick applied to the
+    source axis. One tokenize pass, corpus-minus-in for the
+    complement counts, broadcast source totals, WindowGroupLimit
+    k-cut."""
+    from barkingowl_spark.functions.textstats import source_keyness
+
+    return source_keyness(_t(spark, sf, "documents"), k=10,
+                          min_count=3)
+
+
 def q_text_textrank(spark, sf):
     """TextRank keywords (operators/textrank.py::textrank_keywords,
     Mihalcea & Tarau EMNLP 2004): every document's word co-occurrence
@@ -4634,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippet": q_search_snippet,
         "text_collocations": q_text_collocations,
         "text_textrank": q_text_textrank,
+        "text_keyness": q_text_keyness,
         "events_interval": q_events_interval,
         "events_change_audit": q_events_change_audit,
         "events_change_sla": q_events_change_sla,
@@ -8520,6 +8534,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-doc weighted PageRank, 2 unrolled rounds — the
         # graph_pagerank idiom with (doc_id, word) as the node key
+        "text_keyness": """
+            WITH tok AS (
+              SELECT source, t AS term FROM (
+                SELECT source,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                         AS t
+                FROM documents)
+              WHERE t <> ''),
+            st AS (
+              SELECT source, term, CAST(count(*) AS BIGINT) AS tf_in
+              FROM tok GROUP BY source, term),
+            tt AS (
+              SELECT term, CAST(sum(tf_in) AS BIGINT) AS tf_all
+              FROM st GROUP BY term),
+            ts AS (
+              SELECT source, CAST(sum(tf_in) AS BIGINT) AS t_in
+              FROM st GROUP BY source),
+            ta AS (SELECT CAST(sum(t_in) AS BIGINT) AS t_all FROM ts),
+            sc AS (
+              SELECT st.source, st.term, st.tf_in,
+                     tt.tf_all - st.tf_in AS tf_out,
+                     CAST(CAST(st.tf_in AS HUGEINT)
+                          * (ta.t_all - ts.t_in + 1) * 1000000
+                          // (CAST(tt.tf_all - st.tf_in + 1
+                                   AS HUGEINT) * ts.t_in)
+                          AS BIGINT) AS lift_ppm
+              FROM st
+              JOIN tt USING (term)
+              JOIN ts USING (source), ta
+              WHERE st.tf_in >= 3)
+            SELECT source, term, tf_in, CAST(tf_out AS BIGINT)
+                     AS tf_out, lift_ppm, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY lift_ppm DESC, term) AS rk
+                  FROM sc)
+            WHERE rk <= 10
+        """,
         "text_textrank": f"""
             WITH s AS (SELECT doc_id,
                               string_split(coalesce(text, ''), ' ')

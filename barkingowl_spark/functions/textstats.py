@@ -579,3 +579,68 @@ def mojibake_scores(documents: DataFrame) -> DataFrame:
             "moji_suspect",
             (F.col("moji_hits") >= 3) | (F.col("moji_kinds") >= 2))
     )
+
+
+def source_keyness(
+    documents: DataFrame,
+    k: int = 10,
+    min_count: int = 3,
+) -> DataFrame:
+    """(source, term, tf_in, tf_out, lift_ppm, rk): each source's top-k
+    DISTINCTIVE terms — the corpus-linguistics keyness table ("what is
+    this slice about, relative to everything else?"), the audit to
+    read before trusting a source label or a mixing weight.
+
+    Score = smoothed relative risk in ppm,
+
+        lift_ppm = (tf_in * (T_out + 1) * 1e6)
+                   DIV ((tf_out + 1) * T_in)
+
+    (T = source token totals; +1 on the out side keeps
+    source-exclusive terms finite) — monotone in pointwise MI exactly
+    as collocations' exp-PMI lift, so the ranking needs no log and is
+    engine-exact in DECIMAL. min_count guards the rare-term blowup;
+    ties break term-ascending.
+
+    Scale shape: ONE tokenize pass feeds the (source, term) counts;
+    per-term corpus totals come off that table (map-side combine) and
+    tf_out = corpus - in needs no second scan; source totals ride a
+    broadcast; the k-cut is a source-partitioned WindowGroupLimit."""
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "source", F.explode(F.split(F.coalesce("text", F.lit("")), " "))
+        .alias("term")).filter(F.col("term") != "")
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_in"))
+    tot_term = st.groupBy("term").agg(
+        F.sum("tf_in").cast("long").alias("tf_all"))
+    tot_src = st.groupBy("source").agg(
+        F.sum("tf_in").cast("long").alias("t_in"))
+    tot_all = tot_src.agg(
+        F.sum("t_in").cast("long").alias("t_all"))
+    scored = (
+        st.filter(F.col("tf_in") >= min_count)
+        .join(tot_term, "term")
+        .join(F.broadcast(tot_src), "source")
+        .crossJoin(F.broadcast(tot_all))
+        .select(
+            "source", "term", "tf_in",
+            (F.col("tf_all") - F.col("tf_in")).alias("tf_out"),
+            F.expr(
+                "CAST(CAST(tf_in AS DECIMAL(38,0))"
+                " * (t_all - t_in + 1) * 1000000"
+                " DIV (CAST(tf_all - tf_in + 1 AS DECIMAL(38,0))"
+                " * t_in) AS BIGINT)").alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_ppm").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "term", "tf_in", "tf_out", "lift_ppm",
+                F.col("rk").cast("long").alias("rk"))
+    )
