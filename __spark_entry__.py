@@ -1282,6 +1282,25 @@ def q_sitemap_seeds(spark, sf):
     return sitemap_seed_urls(_synth_sitemaps(spark, sf), body_col="body")
 
 
+def q_sitemap_coverage(spark, sf):
+    """Sitemap-vs-crawl coverage audit (operators/sitemap.py::
+    sitemap_coverage): listed_ppm = how much of the fetched corpus the
+    site's sitemap had already listed (discovery fetches a
+    sitemap-first strategy saves); backlog = listed-but-unfetched.
+    Crawled set = every third doc withheld, so both numbers are
+    exercised. Full-outer equi-join + per-host rollup."""
+    from barkingowl_spark.operators.sitemap import (
+        sitemap_coverage, sitemap_seed_urls)
+
+    d = _t(spark, sf, "documents")
+    crawled = d.filter(F.col("doc_id") % 3 != 2).select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    listed = sitemap_seed_urls(_synth_sitemaps(spark, sf),
+                               body_col="body")
+    return sitemap_coverage(crawled, listed)
+
+
 def q_trap_signals(spark, sf):
     """Crawler-trap heuristics (operators/traps.py) over four synthetic
     URL shapes per doc_id%4: clean path / path loop / numeric lattice /
@@ -4595,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_host_overlap": q_kmv_host_overlap,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_seeds": q_sitemap_seeds,
+        "sitemap_coverage": q_sitemap_coverage,
         "trap_signals": q_trap_signals,
         "dust_rules": q_dust_rules,
         "dust_canon": q_dust_canon,
@@ -7065,6 +7085,36 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.test/p'
                        || CAST(doc_id AS VARCHAR) AS loc
             FROM documents
+        """,
+        "sitemap_coverage": """
+            WITH listed AS (
+              SELECT DISTINCT source || '.test' AS host,
+                     'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS u
+              FROM documents),
+            crawled AS (
+              SELECT DISTINCT source || '.test' AS host,
+                     'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS u
+              FROM documents WHERE doc_id % 3 <> 2),
+            jj AS (
+              SELECT coalesce(c.host, l.host) AS host,
+                     CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_c,
+                     CASE WHEN l.u IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_s
+              FROM crawled c FULL OUTER JOIN listed l
+                ON c.host = l.host AND c.u = l.u)
+            SELECT host,
+                   CAST(sum(in_c) AS BIGINT) AS n_corpus,
+                   CAST(sum(in_s) AS BIGINT) AS n_listed,
+                   CAST(sum(in_c * in_s) AS BIGINT) AS n_both,
+                   CASE WHEN sum(in_c) > 0 THEN
+                     CAST(1000000 * sum(in_c * in_s) // sum(in_c)
+                          AS BIGINT) END AS listed_ppm,
+                   CAST(sum(in_s) - sum(in_c * in_s) AS BIGINT)
+                     AS backlog
+            FROM jj GROUP BY host
         """,
         "text_boilerplate": """
             WITH d AS (

@@ -97,3 +97,54 @@ def sitemap_seed_urls(
             F.regexp_extract("loc", _HOST_RE, 1) == F.col("host")
         )
     return e.select("host", "loc").distinct()
+
+
+def sitemap_coverage(
+    corpus_urls: DataFrame,
+    listed: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, n_corpus, n_listed, n_both, listed_ppm, backlog): per
+    host, how much of what the crawler actually fetched the site's
+    sitemap had ALREADY listed (listed_ppm — discovery fetches a
+    sitemap-first strategy would have saved), and how many listed URLs
+    the crawl has not fetched yet (backlog — the site's own statement
+    of what remains). The pair is the go/no-go audit for flipping a
+    host from link-discovery to sitemap-driven crawling.
+
+    ``listed`` is sitemap_seed_urls' (host, loc) output; corpus urls
+    are keyed to hosts by the shared netloc regex. Distinct on both
+    sides (a url listed in two sitemaps or fetched twice counts once).
+
+    Scale shape: two distincts + one full-outer equi-join on
+    (host, url) + a per-host rollup — all on content-derived keys with
+    map-side combine; no broadcast of the corpus side."""
+    c = corpus_urls.select(
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("host"),
+        F.col(url_col).alias("u")).distinct()
+    s = listed.select("host", F.col("loc").alias("u")).distinct()
+    j = (
+        c.withColumn("_in_c", F.lit(1))
+        .join(s.withColumn("_in_s", F.lit(1)), ["host", "u"],
+              "full_outer")
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum(F.coalesce("_in_c", F.lit(0))).cast("long")
+            .alias("n_corpus"),
+            F.sum(F.coalesce("_in_s", F.lit(0))).cast("long")
+            .alias("n_listed"),
+            F.sum(F.when(F.col("_in_c").isNotNull()
+                         & F.col("_in_s").isNotNull(), 1)
+                  .otherwise(0)).cast("long").alias("n_both"),
+        )
+        .select(
+            "host", "n_corpus", "n_listed", "n_both",
+            F.expr("CASE WHEN n_corpus > 0 THEN"
+                   " 1000000 * n_both DIV n_corpus END")
+            .cast("long").alias("listed_ppm"),
+            (F.col("n_listed") - F.col("n_both")).cast("long")
+            .alias("backlog"),
+        )
+    )

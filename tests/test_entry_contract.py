@@ -41,7 +41,7 @@ def duck():
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
      "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
      "graph_host_agg", "frontier_coverage",
-     "sitemap_parse", "sitemap_seeds",
+     "sitemap_parse", "sitemap_seeds", "sitemap_coverage",
      "trap_signals", "o20_scored_topk", "text_boilerplate",
      "text_decontam", "text_paradedup", "mix_sample", "mix_report",
      "text_repetition", "text_top_bigram", "pii_scan", "pii_redact",

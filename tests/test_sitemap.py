@@ -79,3 +79,30 @@ def test_sitemap_variants_and_dedup(spark):
     ])
     assert sitemap_entries(pages).count() == 3
     assert sitemap_seed_urls(pages).count() == 1
+
+
+def test_sitemap_coverage_hand_case(spark):
+    from barkingowl_spark.operators.sitemap import sitemap_coverage
+
+    crawled = spark.createDataFrame(
+        [("http://a.test/p1",), ("http://a.test/p2",),
+         ("http://a.test/p3",), ("http://a.test/p3",),  # dup fetch
+         ("http://b.test/x",)],
+        "url string")
+    listed = spark.createDataFrame(
+        [("a.test", "http://a.test/p1"),
+         ("a.test", "http://a.test/p2"),
+         ("a.test", "http://a.test/p9"),   # backlog
+         ("c.test", "http://c.test/only")],  # never crawled host
+        "host string, loc string")
+    got = {r["host"]: r.asDict()
+           for r in sitemap_coverage(crawled, listed).collect()}
+    a = got["a.test"]
+    assert (a["n_corpus"], a["n_listed"], a["n_both"]) == (3, 3, 2)
+    assert a["listed_ppm"] == 1_000_000 * 2 // 3
+    assert a["backlog"] == 1
+    b = got["b.test"]
+    assert (b["n_listed"], b["listed_ppm"], b["backlog"]) == (0, 0, 0)
+    c = got["c.test"]
+    assert c["n_corpus"] == 0 and c["listed_ppm"] is None
+    assert c["backlog"] == 1
