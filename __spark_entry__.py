@@ -2754,6 +2754,26 @@ def q_sample_neyman(spark, sf):
     return neyman_allocation(d, 10_000, group_col="source")
 
 
+def q_idx_tiers(spark, sf):
+    """Greedy hot/warm/cold index placement (operators/invindex.py::
+    tier_assign): docs ranked by a static score (text length here as
+    the stand-in for OPIC/pagerank), tier budgets filled in cost
+    order via global_running_sum's range-shuffle cumulative — never a
+    single-partition window. An item whose inclusive cumulative cost
+    crosses a boundary falls to the next tier, so budgets never
+    overrun."""
+    from barkingowl_spark.operators.invindex import tier_assign
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("long")
+        .alias("score"),
+        (F.length(F.coalesce("text", F.lit(""))) + 100).cast("long")
+        .alias("cost"),
+    )
+    return tier_assign(d, budgets=(100_000, 1_000_000))
+
+
 def q_dedup_lsh_plan(spark, sf):
     """MinHash-LSH banding design table (operators/corpus_dedup.py::
     lsh_plan): the collision S-curve p = 1 - (1 - s^r)^b for every
@@ -4737,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "dedup_lsh_plan": q_dedup_lsh_plan,
         "sample_neyman": q_sample_neyman,
+        "idx_tiers": q_idx_tiers,
         "url_dates": q_url_dates,
         "url_pagination": q_url_pagination,
         "fetch_backoff": q_fetch_backoff,
@@ -10093,6 +10114,25 @@ def oracle_sql() -> dict[str, str]:
         # divisor pairs of n_perms=16 as zipped unnests; powers via
         # list_reduce over repeated factors (first step exact, so it
         # equals the Spark side's 1e6-seeded aggregate)
+        "idx_tiers": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(coalesce(text, '')) AS BIGINT) AS score,
+                     CAST(len(coalesce(text, '')) + 100 AS BIGINT)
+                       AS cost
+              FROM documents),
+            c AS (
+              SELECT doc_id, score, cost,
+                     CAST(sum(cost) OVER (ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS BIGINT) AS cum_cost
+              FROM d)
+            SELECT doc_id, score, cost, cum_cost,
+                   CAST(CASE WHEN cum_cost <= 100000 THEN 0
+                             WHEN cum_cost <= 1100000 THEN 1
+                             ELSE 2 END AS BIGINT) AS tier
+            FROM c
+        """,
         # Neyman shares: exact-isqrt idiom (double estimate, +/-1
         # correction) on the HUGEINT radicand; largest-remainder seats
         "sample_neyman": """

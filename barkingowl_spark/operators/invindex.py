@@ -838,3 +838,49 @@ def suggest_topk(
         .filter(F.col("rnk") <= int(k))
         .select("prefix", "rnk", "term", "df")
     )
+
+
+def tier_assign(
+    items: DataFrame,
+    budgets: tuple[int, ...] = (1_000_000, 10_000_000),
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """(id, score, cost, cum_cost, tier): greedy tiered-index
+    placement — rank everything by score (desc, id tiebreak), fill
+    tier 0 until its cost budget is exhausted, then tier 1, ...; the
+    leftovers land in tier len(budgets). The hot/warm/cold serving
+    split every large index runs (hot tier in RAM, warm on SSD, cold
+    archival), made deterministic: an item whose INCLUSIVE cumulative
+    cost exceeds a boundary belongs to the next tier, so a tier never
+    overruns its budget.
+
+    Scale shape: the global ranking uses global_running_sum's
+    range-shuffle + bounded-driver-offsets cumulative — no
+    single-partition window; tier assignment is then a pure
+    projection against literal boundaries."""
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    if any(int(b) < 0 for b in budgets):
+        raise ValueError("budgets must be >= 0")
+    d = items.select(
+        F.col(id_col), F.col(score_col).alias("score"),
+        F.col(cost_col).cast("long").alias("cost"),
+        (-F.col(score_col)).alias("_neg"),
+    )
+    d = global_running_sum(d, ["_neg", id_col], "cost",
+                           out_col="cum_cost")
+    bounds = []
+    acc = 0
+    for b in budgets:
+        acc += int(b)
+        bounds.append(acc)
+    tier = F.lit(len(budgets))
+    for i in range(len(budgets) - 1, -1, -1):
+        tier = F.when(F.col("cum_cost") <= bounds[i], i).otherwise(tier)
+    return d.select(
+        id_col, "score", "cost",
+        F.col("cum_cost").cast("long").alias("cum_cost"),
+        tier.cast("long").alias("tier"),
+    )

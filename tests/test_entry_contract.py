@@ -51,7 +51,7 @@ def duck():
      "dupspan_spans", "dupspan_cut", "recrawl_rates",
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
      "cdx_index", "politeness_timeline", "politeness_audit",
-     "fetch_backoff", "dedup_lsh_plan", "sample_neyman",
+     "fetch_backoff", "dedup_lsh_plan", "sample_neyman", "idx_tiers",
      "url_dates", "url_pagination",
      "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",

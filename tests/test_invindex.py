@@ -546,3 +546,36 @@ def test_suggest_topk(spark):
     # apply(1) on the term tiebreak
     assert sorted(by_prefix["a"]) == [(1, "apple", 3), (2, "ant", 1)]
     assert sorted(by_prefix["ban"]) == [(1, "banana", 3)]
+
+
+def test_tier_assign_budgets_and_determinism(spark):
+    import pytest
+
+    from barkingowl_spark.operators.invindex import tier_assign
+
+    rows = [(i, (i * 7) % 11, 10 + i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, cost long")
+    got = sorted((tuple(r) for r in
+                  tier_assign(df, budgets=(60, 120)).collect()),
+                 key=lambda t: t[3])
+    cum = 0
+    want = []
+    for i, s, c in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += c
+        want.append((i, s, c, cum,
+                     0 if cum <= 60 else (1 if cum <= 180 else 2)))
+    assert got == want
+    # no tier overruns its budget
+    per_tier = {}
+    for _, _, c, _, t in got:
+        per_tier[t] = per_tier.get(t, 0) + c
+    assert per_tier.get(0, 0) <= 60
+    assert per_tier.get(1, 0) <= 120
+    # partitioning-insensitive
+    again = sorted((tuple(r) for r in
+                    tier_assign(df.repartition(7),
+                                budgets=(60, 120)).collect()),
+                   key=lambda t: t[3])
+    assert again == got
+    with pytest.raises(ValueError):
+        tier_assign(df, budgets=(-1,))
