@@ -3740,6 +3740,17 @@ def q_ring_assign(spark, sf):
     return assign_hosts(_hosts_distinct(spark, sf), _SHARD_W4)
 
 
+def q_hrw_assign(spark, sf):
+    """Rendezvous (HRW) host->worker assignment (operators/
+    frontier_shard.py::hrw_assign): argmax of md5(host|worker) hex —
+    the join-free sibling of ring_assign with vnode-free uniform
+    shares; minimal disruption is test-pinned. Map-only literal
+    struct array + array_max."""
+    from barkingowl_spark.operators.frontier_shard import hrw_assign
+
+    return hrw_assign(_hosts_distinct(spark, sf), _SHARD_W4)
+
+
 def q_ring_moves(spark, sf):
     """Migration matrix for growing the fleet 4->5: both generations
     computed in one projection; off-diagonal rows only ever point into
@@ -4816,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_blockmax": q_idx_blockmax,
         "idx_blockmax_prune": q_idx_blockmax_prune,
         "ring_assign": q_ring_assign,
+        "hrw_assign": q_hrw_assign,
         "ring_moves": q_ring_moves,
         "events_rate_windows": q_events_rate_windows,
         "events_cms_windows": q_events_cms_windows,
@@ -11412,6 +11424,25 @@ def oracle_sql() -> dict[str, str]:
         "ring_assign": _SHARD_HOSTS_SQL + f"""
             SELECT host, {_shard_owner_sql(_SHARD_W4)} AS owner
             FROM hh
+        """,
+        # rendezvous: per-host argmax of md5(host|worker) hex — the
+        # relational row_number form of the Spark side's array_max
+        # (ties by worker DESC match struct ordering; md5 collisions
+        # don't occur)
+        "hrw_assign": f"""
+            WITH hosts AS (
+              SELECT DISTINCT source || '.test' AS host
+              FROM documents),
+            x AS (
+              SELECT host, w, md5(host || '|' || w) AS s
+              FROM hosts,
+                   (SELECT unnest({_SHARD_W4!r}) AS w))
+            SELECT host, w AS owner FROM (
+              SELECT host, w,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY s DESC, w DESC) AS rk
+              FROM x)
+            WHERE rk = 1
         """,
         "ring_moves": _SHARD_HOSTS_SQL + f"""
             , r AS (

@@ -123,3 +123,40 @@ def rebalance_summary(
         .groupBy("owner_before", "owner_after")
         .agg(F.count(F.lit(1)).alias("n_hosts"))
     )
+
+
+def hrw_assign(
+    hosts: DataFrame,
+    workers: list[str],
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, owner): highest-random-weight / rendezvous hashing
+    (Thaler & Ravishankar, IEEE/ACM ToN 1998) — owner = argmax over
+    workers of md5(host || '|' || worker). The join-free sibling of
+    the ring: same minimal-disruption property (adding a worker moves
+    ONLY the keys the new worker wins — test-pinned), but shares are
+    uniform without vnode tuning and the per-key work is exactly
+    |workers| hashes.
+
+    The score is the md5 HEX STRING itself — lexicographic max over
+    fixed-width hex equals numeric max, is engine-portable, and needs
+    no 128-bit arithmetic. Map-only: the candidate list is a literal
+    struct array, the argmax one array_max.
+
+    Scale trade vs the ring: O(|workers|) hashes per key vs O(log
+    vnodes) — at fleet sizes (10^2-10^3) both are noise next to the
+    shuffle the assignment feeds."""
+    if not workers:
+        raise ValueError("workers must be non-empty")
+    cands = F.array(*[
+        F.struct(
+            F.md5(F.concat(F.col(host_col), F.lit("|" + w))
+                  .cast("binary")).alias("s"),
+            F.lit(w).alias("w"),
+        )
+        for w in workers
+    ])
+    return hosts.select(
+        F.col(host_col).alias("host"),
+        F.array_max(cands)["w"].alias("owner"),
+    )

@@ -56,7 +56,7 @@ def duck():
      "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
-     "search_bm25", "ring_assign", "ring_moves",
+     "search_bm25", "ring_assign", "ring_moves", "hrw_assign",
      "events_rate_windows", "events_rate_alerts", "clf_scores",
      "dsir_sample", "host_scorecard", "host_quotas",
      "graph_reciprocal", "split_assign", "winnow_pairs",

@@ -84,3 +84,33 @@ def test_rebalance_summary_matrix(spark, hosts_df):
         want[k] = want.get(k, 0) + 1
     assert got == want
     assert all(a == b or b == "crawler-e" for (a, b) in got)
+
+
+def test_hrw_minimal_disruption_and_uniformity(spark):
+    import pytest
+
+    from barkingowl_spark.operators.frontier_shard import hrw_assign
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.test",) for i in range(300)], "host string")
+    a4 = {r["host"]: r["owner"]
+          for r in hrw_assign(hosts, ["a", "b", "c", "d"]).collect()}
+    a5 = {r["host"]: r["owner"]
+          for r in hrw_assign(hosts, ["a", "b", "c", "d", "e"]).collect()}
+    moved = {h for h in a4 if a4[h] != a5[h]}
+    # adding a worker moves keys ONLY toward the new worker
+    assert all(a5[h] == "e" for h in moved)
+    # ~1/5 of keys move (binomial tolerance)
+    assert 30 <= len(moved) <= 95
+    # shares are roughly uniform without any vnode tuning
+    from collections import Counter
+    shares = Counter(a4.values())
+    assert set(shares) == {"a", "b", "c", "d"}
+    assert max(shares.values()) <= 2 * min(shares.values())
+    # deterministic under repartitioning
+    b = {r["host"]: r["owner"]
+         for r in hrw_assign(hosts.repartition(7),
+                             ["a", "b", "c", "d"]).collect()}
+    assert b == a4
+    with pytest.raises(ValueError):
+        hrw_assign(hosts, [])
