@@ -2813,6 +2813,43 @@ def q_politeness_audit(spark, sf):
     return politeness_audit(fetches, robots, delays)
 
 
+def q_graph_linkpred(spark, sf):
+    """Link-prediction protocol (operators/linkgraph.py::
+    aa_link_pred_auc, Liben-Nowell & Kleinberg CIKM'03): hold out
+    every (3*src+dst)%5==0 edge, score Adamic-Adar on the REMAINING
+    graph, and ask the exact tie-corrected ROC-AUC whether held-out
+    true pairs outrank deterministic non-edges — the is-the-signal-
+    real gate before spending crawl budget on predicted links."""
+    from barkingowl_spark.operators.linkgraph import aa_link_pred_auc
+
+    edges, n = _synth_edges(spark, sf)
+    e = edges.filter(F.col("src") != F.col("dst"))
+    is_hold = (F.col("src") * 3 + F.col("dst")) % 5 == 0
+    train = e.filter(~is_hold)
+
+    def canon(df):
+        return df.select(
+            F.least("src", "dst").alias("node_a"),
+            F.greatest("src", "dst").alias("node_b")).distinct()
+
+    can_all = canon(e)
+    can_train = canon(train)
+    pos = canon(e.filter(is_hold)).join(
+        can_train, ["node_a", "node_b"], "left_anti")
+    neg = (
+        e.select(
+            "src",
+            ((F.col("src") * 5 + F.col("dst") * 7 + 3) % n)
+            .alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("node_a"),
+                F.greatest("src", "dst").alias("node_b"))
+        .distinct()
+        .join(can_all, ["node_a", "node_b"], "left_anti")
+    )
+    return aa_link_pred_auc(train, pos, neg)
+
+
 def q_graph_trustrank(spark, sf):
     """3-iteration fixed-point TrustRank (operators/linkgraph.py::
     trustrank_fixed — Gyongyi et al. VLDB'04): teleport restricted to
@@ -4630,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_adamic": q_graph_adamic,
+        "graph_linkpred": q_graph_linkpred,
         "graph_walks": q_graph_walks,
         "graph_triangles": q_graph_triangles,
         "graph_indegree_skew": q_graph_indegree_skew,
@@ -6762,6 +6800,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS common_neighbors,
                    CAST(sum(wt) AS BIGINT) AS aa_micro
             FROM wdg JOIN ctr USING (w) GROUP BY 1, 2
+        """,
+        # LNK protocol: AA on train edges only; held-out canonical
+        # pairs (minus any still-in-train) vs deterministic non-edges;
+        # exact midrank AUC (same skeleton as clf_auc)
+        "graph_linkpred": f"""
+            WITH {_EDGES_SQL},
+            enl AS (SELECT src, dst FROM edges WHERE src <> dst),
+            tr AS (SELECT src, dst FROM enl
+                   WHERE (src * 3 + dst) % 5 <> 0),
+            e0 AS (
+                SELECT src, dst FROM tr
+                UNION
+                SELECT dst AS src, src AS dst FROM tr),
+            deg AS (SELECT src AS w, count(*) AS deg
+                    FROM e0 GROUP BY src),
+            ctr AS (SELECT w,
+                           1000000 // (1 + (length(bin(deg)) - 1))
+                               AS wt
+                    FROM deg WHERE deg <= 64),
+            wdg AS (SELECT e1.src AS w, e1.dst AS node_a,
+                           e2.dst AS node_b
+                    FROM e0 e1 JOIN e0 e2
+                      ON e1.src = e2.src AND e1.dst < e2.dst),
+            aa AS (SELECT node_a, node_b,
+                          CAST(sum(wt) AS BIGINT) AS aa_micro
+                   FROM wdg JOIN ctr USING (w) GROUP BY 1, 2),
+            canall AS (SELECT DISTINCT least(src, dst) AS node_a,
+                              greatest(src, dst) AS node_b FROM enl),
+            cantr AS (SELECT DISTINCT least(src, dst) AS node_a,
+                             greatest(src, dst) AS node_b FROM tr),
+            pos AS (
+              SELECT h.node_a, h.node_b FROM (
+                SELECT DISTINCT least(src, dst) AS node_a,
+                       greatest(src, dst) AS node_b
+                FROM enl WHERE (src * 3 + dst) % 5 = 0) h
+              LEFT JOIN cantr t
+                ON t.node_a = h.node_a AND t.node_b = h.node_b
+              WHERE t.node_a IS NULL),
+            neg AS (
+              SELECT c.node_a, c.node_b FROM (
+                SELECT DISTINCT least(src, d2) AS node_a,
+                       greatest(src, d2) AS node_b
+                FROM (SELECT src,
+                             (src * 5 + dst * 7 + 3) % nd.n AS d2
+                      FROM enl, nd)
+                WHERE src <> d2) c
+              LEFT JOIN canall a
+                ON a.node_a = c.node_a AND a.node_b = c.node_b
+              WHERE a.node_a IS NULL),
+            lab AS (
+              SELECT node_a, node_b, true AS label FROM pos
+              UNION ALL
+              SELECT node_a, node_b, false AS label FROM neg),
+            sc AS (
+              SELECT coalesce(aa.aa_micro, 0) AS score, lab.label
+              FROM lab LEFT JOIN aa
+                ON aa.node_a = lab.node_a AND aa.node_b = lab.node_b),
+            g AS (
+              SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS pos
+              FROM sc GROUP BY score),
+            r AS (
+              SELECT *, sum(cnt) OVER (
+                ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+              FROM g),
+            t AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+                     CAST(count(*) AS BIGINT) AS n_score_groups,
+                     sum(pos::HUGEINT * (2 * cum - cnt + 1)) AS r2p
+              FROM r)
+            SELECT n, n_pos, n_neg, n_score_groups,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     CAST((r2p - n_pos::HUGEINT * (n_pos + 1))
+                          * 1000000
+                          // (2 * n_pos::HUGEINT * n_neg) AS BIGINT)
+                   END AS auc_ppm
+            FROM t
         """,
         "graph_triangles": f"""
             WITH {_EDGES_SQL},

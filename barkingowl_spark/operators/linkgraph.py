@@ -1440,3 +1440,47 @@ def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
                    " DIV (CAST(m2 AS DECIMAL(38,0)) * m2))"))
         .cast("long").alias("q_ppm"),
     )
+
+
+def aa_link_pred_auc(
+    train_edges: DataFrame,
+    pos_pairs: DataFrame,
+    neg_pairs: DataFrame,
+    max_deg: int = 64,
+) -> DataFrame:
+    """1 row (n, n_pos, n_neg, n_score_groups, auc_ppm): is the
+    link-prediction signal REAL on this graph? Adamic-Adar scores
+    computed on the TRAIN edges only, evaluated as a ranker of
+    held-out true pairs (pos) against non-edges (neg) by the exact
+    tie-corrected ROC-AUC — Liben-Nowell & Kleinberg's (CIKM'03)
+    evaluation protocol as a composition of two already-exact
+    operators (adamic_adar x ireval.roc_auc). Pairs absent from the
+    AA table score 0 (no common neighbors), which is exactly the
+    information the predictor has.
+
+    pos_pairs/neg_pairs: canonical (node_a < node_b) pair tables,
+    disjoint from the train edge set — the CALLER owns the split
+    discipline; this operator only scores and ranks.
+
+    Scale shape: adamic_adar's capped wedge join + one left equi-join
+    of the labeled pairs + roc_auc's distinct-score rollup."""
+    from barkingowl_spark.operators.ireval import roc_auc
+
+    aa = adamic_adar(train_edges, max_deg=max_deg)
+    labeled = (
+        pos_pairs.select("node_a", "node_b")
+        .withColumn("label", F.lit(True))
+        .unionByName(
+            neg_pairs.select("node_a", "node_b")
+            .withColumn("label", F.lit(False)))
+    )
+    scored = (
+        labeled.join(
+            aa.select("node_a", "node_b", "aa_micro"),
+            ["node_a", "node_b"], "left")
+        .select(
+            F.coalesce("aa_micro", F.lit(0)).cast("long")
+            .alias("score"),
+            "label")
+    )
+    return roc_auc(scored, score_col="score", label_col="label")

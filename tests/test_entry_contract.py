@@ -76,7 +76,7 @@ def duck():
      "fetch_revalidate", "fetch_reval_savings", "focused_frontier",
      "suffix_ranks", "suffix_dup8", "graph_kcore",
      "audio_landmarks", "audio_match", "suffix_lcp8",
-     "graph_adamic", "graph_walks", "events_asof",
+     "graph_adamic", "graph_linkpred", "graph_walks", "events_asof",
      "events_interval", "hdr_len_quantiles", "url_path_tree",
      "meta_robots", "feed_parse", "feed_discover",
      "hreflang_parse", "hreflang_clusters", "host_budget_select",

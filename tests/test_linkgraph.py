@@ -897,3 +897,32 @@ def test_community_stats_negative_q_and_whole_graph(spark):
     g1 = community_stats(edges, one).collect()
     assert len(g1) == 1 and g1[0]["conductance_ppm"] is None
     assert g1[0]["q_ppm"] == 0    # qn = 8*8 - 64 = 0
+
+
+def test_aa_link_pred_auc_separates_planted_structure(spark):
+    """Two dense cliques plus a sparse bridge: held-out intra-clique
+    edges share many train neighbors (high AA), random cross pairs
+    share none — AUC should be decisively above chance; and feeding
+    the positives as negatives symmetrically flips it below."""
+    import itertools
+
+    from barkingowl_spark.operators.linkgraph import aa_link_pred_auc
+
+    clique_a = list(range(8))
+    clique_b = list(range(10, 18))
+    edges = [(u, v) for u, v in itertools.combinations(clique_a, 2)]
+    edges += [(u, v) for u, v in itertools.combinations(clique_b, 2)]
+    edges += [(0, 10)]
+    # hold out a few intra-clique edges
+    held = [(0, 3), (1, 4), (10, 13), (11, 14)]
+    train = [e for e in edges if e not in held]
+    tdf = spark.createDataFrame(train, "src long, dst long")
+    pos = spark.createDataFrame(held, "node_a long, node_b long")
+    neg = spark.createDataFrame(
+        [(2, 15), (3, 16), (5, 12), (6, 17)],
+        "node_a long, node_b long")
+    row = aa_link_pred_auc(tdf, pos, neg).collect()[0]
+    assert row["n_pos"] == 4 and row["n_neg"] == 4
+    assert row["auc_ppm"] == 1_000_000  # perfect separation here
+    flipped = aa_link_pred_auc(tdf, neg, pos).collect()[0]
+    assert flipped["auc_ppm"] == 0
