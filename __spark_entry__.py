@@ -2372,6 +2372,18 @@ def q_text_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
 
 
+def q_text_vocab_coverage(spark, sf):
+    """Vocabulary coverage curve (functions/textstats.py::
+    vocab_coverage): cumulative token mass of the top-k types at a
+    power-of-two k grid — the vocab-sizing dial next to
+    text_vocab_growth (Heaps) and text_zipf (slope). Both the
+    cumulative and the rank ride the range-shuffle running-sum
+    primitive over distinct types."""
+    from barkingowl_spark.functions.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf, "documents"))
+
+
 def q_text_keyness(spark, sf):
     """Per-source distinctive terms (functions/textstats.py::
     source_keyness): smoothed relative-risk lift in ppm — monotone in
@@ -4737,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_textrank": q_text_textrank,
         "text_keyness": q_text_keyness,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "events_interval": q_events_interval,
         "events_change_audit": q_events_change_audit,
         "events_change_sla": q_events_change_sla,
@@ -8737,6 +8750,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-doc weighted PageRank, 2 unrolled rounds — the
         # graph_pagerank idiom with (doc_id, word) as the node key
+        "text_vocab_coverage": """
+            WITH tok AS (
+              SELECT t AS term FROM (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                  AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY term),
+            r AS (
+              SELECT term, tf,
+                     sum(tf) OVER (ORDER BY tf DESC, term
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cum,
+                     row_number() OVER (ORDER BY tf DESC, term) AS rk
+              FROM tf),
+            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens
+                    FROM tf)
+            SELECT CAST(rk AS BIGINT) AS k,
+                   CAST(cum AS BIGINT) AS covered_tokens,
+                   total_tokens,
+                   CAST(1000000 * cum // total_tokens AS BIGINT)
+                     AS coverage_ppm
+            FROM r, tot
+            WHERE rk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                         1024, 2048, 4096)
+        """,
         "text_keyness": """
             WITH tok AS (
               SELECT source, t AS term FROM (

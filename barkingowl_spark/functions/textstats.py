@@ -644,3 +644,53 @@ def source_keyness(
         .select("source", "term", "tf_in", "tf_out", "lift_ppm",
                 F.col("rk").cast("long").alias("rk"))
     )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                           1024, 2048, 4096),
+) -> DataFrame:
+    """(k, covered_tokens, total_tokens, coverage_ppm): cumulative
+    token mass of the top-k term types, at the given k grid — the
+    vocabulary-sizing curve ("what vocab covers 99.5% of running
+    tokens?") that decides tokenizer vocab size and OOV budget; the
+    cumulative companion of text_vocab_growth's Heaps law and
+    text_zipf's slope. Grid points beyond the actual type count are
+    omitted (the curve has nothing more to say there).
+
+    Ranking is (tf desc, term asc) — deterministic under tf ties.
+
+    Scale shape: one tokenize pass -> term counts (map-side combine);
+    BOTH the cumulative mass and the rank ride global_running_sum's
+    range-shuffle + bounded-driver-offsets primitive over the distinct
+    types (never a single-partition window over the vocabulary); the
+    grid filter then keeps |ks| rows."""
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError("ks must be positive")
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    tf = (
+        documents.select(
+            F.explode(F.split(F.coalesce("text", F.lit("")), " "))
+            .alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("_neg", -F.col("tf"))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    r = global_running_sum(tf, ["_neg", "term"], "tf", out_col="cum")
+    r = global_running_sum(r, ["_neg", "term"], "_one", out_col="rk")
+    tot = tf.agg(F.sum("tf").cast("long").alias("total_tokens"))
+    return (
+        r.filter(F.col("rk").isin([int(k) for k in ks]))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rk").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            "total_tokens",
+            F.expr("1000000 * cum DIV total_tokens").cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

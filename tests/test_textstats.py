@@ -30,3 +30,27 @@ def test_source_keyness_distinctive_terms(spark):
     assert g["lift_ppm"] == 10 * 31 * 1_000_000 // 30
     with pytest.raises(ValueError):
         source_keyness(docs, k=0)
+
+
+def test_vocab_coverage_curve(spark):
+    import pytest
+
+    from barkingowl_spark.functions.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a b b b c c d"), (1, "a b")],
+        "doc_id long, text string")
+    got = {r["k"]: r.asDict()
+           for r in vocab_coverage(docs, ks=(1, 2, 4, 8)).collect()}
+    # tf: a=5 b=4 c=2 d=1, total 12
+    assert set(got) == {1, 2, 4}  # k=8 beyond 4 types -> omitted
+    assert got[1]["covered_tokens"] == 5
+    assert got[1]["coverage_ppm"] == 1_000_000 * 5 // 12
+    assert got[2]["covered_tokens"] == 9
+    assert got[4]["coverage_ppm"] == 1_000_000
+    # monotone non-decreasing in k
+    ks = sorted(got)
+    cov = [got[k]["coverage_ppm"] for k in ks]
+    assert cov == sorted(cov)
+    with pytest.raises(ValueError):
+        vocab_coverage(docs, ks=())
