@@ -2372,6 +2372,21 @@ def q_text_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=3, k=50)
 
 
+def q_search_grep(spark, sf):
+    """Code-Search trigram index (operators/invindex.py::
+    trigram_postings/trigram_candidates, Cox 2012): literal-substring
+    query 'table scan' planned as its 8 rarest trigrams, candidates =
+    docs hitting ALL of them, exact contains() verified on candidates
+    only — grep over the corpus without scanning it; the
+    candidates-vs-verified gap is the index's pruning number."""
+    from barkingowl_spark.operators.invindex import (
+        trigram_candidates, trigram_postings)
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return trigram_candidates(
+        trigram_postings(d), d, "table scan", max_tris=8)
+
+
 def q_text_vocab_coverage(spark, sf):
     """Vocabulary coverage curve (functions/textstats.py::
     vocab_coverage): cumulative token mass of the top-k types at a
@@ -4750,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": q_text_textrank,
         "text_keyness": q_text_keyness,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "search_grep": q_search_grep,
         "events_interval": q_events_interval,
         "events_change_audit": q_events_change_audit,
         "events_change_sla": q_events_change_sla,
@@ -8750,6 +8766,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-doc weighted PageRank, 2 unrolled rounds — the
         # graph_pagerank idiom with (doc_id, word) as the node key
+        # Cox trigram-index plan for literal 'table scan' (its 8
+        # trigrams listed literally; rarest-first pick mirrors the
+        # Spark planner; guard = every query trigram must exist)
+        "search_grep": """
+            WITH ix AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(0,
+                       len(coalesce(text, '')) - 2) + 1)) AS i,
+                     coalesce(text, '') AS t
+              FROM documents),
+            p AS (
+              SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 3)
+                       AS tri
+              FROM ix),
+            qt AS (SELECT unnest([' sc', 'abl', 'ble', 'can',
+                                  'e s', 'le ', 'sca', 'tab'])
+                     AS tri),
+            dfq AS (
+              SELECT p.tri, CAST(count(*) AS BIGINT) AS df
+              FROM p JOIN qt USING (tri) GROUP BY p.tri),
+            picked AS (
+              SELECT tri FROM dfq ORDER BY df ASC, tri ASC LIMIT 8),
+            cands AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tris_hit
+              FROM p JOIN picked USING (tri)
+              GROUP BY doc_id
+              HAVING count(*) = (SELECT count(*) FROM picked)),
+            guard AS (SELECT (SELECT count(*) FROM dfq) >= 8 AS ok)
+            SELECT c.doc_id, c.n_tris_hit,
+                   contains(d.text, 'table scan') AS verified
+            FROM cands c JOIN documents d USING (doc_id), guard
+            WHERE guard.ok
+        """,
         "text_vocab_coverage": """
             WITH tok AS (
               SELECT t AS term FROM (

@@ -884,3 +884,87 @@ def tier_assign(
         F.col("cum_cost").cast("long").alias("cum_cost"),
         tier.cast("long").alias("tier"),
     )
+
+
+def trigram_postings(documents: DataFrame) -> DataFrame:
+    """(tri, doc_id): distinct character trigrams per document — the
+    Code-Search index (Cox, "Regular Expression Matching with a
+    Trigram Index", 2012): ANY literal substring of length >= 3 can be
+    answered by intersecting the postings of its trigrams, then
+    verifying only the survivors — regex/grep over a corpus without
+    scanning it.
+
+    Trigrams are taken over the raw text (spaces included — a phrase
+    query's cross-word trigrams prune harder than word-level postings
+    could). Relational: sequence+transform+explode, distinct — no
+    UDF.
+
+    Scale shape: one explode pass, one (tri, doc_id) distinct; at
+    corpus scale write it bucketed by tri so candidate intersection
+    is shuffle-free. Posting-list skew mirrors trigram frequency
+    (Zipf) — the classic mitigation (also Cox's) is to SELECT the
+    rarest trigrams of the query rather than all of them; the
+    candidates operator does exactly that via its max_tris knob."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(0,"
+                    " length(coalesce(text, '')) - 2)),"
+                    " i -> substring(coalesce(text, ''), i, 3))"))
+            .alias("tri"))
+        .distinct()
+    )
+
+
+def trigram_candidates(
+    postings: DataFrame,
+    documents: DataFrame,
+    literal: str,
+    max_tris: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tris_hit, verified): documents that MIGHT contain
+    ``literal`` by trigram-postings intersection, with the exact
+    contains() verdict computed on the candidates only — the pruning
+    ratio (candidates vs verified) is the index's quality number.
+
+    The query plans itself the way Code Search does: take up to
+    ``max_tris`` of the literal's RAREST trigrams (ties: trigram
+    ascending) — rare trigrams prune hardest and skip the monster
+    posting lists — and demand a candidate hit ALL of them.
+
+    Scale shape: rarity ranking touches |literal| postings-df rows;
+    the intersection is a semi-join on <= max_tris trigram keys with a
+    doc-keyed count; verification scans candidates only."""
+    if len(literal) < 3:
+        raise ValueError("literal must be at least 3 chars")
+    tris = sorted({literal[i:i + 3] for i in range(len(literal) - 2)})
+    df = (
+        postings.filter(F.col("tri").isin(tris))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    picked = [
+        r["tri"]
+        for r in df.orderBy(F.col("df").asc(), F.col("tri").asc())
+        .limit(int(max_tris)).collect()
+    ]
+    # a query trigram with NO postings row can never be hit: the
+    # literal cannot occur anywhere — return the empty frame cheaply
+    if len(picked) < min(len(tris), int(max_tris)):
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, n_tris_hit long, verified boolean")
+    cands = (
+        postings.filter(F.col("tri").isin(picked))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tris_hit"))
+        .filter(F.col("n_tris_hit") == len(picked))
+    )
+    return (
+        cands.join(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "n_tris_hit",
+            F.col("text").contains(literal).alias("verified"))
+    )

@@ -81,7 +81,7 @@ def duck():
      "meta_robots", "feed_parse", "feed_discover",
      "hreflang_parse", "hreflang_clusters", "host_budget_select",
      "search_snippet", "text_collocations", "text_textrank",
-     "text_keyness", "text_vocab_coverage",
+     "text_keyness", "text_vocab_coverage", "search_grep",
      "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
      "events_zorder", "graph_indegree_skew", "graph_salsa",

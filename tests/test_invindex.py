@@ -579,3 +579,35 @@ def test_tier_assign_budgets_and_determinism(spark):
     assert again == got
     with pytest.raises(ValueError):
         tier_assign(df, budgets=(-1,))
+
+
+def test_trigram_index_no_false_negatives_and_pruning(spark):
+    import pytest
+
+    from barkingowl_spark.operators.invindex import (
+        trigram_candidates, trigram_postings)
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "quick silver"),
+         (2, "brown bread fox"), (3, "nothing here"),
+         (4, None)],
+        "doc_id long, text string")
+    p = trigram_postings(docs)
+    out = {r["doc_id"]: r.asDict()
+           for r in trigram_candidates(p, docs, "quick").collect()}
+    # every true match is a candidate AND verified
+    assert out[0]["verified"] and out[1]["verified"]
+    assert 3 not in out and 4 not in out
+    # a literal absent from the corpus with a dead trigram -> empty
+    assert trigram_candidates(p, docs, "zzzqqq").count() == 0
+    # candidate-but-not-verified: doc 5 holds every trigram of
+    # 'abc xyz' in scattered positions without the literal itself
+    docs2 = docs.union(spark.createDataFrame(
+        [(5, "abc xw c xyzw"), (6, "abc xyz here")],
+        "doc_id long, text string"))
+    p2 = trigram_postings(docs2)
+    out2 = {r["doc_id"]: r["verified"]
+            for r in trigram_candidates(p2, docs2, "abc xyz").collect()}
+    assert out2 == {5: False, 6: True}
+    with pytest.raises(ValueError):
+        trigram_candidates(p, docs, "ab")
