@@ -2054,6 +2054,18 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_events_persistence(spark, sf):
+    """Persistence vs frequency per user (operators/temporal.py::
+    persistence): window-presence ratio across the corpus's live
+    hourly span — the bot separator frequency alone misses (organic
+    = bursty, automation = metronomic); burst_ratio is the
+    per-key concentration dial. One (key, t) rollup + per-key agg +
+    1-row broadcast span."""
+    from barkingowl_spark.operators.temporal import persistence
+
+    return persistence(_t(spark, sf, "events"))
+
+
 def q_events_forecast_skill(spark, sf):
     """Seasonal-naive vs naive-1 forecast skill (operators/temporal.py
     ::forecast_skill, MASE after Hyndman & Koehler 2006) per
@@ -4747,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_cusum": q_events_cusum,
         "events_forecast_skill": q_events_forecast_skill,
+        "events_persistence": q_events_persistence,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9251,6 +9264,29 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_persistence": """
+            WITH kt AS (
+              SELECT user_id AS key,
+                     epoch_us(ts) // 3600000000 AS t
+              FROM events),
+            per AS (
+              SELECT key, t, CAST(count(*) AS BIGINT) AS c
+              FROM kt GROUP BY key, t),
+            tot AS (
+              SELECT CAST(count(DISTINCT t) AS BIGINT) AS w_total
+              FROM per),
+            g AS (
+              SELECT key,
+                     CAST(sum(c) AS BIGINT) AS n_events,
+                     CAST(count(*) AS BIGINT) AS n_present
+              FROM per GROUP BY key)
+            SELECT key, n_events, n_present, w_total,
+                   CAST(1000000 * n_present // w_total AS BIGINT)
+                     AS persistence_ppm,
+                   CAST(1000000 * n_present // n_events AS BIGINT)
+                     AS burst_ratio_ppm
+            FROM g, tot
         """,
         "events_forecast_skill": """
             WITH c AS (

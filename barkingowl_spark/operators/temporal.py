@@ -544,3 +544,53 @@ def forecast_skill(
             " 1000 * seas_sae * n1 DIV (ns * naive_sae) END")
         .cast("long").alias("mase_milli"),
     )
+
+
+def persistence(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """(key, n_events, n_present, w_total, persistence_ppm,
+    burst_ratio_ppm): persistence vs frequency per key — in how many
+    of the corpus's observed time windows does the key appear at all?
+    The bot/scraper separator frequency alone misses (Lahiri et al.'s
+    persistent-items observation): organic users are bursty (many
+    events, few windows), automation is metronomic (a window-presence
+    ratio near 1e6 across the whole span). burst_ratio_ppm =
+    1e6 * n_present DIV n_events (low = concentrated bursts).
+
+    w_total is the count of windows in which ANY key was observed
+    (the corpus's live span — a global constant riding a 1-row
+    broadcast), so persistence is comparable across keys.
+
+    Scale shape: one (key, t) distinct rollup (map-side combine),
+    one per-key agg, a 1-row global distinct count broadcast — no
+    windows, no explode, no densification."""
+    bucket_us = int(bucket_s) * 1_000_000
+    kt = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+            f" DIV {bucket_us}").alias("_t"),
+    )
+    per = kt.groupBy("key", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = per.select("_t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("w_total"))
+    return (
+        per.groupBy("key")
+        .agg(
+            F.sum("_c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key", "n_events", "n_present", "w_total",
+            F.expr("1000000 * n_present DIV w_total").cast("long")
+            .alias("persistence_ppm"),
+            F.expr("1000000 * n_present DIV n_events").cast("long")
+            .alias("burst_ratio_ppm"),
+        )
+    )

@@ -430,3 +430,26 @@ def test_forecast_skill_null_when_no_seasonal_pairs_or_flat(spark):
     assert got["short"]["mase_milli"] is None
     assert got["flat"]["naive_sae"] == 0
     assert got["flat"]["mase_milli"] is None
+
+
+def test_persistence_separates_metronome_from_burst(spark):
+    import datetime as dt
+
+    from barkingowl_spark.operators.temporal import persistence
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # "bot": exactly one event every hour for 24 hours
+    rows += [("bot", base + dt.timedelta(hours=h)) for h in range(24)]
+    # "burst" (human-like): 24 events crammed into two hours
+    rows += [("burst", base + dt.timedelta(hours=h % 2, minutes=m))
+             for h in range(2) for m in range(12)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["key"]: r.asDict() for r in persistence(df).collect()}
+    bot, hum = got["bot"], got["burst"]
+    assert bot["n_events"] == hum["n_events"] == 24
+    assert bot["w_total"] == hum["w_total"] == 24
+    assert bot["persistence_ppm"] == 1_000_000
+    assert hum["persistence_ppm"] == 1_000_000 * 2 // 24
+    assert bot["burst_ratio_ppm"] == 1_000_000
+    assert hum["burst_ratio_ppm"] == 1_000_000 * 2 // 24
