@@ -2730,6 +2730,24 @@ def q_fetch_backoff(spark, sf):
     return backoff_schedule(att, base_ms=1000, cap=5)
 
 
+def q_depth_quality_corr(spark, sf):
+    """Does quality decay with crawl depth? (operators/ranking.py::
+    metric_correlation — the generic 1-row exact integer Pearson,
+    degree_assortativity's math freed from the graph): x = synthesized
+    URL path depth, y = the REAL gopher quality score's word count.
+    The number that justifies a depth budget; one 1-row power-sum
+    agg, exact isqrt, sign-split floor."""
+    from barkingowl_spark.operators.ranking import metric_correlation
+
+    d = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 7).cast("long").alias("depth"),
+        F.size(F.filter(
+            F.split(F.coalesce("text", F.lit("")), " "),
+            lambda x: x != "")).cast("long").alias("n_words"),
+    )
+    return metric_correlation(d, "depth", "n_words")
+
+
 def q_url_dates(spark, sf):
     """Publication dates from slash-delimited URL paths (operators/
     urltree.py::url_dates) — the cheapest freshness prior (a dated
@@ -4849,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_plan": q_dedup_lsh_plan,
         "sample_neyman": q_sample_neyman,
         "idx_tiers": q_idx_tiers,
+        "depth_quality_corr": q_depth_quality_corr,
         "url_dates": q_url_dates,
         "url_pagination": q_url_pagination,
         "fetch_backoff": q_fetch_backoff,
@@ -10439,6 +10458,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f + CASE WHEN r <= lft THEN 1 ELSE 0 END
                         AS BIGINT) AS alloc
             FROM rk
+        """,
+        # exact Pearson: same HUGEINT power sums + corrected-isqrt +
+        # sign-split floor as graph_assortativity's oracle
+        "depth_quality_corr": """
+            WITH d AS (
+              SELECT CAST(doc_id % 7 AS BIGINT) AS x,
+                     CAST(len(list_filter(
+                       string_split(coalesce(text, ''), ' '),
+                       w -> w <> '')) AS BIGINT) AS y
+              FROM documents),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM d),
+            v AS (
+              SELECT n,
+                     CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+                     CAST(n * syy - sy * sy AS BIGINT) AS vy,
+                     n * sxy - sx * sy AS num
+              FROM s),
+            e AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)
+                       AS e0,
+                     CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)
+                       AS e1
+              FROM v),
+            w AS (
+              SELECT n, num,
+                     CASE WHEN vx = 0 THEN 0
+                          WHEN (e0 + 1) * (e0 + 1) <= vx THEN e0 + 1
+                          WHEN e0 * e0 > vx THEN e0 - 1
+                          ELSE e0 END AS rx,
+                     CASE WHEN vy = 0 THEN 0
+                          WHEN (e1 + 1) * (e1 + 1) <= vy THEN e1 + 1
+                          WHEN e1 * e1 > vy THEN e1 - 1
+                          ELSE e1 END AS ry
+              FROM e)
+            SELECT n,
+                   CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)
+                        WHEN num >= 0 THEN
+                          least(CAST((1000000 * num)
+                                // (rx::HUGEINT * ry) AS BIGINT),
+                                1000000)
+                        ELSE greatest(-CAST((1000000 * (-num))
+                                   // (rx::HUGEINT * ry) AS BIGINT),
+                                      -1000000)
+                   END AS r_ppm
+            FROM w
         """,
         "url_dates": """
             WITH u AS (

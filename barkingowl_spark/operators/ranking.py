@@ -306,3 +306,56 @@ def cache_hit_curve(
             .alias("hit_ppm"),
         )
     )
+
+
+def metric_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """1 row (n, r_ppm): exact integer Pearson correlation between two
+    long metric columns — the generic form of degree_assortativity's
+    1-row Pearson (same DECIMAL(38,0) power sums, same exact-isqrt
+    with +/-1 correction, same sign-split floor), for questions like
+    "does quality decay with crawl depth?" where the ANSWER drives a
+    budget knob and a float corr() would not value-hash across
+    engines. Degenerate inputs (either variance 0) report r_ppm = 0; the ratio\n    is clamped to [-1e6, 1e6] (floor-isqrt denominators can\n    undershoot by 1 ulp on perfect relations, pushing the raw ratio\n    just past the bound).
+
+    Scale shape: one map-side-combined 1-row aggregation — five power
+    sums — then pure projections. Envelope: |x|,|y| <= ~1e9 at
+    n <= 1e10 rows inside DECIMAL(38,0)."""
+    s = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+           "(CASE WHEN (_s{n} + 1) * (_s{n} + 1) <= ({v})"
+           " THEN _s{n} + 1"
+           " WHEN _s{n} * _s{n} > ({v}) THEN _s{n} - 1"
+           " ELSE _s{n} END) END")
+    return (
+        s.withColumn("vx", F.expr("CAST(n * sxx - sx * sx AS BIGINT)"))
+        .withColumn("vy", F.expr("CAST(n * syy - sy * sy AS BIGINT)"))
+        .withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("_s0", F.expr(
+            "CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)"))
+        .withColumn("_s1", F.expr(
+            "CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)"))
+        .withColumn("rx", F.expr(isq.format(v="vx", n=0)))
+        .withColumn("ry", F.expr(isq.format(v="vy", n=1)))
+        .select(
+            "n",
+            F.expr(
+                "CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN num >= 0 THEN"
+                " least(CAST((1000000 * num) DIV (rx * ry)"
+                " AS BIGINT), 1000000)"
+                " ELSE greatest(-CAST((1000000 * (-num)) DIV (rx * ry)"
+                " AS BIGINT), -1000000) END").alias("r_ppm"),
+        )
+    )

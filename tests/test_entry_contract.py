@@ -52,7 +52,7 @@ def duck():
      "recrawl_schedule", "mix_epoch_plan", "dedup_keep_best",
      "cdx_index", "politeness_timeline", "politeness_audit",
      "fetch_backoff", "dedup_lsh_plan", "sample_neyman", "idx_tiers",
-     "url_dates", "url_pagination",
+     "url_dates", "url_pagination", "depth_quality_corr",
      "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",

@@ -407,3 +407,39 @@ def test_neyman_allocation_constant_strata_fallback(spark):
     assert got == {"a": 75, "b": 25}
     with pytest.raises(ValueError):
         neyman_allocation(df, -1)
+
+
+def test_metric_correlation_matches_numpy_and_edges(spark):
+    import math
+    import random
+
+    from barkingowl_spark.operators.ranking import metric_correlation
+
+    random.seed(53)
+    rows = [(i, random.randint(0, 100), random.randint(-50, 50))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = metric_correlation(df, "x", "y").collect()[0]
+    n = len(rows)
+    sx = sum(r[1] for r in rows); sy = sum(r[2] for r in rows)
+    sxy = sum(r[1] * r[2] for r in rows)
+    sxx = sum(r[1] ** 2 for r in rows); syy = sum(r[2] ** 2 for r in rows)
+    num = n * sxy - sx * sy
+    rx = math.isqrt(n * sxx - sx * sx); ry = math.isqrt(n * syy - sy * sy)
+    want = ((1_000_000 * num) // (rx * ry) if num >= 0
+            else -((1_000_000 * -num) // (rx * ry)))
+    assert got["n"] == n and got["r_ppm"] == want
+    assert abs(got["r_ppm"]) <= 1_000_000
+
+    # perfect linear relation -> exactly +/-1e6; constant col -> 0
+    lin = spark.createDataFrame(
+        [(i, i, 3 * i + 7) for i in range(50)], "i long, x long, y long")
+    assert metric_correlation(lin, "x", "y").collect()[0]["r_ppm"] \
+        == 1_000_000
+    neg = spark.createDataFrame(
+        [(i, i, -2 * i) for i in range(50)], "i long, x long, y long")
+    assert metric_correlation(neg, "x", "y").collect()[0]["r_ppm"] \
+        == -1_000_000
+    const = spark.createDataFrame(
+        [(i, 5, i) for i in range(50)], "i long, x long, y long")
+    assert metric_correlation(const, "x", "y").collect()[0]["r_ppm"] == 0
