@@ -2054,6 +2054,17 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_events_srm(spark, sf):
+    """Sample-ratio-mismatch check per event_type (operators/
+    cohorts.py::srm_check, Fabijan et al. KDD'19): units hash-split
+    50/50 by the portable md5-bit draw; the chi-square against E=n/2
+    collapses to the exact integer (arm0-arm1)^2/n in milli, flagged
+    against the 0.05 critical value. One projection + one groupBy."""
+    from barkingowl_spark.operators.cohorts import srm_check
+
+    return srm_check(_t(spark, sf, "events"))
+
+
 def q_events_persistence(spark, sf):
     """Persistence vs frequency per user (operators/temporal.py::
     persistence): window-presence ratio across the corpus's live
@@ -4778,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "events_forecast_skill": q_events_forecast_skill,
         "events_persistence": q_events_persistence,
+        "events_srm": q_events_srm,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9283,6 +9295,28 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_srm": """
+            WITH a AS (
+              SELECT event_type AS key,
+                     CAST(('0x' || substring(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS arm
+              FROM events),
+            g AS (
+              SELECT key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS arm0,
+                     CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS arm1
+              FROM a GROUP BY key)
+            SELECT key, n, arm0, arm1,
+                   CAST(1000::HUGEINT * (arm0 - arm1) * (arm0 - arm1)
+                        // n AS BIGINT) AS chi2_milli,
+                   (1000::HUGEINT * (arm0 - arm1) * (arm0 - arm1)
+                    // n) > 3841 AS srm
+            FROM g
         """,
         "events_persistence": """
             WITH kt AS (

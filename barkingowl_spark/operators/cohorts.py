@@ -160,3 +160,54 @@ def retention_matrix(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def srm_check(
+    events: DataFrame,
+    key_col: str = "event_type",
+    unit_col: str = "user_id",
+    crit_milli: int = 3841,
+) -> DataFrame:
+    """(key, n, arm0, arm1, chi2_milli, srm): sample-ratio-mismatch
+    detection per key for a 50/50 hash-split experiment — the FIRST
+    check any A/B readout must pass (a traffic split that isn't the
+    designed ratio invalidates every downstream metric; Fabijan et
+    al., "Diagnosing Sample Ratio Mismatch", KDD 2019). Units are
+    assigned by the portable md5-bit draw (the same engine-identical
+    hash mix_sample uses), so the whole table value-hashes.
+
+    chi-square with E = n/2 collapses to an exact integer:
+
+        chi2 = (arm0 - E)^2/E + (arm1 - E)^2/E = (arm0 - arm1)^2 / n
+
+    reported in milli with floor; srm flags chi2_milli > crit_milli
+    (default 3841 = the 0.05 critical value of chi^2_1). int64-safe
+    through n ~ 3e6 per key at full imbalance ((arm0-arm1)^2 * 1000);
+    the DECIMAL widening keeps it exact beyond.
+
+    Scale shape: one map-side-combined groupBy(key) — the assignment
+    is a projection, no join, no second pass."""
+    arm = (
+        F.conv(F.substring(F.md5(F.col(unit_col).cast("string")
+                                 .cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    return (
+        events.select(F.col(key_col).alias("key"), arm.alias("_arm"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0))
+            .cast("long").alias("arm0"),
+            F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0))
+            .cast("long").alias("arm1"),
+        )
+        .select(
+            "key", "n", "arm0", "arm1",
+            F.expr(
+                "CAST(CAST(1000 AS DECIMAL(38,0)) * (arm0 - arm1)"
+                " * (arm0 - arm1) DIV n AS BIGINT)")
+            .alias("chi2_milli"),
+        )
+        .withColumn("srm", F.col("chi2_milli") > int(crit_milli))
+    )

@@ -157,3 +157,28 @@ def test_cohorts_validate(spark):
         funnel_times(df, horizon_s=0)
     with pytest.raises(ValueError):
         retention_matrix(df, bucket_s=0)
+
+
+def test_srm_check_balanced_vs_skewed(spark):
+    from barkingowl_spark.operators.cohorts import srm_check
+
+    # balanced: distinct unit per event -> md5 bit is ~fair
+    bal = [(f"u{i}", "view") for i in range(2000)]
+    # broken: one arm's traffic dropped (simulate by duplicating only
+    # units whose md5-bit is 0 -- engineered skew via a known unit)
+    df = spark.createDataFrame(bal, "user_id string, event_type string")
+    got = srm_check(df).collect()[0]
+    assert got["n"] == 2000
+    assert got["arm0"] + got["arm1"] == 2000
+    assert not got["srm"]  # fair split passes
+    assert got["chi2_milli"] == (
+        1000 * (got["arm0"] - got["arm1"]) ** 2 // 2000)
+
+    # plant a catastrophic mismatch: every unit seen twice in arm0's
+    # population only (drop arm1 rows)
+    from pyspark.sql import functions as F
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("binary")),
+                              1, 15), 16, 10).cast("long") % 2)
+    skew = df.withColumn("_a", arm).filter(F.col("_a") == 0).drop("_a")
+    bad = srm_check(skew).collect()[0]
+    assert bad["arm1"] == 0 and bad["srm"]

@@ -105,7 +105,7 @@ def duck():
      "search_spell", "graph_densest", "emb_matryoshka",
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
-     "events_forecast_skill", "events_persistence",
+     "events_forecast_skill", "events_persistence", "events_srm",
      "emb_pca_power", "emb_kcenter",
      "events_funnel", "events_funnel_report", "events_retention"],
 )
