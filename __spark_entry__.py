@@ -4001,6 +4001,24 @@ def q_clf_calibration(spark, sf):
     return calibration_bins(scored)
 
 
+def q_dist_shift_ks(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift gate (operators/
+    ireval.py::ks_statistic): doc-length distribution of even-id docs
+    (with a planted +15 shift) vs odd-id docs — the whole-shape
+    complement to AUC's location test; at_value is where the CDF gap
+    peaks. Distinct-value rollup + range-shuffle cumulatives +
+    TakeOrdered(1), all integer."""
+    from barkingowl_spark.operators.ireval import ks_statistic
+
+    d = _t(spark, sf, "documents").select(
+        (F.length(F.coalesce("text", F.lit("")))
+         + F.when(F.col("doc_id") % 2 == 0, 15).otherwise(0))
+        .cast("long").alias("val"),
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+    )
+    return ks_statistic(d, "val", "in_a")
+
+
 def q_clf_brier(spark, sf):
     """Brier score + Murphy reliability/resolution/uncertainty
     decomposition (operators/ireval.py::brier_decomposition) of the
@@ -4954,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_auc": q_clf_auc,
         "clf_ap": q_clf_ap,
         "clf_brier": q_clf_brier,
+        "dist_shift_ks": q_dist_shift_ks,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -11977,6 +11996,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(mean_prob_ppm - frac_pos_ppm) AS BIGINT)
                      AS gap_ppm
             FROM bins
+        """,
+        "dist_shift_ks": """
+            WITH d AS (
+              SELECT CAST(len(coalesce(text, ''))
+                          + CASE WHEN doc_id % 2 = 0 THEN 15
+                                 ELSE 0 END AS BIGINT) AS v,
+                     doc_id % 2 = 0 AS fl
+              FROM documents),
+            g AS (
+              SELECT v,
+                     CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN fl THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cb
+              FROM d GROUP BY v),
+            r AS (
+              SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cuma,
+                     sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cumb
+              FROM g),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                         CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+            s AS (
+              SELECT t.n_a, t.n_b, r.v,
+                     CAST(abs(r.cuma * t.n_b - r.cumb * t.n_a)
+                          AS BIGINT) AS d_scaled
+              FROM r, t
+              ORDER BY d_scaled DESC, v ASC LIMIT 1)
+            SELECT n_a, n_b, d_scaled,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     CAST(1000000 * d_scaled // (n_a * n_b)
+                          AS BIGINT) END AS ks_ppm,
+                   v AS at_value
+            FROM s
         """,
         # Murphy decomposition: bin means quantized to ppm FIRST (abs
         # before //, nonneg operands, so Spark DIV == DuckDB //);

@@ -812,3 +812,65 @@ def brier_decomposition(
             F.expr("brier_ppm - (rel_ppm - res_ppm + unc_ppm)")
             .cast("long"))
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    val_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """1 row (n_a, n_b, d_scaled, ks_ppm, at_value): the EXACT
+    two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``flag_col`` is true (sample A) and the rest (B) — max over
+    observed values of |F_A - F_B|, the whole-distribution drift gate
+    that complements roc_auc's location test (AUC can sit at 0.5
+    while the shapes diverge; KS catches that). ``at_value`` is where
+    the gap peaks (ties -> lowest value) — the natural threshold to
+    split on when investigating the drift.
+
+    Integer-exact: with cumulative counts over the merged distinct
+    values, d_scaled = max |cum_a * n_b - cum_b * n_a| and
+    ks_ppm = 1e6 * d_scaled DIV (n_a * n_b) — one floor, no doubles.
+    Degenerate input (either sample empty) yields NULL ks_ppm.
+    int64 envelope: 1e6 * n_a * n_b < 2^63, i.e. ~3e6 x 3e6 rows per
+    side — cast the products to DECIMAL(38,0) to go beyond (sampling
+    to ~1e6 rows per side is standard for a drift gate anyway).
+
+    Scale shape: one groupBy(value) (distinct values, not rows), both
+    cumulatives on global_running_sum's range-shuffle primitive, a
+    TakeOrdered(1) argmax — never a single-partition window."""
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    g = (
+        df.select(
+            F.col(val_col).cast("long").alias("v"),
+            F.col(flag_col).alias("fl"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("fl"), 1).otherwise(0)).cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("fl"), 0).otherwise(1)).cast("long")
+            .alias("cb"),
+        )
+    )
+    g = global_running_sum(g, ["v"], "ca", out_col="cuma")
+    g = global_running_sum(g, ["v"], "cb", out_col="cumb")
+    tot = g.agg(F.sum("ca").cast("long").alias("n_a"),
+                F.sum("cb").cast("long").alias("n_b"))
+    top = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a", "n_b", "v",
+            F.abs(F.col("cuma") * F.col("n_b")
+                  - F.col("cumb") * F.col("n_a")).cast("long")
+            .alias("d_scaled"))
+        .orderBy(F.col("d_scaled").desc(), F.col("v").asc())
+        .limit(1)
+    )
+    return top.select(
+        "n_a", "n_b", "d_scaled",
+        F.expr("CASE WHEN n_a > 0 AND n_b > 0 THEN"
+               " 1000000 * d_scaled DIV (n_a * n_b) END")
+        .cast("long").alias("ks_ppm"),
+        F.col("v").alias("at_value"),
+    )

@@ -592,3 +592,53 @@ def test_brier_decomposition_calibrated_vs_miscalibrated(spark):
     assert g["res_ppm"] == g["unc_ppm"]  # perfect resolution
     assert b["brier_ppm"] == 1_000_000
     assert b["rel_ppm"] > 900_000
+
+
+def test_ks_statistic_matches_scipy_free_reference(spark):
+    import random
+
+    from barkingowl_spark.operators.ireval import ks_statistic
+
+    random.seed(61)
+    rows = ([(random.randint(0, 50), True) for _ in range(150)]
+            + [(random.randint(10, 60), False) for _ in range(100)])
+    got = ks_statistic(
+        spark.createDataFrame(rows, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    a = sorted(v for v, f in rows if f)
+    b = sorted(v for v, f in rows if not f)
+    na, nb = len(a), len(b)
+    best = (-1, None)
+    for v in sorted({v for v, _ in rows}):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(ca * nb - cb * na)
+        if d > best[0]:
+            best = (d, v)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["d_scaled"] == best[0]
+    assert got["at_value"] == best[1]
+    assert got["ks_ppm"] == 1_000_000 * best[0] // (na * nb)
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from barkingowl_spark.operators.ireval import ks_statistic
+
+    # identical distributions -> KS = 0
+    same = [(v, f) for v in (1, 2, 3) for f in (True, False)]
+    got = ks_statistic(
+        spark.createDataFrame(same, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    assert got["ks_ppm"] == 0
+    # fully separated -> KS = 1e6 at A's max value
+    sep = [(1, True), (2, True), (10, False), (11, False)]
+    got = ks_statistic(
+        spark.createDataFrame(sep, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    assert got["ks_ppm"] == 1_000_000 and got["at_value"] == 2
+    # one empty side -> NULL
+    onlya = [(1, True), (2, True)]
+    got = ks_statistic(
+        spark.createDataFrame(onlya, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    assert got["ks_ppm"] is None
