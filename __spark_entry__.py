@@ -4019,6 +4019,23 @@ def q_dist_shift_ks(spark, sf):
     return ks_statistic(d, "val", "in_a")
 
 
+def q_dist_shift_emd(spark, sf):
+    """Exact 1-D earth-mover distance (operators/ireval.py::
+    emd_statistic) on the same planted length shift as dist_shift_ks —
+    the MASS face of the drift pair (KS = worst gap, EMD = total work
+    in value units); ~15 char-micros expected from the +15 plant.
+    Same distinct-value machinery plus one bounded lead()."""
+    from barkingowl_spark.operators.ireval import emd_statistic
+
+    d = _t(spark, sf, "documents").select(
+        (F.length(F.coalesce("text", F.lit("")))
+         + F.when(F.col("doc_id") % 2 == 0, 15).otherwise(0))
+        .cast("long").alias("val"),
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+    )
+    return emd_statistic(d, "val", "in_a")
+
+
 def q_clf_brier(spark, sf):
     """Brier score + Murphy reliability/resolution/uncertainty
     decomposition (operators/ireval.py::brier_decomposition) of the
@@ -4973,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_ap": q_clf_ap,
         "clf_brier": q_clf_brier,
         "dist_shift_ks": q_dist_shift_ks,
+        "dist_shift_emd": q_dist_shift_emd,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -11996,6 +12014,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(mean_prob_ppm - frac_pos_ppm) AS BIGINT)
                      AS gap_ppm
             FROM bins
+        """,
+        "dist_shift_emd": """
+            WITH d AS (
+              SELECT CAST(len(coalesce(text, ''))
+                          + CASE WHEN doc_id % 2 = 0 THEN 15
+                                 ELSE 0 END AS BIGINT) AS v,
+                     doc_id % 2 = 0 AS fl
+              FROM documents),
+            g AS (
+              SELECT v,
+                     CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN fl THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cb
+              FROM d GROUP BY v),
+            r AS (
+              SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cuma,
+                     sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cumb,
+                     lead(v) OVER (ORDER BY v) - v AS gap
+              FROM g),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                         CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+            s AS (
+              SELECT t.n_a, t.n_b,
+                     sum(CAST(abs(r.cuma * t.n_b - r.cumb * t.n_a)
+                              AS HUGEINT) * coalesce(r.gap, 0)) AS w
+              FROM r, t GROUP BY t.n_a, t.n_b)
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     CAST(1000000 * w // (CAST(n_a AS HUGEINT) * n_b)
+                          AS BIGINT) END AS emd_value_micro
+            FROM s
         """,
         "dist_shift_ks": """
             WITH d AS (

@@ -874,3 +874,65 @@ def ks_statistic(
         .cast("long").alias("ks_ppm"),
         F.col("v").alias("at_value"),
     )
+
+
+def emd_statistic(
+    df: DataFrame,
+    val_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """1 row (n_a, n_b, emd_value_micro): the exact 1-D earth-mover
+    (Wasserstein-1) distance between the two samples — the MASS
+    companion to ks_statistic's MAX: KS asks "how big is the worst
+    CDF gap", EMD asks "how much work moves one distribution onto the
+    other" (in units of the value, e.g. characters for a length
+    drift), which is the number to compare against an acceptable-
+    shift budget. W1 = integral |F_A - F_B| dv computed exactly on
+    the merged distinct values:
+
+        emd_value_micro = 1e6 * sum |cum_a*n_b - cum_b*n_a| * gap_v
+                          DIV (n_a * n_b)
+
+    with gap_v the distance to the next distinct value (the last
+    value contributes nothing). DECIMAL(38,0) keeps the sum exact;
+    NULL when either sample is empty.
+
+    Scale shape: identical to ks_statistic (distinct-value rollup +
+    range-shuffle cumulatives) plus one lead() on the same ordering
+    and a 1-row agg instead of the argmax."""
+    from barkingowl_spark.operators.ranking import global_running_sum
+
+    g = (
+        df.select(
+            F.col(val_col).cast("long").alias("v"),
+            F.col(flag_col).alias("fl"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("fl"), 1).otherwise(0)).cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("fl"), 0).otherwise(1)).cast("long")
+            .alias("cb"),
+        )
+    )
+    g = global_running_sum(g, ["v"], "ca", out_col="cuma")
+    g = global_running_sum(g, ["v"], "cb", out_col="cumb")
+    w = Window.orderBy("v")  # distinct values only — bounded
+    g = g.withColumn("_gap", F.lead("v").over(w) - F.col("v"))
+    tot = g.agg(F.sum("ca").cast("long").alias("n_a"),
+                F.sum("cb").cast("long").alias("n_b"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.sum(F.expr(
+                "CAST(abs(cuma * n_b - cumb * n_a) AS DECIMAL(38,0))"
+                " * coalesce(_gap, 0)")).alias("_w"),
+        )
+        .select(
+            "n_a", "n_b",
+            F.expr("CASE WHEN n_a > 0 AND n_b > 0 THEN"
+                   " CAST(1000000 * _w DIV (CAST(n_a AS DECIMAL(38,0))"
+                   " * n_b) AS BIGINT) END").alias("emd_value_micro"),
+        )
+    )

@@ -642,3 +642,33 @@ def test_ks_statistic_identical_and_disjoint(spark):
         spark.createDataFrame(onlya, "val long, in_a boolean"),
         "val", "in_a").collect()[0]
     assert got["ks_ppm"] is None
+
+
+def test_emd_statistic_matches_bruteforce_and_shift_identity(spark):
+    import random
+
+    from barkingowl_spark.operators.ireval import emd_statistic
+
+    random.seed(67)
+    rows = ([(random.randint(0, 40), True) for _ in range(120)]
+            + [(random.randint(5, 45), False) for _ in range(80)])
+    got = emd_statistic(
+        spark.createDataFrame(rows, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    a = [v for v, f in rows if f]
+    b = [v for v, f in rows if not f]
+    na, nb = len(a), len(b)
+    vals = sorted({v for v, _ in rows})
+    w = 0
+    for v, nxt in zip(vals, vals[1:]):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        w += abs(ca * nb - cb * na) * (nxt - v)
+    assert got["emd_value_micro"] == 1_000_000 * w // (na * nb)
+    # pure translation by s -> EMD == s exactly (equal sample sizes)
+    base = [(v, True) for v in range(30)] + [(v + 7, False)
+                                            for v in range(30)]
+    got = emd_statistic(
+        spark.createDataFrame(base, "val long, in_a boolean"),
+        "val", "in_a").collect()[0]
+    assert got["emd_value_micro"] == 7 * 1_000_000
