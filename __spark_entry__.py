@@ -2054,6 +2054,18 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_events_markov(spark, sf):
+    """First-order event-type Markov transitions (operators/cohorts.py
+    ::transition_matrix): per-user (ts, event_id)-ordered sequences,
+    row-normalized ppm probabilities, modal next action at rk=1 — the
+    behavioral model behind funnel design. One key window + one pair
+    count + broadcast row totals."""
+    from barkingowl_spark.operators.cohorts import transition_matrix
+
+    return transition_matrix(
+        _t(spark, sf, "events"), tie_col="event_id")
+
+
 def q_events_srm(spark, sf):
     """Sample-ratio-mismatch check per event_type (operators/
     cohorts.py::srm_check, Fabijan et al. KDD'19): units hash-split
@@ -4825,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_skill": q_events_forecast_skill,
         "events_persistence": q_events_persistence,
         "events_srm": q_events_srm,
+        "events_markov": q_events_markov,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9332,6 +9345,26 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_markov": """
+            WITH p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+              FROM events),
+            c AS (
+              SELECT from_type, to_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type),
+            r AS (
+              SELECT from_type, CAST(sum(n) AS BIGINT) AS rn
+              FROM c GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n,
+                   CAST(1000000 * c.n // r.rn AS BIGINT) AS p_ppm,
+                   CAST(row_number() OVER (PARTITION BY c.from_type
+                     ORDER BY c.n DESC, c.to_type) AS BIGINT) AS rk
+            FROM c JOIN r USING (from_type)
         """,
         "events_srm": """
             WITH a AS (

@@ -211,3 +211,52 @@ def srm_check(
         )
         .withColumn("srm", F.col("chi2_milli") > int(crit_milli))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """(from_type, to_type, n, p_ppm, rk): the first-order Markov
+    transition matrix of event types over per-user event sequences —
+    what actually follows what, the behavioral model behind funnel
+    design and next-action prediction (and, on fetch logs, the
+    host-to-host navigation pattern a focused crawler exploits).
+    p_ppm row-normalizes each from_type (floor); rk ranks destinations
+    within a row (n desc, to_type asc), so rk=1 is the modal next
+    action.
+
+    Sequences are per-key (ts, tie) ordered — pass tie_col when
+    timestamps can collide (determinism rule as everywhere else);
+    the last event of each key has no successor and drops out.
+
+    Scale shape: ONE key-partitioned window sort for lead(), one
+    (from, to) map-side-combined count, a broadcast-sized row-total
+    join (|types|^2 table), a WindowGroupLimit rank."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(key_col), F.col(ts_col),
+            *( [F.col(tie_col)] if tie_col else [] ),
+            F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("_row_n"))
+    rk = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type"))
+    return (
+        pairs.join(F.broadcast(rows), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.expr("1000000 * n DIV _row_n").cast("long")
+            .alias("p_ppm"))
+        .withColumn("rk", F.row_number().over(rk).cast("long"))
+    )

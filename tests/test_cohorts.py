@@ -182,3 +182,46 @@ def test_srm_check_balanced_vs_skewed(spark):
     skew = df.withColumn("_a", arm).filter(F.col("_a") == 0).drop("_a")
     bad = srm_check(skew).collect()[0]
     assert bad["arm1"] == 0 and bad["srm"]
+
+
+def test_transition_matrix_hand_case(spark):
+    import datetime as dt
+
+    from barkingowl_spark.operators.cohorts import transition_matrix
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, s, t, i):
+        return (u, t0 + dt.timedelta(seconds=s), t, i)
+
+    rows = [
+        # u1: view -> click -> view -> purchase
+        ev("u1", 0, "view", 1), ev("u1", 10, "click", 2),
+        ev("u1", 20, "view", 3), ev("u1", 30, "purchase", 4),
+        # u2: view -> view  (equal ts: event_id breaks the tie)
+        ev("u2", 0, "view", 5), ev("u2", 0, "view", 6),
+        # u3: single event -> contributes nothing
+        ev("u3", 0, "click", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string,"
+              " event_id long")
+    got = {(r["from_type"], r["to_type"]): r.asDict()
+           for r in transition_matrix(df, tie_col="event_id").collect()}
+    # from view: u1 gives view->click and view->purchase, u2 gives
+    # view->view -> row total 3, each 1/3; rk ties break to_type asc
+    assert got[("view", "view")]["n"] == 1
+    assert got[("view", "view")]["p_ppm"] == 333_333
+    assert got[("view", "click")]["rk"] == 1
+    assert got[("view", "purchase")]["rk"] == 2
+    assert got[("view", "view")]["rk"] == 3
+    assert got[("click", "view")]["n"] == 1
+    assert got[("click", "view")]["p_ppm"] == 1_000_000
+    assert ("purchase", "view") not in got  # terminal event
+    # probabilities per row sum to <= 1e6 (floor) and >= 1e6 - |row|
+    from collections import defaultdict
+    per = defaultdict(int)
+    for (f, _), r in got.items():
+        per[f] += r["p_ppm"]
+    for f, s in per.items():
+        assert s <= 1_000_000
