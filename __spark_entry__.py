@@ -2054,6 +2054,18 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_events_affinity(spark, sf):
+    """Session-basket affinity (operators/cohorts.py::
+    session_affinity): event-type pairs co-occurring in the same
+    30-min-gap session far beyond what their session frequencies
+    predict — collocations' no-log integer lift on the session axis;
+    the order-free companion to events_markov. Pair join bounded
+    within (user, session)."""
+    from barkingowl_spark.operators.cohorts import session_affinity
+
+    return session_affinity(_t(spark, sf, "events"), min_count=3)
+
+
 def q_events_markov(spark, sf):
     """First-order event-type Markov transitions (operators/cohorts.py
     ::transition_matrix): per-user (ts, event_id)-ordered sequences,
@@ -4838,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_persistence": q_events_persistence,
         "events_srm": q_events_srm,
         "events_markov": q_events_markov,
+        "events_affinity": q_events_affinity,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9345,6 +9358,46 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "events_affinity": """
+            WITH s0 AS (
+              SELECT user_id AS key, epoch_us(ts) AS us,
+                     event_type AS t
+              FROM events),
+            bk AS (
+              SELECT key, us, t,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY key
+                            ORDER BY us, t) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM s0),
+            sd AS (
+              SELECT key, t,
+                     sum(brk) OVER (PARTITION BY key ORDER BY us, t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS sid
+              FROM bk),
+            pres AS (SELECT DISTINCT key, sid, t FROM sd),
+            sing AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS n_s
+              FROM pres GROUP BY t),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS s_tot
+              FROM (SELECT DISTINCT key, sid FROM pres)),
+            pr AS (
+              SELECT p1.t AS type_a, p2.t AS type_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM pres p1 JOIN pres p2
+                ON p1.key = p2.key AND p1.sid = p2.sid
+               AND p1.t < p2.t
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT type_a, type_b, n_ab,
+                   sa.n_s AS n_a, sb.n_s AS n_b,
+                   CAST(CAST(n_ab AS HUGEINT) * tot.s_tot * 1000000
+                        // (CAST(sa.n_s AS HUGEINT) * sb.n_s)
+                        AS BIGINT) AS lift_ppm
+            FROM pr JOIN sing sa ON sa.t = pr.type_a
+                    JOIN sing sb ON sb.t = pr.type_b, tot
+            ORDER BY lift_ppm DESC, type_a, type_b LIMIT 50
         """,
         "events_markov": """
             WITH p AS (

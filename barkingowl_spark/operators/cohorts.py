@@ -260,3 +260,88 @@ def transition_matrix(
             .alias("p_ppm"))
         .withColumn("rk", F.row_number().over(rk).cast("long"))
     )
+
+
+def session_affinity(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+    min_count: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """(type_a, type_b, n_ab, n_a, n_b, lift_ppm): top-k event-type
+    pairs that co-occur in the same session far more often than their
+    session frequencies predict — the order-free market-basket
+    companion to transition_matrix's ordered transitions (Markov asks
+    "what follows", affinity asks "what belongs together"), scored by
+    the same no-log integer lift collocations uses:
+
+        lift_ppm = (n_ab * S * 1e6) DIV (n_a * n_b)
+
+    over session-presence counts (a type counts once per session;
+    S = total sessions). Sessions split on gaps > gap_s within each
+    key's (ts, type) order. min_count guards the rare-pair blowup;
+    ties (type_a, type_b) ascending.
+
+    Scale shape: one key window builds session ids (running sum of
+    gap breaks), one distinct to presence rows, the pair join is
+    WITHIN (key, session) — bounded by each session's distinct types,
+    never corpus-wide — then map-side-combined counts, broadcast
+    singles, TakeOrderedAndProject(k)."""
+    if gap_s < 1 or min_count < 1 or k < 1:
+        raise ValueError("gap_s, min_count, k must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(type_col))
+    sess = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.col(type_col).alias("t"))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_us") - F.lag("_us").over(
+                    Window.partitionBy("key").orderBy("_us", "t"))
+                > int(gap_s) * 1_000_000, 1).otherwise(0))
+        .withColumn(
+            "sid",
+            F.sum("_brk").over(
+                Window.partitionBy("key").orderBy("_us", "t")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+        .select("key", "sid", "t")
+        .distinct()
+    )
+    singles = sess.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"))
+    total = sess.select("key", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("s_tot"))
+    a = sess.select("key", "sid", F.col("t").alias("type_a"))
+    b = sess.select("key", "sid", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, ["key", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    return (
+        pairs
+        .join(F.broadcast(singles.select(
+            F.col("t").alias("type_a"), F.col("n_s").alias("n_a"))),
+            "type_a")
+        .join(F.broadcast(singles.select(
+            F.col("t").alias("type_b"), F.col("n_s").alias("n_b"))),
+            "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * s_tot * 1000000"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), F.asc("type_a"), F.asc("type_b"))
+        .limit(int(k))
+    )

@@ -225,3 +225,35 @@ def test_transition_matrix_hand_case(spark):
         per[f] += r["p_ppm"]
     for f, s in per.items():
         assert s <= 1_000_000
+
+
+def test_session_affinity_hand_case(spark):
+    import datetime as dt
+
+    import pytest
+
+    from barkingowl_spark.operators.cohorts import session_affinity
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, s, t):
+        return (u, t0 + dt.timedelta(seconds=s), t)
+
+    rows = []
+    # 4 sessions where {a, b} appear together; 2 with only c
+    for u in range(4):
+        rows += [ev(f"u{u}", 0, "a"), ev(f"u{u}", 60, "b")]
+        # second session for the same user, far later, only c
+        if u < 2:
+            rows += [ev(f"u{u}", 10_000, "c")]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string")
+    got = {(r["type_a"], r["type_b"]): r.asDict()
+           for r in session_affinity(df, min_count=2).collect()}
+    ab = got[("a", "b")]
+    # S = 6 sessions, n_a = n_b = 4, together in all 4
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (4, 4, 4)
+    assert ab["lift_ppm"] == 4 * 6 * 1_000_000 // 16
+    assert ("a", "c") not in got  # never same session
+    with pytest.raises(ValueError):
+        session_affinity(df, gap_s=0)

@@ -107,7 +107,7 @@ def duck():
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
      "events_forecast_skill", "events_persistence", "events_srm",
-     "events_markov",
+     "events_markov", "events_affinity",
      "emb_pca_power", "emb_kcenter",
      "events_funnel", "events_funnel_report", "events_retention"],
 )
