@@ -672,3 +672,67 @@ def test_emd_statistic_matches_bruteforce_and_shift_identity(spark):
         spark.createDataFrame(base, "val long, in_a boolean"),
         "val", "in_a").collect()[0]
     assert got["emd_value_micro"] == 7 * 1_000_000
+
+
+def test_ap_bounds_collapse_without_ties(spark):
+    """Unique scores -> within-tie order is fully determined -> the
+    optimistic and pessimistic AP bounds coincide at the exact AP."""
+    import random
+
+    from barkingowl_spark.operators.ireval import average_precision
+
+    random.seed(71)
+    scores = random.sample(range(100_000), 80)
+    rows = [(i, s, random.random() < 0.3)
+            for i, s in enumerate(scores)]
+    got = average_precision(
+        spark.createDataFrame(
+            rows, "doc_id long, score_milli long, label boolean")
+    ).collect()[0]
+    assert got["ap_opt_ppm"] == got["ap_pes_ppm"]
+    order = sorted(rows, key=lambda r: -r[1])
+    p = s = 0
+    npos = sum(1 for r in rows if r[2])
+    for r_, (_, _, lab) in enumerate(order, 1):
+        if lab:
+            p += 1
+            s += (1_000_000 * p) // r_
+    assert got["ap_opt_ppm"] == s // npos
+
+
+def test_ks_symmetric_under_flag_swap(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.operators.ireval import ks_statistic
+
+    random.seed(73)
+    rows = [(random.randint(0, 30), random.random() < 0.5)
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "val long, in_a boolean")
+    a = ks_statistic(df, "val", "in_a").collect()[0]
+    b = ks_statistic(
+        df.withColumn("in_a", ~F.col("in_a")), "val", "in_a"
+    ).collect()[0]
+    assert a["ks_ppm"] == b["ks_ppm"]
+    assert a["d_scaled"] == b["d_scaled"]
+    assert (a["n_a"], a["n_b"]) == (b["n_b"], b["n_a"])
+
+
+def test_emd_translation_invariant(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.operators.ireval import emd_statistic
+
+    random.seed(79)
+    rows = [(random.randint(0, 50), random.random() < 0.5)
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, "val long, in_a boolean")
+    a = emd_statistic(df, "val", "in_a").collect()[0]
+    b = emd_statistic(
+        df.withColumn("val", F.col("val") + 1000), "val", "in_a"
+    ).collect()[0]
+    assert a["emd_value_micro"] == b["emd_value_micro"]
