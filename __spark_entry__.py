@@ -2054,6 +2054,37 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_mm_captions(spark, sf):
+    """Image-caption pair mining (operators/multimodal.py::
+    img_caption_pairs): (src, alt) from every <img> tag in document
+    order — the raw material of CLIP-style multimodal corpora, with
+    has_alt as the caption-coverage denominator. RE2-safe inline-(?i)
+    regexps shared verbatim with the oracle; both quote styles
+    exercised; map-only."""
+    from barkingowl_spark.operators.multimodal import img_caption_pairs
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    m4 = F.col("doc_id") % 4
+    html = (
+        F.when(m4 == 0, F.concat(
+            F.lit('<p>t</p><img src="http://'), F.col("source"),
+            F.lit(".test/i"), sid, F.lit('.png" alt="cap '), sid,
+            F.lit('">')))
+        .when(m4 == 1, F.concat(
+            F.lit("<IMG\tsrc='/rel"), sid, F.lit(".jpg'>")))
+        .when(m4 == 2, F.concat(
+            F.lit('<img alt="orphan"><img src="x'), sid,
+            F.lit('.gif" alt="">')))
+        .otherwise(F.concat(F.lit("no images "), sid))
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test/p"),
+                 sid).alias("url"),
+        html.alias("html"))
+    return img_caption_pairs(pages)
+
+
 def q_events_affinity(spark, sf):
     """Session-basket affinity (operators/cohorts.py::
     session_affinity): event-type pairs co-occurring in the same
@@ -4851,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_srm": q_events_srm,
         "events_markov": q_events_markov,
         "events_affinity": q_events_affinity,
+        "mm_captions": q_mm_captions,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9358,6 +9390,58 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        # identical RE2 patterns as the Spark side; '' escapes the
+        # single quotes of the alternate attribute-quote style
+        "mm_captions": """
+            WITH d AS (
+              SELECT 'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                            '<p>t</p><img src="http://' || source
+                            || '.test/i' || CAST(doc_id AS VARCHAR)
+                            || '.png" alt="cap '
+                            || CAST(doc_id AS VARCHAR) || '">'
+                          WHEN doc_id % 4 = 1 THEN
+                            '<IMG' || chr(9) || 'src=''/rel'
+                            || CAST(doc_id AS VARCHAR) || '.jpg''>'
+                          WHEN doc_id % 4 = 2 THEN
+                            '<img alt="orphan"><img src="x'
+                            || CAST(doc_id AS VARCHAR)
+                            || '.gif" alt="">'
+                          ELSE 'no images '
+                               || CAST(doc_id AS VARCHAR)
+                     END AS html
+              FROM documents),
+            t AS (
+              SELECT url,
+                     regexp_extract_all(coalesce(html, ''),
+                       '(?i)<img[ ' || chr(9) || chr(10)
+                       || '][^>]*>', 0) AS tags
+              FROM d),
+            e AS (
+              SELECT url,
+                     CAST(unnest(range(1, len(tags) + 1)) - 1
+                          AS BIGINT) AS ord,
+                     unnest(tags) AS tag
+              FROM t),
+            x AS (
+              SELECT url, ord,
+                     coalesce(
+                       nullif(regexp_extract(tag,
+                         '(?i)src\\s*=\\s*"([^"]*)"', 1), ''),
+                       nullif(regexp_extract(tag,
+                         '(?i)src\\s*=\\s*''([^'']*)''', 1), ''))
+                       AS src,
+                     coalesce(
+                       nullif(regexp_extract(tag,
+                         '(?i)alt\\s*=\\s*"([^"]*)"', 1), ''),
+                       nullif(regexp_extract(tag,
+                         '(?i)alt\\s*=\\s*''([^'']*)''', 1), ''))
+                       AS alt
+              FROM e)
+            SELECT url, ord, src, alt, alt IS NOT NULL AS has_alt
+            FROM x WHERE src IS NOT NULL
         """,
         "events_affinity": """
             WITH s0 AS (

@@ -339,3 +339,51 @@ def sniff_mime(
         sniffed.alias("sniffed"),
         (F.col(mime_col) == sniffed).alias("agree"),
     )
+
+
+IMG_TAG_RE = r"(?i)<img[ \t\n][^>]*>"
+_SRC_DQ = r'(?i)src\s*=\s*"([^"]*)"'
+_SRC_SQ = r"(?i)src\s*=\s*'([^']*)'"
+_ALT_DQ = r'(?i)alt\s*=\s*"([^"]*)"'
+_ALT_SQ = r"(?i)alt\s*=\s*'([^']*)'"
+
+
+def img_caption_pairs(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, ord, src, alt, has_alt): every <img> tag's (src, alt) in
+    document order — the image-text pair miner: alt text is the web's
+    native caption, and (src, alt) pairs are the raw material of
+    multimodal (CLIP-style) training corpora. Tags without a src drop
+    (no image to pair); empty/absent alt stays with has_alt = false,
+    so the has_alt rate is the caption-coverage denominator a corpus
+    report needs.
+
+    Pure relational regexps, RE2-safe (inline (?i), no lookaround), so
+    the DuckDB oracle runs the IDENTICAL patterns; quoted attributes
+    only (both quote styles), the deliberate subset the sitemap/robots
+    parsers also take. Scale shape: map-only extract + one
+    posexplode — no UDF, no shuffle."""
+    tags = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(IMG_TAG_RE),
+        F.lit(0))
+    e = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tags).alias("ord", "tag"))
+    src = F.coalesce(
+        F.nullif(F.regexp_extract("tag", _SRC_DQ, 1), F.lit("")),
+        F.nullif(F.regexp_extract("tag", _SRC_SQ, 1), F.lit("")),
+    )
+    alt = F.coalesce(
+        F.nullif(F.regexp_extract("tag", _ALT_DQ, 1), F.lit("")),
+        F.nullif(F.regexp_extract("tag", _ALT_SQ, 1), F.lit("")),
+    )
+    return (
+        e.select(
+            "url", F.col("ord").cast("long").alias("ord"),
+            src.alias("src"), alt.alias("alt"))
+        .filter(F.col("src").isNotNull())
+        .withColumn("has_alt", F.col("alt").isNotNull())
+    )

@@ -91,7 +91,7 @@ def duck():
      "search_runs", "search_eval", "search_eval_macro", "search_ndcg",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
-     "mm_video_frames", "mm_video_pairs", "graph_ppr",
+     "mm_video_frames", "mm_video_pairs", "mm_captions", "graph_ppr",
      "events_layout_audit", "url_site", "url_site_rollup",
      "graph_landmark_bfs", "graph_dist_est", "robots_wildcard",
      "clf_kappa", "clf_calibration", "clf_ece", "clf_brier",
