@@ -3420,6 +3420,29 @@ def _eval_qrels_graded(docs, qdim):
     )
 
 
+def q_search_bpref(spark, sf):
+    """bpref@10 (operators/ireval.py::bpref, Buckley & Voorhees
+    SIGIR'04): the incomplete-judgment metric — unjudged retrieved
+    docs are invisible, so the score survives judgment-pool growth.
+    Judged pool = partial-containment docs (relevant = all query
+    terms, judged-nonrelevant = some but not all) — the principled
+    reading of the existing conjunctive qrels derivation."""
+    from barkingowl_spark.operators.ireval import bm25_runs, bpref
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    graded = _eval_qrels_graded(docs, qdim)
+    qn = qdim.distinct().groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("q_n"))
+    rel = (graded.join(F.broadcast(qn), "query_id")
+           .filter(F.col("grade") == F.col("q_n"))
+           .select("query_id", "doc_id"))
+    nonrel = (graded.join(F.broadcast(qn), "query_id")
+              .filter(F.col("grade") < F.col("q_n"))
+              .select("query_id", "doc_id"))
+    return bpref(bm25_runs(docs, qdim, k=10), rel, nonrel, k=10)
+
+
 def q_search_ndcg(spark, sf):
     """Exact fixed-point nDCG@10 with graded relevance (operators/
     ireval.py::ndcg_at_k, Järvelin & Kekäläinen 2002): gains 2^g - 1
@@ -4999,6 +5022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_runs": q_search_runs,
         "search_eval": q_search_eval,
         "search_ndcg": q_search_ndcg,
+        "search_bpref": q_search_bpref,
         "search_eval_macro": q_search_eval_macro,
         "search_rm3_terms": q_search_rm3_terms,
         "search_rm3": q_search_rm3,
@@ -11102,6 +11126,60 @@ def oracle_sql() -> dict[str, str]:
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
+        # bpref@10 on the partial-containment judged pool
+        "search_bpref": _RUNS_CTE + """
+            , nonrel AS (
+              SELECT m.query_id, m.doc_id
+              FROM matched m JOIN qn USING (query_id)
+              WHERE m.n_matched < qn.q_n),
+            bc AS (
+              SELECT r.query_id,
+                     CAST(count(*) AS BIGINT) AS n_rel,
+                     CAST(coalesce(any_value(nn.n_nonrel), 0)
+                          AS BIGINT) AS n_nonrel
+              FROM qrels r
+              LEFT JOIN (SELECT query_id,
+                                CAST(count(*) AS BIGINT) AS n_nonrel
+                         FROM nonrel GROUP BY query_id) nn
+                USING (query_id)
+              GROUP BY r.query_id),
+            rj AS (
+              SELECT rk.query_id, rk.doc_id, rk.rank,
+                     CASE WHEN q.doc_id IS NOT NULL THEN 1 END
+                       AS is_rel,
+                     CASE WHEN nr.doc_id IS NOT NULL THEN 1
+                          ELSE 0 END AS is_non
+              FROM runk rk
+              LEFT JOIN qrels q ON q.query_id = rk.query_id
+                               AND q.doc_id = rk.doc_id
+              LEFT JOIN nonrel nr ON nr.query_id = rk.query_id
+                                 AND nr.doc_id = rk.doc_id
+              WHERE rk.rank <= 10),
+            cu AS (
+              SELECT *,
+                     CAST(coalesce(sum(is_non) OVER (
+                       PARTITION BY query_id ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS non_above
+              FROM rj),
+            per AS (
+              SELECT cu.query_id,
+                     CAST(sum(CASE WHEN least(bc.n_rel, bc.n_nonrel)
+                                        = 0 THEN 1000000
+                              ELSE 1000000 - 1000000
+                                   * least(cu.non_above,
+                                           least(bc.n_rel,
+                                                 bc.n_nonrel))
+                                   // least(bc.n_rel, bc.n_nonrel)
+                              END) AS BIGINT) AS s
+              FROM cu JOIN bc USING (query_id)
+              WHERE cu.is_rel = 1
+              GROUP BY cu.query_id)
+            SELECT bc.query_id, bc.n_rel, bc.n_nonrel,
+                   CAST(coalesce(per.s, 0) // bc.n_rel AS BIGINT)
+                     AS bpref_ppm
+            FROM bc LEFT JOIN per USING (query_id)
+        """,
         # graded nDCG@10: gains by bit shift, discounts from the SAME
         # literal table the Spark plan embeds (_ndcg_w_sql).
         "search_ndcg": _RUNS_CTE + f"""

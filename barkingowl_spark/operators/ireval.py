@@ -936,3 +936,80 @@ def emd_statistic(
                    " * n_b) AS BIGINT) END").alias("emd_value_micro"),
         )
     )
+
+
+def bpref(
+    run: DataFrame,
+    qrels_rel: DataFrame,
+    qrels_nonrel: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, n_rel, n_nonrel, bpref_ppm): Buckley & Voorhees's
+    bpref (SIGIR 2004) — the ranking metric for INCOMPLETE judgments:
+    unjudged retrieved docs are simply invisible (neither reward nor
+    penalty), so the score is stable as the judgment pool grows, which
+    MAP/nDCG are not. Per query with R judged-relevant and N judged-
+    nonrelevant docs:
+
+        bpref = (1/R) * sum over retrieved relevant r of
+                (1 - n_above(r) / min(R, N))
+
+    n_above(r) = judged-NONrelevant docs ranked above r in the run
+    (capped at min(R, N) so a single bad run can't go negative).
+    Fixed point: each contribution floors to ppm, the mean floors once
+    more (same convention as rank_metrics' ap). Judged queries only;
+    min(R, N) = 0 makes every contribution 1e6 (no nonrelevant
+    evidence to rank below).
+
+    Scale shape: run (k rows per query) joined to the two judgment
+    dims, ONE query-partitioned window for the running nonrel count,
+    one per-query agg — the rank_metrics skeleton with a second
+    judgment flag."""
+    rel = qrels_rel.select("query_id", "doc_id").withColumn(
+        "_rel", F.lit(1))
+    non = qrels_nonrel.select("query_id", "doc_id").withColumn(
+        "_non", F.lit(1))
+    counts = (
+        rel.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"))
+        .join(
+            non.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_nonrel")),
+            "query_id", "left")
+        .fillna({"n_nonrel": 0})
+    )
+    j = (
+        run.filter(F.col("rank") <= k)
+        .join(rel, ["query_id", "doc_id"], "left")
+        .join(non, ["query_id", "doc_id"], "left")
+    )
+    w = (
+        Window.partitionBy("query_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn(
+        "_non_above",
+        F.coalesce(F.sum("_non").over(w), F.lit(0)).cast("long"))
+    per = (
+        j.filter(F.col("_rel") == 1)
+        .join(F.broadcast(counts), "query_id")
+        .withColumn(
+            "_den",
+            F.least(F.col("n_rel"), F.col("n_nonrel")).cast("long"))
+        .withColumn(
+            "_c",
+            F.expr(
+                "CASE WHEN _den = 0 THEN 1000000 ELSE"
+                " 1000000 - 1000000 * least(_non_above, _den)"
+                " DIV _den END").cast("long"))
+        .groupBy("query_id")
+        .agg(F.sum("_c").cast("long").alias("_s"))
+    )
+    return (
+        counts.join(per, "query_id", "left")
+        .select(
+            "query_id", "n_rel", "n_nonrel",
+            F.expr("CAST(coalesce(_s, 0) DIV n_rel AS BIGINT)")
+            .alias("bpref_ppm"),
+        )
+    )

@@ -89,6 +89,7 @@ def duck():
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
      "events_hilbert", "events_change_audit", "search_qld",
      "search_runs", "search_eval", "search_eval_macro", "search_ndcg",
+     "search_bpref",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
      "mm_video_frames", "mm_video_pairs", "mm_captions", "graph_ppr",

@@ -736,3 +736,49 @@ def test_emd_translation_invariant(spark):
         df.withColumn("val", F.col("val") + 1000), "val", "in_a"
     ).collect()[0]
     assert a["emd_value_micro"] == b["emd_value_micro"]
+
+
+def test_bpref_hand_cases(spark):
+    from barkingowl_spark.operators.ireval import bpref
+
+    run = spark.createDataFrame(
+        # q1 ranking: N R N R  (judged), plus an UNJUDGED doc at rank 3
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3), (1, 12, 4), (1, 13, 5),
+         # q2: all relevant retrieved before any nonrel
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         # q3: judged but nothing relevant retrieved
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank long")
+    rel = spark.createDataFrame(
+        [(1, 11), (1, 13), (2, 20), (2, 21), (3, 31)],
+        "query_id long, doc_id long")
+    non = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 22), (3, 30)],
+        "query_id long, doc_id long")
+    got = {r["query_id"]: r.asDict()
+           for r in bpref(run, rel, non, k=10).collect()}
+    # q1: R=2, N=2, min=2. doc11: 1 nonrel above -> 1 - 1/2; doc13:
+    # 2 nonrel above -> 1 - 2/2 = 0. bpref = (500000 + 0) / 2
+    assert got[1]["bpref_ppm"] == 250_000
+    # q2: both relevant docs have 0 nonrel above -> bpref = 1
+    assert got[2]["bpref_ppm"] == 1_000_000
+    # q3: relevant doc never retrieved -> 0 (query still present)
+    assert got[3]["bpref_ppm"] == 0
+    # the unjudged doc 99 influenced NOTHING (remove it -> same score)
+    run2 = run.filter("doc_id <> 99")
+    got2 = {r["query_id"]: r["bpref_ppm"]
+            for r in bpref(run2, rel, non, k=10).collect()}
+    assert got2[1] == got[1]["bpref_ppm"]
+
+
+def test_bpref_no_nonrelevant_evidence(spark):
+    from barkingowl_spark.operators.ireval import bpref
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long")
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, doc_id long")
+    non = rel.filter("doc_id < 0")  # empty
+    got = bpref(run, rel, non, k=10).collect()[0]
+    assert got["n_nonrel"] == 0
+    assert got["bpref_ppm"] == 1_000_000
