@@ -4079,6 +4079,24 @@ def q_clf_calibration(spark, sf):
     return calibration_bins(scored)
 
 
+def q_clf_label_noise(spark, sf):
+    """Confident-learning label-noise estimate (operators/ireval.py::
+    label_noise, Northcutt et al. 2021): within-class mean-probability
+    thresholds, examples confidently crossing the OTHER class's
+    threshold counted as suspected mislabels, noise_ppm the relabel-
+    pass trigger. Two map-side scans, 1-row broadcast between."""
+    from barkingowl_spark.operators.ireval import label_noise
+
+    a, b = _clf_labels(spark, sf)
+    scored = (
+        a.select("doc_id", F.expr(
+            "least(1000000, greatest(0, score_milli * 100 + 500000))")
+            .alias("prob_ppm"))
+        .join(b, "doc_id")
+    )
+    return label_noise(scored)
+
+
 def q_dist_shift_ks(spark, sf):
     """Exact two-sample Kolmogorov-Smirnov drift gate (operators/
     ireval.py::ks_statistic): doc-length distribution of even-id docs
@@ -5073,6 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_brier": q_clf_brier,
         "dist_shift_ks": q_dist_shift_ks,
         "dist_shift_emd": q_dist_shift_emd,
+        "clf_label_noise": q_clf_label_noise,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -12262,6 +12281,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(mean_prob_ppm - frac_pos_ppm) AS BIGINT)
                      AS gap_ppm
             FROM bins
+        """,
+        "clf_label_noise": _CLF_CTE + """
+            , p AS (
+              SELECT sc.doc_id,
+                     least(1000000,
+                           greatest(0, score_milli * 100 + 500000))
+                       AS prob_ppm,
+                     lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            lnt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pos,
+                     CAST(sum(CASE WHEN label THEN prob_ppm END)
+                          // sum(CASE WHEN label THEN 1 END)
+                          AS BIGINT) AS t_pos_ppm,
+                     CAST(sum(CASE WHEN NOT label THEN prob_ppm END)
+                          // sum(CASE WHEN NOT label THEN 1 END)
+                          AS BIGINT) AS t_neg_ppm
+              FROM p),
+            lns AS (
+              SELECT lnt.n, lnt.n_pos, lnt.t_pos_ppm, lnt.t_neg_ppm,
+                     CAST(sum(CASE WHEN p.label
+                                AND lnt.t_neg_ppm IS NOT NULL
+                                AND p.prob_ppm <= lnt.t_neg_ppm
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sus_pos,
+                     CAST(sum(CASE WHEN NOT p.label
+                                AND lnt.t_pos_ppm IS NOT NULL
+                                AND p.prob_ppm >= lnt.t_pos_ppm
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sus_neg
+              FROM p, lnt
+              GROUP BY lnt.n, lnt.n_pos, lnt.t_pos_ppm, lnt.t_neg_ppm)
+            SELECT n, n_pos, t_pos_ppm, t_neg_ppm, sus_pos, sus_neg,
+                   CASE WHEN t_pos_ppm IS NOT NULL
+                        AND t_neg_ppm IS NOT NULL THEN
+                     CAST(1000000 * (sus_pos + sus_neg) // n
+                          AS BIGINT) END AS noise_ppm
+            FROM lns
         """,
         "dist_shift_emd": """
             WITH d AS (

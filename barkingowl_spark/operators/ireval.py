@@ -1013,3 +1013,67 @@ def bpref(
             .alias("bpref_ppm"),
         )
     )
+
+
+def label_noise(
+    scored: DataFrame,
+    prob_col: str = "prob_ppm",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n_pos, t_pos_ppm, t_neg_ppm, sus_pos, sus_neg,
+    noise_ppm): confident-learning label-noise estimation (Northcutt
+    et al., JAIR 2021) specialized to the binary gate: the class
+    thresholds are the mean predicted probability WITHIN each given
+    class (t_pos over labeled-positive rows, t_neg over negatives),
+    and an example is SUSPECTED mislabeled when its probability
+    confidently crosses the other class's threshold —
+
+        sus_pos: labeled positive but p <= t_neg   (looks negative)
+        sus_neg: labeled negative but p >= t_pos   (looks positive)
+
+    noise_ppm = 1e6 * (sus_pos + sus_neg) DIV n — the number that
+    decides whether the gate's training labels need a relabel pass
+    before anyone trusts downstream metrics. Thresholds are floored
+    ppm means (integer-exact); degenerate single-class input reports
+    NULL noise (no opposite threshold to cross).
+
+    Scale shape: one 1-row threshold agg broadcast into one
+    conditional-count pass — two map-side-combined scans, no join by
+    key, no sort."""
+    t = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(f"CASE WHEN {label_col} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_pos"),
+        F.expr(f"CAST(sum(CASE WHEN {label_col} THEN {prob_col}"
+               f" END) DIV sum(CASE WHEN {label_col} THEN 1 END)"
+               " AS BIGINT)").alias("t_pos_ppm"),
+        F.expr(f"CAST(sum(CASE WHEN NOT {label_col} THEN {prob_col}"
+               f" END) DIV sum(CASE WHEN NOT {label_col} THEN 1 END)"
+               " AS BIGINT)").alias("t_neg_ppm"),
+    )
+    j = scored.crossJoin(F.broadcast(t))
+    return (
+        j.agg(
+            F.first("n").alias("n"),
+            F.first("n_pos").alias("n_pos"),
+            F.first("t_pos_ppm").alias("t_pos_ppm"),
+            F.first("t_neg_ppm").alias("t_neg_ppm"),
+            F.sum(F.expr(
+                f"CASE WHEN {label_col} AND t_neg_ppm IS NOT NULL"
+                f" AND {prob_col} <= t_neg_ppm THEN 1 ELSE 0 END"))
+            .cast("long").alias("sus_pos"),
+            F.sum(F.expr(
+                f"CASE WHEN NOT {label_col} AND t_pos_ppm IS NOT NULL"
+                f" AND {prob_col} >= t_pos_ppm THEN 1 ELSE 0 END"))
+            .cast("long").alias("sus_neg"),
+        )
+        .select(
+            "n", "n_pos", "t_pos_ppm", "t_neg_ppm", "sus_pos",
+            "sus_neg",
+            F.expr(
+                "CASE WHEN t_pos_ppm IS NOT NULL"
+                " AND t_neg_ppm IS NOT NULL THEN"
+                " CAST(1000000 * (sus_pos + sus_neg) DIV n"
+                " AS BIGINT) END").alias("noise_ppm"),
+        )
+    )

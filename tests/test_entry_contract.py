@@ -96,7 +96,7 @@ def duck():
      "events_layout_audit", "url_site", "url_site_rollup",
      "graph_landmark_bfs", "graph_dist_est", "robots_wildcard",
      "clf_kappa", "clf_calibration", "clf_ece", "clf_brier",
-     "dist_shift_ks", "dist_shift_emd",
+     "dist_shift_ks", "dist_shift_emd", "clf_label_noise",
      "text_entropy",
      "search_rm3_terms", "search_rm3", "idx_compress",
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",

@@ -782,3 +782,32 @@ def test_bpref_no_nonrelevant_evidence(spark):
     got = bpref(run, rel, non, k=10).collect()[0]
     assert got["n_nonrel"] == 0
     assert got["bpref_ppm"] == 1_000_000
+
+
+def test_label_noise_planted_flips(spark):
+    from barkingowl_spark.operators.ireval import label_noise
+
+    rows = []
+    # clean positives p=0.9, clean negatives p=0.1
+    rows += [(i, 900_000, True) for i in range(40)]
+    rows += [(100 + i, 100_000, False) for i in range(40)]
+    # planted flips: confident-positive rows labeled negative and v.v.
+    rows += [(200 + i, 900_000, False) for i in range(4)]
+    rows += [(300 + i, 100_000, True) for i in range(4)]
+    got = label_noise(
+        spark.createDataFrame(
+            rows, "doc_id long, prob_ppm long, label boolean")
+    ).collect()[0]
+    n = len(rows)
+    # thresholds: mean within given class
+    t_pos = (40 * 900_000 + 4 * 100_000) // 44
+    t_neg = (40 * 100_000 + 4 * 900_000) // 44
+    assert got["t_pos_ppm"] == t_pos and got["t_neg_ppm"] == t_neg
+    # every planted flip is caught, no clean row is
+    assert got["sus_pos"] == 4 and got["sus_neg"] == 4
+    assert got["noise_ppm"] == 1_000_000 * 8 // n
+    # single-class degenerate -> NULL noise
+    onecls = spark.createDataFrame(
+        [(0, 500_000, True), (1, 700_000, True)],
+        "doc_id long, prob_ppm long, label boolean")
+    assert label_noise(onecls).collect()[0]["noise_ppm"] is None
