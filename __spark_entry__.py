@@ -2054,6 +2054,32 @@ def q_emb_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
 
 
+def q_html_outline(spark, sf):
+    """Document outline extraction (operators/multimodal.py::
+    html_outline): <title> + h1/h2 headings in document order, tags
+    stripped, whitespace collapsed — the BM25F field source and the
+    heading-boundary signal for context packing. RE2-safe patterns
+    (per-level literals — RE2 has no backrefs) shared with the
+    oracle; map-only."""
+    from barkingowl_spark.operators.multimodal import html_outline
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<title>Doc "), sid, F.lit(" <i>of</i> "),
+        F.col("source"), F.lit("</title><h1>Sec "), sid,
+        F.lit("</h1>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<h2>Sub "), sid,
+                        F.lit("</h2><h2>  </h2>")))
+        .otherwise(F.lit("")))
+    pages = d.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test/p"),
+                 sid).alias("url"),
+        html.alias("html"))
+    return html_outline(pages)
+
+
 def q_mm_captions(spark, sf):
     """Image-caption pair mining (operators/multimodal.py::
     img_caption_pairs): (src, alt) from every <img> tag in document
@@ -4924,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "events_affinity": q_events_affinity,
         "mm_captions": q_mm_captions,
+        "html_outline": q_html_outline,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
         "events_funnel": q_events_funnel,
@@ -9433,6 +9460,48 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT)
                    END AS burst_milli
             FROM r
+        """,
+        "html_outline": """
+            WITH d AS (
+              SELECT 'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     '<title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || ' <i>of</i> ' || source
+                     || '</title><h1>Sec ' || CAST(doc_id AS VARCHAR)
+                     || '</h1>'
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          '<h2>Sub ' || CAST(doc_id AS VARCHAR)
+                          || '</h2><h2>  </h2>'
+                        ELSE '' END AS html
+              FROM documents),
+            raw AS (
+              SELECT url, 'title' AS kind,
+                     regexp_extract_all(html,
+                       '(?is)<title[^>]*>(.*?)</title>', 1) AS xs
+              FROM d
+              UNION ALL
+              SELECT url, 'h1',
+                     regexp_extract_all(html,
+                       '(?is)<h1[^>]*>(.*?)</h1>', 1)
+              FROM d
+              UNION ALL
+              SELECT url, 'h2',
+                     regexp_extract_all(html,
+                       '(?is)<h2[^>]*>(.*?)</h2>', 1)
+              FROM d),
+            e AS (
+              SELECT url, kind,
+                     CAST(unnest(range(1, len(xs) + 1)) - 1
+                          AS BIGINT) AS ord,
+                     unnest(xs) AS raw
+              FROM raw),
+            c AS (
+              SELECT url, kind, ord,
+                     trim(regexp_replace(regexp_replace(raw,
+                       '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS text
+              FROM e)
+            SELECT url, kind, ord, text FROM c WHERE text <> ''
         """,
         # identical RE2 patterns as the Spark side; '' escapes the
         # single quotes of the alternate attribute-quote style

@@ -387,3 +387,52 @@ def img_caption_pairs(
         .filter(F.col("src").isNotNull())
         .withColumn("has_alt", F.col("alt").isNotNull())
     )
+
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_H_RES = {
+    "h1": r"(?is)<h1[^>]*>(.*?)</h1>",
+    "h2": r"(?is)<h2[^>]*>(.*?)</h2>",
+}
+
+
+def html_outline(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, kind, ord, text): the document outline — <title> plus
+    h1/h2 headings in document order, inner tags stripped and
+    whitespace collapsed — the field source for BM25F-style weighted
+    indexing and the natural chunk boundaries for context packing
+    (split at headings, not at byte offsets).
+
+    RE2-safe patterns ((?is), lazy spans, NO backreferences — each
+    heading level gets its own literal pattern because RE2 cannot
+    match <hN>...</hN> with a backref), shared verbatim with the
+    oracle; empty-after-stripping entries drop. ord numbers per kind.
+
+    Scale shape: map-only — three regexp_extract_all + posexplode
+    branches unioned, no UDF, no shuffle."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+
+    def branch(kind: str, pat: str) -> DataFrame:
+        return (
+            pages.select(
+                F.col(url_col).alias("url"),
+                F.posexplode(
+                    F.regexp_extract_all(h, F.lit(pat), F.lit(1)))
+                .alias("ord", "_raw"))
+            .select(
+                "url", F.lit(kind).alias("kind"),
+                F.col("ord").cast("long").alias("ord"),
+                F.trim(F.regexp_replace(
+                    F.regexp_replace("_raw", r"<[^>]*>", " "),
+                    r"\s+", " ")).alias("text"))
+            .filter(F.col("text") != "")
+        )
+
+    out = branch("title", _TITLE_RE)
+    for kind, pat in _H_RES.items():
+        out = out.unionByName(branch(kind, pat))
+    return out

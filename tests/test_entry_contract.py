@@ -92,7 +92,8 @@ def duck():
      "search_bpref",
      "sample_priority", "sample_priority_est",
      "idx_blockmax", "idx_blockmax_prune", "events_change_sla",
-     "mm_video_frames", "mm_video_pairs", "mm_captions", "graph_ppr",
+     "mm_video_frames", "mm_video_pairs", "mm_captions",
+     "html_outline", "graph_ppr",
      "events_layout_audit", "url_site", "url_site_rollup",
      "graph_landmark_bfs", "graph_dist_est", "robots_wildcard",
      "clf_kappa", "clf_calibration", "clf_ece", "clf_brier",
