@@ -4123,6 +4123,48 @@ def q_clf_label_noise(spark, sf):
     return label_noise(scored)
 
 
+def q_clf_mcc(spark, sf):
+    """Matthews correlation coefficient (operators/ireval.py::
+    mcc_stats): the hashed classifier's keep verdict vs the
+    token-count rule as the single confusion number that stays honest
+    under class imbalance — the Pearson phi of the 2x2 table, exact
+    fixed-point milli via paired DECIMAL products and the
+    +/-1-corrected floor-isqrt both engines share verbatim."""
+    from barkingowl_spark.operators.ireval import mcc_stats
+
+    a, b = _clf_labels(spark, sf)
+    labeled = (
+        a.select("doc_id", F.col("label").alias("pred"))
+        .join(b, "doc_id")
+    )
+    return mcc_stats(labeled)
+
+
+def q_clf_fleiss(spark, sf):
+    """Fleiss' kappa (operators/ireval.py::fleiss_kappa, Fleiss
+    1971): chance-corrected agreement of a deterministic 3-rater
+    panel assigning one of 3 categories per document — the rubric
+    trust gate a labeling campaign runs before scaling annotation;
+    integer ppm, DECIMAL/HUGEINT marginal squares, sign-split
+    division; the per-rater category rule is shared verbatim with
+    the oracle."""
+    from barkingowl_spark.operators.ireval import fleiss_kappa
+
+    d = _t(spark, sf, "documents")
+    ratings = (
+        d.select(F.col("doc_id").alias("item_id"),
+                 F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                 .alias("r"))
+        .select(
+            "item_id",
+            F.expr(
+                "CASE WHEN (item_id * 31 + r * 17) % 5 < 3"
+                " THEN item_id % 3"
+                " ELSE (item_id + r) % 3 END").alias("category"))
+    )
+    return fleiss_kappa(ratings, n_raters=3)
+
+
 def q_dist_shift_ks(spark, sf):
     """Exact two-sample Kolmogorov-Smirnov drift gate (operators/
     ireval.py::ks_statistic): doc-length distribution of even-id docs
@@ -5119,6 +5161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_shift_ks": q_dist_shift_ks,
         "dist_shift_emd": q_dist_shift_emd,
         "clf_label_noise": q_clf_label_noise,
+        "clf_mcc": q_clf_mcc,
+        "clf_fleiss": q_clf_fleiss,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -12390,6 +12434,98 @@ def oracle_sql() -> dict[str, str]:
                      CAST(1000000 * (sus_pos + sus_neg) // n
                           AS BIGINT) END AS noise_ppm
             FROM lns
+        """,
+        "clf_mcc": _CLF_CTE + """
+            , ct AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0
+                              END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0
+                              END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1
+                              ELSE 0 END) AS BIGINT) AS tn
+              FROM sc JOIN lb USING (doc_id)),
+            m1 AS (
+              SELECT *, (tp + fp)::HUGEINT * (tp + fn) AS pa,
+                     (tn + fp)::HUGEINT * (tn + fn) AS pb,
+                     tp::HUGEINT * tn - fp::HUGEINT * fn AS num
+              FROM ct),
+            m2 AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(pa AS DOUBLE)))
+                          AS BIGINT) AS s0,
+                     CAST(floor(sqrt(CAST(pb AS DOUBLE)))
+                          AS BIGINT) AS s1
+              FROM m1),
+            m3 AS (
+              SELECT *,
+                     CASE WHEN pa = 0 THEN 0::HUGEINT
+                          WHEN (s0 + 1)::HUGEINT * (s0 + 1) <= pa
+                            THEN s0 + 1
+                          WHEN s0::HUGEINT * s0 > pa THEN s0 - 1
+                          ELSE s0 END AS ra,
+                     CASE WHEN pb = 0 THEN 0::HUGEINT
+                          WHEN (s1 + 1)::HUGEINT * (s1 + 1) <= pb
+                            THEN s1 + 1
+                          WHEN s1::HUGEINT * s1 > pb THEN s1 - 1
+                          ELSE s1 END AS rb
+              FROM m2)
+            SELECT n, tp, fp, fn, tn,
+                   CASE WHEN ra * rb = 0 THEN CAST(0 AS BIGINT)
+                        WHEN num >= 0 THEN
+                          least(CAST(1000 * num // (ra * rb)
+                                AS BIGINT), 1000)
+                        ELSE greatest(-CAST(1000 * (-num)
+                               // (ra * rb) AS BIGINT), -1000) END
+                     AS mcc_milli
+            FROM m3
+        """,
+        "clf_fleiss": """
+            WITH ra AS (
+              SELECT doc_id AS item_id,
+                     CASE WHEN (doc_id * 31 + r * 17) % 5 < 3
+                          THEN doc_id % 3
+                          ELSE (doc_id + r) % 3 END AS category
+              FROM documents, (SELECT unnest([1, 2, 3]) AS r)),
+            cell AS (
+              SELECT item_id, category,
+                     CAST(count(*) AS BIGINT) AS nij
+              FROM ra GROUP BY item_id, category),
+            pi AS (
+              SELECT item_id, sum(nij) AS ni,
+                     CAST(sum(nij * nij) AS BIGINT) AS sq
+              FROM cell GROUP BY item_id),
+            fullp AS (SELECT * FROM pi WHERE ni = 3),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(sum(sq - 3) AS BIGINT) AS agree_sum
+              FROM fullp),
+            marg AS (
+              SELECT sum(cj::HUGEINT * cj) AS cj_sq_sum
+              FROM (SELECT c.category,
+                           CAST(sum(c.nij) AS BIGINT) AS cj
+                    FROM cell c JOIN fullp USING (item_id)
+                    GROUP BY c.category)),
+            k AS (
+              SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+                     CAST(1000000::HUGEINT * agree_sum
+                          // (n_items::HUGEINT * 6) AS BIGINT)
+                       AS po_ppm,
+                     CAST(1000000::HUGEINT * cj_sq_sum
+                          // (n_items::HUGEINT * n_items * 9)
+                          AS BIGINT) AS pe_ppm
+              FROM tot, marg)
+            SELECT n_items, n_raters, po_ppm, pe_ppm,
+                   CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)
+                        WHEN po_ppm >= pe_ppm THEN
+                          CAST((po_ppm - pe_ppm) * 1000000
+                               // (1000000 - pe_ppm) AS BIGINT)
+                        ELSE -CAST((pe_ppm - po_ppm) * 1000000
+                               // (1000000 - pe_ppm) AS BIGINT) END
+                     AS kappa_ppm
+            FROM k
         """,
         "dist_shift_emd": """
             WITH d AS (

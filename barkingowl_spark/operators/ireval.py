@@ -1077,3 +1077,150 @@ def label_noise(
                 " AS BIGINT) END").alias("noise_ppm"),
         )
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    n_raters: int,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+) -> DataFrame:
+    """1 row (n_items, n_raters, po_ppm, pe_ppm, kappa_ppm): Fleiss'
+    kappa (Fleiss, Psych. Bull. 1971) — chance-corrected agreement
+    among R >= 2 raters assigning CATEGORICAL labels, the multi-rater
+    generalization of agreement_stats' Cohen kappa. This is the gate a
+    labeling campaign runs before trusting a rubric: raw agreement
+    inflates under skewed category marginals, kappa subtracts the
+    chance-agreement of independent raters with the observed marginals.
+
+        P_i  = (sum_j n_ij^2 - R) / (R (R-1))     per item
+        po   = mean_i P_i
+        pe   = sum_j p_j^2,  p_j = sum_i n_ij / (N R)
+        k    = (po - pe) / (1 - pe)
+
+    Items with != R ratings are dropped (Fleiss assumes a constant
+    panel; partial panels would need Krippendorff instead — out of
+    scope and documented). Integer ppm with DECIMAL(38,0)/HUGEINT
+    products; sign-split division (floor-vs-truncate parity across
+    engines, same CASE as agreement_stats).
+
+    Scale shape: groupBy(item, cat) count -> groupBy(item) partial
+    sums -> 1-row agg; the category marginals ride the same
+    (item, cat) rollup via a second global agg over <=|cats| rows.
+    Map-side combine everywhere; no UDF, no driver state."""
+    r = int(n_raters)
+    cell = (
+        ratings.groupBy(
+            F.col(item_col).alias("_it"), F.col(cat_col).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    per_item = (
+        cell.groupBy("_it")
+        .agg(F.sum("nij").cast("long").alias("ni"),
+             F.sum(F.expr("nij * nij")).cast("long").alias("sq"))
+        .filter(F.col("ni") == r)
+    )
+    # item-level numerator sum_i (sum_j n_ij^2 - R); N counted here
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.expr(f"sq - {r}")).cast("long").alias("agree_sum"),
+    )
+    marg = (
+        cell.join(per_item.select("_it"), "_it")  # only full panels
+        .groupBy("_c")
+        .agg(F.sum("nij").cast("long").alias("cj"))
+        .agg(F.sum(F.expr(
+            "CAST(cj AS DECIMAL(38,0)) * cj")).alias("cj_sq_sum"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            "n_items",
+            F.lit(r).cast("long").alias("n_raters"),
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * agree_sum"
+                f" DIV (CAST(n_items AS DECIMAL(38,0))"
+                f" * {r * (r - 1)}) AS BIGINT)").alias("po_ppm"),
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * cj_sq_sum"
+                f" DIV (CAST(n_items AS DECIMAL(38,0)) * n_items"
+                f" * {r * r}) AS BIGINT)").alias("pe_ppm"),
+        )
+        .withColumn(
+            "kappa_ppm",
+            F.expr(
+                "CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)"
+                " WHEN po_ppm >= pe_ppm THEN"
+                " CAST((po_ppm - pe_ppm) * 1000000"
+                " DIV (1000000 - pe_ppm) AS BIGINT)"
+                " ELSE -CAST((pe_ppm - po_ppm) * 1000000"
+                " DIV (1000000 - pe_ppm) AS BIGINT) END"))
+    )
+
+
+def mcc_stats(
+    labeled: DataFrame,
+    pred_col: str = "pred",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, tp, fp, fn, tn, mcc_milli): Matthews correlation
+    coefficient of a boolean predictor vs truth — the single-number
+    confusion summary that stays honest under class imbalance (Brier
+    and accuracy saturate when positives are rare; MCC is the Pearson
+    phi of the 2x2 table and collapses to 0 for constant predictors).
+
+        MCC = (TP*TN - FP*FN) /
+              sqrt((TP+FP)(TP+FN)) * sqrt((TN+FP)(TN+FN))
+
+    Exact fixed-point milli: each paired product stays <= n^2 (1e20 at
+    the 1e10 design point, inside DECIMAL(38,0)/HUGEINT); each factor
+    gets the exact floor-isqrt (double estimate, +/-1 correction with
+    the comparison done in DECIMAL so the correction is exact beyond
+    2^52) and the quantization floor(sqrt(a))*floor(sqrt(b)) is THE
+    spec both engines share — not an approximation drifting apart.
+    Sign-split division, clamped to [-1000, 1000] (the floor-isqrt
+    denominator can undershoot by 1 ulp on perfect predictors).
+
+    Scale shape: one map-side-combined 1-row aggregation, then pure
+    projections."""
+    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+           "(CASE WHEN CAST(_s{n} + 1 AS DECIMAL(38,0))"
+           " * (_s{n} + 1) <= ({v}) THEN _s{n} + 1"
+           " WHEN CAST(_s{n} AS DECIMAL(38,0)) * _s{n} > ({v})"
+           " THEN _s{n} - 1 ELSE _s{n} END) END")
+    ct = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(f"CASE WHEN {pred_col} AND {label_col}"
+                     " THEN 1 ELSE 0 END")).cast("long").alias("tp"),
+        F.sum(F.expr(f"CASE WHEN {pred_col} AND NOT {label_col}"
+                     " THEN 1 ELSE 0 END")).cast("long").alias("fp"),
+        F.sum(F.expr(f"CASE WHEN NOT {pred_col} AND {label_col}"
+                     " THEN 1 ELSE 0 END")).cast("long").alias("fn"),
+        F.sum(F.expr(f"CASE WHEN NOT {pred_col} AND NOT {label_col}"
+                     " THEN 1 ELSE 0 END")).cast("long").alias("tn"),
+    )
+    return (
+        ct.withColumn("pa", F.expr(
+            "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"))
+        .withColumn("pb", F.expr(
+            "CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn)"))
+        .withColumn("num", F.expr(
+            "CAST(tp AS DECIMAL(38,0)) * tn"
+            " - CAST(fp AS DECIMAL(38,0)) * fn"))
+        .withColumn("_s0", F.expr(
+            "CAST(floor(sqrt(CAST(pa AS DOUBLE))) AS BIGINT)"))
+        .withColumn("_s1", F.expr(
+            "CAST(floor(sqrt(CAST(pb AS DOUBLE))) AS BIGINT)"))
+        .withColumn("ra", F.expr(isq.format(v="pa", n=0)))
+        .withColumn("rb", F.expr(isq.format(v="pb", n=1)))
+        .select(
+            "n", "tp", "fp", "fn", "tn",
+            F.expr(
+                "CASE WHEN ra * rb = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN num >= 0 THEN"
+                " least(CAST(1000 * num DIV (ra * rb) AS BIGINT),"
+                " 1000)"
+                " ELSE greatest(-CAST(1000 * (-num) DIV (ra * rb)"
+                " AS BIGINT), -1000) END").alias("mcc_milli"),
+        )
+    )

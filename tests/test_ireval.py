@@ -811,3 +811,120 @@ def test_label_noise_planted_flips(spark):
         [(0, 500_000, True), (1, 700_000, True)],
         "doc_id long, prob_ppm long, label boolean")
     assert label_noise(onecls).collect()[0]["noise_ppm"] is None
+
+
+# ---- Fleiss' kappa + MCC ------------------------------------------------
+
+
+def _fleiss_expected(ratings, r):
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for it, c in ratings:
+        per[it][c] += 1
+    full = {it: cnt for it, cnt in per.items()
+            if sum(cnt.values()) == r}
+    n = len(full)
+    agree = sum(sum(v * v for v in cnt.values()) - r
+                for cnt in full.values())
+    po = 1_000_000 * agree // (n * r * (r - 1))
+    cj = Counter()
+    for cnt in full.values():
+        cj.update(cnt)
+    pe = 1_000_000 * sum(v * v for v in cj.values()) \
+        // (n * n * r * r)
+    if pe == 1_000_000:
+        k = 0
+    elif po >= pe:
+        k = (po - pe) * 1_000_000 // (1_000_000 - pe)
+    else:
+        k = -((pe - po) * 1_000_000 // (1_000_000 - pe))
+    return n, po, pe, k
+
+
+def test_fleiss_kappa_hand_table(spark):
+    from barkingowl_spark.operators.ireval import fleiss_kappa
+
+    # 5 full-panel items x 3 raters over 3 categories, plus one
+    # partial-panel item (i5: 2 ratings) that must be DROPPED
+    ratings = [
+        (0, "a"), (0, "a"), (0, "a"),      # unanimous
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "c"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"), (3, "c"),      # total disagreement
+        (4, "b"), (4, "b"), (4, "b"),
+        (5, "a"), (5, "a"),                # partial panel -> dropped
+    ]
+    df = spark.createDataFrame(ratings, "item_id long, category string")
+    r = fleiss_kappa(df, n_raters=3).collect()[0]
+    n, po, pe, k = _fleiss_expected(ratings, 3)
+    assert r["n_items"] == n == 5
+    assert r["n_raters"] == 3
+    assert (r["po_ppm"], r["pe_ppm"], r["kappa_ppm"]) == (po, pe, k)
+
+
+def test_fleiss_kappa_sign_cases(spark):
+    from barkingowl_spark.operators.ireval import fleiss_kappa
+
+    # unanimous everywhere -> po = 1e6, kappa = 1e6 (pe < 1e6 needs
+    # >= 2 categories across items)
+    uni = [(i, "a" if i % 2 == 0 else "b") for i in range(6)
+           for _ in range(3)]
+    df = spark.createDataFrame(uni, "item_id long, category string")
+    r = fleiss_kappa(df, n_raters=3).collect()[0]
+    assert r["po_ppm"] == 1_000_000 and r["kappa_ppm"] == 1_000_000
+    # single category everywhere -> pe = 1e6 -> kappa defined as 0
+    one = [(i, "a") for i in range(4) for _ in range(3)]
+    df1 = spark.createDataFrame(one, "item_id long, category string")
+    r1 = fleiss_kappa(df1, n_raters=3).collect()[0]
+    assert r1["pe_ppm"] == 1_000_000 and r1["kappa_ppm"] == 0
+    # systematic disagreement -> negative kappa
+    anti = []
+    for i in range(6):
+        anti += [(i, "a"), (i, "b"), (i, "c")]
+    dfa = spark.createDataFrame(anti, "item_id long, category string")
+    ra = fleiss_kappa(dfa, n_raters=3).collect()[0]
+    assert ra["po_ppm"] == 0 and ra["kappa_ppm"] < 0
+    n, po, pe, k = _fleiss_expected(anti, 3)
+    assert ra["kappa_ppm"] == k
+
+
+def _mcc_expected(tp, fp, fn, tn):
+    import math
+
+    pa, pb = (tp + fp) * (tp + fn), (tn + fp) * (tn + fn)
+    num = tp * tn - fp * fn
+    ra, rb = math.isqrt(pa), math.isqrt(pb)
+    if ra * rb == 0:
+        return 0
+    if num >= 0:
+        return min(1000 * num // (ra * rb), 1000)
+    return max(-(1000 * (-num) // (ra * rb)), -1000)
+
+
+def test_mcc_stats_cases(spark):
+    from barkingowl_spark.operators.ireval import mcc_stats
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "pred boolean, label boolean")
+        return mcc_stats(df).collect()[0]
+
+    # perfect predictor -> exactly 1000
+    r = run([(True, True)] * 3 + [(False, False)] * 5)
+    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (3, 5, 0, 0)
+    assert r["mcc_milli"] == 1000
+    # perfect anti-predictor -> exactly -1000
+    assert run([(True, False)] * 3
+               + [(False, True)] * 5)["mcc_milli"] == -1000
+    # constant predictor -> 0 (degenerate denominator)
+    assert run([(True, True)] * 3 + [(True, False)] * 4)["mcc_milli"] == 0
+    # mixed table matches the floor-isqrt fixed-point spec exactly
+    rows = ([(True, True)] * 6 + [(True, False)] * 2
+            + [(False, True)] * 3 + [(False, False)] * 9)
+    r = run(rows)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (6, 2, 3, 9)
+    assert r["mcc_milli"] == _mcc_expected(6, 2, 3, 9)
+    # negative-but-not-perfect branch
+    rows = ([(True, True)] * 1 + [(True, False)] * 5
+            + [(False, True)] * 4 + [(False, False)] * 2)
+    assert run(rows)["mcc_milli"] == _mcc_expected(1, 5, 4, 2)
