@@ -31,6 +31,7 @@ from barkingowl_spark.functions.extract import parse_pages_udf
 from barkingowl_spark.functions.textstats import (
     BPE_PATTERN,
     LANG_MARKERS,
+    SCRIPT_RANGES,
     STOPWORDS,
     bpe_token_stats,
     fingerprint,
@@ -3676,6 +3677,38 @@ def q_text_zipf(spark, sf):
     return zipf_slope(_t(spark, sf, "documents"), top_n=64)
 
 
+def q_text_lexdiv(spark, sf):
+    """Per-source lexical diversity (functions/textstats.py::
+    lexical_diversity): type-token ratio + Yule's K repeat-rate over
+    the frequency spectrum — the pair that separates templated/spammy
+    sources from merely large ones (TTR is length-biased, K is not);
+    integer milli/ppm on DECIMAL/HUGEINT spectrum sums."""
+    from barkingowl_spark.functions.textstats import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf, "documents"))
+
+
+def q_text_scripts(spark, sf):
+    """Writing-script composition (functions/textstats.py::
+    script_mix): per-doc Latin/Cyrillic/CJK/digit character shares in
+    ppm + first-argmax main_script — the lang-id prior and the
+    mixed-script spam signal; codepoint-range classes shared verbatim
+    with the oracle, map-only. Non-Latin spans are planted
+    deterministically from doc_id (the sf corpus is ASCII)."""
+    from barkingowl_spark.functions.textstats import script_mix
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.expr("repeat('я', CAST(doc_id % 5 AS INT))"),
+            F.expr("repeat('中', CAST(doc_id % 7 AS INT))"),
+            F.expr("repeat('7', CAST(doc_id % 3 AS INT))"),
+        ).alias("text"))
+    return script_mix(planted)
+
+
 def q_emb_health(spark, sf):
     """Embedding-table health audit (operators/similarity.py::
     embedding_health): dims/zeros/norm range on the quantized grid,
@@ -5125,6 +5158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_health": q_host_health,
         "cache_hit_curve": q_cache_hit_curve,
         "text_zipf": q_text_zipf,
+        "text_lexdiv": q_text_lexdiv,
+        "text_scripts": q_text_scripts,
         "emb_health": q_emb_health,
         "graph_ktruss": q_graph_ktruss,
         "text_oov_rate": q_text_oov_rate,
@@ -11765,6 +11800,78 @@ def oracle_sql() -> dict[str, str]:
                           // (n * sxx - sx * sx)) END AS BIGINT)
                      AS slope_ppm
             FROM s
+        """,
+        "text_lexdiv": """
+            WITH tok AS (
+              SELECT source, t FROM (
+                SELECT source,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                         AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS m
+              FROM tok GROUP BY source, t),
+            g AS (
+              SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     sum(m::HUGEINT * m) AS s2
+              FROM tf GROUP BY source)
+            SELECT source, n_tokens, n_types,
+                   CAST(1000000::HUGEINT * n_types // n_tokens
+                        AS BIGINT) AS ttr_ppm,
+                   CAST(10000000::HUGEINT * (s2 - n_tokens)
+                        // (n_tokens::HUGEINT * n_tokens) AS BIGINT)
+                     AS yule_k_milli
+            FROM g
+        """,
+        "text_scripts": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                       || repeat('я', CAST(doc_id % 5 AS INT))
+                       || repeat('中', CAST(doc_id % 7 AS INT))
+                       || repeat('7', CAST(doc_id % 3 AS INT))
+                       AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(text) - length(regexp_replace(text,
+                       '[{SCRIPT_RANGES["latin"]}]', '', 'g'))
+                       AS BIGINT) AS n_latin,
+                     CAST(length(text) - length(regexp_replace(text,
+                       '[{SCRIPT_RANGES["cyrillic"]}]', '', 'g'))
+                       AS BIGINT) AS n_cyrillic,
+                     CAST(length(text) - length(regexp_replace(text,
+                       '[{SCRIPT_RANGES["cjk"]}]', '', 'g'))
+                       AS BIGINT) AS n_cjk,
+                     CAST(length(text) - length(regexp_replace(text,
+                       '[{SCRIPT_RANGES["digit"]}]', '', 'g'))
+                       AS BIGINT) AS n_digit
+              FROM d)
+            SELECT doc_id, n_chars,
+                   CAST(1000000 * n_latin // n_chars AS BIGINT)
+                     AS latin_ppm,
+                   CAST(1000000 * n_cyrillic // n_chars AS BIGINT)
+                     AS cyrillic_ppm,
+                   CAST(1000000 * n_cjk // n_chars AS BIGINT)
+                     AS cjk_ppm,
+                   CAST(1000000 * n_digit // n_chars AS BIGINT)
+                     AS digit_ppm,
+                   CAST(1000000 * (n_chars - n_latin - n_cyrillic
+                        - n_cjk - n_digit) // n_chars AS BIGINT)
+                     AS other_ppm,
+                   CASE WHEN n_latin = 0 AND n_cyrillic = 0
+                          AND n_cjk = 0 AND n_digit = 0 THEN 'other'
+                        WHEN n_latin >= n_cyrillic
+                          AND n_latin >= n_cjk
+                          AND n_latin >= n_digit THEN 'latin'
+                        WHEN n_cyrillic >= n_cjk
+                          AND n_cyrillic >= n_digit THEN 'cyrillic'
+                        WHEN n_cjk >= n_digit THEN 'cjk'
+                        ELSE 'digit' END AS main_script
+            FROM c WHERE n_chars > 0
         """,
         "emb_health": """
             WITH q AS (

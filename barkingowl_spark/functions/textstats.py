@@ -694,3 +694,109 @@ def vocab_coverage(
             .alias("coverage_ppm"),
         )
     )
+
+
+def lexical_diversity(
+    documents: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """(group, n_tokens, n_types, ttr_ppm, yule_k_milli): per-group
+    lexical-diversity audit — type-token ratio plus Yule's K
+    (Yule 1944), the repeat-rate statistic K = 10^4 (S2 - S1) / S1^2
+    with S1 = token count and S2 = sum_m m^2 V_m over the frequency
+    spectrum. TTR collapses as groups grow (it is length-biased);
+    K is length-stable, which is why corpus QA uses the pair
+    together: low K + low TTR separates genuinely templated/spammy
+    sources from merely large ones.
+
+    Integer-exact: K in milli (10^7-scaled) and TTR in ppm, both with
+    DECIMAL(38,0)/HUGEINT products so the m^2 spectrum sum and the
+    N^2 denominator carry the 1e10-token design point. Groups with no
+    tokens produce no row.
+
+    Scale shape: explode -> (group, term) count -> per-group rollup;
+    two hash shuffles, both map-side combined, no UDF, no window."""
+    tok = (
+        documents.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(
+                F.coalesce("text", F.lit("")), " ")).alias("_t"))
+        .filter(F.col("_t") != "")
+    )
+    tf = tok.groupBy("_g", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        tf.groupBy("_g")
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("_s2"))
+        .select(
+            F.col("_g").alias(group_col), "n_tokens", "n_types",
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_types"
+                   " DIV n_tokens AS BIGINT)").alias("ttr_ppm"),
+            F.expr("CAST(CAST(10000000 AS DECIMAL(38,0))"
+                   " * (_s2 - n_tokens)"
+                   " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+                   " AS BIGINT)").alias("yule_k_milli"))
+    )
+
+
+# Codepoint ranges shared verbatim with the DuckDB oracle (literal
+# characters, not \\u escapes, so Java regex and RE2 read the same
+# class); each class counts via length-delta after stripping.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿",
+    "digit": "0-9",
+}
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, latin_ppm, cyrillic_ppm, cjk_ppm, digit_ppm,
+    other_ppm, main_script): per-document writing-script composition —
+    the language-ID prior and the mixed-script spam signal (Latin page
+    stuffed with CJK keywords, Cyrillic lookalike phishing). Char
+    counts per class come from the length delta after stripping one
+    codepoint-range character class (SCRIPT_RANGES, shared verbatim
+    with the oracle); main_script is the first argmax in declared
+    class order, 'other' only when every class count is zero.
+
+    ppm envelope: doc length <= ~9e12 chars inside the BIGINT
+    1e6-scaled division — far beyond any real document.
+
+    Scale shape: map-only projection, no UDF, no shuffle."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+
+    def cnt(rng: str) -> F.Column:
+        return (F.length(t) - F.length(
+            F.regexp_replace(t, "[" + rng + "]", ""))).cast("long")
+
+    base = documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        cnt(SCRIPT_RANGES["latin"]).alias("n_latin"),
+        cnt(SCRIPT_RANGES["cyrillic"]).alias("n_cyrillic"),
+        cnt(SCRIPT_RANGES["cjk"]).alias("n_cjk"),
+        cnt(SCRIPT_RANGES["digit"]).alias("n_digit"),
+    ).filter(F.col("n_chars") > 0)
+    ppm = "CAST(1000000 * n_{s} DIV n_chars AS BIGINT)"
+    return base.select(
+        "doc_id", "n_chars",
+        F.expr(ppm.format(s="latin")).alias("latin_ppm"),
+        F.expr(ppm.format(s="cyrillic")).alias("cyrillic_ppm"),
+        F.expr(ppm.format(s="cjk")).alias("cjk_ppm"),
+        F.expr(ppm.format(s="digit")).alias("digit_ppm"),
+        F.expr("CAST(1000000 * (n_chars - n_latin - n_cyrillic"
+               " - n_cjk - n_digit) DIV n_chars AS BIGINT)")
+        .alias("other_ppm"),
+        F.expr(
+            "CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0"
+            " AND n_digit = 0 THEN 'other'"
+            " WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk"
+            " AND n_latin >= n_digit THEN 'latin'"
+            " WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_digit"
+            " THEN 'cyrillic'"
+            " WHEN n_cjk >= n_digit THEN 'cjk'"
+            " ELSE 'digit' END").alias("main_script"),
+    )

@@ -54,3 +54,59 @@ def test_vocab_coverage_curve(spark):
     assert cov == sorted(cov)
     with pytest.raises(ValueError):
         vocab_coverage(docs, ks=())
+
+
+# ---- lexical diversity + script mix -------------------------------------
+
+
+def test_lexical_diversity_hand(spark):
+    from barkingowl_spark.functions.textstats import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a a a b"),        # N=4 V=2 S2=9+1=10
+         (2, "s1", "a b"),            # s1 total: N=6, tf a=4 b=2
+         (3, "s2", "x y z"),          # all singletons
+         (4, "s3", ""), (5, "s4", None)],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r for r in lexical_diversity(docs).collect()}
+    r1 = got["s1"]
+    # s1: tf = {a: 4, b: 2} -> N=6, V=2, S2=16+4=20
+    assert (r1["n_tokens"], r1["n_types"]) == (6, 2)
+    assert r1["ttr_ppm"] == 1_000_000 * 2 // 6
+    assert r1["yule_k_milli"] == 10_000_000 * (20 - 6) // 36
+    r2 = got["s2"]
+    # all singletons -> S2 = N -> K = 0 exactly
+    assert (r2["n_tokens"], r2["n_types"], r2["yule_k_milli"]) == \
+        (3, 3, 0)
+    assert r2["ttr_ppm"] == 1_000_000
+    # empty/NULL-text groups produce no row
+    assert "s3" not in got and "s4" not in got
+
+
+def test_script_mix_classes_and_argmax(spark):
+    from barkingowl_spark.functions.textstats import script_mix
+
+    docs = spark.createDataFrame(
+        [(1, "abcя中7!"),             # 3 latin, 1 cyr, 1 cjk, 1 digit
+         (2, "яяя"), (3, "中中"), (4, "123"),
+         (5, "!!!"),                  # only 'other'
+         (6, ""), (7, None),          # no row
+         (8, "aя")],                  # tie -> first argmax (latin)
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_mix(docs).collect()}
+    r1 = got[1]
+    assert r1["n_chars"] == 7
+    assert r1["latin_ppm"] == 1_000_000 * 3 // 7
+    assert r1["cyrillic_ppm"] == 1_000_000 * 1 // 7
+    assert r1["cjk_ppm"] == 1_000_000 * 1 // 7
+    assert r1["digit_ppm"] == 1_000_000 * 1 // 7
+    assert r1["other_ppm"] == 1_000_000 * 1 // 7
+    assert r1["main_script"] == "latin"
+    assert got[2]["main_script"] == "cyrillic"
+    assert got[2]["cyrillic_ppm"] == 1_000_000
+    assert got[3]["main_script"] == "cjk"
+    assert got[4]["main_script"] == "digit"
+    assert got[5]["main_script"] == "other"
+    assert got[5]["other_ppm"] == 1_000_000
+    assert 6 not in got and 7 not in got
+    assert got[8]["main_script"] == "latin"  # declared-order tie-break
