@@ -4377,6 +4377,30 @@ def q_search_suggest(spark, sf):
     return suggest_topk(_t(spark, sf, "documents"), k=3, max_prefix=4)
 
 
+def q_dedup_editdist(spark, sf):
+    """Edit-distance near-dup pairs (operators/spell.py::
+    editdist_pairs): all title pairs within Levenshtein 1 via the
+    SymSpell deletion-neighborhood SELF-join — candidates from a
+    variant equi-join (never a fuzzy scan or cartesian), verified
+    with built-in levenshtein on candidates only; titles synthesized
+    with planted substitution/deletion typos per doc_id residue, so
+    in-group and digit-neighbor cross-group pairs both appear."""
+    from barkingowl_spark.operators.spell import editdist_pairs
+
+    d = _t(spark, sf, "documents")
+    titles = d.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 3 AS INT)"
+            " WHEN 0 THEN 'crawl report ' ||"
+            " CAST(doc_id DIV 3 AS STRING)"
+            " WHEN 1 THEN 'crawl reporT ' ||"
+            " CAST(doc_id DIV 3 AS STRING)"
+            " ELSE 'crawl repor ' ||"
+            " CAST(doc_id DIV 3 AS STRING) END").alias("title"))
+    return editdist_pairs(titles)
+
+
 def q_search_spell(spark, sf):
     """SymSpell spelling correction (operators/spell.py, Garbe's
     deletion-neighborhood join): candidates from a variant equi-join
@@ -5204,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_source_kl": q_lm_source_kl,
         "search_suggest": q_search_suggest,
         "search_spell": q_search_spell,
+        "dedup_editdist": q_dedup_editdist,
         "graph_densest": q_graph_densest,
         "emb_matryoshka": q_emb_matryoshka,
         "focused_frontier": q_focused_frontier,
@@ -13104,6 +13129,39 @@ def oracle_sql() -> dict[str, str]:
                        AS INTEGER) AS rnk
               FROM v)
             SELECT query, rnk, term, df, dist FROM r WHERE rnk <= 3
+        """,
+        "dedup_editdist": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'crawl report '
+                            || CAST(doc_id // 3 AS VARCHAR)
+                       WHEN 1 THEN 'crawl reporT '
+                            || CAST(doc_id // 3 AS VARCHAR)
+                       ELSE 'crawl repor '
+                            || CAST(doc_id // 3 AS VARCHAR) END AS s
+              FROM documents),
+            v0 AS (
+              SELECT doc_id, s, unnest(list_distinct(list_prepend(
+                       s, list_transform(
+                         generate_series(1, len(s)),
+                         i -> substr(s, 1, i - 1)
+                              || substr(s, i + 1, len(s))))))
+                       AS variant
+              FROM t),
+            v1 AS (SELECT * FROM v0 WHERE len(variant) >= 2),
+            ok AS (
+              SELECT variant FROM v1
+              GROUP BY variant HAVING count(*) <= 64),
+            vv AS (SELECT v1.* FROM v1 JOIN ok USING (variant)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.s AS sa, b.s AS sb
+              FROM vv a JOIN vv b USING (variant)
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+            FROM cand WHERE levenshtein(sa, sb) <= 1
         """,
         "graph_densest": "WITH " + _EDGES_SQL + """
             , e0 AS (

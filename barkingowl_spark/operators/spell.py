@@ -95,3 +95,56 @@ def spell_correct(
         .filter(F.col("rnk") <= int(topk))
         .select("query", "rnk", "term", "df", "dist")
     )
+
+
+def editdist_pairs(
+    strings: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "title",
+    max_ids_per_variant: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, dist): all UNORDERED pairs whose strings are
+    within Levenshtein distance 1 — the title/URL-slug near-dup join
+    (re-posts, typo mirrors, versioned re-uploads) as a SymSpell
+    SELF-join: lev(a, b) <= 1 iff a = b, b in del1(a), a in del1(b),
+    or del1(a) ∩ del1(b) != {} — so candidate generation is one
+    equi-join on the exploded 1-deletion variants, never a fuzzy scan
+    or a cartesian; the share-a-deletion over-generation (ED-2
+    substitution tails) is VERIFIED away with levenshtein() on
+    candidates only. Exact-duplicate pairs ride along at dist 0 (the
+    word itself is one of its variants).
+
+    Same scale guards as spell_correct: variants < 2 chars drop
+    (pure-skew key space), variants carried by more than
+    max_ids_per_variant ids are stop variants (the cap is part of the
+    operator's spec, applied identically in the oracle).
+
+    Scale shape: explode O(len) variants per string, one hash shuffle
+    on short uniform string keys, distinct over candidate pairs, then
+    levenshtein on candidates only. At a 1e10-doc corpus the variant
+    table is ~len x corpus rows of short keys — the same budget as
+    the MinHash band explode, with the stop-variant cap bounding any
+    hot key."""
+    base = strings.select(F.col(id_col).alias("_id"),
+                          F.col(str_col).alias("_s"))
+    vv = _variants(base, "_s")
+    stop = (
+        vv.groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+        .filter(F.col("_nv") <= int(max_ids_per_variant))
+        .select("variant")
+    )
+    vv = vv.join(stop, "variant")
+    a = vv.select(F.col("_id").alias("id_a"), F.col("_s").alias("sa"),
+                  "variant")
+    b = vv.select(F.col("_id").alias("id_b"), F.col("_s").alias("sb"),
+                  "variant")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -107,7 +107,7 @@ def duck():
      "text_lexdiv", "text_scripts", "emb_health", "cache_hit_curve", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
      "clf_auc", "clf_ap", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
-     "search_spell", "graph_densest", "emb_matryoshka",
+     "search_spell", "dedup_editdist", "graph_densest", "emb_matryoshka",
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
      "events_forecast_skill", "events_persistence", "events_srm",
