@@ -1136,6 +1136,18 @@ def q_graph_densest(spark, sf):
     return densest_peel(edges, n_rounds=2)
 
 
+def q_emb_sq8(spark, sf):
+    """int8 scalar-quantization audit (operators/similarity.py::
+    sq8_audit): per-vector L1/max reconstruction error of SQ8 coding
+    against corpus per-dim ranges on the shared milli grid — the
+    go/no-go before demoting a vector index from float to 8-bit;
+    exact integers, one explode + 64-row broadcast codebook + one
+    per-vec agg."""
+    from barkingowl_spark.operators.similarity import sq8_audit
+
+    return sq8_audit(_t(spark, sf, "embeddings"))
+
+
 def q_emb_matryoshka(spark, sf):
     """Matryoshka prefix-dimension retrieval audit (operators/
     similarity.py::matryoshka_recall, Kusupati et al. 2022): top-5
@@ -5231,6 +5243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": q_dedup_editdist,
         "graph_densest": q_graph_densest,
         "emb_matryoshka": q_emb_matryoshka,
+        "emb_sq8": q_emb_sq8,
         "focused_frontier": q_focused_frontier,
         "dsir_sample": q_dsir_sample,
         "host_scorecard": q_host_scorecard,
@@ -13294,6 +13307,31 @@ def oracle_sql() -> dict[str, str]:
                      CAST(1000000 * th // (5 * n_q) AS BIGINT)
                    ELSE CAST(0 AS BIGINT) END
             FROM h32, nq
+        """,
+        "emb_sq8": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                            AS BIGINT)) AS v
+              FROM embeddings),
+            dims AS (
+              SELECT vec_id,
+                     CAST(unnest(range(1, len(v) + 1)) - 1
+                          AS BIGINT) AS d,
+                     unnest(v) AS x
+              FROM q),
+            rng AS (
+              SELECT d, min(x) AS qmin, max(x) AS qmax
+              FROM dims GROUP BY d),
+            e AS (
+              SELECT vec_id,
+                     abs(x - (qmin + (CASE WHEN qmax = qmin THEN 0
+                       ELSE (x - qmin) * 255 // (qmax - qmin) END)
+                       * (qmax - qmin) // 255)) AS err
+              FROM dims JOIN rng USING (d))
+            SELECT vec_id, CAST(sum(err) AS BIGINT) AS l1_err_milli,
+                   CAST(max(err) AS BIGINT) AS max_err_milli
+            FROM e GROUP BY vec_id
         """,
         # 3 unrolled power iterations C u = V^T (V u) (same unrolled-
         # fixed-point idiom as graph_pagerank); renormalization uses

@@ -859,3 +859,51 @@ def kcenter_select(embeddings: DataFrame, k: int = 4) -> DataFrame:
         rows.append((t, pick[0]["vec_id"], pick[0]["d2"]))
     return spark.createDataFrame(
         rows, "sel_rank long, vec_id long, radius2 long")
+
+
+def sq8_ranges(embeddings: DataFrame) -> DataFrame:
+    """(d, qmin, qmax): per-dimension min/max of the corpus on the
+    milli-quantized grid — the scalar-quantization codebook (one row
+    per dimension, d 0-based). One explode + one 64-row rollup."""
+    dims = _quantized(embeddings).select(
+        "vec_id", F.posexplode("v").alias("d", "x"))
+    return dims.groupBy("d").agg(
+        F.min("x").cast("long").alias("qmin"),
+        F.max("x").cast("long").alias("qmax"))
+
+
+def sq8_audit(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, l1_err_milli, max_err_milli): int8 scalar-quantization
+    (SQ8, the Faiss/FAISS-IVF memory-tier workhorse) reconstruction
+    audit — each dimension linearly coded into 0..255 against the
+    corpus per-dim [min, max] and decoded back, the per-vector L1 and
+    max reconstruction error on the shared milli grid. This is the
+    go/no-go a vector tier runs before demoting an index from float
+    to 8-bit: error mass concentrated in a few vectors (outlier dims)
+    means clipping or per-block ranges are needed first.
+
+    Exact integers end-to-end: code = (x-qmin)*255 DIV (qmax-qmin),
+    recon = qmin + code*(qmax-qmin) DIV 255, all on the same
+    x1000-quantized grid the ANN tier uses (similarity.py::QUANT),
+    zero-range dims code to 0 exactly. Floor-vs-truncate parity is
+    free: every division operand is non-negative.
+
+    Scale shape: one posexplode (64 x N rows), a 64-row per-dim
+    rollup broadcast back, one per-vec agg — two shuffles, both
+    map-side combined; no UDF."""
+    dims = _quantized(embeddings).select(
+        "vec_id", F.posexplode("v").alias("d", "x"))
+    rng = dims.groupBy("d").agg(
+        F.min("x").alias("qmin"), F.max("x").alias("qmax"))
+    coded = (
+        dims.join(F.broadcast(rng), "d")
+        .select(
+            "vec_id",
+            F.expr(
+                "abs(x - (qmin + (CASE WHEN qmax = qmin THEN 0L"
+                " ELSE (x - qmin) * 255 DIV (qmax - qmin) END)"
+                " * (qmax - qmin) DIV 255)) AS err"))
+    )
+    return coded.groupBy("vec_id").agg(
+        F.sum("err").cast("long").alias("l1_err_milli"),
+        F.max("err").cast("long").alias("max_err_milli"))

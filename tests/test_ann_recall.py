@@ -267,3 +267,32 @@ def test_kcenter_planted_clusters_and_small_corpus(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kcenter_select(tiny, k=0)
+
+
+# ---- SQ8 scalar-quantization audit --------------------------------------
+
+
+def test_sq8_audit_exact_small(spark):
+    from barkingowl_spark.operators.similarity import (
+        sq8_audit,
+        sq8_ranges,
+    )
+
+    # 2-dim corpus on the milli grid: dim0 range [0, 2550] (10/milli
+    # per code step), dim1 constant (zero range -> code 0, recon =
+    # qmin -> err 0)
+    rows = [
+        (1, [0.0, 0.5]),
+        (2, [1.275, 0.5]),   # milli 1275 -> code 127 -> recon 1270
+        (3, [2.55, 0.5]),    # max -> code 255 -> recon exactly qmax
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rng = {r["d"]: (r["qmin"], r["qmax"])
+           for r in sq8_ranges(df).collect()}
+    assert rng[0] == (0, 2550) and rng[1] == (500, 500)
+    got = {r["vec_id"]: (r["l1_err_milli"], r["max_err_milli"])
+           for r in sq8_audit(df).collect()}
+    assert got[1] == (0, 0)          # qmin codes exactly
+    assert got[3] == (0, 0)          # qmax codes exactly
+    # vec 2: code = 1275*255//2550 = 127, recon = 127*2550//255 = 1270
+    assert got[2] == (5, 5)

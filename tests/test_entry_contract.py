@@ -108,6 +108,7 @@ def duck():
      "clf_auc", "clf_ap", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "dedup_editdist", "graph_densest", "emb_matryoshka",
+     "emb_sq8",
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
      "events_forecast_skill", "events_persistence", "events_srm",
