@@ -3342,6 +3342,21 @@ def _bm25_docs(spark, sf):
     )
 
 
+def q_search_mmr(spark, sf):
+    """MMR diversification (operators/fusion.py::mmr_rerank,
+    Carbonell & Goldstein 1998): greedy 3-pick rerank of the BM25
+    top-10 per query trading normalized relevance against max
+    token-Jaccard redundancy to the already-picked set — the SERP
+    dedup for near-identical crawl captures; statically unrolled
+    rounds, all ppm integers, ties -> lowest doc_id."""
+    from barkingowl_spark.operators.fusion import mmr_rerank
+    from barkingowl_spark.operators.ireval import bm25_runs
+
+    docs = _bm25_docs(spark, sf)
+    return mmr_rerank(
+        bm25_runs(docs, _eval_queries(spark), k=10), docs, k=3)
+
+
 def q_search_bm25(spark, sf):
     """Integer fixed-point BM25 top-k (operators/invindex.py::
     bm25_topk, Robertson & Zaragoza 2009): half-bit idf via squared
@@ -5255,6 +5270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "mix_epochs_out": q_mix_epochs_out,
         "search_hybrid": q_search_hybrid,
+        "search_mmr": q_search_mmr,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -11330,6 +11346,106 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
+        # MMR over runk: same greedy rounds unrolled; toks from the
+        # planted corpus d; empty-vs-empty Jaccard defined as 1e6
+        "search_mmr": _RUNS_CTE + """
+            , mtoks AS (
+              SELECT doc_id, list_distinct(list_filter(
+                       string_split(text, ' '), x -> x <> ''))
+                       AS toks
+              FROM d),
+            mbase AS (
+              SELECT r.query_id, r.doc_id,
+                     CASE WHEN mx <= 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1000000 * score_fp // mx
+                               AS BIGINT) END AS rel_ppm,
+                     toks
+              FROM (SELECT query_id, doc_id, score_fp,
+                           max(score_fp) OVER (PARTITION BY query_id)
+                             AS mx
+                    FROM runk) r
+              JOIN mtoks USING (doc_id)),
+            p1 AS (
+              SELECT query_id, CAST(1 AS BIGINT) AS rnk, doc_id,
+                     rel_ppm AS mmr_ppm
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rel_ppm DESC, doc_id) AS rn
+                    FROM mbase)
+              WHERE rn = 1),
+            selu1 AS (SELECT query_id, doc_id FROM p1),
+            st1 AS (
+              SELECT b.query_id, b.toks AS sel_toks
+              FROM mbase b JOIN selu1 USING (query_id, doc_id)),
+            cand2 AS (
+              SELECT b.* FROM mbase b
+              WHERE NOT EXISTS (SELECT 1 FROM selu1 s
+                WHERE s.query_id = b.query_id
+                  AND s.doc_id = b.doc_id)),
+            sc2 AS (
+              SELECT query_id, doc_id, max(rel_ppm) AS rel_ppm,
+                     max(jacc) AS mj
+              FROM (
+                SELECT c.query_id, c.doc_id, c.rel_ppm,
+                       CASE WHEN CAST(len(c.toks) + len(t.sel_toks)
+                              - len(list_intersect(c.toks,
+                                t.sel_toks)) AS BIGINT) = 0
+                            THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(1000000 * len(list_intersect(
+                              c.toks, t.sel_toks))
+                              // (len(c.toks) + len(t.sel_toks)
+                                  - len(list_intersect(c.toks,
+                                    t.sel_toks))) AS BIGINT) END
+                         AS jacc
+                FROM cand2 c JOIN st1 t USING (query_id))
+              GROUP BY query_id, doc_id),
+            p2 AS (
+              SELECT query_id, CAST(2 AS BIGINT) AS rnk, doc_id,
+                     CAST(rel_ppm - mj AS BIGINT) AS mmr_ppm
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rel_ppm - mj DESC, doc_id) AS rn
+                    FROM sc2)
+              WHERE rn = 1),
+            selu2 AS (
+              SELECT query_id, doc_id FROM selu1
+              UNION ALL SELECT query_id, doc_id FROM p2),
+            st2 AS (
+              SELECT b.query_id, b.toks AS sel_toks
+              FROM mbase b JOIN selu2 USING (query_id, doc_id)),
+            cand3 AS (
+              SELECT b.* FROM mbase b
+              WHERE NOT EXISTS (SELECT 1 FROM selu2 s
+                WHERE s.query_id = b.query_id
+                  AND s.doc_id = b.doc_id)),
+            sc3 AS (
+              SELECT query_id, doc_id, max(rel_ppm) AS rel_ppm,
+                     max(jacc) AS mj
+              FROM (
+                SELECT c.query_id, c.doc_id, c.rel_ppm,
+                       CASE WHEN CAST(len(c.toks) + len(t.sel_toks)
+                              - len(list_intersect(c.toks,
+                                t.sel_toks)) AS BIGINT) = 0
+                            THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(1000000 * len(list_intersect(
+                              c.toks, t.sel_toks))
+                              // (len(c.toks) + len(t.sel_toks)
+                                  - len(list_intersect(c.toks,
+                                    t.sel_toks))) AS BIGINT) END
+                         AS jacc
+                FROM cand3 c JOIN st2 t USING (query_id))
+              GROUP BY query_id, doc_id),
+            p3 AS (
+              SELECT query_id, CAST(3 AS BIGINT) AS rnk, doc_id,
+                     CAST(rel_ppm - mj AS BIGINT) AS mmr_ppm
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rel_ppm - mj DESC, doc_id) AS rn
+                    FROM sc3)
+              WHERE rn = 1)
+            SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3
+        """,
         "search_eval": _RUNS_CTE + "SELECT * FROM met",
         # bpref@10 on the partial-containment judged pool
         "search_bpref": _RUNS_CTE + """

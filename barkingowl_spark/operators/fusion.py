@@ -74,3 +74,91 @@ def rrf_fuse(
         .limit(topk)
         .select("doc_id", "n_lists", "rrf_fp")
     )
+
+
+def mmr_rerank(
+    runs: DataFrame,
+    documents: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """(query_id, rnk, doc_id, mmr_ppm): Maximal Marginal Relevance
+    diversification (Carbonell & Goldstein, SIGIR 1998) of per-query
+    top-k' lists: greedily pick the candidate maximizing
+
+        mmr = rel_ppm - max over selected of jaccard_ppm(cand, sel)
+
+    (lambda = 1/2 up to a scale constant — relevance and redundancy on
+    the same ppm scale), where rel_ppm normalizes the run's score by
+    the per-query max and redundancy is token-set Jaccard. The first
+    pick is pure relevance; each later pick trades relevance against
+    similarity to what is already shown — the result-page dedup a
+    search tier runs when near-identical crawl captures flood a SERP.
+
+    Exact integers: rel_ppm = 1e6*score DIV max (0 when max <= 0);
+    jaccard_ppm with the empty-vs-empty pair defined as 1e6
+    (identical empties are maximally redundant); mmr may be negative.
+    Ties -> lowest doc_id. Queries with fewer than k candidates
+    return short lists.
+
+    Scale shape: candidate lists are ALREADY per-query top-k' (k'
+    rows per query, never corpus-sized — the corpus-scale work lives
+    in the upstream retriever); each of the k-1 greedy rounds is an
+    equi-join on query_id over <= k' x t rows plus one
+    query-partitioned window — O(Q * k' * k) total, unrolled
+    statically like kcenter_select, no driver state, no collect."""
+    toks = documents.select(
+        "doc_id",
+        F.array_distinct(F.filter(
+            F.split(F.coalesce("text", F.lit("")), " "),
+            lambda x: x != "")).alias("toks"))
+    wq = Window.partitionBy("query_id")
+    base = (
+        runs.join(toks, "doc_id")
+        .withColumn("_mx", F.max("score_fp").over(wq))
+        .withColumn("rel_ppm", F.expr(
+            "CASE WHEN _mx <= 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(1000000 * score_fp DIV _mx AS BIGINT) END"))
+        .select("query_id", "doc_id", "rel_ppm", "toks")
+        .localCheckpoint()
+    )
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_ppm"), F.asc("doc_id"))
+    sel = (
+        base.withColumn("mmr_ppm", F.col("rel_ppm"))
+        .withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.lit(1).cast("long").alias("rnk"),
+                "doc_id", "mmr_ppm")
+    )
+    jacc = (
+        "CASE WHEN uni = 0 THEN CAST(1000000 AS BIGINT)"
+        " ELSE CAST(1000000 * inter DIV uni AS BIGINT) END"
+    )
+    for t in range(2, int(k) + 1):
+        sel_ids = sel.select("query_id", "doc_id")
+        sel_toks = (
+            base.join(sel_ids, ["query_id", "doc_id"])
+            .select("query_id", F.col("toks").alias("sel_toks"))
+        )
+        cand = base.join(sel_ids, ["query_id", "doc_id"], "left_anti")
+        scored = (
+            cand.join(sel_toks, "query_id")
+            .withColumn("inter", F.size(
+                F.array_intersect("toks", "sel_toks")).cast("long"))
+            .withColumn("uni", (F.size("toks") + F.size("sel_toks"))
+                        .cast("long") - F.col("inter"))
+            .withColumn("jacc_ppm", F.expr(jacc))
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("rel_ppm").alias("rel_ppm"),
+                 F.max("jacc_ppm").alias("max_jacc_ppm"))
+            .withColumn("mmr_ppm",
+                        F.col("rel_ppm") - F.col("max_jacc_ppm"))
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(wpick))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.lit(t).cast("long").alias("rnk"),
+                    "doc_id", "mmr_ppm")
+        )
+        sel = sel.unionByName(pick)
+    return sel

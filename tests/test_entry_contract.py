@@ -61,7 +61,8 @@ def duck():
      "dsir_sample", "host_scorecard", "host_quotas",
      "graph_reciprocal", "split_assign", "winnow_pairs",
      "gopher_quality", "url_filter", "mix_epochs_out",
-     "search_hybrid", "pq_codes", "ann_pq_topk", "ann_ivfpq_topk",
+     "search_hybrid", "search_mmr", "pq_codes", "ann_pq_topk",
+     "ann_ivfpq_topk",
      "dedup_weights", "eval_compromise", "hll_shingles",
      "graph_opic", "graph_spam_mass", "cms_tokens",
      "mix_temperature", "chunk_overlap", "robots_sitemaps",

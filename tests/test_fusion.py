@@ -50,3 +50,47 @@ def test_fuse_plan_takeordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- MMR diversification ------------------------------------------------
+
+
+def test_mmr_rerank_prefers_diverse(spark):
+    from barkingowl_spark.operators.fusion import mmr_rerank
+
+    # q1: doc 1 (best rel), doc 2 (near-dup of 1, slightly lower
+    # rel), doc 3 (lower rel but disjoint tokens). Pure relevance
+    # would pick 1,2,3; MMR must pick 1 then 3 (2's Jaccard to 1 is
+    # ~1e6, killing its margin) then 2.
+    runs = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 99), (1, 3, 60)],
+        "query_id long, doc_id long, score_fp long")
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string")
+    got = {r["rnk"]: r for r in mmr_rerank(runs, docs, k=3).collect()}
+    assert got[1]["doc_id"] == 1 and got[1]["mmr_ppm"] == 1_000_000
+    assert got[2]["doc_id"] == 3
+    # doc 3: rel = 60*1e6//100 = 600000, jacc to doc1 = 0
+    assert got[2]["mmr_ppm"] == 600_000
+    assert got[3]["doc_id"] == 2
+    # doc 2 at round 3: rel 990000, max jacc to {1,3} = 1e6 -> negative
+    assert got[3]["mmr_ppm"] == 990_000 - 1_000_000
+
+
+def test_mmr_rerank_ties_and_short_lists(spark):
+    from barkingowl_spark.operators.fusion import mmr_rerank
+
+    # q2 has only 2 candidates -> short list of 2; rel ties break to
+    # the lowest doc_id
+    runs = spark.createDataFrame(
+        [(2, 7, 50), (2, 5, 50)],
+        "query_id long, doc_id long, score_fp long")
+    docs = spark.createDataFrame(
+        [(5, "p q"), (7, "p q")], "doc_id long, text string")
+    rows = sorted(mmr_rerank(runs, docs, k=3).collect(),
+                  key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == [1, 2]
+    assert rows[0]["doc_id"] == 5          # tie -> lowest id
+    assert rows[1]["doc_id"] == 7
+    assert rows[1]["mmr_ppm"] == 0         # 1e6 rel - 1e6 jacc
