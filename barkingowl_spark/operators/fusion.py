@@ -160,5 +160,10 @@ def mmr_rerank(
             .select("query_id", F.lit(t).cast("long").alias("rnk"),
                     "doc_id", "mmr_ppm")
         )
+        # pin the round: without this, round t re-evaluates every
+        # earlier round's window/join chain through the growing union
+        # lineage (plan size explodes combinatorially in k)
         sel = sel.unionByName(pick)
+        if t < int(k):
+            sel = sel.localCheckpoint()
     return sel

@@ -1126,7 +1126,9 @@ def fleiss_kappa(
         F.sum(F.expr(f"sq - {r}")).cast("long").alias("agree_sum"),
     )
     marg = (
-        cell.join(per_item.select("_it"), "_it")  # only full panels
+        # only full panels; the panel table grows with the corpus, so
+        # pin shuffle_hash (never driver-broadcast a corpus-sized side)
+        cell.join(per_item.select("_it").hint("shuffle_hash"), "_it")
         .groupBy("_c")
         .agg(F.sum("nij").cast("long").alias("cj"))
         .agg(F.sum(F.expr(

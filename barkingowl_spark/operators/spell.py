@@ -134,13 +134,16 @@ def editdist_pairs(
         .filter(F.col("_nv") <= int(max_ids_per_variant))
         .select("variant")
     )
-    vv = vv.join(stop, "variant")
+    # both the stop-variant table and the self-join sides grow with
+    # the corpus: pin shuffle_hash so Catalyst never driver-broadcasts
+    # a corpus-sized side (the repo-wide wave-loop invariant)
+    vv = vv.join(stop.hint("shuffle_hash"), "variant")
     a = vv.select(F.col("_id").alias("id_a"), F.col("_s").alias("sa"),
                   "variant")
     b = vv.select(F.col("_id").alias("id_b"), F.col("_s").alias("sb"),
                   "variant")
     return (
-        a.join(b, "variant")
+        a.join(b.hint("shuffle_hash"), "variant")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
