@@ -16,6 +16,8 @@ JSON line of headline numbers:
   ece/          expected calibration error rollup
   brier/        Brier + Murphy reliability/resolution/uncertainty
   kappa/        Cohen's kappa of the THRESHOLDED gate vs truth
+  mcc/          Matthews correlation of the same thresholded gate —
+                the imbalance-honest single confusion number
 
 Probabilities for the calibration family are the clamped ppm transform
 of score_milli (the same convention the driver-contract queries pin
@@ -47,6 +49,7 @@ def main(argv=None) -> None:
         brier_decomposition,
         calibration_bins,
         calibration_ece,
+        mcc_stats,
         roc_auc,
     )
 
@@ -73,6 +76,9 @@ def main(argv=None) -> None:
                 .alias("label")),
             scored.select("doc_id", "label"),
         ),
+        "mcc": mcc_stats(scored.select(
+            (F.col("score_milli") >= args.threshold_milli)
+            .alias("pred"), "label")),
     }
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
@@ -88,6 +94,7 @@ def main(argv=None) -> None:
         "ece_ppm": _one("ece", "ece_ppm"),
         "brier_ppm": _one("brier", "brier_ppm"),
         "kappa_ppm": _one("kappa", "kappa_ppm"),
+        "mcc_milli": _one("mcc", "mcc_milli"),
     }))
 
 

@@ -28,7 +28,8 @@ def test_eval_report_end_to_end(spark, capsys):
         head = json.loads(
             capsys.readouterr().out.strip().splitlines()[-1])
         assert set(head) == {"auc_ppm", "ap_opt_ppm", "ap_pes_ppm",
-                             "ece_ppm", "brier_ppm", "kappa_ppm"}
+                             "ece_ppm", "brier_ppm", "kappa_ppm",
+                             "mcc_milli"}
         assert 0 <= head["auc_ppm"] <= 1_000_000
         assert head["ap_pes_ppm"] <= head["ap_opt_ppm"]
 
@@ -48,9 +49,14 @@ def test_eval_report_end_to_end(spark, capsys):
         assert head["brier_ppm"] == brier_decomposition(
             prob).collect()[0]["brier_ppm"]
         # every table landed with rows
-        for t in ("auc", "ap", "calibration", "ece", "brier", "kappa"):
+        for t in ("auc", "ap", "calibration", "ece", "brier", "kappa",
+                  "mcc"):
             assert spark.read.parquet(f"{tmp}/out/{t}").count() >= 1
         # thresholded-gate kappa used the requested threshold
         k = spark.read.parquet(f"{tmp}/out/kappa").collect()[0]
         n_pred_pos = sum(1 for _, s, _ in rows if s >= 100)
         assert k["n11"] + k["n10"] == n_pred_pos
+        # MCC confusion counts agree with the kappa table's
+        m = spark.read.parquet(f"{tmp}/out/mcc").collect()[0]
+        assert (m["tp"], m["fp"]) == (k["n11"], k["n10"])
+        assert -1000 <= m["mcc_milli"] <= 1000
