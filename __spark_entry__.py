@@ -3757,6 +3757,21 @@ def q_cache_hit_curve(spark, sf):
         max_size_log2=9)
 
 
+def q_events_gini(spark, sf):
+    """Fetch-budget inequality (operators/ranking.py::
+    gini_concentration): exact Gini over per-key event counts — the
+    whole-Lorenz-curve complement to source_hhi's head-weighted
+    concentration; global rank via the range-shuffle running-sum
+    machinery (never a single-partition sort), 1-row ppm answer."""
+    from barkingowl_spark.operators.ranking import gini_concentration
+
+    counts = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    return gini_concentration(counts, "key", "n_events")
+
+
 def q_host_health(spark, sf):
     """Per-host error rate with Wilson lower bound at z=2
     (operators/politeness.py::host_health): the small-sample-safe
@@ -5208,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "host_health": q_host_health,
         "cache_hit_curve": q_cache_hit_curve,
+        "events_gini": q_events_gini,
         "text_zipf": q_text_zipf,
         "text_lexdiv": q_text_lexdiv,
         "text_scripts": q_text_scripts,
@@ -12070,6 +12086,24 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS hit_ppm
             FROM sizes LEFT JOIN ranked ON r <= cache_size, tot
             GROUP BY cache_size
+        """,
+        "events_gini": """
+            WITH x AS (
+              SELECT user_id AS key, CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY user_id),
+            r AS (
+              SELECT v, CAST(row_number() OVER (ORDER BY v, key)
+                             AS BIGINT) AS i
+              FROM x)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(v) AS BIGINT) AS total,
+                   CASE WHEN count(*) = 0 OR sum(v) = 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST((2 * sum(i::HUGEINT * v)
+                          - (count(*)::HUGEINT + 1) * sum(v))
+                          * 1000000 // (count(*)::HUGEINT * sum(v))
+                          AS BIGINT) END AS gini_ppm
+            FROM r
         """,
         "host_health": """
             WITH a AS (

@@ -359,3 +359,50 @@ def metric_correlation(
                 " AS BIGINT), -1000000) END").alias("r_ppm"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """1 row (n_keys, total, gini_ppm): exact Gini coefficient of a
+    non-negative per-key load column — the crawl-ops inequality audit
+    (is the fetch budget spread across hosts or captured by a handful?)
+    that complements source_hhi: HHI weighs the head, Gini reads the
+    whole Lorenz curve.
+
+        G = (2 * sum_i i*x_(i) - (n+1) * sum x) / (n * sum x)
+
+    with i the 1-based rank in global ascending (value, key) order —
+    keys break value ties, so the rank (and the statistic) is
+    engine-portable. Integer ppm on DECIMAL/HUGEINT products; the
+    numerator is non-negative by construction (ascending ranks), so
+    floor-vs-truncate parity is free. Degenerate inputs (no rows or
+    zero total) report 0.
+
+    Scale shape: the global rank is global_running_sum's
+    range-shuffle + per-partition window + bounded driver offsets —
+    NEVER a single-partition global sort — followed by one
+    map-side-combined 1-row aggregation."""
+    x = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.lit(1).cast("long").alias("_one"))
+    r = global_running_sum(x, ["_v", "_k"], "_one", out_col="_rank")
+    return (
+        r.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_v").cast("long").alias("total"),
+            F.sum(F.expr("CAST(_rank AS DECIMAL(38,0)) * _v"))
+            .alias("_srx"))
+        .select(
+            "n_keys", "total",
+            F.expr(
+                "CASE WHEN n_keys = 0 OR total = 0"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((2 * _srx"
+                " - (CAST(n_keys AS DECIMAL(38,0)) + 1) * total)"
+                " * 1000000 DIV (CAST(n_keys AS DECIMAL(38,0))"
+                " * total) AS BIGINT) END").alias("gini_ppm"))
+    )

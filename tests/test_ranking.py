@@ -1,0 +1,36 @@
+
+
+# ---- Gini concentration -------------------------------------------------
+
+
+def test_gini_exact_cases(spark):
+    from barkingowl_spark.operators.ranking import gini_concentration
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "key long, v long")
+        return gini_concentration(df, "key", "v").collect()[0]
+
+    # perfect equality -> 0
+    r = gini([5, 5, 5, 5])
+    assert (r["n_keys"], r["total"], r["gini_ppm"]) == (4, 20, 0)
+    # total concentration in 1 of n keys -> (n-1)/n
+    r = gini([0, 0, 0, 12])
+    assert r["gini_ppm"] == 1_000_000 * 3 // 4
+    # hand case [1, 2, 3, 4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 1/4
+    r = gini([1, 2, 3, 4])
+    assert r["gini_ppm"] == 250_000
+    # python reimplementation on a mixed case (ties broken by key)
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = sorted((v, k) for k, v in enumerate(vals))
+    srx = sum((i + 1) * v for i, (v, _) in enumerate(rows))
+    n, tot = len(vals), sum(vals)
+    want = (2 * srx - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert gini(vals)["gini_ppm"] == want
+
+
+def test_gini_degenerate(spark):
+    from barkingowl_spark.operators.ranking import gini_concentration
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], "key long, v long")
+    assert gini_concentration(df, "key", "v").collect()[0]["gini_ppm"] == 0
