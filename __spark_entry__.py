@@ -4823,6 +4823,32 @@ def q_canonical_resolve(spark, sf):
     return canonical_resolve(doc_pages.unionByName(cyc_pages))
 
 
+def q_tok_unigram_vocab(spark, sf):
+    """Unigram-LM piece inventory (functions/unigramlm.py::
+    unigram_vocab, Kudo 2018 / SentencePiece): every 1..4-char
+    substring of every corpus word mass-weighted by word count, top-V
+    by (mass, piece) plus all single chars for coverage; cost_bits =
+    floor-log2 surprisal via length(bin()) — no libm. The corpus-
+    sized work is one tokenize+count; everything else is
+    vocabulary-sized."""
+    from barkingowl_spark.functions.unigramlm import unigram_vocab
+
+    return unigram_vocab(_t(spark, sf, "documents"), v=256)
+
+
+def q_tok_unigram_segment(spark, sf):
+    """Viterbi segmentation audit (functions/unigramlm.py::
+    unigram_segment): per distinct corpus word the minimal total
+    piece surprisal and the piece count of the (cost, count)-
+    lexicographic-min segmentation under the unigram vocabulary —
+    the DP packed as 256*cost + n so the argmin is a plain min();
+    12 statically unrolled, localCheckpoint-pinned rounds of
+    (word, position) equi-joins over the vocab-sized frontier."""
+    from barkingowl_spark.functions.unigramlm import unigram_segment
+
+    return unigram_segment(_t(spark, sf, "documents"), v=256)
+
+
 def q_bpe_merges(spark, sf):
     """BPE vocabulary induction (functions/bpe.py::bpe_train, Sennrich
     et al. ACL'16): 4 merge rounds over the corpus's lowercase-ascii
@@ -5299,6 +5325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "dedup_semantic": q_dedup_semantic,
         "bpe_merges": q_bpe_merges,
+        "tok_unigram_vocab": q_tok_unigram_vocab,
+        "tok_unigram_segment": q_tok_unigram_segment,
         "graph_entropy": q_graph_entropy,
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
@@ -5950,6 +5978,91 @@ def _spam_mass_sql(n_iter: int = 3) -> str:
           f" ELSE 0 END AS BIGINT) AS rel_mass_ppm"
           f" FROM r{n_iter}"
     )
+
+
+def _unigram_sql(kind: str, v: int = 256) -> str:
+    """tok_unigram_* oracles: the same substring inventory,
+    floor-log2 costs, and packed Viterbi recurrence as
+    functions/unigramlm.py, with the MAX_WORD_LEN DP rounds unrolled
+    as plain CTEs (b{j} takes the min over the accumulated frontier
+    ball{j-1}; no recursive CTE, so the recurrence is literally the
+    Spark loop)."""
+    from barkingowl_spark.functions.unigramlm import (
+        MAX_PIECE_LEN,
+        MAX_WORD_LEN,
+        PACK,
+    )
+
+    head = f"""
+        WITH w AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(coalesce(text, ''), ' '))
+              AS word FROM documents)
+          WHERE length(word) BETWEEN 1 AND {MAX_WORD_LEN}
+          GROUP BY word),
+        p1 AS (
+          SELECT word, c,
+                 CAST(unnest(range(0, length(word))) AS BIGINT) AS i
+          FROM w),
+        subs AS (
+          SELECT word, c, i,
+                 CAST(unnest(range(i + 1,
+                   least(i + {MAX_PIECE_LEN}, length(word)) + 1))
+                   AS BIGINT) AS j
+          FROM p1),
+        sp AS (
+          SELECT word, c, i, j, substr(word, i + 1, j - i) AS piece
+          FROM subs),
+        mass AS (
+          SELECT piece, CAST(sum(c) AS BIGINT) AS mass
+          FROM sp GROUP BY piece),
+        tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM mass),
+        topv AS (
+          SELECT piece, mass FROM mass
+          ORDER BY mass DESC, piece LIMIT {int(v)}),
+        vocab0 AS (
+          SELECT DISTINCT piece, mass FROM (
+            SELECT * FROM topv
+            UNION ALL
+            SELECT piece, mass FROM mass WHERE length(piece) = 1)),
+        vocab AS (
+          SELECT piece, mass,
+                 CAST((length(bin(tot)) - 1)
+                      - (length(bin(mass)) - 1) AS BIGINT)
+                   AS cost_bits
+          FROM vocab0, tot)"""
+    if kind == "vocab":
+        return head + "\n        SELECT piece, mass, cost_bits FROM vocab"
+    # ball{j} is referenced by BOTH b{j+1} and ball{j+1}: without
+    # MATERIALIZED, DuckDB inlines the chain and the scan count grows
+    # 2^rounds (observed as a too-many-open-files blowup at 12 rounds)
+    parts = [head + f""",
+        cands AS MATERIALIZED (
+          SELECT s.word, s.i, s.j,
+                 v.cost_bits * {PACK} + 1 AS step
+          FROM sp s JOIN vocab v USING (piece)),
+        ball0 AS (
+          SELECT word, CAST(0 AS BIGINT) AS j,
+                 CAST(0 AS BIGINT) AS pack
+          FROM w)"""]
+    for j in range(1, MAX_WORD_LEN + 1):
+        parts.append(f""",
+        b{j} AS (
+          SELECT c.word, CAST({j} AS BIGINT) AS j,
+                 min(b.pack + c.step) AS pack
+          FROM cands c JOIN ball{j - 1} b
+            ON b.word = c.word AND b.j = c.i
+          WHERE c.j = {j}
+          GROUP BY c.word),
+        ball{j} AS MATERIALIZED (
+          SELECT * FROM ball{j - 1} UNION ALL SELECT * FROM b{j})""")
+    parts.append(f"""
+        SELECT w.word, w.c,
+               CAST(b.pack // {PACK} AS BIGINT) AS cost_bits,
+               CAST(b.pack % {PACK} AS BIGINT) AS n_pieces
+        FROM w JOIN ball{MAX_WORD_LEN} b
+          ON b.word = w.word AND b.j = length(w.word)""")
+    return "".join(parts)
 
 
 def _bpe_sql(n_merges: int = 4) -> str:
@@ -10630,6 +10743,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_spam_mass": _spam_mass_sql(),
         "mix_temperature": _mix_temperature_sql(),
         "bpe_merges": _bpe_sql(),
+        "tok_unigram_vocab": _unigram_sql("vocab"),
+        "tok_unigram_segment": _unigram_sql("segment"),
         "canonical_resolve": """
             -- closed-form expectation of the synthesized canonical
             -- graph: 1-hop for id%3==1, composed 2-hop for id%3==2,

@@ -66,7 +66,8 @@ def duck():
      "dedup_weights", "eval_compromise", "hll_shingles",
      "graph_opic", "graph_spam_mass", "cms_tokens",
      "mix_temperature", "chunk_overlap", "robots_sitemaps",
-     "dedup_semantic", "bpe_merges", "graph_entropy",
+     "dedup_semantic", "bpe_merges", "tok_unigram_vocab",
+     "tok_unigram_segment", "graph_entropy",
      "canonical_resolve", "ams_tokens", "graph_cocite",
      "density_labels", "density_clean", "lm_bigram_model",
      "lm_bigram_surprisal", "idx_positions", "search_phrase",
