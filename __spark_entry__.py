@@ -2023,6 +2023,20 @@ def q_events_anomaly(spark, sf):
     return mad_anomalies(_t(spark, sf, "events"))
 
 
+def q_events_ewma(spark, sf):
+    """EWMA rate baseline + doubling alerts (operators/temporal.py::
+    ewma_baseline): alpha=1/2 truncated-horizon exponentially
+    weighted mean of the densified per-hour count series per
+    event_type — the adaptive level mad/cusum lack; integer
+    power-of-two weights with ONE floor division (no per-step
+    flooring), frame-ordered window array + JVM power sum, dev/spike
+    read against the previous bucket's baseline."""
+    from barkingowl_spark.operators.temporal import ewma_baseline
+
+    return ewma_baseline(
+        _t(spark, sf, "events"), key_col="event_type")
+
+
 def q_events_cusum(spark, sf):
     """Page's one-sided upper CUSUM change-point alarms per user
     (operators/temporal.py::cusum_alarms, Page 1954): buckets of the
@@ -5111,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_periodicity": q_events_periodicity,
         "events_anomaly": q_events_anomaly,
         "events_cusum": q_events_cusum,
+        "events_ewma": q_events_ewma,
         "events_forecast_skill": q_events_forecast_skill,
         "events_persistence": q_events_persistence,
         "events_srm": q_events_srm,
@@ -10047,6 +10062,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT dv.user_id, dv.t, dv.x, dv.med, mad.mad
             FROM dv JOIN mad USING (user_id)
             WHERE 1000 * dv.dev > 4450 * mad.mad
+        """,
+        "events_ewma": """
+            WITH c AS (
+              SELECT event_type AS key,
+                     epoch_us(ts) // 3600000000 AS t,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+            sp AS (
+              SELECT key, min(t) AS tmin, max(t) AS tmax
+              FROM c GROUP BY key
+              HAVING max(t) - min(t) + 1 BETWEEN 2 AND 4096),
+            d AS (
+              SELECT key, unnest(generate_series(tmin, tmax)) AS t
+              FROM sp),
+            dx AS (
+              SELECT d.key, d.t,
+                     CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM d LEFT JOIN c ON c.key = d.key AND c.t = d.t),
+            wl AS (
+              SELECT key, t, x,
+                     list(x) OVER (PARTITION BY key ORDER BY t
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                       AS w
+              FROM dx),
+            e AS (
+              SELECT key, t, x,
+                     CAST(1000 * list_sum(list_transform(
+                            range(1, len(w) + 1),
+                            i -> w[i] * (1::BIGINT << (i - 1))))
+                          // ((1::BIGINT << len(w)) - 1) AS BIGINT)
+                       AS ewma_milli
+              FROM wl),
+            f AS (
+              SELECT key, t, x, ewma_milli,
+                     lag(ewma_milli) OVER (
+                       PARTITION BY key ORDER BY t) AS prev
+              FROM e)
+            SELECT key, t, x, ewma_milli,
+                   CAST(x * 1000 - prev AS BIGINT) AS dev_milli,
+                   CASE WHEN prev IS NULL THEN false
+                        ELSE x * 1000 - prev > prev END AS spike
+            FROM f
         """,
         "events_cusum": """
             WITH c AS (

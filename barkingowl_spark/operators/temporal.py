@@ -594,3 +594,62 @@ def persistence(
             .alias("burst_ratio_ppm"),
         )
     )
+
+
+def ewma_baseline(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lags: int = 16,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(key, t, x, ewma_milli, dev_milli, spike): exponentially
+    weighted moving-average rate baseline per key over the densified
+    per-bucket count series — the smoothed "normal rate" a monitor
+    compares each new bucket against (mad_anomalies flags isolated
+    spikes, cusum_alarms sustained shifts; EWMA gives the adaptive
+    LEVEL both of those lack, the number dashboards draw).
+
+    Spec (exact, engine-portable): alpha = 1/2 truncated at `lags`
+    buckets — ewma_t = 1000 * sum_{i} x_{t-i} * 2^(L-1-i)
+    DIV (2^L - 1) over the L = min(t+1, lags) available buckets
+    (integer weights, one floor division; NO per-step flooring, so
+    the recursion pitfall never arises). dev_milli = x*1000 minus the
+    PREVIOUS bucket's ewma (NULL on each key's first bucket); spike =
+    rate more than doubled vs that baseline.
+
+    Scale shape: _dense_series's count rollup + span-capped
+    densification, ONE per-key ordered window whose frame-ordered
+    collect_list feeds a JVM-side aggregate/transform power sum
+    (arrays of <= lags longs — never a self-join), one lag. The span
+    cap bounds rows; lags bounds the array."""
+    if not 1 <= int(lags) <= 62:
+        raise ValueError("lags must be in [1, 62] (2^lags in int64)")
+    dense = _dense_series(events, key_col, ts_col, bucket_s, max_span)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t")
+        .rowsBetween(-(int(lags) - 1), Window.currentRow)
+    )
+    wl = Window.partitionBy(key_col).orderBy("_t")
+    scored = (
+        dense.withColumn("_arr", F.collect_list("_x").over(w))
+        .withColumn(
+            "ewma_milli",
+            F.expr(
+                "CAST(1000 * aggregate(transform(_arr,"
+                " (x, i) -> x * shiftleft(1L, i)), 0L,"
+                " (a, v) -> a + v)"
+                " DIV (shiftleft(1L, size(_arr)) - 1) AS BIGINT)"))
+        .withColumn("_prev", F.lag("ewma_milli").over(wl))
+    )
+    return scored.select(
+        F.col(key_col).alias("key"),
+        F.col("_t").alias("t"),
+        F.col("_x").alias("x"),
+        "ewma_milli",
+        F.expr("CAST(_x * 1000 - _prev AS BIGINT)").alias("dev_milli"),
+        F.expr("CASE WHEN _prev IS NULL THEN false"
+               " ELSE _x * 1000 - _prev > _prev END").alias("spike"),
+    )

@@ -6,9 +6,10 @@ the operational dashboard feed while crawl_wave runs.
       --events <dir of (host, ts, url) parquet drops> --out <dir> \
       [--window "1 minute"] [--max-fetches 100] \
       [--session-gap-s 1800] [--default-delay-s 1] \
-      [--delays <parquet of (host, delay_s)>] [--follow]
+      [--delays <parquet of (host, delay_s)>] \
+      [--ewma-bucket-s 3600] [--ewma-lags 16] [--follow]
 
-Three monitors, each its own checkpointed append-mode query writing
+Four monitors, each its own checkpointed append-mode query writing
 parquet under --out (a failed/irrelevant one can be dropped without
 touching the rest — same independence contract as graph_analytics):
 
@@ -18,6 +19,8 @@ touching the rest — same independence contract as graph_analytics):
                timeout (streaming/sessions.py)
   violations/  crawl-delay compliance violations the moment they
                happen (streaming/compliance.py)
+  baseline/    per-host EWMA rate baseline + doubling spikes, one row
+               per closed time bucket (streaming/ewma.py)
 
 Default is one availableNow drain (batch-incremental: process
 everything present, then stop — the testing/backfill mode); --follow
@@ -46,10 +49,13 @@ def main(argv=None) -> None:
     ap.add_argument("--session-gap-s", type=int, default=1800)
     ap.add_argument("--default-delay-s", type=int, default=1)
     ap.add_argument("--delays", default=None)
+    ap.add_argument("--ewma-bucket-s", type=int, default=3600)
+    ap.add_argument("--ewma-lags", type=int, default=16)
     ap.add_argument("--follow", action="store_true")
     args = ap.parse_args(argv)
 
     from barkingowl_spark.streaming.compliance import monitor_compliance
+    from barkingowl_spark.streaming.ewma import monitor_rate_baseline
     from barkingowl_spark.streaming.sessions import track_sessions
     from barkingowl_spark.streaming.telemetry import (
         host_rate_windows,
@@ -87,6 +93,9 @@ def main(argv=None) -> None:
         sink(monitor_compliance(
             events, delays=delays,
             default_delay_s=args.default_delay_s), "violations"),
+        sink(monitor_rate_baseline(
+            events, bucket_s=args.ewma_bucket_s,
+            lags=args.ewma_lags), "baseline"),
     ]
     if args.follow:
         print(json.dumps({}))
@@ -96,7 +105,7 @@ def main(argv=None) -> None:
     for q in queries:
         q.awaitTermination()
     counts = {}
-    for name in ("rates", "sessions", "violations"):
+    for name in ("rates", "sessions", "violations", "baseline"):
         try:
             counts[name] = spark.read.parquet(
                 f"{args.out}/{name}").count()

@@ -113,6 +113,7 @@ def duck():
      "emb_sq8",
      "events_burstiness", "graph_modularity",
      "events_periodicity", "events_anomaly", "events_cusum",
+     "events_ewma",
      "events_forecast_skill", "events_persistence", "events_srm",
      "events_markov", "events_affinity",
      "emb_pca_power", "emb_kcenter",

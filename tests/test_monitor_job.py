@@ -1,5 +1,6 @@
 """jobs/monitor_stream.py end-to-end: one availableNow drain attaches
-all three live monitors (rate alerts, sessions, compliance) to a
+all four live monitors (rate alerts, sessions, compliance, EWMA
+baseline) to a
 fetch-event drop directory; counts line + sink contents checked."""
 
 from __future__ import annotations
@@ -43,7 +44,8 @@ def test_monitor_stream_availablenow(spark, capsys):
         ])
         counts = json.loads(
             capsys.readouterr().out.strip().splitlines()[-1])
-        assert set(counts) == {"rates", "sessions", "violations"}
+        assert set(counts) == {"rates", "sessions", "violations",
+                               "baseline"}
         # fast violated its 60s delay twice (gaps of 10s)
         v = spark.read.parquet(f"{tmp}/mon/violations").collect()
         assert sorted((r["host"], r["gap_s"]) for r in v) == [
@@ -58,3 +60,12 @@ def test_monitor_stream_availablenow(spark, capsys):
              for x in spark.read.parquet(f"{tmp}/mon/sessions")
              .collect()}
         assert ("fast", 3) in s and ("slow", 1) in s
+        # EWMA baseline: slow's 12h-later fetch closes its first
+        # bucket (x=1) and the 11 zero-gap buckets behind it
+        b = spark.read.parquet(f"{tmp}/mon/baseline").collect()
+        slow = sorted((r["t"], r["x"]) for r in b
+                      if r["key"] == "slow")
+        assert slow[0][1] == 1 and all(x == 0 for _, x in slow[1:])
+        assert len(slow) == 12
+        # fast's 3 fetches share one still-open bucket: no rows
+        assert not any(r["key"] == "fast" for r in b)

@@ -453,3 +453,58 @@ def test_persistence_separates_metronome_from_burst(spark):
     assert hum["persistence_ppm"] == 1_000_000 * 2 // 24
     assert bot["burst_ratio_ppm"] == 1_000_000
     assert hum["burst_ratio_ppm"] == 1_000_000 * 2 // 24
+
+
+# ---- EWMA baseline ------------------------------------------------------
+
+
+def _mk_events(spark, series, key="h1"):
+    """series: list of per-hour counts starting at hour 1000."""
+    from datetime import datetime, timezone
+
+    rows = []
+    for i, n in enumerate(series):
+        t = datetime.fromtimestamp((1000 + i) * 3600,
+                                   tz=timezone.utc).replace(tzinfo=None)
+        rows += [(key, t)] * n
+    return spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+
+def test_ewma_baseline_exact(spark):
+    from barkingowl_spark.operators.temporal import ewma_baseline
+
+    series = [4, 0, 8, 2, 2, 20]
+    df = _mk_events(spark, series)
+    got = {r["t"] - 1000: r for r in
+           ewma_baseline(df, bucket_s=3600, lags=4).collect()}
+    assert len(got) == len(series)
+
+    # independent reimplementation of the truncated-weight spec
+    def ewma(i):
+        lo = max(0, i - 3)
+        win = series[lo:i + 1]
+        num = sum(x * (1 << k) for k, x in enumerate(win))
+        return 1000 * num // ((1 << len(win)) - 1)
+
+    for i in range(len(series)):
+        assert got[i]["ewma_milli"] == ewma(i), i
+    # first bucket: no previous baseline
+    assert got[0]["dev_milli"] is None and got[0]["spike"] is False
+    # bucket 5 (x=20) vs baseline after [0,8,2,2]: spike fires
+    assert got[5]["dev_milli"] == 20_000 - ewma(4)
+    assert got[5]["spike"] is True
+    # quiet bucket is not a spike
+    assert got[4]["spike"] is False
+
+
+def test_ewma_short_series_and_weights_orientation(spark):
+    from barkingowl_spark.operators.temporal import ewma_baseline
+
+    # rising series: newest bucket must dominate (weight 2^(L-1)) —
+    # if the orientation flipped, ewma would lag below the mean
+    df = _mk_events(spark, [1, 9])
+    got = {r["t"] - 1000: r for r in
+           ewma_baseline(df, bucket_s=3600, lags=16).collect()}
+    # L=2: (1*1 + 9*2) * 1000 // 3 = 6333
+    assert got[1]["ewma_milli"] == 6333
+    assert got[0]["ewma_milli"] == 1000
