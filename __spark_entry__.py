@@ -983,6 +983,28 @@ def q_graph_pagerank(spark, sf):
     return pagerank_fixed(edges, n_iter=3)
 
 
+def q_graph_wcc(spark, sf):
+    """Weakly connected components + sizes (operators/components.py::
+    connected_components — the same min-label propagation + pointer
+    jumping that clusters near-dups, here on a sparsified slice of
+    the synthetic link graph): the mirror-farm / island detector next
+    to graph_scc's directed cores. Oracle: DuckDB recursive
+    transitive closure — different algorithm, same labels."""
+    from barkingowl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges, _ = _synth_edges(spark, sf)
+    sparse = edges.filter(
+        ((F.col("src") + F.col("dst")) % 11 == 0)
+        & (F.col("src") != F.col("dst")))
+    comp = connected_components(sparse, src="src", dst="dst")
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        F.col("id").alias("node"), "component_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("csize"))
+
+
 def q_frontier_coverage(spark, sf):
     """Per-host frontier-coverage estimate (operators/coverage.py::
     species_richness): bias-corrected Chao1 URL-richness lower bound +
@@ -5080,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_hhi": q_source_hhi,
         "graph_salsa": q_graph_salsa,
         "graph_scc": q_graph_scc,
+        "graph_wcc": q_graph_wcc,
         "graph_bowtie": q_graph_bowtie,
         "cdc_near_dup": q_cdc_near_dup,
         "graph_hyperball": q_graph_hyperball,
@@ -7144,6 +7167,26 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) AS url
             FROM documents
             WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0
+        """,
+        "graph_wcc": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            se AS (
+              SELECT src, dst FROM edges
+              WHERE (src + dst) % 11 = 0 AND src != dst),
+            ue AS (
+              SELECT src AS s, dst AS d FROM se
+              UNION
+              SELECT dst AS s, src AS d FROM se),
+            reach AS (
+              SELECT s AS n, d AS m FROM ue
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN ue e ON r.m = e.s),
+            comp AS (
+              SELECT n AS node, least(n, min(m)) AS component_id
+              FROM reach GROUP BY n)
+            SELECT node, component_id,
+                   count(*) OVER (PARTITION BY component_id) AS csize
+            FROM comp
         """,
         "graph_degree": f"""
             WITH {_EDGES_SQL},

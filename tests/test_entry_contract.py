@@ -87,7 +87,8 @@ def duck():
      "graph_triangles",
      "events_cms_windows", "cdc_chunks", "cdc_dedup",
      "events_zorder", "graph_indegree_skew", "graph_salsa",
-     "cdc_near_dup", "graph_scc", "graph_bowtie", "simjoin_cosine",
+     "cdc_near_dup", "graph_scc", "graph_wcc", "graph_bowtie",
+     "simjoin_cosine",
      "dust_rules", "dust_canon", "search_bm25f", "graph_diameter",
      "events_hilbert", "events_change_audit", "search_qld",
      "search_runs", "search_eval", "search_eval_macro", "search_ndcg",
