@@ -4885,6 +4885,19 @@ def q_tok_unigram_segment(spark, sf):
     return unigram_segment(_t(spark, sf, "documents"), v=256)
 
 
+def q_tok_unigram_em(spark, sf):
+    """One hard-EM round of the unigram model (functions/unigramlm.py
+    ::unigram_em_vocab): Viterbi paths recovered from the DP frontier
+    (pack-equality parents, ties -> smallest i — a total order),
+    piece masses recounted over the paths, unused pieces pruned,
+    costs re-scored — the M-step that shrinks SentencePiece
+    inventories; 12 more unrolled backward rounds, same pinning
+    discipline as the forward pass."""
+    from barkingowl_spark.functions.unigramlm import unigram_em_vocab
+
+    return unigram_em_vocab(_t(spark, sf, "documents"), v=256)
+
+
 def q_bpe_merges(spark, sf):
     """BPE vocabulary induction (functions/bpe.py::bpe_train, Sennrich
     et al. ACL'16): 4 merge rounds over the corpus's lowercase-ascii
@@ -5365,6 +5378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "tok_unigram_vocab": q_tok_unigram_vocab,
         "tok_unigram_segment": q_tok_unigram_segment,
+        "tok_unigram_em": q_tok_unigram_em,
         "graph_entropy": q_graph_entropy,
         "canonical_resolve": q_canonical_resolve,
         "ams_tokens": q_ams_tokens,
@@ -6094,12 +6108,51 @@ def _unigram_sql(kind: str, v: int = 256) -> str:
           GROUP BY c.word),
         ball{j} AS MATERIALIZED (
           SELECT * FROM ball{j - 1} UNION ALL SELECT * FROM b{j})""")
-    parts.append(f"""
+    if kind == "segment":
+        parts.append(f"""
         SELECT w.word, w.c,
                CAST(b.pack // {PACK} AS BIGINT) AS cost_bits,
                CAST(b.pack % {PACK} AS BIGINT) AS n_pieces
         FROM w JOIN ball{MAX_WORD_LEN} b
           ON b.word = w.word AND b.j = length(w.word)""")
+        return "".join(parts)
+    # kind == "em": backward path walk (ties -> smallest i), piece
+    # recount over the recovered paths, EM re-score. h{r} is
+    # referenced by BOTH u-side and the next cursor: MATERIALIZED for
+    # the same 2^rounds reason as ball{j}.
+    parts.append(f""",
+        c0 AS (
+          SELECT word, CAST(length(word) AS BIGINT) AS cur FROM w)""")
+    for r in range(1, MAX_WORD_LEN + 1):
+        parts.append(f""",
+        h{r} AS MATERIALIZED (
+          SELECT c.word, c.cur, min(cd.i) AS i
+          FROM c{r - 1} c
+          JOIN ball{MAX_WORD_LEN} bj
+            ON bj.word = c.word AND bj.j = c.cur
+          JOIN cands cd ON cd.word = c.word AND cd.j = c.cur
+          JOIN ball{MAX_WORD_LEN} bi
+            ON bi.word = cd.word AND bi.j = cd.i
+          WHERE c.cur > 0 AND bi.pack + cd.step = bj.pack
+          GROUP BY c.word, c.cur),
+        c{r} AS (SELECT word, i AS cur FROM h{r})""")
+    union = "\n          UNION ALL ".join(
+        f"SELECT word, i, cur AS j FROM h{r}"
+        for r in range(1, MAX_WORD_LEN + 1))
+    parts.append(f""",
+        used AS ({union}),
+        pe AS (
+          SELECT substr(u.word, u.i + 1, u.j - u.i) AS piece, w.c
+          FROM used u JOIN w ON w.word = u.word),
+        me AS (
+          SELECT piece, CAST(sum(c) AS BIGINT) AS mass_em
+          FROM pe GROUP BY piece),
+        te AS (SELECT CAST(sum(mass_em) AS BIGINT) AS tot FROM me)
+        SELECT piece, mass_em,
+               CAST((length(bin(tot)) - 1)
+                    - (length(bin(mass_em)) - 1) AS BIGINT)
+                 AS cost_bits_em
+        FROM me, te""")
     return "".join(parts)
 
 
@@ -10845,6 +10898,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(),
         "tok_unigram_vocab": _unigram_sql("vocab"),
         "tok_unigram_segment": _unigram_sql("segment"),
+        "tok_unigram_em": _unigram_sql("em"),
         "canonical_resolve": """
             -- closed-form expectation of the synthesized canonical
             -- graph: 1-hop for id%3==1, composed 2-hop for id%3==2,

@@ -105,18 +105,10 @@ def unigram_vocab(documents: DataFrame, v: int = 256) -> DataFrame:
     )
 
 
-def unigram_segment(
-    documents: DataFrame, v: int = 256
-) -> DataFrame:
-    """(word, c, cost_bits, n_pieces): Viterbi-optimal segmentation
-    audit per distinct corpus word under the unigram_vocab(v)
-    inventory — cost_bits is the minimal total piece surprisal,
-    n_pieces the piece count of the (cost, count)-lexicographic-min
-    segmentation. The compression-rate read-out (n_pieces vs
-    len(word)) is the number a tokenizer bake-off compares."""
-    words = word_counts(documents).localCheckpoint()
-    vocab = unigram_vocab(documents, v=v)
-    cands = (
+def _cands(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, i, j, step): in-vocabulary piece placements with the
+    packed DP step cost (checkpointed — both DP passes reuse it)."""
+    return (
         _substr_positions(words)
         .join(vocab.select("piece", "cost_bits"), "piece")
         .select(
@@ -124,8 +116,14 @@ def unigram_segment(
             (F.col("cost_bits") * PACK + 1).alias("step"))
         .localCheckpoint()
     )
+
+
+def _viterbi_best(words: DataFrame, cands: DataFrame) -> DataFrame:
+    """(word, j, pack): the accumulated DP frontier — pack at every
+    reachable prefix length j, MAX_WORD_LEN statically unrolled
+    localCheckpoint-pinned rounds."""
     best = words.select(
-        "word", F.lit(0).alias("j"),
+        "word", F.lit(0).cast("long").alias("j"),
         F.lit(0).cast("long").alias("pack"))
     for j in range(1, MAX_WORD_LEN + 1):
         step_j = (
@@ -138,9 +136,24 @@ def unigram_segment(
                   ["word", "i"])
             .groupBy("word")
             .agg(F.min(F.col("pack") + F.col("step")).alias("pack"))
-            .select("word", F.lit(j).alias("j"), "pack")
+            .select("word", F.lit(j).cast("long").alias("j"), "pack")
         )
         best = best.unionByName(step_j).localCheckpoint()
+    return best
+
+
+def unigram_segment(
+    documents: DataFrame, v: int = 256
+) -> DataFrame:
+    """(word, c, cost_bits, n_pieces): Viterbi-optimal segmentation
+    audit per distinct corpus word under the unigram_vocab(v)
+    inventory — cost_bits is the minimal total piece surprisal,
+    n_pieces the piece count of the (cost, count)-lexicographic-min
+    segmentation. The compression-rate read-out (n_pieces vs
+    len(word)) is the number a tokenizer bake-off compares."""
+    words = word_counts(documents).localCheckpoint()
+    best = _viterbi_best(words, _cands(words, unigram_vocab(
+        documents, v=v)))
     return (
         words.join(best.hint("shuffle_hash"),
                    (words.word == best.word)
@@ -151,4 +164,70 @@ def unigram_segment(
             .alias("cost_bits"),
             F.expr(f"CAST(pack % {PACK} AS BIGINT)")
             .alias("n_pieces"))
+    )
+
+
+def unigram_em_vocab(
+    documents: DataFrame, v: int = 256
+) -> DataFrame:
+    """(piece, mass_em, cost_bits_em): ONE EM round of the unigram
+    model — the M-step re-estimate after the E-step's Viterbi
+    segmentation (hard-EM, the deterministic variant): recover each
+    word's optimal PATH from the DP frontier, recount piece masses
+    over the paths (weighted by word count), drop unused pieces (the
+    EM prune that shrinks SentencePiece inventories), and re-score
+    cost_bits against the new total.
+
+    Path recovery without storing parents: at prefix j the chosen
+    placement is the one satisfying pack_i + step == pack_j; ties
+    resolve to the SMALLEST i (longest final piece) — a total order,
+    so the recovered path (and every count below) is engine-portable.
+    The walk is MAX_WORD_LEN more unrolled rounds, each one
+    (word, position) equi-join round over the vocab-sized cursor
+    frontier, localCheckpoint-pinned like the forward pass."""
+    words = word_counts(documents).localCheckpoint()
+    cands = _cands(words, unigram_vocab(documents, v=v))
+    best = _viterbi_best(words, cands).localCheckpoint()
+    bj = best.select("word", F.col("j").alias("cur"),
+                     F.col("pack").alias("pack_j"))
+    bi = best.select("word", F.col("j").alias("i"),
+                     F.col("pack").alias("pack_i"))
+    cur = words.select(
+        "word", F.length("word").cast("long").alias("cur"))
+    used = None
+    for _ in range(MAX_WORD_LEN):
+        hits = (
+            cur.filter(F.col("cur") > 0)
+            .join(bj.hint("shuffle_hash"), ["word", "cur"])
+            .join(cands.withColumnRenamed("j", "jj")
+                  .hint("shuffle_hash"), "word")
+            .filter(F.col("jj") == F.col("cur"))
+            .join(bi.hint("shuffle_hash"), ["word", "i"])
+            .filter(F.col("pack_i") + F.col("step")
+                    == F.col("pack_j"))
+            .groupBy("word", "cur")
+            .agg(F.min("i").alias("i"))
+            .localCheckpoint()
+        )
+        step_used = hits.select("word", "i",
+                                F.col("cur").alias("j"))
+        used = (step_used if used is None
+                else used.unionByName(step_used).localCheckpoint())
+        cur = hits.select("word", F.col("i").alias("cur"))
+    pieces = (
+        used.join(words, "word")
+        .select(F.expr("substring(word, i + 1, j - i)").alias("piece"),
+                "c")
+    )
+    mass = pieces.groupBy("piece").agg(
+        F.sum("c").cast("long").alias("mass_em"))
+    tot = mass.agg(F.sum("mass_em").cast("long").alias("tot"))
+    return (
+        mass.crossJoin(F.broadcast(tot))
+        .select(
+            "piece", "mass_em",
+            F.expr(
+                "CAST((length(bin(tot)) - 1)"
+                " - (length(bin(mass_em)) - 1) AS BIGINT)")
+            .alias("cost_bits_em"))
     )

@@ -67,7 +67,7 @@ def duck():
      "graph_opic", "graph_spam_mass", "cms_tokens",
      "mix_temperature", "chunk_overlap", "robots_sitemaps",
      "dedup_semantic", "bpe_merges", "tok_unigram_vocab",
-     "tok_unigram_segment", "graph_entropy",
+     "tok_unigram_segment", "tok_unigram_em", "graph_entropy",
      "canonical_resolve", "ams_tokens", "graph_cocite",
      "density_labels", "density_clean", "lm_bigram_model",
      "lm_bigram_surprisal", "idx_positions", "search_phrase",

@@ -97,3 +97,57 @@ def test_unigram_long_words_excluded_and_vocab_cut(spark):
     assert got_v2 == vtab2
     assert all(len(p) == 1 for p in got_v2
                if p not in dict(sorted(vtab2.items())))
+
+
+def _ref_em(texts, v=256):
+    """Hard-EM M-step on plain Python: backtrack (ties -> smallest i),
+    recount, re-score."""
+    from collections import Counter
+
+    words, vtab, _ = _ref(texts, v)
+    cost = {p: c for p, (_, c) in vtab.items()}
+
+    def bits(x):
+        return x.bit_length() - 1
+
+    mass_em = Counter()
+    for w, c in words.items():
+        dp = [None] * (len(w) + 1)
+        dp[0] = 0
+        for j in range(1, len(w) + 1):
+            best = None
+            for i in range(max(0, j - MAX_PIECE_LEN), j):
+                p = w[i:j]
+                if dp[i] is None or p not in cost:
+                    continue
+                cand = dp[i] + cost[p] * PACK + 1
+                if best is None or cand < best:
+                    best = cand
+            dp[j] = best
+        j = len(w)
+        while j > 0:
+            for i in range(max(0, j - MAX_PIECE_LEN), j):
+                p = w[i:j]
+                if (dp[i] is not None and p in cost
+                        and dp[i] + cost[p] * PACK + 1 == dp[j]):
+                    mass_em[p] += c
+                    j = i
+                    break
+        assert j == 0
+    tot = sum(mass_em.values())
+    return {p: (m, bits(tot) - bits(m)) for p, m in mass_em.items()}
+
+
+def test_unigram_em_recount_matches_reference(spark):
+    from barkingowl_spark.functions.unigramlm import unigram_em_vocab
+
+    texts = ["ab ab b abab", "abab cd ab cd", "xyz xyz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    want = _ref_em(texts)
+    got = {r["piece"]: (r["mass_em"], r["cost_bits_em"])
+           for r in unigram_em_vocab(docs).collect()}
+    assert got == want
+    # the EM prune: pieces never used by any optimal path are gone
+    assert all(p in want for p in got)
