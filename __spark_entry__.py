@@ -3378,6 +3378,26 @@ def _bm25_docs(spark, sf):
     )
 
 
+def q_search_rbo(spark, sf):
+    """Rank-Biased Overlap between the BM25 run and its RM3 feedback
+    rerun (operators/ireval.py::rbo_overlap, Webber et al. 2010):
+    top-weighted per-query ranking agreement — how much did feedback
+    actually move the lists? Exact truncated p=1/2 spec: geometric
+    2^(k-d) weights, agreement floored per depth, 1e6 for identical
+    lists; O(k^2) per query over lists that are already top-k."""
+    from barkingowl_spark.operators.ireval import (
+        bm25_runs,
+        rbo_overlap,
+        rm3_runs,
+    )
+
+    docs = _bm25_docs(spark, sf)
+    qdim = _eval_queries(spark)
+    return rbo_overlap(
+        bm25_runs(docs, qdim, k=10), rm3_runs(docs, qdim, k=10),
+        k=10)
+
+
 def q_search_mmr(spark, sf):
     """MMR diversification (operators/fusion.py::mmr_rerank,
     Carbonell & Goldstein 1998): greedy 3-pick rerank of the BM25
@@ -5364,6 +5384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_epochs_out": q_mix_epochs_out,
         "search_hybrid": q_search_hybrid,
         "search_mmr": q_search_mmr,
+        "search_rbo": q_search_rbo,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -11825,6 +11846,41 @@ def oracle_sql() -> dict[str, str]:
            " FROM expq"),
         "search_rm3": _RUNS_CTE + _RM3_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM rrunk",
+        # RBO(bm25 run, RM3 rerun): same grids, same floor order
+        "search_rbo": _RUNS_CTE + _RM3_CTE + """
+            , ra AS (SELECT query_id, doc_id, rank AS rra FROM runk),
+            rb2 AS (
+              SELECT query_id, doc_id, rank AS rrb FROM rrunk),
+            mm AS (
+              SELECT query_id, greatest(rra, rrb) AS m
+              FROM ra JOIN rb2 USING (query_id, doc_id)),
+            hh AS (
+              SELECT query_id, m, CAST(count(*) AS BIGINT) AS cnt
+              FROM mm GROUP BY query_id, m),
+            rqd AS (
+              SELECT DISTINCT query_id FROM runk
+              UNION SELECT DISTINCT query_id FROM rrunk),
+            grid AS (
+              SELECT query_id,
+                     CAST(unnest(range(1, 11)) AS BIGINT) AS d
+              FROM rqd),
+            ad AS (
+              SELECT g.query_id, g.d,
+                     CAST(coalesce(sum(h.cnt), 0) AS BIGINT) AS a_d
+              FROM grid g LEFT JOIN hh h
+                ON h.query_id = g.query_id AND h.m <= g.d
+              GROUP BY g.query_id, g.d),
+            tm AS (
+              SELECT query_id, d, a_d,
+                     (1000000 * a_d // d) * (1::BIGINT << (10 - d))
+                       AS wterm
+              FROM ad)
+            SELECT query_id,
+                   CAST(max(CASE WHEN d = 10 THEN a_d END)
+                        AS BIGINT) AS common_at_k,
+                   CAST(sum(wterm) // 1023 AS BIGINT) AS rbo_ppm
+            FROM tm GROUP BY query_id
+        """,
         "text_novelty": _SHINGLE_CTE + """
             , ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
             f AS (

@@ -1226,3 +1226,68 @@ def mcc_stats(
                 " AS BIGINT), -1000) END").alias("mcc_milli"),
         )
     )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, common_at_k, rbo_ppm): Rank-Biased Overlap (Webber,
+    Moffat & Zobel, TOIS 2010) between two per-query top-k rankings —
+    the ranker-comparison number an IR stack reads before swapping
+    BM25 params, adding feedback (RM3), or shipping a hybrid fuser:
+    top-weighted (disagreement at rank 1 costs more than at rank k),
+    1e6 for identical lists, 0 for disjoint ones.
+
+    Exact truncated spec with p = 1/2: agreement@d = 1e6 * A_d DIV d
+    (A_d = |top-d(A) ∩ top-d(B)|), geometric weights 2^(k-d),
+    normalizer 2^k - 1 — all integer, one floor at the agreement and
+    one at the final division, pinned in this order on both engines.
+
+    Scale shape: runs are per-query top-k lists already (k rows per
+    query); the common-doc join, the m = max(rank_a, rank_b)
+    histogram, and the k-point cumulative grid are all O(k^2) per
+    query — corpus scale lives upstream in the retrievers."""
+    a = run_a.select("query_id", "doc_id",
+                     F.col("rank").alias("_ra")).filter(
+        F.col("_ra") <= int(k))
+    b = run_b.select("query_id", "doc_id",
+                     F.col("rank").alias("_rb")).filter(
+        F.col("_rb") <= int(k))
+    m = a.join(b, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("_ra", "_rb").alias("_m"))
+    h = m.groupBy("query_id", "_m").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"))
+    qd = (run_a.select("query_id")
+          .union(run_b.select("query_id")).distinct())
+    grid = qd.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("_d0"),
+    ).select("query_id", F.col("_d0").cast("long").alias("d"))
+    # the m <= d predicate must live IN the left join (not a
+    # post-filter) so every (query, d) grid point keeps its a_d = 0
+    # row — the oracle's LEFT JOIN ... ON m <= d shape
+    ad = (
+        grid.alias("g")
+        .join(h.alias("h"),
+              (F.col("g.query_id") == F.col("h.query_id"))
+              & (F.col("h._m") <= F.col("g.d")), "left")
+        .groupBy(F.col("g.query_id").alias("query_id"),
+                 F.col("g.d").alias("d"))
+        .agg(F.coalesce(F.sum("h._cnt"), F.lit(0)).cast("long")
+             .alias("a_d"))
+    )
+    return (
+        ad.withColumn(
+            "_wterm",
+            F.expr(f"(1000000 * a_d DIV d)"
+                   f" * shiftleft(1L, {int(k)} - d)"))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.expr(f"CASE WHEN d = {int(k)} THEN a_d END"))
+            .cast("long").alias("common_at_k"),
+            F.expr(f"CAST(sum(_wterm)"
+                   f" DIV {(1 << int(k)) - 1} AS BIGINT)")
+            .alias("rbo_ppm"))
+    )

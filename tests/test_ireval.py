@@ -928,3 +928,50 @@ def test_mcc_stats_cases(spark):
     rows = ([(True, True)] * 1 + [(True, False)] * 5
             + [(False, True)] * 4 + [(False, False)] * 2)
     assert run(rows)["mcc_milli"] == _mcc_expected(1, 5, 4, 2)
+
+
+# ---- Rank-Biased Overlap ------------------------------------------------
+
+
+def _run_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long")
+
+
+def test_rbo_identical_disjoint_and_hand(spark):
+    from barkingowl_spark.operators.ireval import rbo_overlap
+
+    a = _run_df(spark, [(1, d, r + 1) for r, d in enumerate(
+        [10, 20, 30])] + [(2, d, r + 1) for r, d in enumerate(
+        [5, 6, 7])])
+    # q1: identical lists -> rbo = 1e6 exactly (weights normalize)
+    # q2: disjoint lists -> 0
+    b = _run_df(spark, [(1, d, r + 1) for r, d in enumerate(
+        [10, 20, 30])] + [(2, d, r + 1) for r, d in enumerate(
+        [8, 9, 11])])
+    got = {r["query_id"]: r for r in
+           rbo_overlap(a, b, k=3).collect()}
+    assert got[1]["rbo_ppm"] == 1_000_000
+    assert got[1]["common_at_k"] == 3
+    assert got[2]["rbo_ppm"] == 0 and got[2]["common_at_k"] == 0
+    # hand case: same set, ranks 1 and 2 swapped, k=3
+    # A = [x, y, z], B = [y, x, z]: A_1=0, A_2=2, A_3=3
+    a3 = _run_df(spark, [(3, 100, 1), (3, 200, 2), (3, 300, 3)])
+    b3 = _run_df(spark, [(3, 200, 1), (3, 100, 2), (3, 300, 3)])
+    r = rbo_overlap(a3, b3, k=3).collect()[0]
+    want = ((1_000_000 * 0 // 1) * 4 + (1_000_000 * 2 // 2) * 2
+            + (1_000_000 * 3 // 3) * 1) // 7
+    assert r["rbo_ppm"] == want and r["common_at_k"] == 3
+
+
+def test_rbo_top_weighted_asymmetry(spark):
+    from barkingowl_spark.operators.ireval import rbo_overlap
+
+    # agreeing at the TOP scores higher than agreeing at the bottom
+    a = _run_df(spark, [(1, d, r + 1) for r, d in enumerate(
+        [1, 2, 3, 4])])
+    top = _run_df(spark, [(1, 1, 1), (1, 9, 2), (1, 8, 3), (1, 7, 4)])
+    bot = _run_df(spark, [(1, 9, 1), (1, 8, 2), (1, 7, 3), (1, 4, 4)])
+    r_top = rbo_overlap(a, top, k=4).collect()[0]["rbo_ppm"]
+    r_bot = rbo_overlap(a, bot, k=4).collect()[0]["rbo_ppm"]
+    assert r_top > r_bot
