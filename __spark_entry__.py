@@ -3378,6 +3378,19 @@ def _bm25_docs(spark, sf):
     )
 
 
+def q_search_nqc(spark, sf):
+    """Post-retrieval QPP: Normalized Query Commitment (operators/
+    ireval.py::qpp_nqc, Shtok et al. 2009) over the BM25 runs — score
+    dispersion of each top-10 list as the confidence signal routing
+    queries to feedback/rerank passes; exact integer variance on the
+    floored mean, +/-1-corrected floor-isqrt, milli output."""
+    from barkingowl_spark.operators.ireval import bm25_runs, qpp_nqc
+
+    return qpp_nqc(
+        bm25_runs(_bm25_docs(spark, sf), _eval_queries(spark), k=10),
+        k=10)
+
+
 def q_search_rbo(spark, sf):
     """Rank-Biased Overlap between the BM25 run and its RM3 feedback
     rerun (operators/ireval.py::rbo_overlap, Webber et al. 2010):
@@ -5385,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": q_search_hybrid,
         "search_mmr": q_search_mmr,
         "search_rbo": q_search_rbo,
+        "search_nqc": q_search_nqc,
         "pq_codes": q_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -11652,6 +11666,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_runs": _RUNS_CTE
         + "SELECT query_id, doc_id, rank, score_fp FROM runk",
+        "search_nqc": _RUNS_CTE + """
+            , ng AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(score_fp) AS BIGINT) AS s,
+                     sum(score_fp::HUGEINT * score_fp) AS ss
+              FROM runk GROUP BY query_id),
+            nm AS (SELECT *, CAST(s // n AS BIGINT) AS mean_fp
+                   FROM ng),
+            nv AS (
+              SELECT query_id, n, mean_fp,
+                     CAST((ss - 2 * mean_fp::HUGEINT * s
+                           + n::HUGEINT * mean_fp * mean_fp) // n
+                          AS BIGINT) AS var_fp
+              FROM nm),
+            ns AS (
+              SELECT *, CAST(floor(sqrt(CAST(var_fp AS DOUBLE)))
+                             AS BIGINT) AS s0
+              FROM nv),
+            nr AS (
+              SELECT query_id, n, mean_fp, var_fp,
+                     CASE WHEN var_fp = 0 THEN 0::HUGEINT
+                          WHEN (s0 + 1)::HUGEINT * (s0 + 1)
+                            <= var_fp::HUGEINT THEN s0 + 1
+                          WHEN s0::HUGEINT * s0 > var_fp::HUGEINT
+                            THEN s0 - 1
+                          ELSE s0 END AS r
+              FROM ns)
+            SELECT query_id, n, mean_fp, var_fp,
+                   CAST(1000 * r // greatest(mean_fp, 1) AS BIGINT)
+                     AS nqc_milli
+            FROM nr
+        """,
         # MMR over runk: same greedy rounds unrolled; toks from the
         # planted corpus d; empty-vs-empty Jaccard defined as 1e6
         "search_mmr": _RUNS_CTE + """

@@ -1291,3 +1291,58 @@ def rbo_overlap(
                    f" DIV {(1 << int(k)) - 1} AS BIGINT)")
             .alias("rbo_ppm"))
     )
+
+
+def qpp_nqc(run: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, n, mean_fp, var_fp, nqc_milli): POST-retrieval
+    query-performance prediction — Normalized Query Commitment (Shtok,
+    Kurland & Carmel, ICTIR 2009): the dispersion of the top-k
+    retrieval scores. A peaked score distribution (high NQC) signals
+    a query the ranker is confident about; a flat one predicts poor
+    effectiveness — the router reads this AFTER the cheap first pass
+    to decide whether feedback/rerank passes are worth their cost
+    (the post-retrieval complement to qpp_features).
+
+    Exact integer spec: mean_fp = sum DIV n; var_fp = sum of squared
+    deviations DIV n (DECIMAL(38,0) squares — score_fp can reach
+    ~1e8, squared ~1e16, times k within HUGEINT/DECIMAL); nqc_milli =
+    1000 * isqrt(var_fp) DIV max(mean_fp, 1) with the repo's
+    +/-1-corrected floor-isqrt (comparisons in DECIMAL, exact beyond
+    2^52). Queries with an empty run produce no row.
+
+    Scale shape: runs are per-query top-k already; one
+    map-side-combined groupBy + projections."""
+    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+           "(CASE WHEN CAST(_s0 + 1 AS DECIMAL(38,0))"
+           " * (_s0 + 1) <= ({v}) THEN _s0 + 1"
+           " WHEN CAST(_s0 AS DECIMAL(38,0)) * _s0 > ({v})"
+           " THEN _s0 - 1 ELSE _s0 END) END")
+    g = (
+        run.filter(F.col("rank") <= int(k))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("score_fp").cast("long").alias("_s"),
+            F.sum(F.expr(
+                "CAST(score_fp AS DECIMAL(38,0)) * score_fp"))
+            .alias("_ss"))
+        .withColumn("mean_fp", F.expr("CAST(_s DIV n AS BIGINT)"))
+        .withColumn(
+            # n*var = ss - 2*mean*s + n*mean^2 exactly on the floored
+            # mean (the shared spec, not the real-valued variance)
+            "var_fp",
+            F.expr(
+                "CAST((_ss - 2 * CAST(mean_fp AS DECIMAL(38,0)) * _s"
+                " + CAST(n AS DECIMAL(38,0)) * mean_fp * mean_fp)"
+                " DIV n AS BIGINT)"))
+    )
+    return (
+        g.withColumn("_v", F.expr("CAST(var_fp AS DECIMAL(38,0))"))
+        .withColumn("_s0", F.expr(
+            "CAST(floor(sqrt(CAST(var_fp AS DOUBLE))) AS BIGINT)"))
+        .withColumn("_r", F.expr(isq.format(v="_v")))
+        .select(
+            "query_id", "n", "mean_fp", "var_fp",
+            F.expr("CAST(1000 * _r DIV greatest(mean_fp, 1)"
+                   " AS BIGINT)").alias("nqc_milli"))
+    )

@@ -103,7 +103,8 @@ def duck():
      "dist_shift_ks", "dist_shift_emd", "clf_label_noise",
      "clf_mcc", "clf_fleiss",
      "text_entropy",
-     "search_rm3_terms", "search_rm3", "search_rbo", "idx_compress",
+     "search_rm3_terms", "search_rm3", "search_rbo", "search_nqc",
+     "idx_compress",
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",
      "sched_ucb", "text_novelty", "search_qpp", "dedup_triplets", "dedup_threshold_curve", "search_mincover", "idx_champions", "text_vocab_growth",
      "graph_assortativity", "text_oov_rate", "graph_ktruss", "text_zipf",

@@ -975,3 +975,43 @@ def test_rbo_top_weighted_asymmetry(spark):
     r_top = rbo_overlap(a, top, k=4).collect()[0]["rbo_ppm"]
     r_bot = rbo_overlap(a, bot, k=4).collect()[0]["rbo_ppm"]
     assert r_top > r_bot
+
+
+# ---- NQC post-retrieval QPP ---------------------------------------------
+
+
+def test_qpp_nqc_exact(spark):
+    import math
+
+    from barkingowl_spark.operators.ireval import qpp_nqc
+
+    def ref(scores):
+        n = len(scores)
+        s = sum(scores)
+        mean = s // n
+        var = (sum(x * x for x in scores) - 2 * mean * s
+               + n * mean * mean) // n
+        return mean, var, 1000 * math.isqrt(var) // max(mean, 1)
+
+    rows = [(1, d, r + 1, s) for r, (d, s) in enumerate(
+        [(10, 900), (20, 880), (30, 870)])]          # peaked
+    rows += [(2, d, r + 1, s) for r, (d, s) in enumerate(
+        [(10, 900), (20, 400), (30, 50)])]           # flat/dispersed
+    rows += [(3, 10, 1, 0)]                          # all-zero scores
+    run = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long, score_fp long")
+    got = {r["query_id"]: r for r in qpp_nqc(run, k=10).collect()}
+    for q, scores in ((1, [900, 880, 870]), (2, [900, 400, 50])):
+        mean, var, nqc = ref(scores)
+        assert (got[q]["mean_fp"], got[q]["var_fp"],
+                got[q]["nqc_milli"]) == (mean, var, nqc), q
+    # NQC reads dispersion: the flat list scores HIGHER dispersion
+    assert got[2]["nqc_milli"] > got[1]["nqc_milli"]
+    # degenerate: zero scores -> mean clamped, nqc 0
+    assert got[3]["nqc_milli"] == 0
+    # rank cut respected
+    big = spark.createDataFrame(
+        [(9, 1, 1, 100), (9, 2, 2, 100), (9, 3, 11, 10_000)],
+        "query_id long, doc_id long, rank long, score_fp long")
+    r9 = qpp_nqc(big, k=10).collect()[0]
+    assert r9["n"] == 2 and r9["var_fp"] == 0
