@@ -1249,18 +1249,23 @@ def rbo_overlap(
     query); the common-doc join, the m = max(rank_a, rank_b)
     histogram, and the k-point cumulative grid are all O(k^2) per
     query — corpus scale lives upstream in the retrievers."""
+    # pin both runs: each is referenced twice below (common-doc join
+    # + the query-dim union), and a run may itself be a large
+    # retrieval subtree (RM3 embeds two BM25 passes) — without the
+    # pin the composed plan re-instantiates it per reference
+    # (observed: 5,535 plan nodes; pinned: tens)
     a = run_a.select("query_id", "doc_id",
                      F.col("rank").alias("_ra")).filter(
-        F.col("_ra") <= int(k))
+        F.col("_ra") <= int(k)).localCheckpoint()
     b = run_b.select("query_id", "doc_id",
                      F.col("rank").alias("_rb")).filter(
-        F.col("_rb") <= int(k))
+        F.col("_rb") <= int(k)).localCheckpoint()
     m = a.join(b, ["query_id", "doc_id"]).select(
         "query_id", F.greatest("_ra", "_rb").alias("_m"))
     h = m.groupBy("query_id", "_m").agg(
         F.count(F.lit(1)).cast("long").alias("_cnt"))
-    qd = (run_a.select("query_id")
-          .union(run_b.select("query_id")).distinct())
+    qd = (a.select("query_id")
+          .union(b.select("query_id")).distinct())
     grid = qd.select(
         "query_id",
         F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("_d0"),
