@@ -4267,6 +4267,26 @@ def q_clf_label_noise(spark, sf):
     return label_noise(scored)
 
 
+def q_clf_mcnemar(spark, sf):
+    """McNemar's paired gate comparison (operators/ireval.py::
+    mcnemar_stats): the default-threshold classifier gate vs a
+    tightened (+100 milli) one, both read against the token-count
+    rule on the same docs — does tightening SIGNIFICANTLY change
+    agreement? Only the discordant cells matter on paired data;
+    continuity-corrected chi-square in exact integer milli."""
+    from barkingowl_spark.operators.ireval import mcnemar_stats
+
+    a, b = _clf_labels(spark, sf)
+    labeled = (
+        a.select(
+            "doc_id",
+            (F.col("score_milli") >= 0).alias("pred_a"),
+            (F.col("score_milli") >= 100).alias("pred_b"))
+        .join(b, "doc_id")
+    )
+    return mcnemar_stats(labeled)
+
+
 def q_clf_mcc(spark, sf):
     """Matthews correlation coefficient (operators/ireval.py::
     mcc_stats): the hashed classifier's keep verdict vs the
@@ -5375,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_label_noise": q_clf_label_noise,
         "clf_mcc": q_clf_mcc,
         "clf_fleiss": q_clf_fleiss,
+        "clf_mcnemar": q_clf_mcnemar,
         "text_readability": q_text_readability,
         "text_mojibake": q_text_mojibake,
         "lm_kn_bigram": q_lm_kn_bigram,
@@ -13100,6 +13121,33 @@ def oracle_sql() -> dict[str, str]:
                      CAST(1000000 * (sus_pos + sus_neg) // n
                           AS BIGINT) END AS noise_ppm
             FROM lns
+        """,
+        "clf_mcnemar": _CLF_CTE + """
+            , pj AS (
+              SELECT sc.score_milli >= 0 AS pa,
+                     sc.score_milli >= 100 AS pb,
+                     lb.lb AS label
+              FROM sc JOIN lb USING (doc_id)),
+            mt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN pa = label AND pb != label
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_disc_a,
+                     CAST(sum(CASE WHEN pa != label AND pb = label
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_disc_b
+              FROM pj)
+            SELECT n, n_disc_a, n_disc_b,
+                   CASE WHEN n_disc_a + n_disc_b = 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1000 * greatest(
+                               abs(n_disc_a - n_disc_b) - 1,
+                               0)::HUGEINT
+                             * greatest(
+                               abs(n_disc_a - n_disc_b) - 1, 0)
+                             // (n_disc_a + n_disc_b) AS BIGINT) END
+                     AS chi2_milli
+            FROM mt
         """,
         "clf_mcc": _CLF_CTE + """
             , ct AS (

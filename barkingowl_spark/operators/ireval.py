@@ -1351,3 +1351,51 @@ def qpp_nqc(run: DataFrame, k: int = 10) -> DataFrame:
             F.expr("CAST(1000 * _r DIV greatest(mean_fp, 1)"
                    " AS BIGINT)").alias("nqc_milli"))
     )
+
+
+def mcnemar_stats(
+    labeled: DataFrame,
+    pred_a_col: str = "pred_a",
+    pred_b_col: str = "pred_b",
+    label_col: str = "label",
+) -> DataFrame:
+    """1 row (n, n_disc_a, n_disc_b, chi2_milli): McNemar's paired
+    test (McNemar 1947, continuity-corrected) for comparing TWO
+    boolean gates against the same reference labels on the same
+    documents — the significance companion to mcc_stats/
+    agreement_stats when swapping one quality gate for another:
+    accuracy deltas on paired data are driven ONLY by the discordant
+    cells, so the test reads
+
+        b = #(A right, B wrong),  c = #(A wrong, B right)
+        chi2 = (max(|b - c| - 1, 0))^2 / (b + c)
+
+    (b + c = 0 -> 0: the gates never disagree where it matters).
+    chi2_milli > 3841 rejects equal-error-rate at the 5% level —
+    a plain threshold read, no p-value machinery. Exact integers
+    with DECIMAL widening; the max(..., 0) keeps the continuity
+    correction from flipping sign when b == c.
+
+    Scale shape: one map-side-combined 1-row aggregation, then pure
+    projections."""
+    ct = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(
+            f"CASE WHEN ({pred_a_col}) = ({label_col})"
+            f" AND ({pred_b_col}) != ({label_col})"
+            " THEN 1 ELSE 0 END")).cast("long").alias("n_disc_a"),
+        F.sum(F.expr(
+            f"CASE WHEN ({pred_a_col}) != ({label_col})"
+            f" AND ({pred_b_col}) = ({label_col})"
+            " THEN 1 ELSE 0 END")).cast("long").alias("n_disc_b"),
+    )
+    return ct.select(
+        "n", "n_disc_a", "n_disc_b",
+        F.expr(
+            "CASE WHEN n_disc_a + n_disc_b = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(1000 * CAST(greatest("
+            "abs(n_disc_a - n_disc_b) - 1, 0) AS DECIMAL(38,0))"
+            " * greatest(abs(n_disc_a - n_disc_b) - 1, 0)"
+            " DIV (n_disc_a + n_disc_b) AS BIGINT) END")
+        .alias("chi2_milli"),
+    )

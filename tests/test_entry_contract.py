@@ -101,7 +101,7 @@ def duck():
      "graph_landmark_bfs", "graph_dist_est", "robots_wildcard",
      "clf_kappa", "clf_calibration", "clf_ece", "clf_brier",
      "dist_shift_ks", "dist_shift_emd", "clf_label_noise",
-     "clf_mcc", "clf_fleiss",
+     "clf_mcc", "clf_fleiss", "clf_mcnemar",
      "text_entropy",
      "search_rm3_terms", "search_rm3", "search_rbo", "search_nqc",
      "idx_compress",

@@ -1015,3 +1015,31 @@ def test_qpp_nqc_exact(spark):
         "query_id long, doc_id long, rank long, score_fp long")
     r9 = qpp_nqc(big, k=10).collect()[0]
     assert r9["n"] == 2 and r9["var_fp"] == 0
+
+
+# ---- McNemar paired-gate test -------------------------------------------
+
+
+def test_mcnemar_hand_cases(spark):
+    from barkingowl_spark.operators.ireval import mcnemar_stats
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "pred_a boolean, pred_b boolean, label boolean")
+        return mcnemar_stats(df).collect()[0]
+
+    # b=6 (A right, B wrong), c=1 -> chi2 = (5-1+..)= (|6-1|-1)^2/7
+    rows = ([(True, False, True)] * 6 + [(False, True, True)] * 1
+            + [(True, True, True)] * 10 + [(False, False, True)] * 3)
+    r = run(rows)
+    assert (r["n_disc_a"], r["n_disc_b"]) == (6, 1)
+    assert r["chi2_milli"] == 1000 * (5 - 1) ** 2 // 7
+    # perfectly concordant gates -> 0 (no discordant mass)
+    r0 = run([(True, True, True)] * 4 + [(False, False, False)] * 4)
+    assert (r0["n_disc_a"], r0["n_disc_b"], r0["chi2_milli"]) == (0, 0, 0)
+    # b == c: continuity correction clamps at 0, never (-1)^2
+    rb = run([(True, False, True)] * 3 + [(False, True, True)] * 3)
+    assert rb["chi2_milli"] == 0
+    # one-sided blowout crosses the 3.841 threshold
+    big = run([(True, False, True)] * 30 + [(False, True, True)] * 2)
+    assert big["chi2_milli"] > 3841
