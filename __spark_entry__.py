@@ -3773,6 +3773,17 @@ def q_text_zipf(spark, sf):
     return zipf_slope(_t(spark, sf, "documents"), top_n=64)
 
 
+def q_text_term_burst(spark, sf):
+    """Church-Gale term burstiness (functions/textstats.py::
+    term_burstiness): collection-vs-document frequency of the top-64
+    terms — function words spread, content words clump; the signal
+    behind stopword derivation and boilerplate detection. One
+    tokenize pass, two map-side-combined shuffles, TakeOrdered."""
+    from barkingowl_spark.functions.textstats import term_burstiness
+
+    return term_burstiness(_t(spark, sf, "documents"), top_n=64)
+
+
 def q_text_lexdiv(spark, sf):
     """Per-source lexical diversity (functions/textstats.py::
     lexical_diversity): type-token ratio + Yule's K repeat-rate over
@@ -5356,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini": q_events_gini,
         "text_zipf": q_text_zipf,
         "text_lexdiv": q_text_lexdiv,
+        "text_term_burst": q_text_term_burst,
         "text_scripts": q_text_scripts,
         "emb_health": q_emb_health,
         "graph_ktruss": q_graph_ktruss,
@@ -12362,6 +12374,24 @@ def oracle_sql() -> dict[str, str]:
                           // (n * sxx - sx * sx)) END AS BIGINT)
                      AS slope_ppm
             FROM s
+        """,
+        "text_term_burst": """
+            WITH tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+            g AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+                     CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term)
+            SELECT term, cf, df,
+                   CAST(1000000 * cf // df AS BIGINT) AS burst_ppm
+            FROM g ORDER BY cf DESC, term LIMIT 64
         """,
         "text_lexdiv": """
             WITH tok AS (

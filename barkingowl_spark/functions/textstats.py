@@ -800,3 +800,31 @@ def script_mix(documents: DataFrame) -> DataFrame:
             " WHEN n_cjk >= n_digit THEN 'cjk'"
             " ELSE 'digit' END").alias("main_script"),
     )
+
+
+def term_burstiness(documents: DataFrame, top_n: int = 64) -> DataFrame:
+    """(term, cf, df, burst_ppm): Church-Gale term burstiness over the
+    corpus — collection frequency vs document frequency. Function
+    words spread evenly (burst ~ their per-doc rate, low), content
+    words clump (a doc that mentions them mentions them repeatedly,
+    high cf/df) — the signal behind stopword derivation, keyword
+    weighting beyond idf, and template detection (boilerplate terms
+    are high-df low-burst). burst_ppm = 1e6 * cf DIV df, top_n rows
+    by (cf desc, term asc).
+
+    Scale shape: rides term_freqs' one tokenize pass + (doc, term)
+    rollup; the per-term agg is a second map-side-combined shuffle
+    (no countDistinct expand — df = row count of the tf table);
+    TakeOrdered cut."""
+    from barkingowl_spark.operators.invindex import term_freqs
+
+    tf = term_freqs(documents)
+    return (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cf"),
+             F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("burst_ppm",
+                    F.expr("CAST(1000000 * cf DIV df AS BIGINT)"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(int(top_n))
+    )

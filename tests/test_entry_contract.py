@@ -108,7 +108,7 @@ def duck():
      "idx_compress_rollup", "shard_cori", "dedup_lsh_recall",
      "sched_ucb", "text_novelty", "search_qpp", "dedup_triplets", "dedup_threshold_curve", "search_mincover", "idx_champions", "text_vocab_growth",
      "graph_assortativity", "text_oov_rate", "graph_ktruss", "text_zipf",
-     "text_lexdiv", "text_scripts", "emb_health", "cache_hit_curve", "events_gini", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
+     "text_lexdiv", "text_scripts", "text_term_burst", "emb_health", "cache_hit_curve", "events_gini", "host_health", "lang_confusion", "search_rm3_eval", "events_health_windows", "mm_sniff_mime", "trap_soft404",
      "clf_auc", "clf_ap", "text_readability", "text_mojibake",
      "lm_kn_bigram", "lm_source_kl", "search_suggest",
      "search_spell", "dedup_editdist", "graph_densest", "emb_matryoshka",

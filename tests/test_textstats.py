@@ -110,3 +110,23 @@ def test_script_mix_classes_and_argmax(spark):
     assert got[5]["other_ppm"] == 1_000_000
     assert 6 not in got and 7 not in got
     assert got[8]["main_script"] == "latin"  # declared-order tie-break
+
+
+def test_term_burstiness_hand(spark):
+    from barkingowl_spark.functions.textstats import term_burstiness
+
+    docs = spark.createDataFrame(
+        [(1, "the cat cat cat the"), (2, "the dog"), (3, "the"),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r["term"]: (r["cf"], r["df"], r["burst_ppm"])
+           for r in term_burstiness(docs).collect()}
+    # 'the': cf=4 over df=3 docs -> burst 1.33e6; 'cat': cf=3 in ONE
+    # doc -> burst 3e6 (clumped content word beats the function word)
+    assert got["the"] == (4, 3, 4_000_000 // 3)
+    assert got["cat"] == (3, 1, 3_000_000)
+    assert got["dog"] == (1, 1, 1_000_000)
+    assert got["cat"][2] > got["the"][2]
+    # top_n cut by (cf desc, term asc)
+    top1 = term_burstiness(docs, top_n=1).collect()
+    assert len(top1) == 1 and top1[0]["term"] == "the"
