@@ -1043,3 +1043,71 @@ def test_mcnemar_hand_cases(spark):
     # one-sided blowout crosses the 3.841 threshold
     big = run([(True, False, True)] * 30 + [(False, True, True)] * 2)
     assert big["chi2_milli"] > 3841
+
+
+def test_rbo_self_identity_and_bounds(spark):
+    """RBO(run, run) = 1e6 exactly for ANY run; RBO stays in
+    [0, 1e6] under random perturbation."""
+    import random
+
+    from barkingowl_spark.operators.ireval import rbo_overlap
+
+    random.seed(83)
+    rows = []
+    for q in range(6):
+        docs = random.sample(range(1000), 10)
+        rows += [(q, d, r + 1) for r, d in enumerate(docs)]
+    run = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank long")
+    for r in rbo_overlap(run, run, k=10).collect():
+        assert r["rbo_ppm"] == 1_000_000 and r["common_at_k"] == 10
+    # random second run: bounded
+    rows_b = []
+    for q in range(6):
+        docs = random.sample(range(1000), 10)
+        rows_b += [(q, d, r + 1) for r, d in enumerate(docs)]
+    run_b = spark.createDataFrame(
+        rows_b, "query_id long, doc_id long, rank long")
+    for r in rbo_overlap(run, run_b, k=10).collect():
+        assert 0 <= r["rbo_ppm"] <= 1_000_000
+
+
+def test_mcc_transpose_invariant(spark):
+    """Swapping pred and label transposes the confusion matrix;
+    MCC (the matrix phi) is exactly invariant, floors included."""
+    import random
+
+    from barkingowl_spark.operators.ireval import mcc_stats
+
+    random.seed(89)
+    rows = [(random.random() < 0.6, random.random() < 0.3)
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "pred boolean, label boolean")
+    a = mcc_stats(df).collect()[0]
+    b = mcc_stats(
+        spark.createDataFrame(
+            [(lb, pr) for pr, lb in rows],
+            "pred boolean, label boolean")).collect()[0]
+    assert a["mcc_milli"] == b["mcc_milli"]
+    assert (a["tp"], a["tn"]) == (b["tp"], b["tn"])
+    assert (a["fp"], a["fn"]) == (b["fn"], b["fp"])
+
+
+def test_fleiss_category_relabel_invariant(spark):
+    """Fleiss' kappa reads agreement structure only: permuting the
+    category NAMES leaves every output unchanged."""
+    import random
+
+    from barkingowl_spark.operators.ireval import fleiss_kappa
+
+    random.seed(97)
+    rows = [(i, random.choice("abc"))
+            for i in range(40) for _ in range(3)]
+    perm = {"a": "z", "b": "x", "c": "y"}
+    df1 = spark.createDataFrame(rows, "item_id long, category string")
+    df2 = spark.createDataFrame(
+        [(i, perm[c]) for i, c in rows],
+        "item_id long, category string")
+    r1 = fleiss_kappa(df1, n_raters=3).collect()[0]
+    r2 = fleiss_kappa(df2, n_raters=3).collect()[0]
+    assert r1.asDict() == r2.asDict()

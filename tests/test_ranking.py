@@ -34,3 +34,22 @@ def test_gini_degenerate(spark):
 
     df = spark.createDataFrame([(1, 0), (2, 0)], "key long, v long")
     assert gini_concentration(df, "key", "v").collect()[0]["gini_ppm"] == 0
+
+
+def test_gini_scale_invariant_and_bounded(spark):
+    """Gini is exactly invariant under x -> c*x (numerator and
+    denominator scale together), and bounded by (n-1)/n * 1e6."""
+    import random
+
+    from barkingowl_spark.operators.ranking import gini_concentration
+
+    random.seed(101)
+    vals = [random.randint(1, 500) for _ in range(60)]
+    df1 = spark.createDataFrame(
+        list(enumerate(vals)), "key long, v long")
+    df7 = spark.createDataFrame(
+        [(k, v * 7) for k, v in enumerate(vals)], "key long, v long")
+    g1 = gini_concentration(df1, "key", "v").collect()[0]
+    g7 = gini_concentration(df7, "key", "v").collect()[0]
+    assert g1["gini_ppm"] == g7["gini_ppm"]
+    assert 0 <= g1["gini_ppm"] <= 1_000_000 * 59 // 60

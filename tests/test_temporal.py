@@ -508,3 +508,20 @@ def test_ewma_short_series_and_weights_orientation(spark):
     # L=2: (1*1 + 9*2) * 1000 // 3 = 6333
     assert got[1]["ewma_milli"] == 6333
     assert got[0]["ewma_milli"] == 1000
+
+
+def test_ewma_bounded_by_window_extremes(spark):
+    """The truncated-weight EWMA is a weighted mean: it always lies
+    in [1000*min(win), 1000*max(win)] of its own trailing window."""
+    import random
+
+    random.seed(103)
+    from barkingowl_spark.operators.temporal import ewma_baseline
+
+    series = [random.randint(0, 20) for _ in range(30)]
+    df = _mk_events(spark, series)
+    rows = sorted(ewma_baseline(df, bucket_s=3600, lags=8).collect(),
+                  key=lambda r: r["t"])
+    for idx, r in enumerate(rows):
+        win = series[max(0, idx - 7):idx + 1]
+        assert 1000 * min(win) <= r["ewma_milli"] <= 1000 * max(win)
