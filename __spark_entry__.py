@@ -1005,6 +1005,34 @@ def q_graph_wcc(spark, sf):
         F.count(F.lit(1)).over(w).cast("long").alias("csize"))
 
 
+def q_graph_pagerank_delta(spark, sf):
+    """PageRank convergence audit: exact L1/max movement between
+    iteration 2 and iteration 3 of the fixed-point recurrence
+    (operators/linkgraph.py::pagerank_fixed at n_iter 2 vs 3) —
+    the "did we iterate enough?" number that decides whether the
+    next crawl-prioritization run buys another round; l1_delta_ppm
+    reads the moved mass against the 1e12 total."""
+    from barkingowl_spark.operators.linkgraph import pagerank_fixed
+
+    edges, _ = _synth_edges(spark, sf)
+    r2 = pagerank_fixed(edges, n_iter=2).select(
+        "node", F.col("rank_fp").alias("r2"))
+    r3 = pagerank_fixed(edges, n_iter=3).select(
+        "node", F.col("rank_fp").alias("r3"))
+    return (
+        r2.join(r3, "node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.expr("abs(r3 - r2)")).cast("long")
+            .alias("l1_delta_fp"),
+            F.max(F.expr("abs(r3 - r2)")).cast("long")
+            .alias("max_delta_fp"))
+        .withColumn(
+            "l1_delta_ppm",
+            F.expr("CAST(l1_delta_fp DIV 1000000 AS BIGINT)"))
+    )
+
+
 def q_frontier_coverage(spark, sf):
     """Per-host frontier-coverage estimate (operators/coverage.py::
     species_richness): bias-corrected Chao1 URL-richness lower bound +
@@ -5180,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa": q_graph_salsa,
         "graph_scc": q_graph_scc,
         "graph_wcc": q_graph_wcc,
+        "graph_pagerank_delta": q_graph_pagerank_delta,
         "graph_bowtie": q_graph_bowtie,
         "cdc_near_dup": q_cdc_near_dup,
         "graph_hyperball": q_graph_hyperball,
@@ -7200,6 +7229,52 @@ def _hyperball_sql(reverse: bool) -> str:
     return ",\n            ".join(parts)
 
 
+# shared CTE chain for the PageRank family (r0..r3 unrolled rounds)
+_PAGERANK_CTE = f"""
+            WITH {_EDGES_SQL},
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            c AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src AS node, count(*) AS outdeg
+                   FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1000000000000 // c.n AS rank_fp
+                   FROM nodes CROSS JOIN c),
+            s1 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s1.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s1 ON s1.node = nodes.node),
+            s2 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s2.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s2 ON s2.node = nodes.node),
+            s3 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
+                              AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src
+                                JOIN od o ON o.node = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT nodes.node,
+                          15000000000000 // (100 * c.n)
+                          + COALESCE(s3.inflow, 0) AS rank_fp
+                   FROM nodes CROSS JOIN c
+                   LEFT JOIN s3 ON s3.node = nodes.node)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "o5_fetch_join": """
@@ -7320,51 +7395,19 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(in_deg, 0) AS in_deg
             FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
-        "graph_pagerank": f"""
-            WITH {_EDGES_SQL},
-            nodes AS (SELECT src AS node FROM edges
-                      UNION SELECT dst FROM edges),
-            c AS (SELECT count(*) AS n FROM nodes),
-            od AS (SELECT src AS node, count(*) AS outdeg
-                   FROM edges GROUP BY src),
-            r0 AS (SELECT node, 1000000000000 // c.n AS rank_fp
-                   FROM nodes CROSS JOIN c),
-            s1 AS (SELECT e.dst AS node,
-                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
-                              AS inflow
-                   FROM edges e JOIN r0 r ON r.node = e.src
-                                JOIN od o ON o.node = e.src
-                   GROUP BY e.dst),
-            r1 AS (SELECT nodes.node,
-                          15000000000000 // (100 * c.n)
-                          + COALESCE(s1.inflow, 0) AS rank_fp
-                   FROM nodes CROSS JOIN c
-                   LEFT JOIN s1 ON s1.node = nodes.node),
-            s2 AS (SELECT e.dst AS node,
-                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
-                              AS inflow
-                   FROM edges e JOIN r1 r ON r.node = e.src
-                                JOIN od o ON o.node = e.src
-                   GROUP BY e.dst),
-            r2 AS (SELECT nodes.node,
-                          15000000000000 // (100 * c.n)
-                          + COALESCE(s2.inflow, 0) AS rank_fp
-                   FROM nodes CROSS JOIN c
-                   LEFT JOIN s2 ON s2.node = nodes.node),
-            s3 AS (SELECT e.dst AS node,
-                          CAST(SUM((r.rank_fp * 85) // (100 * o.outdeg)) AS BIGINT)
-                              AS inflow
-                   FROM edges e JOIN r2 r ON r.node = e.src
-                                JOIN od o ON o.node = e.src
-                   GROUP BY e.dst),
-            r3 AS (SELECT nodes.node,
-                          15000000000000 // (100 * c.n)
-                          + COALESCE(s3.inflow, 0) AS rank_fp
-                   FROM nodes CROSS JOIN c
-                   LEFT JOIN s3 ON s3.node = nodes.node)
-            SELECT node, rank_fp FROM r3
-        """,
-        "frontier_coverage": f"""
+        "graph_pagerank": _PAGERANK_CTE
+        + "SELECT node, rank_fp FROM r3",
+        "graph_pagerank_delta": _PAGERANK_CTE + """,
+            d AS (
+              SELECT abs(r3.rank_fp - r2.rank_fp) AS dl
+              FROM r2 JOIN r3 USING (node))
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(dl) AS BIGINT) AS l1_delta_fp,
+                   CAST(max(dl) AS BIGINT) AS max_delta_fp,
+                   CAST(sum(dl) // 1000000 AS BIGINT)
+                     AS l1_delta_ppm
+            FROM d
+        """,        "frontier_coverage": f"""
             WITH {_EDGES_SQL},
             obs AS (SELECT d.source AS host, e.dst AS item
                     FROM edges e JOIN documents d ON d.doc_id = e.dst),

@@ -40,7 +40,7 @@ def duck():
      "text_bpe_tokens", "doc_winnow_fp", "sim_topk_cosine",
      "o16_metrics_rollup", "o12_semi_probe", "o21_queue_intersect",
      "o12_cuckoo_evict", "graph_degree", "graph_pagerank",
-     "graph_host_agg", "frontier_coverage",
+     "graph_host_agg", "graph_pagerank_delta", "frontier_coverage",
      "sitemap_parse", "sitemap_seeds", "sitemap_coverage",
      "trap_signals", "o20_scored_topk", "text_boilerplate",
      "text_decontam", "text_paradedup", "mix_sample", "mix_report",
