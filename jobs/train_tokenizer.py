@@ -1,11 +1,14 @@
-"""spark-submit entry point for BPE tokenizer training over the
-crawl's document archive — the vocab-induction step between a cleaned
-corpus and a training run (functions/bpe.py).
+"""spark-submit entry point for tokenizer training over the crawl's
+document archive — the vocab-induction step between a cleaned corpus
+and a training run. Two models: BPE merges (functions/bpe.py, the
+default) and the unigram LM (functions/unigramlm.py, SentencePiece's
+model — select with --model unigram).
 
 Train:
   spark-submit --py-files dist/bowspark.zip jobs/train_tokenizer.py \
       --documents <parquet of (doc_id, text, ...)> --out <dir> \
-      --merges 64 [--word-pattern '^[a-z]+$'] [--min-freq 1]
+      --merges 64 [--word-pattern '^[a-z]+$'] [--min-freq 1] \
+      [--model bpe|unigram] [--unigram-v 256] [--em-rounds 0|1]
 
   writes under --out:
     merges/  (rank, lhs, rhs, pair_freq)   the learned merge table
@@ -13,7 +16,11 @@ Train:
              (every distinct piece after applying all merges to the
              word-type table, with how many word types / weighted
              tokens it appears in)
-  and prints one JSON stats line.
+  and prints one JSON stats line. With --model unigram it instead
+  writes:
+    vocab/    (piece, mass, cost_bits)          scored inventory
+              (plus mass_em/cost_bits_em when --em-rounds 1)
+    segments/ (word, c, cost_bits, n_pieces)    per-word Viterbi audit
 
 Apply (segment a word list with a prebuilt merge table):
   spark-submit ... jobs/train_tokenizer.py --merge-table <dir>/merges \
@@ -46,6 +53,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--merges", type=int, default=64)
     p.add_argument("--word-pattern", default="^[a-z]+$")
     p.add_argument("--min-freq", type=int, default=1)
+    p.add_argument("--model", choices=("bpe", "unigram"),
+                   default="bpe")
+    p.add_argument("--unigram-v", type=int, default=256)
+    p.add_argument("--em-rounds", type=int, choices=(0, 1), default=0)
     p.add_argument("--merge-table", default=None,
                    help="prebuilt merges dir (segment mode)")
     p.add_argument("--segment", default=None,
@@ -77,6 +88,35 @@ def main(argv: list[str] | None = None) -> None:
     if args.documents is None or args.out is None:
         raise SystemExit("train mode requires --documents and --out")
     docs = spark.read.parquet(args.documents)
+
+    if args.model == "unigram":
+        from barkingowl_spark.functions.unigramlm import (
+            unigram_em_vocab,
+            unigram_segment,
+            unigram_vocab,
+        )
+
+        vocab = (unigram_em_vocab(docs, v=args.unigram_v)
+                 if args.em_rounds else
+                 unigram_vocab(docs, v=args.unigram_v))
+        vocab.write.mode("overwrite").parquet(f"{args.out}/vocab")
+        seg = unigram_segment(docs, v=args.unigram_v)
+        seg.write.mode("overwrite").parquet(f"{args.out}/segments")
+        seg_read = spark.read.parquet(f"{args.out}/segments")
+        agg = seg_read.agg(
+            F.sum(F.col("c") * F.col("n_pieces")).alias("pieces"),
+            F.sum(F.col("c") * F.length("word")).alias("chars"),
+        ).collect()[0]
+        print(json.dumps({
+            "model": "unigram",
+            "vocab_size": spark.read.parquet(
+                f"{args.out}/vocab").count(),
+            "word_types": seg_read.count(),
+            # corpus compression read-out: chars per emitted piece
+            "chars_per_piece_milli": int(
+                1000 * agg["chars"] // max(agg["pieces"], 1)),
+        }))
+        return
     words = word_counts(docs).filter(
         F.col("word").rlike(args.word_pattern))
     if args.min_freq > 1:

@@ -101,3 +101,50 @@ def test_min_freq_prunes_hapaxes(spark, tmp_path):
         for r in spark.read.parquet(
             str(tmp_path / "tok2" / "merges")).collect())
     assert got == want
+
+
+def test_unigram_mode_end_to_end(spark, tmp_path, capsys):
+    from jobs.train_tokenizer import main
+
+    from barkingowl_spark.functions.unigramlm import (
+        unigram_em_vocab,
+        unigram_segment,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "uni"), "--model", "unigram",
+          "--unigram-v", "32"])
+    head = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert head["model"] == "unigram"
+    # exported tables match direct operator runs
+    want_v = {(r["piece"], r["mass"], r["cost_bits"])
+              for r in unigram_vocab(docs, v=32).collect()}
+    got_v = {(r["piece"], r["mass"], r["cost_bits"])
+             for r in spark.read.parquet(
+                 str(tmp_path / "uni/vocab")).collect()}
+    assert got_v == want_v
+    want_s = {(r["word"], r["c"], r["cost_bits"], r["n_pieces"])
+              for r in unigram_segment(docs, v=32).collect()}
+    got_s = {(r["word"], r["c"], r["cost_bits"], r["n_pieces"])
+             for r in spark.read.parquet(
+                 str(tmp_path / "uni/segments")).collect()}
+    assert got_s == want_s
+    assert head["word_types"] == len(want_s)
+    assert head["chars_per_piece_milli"] >= 1000  # pieces <= chars
+
+    # --em-rounds 1 exports the EM-rescored inventory instead
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "uni2"), "--model", "unigram",
+          "--unigram-v", "32", "--em-rounds", "1"])
+    capsys.readouterr()
+    want_e = {(r["piece"], r["mass_em"], r["cost_bits_em"])
+              for r in unigram_em_vocab(docs, v=32).collect()}
+    got_e = {(r["piece"], r["mass_em"], r["cost_bits_em"])
+             for r in spark.read.parquet(
+                 str(tmp_path / "uni2/vocab")).collect()}
+    assert got_e == want_e
+    # EM prunes: the rescored inventory only keeps used pieces
+    assert {p for p, _, _ in got_e} <= {p for p, _, _ in got_v}
