@@ -2269,6 +2269,17 @@ def q_events_funnel_report(spark, sf):
     return funnel_report(_t(spark, sf, "events"))
 
 
+def q_events_actives(spark, sf):
+    """Rolling active users (operators/cohorts.py::active_users):
+    DAU + trailing 7/28-day WAU/MAU + DAU/MAU stickiness per day —
+    the engagement dashboard next to retention; exact distincts via
+    one (user, day) rollup range-joined against a broadcast
+    span-capped day grid."""
+    from barkingowl_spark.operators.cohorts import active_users
+
+    return active_users(_t(spark, sf, "events"))
+
+
 def q_events_retention(spark, sf):
     """Daily cohort retention triangle (operators/cohorts.py::
     retention_matrix): users cohorted by first-event day, counted at
@@ -5267,6 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_funnel_report": q_events_funnel_report,
         "events_retention": q_events_retention,
+        "events_actives": q_events_actives,
         "hdr_len_quantiles": q_hdr_len_quantiles,
         "url_path_tree": q_url_path_tree,
         "meta_robots": q_meta_robots,
@@ -10415,6 +10427,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c2 = 0 THEN NULL
                         ELSE CAST(c3 * 1000000 // c2 AS BIGINT) END
             FROM c
+        """,
+        "events_actives": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            sp AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+            grid AS (
+              SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+                       AS gday
+              FROM sp),
+            j AS (
+              SELECT g.gday, ud.u, ud.day
+              FROM grid g JOIN ud
+                ON ud.day <= g.gday AND ud.day > g.gday - 28)
+            SELECT gday AS day,
+                   CAST(count(DISTINCT CASE WHEN day = gday THEN u
+                        END) AS BIGINT) AS dau,
+                   CAST(count(DISTINCT CASE WHEN day > gday - 7
+                        THEN u END) AS BIGINT) AS wau,
+                   CAST(count(DISTINCT u) AS BIGINT) AS mau,
+                   CAST(1000000 * count(DISTINCT CASE WHEN day = gday
+                        THEN u END) // count(DISTINCT u) AS BIGINT)
+                     AS stickiness_ppm
+            FROM j GROUP BY gday
         """,
         "events_retention": """
             WITH a AS (

@@ -345,3 +345,73 @@ def session_affinity(
         .orderBy(F.desc("lift_ppm"), F.asc("type_a"), F.asc("type_b"))
         .limit(int(k))
     )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 28,
+    max_span: int = 4096,
+) -> DataFrame:
+    """(day, dau, wau, mau, stickiness_ppm): rolling active-user
+    counts over the event log — DAU, trailing-window WAU/MAU (windows
+    END on the day, the standard product-analytics convention), and
+    DAU/MAU "stickiness" in ppm: the engagement dashboard every crawl
+    or serving tier ships next to its health monitors. day =
+    epoch_us DIV 86400e6 (the repo's bucket convention).
+
+    Exact distinct counts, no sketch: the (user, day) distinct table
+    joins a day GRID on a bounded range predicate, so each user-day
+    lands in <= mau_days window rows. Spans longer than max_span days
+    raise (the grid is driver-broadcast; an unbounded grid is the
+    non-scalable shape this cap forbids — at 10 years of days the
+    grid is still only ~3.7k rows, the cap is generous).
+
+    Scale shape: one distinct shuffle over (user, day), one broadcast
+    range join against the <= max_span-row grid, one distinct-count
+    rollup per window size (the wau/mau rollups reuse the SAME joined
+    table). Growth is O(users x days x mau_days), independent of raw
+    event volume after the first rollup."""
+    day_us = 86_400_000_000
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                   f" DIV {day_us}").alias("day"))
+        .distinct()
+    )
+    span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    lo, hi = span.collect()[0]
+    if lo is None:
+        return ud.sparkSession.createDataFrame(
+            [], "day long, dau long, wau long, mau long,"
+                " stickiness_ppm long")
+    if hi - lo + 1 > int(max_span):
+        raise ValueError(
+            f"span {hi - lo + 1} days exceeds max_span={max_span}")
+    grid = ud.sparkSession.range(lo, hi + 1).select(
+        F.col("id").alias("gday"))
+    j = (
+        F.broadcast(grid).join(
+            ud,
+            (ud.day <= F.col("gday"))
+            & (ud.day > F.col("gday") - int(mau_days)))
+        .select("gday", "u", "day")
+    )
+    return (
+        j.groupBy("gday")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("gday"), F.col("u")))
+            .cast("long").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day") > F.col("gday") - int(wau_days),
+                       F.col("u"))).cast("long").alias("wau"),
+            F.countDistinct("u").cast("long").alias("mau"))
+        .select(
+            F.col("gday").alias("day"), "dau", "wau", "mau",
+            F.expr("CAST(1000000 * dau DIV mau AS BIGINT)")
+            .alias("stickiness_ppm"))
+    )

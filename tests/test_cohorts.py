@@ -257,3 +257,54 @@ def test_session_affinity_hand_case(spark):
     assert ("a", "c") not in got  # never same session
     with pytest.raises(ValueError):
         session_affinity(df, gap_s=0)
+
+
+# ---- rolling actives ----------------------------------------------------
+
+
+def test_active_users_hand(spark):
+    import datetime as dt
+
+    from barkingowl_spark.operators.cohorts import active_users
+
+    def ts(day, h=0):
+        return dt.datetime(2024, 1, 1 + day, h + 1)
+
+    rows = [
+        ("u1", ts(0)), ("u1", ts(0, 2)),   # dup same day -> 1 active
+        ("u2", ts(0)),
+        ("u1", ts(1)),
+        ("u3", ts(8)),                     # u1/u2 age out of WAU by 8
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["day"] - r0: r for r in active_users(
+        df, wau_days=7, mau_days=28).collect()
+        for r0 in [min(x["day"] for x in active_users(
+            df).collect())]}
+    assert (got[0]["dau"], got[0]["wau"], got[0]["mau"]) == (2, 2, 2)
+    assert (got[1]["dau"], got[1]["wau"], got[1]["mau"]) == (1, 2, 2)
+    # day 2..6: dau 0, wau still 2 (trailing 7 covers day 0/1)
+    assert (got[2]["dau"], got[2]["wau"]) == (0, 2)
+    assert got[6]["wau"] == 2
+    # day 7: day-0 actives aged out of the 7-day window; u1 seen day 1
+    assert got[7]["wau"] == 1
+    # day 8: only u3 in WAU; all three in MAU
+    assert (got[8]["dau"], got[8]["wau"], got[8]["mau"]) == (1, 1, 3)
+    assert got[8]["stickiness_ppm"] == 1_000_000 // 3
+    # zero-DAU days exist as real rows (the grid densifies)
+    assert got[5]["dau"] == 0 and got[5]["stickiness_ppm"] == 0
+
+
+def test_active_users_span_cap(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from barkingowl_spark.operators.cohorts import active_users
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1)),
+         ("u", dt.datetime(2039, 1, 1))],
+        "user_id string, ts timestamp")
+    with _pytest.raises(ValueError, match="max_span"):
+        active_users(df, max_span=4096)

@@ -119,7 +119,8 @@ def duck():
      "events_forecast_skill", "events_persistence", "events_srm",
      "events_markov", "events_affinity",
      "emb_pca_power", "emb_kcenter",
-     "events_funnel", "events_funnel_report", "events_retention"],
+     "events_funnel", "events_funnel_report", "events_retention",
+     "events_actives"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
