@@ -604,6 +604,20 @@ def q_dedup_minhash_sigs(spark, sf):
     return minhash_signatures(_t(spark, sf, "documents"))
 
 
+def q_dedup_bbit(spark, sf):
+    """b-bit minwise audit (operators/corpus_dedup.py::
+    bbit_minwise_audit, Li & Koenig 2010): keep only the low 4 bits
+    (last md5 hex nibble) of each of the 8 MinHash signatures — a
+    32x smaller sketch — and compare the debiased Jaccard estimate
+    against the exact value on the LSH candidate pairs; the error
+    table that sizes b before shrinking the sketch store."""
+    from barkingowl_spark.operators.corpus_dedup import (
+        bbit_minwise_audit,
+    )
+
+    return bbit_minwise_audit(_t(spark, sf, "documents"))
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return minhash_band_pairs(_t(spark, sf, "documents"))
 
@@ -5304,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_bbit": q_dedup_bbit,
         "dedup_containment": q_dedup_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
@@ -8704,6 +8719,52 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        "dedup_bbit": _SHINGLE_CTE + f"""
+            , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),
+            bands AS ({_BANDS_SQL}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            low AS (
+              SELECT doc_id,
+                     {", ".join(
+                         f"CAST(('0x' || substr(sig_{i}, 32, 1))"
+                         f" AS BIGINT) AS low_{i}"
+                         for i in range(8))}
+              FROM sig),
+            toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+            sc AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST({" + ".join(
+                         f"(CASE WHEN la.low_{i} = lbb.low_{i}"
+                         f" THEN 1 ELSE 0 END)"
+                         for i in range(8))} AS BIGINT) AS matches,
+                     CAST(floor(len(list_intersect(ta.toks, tb.toks))
+                          * 1000000.0
+                          / len(list_distinct(
+                              list_concat(ta.toks, tb.toks))))
+                          AS BIGINT) AS jaccard_ppm
+              FROM cand c
+              JOIN low la ON la.doc_id = c.doc_a
+              JOIN low lbb ON lbb.doc_id = c.doc_b
+              JOIN toks ta ON ta.doc_id = c.doc_a
+              JOIN toks tb ON tb.doc_id = c.doc_b),
+            est AS (
+              SELECT doc_a, doc_b, matches, jaccard_ppm,
+                     greatest(CAST(0 AS BIGINT),
+                       CAST((16 * matches - 8) * 1000000 // (8 * 15)
+                            AS BIGINT)) AS est_ppm
+              FROM sc)
+            SELECT doc_a, doc_b, matches, est_ppm, jaccard_ppm,
+                   CAST(abs(est_ppm - jaccard_ppm) AS BIGINT)
+                     AS abs_err_ppm
+            FROM est
         """,
         "dedup_containment": _SHINGLE_CTE + f"""
             , sig AS (SELECT doc_id, {_SIG_SELECTS} FROM sh),

@@ -885,3 +885,47 @@ def test_lsh_plan_matches_reference_curve(spark):
 
     with pytest.raises(ValueError):
         lsh_plan(spark, n_perms=0)
+
+
+def test_bbit_minwise_audit_matches_reimpl(spark):
+    """b-bit projection, debiased estimate, and exact Jaccard all
+    match an independent hashlib reimplementation on planted dups."""
+    import hashlib
+
+    from barkingowl_spark.operators.corpus_dedup import (
+        bbit_minwise_audit,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",  # near-dup
+        3: "the quick brown fox jumps over the lazy dog",  # exact dup
+        4: "completely different words appear in here now",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]):
+           (r["matches"], r["est_ppm"], r["jaccard_ppm"],
+            r["abs_err_ppm"])
+           for r in bbit_minwise_audit(docs).collect()}
+    assert got  # LSH found the planted pairs
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def sig(t, i):
+        return min(hashlib.md5((s + f"#{i}").encode()).hexdigest()
+                   for s in shingles(t))
+
+    for (a, b), (m, est, jac, err) in got.items():
+        want_m = sum(
+            int(sig(texts[a], i)[31], 16) == int(sig(texts[b], i)[31], 16)
+            for i in range(8))
+        assert m == want_m, (a, b)
+        assert est == max(0, (16 * want_m - 8) * 1_000_000 // (8 * 15))
+        ta, tb = set(texts[a].split()), set(texts[b].split())
+        want_j = int(len(ta & tb) * 1_000_000 / len(ta | tb))
+        assert jac == want_j and err == abs(est - want_j)
+    # the exact-dup pair estimates 1e6 exactly (all nibbles match)
+    assert got[(1, 3)][0] == 8 and got[(1, 3)][1] == 1_000_000

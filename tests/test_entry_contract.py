@@ -55,6 +55,7 @@ def duck():
      "url_dates", "url_pagination", "depth_quality_corr",
      "graph_trustrank",
      "trap_templates", "c4_clean", "c4_stats", "dedup_containment",
+     "dedup_bbit",
      "mirror_pairs", "mirror_replicas", "lm_surprisal", "lm_buckets",
      "search_bm25", "ring_assign", "ring_moves", "hrw_assign",
      "events_rate_windows", "events_rate_alerts", "clf_scores",
