@@ -13395,12 +13395,14 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY c.category)),
             k AS (
               SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
-                     CAST(1000000::HUGEINT * agree_sum
-                          // (n_items::HUGEINT * 6) AS BIGINT)
+                     CASE WHEN n_items = 0 THEN NULL
+                          ELSE CAST(1000000::HUGEINT * agree_sum
+                          // (n_items::HUGEINT * 6) AS BIGINT) END
                        AS po_ppm,
-                     CAST(1000000::HUGEINT * cj_sq_sum
+                     CASE WHEN n_items = 0 THEN NULL
+                          ELSE CAST(1000000::HUGEINT * cj_sq_sum
                           // (n_items::HUGEINT * n_items * 9)
-                          AS BIGINT) AS pe_ppm
+                          AS BIGINT) END AS pe_ppm
               FROM tot, marg)
             SELECT n_items, n_raters, po_ppm, pe_ppm,
                    CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)

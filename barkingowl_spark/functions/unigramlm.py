@@ -47,18 +47,31 @@ MAX_PIECE_LEN = 4
 PACK = 256  # pack = PACK*cost_bits + n_pieces; n_pieces <= 12 << 256
 
 
-def word_counts(documents: DataFrame) -> DataFrame:
+def word_counts(
+    documents: DataFrame,
+    word_pattern: str | None = None,
+    min_freq: int = 1,
+) -> DataFrame:
     """(word, c): distinct corpus words with counts, 1 <=
     len <= MAX_WORD_LEN — the vocabulary-sized table every
-    downstream step runs on."""
-    return (
+    downstream step runs on. Optional word_pattern (rlike, applied
+    before the count shuffle so rejected words never shuffle) and
+    min_freq (type-table tail prune after the count) mirror the BPE
+    trainer's flags so jobs/train_tokenizer.py means the same thing
+    in both modes."""
+    out = (
         documents.select(F.explode(F.split(
             F.coalesce("text", F.lit("")), " ")).alias("word"))
         .filter((F.length("word") >= 1)
                 & (F.length("word") <= MAX_WORD_LEN))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    if word_pattern is not None:
+        out = out.filter(F.col("word").rlike(word_pattern))
+    out = out.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    if int(min_freq) > 1:
+        out = out.filter(F.col("c") >= int(min_freq))
+    return out
 
 
 def _substr_positions(words: DataFrame) -> DataFrame:
@@ -80,12 +93,20 @@ def _substr_positions(words: DataFrame) -> DataFrame:
     )
 
 
-def unigram_vocab(documents: DataFrame, v: int = 256) -> DataFrame:
+def unigram_vocab(
+    documents: DataFrame,
+    v: int = 256,
+    word_pattern: str | None = None,
+    min_freq: int = 1,
+) -> DataFrame:
     """(piece, mass, cost_bits): the scored piece inventory — top-v
     candidates by (mass desc, piece asc) UNION all single characters;
     mass counts every occurrence position weighted by word count;
-    cost_bits = ilog2(total candidate mass) - ilog2(mass)."""
-    subs = _substr_positions(word_counts(documents))
+    cost_bits = ilog2(total candidate mass) - ilog2(mass).
+    word_pattern/min_freq prune the word-type table first
+    (word_counts)."""
+    subs = _substr_positions(word_counts(
+        documents, word_pattern=word_pattern, min_freq=min_freq))
     mass = subs.groupBy("piece").agg(
         F.sum("c").cast("long").alias("mass"))
     tot = mass.agg(F.sum("mass").cast("long").alias("tot"))
@@ -143,7 +164,10 @@ def _viterbi_best(words: DataFrame, cands: DataFrame) -> DataFrame:
 
 
 def unigram_segment(
-    documents: DataFrame, v: int = 256
+    documents: DataFrame,
+    v: int = 256,
+    word_pattern: str | None = None,
+    min_freq: int = 1,
 ) -> DataFrame:
     """(word, c, cost_bits, n_pieces): Viterbi-optimal segmentation
     audit per distinct corpus word under the unigram_vocab(v)
@@ -151,9 +175,12 @@ def unigram_segment(
     n_pieces the piece count of the (cost, count)-lexicographic-min
     segmentation. The compression-rate read-out (n_pieces vs
     len(word)) is the number a tokenizer bake-off compares."""
-    words = word_counts(documents).localCheckpoint()
+    words = word_counts(
+        documents, word_pattern=word_pattern,
+        min_freq=min_freq).localCheckpoint()
     best = _viterbi_best(words, _cands(words, unigram_vocab(
-        documents, v=v)))
+        documents, v=v, word_pattern=word_pattern,
+        min_freq=min_freq)))
     return (
         words.join(best.hint("shuffle_hash"),
                    (words.word == best.word)
@@ -168,7 +195,10 @@ def unigram_segment(
 
 
 def unigram_em_vocab(
-    documents: DataFrame, v: int = 256
+    documents: DataFrame,
+    v: int = 256,
+    word_pattern: str | None = None,
+    min_freq: int = 1,
 ) -> DataFrame:
     """(piece, mass_em, cost_bits_em): ONE EM round of the unigram
     model — the M-step re-estimate after the E-step's Viterbi
@@ -185,8 +215,12 @@ def unigram_em_vocab(
     The walk is MAX_WORD_LEN more unrolled rounds, each one
     (word, position) equi-join round over the vocab-sized cursor
     frontier, localCheckpoint-pinned like the forward pass."""
-    words = word_counts(documents).localCheckpoint()
-    cands = _cands(words, unigram_vocab(documents, v=v))
+    words = word_counts(
+        documents, word_pattern=word_pattern,
+        min_freq=min_freq).localCheckpoint()
+    cands = _cands(words, unigram_vocab(
+        documents, v=v, word_pattern=word_pattern,
+        min_freq=min_freq))
     best = _viterbi_best(words, cands).localCheckpoint()
     bj = best.select("word", F.col("j").alias("cur"),
                      F.col("pack").alias("pack_j"))

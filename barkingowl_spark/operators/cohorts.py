@@ -373,7 +373,19 @@ def active_users(
     range join against the <= max_span-row grid, one distinct-count
     rollup per window size (the wau/mau rollups reuse the SAME joined
     table). Growth is O(users x days x mau_days), independent of raw
-    event volume after the first rollup."""
+    event volume after the first rollup.
+
+    Two behaviors callers must not assume away:
+      * Days whose ENTIRE trailing mau_days window is empty are
+        ABSENT from the output (the grid join is inner), not emitted
+        as zero rows — a dashboard densifying the day axis must
+        treat missing days as dau=wau=mau=0 itself. Days with any
+        window activity but no same-day activity DO appear
+        (dau=0, mau>0).
+      * The span check runs EAGERLY: building this query executes a
+        2-value min/max aggregate (and raises on span > max_span) at
+        construction time, unlike the otherwise-lazy driver-query
+        builders — plan construction here is not side-effect free."""
     day_us = 86_400_000_000
     ud = (
         events.select(

@@ -32,17 +32,41 @@ def rank_by(
     score_col: str,
     id_col: str = "doc_id",
     ascending: bool = False,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """(id_col, rank): 1-based ranks with deterministic id tie-break.
     Input must be a bounded top-k list (the window is global over its
-    k rows — never feed a corpus-sized frame)."""
+    k rows — never feed a corpus-sized frame). The contract is
+    ENFORCED at runtime: a count over the same window frame feeds an
+    assert_true, so a caller that pipes an unbounded frame in gets an
+    error at execution instead of a silent single-task serialization
+    (the input still funnels through one task once — the guard makes
+    the misuse loud, it cannot make it cheap). Raise max_rows if a
+    legitimately larger bounded list ever needs ranking."""
     order = [
         F.col(score_col).asc() if ascending else F.col(score_col).desc(),
         F.col(id_col).asc(),
     ]
-    return results.select(
-        id_col,
-        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+    w = Window.orderBy(*order)
+    wall = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    return (
+        results.select(
+            id_col,
+            F.row_number().over(w).alias("rank"),
+            F.count(F.lit(1)).over(wall).alias("_nrows"),
+        )
+        # assert_true -> NULL on success, throws on violation; the
+        # filter is a no-op carrier that keeps the check in the plan
+        .filter(F.coalesce(
+            F.expr(
+                f"CAST(assert_true(_nrows <= {int(max_rows)},"
+                f" 'rank_by: input exceeds max_rows={int(max_rows)}"
+                f" — global rank over an unbounded frame; use"
+                f" ranking.global_dense_rank for corpus-sized input')"
+                f" AS BOOLEAN)"),
+            F.lit(True)))
+        .select(id_col, "rank")
     )
 
 

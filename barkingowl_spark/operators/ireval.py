@@ -1139,14 +1139,20 @@ def fleiss_kappa(
         .select(
             "n_items",
             F.lit(r).cast("long").alias("n_raters"),
+            # n_items = 0 (no full-rater-panel item) -> NULL on BOTH
+            # engines: Spark DIV would yield NULL silently but
+            # DuckDB's // raises division-by-zero — guard explicitly,
+            # same degenerate-input convention as ks_statistic/roc_auc
             F.expr(
-                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * agree_sum"
+                f"CASE WHEN n_items = 0 THEN CAST(NULL AS BIGINT)"
+                f" ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * agree_sum"
                 f" DIV (CAST(n_items AS DECIMAL(38,0))"
-                f" * {r * (r - 1)}) AS BIGINT)").alias("po_ppm"),
+                f" * {r * (r - 1)}) AS BIGINT) END").alias("po_ppm"),
             F.expr(
-                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * cj_sq_sum"
+                f"CASE WHEN n_items = 0 THEN CAST(NULL AS BIGINT)"
+                f" ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * cj_sq_sum"
                 f" DIV (CAST(n_items AS DECIMAL(38,0)) * n_items"
-                f" * {r * r}) AS BIGINT)").alias("pe_ppm"),
+                f" * {r * r}) AS BIGINT) END").alias("pe_ppm"),
         )
         .withColumn(
             "kappa_ppm",
@@ -1248,7 +1254,15 @@ def rbo_overlap(
     Scale shape: runs are per-query top-k lists already (k rows per
     query); the common-doc join, the m = max(rank_a, rank_b)
     histogram, and the k-point cumulative grid are all O(k^2) per
-    query — corpus scale lives upstream in the retrievers."""
+    query — corpus scale lives upstream in the retrievers.
+
+    k is capped at 43: _wterm = (1e6 * a_d DIV d) * 2^(k-d) reaches
+    1e6 * 2^(k-1) at d = 1, which exceeds int64 around k = 44, and
+    the 2^k - 1 normalizer overflows shiftleft at k >= 63 — silent
+    wrong rbo_ppm either way, so reject (ewma_baseline's lags-guard
+    convention)."""
+    if not 1 <= int(k) <= 43:
+        raise ValueError("k must be in [1, 43] (int64 weight bound)")
     # pin both runs: each is referenced twice below (common-doc join
     # + the query-dim union), and a run may itself be a large
     # retrieval subtree (RM3 embeds two BM25 passes) — without the

@@ -458,8 +458,11 @@ def neyman_allocation(
     proportional-to-size on N_h — documented, deterministic.
 
     Scale shape: one map-side-combined groupBy(group); everything
-    after runs on the strata table (one row per group — tiny), so the
-    single-partition remainder window costs nothing."""
+    after runs on the strata table (one row per group), and the
+    largest-remainder rank uses ranking.global_dense_rank — no
+    single-partition window even if strata proliferate. Building the
+    query is EAGER (the rank primitive collects its partition
+    offsets), like active_users' span check."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
     g = (
@@ -496,12 +499,23 @@ def neyman_allocation(
         .withColumn(
             "_rem", F.expr(f"CAST({int(budget)} AS BIGINT) * _wsel % _wtot"))
     )
-    wrank = Window.orderBy(F.col("_rem").desc(), F.col("group"))
-    wall = Window.partitionBy(F.lit(1))
+    # largest-remainder rank + floor-sum via the scalable primitives:
+    # group is unique => dense rank == row number; the floor total is
+    # a 1-row broadcast. No single-partition WindowExec (the strata
+    # table is tiny today, but the plan shape must survive a
+    # 10^6-stratum mix — tests/test_plan_shapes.py pins it). NB: the
+    # rank primitive collects its partition offsets eagerly, so
+    # building this query executes the upstream aggregate.
+    from barkingowl_spark.operators.ranking import global_dense_rank
+
+    j = global_dense_rank(
+        j.withColumn("_negrem", -F.col("_rem")),
+        ["_negrem", "group"], out_col="_rk")
+    left = j.agg(
+        (F.lit(int(budget)) - F.coalesce(F.sum("_floor"), F.lit(0)))
+        .cast("long").alias("_left"))
     return (
-        j.withColumn("_rk", F.row_number().over(wrank))
-        .withColumn("_left",
-                    F.lit(int(budget)) - F.sum("_floor").over(wall))
+        j.crossJoin(F.broadcast(left))
         .select(
             "group", "n_docs", "w",
             (F.col("_floor")

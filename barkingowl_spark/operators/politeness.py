@@ -100,21 +100,28 @@ def waterfill_budget(queue_counts: DataFrame, budget: int) -> DataFrame:
     scalars decide every allocation.
 
     Scale shape: the input is the per-host COUNT table — O(hosts),
-    ~16 bytes/row, never the per-URL frontier — so the global-rank
-    window's single-partition pass is a few hundred MB even at 10^7
-    hosts (the same boundary any global sort has; range-partitioned
-    two-level prefix sums are the generalization if hosts ever outgrow
-    one task). The obvious alternative — a driver loop over hosts —
-    serializes on exactly the axis that grows.
+    never the per-URL frontier — and the global rank + prefix sum run
+    on ranking.global_running_sums (ONE range shuffle, per-partition
+    windows, O(#partitions) driver offsets), so no single task ever
+    sees all hosts: a 10^9-host web (the 10^10-URL design point)
+    ranks in parallel. The obvious alternative — a driver loop over
+    hosts — serializes on exactly the axis that grows. Query
+    construction is EAGER (the primitive collects its O(#partitions)
+    offsets), like active_users' span check.
     """
-    w_ord = Window.orderBy("n_queued", "host")
-    s = queue_counts.select(
-        "host", F.col("n_queued").cast("long").alias("n_queued")
-    ).withColumn("_k", F.row_number().over(w_ord)).withColumn(
-        "_pk", F.sum("n_queued").over(
-            w_ord.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("_h", F.count("*").over(
-        Window.partitionBy(F.lit(1))))
+    from barkingowl_spark.operators.ranking import global_running_sums
+
+    s = global_running_sums(
+        queue_counts.select(
+            "host", F.col("n_queued").cast("long").alias("n_queued"))
+        .withColumn("_one", F.lit(1).cast("long")),
+        ["n_queued", "host"],
+        # _k = running count (keys unique => global row number in
+        # (n_queued, host) order); _pk = inclusive demand prefix sum
+        {"_k": "_one", "_pk": "n_queued"},
+    ).drop("_one")
+    s = s.crossJoin(F.broadcast(
+        s.agg(F.count(F.lit(1)).cast("long").alias("_h"))))
     sat = s.withColumn(
         "_is_sat",
         ((F.col("_pk") - F.col("n_queued"))
@@ -316,8 +323,10 @@ def ucb_host_ranks(stats: DataFrame, k: int = 10) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy feeds a 1-row broadcast
     (t); top-k is orderBy+limit => TakeOrderedAndProject (per-partition
-    heaps, never a global sort shuffle); the final rank window runs
-    over k rows only."""
+    heaps, never a global sort shuffle); the final rank runs on
+    ranking.global_dense_rank over the k survivors (no
+    single-partition WindowExec anywhere; the primitive's offset
+    collect makes query construction eager)."""
     tot = stats.agg(F.sum("n").alias("t"))
     scored = (
         stats.crossJoin(F.broadcast(tot))
@@ -350,8 +359,15 @@ def ucb_host_ranks(stats: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.col("ucb_ppm").desc(), F.col("host").asc())
         .limit(int(k))
     )
-    w = Window.orderBy(F.col("ucb_ppm").desc(), F.col("host").asc())
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    # rank the k survivors via the scalable rank primitive (host is
+    # unique => dense rank == row number) — k rows would fit one task,
+    # but a WindowExec with no partitionBy is the shape this repo
+    # forbids outright (tests/test_plan_shapes.py pins its absence)
+    from barkingowl_spark.operators.ranking import global_dense_rank
+
+    return global_dense_rank(
+        top.withColumn("_negucb", -F.col("ucb_ppm")),
+        ["_negucb", "host"], out_col="rank").drop("_negucb")
 
 
 def host_health(

@@ -105,41 +105,56 @@ def global_running_sum(
     key_cols MUST be unique per row (include a tiebreaker id):
     a running sum at duplicate keys would depend on their arbitrary
     relative order and stop being engine-portable."""
-    ranked = (
-        df.repartitionByRange(*[F.col(c) for c in key_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lsum",
-            F.sum(F.col(value_col)).over(
-                Window.partitionBy("_pid")
-                .orderBy(*[F.asc(c) for c in key_cols])
-                .rowsBetween(Window.unboundedPreceding,
-                             Window.currentRow)),
-        )
-        .localCheckpoint()
+    return global_running_sums(df, key_cols, {out_col: value_col})
+
+
+def global_running_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    sums: dict[str, str],
+) -> DataFrame:
+    """global_running_sum for SEVERAL value columns in one pass:
+    ``sums`` maps out_col -> value_col; all running sums share the
+    single range shuffle, the single pid-partitioned window pass, and
+    ONE O(#partitions) totals collect (a consumer needing both a
+    global row number — running sum of a 1-literal — and a prefix
+    sum, e.g. politeness.waterfill_budget, pays one shuffle instead
+    of two). Same uniqueness contract on key_cols."""
+    wrun = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.asc(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    ranked = df.repartitionByRange(
+        *[F.col(c) for c in key_cols]).withColumn(
+        "_pid", F.spark_partition_id())
+    for out_col, value_col in sums.items():
+        ranked = ranked.withColumn(
+            f"_lsum_{out_col}", F.sum(F.col(value_col)).over(wrun))
+    ranked = ranked.localCheckpoint()
     # per-partition total = sum of the values, NOT max(_lsum): with
     # negative values the running max is not the partition total
-    totals = {
-        r["_pid"]: r["t"]
-        for r in ranked.groupBy("_pid").agg(
-            F.sum(F.col(value_col)).alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = F.element_at(
-        F.create_map(*[
-            F.lit(x) for pid in sorted(offsets)
-            for x in (pid, offsets[pid])
-        ]),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
-    return ranked.select(
-        *df.columns,
-        (off_expr + F.col("_lsum")).cast("long").alias(out_col),
-    )
+    totals = ranked.groupBy("_pid").agg(*[
+        F.sum(F.col(v)).alias(f"_t_{o}") for o, v in sums.items()
+    ]).collect()
+    by_pid = {r["_pid"]: r for r in totals}
+    out = ranked
+    for out_col in sums:
+        offsets, acc = {}, 0
+        for pid in sorted(by_pid):
+            offsets[pid] = acc
+            acc += by_pid[pid][f"_t_{out_col}"]
+        off_expr = F.element_at(
+            F.create_map(*[
+                F.lit(x) for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]),
+            F.col("_pid"),
+        ) if offsets else F.lit(0)
+        out = out.withColumn(
+            out_col,
+            (off_expr + F.col(f"_lsum_{out_col}")).cast("long"))
+    return out.select(*df.columns, *sums)
 
 
 def budget_select(

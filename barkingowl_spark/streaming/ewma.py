@@ -66,7 +66,7 @@ def _weighted_milli(win: list[int]) -> int:
     return 1000 * num // ((1 << len(win)) - 1)
 
 
-def _monitor(bucket_s: int, lags: int):
+def _monitor(bucket_s: int, lags: int, max_span: int):
     def fn(
         key: tuple[str], pdfs: Iterator[pd.DataFrame],
         state: GroupState,
@@ -89,19 +89,36 @@ def _monitor(bucket_s: int, lags: int):
             mx = max(c)
             if open_b is None:
                 open_b = min(c)
-            for b in range(open_b, mx):
-                x = c.get(b, 0) + (open_c if b == open_b else 0)
-                prev = (_weighted_milli(counts[-lags:])
-                        if n >= 1 else None)
-                win = (counts + [x])[-lags:]
-                ew = _weighted_milli(win)
-                dev = None if prev is None else x * 1000 - prev
-                spike = bool(prev is not None and dev > prev)
-                rows.append((k, b, x, ew, dev, spike))
-                counts = (counts + [x])[-lags:]
-                n += 1
-            open_c = c.get(mx, 0) + (open_c if mx == open_b else 0)
-            open_b = mx
+            # fold the open bucket's carried count in, then walk the
+            # ACTIVE buckets pairwise: each active bucket closes when
+            # the next one exists; the zeros between densify only when
+            # the quiet stretch fits max_span. A longer gap would emit
+            # one row per missing bucket (a day gap on 1-s buckets =
+            # 86k rows; a year ~ 31M) — the batch twin's forbidden
+            # unbounded-densification shape (_dense_series caps at
+            # max_span for the same reason) — so instead the baseline
+            # RESETS at the gap and restarts cold at the next
+            # activity. Per-key per-batch output stays <=
+            # max_span * len(active) rows, each a real bucket.
+            c[open_b] = c.get(open_b, 0) + open_c
+            marks = sorted(b for b in c if b >= open_b)
+            for a0, a1 in zip(marks, marks[1:]):
+                small_gap = a1 - a0 <= max_span
+                stop = a1 if small_gap else a0 + 1
+                for b in range(a0, stop):
+                    x = c.get(b, 0)
+                    prev = (_weighted_milli(counts[-lags:])
+                            if n >= 1 else None)
+                    win = (counts + [x])[-lags:]
+                    ew = _weighted_milli(win)
+                    dev = None if prev is None else x * 1000 - prev
+                    spike = bool(prev is not None and dev > prev)
+                    rows.append((k, b, x, ew, dev, spike))
+                    counts = (counts + [x])[-lags:]
+                    n += 1
+                if not small_gap:
+                    n, counts = 0, []
+            open_b, open_c = mx, c[mx]
         state.update((n, counts, open_b, open_c))
         yield pd.DataFrame(
             rows,
@@ -118,16 +135,25 @@ def monitor_rate_baseline(
     bucket_s: int = 3600,
     lags: int = 16,
     watermark: str = "10 seconds",
+    max_span: int = 4096,
 ) -> DataFrame:
     """(key_col, ts) stream -> live EWMA baseline stream
-    (EWMA_SCHEMA, append mode — each closed bucket exactly once)."""
+    (EWMA_SCHEMA, append mode — each closed bucket exactly once).
+
+    ``max_span`` caps the densified gap, mirroring the batch twin's
+    span guard (temporal._dense_series): when a key goes quiet for
+    more than max_span buckets, the baseline resets and re-seeds at
+    the new activity instead of emitting one zero row per gap bucket.
+    """
     if not 1 <= int(lags) <= 62:
         raise ValueError("lags must be in [1, 62]")
+    if int(max_span) < 1:
+        raise ValueError("max_span must be >= 1")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
-            _monitor(int(bucket_s), int(lags)),
+            _monitor(int(bucket_s), int(lags), int(max_span)),
             outputStructType=EWMA_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -7,7 +7,8 @@ the operational dashboard feed while crawl_wave runs.
       [--window "1 minute"] [--max-fetches 100] \
       [--session-gap-s 1800] [--default-delay-s 1] \
       [--delays <parquet of (host, delay_s)>] \
-      [--ewma-bucket-s 3600] [--ewma-lags 16] [--follow]
+      [--ewma-bucket-s 3600] [--ewma-lags 16]
+      [--ewma-max-span 4096] [--follow]
 
 Four monitors, each its own checkpointed append-mode query writing
 parquet under --out (a failed/irrelevant one can be dropped without
@@ -51,6 +52,7 @@ def main(argv=None) -> None:
     ap.add_argument("--delays", default=None)
     ap.add_argument("--ewma-bucket-s", type=int, default=3600)
     ap.add_argument("--ewma-lags", type=int, default=16)
+    ap.add_argument("--ewma-max-span", type=int, default=4096)
     ap.add_argument("--follow", action="store_true")
     args = ap.parse_args(argv)
 
@@ -95,7 +97,8 @@ def main(argv=None) -> None:
             default_delay_s=args.default_delay_s), "violations"),
         sink(monitor_rate_baseline(
             events, bucket_s=args.ewma_bucket_s,
-            lags=args.ewma_lags), "baseline"),
+            lags=args.ewma_lags,
+            max_span=args.ewma_max_span), "baseline"),
     ]
     if args.follow:
         print(json.dumps({}))

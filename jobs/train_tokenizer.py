@@ -96,16 +96,22 @@ def main(argv: list[str] | None = None) -> None:
             unigram_vocab,
         )
 
-        vocab = (unigram_em_vocab(docs, v=args.unigram_v)
+        wp = dict(word_pattern=args.word_pattern,
+                  min_freq=args.min_freq)
+        vocab = (unigram_em_vocab(docs, v=args.unigram_v, **wp)
                  if args.em_rounds else
-                 unigram_vocab(docs, v=args.unigram_v))
+                 unigram_vocab(docs, v=args.unigram_v, **wp))
         vocab.write.mode("overwrite").parquet(f"{args.out}/vocab")
-        seg = unigram_segment(docs, v=args.unigram_v)
+        seg = unigram_segment(docs, v=args.unigram_v, **wp)
         seg.write.mode("overwrite").parquet(f"{args.out}/segments")
         seg_read = spark.read.parquet(f"{args.out}/segments")
         agg = seg_read.agg(
-            F.sum(F.col("c") * F.col("n_pieces")).alias("pieces"),
-            F.sum(F.col("c") * F.length("word")).alias("chars"),
+            # empty corpus: sum() is NULL, not 0 — coalesce before
+            # the max(…, 1) guard (TypeError otherwise)
+            F.coalesce(F.sum(F.col("c") * F.col("n_pieces")),
+                       F.lit(0)).alias("pieces"),
+            F.coalesce(F.sum(F.col("c") * F.length("word")),
+                       F.lit(0)).alias("chars"),
         ).collect()[0]
         print(json.dumps({
             "model": "unigram",

@@ -42,6 +42,21 @@ def test_rank_by_tiebreak(spark):
     assert got == {2: 1, 5: 2, 9: 3}   # equal scores -> smaller id first
 
 
+def test_rank_by_rejects_unbounded_input(spark):
+    """The bounded-input contract is a runtime assert, not just a
+    docstring: an over-limit frame raises at execution instead of
+    silently serializing onto one task."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("s"))
+    with pytest.raises(Exception, match="exceeds max_rows"):
+        rank_by(big, "s", max_rows=1000).collect()
+    # raising the cap restores the ranking
+    assert rank_by(big, "s", max_rows=5000).count() == 5000
+
+
 def test_fuse_plan_takeordered(spark):
     r1 = spark.createDataFrame(
         [(d, d + 1) for d in range(50)], "doc_id long, rank int")

@@ -217,3 +217,45 @@ def test_pca_pass_single_dkey_aggregate_no_join(spark):
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_scheduling_tier_has_no_single_partition_window(spark):
+    """r02 verdict item: waterfill_budget, ucb_host_ranks and
+    mix.neyman_allocation must rank through the scalable primitives
+    (ranking.global_dense_rank / global_running_sums), never a
+    no-partitionBy Window — pinned two ways: (a) the forbidden
+    construct is absent from each function's source, and (b) the
+    composed physical plans carry no Window fed by an
+    Exchange SinglePartition."""
+    import inspect
+
+    from barkingowl_spark.operators import mix, politeness
+
+    for fn in (politeness.waterfill_budget, politeness.ucb_host_ranks,
+               mix.neyman_allocation):
+        src = inspect.getsource(fn)
+        assert "Window.orderBy" not in src, fn.__name__
+        assert "Window.partitionBy(F.lit" not in src, fn.__name__
+
+    def no_1p_window(plan: str):
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window " in ln:
+                ctx = "\n".join(lines[i + 1:i + 3])
+                assert "Exchange SinglePartition" not in ctx, plan
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"host": [f"h{i}" for i in range(40)],
+                      "n_queued": [i % 9 + 1 for i in range(40)]}))
+    no_1p_window(_plan(politeness.waterfill_budget(q, 60)))
+
+    stats = spark.createDataFrame(
+        pd.DataFrame({"host": [f"h{i}" for i in range(20)],
+                      "n": [i + 1 for i in range(20)],
+                      "reward": [i % 5 for i in range(20)]}))
+    no_1p_window(_plan(politeness.ucb_host_ranks(stats, k=7)))
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"source": [f"s{i % 4}" for i in range(40)],
+                      "val": [(i * 13) % 21 for i in range(40)]}))
+    no_1p_window(_plan(mix.neyman_allocation(docs, budget=25)))

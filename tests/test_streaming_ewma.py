@@ -75,6 +75,56 @@ def test_buckets_close_incrementally_across_restart(spark, dirs):
     assert len(got) == 4  # bucket 4 still open — never emitted
 
 
+def test_gap_beyond_max_span_resets_instead_of_densifying(
+        spark, tmp_path):
+    """A quiet period longer than max_span must NOT emit one row per
+    gap bucket (the forbidden unbounded-densification shape) — the
+    baseline resets and re-seeds at the new activity cluster."""
+    in_dir, out_dir, ck_dir = (str(tmp_path / d)
+                               for d in ("in", "out", "ck"))
+
+    def drain(rows, max_span):
+        _drop(spark, in_dir, rows)
+        events = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        q = (
+            monitor_rate_baseline(
+                events, bucket_s=B, lags=4, max_span=max_span)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["key"], r["t"] - T0 // B, r["x"], r["ewma_milli"],
+             r["dev_milli"], r["spike"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # buckets 0,1 then a 1000-bucket gap to 1001,1002,1003 with cap 8:
+    # pre-gap closed buckets still emit (bucket 1 closes at the gap),
+    # then the EWMA restarts cold at 1001 — NO zero rows fill the gap.
+    rows = [("a", _ts(0)), ("a", _ts(1)), ("a", _ts(1, 5)),
+            ("a", _ts(1001)), ("a", _ts(1002)), ("a", _ts(1002, 9)),
+            ("a", _ts(1003))]
+    got = drain(rows, max_span=8)
+    e12 = (1 * 1 + 2 * 2) * 1000 // 3  # win [1, 2] -> 1666
+    assert got == [
+        ("a", 0, 1, 1000, None, False),
+        ("a", 1, 2, e12, 2 * 1000 - 1000, False),  # closes AT the gap
+        ("a", 1001, 1, 1000, None, False),       # cold restart: no dev
+        ("a", 1002, 2, e12, 2 * 1000 - 1000, False),
+    ]
+
+    # restart from checkpoint with another >cap gap: same reset shape.
+    got = drain([("a", _ts(2010)), ("a", _ts(2011))], max_span=8)
+    assert [r for r in got if r[1] >= 1004] == [
+        ("a", 2010, 1, 1000, None, False),
+    ]
+
+
 def test_stream_equals_batch_minus_open_bucket(spark, tmp_path):
     import random
 

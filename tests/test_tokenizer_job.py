@@ -120,18 +120,27 @@ def test_unigram_mode_end_to_end(spark, tmp_path, capsys):
     head = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert head["model"] == "unigram"
     # exported tables match direct operator runs
+    # the job threads --word-pattern/--min-freq into the unigram
+    # path (it silently ignored them before) — direct calls must
+    # pass the job's defaults to compare
     want_v = {(r["piece"], r["mass"], r["cost_bits"])
-              for r in unigram_vocab(docs, v=32).collect()}
+              for r in unigram_vocab(
+                  docs, v=32, word_pattern="^[a-z]+$").collect()}
     got_v = {(r["piece"], r["mass"], r["cost_bits"])
              for r in spark.read.parquet(
                  str(tmp_path / "uni/vocab")).collect()}
     assert got_v == want_v
     want_s = {(r["word"], r["c"], r["cost_bits"], r["n_pieces"])
-              for r in unigram_segment(docs, v=32).collect()}
+              for r in unigram_segment(
+                  docs, v=32, word_pattern="^[a-z]+$").collect()}
     got_s = {(r["word"], r["c"], r["cost_bits"], r["n_pieces"])
              for r in spark.read.parquet(
                  str(tmp_path / "uni/segments")).collect()}
     assert got_s == want_s
+    # the pattern actually bit: Mixed-Case / dropped123 never reach
+    # the type table (previously they did — the flag was ignored)
+    assert not {w for w, _, _, _ in got_s} & {"Mixed-Case",
+                                              "dropped123"}
     assert head["word_types"] == len(want_s)
     assert head["chars_per_piece_milli"] >= 1000  # pieces <= chars
 
@@ -141,10 +150,26 @@ def test_unigram_mode_end_to_end(spark, tmp_path, capsys):
           "--unigram-v", "32", "--em-rounds", "1"])
     capsys.readouterr()
     want_e = {(r["piece"], r["mass_em"], r["cost_bits_em"])
-              for r in unigram_em_vocab(docs, v=32).collect()}
+              for r in unigram_em_vocab(
+                  docs, v=32, word_pattern="^[a-z]+$").collect()}
     got_e = {(r["piece"], r["mass_em"], r["cost_bits_em"])
              for r in spark.read.parquet(
                  str(tmp_path / "uni2/vocab")).collect()}
     assert got_e == want_e
     # EM prunes: the rescored inventory only keeps used pieces
     assert {p for p, _, _ in got_e} <= {p for p, _, _ in got_v}
+
+
+def test_unigram_empty_corpus_stats_line(spark, tmp_path, capsys):
+    """Empty corpus: sum aggregates are NULL — the stats line must
+    coalesce to 0 instead of raising TypeError in max(None, 1)."""
+    from jobs.train_tokenizer import main
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+    main(["--documents", str(tmp_path / "docs"),
+          "--out", str(tmp_path / "uni"), "--model", "unigram",
+          "--unigram-v", "8"])
+    head = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert head["word_types"] == 0
+    assert head["chars_per_piece_milli"] == 0
