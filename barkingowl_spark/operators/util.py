@@ -85,6 +85,14 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass
-    if df.rdd.getNumPartitions() < want:
+    # partition count from the JVM-side physical plan (toRdd) — same
+    # number df.rdd would report, without building the Python-pickle
+    # conversion plan that df.rdd wraps around it; df.rdd stays only
+    # as the compatibility fallback
+    try:
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < want:
         return df.repartition(want)
     return df

@@ -58,6 +58,63 @@ HEADLINE_QUERIES = [
     "mm_decode_stub",
 ]
 
+# Historical per-query envelopes at the driver contract point (sf0.1,
+# local[32]) spanning BOTH host eras this repo has measured on:
+# [0.5 * min(r01, r02), 2.0 * max(r01, r02)] seconds — r01 ran on the
+# fast pre-reboot instance, r02 on the ~1.6-2x-slower post-reboot one
+# (BENCH/BASELINE.md "Post-reboot drift"), so the band absorbs the
+# documented host swing and a breach means a PLAN change, not noise.
+QUERY_ENVELOPES_SF01 = {
+    "o5_fetch_join": (0.87, 5.54),
+    "o12_anti_join_dedup": (0.45, 3.14),
+    "o16_wave_counters": (0.41, 2.92),
+    "o18_bfs_order": (0.36, 2.30),
+    "o20_politeness_topk": (0.27, 1.57),
+    "events_sessionize": (0.34, 1.76),
+    "dedup_exact": (0.27, 1.62),
+    "dedup_jaccard": (2.31, 10.48),
+    "dedup_minhash_lsh": (0.96, 5.62),
+    "dedup_simhash": (0.68, 3.85),
+    "dedup_embed_cosine": (1.58, 8.88),
+    "sim_topk_dot": (0.32, 1.86),
+    "ann_ivf_topk": (0.54, 4.14),
+    "text_token_stats": (0.16, 0.77),
+    "text_langid": (0.23, 1.16),
+    "mm_decode_stub": (0.17, 0.89),
+}
+
+
+def control_probe(cpus: int, reps: int = 2) -> dict:
+    """No-Spark CPU control (tools/cpu_control.py workload) run INLINE
+    before the Spark session exists, so every BENCH_r{N}.json carries
+    its own host-speed calibration: thr_hi (tasks/s of a fixed
+    perfectly-parallel regex workload at the bench core count) is the
+    denominator that makes crawl urls/s comparable across the
+    instance reboots documented in BENCH/BASELINE.md, and
+    ceiling_efficiency is the host's OWN scaling ceiling (any Spark
+    scaling number must be read against it)."""
+    import statistics
+
+    from tools.cpu_control import run_level
+
+    hi = max(2, int(cpus))
+    lo = max(1, hi // 4)
+    tasks = hi * 6
+    run_level(lo, lo)  # warm the pool/page code paths
+    thr: dict[int, list[float]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for p in (lo, hi):
+            thr[p].append(run_level(p, tasks))
+    speedup = statistics.median(
+        thr[hi][i] / thr[lo][i] for i in range(reps))
+    return {
+        "pair": [lo, hi],
+        "thr_lo": round(statistics.median(thr[lo]), 1),
+        "thr_hi": round(statistics.median(thr[hi]), 1),
+        "unit": "tasks/s",
+        "ceiling_efficiency": round(speedup / (hi / lo), 3),
+    }
+
 
 def ensure_corpus(spark) -> str:
     marker = os.path.join(CORPUS_DIR, "_BOW_DONE")
@@ -128,6 +185,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    control = control_probe(int(cpus))
     spark = get_spark(
         app_name="barkingowl-bench",
         master=f"local[{cpus}]",
@@ -147,6 +205,18 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
     total = round(sum(queries.values()) + crawl["wall_s"], 2)
+    # normalized throughput: crawl urls/s per control tasks/s — the
+    # host-speed-independent headline (BENCH/BASELINE.md pins its band)
+    crawl["urls_per_control_unit"] = round(
+        crawl["urls_per_sec"] / control["thr_hi"], 2)
+    outside = {}
+    if sf_dir.rstrip("/").endswith("sf0.1") and int(cpus) == 32:
+        outside = {
+            n: {"sec": queries[n], "envelope": list(env)}
+            for n, env in QUERY_ENVELOPES_SF01.items()
+            if n in queries
+            and not env[0] <= queries[n] <= env[1]
+        }
     result = {
         "metric": "headline_suite_plus_crawl_wall",
         "value": total,
@@ -155,10 +225,14 @@ def main() -> None:
         "sf": sf_dir,
         "crawl": crawl,
         "cpus": int(cpus),
-        # this VM's absolute speed shifted ~1.6-2x across a mid-round
-        # host reboot on identical code (BENCH/BASELINE.md "Post-reboot
-        # drift"); compare totals within-instance against that note
-        "baseline_note": "see BENCH/BASELINE.md post-reboot band",
+        # self-calibration: absolute totals on this VM drift 1.6-2x
+        # across reboots on identical code — read `value` against
+        # `control.thr_hi` / the normalized urls_per_control_unit, and
+        # treat a non-empty queries_outside_envelope as the plan-change
+        # signal (the envelope already spans both host eras)
+        "control": control,
+        "queries_outside_envelope": outside,
+        "baseline_note": "see BENCH/BASELINE.md normalized band",
     }
     spark.stop()
     print(json.dumps(result))

@@ -121,7 +121,8 @@ def duck():
      "events_markov", "events_affinity",
      "emb_pca_power", "emb_kcenter",
      "events_funnel", "events_funnel_report", "events_retention",
-     "events_actives"],
+     "events_actives",
+     "mm_png_decode", "mm_png_ahash", "mm_png_resize"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
