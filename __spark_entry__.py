@@ -692,6 +692,17 @@ def q_sim_topk_cosine(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"))
 
 
+def q_sim_margin_pairs(spark, sf):
+    """Margin-based k-NN pair scoring (operators/similarity.py::
+    margin_knn_pairs, Artetxe & Schwenk ACL 2019 ratio margin — the
+    CCMatrix/LASER bitext-mining primitive): pairs ranked by cosine
+    RELATIVE to each endpoint's neighborhood average, which suppresses
+    hub vectors a raw-cosine threshold keeps."""
+    from barkingowl_spark.operators.similarity import margin_knn_pairs
+
+    return margin_knn_pairs(_t(spark, sf, "embeddings"))
+
+
 def q_dedup_embed_cosine(spark, sf):
     # embedding-cosine near-dup PAIRS, IVF-cell-blocked; exact quantized
     # cosine^2 accept test -> bit-portable to the DuckDB oracle
@@ -5377,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi": q_ann_lsh_multi,
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_margin_pairs": q_sim_margin_pairs,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -8958,6 +8970,57 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY cosine_ppm DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "sim_margin_pairs": f"""
+            WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     CAST(list_sum(list_transform(range(1, len(v) + 1),
+                       i -> v[i] * v[i])) AS BIGINT) AS n2
+              FROM v0),
+            nz AS (SELECT * FROM n WHERE n2 > 0 AND vec_id < 64),
+            a AS (SELECT vec_id AS x_id, v AS qv, n2 AS qn2
+                  FROM nz WHERE vec_id % 2 = 0),
+            b AS (SELECT vec_id AS y_id, v, n2
+                  FROM nz WHERE vec_id % 2 = 1),
+            s AS (
+              SELECT x_id, y_id,
+                     CAST(floor(CAST({_DOT_SQL} AS DOUBLE) * 1000000.0
+                       / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                       AS BIGINT) AS cosine_ppm
+              FROM a, b),
+            r AS (
+              SELECT x_id, y_id, cosine_ppm,
+                     row_number() OVER (PARTITION BY x_id
+                       ORDER BY cosine_ppm DESC, y_id) AS rx,
+                     row_number() OVER (PARTITION BY y_id
+                       ORDER BY cosine_ppm DESC, x_id) AS ry
+              FROM s),
+            ax AS (SELECT x_id, CAST(floor(sum(cosine_ppm) / count(*))
+                     AS BIGINT) AS avg_x
+                   FROM r WHERE rx <= 4 GROUP BY x_id),
+            ay AS (SELECT y_id, CAST(floor(sum(cosine_ppm) / count(*))
+                     AS BIGINT) AS avg_y
+                   FROM r WHERE ry <= 4 GROUP BY y_id),
+            p AS (
+              SELECT r.x_id, r.y_id, r.cosine_ppm,
+                     CASE WHEN avg_x + avg_y <= 0 THEN NULL
+                          WHEN r.cosine_ppm >= 0 THEN
+                            CAST((2000000 * r.cosine_ppm)
+                                 // (avg_x + avg_y) AS BIGINT)
+                          ELSE -CAST((2000000 * -r.cosine_ppm)
+                                 // (avg_x + avg_y) AS BIGINT) END
+                       AS margin_ppm
+              FROM r JOIN ax USING (x_id) JOIN ay USING (y_id)
+              WHERE r.rx <= 4),
+            t AS (SELECT x_id, y_id, cosine_ppm, margin_ppm FROM p
+                  ORDER BY margin_ppm DESC NULLS LAST, x_id, y_id
+                  LIMIT 50)
+            SELECT x_id, y_id, cosine_ppm, margin_ppm,
+                   row_number() OVER (ORDER BY
+                     coalesce(-margin_ppm, 4611686018427387904),
+                     x_id, y_id) AS rank
+            FROM t
         """,
         "dedup_embed_cosine": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),

@@ -648,6 +648,117 @@ def embedding_health(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def margin_knn_pairs(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_side: int = 32,
+    top_pairs: int = 50,
+) -> DataFrame:
+    """(x_id, y_id, cosine_ppm, margin_ppm, rank): margin-based k-NN
+    pair scoring (Artetxe & Schwenk, ACL 2019 — the ratio variant
+    behind CCMatrix/LASER bitext mining): a pair is strong not when
+    its raw cosine is high but when it stands OUT against each
+    endpoint's neighborhood —
+
+        margin(x, y) = cos(x, y) /
+                       ((avg_k cos(x, NN_B(x)) + avg_k cos(y, NN_A(y)))
+                        / 2)
+
+    which kills hub vectors (high cosine to everything = dense
+    neighborhood = low margin) that plain-threshold pairing keeps.
+    The two "corpora" here are the even/odd vec_id halves of the
+    embeddings table, truncated to n_side vectors per side — the
+    bounded probe/audit face of the operator.
+
+    Integer contract: cosine_ppm is cosine_topk's bit-portable floor
+    ppm; each endpoint's neighborhood average is floor(sum of its
+    top-k cosine_ppm / count); margin_ppm = 2e6 * cos DIV (avg_x +
+    avg_y), sign-split so Spark DIV and DuckDB // agree (truncate
+    toward zero), NULL when the denominator is <= 0 (an anti-hub
+    neighborhood — no meaningful ratio). Scored pairs are x's forward
+    top-k edges; output ranked by (margin desc, x_id, y_id), cut to
+    top_pairs.
+
+    Scale shape (10^10 path): the sides here are bounded so the score
+    matrix is a broadcast join, but NOTHING in the scoring needs the
+    exact matrix — swap the A x B cross score for ANN candidate
+    edges (ivf_topk / lsh_topk lists in both directions) and the same
+    windows produce per-endpoint averages from the candidate lists;
+    margin scoring is one groupBy + one join over the edge lists."""
+    vecs = _quantized(embeddings).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+               " (acc, e) -> acc + e)"),
+    ).filter((F.col("n2") > 0) & (F.col("vec_id") < 2 * int(n_side)))
+    a = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"))
+    b = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "v", "n2")
+    scored = (
+        F.broadcast(a).join(b)
+        .select(
+            "x_id", "y_id",
+            F.floor(
+                F.expr(_DOT).cast("double") * F.lit(1_000_000.0)
+                / F.sqrt(F.col("qn2").cast("double")
+                         * F.col("n2").cast("double"))
+            ).cast("long").alias("cosine_ppm"),
+        )
+        .localCheckpoint()  # referenced by both direction windows
+    )
+    wx = Window.partitionBy("x_id").orderBy(
+        F.col("cosine_ppm").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(
+        F.col("cosine_ppm").desc(), F.col("x_id"))
+    ranked = scored.withColumn("rx", F.row_number().over(wx)) \
+        .withColumn("ry", F.row_number().over(wy))
+    ax = (
+        ranked.filter(F.col("rx") <= int(k))
+        .groupBy("x_id")
+        .agg(F.expr("CAST(floor(sum(cosine_ppm) / count(1))"
+                    " AS BIGINT)").alias("avg_x"))
+    )
+    ay = (
+        ranked.filter(F.col("ry") <= int(k))
+        .groupBy("y_id")
+        .agg(F.expr("CAST(floor(sum(cosine_ppm) / count(1))"
+                    " AS BIGINT)").alias("avg_y"))
+    )
+    pairs = (
+        ranked.filter(F.col("rx") <= int(k))
+        .select("x_id", "y_id", "cosine_ppm")
+        .join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "CASE WHEN avg_x + avg_y <= 0 THEN CAST(NULL AS BIGINT)"
+                " WHEN cosine_ppm >= 0 THEN"
+                " CAST((2000000 * cosine_ppm) DIV (avg_x + avg_y)"
+                " AS BIGINT)"
+                " ELSE -CAST((2000000 * -cosine_ppm)"
+                " DIV (avg_x + avg_y) AS BIGINT) END"))
+    )
+    from barkingowl_spark.operators.ranking import global_dense_rank
+
+    top = (
+        pairs.orderBy(
+            F.desc_nulls_last("margin_ppm"), F.asc("x_id"),
+            F.asc("y_id"))
+        .limit(int(top_pairs))
+        # rank the <= top_pairs survivors via the scalable primitive
+        # (keys unique per pair => dense rank == row number; NULL
+        # margins sort last via the sentinel) — no unpartitioned
+        # Window, the repo-forbidden shape
+        .withColumn("_negm", F.coalesce(-F.col("margin_ppm"),
+                                        F.lit(1 << 62)))
+    )
+    return global_dense_rank(
+        top, ["_negm", "x_id", "y_id"], out_col="rank",
+    ).select("x_id", "y_id", "cosine_ppm", "margin_ppm", "rank")
+
+
 def _topk_int_dot(vecs: DataFrame, n_queries: int, k: int) -> DataFrame:
     """(q_id, vec_id, rank) top-k by integer dot over (vec_id, v)."""
     queries = vecs.filter(F.col("vec_id") < n_queries).select(

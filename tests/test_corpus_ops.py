@@ -929,3 +929,85 @@ def test_bbit_minwise_audit_matches_reimpl(spark):
         assert jac == want_j and err == abs(est - want_j)
     # the exact-dup pair estimates 1e6 exactly (all nibbles match)
     assert got[(1, 3)][0] == 8 and got[(1, 3)][1] == 1_000_000
+
+
+def test_margin_knn_suppresses_hubs(spark):
+    """Margin scoring (similarity.margin_knn_pairs): a hub vector with
+    uniformly high cosine to everything must rank BELOW a sharp
+    isolated pair of equal raw cosine — the Artetxe-Schwenk property a
+    raw threshold lacks — and the integer margin must match a
+    pure-Python replay of the spec."""
+    import math
+
+    from barkingowl_spark.operators.similarity import margin_knn_pairs
+
+    dim = 6
+
+    def unit(*basis):
+        v = [0.0] * dim
+        for i, wgt in basis:
+            v[i] = wgt
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # evens = side A, odds = side B.
+    # sharp pair: A0 ~ B1 (cos ~0.95), both far from everything else.
+    # hub: A2 has cos ~0.9 to B3, B5, B7 alike (dense neighborhood).
+    rows = [
+        (0, unit((0, 1.0))),
+        (1, unit((0, 0.95), (1, math.sqrt(1 - 0.95 ** 2)))),
+        (2, unit((2, 1.0))),
+        (3, unit((2, 0.9), (3, math.sqrt(1 - 0.81)))),
+        (5, unit((2, 0.9), (4, math.sqrt(1 - 0.81)))),
+        (7, unit((2, 0.9), (5, math.sqrt(1 - 0.81)))),
+        (4, unit((3, 1.0))),   # extra A-side vectors so k-NN lists
+        (6, unit((4, 1.0))),   # have mass on both sides
+        (9, unit((5, 1.0))),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    got = {(r["x_id"], r["y_id"]): r
+           for r in margin_knn_pairs(emb, k=3, n_side=8,
+                                     top_pairs=40).collect()}
+    sharp = got[(0, 1)]
+    hub_edges = [got[(2, y)] for y in (3, 5, 7)]
+    # hub raw cosines ~0.9e6 rival the sharp pair's 0.95e6, but every
+    # hub edge's margin must fall below the sharp pair's
+    assert all(e["cosine_ppm"] > 850_000 for e in hub_edges)
+    for e in hub_edges:
+        assert e["margin_ppm"] < sharp["margin_ppm"], (e, sharp)
+    assert sharp["rank"] == min(r["rank"] for r in got.values())
+
+    # integer replay of the full spec on the quantized vectors
+    q = {i: [round(x * 1000) for x in v] for i, v in rows}
+    ids_a = sorted(i for i in q if i % 2 == 0)
+    ids_b = sorted(i for i in q if i % 2 == 1)
+
+    def cos_ppm(x, y):
+        dot = sum(a * b for a, b in zip(q[x], q[y]))
+        nx = sum(a * a for a in q[x])
+        ny = sum(b * b for b in q[y])
+        return math.floor(dot * 1_000_000.0 / math.sqrt(nx * ny))
+
+    def topk(vals, k):
+        return sorted(vals, key=lambda t: (-t[0], t[1]))[:k]
+
+    avg = {}
+    for x in ids_a:
+        best = topk([(cos_ppm(x, y), y) for y in ids_b], 3)
+        avg[("a", x)] = math.floor(
+            sum(c for c, _ in best) / len(best))
+    for y in ids_b:
+        best = topk([(cos_ppm(x, y), x) for x in ids_a], 3)
+        avg[("b", y)] = math.floor(
+            sum(c for c, _ in best) / len(best))
+    for (x, y), r in got.items():
+        den = avg[("a", x)] + avg[("b", y)]
+        c = cos_ppm(x, y)
+        assert r["cosine_ppm"] == c, (x, y)
+        if den <= 0:
+            assert r["margin_ppm"] is None
+        else:
+            want = ((2_000_000 * c) // den if c >= 0
+                    else -((2_000_000 * -c) // den))
+            assert r["margin_ppm"] == want, (x, y)

@@ -122,7 +122,8 @@ def duck():
      "emb_pca_power", "emb_kcenter",
      "events_funnel", "events_funnel_report", "events_retention",
      "events_actives",
-     "mm_png_decode", "mm_png_ahash", "mm_png_resize"],
+     "mm_png_decode", "mm_png_ahash", "mm_png_resize",
+     "sim_margin_pairs"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
