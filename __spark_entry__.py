@@ -703,6 +703,23 @@ def q_sim_margin_pairs(spark, sf):
     return margin_knn_pairs(_t(spark, sf, "embeddings"))
 
 
+def q_events_trend(spark, sf):
+    """Exact integer trend fit (operators/ranking.py::ols_fit): daily
+    event counts regressed on the day index — slope_ppm is the
+    events/day drift a capacity planner reads, with the reported-ppm-
+    slope intercept convention and exact-isqrt Pearson r/r2 making
+    every number bit-portable to the DuckDB oracle."""
+    from barkingowl_spark.operators.ranking import ols_fit
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                        " DIV 86400000000").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return ols_fit(daily, "day", "cnt")
+
+
 def q_dedup_embed_cosine(spark, sf):
     # embedding-cosine near-dup PAIRS, IVF-cell-blocked; exact quantized
     # cosine^2 accept test -> bit-portable to the DuckDB oracle
@@ -5389,6 +5406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_dot": q_sim_topk_dot,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_margin_pairs": q_sim_margin_pairs,
+        "events_trend": q_events_trend,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -8970,6 +8988,75 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY cosine_ppm DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "events_trend": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM daily),
+            v AS (
+              SELECT n, sx, sy,
+                     n * sxx - sx * sx AS vx,
+                     n * syy - sy * sy AS vy,
+                     n * sxy - sx * sy AS num
+              FROM s),
+            b AS (
+              SELECT *,
+                     CASE WHEN vx = 0 THEN NULL
+                          WHEN num >= 0 THEN
+                            CAST((1000000 * num) // vx AS BIGINT)
+                          ELSE -CAST((1000000 * (-num)) // vx
+                                     AS BIGINT) END AS slope_ppm
+              FROM v),
+            i AS (
+              SELECT *,
+                     CASE WHEN vx = 0 THEN NULL
+                          WHEN 1000000000 * sy
+                               - 1000 * slope_ppm * sx >= 0 THEN
+                            CAST((1000000000 * sy
+                                  - 1000 * slope_ppm * sx)
+                                 // (1000000 * n) AS BIGINT)
+                          ELSE -CAST(-(1000000000 * sy
+                                  - 1000 * slope_ppm * sx)
+                                 // (1000000 * n) AS BIGINT) END
+                       AS intercept_milli,
+                     CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)
+                       AS s0,
+                     CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)
+                       AS s1
+              FROM b),
+            r AS (
+              SELECT *,
+                     CASE WHEN vx = 0 THEN CAST(0 AS BIGINT)
+                          WHEN (s0 + 1) * (s0 + 1) <= vx THEN s0 + 1
+                          WHEN s0 * s0 > vx THEN s0 - 1
+                          ELSE s0 END AS rx,
+                     CASE WHEN vy = 0 THEN CAST(0 AS BIGINT)
+                          WHEN (s1 + 1) * (s1 + 1) <= vy THEN s1 + 1
+                          WHEN s1 * s1 > vy THEN s1 - 1
+                          ELSE s1 END AS ry
+              FROM i),
+            f AS (
+              SELECT n, slope_ppm, intercept_milli,
+                     CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)
+                          WHEN num >= 0 THEN
+                            least(CAST((1000000 * num) // (rx * ry)
+                                  AS BIGINT), 1000000)
+                          ELSE greatest(-CAST((1000000 * (-num))
+                                  // (rx * ry) AS BIGINT), -1000000)
+                          END AS r_ppm
+              FROM r)
+            SELECT n, slope_ppm, intercept_milli, r_ppm,
+                   CAST((r_ppm * r_ppm) // 1000000 AS BIGINT)
+                     AS r2_ppm
+            FROM f
         """,
         "sim_margin_pairs": f"""
             WITH v0 AS (SELECT vec_id, {_QUANT_SQL} AS v FROM embeddings),

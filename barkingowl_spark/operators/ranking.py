@@ -376,6 +376,96 @@ def metric_correlation(
     )
 
 
+def ols_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """1 row (n, slope_ppm, intercept_milli, r_ppm, r2_ppm): exact
+    integer simple least squares y = a + b*x — metric_correlation's
+    sibling for when the NUMBER you need is the trend itself (is
+    crawl traffic growing? how fast does quality decay per depth
+    level?), not just its strength:
+
+        b (slope_ppm)        = 1e6 * (n*Sxy - Sx*Sy)
+                               DIV (n*Sxx - Sx^2)
+        a (intercept_milli)  = (1e9*Sy - 1000*slope_ppm*Sx)
+                               DIV (1e6 * n)
+                               -- i.e. exact in the REPORTED ppm slope,
+                               so both engines agree bit-for-bit
+        r_ppm                = metric_correlation's exact-isqrt Pearson
+        r2_ppm               = r_ppm^2 DIV 1e6
+
+    All divisions sign-split (truncate toward zero on both engines);
+    slope/intercept NULL when x is constant (vx = 0). Envelope:
+    |x|, |y| <= ~1e6 at n <= 1e9 keeps every product inside
+    DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: ONE map-side-combined 1-row aggregation (the same
+    five power sums as metric_correlation), then pure projections —
+    nothing here grows with the input."""
+    s = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+           "(CASE WHEN (_s{n} + 1) * (_s{n} + 1) <= ({v})"
+           " THEN _s{n} + 1"
+           " WHEN _s{n} * _s{n} > ({v}) THEN _s{n} - 1"
+           " ELSE _s{n} END) END")
+    return (
+        s.withColumn("vx", F.expr("n * sxx - sx * sx"))
+        .withColumn("vy", F.expr("n * syy - sy * sy"))
+        .withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn(
+            "slope_ppm",
+            F.expr(
+                "CASE WHEN vx = 0 THEN CAST(NULL AS BIGINT)"
+                " WHEN num >= 0 THEN"
+                " CAST((1000000 * num) DIV vx AS BIGINT)"
+                " ELSE -CAST((1000000 * (-num)) DIV vx AS BIGINT)"
+                " END"))
+        .withColumn(
+            "intercept_milli",
+            F.expr(
+                "CASE WHEN vx = 0 THEN CAST(NULL AS BIGINT)"
+                " WHEN 1000000000 * sy - 1000 * slope_ppm * sx >= 0"
+                " THEN CAST((1000000000 * sy - 1000 * slope_ppm * sx)"
+                " DIV (1000000 * n) AS BIGINT)"
+                " ELSE -CAST(-(1000000000 * sy - 1000 * slope_ppm * sx)"
+                " DIV (1000000 * n) AS BIGINT) END"))
+        .withColumn(
+            "_vxb", F.expr("CAST(vx AS BIGINT)"))
+        .withColumn(
+            "_vyb", F.expr("CAST(vy AS BIGINT)"))
+        .withColumn("_s0", F.expr(
+            "CAST(floor(sqrt(CAST(_vxb AS DOUBLE))) AS BIGINT)"))
+        .withColumn("_s1", F.expr(
+            "CAST(floor(sqrt(CAST(_vyb AS DOUBLE))) AS BIGINT)"))
+        .withColumn("rx", F.expr(isq.format(v="_vxb", n=0)))
+        .withColumn("ry", F.expr(isq.format(v="_vyb", n=1)))
+        .withColumn(
+            "r_ppm",
+            F.expr(
+                "CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)"
+                " WHEN num >= 0 THEN"
+                " least(CAST((1000000 * num) DIV (rx * ry)"
+                " AS BIGINT), 1000000)"
+                " ELSE greatest(-CAST((1000000 * (-num)) DIV (rx * ry)"
+                " AS BIGINT), -1000000) END"))
+        .select(
+            "n", "slope_ppm", "intercept_milli", "r_ppm",
+            F.expr("CAST((r_ppm * r_ppm) DIV 1000000 AS BIGINT)")
+            .alias("r2_ppm"),
+        )
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     key_col: str,

@@ -53,3 +53,48 @@ def test_gini_scale_invariant_and_bounded(spark):
     g7 = gini_concentration(df7, "key", "v").collect()[0]
     assert g1["gini_ppm"] == g7["gini_ppm"]
     assert 0 <= g1["gini_ppm"] <= 1_000_000 * 59 // 60
+
+
+def test_ols_fit_exact_line_noise_and_degenerate(spark):
+    from barkingowl_spark.operators.ranking import ols_fit
+
+    # exact line: y = 3x + 7 recovered exactly in fixed point
+    df = spark.createDataFrame(
+        [(x, 3 * x + 7) for x in range(10)], "x long, y long")
+    r = ols_fit(df, "x", "y").collect()[0]
+    assert (r["n"], r["slope_ppm"], r["intercept_milli"],
+            r["r_ppm"], r["r2_ppm"]) == (10, 3_000_000, 7_000,
+                                         1_000_000, 1_000_000)
+
+    # pure-python replay of the integer spec on a noisy series
+    rows = [(x, 1000 - 5 * x + (x % 3 - 1)) for x in range(50)]
+    r = ols_fit(spark.createDataFrame(rows, "x long, y long"),
+                "x", "y").collect()[0]
+    import math
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    num = n * sxy - sx * sy
+
+    def sdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    slope = sdiv(1_000_000 * num, vx)
+    inter = sdiv(1_000_000_000 * sy - 1000 * slope * sx,
+                 1_000_000 * n)
+    rp = sdiv(1_000_000 * num, math.isqrt(vx) * math.isqrt(vy))
+    assert r["slope_ppm"] == slope
+    assert r["intercept_milli"] == inter
+    assert r["r_ppm"] == max(-1_000_000, min(1_000_000, rp))
+    assert r["r2_ppm"] == (r["r_ppm"] * r["r_ppm"]) // 1_000_000
+
+    # constant x: slope/intercept NULL, r = 0
+    r = ols_fit(spark.createDataFrame([(2, 5), (2, 9)],
+                                      "x long, y long"),
+                "x", "y").collect()[0]
+    assert r["slope_ppm"] is None and r["intercept_milli"] is None
+    assert r["r_ppm"] == 0 and r["r2_ppm"] == 0
