@@ -98,3 +98,45 @@ def test_ols_fit_exact_line_noise_and_degenerate(spark):
                 "x", "y").collect()[0]
     assert r["slope_ppm"] is None and r["intercept_milli"] is None
     assert r["r_ppm"] == 0 and r["r2_ppm"] == 0
+
+
+def test_global_running_sums_multi_value_one_pass(spark):
+    """The multi-value variant must equal per-column global_running_sum
+    (including negative values and a running row-number via a
+    1-literal), off a single range shuffle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from barkingowl_spark.operators.ranking import (
+        global_running_sum,
+        global_running_sums,
+    )
+
+    random.seed(7)
+    rows = [(i, random.randint(-50, 50), random.randint(1, 9))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long") \
+        .withColumn("_one", F.lit(1).cast("long"))
+    multi = {
+        (r["id"]): (r["ra"], r["rb"], r["rk"])
+        for r in global_running_sums(
+            df, ["a", "id"],
+            {"ra": "a", "rb": "b", "rk": "_one"}).collect()
+    }
+    single_a = {r["id"]: r["ra"] for r in global_running_sum(
+        df, ["a", "id"], "a", out_col="ra").collect()}
+    single_b = {r["id"]: r["rb"] for r in global_running_sum(
+        df, ["a", "id"], "b", out_col="rb").collect()}
+    assert {k: v[0] for k, v in multi.items()} == single_a
+    assert {k: v[1] for k, v in multi.items()} == single_b
+    # the 1-literal running sum is the global row number in key order
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want_rk = {rid: k + 1 for k, (rid, _, _) in enumerate(order)}
+    assert {k: v[2] for k, v in multi.items()} == want_rk
+    # python replay of the inclusive prefix sums in (a, id) order
+    acc_a = acc_b = 0
+    for rid, a, b in order:
+        acc_a += a
+        acc_b += b
+        assert multi[rid] == (acc_a, acc_b, want_rk[rid]), rid
