@@ -14,14 +14,20 @@ Pipeline (the real thing and this implementation, stage for stage):
                                   t_query); a tall bin IS a match
                                   (time-coherent hash agreement)
 
-The DECODE stage needs an audio codec, absent in this container by
-design — _peaks_real raises NotImplementedError and _peaks_stub
-derives a deterministic fake constellation from the payload bytes
-(byte i is the 'spectral energy' of frame i; strict-left/gte-right
-local maxima are 'peaks'), keeping the Spark-side plumbing real and
-oracle-checkable: schema, Arrow batching, partitioning, and every
-relational stage downstream are exactly what the codec-present
-deployment runs (the operators/multimodal.py convention).
+WAV/PCM-16 payloads DECODE FOR REAL (r03, the pngcodec convention):
+RIFF/WAVE needs nothing beyond stdlib struct — decode_wav_pcm16
+parses fmt/data chunks (PCM only; channel 0 of interleaved frames) —
+and _peaks_real computes an exact-integer spectral constellation:
+64-sample frames at hop 32, WALSH-HADAMARD sequency energies
+(coef(k) = sum_j s[j] * (-1)^popcount(j AND k) — the +-1-basis
+spectral transform, integer-exact, and reproducible in plain SQL via
+bit_count parity), peak = strict-rise/non-rise local max IN TIME per
+sequency band k = 1..63 (DC excluded). Per-payload magic dispatch:
+b'RIFF' -> real pixels-equivalent path; anything else falls to
+_peaks_stub, the deterministic byte fake for formats whose codecs
+this container genuinely lacks (MP3/AAC/ffmpeg) — schema, Arrow
+batching, partitioning, and every relational stage downstream are
+identical on both paths (the operators/multimodal.py convention).
 
 Scale shape: peaks are a mapInPandas over the audio table (payloads
 read ONCE, never shuffled); landmarks are a per-track self-join bounded
@@ -44,16 +50,91 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_HAVE_CODEC = False  # no audio codec in this container (by design)
+_HAVE_CODEC = False  # no COMPRESSED-audio codec here (by design);
+#                      PCM WAV decodes for real via decode_wav_pcm16
+
+FRAME = 64   # WHT frame length (power of two)
+HOP = 32
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Mono PCM-16 WAV writer (RIFF/fmt/data) — the fixture generator
+    for the real decode path; samples clamp to int16."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s))))
+        for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(payload: bytes) -> list[int]:
+    """RIFF/WAVE -> channel-0 int16 samples. PCM (format 1) 16-bit
+    only; compressed formats raise NotImplementedError (their codecs
+    are the genuine environment gap), corrupt containers ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, bits, fmt_code, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_code, n_ch = struct.unpack("<HH", body[:4])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"compressed/non-16-bit WAV (format={fmt_code}, "
+            f"bits={bits}): codec absent in this environment")
+    frame_bytes = 2 * n_ch
+    usable = len(data) - len(data) % frame_bytes
+    return [
+        struct.unpack("<h", data[i:i + 2])[0]
+        for i in range(0, usable, frame_bytes)
+    ]
 
 
 def _peaks_real(payload: bytes) -> list[tuple[int, int]]:
-    """Real path: decode, STFT, local-max constellation. Needs an
-    audio codec — absent here by design."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; "
-        "the deterministic stub below exercises the same plumbing"
-    )
+    """Real constellation over decoded PCM: frame t = samples
+    [t*HOP, t*HOP + FRAME); energy e(t, k) = |sum_j s[t*HOP + j] *
+    (-1)^popcount(j AND k)| (Walsh-Hadamard sequency k, exact
+    integer); peak at (t, k) for k in 1..FRAME-1 iff
+    e(t-1, k) < e(t, k) >= e(t+1, k) — the same strict-rise/non-rise
+    rule as the stub, applied per band, interior frames only."""
+    s = decode_wav_pcm16(payload)
+    n_frames = (len(s) - FRAME) // HOP + 1 if len(s) >= FRAME else 0
+    if n_frames < 3:
+        return []
+    # per-frame WHT magnitudes via the fast butterfly (exact ints)
+    energies = []
+    for t in range(n_frames):
+        v = s[t * HOP:t * HOP + FRAME]
+        h = 1
+        while h < FRAME:
+            for i in range(0, FRAME, h * 2):
+                for j in range(i, i + h):
+                    a, b = v[j], v[j + h]
+                    v[j], v[j + h] = a + b, a - b
+            h *= 2
+        energies.append([abs(x) for x in v])
+    return [
+        (t, k)
+        for t in range(1, n_frames - 1)
+        for k in range(1, FRAME)
+        if energies[t - 1][k] < energies[t][k] >= energies[t + 1][k]
+    ]
 
 
 def _peaks_stub(payload: bytes) -> list[tuple[int, int]]:
@@ -68,10 +149,39 @@ def _peaks_stub(payload: bytes) -> list[tuple[int, int]]:
     ]
 
 
+def _peaks_dispatch(payload: bytes) -> list[tuple[int, int]]:
+    """b'RIFF' magic -> real WAV/PCM constellation; else the stub."""
+    return (_peaks_real if payload[:4] == b"RIFF"
+            else _peaks_stub)(payload)
+
+
+def wav_table(docs: DataFrame) -> DataFrame:
+    """(track_id, payload): a deterministic PCM-16 WAV per doc_id —
+    the real-decode fixture (png_table's audio twin): 256 samples
+    s[n] = (n * (n + d)) % 8192 - 4096, so a SQL oracle recomputes
+    the exact Walsh-Hadamard constellation from the formula while
+    Spark round-trips actual RIFF bytes."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_wav_pcm16([
+                    (n * (n + int(d))) % 8192 - 4096
+                    for n in range(256)
+                ])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"track_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "track_id long, payload binary")
+
+
 def extract_peaks(audio: DataFrame, id_col: str = "track_id") -> DataFrame:
     """(id, t, f): the constellation map per payload — one Arrow-batch
     pass, payload bytes never leave the map task."""
-    peaks_fn = _peaks_real if _HAVE_CODEC else _peaks_stub
+    peaks_fn = _peaks_dispatch
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -102,3 +102,80 @@ def test_validation(spark):
         landmark_hashes(df, max_dt=64)
     with pytest.raises(ValueError):
         landmark_hashes(df, fanout=0)
+
+
+def test_wav_codec_round_trip_and_rejection():
+    """PCM-16 WAV codec (r03 de-stub): round-trip, stereo channel-0
+    extraction, word-aligned odd chunks, compressed rejection."""
+    import struct
+
+    import pytest
+
+    from barkingowl_spark.operators.audiofp import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [(n * 37) % 4001 - 2000 for n in range(200)]
+    assert decode_wav_pcm16(encode_wav_pcm16(samples)) == samples
+
+    stereo = b"".join(struct.pack("<hh", v, -v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(stereo)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(stereo)) + stereo)
+    assert decode_wav_pcm16(wav) == samples
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"ID3\x00" + wav)
+    bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # mp3
+    wav_mp3 = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + bad_fmt
+               + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="format=85"):
+        decode_wav_pcm16(wav_mp3)
+
+
+def test_real_wht_constellation_matches_direct_formula(spark):
+    """The butterfly WHT equals the direct popcount-parity definition,
+    and the Spark extract_peaks real path reproduces it; non-RIFF
+    payloads still take the byte stub."""
+    from barkingowl_spark.operators.audiofp import (
+        FRAME,
+        HOP,
+        _peaks_stub,
+        encode_wav_pcm16,
+        extract_peaks,
+        wav_table,
+    )
+
+    def direct(samples, d=None):
+        nf = (len(samples) - FRAME) // HOP + 1
+
+        def en(t, k):
+            return abs(sum(
+                samples[t * HOP + j]
+                * (1 if bin(j & k).count("1") % 2 == 0 else -1)
+                for j in range(FRAME)))
+        return [(t, k) for t in range(1, nf - 1)
+                for k in range(1, FRAME)
+                if en(t - 1, k) < en(t, k) >= en(t + 1, k)]
+
+    docs = spark.createDataFrame([(d,) for d in range(4)],
+                                 "doc_id long")
+    got = {}
+    for r in extract_peaks(wav_table(docs)).collect():
+        got.setdefault(r["track_id"], []).append((r["t"], r["f"]))
+    for d in range(4):
+        samples = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+        assert sorted(got[d]) == direct(samples), d
+
+    # dispatch: a non-RIFF payload still stub-hashes by bytes
+    import pandas as pd
+
+    raw = spark.createDataFrame(
+        pd.DataFrame({"track_id": [9],
+                      "payload": [bytes([3, 9, 2, 5, 5, 1])]}))
+    stub = {(r["t"], r["f"])
+            for r in extract_peaks(raw).collect()}
+    assert stub == set(_peaks_stub(bytes([3, 9, 2, 5, 5, 1])))

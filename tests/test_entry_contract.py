@@ -123,7 +123,7 @@ def duck():
      "events_funnel", "events_funnel_report", "events_retention",
      "events_actives",
      "mm_png_decode", "mm_png_ahash", "mm_png_resize",
-     "sim_margin_pairs", "events_trend"],
+     "sim_margin_pairs", "events_trend", "audio_wav_peaks"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
