@@ -9438,16 +9438,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, width, height,
                    CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
                         WHEN side <= 32 THEN width
-                        ELSE (width * 32) // side END AS INT) AS out_width,
+                        ELSE greatest(1, (width * 32) // side)
+                        END AS INT) AS out_width,
                    CAST(CASE WHEN width <= 0 OR height <= 0 THEN 0
                         WHEN side <= 32 THEN height
-                        ELSE (height * 32) // side END AS INT) AS out_height,
+                        ELSE greatest(1, (height * 32) // side)
+                        END AS INT) AS out_height,
                    CAST((CASE WHEN width <= 0 OR height <= 0 THEN 0
                          WHEN side <= 32 THEN width
-                         ELSE (width * 32) // side END)
+                         ELSE greatest(1, (width * 32) // side) END)
                         * (CASE WHEN width <= 0 OR height <= 0 THEN 0
                            WHEN side <= 32 THEN height
-                           ELSE (height * 32) // side END) AS BIGINT)
+                           ELSE greatest(1, (height * 32) // side)
+                           END) AS BIGINT)
                      AS out_bytes
             FROM s
         """,
@@ -9489,9 +9492,11 @@ def oracle_sql() -> dict[str, str]:
             rd AS (
               SELECT doc_id, w, h,
                      CASE WHEN greatest(w, h) <= 12 THEN w
-                          ELSE (w * 12) // greatest(w, h) END AS ow,
+                          ELSE greatest(1, (w * 12) // greatest(w, h))
+                          END AS ow,
                      CASE WHEN greatest(w, h) <= 12 THEN h
-                          ELSE (h * 12) // greatest(w, h) END AS oh
+                          ELSE greatest(1, (h * 12) // greatest(w, h))
+                          END AS oh
               FROM dims),
             rp AS (
               SELECT doc_id, w, h, ow, oh,

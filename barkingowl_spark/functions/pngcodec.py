@@ -87,8 +87,23 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> list[bytearray]:
 
 def decode_png(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """payload -> (width, height, grayscale rows). Raises ValueError
-    on a corrupt PNG (bad magic/CRC/length) and NotImplementedError on
-    valid-but-unsupported shapes (palette, 16-bit, interlaced)."""
+    on a corrupt PNG (bad magic/CRC/length/stream) and
+    NotImplementedError on valid-but-unsupported shapes (palette,
+    16-bit, interlaced). Those two are the WHOLE error surface:
+    zlib.error (truncated/garbage IDAT behind intact chunk CRCs) and
+    struct.error (short CRC field / short IHDR) normalize to
+    ValueError here, so dispatch sites need exactly one corrupt-input
+    branch (r3 advice: a bad body must yield an invalid row, never
+    kill the mapInPandas job)."""
+    try:
+        return _decode_png_checked(payload)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_checked(
+    payload: bytes,
+) -> tuple[int, int, list[list[int]]]:
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
     pos = 8

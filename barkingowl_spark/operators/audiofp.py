@@ -94,6 +94,8 @@ def decode_wav_pcm16(payload: bytes) -> list[int]:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt_code is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if n_ch is None or n_ch < 1:
+        raise ValueError(f"WAV fmt declares {n_ch} channels")
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
             f"compressed/non-16-bit WAV (format={fmt_code}, "
@@ -150,9 +152,20 @@ def _peaks_stub(payload: bytes) -> list[tuple[int, int]]:
 
 
 def _peaks_dispatch(payload: bytes) -> list[tuple[int, int]]:
-    """b'RIFF' magic -> real WAV/PCM constellation; else the stub."""
-    return (_peaks_real if payload[:4] == b"RIFF"
-            else _peaks_stub)(payload)
+    """b'RIFF' magic -> real WAV/PCM constellation; else the stub.
+    RIFF payloads the real path cannot decode — RIFF-but-not-WAVE
+    (AVI), float/compressed WAV (NotImplementedError), truncated fmt
+    chunks (struct.error) — fall back to the byte stub, the
+    pre-real-codec behavior, so one crawled payload cannot kill the
+    whole mapInPandas job (r3 advice)."""
+    import struct
+
+    if payload[:4] == b"RIFF":
+        try:
+            return _peaks_real(payload)
+        except (ValueError, NotImplementedError, struct.error):
+            return _peaks_stub(payload)
+    return _peaks_stub(payload)
 
 
 def wav_table(docs: DataFrame) -> DataFrame:

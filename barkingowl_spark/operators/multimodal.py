@@ -75,14 +75,16 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
 
 def _decode_dims(payload: bytes) -> tuple[int, int]:
     """Per-payload real/stub switch: PNG magic -> real decode (corrupt
-    PNGs come back 0x0 = invalid, they do not poison the batch);
+    PNGs come back 0x0 = invalid, they do not poison the batch;
+    valid-but-unsupported shapes — palette/16-bit/interlaced
+    NotImplementedError — take the same invalid row, r3 advice);
     anything else -> the deterministic stub (its formats' codecs are
     the environment gap, not the plumbing)."""
     if payload[:8] == PNG_MAGIC:
         try:
             w, h, _ = decode_png(payload)
             return w, h
-        except ValueError:
+        except (ValueError, NotImplementedError):
             return 0, 0
     return _decode_image_stub(payload)
 
@@ -145,7 +147,7 @@ def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
                 if real:
                     try:
                         w, h, px = decode_png(p)
-                    except ValueError:
+                    except (ValueError, NotImplementedError):
                         w, h, px = 0, 0, []
                 else:
                     w, h = _decode_image_stub(p)
@@ -153,8 +155,11 @@ def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
                     rows.append((doc_id, w, h, 0, 0, 0))
                     continue
                 s = max(w, h)
-                ow = w if s <= max_side else (w * max_side) // s
-                oh = h if s <= max_side else (h * max_side) // s
+                # clamp to >= 1: standard thumbnail behavior, and a
+                # 1xN extreme aspect must not feed encode_png an empty
+                # image (r3 advice)
+                ow = w if s <= max_side else max(1, (w * max_side) // s)
+                oh = h if s <= max_side else max(1, (h * max_side) // s)
                 if real:
                     small = [[px[(i * h) // oh][(j * w) // ow]
                               for j in range(ow)] for i in range(oh)]
@@ -225,8 +230,8 @@ def resize_pixel_audit(
                     rows.append((doc_id, 0, 0, 0, 0, 0))
                     continue
                 s = max(w, h)
-                ow = w if s <= max_side else (w * max_side) // s
-                oh = h if s <= max_side else (h * max_side) // s
+                ow = w if s <= max_side else max(1, (w * max_side) // s)
+                oh = h if s <= max_side else max(1, (h * max_side) // s)
                 tot = sum(
                     px[(i * h) // oh][(j * w) // ow]
                     for i in range(oh) for j in range(ow))
@@ -324,9 +329,17 @@ def _ahash_stub(payload: bytes) -> int:
 
 
 def _ahash_dispatch(payload: bytes) -> int:
-    """PNG magic -> real aHash on decoded pixels; else the stub."""
-    return (_ahash_real if payload[:8] == PNG_MAGIC
-            else _ahash_stub)(payload)
+    """PNG magic -> real aHash on decoded pixels; else the stub.
+    PNG-magic payloads with a corrupt body (ValueError) or an
+    unsupported shape (palette/16-bit/interlaced NotImplementedError)
+    fall back to the byte stub — the pre-real-codec behavior — so one
+    bad payload cannot kill the whole mapInPandas job (r3 advice)."""
+    if payload[:8] == PNG_MAGIC:
+        try:
+            return _ahash_real(payload)
+        except (ValueError, NotImplementedError):
+            return _ahash_stub(payload)
+    return _ahash_stub(payload)
 
 
 def perceptual_hash(multimodal: DataFrame) -> DataFrame:

@@ -323,6 +323,21 @@ def cache_hit_curve(
     )
 
 
+# Exact integer sqrt of a DECIMAL(38,0) variance: float sqrt seed,
+# then a +/-1 correction whose comparisons run in DECIMAL — the seed
+# _s{n} reaches ~1e15 inside the documented envelopes, so squaring it
+# in BIGINT would overflow (and the variance itself may exceed int64,
+# the r3-advice NULL-silently bug this replaces).
+_ISQ_DEC = (
+    "CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "(CASE WHEN CAST(_s{n} + 1 AS DECIMAL(38,0)) * (_s{n} + 1)"
+    " <= ({v})"
+    " THEN _s{n} + 1"
+    " WHEN CAST(_s{n} AS DECIMAL(38,0)) * _s{n} > ({v})"
+    " THEN _s{n} - 1"
+    " ELSE _s{n} END) END")
+
+
 def metric_correlation(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:
@@ -348,14 +363,10 @@ def metric_correlation(
         F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
         F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
     )
-    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
-           "(CASE WHEN (_s{n} + 1) * (_s{n} + 1) <= ({v})"
-           " THEN _s{n} + 1"
-           " WHEN _s{n} * _s{n} > ({v}) THEN _s{n} - 1"
-           " ELSE _s{n} END) END")
+    isq = _ISQ_DEC
     return (
-        s.withColumn("vx", F.expr("CAST(n * sxx - sx * sx AS BIGINT)"))
-        .withColumn("vy", F.expr("CAST(n * syy - sy * sy AS BIGINT)"))
+        s.withColumn("vx", F.expr("n * sxx - sx * sx"))
+        .withColumn("vy", F.expr("n * syy - sy * sy"))
         .withColumn("num", F.expr("n * sxy - sx * sy"))
         .withColumn("_s0", F.expr(
             "CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)"))
@@ -366,11 +377,13 @@ def metric_correlation(
         .select(
             "n",
             F.expr(
-                "CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)"
+                "CASE WHEN rx = 0 OR ry = 0 THEN CAST(0 AS BIGINT)"
                 " WHEN num >= 0 THEN"
-                " least(CAST((1000000 * num) DIV (rx * ry)"
+                " least(CAST((1000000 * num)"
+                " DIV (CAST(rx AS DECIMAL(38,0)) * ry)"
                 " AS BIGINT), 1000000)"
-                " ELSE greatest(-CAST((1000000 * (-num)) DIV (rx * ry)"
+                " ELSE greatest(-CAST((1000000 * (-num))"
+                " DIV (CAST(rx AS DECIMAL(38,0)) * ry)"
                 " AS BIGINT), -1000000) END").alias("r_ppm"),
         )
     )
@@ -413,11 +426,7 @@ def ols_fit(
         F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
         F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
     )
-    isq = ("CASE WHEN ({v}) = 0 THEN CAST(0 AS BIGINT) ELSE "
-           "(CASE WHEN (_s{n} + 1) * (_s{n} + 1) <= ({v})"
-           " THEN _s{n} + 1"
-           " WHEN _s{n} * _s{n} > ({v}) THEN _s{n} - 1"
-           " ELSE _s{n} END) END")
+    isq = _ISQ_DEC
     return (
         s.withColumn("vx", F.expr("n * sxx - sx * sx"))
         .withColumn("vy", F.expr("n * syy - sy * sy"))
@@ -439,24 +448,22 @@ def ols_fit(
                 " DIV (1000000 * n) AS BIGINT)"
                 " ELSE -CAST(-(1000000000 * sy - 1000 * slope_ppm * sx)"
                 " DIV (1000000 * n) AS BIGINT) END"))
-        .withColumn(
-            "_vxb", F.expr("CAST(vx AS BIGINT)"))
-        .withColumn(
-            "_vyb", F.expr("CAST(vy AS BIGINT)"))
         .withColumn("_s0", F.expr(
-            "CAST(floor(sqrt(CAST(_vxb AS DOUBLE))) AS BIGINT)"))
+            "CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT)"))
         .withColumn("_s1", F.expr(
-            "CAST(floor(sqrt(CAST(_vyb AS DOUBLE))) AS BIGINT)"))
-        .withColumn("rx", F.expr(isq.format(v="_vxb", n=0)))
-        .withColumn("ry", F.expr(isq.format(v="_vyb", n=1)))
+            "CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT)"))
+        .withColumn("rx", F.expr(isq.format(v="vx", n=0)))
+        .withColumn("ry", F.expr(isq.format(v="vy", n=1)))
         .withColumn(
             "r_ppm",
             F.expr(
-                "CASE WHEN rx * ry = 0 THEN CAST(0 AS BIGINT)"
+                "CASE WHEN rx = 0 OR ry = 0 THEN CAST(0 AS BIGINT)"
                 " WHEN num >= 0 THEN"
-                " least(CAST((1000000 * num) DIV (rx * ry)"
+                " least(CAST((1000000 * num)"
+                " DIV (CAST(rx AS DECIMAL(38,0)) * ry)"
                 " AS BIGINT), 1000000)"
-                " ELSE greatest(-CAST((1000000 * (-num)) DIV (rx * ry)"
+                " ELSE greatest(-CAST((1000000 * (-num))"
+                " DIV (CAST(rx AS DECIMAL(38,0)) * ry)"
                 " AS BIGINT), -1000000) END"))
         .select(
             "n", "slope_ppm", "intercept_milli", "r_ppm",

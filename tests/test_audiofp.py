@@ -179,3 +179,47 @@ def test_real_wht_constellation_matches_direct_formula(spark):
     stub = {(r["t"], r["f"])
             for r in extract_peaks(raw).collect()}
     assert stub == set(_peaks_stub(bytes([3, 9, 2, 5, 5, 1])))
+
+
+def test_riff_junk_falls_back_to_stub_not_crash():
+    """r3 advice: _peaks_dispatch routed every b'RIFF' payload into
+    the real decoder, which raised on RIFF-but-not-WAVE (AVI),
+    float/compressed WAV, truncated fmt chunks, and n_ch=0 (a
+    ZeroDivisionError before decode_wav_pcm16 validated channels).
+    All of those now fall back to the byte stub; the raw errors are
+    still visible through decode_wav_pcm16 directly."""
+    import struct
+
+    import pytest
+
+    from barkingowl_spark.operators.audiofp import (
+        _peaks_dispatch,
+        _peaks_stub,
+        decode_wav_pcm16,
+    )
+
+    avi = b"RIFF" + struct.pack("<I", 4) + b"AVI " + b"\x07\x09\x03" * 9
+    trunc_fmt = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 3) + b"abc")
+
+    def wav(fmt_code=1, n_ch=1, bits=16, data=b"\x01\x00\x05\x00"):
+        fmt = struct.pack("<HHIIHH", fmt_code, n_ch, 8000,
+                          8000 * 2, 2, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    float_wav = wav(fmt_code=3, bits=32)
+    zero_ch = wav(n_ch=0)
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav_pcm16(avi)
+    with pytest.raises(struct.error):
+        decode_wav_pcm16(trunc_fmt)
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(float_wav)
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav_pcm16(zero_ch)
+
+    for p in (avi, trunc_fmt, float_wav, zero_ch):
+        assert _peaks_dispatch(p) == _peaks_stub(p)

@@ -168,3 +168,57 @@ def test_stub_dispatch_unchanged_for_non_png(spark):
            for r in decode_features(attach_binary(docs)).collect()}
     assert got[1] == (ord("h") % 64 + 16, ord("e") % 64 + 16)
     assert got[2] == (ord("x") % 64 + 16, 0)  # 1-byte payload: h = 0
+
+
+def test_error_containment_bad_bodies_do_not_raise(spark):
+    """r3 advice: every PNG-magic payload with a bad body or an
+    unsupported shape must yield the invalid/stub row, never an
+    exception out of the mapInPandas job. pngcodec normalizes
+    zlib.error/struct.error to ValueError; the multimodal dispatchers
+    catch (ValueError, NotImplementedError)."""
+    from barkingowl_spark.operators.multimodal import (
+        _ahash_dispatch,
+        _ahash_stub,
+        _decode_dims,
+        decode_features,
+        resize_images,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    # garbage IDAT behind an intact chunk CRC -> zlib.error inside
+    bad_idat = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", b"not-deflate-data")
+                + _chunk(b"IEND", b""))
+    # 5-byte IHDR -> struct.error inside
+    short_ihdr = PNG_MAGIC + _chunk(b"IHDR", ihdr[:5])
+    # CRC field truncated mid-way -> struct.error inside
+    trunc_crc = encode_png(_rows(6, 5))[:-2]
+    # palette PNG (the most common web PNG) -> NotImplementedError
+    pal = _raw_png(4, 4, 3, rows_bytes=bytes([0, 1, 2, 3, 4]) * 4)
+
+    for p in (bad_idat, short_ihdr, trunc_crc):
+        with pytest.raises(ValueError):
+            decode_png(p)
+    with pytest.raises(NotImplementedError):
+        decode_png(pal)
+    for p in (bad_idat, short_ihdr, trunc_crc, pal):
+        assert _decode_dims(p) == (0, 0)
+        assert _ahash_dispatch(p) == _ahash_stub(p)
+
+    # whole-job survival + extreme-aspect clamp (1x100 at max_side=32
+    # used to hand encode_png an empty image)
+    tall = encode_png([[y % 256] for y in range(100)])
+    df = spark.createDataFrame(
+        [(1, bytearray(tall)), (2, bytearray(pal)),
+         (3, bytearray(bad_idat))],
+        "doc_id long, payload binary")
+    feats = {r["doc_id"]: r for r in decode_features(df).collect()}
+    assert feats[1]["is_valid"]
+    assert not feats[2]["is_valid"] and not feats[3]["is_valid"]
+    rz = {r["doc_id"]: r for r in
+          resize_images(df, max_side=32).collect()}
+    assert (rz[1]["width"], rz[1]["height"]) == (1, 100)
+    assert (rz[1]["out_width"], rz[1]["out_height"]) == (1, 32)
+    assert rz[1]["out_bytes"] > 0
+    assert (rz[2]["out_width"], rz[2]["out_bytes"]) == (0, 0)
+    assert (rz[3]["out_width"], rz[3]["out_bytes"]) == (0, 0)

@@ -140,3 +140,61 @@ def test_global_running_sums_multi_value_one_pass(spark):
         acc_a += a
         acc_b += b
         assert multi[rid] == (acc_a, acc_b, want_rk[rid]), rid
+
+
+# ---- variance beyond int64 (r3 advice: ols_fit NULL-silently) -----------
+
+
+def _isq_pm1(v):
+    """The engines' float-seeded +/-1-corrected integer sqrt,
+    replicated exactly (math.isqrt alone could differ by the seed's
+    rounding, which is part of the pinned semantics)."""
+    import math
+
+    s = int(math.floor(math.sqrt(float(v))))
+    if (s + 1) * (s + 1) <= v:
+        return s + 1
+    if s * s > v:
+        return s - 1
+    return s
+
+
+def test_stats_variance_beyond_int64_not_nulled(spark):
+    """vx/vy > int64 max used to NULL r_ppm through a silent
+    non-ANSI CAST(vx AS BIGINT); the isqrt correction now runs on the
+    DECIMAL directly, so the exact integer answer survives."""
+    from barkingowl_spark.operators.ranking import (
+        metric_correlation,
+        ols_fit,
+    )
+
+    rows = [(i * 1_000_000_000 - 3_500_000_000,
+             2 * (i * 1_000_000_000 - 3_500_000_000) + (i % 3))
+            for i in range(8)]
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    num = n * sxy - sx * sy
+    assert vx > 2**63 and vy > 2**63  # the regression regime
+    slope = (1_000_000 * num) // vx if num >= 0 else \
+        -((1_000_000 * -num) // vx)
+    t = 1_000_000_000 * sy - 1000 * slope * sx
+    intercept = t // (1_000_000 * n) if t >= 0 else \
+        -(-t // (1_000_000 * n))
+    rx, ry = _isq_pm1(vx), _isq_pm1(vy)
+    raw = (1_000_000 * num) // (rx * ry) if num >= 0 else \
+        -((1_000_000 * -num) // (rx * ry))
+    r_ppm = max(-1_000_000, min(1_000_000, raw))
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = ols_fit(df, "x", "y").collect()[0]
+    assert got["r_ppm"] is not None and got["slope_ppm"] is not None
+    assert (got["n"], got["slope_ppm"], got["intercept_milli"],
+            got["r_ppm"], got["r2_ppm"]) == (
+        n, slope, intercept, r_ppm, (r_ppm * r_ppm) // 1_000_000)
+    mc = metric_correlation(df, "x", "y").collect()[0]
+    assert (mc["n"], mc["r_ppm"]) == (n, r_ppm)
