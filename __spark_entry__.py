@@ -830,6 +830,58 @@ def q_mm_png_resize(spark, sf):
     return resize_pixel_audit(_png_docs(spark, sf), max_side=12)
 
 
+def _jpeg_docs(spark, sf, n=48):
+    """Deterministic baseline-JPEG payload table
+    (multimodal.jpeg_table) over the first n doc_ids — REAL lossy
+    image bytes whose decode is nevertheless bit-pinned: luma is
+    block-constant with even values (w = 8*(2 + d%4),
+    h = 8*(2 + 3d%5), pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13d)
+    % 100) + 28) so the flat-16 quant round-trips the DC exactly and
+    the integer IDCT reproduces every pixel; the encode variant
+    cycles gray / 4:2:0 / 4:2:2+RST / gray+RST on d % 4. Spark
+    decodes the BYTES (functions/jpegcodec.py: marker parse, huffman,
+    dequant, IDCT); the oracle recomputes from the formula —
+    agreement pins the whole baseline-JPEG chain."""
+    from barkingowl_spark.operators.multimodal import jpeg_table
+
+    return jpeg_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(n))
+
+
+def q_mm_jpeg_decode(spark, sf):
+    """REAL JPEG decode dims (de-stubbed r03 verdict item 1): the
+    decode_features mapInPandas path over actual baseline-JPEG
+    payloads — width/height come out of the SOF0+huffman+IDCT
+    pipeline, not a byte stub."""
+    return decode_features(_jpeg_docs(spark, sf)).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_jpeg_ahash(spark, sf):
+    """REAL-pixel perceptual aHash over decoded JPEG luma: 8x8
+    block-mean downsample, floor-mean threshold — the oracle rebuilds
+    the identical integer hash from the block-constant pixel formula,
+    so a single flipped bit anywhere in huffman/dequant/IDCT/MCU
+    placement would hash-mismatch (including across the 4:2:0 /
+    4:2:2 / restart-interval encode variants)."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_jpeg_docs(spark, sf))
+
+
+def q_mm_jpeg_resize(spark, sf):
+    """REAL-pixel resize audit over decoded JPEG luma: decode,
+    nearest-neighbor resample the longer side to 12, SUM the resized
+    pixels (the SQL-computable stand-in for a re-encoded byte
+    count)."""
+    from barkingowl_spark.operators.multimodal import (
+        resize_pixel_audit,
+    )
+
+    return resize_pixel_audit(_jpeg_docs(spark, sf), max_side=12)
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -5445,6 +5497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_decode": q_mm_png_decode,
         "mm_png_ahash": q_mm_png_ahash,
         "mm_png_resize": q_mm_png_resize,
+        "mm_jpeg_decode": q_mm_jpeg_decode,
+        "mm_jpeg_ahash": q_mm_jpeg_ahash,
+        "mm_jpeg_resize": q_mm_jpeg_resize,
         "redirect_resolve": q_redirect_resolve,
         "anchor_rollup": q_anchor_rollup,
         "idx_postings": q_idx_postings,
@@ -6549,6 +6604,21 @@ _PNGDIMS_CTE = """
     dims AS (
       SELECT doc_id, 16 + doc_id % 9 AS w,
              16 + (3 * doc_id) % 11 AS h
+      FROM d)
+"""
+
+# Geometry CTE for the REAL-JPEG queries (mm_jpeg_*): Spark decodes
+# actual baseline-JPEG bytes (functions/jpegcodec.py); the oracle
+# recomputes dims/pixels from jpeg_table's generating formula
+# (w = 8*(2 + d%4), h = 8*(2 + 3d%5), block-constant
+# pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13d) % 100) + 28 — even
+# values + flat-16 quant = exact lossy round-trip, the property that
+# makes a pixel-formula oracle possible for a lossy codec).
+_JPEGDIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 8 * (2 + doc_id % 4) AS w,
+             8 * (2 + (3 * doc_id) % 5) AS h
       FROM d)
 """
 
@@ -9502,6 +9572,67 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, w, h, ow, oh,
                      (3 * ((gj.j * w) // ow)
                       + 5 * ((gi.i * h) // oh) + doc_id) % 256 AS v
+              FROM rd,
+                   (SELECT unnest(generate_series(0, 12)) AS j) gj,
+                   (SELECT unnest(generate_series(0, 12)) AS i) gi
+              WHERE gj.j < ow AND gi.i < oh)
+            SELECT doc_id, CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(ow) AS INT) AS out_width,
+                   CAST(min(oh) AS INT) AS out_height,
+                   CAST(sum(v) AS BIGINT) AS out_pixsum
+            FROM rp GROUP BY doc_id
+        """,
+        "mm_jpeg_decode": _JPEGDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_jpeg_ahash": _JPEGDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     2 * ((7 * (gx.x // 8) + 11 * (gy.y // 8)
+                           + 13 * doc_id) % 100) + 28 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 39)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 47)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
+        """,
+        "mm_jpeg_resize": _JPEGDIMS_CTE + """,
+            rd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 12 THEN w
+                          ELSE greatest(1, (w * 12) // greatest(w, h))
+                          END AS ow,
+                     CASE WHEN greatest(w, h) <= 12 THEN h
+                          ELSE greatest(1, (h * 12) // greatest(w, h))
+                          END AS oh
+              FROM dims),
+            rp AS (
+              SELECT doc_id, w, h, ow, oh,
+                     2 * ((7 * (((gj.j * w) // ow) // 8)
+                           + 11 * (((gi.i * h) // oh) // 8)
+                           + 13 * doc_id) % 100) + 28 AS v
               FROM rd,
                    (SELECT unnest(generate_series(0, 12)) AS j) gj,
                    (SELECT unnest(generate_series(0, 12)) AS i) gi

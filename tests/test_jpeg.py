@@ -1,0 +1,238 @@
+"""Pure-Python baseline JPEG codec (functions/jpegcodec.py) and the
+JPEG-dispatched multimodal path (r03 verdict item 1): exact lossy
+round-trip for block-constant fixtures (the oracle contract), bounded
+error for arbitrary images, every encode variant (gray / 4:2:0 /
+4:2:2 / restart intervals), corrupt/unsupported rejection, and the
+Spark operators producing real decoded values over jpeg_table
+payloads — pinned against independent pure-Python math."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from barkingowl_spark.functions.jpegcodec import (
+    JPEG_MAGIC,
+    ZZ,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_gray,
+)
+
+
+def _const_rows(w, h, d):
+    """jpeg_table's generating formula: block-constant even luma."""
+    return [[2 * ((7 * (x // 8) + 11 * (y // 8) + 13 * d) % 100) + 28
+             for x in range(w)] for y in range(h)]
+
+
+def test_zigzag_is_the_jpeg_walk():
+    # spot-pin the generated order against the published sequence head
+    assert ZZ[:16] == [0, 1, 8, 16, 9, 2, 3, 10,
+                      17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(ZZ) == list(range(64))
+
+
+def test_block_constant_round_trip_exact_all_variants():
+    """The oracle contract: even block-constant luma + flat-16 quant
+    round-trips bit-exactly through every encode variant."""
+    for d in range(8):
+        w, h = 8 * (2 + d % 4), 8 * (2 + (3 * d) % 5)
+        luma = _const_rows(w, h, d)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        flat20 = [[128] * cw for _ in range(ch)]
+        flat21 = [[128] * cw for _ in range(h)]
+        variants = [
+            encode_jpeg_gray(luma),
+            encode_jpeg(luma, flat20, flat20, sampling=(2, 2)),
+            encode_jpeg(luma, flat21, flat21, sampling=(2, 1),
+                        restart_interval=1),
+            encode_jpeg_gray(luma, restart_interval=2),
+        ]
+        for i, payload in enumerate(variants):
+            assert payload[:3] == JPEG_MAGIC
+            ww, hh, got = decode_jpeg(payload)
+            assert (ww, hh) == (w, h), (d, i)
+            assert got == luma, (d, i)
+
+
+def test_dc_exactness_exhaustive_sweep():
+    """Every even level-shifted value in range survives the full
+    encode->decode chain exactly (the error-budget proof in the
+    module docstring, swept)."""
+    vals = list(range(28, 228, 2))
+    # pack 100 constant blocks into one 80x80 image, 10x10 blocks
+    rows = [[vals[(y // 8) * 10 + (x // 8)] for x in range(80)]
+            for y in range(80)]
+    _, _, got = decode_jpeg(encode_jpeg_gray(rows))
+    assert got == rows
+
+
+def test_arbitrary_image_bounded_error_and_odd_dims():
+    rows = [[(7 * x * x + 3 * y * y + x * y) % 256 for x in range(21)]
+            for y in range(13)]
+    w, h, got = decode_jpeg(encode_jpeg_gray(rows))
+    assert (w, h) == (21, 13)
+    err = max(abs(a - b) for ra, rb in zip(rows, got)
+              for a, b in zip(ra, rb))
+    assert err <= 16  # flat-16 quant: worst-case block error bound
+
+
+def test_color_luma_ignores_chroma_content():
+    """Y is BT.601 luma by definition: decoded luma must not change
+    when chroma planes change."""
+    d = 3
+    luma = _const_rows(32, 24, d)
+    flat = [[128] * 16 for _ in range(12)]
+    busy = [[(37 * x + 91 * y) % 256 for x in range(16)]
+            for y in range(12)]
+    _, _, a = decode_jpeg(encode_jpeg(luma, flat, flat))
+    _, _, b = decode_jpeg(encode_jpeg(luma, busy, busy))
+    assert a == luma and b == luma
+
+
+def test_corrupt_and_unsupported_rejection():
+    good = encode_jpeg_gray(_const_rows(16, 16, 1))
+    with pytest.raises(ValueError, match="magic"):
+        decode_jpeg(b"\x89PNG" + good)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-segments
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20])  # truncated entropy data
+    # SOF2 (progressive) -> NotImplementedError
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # 16-bit DQT -> NotImplementedError
+    q16 = bytearray(good)
+    j = q16.find(b"\xff\xdb")
+    q16[j + 4] |= 0x10
+    with pytest.raises(NotImplementedError, match="quant"):
+        decode_jpeg(bytes(q16))
+    # EOI before SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    # bit-flip inside entropy data must not escape as a non-ValueError
+    flip = bytearray(good)
+    flip[-24] ^= 0x55
+    try:
+        decode_jpeg(bytes(flip))
+    except ValueError:
+        pass  # acceptable: detected corruption
+    # (a silent wrong-pixel decode is also acceptable for entropy
+    # bit-flips — JPEG has no payload CRC — but no other exception
+    # type may escape)
+
+
+def test_restart_marker_mismatch_rejected():
+    p = encode_jpeg_gray(_const_rows(24, 24, 2), restart_interval=1)
+    bad = bytearray(p)
+    # find the first RST0 marker in the entropy stream and break it
+    k = bad.find(b"\xff\xd0", bad.find(b"\xff\xda"))
+    assert k > 0
+    bad[k + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(bad))
+
+
+def _py_jpeg_ahash(d):
+    w, h = 8 * (2 + d % 4), 8 * (2 + (3 * d) % 5)
+    sums, cnts = [0] * 64, [0] * 64
+    for y in range(h):
+        for x in range(w):
+            k = ((8 * y) // h) * 8 + (8 * x) // w
+            sums[k] += 2 * ((7 * (x // 8) + 11 * (y // 8)
+                             + 13 * d) % 100) + 28
+            cnts[k] += 1
+    cells = [sums[k] // cnts[k] for k in range(64)]
+    mean = sum(cells) // 64
+    hsh = sum(1 << k for k, c in enumerate(cells) if c > mean)
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
+
+
+def test_spark_jpeg_operators_real_pixels(spark):
+    from barkingowl_spark.operators.multimodal import (
+        decode_features,
+        jpeg_table,
+        perceptual_hash,
+        resize_pixel_audit,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)],
+                                 "doc_id long")
+    jt = jpeg_table(docs).cache()
+
+    for r in decode_features(jt).collect():
+        d = r["doc_id"]
+        assert (r["width"], r["height"]) == (8 * (2 + d % 4),
+                                             8 * (2 + (3 * d) % 5))
+        assert r["is_valid"]
+
+    got = {r["doc_id"]: r["phash"]
+           for r in perceptual_hash(jt).collect()}
+    assert got == {d: _py_jpeg_ahash(d) for d in range(8)}
+
+    aud = {r["doc_id"]: r for r in
+           resize_pixel_audit(jt, max_side=12).collect()}
+    for d in range(8):
+        w, h = 8 * (2 + d % 4), 8 * (2 + (3 * d) % 5)
+        s = max(w, h)
+        ow, oh = max(1, (w * 12) // s), max(1, (h * 12) // s)
+        tot = sum(
+            2 * ((7 * (((j * w) // ow) // 8)
+                  + 11 * (((i * h) // oh) // 8) + 13 * d) % 100) + 28
+            for i in range(oh) for j in range(ow))
+        r = aud[d]
+        assert (r["out_width"], r["out_height"], r["out_pixsum"]) == (
+            ow, oh, tot), d
+    jt.unpersist()
+
+
+def test_dispatch_containment_bad_jpegs(spark):
+    """Corrupt/unsupported JPEG-magic payloads take the invalid/stub
+    row, never kill the job (the r3-advice convention extended to the
+    new codec)."""
+    from barkingowl_spark.operators.multimodal import (
+        _ahash_dispatch,
+        _ahash_stub,
+        _decode_dims,
+        decode_features,
+    )
+
+    good = encode_jpeg_gray(_const_rows(16, 16, 1))
+    prog = bytearray(good)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    trunc = good[:40]
+    for p in (bytes(prog), trunc):
+        assert _decode_dims(p) == (0, 0)
+        assert _ahash_dispatch(p) == _ahash_stub(p)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(prog)),
+         (3, bytearray(trunc))],
+        "doc_id long, payload binary")
+    feats = {r["doc_id"]: r["is_valid"]
+             for r in decode_features(df).collect()}
+    assert feats == {1: True, 2: False, 3: False}
+
+
+def test_struct_and_index_errors_normalize_to_valueerror():
+    """The whole corrupt-input error surface is ValueError (pngcodec
+    convention): fuzz truncations at every boundary."""
+    good = encode_jpeg_gray(_const_rows(16, 16, 4), restart_interval=2)
+    for cut in range(2, len(good), 7):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    # random byte corruption in the header region
+    for k in range(2, 40):
+        bad = bytearray(good)
+        bad[k] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass
+    assert struct  # imported for parity with sibling test modules
