@@ -1,0 +1,157 @@
+"""Pure-Python GIF codec (functions/gifcodec.py) and the
+GIF-dispatched multimodal path (r03 verdict item 2): lossless
+round-trip through every encode variant (plain / interlaced /
+87a+local-table / GCE), LZW dictionary growth + 4096 reset, palette
+luma collapse, frame offset compositing, corrupt rejection, and the
+Spark operators producing real decoded values over gif_table
+payloads — pinned against independent pure-Python math."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from barkingowl_spark.functions.gifcodec import (
+    GIF_MAGIC,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _rows(d, w=37, h=29):
+    return [[(5 * x + 7 * y + d) % 256 for x in range(w)]
+            for y in range(h)]
+
+
+def test_round_trip_every_variant():
+    r = _rows(3)
+    for kw in (dict(), dict(interlace=True),
+               dict(local_table=True, version=b"87a"),
+               dict(gce=True),
+               dict(interlace=True, gce=True, local_table=True)):
+        payload = encode_gif(r, **kw)
+        assert payload[:4] == GIF_MAGIC
+        w, h, got = decode_gif(payload)
+        assert (w, h) == (37, 29) and got == r, kw
+
+
+def test_lzw_dictionary_growth_and_reset():
+    """An incompressible image forces code-size bumps through every
+    width and past the 4096-entry dictionary reset."""
+    import random
+
+    rnd = random.Random(42)
+    big = [[rnd.randrange(256) for _ in range(200)]
+           for _ in range(120)]
+    _, _, got = decode_gif(encode_gif(big))
+    assert got == big
+    big2 = [[rnd.randrange(256) for _ in range(307)]
+            for _ in range(211)]
+    _, _, got2 = decode_gif(encode_gif(big2, interlace=True))
+    assert got2 == big2
+
+
+def test_palette_collapses_via_bt601_luma():
+    r = _rows(5)
+    pal = [((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+           for i in range(256)]
+    _, _, got = decode_gif(encode_gif(r, palette=pal))
+    exp = [[(299 * ((v * 3) % 256) + 587 * ((v * 5) % 256)
+             + 114 * ((v * 7) % 256)) // 1000 for v in row]
+           for row in r]
+    assert got == exp
+
+
+def test_frame_offset_composites_onto_background():
+    """A first frame smaller than the logical screen lands at its
+    (left, top) offset on a background-filled canvas."""
+    inner = [[(x + 10 * y) % 256 for x in range(5)] for y in range(4)]
+    p = bytearray(encode_gif(inner))
+    # widen the logical screen to 9x8, bg index 7, frame at (3, 2)
+    p[6:10] = struct.pack("<HH", 9, 8)
+    p[11] = 7
+    img = 13 + 768  # header + LSD + 256-entry GCT
+    assert p[img] == 0x2C
+    p[img + 1:img + 9] = struct.pack("<HHHH", 3, 2, 5, 4)
+    w, h, got = decode_gif(bytes(p))
+    assert (w, h) == (9, 8)
+    for y in range(8):
+        for x in range(9):
+            if 2 <= y < 6 and 3 <= x < 8:
+                assert got[y][x] == inner[y - 2][x - 3]
+            else:
+                assert got[y][x] == 7  # identity palette: luma == idx
+
+
+def test_corrupt_rejection_all_valueerror():
+    r = _rows(1)
+    good = encode_gif(r)
+    cases = [
+        b"GIF8",                       # truncated header
+        b"GIF85" + b"x" * 30,          # bad version
+        b"NOTGIF" + good[6:],          # bad magic
+        good[:30],                     # truncated color table/blocks
+        good[:-5],                     # truncated LZW stream
+        good[:13] + b"\x3b",           # trailer before any frame
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    # fuzz truncations: nothing but ValueError may escape
+    for cut in range(2, len(good), 11):
+        try:
+            decode_gif(good[:cut])
+        except ValueError:
+            pass
+    # header-region byte corruption
+    for k in range(4, 40):
+        bad = bytearray(good)
+        bad[k] ^= 0xA5
+        try:
+            decode_gif(bytes(bad))
+        except ValueError:
+            pass
+
+
+def _py_gif_ahash(d):
+    w, h = 17 + d % 8, 15 + (5 * d) % 12
+    sums, cnts = [0] * 64, [0] * 64
+    for y in range(h):
+        for x in range(w):
+            k = ((8 * y) // h) * 8 + (8 * x) // w
+            sums[k] += (5 * x + 7 * y + d) % 256
+            cnts[k] += 1
+    cells = [sums[k] // cnts[k] for k in range(64)]
+    mean = sum(cells) // 64
+    hsh = sum(1 << k for k, c in enumerate(cells) if c > mean)
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
+
+
+def test_spark_gif_operators_real_pixels(spark):
+    from barkingowl_spark.operators.multimodal import (
+        _ahash_dispatch,
+        _ahash_stub,
+        _decode_dims,
+        decode_features,
+        gif_table,
+        perceptual_hash,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)],
+                                 "doc_id long")
+    gt = gif_table(docs).cache()
+    for r in decode_features(gt).collect():
+        d = r["doc_id"]
+        assert (r["width"], r["height"]) == (17 + d % 8,
+                                             15 + (5 * d) % 12)
+        assert r["is_valid"]
+    got = {r["doc_id"]: r["phash"]
+           for r in perceptual_hash(gt).collect()}
+    assert got == {d: _py_gif_ahash(d) for d in range(8)}
+    gt.unpersist()
+
+    # containment: corrupt GIF-magic payloads -> invalid/stub row
+    bad = encode_gif(_rows(2))[:-5]
+    assert _decode_dims(bad) == (0, 0)
+    assert _ahash_dispatch(bad) == _ahash_stub(bad)
