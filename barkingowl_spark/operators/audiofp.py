@@ -14,9 +14,10 @@ Pipeline (the real thing and this implementation, stage for stage):
                                   t_query); a tall bin IS a match
                                   (time-coherent hash agreement)
 
-WAV/PCM-16 payloads DECODE FOR REAL (r03, the pngcodec convention):
-RIFF/WAVE needs nothing beyond stdlib struct — decode_wav_pcm16
-parses fmt/data chunks (PCM only; channel 0 of interleaved frames) —
+WAV/PCM payloads DECODE FOR REAL (r03, the pngcodec convention):
+RIFF/WAVE needs nothing beyond stdlib struct — decode_wav_pcm parses
+fmt/data chunks (PCM 16- AND 24-bit since r4; interleaved frames
+downmix to the floor-mean of the channels) —
 and _peaks_real computes an exact-integer spectral constellation:
 64-sample frames at hop 32, WALSH-HADAMARD sequency energies
 (coef(k) = sum_j s[j] * (-1)^popcount(j AND k) — the +-1-basis
@@ -51,29 +52,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _HAVE_CODEC = False  # no COMPRESSED-audio codec here (by design);
-#                      PCM WAV decodes for real via decode_wav_pcm16
+#                      PCM WAV decodes for real via decode_wav_pcm
 
 FRAME = 64   # WHT frame length (power of two)
 HOP = 32
 
 
-def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
-    """Mono PCM-16 WAV writer (RIFF/fmt/data) — the fixture generator
-    for the real decode path; samples clamp to int16."""
+def encode_wav_pcm(
+    channels: list[list[int]], rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Interleaved multi-channel PCM WAV writer (16- or 24-bit,
+    RIFF/fmt/data) — the fixture generator for the real decode path;
+    samples clamp to the sample width."""
     import struct
 
-    data = b"".join(
-        struct.pack("<h", max(-32768, min(32767, int(s))))
-        for s in samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    if not channels or not channels[0]:
+        raise ValueError("no samples")
+    if bits not in (16, 24):
+        raise ValueError("bits must be 16 or 24")
+    n_ch, nfr = len(channels), len(channels[0])
+    if any(len(c) != nfr for c in channels):
+        raise ValueError("ragged channels")
+    bw = bits // 8
+    parts = []
+    for i in range(nfr):
+        for ch in channels:
+            s = int(ch[i])
+            if bits == 16:
+                s = max(-32768, min(32767, s))
+                parts.append(struct.pack("<h", s))
+            else:
+                s = max(-(1 << 23), min((1 << 23) - 1, s))
+                parts.append((s & 0xFFFFFF).to_bytes(3, "little"))
+    data = b"".join(parts)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bw,
+                      n_ch * bw, bits)
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
-def decode_wav_pcm16(payload: bytes) -> list[int]:
-    """RIFF/WAVE -> channel-0 int16 samples. PCM (format 1) 16-bit
-    only; compressed formats raise NotImplementedError (their codecs
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Mono PCM-16 WAV writer — encode_wav_pcm([samples])."""
+    return encode_wav_pcm([samples], rate=rate, bits=16)
+
+
+def decode_wav_pcm(payload: bytes) -> list[int]:
+    """RIFF/WAVE -> int16-scale samples. PCM (format 1) at 16 or 24
+    bits (r4 verdict item 7); 24-bit samples arithmetic-shift down 8
+    (>> 8, floor) onto the 16-bit scale; multi-channel frames downmix
+    to the floor-mean of the channels (sum DIV n_ch, Python floor —
+    a fixture with ch = s +/- e makes the mix exactly s, parity-free).
+    Compressed/float formats raise NotImplementedError (their codecs
     are the genuine environment gap), corrupt containers ValueError."""
     import struct
 
@@ -96,16 +126,29 @@ def decode_wav_pcm16(payload: bytes) -> list[int]:
         raise ValueError("WAV missing fmt/data chunk")
     if n_ch is None or n_ch < 1:
         raise ValueError(f"WAV fmt declares {n_ch} channels")
-    if fmt_code != 1 or bits != 16:
+    if fmt_code != 1 or bits not in (16, 24):
         raise NotImplementedError(
-            f"compressed/non-16-bit WAV (format={fmt_code}, "
+            f"compressed/non-PCM-16/24 WAV (format={fmt_code}, "
             f"bits={bits}): codec absent in this environment")
-    frame_bytes = 2 * n_ch
+    bw = bits // 8
+    frame_bytes = bw * n_ch
     usable = len(data) - len(data) % frame_bytes
-    return [
-        struct.unpack("<h", data[i:i + 2])[0]
-        for i in range(0, usable, frame_bytes)
-    ]
+    out = []
+    for i in range(0, usable, frame_bytes):
+        acc = 0
+        for c in range(n_ch):
+            off = i + c * bw
+            if bits == 16:
+                acc += struct.unpack("<h", data[off:off + 2])[0]
+            else:
+                acc += int.from_bytes(
+                    data[off:off + 3], "little", signed=True) >> 8
+        out.append(acc // n_ch)
+    return out
+
+
+#: back-compat alias (the r3 name; the decoder now covers 24-bit too)
+decode_wav_pcm16 = decode_wav_pcm
 
 
 def _peaks_real(payload: bytes) -> list[tuple[int, int]]:
@@ -115,7 +158,7 @@ def _peaks_real(payload: bytes) -> list[tuple[int, int]]:
     integer); peak at (t, k) for k in 1..FRAME-1 iff
     e(t-1, k) < e(t, k) >= e(t+1, k) — the same strict-rise/non-rise
     rule as the stub, applied per band, interior frames only."""
-    s = decode_wav_pcm16(payload)
+    s = decode_wav_pcm(payload)
     n_frames = (len(s) - FRAME) // HOP + 1 if len(s) >= FRAME else 0
     if n_frames < 3:
         return []
@@ -169,21 +212,35 @@ def _peaks_dispatch(payload: bytes) -> list[tuple[int, int]]:
 
 
 def wav_table(docs: DataFrame) -> DataFrame:
-    """(track_id, payload): a deterministic PCM-16 WAV per doc_id —
+    """(track_id, payload): a deterministic PCM WAV per doc_id —
     the real-decode fixture (png_table's audio twin): 256 samples
     s[n] = (n * (n + d)) % 8192 - 4096, so a SQL oracle recomputes
     the exact Walsh-Hadamard constellation from the formula while
-    Spark round-trips actual RIFF bytes."""
+    Spark round-trips actual RIFF bytes. The ENCODE variant cycles on
+    d % 3 — mono 16-bit / STEREO 16-bit (ch0 = s + e, ch1 = s - e
+    with e[n] = (n * (d + 3)) % 2048, whose floor-mean downmix is
+    exactly s, no parity loss) / mono 24-bit (s << 8, whose >> 8
+    rescale is exactly s) — decoded samples are the same formula for
+    all three, so one oracle hash pins the 16-bit, 24-bit and
+    stereo-downmix decode paths at once (r4 verdict item 7)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = [
-                encode_wav_pcm16([
-                    (n * (n + int(d))) % 8192 - 4096
-                    for n in range(256)
-                ])
-                for d in pdf["doc_id"]
-            ]
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+                var = d % 3
+                if var == 0:
+                    p = encode_wav_pcm([s])
+                elif var == 1:
+                    e = [(n * (d + 3)) % 2048 for n in range(256)]
+                    p = encode_wav_pcm(
+                        [[a + b for a, b in zip(s, e)],
+                         [a - b for a, b in zip(s, e)]])
+                else:
+                    p = encode_wav_pcm([[v << 8 for v in s]], bits=24)
+                payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})
 

@@ -105,8 +105,9 @@ def test_validation(spark):
 
 
 def test_wav_codec_round_trip_and_rejection():
-    """PCM-16 WAV codec (r03 de-stub): round-trip, stereo channel-0
-    extraction, word-aligned odd chunks, compressed rejection."""
+    """PCM WAV codec (r03 de-stub, r4 stereo-mix): round-trip, stereo
+    floor-mean downmix, word-aligned odd chunks, compressed
+    rejection."""
     import struct
 
     import pytest
@@ -119,12 +120,14 @@ def test_wav_codec_round_trip_and_rejection():
     samples = [(n * 37) % 4001 - 2000 for n in range(200)]
     assert decode_wav_pcm16(encode_wav_pcm16(samples)) == samples
 
-    stereo = b"".join(struct.pack("<hh", v, -v) for v in samples)
+    stereo = b"".join(struct.pack("<hh", 3 * v, -v) for v in samples)
     fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
     wav = (b"RIFF" + struct.pack("<I", 36 + len(stereo)) + b"WAVE"
            + b"fmt " + struct.pack("<I", 16) + fmt
            + b"data" + struct.pack("<I", len(stereo)) + stereo)
-    assert decode_wav_pcm16(wav) == samples
+    # stereo downmixes to the floor-mean (r4; channel-0 before)
+    assert decode_wav_pcm16(wav) == [(3 * v + -v) // 2
+                                     for v in samples]
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav_pcm16(b"ID3\x00" + wav)
@@ -223,3 +226,65 @@ def test_riff_junk_falls_back_to_stub_not_crash():
 
     for p in (avi, trunc_fmt, float_wav, zero_ch):
         assert _peaks_dispatch(p) == _peaks_stub(p)
+
+
+def test_stereo_and_24bit_decode_to_the_same_samples():
+    """r4 verdict item 7: 24-bit (>> 8 rescale) and stereo
+    (floor-mean downmix) WAV variants decode to the identical sample
+    stream, so the constellation — and the audio_wav_peaks oracle —
+    is variant-invariant."""
+    from barkingowl_spark.operators.audiofp import (
+        _peaks_real,
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    d = 4
+    s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+    e = [(n * (d + 3)) % 2048 for n in range(256)]
+    mono16 = encode_wav_pcm([s])
+    stereo = encode_wav_pcm([[a + b for a, b in zip(s, e)],
+                             [a - b for a, b in zip(s, e)]])
+    mono24 = encode_wav_pcm([[v << 8 for v in s]], bits=24)
+    assert decode_wav_pcm(mono16) == s
+    assert decode_wav_pcm(stereo) == s
+    assert decode_wav_pcm(mono24) == s
+    pk = _peaks_real(mono16)
+    assert _peaks_real(stereo) == pk and _peaks_real(mono24) == pk
+    # odd-sum stereo: floor-mean semantics ((-3 + 2) // 2 == -3 // ...
+    # Python floor, pinned so an engine port cannot silently truncate)
+    odd = encode_wav_pcm([[-3] * 8, [2] * 8])
+    assert decode_wav_pcm(odd) == [-1] * 8  # floor(-1/2)... (-3+2)//2
+    assert (-3 + 2) // 2 == -1
+    # 24-bit negative >> 8 floors too
+    neg24 = encode_wav_pcm([[-257 << 8 | 0] * 8], bits=24)
+    assert decode_wav_pcm(neg24) == [(-257 << 8) >> 8] * 8
+
+
+def test_wav_table_variant_cycle(spark):
+    """wav_table's d%3 encode variants all hit the real decoder and
+    produce the formula constellation."""
+    from barkingowl_spark.operators.audiofp import (
+        _peaks_real,
+        extract_peaks,
+        wav_table,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = wav_table(docs).collect()
+    assert {r["track_id"] % 3 for r in rows} == {0, 1, 2}
+    # 16-bit mono payloads are 2 bytes/frame, stereo 4, 24-bit mono 3
+    sizes = {r["track_id"] % 3: len(bytes(r["payload"])) for r in rows}
+    assert sizes[1] > sizes[2] > sizes[0]
+    got = extract_peaks(wav_table(docs)).collect()
+    import collections
+
+    per = collections.defaultdict(set)
+    for r in got:
+        per[r["track_id"]].add((r["t"], r["f"]))
+    from barkingowl_spark.operators.audiofp import encode_wav_pcm
+
+    for d in range(6):
+        s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+        assert per[d] == set(_peaks_real(encode_wav_pcm([s]))), d
