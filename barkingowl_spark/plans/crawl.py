@@ -59,7 +59,11 @@ from barkingowl_spark.operators.cuckoo import (
     IncrementalCuckoo,
     cuckoo_maybe_seen_udf,
 )
-from barkingowl_spark.operators.dedup import IncrementalBloom, anti_join_new
+from barkingowl_spark.operators.dedup import (
+    IncrementalBloom,
+    TableBloom,
+    anti_join_new,
+)
 from barkingowl_spark.operators.match import matched_by_col, pages_content_type
 from barkingowl_spark.operators.ordering import (
     child_discovery_idx,
@@ -101,6 +105,17 @@ class CrawlConfig:
     # Either way the anti-join stays exact; use_bloom=False disables the
     # stage entirely.
     prefilter: str = "bloom"
+    # O12 prefilter TRANSPORT (r4 verdict item 4). "driver" = the
+    # sandbox default: per-pid bitsets collect to a driver dict and
+    # re-broadcast per wave (bounded here, but multi-GB driver state at
+    # 10^10 keys). "table" = TableBloom: bitsets live as a versioned
+    # (pid, bits) parquet table under <checkpoint_dir>/bloom_state,
+    # OR-merged per wave by a distributed job and probed by a
+    # pid-cogrouped applyInPandas — the driver never holds a bitset.
+    # Exactness is identical either way (the anti-join confirms);
+    # tests/test_table_bloom.py pins a byte-identical crawl trace.
+    # bloom family only (cuckoo keeps the driver transport).
+    prefilter_transport: str = "driver"
     # waves smaller than this are broadcast into the pages/pages_ct joins
     # (corpus side never shuffles); bigger waves fall back to shuffle hash
     # join + AQE (the 10^10 path, where the wave itself is too big to ship)
@@ -428,11 +443,26 @@ def run_crawl(
         # one full build at start (or resume); waves then add fresh keys
         # incrementally. Both families share the add/grow/snapshot API;
         # only the probe constructor differs (see _prefilter_probe).
-        bloom = (
-            IncrementalCuckoo(config.bloom_partitions)
-            if config.prefilter == "cuckoo"
-            else IncrementalBloom(config.bloom_partitions)
-        )
+        if config.prefilter_transport not in ("driver", "table"):
+            raise ValueError(
+                f"unknown prefilter_transport "
+                f"{config.prefilter_transport!r}")
+        if config.prefilter_transport == "table":
+            if config.prefilter == "cuckoo":
+                raise ValueError(
+                    "table transport implemented for the bloom family"
+                    " only (cuckoo keeps the driver transport)")
+            bloom = TableBloom(
+                spark,
+                os.path.join(config.checkpoint_dir, "bloom_state"),
+                config.bloom_partitions,
+            )
+        else:
+            bloom = (
+                IncrementalCuckoo(config.bloom_partitions)
+                if config.prefilter == "cuckoo"
+                else IncrementalBloom(config.bloom_partitions)
+            )
         bloom.add_keys(state.frontier().select("url_hash"))
         if bloom.needs_grow():  # resumed seen-set outgrew the default size
             bloom.grow(state.frontier().select("url_hash"))
@@ -601,7 +631,12 @@ def run_crawl(
 
         deduped = first_discovery_wins(links)
         seen_keys = state.frontier().select("seed_url", "url_hash")
-        if isinstance(bloom, IncrementalCuckoo):
+        if isinstance(bloom, TableBloom):
+            # executor-side transport: the prefilter tag happens in a
+            # pid-cogrouped applyInPandas against the bitset TABLE —
+            # no driver dict, no broadcast (r4 verdict item 4)
+            fresh = bloom.anti_join_new(deduped, seen_keys)
+        elif isinstance(bloom, IncrementalCuckoo):
             fresh = anti_join_new(
                 deduped, seen_keys,
                 probe=cuckoo_maybe_seen_udf(
