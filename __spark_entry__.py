@@ -5394,8 +5394,41 @@ def q_ams_tokens(spark, sf):
     return ams_audit(toks, depth=5)
 
 
+def _round_number() -> int:
+    """Driver round inferred from the CORRECTNESS_r*.json files the
+    harness leaves in the repo root (r1's gate ran before r1's file
+    existed, so count + 1). Used only to rotate queries() ordering."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _rotated(d: dict) -> dict:
+    """Round-seeded ordering (r3 verdict item 5): the driver's
+    correctness gate samples the FIRST 50 queries, and a stable
+    registration order meant rounds 2 and 3 sampled the same slice —
+    queries 51+ were never driver-checked. Reverse registration order
+    (newest operators first, so each round's additions are sampled the
+    round they land) and rotate left by 50 per round past r4, so
+    successive rounds' 50-samples walk fresh slices of the inventory
+    (the pytest-side analogue is tests/test_oracle_rotation.py, which
+    value-hash-sweeps a rotating ~52-query slice every suite run)."""
+    names = list(d)
+    names.reverse()
+    k = (max(0, _round_number() - 4) * 50) % max(1, len(names))
+    return {n: d[n] for n in names[k:] + names[:k]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotated({
         "o5_fetch_join": q_o5_fetch_join,
         "o7_link_extract": q_o7_link_extract,
         "o8_canonicalize": q_o8_canonicalize,
@@ -5543,12 +5576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_decode": q_mm_png_decode,
         "mm_png_ahash": q_mm_png_ahash,
         "mm_png_resize": q_mm_png_resize,
-        "mm_jpeg_decode": q_mm_jpeg_decode,
-        "mm_jpeg_ahash": q_mm_jpeg_ahash,
-        "mm_jpeg_resize": q_mm_jpeg_resize,
-        "mm_gif_decode": q_mm_gif_decode,
-        "mm_gif_ahash": q_mm_gif_ahash,
-        "mm_gif_resize": q_mm_gif_resize,
         "redirect_resolve": q_redirect_resolve,
         "anchor_rollup": q_anchor_rollup,
         "idx_postings": q_idx_postings,
@@ -5714,7 +5741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "density_labels": q_density_labels,
         "density_clean": q_density_clean,
-    }
+        # r4 additions — registered LAST so the newest-first rotation
+        # samples them in the round they land
+        "mm_jpeg_decode": q_mm_jpeg_decode,
+        "mm_jpeg_ahash": q_mm_jpeg_ahash,
+        "mm_jpeg_resize": q_mm_jpeg_resize,
+        "mm_gif_decode": q_mm_gif_decode,
+        "mm_gif_ahash": q_mm_gif_ahash,
+        "mm_gif_resize": q_mm_gif_resize,
+    })
 
 
 # ---------------------------------------------------------------------------
