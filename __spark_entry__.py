@@ -928,6 +928,27 @@ def q_mm_gif_resize(spark, sf):
     return resize_pixel_audit(_gif_docs(spark, sf), max_side=12)
 
 
+def q_mm_cross_format_pairs(spark, sf):
+    """CROSS-FORMAT image near-dup (r4): the same block-constant
+    pixels encoded as PNG, GIF and baseline JPEG (multimodal.
+    mixed_format_table, img_id 3d/3d+1/3d+2, logo group g = d % 12)
+    must collide at hamming 0 through the REAL decoders — only
+    possible because perceptual_hash runs on decoded pixels, not
+    payload bytes. Pairs via the shared pigeonhole banded join; the
+    oracle recomputes the hash per group from the pixel formula and
+    takes exact all-pairs bit_count at this scale."""
+    from barkingowl_spark.operators.multimodal import (
+        mixed_format_table,
+        perceptual_hash,
+        phash_near_pairs,
+    )
+
+    docs = (_t(spark, sf, "documents").select("doc_id")
+            .orderBy("doc_id").limit(24))
+    return phash_near_pairs(
+        perceptual_hash(mixed_format_table(docs)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -5749,6 +5770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_decode": q_mm_gif_decode,
         "mm_gif_ahash": q_mm_gif_ahash,
         "mm_gif_resize": q_mm_gif_resize,
+        "mm_cross_format_pairs": q_mm_cross_format_pairs,
     })
 
 
@@ -9799,6 +9821,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(oh) AS INT) AS out_height,
                    CAST(sum(v) AS BIGINT) AS out_pixsum
             FROM rp GROUP BY doc_id
+        """,
+        "mm_cross_format_pairs": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 24),
+            gs AS (SELECT DISTINCT doc_id % 12 AS g FROM d),
+            dims AS (SELECT g, 8 * (2 + g % 4) AS w,
+                            8 * (2 + (3 * g) % 5) AS h FROM gs),
+            px AS (
+              SELECT g, w, h, gx.x AS x, gy.y AS y,
+                     2 * ((7 * (gx.x // 8) + 11 * (gy.y // 8)
+                           + 13 * g) % 100) + 28 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 39)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 47)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT g, ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY g, k),
+            m AS (SELECT g, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY g),
+            hb AS (
+              SELECT c.g,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (g) GROUP BY c.g),
+            hs AS (
+              SELECT g,
+                     CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                               AS HUGEINT)
+                          THEN hv - CAST(18446744073709551616
+                                         AS HUGEINT)
+                          ELSE hv END AS BIGINT) AS phash
+              FROM hb),
+            imgs AS (
+              SELECT 3 * d.doc_id + kk.k AS doc_id, hs.phash
+              FROM d
+              CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) kk
+              JOIN hs ON hs.g = d.doc_id % 12)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM imgs a JOIN imgs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "mm_frame_sample": """
             WITH d AS (

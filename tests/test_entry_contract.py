@@ -125,6 +125,7 @@ def duck():
      "mm_png_decode", "mm_png_ahash", "mm_png_resize",
      "mm_jpeg_decode", "mm_jpeg_ahash", "mm_jpeg_resize",
      "mm_gif_decode", "mm_gif_ahash", "mm_gif_resize",
+     "mm_cross_format_pairs",
      "sim_margin_pairs", "events_trend", "audio_wav_peaks"],
 )
 def test_query_matches_oracle(spark, duck, name):

@@ -155,3 +155,23 @@ def test_spark_gif_operators_real_pixels(spark):
     bad = encode_gif(_rows(2))[:-5]
     assert _decode_dims(bad) == (0, 0)
     assert _ahash_dispatch(bad) == _ahash_stub(bad)
+
+
+def test_cross_format_identical_hashes(spark):
+    """The same block-constant pixels as PNG, GIF and baseline JPEG
+    hash identically through the three REAL decoders — the
+    cross-format dedup property mm_cross_format_pairs pins at the
+    driver gate."""
+    from barkingowl_spark.operators.multimodal import (
+        mixed_format_table,
+        perceptual_hash,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    hashes = {r["doc_id"]: r["phash"] for r in
+              perceptual_hash(mixed_format_table(docs)).collect()}
+    assert len(hashes) == 18
+    for d in range(6):
+        png, gif, jpg = hashes[3 * d], hashes[3 * d + 1], hashes[3 * d + 2]
+        assert png == gif == jpg, d
