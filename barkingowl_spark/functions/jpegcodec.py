@@ -5,17 +5,21 @@ the oracle needs it, ValueError/NotImplementedError as the whole
 error surface.
 
   * decode_jpeg: baseline sequential huffman JPEG (SOF0; SOF1
-    extended-sequential-huffman accepted, same decode path) —
-    marker/segment parse, DQT (8-bit), DHT (canonical), DRI/RSTn
-    restart intervals, interleaved MCU scan with arbitrary luma
-    sampling factors (4:4:4 / 4:2:2 / 4:2:0), entropy decode of every
-    component, dequant + IDCT of the LUMA component only. Output is
+    extended-sequential-huffman accepted, same decode path) AND
+    progressive huffman JPEG (SOF2: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs,
+    correction bits — ITU-T T.81 G.1.2) — marker/segment parse, DQT
+    (8-bit), DHT (canonical), DRI/RSTn restart intervals, interleaved
+    MCU scan with arbitrary luma sampling factors (4:4:4 / 4:2:2 /
+    4:2:0), entropy decode of every component, dequant + IDCT of the
+    LUMA component only. Output is
     integer grayscale rows: JPEG's Y channel IS the BT.601 luma, so
     "YCbCr -> luma" is decode-Y / parse-past-chroma; the chroma
     blocks are huffman-decoded to keep the bitstream aligned, then
     dropped (every downstream consumer — aHash, resize — is
     grayscale, same as pngcodec).
-  * encode_jpeg / encode_jpeg_gray: the fixture writer — grayscale
+  * encode_jpeg / encode_jpeg_gray / encode_jpeg_progressive: the
+    fixture writers — grayscale
     1-component or YCbCr 3-component with caller-chosen luma
     subsampling and restart interval, single shared huffman pair
     (canonical, all 12 DC categories at 4 bits, all 162 AC symbols at
@@ -34,10 +38,10 @@ error surface.
   usual quantization error — pinned by PSNR-style bounds in tests,
   not by the oracle.
 
-Unsupported shapes raise NotImplementedError: progressive (SOF2),
-arithmetic coding, lossless/hierarchical frames, 12-bit precision,
-16-bit quant tables, chroma sampled finer than luma, multi-scan
-non-interleaved color. Corrupt input raises ValueError only
+Unsupported shapes raise NotImplementedError: arithmetic coding,
+lossless/hierarchical frames, 12-bit precision, 16-bit quant tables,
+chroma sampled finer than luma, baseline multi-scan non-interleaved
+color. Corrupt input raises ValueError only
 (struct.error/IndexError normalize here, the pngcodec r3-advice
 convention).
 
@@ -216,7 +220,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[int]]]:
 
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -241,8 +244,12 @@ def _decode_checked(
     hac: dict[int, dict] = {}
     frame = None  # (w, h, comps: [(cid, hi, vi, tq)])
     ri = 0
+    progressive = False
+    store = None  # progressive coefficient grids, one per component
     while True:
         if pos + 2 > len(payload):
+            if progressive and store is not None:
+                break  # tolerate missing EOI after the last scan
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("expected marker, got data byte")
@@ -253,7 +260,9 @@ def _decode_checked(
             raise ValueError("truncated JPEG (fill bytes to EOF)")
         m = payload[pos]
         pos += 1
-        if m == 0xD9:  # EOI before any scan
+        if m == 0xD9:  # EOI
+            if progressive and store is not None:
+                break
             raise ValueError("EOI before SOS")
         if m in (0x01,) or 0xD0 <= m <= 0xD8:  # TEM/RSTn/SOI: no body
             continue
@@ -292,7 +301,7 @@ def _decode_checked(
                     raise ValueError("short DHT symbols")
                 (hdc if tc == 0 else hac)[th] = _canonical(bits, vals)
                 i += 17 + n
-        elif m in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if seg[0] != 8:
                 raise NotImplementedError(
                     f"{seg[0]}-bit sample precision")
@@ -308,18 +317,29 @@ def _decode_checked(
                     raise ValueError("bad sampling factors")
                 comps.append((cid, hi, vi, tq))
             frame = (w, h, comps)
+            progressive = m == 0xC2
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"unsupported JPEG: {_SOF_UNSUPPORTED[m]}"
-                " (baseline huffman SOF0/SOF1 only)")
+                " (baseline/progressive huffman only)")
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(
-                payload, pos, frame, seg, qt, hdc, hac, ri)
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, frame, seg, qt, hdc, hac, ri)
+            if store is None:
+                store = _prog_store(frame)
+            pos = _decode_prog_scan(
+                payload, pos, frame, seg, store, hdc, hac, ri)
+            # entropy data is byte-aligned before the next marker;
+            # tolerate stray pad bytes
+            while pos < len(payload) and payload[pos] != 0xFF:
+                pos += 1
         # else: APPn / COM / DNL / unknown -> skipped
+    return _reconstruct_progressive(frame, store, qt)
 
 
 def _decode_scan(payload, pos, frame, seg, qt, hdc, hac, ri):
@@ -427,6 +447,251 @@ def _place(plane, block, bx, by):
         plane[y0 + dy][x0:x0 + 8] = block[dy]
 
 
+# ---- progressive (SOF2) decode ------------------------------------------
+#
+# Progressive JPEG splits the coefficients across SCANS — by spectral
+# band (Ss..Se) and by successive-approximation bit position (Ah/Al) —
+# so the decoder accumulates QUANTIZED coefficients per block across
+# scans and runs dequant+IDCT once at EOI. The entropy coding of AC
+# bands adds EOB-runs (EOBn symbols, r*16 with r < 15) and, in
+# refinement scans, per-coefficient correction bits; the algorithms
+# below follow ITU-T T.81 G.1.2 (the same logic libjpeg implements in
+# jdphuff.c, re-derived here from the spec's flow).
+
+
+def _comp_geom(frame, idx):
+    """(bw, bh, bw_pad, bh_pad): the component's own block grid and
+    its MCU-padded grid (interleaved scans walk the padded grid;
+    non-interleaved scans walk the component grid)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hi, vi, _ = comps[idx]
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    bw, bh = (cw + 7) // 8, (ch + 7) // 8
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if len(comps) == 1:
+        return bw, bh, bw, bh
+    return bw, bh, mcux * hi, mcuy * vi
+
+
+def _prog_store(frame):
+    store = []
+    for idx in range(len(frame[2])):
+        bw, bh, bwp, bhp = _comp_geom(frame, idx)
+        store.append([[0] * 64 for _ in range(bwp * bhp)])
+    return store
+
+
+def _decode_prog_scan(payload, pos, frame, seg, store, hdc, hac, ri):
+    w, h, comps = frame
+    ns = seg[0]
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    scan = []
+    for s in range(ns):
+        cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+        idx = next(
+            (i for i, c in enumerate(comps) if c[0] == cs), None)
+        if idx is None:
+            raise ValueError("SOS references unknown component")
+        scan.append((idx, tt >> 4, tt & 15))
+    br = _Bits(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        _prog_dc_scan(br, frame, scan, store, hdc, ah, al, ri)
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be"
+                             " single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band")
+        idx, _, ta = scan[0]
+        if ah == 0 and ta not in hac:
+            raise ValueError("AC scan references missing table")
+        _prog_ac_scan(br, frame, idx, hac.get(ta), store[idx],
+                      ss, se, ah, al, ri)
+    return br.p
+
+
+def _prog_dc_scan(br, frame, scan, store, hdc, ah, al, ri):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    preds = [0] * len(comps)
+    tables = {}
+    for idx, td, _ in scan:
+        if ah == 0:
+            if td not in hdc:
+                raise ValueError("DC scan references missing table")
+            tables[idx] = hdc[td]
+
+    def block(idx, bx, by):
+        _, _, bwp, _ = _comp_geom(frame, idx)
+        coef = store[idx][by * bwp + bx]
+        if ah == 0:
+            s = br.huff(tables[idx])
+            if s > 15:
+                raise ValueError("bad DC category")
+            preds[idx] += br.receive_extend(s)
+            coef[0] = preds[idx] << al
+        else:  # refinement: one bit appends at position al
+            if br.bit():
+                coef[0] |= 1 << al
+
+    togo, rst = ri or -1, 0
+    if len(scan) == 1:
+        idx = scan[0][0]
+        bw, bh, _, _ = _comp_geom(frame, idx)
+        for by in range(bh):
+            for bx in range(bw):
+                if togo == 0:
+                    br.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * len(comps)
+                    togo = ri
+                block(idx, bx, by)
+                togo -= 1
+        return
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if togo == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+                togo = ri
+            for idx, *_ in scan:
+                _, hi, vi, _ = comps[idx]
+                for v in range(vi):
+                    for u in range(hi):
+                        block(idx, mx * hi + u, my * vi + v)
+            togo -= 1
+
+
+def _prog_ac_scan(br, frame, idx, act, blocks, ss, se, ah, al, ri):
+    bw, bh, bwp, _ = _comp_geom(frame, idx)
+    eobrun = 0
+    togo, rst = ri or -1, 0
+    for by in range(bh):
+        for bx in range(bw):
+            if togo == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+                togo = ri
+            coef = blocks[by * bwp + bx]
+            if ah == 0:
+                eobrun = _ac_first_block(
+                    br, act, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(
+                    br, act, coef, ss, se, al, eobrun)
+            togo -= 1
+
+
+def _ac_first_block(br, act, coef, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient outside band")
+        coef[ZZ[k]] = br.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement: newly
+    nonzero coefficients arrive as (run, 1) symbols with a sign bit;
+    every already-nonzero coefficient passed over (including those
+    after the band's last new coefficient, and all of them in EOB-run
+    blocks) receives one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        c = coef[ZZ[k]]
+        if c != 0 and br.bit() and (c & p1) == 0:
+            coef[ZZ[k]] = c + (p1 if c >= 0 else m1)
+        return c != 0
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                newval = 0  # ZRL: run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "refinement symbol with size != 1")
+                newval = p1 if br.bit() else m1
+            # advance over r zero-HISTORY positions, correcting
+            # nonzero ones as they are passed
+            while k <= se:
+                if coef[ZZ[k]] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZZ[k]] = newval
+            k += 1
+    # band tail (or whole band for an EOB-run block): correction bits
+    # for every nonzero coefficient
+    while k <= se:
+        correct(k)
+        k += 1
+    return eobrun - 1 if eobrun > 0 else 0
+
+
+def _reconstruct_progressive(frame, store, qt):
+    w, h, comps = frame
+    if store is None:
+        raise ValueError("progressive JPEG with no scans")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if comps[0][1] != hmax or comps[0][2] != vmax:
+        raise NotImplementedError(
+            "luma must carry the max sampling factors")
+    if comps[0][3] not in qt:
+        raise ValueError("luma references missing DQT")
+    qtab = qt[comps[0][3]]
+    bw, bh, bwp, _ = _comp_geom(frame, 0)
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for by in range(bh):
+        for bx in range(bw):
+            coef = store[0][by * bwp + bx]
+            deq = [coef[i] * qtab[i] for i in range(64)]
+            _place(plane, _idct_block(deq), bx, by)
+    return w, h, [row[:w] for row in plane[:h]]
+
+
 # ---- encoder -------------------------------------------------------------
 
 # Encoder huffman pair (shared by all components): every DC category
@@ -530,6 +795,274 @@ def _dht_seg(tc: int, th: int, bits: list[int],
              vals: list[int]) -> bytes:
     return _seg(0xC4, bytes([tc * 16 + th]) + bytes(bits)
                 + bytes(vals))
+
+
+# Progressive AC table: EOBn symbols (r*16, r < 15) join the
+# (run, size) set — all 176 valid progressive AC symbols at 8 bits.
+_ENC_ACP_VALS = [r * 16 + s for r in range(16) for s in range(11)]
+_ENC_ACP_BITS = [0] * 7 + [len(_ENC_ACP_VALS)] + [0] * 8
+_ENC_ACP_CODE = {v: (8, i) for i, v in enumerate(_ENC_ACP_VALS)}
+
+
+class _ProgACState:
+    """Cross-block AC-scan state: the EOB run counter plus the
+    correction bits buffered behind it (emitted when the run
+    flushes, in block order — the decoder reads them back in the
+    same order)."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, s: int) -> None:
+        ln, code = _ENC_ACP_CODE[s]
+        self.bw.put(code, ln)
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r * 16)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+
+def _enc_ac_first_block(st, coef, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        t = coef[ZZ[k]]
+        neg = t < 0
+        t = (-t if neg else t) >> al  # point transform, toward zero
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            st.sym(0xF0)
+            r -= 16
+        s = t.bit_length()
+        st.sym(r * 16 + s)
+        v = -t if neg else t
+        st.bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _enc_ac_refine_block(st, coef, ss, se, al):
+    absv = {}
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        t = coef[ZZ[k]]
+        t = (-t if t < 0 else t) >> al
+        absv[k] = t
+        if t == 1:
+            eobpos = k  # last NEWLY-nonzero position
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            st.flush()
+            st.sym(0xF0)
+            for b in br:
+                st.bw.put(b, 1)
+            br = []
+            r -= 16
+        if t > 1:  # history-nonzero: correction bit only
+            br.append(t & 1)
+            continue
+        st.flush()
+        st.sym(r * 16 + 1)
+        st.bw.put(0 if coef[ZZ[k]] < 0 else 1, 1)
+        for b in br:
+            st.bw.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 930:
+            st.flush()
+
+
+def encode_jpeg_progressive(
+    y: list[list[int]],
+    cb: list[list[int]] | None = None,
+    cr: list[list[int]] | None = None,
+    sampling: tuple[int, int] = (2, 2),
+    qtable: list[int] | None = None,
+    qtable_c: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) fixture writer — the libjpeg-style default
+    scan script: DC first (Al=1, interleaved) -> per-component AC
+    first (1..63, Al=1) -> DC refinement -> per-component AC
+    refinement, so both spectral selection and successive
+    approximation (first AND refine, DC and AC, EOB runs, correction
+    bits) are exercised by round-trip. The quantized coefficients are
+    identical to encode_jpeg's, so baseline and progressive encodings
+    of the same image decode to identical pixels."""
+    h = len(y)
+    if h == 0 or len(y[0]) == 0:
+        raise ValueError("empty image")
+    w = len(y[0])
+    if any(len(r) != w for r in y):
+        raise ValueError("ragged rows")
+    qy = qtable if qtable is not None else [16] * 64
+    qc = qtable_c if qtable_c is not None else qy
+    color = cb is not None
+    if color and cr is None:
+        raise ValueError("cb without cr")
+    hs, vs = sampling if color else (1, 1)
+    if color:
+        cw, ch = (w + hs - 1) // hs, (h + vs - 1) // vs
+        for p in (cb, cr):
+            if len(p) != ch or any(len(r) != cw for r in p):
+                raise ValueError("chroma plane dims must be"
+                                 " ceil(w/hs) x ceil(h/vs)")
+    comps = ([(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+             if color else [(1, 1, 1, 0)])
+    frame = (w, h, comps)
+    planes = [y] if not color else [y, cb, cr]
+    qtabs = [qy] if not color else [qy, qc, qc]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    grids = []
+    for idx in range(len(comps)):
+        bw_c, bh_c, bwp, bhp = _comp_geom(frame, idx)
+        _, hi, vi, _ = comps[idx]
+        cw_i = (w * hi + hmax - 1) // hmax
+        ch_i = (h * vi + vmax - 1) // vmax
+        grid = []
+        for by in range(bhp):
+            for bx in range(bwp):
+                f = _fdct_block(
+                    _block_at(planes[idx], cw_i, ch_i, bx, by))
+                grid.append(
+                    [_quant(f[i], qtabs[idx][i]) for i in range(64)])
+        grids.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, qy)
+    if color:
+        out += _dqt_seg(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, hi * 16 + vi, tq])
+    out += _seg(0xC2, sof)
+    out += _dht_seg(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += _dht_seg(1, 0, _ENC_ACP_BITS, _ENC_ACP_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(idxs, ss, se, ah, al):
+        body = bytes([len(idxs)])
+        for i in idxs:
+            body += bytes([comps[i][0], 0x00])
+        body += bytes([ss, se, ah * 16 + al])
+        return _seg(0xDA, body)
+
+    def dc_scan(idxs, ah, al):
+        nonlocal out
+        out += sos_header(idxs, 0, 0, ah, al)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        togo, rst = restart_interval or -1, 0
+
+        def block(idx, bx, by):
+            nonlocal preds
+            _, _, bwp, _ = _comp_geom(frame, idx)
+            dc = grids[idx][by * bwp + bx][0]
+            if ah == 0:
+                val = dc >> al
+                diff = val - preds[idx]
+                preds[idx] = val
+                s = _category(diff)
+                ln, code = _ENC_DC_CODE[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff >= 0 else
+                           diff + (1 << s) - 1, s)
+            else:
+                bw.put((dc >> al) & 1, 1)
+
+        def maybe_rst():
+            nonlocal togo, rst, preds
+            if togo == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+                togo = restart_interval
+
+        if len(idxs) == 1:
+            idx = idxs[0]
+            bw_c, bh_c, _, _ = _comp_geom(frame, idx)
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    maybe_rst()
+                    block(idx, bx, by)
+                    togo -= 1
+        else:
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_rst()
+                    for idx in idxs:
+                        _, hi, vi, _ = comps[idx]
+                        for v in range(vi):
+                            for u in range(hi):
+                                block(idx, mx * hi + u, my * vi + v)
+                    togo -= 1
+        bw.align()
+        out += bw.out
+
+    def ac_scan(idx, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([idx], ss, se, ah, al)
+        bw = _BitWriter()
+        st = _ProgACState(bw)
+        bw_c, bh_c, bwp, _ = _comp_geom(frame, idx)
+        togo, rst = restart_interval or -1, 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if togo == 0:
+                    st.flush()
+                    bw.align()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    togo = restart_interval
+                coef = grids[idx][by * bwp + bx]
+                if ah == 0:
+                    _enc_ac_first_block(st, coef, ss, se, al)
+                else:
+                    _enc_ac_refine_block(st, coef, ss, se, al)
+                togo -= 1
+        st.flush()
+        bw.align()
+        out += bw.out
+
+    all_idx = list(range(len(comps)))
+    dc_scan(all_idx, 0, 1)
+    for idx in all_idx:
+        ac_scan(idx, 1, 63, 0, 1)
+    dc_scan(all_idx, 1, 0)
+    for idx in all_idx:
+        ac_scan(idx, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_gray(

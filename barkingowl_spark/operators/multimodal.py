@@ -117,7 +117,7 @@ def _decode_dims(payload: bytes) -> tuple[int, int]:
     """Per-payload real/stub switch: PNG/JPEG/GIF magic -> real
     decode (corrupt payloads come back 0x0 = invalid, they do not
     poison the batch; valid-but-unsupported shapes —
-    palette/16-bit/interlaced PNG, progressive JPEG — take the same
+    palette/16-bit/interlaced PNG, arithmetic-coded JPEG — take the same
     invalid row, r3 advice);
     anything else -> the deterministic stub (its formats' codecs are
     the environment gap, not the plumbing)."""
@@ -257,15 +257,18 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
     quantizes and dequantizes exactly and the integer IDCT reproduces
     every pixel bit-for-bit (functions/jpegcodec.py docstring; the
     error budget is proven there and swept in tests/test_jpeg.py).
-    The encode VARIANT cycles on d % 4 — grayscale / YCbCr 4:2:0 with
+    The encode VARIANT cycles on d % 5 — grayscale / YCbCr 4:2:0 with
     constant chroma / YCbCr 4:2:2 with restart_interval=1 / grayscale
-    with restart_interval=2 — decoded luma is the same formula for
-    all four, so one oracle hash pins huffman decode, MCU interleave,
-    chroma subsampling and RSTn resync at once. mapInPandas,
+    with restart_interval=2 / PROGRESSIVE grayscale (SOF2, the full
+    libjpeg-style 4-scan successive-approximation script) — decoded
+    luma is the same formula for all five, so one oracle hash pins
+    huffman decode, MCU interleave, chroma subsampling, RSTn resync
+    AND the progressive scan machinery at once. mapInPandas,
     Arrow-batched — the same boundary discipline as the decoders."""
     from barkingowl_spark.functions.jpegcodec import (
         encode_jpeg,
         encode_jpeg_gray,
+        encode_jpeg_progressive,
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,7 +280,7 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                 luma = [[2 * ((7 * (x // 8) + 11 * (y // 8)
                                + 13 * d) % 100) + 28
                          for x in range(w)] for y in range(h)]
-                var = d % 4
+                var = d % 5
                 if var == 0:
                     p = encode_jpeg_gray(luma)
                 elif var == 1:
@@ -289,8 +292,10 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                     flat = [[128] * cw for _ in range(h)]
                     p = encode_jpeg(luma, flat, flat, sampling=(2, 1),
                                     restart_interval=1)
-                else:
+                elif var == 3:
                     p = encode_jpeg_gray(luma, restart_interval=2)
+                else:
+                    p = encode_jpeg_progressive(luma)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})
@@ -335,6 +340,45 @@ def gif_table(docs: DataFrame) -> DataFrame:
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
+    """(img_id, payload): each input doc_id d yields THREE payloads —
+    img_id 3d / 3d+1 / 3d+2 = PNG / GIF / baseline-JPEG of the SAME
+    block-constant pixels, keyed by the logo group g = d % groups
+    (w = 8*(2 + g%4), h = 8*(2 + 3g%5), pixel = 2*((7*(x DIV 8)
+    + 11*(y DIV 8) + 13g) % 100) + 28). PNG and GIF are lossless and
+    the JPEG contract makes block-constant even pixels exact, so all
+    three decode to identical pixels — the CROSS-FORMAT image-dedup
+    fixture: a corpus carrying the same creative re-encoded in
+    different formats (the normal state of the real web) must
+    near-dup ACROSS formats, which only works because the perceptual
+    hash runs on decoded pixels, not payload bytes (the byte stub
+    could never pair a PNG with its JPEG twin)."""
+    from barkingowl_spark.functions.gifcodec import encode_gif
+    from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
+    from barkingowl_spark.functions.pngcodec import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % groups
+                w, h = 8 * (2 + g % 4), 8 * (2 + (3 * g) % 5)
+                rows = [[2 * ((7 * (x // 8) + 11 * (y // 8)
+                               + 13 * g) % 100) + 28
+                         for x in range(w)] for y in range(h)]
+                for k, enc in enumerate(
+                        (encode_png, encode_gif, encode_jpeg_gray)):
+                    ids.append(3 * d + k)
+                    payloads.append(enc(rows))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
         gen, "doc_id long, payload binary")
@@ -462,8 +506,8 @@ def _ahash_dispatch(payload: bytes) -> int:
     """PNG/JPEG/GIF magic -> real aHash on decoded pixels; else the
     stub.
     Real-magic payloads with a corrupt body (ValueError) or an
-    unsupported shape (palette/16-bit/interlaced PNG, progressive
-    JPEG — NotImplementedError) fall back to the byte stub — the
+    unsupported shape (palette/16-bit/interlaced PNG,
+    arithmetic-coded JPEG — NotImplementedError) fall back to the byte stub — the
     pre-real-codec behavior — so one bad payload cannot kill the
     whole mapInPandas job (r3 advice)."""
     if _is_real_image(payload):

@@ -100,11 +100,17 @@ def test_corrupt_and_unsupported_rejection():
         decode_jpeg(good[:40])  # truncated mid-segments
     with pytest.raises(ValueError):
         decode_jpeg(good[:-20])  # truncated entropy data
-    # SOF2 (progressive) -> NotImplementedError
+    # SOF3 (lossless) -> NotImplementedError; a baseline stream
+    # re-marked SOF2 is CORRUPT progressive (full-band DC scan) ->
+    # ValueError
+    lossless = bytearray(good)
+    i = lossless.find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(lossless))
     prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
     # 16-bit DQT -> NotImplementedError
     q16 = bytearray(good)
@@ -236,3 +242,46 @@ def test_struct_and_index_errors_normalize_to_valueerror():
         except (ValueError, NotImplementedError):
             pass
     assert struct  # imported for parity with sibling test modules
+
+
+def test_progressive_round_trips():
+    """SOF2 support (r4, beyond the verdict's allowed stub): the
+    libjpeg-style 4-scan successive-approximation script decodes to
+    EXACTLY the baseline decode of the same image (identical
+    quantized coefficients), for gray/color/subsampled/restart
+    variants; block-constant fixtures stay bit-exact."""
+    from barkingowl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    luma = _const_rows(24, 16, 5)
+    _, _, got = decode_jpeg(encode_jpeg_progressive(luma))
+    assert got == luma  # lossy chain still bit-exact on the fixture
+
+    img = [[(7 * x * x + 3 * y * y + x * y) % 256 for x in range(21)]
+           for y in range(13)]
+    _, _, base = decode_jpeg(encode_jpeg_gray(img))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog == base
+    _, _, prog_r = decode_jpeg(
+        encode_jpeg_progressive(img, restart_interval=2))
+    assert prog_r == base
+
+    y2 = [[(5 * x + 9 * y) % 256 for x in range(37)]
+          for y in range(29)]
+    cbp = [[(3 * x + y) % 256 for x in range(19)] for y in range(15)]
+    crp = [[(x + 7 * y) % 256 for x in range(19)] for y in range(15)]
+    _, _, b420 = decode_jpeg(encode_jpeg(y2, cbp, crp))
+    _, _, p420 = decode_jpeg(encode_jpeg_progressive(y2, cbp, crp))
+    assert p420 == b420
+
+    import random
+
+    rnd = random.Random(11)
+    for _ in range(4):
+        w, h = rnd.randrange(8, 40), rnd.randrange(8, 40)
+        im = [[rnd.randrange(256) for _ in range(w)]
+              for _ in range(h)]
+        _, _, b = decode_jpeg(encode_jpeg_gray(im))
+        _, _, pp = decode_jpeg(encode_jpeg_progressive(im))
+        assert pp == b, (w, h)
