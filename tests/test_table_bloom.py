@@ -107,3 +107,23 @@ def test_cuckoo_table_transport_rejected(spark, seeds_df, pages_df,
         prefilter_transport="bogus")
     with pytest.raises(ValueError, match="prefilter_transport"):
         run_crawl(spark, seeds_df, pages_df, cfg2)
+
+
+def test_probe_plan_shape_no_broadcast(spark, tmp_path):
+    """The table-transport probe must be the pid-cogrouped
+    applyInPandas (FlatMapCoGroupsInPandas) with NO BroadcastExchange
+    anywhere in the prefilter+anti-join plan — the whole point is
+    that filter state never ships through the driver."""
+    bloom = TableBloom(spark, str(tmp_path / "p"), n_partitions=4)
+    seen = spark.createDataFrame(
+        [("s", h * 31 + 1) for h in range(100)],
+        "seed_url string, url_hash long")
+    bloom.add_keys(seen.select("url_hash"))
+    cand = spark.createDataFrame(
+        [("s", -h - 1, "u") for h in range(50)],
+        "seed_url string, url_hash long, url string")
+    plan = bloom.anti_join_new(cand, seen)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
