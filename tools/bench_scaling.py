@@ -100,17 +100,29 @@ def _env() -> dict:
     return env
 
 
-def run_once(cpus: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(repo=REPO), str(cpus)],
-        capture_output=True, text=True, timeout=3600, cwd=REPO, env=_env(),
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(
-        f"runner failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-    )
+def run_once(cpus: int, retries: int = 2) -> dict:
+    """One fresh-JVM crawl at ``cpus`` cores. The sandbox JVM
+    occasionally dies in a Python-worker socket reset mid-run (this
+    killed two of round 3's re-pin reps); a level whose subprocess
+    fails is RETRIED up to ``retries`` times with a fresh JVM — a
+    crashed run contributes no timing, so retrying cannot bias the
+    throughput, it only salvages the rep. Retries are logged."""
+    last = None
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", RUNNER.format(repo=REPO),
+             str(cpus)],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+            env=_env(),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        last = (f"runner failed (cpus={cpus}, attempt {attempt}):\n"
+                f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        print(f"RETRY cpus={cpus}: attempt {attempt} crashed "
+              f"(JVM/worker death), relaunching", flush=True)
+    raise RuntimeError(last)
 
 
 def summarize(results: dict[int, list[dict]], lo: int, hi: int) -> dict:
