@@ -949,6 +949,70 @@ def q_mm_cross_format_pairs(spark, sf):
         perceptual_hash(mixed_format_table(docs)))
 
 
+def q_mm_gif_frames(spark, sf):
+    """REAL animated-GIF frame hashes (r4): gif_anim_table writes
+    4-frame animations (identity palette, full-canvas frames,
+    pixel = ((5 + 13f)x + 7y + g + 31f) % 256, logo group g = d % 6);
+    gif_frame_hashes composites every frame through
+    decode_gif_frames and aHashes the canvas — the oracle rebuilds
+    each per-frame hash from the formula, so one wrong LZW code,
+    composite step or hash bit in ANY frame value-hash-mismatches."""
+    from barkingowl_spark.operators.multimodal import (
+        gif_anim_table,
+        gif_frame_hashes,
+    )
+
+    docs = (_t(spark, sf, "documents").select("doc_id")
+            .orderBy("doc_id").limit(24))
+    return gif_frame_hashes(gif_anim_table(docs), max_frames=8)
+
+
+def q_mm_gif_video_pairs(spark, sf):
+    """Video near-dup over REAL decoded animation frames (r4): docs
+    sharing the logo group g share all 4 frame hashes, so
+    video_near_pairs (frame-hash equi-join, stop-frame cap,
+    containment overlap) finds every same-clip pair at
+    overlap_ppm = 1e6 — the re-posted-clip dedup story running on
+    actual decoded frames instead of byte chunks."""
+    from barkingowl_spark.operators.multimodal import (
+        gif_anim_table,
+        gif_frame_hashes,
+        video_near_pairs,
+    )
+
+    docs = (_t(spark, sf, "documents").select("doc_id")
+            .orderBy("doc_id").limit(24))
+    return video_near_pairs(
+        gif_frame_hashes(gif_anim_table(docs), max_frames=8),
+        min_shared=2)
+
+
+def q_mm_bmp_decode(spark, sf):
+    """REAL BMP decode dims (r4, rounding out the lossless family):
+    decode_features over actual BMP payloads across the
+    8-bpp/24-bpp/top-down encode variants."""
+    from barkingowl_spark.operators.multimodal import bmp_table
+
+    return decode_features(bmp_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48))).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_bmp_ahash(spark, sf):
+    """REAL-pixel aHash over decoded BMP pixels — the oracle rebuilds
+    the hash from bmp_table's formula, pinning palette/BGR luma, row
+    order and stride handling in one value hash."""
+    from barkingowl_spark.operators.multimodal import (
+        bmp_table,
+        perceptual_hash,
+    )
+
+    return perceptual_hash(bmp_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -5771,6 +5835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_ahash": q_mm_gif_ahash,
         "mm_gif_resize": q_mm_gif_resize,
         "mm_cross_format_pairs": q_mm_cross_format_pairs,
+        "mm_gif_frames": q_mm_gif_frames,
+        "mm_gif_video_pairs": q_mm_gif_video_pairs,
+        "mm_bmp_decode": q_mm_bmp_decode,
+        "mm_bmp_ahash": q_mm_bmp_ahash,
     })
 
 
@@ -6738,6 +6806,55 @@ _GIFDIMS_CTE = """
     dims AS (
       SELECT doc_id, 17 + doc_id % 8 AS w,
              15 + (5 * doc_id) % 12 AS h
+      FROM d)
+"""
+
+# Per-frame hash CTE for the ANIMATED-GIF queries (mm_gif_frames /
+# mm_gif_video_pairs): gif_anim_table's formula is
+# pixel(x, y, g, f) = ((5 + 13f)x + 7y + g + 31f) % 256 at w = 17 + g%8,
+# h = 15 + 5g%12, g = doc_id % 6, frames f = 0..3 — full-canvas
+# overwrites, so the composited frame IS the formula and the oracle
+# rebuilds every per-frame aHash exactly.
+_GIFANIM_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24),
+    gs AS (SELECT DISTINCT doc_id % 6 AS g FROM d),
+    gf AS (SELECT g, ff.f AS f FROM gs,
+           (SELECT unnest(generate_series(0, 3)) AS f) ff),
+    dims AS (SELECT g, 17 + g % 8 AS w, 15 + (5 * g) % 12 AS h
+             FROM gs),
+    px AS (
+      SELECT gf.g, gf.f, dims.w, dims.h, gx.x AS x, gy.y AS y,
+             ((5 + 13 * gf.f) * gx.x + 7 * gy.y + gf.g
+              + 31 * gf.f) % 256 AS v
+      FROM gf JOIN dims ON dims.g = gf.g,
+           (SELECT unnest(generate_series(0, 24)) AS x) gx,
+           (SELECT unnest(generate_series(0, 26)) AS y) gy
+      WHERE gx.x < w AND gy.y < h),
+    cells AS (
+      SELECT g, f, ((8 * y) // h) * 8 + (8 * x) // w AS k,
+             sum(v) // count(*) AS cell
+      FROM px GROUP BY g, f, k),
+    m AS (SELECT g, f, sum(cell) // 64 AS mn
+          FROM cells GROUP BY g, f),
+    hb AS (
+      SELECT c.g, c.f,
+             sum(CASE WHEN c.cell > m.mn
+                 THEN (CAST(1 AS HUGEINT) << c.k)
+                 ELSE CAST(0 AS HUGEINT) END) AS hv
+      FROM cells c JOIN m USING (g, f) GROUP BY c.g, c.f),
+    hs AS (
+      SELECT g, f,
+             CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE hv END AS BIGINT) AS phash
+      FROM hb)
+"""
+
+_BMPDIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 19 + doc_id % 7 AS w,
+             13 + (3 * doc_id) % 10 AS h
       FROM d)
 """
 
@@ -9866,6 +9983,67 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM imgs a JOIN imgs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "mm_gif_frames": _GIFANIM_CTE + """
+            SELECT d.doc_id, CAST(hs.f AS INT) AS frame_idx, hs.phash
+            FROM d JOIN hs ON hs.g = d.doc_id % 6
+        """,
+        "mm_gif_video_pairs": _GIFANIM_CTE + """,
+            fhd AS (SELECT DISTINCT d.doc_id, hs.phash
+                    FROM d JOIN hs ON hs.g = d.doc_id % 6),
+            sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM fhd GROUP BY doc_id),
+            freq AS (
+              SELECT phash FROM fhd GROUP BY phash
+              HAVING count(*) <= 1024),
+            cold AS (SELECT fhd.* FROM fhd JOIN freq USING (phash)),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS shared_frames
+              FROM cold a JOIN cold b USING (phash)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, shared_frames,
+                   CAST(shared_frames * 1000000 // least(sa.n, sb.n)
+                        AS BIGINT) AS overlap_ppm
+            FROM p JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        "mm_bmp_decode": _BMPDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_bmp_ahash": _BMPDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     (5 * gx.x + 11 * gy.y + doc_id) % 256 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 25)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 22)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
         """,
         "mm_frame_sample": """
             WITH d AS (

@@ -47,15 +47,30 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """payload -> (width, height, grayscale rows) of the logical
     screen with the FIRST frame composited. ValueError on corrupt
     input."""
+    w, h, frames = decode_gif_frames(payload, max_frames=1)
+    return w, h, frames[0]
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 32
+) -> tuple[int, int, list[list[list[int]]]]:
+    """payload -> (width, height, [composited frames]) — the ANIMATED
+    decode (r4): every image block is composited onto the logical
+    screen honoring the Graphic Control Extension's transparency
+    index and disposal method (1/0 leave, 2 restore-to-background in
+    the frame rect, 3 restore-to-previous), and the canvas AFTER each
+    frame is emitted — i.e. what a viewer displays, which is what a
+    video-near-dup frame hash must see. Stops after ``max_frames``.
+    ValueError on corrupt input."""
     try:
-        return _decode_checked(payload)
+        return _decode_frames_checked(payload, max_frames)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt GIF: {e}") from e
 
 
-def _decode_checked(
-    payload: bytes,
-) -> tuple[int, int, list[list[int]]]:
+def _decode_frames_checked(
+    payload: bytes, max_frames: int
+) -> tuple[int, int, list[list[list[int]]]]:
     if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF (bad magic/version)")
     if len(payload) < 13:
@@ -76,16 +91,28 @@ def _decode_checked(
         pos += 3 * n
     bg_luma = gct[bg] if gct and bg < len(gct) else 0
     canvas = [[bg_luma] * w for _ in range(h)]
+    frames: list[list[list[int]]] = []
+    gce: tuple[int, int | None] | None = None
     while True:
         if pos >= len(payload):
             raise ValueError("truncated GIF (no trailer)")
         b = payload[pos]
         pos += 1
-        if b == 0x3B:  # trailer before any image
-            raise ValueError("GIF has no image frame")
-        if b == 0x21:  # extension: label + sub-blocks
-            pos += 1  # label
-            pos = _skip_subblocks(payload, pos)
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                data, pos = _read_subblocks(payload, pos)
+                if len(data) >= 4:
+                    disposal = (data[0] >> 2) & 7
+                    tidx = data[3] if (data[0] & 1) else None
+                    gce = (disposal, tidx)
+            else:
+                pos = _skip_subblocks(payload, pos)
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
@@ -111,6 +138,9 @@ def _decode_checked(
         data, pos = _read_subblocks(payload, pos)
         idx = _lzw_decode(data, min_code, iw * ih)
         rows = _deinterlace(idx, iw, ih, bool(ipacked & 0x40))
+        disposal, tidx = gce if gce is not None else (0, None)
+        gce = None
+        saved = ([row[:] for row in canvas] if disposal == 3 else None)
         for y in range(ih):
             cy = top + y
             if cy >= h:
@@ -123,8 +153,22 @@ def _decode_checked(
                 i = row[x]
                 if i >= len(pal):
                     raise ValueError("pixel index outside palette")
+                if tidx is not None and i == tidx:
+                    continue  # transparent: canvas shows through
                 crow[cx] = pal[i]
-        return w, h, canvas
+        frames.append([row[:] for row in canvas])
+        if len(frames) >= max_frames:
+            break
+        if disposal == 2:  # restore background in the frame rect
+            for y in range(top, min(top + ih, h)):
+                crow = canvas[y]
+                for x in range(left, min(left + iw, w)):
+                    crow[x] = bg_luma
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    return w, h, frames
 
 
 def _skip_subblocks(payload: bytes, pos: int) -> int:
@@ -282,6 +326,62 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
     emit(eoi, size)
     if n:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_anim(
+    frames: list[list[list[int]]],
+    palette: list[tuple[int, int, int]] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent: list[int | None] | None = None,
+    bg: int = 0,
+) -> bytes:
+    """ANIMATED fixture writer (r4): frame 0 fixes the logical screen
+    (and must sit at (0, 0)); later frames may be partial rects at
+    ``offsets`` with per-frame ``disposals`` (0/1 leave, 2 restore
+    background, 3 restore previous) and an optional per-frame
+    ``transparent`` palette index — every decode_gif_frames
+    compositing path reachable by round-trip. Default palette is the
+    grayscale identity."""
+    if not frames or not frames[0] or not frames[0][0]:
+        raise ValueError("no frames")
+    h, w = len(frames[0]), len(frames[0][0])
+    offs = offsets if offsets is not None else [(0, 0)] * len(frames)
+    disp = disposals if disposals is not None else [0] * len(frames)
+    trans = (transparent if transparent is not None
+             else [None] * len(frames))
+    if not (len(offs) == len(disp) == len(trans) == len(frames)):
+        raise ValueError("per-frame lists must match frame count")
+    if offs[0] != (0, 0):
+        raise ValueError("frame 0 must cover the screen origin")
+    pal = palette if palette is not None else [
+        (i, i, i) for i in range(256)]
+    if len(pal) != 256:
+        raise ValueError("palette must have 256 entries")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 7, bg, 0])
+    out += b"".join(bytes(c) for c in pal)
+    for f, (rows, (left, top), d, t) in enumerate(
+            zip(frames, offs, disp, trans)):
+        fh = len(rows)
+        fw = len(rows[0]) if fh else 0
+        if fh == 0 or fw == 0 or any(len(r) != fw for r in rows):
+            raise ValueError(f"bad frame {f} geometry")
+        out += bytes([0x21, 0xF9, 0x04,
+                      (d << 2) | (1 if t is not None else 0),
+                      0x04, 0x00,  # 4cs delay
+                      t if t is not None else 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0])
+        out += bytes([8])
+        lzw = _lzw_encode([v for r in rows for v in r], 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -6,16 +6,20 @@ Arrow-batched pandas iterators over mapInPandas, so the JVM streams
 payload batches to one Python worker per core and nothing per-row crosses
 the boundary one element at a time.
 
-PNG, baseline JPEG and GIF payloads decode FOR REAL:
+PNG, JPEG (baseline AND progressive), GIF (stills AND animations)
+and BMP payloads decode FOR REAL:
 functions/pngcodec.py is a pure-Python stdlib-zlib PNG reader (IHDR
 parse, IDAT inflate, per-row unfilter, CRC-checked),
 functions/jpegcodec.py a pure-Python baseline-JPEG reader (marker
 parse, canonical huffman, dequant, fixed-point integer IDCT,
 Y-as-luma; r4 verdict item 1) and functions/gifcodec.py a pure-Python
-GIF reader (LZW, interlace, palette luma; r4 verdict item 2) —
+GIF reader (LZW, interlace, palette luma, multi-frame compositing
+with GCE transparency/disposal; r4 verdict item 2) and
+functions/bmpcodec.py a pure-Python BMP reader (BI_RGB 8/24/32-bpp,
+palette/BGR luma, top-down and bottom-up) —
 `decode_features`, `resize_images`, `perceptual_hash` and
 `frame_phash` dispatch per payload on the magic (_decode_any): real
-pixels for PNG/JPEG/GIF, the deterministic fake for everything else.
+pixels for PNG/JPEG/GIF/BMP, the deterministic fake for everything else.
 The remaining codecs (TIFF/WebP/libav video) are genuinely absent
 from this container, so their decode step stays STUBBED behind
 `_decode_image_real` (raises NotImplementedError) with a
@@ -47,6 +51,10 @@ try:  # external codec path (non-PNG formats) — absent here
 except ImportError:
     _HAVE_PIL = False
 
+from barkingowl_spark.functions.bmpcodec import (
+    BMP_MAGIC,
+    decode_bmp,
+)
 from barkingowl_spark.functions.gifcodec import (
     GIF_MAGIC,
     decode_gif,
@@ -72,12 +80,14 @@ def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return decode_jpeg(payload)
     if payload[:4] == GIF_MAGIC:
         return decode_gif(payload)
+    if payload[:2] == BMP_MAGIC:
+        return decode_bmp(payload)
     raise ValueError("no real decoder for this magic")
 
 
 def _is_real_image(payload: bytes) -> bool:
     return (payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC
-            or payload[:4] == GIF_MAGIC)
+            or payload[:4] == GIF_MAGIC or payload[:2] == BMP_MAGIC)
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -384,6 +394,124 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def gif_anim_table(
+    docs: DataFrame, n_frames: int = 4, groups: int = 6
+) -> DataFrame:
+    """(doc_id, payload): a deterministic ANIMATED GIF per doc_id —
+    n_frames full-canvas frames over the identity grayscale palette,
+    frame f pixel(x, y) = ((5 + 13f)x + 7y + g + 31f) % 256 with the
+    logo group g = d % groups (w = 17 + g%8, h = 15 + 5g%12) — the
+    x-gradient changes per frame, so frames hash DISTINCTLY (a
+    constant shift would aHash identically) — so (a) the
+    composited frames equal the formula exactly and a SQL oracle
+    recomputes every per-frame hash, and (b) docs sharing g share ALL
+    frame hashes — the real-video-near-dup fixture (same clip
+    re-posted under different doc_ids). Disposal/transparency/offset
+    compositing is exercised by unit round-trips
+    (tests/test_gif.py); the oracle face keeps full-frame overwrite
+    semantics where every path agrees."""
+    from barkingowl_spark.functions.gifcodec import encode_gif_anim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = int(d) % groups
+                w, h = 17 + g % 8, 15 + (5 * g) % 12
+                frames = [
+                    [[((5 + 13 * f) * x + 7 * y + g + 31 * f) % 256
+                      for x in range(w)] for y in range(h)]
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_gif_anim(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def gif_frame_hashes(
+    multimodal: DataFrame, max_frames: int = 8, stride: int = 64
+) -> DataFrame:
+    """(doc_id, frame_idx, phash): REAL per-frame perceptual hash —
+    the video-near-dup signature over actual decoded animation
+    frames (r4): GIF payloads run decode_gif_frames (GCE
+    transparency + disposal compositing, what a viewer displays) and
+    each composited canvas takes the integer aHash; non-GIF or
+    corrupt payloads fall back to frame_phash's byte-chunk stub, so
+    the plumbing is payload-agnostic and one bad payload never kills
+    the job. Feed the output to video_near_pairs for the pair stage —
+    payloads are read exactly once and the join sees only 8-byte
+    hashes."""
+    from barkingowl_spark.functions.gifcodec import (
+        GIF_MAGIC as _GM,
+        decode_gif_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                hs = None
+                if p[:4] == _GM:
+                    try:
+                        w, h, frames = decode_gif_frames(
+                            p, max_frames=max_frames)
+                        hs = [_ahash_rows(w, h, fr) for fr in frames]
+                    except (ValueError, NotImplementedError):
+                        hs = None
+                if hs is None:  # stub: byte chunks (frame_phash)
+                    n = min(max_frames,
+                            (len(p) + stride - 1) // stride)
+                    hs = [_ahash_stub(p[i * stride:(i + 1) * stride])
+                          for i in range(n)]
+                for i, hv in enumerate(hs):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["phash"].append(hv)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32",
+                 "phash": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, frame_idx int, phash long"
+    )
+
+
+def bmp_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic BMP per doc_id — lossless,
+    identity-grayscale palette, pixel(x, y) = (5x + 11y + d) % 256 at
+    w = 19 + d % 7, h = 13 + (3d) % 10; the encode variant cycles on
+    d % 3 — 8-bpp bottom-up / 24-bpp bottom-up / 8-bpp TOP-DOWN — and
+    all three decode to the same formula, so one oracle hash pins the
+    palette, BGR-luma, row order and stride-padding paths at once."""
+    from barkingowl_spark.functions.bmpcodec import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 19 + d % 7, 13 + (3 * d) % 10
+                rows = [[(5 * x + 11 * y + d) % 256
+                         for x in range(w)] for y in range(h)]
+                var = d % 3
+                if var == 0:
+                    p = encode_bmp(rows)
+                elif var == 1:
+                    p = encode_bmp(rows, bpp=24)
+                else:
+                    p = encode_bmp(rows, top_down=True)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:
@@ -470,6 +598,12 @@ def _ahash_real(payload: bytes) -> int:
     the stub). Other formats' payloads need codecs absent here by
     design."""
     w, h, px = _decode_any(payload)
+    return _ahash_rows(w, h, px)
+
+
+def _ahash_rows(w: int, h: int, px: list[list[int]]) -> int:
+    """The integer 8x8 block-mean average-hash over decoded rows —
+    shared by the whole-image and per-frame hashers."""
     sums = [0] * 64
     cnts = [0] * 64
     for y, row in enumerate(px):

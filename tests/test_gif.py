@@ -175,3 +175,139 @@ def test_cross_format_identical_hashes(spark):
     for d in range(6):
         png, gif, jpg = hashes[3 * d], hashes[3 * d + 1], hashes[3 * d + 2]
         assert png == gif == jpg, d
+
+
+def test_animated_compositing_paths():
+    """decode_gif_frames honors transparency and all three disposal
+    methods; frame 0 wrapper behavior unchanged."""
+    from barkingowl_spark.functions.gifcodec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    base = [[10] * 8 for _ in range(6)]
+    patch = [[200, 0], [0, 201]]  # 0 transparent below
+    p = encode_gif_anim(
+        [base, patch, [[55] * 3]],
+        offsets=[(0, 0), (3, 2), (1, 1)],
+        disposals=[1, 2, 0],
+        transparent=[None, 0, None], bg=9)
+    w, h, fr = decode_gif_frames(p)
+    assert (w, h) == (8, 6) and len(fr) == 3
+    f1 = [row[:] for row in base]
+    f1[2][3] = 200
+    f1[3][4] = 201
+    assert fr[1] == f1
+    f2 = [row[:] for row in base]
+    for (y, x) in ((2, 3), (2, 4), (3, 3), (3, 4)):
+        f2[y][x] = 9  # disposal 2: bg restored in the patch rect
+    f2[1][1] = f2[1][2] = f2[1][3] = 55
+    assert fr[2] == f2
+    # disposal 3: restore-previous
+    p3 = encode_gif_anim(
+        [base, [[77] * 8 for _ in range(6)], [[5]]],
+        offsets=[(0, 0), (0, 0), (7, 5)],
+        disposals=[1, 3, 0])
+    _, _, fr3 = decode_gif_frames(p3)
+    exp = [row[:] for row in base]
+    exp[5][7] = 5
+    assert fr3[2] == exp
+    # max_frames cuts early
+    _, _, two = decode_gif_frames(p3, max_frames=2)
+    assert len(two) == 2
+
+
+def _py_anim_hash(g, f):
+    w, h = 17 + g % 8, 15 + (5 * g) % 12
+    sums, cnts = [0] * 64, [0] * 64
+    for y in range(h):
+        for x in range(w):
+            k = ((8 * y) // h) * 8 + (8 * x) // w
+            sums[k] += ((5 + 13 * f) * x + 7 * y
+                        + g + 31 * f) % 256
+            cnts[k] += 1
+    cells = [sums[k] // cnts[k] for k in range(64)]
+    mean = sum(cells) // 64
+    hsh = sum(1 << k for k, c in enumerate(cells) if c > mean)
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
+
+
+def test_spark_gif_frame_hashes_and_video_pairs(spark):
+    from barkingowl_spark.operators.multimodal import (
+        gif_anim_table,
+        gif_frame_hashes,
+        video_near_pairs,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(12)],
+                                 "doc_id long")
+    fh = gif_frame_hashes(gif_anim_table(docs), max_frames=8).cache()
+    got = {(r["doc_id"], r["frame_idx"]): r["phash"]
+           for r in fh.collect()}
+    assert len(got) == 12 * 4
+    for d in range(12):
+        for f in range(4):
+            assert got[(d, f)] == _py_anim_hash(d % 6, f), (d, f)
+    # same-group docs (d and d+6) share all 4 frames -> full overlap
+    pairs = {(r["doc_a"], r["doc_b"]): r
+             for r in video_near_pairs(fh, min_shared=2).collect()}
+    for g in range(6):
+        r = pairs[(g, g + 6)]
+        assert r["shared_frames"] == 4
+        assert r["overlap_ppm"] == 1_000_000
+    fh.unpersist()
+
+
+def test_bmp_codec_and_spark_dispatch(spark):
+    """BMP (functions/bmpcodec.py): lossless round-trip across
+    8-bpp/24-bpp/top-down variants, corrupt containment, and the
+    Spark decode/ahash dispatch over bmp_table."""
+    from barkingowl_spark.functions.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from barkingowl_spark.operators.multimodal import (
+        _ahash_dispatch,
+        _ahash_stub,
+        _decode_dims,
+        bmp_table,
+        decode_features,
+        perceptual_hash,
+    )
+
+    r = [[(5 * x + 11 * y + 3) % 256 for x in range(23)]
+         for y in range(9)]
+    for kw in (dict(), dict(top_down=True), dict(bpp=24),
+               dict(bpp=24, top_down=True)):
+        w, h, got = decode_bmp(encode_bmp(r, **kw))
+        assert (w, h) == (23, 9) and got == r, kw
+    bad = encode_bmp(r)[:-10]
+    assert _decode_dims(bad) == (0, 0)
+    assert _ahash_dispatch(bad) == _ahash_stub(bad)
+
+    docs = spark.createDataFrame([(d,) for d in range(9)],
+                                 "doc_id long")
+    bt = bmp_table(docs).cache()
+    for row in decode_features(bt).collect():
+        d = row["doc_id"]
+        assert (row["width"], row["height"]) == (19 + d % 7,
+                                                 13 + (3 * d) % 10)
+        assert row["is_valid"]
+
+    def py_hash(d):
+        w, h = 19 + d % 7, 13 + (3 * d) % 10
+        sums, cnts = [0] * 64, [0] * 64
+        for y in range(h):
+            for x in range(w):
+                k = ((8 * y) // h) * 8 + (8 * x) // w
+                sums[k] += (5 * x + 11 * y + d) % 256
+                cnts[k] += 1
+        cells = [sums[k] // cnts[k] for k in range(64)]
+        mean = sum(cells) // 64
+        hh = sum(1 << k for k, c in enumerate(cells) if c > mean)
+        return hh - (1 << 64) if hh >= (1 << 63) else hh
+
+    got = {row["doc_id"]: row["phash"]
+           for row in perceptual_hash(bt).collect()}
+    assert got == {d: py_hash(d) for d in range(9)}
+    bt.unpersist()
