@@ -13648,6 +13648,7 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '89504E47%' THEN 'image/png'
                        WHEN hx LIKE '47494638%' THEN 'image/gif'
                        WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+                       WHEN hx LIKE '424D%' THEN 'image/bmp'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed

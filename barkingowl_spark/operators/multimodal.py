@@ -80,14 +80,22 @@ def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return decode_jpeg(payload)
     if payload[:4] == GIF_MAGIC:
         return decode_gif(payload)
-    if payload[:2] == BMP_MAGIC:
+    if _looks_bmp(payload):
         return decode_bmp(payload)
     raise ValueError("no real decoder for this magic")
 
 
+def _looks_bmp(payload: bytes) -> bool:
+    """'BM' is a weak 2-byte magic (ordinary text can start with it);
+    require the header's 4 reserved zero bytes too, so a text payload
+    never misroutes into the BMP decoder and loses its stub dims."""
+    return (payload[:2] == BMP_MAGIC
+            and payload[6:10] == b"\x00\x00\x00\x00")
+
+
 def _is_real_image(payload: bytes) -> bool:
     return (payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC
-            or payload[:4] == GIF_MAGIC or payload[:2] == BMP_MAGIC)
+            or payload[:4] == GIF_MAGIC or _looks_bmp(payload))
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -144,9 +152,10 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary column.
 
     Batch shape: Arrow record batches of (doc_id, payload); output one row
-    per input row with typed metadata. PNG payloads take the REAL
-    decode (pngcodec), others the deterministic stub — the per-payload
-    dispatch in _decode_dims; nothing else differs between the paths.
+    per input row with typed metadata. PNG/JPEG/GIF/BMP payloads take
+    the REAL decode (_decode_any), others the deterministic stub — the
+    per-payload dispatch in _decode_dims; nothing else differs between
+    the paths.
     """
     decode = _decode_dims
 
@@ -180,11 +189,11 @@ RESIZED_SCHEMA = (
 def resize_images(multimodal: DataFrame, max_side: int = 32) -> DataFrame:
     """mapInPandas resize: bound the longer side to ``max_side`` keeping
     aspect (integer floor math — portable). The pixel work is stubbed
-    for non-PNG payloads (their codecs absent): output byte count is
-    modeled as out_w*out_h, which the oracle reproduces. PNG payloads
-    take the REAL pixel path: pngcodec decode, nearest-neighbor
-    resample to (out_w, out_h), grayscale PNG re-encode — out_bytes is
-    the actual re-encoded file size (round-trip-pinned in
+    for payloads without a real decoder (codecs absent): output byte
+    count is modeled as out_w*out_h, which the oracle reproduces.
+    PNG/JPEG/GIF/BMP payloads take the REAL pixel path: _decode_any,
+    nearest-neighbor resample to (out_w, out_h), grayscale PNG
+    re-encode — out_bytes is the actual re-encoded file size (round-trip-pinned in
     tests/test_png.py; the SQL-oracle-checked real-pixel audit is
     resize_pixel_audit, since a deflate length has no closed form)."""
     from barkingowl_spark.functions.pngcodec import encode_png
@@ -801,6 +810,7 @@ def sniff_mime(
         .when(hx.startswith("89504E47"), "image/png")
         .when(hx.startswith("47494638"), "image/gif")
         .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(hx.startswith("424D"), "image/bmp")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")
