@@ -838,7 +838,8 @@ def _jpeg_docs(spark, sf, n=48):
     h = 8*(2 + 3d%5), pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13d)
     % 100) + 28) so the flat-16 quant round-trips the DC exactly and
     the integer IDCT reproduces every pixel; the encode variant
-    cycles gray / 4:2:0 / 4:2:2+RST / gray+RST on d % 4. Spark
+    cycles gray / 4:2:0 / 4:2:2+RST / gray+RST / progressive-SOF2
+    on d % 5. Spark
     decodes the BYTES (functions/jpegcodec.py: marker parse, huffman,
     dequant, IDCT); the oracle recomputes from the formula —
     agreement pins the whole baseline-JPEG chain."""
@@ -13648,7 +13649,9 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '89504E47%' THEN 'image/png'
                        WHEN hx LIKE '47494638%' THEN 'image/gif'
                        WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
-                       WHEN hx LIKE '424D%' THEN 'image/bmp'
+                       WHEN hx LIKE '424D%'
+                            AND substr(hx, 13, 8) = '00000000'
+                            THEN 'image/bmp'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed

@@ -250,11 +250,13 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> list[int]:
         if prev is not None and next_code < 4096:
             table.append(prev + (entry[0],))
             next_code += 1
-            # EARLY size bump — the decoder's dictionary lags the
-            # encoder's by exactly one insertion at read time, so the
-            # width must grow one entry before (1 << size), the
-            # classic GIF-LZW off-by-one
-            if next_code == (1 << size) - 1 and size < 12:
+            # giflib/stb timing: the width grows once the next free
+            # slot can no longer be represented — after inserting
+            # entry (1 << size) - 1, i.e. when next_code reaches
+            # (1 << size). The encoder's dictionary runs exactly one
+            # insertion ahead, which is why ITS bump sits one later
+            # (see _lzw_encode).
+            if next_code == (1 << size) and size < 12:
                 size += 1
         prev = entry
     if len(out) < npix:
@@ -313,7 +315,11 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << size) and size < 12:
+            # giflib timing: the encoder inserts one entry ahead of
+            # the decoder, so its width bump sits one insertion AFTER
+            # the decoder's — the first wider code is emitted only
+            # once the next free code EXCEEDS (1 << size).
+            if next_code == (1 << size) + 1 and size < 12:
                 size += 1
         else:  # dictionary full: reset
             emit(clear, size)

@@ -803,14 +803,20 @@ def sniff_mime(
     fall back too.
 
     Pure native expressions over hex(prefix) — the payload column is
-    read 8 bytes deep, never scanned, never crossing to Python."""
-    hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 8)")))
+    read 10 bytes deep (enough for BMP's reserved bytes), never
+    scanned, never crossing to Python."""
+    hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 10)")))
     sniffed = (
         F.when(hx.startswith("25504446"), "application/pdf")
         .when(hx.startswith("89504E47"), "image/png")
         .when(hx.startswith("47494638"), "image/gif")
         .when(hx.startswith("FFD8FF"), "image/jpeg")
-        .when(hx.startswith("424D"), "image/bmp")
+        # 'BM' alone is a weak 2-byte magic — same discipline as
+        # _looks_bmp: require the header's 4 reserved zero bytes
+        # (offsets 6..9 = hex chars 13..20) so 'BM...' text is not
+        # miscounted as image/bmp in mime stats.
+        .when(hx.startswith("424D")
+              & (F.substring(hx, 13, 8) == "00000000"), "image/bmp")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")

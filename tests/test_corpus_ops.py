@@ -768,6 +768,8 @@ def test_sniff_mime(spark):
         (5, b"PK\x03\x04zipzip", "text/plain"),             # lies
         (6, b"plain words", "text/plain"),
         (7, None, "application/pdf"),
+        (8, b"BM\x9a\x00\x00\x00\x00\x00\x00\x00\x36", "image/bmp"),
+        (9, b"BMW sales rose", "text/plain"),  # weak 'BM' magic
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, mime string")
@@ -781,6 +783,9 @@ def test_sniff_mime(spark):
     assert got[5] == ("application/zip", False)
     assert got[6] == ("application/octet-stream", False)
     assert got[7] == ("application/octet-stream", False)
+    # BMP needs the 4 reserved zero bytes, not just the weak 'BM'
+    assert got[8] == ("image/bmp", True)
+    assert got[9] == ("application/octet-stream", False)
 
 
 def test_soft404_scores(spark):

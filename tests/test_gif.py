@@ -311,3 +311,116 @@ def test_bmp_codec_and_spark_dispatch(spark):
            for row in perceptual_hash(bt).collect()}
     assert got == {d: py_hash(d) for d in range(9)}
     bt.unpersist()
+
+
+# ---- giflib-timing regression (r5, ADVICE r4) ----------------------------
+#
+# Round-trip tests alone cannot catch a code-width off-by-one that is
+# mirrored in both halves of the codec (the r4 bug: both sides bumped
+# one code early, so repo-encoded GIFs round-tripped while every
+# real-world GIF crossing ~254 LZW codes was rejected). These two
+# tests pin EACH half against an INDEPENDENT implementation of the
+# giflib/stb timing: the decoder bumps its code width when next_code
+# reaches (1 << size) after an insertion; the encoder — whose
+# dictionary runs one insertion ahead — emits the first wider code
+# only once its next free code EXCEEDS (1 << size).
+
+
+def _foreign_literal_gif(pixels, w, h):
+    """A GIF written WITHOUT the repo encoder: literal-only LZW codes
+    at exactly the width a giflib-semantics decoder expects at each
+    read position. Crossing 254 codes forces the 9->10-bit bump at
+    the standard position, which the r4 decoder mis-timed."""
+    acc = n = 0
+    out = bytearray()
+
+    def emit(code, size):
+        nonlocal acc, n
+        acc |= code << n
+        n += size
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    clear, size, next_code = 256, 9, 258
+    emit(clear, size)
+    first = True
+    for p in pixels:
+        emit(p, size)
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1  # the decoder inserts after this read
+            if next_code == (1 << size) and size < 12:
+                size += 1
+    emit(257, size)  # EOI
+    if n:
+        out.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", w, h)
+    gif += bytes([0x80 | 7, 0, 0])  # GCT, 256 entries
+    gif += b"".join(bytes((i, i, i)) for i in range(256))
+    gif += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    gif += bytes([8])  # LZW minimum code size
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3B"
+    return bytes(gif)
+
+
+def test_decoder_accepts_foreign_giflib_timed_stream():
+    w, h = 25, 24  # 600 pixels >> the 254-code bump boundary
+    rows = [[(3 * x + 5 * y) % 256 for x in range(w)]
+            for y in range(h)]
+    pixels = [v for row in rows for v in row]
+    gw, gh, got = decode_gif(_foreign_literal_gif(pixels, w, h))
+    assert (gw, gh) == (w, h) and got == rows
+
+
+def _ref_lzw_decode(data, min_code, npix):
+    """Independent giflib-semantics LZW decoder (width bump when
+    next_code hits 1 << size after insertion) — deliberately written
+    apart from gifcodec._lzw_decode to pin the ENCODER's timing."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = [(i,) for i in range(clear)] + [(), ()]
+    size, next_code, prev = min_code + 1, eoi + 1, None
+    out, acc, n, pos = [], 0, 0, 0
+    while len(out) < npix:
+        while n < size:
+            acc |= data[pos] << n
+            n += 8
+            pos += 1
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        n -= size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            size, next_code, prev = min_code + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            break
+        entry = (table[code] if code < next_code
+                 else prev + (prev[0],))
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+    return out[:npix]
+
+
+def test_encoder_stream_decodable_by_independent_giflib_decoder():
+    from barkingowl_spark.functions.gifcodec import _lzw_encode
+    import random
+
+    rnd = random.Random(7)
+    # incompressible: every width bump and the 4096 reset are crossed
+    pix = [rnd.randrange(256) for _ in range(9000)]
+    assert _ref_lzw_decode(_lzw_encode(pix, 8), 8, len(pix)) == pix
+    # and a compressible run-heavy stream for the other code shapes
+    pix2 = [((i // 19) * 37) % 256 for i in range(3000)]
+    assert _ref_lzw_decode(_lzw_encode(pix2, 8), 8, len(pix2)) == pix2
