@@ -5497,20 +5497,80 @@ def _round_number() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+# Union of the queries the DRIVER's own correctness gate sampled in
+# rounds 1-4 (keys of CORRECTNESS_r0{1..4}.json, frozen 2026-08-21).
+# Rotation for round 5+ puts queries OUTSIDE this set first, so each
+# new gate lands on never-driver-checked territory (r4 verdict item
+# 5: seed the shift off the r1-r4 UNION, not just the last round).
+_DRIVER_CHECKED_R1_R4 = frozenset({
+    "ams_tokens", "ann_ivf_assign", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_assign", "ann_lsh_topk", "ann_pq_topk", "bpe_merges",
+    "canonical_resolve", "cdc_near_dup", "chunk_overlap", "cms_tokens",
+    "dedup_components", "dedup_embed_cosine", "dedup_exact",
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_minhash_sigs",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_near",
+    "dedup_weights", "density_clean", "density_labels",
+    "doc_fingerprint", "doc_winnow_fp", "dsir_sample", "dust_canon",
+    "dust_rules", "emb_sq8", "eval_compromise", "events_sessionize",
+    "focused_frontier", "frontier_coverage", "gopher_quality",
+    "graph_adamic", "graph_bowtie", "graph_cocite",
+    "graph_communities", "graph_degree", "graph_diameter",
+    "graph_entropy", "graph_harmonic", "graph_hits", "graph_host_agg",
+    "graph_hyperball", "graph_indegree_skew", "graph_kcore",
+    "graph_linkpred", "graph_modularity", "graph_pagerank",
+    "graph_pagerank_delta", "graph_reciprocal", "graph_salsa",
+    "graph_scc", "graph_triangles", "graph_walks", "graph_wcc",
+    "hll_shingles", "host_quotas", "host_scorecard",
+    "kmv_host_distinct", "kmv_host_overlap", "mix_epochs_out",
+    "mix_report", "mix_sample", "mix_stratified", "mix_temperature",
+    "mm_bmp_ahash", "mm_bmp_decode", "mm_cross_format_pairs",
+    "mm_decode_stub", "mm_frame_sample", "mm_gif_ahash",
+    "mm_gif_decode", "mm_gif_frames", "mm_gif_resize",
+    "mm_gif_video_pairs", "mm_jpeg_ahash", "mm_jpeg_decode",
+    "mm_jpeg_resize", "mm_resize_stub", "o12_anti_join_dedup",
+    "o12_cuckoo_evict", "o12_semi_probe", "o14_config_join",
+    "o15_doc_type_match", "o16_metrics_rollup", "o16_wave_counters",
+    "o17_cardinality", "o18_bfs_order", "o19_first_discovery",
+    "o1_recrawl_due", "o20_politeness_topk", "o20_robots_filter",
+    "o20_scored_topk", "o21_queue_intersect", "o21_union_dedup",
+    "o26_time_rollup", "o27_text_extract", "o5_fetch_join",
+    "o7_link_extract", "o8_canonicalize", "o9_scope_filter",
+    "pq_codes", "robots_sitemaps", "search_hybrid", "search_mmr",
+    "search_nqc", "search_rbo", "sim_topk_cosine", "sim_topk_dot",
+    "sitemap_coverage", "sitemap_parse", "sitemap_seeds",
+    "source_hhi", "split_assign", "text_boilerplate",
+    "text_bpe_tokens", "text_decontam", "text_entropy", "text_langid",
+    "text_paradedup", "text_quality", "text_repetition",
+    "text_token_stats", "text_top_bigram", "tok_unigram_em",
+    "tok_unigram_segment", "tok_unigram_vocab", "trap_signals",
+    "url_filter", "winnow_pairs",
+})
+
+
 def _rotated(d: dict) -> dict:
-    """Round-seeded ordering (r3 verdict item 5): the driver's
-    correctness gate samples the FIRST 50 queries, and a stable
-    registration order meant rounds 2 and 3 sampled the same slice —
-    queries 51+ were never driver-checked. Reverse registration order
-    (newest operators first, so each round's additions are sampled the
-    round they land) and rotate left by 50 per round past r4, so
-    successive rounds' 50-samples walk fresh slices of the inventory
-    (the pytest-side analogue is tests/test_oracle_rotation.py, which
-    value-hash-sweeps a rotating ~52-query slice every suite run)."""
+    """Round-seeded ordering (r3 verdict item 5, r4 verdict item 5):
+    the driver's correctness gate samples the FIRST 50 queries, and a
+    stable registration order meant rounds 2 and 3 sampled the same
+    slice — queries 51+ were never driver-checked. Reverse
+    registration order (newest operators first, so each round's
+    additions are sampled the round they land); from round 5 on, the
+    queries the driver has NEVER sampled (complement of the frozen
+    r1-r4 union above) come first, rotated left by 50 per round, so
+    successive gates walk fresh slices of the unseen inventory before
+    re-treading checked ground (the pytest-side analogue is
+    tests/test_oracle_rotation.py, which value-hash-sweeps a rotating
+    ~52-query slice every suite run)."""
     names = list(d)
     names.reverse()
-    k = (max(0, _round_number() - 4) * 50) % max(1, len(names))
-    return {n: d[n] for n in names[k:] + names[:k]}
+    rnd = _round_number()
+    if rnd < 5:
+        k = (max(0, rnd - 4) * 50) % max(1, len(names))
+        return {n: d[n] for n in names[k:] + names[:k]}
+    unseen = [n for n in names if n not in _DRIVER_CHECKED_R1_R4]
+    seen = [n for n in names if n in _DRIVER_CHECKED_R1_R4]
+    k = ((rnd - 5) * 50) % max(1, len(unseen))
+    ordered = unseen[k:] + unseen[:k] + seen
+    return {n: d[n] for n in ordered}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -144,3 +144,40 @@ def test_every_query_has_oracle_or_documented_exception():
     # every query is value-hash-checked (fixed-point cosine closed the
     # round-1 no_oracle exception)
     assert qs == osql
+
+
+def test_round5_gate_sample_is_driver_unseen():
+    """r4 verdict item 5: the driver samples the FIRST 50 of
+    queries(); from round 5 the ordering must surface queries the
+    driver's gate has NEVER checked (complement of the frozen
+    r1-r4 CORRECTNESS union) until that territory is exhausted."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    union = set()
+    rounds = []
+    for r in range(1, 20):
+        p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            rounds.append(r)
+            union |= set(json.load(open(p)))
+    if not rounds or max(rounds) < 4:
+        return  # pre-r5 checkout: rotation contract not yet in force
+    # the frozen union must cover everything the driver checked in
+    # r1-r4 (later rounds may add more; those were sampled unseen-first
+    # so the invariant below still holds for the CURRENT round)
+    r14 = set()
+    for r in (1, 2, 3, 4):
+        r14 |= set(json.load(open(
+            os.path.join(root, f"CORRECTNESS_r{r:02d}.json"))))
+    assert r14 <= entrymod._DRIVER_CHECKED_R1_R4
+    first50 = list(entrymod.queries())[:50]
+    unseen_total = [n for n in entrymod.queries()
+                    if n not in entrymod._DRIVER_CHECKED_R1_R4]
+    expect_fresh = min(50, len(unseen_total))
+    fresh = [n for n in first50
+             if n not in entrymod._DRIVER_CHECKED_R1_R4]
+    assert len(fresh) == expect_fresh, (
+        f"gate sample re-treads driver-checked queries: "
+        f"{[n for n in first50 if n in entrymod._DRIVER_CHECKED_R1_R4][:5]}")
