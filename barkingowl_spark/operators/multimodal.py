@@ -64,15 +64,21 @@ from barkingowl_spark.functions.jpegcodec import (
     decode_jpeg,
 )
 from barkingowl_spark.functions.pngcodec import PNG_MAGIC, decode_png
+from barkingowl_spark.functions.webpcodec import (
+    RIFF_MAGIC,
+    WEBP_FOURCC,
+    decode_webp,
+)
 
 
 def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """Magic-dispatched real decode -> (w, h, grayscale rows).
     PNG -> functions/pngcodec.py; JPEG (SOF0 baseline) ->
-    functions/jpegcodec.py; GIF -> functions/gifcodec.py (r4: the
-    stdlib-feasible web image formats all de-stubbed). Unknown magic
-    raises ValueError; unsupported in-format shapes raise
-    NotImplementedError — callers catch both and emit the
+    functions/jpegcodec.py; GIF -> functions/gifcodec.py; WebP
+    lossless (VP8L) -> functions/webpcodec.py (r5: every
+    stdlib-feasible web image format de-stubbed). Unknown magic
+    raises ValueError; unsupported in-format shapes (lossy 'VP8 ')
+    raise NotImplementedError — callers catch both and emit the
     invalid/stub row (the r3-advice containment convention)."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
@@ -82,7 +88,14 @@ def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return decode_gif(payload)
     if _looks_bmp(payload):
         return decode_bmp(payload)
+    if _looks_webp(payload):
+        return decode_webp(payload)
     raise ValueError("no real decoder for this magic")
+
+
+def _looks_webp(payload: bytes) -> bool:
+    return (payload[:4] == RIFF_MAGIC
+            and payload[8:12] == WEBP_FOURCC)
 
 
 def _looks_bmp(payload: bytes) -> bool:
@@ -95,7 +108,8 @@ def _looks_bmp(payload: bytes) -> bool:
 
 def _is_real_image(payload: bytes) -> bool:
     return (payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC
-            or payload[:4] == GIF_MAGIC or _looks_bmp(payload))
+            or payload[:4] == GIF_MAGIC or _looks_bmp(payload)
+            or _looks_webp(payload))
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -365,21 +379,23 @@ def gif_table(docs: DataFrame) -> DataFrame:
 
 
 def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
-    """(img_id, payload): each input doc_id d yields THREE payloads —
-    img_id 3d / 3d+1 / 3d+2 = PNG / GIF / baseline-JPEG of the SAME
-    block-constant pixels, keyed by the logo group g = d % groups
-    (w = 8*(2 + g%4), h = 8*(2 + 3g%5), pixel = 2*((7*(x DIV 8)
-    + 11*(y DIV 8) + 13g) % 100) + 28). PNG and GIF are lossless and
-    the JPEG contract makes block-constant even pixels exact, so all
-    three decode to identical pixels — the CROSS-FORMAT image-dedup
-    fixture: a corpus carrying the same creative re-encoded in
-    different formats (the normal state of the real web) must
-    near-dup ACROSS formats, which only works because the perceptual
-    hash runs on decoded pixels, not payload bytes (the byte stub
-    could never pair a PNG with its JPEG twin)."""
+    """(img_id, payload): each input doc_id d yields FOUR payloads —
+    img_id 4d / 4d+1 / 4d+2 / 4d+3 = PNG / GIF / baseline-JPEG /
+    lossless-WebP of the SAME block-constant pixels, keyed by the
+    logo group g = d % groups (w = 8*(2 + g%4), h = 8*(2 + 3g%5),
+    pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13g) % 100) + 28).
+    PNG/GIF/WebP are lossless and the JPEG contract makes
+    block-constant even pixels exact, so all four decode to identical
+    pixels — the CROSS-FORMAT image-dedup fixture: a corpus carrying
+    the same creative re-encoded in different formats (the normal
+    state of the real web) must near-dup ACROSS formats, which only
+    works because the perceptual hash runs on decoded pixels, not
+    payload bytes (the byte stub could never pair a PNG with its
+    JPEG twin)."""
     from barkingowl_spark.functions.gifcodec import encode_gif
     from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
     from barkingowl_spark.functions.pngcodec import encode_png
+    from barkingowl_spark.functions.webpcodec import encode_webp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -392,12 +408,57 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
                                + 13 * g) % 100) + 28
                          for x in range(w)] for y in range(h)]
                 for k, enc in enumerate(
-                        (encode_png, encode_gif, encode_jpeg_gray)):
-                    ids.append(3 * d + k)
+                        (encode_png, encode_gif, encode_jpeg_gray,
+                         encode_webp)):
+                    ids.append(4 * d + k)
                     payloads.append(enc(rows))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def webp_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic lossless WebP (VP8L) per
+    doc_id — the r5 de-stub fixture. Geometry: w = 17 + d%9,
+    h = 14 + 5d%11. The encode VARIANT cycles on d % 6 through every
+    decoder path (plain literals / SUBTRACT_GREEN / color cache /
+    COLOR_INDEXING with 4-bit bundling / PREDICTOR / LZ77 row
+    copies); the pixel formula is variant-matched so the DuckDB
+    oracle recomputes it exactly:
+
+      d % 6 == 3 (palette): ((x + 2y + d) % 16) * 17
+      d % 6 == 5 (lz77):    (5x + 7*(y%2) + d) % 256
+      otherwise:            (5x + 7y + d) % 256
+
+    VP8L is lossless, so decoded luma equals the formula bit-for-bit.
+    mapInPandas, Arrow-batched — the decoders' boundary discipline."""
+    from barkingowl_spark.functions.webpcodec import encode_webp
+
+    variants = ("plain", "subgreen", "cache", "palette",
+                "predictor", "lz77")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 17 + d % 9, 14 + (5 * d) % 11
+                var = d % 6
+                if var == 3:
+                    rows = [[((x + 2 * y + d) % 16) * 17
+                             for x in range(w)] for y in range(h)]
+                elif var == 5:
+                    rows = [[(5 * x + 7 * (y % 2) + d) % 256
+                             for x in range(w)] for y in range(h)]
+                else:
+                    rows = [[(5 * x + 7 * y + d) % 256
+                             for x in range(w)] for y in range(h)]
+                payloads.append(encode_webp(rows, variant=variants[var]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
         gen, "doc_id long, payload binary")
@@ -803,9 +864,9 @@ def sniff_mime(
     fall back too.
 
     Pure native expressions over hex(prefix) — the payload column is
-    read 10 bytes deep (enough for BMP's reserved bytes), never
-    scanned, never crossing to Python."""
-    hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 10)")))
+    read 12 bytes deep (enough for BMP's reserved bytes and the WebP
+    RIFF fourcc), never scanned, never crossing to Python."""
+    hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
     sniffed = (
         F.when(hx.startswith("25504446"), "application/pdf")
         .when(hx.startswith("89504E47"), "image/png")
@@ -817,6 +878,11 @@ def sniff_mime(
         # miscounted as image/bmp in mime stats.
         .when(hx.startswith("424D")
               & (F.substring(hx, 13, 8) == "00000000"), "image/bmp")
+        # RIFF container: fourcc at bytes 9..12 picks the member
+        .when(hx.startswith("52494646")
+              & (F.substring(hx, 17, 8) == "57454250"), "image/webp")
+        .when(hx.startswith("52494646")
+              & (F.substring(hx, 17, 8) == "57415645"), "audio/wav")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")
