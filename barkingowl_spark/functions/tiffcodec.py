@@ -1,0 +1,355 @@
+"""Minimal pure-Python TIFF codec — r4 verdict item 2, closing the
+lossless container family. Same convention as the sibling codecs
+(pngcodec/jpegcodec/gifcodec/bmpcodec/webpcodec): stdlib only,
+deterministic integer output, ValueError for corrupt input,
+NotImplementedError for valid-but-unsupported shapes.
+
+  * decode_tiff: both byte orders ('II' little / 'MM' big), first
+    IFD; 8-bit samples; photometric 0 (WhiteIsZero, inverted gray),
+    1 (BlackIsZero gray), 2 (RGB, 3 samples/pixel) and 3 (palette,
+    16-bit ColorMap entries collapsed via >> 8); compression 1
+    (none) and 32773 (PackBits, per the spec: n in 0..127 copies
+    n+1 literals, n in -127..-1 repeats the next byte 1-n times,
+    -128 is a no-op); multi-strip images via RowsPerStrip /
+    StripOffsets / StripByteCounts (inlined <=4-byte value slots and
+    offset slots both handled). Output is integer GRAYSCALE rows via
+    the shared ITU-R BT.601 luma. Anything else (LZW/JPEG/deflate
+    compression, 16-bit samples, tiles, planar config 2) raises
+    NotImplementedError — real TIFF shapes, just not stdlib-trivial
+    ones, kept behind the declared-seam convention.
+  * encode_tiff: the fixture writer — gray/RGB/palette variants in
+    either byte order, compression none or PackBits (real run
+    compression with literal runs), multi-strip via rows_per_strip,
+    so every decoder path is exercised by round-trip.
+
+Exactness: both supported compressions are lossless, so decoded luma
+equals the pixel formula bit-for-bit and the DuckDB oracle pins it
+(driver queries mm_tiff_*).
+
+Decoding runs inside mapInPandas batches (operators/multimodal.py);
+payload bytes never cross the Arrow boundary row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import struct
+
+TIFF_MAGIC_LE = b"II*\x00"
+TIFF_MAGIC_BE = b"MM\x00*"
+
+
+def _luma(r: int, g: int, b: int) -> int:
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_values(data: bytes, end: str, typ: int, count: int,
+                 raw: bytes) -> list[int]:
+    """IFD entry payload: inline when it fits 4 bytes, else at the
+    offset the value slot holds."""
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"unsupported IFD type {typ}")
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        (off,) = struct.unpack(end + "I", raw)
+        buf = data[off:off + total]
+        if len(buf) != total:
+            raise ValueError("IFD value offset out of bounds")
+    if typ in (1, 2):
+        return list(buf)
+    if typ == 3:
+        return list(struct.unpack(f"{end}{count}H", buf))
+    if typ == 4:
+        return list(struct.unpack(f"{end}{count}I", buf))
+    return list(struct.unpack(f"{end}{2 * count}I", buf))  # RATIONAL
+
+
+def _unpackbits(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expect:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits strip")
+        n = data[pos]
+        pos += 1
+        if n < 128:  # 0..127: n+1 literal bytes
+            chunk = data[pos:pos + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk
+            pos += n + 1
+        elif n == 128:  # -128: no-op
+            continue
+        else:  # -1..-127: repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    if len(out) != expect:
+        raise ValueError("PackBits run overshoots strip")
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """payload -> (width, height, grayscale rows). ValueError on
+    corrupt input, NotImplementedError on unsupported shapes."""
+    try:
+        return _decode_checked(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt TIFF: {e}") from e
+
+
+def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    if payload[:4] == TIFF_MAGIC_LE:
+        end = "<"
+    elif payload[:4] == TIFF_MAGIC_BE:
+        end = ">"
+    else:
+        raise ValueError("not a TIFF (bad magic)")
+    (ifd_off,) = struct.unpack(end + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset out of bounds")
+    (n_entries,) = struct.unpack(
+        end + "H", payload[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + 12 * i:ifd_off + 2 + 12 * (i + 1)]
+        if len(e) != 12:
+            raise ValueError("truncated IFD entry")
+        tag, typ, count = struct.unpack(end + "HHI", e[:8])
+        tags[tag] = _read_values(payload, end, typ, count, e[8:12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"missing required TIFF tag {tag}")
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    compression = one(259, 1)
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} (only none/PackBits)")
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("non-8-bit TIFF samples")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar configuration 2")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if photometric in (0, 1):
+        if spp != 1:
+            raise ValueError("gray TIFF with samples != 1")
+    elif photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with samples < 3")
+    elif photometric == 3:
+        if spp != 1:
+            raise ValueError("palette TIFF with samples != 1")
+        if 320 not in tags:
+            raise ValueError("palette TIFF missing ColorMap")
+    else:
+        raise NotImplementedError(
+            f"TIFF photometric {photometric}")
+
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("bad TIFF strip tables")
+    stride = w * spp
+    raw = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off:off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("strip outside file")
+        strip_rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= strip_rows
+        if compression == 1:
+            if len(strip) < strip_rows * stride:
+                raise ValueError("short uncompressed strip")
+            raw += strip[:strip_rows * stride]
+        else:
+            raw += _unpackbits(strip, strip_rows * stride)
+    if len(raw) < h * stride:
+        raise ValueError("TIFF strips cover too few rows")
+
+    rows: list[list[int]] = []
+    if photometric in (0, 1):
+        inv = photometric == 0
+        for y in range(h):
+            base = y * stride
+            rows.append([(255 - raw[base + x]) if inv
+                         else raw[base + x] for x in range(w)])
+    elif photometric == 2:
+        for y in range(h):
+            base = y * stride
+            rows.append([
+                _luma(raw[base + x * spp], raw[base + x * spp + 1],
+                      raw[base + x * spp + 2]) for x in range(w)])
+    else:  # palette
+        cmap = tags[320]
+        if len(cmap) < 3 * 256:
+            raise ValueError("short ColorMap")
+        for y in range(h):
+            base = y * stride
+            line = []
+            for x in range(w):
+                i = raw[base + x]
+                line.append(_luma(cmap[i] >> 8, cmap[256 + i] >> 8,
+                                  cmap[512 + i] >> 8))
+            rows.append(line)
+    return w, h, rows
+
+
+# ---- encoder (fixture writer) --------------------------------------------
+
+
+def _packbits(line: bytes) -> bytes:
+    """Real PackBits: repeat runs >= 3 become (257-n, byte); other
+    bytes accumulate into literal runs <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(line)
+    while i < n:
+        run = 1
+        while (i + run < n and run < 128
+               and line[i + run] == line[i]):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, line[i]])
+            i += run
+            continue
+        # literal run until the next >= 3 repeat, capped at 128
+        j = i + 1
+        while (j < n and j - i < 128
+               and not (j + 2 < n
+                        and line[j] == line[j + 1] == line[j + 2])):
+            j += 1
+        out += bytes([j - i - 1]) + line[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    rows: list[list[int]],
+    photometric: int = 1,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
+    gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
+    i = i*257 in 16-bit, so >> 8 gives back i)."""
+    h = len(rows)
+    if h == 0 or len(rows[0]) == 0:
+        raise ValueError("empty image")
+    w = len(rows[0])
+    if any(len(r) != w for r in rows):
+        raise ValueError("ragged rows")
+    end = ">" if big_endian else "<"
+    magic = TIFF_MAGIC_BE if big_endian else TIFF_MAGIC_LE
+    spp = 3 if photometric == 2 else 1
+    rps = rows_per_strip if rows_per_strip is not None else h
+
+    strips: list[bytes] = []
+    for y0 in range(0, h, rps):
+        raw = bytearray()
+        for y in range(y0, min(y0 + rps, h)):
+            for v in rows[y]:
+                if not 0 <= v <= 255:
+                    raise ValueError("pixel out of range")
+                if photometric == 0:
+                    raw.append(255 - v)
+                elif photometric == 2:
+                    raw += bytes((v, v, v))
+                else:
+                    raw.append(v)
+        strips.append(_packbits(bytes(raw)) if packbits
+                      else bytes(raw))
+
+    # layout: header(8) | strip data | [colormap] | [bits array] | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    cmap_off = pos
+    cmap = b""
+    if photometric == 3:
+        cmap = struct.pack(f"{end}768H",
+                           *([i * 257 for i in range(256)] * 3))
+        pos += len(cmap)
+    bits_off = pos
+    bits = b""
+    if spp == 3:
+        bits = struct.pack(f"{end}3H", 8, 8, 8)
+        pos += len(bits)
+    # strip tables go after the IFD when they overflow the 4-byte slot
+    entries: list[tuple[int, int, int, bytes]] = []
+
+    def slot(typ: int, count: int, values: list[int]) -> bytes:
+        size = _TYPE_SIZE[typ] * count
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        packed = struct.pack(f"{end}{count}{fmt}", *values)
+        return packed + b"\x00" * (4 - size)
+
+    def add(tag: int, typ: int, count: int, raw4: bytes) -> None:
+        entries.append((tag, typ, count, raw4))
+
+    add(256, 3, 1, slot(3, 1, [w]))
+    add(257, 3, 1, slot(3, 1, [h]))
+    if spp == 3:
+        add(258, 3, 3, struct.pack(end + "I", bits_off))
+    else:
+        add(258, 3, 1, slot(3, 1, [8]))
+    add(259, 3, 1, slot(3, 1, [32773 if packbits else 1]))
+    add(262, 3, 1, slot(3, 1, [photometric]))
+    add(277, 3, 1, slot(3, 1, [spp]))
+    add(278, 3, 1, slot(3, 1, [min(rps, 65535)]))
+    if photometric == 3:
+        add(320, 3, 768, struct.pack(end + "I", cmap_off))
+
+    n_strip = len(strips)
+    ifd_fixed = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = pos
+    ifd_len = 2 + 12 * ifd_fixed + 4
+    after_ifd = ifd_off + ifd_len
+    if n_strip == 1:
+        add(273, 4, 1, slot(4, 1, strip_offsets))
+        add(279, 4, 1, slot(4, 1, [len(strips[0])]))
+        tail = b""
+    else:
+        add(273, 4, n_strip, struct.pack(end + "I", after_ifd))
+        add(279, 4, n_strip,
+            struct.pack(end + "I", after_ifd + 4 * n_strip))
+        tail = (struct.pack(f"{end}{n_strip}I", *strip_offsets)
+                + struct.pack(f"{end}{n_strip}I",
+                              *[len(s) for s in strips]))
+
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+    out = bytearray(magic)
+    out += struct.pack(end + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += cmap
+    out += bits
+    out += struct.pack(end + "H", len(entries))
+    for tag, typ, count, raw4 in entries:
+        out += struct.pack(end + "HHI", tag, typ, count) + raw4
+    out += struct.pack(end + "I", 0)  # no next IFD
+    out += tail
+    return bytes(out)

@@ -64,6 +64,11 @@ from barkingowl_spark.functions.jpegcodec import (
     decode_jpeg,
 )
 from barkingowl_spark.functions.pngcodec import PNG_MAGIC, decode_png
+from barkingowl_spark.functions.tiffcodec import (
+    TIFF_MAGIC_BE,
+    TIFF_MAGIC_LE,
+    decode_tiff,
+)
 from barkingowl_spark.functions.webpcodec import (
     RIFF_MAGIC,
     WEBP_FOURCC,
@@ -90,6 +95,8 @@ def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return decode_bmp(payload)
     if _looks_webp(payload):
         return decode_webp(payload)
+    if payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
+        return decode_tiff(payload)
     raise ValueError("no real decoder for this magic")
 
 
@@ -109,7 +116,8 @@ def _looks_bmp(payload: bytes) -> bool:
 def _is_real_image(payload: bytes) -> bool:
     return (payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC
             or payload[:4] == GIF_MAGIC or _looks_bmp(payload)
-            or _looks_webp(payload))
+            or _looks_webp(payload)
+            or payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE))
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -415,6 +423,41 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def tiff_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic TIFF per doc_id — the r5
+    de-stub fixture for the last lossless container. Geometry:
+    w = 16 + d%10, h = 12 + 7d%11; pixel = (3x + 11y + d) % 256 for
+    EVERY variant (photometric 0 pre-inverts on encode, palette uses
+    the identity gray ColorMap, so decode always returns the
+    formula). Variants cycle d % 8 = photometric (gray-inverted /
+    gray / RGB / palette) x compression (none / PackBits), byte order
+    flips on d % 2, and d % 3 == 0 splits into 5-row strips —
+    every decoder path exercised by round-trip. mapInPandas,
+    Arrow-batched."""
+    from barkingowl_spark.functions.tiffcodec import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 10, 12 + (7 * d) % 11
+                rows = [[(3 * x + 11 * y + d) % 256
+                         for x in range(w)] for y in range(h)]
+                payloads.append(encode_tiff(
+                    rows,
+                    photometric=(d % 8) % 4,
+                    packbits=(d % 8) >= 4,
+                    big_endian=bool(d % 2),
+                    rows_per_strip=5 if d % 3 == 0 else None,
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
         gen, "doc_id long, payload binary")
@@ -883,6 +926,8 @@ def sniff_mime(
               & (F.substring(hx, 17, 8) == "57454250"), "image/webp")
         .when(hx.startswith("52494646")
               & (F.substring(hx, 17, 8) == "57415645"), "audio/wav")
+        .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
+              "image/tiff")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")
