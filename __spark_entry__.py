@@ -1223,6 +1223,24 @@ def q_audio_wav_peaks(spark, sf):
         .orderBy("doc_id").limit(16)))
 
 
+def q_audio_flac_peaks(spark, sf):
+    """REAL compressed-audio decode (functions/flaccodec.py, r5
+    de-stub): FLAC payloads carrying the SAME sample formula as
+    wav_table — rice residuals, fixed predictors, stereo
+    decorrelation and 24-bit rescale all round-trip to identical
+    samples, so the Walsh-Hadamard constellation oracle is shared
+    verbatim with audio_wav_peaks; one wrong rice quotient or
+    predictor step anywhere value-hash-mismatches."""
+    from barkingowl_spark.operators.audiofp import (
+        extract_peaks,
+        flac_table,
+    )
+
+    return extract_peaks(flac_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(16)))
+
+
 def q_audio_landmarks(spark, sf):
     """Shazam constellation landmarks (operators/audiofp.py, Wang
     ISMIR'03): stub peaks over the binary payload via mapInPandas,
@@ -5782,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_margin_pairs": q_sim_margin_pairs,
         "events_trend": q_events_trend,
         "audio_wav_peaks": q_audio_wav_peaks,
+        "audio_flac_peaks": q_audio_flac_peaks,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -9485,6 +9504,35 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY cosine_ppm DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        # identical SQL to audio_wav_peaks by design: flac_table
+        # carries the same sample formula, so the constellation
+        # oracle is shared (decode paths differ, the answer must not)
+        "audio_flac_peaks": """
+            WITH d AS (SELECT doc_id AS track_id FROM documents
+                       ORDER BY doc_id LIMIT 16),
+            e AS (
+              SELECT track_id, gt.t, gk.k,
+                     abs(sum(
+                       ((CAST(gt.t * 32 + gj.j AS BIGINT)
+                         * (gt.t * 32 + gj.j + track_id)) % 8192
+                        - 4096)
+                       * CASE WHEN bit_count(CAST(gj.j AS BIGINT)
+                                             & gk.k) % 2 = 0
+                              THEN 1 ELSE -1 END)) AS en
+              FROM d,
+                   (SELECT unnest(generate_series(0, 6)) AS t) gt,
+                   (SELECT unnest(generate_series(0, 63)) AS k) gk,
+                   (SELECT unnest(generate_series(0, 63)) AS j) gj
+              GROUP BY track_id, gt.t, gk.k)
+            SELECT c.track_id, CAST(c.t AS BIGINT) AS t,
+                   CAST(c.k AS BIGINT) AS f
+            FROM e c
+            JOIN e p ON p.track_id = c.track_id AND p.k = c.k
+                    AND p.t = c.t - 1
+            JOIN e nx ON nx.track_id = c.track_id AND nx.k = c.k
+                     AND nx.t = c.t + 1
+            WHERE c.k >= 1 AND p.en < c.en AND c.en >= nx.en
         """,
         "audio_wav_peaks": """
             WITH d AS (SELECT doc_id AS track_id FROM documents

@@ -1,0 +1,558 @@
+"""Minimal pure-Python FLAC decoder + fixture encoder — r4 verdict
+item 3: the first REAL compressed-audio path (FLAC is rice +
+fixed-order integer predictors, integer-exact by construction — no
+float filter banks, unlike MP3/AAC which stay stubbed). Same
+convention as the image codecs: stdlib only, deterministic integer
+output, ValueError for corrupt input, NotImplementedError for
+valid-but-unsupported shapes (LPC subframes, which need the encoder's
+float Levinson-Durbin to be worth modelling).
+
+  * decode_flac: 'fLaC' magic, metadata block walk (STREAMINFO
+    required, others skipped), then frame-by-frame: 14-bit sync,
+    block-size/sample-rate codes, UTF-8-coded frame number, CRC-8
+    header check; per channel CONSTANT / VERBATIM / FIXED(0..4)
+    subframes with wasted-bits, rice residuals (4- and 5-bit
+    parameter widths, escape partitions, multi-partition orders),
+    fixed-predictor reconstruction; stereo decorrelation
+    (left/side, right/side, mid/side with the spec's rounding);
+    byte-align + CRC-16 frame check. Output is int16-scale samples,
+    floor-mean downmixed across channels — the exact contract of
+    decode_wav_pcm, so the whole landmark pipeline downstream is
+    shared.
+  * encode_flac: the fixture writer — per-channel subframe choice
+    (constant when flat, else verbatim or fixed order 1/2 with
+    per-partition optimal rice params and an optional forced escape
+    partition), partition orders 0/1, independent or
+    left-side/right-side/mid-side stereo, multi-frame streams — every
+    decoder path exercised by round-trip.
+
+Exactness: FLAC is lossless, so decoded samples equal the fixture
+formula bit-for-bit and the driver query audio_flac_peaks shares the
+WAV oracle's Walsh-Hadamard SQL recomputation.
+
+Decoding runs inside mapInPandas batches (operators/audiofp.py);
+payload bytes never cross the Arrow boundary row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import struct
+
+FLAC_MAGIC = b"fLaC"
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC's packing order, unlike VP8L)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, nbits: int) -> int:
+        end = self.bitpos + nbits
+        if end > 8 * len(self.data):
+            raise ValueError("truncated FLAC bitstream")
+        v = 0
+        pos = self.bitpos
+        while nbits > 0:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, nbits)
+            chunk = (byte >> (avail - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            pos += take
+            nbits -= take
+        self.bitpos = pos
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+            if n > 1 << 20:
+                raise ValueError("runaway unary code")
+        return n
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("bad UTF-8-coded frame number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation in frame number")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residuals(br: _BitReader, block_size: int, order: int
+                    ) -> list[int]:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if block_size % nparts or (block_size >> po) <= order and po:
+        # spec: bs must divide evenly; first partition holds
+        # (bs >> po) - order samples which must be positive
+        if block_size % nparts:
+            raise ValueError("partition order does not divide block")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (block_size >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds partition")
+        param = br.read(plen)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                r = br.read(param) if param else 0
+                v = (q << param) | r
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _restore_fixed(order: int, warm: list[int],
+                   resid: list[int]) -> list[int]:
+    s = list(warm)
+    if order == 0:
+        return resid
+    for e in resid:
+        if order == 1:
+            e += s[-1]
+        elif order == 2:
+            e += 2 * s[-1] - s[-2]
+        elif order == 3:
+            e += 3 * s[-1] - 3 * s[-2] + s[-3]
+        else:
+            e += 4 * s[-1] - 6 * s[-2] + 4 * s[-3] - s[-4]
+        s.append(e)
+    return s
+
+
+def _read_subframe(br: _BitReader, block_size: int, bps: int
+                   ) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        s = [v] * block_size
+    elif stype == 1:  # VERBATIM
+        s = [br.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED, order stype - 8
+        order = stype - 8
+        if order > block_size:
+            raise ValueError("fixed order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _read_residuals(br, block_size, order)
+        s = _restore_fixed(order, warm, resid)
+    elif stype & 0x20:  # LPC
+        raise NotImplementedError(
+            "FLAC LPC subframe (float-modelled predictor); only "
+            "constant/verbatim/fixed decode here")
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        s = [v << wasted for v in s]
+    return s
+
+
+_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                13: 8192, 14: 16384, 15: 32768}
+
+
+def decode_flac(payload: bytes) -> list[int]:
+    """payload -> int16-scale samples (floor-mean downmix across
+    channels — decode_wav_pcm's contract). ValueError on corrupt
+    input, NotImplementedError on LPC subframes."""
+    try:
+        return _decode_checked(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt FLAC: {e}") from e
+
+
+def _decode_checked(payload: bytes) -> list[int]:
+    if payload[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC payload (bad magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        head = payload[pos]
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if head & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if head & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _BitReader(streaminfo)
+    si.read(16)  # min block size
+    si.read(16)  # max block size
+    si.read(24)
+    si.read(24)  # min/max frame size
+    si.read(20)  # sample rate
+    n_ch_si = si.read(3) + 1
+    bps_si = si.read(5) + 1
+    total = si.read(36)
+    if bps_si not in (8, 16, 24):
+        raise NotImplementedError(
+            f"FLAC bits-per-sample {bps_si} (8/16/24 supported)")
+
+    out: list[int] = []
+    while len(out) < total:
+        frame_start = pos
+        br = _BitReader(payload[pos:])
+        if br.read(14) != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1) != 0:
+            raise ValueError("frame header reserved bit set")
+        _read_utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved block size code 0")
+        if bs_code == 6:
+            block_size = br.read(8) + 1
+        elif bs_code == 7:
+            block_size = br.read(16) + 1
+        else:
+            block_size = _BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid sample rate code")
+        bps = {0: bps_si, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if bps is None:
+            raise ValueError(f"reserved sample size code {ss_code}")
+        if bps not in (8, 16, 24):
+            raise NotImplementedError(
+                f"FLAC frame bits-per-sample {bps}")
+        header_len = br.byte_pos()
+        crc8 = br.read(8)
+        if _crc8(payload[frame_start:frame_start + header_len]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if chan <= 7:
+            n_ch = chan + 1
+            chans = [_read_subframe(br, block_size, bps)
+                     for _ in range(n_ch)]
+        elif chan in (8, 9, 10):
+            # stereo decorrelation; the side channel carries one
+            # extra bit of precision
+            if chan == 8:  # left/side
+                left = _read_subframe(br, block_size, bps)
+                side = _read_subframe(br, block_size, bps + 1)
+                chans = [left, [a - b for a, b in zip(left, side)]]
+            elif chan == 9:  # right/side
+                side = _read_subframe(br, block_size, bps + 1)
+                right = _read_subframe(br, block_size, bps)
+                chans = [[a + b for a, b in zip(right, side)], right]
+            else:  # mid/side
+                mid = _read_subframe(br, block_size, bps)
+                side = _read_subframe(br, block_size, bps + 1)
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                chans = [left, right]
+            n_ch = 2
+        else:
+            raise ValueError(f"reserved channel assignment {chan}")
+        br.align()
+        body_len = br.byte_pos()
+        crc16 = br.read(16)
+        if _crc16(payload[frame_start:frame_start + body_len]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_start + body_len + 2
+
+        # int16 scale per channel, then floor-mean downmix
+        # (decode_wav_pcm's exact contract)
+        if bps == 24:
+            chans = [[v >> 8 for v in c] for c in chans]
+        elif bps == 8:
+            chans = [[v << 8 for v in c] for c in chans]
+        for i in range(block_size):
+            out.append(sum(c[i] for c in chans) // n_ch)
+        if len(out) > total:
+            raise ValueError("FLAC frames exceed STREAMINFO total")
+    return out
+
+
+# ---- encoder (fixture writer) --------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _best_rice_param(resid: list[int], plen: int) -> int:
+    """Smallest-cost rice parameter (exhaustive below the escape)."""
+    best, best_cost = 0, None
+    for p in range(min(20, (1 << plen) - 1)):
+        cost = sum((_zigzag(v) >> p) + 1 + p for v in resid)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = p, cost
+    return best
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v) << 1) - 1
+
+
+def _write_residuals(bw: _BitWriter, resid: list[int], order: int,
+                     block_size: int, po: int, plen: int,
+                     force_escape: bool) -> None:
+    bw.write(0 if plen == 4 else 1, 2)
+    bw.write(po, 4)
+    escape = (1 << plen) - 1
+    idx = 0
+    for p in range(1 << po):
+        n = (block_size >> po) - (order if p == 0 else 0)
+        part = resid[idx:idx + n]
+        idx += n
+        if force_escape:
+            raw = max((abs(v).bit_length() + 1 for v in part),
+                      default=1)
+            bw.write(escape, plen)
+            bw.write(raw, 5)
+            for v in part:
+                bw.write(v & ((1 << raw) - 1), raw)
+        else:
+            param = _best_rice_param(part, plen)
+            bw.write(param, plen)
+            for v in part:
+                z = _zigzag(v)
+                bw.write_unary(z >> param)
+                if param:
+                    bw.write(z & ((1 << param) - 1), param)
+
+
+def _write_subframe(bw: _BitWriter, s: list[int], bps: int,
+                    subframe: str, order: int, po: int, plen: int,
+                    force_escape: bool) -> None:
+    bw.write(0, 1)  # padding
+    if subframe == "auto" and len(set(s)) == 1:
+        subframe = "constant"
+    if subframe in ("auto", "fixed"):
+        if not 0 <= order <= 3:
+            raise ValueError("fixture fixed order must be 0..3")
+        bw.write(8 + order, 6)
+        bw.write(0, 1)  # no wasted bits
+        for v in s[:order]:
+            bw.write(v, bps)
+        resid = []
+        for i in range(order, len(s)):
+            if order == 0:
+                resid.append(s[i])
+            elif order == 1:
+                resid.append(s[i] - s[i - 1])
+            elif order == 2:
+                resid.append(s[i] - 2 * s[i - 1] + s[i - 2])
+            else:
+                resid.append(s[i] - 3 * s[i - 1] + 3 * s[i - 2]
+                             - s[i - 3])
+        _write_residuals(bw, resid, order, len(s), po, plen,
+                         force_escape)
+    elif subframe == "constant":
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(s[0], bps)
+    elif subframe == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in s:
+            bw.write(v, bps)
+    else:
+        raise ValueError(f"unknown subframe strategy {subframe!r}")
+
+
+def encode_flac(
+    channels: list[list[int]],
+    bits: int = 16,
+    rate: int = 8000,
+    block_size: int | None = None,
+    subframe: str = "auto",
+    order: int = 2,
+    partition_order: int = 0,
+    rice5: bool = False,
+    force_escape: bool = False,
+    channel_mode: str = "indep",
+) -> bytes:
+    """Per-channel sample lists -> FLAC. subframe: 'auto' (fixed,
+    constant when flat) / 'constant' / 'verbatim' / 'fixed';
+    channel_mode (stereo only): 'indep' / 'left_side' /
+    'right_side' / 'mid_side'."""
+    if not channels or not channels[0]:
+        raise ValueError("no samples")
+    n_ch = len(channels)
+    nfr = len(channels[0])
+    if any(len(c) != nfr for c in channels):
+        raise ValueError("ragged channels")
+    if bits not in (8, 16, 24):
+        raise ValueError("bits must be 8/16/24")
+    lim = 1 << (bits - 1)
+    if any(not -lim <= v < lim for c in channels for v in c):
+        raise ValueError("sample out of range")
+    bs = block_size if block_size is not None else nfr
+    if nfr % bs:
+        raise ValueError("block_size must divide sample count")
+    if channel_mode != "indep" and n_ch != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+
+    out = bytearray(FLAC_MAGIC)
+    # STREAMINFO (last metadata block)
+    si = _BitWriter()
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(nfr, 36)
+    si.align()
+    body = si.bytes() + b"\x00" * 16  # zero md5 (unverified)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    plen = 5 if rice5 else 4
+    chan_code = {"indep": n_ch - 1, "left_side": 8,
+                 "right_side": 9, "mid_side": 10}[channel_mode]
+    ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    for f0 in range(0, nfr, bs):
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # 16-bit block size follows
+        bw.write(0, 4)  # sample rate from STREAMINFO
+        bw.write(chan_code, 4)
+        bw.write(ss_code, 3)
+        bw.write(0, 1)
+        frame_no = f0 // bs
+        if frame_no >= 128:
+            raise ValueError("fixture supports < 128 frames")
+        bw.write(frame_no, 8)  # UTF-8 single byte
+        bw.write(bs - 1, 16)
+        bw.align()
+        header = bw.bytes()
+        bw = _BitWriter()
+        for b in header:
+            bw.write(b, 8)
+        bw.write(_crc8(header), 8)
+
+        block = [c[f0:f0 + bs] for c in channels]
+        if channel_mode == "indep":
+            subs = [(c, bits) for c in block]
+        else:
+            l, r = block  # noqa: E741
+            side = [a - b for a, b in zip(l, r)]
+            if channel_mode == "left_side":
+                subs = [(l, bits), (side, bits + 1)]
+            elif channel_mode == "right_side":
+                subs = [(side, bits + 1), (r, bits)]
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(l, r)]
+                subs = [(mid, bits), (side, bits + 1)]
+        for s, sbits in subs:
+            _write_subframe(bw, s, sbits, subframe, order,
+                            partition_order, plen, force_escape)
+        bw.align()
+        frame = bw.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)

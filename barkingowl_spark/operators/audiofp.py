@@ -151,6 +151,19 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
 decode_wav_pcm16 = decode_wav_pcm
 
 
+def _decode_audio(payload: bytes) -> list[int]:
+    """Magic-dispatched real audio decode -> int16-scale samples:
+    RIFF/WAVE via decode_wav_pcm, fLaC via functions/flaccodec.py
+    (r5: the first compressed-audio de-stub — rice + integer fixed
+    predictors, lossless by construction). Same downmix contract on
+    both paths."""
+    if payload[:4] == b"fLaC":
+        from barkingowl_spark.functions.flaccodec import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav_pcm(payload)
+
+
 def _peaks_real(payload: bytes) -> list[tuple[int, int]]:
     """Real constellation over decoded PCM: frame t = samples
     [t*HOP, t*HOP + FRAME); energy e(t, k) = |sum_j s[t*HOP + j] *
@@ -158,7 +171,7 @@ def _peaks_real(payload: bytes) -> list[tuple[int, int]]:
     integer); peak at (t, k) for k in 1..FRAME-1 iff
     e(t-1, k) < e(t, k) >= e(t+1, k) — the same strict-rise/non-rise
     rule as the stub, applied per band, interior frames only."""
-    s = decode_wav_pcm(payload)
+    s = _decode_audio(payload)
     n_frames = (len(s) - FRAME) // HOP + 1 if len(s) >= FRAME else 0
     if n_frames < 3:
         return []
@@ -195,15 +208,15 @@ def _peaks_stub(payload: bytes) -> list[tuple[int, int]]:
 
 
 def _peaks_dispatch(payload: bytes) -> list[tuple[int, int]]:
-    """b'RIFF' magic -> real WAV/PCM constellation; else the stub.
-    RIFF payloads the real path cannot decode — RIFF-but-not-WAVE
-    (AVI), float/compressed WAV (NotImplementedError), truncated fmt
-    chunks (struct.error) — fall back to the byte stub, the
-    pre-real-codec behavior, so one crawled payload cannot kill the
-    whole mapInPandas job (r3 advice)."""
+    """b'RIFF' / b'fLaC' magic -> real constellation; else the stub.
+    Payloads the real path cannot decode — RIFF-but-not-WAVE (AVI),
+    float/compressed WAV, FLAC LPC subframes (NotImplementedError),
+    truncated chunks (struct.error) — fall back to the byte stub,
+    the pre-real-codec behavior, so one crawled payload cannot kill
+    the whole mapInPandas job (r3 advice)."""
     import struct
 
-    if payload[:4] == b"RIFF":
+    if payload[:4] in (b"RIFF", b"fLaC"):
         try:
             return _peaks_real(payload)
         except (ValueError, NotImplementedError, struct.error):
@@ -240,6 +253,53 @@ def wav_table(docs: DataFrame) -> DataFrame:
                          [a - b for a, b in zip(s, e)]])
                 else:
                     p = encode_wav_pcm([[v << 8 for v in s]], bits=24)
+                payloads.append(p)
+            yield pd.DataFrame({"track_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "track_id long, payload binary")
+
+
+def flac_table(docs: DataFrame) -> DataFrame:
+    """(track_id, payload): a deterministic FLAC per doc_id — the
+    compressed-audio twin of wav_table, SAME sample formula
+    s[n] = (n * (n + d)) % 8192 - 4096 (256 samples), so the WAV
+    oracle's Walsh-Hadamard SQL applies unchanged. The ENCODE
+    variant cycles on d % 6 through the decoder's paths: fixed-2
+    mono / mid-side stereo (ch = s +/- e, decorrelated, floor-mean
+    mix exactly s) / 24-bit (s << 8, rescaled back) / verbatim /
+    escape partitions at order 1 / 5-bit-rice left-side stereo —
+    decoded samples are the formula for all six, so one oracle hash
+    pins rice, fixed prediction, stereo decorrelation and bit-depth
+    rescale at once (r4 verdict item 3)."""
+    from barkingowl_spark.functions.flaccodec import encode_flac
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+                e = [(n * (d + 3)) % 2048 for n in range(256)]
+                left = [a + b for a, b in zip(s, e)]
+                right = [a - b for a, b in zip(s, e)]
+                var = d % 6
+                if var == 0:
+                    p = encode_flac([s])
+                elif var == 1:
+                    p = encode_flac([left, right],
+                                    channel_mode="mid_side")
+                elif var == 2:
+                    p = encode_flac([[v << 8 for v in s]], bits=24)
+                elif var == 3:
+                    p = encode_flac([s], subframe="verbatim")
+                elif var == 4:
+                    p = encode_flac([s], force_escape=True,
+                                    partition_order=1)
+                else:
+                    p = encode_flac([left, right], rice5=True,
+                                    channel_mode="left_side")
                 payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})

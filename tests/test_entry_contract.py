@@ -129,7 +129,8 @@ def duck():
      "mm_gif_frames", "mm_gif_video_pairs", "mm_bmp_decode", "mm_bmp_ahash",
      "mm_webp_decode", "mm_webp_ahash", "mm_webp_resize",
      "mm_tiff_decode", "mm_tiff_ahash",
-     "sim_margin_pairs", "events_trend", "audio_wav_peaks"],
+     "sim_margin_pairs", "events_trend", "audio_wav_peaks",
+     "audio_flac_peaks"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
