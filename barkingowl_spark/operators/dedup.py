@@ -109,8 +109,10 @@ class IncrementalBloom:
         self.bits: dict[int, np.ndarray] = {}
         self.n_keys = 0  # keys added since construction/last grow()
 
-    def add_keys(self, keys: DataFrame) -> None:
-        """OR the url_hash values of ``keys`` into the partition bitsets."""
+    def add_keys(self, keys: DataFrame) -> int:
+        """OR the url_hash values of ``keys`` into the partition
+        bitsets. Returns the number of keys added (the auto-transport
+        switchover in plans/crawl.py accumulates it)."""
         m = self.m
         keyed = keys.select(
             F.pmod(F.col("url_hash"), F.lit(self.n_partitions)).cast("int")
@@ -131,14 +133,17 @@ class IncrementalBloom:
             .applyInPandas(make, schema="pid int, bits binary, n long")
             .collect()
         )
+        added = 0
         for r in rows:
             delta = np.frombuffer(r["bits"], dtype=np.uint8)
             pid = r["pid"]
             self.n_keys += r["n"]
+            added += r["n"]
             if pid in self.bits:
                 self.bits[pid] = self.bits[pid] | delta
             else:
                 self.bits[pid] = delta.copy()
+        return added
 
     def fill_fraction(self) -> float:
         """Max per-partition fraction of set bits (the FP driver)."""

@@ -105,17 +105,32 @@ class CrawlConfig:
     # Either way the anti-join stays exact; use_bloom=False disables the
     # stage entirely.
     prefilter: str = "bloom"
-    # O12 prefilter TRANSPORT (r4 verdict item 4). "driver" = the
-    # sandbox default: per-pid bitsets collect to a driver dict and
-    # re-broadcast per wave (bounded here, but multi-GB driver state at
-    # 10^10 keys). "table" = TableBloom: bitsets live as a versioned
-    # (pid, bits) parquet table under <checkpoint_dir>/bloom_state,
-    # OR-merged per wave by a distributed job and probed by a
-    # pid-cogrouped applyInPandas — the driver never holds a bitset.
-    # Exactness is identical either way (the anti-join confirms);
-    # tests/test_table_bloom.py pins a byte-identical crawl trace.
-    # bloom family only (cuckoo keeps the driver transport).
-    prefilter_transport: str = "driver"
+    # O12 prefilter TRANSPORT (r4 verdict items 4; auto default r5).
+    # "driver" = per-pid bitsets collect to a driver dict and
+    # re-broadcast per wave (fine at sandbox scale, but multi-GB
+    # driver state at 10^10 keys). "table" = TableBloom: bitsets live
+    # as a versioned (pid, bits) parquet table under
+    # <checkpoint_dir>/bloom_state, OR-merged per wave by a
+    # distributed job and probed by a pid-cogrouped applyInPandas —
+    # the driver never holds a bitset. "auto" (DEFAULT since r5)
+    # starts on the driver transport (cheaper per wave while the
+    # seen-set is small) and switches to the table transport the
+    # first time the cumulative key count crosses
+    # prefilter_table_threshold_keys — so the 10^10 design point
+    # never materializes driver bitsets without a config change.
+    # Exactness is identical on every path (the anti-join confirms);
+    # tests/test_table_bloom.py pins byte-identical crawl traces on
+    # both sides of the switchover. Bloom family only (cuckoo keeps
+    # the driver transport — its delete support has no table
+    # transport yet).
+    prefilter_transport: str = "auto"
+    # "auto" switchover point. At BITS_PER_KEY (12) bits/key the
+    # driver dict crosses ~100 MB around 5e7 keys — switch an order
+    # of magnitude before that so the driver never carries bitsets
+    # that would matter at 10^10 (where the table transport is the
+    # only sane plan from wave 0; set prefilter_transport="table" to
+    # skip the driver phase entirely).
+    prefilter_table_threshold_keys: int = 5_000_000
     # waves smaller than this are broadcast into the pages/pages_ct joins
     # (corpus side never shuffles); bigger waves fall back to shuffle hash
     # join + AQE (the 10^10 path, where the wave itself is too big to ship)
@@ -443,7 +458,7 @@ def run_crawl(
         # one full build at start (or resume); waves then add fresh keys
         # incrementally. Both families share the add/grow/snapshot API;
         # only the probe constructor differs (see _prefilter_probe).
-        if config.prefilter_transport not in ("driver", "table"):
+        if config.prefilter_transport not in ("driver", "table", "auto"):
             raise ValueError(
                 f"unknown prefilter_transport "
                 f"{config.prefilter_transport!r}")
@@ -458,14 +473,48 @@ def run_crawl(
                 config.bloom_partitions,
             )
         else:
+            # "auto" starts on the driver transport and may switch to
+            # TableBloom mid-run (see _maybe_switch_transport); cuckoo
+            # always keeps the driver transport.
             bloom = (
                 IncrementalCuckoo(config.bloom_partitions)
                 if config.prefilter == "cuckoo"
                 else IncrementalBloom(config.bloom_partitions)
             )
-        bloom.add_keys(state.frontier().select("url_hash"))
+        seen_key_total = (
+            bloom.add_keys(state.frontier().select("url_hash")) or 0)
         if bloom.needs_grow():  # resumed seen-set outgrew the default size
             bloom.grow(state.frontier().select("url_hash"))
+    else:
+        seen_key_total = 0
+
+    def _maybe_switch_transport(bloom, state):
+        """auto transport (r4 verdict item 4 -> r5 default): once the
+        cumulative key count crosses the documented threshold, rebuild
+        the prefilter as a TableBloom from the authoritative seen-set
+        and drop the driver bitsets — one distributed job, after which
+        the driver never holds filter state again this run. The
+        prefilter is conservative-only (the exact anti-join confirms),
+        so the trace is byte-identical on both sides of the switch
+        (pinned by tests/test_table_bloom.py)."""
+        if (config.prefilter_transport != "auto"
+                or not isinstance(bloom, IncrementalBloom)
+                or seen_key_total < config.prefilter_table_threshold_keys):
+            return bloom
+        tb = TableBloom(
+            spark,
+            os.path.join(config.checkpoint_dir, "bloom_state"),
+            config.bloom_partitions,
+            m_bits=bloom.m,
+        )
+        tb.add_keys(state.frontier().select("url_hash"))
+        if os.environ.get("BOW_TIMING") == "1":
+            print(
+                f"BOW_TIMING bloom_transport=table keys={seen_key_total}",
+                flush=True)
+        return tb
+
+    bloom = _maybe_switch_transport(bloom, state)
     if os.environ.get("BOW_TIMING") == "1":
         print(f"BOW_TIMING bloom_init={time.monotonic() - _t_pre:.2f}",
               flush=True)
@@ -659,7 +708,8 @@ def run_crawl(
             broadcast_candidates=small_wave
         ).persist()
         if bloom is not None:
-            bloom.add_keys(typed.select("url_hash"))
+            seen_key_total += (
+                bloom.add_keys(typed.select("url_hash")) or 0)
         t_bloom = time.monotonic()
 
         fetched_rows = parsed.select(
@@ -804,6 +854,7 @@ def run_crawl(
             if os.environ.get("BOW_TIMING") == "1":
                 print(f"BOW_TIMING bloom_grow wave={wave} m={new_m}",
                       flush=True)
+        bloom = _maybe_switch_transport(bloom, state)
         if os.environ.get("BOW_TIMING") == "1":
             print(
                 f"BOW_TIMING wave={wave} d={d} sched={sched_total} "

@@ -127,3 +127,43 @@ def test_probe_plan_shape_no_broadcast(spark, tmp_path):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_auto_transport_switchover_byte_identical(
+    spark, seeds_df, pages_df, fixture_data, tmp_path_factory
+):
+    """r4 verdict item 4 -> r5 default: prefilter_transport="auto"
+    starts on the driver transport and switches to TableBloom the
+    first time the cumulative key count crosses the threshold. With
+    threshold=1 the switch lands after the seed wave; the trace must
+    stay byte-identical to the frozen oracle across the switchover,
+    and the bitset table must exist (the switch actually happened)."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_auto"))
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt, prefilter_transport="auto",
+        prefilter_table_threshold_keys=1)
+    state = run_crawl(spark, seeds_df, pages_df, cfg)
+    s_traces, s_docs, s_texts = spark_outputs(state)
+    o_traces, o_docs, o_texts = oracle_outputs(fixture_data)
+    assert s_traces == o_traces
+    assert s_docs == o_docs
+    assert s_texts == o_texts
+    bloom_root = os.path.join(ckpt, "bloom_state")
+    assert any(e.startswith("v=") for e in os.listdir(bloom_root))
+
+
+def test_auto_transport_below_threshold_stays_driver(
+    spark, seeds_df, pages_df, fixture_data, tmp_path_factory
+):
+    """With the (default-scale) threshold far above the fixture's key
+    count, auto never leaves the driver transport: same oracle trace,
+    and NO bitset table is ever written."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_auto_lo"))
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt, prefilter_transport="auto",
+        prefilter_table_threshold_keys=10**9)
+    state = run_crawl(spark, seeds_df, pages_df, cfg)
+    s_traces, s_docs, s_texts = spark_outputs(state)
+    o_traces, o_docs, o_texts = oracle_outputs(fixture_data)
+    assert s_traces == o_traces and s_docs == o_docs
+    assert not os.path.exists(os.path.join(ckpt, "bloom_state"))
