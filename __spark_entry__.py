@@ -1353,6 +1353,119 @@ _EDGES_SQL = """
 """
 
 
+def _dd_h60(s: str) -> str:
+    """DuckDB mirror of the repo-wide md5 h60 draw."""
+    return f"CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _dd_fdiv(a: str, b: int) -> str:
+    """FLOOR division in DuckDB (whose // truncates toward zero;
+    Python's // floors — the SGNS fixed-point contract is floor)."""
+    return (f"CASE WHEN ({a}) >= 0 THEN ({a}) // {b} "
+            f"ELSE -(((-({a})) + {b} - 1) // {b}) END")
+
+
+def _sgns_walk_step(prev: str, t: int) -> str:
+    h = _dd_h60(f"'walk#' || CAST(s.walk_id AS VARCHAR) || '#{t}'")
+    return f"""
+            s{t} AS (SELECT s.walk_id, nbr.dst AS node
+                   FROM s{t - 1} s
+                   JOIN dg ON dg.src = s.node
+                   JOIN nbr ON nbr.src = s.node
+                    AND nbr.rn = 1 + {h} % dg.deg)"""
+
+
+# emb_sgns_round: the full SGNS trajectory replayed in SQL — walks,
+# window-1 pairs, md5 negatives, seeded init, ONE synchronous batch
+# round at scale 4096 / lr 1/8 with explicit floor divisions.
+_SGNS_NEG_H = _dd_h60(
+    "'sgnsneg#' || CAST(pr.center AS VARCHAR) || '#' || "
+    "CAST(pr.context AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")
+_SGNS_SQL = f"""
+            WITH {_EDGES_SQL},
+            e0 AS (SELECT DISTINCT src, dst FROM edges),
+            nbr AS (SELECT src, dst, row_number() OVER (
+                        PARTITION BY src ORDER BY dst) AS rn
+                    FROM e0),
+            dg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+            n0 AS (SELECT src AS node FROM e0
+                   UNION SELECT dst FROM e0),
+            s0 AS (SELECT node AS walk_id, node FROM n0),
+            {_sgns_walk_step('s0', 1)},
+            {_sgns_walk_step('s1', 2)},
+            {_sgns_walk_step('s2', 3)},
+            walks AS (
+              SELECT walk_id, 0 AS step, node FROM s0
+              UNION ALL SELECT walk_id, 1, node FROM s1
+              UNION ALL SELECT walk_id, 2, node FROM s2
+              UNION ALL SELECT walk_id, 3, node FROM s3),
+            adjp AS (SELECT a.node AS c1, b.node AS c2
+                     FROM walks a JOIN walks b
+                       ON a.walk_id = b.walk_id
+                      AND b.step = a.step + 1),
+            pr AS (SELECT c1 AS center, c2 AS context FROM adjp
+                   UNION ALL SELECT c2, c1 FROM adjp),
+            vocab AS (SELECT row_number() OVER (ORDER BY node) AS vid,
+                             node
+                      FROM (SELECT DISTINCT node FROM walks)),
+            nv AS (SELECT count(*) AS n FROM vocab),
+            neg AS (SELECT pr.center, v.node AS other, 0 AS label
+                    FROM pr CROSS JOIN nv
+                    CROSS JOIN (VALUES (1), (2)) j(j)
+                    JOIN vocab v
+                      ON v.vid = 1 + {_SGNS_NEG_H} % nv.n),
+            pos AS (SELECT center, context AS other, 1 AS label
+                    FROM pr),
+            ex AS (SELECT center, other, label, count(*) AS m
+                   FROM (SELECT * FROM pos
+                         UNION ALL SELECT * FROM neg)
+                   GROUP BY 1, 2, 3),
+            dims AS (SELECT * FROM (VALUES (0), (1), (2), (3)) dd(d)),
+            iemb AS (SELECT node, d,
+                            {_dd_h60("'sgnsin#' || CAST(node AS VARCHAR)"
+                                     " || '#' || CAST(d AS VARCHAR)")}
+                            % 2049 - 1024 AS val
+                     FROM vocab CROSS JOIN dims),
+            oemb AS (SELECT node, d,
+                            {_dd_h60("'sgnsout#' || CAST(node AS VARCHAR)"
+                                     " || '#' || CAST(d AS VARCHAR)")}
+                            % 2049 - 1024 AS val
+                     FROM vocab CROSS JOIN dims),
+            dots AS (SELECT e.center, e.other, e.label, e.m,
+                            sum(i.val * o.val) AS dot
+                     FROM ex e
+                     JOIN iemb i ON i.node = e.center
+                     JOIN oemb o ON o.node = e.other AND o.d = i.d
+                     GROUP BY 1, 2, 3, 4),
+            gx AS (SELECT center, other, m,
+                          {_dd_fdiv(
+                              'label * 4096 - greatest(0, least(4096, '
+                              + _dd_fdiv('dot', 16384)
+                              + ' + 2048))', 8)} AS g
+                   FROM dots),
+            din AS (SELECT gx.center AS node, o.d,
+                           sum(m * {_dd_fdiv('gx.g * o.val', 4096)})
+                               AS delta
+                    FROM gx JOIN oemb o ON o.node = gx.other
+                    GROUP BY 1, 2),
+            dout AS (SELECT gx.other AS node, i.d,
+                            sum(m * {_dd_fdiv('gx.g * i.val', 4096)})
+                                AS delta
+                     FROM gx JOIN iemb i ON i.node = gx.center
+                     GROUP BY 1, 2)
+            SELECT 'in' AS side, i.node, CAST(i.d AS INT) AS d,
+                   CAST(i.val + coalesce(din.delta, 0) AS BIGINT)
+                       AS val
+            FROM iemb i LEFT JOIN din
+              ON din.node = i.node AND din.d = i.d
+            UNION ALL
+            SELECT 'out', o.node, CAST(o.d AS INT),
+                   CAST(o.val + coalesce(dout.delta, 0) AS BIGINT)
+            FROM oemb o LEFT JOIN dout
+              ON dout.node = o.node AND dout.d = o.d
+"""
+
+
 def q_graph_degree(spark, sf):
     """In/out degree per node of the synthetic link graph — the crawl
     prioritization signal (operators/linkgraph.py::degree_stats)."""
@@ -2517,6 +2630,22 @@ def q_emb_kcenter(spark, sf):
     from barkingowl_spark.operators.similarity import kcenter_select
 
     return kcenter_select(_t(spark, sf, "embeddings"), k=4)
+
+
+def q_emb_sgns_round(spark, sf):
+    """SGNS/word2vec embedding training in integer fixed point
+    (operators/sgns.py, r5 flagship relational-training op): one
+    synchronous batch round over the DeepWalk corpus of the synthetic
+    graph — md5-seeded init, window-1 skip-gram pairs, 2 md5-drawn
+    negatives per pair, hard-sigmoid gradient at scale 4096 with
+    explicit floor divisions. The oracle replays the ENTIRE
+    trajectory (walks -> pairs -> negatives -> init -> round) in SQL,
+    so one wrong dot product, sigmoid clamp, floor division or
+    multiplicity anywhere in training value-hash-mismatches."""
+    from barkingowl_spark.operators.sgns import sgns_train
+
+    edges, _ = _synth_edges(spark, sf)
+    return sgns_train(edges, dim=4, rounds=1)
 
 
 def q_html_outline(spark, sf):
@@ -5756,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outline": q_html_outline,
         "emb_pca_power": q_emb_pca_power,
         "emb_kcenter": q_emb_kcenter,
+        "emb_sgns_round": q_emb_sgns_round,
         "events_funnel": q_events_funnel,
         "events_funnel_report": q_events_funnel_report,
         "events_retention": q_events_retention,
@@ -8104,6 +8234,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN h2f ON h2f.node = n.node
             JOIN a2f ON a2f.node = n.node
         """,
+        "emb_sgns_round": _SGNS_SQL,
         "graph_walks": f"""
             WITH {_EDGES_SQL},
             e0 AS (SELECT DISTINCT src, dst FROM edges),

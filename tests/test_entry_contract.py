@@ -130,7 +130,7 @@ def duck():
      "mm_webp_decode", "mm_webp_ahash", "mm_webp_resize",
      "mm_tiff_decode", "mm_tiff_ahash",
      "sim_margin_pairs", "events_trend", "audio_wav_peaks",
-     "audio_flac_peaks"],
+     "audio_flac_peaks", "emb_sgns_round"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
