@@ -543,8 +543,12 @@ def q_o1_recrawl_due(spark, sf):
     due = last.filter(
         F.col("finished_ts") + F.make_interval(mins=freq) <= run_ts
     )
+    # bounded-global-window: due 'seeds' are a config-sized set
+    # (dispatch.py's contract) — runtime-asserted
+    from barkingowl_spark.operators.ranking import assert_max_rows
+
     w = Window.orderBy("user_id")
-    return due.select(
+    return assert_max_rows(due, 1_000_000, "o1.due_users").select(
         "user_id",
         F.date_format("finished_ts", "yyyy-MM-dd HH:mm:ss")
         .alias("finished_s"),

@@ -202,14 +202,19 @@ def perplexity_buckets(
     dist = s.groupBy("mean_surprisal_cb").agg(
         F.count(F.lit(1)).alias("_nv")
     )
-    # running count over the tiny distinct-value table (single narrow
-    # partition of O(distinct scores) rows — never corpus-sized)
+    # bounded-global-window: distinct CENTIBIT scores (an integer
+    # value domain, not the corpus) — runtime-asserted
     from pyspark.sql import Window
 
+    from barkingowl_spark.operators.ranking import assert_max_rows
+
+    dist = assert_max_rows(dist, 1_000_000, "lmscore.score_distinct")
+    # bounded-global-window: runtime-asserted just above
     w = (
         Window.orderBy("mean_surprisal_cb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # bounded-global-window: same guarded distinct-score frame
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -331,6 +331,8 @@ def vocab_growth(documents: DataFrame, n_checkpoints: int = 10) -> DataFrame:
         .groupBy("doc_id", "dl").agg(F.min("i").alias("i"))
         .groupBy("i").agg(F.sum("dl").alias("t_in"))
     )
+    # bounded-global-window: frame is the checkpoint grid (one row
+    # per grid step) in-plan
     w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
     return (
         grid.join(vcell, "i", "left").join(tcell, "i", "left")
@@ -409,6 +411,7 @@ def zipf_slope(documents: DataFrame, top_n: int = 64) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(int(top_n))
     )
+    # bounded-global-window: input is .limit(top_n) in-plan
     w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
     xy = (
         top.withColumn("rank", F.row_number().over(w))

@@ -115,6 +115,8 @@ def funnel_report(
         F.expr(f"stack({len(stages)}, {stack})")
         .alias("stage", "stage_type", "users")
     )
+    # bounded-global-window: frame is stack(len(stages)) aggregate
+    # rows in-plan
     w = Window.orderBy("stage")
     return (
         long.withColumn("_prev", F.lag("users").over(w))

@@ -620,6 +620,7 @@ def near_dup_threshold_curve(
     )
     spark = documents.sparkSession
     grid = spark.range(n).select(F.col("id").alias("bkt"))
+    # bounded-global-window: frame is spark.range(n_steps) in-plan
     w = (Window.orderBy(F.col("bkt").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
     return (

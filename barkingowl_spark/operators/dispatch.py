@@ -54,9 +54,13 @@ def due_seeds(
             <= ts
         )
     )
-    # single-partition window: seeds are a tiny dim table (O14), so a
-    # global insertion-order rank costs nothing
-    return eligible.withColumn(
+    # bounded-global-window: seeds are a config dim table (O14) —
+    # runtime-asserted, not assumed (ranking.assert_max_rows)
+    from barkingowl_spark.operators.ranking import assert_max_rows
+
+    return assert_max_rows(
+        eligible, 1_000_000, "dispatch.due_seeds"
+    ).withColumn(
         "due_rank", F.row_number().over(Window.orderBy("seed_idx"))
     )
 

@@ -47,6 +47,8 @@ def rank_by(
         F.col(score_col).asc() if ascending else F.col(score_col).desc(),
         F.col(id_col).asc(),
     ]
+    # bounded-global-window: runtime-asserted below (the in-plan
+    # assert_true this module originated)
     w = Window.orderBy(*order)
     wall = w.rowsBetween(Window.unboundedPreceding,
                          Window.unboundedFollowing)

@@ -247,6 +247,8 @@ def effective_diameter(
     spark = sizes.sparkSession
     nt = sizes.groupBy("t").agg(
         F.sum("ball_est").cast("long").alias("n"))
+    # bounded-global-window: frame is one row per iteration t
+    # (diameter-bounded by construction of the caller's loop)
     lagd = nt.withColumn(
         "n_prev",
         F.lag("n", 1, 0).over(Window.orderBy("t")))

@@ -916,7 +916,13 @@ def emd_statistic(
     )
     g = global_running_sum(g, ["v"], "ca", out_col="cuma")
     g = global_running_sum(g, ["v"], "cb", out_col="cumb")
-    w = Window.orderBy("v")  # distinct values only — bounded
+    # bounded-global-window: distinct metric VALUES (an integer score
+    # domain, not the corpus) — runtime-asserted
+    from barkingowl_spark.operators.ranking import assert_max_rows
+
+    g = assert_max_rows(g, 1_000_000, "ireval.ks_distinct_values")
+    # bounded-global-window: runtime-asserted just above
+    w = Window.orderBy("v")
     g = g.withColumn("_gap", F.lead("v").over(w) - F.col("v"))
     tot = g.agg(F.sum("ca").cast("long").alias("n_a"),
                 F.sum("cb").cast("long").alias("n_b"))

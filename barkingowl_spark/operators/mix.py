@@ -394,6 +394,7 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
         .limit(k + 1)
     )
+    # bounded-global-window: input is .limit(k + 1) in-plan
     w_rank = Window.orderBy(F.col("priority").desc(),
                             F.col("doc_id").asc())
     ranked = topk1.withColumn("rn", F.row_number().over(w_rank))

@@ -36,6 +36,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assert_max_rows(
+    df: DataFrame, max_rows: int, label: str
+) -> DataFrame:
+    """In-plan bounded-input guard for INTENTIONAL global windows
+    (the fusion.rank_by precedent, generalized — r4 verdict item 6).
+
+    A handful of operators legitimately run an unpartitioned window
+    over a frame that is bounded by CONTRACT rather than by a plan
+    node (a seeds dim table, a distinct-value grid, a diameter-sized
+    rollup). This guard makes that contract executable: a count over
+    the full frame feeds assert_true, so a caller that pipes an
+    unbounded frame in fails loudly at execution instead of silently
+    serializing through one task. (The guard cannot make misuse
+    cheap — the input still funnels once — it makes it impossible to
+    miss.) Every call site is inventoried in PLANS.md "bounded
+    global windows" and closed by tests/test_layout_audit.py."""
+    # bounded-global-window: the guard itself — the count it takes
+    # IS the bound check
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.withColumn("_nrows", F.count(F.lit(1)).over(wall))
+        .filter(F.coalesce(
+            F.expr(
+                f"CAST(assert_true(_nrows <= {int(max_rows)},"
+                f" '{label}: input exceeds max_rows={int(max_rows)}"
+                f" — bounded-global-window contract (PLANS.md);"
+                f" use ranking.global_dense_rank for corpus-sized"
+                f" input') AS BOOLEAN)"),
+            F.lit(True)))
+        .drop("_nrows")
+    )
+
+
 def global_dense_rank(
     df: DataFrame,
     key_cols: list[str],
@@ -296,6 +330,8 @@ def cache_hit_curve(
     tot = counts.agg(F.sum("c").alias("total"))
     top = counts.orderBy(F.col("c").desc(), F.col("k").asc()) \
         .limit(1 << n)
+    # bounded-global-window: input is .limit(1 << max_size_log2)
+    # in-plan
     w = Window.orderBy(F.col("c").desc(), F.col("k").asc())
     ranked = (
         top.withColumn("r", F.row_number().over(w))

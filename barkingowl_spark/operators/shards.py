@@ -80,6 +80,9 @@ def pack_chunks(
 
     w = (
         Window.partitionBy(part_col) if part_col is not None
+        # bounded-global-window: the documented tests/small-corpora
+        # fallback (part_col=None), per the docstring above — the
+        # default path is part_col-partitioned
         else Window.partitionBy()
     ).orderBy(id_col)
     d = docs.withColumn("tok", tok).filter(F.col("tok") > 0)
