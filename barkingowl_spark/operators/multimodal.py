@@ -387,13 +387,13 @@ def gif_table(docs: DataFrame) -> DataFrame:
 
 
 def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
-    """(img_id, payload): each input doc_id d yields FOUR payloads —
-    img_id 4d / 4d+1 / 4d+2 / 4d+3 = PNG / GIF / baseline-JPEG /
-    lossless-WebP of the SAME block-constant pixels, keyed by the
-    logo group g = d % groups (w = 8*(2 + g%4), h = 8*(2 + 3g%5),
+    """(img_id, payload): each input doc_id d yields FIVE payloads —
+    img_id 5d .. 5d+4 = PNG / GIF / baseline-JPEG / lossless-WebP /
+    TIFF of the SAME block-constant pixels, keyed by the logo group
+    g = d % groups (w = 8*(2 + g%4), h = 8*(2 + 3g%5),
     pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13g) % 100) + 28).
-    PNG/GIF/WebP are lossless and the JPEG contract makes
-    block-constant even pixels exact, so all four decode to identical
+    PNG/GIF/WebP/TIFF are lossless and the JPEG contract makes
+    block-constant even pixels exact, so all five decode to identical
     pixels — the CROSS-FORMAT image-dedup fixture: a corpus carrying
     the same creative re-encoded in different formats (the normal
     state of the real web) must near-dup ACROSS formats, which only
@@ -403,6 +403,7 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
     from barkingowl_spark.functions.gifcodec import encode_gif
     from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
     from barkingowl_spark.functions.pngcodec import encode_png
+    from barkingowl_spark.functions.tiffcodec import encode_tiff
     from barkingowl_spark.functions.webpcodec import encode_webp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -417,8 +418,8 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
                          for x in range(w)] for y in range(h)]
                 for k, enc in enumerate(
                         (encode_png, encode_gif, encode_jpeg_gray,
-                         encode_webp)):
-                    ids.append(4 * d + k)
+                         encode_webp, encode_tiff)):
+                    ids.append(5 * d + k)
                     payloads.append(enc(rows))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),

@@ -158,10 +158,10 @@ def test_spark_gif_operators_real_pixels(spark):
 
 
 def test_cross_format_identical_hashes(spark):
-    """The same block-constant pixels as PNG, GIF, baseline JPEG and
-    lossless WebP hash identically through the four REAL decoders —
-    the cross-format dedup property mm_cross_format_pairs pins at
-    the driver gate."""
+    """The same block-constant pixels as PNG, GIF, baseline JPEG,
+    lossless WebP and TIFF hash identically through the five REAL
+    decoders — the cross-format dedup property
+    mm_cross_format_pairs pins at the driver gate."""
     from barkingowl_spark.operators.multimodal import (
         mixed_format_table,
         perceptual_hash,
@@ -171,10 +171,10 @@ def test_cross_format_identical_hashes(spark):
                                  "doc_id long")
     hashes = {r["doc_id"]: r["phash"] for r in
               perceptual_hash(mixed_format_table(docs)).collect()}
-    assert len(hashes) == 24
+    assert len(hashes) == 30
     for d in range(6):
-        four = [hashes[4 * d + k] for k in range(4)]
-        assert len(set(four)) == 1, d
+        five = [hashes[5 * d + k] for k in range(5)]
+        assert len(set(five)) == 1, d
 
 
 def test_animated_compositing_paths():
