@@ -4,25 +4,28 @@ fixed-order integer predictors, integer-exact by construction — no
 float filter banks, unlike MP3/AAC which stay stubbed). Same
 convention as the image codecs: stdlib only, deterministic integer
 output, ValueError for corrupt input, NotImplementedError for
-valid-but-unsupported shapes (LPC subframes, which need the encoder's
-float Levinson-Durbin to be worth modelling).
+valid-but-unsupported shapes (12/20-bit sample sizes).
 
   * decode_flac: 'fLaC' magic, metadata block walk (STREAMINFO
     required, others skipped), then frame-by-frame: 14-bit sync,
     block-size/sample-rate codes, UTF-8-coded frame number, CRC-8
-    header check; per channel CONSTANT / VERBATIM / FIXED(0..4)
-    subframes with wasted-bits, rice residuals (4- and 5-bit
-    parameter widths, escape partitions, multi-partition orders),
-    fixed-predictor reconstruction; stereo decorrelation
+    header check; per channel CONSTANT / VERBATIM / FIXED(0..4) /
+    LPC(1..32) subframes with wasted-bits, rice residuals (4- and
+    5-bit parameter widths, escape partitions, multi-partition
+    orders), fixed- and LPC-predictor reconstruction (r5: LPC is
+    quantized integer coefficients + arithmetic shift — exact by
+    construction; only an ENCODER needs float Levinson-Durbin, and
+    only to pick good coefficients); stereo decorrelation
     (left/side, right/side, mid/side with the spec's rounding);
     byte-align + CRC-16 frame check. Output is int16-scale samples,
     floor-mean downmixed across channels — the exact contract of
     decode_wav_pcm, so the whole landmark pipeline downstream is
     shared.
   * encode_flac: the fixture writer — per-channel subframe choice
-    (constant when flat, else verbatim or fixed order 1/2 with
-    per-partition optimal rice params and an optional forced escape
-    partition), partition orders 0/1, independent or
+    (constant when flat, else verbatim, fixed order 0..3, or LPC
+    with deterministic integer coefficients and per-partition
+    optimal rice params, optional forced escape partition),
+    partition orders 0/1, independent or
     left-side/right-side/mid-side stereo, multi-frame streams — every
     decoder path exercised by round-trip.
 
@@ -201,10 +204,28 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int
         warm = [br.read_signed(eff) for _ in range(order)]
         resid = _read_residuals(br, block_size, order)
         s = _restore_fixed(order, warm, resid)
-    elif stype & 0x20:  # LPC
-        raise NotImplementedError(
-            "FLAC LPC subframe (float-modelled predictor); only "
-            "constant/verbatim/fixed decode here")
+    elif stype & 0x20:  # LPC, order (stype & 0x1F) + 1
+        order = (stype & 0x1F) + 1
+        if order > block_size:
+            raise ValueError("LPC order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid qlp coefficient precision")
+        prec += 1
+        shift = br.read(5)
+        if shift & 0x10:
+            raise ValueError("negative qlp shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _read_residuals(br, block_size, order)
+        # integer-exact by construction: quantized coefficients,
+        # arithmetic shift (Python >> on ints IS arithmetic)
+        s = list(warm)
+        for e in resid:
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * s[-1 - j]
+            s.append(e + (acc >> shift))
     else:
         raise ValueError(f"reserved subframe type {stype}")
     if wasted:
@@ -220,7 +241,7 @@ _BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
 def decode_flac(payload: bytes) -> list[int]:
     """payload -> int16-scale samples (floor-mean downmix across
     channels — decode_wav_pcm's contract). ValueError on corrupt
-    input, NotImplementedError on LPC subframes."""
+    input, NotImplementedError on unsupported sample sizes."""
     try:
         return _decode_checked(payload)
     except (struct.error, IndexError) as e:
@@ -423,12 +444,53 @@ def _write_residuals(bw: _BitWriter, resid: list[int], order: int,
                     bw.write(z & ((1 << param) - 1), param)
 
 
+# default quantized LPC coefficients per order (shift 4): near the
+# fixed predictors but deliberately off-lattice, so LPC round-trips
+# are not degenerate re-tests of the fixed path
+_LPC_DEFAULT = {
+    1: [14],
+    2: [29, -14],
+    3: [44, -44, 15],
+    4: [59, -89, 59, -15],
+}
+
+
 def _write_subframe(bw: _BitWriter, s: list[int], bps: int,
                     subframe: str, order: int, po: int, plen: int,
-                    force_escape: bool) -> None:
+                    force_escape: bool,
+                    lpc_coefs: list[int] | None = None,
+                    lpc_shift: int = 4) -> None:
     bw.write(0, 1)  # padding
     if subframe == "auto" and len(set(s)) == 1:
         subframe = "constant"
+    if subframe == "lpc":
+        coefs = lpc_coefs if lpc_coefs is not None \
+            else _LPC_DEFAULT[order]
+        k = len(coefs)
+        if not 1 <= k <= 32:
+            raise ValueError("LPC order must be 1..32")
+        if not 0 <= lpc_shift <= 15:
+            raise ValueError("fixture LPC shift must be 0..15")
+        prec = max(2, max(c.bit_length() + 1 for c in coefs))
+        if prec > 15:
+            raise ValueError("LPC coefficient exceeds 15-bit precision")
+        bw.write(0x20 | (k - 1), 6)
+        bw.write(0, 1)  # no wasted bits
+        for v in s[:k]:
+            bw.write(v, bps)
+        bw.write(prec - 1, 4)
+        bw.write(lpc_shift, 5)
+        for c in coefs:
+            bw.write(c, prec)
+        resid = []
+        for i in range(k, len(s)):
+            acc = 0
+            for j in range(k):
+                acc += coefs[j] * s[i - 1 - j]
+            resid.append(s[i] - (acc >> lpc_shift))
+        _write_residuals(bw, resid, k, len(s), po, plen,
+                         force_escape)
+        return
     if subframe in ("auto", "fixed"):
         if not 0 <= order <= 3:
             raise ValueError("fixture fixed order must be 0..3")
@@ -473,9 +535,15 @@ def encode_flac(
     rice5: bool = False,
     force_escape: bool = False,
     channel_mode: str = "indep",
+    lpc_coefs: list[int] | None = None,
+    lpc_shift: int = 4,
 ) -> bytes:
     """Per-channel sample lists -> FLAC. subframe: 'auto' (fixed,
-    constant when flat) / 'constant' / 'verbatim' / 'fixed';
+    constant when flat) / 'constant' / 'verbatim' / 'fixed' /
+    'lpc' (quantized integer coefficients — lpc_coefs, or the
+    _LPC_DEFAULT table keyed on order — at lpc_shift; residuals are
+    exact by the same integer recurrence the decoder runs, so LPC
+    round-trips are lossless with NO float Levinson-Durbin step);
     channel_mode (stereo only): 'indep' / 'left_side' /
     'right_side' / 'mid_side'."""
     if not channels or not channels[0]:
@@ -551,7 +619,8 @@ def encode_flac(
                 subs = [(mid, bits), (side, bits + 1)]
         for s, sbits in subs:
             _write_subframe(bw, s, sbits, subframe, order,
-                            partition_order, plen, force_escape)
+                            partition_order, plen, force_escape,
+                            lpc_coefs, lpc_shift)
         bw.align()
         frame = bw.bytes()
         out += frame + struct.pack(">H", _crc16(frame))

@@ -68,20 +68,123 @@ def test_crc_enforced():
         decode_flac(bytes(p))
 
 
-def test_lpc_not_implemented():
-    """A hand-patched subframe type in the LPC range hits the
-    declared seam (after the CRC-8, so patch both)."""
-    from barkingowl_spark.functions.flaccodec import _crc8
+def test_lpc_round_trip_matrix():
+    """r5 de-stub: LPC subframes (quantized integer coefficients +
+    arithmetic shift) are integer-exact, so round-trips must be
+    lossless across orders, rice shapes, stereo modes and depths."""
+    s = _sig(3)
+    for kw in (dict(order=1), dict(order=2), dict(order=3),
+               dict(order=4), dict(order=2, partition_order=1),
+               dict(order=2, rice5=True),
+               dict(order=2, force_escape=True),
+               dict(lpc_coefs=[70, -40, 22, -9, 3], lpc_shift=6),
+               dict(lpc_coefs=[1] * 32, lpc_shift=0),  # order 32
+               dict(order=3, block_size=64)):
+        assert decode_flac(encode_flac([s], subframe="lpc", **kw)) \
+            == s, kw
+    e = [(i * 9) % 2048 for i in range(256)]
+    left = [a + b for a, b in zip(s, e)]
+    right = [a - b for a, b in zip(s, e)]
+    for mode in ("left_side", "right_side", "mid_side"):
+        assert decode_flac(encode_flac(
+            [left, right], subframe="lpc", order=2,
+            channel_mode=mode)) == s, mode
+    assert decode_flac(encode_flac(
+        [[v << 8 for v in s]], bits=24, subframe="lpc", order=3)) == s
 
-    p = bytearray(encode_flac([_sig(2)]))
+
+def test_lpc_hand_built_stream():
+    """An LPC subframe assembled BIT BY BIT here (not by the repo
+    encoder) decodes to an independently hand-run recurrence —
+    pins coefficient order (coef[0] applies to s[i-1]), the
+    arithmetic shift, and the subframe-type encoding 0x20|(order-1)
+    against the spec rather than against encode_flac."""
+    from barkingowl_spark.functions.flaccodec import _crc8, _crc16
+
+    warm = [100, -50]
+    coefs = [3, -2]  # s[i] = e[i] + (3*s[i-1] - 2*s[i-2]) >> 1
+    shift = 1
+    resid = [7, -3, 5, 0, -1, 2, 20, -17, 1, 0, 3, -2, 4, 5]
+    bs = len(warm) + len(resid)
+    expect = list(warm)
+    for e in resid:
+        expect.append(e + ((coefs[0] * expect[-1]
+                            + coefs[1] * expect[-2]) >> shift))
+
+    bits: list[tuple[int, int]] = []  # (value, nbits), MSB-first
+    bits.append((0, 1))                      # subframe pad bit
+    bits.append((0x20 | (2 - 1), 6))         # LPC, order 2
+    bits.append((0, 1))                      # no wasted bits
+    for v in warm:
+        bits.append((v & 0xFFFF, 16))        # warm-up, 16-bit
+    prec = 3
+    bits.append((prec - 1, 4))
+    bits.append((shift, 5))
+    for c in coefs:
+        bits.append((c & (1 << prec) - 1, prec))
+    bits.append((0, 2))                      # residual method 0
+    bits.append((0, 4))                      # partition order 0
+    param = 4
+    bits.append((param, 4))
+    for v in resid:
+        z = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        bits.append((1, (z >> param) + 1))   # unary quotient
+        bits.append((z & (1 << param) - 1, param))
+
+    # frame header for a 16-sample 16-bit mono frame
+    head: list[tuple[int, int]] = [
+        (0x3FFE, 14), (0, 1), (0, 1), (6, 4), (0, 4), (0, 4),
+        (4, 3), (0, 1), (0, 8)]  # bs code 6 (8-bit follows), frame 0
+    head.append((bs - 1, 8))
+
+    def pack(pairs):
+        acc = n = 0
+        out = bytearray()
+        for v, nb in pairs:
+            acc = (acc << nb) | (v & (1 << nb) - 1)
+            n += nb
+            while n >= 8:
+                out.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+            acc &= (1 << n) - 1
+        if n:
+            out.append((acc << (8 - n)) & 0xFF)
+        return bytes(out)
+
+    header = pack(head)
+    frame = header + bytes([_crc8(header)]) + pack(bits)
+    frame += _crc16(frame).to_bytes(2, "big")
+
+    si: list[tuple[int, int]] = [
+        (bs, 16), (bs, 16), (0, 24), (0, 24), (8000, 20),
+        (0, 3), (15, 5), (bs, 36)]  # 1 channel, 16-bit
+    body = pack(si) + b"\x00" * 16
+    payload = (FLAC_MAGIC + bytes([0x80])
+               + len(body).to_bytes(3, "big") + body + frame)
+    assert decode_flac(payload) == expect
+
+
+def test_lpc_invalid_precision_and_shift_rejected():
+    """Precision code 0b1111 and a negative (sign-bit-set) shift are
+    spec-invalid; patch them into a real LPC stream (re-fixing the
+    CRCs so the corruption reaches the subframe parser)."""
+    from barkingowl_spark.functions.flaccodec import _crc8, _crc16
+
+    p = bytearray(encode_flac([_sig(2)], subframe="lpc", order=2))
     meta_end = 4 + 4 + 34
-    # frame header: 4 fixed bytes + 1 frame-number byte + 2 block
-    # size bytes = 7, then CRC-8, then the first subframe byte
-    sub = meta_end + 8
-    p[sub] = 0x40  # pad 0, type 0b100000 (LPC order 1), wasted 0
-    p[meta_end + 7] = _crc8(bytes(p[meta_end:meta_end + 7]))
-    with pytest.raises(NotImplementedError):
-        decode_flac(bytes(p))
+    # header: 4 fixed + 1 frame-number + 2 block-size bytes, CRC-8,
+    # then subframe byte (pad+type+wasted = 8 bits exactly), then
+    # 2 x 16-bit warm-up, then precision(4)+shift(5) start
+    pbyte = meta_end + 9 + 4
+    for patch in (0xF0 | (p[pbyte] & 0x0F),   # precision 15
+                  (p[pbyte] & 0xF0) | 0x0C):  # shift sign bit set
+        q = bytearray(p)
+        q[pbyte] = patch
+        frame = bytes(q[meta_end:-2])
+        q[-2:] = _crc16(frame).to_bytes(2, "big")
+        assert _crc8(frame[:7]) == frame[7]  # header untouched
+        with pytest.raises(ValueError):
+            decode_flac(bytes(q))
 
 
 def test_corrupt_rejection():
