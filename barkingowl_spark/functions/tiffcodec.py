@@ -8,19 +8,27 @@ NotImplementedError for valid-but-unsupported shapes.
     IFD; 8-bit samples; photometric 0 (WhiteIsZero, inverted gray),
     1 (BlackIsZero gray), 2 (RGB, 3 samples/pixel) and 3 (palette,
     16-bit ColorMap entries collapsed via >> 8); compression 1
-    (none) and 32773 (PackBits, per the spec: n in 0..127 copies
-    n+1 literals, n in -127..-1 repeats the next byte 1-n times,
-    -128 is a no-op); multi-strip images via RowsPerStrip /
-    StripOffsets / StripByteCounts (inlined <=4-byte value slots and
-    offset slots both handled). Output is integer GRAYSCALE rows via
-    the shared ITU-R BT.601 luma. Anything else (LZW/JPEG/deflate
-    compression, 16-bit samples, tiles, planar config 2) raises
+    (none), 5 (LZW: MSB-first codes, Clear 256 / EOI 257, the
+    spec's EARLY-CHANGE width timing — one code earlier than GIF's
+    giflib timing, so this is a deliberately separate implementation
+    from gifcodec's LSB-first LZW) and 32773 (PackBits, per the
+    spec: n in 0..127 copies n+1 literals, n in -127..-1 repeats the
+    next byte 1-n times, -128 is a no-op); Predictor 2 (horizontal
+    differencing, per-row per-channel accumulate); multi-strip
+    images via RowsPerStrip / StripOffsets / StripByteCounts
+    (inlined <=4-byte value slots and offset slots both handled).
+    Output is integer GRAYSCALE rows via the shared ITU-R BT.601
+    luma. Anything else (JPEG/deflate compression, float predictor
+    3, 16-bit samples, tiles, planar config 2) raises
     NotImplementedError — real TIFF shapes, just not stdlib-trivial
     ones, kept behind the declared-seam convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
-    either byte order, compression none or PackBits (real run
-    compression with literal runs), multi-strip via rows_per_strip,
-    so every decoder path is exercised by round-trip.
+    either byte order, compression none, LZW (real dictionary
+    compression with the early-change widths and the 4094-entry
+    Clear) or PackBits (real run compression with literal runs),
+    optional predictor-2 differencing, multi-strip via
+    rows_per_strip, so every decoder path is exercised by
+    round-trip.
 
 Exactness: both supported compressions are lossless, so decoded luma
 equals the pixel formula bit-for-bit and the DuckDB oracle pins it
@@ -67,6 +75,141 @@ def _read_values(data: bytes, end: str, typ: int, count: int,
     if typ == 4:
         return list(struct.unpack(f"{end}{count}I", buf))
     return list(struct.unpack(f"{end}{2 * count}I", buf))  # RATIONAL
+
+
+# TIFF LZW (compression 5) — INDEPENDENT of gifcodec's LZW on
+# purpose: TIFF packs codes MSB-first (GIF is LSB-first), fixes
+# Clear=256/EOI=257 with entries from 258, and uses the spec's
+# "early change": the code width widens one code EARLIER than the
+# giflib timing (decoder: when the table's next free slot reaches
+# (1 << width) - 1; codes are 10-wide from entry 511, not 512).
+
+
+def _lzw_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    bitpos = 0
+    nbits = 8 * len(data)
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated TIFF LZW strip")
+        v = 0
+        take = width
+        pos = bitpos
+        while take > 0:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            t = min(avail, take)
+            v = (v << t) | ((byte >> (avail - t)) & ((1 << t) - 1))
+            pos += t
+            take -= t
+        bitpos = pos
+        return v
+
+    started = False
+    while len(out) < expect:
+        code = read_code()
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            started = True
+            continue
+        if not started:
+            raise ValueError("TIFF LZW stream must start with Clear")
+        if not prev:
+            if code > 255:
+                raise ValueError("first LZW code after Clear not a "
+                                 "literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        out += entry
+        prev = entry
+    if len(out) != expect:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc = (acc << width) | code
+        n += width
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+        acc &= (1 << n) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # leading Clear
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # the encoder sits one insertion ahead of the decoder, so
+        # its bump lands at (1 << width) where the decoder's lands
+        # at (1 << width) - 1 — net effect: both switch before the
+        # same emitted code (early change)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # spec: clear before the table fills
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if n:
+        emit(0, 8 - n)  # zero-pad to a byte
+    return bytes(out)
+
+
+def _undo_predictor2(raw: bytearray, rows: int, w: int,
+                     spp: int) -> None:
+    """Horizontal differencing (tag 317 = 2): each sample stores the
+    delta to the previous pixel's same channel; accumulate per row."""
+    stride = w * spp
+    for y in range(rows):
+        base = y * stride
+        for x in range(spp, stride):
+            raw[base + x] = (raw[base + x] + raw[base + x - spp]) & 0xFF
+
+
+def _apply_predictor2(raw: bytearray, rows: int, w: int,
+                      spp: int) -> None:
+    stride = w * spp
+    for y in range(rows):
+        base = y * stride
+        for x in range(stride - 1, spp - 1, -1):
+            raw[base + x] = (raw[base + x] - raw[base + x - spp]) & 0xFF
 
 
 def _unpackbits(data: bytes, expect: int) -> bytes:
@@ -137,9 +280,12 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     compression = one(259, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (only none/PackBits)")
+            f"TIFF compression {compression} (only none/LZW/PackBits)")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     photometric = one(262)
     spp = one(277, 1)
     bits = tags.get(258, [8])
@@ -181,9 +327,14 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
         if compression == 1:
             if len(strip) < strip_rows * stride:
                 raise ValueError("short uncompressed strip")
-            raw += strip[:strip_rows * stride]
+            sraw = bytearray(strip[:strip_rows * stride])
+        elif compression == 5:
+            sraw = bytearray(_lzw_decode(strip, strip_rows * stride))
         else:
-            raw += _unpackbits(strip, strip_rows * stride)
+            sraw = bytearray(_unpackbits(strip, strip_rows * stride))
+        if predictor == 2:
+            _undo_predictor2(sraw, strip_rows, w, spp)
+        raw += sraw
     if len(raw) < h * stride:
         raise ValueError("TIFF strips cover too few rows")
 
@@ -250,10 +401,16 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor2: bool = False,
 ) -> bytes:
     """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
     gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
-    i = i*257 in 16-bit, so >> 8 gives back i)."""
+    i = i*257 in 16-bit, so >> 8 gives back i). lzw: compression 5
+    (early-change code widths); predictor2: horizontal differencing
+    (tag 317 = 2) applied before whichever compression runs."""
+    if packbits and lzw:
+        raise ValueError("choose one compression")
     h = len(rows)
     if h == 0 or len(rows[0]) == 0:
         raise ValueError("empty image")
@@ -278,8 +435,14 @@ def encode_tiff(
                     raw += bytes((v, v, v))
                 else:
                     raw.append(v)
-        strips.append(_packbits(bytes(raw)) if packbits
-                      else bytes(raw))
+        if predictor2:
+            _apply_predictor2(raw, min(y0 + rps, h) - y0, w, spp)
+        if packbits:
+            strips.append(_packbits(bytes(raw)))
+        elif lzw:
+            strips.append(_lzw_encode(bytes(raw)))
+        else:
+            strips.append(bytes(raw))
 
     # layout: header(8) | strip data | [colormap] | [bits array] | IFD
     pos = 8
@@ -316,10 +479,13 @@ def encode_tiff(
         add(258, 3, 3, struct.pack(end + "I", bits_off))
     else:
         add(258, 3, 1, slot(3, 1, [8]))
-    add(259, 3, 1, slot(3, 1, [32773 if packbits else 1]))
+    add(259, 3, 1, slot(3, 1, [32773 if packbits
+                               else 5 if lzw else 1]))
     add(262, 3, 1, slot(3, 1, [photometric]))
     add(277, 3, 1, slot(3, 1, [spp]))
     add(278, 3, 1, slot(3, 1, [min(rps, 65535)]))
+    if predictor2:
+        add(317, 3, 1, slot(3, 1, [2]))
     if photometric == 3:
         add(320, 3, 768, struct.pack(end + "I", cmap_off))
 

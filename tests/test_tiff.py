@@ -72,10 +72,10 @@ def test_packbits_noop_and_foreign_stream():
 
 def test_unsupported_shapes_not_implemented():
     good = encode_tiff(_rows(1))
-    # LZW compression code 5
+    # deflate compression code 8 (LZW code 5 is REAL since r5)
     bad = bytearray(good)
     idx = good.index(struct.pack("<HHI", 259, 3, 1))
-    bad[idx + 8] = 5
+    bad[idx + 8] = 8
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
     # 16-bit samples
@@ -84,6 +84,122 @@ def test_unsupported_shapes_not_implemented():
     bad[idx + 8] = 16
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
+
+
+def test_lzw_round_trip_matrix():
+    """r5 de-stub: LZW x photometric x byte order x predictor x
+    strip layout round-trips, plus predictor with the other
+    compressions."""
+    img = _rows(3)
+    for pm in (0, 1, 2, 3):
+        for be in (False, True):
+            for pred in (False, True):
+                for rps in (None, 5):
+                    p = encode_tiff(img, photometric=pm,
+                                    big_endian=be, lzw=True,
+                                    predictor2=pred,
+                                    rows_per_strip=rps)
+                    assert decode_tiff(p) == (29, 23, img), (
+                        pm, be, pred, rps)
+    for kw in (dict(predictor2=True),
+               dict(packbits=True, predictor2=True)):
+        assert decode_tiff(encode_tiff(img, **kw))[2] == img
+
+
+def test_lzw_fuzz_round_trip_crosses_resets():
+    """Raw LZW round-trips over random and run-heavy streams large
+    enough to cross every width bump AND the 4094-entry Clear."""
+    from barkingowl_spark.functions.tiffcodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(5)
+    for trial in range(6):
+        n = rnd.randrange(0, 20000)
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data), n) == data, trial
+    runs = bytes(rnd.choice([0, 0, 0, 1, 2])
+                 for _ in range(50000))
+    assert _lzw_decode(_lzw_encode(runs), len(runs)) == runs
+
+
+def test_lzw_hand_built_early_change_stream():
+    """A literal-only stream assembled HERE at the spec's
+    early-change timing (not by the repo encoder, so a
+    mutually-consistent off-by-one cannot hide — the GIF-round
+    lesson): after the decoder's insert #253 the table holds 511
+    entries, so literal #255 onward must be read at 10 bits. A
+    GIF-timing decoder would desync exactly there."""
+    from barkingowl_spark.functions.tiffcodec import _lzw_decode
+
+    n = 300
+    vals = [k % 256 for k in range(n)]
+    bits: list[tuple[int, int]] = [(256, 9)]  # Clear
+    for k in range(n):
+        # literals 1..254 at 9 bits, 255.. at 10 (early change)
+        bits.append((vals[k], 9 if k < 254 else 10))
+    bits.append((257, 10))  # EOI
+
+    acc = nb = 0
+    out = bytearray()
+    for v, width in bits:
+        acc = (acc << width) | v
+        nb += width
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+        acc &= (1 << nb) - 1
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    assert _lzw_decode(bytes(out), n) == bytes(vals)
+
+
+def test_lzw_kwkwk_and_corrupt_codes():
+    """The code == next-free (KwKwK) case decodes per spec; codes
+    beyond the dictionary and streams missing the leading Clear are
+    rejected."""
+    from barkingowl_spark.functions.tiffcodec import _lzw_decode
+
+    def pack(pairs):
+        acc = nb = 0
+        out = bytearray()
+        for v, width in pairs:
+            acc = (acc << width) | v
+            nb += width
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+            acc &= (1 << nb) - 1
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    # Clear, 'A', 258 (KwKwK: prev + prev[0] = "AA") -> "AAA"
+    assert _lzw_decode(
+        pack([(256, 9), (65, 9), (258, 9), (257, 9)]), 3) == b"AAA"
+    with pytest.raises(ValueError):  # 259 is beyond the dictionary
+        _lzw_decode(pack([(256, 9), (65, 9), (259, 9)]), 4)
+    with pytest.raises(ValueError):  # no leading Clear
+        _lzw_decode(pack([(65, 9), (66, 9), (257, 9)]), 2)
+
+
+def test_predictor2_wire_format():
+    """Predictor-2 payload bytes really are deltas: decode the
+    uncompressed predictor strip by hand and compare against the
+    plain encoding (pins the per-row reset and per-channel step)."""
+    img = _rows(9, w=7, h=3)
+    plain = encode_tiff(img, photometric=2)  # RGB, spp=3
+    pred = encode_tiff(img, photometric=2, predictor2=True)
+    assert decode_tiff(pred) == decode_tiff(plain)
+    # strip data starts at byte 8 in this fixture layout
+    stride = 7 * 3
+    for y in range(3):
+        row_p = pred[8 + y * stride:8 + (y + 1) * stride]
+        row_0 = plain[8 + y * stride:8 + (y + 1) * stride]
+        assert row_p[:3] == row_0[:3]  # first pixel verbatim
+        for x in range(3, stride):
+            assert row_p[x] == (row_0[x] - row_0[x - 3]) & 0xFF
 
 
 def test_corrupt_rejection():
