@@ -13,20 +13,21 @@ NotImplementedError for valid-but-unsupported shapes.
     giflib timing, so this is a deliberately separate implementation
     from gifcodec's LSB-first LZW) and 32773 (PackBits, per the
     spec: n in 0..127 copies n+1 literals, n in -127..-1 repeats the
-    next byte 1-n times, -128 is a no-op); Predictor 2 (horizontal
-    differencing, per-row per-channel accumulate); multi-strip
-    images via RowsPerStrip / StripOffsets / StripByteCounts
-    (inlined <=4-byte value slots and offset slots both handled).
-    Output is integer GRAYSCALE rows via the shared ITU-R BT.601
-    luma. Anything else (JPEG/deflate compression, float predictor
-    3, 16-bit samples, tiles, planar config 2) raises
+    next byte 1-n times, -128 is a no-op), and 8/32946 (Adobe/legacy
+    Deflate via stdlib zlib — the pngcodec convention); Predictor 2
+    (horizontal differencing, per-row per-channel accumulate);
+    multi-strip images via RowsPerStrip / StripOffsets /
+    StripByteCounts (inlined <=4-byte value slots and offset slots
+    both handled). Output is integer GRAYSCALE rows via the shared
+    ITU-R BT.601 luma. Anything else (JPEG compression, float
+    predictor 3, 16-bit samples, tiles, planar config 2) raises
     NotImplementedError — real TIFF shapes, just not stdlib-trivial
     ones, kept behind the declared-seam convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
     either byte order, compression none, LZW (real dictionary
     compression with the early-change widths and the 4094-entry
-    Clear) or PackBits (real run compression with literal runs),
-    optional predictor-2 differencing, multi-strip via
+    Clear), Deflate or PackBits (real run compression with literal
+    runs), optional predictor-2 differencing, multi-strip via
     rows_per_strip, so every decoder path is exercised by
     round-trip.
 
@@ -41,6 +42,7 @@ payload bytes never cross the Arrow boundary row-at-a-time.
 from __future__ import annotations
 
 import struct
+import zlib
 
 TIFF_MAGIC_LE = b"II*\x00"
 TIFF_MAGIC_BE = b"MM\x00*"
@@ -280,9 +282,10 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     compression = one(259, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} (only none/LZW/PackBits)")
+            f"TIFF compression {compression} "
+            "(none/LZW/Deflate/PackBits)")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -330,6 +333,13 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
             sraw = bytearray(strip[:strip_rows * stride])
         elif compression == 5:
             sraw = bytearray(_lzw_decode(strip, strip_rows * stride))
+        elif compression in (8, 32946):  # Adobe / legacy deflate
+            try:
+                sraw = bytearray(zlib.decompress(strip))
+            except zlib.error as e:
+                raise ValueError(f"bad TIFF deflate strip: {e}") from e
+            if len(sraw) != strip_rows * stride:
+                raise ValueError("TIFF deflate length mismatch")
         else:
             sraw = bytearray(_unpackbits(strip, strip_rows * stride))
         if predictor == 2:
@@ -402,14 +412,16 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    deflate: bool = False,
     predictor2: bool = False,
 ) -> bytes:
     """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
     gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
     i = i*257 in 16-bit, so >> 8 gives back i). lzw: compression 5
-    (early-change code widths); predictor2: horizontal differencing
-    (tag 317 = 2) applied before whichever compression runs."""
-    if packbits and lzw:
+    (early-change code widths); deflate: compression 8 (zlib);
+    predictor2: horizontal differencing (tag 317 = 2) applied
+    before whichever compression runs."""
+    if packbits + lzw + deflate > 1:
         raise ValueError("choose one compression")
     h = len(rows)
     if h == 0 or len(rows[0]) == 0:
@@ -441,6 +453,8 @@ def encode_tiff(
             strips.append(_packbits(bytes(raw)))
         elif lzw:
             strips.append(_lzw_encode(bytes(raw)))
+        elif deflate:
+            strips.append(zlib.compress(bytes(raw), 6))
         else:
             strips.append(bytes(raw))
 
@@ -480,7 +494,8 @@ def encode_tiff(
     else:
         add(258, 3, 1, slot(3, 1, [8]))
     add(259, 3, 1, slot(3, 1, [32773 if packbits
-                               else 5 if lzw else 1]))
+                               else 5 if lzw
+                               else 8 if deflate else 1]))
     add(262, 3, 1, slot(3, 1, [photometric]))
     add(277, 3, 1, slot(3, 1, [spp]))
     add(278, 3, 1, slot(3, 1, [min(rps, 65535)]))

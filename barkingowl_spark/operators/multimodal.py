@@ -435,10 +435,11 @@ def tiff_table(docs: DataFrame) -> DataFrame:
     w = 16 + d%10, h = 12 + 7d%11; pixel = (3x + 11y + d) % 256 for
     EVERY variant (photometric 0 pre-inverts on encode, palette uses
     the identity gray ColorMap, so decode always returns the
-    formula). Variants cycle d % 12 = photometric (gray-inverted /
+    formula). Variants cycle d % 14 = photometric (gray-inverted /
     gray / RGB / palette) x compression (none / PackBits / LZW — the
     r5 early-change de-stub; the last two LZW variants add
-    Predictor 2 horizontal differencing over RGB and palette), byte
+    Predictor 2 horizontal differencing over RGB and palette — with
+    v=12/13 adding Deflate gray and Deflate+predictor RGB), byte
     order flips on d % 2, and d % 3 == 0 splits into 5-row strips —
     every decoder path exercised by round-trip. mapInPandas,
     Arrow-batched."""
@@ -452,13 +453,15 @@ def tiff_table(docs: DataFrame) -> DataFrame:
                 w, h = 16 + d % 10, 12 + (7 * d) % 11
                 rows = [[(3 * x + 11 * y + d) % 256
                          for x in range(w)] for y in range(h)]
-                v = d % 12
+                v = d % 14
                 payloads.append(encode_tiff(
                     rows,
-                    photometric=v % 4,
+                    photometric=(1 if v == 12 else 2 if v == 13
+                                 else v % 4),
                     packbits=4 <= v < 8,
-                    lzw=v >= 8,
-                    predictor2=v >= 10,
+                    lzw=8 <= v < 12,
+                    deflate=v >= 12,
+                    predictor2=10 <= v < 12 or v == 13,
                     big_endian=bool(d % 2),
                     rows_per_strip=5 if d % 3 == 0 else None,
                 ))

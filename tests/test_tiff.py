@@ -72,10 +72,10 @@ def test_packbits_noop_and_foreign_stream():
 
 def test_unsupported_shapes_not_implemented():
     good = encode_tiff(_rows(1))
-    # deflate compression code 8 (LZW code 5 is REAL since r5)
+    # JPEG compression code 7 (LZW 5 and Deflate 8 are REAL in r5)
     bad = bytearray(good)
     idx = good.index(struct.pack("<HHI", 259, 3, 1))
-    bad[idx + 8] = 8
+    bad[idx + 8] = 7
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
     # 16-bit samples
@@ -104,6 +104,27 @@ def test_lzw_round_trip_matrix():
     for kw in (dict(predictor2=True),
                dict(packbits=True, predictor2=True)):
         assert decode_tiff(encode_tiff(img, **kw))[2] == img
+
+
+def test_deflate_round_trip_and_corrupt():
+    """Compression 8 (stdlib zlib, the pngcodec convention)
+    round-trips across the same matrix; garbage zlib bytes are
+    ValueError, not a crash."""
+    img = _rows(4)
+    for pm in (0, 1, 2, 3):
+        for be in (False, True):
+            for pred in (False, True):
+                for rps in (None, 5):
+                    p = encode_tiff(img, photometric=pm,
+                                    big_endian=be, deflate=True,
+                                    predictor2=pred,
+                                    rows_per_strip=rps)
+                    assert decode_tiff(p) == (29, 23, img), (
+                        pm, be, pred, rps)
+    p = bytearray(encode_tiff(img, deflate=True))
+    p[10] ^= 0xFF  # inside the first strip's zlib stream
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(p))
 
 
 def test_lzw_fuzz_round_trip_crosses_resets():
