@@ -606,9 +606,10 @@ def bmp_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic BMP per doc_id — lossless,
     identity-grayscale palette, pixel(x, y) = (5x + 11y + d) % 256 at
     w = 19 + d % 7, h = 13 + (3d) % 10; the encode variant cycles on
-    d % 3 — 8-bpp bottom-up / 24-bpp bottom-up / 8-bpp TOP-DOWN — and
-    all three decode to the same formula, so one oracle hash pins the
-    palette, BGR-luma, row order and stride-padding paths at once."""
+    d % 4 — 8-bpp bottom-up / 24-bpp bottom-up / 8-bpp TOP-DOWN /
+    8-bpp BI_RLE8 (r5 de-stub) — and all four decode to the same
+    formula, so one oracle hash pins the palette, BGR-luma, row
+    order, stride-padding and RLE paths at once."""
     from barkingowl_spark.functions.bmpcodec import encode_bmp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -619,13 +620,15 @@ def bmp_table(docs: DataFrame) -> DataFrame:
                 w, h = 19 + d % 7, 13 + (3 * d) % 10
                 rows = [[(5 * x + 11 * y + d) % 256
                          for x in range(w)] for y in range(h)]
-                var = d % 3
+                var = d % 4
                 if var == 0:
                     p = encode_bmp(rows)
                 elif var == 1:
                     p = encode_bmp(rows, bpp=24)
-                else:
+                elif var == 2:
                     p = encode_bmp(rows, top_down=True)
+                else:
+                    p = encode_bmp(rows, rle=True)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})

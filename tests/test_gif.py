@@ -278,7 +278,7 @@ def test_bmp_codec_and_spark_dispatch(spark):
     r = [[(5 * x + 11 * y + 3) % 256 for x in range(23)]
          for y in range(9)]
     for kw in (dict(), dict(top_down=True), dict(bpp=24),
-               dict(bpp=24, top_down=True)):
+               dict(bpp=24, top_down=True), dict(rle=True)):
         w, h, got = decode_bmp(encode_bmp(r, **kw))
         assert (w, h) == (23, 9) and got == r, kw
     bad = encode_bmp(r)[:-10]
@@ -311,6 +311,59 @@ def test_bmp_codec_and_spark_dispatch(spark):
            for row in perceptual_hash(bt).collect()}
     assert got == {d: py_hash(d) for d in range(9)}
     bt.unpersist()
+
+
+def test_bmp_rle8_round_trip_and_hand_built_stream():
+    """BI_RLE8 (r5 de-stub): encoder round-trips over gradient,
+    run-heavy and fuzzed images; a stream assembled BY HAND with a
+    cursor delta, an absolute run and an early EOF decodes per the
+    format (skipped pixels stay palette index 0)."""
+    import random
+
+    from barkingowl_spark.functions.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    runs = [[((x // 7 + y) % 5) * 50 for x in range(23)]
+            for y in range(17)]
+    grad = [[(5 * x + 11 * y + 4) % 256 for x in range(23)]
+            for y in range(17)]
+    for img in (runs, grad):
+        assert decode_bmp(encode_bmp(img, rle=True)) == (23, 17, img)
+    rnd = random.Random(7)
+    for t in range(40):
+        w, h = rnd.randrange(1, 40), rnd.randrange(1, 30)
+        img = [[rnd.choice([0, 0, 0, 9, 200, rnd.randrange(256)])
+                for _ in range(w)] for _ in range(h)]
+        assert decode_bmp(encode_bmp(img, rle=True)) == (w, h, img), t
+
+    # 6x3, file rows bottom-up: run, delta(2,1), unit run, EOL,
+    # absolute(4), EOF — rows the stream never touches decode to 0
+    stream = bytes([3, 5,
+                    0, 2, 2, 1,
+                    1, 7,
+                    0, 0,
+                    0, 4, 1, 2, 3, 4,
+                    0, 1])
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    data_off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 8, 1,
+                       len(stream), 0, 0, 256, 0)
+    head = b"BM" + struct.pack("<IHHI", data_off + len(stream),
+                               0, 0, data_off)
+    assert decode_bmp(head + info + pal + stream) == (6, 3, [
+        [1, 2, 3, 4, 0, 0],    # top = file row 2 (absolute run)
+        [0, 0, 0, 0, 0, 7],    # delta skipped to (5, 1)
+        [5, 5, 5, 0, 0, 0]])   # bottom = file row 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):  # RLE must not be top-down
+        encode_bmp(grad, rle=True, top_down=True)
+    # run overflowing the row width is corrupt, not a crash
+    bad = bytes([9, 5, 0, 1])  # 9 pixels into a 6-wide row
+    with _pytest.raises(ValueError):
+        decode_bmp(head + info + pal + bad)
 
 
 # ---- giflib-timing regression (r5, ADVICE r4) ----------------------------
