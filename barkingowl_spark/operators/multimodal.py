@@ -267,9 +267,17 @@ def png_table(docs: DataFrame) -> DataFrame:
     so a DuckDB oracle recomputes dims/aHash/resize sums from the
     formula while Spark round-trips actual PNG BYTES (encode -> decode
     -> unfilter); the per-row filter type cycles (y + d) % 5 so all
-    five RFC 2083 filters are exercised on every image. mapInPandas,
-    Arrow-batched — the same boundary discipline as the decoders."""
-    from barkingowl_spark.functions.pngcodec import encode_png
+    five RFC 2083 filters are exercised on every image. The SHAPE
+    variant cycles d % 6 — gray-8 / palette-8 (identity PLTE) /
+    gray-16 (v*257 samples) / Adam7-interlaced gray-8 / RGB-16
+    interlaced / RGBA-8 — every one decoding to the same formula, so
+    one oracle hash pins the r5 palette/16-bit/interlace paths next
+    to the original. mapInPandas, Arrow-batched — the same boundary
+    discipline as the decoders."""
+    from barkingowl_spark.functions.pngcodec import (
+        encode_png,
+        encode_png_ex,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,8 +287,23 @@ def png_table(docs: DataFrame) -> DataFrame:
                 w, h = 16 + d % 9, 16 + (3 * d) % 11
                 rows = [[(3 * x + 5 * y + d) % 256 for x in range(w)]
                         for y in range(h)]
-                payloads.append(encode_png(
-                    rows, filters=[(y + d) % 5 for y in range(h)]))
+                fts = [(y + d) % 5 for y in range(h)]
+                var = d % 6
+                if var == 0:
+                    p = encode_png(rows, filters=fts)
+                elif var == 1:
+                    p = encode_png_ex(rows, color=3, filters=fts)
+                elif var == 2:
+                    p = encode_png_ex(rows, depth=16, filters=fts)
+                elif var == 3:
+                    p = encode_png_ex(rows, interlace=True,
+                                      filters=fts)
+                elif var == 4:
+                    p = encode_png_ex(rows, color=2, depth=16,
+                                      interlace=True, filters=fts)
+                else:
+                    p = encode_png_ex(rows, color=6, filters=fts)
+                payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -70,12 +70,99 @@ def test_corrupt_and_unsupported_rejection():
     with pytest.raises(ValueError, match="magic"):
         decode_png(b"JFIF" + good)
     gray = bytes([0] + [1] * 4) * 4
-    with pytest.raises(NotImplementedError, match="interlace=1"):
+    # interlace/16-bit are REAL since r5 — a sequential-layout body
+    # under an interlaced or 16-bit header is now a LENGTH error
+    with pytest.raises(ValueError, match="length"):
         decode_png(_raw_png(4, 4, 0, interlace=1, rows_bytes=gray))
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(ValueError, match="length"):
         decode_png(_raw_png(4, 4, 0, depth=16, rows_bytes=gray))
     with pytest.raises(ValueError, match="length"):
         decode_png(_raw_png(4, 4, 0, rows_bytes=gray[:-3]))
+    # spec-invalid shapes are ValueError (no seam left in decode_png)
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(_raw_png(4, 4, 5, rows_bytes=gray))
+    with pytest.raises(ValueError, match="invalid PNG depth"):
+        decode_png(_raw_png(4, 4, 2, depth=4, rows_bytes=gray))
+
+
+def test_full_shape_matrix_round_trips():
+    """r5 de-stub: palette / 16-bit / sub-byte / Adam7 across all
+    five color types round-trip through encode_png_ex, including the
+    tiny geometries where Adam7 passes go empty."""
+    from barkingowl_spark.functions.pngcodec import encode_png_ex
+
+    img = _rows(21, 17)
+    fts = [y % 5 for y in range(100)]
+    for color, depth in ((0, 8), (0, 16), (2, 8), (2, 16), (3, 8),
+                         (4, 8), (4, 16), (6, 8), (6, 16)):
+        for il in (False, True):
+            p = encode_png_ex(img, color=color, depth=depth,
+                              interlace=il, filters=fts)
+            assert decode_png(p) == (21, 17, img), (color, depth, il)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        exp = [[(v >> (8 - depth)) * scale for v in r] for r in img]
+        for il in (False, True):
+            p = encode_png_ex(img, color=0, depth=depth,
+                              interlace=il, filters=fts)
+            assert decode_png(p) == (21, 17, exp), ("gray", depth, il)
+        idx = [[(x + y) % (1 << depth) for x in range(21)]
+               for y in range(17)]
+        iexp = [[v * scale for v in r] for r in idx]
+        for il in (False, True):
+            p = encode_png_ex(idx, color=3, depth=depth,
+                              interlace=il, filters=fts)
+            assert decode_png(p) == (21, 17, iexp), ("pal", depth, il)
+    for w, h in ((1, 1), (2, 2), (3, 5), (8, 1), (1, 9), (7, 7)):
+        im = _rows(w, h, 3)
+        for color, depth in ((0, 8), (3, 8), (2, 16)):
+            p = encode_png_ex(im, color=color, depth=depth,
+                              interlace=True, filters=fts)
+            assert decode_png(p) == (w, h, im), (w, h, color, depth)
+
+
+def test_hand_built_interlaced_and_palette_streams():
+    """Adam7 pass geometry and PLTE lookup pinned by streams built
+    by hand here, independent of encode_png_ex: an 8x8 interlaced
+    gray image whose seven passes are laid out manually, and a
+    palette image with a non-identity PLTE."""
+    img = [[(7 * x + 13 * y) % 256 for x in range(8)]
+           for y in range(8)]
+    # seven passes at 8x8: origins/steps per the spec
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        for y in range(y0, 8, dy):
+            raw.append(0)  # filter None
+            raw.extend(img[y][x] for x in range(x0, 8, dx))
+    assert decode_png(
+        _raw_png(8, 8, 0, interlace=1, rows_bytes=bytes(raw))
+    ) == (8, 8, img)
+
+    # 3x2 palette with a REAL color table (luma is not the index)
+    plte = bytes((10, 20, 30, 200, 100, 50, 0, 0, 255))
+    idx = [[0, 1, 2], [2, 1, 0]]
+    raw = b"\x00" + bytes(idx[0]) + b"\x00" + bytes(idx[1])
+    p = (PNG_MAGIC
+         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3,
+                                       0, 0, 0))
+         + _chunk(b"PLTE", plte)
+         + _chunk(b"IDAT", zlib.compress(raw))
+         + _chunk(b"IEND", b""))
+    lum = [(299 * plte[3 * i] + 587 * plte[3 * i + 1]
+            + 114 * plte[3 * i + 2]) // 1000 for i in range(3)]
+    assert decode_png(p) == (3, 2, [[lum[i] for i in r]
+                                    for r in idx])
+    # palette index outside the 3-entry PLTE
+    bad = b"\x00" + bytes((0, 1, 3)) + b"\x00" + bytes(idx[1])
+    q = (PNG_MAGIC
+         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3,
+                                       0, 0, 0))
+         + _chunk(b"PLTE", plte)
+         + _chunk(b"IDAT", zlib.compress(bad))
+         + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(q)
 
 
 def _py_ahash(d):
@@ -193,14 +280,13 @@ def test_error_containment_bad_bodies_do_not_raise(spark):
     short_ihdr = PNG_MAGIC + _chunk(b"IHDR", ihdr[:5])
     # CRC field truncated mid-way -> struct.error inside
     trunc_crc = encode_png(_rows(6, 5))[:-2]
-    # palette PNG (the most common web PNG) -> NotImplementedError
+    # palette PNG WITHOUT its PLTE chunk -> ValueError (palette
+    # decode itself is real since r5)
     pal = _raw_png(4, 4, 3, rows_bytes=bytes([0, 1, 2, 3, 4]) * 4)
 
-    for p in (bad_idat, short_ihdr, trunc_crc):
+    for p in (bad_idat, short_ihdr, trunc_crc, pal):
         with pytest.raises(ValueError):
             decode_png(p)
-    with pytest.raises(NotImplementedError):
-        decode_png(pal)
     for p in (bad_idat, short_ihdr, trunc_crc, pal):
         assert _decode_dims(p) == (0, 0)
         assert _ahash_dispatch(p) == _ahash_stub(p)
