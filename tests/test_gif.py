@@ -159,8 +159,8 @@ def test_spark_gif_operators_real_pixels(spark):
 
 def test_cross_format_identical_hashes(spark):
     """The same block-constant pixels as PNG, GIF, baseline JPEG,
-    lossless WebP and TIFF hash identically through the five REAL
-    decoders — the cross-format dedup property
+    lossless WebP, TIFF and BMP-RLE8 hash identically through the
+    six REAL decoders — the cross-format dedup property
     mm_cross_format_pairs pins at the driver gate."""
     from barkingowl_spark.operators.multimodal import (
         mixed_format_table,
@@ -171,10 +171,10 @@ def test_cross_format_identical_hashes(spark):
                                  "doc_id long")
     hashes = {r["doc_id"]: r["phash"] for r in
               perceptual_hash(mixed_format_table(docs)).collect()}
-    assert len(hashes) == 30
+    assert len(hashes) == 36
     for d in range(6):
-        five = [hashes[5 * d + k] for k in range(5)]
-        assert len(set(five)) == 1, d
+        six = [hashes[6 * d + k] for k in range(6)]
+        assert len(set(six)) == 1, d
 
 
 def test_animated_compositing_paths():
