@@ -1019,6 +1019,20 @@ def q_mm_bmp_ahash(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_mm_bmp_resize(spark, sf):
+    """REAL-pixel resize audit over decoded BMP pixels (r5: the
+    d % 4 variant cycle includes BI_RLE8): decode, nearest-neighbor
+    resample the longer side to 12, SUM the resized pixels."""
+    from barkingowl_spark.operators.multimodal import (
+        bmp_table,
+        resize_pixel_audit,
+    )
+
+    return resize_pixel_audit(
+        bmp_table(_t(spark, sf, "documents").select("doc_id")
+                  .orderBy("doc_id").limit(48)), max_side=12)
+
+
 def _webp_docs(spark, sf, n=48):
     """Deterministic lossless-WebP payload table
     (multimodal.webp_table) over the first n doc_ids — REAL VP8L
@@ -1096,6 +1110,18 @@ def q_mm_tiff_ahash(spark, sf):
     from barkingowl_spark.operators.multimodal import perceptual_hash
 
     return perceptual_hash(_tiff_docs(spark, sf))
+
+
+def q_mm_tiff_resize(spark, sf):
+    """REAL-pixel resize audit over decoded TIFF pixels (r5: the
+    variant cycle now spans none/PackBits/LZW/Deflate x predictor):
+    decode, nearest-neighbor resample the longer side to 12, SUM
+    the resized pixels."""
+    from barkingowl_spark.operators.multimodal import (
+        resize_pixel_audit,
+    )
+
+    return resize_pixel_audit(_tiff_docs(spark, sf), max_side=12)
 
 
 def _mm_logo_table(spark, sf):
@@ -6138,6 +6164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_webp_resize": q_mm_webp_resize,
         "mm_tiff_decode": q_mm_tiff_decode,
         "mm_tiff_ahash": q_mm_tiff_ahash,
+        "mm_tiff_resize": q_mm_tiff_resize,
+        "mm_bmp_resize": q_mm_bmp_resize,
     })
 
 
@@ -10469,6 +10497,56 @@ def oracle_sql() -> dict[str, str]:
                         THEN hv - CAST(18446744073709551616 AS HUGEINT)
                         ELSE hv END AS BIGINT) AS phash
             FROM hb
+        """,
+        "mm_tiff_resize": _TIFFDIMS_CTE + """,
+            rd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 12 THEN w
+                          ELSE greatest(1, (w * 12) // greatest(w, h))
+                          END AS ow,
+                     CASE WHEN greatest(w, h) <= 12 THEN h
+                          ELSE greatest(1, (h * 12) // greatest(w, h))
+                          END AS oh
+              FROM dims),
+            rp AS (
+              SELECT doc_id, w, h, ow, oh,
+                     (3 * ((gj.j * w) // ow)
+                      + 11 * ((gi.i * h) // oh) + doc_id) % 256 AS v
+              FROM rd,
+                   (SELECT unnest(generate_series(0, 12)) AS j) gj,
+                   (SELECT unnest(generate_series(0, 12)) AS i) gi
+              WHERE gj.j < ow AND gi.i < oh)
+            SELECT doc_id, CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(ow) AS INT) AS out_width,
+                   CAST(min(oh) AS INT) AS out_height,
+                   CAST(sum(v) AS BIGINT) AS out_pixsum
+            FROM rp GROUP BY doc_id
+        """,
+        "mm_bmp_resize": _BMPDIMS_CTE + """,
+            rd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 12 THEN w
+                          ELSE greatest(1, (w * 12) // greatest(w, h))
+                          END AS ow,
+                     CASE WHEN greatest(w, h) <= 12 THEN h
+                          ELSE greatest(1, (h * 12) // greatest(w, h))
+                          END AS oh
+              FROM dims),
+            rp AS (
+              SELECT doc_id, w, h, ow, oh,
+                     (5 * ((gj.j * w) // ow)
+                      + 11 * ((gi.i * h) // oh) + doc_id) % 256 AS v
+              FROM rd,
+                   (SELECT unnest(generate_series(0, 12)) AS j) gj,
+                   (SELECT unnest(generate_series(0, 12)) AS i) gi
+              WHERE gj.j < ow AND gi.i < oh)
+            SELECT doc_id, CAST(min(w) AS INT) AS width,
+                   CAST(min(h) AS INT) AS height,
+                   CAST(min(ow) AS INT) AS out_width,
+                   CAST(min(oh) AS INT) AS out_height,
+                   CAST(sum(v) AS BIGINT) AS out_pixsum
+            FROM rp GROUP BY doc_id
         """,
         "mm_webp_resize": _WEBPDIMS_CTE + """,
             rd AS (
