@@ -14189,6 +14189,7 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '49492A00%'
                             OR hx LIKE '4D4D002A%'
                             THEN 'image/tiff'
+                       WHEN hx LIKE '664C6143%' THEN 'audio/flac'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed

@@ -965,6 +965,7 @@ def sniff_mime(
               & (F.substring(hx, 17, 8) == "57415645"), "audio/wav")
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
               "image/tiff")
+        .when(hx.startswith("664C6143"), "audio/flac")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")

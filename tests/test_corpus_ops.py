@@ -770,6 +770,7 @@ def test_sniff_mime(spark):
         (7, None, "application/pdf"),
         (8, b"BM\x9a\x00\x00\x00\x00\x00\x00\x00\x36", "image/bmp"),
         (9, b"BMW sales rose", "text/plain"),  # weak 'BM' magic
+        (10, b"fLaC\x00\x00\x00\x22....", "audio/flac"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, mime string")
@@ -786,6 +787,7 @@ def test_sniff_mime(spark):
     # BMP needs the 4 reserved zero bytes, not just the weak 'BM'
     assert got[8] == ("image/bmp", True)
     assert got[9] == ("application/octet-stream", False)
+    assert got[10] == ("audio/flac", True)
 
 
 def test_soft404_scores(spark):
