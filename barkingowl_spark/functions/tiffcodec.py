@@ -5,35 +5,47 @@ deterministic integer output, ValueError for corrupt input,
 NotImplementedError for valid-but-unsupported shapes.
 
   * decode_tiff: both byte orders ('II' little / 'MM' big), first
-    IFD; 8-bit samples; photometric 0 (WhiteIsZero, inverted gray),
-    1 (BlackIsZero gray), 2 (RGB, 3 samples/pixel) and 3 (palette,
-    16-bit ColorMap entries collapsed via >> 8); compression 1
-    (none), 5 (LZW: MSB-first codes, Clear 256 / EOI 257, the
-    spec's EARLY-CHANGE width timing — one code earlier than GIF's
-    giflib timing, so this is a deliberately separate implementation
-    from gifcodec's LSB-first LZW) and 32773 (PackBits, per the
-    spec: n in 0..127 copies n+1 literals, n in -127..-1 repeats the
-    next byte 1-n times, -128 is a no-op), and 8/32946 (Adobe/legacy
-    Deflate via stdlib zlib — the pngcodec convention); Predictor 2
-    (horizontal differencing, per-row per-channel accumulate);
-    multi-strip images via RowsPerStrip / StripOffsets /
-    StripByteCounts (inlined <=4-byte value slots and offset slots
-    both handled). Output is integer GRAYSCALE rows via the shared
+    IFD; 8-bit AND 16-bit samples (16-bit reduced to the 8-bit
+    contract by >> 8 AFTER any photometric-0 inversion at full
+    depth, the pngcodec high-byte convention); photometric 0
+    (WhiteIsZero, inverted gray), 1 (BlackIsZero gray), 2 (RGB,
+    >= 3 samples/pixel) and 3 (palette, 8-bit indices through the
+    16-bit ColorMap collapsed via >> 8); compression 1 (none), 5
+    (LZW: MSB-first codes, Clear 256 / EOI 257, the spec's
+    EARLY-CHANGE width timing — one code earlier than GIF's giflib
+    timing, so this is a deliberately separate implementation from
+    gifcodec's LSB-first LZW), 32773 (PackBits, per the spec: n in
+    0..127 copies n+1 literals, n in -127..-1 repeats the next byte
+    1-n times, -128 is a no-op), and 8/32946 (Adobe/legacy Deflate
+    via stdlib zlib — the pngcodec convention); Predictor 2
+    (horizontal differencing, per-row per-channel accumulate AT THE
+    SAMPLE BIT DEPTH — 16-bit deltas wrap mod 65536, not per byte);
+    BOTH pixel organizations: strips (RowsPerStrip / StripOffsets /
+    StripByteCounts) and tiles (TileWidth / TileLength /
+    TileOffsets / TileByteCounts, tiles ordered left-to-right
+    top-to-bottom, edge tiles padded to full tile size and cropped
+    on decode, dims spec-required multiples of 16); BOTH planar
+    configurations: 1 (chunky RGBRGB) and 2 (each sample plane in
+    its own strip/tile sequence, planes concatenated in the offset
+    arrays). Inlined <=4-byte IFD value slots and offset slots both
+    handled. Output is integer GRAYSCALE rows via the shared
     ITU-R BT.601 luma. Anything else (JPEG compression, float
-    predictor 3, 16-bit samples, tiles, planar config 2) raises
+    predictor 3, 12-bit samples, 16-bit palette) raises
     NotImplementedError — real TIFF shapes, just not stdlib-trivial
     ones, kept behind the declared-seam convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
     either byte order, compression none, LZW (real dictionary
     compression with the early-change widths and the 4094-entry
     Clear), Deflate or PackBits (real run compression with literal
-    runs), optional predictor-2 differencing, multi-strip via
-    rows_per_strip, so every decoder path is exercised by
-    round-trip.
+    runs), optional predictor-2 differencing, 16-bit samples
+    (value v stored as v*257 so the decoder's >> 8 returns v
+    exactly), planar configuration 2, multi-strip via
+    rows_per_strip OR tiled via tiles=(tw, tl), so every decoder
+    path is exercised by round-trip.
 
-Exactness: both supported compressions are lossless, so decoded luma
-equals the pixel formula bit-for-bit and the DuckDB oracle pins it
-(driver queries mm_tiff_*).
+Exactness: every supported compression is lossless and 16-bit
+fixture samples are v*257, so decoded luma equals the pixel formula
+bit-for-bit and the DuckDB oracle pins it (driver queries mm_tiff_*).
 
 Decoding runs inside mapInPandas batches (operators/multimodal.py);
 payload bytes never cross the Arrow boundary row-at-a-time.
@@ -194,24 +206,28 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _undo_predictor2(raw: bytearray, rows: int, w: int,
-                     spp: int) -> None:
+def _undo_predictor2(samples: list[int], rows: int, w: int,
+                     spp: int, mask: int = 0xFF) -> None:
     """Horizontal differencing (tag 317 = 2): each sample stores the
-    delta to the previous pixel's same channel; accumulate per row."""
+    delta to the previous pixel's same channel; accumulate per row.
+    Operates on SAMPLE values at their bit depth (mask 0xFF or
+    0xFFFF) — 16-bit deltas wrap mod 65536, never per byte."""
     stride = w * spp
     for y in range(rows):
         base = y * stride
         for x in range(spp, stride):
-            raw[base + x] = (raw[base + x] + raw[base + x - spp]) & 0xFF
+            samples[base + x] = (
+                samples[base + x] + samples[base + x - spp]) & mask
 
 
-def _apply_predictor2(raw: bytearray, rows: int, w: int,
-                      spp: int) -> None:
+def _apply_predictor2(samples: list[int], rows: int, w: int,
+                      spp: int, mask: int = 0xFF) -> None:
     stride = w * spp
     for y in range(rows):
         base = y * stride
         for x in range(stride - 1, spp - 1, -1):
-            raw[base + x] = (raw[base + x] - raw[base + x - spp]) & 0xFF
+            samples[base + x] = (
+                samples[base + x] - samples[base + x - spp]) & mask
 
 
 def _unpackbits(data: bytes, expect: int) -> bytes:
@@ -292,12 +308,15 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     photometric = one(262)
     spp = one(277, 1)
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("non-8-bit TIFF samples")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar configuration 2")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
+    bps = bits[0]
+    if any(b != bps for b in bits):
+        raise ValueError("mixed per-sample bit depths")
+    if bps not in (8, 16):
+        raise NotImplementedError(
+            f"{bps}-bit TIFF samples (8/16 supported)")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
     if photometric in (0, 1):
         if spp != 1:
             raise ValueError("gray TIFF with samples != 1")
@@ -307,69 +326,139 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     elif photometric == 3:
         if spp != 1:
             raise ValueError("palette TIFF with samples != 1")
+        if bps != 8:
+            raise NotImplementedError("16-bit palette TIFF")
         if 320 not in tags:
             raise ValueError("palette TIFF missing ColorMap")
     else:
         raise NotImplementedError(
             f"TIFF photometric {photometric}")
 
-    rows_per_strip = one(278, h)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("bad TIFF strip tables")
-    stride = w * spp
-    raw = bytearray()
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        strip = payload[off:off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("strip outside file")
-        strip_rows = min(rows_per_strip, remaining_rows)
-        remaining_rows -= strip_rows
+    bpb = bps // 8  # bytes per sample
+
+    def chunk_samples(off: int, cnt: int, n_samples: int) -> list[int]:
+        """One strip/tile: slice, decompress to the expected byte
+        length, unpack to sample values at the file's byte order."""
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise ValueError("strip/tile outside file")
+        expect = n_samples * bpb
         if compression == 1:
-            if len(strip) < strip_rows * stride:
+            if len(seg) < expect:
                 raise ValueError("short uncompressed strip")
-            sraw = bytearray(strip[:strip_rows * stride])
+            buf = seg[:expect]
         elif compression == 5:
-            sraw = bytearray(_lzw_decode(strip, strip_rows * stride))
+            buf = _lzw_decode(seg, expect)
         elif compression in (8, 32946):  # Adobe / legacy deflate
             try:
-                sraw = bytearray(zlib.decompress(strip))
+                buf = zlib.decompress(seg)
             except zlib.error as e:
                 raise ValueError(f"bad TIFF deflate strip: {e}") from e
-            if len(sraw) != strip_rows * stride:
+            if len(buf) != expect:
                 raise ValueError("TIFF deflate length mismatch")
         else:
-            sraw = bytearray(_unpackbits(strip, strip_rows * stride))
-        if predictor == 2:
-            _undo_predictor2(sraw, strip_rows, w, spp)
-        raw += sraw
-    if len(raw) < h * stride:
-        raise ValueError("TIFF strips cover too few rows")
+            buf = _unpackbits(seg, expect)
+        if bpb == 1:
+            return list(buf)
+        return list(struct.unpack(f"{end}{n_samples}H", buf))
 
+    # ---- pixel organization: assemble the chunky sample grid ----
+    # grid[y] holds w*spp sample values at the native bit depth.
+    grid: list[list[int]] = [[0] * (w * spp) for _ in range(h)]
+    mask = (1 << bps) - 1
+    planes = spp if planar == 2 else 1
+    spp_eff = 1 if planar == 2 else spp
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw = one(322)
+        tl = one(323)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(
+                f"tile dims {tw}x{tl} must be positive multiples of 16")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        need = ta * td * planes
+        if (not offsets or not counts
+                or len(offsets) != need or len(counts) != need):
+            raise ValueError("bad TIFF tile tables")
+        idx = 0
+        for c in range(planes):
+            for ty in range(td):
+                for tx in range(ta):
+                    s = chunk_samples(offsets[idx], counts[idx],
+                                      tl * tw * spp_eff)
+                    idx += 1
+                    if predictor == 2:
+                        _undo_predictor2(s, tl, tw, spp_eff, mask)
+                    # edge tiles are padded to full size; crop here
+                    for yy in range(min(tl, h - ty * tl)):
+                        row = grid[ty * tl + yy]
+                        src = yy * tw * spp_eff
+                        for xx in range(min(tw, w - tx * tw)):
+                            px = (tx * tw + xx) * spp
+                            for sb in range(spp_eff):
+                                ch = c if planar == 2 else sb
+                                row[px + ch] = s[src + xx * spp_eff + sb]
+    else:
+        rows_per_strip = one(278, h)
+        if rows_per_strip <= 0:
+            raise ValueError("bad RowsPerStrip")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        spi = (h + rows_per_strip - 1) // rows_per_strip
+        need = spi * planes
+        if (not offsets or not counts
+                or len(offsets) != need or len(counts) != need):
+            raise ValueError("bad TIFF strip tables")
+        for c in range(planes):
+            remaining = h
+            for i in range(spi):
+                srows = min(rows_per_strip, remaining)
+                remaining -= srows
+                s = chunk_samples(offsets[c * spi + i],
+                                  counts[c * spi + i],
+                                  srows * w * spp_eff)
+                if predictor == 2:
+                    _undo_predictor2(s, srows, w, spp_eff, mask)
+                for yy in range(srows):
+                    row = grid[i * rows_per_strip + yy]
+                    src = yy * w * spp_eff
+                    if planar == 1:
+                        row[:] = s[src:src + w * spp]
+                    else:
+                        for x in range(w):
+                            row[x * spp + c] = s[src + x]
+
+    # ---- photometric conversion to 8-bit grayscale ----
+    # 16-bit reduces by >> 8; photometric-0 inverts at full depth
+    # first ((maxv - s) >> 8, algebraically equal to 255 - (s >> 8)
+    # for every s, so the order is a convention, not a behavior).
+    shift = bps - 8
     rows: list[list[int]] = []
     if photometric in (0, 1):
         inv = photometric == 0
         for y in range(h):
-            base = y * stride
-            rows.append([(255 - raw[base + x]) if inv
-                         else raw[base + x] for x in range(w)])
+            g = grid[y]
+            rows.append([((mask - g[x]) if inv else g[x]) >> shift
+                         for x in range(w)])
     elif photometric == 2:
         for y in range(h):
-            base = y * stride
+            g = grid[y]
             rows.append([
-                _luma(raw[base + x * spp], raw[base + x * spp + 1],
-                      raw[base + x * spp + 2]) for x in range(w)])
-    else:  # palette
+                _luma(g[x * spp] >> shift, g[x * spp + 1] >> shift,
+                      g[x * spp + 2] >> shift) for x in range(w)])
+    else:  # palette (8-bit indices enforced above)
         cmap = tags[320]
         if len(cmap) < 3 * 256:
             raise ValueError("short ColorMap")
         for y in range(h):
-            base = y * stride
+            g = grid[y]
             line = []
             for x in range(w):
-                i = raw[base + x]
+                i = g[x]
                 line.append(_luma(cmap[i] >> 8, cmap[256 + i] >> 8,
                                   cmap[512 + i] >> 8))
             rows.append(line)
@@ -414,15 +503,27 @@ def encode_tiff(
     lzw: bool = False,
     deflate: bool = False,
     predictor2: bool = False,
+    bits16: bool = False,
+    planar2: bool = False,
+    tiles: tuple[int, int] | None = None,
 ) -> bytes:
     """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
     gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
     i = i*257 in 16-bit, so >> 8 gives back i). lzw: compression 5
     (early-change code widths); deflate: compression 8 (zlib);
-    predictor2: horizontal differencing (tag 317 = 2) applied
-    before whichever compression runs."""
+    predictor2: horizontal differencing (tag 317 = 2) applied at the
+    sample bit depth before whichever compression runs. bits16:
+    16-bit samples, value v stored as v*257 (photometric 0 inverts
+    at 16-bit: 65535 - 257v) so decode's >> 8 reduction is exact.
+    planar2: planar configuration 2 — one strip/tile sequence per
+    sample plane. tiles=(tw, tl): tiled organization instead of
+    strips (dims must be multiples of 16; edge tiles padded)."""
     if packbits + lzw + deflate > 1:
         raise ValueError("choose one compression")
+    if bits16 and photometric == 3:
+        raise ValueError("16-bit palette not supported")
+    if tiles is not None and rows_per_strip is not None:
+        raise ValueError("choose strips or tiles, not both")
     h = len(rows)
     if h == 0 or len(rows[0]) == 0:
         raise ValueError("empty image")
@@ -432,37 +533,85 @@ def encode_tiff(
     end = ">" if big_endian else "<"
     magic = TIFF_MAGIC_BE if big_endian else TIFF_MAGIC_LE
     spp = 3 if photometric == 2 else 1
-    rps = rows_per_strip if rows_per_strip is not None else h
+    bps = 16 if bits16 else 8
+    mask = (1 << bps) - 1
+    scale = 257 if bits16 else 1
+    planes = spp if planar2 else 1
+    spp_eff = 1 if planar2 else spp
 
-    strips: list[bytes] = []
-    for y0 in range(0, h, rps):
-        raw = bytearray()
-        for y in range(y0, min(y0 + rps, h)):
-            for v in rows[y]:
-                if not 0 <= v <= 255:
-                    raise ValueError("pixel out of range")
-                if photometric == 0:
-                    raw.append(255 - v)
-                elif photometric == 2:
-                    raw += bytes((v, v, v))
-                else:
-                    raw.append(v)
+    # chunky sample grid at the target bit depth
+    grid: list[list[int]] = []
+    for r in rows:
+        line: list[int] = []
+        for v in r:
+            if not 0 <= v <= 255:
+                raise ValueError("pixel out of range")
+            sv = (mask - v * scale) if photometric == 0 else v * scale
+            line.extend([sv] * spp)
+        grid.append(line)
+
+    def pack(svals: list[int]) -> bytes:
+        if bps == 8:
+            return bytes(svals)
+        return struct.pack(f"{end}{len(svals)}H", *svals)
+
+    def finish(svals: list[int], chunk_rows: int,
+               chunk_w: int) -> bytes:
         if predictor2:
-            _apply_predictor2(raw, min(y0 + rps, h) - y0, w, spp)
+            _apply_predictor2(svals, chunk_rows, chunk_w, spp_eff,
+                              mask)
+        raw = pack(svals)
         if packbits:
-            strips.append(_packbits(bytes(raw)))
-        elif lzw:
-            strips.append(_lzw_encode(bytes(raw)))
-        elif deflate:
-            strips.append(zlib.compress(bytes(raw), 6))
-        else:
-            strips.append(bytes(raw))
+            return _packbits(raw)
+        if lzw:
+            return _lzw_encode(raw)
+        if deflate:
+            return zlib.compress(raw, 6)
+        return raw
 
-    # layout: header(8) | strip data | [colormap] | [bits array] | IFD
+    chunks: list[bytes] = []
+    if tiles is not None:
+        tw, tl = tiles
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("tile dims must be positive multiples "
+                             "of 16")
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        for c in range(planes):
+            for ty in range(td):
+                for tx in range(ta):
+                    svals: list[int] = []
+                    for yy in range(tl):
+                        y = ty * tl + yy
+                        for xx in range(tw):
+                            x = tx * tw + xx
+                            if y < h and x < w:
+                                px = grid[y][x * spp:(x + 1) * spp]
+                            else:  # pad edge tiles to full size
+                                px = [0] * spp
+                            if planar2:
+                                svals.append(px[c])
+                            else:
+                                svals.extend(px)
+                    chunks.append(finish(svals, tl, tw))
+        rps = None
+    else:
+        rps = rows_per_strip if rows_per_strip is not None else h
+        for c in range(planes):
+            for y0 in range(0, h, rps):
+                svals = []
+                for y in range(y0, min(y0 + rps, h)):
+                    if planar2:
+                        svals.extend(grid[y][c::spp])
+                    else:
+                        svals.extend(grid[y])
+                chunks.append(finish(svals, min(y0 + rps, h) - y0, w))
+
+    # layout: header(8) | chunk data | [colormap] | [bits array] | IFD
     pos = 8
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(pos)
+    chunk_offsets = []
+    for s in chunks:
+        chunk_offsets.append(pos)
         pos += len(s)
     cmap_off = pos
     cmap = b""
@@ -473,9 +622,9 @@ def encode_tiff(
     bits_off = pos
     bits = b""
     if spp == 3:
-        bits = struct.pack(f"{end}3H", 8, 8, 8)
+        bits = struct.pack(f"{end}3H", bps, bps, bps)
         pos += len(bits)
-    # strip tables go after the IFD when they overflow the 4-byte slot
+    # chunk tables go after the IFD when they overflow the 4-byte slot
     entries: list[tuple[int, int, int, bytes]] = []
 
     def slot(typ: int, count: int, values: list[int]) -> bytes:
@@ -492,39 +641,47 @@ def encode_tiff(
     if spp == 3:
         add(258, 3, 3, struct.pack(end + "I", bits_off))
     else:
-        add(258, 3, 1, slot(3, 1, [8]))
+        add(258, 3, 1, slot(3, 1, [bps]))
     add(259, 3, 1, slot(3, 1, [32773 if packbits
                                else 5 if lzw
                                else 8 if deflate else 1]))
     add(262, 3, 1, slot(3, 1, [photometric]))
     add(277, 3, 1, slot(3, 1, [spp]))
-    add(278, 3, 1, slot(3, 1, [min(rps, 65535)]))
+    if planar2:
+        add(284, 3, 1, slot(3, 1, [2]))
     if predictor2:
         add(317, 3, 1, slot(3, 1, [2]))
     if photometric == 3:
         add(320, 3, 768, struct.pack(end + "I", cmap_off))
+    if tiles is not None:
+        add(322, 3, 1, slot(3, 1, [tiles[0]]))
+        add(323, 3, 1, slot(3, 1, [tiles[1]]))
+        off_tag, cnt_tag = 324, 325
+    else:
+        add(278, 3, 1, slot(3, 1, [min(rps, 65535)]))
+        off_tag, cnt_tag = 273, 279
 
-    n_strip = len(strips)
-    ifd_fixed = len(entries) + 2  # + StripOffsets + StripByteCounts
+    n_chunk = len(chunks)
+    ifd_fixed = len(entries) + 2  # + offsets + byte-counts tags
     ifd_off = pos
     ifd_len = 2 + 12 * ifd_fixed + 4
     after_ifd = ifd_off + ifd_len
-    if n_strip == 1:
-        add(273, 4, 1, slot(4, 1, strip_offsets))
-        add(279, 4, 1, slot(4, 1, [len(strips[0])]))
+    if n_chunk == 1:
+        add(off_tag, 4, 1, slot(4, 1, chunk_offsets))
+        add(cnt_tag, 4, 1, slot(4, 1, [len(chunks[0])]))
         tail = b""
     else:
-        add(273, 4, n_strip, struct.pack(end + "I", after_ifd))
-        add(279, 4, n_strip,
-            struct.pack(end + "I", after_ifd + 4 * n_strip))
-        tail = (struct.pack(f"{end}{n_strip}I", *strip_offsets)
-                + struct.pack(f"{end}{n_strip}I",
-                              *[len(s) for s in strips]))
+        add(off_tag, 4, n_chunk, struct.pack(end + "I", after_ifd))
+        add(cnt_tag, 4, n_chunk,
+            struct.pack(end + "I", after_ifd + 4 * n_chunk))
+        tail = (struct.pack(f"{end}{n_chunk}I", *chunk_offsets)
+                + struct.pack(f"{end}{n_chunk}I",
+                              *[len(s) for s in chunks]))
 
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
     out = bytearray(magic)
     out += struct.pack(end + "I", ifd_off)
-    for s in strips:
+    for s in chunks:
         out += s
     out += cmap
     out += bits

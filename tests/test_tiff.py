@@ -78,10 +78,16 @@ def test_unsupported_shapes_not_implemented():
     bad[idx + 8] = 7
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
-    # 16-bit samples
+    # 12-bit samples (8/16 are REAL in late r5)
     bad = bytearray(good)
     idx = good.index(struct.pack("<HHI", 258, 3, 1))
-    bad[idx + 8] = 16
+    bad[idx + 8] = 12
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
+    # float predictor 3
+    bad = bytearray(encode_tiff(_rows(1), predictor2=True))
+    idx = bad.index(struct.pack("<HHI", 317, 3, 1))
+    bad[idx + 8] = 3
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
 
@@ -247,16 +253,163 @@ def test_colormap_identity_and_inversion():
     assert decode_tiff(p0)[2] == decode_tiff(p1)[2] == img
 
 
+def test_extended_round_trip_matrix():
+    """Late-r5 seam closures: 16-bit samples x planar-2 x tiles,
+    crossed with every compression and predictor — image dims (29,
+    23) are NOT tile multiples, so every tiled case exercises edge
+    padding + crop."""
+    img = _rows(6)
+    for pm in (0, 1, 2):
+        for b16 in (False, True):
+            for pl2 in ((False, True) if pm == 2 else (False,)):
+                for comp in ({}, {"packbits": True}, {"lzw": True},
+                             {"deflate": True}):
+                    for pred in (False, True):
+                        for org in ({}, {"rows_per_strip": 5},
+                                    {"tiles": (16, 16)}):
+                            p = encode_tiff(
+                                img, photometric=pm, bits16=b16,
+                                planar2=pl2, predictor2=pred,
+                                **comp, **org)
+                            assert decode_tiff(p) == (29, 23, img), (
+                                pm, b16, pl2, comp, pred, org)
+
+
+def _hand_tiff(end: str, w: int, h: int, strip: bytes,
+               extra: list[tuple[int, int, int, list[int]]],
+               bps: int = 8) -> bytes:
+    """Assemble a minimal single-strip TIFF HERE (not via the repo
+    encoder) so mutually-consistent encoder/decoder bugs cannot
+    hide. extra = (tag, typ, count, inline values)."""
+    magic = TIFF_MAGIC_BE if end == ">" else TIFF_MAGIC_LE
+    tags = [(256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, 1, [bps]),
+            (259, 3, 1, [1]), (273, 4, 1, [8]), (277, 3, 1, [1]),
+            (278, 3, 1, [h]), (279, 4, 1, [len(strip)]),
+            ] + extra
+    tags.sort(key=lambda t: t[0])
+    ifd_off = 8 + len(strip)
+    out = bytearray(magic) + struct.pack(end + "I", ifd_off) + strip
+    out += struct.pack(end + "H", len(tags))
+    for tag, typ, count, vals in tags:
+        fmt = {3: "H", 4: "I"}[typ]
+        raw4 = struct.pack(f"{end}{count}{fmt}", *vals)
+        out += (struct.pack(end + "HHI", tag, typ, count)
+                + raw4 + b"\x00" * (4 - len(raw4)))
+    out += struct.pack(end + "I", 0)
+    return bytes(out)
+
+
+def test_16bit_predictor_is_sample_depth_not_bytewise():
+    """Hand-built 16-bit gray strip whose predictor-2 delta WRAPS
+    mod 65536 (40000 -> 30000 stores 55536): a byte-wise predictor
+    (the mirrored-bug failure mode) would corrupt both bytes, the
+    spec's sample-depth accumulate recovers 30000 exactly. Checked
+    in both byte orders."""
+    for end in ("<", ">"):
+        strip = struct.pack(end + "2H", 40000, (30000 - 40000) & 0xFFFF)
+        p = _hand_tiff(end, 2, 1, strip,
+                       [(262, 3, 1, [1]), (317, 3, 1, [2])], bps=16)
+        assert decode_tiff(p) == (2, 1, [[40000 >> 8, 30000 >> 8]])
+
+
+def test_16bit_inversion_hand_built():
+    """Photometric 0 at 16 bits: decode inverts at full depth then
+    reduces ((65535 - s) >> 8 — algebraically equal to
+    255 - (s >> 8) for every s, so the reduction order is not
+    observable; this pins the value itself on hand-built strips
+    with nonzero low bytes in both byte orders)."""
+    for end in ("<", ">"):
+        for s in (0, 1, 0x1280, 0xFFFF, 257 * 23):
+            strip = struct.pack(end + "1H", s)
+            p = _hand_tiff(end, 1, 1, strip, [(262, 3, 1, [0])],
+                           bps=16)
+            assert decode_tiff(p) == (1, 1, [[255 - (s >> 8)]]), (
+                end, s)
+
+
+def test_planar2_distinct_planes_hand_built():
+    """The repo encoder writes r=g=b so identical planes could hide
+    a plane-order bug; this hand-built planar-2 RGB 2x2 has DISTINCT
+    R/G/B planes in three strips and must luma-combine them in plane
+    order."""
+    R, G, B = [10, 20, 30, 40], [50, 60, 70, 80], [90, 100, 110, 120]
+    strips = bytes(R) + bytes(G) + bytes(B)
+    # three strips of 4 bytes each at offsets 8, 12, 16
+    out = bytearray(TIFF_MAGIC_LE) + struct.pack("<I", 8 + 12) + strips
+    tags = [(256, 3, 1, [2]), (257, 3, 1, [2]), (259, 3, 1, [1]),
+            (262, 3, 1, [2]), (277, 3, 1, [3]), (278, 3, 1, [2]),
+            (284, 3, 1, [2])]
+    ifd_off = 8 + 12
+    n_tags = len(tags) + 3  # + bits(258) + offsets(273) + counts(279)
+    after = ifd_off + 2 + 12 * n_tags + 4
+    tags += [(258, 3, 3, None), (273, 4, 3, None), (279, 4, 3, None)]
+    tags.sort(key=lambda t: t[0])
+    tail = (struct.pack("<3H", 8, 8, 8)
+            + struct.pack("<3I", 8, 12, 16)
+            + struct.pack("<3I", 4, 4, 4))
+    tail_offs = {258: after, 273: after + 6, 279: after + 18}
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, vals in tags:
+        if vals is None:
+            raw4 = struct.pack("<I", tail_offs[tag])
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            raw4 = struct.pack(f"<{count}{fmt}", *vals)
+            raw4 += b"\x00" * (4 - len(raw4))
+        out += struct.pack("<HHI", tag, typ, count) + raw4
+    out += struct.pack("<I", 0) + tail
+    from barkingowl_spark.functions.tiffcodec import _luma
+
+    want = [[_luma(R[i], G[i], B[i]) for i in (0, 1)],
+            [_luma(R[i], G[i], B[i]) for i in (2, 3)]]
+    assert decode_tiff(bytes(out)) == (2, 2, want)
+
+
+def test_tiled_junk_padding_ignored():
+    """Edge-tile padding holds arbitrary bytes on the wire; decode
+    must crop, not trust the pad. Take a repo-encoded 29x23 tiled
+    image and overwrite every pad sample with 0xEE — decode output
+    must not change."""
+    img = _rows(8)
+    p = bytearray(encode_tiff(img, tiles=(16, 16)))
+    # uncompressed single-plane gray: tile data starts at byte 8,
+    # tiles are 256 bytes each, 2x2 tiles for 29x23
+    tw = tl = 16
+    ta, td = 2, 2
+    idx = 0
+    for ty in range(td):
+        for tx in range(ta):
+            base = 8 + idx * tw * tl
+            idx += 1
+            for yy in range(tl):
+                for xx in range(tw):
+                    if ty * tl + yy >= 23 or tx * tw + xx >= 29:
+                        p[base + yy * tw + xx] = 0xEE
+    assert decode_tiff(bytes(p)) == (29, 23, img)
+
+
+def test_tile_dims_must_be_multiples_of_16():
+    with pytest.raises(ValueError):
+        encode_tiff(_rows(2), tiles=(12, 16))
+    p = bytearray(encode_tiff(_rows(2), tiles=(16, 16)))
+    idx = p.index(struct.pack("<HHI", 322, 3, 1))
+    p[idx + 8] = 12  # TileWidth -> 12 on the wire
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(p))
+
+
 def test_tiff_table_spark_dispatch(spark):
     """tiff_table payloads through decode_features + perceptual_hash
-    equal independent pure-Python math across all 8 variants."""
+    equal independent pure-Python math across all 20 variants
+    (d = 0..23 covers the full d % 20 cycle, including 16-bit,
+    planar-2 and tiled)."""
     from barkingowl_spark.operators.multimodal import (
         decode_features,
         perceptual_hash,
         tiff_table,
     )
 
-    docs = spark.createDataFrame([(d,) for d in range(16)],
+    docs = spark.createDataFrame([(d,) for d in range(24)],
                                  "doc_id long")
     bt = tiff_table(docs).persist()
     for row in decode_features(bt).collect():
@@ -280,5 +433,5 @@ def test_tiff_table_spark_dispatch(spark):
 
     got = {row["doc_id"]: row["phash"]
            for row in perceptual_hash(bt).collect()}
-    assert got == {d: py_hash(d) for d in range(16)}
+    assert got == {d: py_hash(d) for d in range(24)}
     bt.unpersist()
