@@ -3,8 +3,11 @@ item 3: the first REAL compressed-audio path (FLAC is rice +
 fixed-order integer predictors, integer-exact by construction — no
 float filter banks, unlike MP3/AAC which stay stubbed). Same
 convention as the image codecs: stdlib only, deterministic integer
-output, ValueError for corrupt input, NotImplementedError for
-valid-but-unsupported shapes (12/20-bit sample sizes).
+output, ValueError for corrupt input. Late r5: ALL five spec sample
+sizes (8/12/16/20/24) decode — the arithmetic-shift rescale onto the
+int16 contract generalizes (bps-16 either direction), so decode_flac
+has no NotImplementedError surface left; reserved bitstream codes are
+ValueError (spec-invalid, not a seam).
 
   * decode_flac: 'fLaC' magic, metadata block walk (STREAMINFO
     required, others skipped), then frame-by-frame: 14-bit sync,
@@ -240,8 +243,9 @@ _BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
 
 def decode_flac(payload: bytes) -> list[int]:
     """payload -> int16-scale samples (floor-mean downmix across
-    channels — decode_wav_pcm's contract). ValueError on corrupt
-    input, NotImplementedError on unsupported sample sizes."""
+    channels — decode_wav_pcm's contract; all five spec sample
+    sizes rescale by arithmetic shift). ValueError on corrupt
+    input."""
     try:
         return _decode_checked(payload)
     except (struct.error, IndexError) as e:
@@ -277,9 +281,9 @@ def _decode_checked(payload: bytes) -> list[int]:
     n_ch_si = si.read(3) + 1
     bps_si = si.read(5) + 1
     total = si.read(36)
-    if bps_si not in (8, 16, 24):
-        raise NotImplementedError(
-            f"FLAC bits-per-sample {bps_si} (8/16/24 supported)")
+    if bps_si not in (8, 12, 16, 20, 24):
+        raise ValueError(
+            f"reserved FLAC bits-per-sample {bps_si}")
 
     out: list[int] = []
     while len(out) < total:
@@ -313,9 +317,6 @@ def _decode_checked(payload: bytes) -> list[int]:
         bps = {0: bps_si, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
         if bps is None:
             raise ValueError(f"reserved sample size code {ss_code}")
-        if bps not in (8, 16, 24):
-            raise NotImplementedError(
-                f"FLAC frame bits-per-sample {bps}")
         header_len = br.byte_pos()
         crc8 = br.read(8)
         if _crc8(payload[frame_start:frame_start + header_len]) != crc8:
@@ -356,11 +357,13 @@ def _decode_checked(payload: bytes) -> list[int]:
         pos = frame_start + body_len + 2
 
         # int16 scale per channel, then floor-mean downmix
-        # (decode_wav_pcm's exact contract)
-        if bps == 24:
-            chans = [[v >> 8 for v in c] for c in chans]
-        elif bps == 8:
-            chans = [[v << 8 for v in c] for c in chans]
+        # (decode_wav_pcm's exact contract): arithmetic shift by
+        # bps-16 either direction (24 -> >>8, 20 -> >>4, 12 -> <<4,
+        # 8 -> <<8)
+        if bps > 16:
+            chans = [[v >> (bps - 16) for v in c] for c in chans]
+        elif bps < 16:
+            chans = [[v << (16 - bps) for v in c] for c in chans]
         for i in range(block_size):
             out.append(sum(c[i] for c in chans) // n_ch)
         if len(out) > total:
@@ -552,8 +555,8 @@ def encode_flac(
     nfr = len(channels[0])
     if any(len(c) != nfr for c in channels):
         raise ValueError("ragged channels")
-    if bits not in (8, 16, 24):
-        raise ValueError("bits must be 8/16/24")
+    if bits not in (8, 12, 16, 20, 24):
+        raise ValueError("bits must be 8/12/16/20/24")
     lim = 1 << (bits - 1)
     if any(not -lim <= v < lim for c in channels for v in c):
         raise ValueError("sample out of range")
@@ -581,7 +584,7 @@ def encode_flac(
     plen = 5 if rice5 else 4
     chan_code = {"indep": n_ch - 1, "left_side": 8,
                  "right_side": 9, "mid_side": 10}[channel_mode]
-    ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits]
     for f0 in range(0, nfr, bs):
         bw = _BitWriter()
         bw.write(0x3FFE, 14)

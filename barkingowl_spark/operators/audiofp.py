@@ -266,15 +266,18 @@ def flac_table(docs: DataFrame) -> DataFrame:
     compressed-audio twin of wav_table, SAME sample formula
     s[n] = (n * (n + d)) % 8192 - 4096 (256 samples), so the WAV
     oracle's Walsh-Hadamard SQL applies unchanged. The ENCODE
-    variant cycles on d % 8 through the decoder's paths: fixed-2
+    variant cycles on d % 9 through the decoder's paths: fixed-2
     mono / mid-side stereo (ch = s +/- e, decorrelated, floor-mean
     mix exactly s) / 24-bit (s << 8, rescaled back) / verbatim /
     escape partitions at order 1 / 5-bit-rice left-side stereo /
     LPC order-3 mono / LPC order-2 mid-side stereo (r5 de-stub:
-    quantized integer coefficients, exact recurrence) — decoded
-    samples are the formula for all eight, so one oracle hash pins
-    rice, fixed AND LPC prediction, stereo decorrelation and
-    bit-depth rescale at once (r4 verdict item 3 + r5 LPC)."""
+    quantized integer coefficients, exact recurrence) / 20-bit LPC
+    mono (s << 4, late-r5 sample-size de-stub; 12-bit cannot carry
+    the 13-bit formula exactly so it is pinned at unit level
+    instead) — decoded samples are the formula for all nine, so one
+    oracle hash pins rice, fixed AND LPC prediction, stereo
+    decorrelation and every exactly-representable bit-depth rescale
+    at once (r4 verdict item 3 + r5 LPC)."""
     from barkingowl_spark.functions.flaccodec import encode_flac
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,7 +289,7 @@ def flac_table(docs: DataFrame) -> DataFrame:
                 e = [(n * (d + 3)) % 2048 for n in range(256)]
                 left = [a + b for a, b in zip(s, e)]
                 right = [a - b for a, b in zip(s, e)]
-                var = d % 8
+                var = d % 9
                 if var == 0:
                     p = encode_flac([s])
                 elif var == 1:
@@ -304,9 +307,12 @@ def flac_table(docs: DataFrame) -> DataFrame:
                                     channel_mode="left_side")
                 elif var == 6:
                     p = encode_flac([s], subframe="lpc", order=3)
-                else:
+                elif var == 7:
                     p = encode_flac([left, right], subframe="lpc",
                                     order=2, channel_mode="mid_side")
+                else:
+                    p = encode_flac([[v << 4 for v in s]], bits=20,
+                                    subframe="lpc", order=2)
                 payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})

@@ -49,12 +49,31 @@ def test_stereo_decorrelation_modes():
 
 
 def test_bit_depth_rescale():
+    """All five spec sample sizes rescale onto the int16 contract
+    by arithmetic shift (late-r5: 12 and 20 join 8/16/24, so the
+    sample-size seam is closed)."""
     s = _sig(7)
     assert decode_flac(
         encode_flac([[v << 8 for v in s]], bits=24)) == s
+    assert decode_flac(
+        encode_flac([[v << 4 for v in s]], bits=20)) == s
     s8 = [v % 256 - 128 for v in s]
     assert decode_flac(encode_flac([s8], bits=8)) == [
         v << 8 for v in s8]
+    s12 = [v % 4096 - 2048 for v in s]
+    assert decode_flac(encode_flac([s12], bits=12)) == [
+        v << 4 for v in s12]
+    # 12/20-bit through the OTHER subframe/stereo paths too
+    assert decode_flac(encode_flac([s12], bits=12,
+                                   subframe="lpc", order=2)) == [
+        v << 4 for v in s12]
+    s12h = [v % 2048 - 1024 for v in s]  # headroom for the side
+    e12 = [v % 512 for v in s]
+    l12 = [a + b for a, b in zip(s12h, e12)]
+    r12 = [a - b for a, b in zip(s12h, e12)]
+    assert decode_flac(encode_flac([l12, r12], bits=12,
+                                   channel_mode="mid_side")) == [
+        ((a << 4) + (b << 4)) // 2 for a, b in zip(l12, r12)]
 
 
 def test_crc_enforced():
