@@ -995,8 +995,9 @@ def q_mm_gif_video_pairs(spark, sf):
 
 def q_mm_bmp_decode(spark, sf):
     """REAL BMP decode dims (r4, rounding out the lossless family):
-    decode_features over actual BMP payloads across the
-    8-bpp/24-bpp/top-down encode variants."""
+    decode_features over actual BMP payloads across the d % 8
+    encode variants (late r5: 1/4/16-bpp, BI_RLE4 and BI_BITFIELDS
+    join 8/24-bpp, top-down and BI_RLE8)."""
     from barkingowl_spark.operators.multimodal import bmp_table
 
     return decode_features(bmp_table(
@@ -1007,8 +1008,10 @@ def q_mm_bmp_decode(spark, sf):
 
 def q_mm_bmp_ahash(spark, sf):
     """REAL-pixel aHash over decoded BMP pixels — the oracle rebuilds
-    the hash from bmp_table's formula, pinning palette/BGR luma, row
-    order and stride handling in one value hash."""
+    the hash from bmp_table's variant-matched d % 8 formulas,
+    pinning palettes at four sizes, BGR luma, row order, bit/stride
+    packing, both RLE grammars and 555 channel scaling in one value
+    hash."""
     from barkingowl_spark.operators.multimodal import (
         bmp_table,
         perceptual_hash,
@@ -1020,9 +1023,10 @@ def q_mm_bmp_ahash(spark, sf):
 
 
 def q_mm_bmp_resize(spark, sf):
-    """REAL-pixel resize audit over decoded BMP pixels (r5: the
-    d % 4 variant cycle includes BI_RLE8): decode, nearest-neighbor
-    resample the longer side to 12, SUM the resized pixels."""
+    """REAL-pixel resize audit over decoded BMP pixels (late r5: the
+    d % 8 variant cycle spans 1/4/8/16/24-bpp, both RLE grammars and
+    bitfields): decode, nearest-neighbor resample the longer side to
+    12, SUM the resized pixels."""
     from barkingowl_spark.operators.multimodal import (
         bmp_table,
         resize_pixel_audit,
@@ -7185,6 +7189,19 @@ _BMPDIMS_CTE = """
       FROM d)
 """
 
+# BMP variant-matched pixel formula (bmp_table d % 8 cycle: 8/24-bpp
+# variants share the affine formula; 4-bpp quantizes to 16 gray
+# levels, the RLE4 variant is run-heavy, 16-bpp carries 5-bit-exact
+# values, 1-bpp is a parity checkerboard)
+_BMP_PIXEL = """
+    CASE doc_id % 8
+      WHEN 4 THEN (({x} + 2 * {y} + doc_id) % 16) * 17
+      WHEN 5 THEN ((({x} // 5) + {y} + doc_id) % 16) * 17
+      WHEN 6 THEN (((5 * {x} + 7 * {y} + doc_id) % 32) * 255) // 31
+      WHEN 7 THEN 255 * (({x} + {y} + doc_id) % 2)
+      ELSE (5 * {x} + 11 * {y} + doc_id) % 256 END
+"""
+
 # WebP (VP8L) fixture dims + variant-matched pixel formula
 # (webp_table: palette variant d%6==3 quantizes to 16 gray levels,
 # lz77 variant d%6==5 is 2-row-periodic, the rest share the gif-style
@@ -10403,7 +10420,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_bmp_ahash": _BMPDIMS_CTE + """,
             px AS (
               SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
-                     (5 * gx.x + 11 * gy.y + doc_id) % 256 AS v
+                     """ + _BMP_PIXEL.format(x="gx.x", y="gy.y") + """ AS v
               FROM dims,
                    (SELECT unnest(generate_series(0, 25)) AS x) gx,
                    (SELECT unnest(generate_series(0, 22)) AS y) gy
@@ -10535,8 +10552,9 @@ def oracle_sql() -> dict[str, str]:
               FROM dims),
             rp AS (
               SELECT doc_id, w, h, ow, oh,
-                     (5 * ((gj.j * w) // ow)
-                      + 11 * ((gi.i * h) // oh) + doc_id) % 256 AS v
+                     """ + _BMP_PIXEL.format(
+                         x="((gj.j * w) // ow)",
+                         y="((gi.i * h) // oh)") + """ AS v
               FROM rd,
                    (SELECT unnest(generate_series(0, 12)) AS j) gj,
                    (SELECT unnest(generate_series(0, 12)) AS i) gi

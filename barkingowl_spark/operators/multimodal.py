@@ -638,13 +638,26 @@ def gif_frame_hashes(
 
 
 def bmp_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): a deterministic BMP per doc_id — lossless,
-    identity-grayscale palette, pixel(x, y) = (5x + 11y + d) % 256 at
-    w = 19 + d % 7, h = 13 + (3d) % 10; the encode variant cycles on
-    d % 4 — 8-bpp bottom-up / 24-bpp bottom-up / 8-bpp TOP-DOWN /
-    8-bpp BI_RLE8 (r5 de-stub) — and all four decode to the same
-    formula, so one oracle hash pins the palette, BGR-luma, row
-    order, stride-padding and RLE paths at once."""
+    """(doc_id, payload): a deterministic BMP per doc_id — lossless
+    at w = 19 + d % 7, h = 13 + (3d) % 10; the encode variant cycles
+    on d % 8 with VARIANT-MATCHED pixel formulas (the webp_table
+    convention — sub-8-bit and 5-bit depths cannot carry the full
+    8-bit formula, so each variant's formula is exactly
+    representable and the oracle recomputes the same CASE):
+
+      d%8 in 0..3:  (5x + 11y + d) % 256 — 8-bpp bottom-up / 24-bpp
+                    / 8-bpp TOP-DOWN / 8-bpp BI_RLE8
+      d%8 == 4:     ((x + 2y + d) % 16) * 17 — 4-bpp palette
+      d%8 == 5:     ((x DIV 5 + y + d) % 16) * 17 — 4-bpp BI_RLE4
+                    (run-heavy so real RLE4 run records appear)
+      d%8 == 6:     (((5x + 7y + d) % 32) * 255) DIV 31 — 16-bpp
+                    RGB555, alternating BI_RGB / BI_BITFIELDS
+                    wrapping on (d DIV 8) % 2
+      d%8 == 7:     255 * ((x + y + d) % 2) — 1-bpp packed bits
+
+    so one oracle hash pins the palette (4 sizes), BGR-luma, row
+    order, stride/bit packing, both RLE grammars, 555 channel
+    scaling and the bitfields mask walk at once."""
     from barkingowl_spark.functions.bmpcodec import encode_bmp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -653,17 +666,35 @@ def bmp_table(docs: DataFrame) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 w, h = 19 + d % 7, 13 + (3 * d) % 10
-                rows = [[(5 * x + 11 * y + d) % 256
-                         for x in range(w)] for y in range(h)]
-                var = d % 4
-                if var == 0:
-                    p = encode_bmp(rows)
-                elif var == 1:
-                    p = encode_bmp(rows, bpp=24)
-                elif var == 2:
-                    p = encode_bmp(rows, top_down=True)
+                var = d % 8
+                if var == 4:
+                    rows = [[((x + 2 * y + d) % 16) * 17
+                             for x in range(w)] for y in range(h)]
+                    p = encode_bmp(rows, bpp=4)
+                elif var == 5:
+                    rows = [[((x // 5 + y + d) % 16) * 17
+                             for x in range(w)] for y in range(h)]
+                    p = encode_bmp(rows, bpp=4, rle=True)
+                elif var == 6:
+                    rows = [[(((5 * x + 7 * y + d) % 32) * 255) // 31
+                             for x in range(w)] for y in range(h)]
+                    p = encode_bmp(rows, bpp=16,
+                                   bitfields=bool((d // 8) % 2))
+                elif var == 7:
+                    rows = [[255 * ((x + y + d) % 2)
+                             for x in range(w)] for y in range(h)]
+                    p = encode_bmp(rows, bpp=1)
                 else:
-                    p = encode_bmp(rows, rle=True)
+                    rows = [[(5 * x + 11 * y + d) % 256
+                             for x in range(w)] for y in range(h)]
+                    if var == 0:
+                        p = encode_bmp(rows)
+                    elif var == 1:
+                        p = encode_bmp(rows, bpp=24)
+                    elif var == 2:
+                        p = encode_bmp(rows, top_down=True)
+                    else:
+                        p = encode_bmp(rows, rle=True)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})

@@ -261,7 +261,9 @@ def test_spark_gif_frame_hashes_and_video_pairs(spark):
 def test_bmp_codec_and_spark_dispatch(spark):
     """BMP (functions/bmpcodec.py): lossless round-trip across
     8-bpp/24-bpp/top-down variants, corrupt containment, and the
-    Spark decode/ahash dispatch over bmp_table."""
+    Spark decode/ahash dispatch over bmp_table's full d % 8 variant
+    cycle (late-r5: 1/4/16-bpp, RLE4 and bitfields join, each with
+    its variant-matched formula)."""
     from barkingowl_spark.functions.bmpcodec import (
         decode_bmp,
         encode_bmp,
@@ -285,7 +287,7 @@ def test_bmp_codec_and_spark_dispatch(spark):
     assert _decode_dims(bad) == (0, 0)
     assert _ahash_dispatch(bad) == _ahash_stub(bad)
 
-    docs = spark.createDataFrame([(d,) for d in range(9)],
+    docs = spark.createDataFrame([(d,) for d in range(18)],
                                  "doc_id long")
     bt = bmp_table(docs).cache()
     for row in decode_features(bt).collect():
@@ -294,13 +296,25 @@ def test_bmp_codec_and_spark_dispatch(spark):
                                                  13 + (3 * d) % 10)
         assert row["is_valid"]
 
+    def px(d, x, y):
+        v = d % 8
+        if v == 4:
+            return ((x + 2 * y + d) % 16) * 17
+        if v == 5:
+            return ((x // 5 + y + d) % 16) * 17
+        if v == 6:
+            return (((5 * x + 7 * y + d) % 32) * 255) // 31
+        if v == 7:
+            return 255 * ((x + y + d) % 2)
+        return (5 * x + 11 * y + d) % 256
+
     def py_hash(d):
         w, h = 19 + d % 7, 13 + (3 * d) % 10
         sums, cnts = [0] * 64, [0] * 64
         for y in range(h):
             for x in range(w):
                 k = ((8 * y) // h) * 8 + (8 * x) // w
-                sums[k] += (5 * x + 11 * y + d) % 256
+                sums[k] += px(d, x, y)
                 cnts[k] += 1
         cells = [sums[k] // cnts[k] for k in range(64)]
         mean = sum(cells) // 64
@@ -309,7 +323,7 @@ def test_bmp_codec_and_spark_dispatch(spark):
 
     got = {row["doc_id"]: row["phash"]
            for row in perceptual_hash(bt).collect()}
-    assert got == {d: py_hash(d) for d in range(9)}
+    assert got == {d: py_hash(d) for d in range(18)}
     bt.unpersist()
 
 
@@ -364,6 +378,141 @@ def test_bmp_rle8_round_trip_and_hand_built_stream():
     bad = bytes([9, 5, 0, 1])  # 9 pixels into a 6-wide row
     with _pytest.raises(ValueError):
         decode_bmp(head + info + pal + bad)
+
+
+def test_bmp_subbyte_16bpp_and_rle4_round_trips():
+    """Late-r5 BMP de-stub: 1/4/16-bpp and RLE4 round-trip through
+    the repo encoder across row orders and the bitfields wrapping;
+    out-of-gamut encode inputs are rejected."""
+    import pytest as _pytest
+
+    from barkingowl_spark.functions.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    img4 = [[((x + 2 * y + 3) % 16) * 17 for x in range(23)]
+            for y in range(17)]
+    runs4 = [[((x // 6 + y) % 4) * 17 for x in range(23)]
+             for y in range(17)]
+    img1 = [[255 if (x + y) % 3 else 0 for x in range(23)]
+            for y in range(17)]
+    img16 = [[(((5 * x + 7 * y + 3) % 32) * 255) // 31
+              for x in range(23)] for y in range(17)]
+    for img, kw in ((img4, dict(bpp=4)),
+                    (img4, dict(bpp=4, top_down=True)),
+                    (img4, dict(bpp=4, rle=True)),
+                    (runs4, dict(bpp=4, rle=True)),
+                    (img1, dict(bpp=1)),
+                    (img1, dict(bpp=1, top_down=True)),
+                    (img16, dict(bpp=16)),
+                    (img16, dict(bpp=16, bitfields=True)),
+                    (img16, dict(bpp=16, top_down=True))):
+        assert decode_bmp(encode_bmp(img, **kw)) == (23, 17, img), kw
+    with _pytest.raises(ValueError):  # 4-bpp needs multiples of 17
+        encode_bmp([[5]], bpp=4)
+    with _pytest.raises(ValueError):  # 1-bpp needs {0, 255}
+        encode_bmp([[7]], bpp=1)
+    with _pytest.raises(ValueError):  # 16-bpp needs 5-bit-exact
+        encode_bmp([[200]], bpp=16)
+
+
+def _bmp_wrap(info: bytes, extra: bytes, body: bytes) -> bytes:
+    data_off = 14 + len(info) + len(extra)
+    return (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                data_off) + info + extra + body)
+
+
+def test_bmp_bitfields_565_and_32bpp_hand_built():
+    """Masks the repo encoder never writes: RGB565 (6-bit green
+    scales by v*255//63, not //31) and a 32-bpp bitfields pixel with
+    the channels in a NON-BGR order — both assembled by hand so a
+    mask-parsing bug cannot hide behind encoder symmetry. Plus the
+    rejection matrix: overlapping masks, non-contiguous masks,
+    masks wider than the pixel."""
+    import pytest as _pytest
+
+    from barkingowl_spark.functions.bmpcodec import decode_bmp
+
+    def luma(r, g, b):
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    # one 565 pixel: r5=10, g6=33, b5=29
+    pix = (10 << 11) | (33 << 5) | 29
+    body = struct.pack("<H", pix) + b"\x00\x00"  # stride pad to 4
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 16, 3, 4,
+                       0, 0, 0, 0)
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    want = luma(10 * 255 // 31, 33 * 255 // 63, 29 * 255 // 31)
+    assert decode_bmp(_bmp_wrap(info, masks, body)) == (1, 1, [[want]])
+
+    # 32-bpp bitfields, channels packed R|G|B = bits 0-7|8-15|16-23
+    pix32 = (77) | (200 << 8) | (3 << 16)
+    body = struct.pack("<I", pix32)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4,
+                       0, 0, 0, 0)
+    masks = struct.pack("<III", 0x0000FF, 0x00FF00, 0xFF0000)
+    assert decode_bmp(_bmp_wrap(info, masks, body)) == (
+        1, 1, [[luma(77, 200, 3)]])
+
+    for bad in (struct.pack("<III", 0xF800, 0x0FE0, 0x001F),  # overlap
+                struct.pack("<III", 0xA800, 0x07E0, 0x001F),  # holes
+                struct.pack("<III", 0x1F800, 0x07E0, 0x001F)):  # wide
+        info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 16, 3, 4,
+                           0, 0, 0, 0)
+        with _pytest.raises(ValueError):
+            decode_bmp(_bmp_wrap(info, bad,
+                                 struct.pack("<H", 0) + b"\x00\x00"))
+
+
+def test_bmp_rle4_hand_built_stream():
+    """A hand-assembled BI_RLE4 stream exercising what the encoder
+    cannot: a run with TWO DIFFERENT alternating nibbles, an
+    odd-length absolute run (word pad), a cursor delta and an early
+    EOF — skipped pixels stay palette index 0."""
+    from barkingowl_spark.functions.bmpcodec import decode_bmp
+
+    # palette: identity i*17 grays
+    pal = b"".join(bytes((i * 17,) * 3) + b"\x00" for i in range(16))
+    # 6x3 bottom-up: file row 0 = run 5 of alternating (2,7); EOL;
+    # delta (1,0) skips one pixel; absolute 5 of 1..5 (3 nibble
+    # bytes + 1 word-pad byte); EOL; unit run of 9; EOF
+    stream = bytes([5, 0x27,
+                    0, 0,
+                    0, 2, 1, 0,
+                    0, 5, 0x12, 0x34, 0x50, 0x00,
+                    0, 0,
+                    1, 0x99,
+                    0, 1])
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 4, 2,
+                       len(stream), 0, 0, 16, 0)
+    g = [v * 17 for v in range(16)]
+    assert decode_bmp(_bmp_wrap(info, pal, stream)) == (6, 3, [
+        [g[9], 0, 0, 0, 0, 0],               # top = file row 2
+        [0, g[1], g[2], g[3], g[4], g[5]],   # delta skipped (0, 1)
+        [g[2], g[7], g[2], g[7], g[2], 0]])  # bottom = file row 0
+
+
+def test_bmp_core_header_and_os2_seam():
+    """OS/2 v1 BITMAPCOREHEADER (12 bytes, 3-byte RGB palette
+    entries, unsigned dims) decodes; v2 header sizes stay the
+    declared NotImplementedError seam."""
+    import pytest as _pytest
+
+    from barkingowl_spark.functions.bmpcodec import decode_bmp
+
+    # 2x2 4-bpp CORE: palette entries are BGR triples
+    pal = bytes((0, 0, 0)) + bytes((255, 255, 255))
+    core = struct.pack("<IHHHH", 12, 2, 2, 1, 1)  # 1-bpp, 2 colors
+    # rows bottom-up, 1-bpp packed MSB-first, stride 4: file row 0
+    # (image bottom) = 10, file row 1 (image top) = 01
+    body = bytes([0b10000000, 0, 0, 0, 0b01000000, 0, 0, 0])
+    p = _bmp_wrap(core, pal, body)
+    assert decode_bmp(p) == (2, 2, [[0, 255], [255, 0]])
+
+    os2v2 = struct.pack("<IHHHH", 16, 2, 2, 1, 1) + b"\x00" * 4
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(_bmp_wrap(os2v2, pal, body))
 
 
 # ---- giflib-timing regression (r5, ADVICE r4) ----------------------------
