@@ -9,7 +9,8 @@ error surface.
     progressive huffman JPEG (SOF2: spectral selection + successive
     approximation, DC and AC first/refinement scans, EOB runs,
     correction bits — ITU-T T.81 G.1.2) — marker/segment parse, DQT
-    (8-bit), DHT (canonical), DRI/RSTn restart intervals, interleaved
+    (8-bit pq=0 AND 16-bit pq=1 entries — late r5), DHT (canonical),
+    DRI/RSTn restart intervals, interleaved
     MCU scan with arbitrary luma sampling factors (4:4:4 / 4:2:2 /
     4:2:0), entropy decode of every component, dequant + IDCT of the
     LUMA component only. Output is
@@ -39,9 +40,9 @@ error surface.
   not by the oracle.
 
 Unsupported shapes raise NotImplementedError: arithmetic coding,
-lossless/hierarchical frames, 12-bit precision, 16-bit quant tables,
-chroma sampled finer than luma, baseline multi-scan non-interleaved
-color. Corrupt input raises ValueError only
+lossless/hierarchical frames, 12-bit precision, chroma sampled finer
+than luma, baseline multi-scan non-interleaved color. Corrupt input
+raises ValueError only
 (struct.error/IndexError normalize here, the pngcodec r3-advice
 convention).
 
@@ -212,7 +213,7 @@ def _fdct_block(block: list[list[int]]) -> list[int]:
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """payload -> (width, height, luma rows). ValueError on corrupt
     input, NotImplementedError on valid-but-unsupported shapes
-    (progressive, arithmetic, 12-bit, ...)."""
+    (arithmetic, 12-bit, ...)."""
     try:
         return _decode_checked(payload)
     except (struct.error, IndexError) as e:
@@ -277,17 +278,21 @@ def _decode_checked(
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization table")
-                vals = seg[i + 1:i + 65]
-                if len(vals) != 64:
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                step = 2 if pq else 1  # pq=1: 16-bit entries
+                raw = seg[i + 1:i + 1 + 64 * step]
+                if len(raw) != 64 * step:
                     raise ValueError("short DQT table")
+                if pq:
+                    vals = list(struct.unpack(">64H", raw))
+                else:
+                    vals = list(raw)
                 tab = [0] * 64
                 for k in range(64):
                     tab[ZZ[k]] = vals[k]
                 qt[tq] = tab
-                i += 65
+                i += 1 + 64 * step
         elif m == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -786,7 +791,13 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _dqt_seg(tid: int, tab: list[int]) -> bytes:
+def _dqt_seg(tid: int, tab: list[int], wide: bool = False) -> bytes:
+    """wide=True writes a pq=1 (16-bit-entry) table — same values,
+    the extended-precision wire format (legal per T.81 with SOF1+)."""
+    if wide:
+        return _seg(0xDB, bytes([0x10 | tid])
+                    + struct.pack(">64H",
+                                  *(tab[ZZ[k]] for k in range(64))))
     return _seg(0xDB, bytes([tid])
                 + bytes(tab[ZZ[k]] for k in range(64)))
 
@@ -1069,10 +1080,14 @@ def encode_jpeg_gray(
     rows: list[list[int]],
     qtable: list[int] | None = None,
     restart_interval: int = 0,
+    wide_dqt: bool = False,
 ) -> bytes:
-    """Grayscale rows -> single-component baseline JPEG."""
+    """Grayscale rows -> single-component baseline JPEG (or
+    extended-sequential SOF1 when wide_dqt asks for 16-bit quant
+    entries)."""
     return encode_jpeg(rows, qtable=qtable,
-                       restart_interval=restart_interval)
+                       restart_interval=restart_interval,
+                       wide_dqt=wide_dqt)
 
 
 def encode_jpeg(
@@ -1083,6 +1098,7 @@ def encode_jpeg(
     qtable: list[int] | None = None,
     qtable_c: list[int] | None = None,
     restart_interval: int = 0,
+    wide_dqt: bool = False,
 ) -> bytes:
     """Luma rows (+ optional Cb/Cr planes, pre-subsampled to
     ceil(w/hs) x ceil(h/vs)) -> baseline JPEG bytes. Default quant
@@ -1109,15 +1125,16 @@ def encode_jpeg(
                 raise ValueError("chroma plane dims must be"
                                  " ceil(w/hs) x ceil(h/vs)")
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _dqt_seg(0, qy)
+    out += _dqt_seg(0, qy, wide=wide_dqt)
     if color:
-        out += _dqt_seg(1, qc)
+        out += _dqt_seg(1, qc, wide=wide_dqt)
     comps = ([(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
              if color else [(1, 1, 1, 0)])
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, hi, vi, tq in comps:
         sof += bytes([cid, hi * 16 + vi, tq])
-    out += _seg(0xC0, sof)
+    # T.81: pq=1 tables require an extended-sequential (SOF1) frame
+    out += _seg(0xC1 if wide_dqt else 0xC0, sof)
     out += _dht_seg(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
     out += _dht_seg(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
     if restart_interval:

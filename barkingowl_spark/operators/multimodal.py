@@ -321,14 +321,17 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
     quantizes and dequantizes exactly and the integer IDCT reproduces
     every pixel bit-for-bit (functions/jpegcodec.py docstring; the
     error budget is proven there and swept in tests/test_jpeg.py).
-    The encode VARIANT cycles on d % 5 — grayscale / YCbCr 4:2:0 with
+    The encode VARIANT cycles on d % 6 — grayscale / YCbCr 4:2:0 with
     constant chroma / YCbCr 4:2:2 with restart_interval=1 / grayscale
     with restart_interval=2 / PROGRESSIVE grayscale (SOF2, the full
-    libjpeg-style 4-scan successive-approximation script) — decoded
-    luma is the same formula for all five, so one oracle hash pins
-    huffman decode, MCU interleave, chroma subsampling, RSTn resync
-    AND the progressive scan machinery at once. mapInPandas,
-    Arrow-batched — the same boundary discipline as the decoders."""
+    libjpeg-style 4-scan successive-approximation script) /
+    extended-sequential SOF1 with a pq=1 16-bit-entry DQT (late-r5
+    de-stub; same flat-16 values so decode is unchanged) — decoded
+    luma is the same formula for all six, so one oracle hash pins
+    huffman decode, MCU interleave, chroma subsampling, RSTn resync,
+    the progressive scan machinery AND the wide-DQT parse at once.
+    mapInPandas, Arrow-batched — the same boundary discipline as the
+    decoders."""
     from barkingowl_spark.functions.jpegcodec import (
         encode_jpeg,
         encode_jpeg_gray,
@@ -344,7 +347,7 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                 luma = [[2 * ((7 * (x // 8) + 11 * (y // 8)
                                + 13 * d) % 100) + 28
                          for x in range(w)] for y in range(h)]
-                var = d % 5
+                var = d % 6
                 if var == 0:
                     p = encode_jpeg_gray(luma)
                 elif var == 1:
@@ -358,8 +361,10 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                                     restart_interval=1)
                 elif var == 3:
                     p = encode_jpeg_gray(luma, restart_interval=2)
-                else:
+                elif var == 4:
                     p = encode_jpeg_progressive(luma)
+                else:
+                    p = encode_jpeg_gray(luma, wide_dqt=True)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})

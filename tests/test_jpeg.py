@@ -57,6 +57,26 @@ def test_block_constant_round_trip_exact_all_variants():
             assert got == luma, (d, i)
 
 
+def test_wide_dqt_16bit_entries():
+    """Late-r5 de-stub: pq=1 DQT entries are 16-bit big-endian and
+    the frame goes out as SOF1. An AC quant value of 300 (> 255,
+    unrepresentable in 8 bits) must parse — block-constant luma has
+    zero AC coefficients, so decode stays bit-exact while a parser
+    that read only the low byte would still 'work' on flat-16
+    tables; this one cannot hide."""
+    for d in (0, 3):
+        w, h = 8 * (2 + d % 4), 8 * (2 + (3 * d) % 5)
+        luma = _const_rows(w, h, d)
+        wide = encode_jpeg_gray(luma, wide_dqt=True)
+        assert b"\xff\xc1" in wide and b"\xff\xc0" not in wide
+        j = wide.find(b"\xff\xdb")
+        assert wide[j + 4] == 0x10  # pq=1, table id 0
+        assert decode_jpeg(wide) == (w, h, luma)
+        big_ac = encode_jpeg_gray(luma, qtable=[16] + [300] * 63,
+                                  wide_dqt=True)
+        assert decode_jpeg(big_ac) == (w, h, luma)
+
+
 def test_dc_exactness_exhaustive_sweep():
     """Every even level-shifted value in range survives the full
     encode->decode chain exactly (the error-budget proof in the
@@ -112,11 +132,16 @@ def test_corrupt_and_unsupported_rejection():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
-    # 16-bit DQT -> NotImplementedError
+    # pq=1 flipped onto an 8-bit-sized DQT segment is now CORRUPT
+    # (late-r5: 16-bit tables are real, so the segment is 64 bytes
+    # short of the widened size), and pq >= 2 is spec-invalid
     q16 = bytearray(good)
     j = q16.find(b"\xff\xdb")
     q16[j + 4] |= 0x10
-    with pytest.raises(NotImplementedError, match="quant"):
+    with pytest.raises(ValueError, match="short DQT"):
+        decode_jpeg(bytes(q16))
+    q16[j + 4] = 0x20
+    with pytest.raises(ValueError, match="DQT precision"):
         decode_jpeg(bytes(q16))
     # EOI before SOS
     with pytest.raises(ValueError):
