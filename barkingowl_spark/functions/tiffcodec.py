@@ -28,11 +28,16 @@ NotImplementedError for valid-but-unsupported shapes.
     configurations: 1 (chunky RGBRGB) and 2 (each sample plane in
     its own strip/tile sequence, planes concatenated in the offset
     arrays). Inlined <=4-byte IFD value slots and offset slots both
-    handled. Output is integer GRAYSCALE rows via the shared
-    ITU-R BT.601 luma. Anything else (JPEG compression, float
-    predictor 3, 12-bit samples, 16-bit palette) raises
-    NotImplementedError — real TIFF shapes, just not stdlib-trivial
-    ones, kept behind the declared-seam convention.
+    handled. Compression 7 (new-style JPEG-in-TIFF, TechNote 2):
+    each strip/tile is a complete JPEG interchange stream decoded
+    through the sibling jpegcodec (8-bit grayscale shapes; the
+    embedded stream's dims must equal the chunk's). Output is
+    integer GRAYSCALE rows via the shared ITU-R BT.601 luma.
+    Anything else (old-style JPEGInterchangeFormat tags, float
+    predictor 3, 12-bit samples, 16-bit palette, non-gray
+    JPEG-in-TIFF) raises NotImplementedError — real TIFF shapes,
+    just not stdlib-trivial ones, kept behind the declared-seam
+    convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
     either byte order, compression none, LZW (real dictionary
     compression with the early-change widths and the 4094-entry
@@ -298,10 +303,10 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     compression = one(259, 1)
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} "
-            "(none/LZW/Deflate/PackBits)")
+            "(none/LZW/JPEG/Deflate/PackBits)")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -334,14 +339,40 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
         raise NotImplementedError(
             f"TIFF photometric {photometric}")
 
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TechNote 2): each strip/tile is a
+        # complete JPEG interchange stream of exactly the chunk's
+        # dimensions. decode_jpeg returns luma, so only grayscale
+        # shapes can round-trip through the sample grid.
+        if photometric != 1 or spp != 1 or bps != 8:
+            raise NotImplementedError(
+                "JPEG-in-TIFF beyond 8-bit grayscale")
+        if predictor != 1:
+            raise ValueError("predictor with JPEG compression")
+    if 513 in tags or 514 in tags:
+        raise NotImplementedError(
+            "old-style JPEGInterchangeFormat (compression 6 era)")
+
     bpb = bps // 8  # bytes per sample
 
-    def chunk_samples(off: int, cnt: int, n_samples: int) -> list[int]:
+    def chunk_samples(off: int, cnt: int, n_samples: int,
+                      dims: tuple[int, int] | None = None) -> list[int]:
         """One strip/tile: slice, decompress to the expected byte
-        length, unpack to sample values at the file's byte order."""
+        length, unpack to sample values at the file's byte order.
+        dims (width, rows) validates the embedded-JPEG geometry."""
         seg = payload[off:off + cnt]
         if len(seg) != cnt:
             raise ValueError("strip/tile outside file")
+        if compression == 7:
+            from barkingowl_spark.functions.jpegcodec import (
+                decode_jpeg,
+            )
+
+            jw, jh, jrows = decode_jpeg(seg)
+            if (jw, jh) != dims:
+                raise ValueError(
+                    f"JPEG strip dims {jw}x{jh} != chunk {dims}")
+            return [v for r in jrows for v in r]
         expect = n_samples * bpb
         if compression == 1:
             if len(seg) < expect:
@@ -389,7 +420,8 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
             for ty in range(td):
                 for tx in range(ta):
                     s = chunk_samples(offsets[idx], counts[idx],
-                                      tl * tw * spp_eff)
+                                      tl * tw * spp_eff,
+                                      dims=(tw, tl))
                     idx += 1
                     if predictor == 2:
                         _undo_predictor2(s, tl, tw, spp_eff, mask)
@@ -420,7 +452,8 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 remaining -= srows
                 s = chunk_samples(offsets[c * spi + i],
                                   counts[c * spi + i],
-                                  srows * w * spp_eff)
+                                  srows * w * spp_eff,
+                                  dims=(w, srows))
                 if predictor == 2:
                     _undo_predictor2(s, srows, w, spp_eff, mask)
                 for yy in range(srows):
@@ -506,6 +539,7 @@ def encode_tiff(
     bits16: bool = False,
     planar2: bool = False,
     tiles: tuple[int, int] | None = None,
+    jpeg: bool = False,
 ) -> bytes:
     """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
     gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
@@ -518,8 +552,10 @@ def encode_tiff(
     planar2: planar configuration 2 — one strip/tile sequence per
     sample plane. tiles=(tw, tl): tiled organization instead of
     strips (dims must be multiples of 16; edge tiles padded)."""
-    if packbits + lzw + deflate > 1:
+    if packbits + lzw + deflate + jpeg > 1:
         raise ValueError("choose one compression")
+    if jpeg and (photometric != 1 or predictor2 or bits16 or planar2):
+        raise ValueError("JPEG-in-TIFF fixture is plain 8-bit gray")
     if bits16 and photometric == 3:
         raise ValueError("16-bit palette not supported")
     if tiles is not None and rows_per_strip is not None:
@@ -557,6 +593,14 @@ def encode_tiff(
 
     def finish(svals: list[int], chunk_rows: int,
                chunk_w: int) -> bytes:
+        if jpeg:
+            from barkingowl_spark.functions.jpegcodec import (
+                encode_jpeg_gray,
+            )
+
+            return encode_jpeg_gray(
+                [svals[r * chunk_w:(r + 1) * chunk_w]
+                 for r in range(chunk_rows)])
         if predictor2:
             _apply_predictor2(svals, chunk_rows, chunk_w, spp_eff,
                               mask)
@@ -644,6 +688,7 @@ def encode_tiff(
         add(258, 3, 1, slot(3, 1, [bps]))
     add(259, 3, 1, slot(3, 1, [32773 if packbits
                                else 5 if lzw
+                               else 7 if jpeg
                                else 8 if deflate else 1]))
     add(262, 3, 1, slot(3, 1, [photometric]))
     add(277, 3, 1, slot(3, 1, [spp]))

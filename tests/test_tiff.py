@@ -72,10 +72,11 @@ def test_packbits_noop_and_foreign_stream():
 
 def test_unsupported_shapes_not_implemented():
     good = encode_tiff(_rows(1))
-    # JPEG compression code 7 (LZW 5 and Deflate 8 are REAL in r5)
+    # CCITT T.6 compression code 4 (LZW 5, JPEG 7, Deflate 8 are
+    # REAL by late r5)
     bad = bytearray(good)
     idx = good.index(struct.pack("<HHI", 259, 3, 1))
-    bad[idx + 8] = 7
+    bad[idx + 8] = 4
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
     # 12-bit samples (8/16 are REAL in late r5)
@@ -386,6 +387,39 @@ def test_tiled_junk_padding_ignored():
                     if ty * tl + yy >= 23 or tx * tw + xx >= 29:
                         p[base + yy * tw + xx] = 0xEE
     assert decode_tiff(bytes(p)) == (29, 23, img)
+
+
+def test_jpeg_in_tiff_compression_7():
+    """New-style JPEG-in-TIFF: every strip/tile is a standalone
+    JPEG stream through the sibling jpegcodec. Block-constant even
+    pixels at 8-multiple dims hit the JPEG exactness contract, so
+    the lossy embed round-trips bit-for-bit; geometry mismatches
+    and non-gray shapes are rejected."""
+    w, h = 24, 32
+    img = [[2 * ((7 * (x // 8) + 11 * (y // 8) + 5) % 100) + 28
+            for x in range(w)] for y in range(h)]
+    for kw in (dict(), dict(rows_per_strip=8), dict(tiles=(16, 16)),
+               dict(big_endian=True, rows_per_strip=16)):
+        p = encode_tiff(img, jpeg=True, **kw)
+        assert decode_tiff(p) == (w, h, img), kw
+    # corrupt embedded stream -> ValueError, not a crash (strip
+    # data starts at byte 8; zero the SOI marker)
+    p = bytearray(encode_tiff(img, jpeg=True))
+    p[8] = 0
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(p))
+    # non-BlackIsZero + compression 7 is the declared seam (flip
+    # photometric to 0 on the wire: spp stays 1 so only the JPEG
+    # gate can reject it)
+    p = bytearray(encode_tiff(img, jpeg=True))
+    idx = p.index(struct.pack("<HHI", 262, 3, 1))
+    p[idx + 8] = 0
+    with pytest.raises(NotImplementedError, match="JPEG-in-TIFF"):
+        decode_tiff(bytes(p))
+    with pytest.raises(ValueError):
+        encode_tiff(img, jpeg=True, predictor2=True)
+    with pytest.raises(ValueError):
+        encode_tiff(img, jpeg=True, lzw=True)
 
 
 def test_tile_dims_must_be_multiples_of_16():
