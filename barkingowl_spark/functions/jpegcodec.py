@@ -39,10 +39,15 @@ error surface.
   usual quantization error — pinned by PSNR-style bounds in tests,
   not by the oracle.
 
-Unsupported shapes raise NotImplementedError: arithmetic coding,
-lossless/hierarchical frames, 12-bit precision, chroma sampled finer
-than luma, baseline multi-scan non-interleaved color. Corrupt input
-raises ValueError only
+Sample precision: 8-bit everywhere, and 12-bit (late r5) for
+SOF1/SOF2 frames — level shift 2048, clamp 4095, output reduced onto
+the 8-bit luma contract by >> 4; the DC-only fixed-point margin
+2047 * 2.136e-4 < 0.5 keeps block-constant even 12-bit values exact
+over the WHOLE range (swept exhaustively in tests). Unsupported
+shapes raise NotImplementedError: arithmetic coding,
+lossless/hierarchical frames, chroma sampled finer than luma,
+baseline multi-scan non-interleaved color. Corrupt input raises
+ValueError only
 (struct.error/IndexError normalize here, the pngcodec r3-advice
 convention).
 
@@ -168,10 +173,12 @@ class _Bits:
         self.p = p + 2
 
 
-def _idct_block(coef: list[int]) -> list[list[int]]:
+def _idct_block(coef: list[int], shift: int = 128,
+                maxv: int = 255) -> list[list[int]]:
     """Dequantized natural-order coefficients -> 8x8 clamped pixels.
     Two separable integer passes, one final round-half-up
-    ((acc + 2^25) >> 26), +128 level shift."""
+    ((acc + 2^25) >> 26), +shift level shift (128 for 8-bit frames,
+    2048 for 12-bit), clamp to [0, maxv]."""
     r = [[0] * 8 for _ in range(8)]
     for v in range(8):
         row = coef[v * 8:v * 8 + 8]
@@ -192,8 +199,8 @@ def _idct_block(coef: list[int]) -> list[list[int]]:
                 rvx = r[v][x]
                 if rvx:
                     acc += rvx * _T[v][y]
-            p = ((acc + _HALF) >> 26) + 128
-            line.append(0 if p < 0 else 255 if p > 255 else p)
+            p = ((acc + _HALF) >> 26) + shift
+            line.append(0 if p < 0 else maxv if p > maxv else p)
         out.append(line)
     return out
 
@@ -307,9 +314,11 @@ def _decode_checked(
                 (hdc if tc == 0 else hac)[th] = _canonical(bits, vals)
                 i += 17 + n
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
-            if seg[0] != 8:
+            if seg[0] not in (8, 12):
                 raise NotImplementedError(
                     f"{seg[0]}-bit sample precision")
+            if seg[0] == 12 and m == 0xC0:
+                raise ValueError("baseline SOF0 must be 8-bit")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if w <= 0 or h <= 0 or nc <= 0:
@@ -321,7 +330,7 @@ def _decode_checked(
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError("bad sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (w, h, comps)
+            frame = (w, h, comps, seg[0])
             progressive = m == 0xC2
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
@@ -348,7 +357,9 @@ def _decode_checked(
 
 
 def _decode_scan(payload, pos, frame, seg, qt, hdc, hac, ri):
-    w, h, comps = frame
+    w, h, comps = frame[:3]
+    prec = frame[3] if len(frame) > 3 else 8
+    shift, maxv = 1 << (prec - 1), (1 << prec) - 1
     ns = seg[0]
     scan = []  # (comp_idx, dc_table, ac_table)
     for s in range(ns):
@@ -392,9 +403,9 @@ def _decode_scan(payload, pos, frame, seg, qt, hdc, hac, ri):
                     togo = ri
                 preds[idx], coef = _decode_block(
                     br, dct, act, qtab, preds[idx])
-                _place(plane, _idct_block(coef), bx, by)
+                _place(plane, _idct_block(coef, shift, maxv), bx, by)
                 togo -= 1
-        return w, h, [row[:w] for row in plane[:h]]
+        return w, h, _crop_reduce(plane, w, h, prec)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     luma = scan[0][0]
@@ -415,10 +426,11 @@ def _decode_scan(payload, pos, frame, seg, qt, hdc, hac, ri):
                         preds[idx], coef = _decode_block(
                             br, dct, act, qtab, preds[idx])
                         if idx == luma:
-                            _place(plane, _idct_block(coef),
+                            _place(plane,
+                                   _idct_block(coef, shift, maxv),
                                    mx * hi + u, my * vi + v)
             togo -= 1
-    return w, h, [row[:w] for row in plane[:h]]
+    return w, h, _crop_reduce(plane, w, h, prec)
 
 
 def _decode_block(br, dct, act, qtab, pred):
@@ -446,6 +458,16 @@ def _decode_block(br, dct, act, qtab, pred):
     return pred, coef
 
 
+def _crop_reduce(plane, w, h, prec):
+    """Crop the padded plane and reduce 12-bit samples onto the
+    8-bit luma contract (>> 4, the pngcodec/tiffcodec high-bits
+    convention)."""
+    if prec == 8:
+        return [row[:w] for row in plane[:h]]
+    sh = prec - 8
+    return [[v >> sh for v in row[:w]] for row in plane[:h]]
+
+
 def _place(plane, block, bx, by):
     y0, x0 = by * 8, bx * 8
     for dy in range(8):
@@ -468,7 +490,7 @@ def _comp_geom(frame, idx):
     """(bw, bh, bw_pad, bh_pad): the component's own block grid and
     its MCU-padded grid (interleaved scans walk the padded grid;
     non-interleaved scans walk the component grid)."""
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     _, hi, vi, _ = comps[idx]
@@ -491,7 +513,7 @@ def _prog_store(frame):
 
 
 def _decode_prog_scan(payload, pos, frame, seg, store, hdc, hac, ri):
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     ns = seg[0]
     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
     ahal = seg[3 + 2 * ns]
@@ -524,7 +546,7 @@ def _decode_prog_scan(payload, pos, frame, seg, store, hdc, hac, ri):
 
 
 def _prog_dc_scan(br, frame, scan, store, hdc, ah, al, ri):
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     preds = [0] * len(comps)
@@ -676,7 +698,9 @@ def _ac_refine_block(br, act, coef, ss, se, al, eobrun):
 
 
 def _reconstruct_progressive(frame, store, qt):
-    w, h, comps = frame
+    w, h, comps = frame[:3]
+    prec = frame[3] if len(frame) > 3 else 8
+    shift, maxv = 1 << (prec - 1), (1 << prec) - 1
     if store is None:
         raise ValueError("progressive JPEG with no scans")
     hmax = max(c[1] for c in comps)
@@ -693,8 +717,8 @@ def _reconstruct_progressive(frame, store, qt):
         for bx in range(bw):
             coef = store[0][by * bwp + bx]
             deq = [coef[i] * qtab[i] for i in range(64)]
-            _place(plane, _idct_block(deq), bx, by)
-    return w, h, [row[:w] for row in plane[:h]]
+            _place(plane, _idct_block(deq, shift, maxv), bx, by)
+    return w, h, _crop_reduce(plane, w, h, prec)
 
 
 # ---- encoder -------------------------------------------------------------
@@ -775,14 +799,14 @@ def _emit_block(bw, samples, qtab, pred):
     return qz[0]
 
 
-def _block_at(plane, w, h, bx, by):
+def _block_at(plane, w, h, bx, by, shift=128):
     """8x8 block with edge replication for partial border blocks,
-    level-shifted by -128."""
+    level-shifted by -shift (128 for 8-bit, 2048 for 12-bit)."""
     out = []
     for dy in range(8):
         y = min(by * 8 + dy, h - 1)
         row = plane[y]
-        out.append([row[min(bx * 8 + dx, w - 1)] - 128
+        out.append([row[min(bx * 8 + dx, w - 1)] - shift
                     for dx in range(8)])
     return out
 
@@ -1099,11 +1123,17 @@ def encode_jpeg(
     qtable_c: list[int] | None = None,
     restart_interval: int = 0,
     wide_dqt: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Luma rows (+ optional Cb/Cr planes, pre-subsampled to
     ceil(w/hs) x ceil(h/vs)) -> baseline JPEG bytes. Default quant
     table is flat 16s — the fixture contract: block-constant even
-    level-shifted luma survives the quant round-trip exactly."""
+    level-shifted luma survives the quant round-trip exactly.
+    precision=12 writes an extended-sequential SOF1 frame with
+    12-bit samples (input range 0..4095, level shift 2048; decode
+    reduces onto the 8-bit contract by >> 4)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     h = len(y)
     if h == 0 or len(y[0]) == 0:
         raise ValueError("empty image")
@@ -1130,11 +1160,12 @@ def encode_jpeg(
         out += _dqt_seg(1, qc, wide=wide_dqt)
     comps = ([(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
              if color else [(1, 1, 1, 0)])
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for cid, hi, vi, tq in comps:
         sof += bytes([cid, hi * 16 + vi, tq])
-    # T.81: pq=1 tables require an extended-sequential (SOF1) frame
-    out += _seg(0xC1 if wide_dqt else 0xC0, sof)
+    # T.81: pq=1 tables and 12-bit samples both require an
+    # extended-sequential (SOF1) frame
+    out += _seg(0xC1 if wide_dqt or precision == 12 else 0xC0, sof)
     out += _dht_seg(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
     out += _dht_seg(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
     if restart_interval:
@@ -1175,7 +1206,8 @@ def encode_jpeg(
         for ci, bx, by in group:
             pw, ph = dims[ci]
             preds[ci] = _emit_block(
-                bw, _block_at(planes[ci], pw, ph, bx, by),
+                bw, _block_at(planes[ci], pw, ph, bx, by,
+                              1 << (precision - 1)),
                 qtabs[ci], preds[ci])
         togo -= 1
     bw.align()

@@ -321,17 +321,20 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
     quantizes and dequantizes exactly and the integer IDCT reproduces
     every pixel bit-for-bit (functions/jpegcodec.py docstring; the
     error budget is proven there and swept in tests/test_jpeg.py).
-    The encode VARIANT cycles on d % 6 — grayscale / YCbCr 4:2:0 with
+    The encode VARIANT cycles on d % 7 — grayscale / YCbCr 4:2:0 with
     constant chroma / YCbCr 4:2:2 with restart_interval=1 / grayscale
     with restart_interval=2 / PROGRESSIVE grayscale (SOF2, the full
     libjpeg-style 4-scan successive-approximation script) /
     extended-sequential SOF1 with a pq=1 16-bit-entry DQT (late-r5
-    de-stub; same flat-16 values so decode is unchanged) — decoded
-    luma is the same formula for all six, so one oracle hash pins
-    huffman decode, MCU interleave, chroma subsampling, RSTn resync,
-    the progressive scan machinery AND the wide-DQT parse at once.
-    mapInPandas, Arrow-batched — the same boundary discipline as the
-    decoders."""
+    de-stub; same flat-16 values so decode is unchanged) / 12-BIT
+    SOF1 (late r5: samples 16*pixel at level shift 2048, whose >> 4
+    reduction lands back on the formula — exact for the full even
+    12-bit range, margin 2047 * 2.136e-4 < 0.5, swept exhaustively
+    in tests) — decoded luma is the same formula for all seven, so
+    one oracle hash pins huffman decode, MCU interleave, chroma
+    subsampling, RSTn resync, the progressive scan machinery, the
+    wide-DQT parse AND the 12-bit sample path at once. mapInPandas,
+    Arrow-batched — the same boundary discipline as the decoders."""
     from barkingowl_spark.functions.jpegcodec import (
         encode_jpeg,
         encode_jpeg_gray,
@@ -347,7 +350,7 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                 luma = [[2 * ((7 * (x // 8) + 11 * (y // 8)
                                + 13 * d) % 100) + 28
                          for x in range(w)] for y in range(h)]
-                var = d % 6
+                var = d % 7
                 if var == 0:
                     p = encode_jpeg_gray(luma)
                 elif var == 1:
@@ -363,8 +366,11 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                     p = encode_jpeg_gray(luma, restart_interval=2)
                 elif var == 4:
                     p = encode_jpeg_progressive(luma)
-                else:
+                elif var == 5:
                     p = encode_jpeg_gray(luma, wide_dqt=True)
+                else:
+                    p = encode_jpeg([[16 * v for v in r]
+                                     for r in luma], precision=12)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})

@@ -77,6 +77,63 @@ def test_wide_dqt_16bit_entries():
         assert decode_jpeg(big_ac) == (w, h, luma)
 
 
+def test_12bit_precision():
+    """Late-r5 de-stub: 12-bit samples in SOF1 frames — level shift
+    2048, clamp 4095, output reduced >> 4 onto the 8-bit contract.
+    The fixture stores 16*pixel, so decode lands exactly on the
+    8-bit formula; crossed with restarts + wide DQT. SOF0 re-marked
+    12-bit is spec-invalid (ValueError), precision 10 stays
+    NotImplementedError."""
+    from barkingowl_spark.functions.jpegcodec import encode_jpeg
+
+    for d in (1, 6):
+        w, h = 8 * (2 + d % 4), 8 * (2 + (3 * d) % 5)
+        luma = _const_rows(w, h, d)
+        p12 = [[16 * v for v in r] for r in luma]
+        for kw in (dict(), dict(restart_interval=2),
+                   dict(wide_dqt=True)):
+            stream = encode_jpeg(p12, precision=12, **kw)
+            assert b"\xff\xc1" in stream
+            assert decode_jpeg(stream) == (w, h, luma), (d, kw)
+    # 12-bit under a baseline SOF0 marker is spec-invalid
+    stream = bytearray(encode_jpeg(p12, precision=12))
+    i = stream.find(b"\xff\xc1")
+    stream[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(stream))
+    # precision 10 is the remaining declared seam
+    stream[i + 1] = 0xC1
+    stream[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(stream))
+    with pytest.raises(ValueError):
+        encode_jpeg(p12, precision=10)
+
+
+def test_12bit_dc_exactness_exhaustive():
+    """Every even 12-bit value survives the DC-only fixed-point
+    round trip (margin 2047 * 2.136e-4 = 0.437 < 0.5 — thinner than
+    the 8-bit case, so sweep the WHOLE range, not a sample)."""
+    from barkingowl_spark.functions.jpegcodec import (
+        _fdct_block,
+        _idct_block,
+        _quant,
+    )
+
+    for p in range(0, 4096, 2):
+        vp = p - 2048
+        # encoder side: constant block -> quantized DC vp/2 exactly
+        f = _fdct_block([[vp] * 8 for _ in range(8)])
+        assert f[1:] == [0] * 63, p
+        qdc = _quant(f[0], 16)
+        assert qdc * 2 == vp, p
+        # decoder side: dequantized DC back to the exact pixel
+        blk = _idct_block([qdc * 16] + [0] * 63, shift=2048,
+                          maxv=4095)
+        assert all(blk[y][x] == p for y in range(8)
+                   for x in range(8)), p
+
+
 def test_dc_exactness_exhaustive_sweep():
     """Every even level-shifted value in range survives the full
     encode->decode chain exactly (the error-budget proof in the
