@@ -1128,6 +1128,43 @@ def q_mm_tiff_resize(spark, sf):
     return resize_pixel_audit(_tiff_docs(spark, sf), max_side=12)
 
 
+def _tiffjpeg_docs(spark, sf, n=48):
+    """Deterministic JPEG-in-TIFF payload table
+    (multimodal.tiffjpeg_table) over the first n doc_ids — REAL
+    compression-7 TIFFs whose strips/tiles are complete JPEG
+    streams: w = 8*(2 + d%3), h = 8*(2 + d%5), block-constant even
+    pixels (jpeg_table's formula with 13d), organization cycling
+    single-strip / 8-row strips / 16x16 tiles on d % 3, byte order
+    on d % 2. The LOSSY embed round-trips bit-exactly under the
+    jpegcodec fixed-point contract, so the SQL oracle recomputes
+    the formula."""
+    from barkingowl_spark.operators.multimodal import tiffjpeg_table
+
+    return tiffjpeg_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(n))
+
+
+def q_mm_tiffjpeg_decode(spark, sf):
+    """JPEG-in-TIFF decode dims (late r5): decode_features over
+    compression-7 TIFF containers whose chunks are embedded JPEG
+    interchange streams — the container-in-container chain
+    (tiffcodec IFD/strip/tile walk -> jpegcodec huffman/IDCT) in one
+    dims check."""
+    return decode_features(_tiffjpeg_docs(spark, sf)).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_tiffjpeg_ahash(spark, sf):
+    """REAL-pixel aHash over JPEG-in-TIFF payloads — the oracle
+    rebuilds the hash from the block-constant formula, pinning the
+    embedded-JPEG decode, strip/tile assembly (incl. edge-pad crop)
+    and both byte orders in one value hash."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_tiffjpeg_docs(spark, sf))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -6170,6 +6207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_tiff_ahash": q_mm_tiff_ahash,
         "mm_tiff_resize": q_mm_tiff_resize,
         "mm_bmp_resize": q_mm_bmp_resize,
+        "mm_tiffjpeg_decode": q_mm_tiffjpeg_decode,
+        "mm_tiffjpeg_ahash": q_mm_tiffjpeg_ahash,
     })
 
 
@@ -7226,6 +7265,16 @@ _TIFFDIMS_CTE = """
     dims AS (
       SELECT doc_id, 16 + doc_id % 10 AS w,
              12 + (7 * doc_id) % 11 AS h
+      FROM d)
+"""
+
+# JPEG-in-TIFF fixture dims (tiffjpeg_table: 8-multiple geometry so
+# the embedded block-constant JPEG chunks round-trip exactly)
+_TIFFJPEGDIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 8 * (2 + doc_id % 3) AS w,
+             8 * (2 + doc_id % 5) AS h
       FROM d)
 """
 
@@ -10539,6 +10588,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(oh) AS INT) AS out_height,
                    CAST(sum(v) AS BIGINT) AS out_pixsum
             FROM rp GROUP BY doc_id
+        """,
+        "mm_tiffjpeg_decode": _TIFFJPEGDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_tiffjpeg_ahash": _TIFFJPEGDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     2 * ((7 * (gx.x // 8) + 11 * (gy.y // 8)
+                           + 13 * doc_id) % 100) + 28 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 31)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 47)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
         """,
         "mm_bmp_resize": _BMPDIMS_CTE + """,
             rd AS (

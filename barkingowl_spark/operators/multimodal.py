@@ -714,6 +714,43 @@ def bmp_table(docs: DataFrame) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def tiffjpeg_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic JPEG-in-TIFF (compression
+    7, TechNote 2) per doc_id — every strip/tile is a complete JPEG
+    interchange stream decoded through the sibling jpegcodec.
+    Geometry is all 8-multiples (w = 8*(2 + d%3), h = 8*(2 + d%5))
+    and the pixel formula is jpeg_table's block-constant even one
+    (2*((7*(x DIV 8) + 11*(y DIV 8) + 13d) % 100) + 28), so the
+    LOSSY embed round-trips bit-exactly under the jpegcodec
+    fixed-point contract and a SQL formula oracle pins the whole
+    container-in-container chain. Organization cycles d % 3 (single
+    strip / 8-row strips / 16x16 tiles with edge padding) and byte
+    order flips on d % 2. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.tiffcodec import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 3), 8 * (2 + d % 5)
+                rows = [[2 * ((7 * (x // 8) + 11 * (y // 8)
+                               + 13 * d) % 100) + 28
+                         for x in range(w)] for y in range(h)]
+                v = d % 3
+                payloads.append(encode_tiff(
+                    rows, jpeg=True,
+                    big_endian=bool(d % 2),
+                    rows_per_strip=8 if v == 1 else None,
+                    tiles=(16, 16) if v == 2 else None,
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:
