@@ -1312,6 +1312,24 @@ def q_audio_flac_peaks(spark, sf):
         .orderBy("doc_id").limit(16)))
 
 
+def q_audio_aiff_peaks(spark, sf):
+    """REAL AIFF decode (operators/audiofp.py decode_aiff_pcm, late
+    r5): FORM/AIFF payloads carrying the SAME sample formula as
+    wav_table — big-endian samples, the 80-bit extended rate field,
+    SSND offsets, 24-bit rescale and stereo downmix all round-trip
+    to identical samples, so the Walsh-Hadamard constellation oracle
+    is shared verbatim with audio_wav_peaks; one wrong byte order or
+    skipped-offset bug anywhere value-hash-mismatches."""
+    from barkingowl_spark.operators.audiofp import (
+        aiff_table,
+        extract_peaks,
+    )
+
+    return extract_peaks(aiff_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(16)))
+
+
 def q_audio_landmarks(spark, sf):
     """Shazam constellation landmarks (operators/audiofp.py, Wang
     ISMIR'03): stub peaks over the binary payload via mapInPandas,
@@ -6209,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bmp_resize": q_mm_bmp_resize,
         "mm_tiffjpeg_decode": q_mm_tiffjpeg_decode,
         "mm_tiffjpeg_ahash": q_mm_tiffjpeg_ahash,
+        "audio_aiff_peaks": q_audio_aiff_peaks,
     })
 
 
@@ -9733,6 +9752,35 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY cosine_ppm DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        # identical SQL to audio_wav_peaks by design: aiff_table
+        # carries the same sample formula through the big-endian
+        # container (decode paths differ, the answer must not)
+        "audio_aiff_peaks": """
+            WITH d AS (SELECT doc_id AS track_id FROM documents
+                       ORDER BY doc_id LIMIT 16),
+            e AS (
+              SELECT track_id, gt.t, gk.k,
+                     abs(sum(
+                       ((CAST(gt.t * 32 + gj.j AS BIGINT)
+                         * (gt.t * 32 + gj.j + track_id)) % 8192
+                        - 4096)
+                       * CASE WHEN bit_count(CAST(gj.j AS BIGINT)
+                                             & gk.k) % 2 = 0
+                              THEN 1 ELSE -1 END)) AS en
+              FROM d,
+                   (SELECT unnest(generate_series(0, 6)) AS t) gt,
+                   (SELECT unnest(generate_series(0, 63)) AS k) gk,
+                   (SELECT unnest(generate_series(0, 63)) AS j) gj
+              GROUP BY track_id, gt.t, gk.k)
+            SELECT c.track_id, CAST(c.t AS BIGINT) AS t,
+                   CAST(c.k AS BIGINT) AS f
+            FROM e c
+            JOIN e p ON p.track_id = c.track_id AND p.k = c.k
+                    AND p.t = c.t - 1
+            JOIN e nx ON nx.track_id = c.track_id AND nx.k = c.k
+                     AND nx.t = c.t + 1
+            WHERE c.k >= 1 AND p.en < c.en AND c.en >= nx.en
         """,
         # identical SQL to audio_wav_peaks by design: flac_table
         # carries the same sample formula, so the constellation
@@ -14288,6 +14336,9 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '52494646%'
                             AND substr(hx, 17, 8) = '57415645'
                             THEN 'audio/wav'
+                       WHEN hx LIKE '464F524D%'
+                            AND substr(hx, 17, 8) = '41494646'
+                            THEN 'audio/aiff'
                        WHEN hx LIKE '49492A00%'
                             OR hx LIKE '4D4D002A%'
                             THEN 'image/tiff'

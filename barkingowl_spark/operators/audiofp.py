@@ -151,16 +151,149 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
 decode_wav_pcm16 = decode_wav_pcm
 
 
+def _pack_extended80(rate: int) -> bytes:
+    """Positive int -> IEEE 754 80-bit extended float (the AIFF COMM
+    sample-rate field): 1 sign + 15 exponent (bias 16383) + 64
+    mantissa with an EXPLICIT integer bit."""
+    import struct
+
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    nbits = rate.bit_length()
+    mant = rate << (64 - nbits)
+    exp = 16383 + nbits - 1
+    return struct.pack(">HQ", exp, mant)
+
+
+def _unpack_extended80(raw: bytes) -> int:
+    """80-bit extended float -> integer sample rate (floor)."""
+    import struct
+
+    exp_s, mant = struct.unpack(">HQ", raw)
+    if exp_s & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    shift = 16383 + 63 - exp_s
+    if shift < 0 or shift > 79 or mant == 0:
+        raise ValueError("unreasonable AIFF sample rate")
+    return mant >> shift
+
+
+def encode_aiff_pcm(
+    channels: list[list[int]], rate: int = 8000, bits: int = 16,
+    ssnd_offset: int = 0,
+) -> bytes:
+    """Interleaved multi-channel big-endian PCM AIFF writer
+    (FORM/AIFF, COMM with the 80-bit extended rate, SSND) — the
+    fixture generator for the decode path. ssnd_offset > 0 writes
+    that many junk bytes between the SSND header and the frames
+    (legal per the spec; the decoder must honor the offset field)."""
+    import struct
+
+    if not channels or not channels[0]:
+        raise ValueError("no samples")
+    if bits not in (8, 16, 24):
+        raise ValueError("bits must be 8/16/24")
+    n_ch, nfr = len(channels), len(channels[0])
+    if any(len(c) != nfr for c in channels):
+        raise ValueError("ragged channels")
+    bw = bits // 8
+    lim = 1 << (bits - 1)
+    parts = []
+    for i in range(nfr):
+        for ch in channels:
+            s = max(-lim, min(lim - 1, int(ch[i])))
+            parts.append((s & ((1 << bits) - 1)).to_bytes(bw, "big"))
+    frames = b"".join(parts)
+    comm = (struct.pack(">hIh", n_ch, nfr, bits)
+            + _pack_extended80(rate))
+    ssnd = (struct.pack(">II", ssnd_offset, 0)
+            + b"\xEE" * ssnd_offset + frames)
+    body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+            + (b"\x00" * (len(comm) & 1))
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return (b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF"
+            + body)
+
+
+def decode_aiff_pcm(payload: bytes) -> list[int]:
+    """FORM/AIFF -> int16-scale samples: big-endian signed PCM at
+    8/16/24 bits (8-bit AIFF is SIGNED, unlike WAV's unsigned 8-bit;
+    << 8 / verbatim / >> 8 onto the 16-bit scale), SSND offset
+    honored, channels floor-mean downmixed — decode_wav_pcm's exact
+    contract, so every landmark stage downstream is shared. AIFC
+    (compressed AIFF) raises NotImplementedError; corrupt containers
+    ValueError."""
+    import struct
+
+    if payload[:4] != b"FORM":
+        raise ValueError("not a FORM container")
+    if payload[8:12] == b"AIFC":
+        raise NotImplementedError(
+            "AIFC (compressed AIFF): codec absent in this "
+            "environment")
+    if payload[8:12] != b"AIFF":
+        raise ValueError("FORM container is not AIFF")
+    pos, n_ch, bits, nfr, frames = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            if clen < 18:
+                raise ValueError("short COMM chunk")
+            n_ch, nfr, bits = struct.unpack(">hIh", body[:8])
+            _unpack_extended80(body[8:18])  # validated, unused
+        elif cid == b"SSND":
+            if clen < 8:
+                raise ValueError("short SSND chunk")
+            (off,) = struct.unpack(">I", body[:4])
+            if 8 + off > clen:
+                raise ValueError("SSND offset outside chunk")
+            frames = body[8 + off:]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if n_ch is None or frames is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if n_ch < 1:
+        raise ValueError(f"AIFF declares {n_ch} channels")
+    if bits not in (8, 16, 24):
+        raise NotImplementedError(
+            f"{bits}-bit AIFF (8/16/24 supported)")
+    bw = bits // 8
+    frame_bytes = bw * n_ch
+    usable = min(len(frames) - len(frames) % frame_bytes,
+                 (nfr or 0) * frame_bytes)
+    out = []
+    for i in range(0, usable, frame_bytes):
+        acc = 0
+        for c in range(n_ch):
+            off = i + c * bw
+            v = int.from_bytes(frames[off:off + bw], "big",
+                               signed=True)
+            if bits == 8:
+                acc += v << 8
+            elif bits == 24:
+                acc += v >> 8
+            else:
+                acc += v
+        out.append(acc // n_ch)
+    return out
+
+
 def _decode_audio(payload: bytes) -> list[int]:
     """Magic-dispatched real audio decode -> int16-scale samples:
-    RIFF/WAVE via decode_wav_pcm, fLaC via functions/flaccodec.py
-    (r5: the first compressed-audio de-stub — rice + integer fixed
-    predictors, lossless by construction). Same downmix contract on
-    both paths."""
+    RIFF/WAVE via decode_wav_pcm, FORM/AIFF via decode_aiff_pcm
+    (late r5: the big-endian PCM twin), fLaC via
+    functions/flaccodec.py (r5: the first compressed-audio de-stub —
+    rice + integer fixed predictors, lossless by construction). Same
+    downmix contract on every path."""
     if payload[:4] == b"fLaC":
         from barkingowl_spark.functions.flaccodec import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"FORM":
+        return decode_aiff_pcm(payload)
     return decode_wav_pcm(payload)
 
 
@@ -208,15 +341,16 @@ def _peaks_stub(payload: bytes) -> list[tuple[int, int]]:
 
 
 def _peaks_dispatch(payload: bytes) -> list[tuple[int, int]]:
-    """b'RIFF' / b'fLaC' magic -> real constellation; else the stub.
-    Payloads the real path cannot decode — RIFF-but-not-WAVE (AVI),
-    float/compressed WAV, FLAC LPC subframes (NotImplementedError),
-    truncated chunks (struct.error) — fall back to the byte stub,
-    the pre-real-codec behavior, so one crawled payload cannot kill
-    the whole mapInPandas job (r3 advice)."""
+    """b'RIFF' / b'FORM' / b'fLaC' magic -> real constellation; else
+    the stub. Payloads the real path cannot decode —
+    RIFF-but-not-WAVE (AVI), FORM-but-not-AIFF / AIFC,
+    float/compressed WAV, truncated chunks (struct.error) — fall
+    back to the byte stub, the pre-real-codec behavior, so one
+    crawled payload cannot kill the whole mapInPandas job (r3
+    advice)."""
     import struct
 
-    if payload[:4] in (b"RIFF", b"fLaC"):
+    if payload[:4] in (b"RIFF", b"FORM", b"fLaC"):
         try:
             return _peaks_real(payload)
         except (ValueError, NotImplementedError, struct.error):
@@ -313,6 +447,46 @@ def flac_table(docs: DataFrame) -> DataFrame:
                 else:
                     p = encode_flac([[v << 4 for v in s]], bits=20,
                                     subframe="lpc", order=2)
+                payloads.append(p)
+            yield pd.DataFrame({"track_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "track_id long, payload binary")
+
+
+def aiff_table(docs: DataFrame) -> DataFrame:
+    """(track_id, payload): a deterministic AIFF per doc_id — the
+    big-endian container twin of wav_table, SAME sample formula
+    s[n] = (n * (n + d)) % 8192 - 4096 (256 samples), so the WAV
+    oracle's Walsh-Hadamard SQL applies unchanged. The ENCODE
+    variant cycles on d % 4 — mono 16-bit / stereo 16-bit (ch = s
+    +/- e, floor-mean mix exactly s) / mono 24-bit (s << 8) / mono
+    16-bit with a 6-byte SSND offset (junk the decoder must skip) —
+    decoded samples are the formula for all four, so one oracle
+    hash pins the chunk walk, 80-bit-extended rate parse, SSND
+    offset, big-endian sample order, bit-depth rescale and downmix
+    at once. mapInPandas, Arrow-batched."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+                e = [(n * (d + 3)) % 2048 for n in range(256)]
+                var = d % 4
+                if var == 0:
+                    p = encode_aiff_pcm([s])
+                elif var == 1:
+                    p = encode_aiff_pcm(
+                        [[a + b for a, b in zip(s, e)],
+                         [a - b for a, b in zip(s, e)]])
+                elif var == 2:
+                    p = encode_aiff_pcm([[v << 8 for v in s]],
+                                        bits=24)
+                else:
+                    p = encode_aiff_pcm([s], ssnd_offset=6)
                 payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})

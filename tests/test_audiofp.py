@@ -288,3 +288,78 @@ def test_wav_table_variant_cycle(spark):
     for d in range(6):
         s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
         assert per[d] == set(_peaks_real(encode_wav_pcm([s]))), d
+
+
+def test_aiff_codec_round_trip_and_dispatch():
+    """Late-r5 AIFF de-stub: the big-endian PCM container decodes
+    onto the WAV downmix contract across mono/stereo/24-bit/8-bit
+    and SSND offsets; the 80-bit extended sample-rate field
+    round-trips; AIFC and non-AIFF FORM payloads fall back to the
+    stub through the dispatch, never crash."""
+    from barkingowl_spark.operators.audiofp import (
+        _pack_extended80,
+        _peaks_dispatch,
+        _peaks_real,
+        _peaks_stub,
+        _unpack_extended80,
+        decode_aiff_pcm,
+        encode_aiff_pcm,
+        encode_wav_pcm,
+    )
+
+    s = [(n * (n + 5)) % 8192 - 4096 for n in range(256)]
+    e = [(n * 8) % 2048 for n in range(256)]
+    assert decode_aiff_pcm(encode_aiff_pcm([s])) == s
+    assert decode_aiff_pcm(encode_aiff_pcm(
+        [[a + b for a, b in zip(s, e)],
+         [a - b for a, b in zip(s, e)]])) == s
+    assert decode_aiff_pcm(
+        encode_aiff_pcm([[v << 8 for v in s]], bits=24)) == s
+    assert decode_aiff_pcm(encode_aiff_pcm([s], ssnd_offset=6)) == s
+    s8 = [v % 256 - 128 for v in s]  # AIFF 8-bit is SIGNED
+    assert decode_aiff_pcm(encode_aiff_pcm([s8], bits=8)) == [
+        v << 8 for v in s8]
+    for r in (1, 8000, 44100, 96000, 12345):
+        assert _unpack_extended80(_pack_extended80(r)) == r, r
+    # constellation parity with the WAV twin (same samples)
+    assert _peaks_real(encode_aiff_pcm([s])) == _peaks_real(
+        encode_wav_pcm([s]))
+    # AIFC + FORM-but-not-AIFF fall to the stub, truncation too
+    good = encode_aiff_pcm([s])
+    for bad in (good[:8] + b"AIFC" + good[12:],
+                good[:8] + b"8SVX" + good[12:],
+                good[:40]):
+        assert _peaks_dispatch(bad) == _peaks_stub(bad)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_aiff_pcm(good[:8] + b"AIFC" + good[12:])
+    with _pytest.raises(ValueError):
+        decode_aiff_pcm(good[:40])
+    # SSND offset pointing outside its chunk is corrupt
+    import struct as _struct
+    p = bytearray(encode_aiff_pcm([s[:4]]))
+    i = p.index(b"SSND")
+    p[i + 8:i + 12] = _struct.pack(">I", 10_000)
+    with _pytest.raises(ValueError):
+        decode_aiff_pcm(bytes(p))
+
+
+def test_aiff_table_variant_cycle(spark):
+    """aiff_table's four variants all decode to the shared formula —
+    the same per-variant peak sets as the WAV fixture."""
+    from barkingowl_spark.operators.audiofp import (
+        _peaks_real,
+        aiff_table,
+        encode_wav_pcm,
+        extract_peaks,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)],
+                                 "doc_id long")
+    per = {}
+    for row in extract_peaks(aiff_table(docs)).collect():
+        per.setdefault(row["track_id"], set()).add(
+            (row["t"], row["f"]))
+    for d in range(8):
+        s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
+        assert per[d] == set(_peaks_real(encode_wav_pcm([s]))), d

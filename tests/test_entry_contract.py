@@ -131,7 +131,7 @@ def duck():
      "mm_tiff_decode", "mm_tiff_ahash", "mm_tiff_resize",
      "mm_bmp_resize", "mm_tiffjpeg_decode", "mm_tiffjpeg_ahash",
      "sim_margin_pairs", "events_trend", "audio_wav_peaks",
-     "audio_flac_peaks", "emb_sgns_round"],
+     "audio_flac_peaks", "emb_sgns_round", "audio_aiff_peaks"],
 )
 def test_query_matches_oracle(spark, duck, name):
     got = entrymod.queries()[name](spark, SF).toPandas()
