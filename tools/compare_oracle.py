@@ -25,7 +25,11 @@ def vhash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf: str = "/root/testdata/sf0.01", master: str = "local[8]") -> int:
+def main(sf: str = "/root/testdata/sf0.01", master: str = "local[8]",
+         only: str = "") -> int:
+    """only: comma-separated name prefixes — run just the matching
+    queries (e.g. `compare_oracle.py /root/testdata/sf0.01 local[8]
+    mm_tiff,audio_`); empty runs the full sweep + entry()."""
     import __spark_entry__ as entrymod
 
     from barkingowl_spark.session import get_spark
@@ -38,8 +42,11 @@ def main(sf: str = "/root/testdata/sf0.01", master: str = "local[8]") -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
 
+    prefixes = [p for p in only.split(",") if p]
     fails = []
     for name, fn in entrymod.queries().items():
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         osql = entrymod.oracle_sql().get(name)
         try:
             got = fn(spark, sf).toPandas()
@@ -65,8 +72,9 @@ def main(sf: str = "/root/testdata/sf0.01", master: str = "local[8]") -> int:
         if not ok:
             fails.append(name)
     print("FAILURES:", fails or "none")
-    df = entrymod.entry(spark)
-    print("entry rows:", df.count())
+    if not prefixes:
+        df = entrymod.entry(spark)
+        print("entry rows:", df.count())
     spark.stop()
     return 1 if fails else 0
 
