@@ -1165,6 +1165,35 @@ def q_mm_tiffjpeg_ahash(spark, sf):
     return perceptual_hash(_tiffjpeg_docs(spark, sf))
 
 
+def q_mm_ico_decode(spark, sf):
+    """ICO (favicon) decode dims (late r5): decode_features over
+    real ICO containers whose members are PNG streams or headerless
+    doubled-height BMP DIBs — the largest-member selection, DIB
+    height halving and both member decode paths in one dims check."""
+    from barkingowl_spark.operators.multimodal import ico_table
+
+    return decode_features(ico_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48))).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_ico_ahash(spark, sf):
+    """REAL-pixel aHash over decoded ICO members — the oracle
+    rebuilds the hash from ico_table's formula, pinning PNG-member
+    and BMP-DIB-member decode plus the largest-member rule (the
+    d % 4 == 3 variant carries a constant decoy the hash would
+    expose) in one value hash."""
+    from barkingowl_spark.operators.multimodal import (
+        ico_table,
+        perceptual_hash,
+    )
+
+    return perceptual_hash(ico_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -6228,6 +6257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_tiffjpeg_decode": q_mm_tiffjpeg_decode,
         "mm_tiffjpeg_ahash": q_mm_tiffjpeg_ahash,
         "audio_aiff_peaks": q_audio_aiff_peaks,
+        "mm_ico_decode": q_mm_ico_decode,
+        "mm_ico_ahash": q_mm_ico_ahash,
     })
 
 
@@ -7284,6 +7315,16 @@ _TIFFDIMS_CTE = """
     dims AS (
       SELECT doc_id, 16 + doc_id % 10 AS w,
              12 + (7 * doc_id) % 11 AS h
+      FROM d)
+"""
+
+# ICO fixture dims (ico_table: one shared formula, all members
+# lossless, so the oracle is variant-free)
+_ICODIMS_CTE = """
+    WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48),
+    dims AS (
+      SELECT doc_id, 18 + doc_id % 9 AS w,
+             14 + (3 * doc_id) % 8 AS h
       FROM d)
 """
 
@@ -10641,6 +10682,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS INT) AS width,
                    CAST(h AS INT) AS height, TRUE AS is_valid
             FROM dims
+        """,
+        "mm_ico_decode": _ICODIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_ico_ahash": _ICODIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     (5 * gx.x + 9 * gy.y + doc_id) % 256 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 26)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 21)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
         """,
         "mm_tiffjpeg_ahash": _TIFFJPEGDIMS_CTE + """,
             px AS (
@@ -14343,6 +14418,7 @@ def oracle_sql() -> dict[str, str]:
                             OR hx LIKE '4D4D002A%'
                             THEN 'image/tiff'
                        WHEN hx LIKE '664C6143%' THEN 'audio/flac'
+                       WHEN hx LIKE '00000100%' THEN 'image/x-icon'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed

@@ -59,6 +59,7 @@ from barkingowl_spark.functions.gifcodec import (
     GIF_MAGIC,
     decode_gif,
 )
+from barkingowl_spark.functions.icocodec import ICO_MAGIC, decode_ico
 from barkingowl_spark.functions.jpegcodec import (
     JPEG_MAGIC,
     decode_jpeg,
@@ -97,6 +98,8 @@ def _decode_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return decode_webp(payload)
     if payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
         return decode_tiff(payload)
+    if payload[:4] == ICO_MAGIC:
+        return decode_ico(payload)
     raise ValueError("no real decoder for this magic")
 
 
@@ -117,7 +120,8 @@ def _is_real_image(payload: bytes) -> bool:
     return (payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC
             or payload[:4] == GIF_MAGIC or _looks_bmp(payload)
             or _looks_webp(payload)
-            or payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE))
+            or payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE)
+            or payload[:4] == ICO_MAGIC)
 
 
 def attach_binary(documents: DataFrame) -> DataFrame:
@@ -751,6 +755,44 @@ def tiffjpeg_table(docs: DataFrame) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def ico_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic ICO (favicon) per doc_id —
+    the container composed from the sibling PNG/BMP codecs.
+    Geometry w = 18 + d % 9, h = 14 + (3d) % 8; pixel = (5x + 9y +
+    d) % 256 for every variant (PNG and 8/24-bpp BMP members all
+    carry full 8-bit values losslessly). The encode variant cycles
+    d % 4 — single BMP-8 member / single PNG member / single BMP-24
+    member / TWO members (an 8x8 constant-0 BMP-8 decoy FIRST, the
+    formula PNG second) — the last pinning the largest-member
+    selection rule by round-trip. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.icocodec import encode_ico
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 18 + d % 9, 14 + (3 * d) % 8
+                rows = [[(5 * x + 9 * y + d) % 256
+                         for x in range(w)] for y in range(h)]
+                var = d % 4
+                if var == 0:
+                    p = encode_ico([(rows, "bmp8")])
+                elif var == 1:
+                    p = encode_ico([(rows, "png")])
+                elif var == 2:
+                    p = encode_ico([(rows, "bmp24")])
+                else:
+                    decoy = [[0] * 8 for _ in range(8)]
+                    p = encode_ico([(decoy, "bmp8"), (rows, "png")])
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:
@@ -1058,6 +1100,7 @@ def sniff_mime(
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
               "image/tiff")
         .when(hx.startswith("664C6143"), "audio/flac")
+        .when(hx.startswith("00000100"), "image/x-icon")
         .when(hx.startswith("504B0304"), "application/zip")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")
