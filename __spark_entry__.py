@@ -1194,6 +1194,24 @@ def q_mm_ico_ahash(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_zip_members(spark, sf):
+    """ZIP archive introspection (functions/zipwalk.py, late r5):
+    EOCD scan -> central directory walk -> per-member local-header
+    walk + decompress + CRC-32 verify, over deterministic containers
+    the stdlib zipfile module also accepts (independent ground
+    truth, pinned in tests). The oracle recomputes the expected
+    member table from the fixture formula; crc_ok TRUE is the
+    load-bearing column — a decompress or CRC bug cannot hide."""
+    from barkingowl_spark.operators.multimodal import (
+        zip_members,
+        zip_table,
+    )
+
+    return zip_members(zip_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -6259,6 +6277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_aiff_peaks": q_audio_aiff_peaks,
         "mm_ico_decode": q_mm_ico_decode,
         "mm_ico_ahash": q_mm_ico_ahash,
+        "zip_members": q_zip_members,
     })
 
 
@@ -10687,6 +10706,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS INT) AS width,
                    CAST(h AS INT) AS height, TRUE AS is_valid
             FROM dims
+        """,
+        "zip_members": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            m AS (
+              SELECT doc_id, gi.i
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS i) gi
+              WHERE gi.i <= doc_id % 3)
+            SELECT doc_id,
+                   'm' || i AS name,
+                   CAST(CASE WHEN (i + doc_id) % 2 = 1 THEN 8
+                        ELSE 0 END AS INT) AS method,
+                   CAST(40 + 20 * i AS BIGINT) AS usize,
+                   TRUE AS csize_gt0,
+                   TRUE AS crc_ok
+            FROM m
         """,
         "mm_ico_ahash": _ICODIMS_CTE + """,
             px AS (

@@ -793,6 +793,80 @@ def ico_table(docs: DataFrame) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def zip_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic ZIP container per doc_id —
+    k = d % 3 + 1 members named m0..m{k-1}, member i carrying
+    40 + 20*i bytes with byte j = (7*j + 11*i + d) % 256, method
+    alternating stored/deflate on (i + d) % 2. The fixture writer's
+    containers are independently readable by the stdlib zipfile
+    module (pinned in tests), so the walk is verified against real
+    ground truth, not just its own encoder. mapInPandas,
+    Arrow-batched."""
+    from barkingowl_spark.functions.zipwalk import build_zip
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = []
+                for i in range(d % 3 + 1):
+                    data = bytes((7 * j + 11 * i + d) % 256
+                                 for j in range(40 + 20 * i))
+                    members.append((f"m{i}", data,
+                                    8 if (i + d) % 2 else 0))
+                payloads.append(build_zip(members))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def zip_members(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, name, method, usize, csize_gt0, crc_ok): archive
+    introspection over the binary payload column — one mapInPandas
+    pass (functions/zipwalk.py), one output row per member, CRC-32
+    verified from the actual decompressed bytes. Containers the walk
+    cannot parse yield a single (doc_id, NULL, -1, -1, false, false)
+    row — the containment convention, one bad archive never kills
+    the batch."""
+    from barkingowl_spark.functions.zipwalk import list_zip_members
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "name": [], "method": [],
+                   "usize": [], "csize_gt0": [], "crc_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = list_zip_members(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows = None
+                if not rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(None)
+                    out["method"].append(-1)
+                    out["usize"].append(-1)
+                    out["csize_gt0"].append(False)
+                    out["crc_ok"].append(False)
+                    continue
+                for name, method, usize, csize, crc_ok in rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(name)
+                    out["method"].append(method)
+                    out["usize"].append(usize)
+                    out["csize_gt0"].append(csize > 0)
+                    out["crc_ok"].append(crc_ok)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "method": "int32",
+                 "usize": "int64", "csize_gt0": "bool",
+                 "crc_ok": "bool"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, name string, method int, usize long, "
+             "csize_gt0 boolean, crc_ok boolean")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:
