@@ -1212,6 +1212,23 @@ def q_zip_members(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_pdf_texts(spark, sf):
+    """REAL PDF text extraction (functions/pdftext.py, late r5):
+    xref walk -> page tree -> content streams (plain + Flate) ->
+    BT/ET text operators, over deterministic classic PDFs; the
+    oracle rebuilds the exact page-and-line text from the fixture
+    formula, so one value hash pins the whole document chain —
+    the payoff stage after O15 finds the PDFs."""
+    from barkingowl_spark.operators.multimodal import (
+        pdf_text_table,
+        pdf_texts,
+    )
+
+    return pdf_texts(pdf_text_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -6278,6 +6295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ico_decode": q_mm_ico_decode,
         "mm_ico_ahash": q_mm_ico_ahash,
         "zip_members": q_zip_members,
+        "pdf_texts": q_pdf_texts,
     })
 
 
@@ -10706,6 +10724,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS INT) AS width,
                    CAST(h AS INT) AS height, TRUE AS is_valid
             FROM dims
+        """,
+        "pdf_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            pg AS (
+              SELECT doc_id, gp.p,
+                     'doc ' || doc_id || ' page ' || gp.p
+                     || ' line 0' || chr(10)
+                     || 'doc ' || doc_id || ' page ' || gp.p
+                     || ' line 1' || chr(10) AS page_text
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS p) gp
+              WHERE gp.p <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_pages,
+                   string_agg(page_text, chr(12) ORDER BY p) AS text
+            FROM pg GROUP BY doc_id
         """,
         "zip_members": """
             WITH d AS (SELECT doc_id FROM documents

@@ -867,6 +867,58 @@ def zip_members(multimodal: DataFrame) -> DataFrame:
              "csize_gt0 boolean, crc_ok boolean")
 
 
+def pdf_text_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic classic PDF per doc_id —
+    d % 3 + 1 pages, each carrying the two lines
+    'doc {d} page {p} line {0|1}', content streams Flate-compressed
+    on odd d. The writer emits real xref byte offsets — absolute
+    ground truth the strict reader re-checks — so writer/reader
+    drift cannot hide the way entropy-coder round-trips can.
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.pdftext import build_pdf
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pages = [[f"doc {d} page {p} line {i}"
+                          for i in range(2)]
+                         for p in range(d % 3 + 1)]
+                payloads.append(build_pdf(pages, flate=bool(d % 2)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def pdf_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, n_pages, text): real PDF text extraction over the
+    binary payload column — one mapInPandas pass
+    (functions/pdftext.py: xref walk, page tree, content-stream
+    text operators). Unparseable or unsupported PDFs yield
+    (doc_id, 0, NULL) — the containment convention."""
+    from barkingowl_spark.functions.pdftext import extract_pdf_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pages": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    n, text = extract_pdf_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    n, text = 0, None
+                out["doc_id"].append(doc_id)
+                out["n_pages"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_pages": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_pages int, text string")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:
