@@ -934,11 +934,12 @@ def q_mm_gif_resize(spark, sf):
 
 
 def q_mm_cross_format_pairs(spark, sf):
-    """CROSS-FORMAT image near-dup (r4; WebP/TIFF/BMP added r5): the
-    same block-constant pixels encoded as PNG, GIF, baseline JPEG,
-    lossless WebP, TIFF and BMP-RLE8 (multimodal.mixed_format_table,
-    img_id 6d..6d+5, logo group g = d % 12) must collide at hamming 0
-    through the SIX real decoders — only possible because
+    """CROSS-FORMAT image near-dup (r4; WebP/TIFF/BMP added r5, ICO
+    late r5): the same block-constant pixels encoded as PNG, GIF,
+    baseline JPEG, lossless WebP, TIFF, BMP-RLE8 and an
+    ICO-wrapped BMP DIB (multimodal.mixed_format_table, img_id
+    7d..7d+6, logo group g = d % 12) must collide at hamming 0
+    through the SEVEN real decode paths — only possible because
     perceptual_hash runs on decoded pixels, not payload bytes. Pairs
     via the shared pigeonhole banded join; the oracle recomputes the
     hash per group from the pixel formula and takes exact all-pairs
@@ -10550,9 +10551,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE hv END AS BIGINT) AS phash
               FROM hb),
             imgs AS (
-              SELECT 6 * d.doc_id + kk.k AS doc_id, hs.phash
+              SELECT 7 * d.doc_id + kk.k AS doc_id, hs.phash
               FROM d
-              CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) kk
+              CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) kk
               JOIN hs ON hs.g = d.doc_id % 12)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)

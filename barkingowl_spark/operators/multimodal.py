@@ -425,21 +425,23 @@ def gif_table(docs: DataFrame) -> DataFrame:
 
 
 def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
-    """(img_id, payload): each input doc_id d yields SIX payloads —
-    img_id 6d .. 6d+5 = PNG / GIF / baseline-JPEG / lossless-WebP /
-    TIFF / BMP-RLE8 of the SAME block-constant pixels, keyed by the
-    logo group g = d % groups (w = 8*(2 + g%4), h = 8*(2 + 3g%5),
+    """(img_id, payload): each input doc_id d yields SEVEN payloads —
+    img_id 7d .. 7d+6 = PNG / GIF / baseline-JPEG / lossless-WebP /
+    TIFF / BMP-RLE8 / ICO-wrapping-a-BMP-DIB (late r5) of the SAME
+    block-constant pixels, keyed by the logo group g = d % groups
+    (w = 8*(2 + g%4), h = 8*(2 + 3g%5),
     pixel = 2*((7*(x DIV 8) + 11*(y DIV 8) + 13g) % 100) + 28).
-    PNG/GIF/WebP/TIFF/BMP are lossless and the JPEG contract makes
-    block-constant even pixels exact, so all six decode to identical
-    pixels — the CROSS-FORMAT image-dedup fixture: a corpus carrying
-    the same creative re-encoded in different formats (the normal
-    state of the real web) must near-dup ACROSS formats, which only
-    works because the perceptual hash runs on decoded pixels, not
-    payload bytes (the byte stub could never pair a PNG with its
-    JPEG twin)."""
+    PNG/GIF/WebP/TIFF/BMP/ICO are lossless and the JPEG contract
+    makes block-constant even pixels exact, so all seven decode to
+    identical pixels — the CROSS-FORMAT image-dedup fixture: a
+    corpus carrying the same creative re-encoded in different
+    formats (the normal state of the real web) must near-dup ACROSS
+    formats, which only works because the perceptual hash runs on
+    decoded pixels, not payload bytes (the byte stub could never
+    pair a PNG with its JPEG twin)."""
     from barkingowl_spark.functions.bmpcodec import encode_bmp
     from barkingowl_spark.functions.gifcodec import encode_gif
+    from barkingowl_spark.functions.icocodec import encode_ico
     from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
     from barkingowl_spark.functions.pngcodec import encode_png
     from barkingowl_spark.functions.tiffcodec import encode_tiff
@@ -458,8 +460,9 @@ def mixed_format_table(docs: DataFrame, groups: int = 12) -> DataFrame:
                 for k, enc in enumerate(
                         (encode_png, encode_gif, encode_jpeg_gray,
                          encode_webp, encode_tiff,
-                         lambda r: encode_bmp(r, rle=True))):
-                    ids.append(6 * d + k)
+                         lambda r: encode_bmp(r, rle=True),
+                         lambda r: encode_ico([(r, "bmp8")]))):
+                    ids.append(7 * d + k)
                     payloads.append(enc(rows))
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),

@@ -159,9 +159,10 @@ def test_spark_gif_operators_real_pixels(spark):
 
 def test_cross_format_identical_hashes(spark):
     """The same block-constant pixels as PNG, GIF, baseline JPEG,
-    lossless WebP, TIFF and BMP-RLE8 hash identically through the
-    six REAL decoders — the cross-format dedup property
-    mm_cross_format_pairs pins at the driver gate."""
+    lossless WebP, TIFF, BMP-RLE8 and an ICO-wrapped BMP DIB hash
+    identically through the seven REAL decode paths — the
+    cross-format dedup property mm_cross_format_pairs pins at the
+    driver gate."""
     from barkingowl_spark.operators.multimodal import (
         mixed_format_table,
         perceptual_hash,
@@ -171,10 +172,10 @@ def test_cross_format_identical_hashes(spark):
                                  "doc_id long")
     hashes = {r["doc_id"]: r["phash"] for r in
               perceptual_hash(mixed_format_table(docs)).collect()}
-    assert len(hashes) == 36
+    assert len(hashes) == 42
     for d in range(6):
-        six = [hashes[6 * d + k] for k in range(6)]
-        assert len(set(six)) == 1, d
+        seven = [hashes[7 * d + k] for k in range(7)]
+        assert len(set(seven)) == 1, d
 
 
 def test_animated_compositing_paths():
