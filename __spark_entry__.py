@@ -1230,6 +1230,24 @@ def q_pdf_texts(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_tar_members(spark, sf):
+    """TAR + GZIP archive introspection (functions/tarwalk.py, r5
+    third session): USTAR header walk with checksum re-verification,
+    gzip member parse with CRC-32/ISIZE trailer checks, the .tar.gz
+    composition auto-sniffed — over deterministic archives the
+    stdlib tarfile/gzip modules also read (independent ground truth,
+    pinned in tests). The oracle recomputes the member table from
+    the fixture formula; cksum_ok TRUE is the load-bearing column."""
+    from barkingowl_spark.operators.multimodal import (
+        tar_members,
+        tar_table,
+    )
+
+    return tar_members(tar_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def _mm_logo_table(spark, sf):
     """Synthetic image table for the perceptual-hash queries: docs of
     one (source, doc_id%7) cell share a 64-char md5-derived payload
@@ -6296,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ico_decode": q_mm_ico_decode,
         "mm_ico_ahash": q_mm_ico_ahash,
         "zip_members": q_zip_members,
+        "tar_members": q_tar_members,
         "pdf_texts": q_pdf_texts,
     })
 
@@ -10758,6 +10777,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS crc_ok
             FROM m
         """,
+        "tar_members": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            dirs AS (
+              SELECT doc_id, -1 AS i, 'sub/' AS name,
+                     CAST(0 AS BIGINT) AS size, '5' AS typeflag
+              FROM d WHERE doc_id % 4 = 0),
+            files AS (
+              SELECT doc_id, gi.i, 'f' || gi.i AS name,
+                     CAST(30 + 17 * gi.i AS BIGINT) AS size,
+                     '0' AS typeflag
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS i) gi
+              WHERE gi.i <= doc_id % 3),
+            m AS (SELECT * FROM dirs UNION ALL SELECT * FROM files)
+            SELECT doc_id, name, size, typeflag,
+                   doc_id % 2 = 1 AS gz,
+                   TRUE AS cksum_ok
+            FROM m
+        """,
         "mm_ico_ahash": _ICODIMS_CTE + """,
             px AS (
               SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
@@ -14490,6 +14528,9 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '664C6143%' THEN 'audio/flac'
                        WHEN hx LIKE '00000100%' THEN 'image/x-icon'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
+                       WHEN hx LIKE '1F8B%' THEN 'application/gzip'
+                       WHEN substr(hx, 515, 10) = '7573746172'
+                            THEN 'application/x-tar'
                        WHEN hx LIKE '3C%' THEN 'text/html'
                        ELSE 'application/octet-stream' END AS sniffed
               FROM p)

@@ -870,6 +870,96 @@ def zip_members(multimodal: DataFrame) -> DataFrame:
              "csize_gt0 boolean, crc_ok boolean")
 
 
+def tar_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic archive per doc_id — a
+    USTAR tar of k = d % 3 + 1 file members f0..f{k-1} (member i:
+    30 + 17*i bytes, byte j = (5*j + 13*i + d) % 256), preceded by
+    a directory member 'sub/' when d % 4 == 0 (so directory headers
+    are load-bearing). Odd d wraps the tar in a one-member gzip
+    stream (.tar.gz) so both the plain and the compressed path run
+    under one query. Both writers' output is independently readable
+    by the stdlib tarfile/gzip modules (pinned in tests).
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.tarwalk import build_gzip, build_tar
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = []
+                if d % 4 == 0:
+                    members.append(("sub/", b"", "5"))
+                for i in range(d % 3 + 1):
+                    data = bytes((5 * j + 13 * i + d) % 256
+                                 for j in range(30 + 17 * i))
+                    members.append((f"f{i}", data, "0"))
+                t = build_tar(members)
+                payloads.append(build_gzip("arc.tar", t)
+                                if d % 2 else t)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def tar_members(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, name, size, typeflag, gz, cksum_ok): archive
+    introspection over the binary payload column — one mapInPandas
+    pass (functions/tarwalk.py), gzip magic auto-sniffed so .tar and
+    .tar.gz are one operator (gz reports which; a multi-member or
+    CRC-failing gzip wrapper is treated as unparseable). Containers
+    the walk cannot parse yield a single
+    (doc_id, NULL, -1, NULL, false, false) row — the containment
+    convention, one bad archive never kills the batch."""
+    from barkingowl_spark.functions.tarwalk import (
+        GZIP_MAGIC,
+        gunzip_members,
+        list_tar_members,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "name": [], "size": [],
+                   "typeflag": [], "gz": [], "cksum_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                gz = p[:2] == GZIP_MAGIC
+                rows = None
+                try:
+                    if gz:
+                        members = gunzip_members(p)
+                        if len(members) == 1 and members[0][2]:
+                            rows = list_tar_members(members[0][1])
+                    else:
+                        rows = list_tar_members(p)
+                except (ValueError, NotImplementedError):
+                    rows = None
+                if not rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(None)
+                    out["size"].append(-1)
+                    out["typeflag"].append(None)
+                    out["gz"].append(gz)
+                    out["cksum_ok"].append(False)
+                    continue
+                for name, size, typeflag, cksum_ok in rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(name)
+                    out["size"].append(size)
+                    out["typeflag"].append(typeflag)
+                    out["gz"].append(gz)
+                    out["cksum_ok"].append(cksum_ok)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "size": "int64",
+                 "gz": "bool", "cksum_ok": "bool"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, name string, size long, typeflag string, "
+             "gz boolean, cksum_ok boolean")
+
+
 def pdf_text_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic classic PDF per doc_id —
     d % 3 + 1 pages, each carrying the two lines
@@ -1205,7 +1295,8 @@ def sniff_mime(
 
     Pure native expressions over hex(prefix) — the payload column is
     read 12 bytes deep (enough for BMP's reserved bytes and the WebP
-    RIFF fourcc), never scanned, never crossing to Python."""
+    RIFF fourcc) plus the 5-byte USTAR magic at offset 257 (tar has
+    no prefix magic), never scanned, never crossing to Python."""
     hx = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
     sniffed = (
         F.when(hx.startswith("25504446"), "application/pdf")
@@ -1231,6 +1322,10 @@ def sniff_mime(
         .when(hx.startswith("664C6143"), "audio/flac")
         .when(hx.startswith("00000100"), "image/x-icon")
         .when(hx.startswith("504B0304"), "application/zip")
+        .when(hx.startswith("1F8B"), "application/gzip")
+        # tar has no prefix magic: USTAR puts 'ustar' at byte 257
+        .when(F.hex(F.expr(f"substring({payload_col}, 258, 5)"))
+              == "7573746172", "application/x-tar")
         .when(hx.startswith("3C"), "text/html")
         .otherwise("application/octet-stream")
     )

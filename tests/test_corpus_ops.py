@@ -771,6 +771,11 @@ def test_sniff_mime(spark):
         (8, b"BM\x9a\x00\x00\x00\x00\x00\x00\x00\x36", "image/bmp"),
         (9, b"BMW sales rose", "text/plain"),  # weak 'BM' magic
         (10, b"fLaC\x00\x00\x00\x22....", "audio/flac"),
+        (11, b"\x1f\x8b\x08\x00gzip body", "application/gzip"),
+        # tar: no prefix magic — 'ustar' lives at byte offset 257
+        (12, b"f0\x00" + b"\x00" * 254 + b"ustar\x0000",
+         "application/x-tar"),
+        (13, b"x" * 257 + b"notar", "text/plain"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, mime string")
@@ -788,6 +793,9 @@ def test_sniff_mime(spark):
     assert got[8] == ("image/bmp", True)
     assert got[9] == ("application/octet-stream", False)
     assert got[10] == ("audio/flac", True)
+    assert got[11] == ("application/gzip", True)
+    assert got[12] == ("application/x-tar", True)
+    assert got[13] == ("application/octet-stream", False)
 
 
 def test_soft404_scores(spark):

@@ -130,7 +130,8 @@ def duck():
      "mm_webp_decode", "mm_webp_ahash", "mm_webp_resize",
      "mm_tiff_decode", "mm_tiff_ahash", "mm_tiff_resize",
      "mm_bmp_resize", "mm_tiffjpeg_decode", "mm_tiffjpeg_ahash",
-     "mm_ico_decode", "mm_ico_ahash", "zip_members", "pdf_texts",
+     "mm_ico_decode", "mm_ico_ahash", "zip_members", "tar_members",
+     "pdf_texts",
      "sim_margin_pairs", "events_trend", "audio_wav_peaks",
      "audio_flac_peaks", "emb_sgns_round", "audio_aiff_peaks"],
 )
