@@ -1230,6 +1230,24 @@ def q_pdf_texts(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_pdf_texts_xs(spark, sf):
+    """PDF **1.5** text extraction (functions/pdftext.py, r5 third
+    session): xref STREAMS (/W widths, /Index subsections, Flate +
+    PNG Up predictor), OBJECT streams (slot-checked /N pairs), and
+    hybrid /XRefStm files — four container layouts cycling on
+    doc_id % 4, all carrying the same fixture text formula, so the
+    pdf_texts oracle applies verbatim and one value hash pins every
+    modern parse path next to the classic one."""
+    from barkingowl_spark.operators.multimodal import (
+        pdf_text_table_xs,
+        pdf_texts,
+    )
+
+    return pdf_texts(pdf_text_table_xs(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_tar_members(spark, sf):
     """TAR + GZIP archive introspection (functions/tarwalk.py, r5
     third session): USTAR header walk with checksum re-verification,
@@ -6316,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_members": q_zip_members,
         "tar_members": q_tar_members,
         "pdf_texts": q_pdf_texts,
+        "pdf_texts_xs": q_pdf_texts_xs,
     })
 
 
@@ -10746,6 +10765,24 @@ def oracle_sql() -> dict[str, str]:
             FROM dims
         """,
         "pdf_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            pg AS (
+              SELECT doc_id, gp.p,
+                     'doc ' || doc_id || ' page ' || gp.p
+                     || ' line 0' || chr(10)
+                     || 'doc ' || doc_id || ' page ' || gp.p
+                     || ' line 1' || chr(10) AS page_text
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS p) gp
+              WHERE gp.p <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_pages,
+                   string_agg(page_text, chr(12) ORDER BY p) AS text
+            FROM pg GROUP BY doc_id
+        """,
+        "pdf_texts_xs": """
+            -- the 1.5 fixture carries the identical text formula
+            -- across its four container layouts: pdf_texts' oracle
             WITH d AS (SELECT doc_id FROM documents
                        ORDER BY doc_id LIMIT 48),
             pg AS (

@@ -986,6 +986,38 @@ def pdf_text_table(docs: DataFrame) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def pdf_text_table_xs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): deterministic PDF **1.5** documents — the
+    same d % 3 + 1 pages / 2 lines text formula as pdf_text_table,
+    but cross-referenced the modern way, cycling d % 4 over the four
+    container layouts: xref stream only / + object stream / + PNG Up
+    predictor 12 / hybrid classic-table-with-/XRefStm (+ predictor).
+    The extracted text is layout-invariant by construction, so the
+    pdf_texts oracle formula carries over verbatim — one value hash
+    pins all four 1.5 parse paths. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.pdftext import build_pdf_xs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pages = [[f"doc {d} page {p} line {i}"
+                          for i in range(2)]
+                         for p in range(d % 3 + 1)]
+                v = d % 4
+                payloads.append(build_pdf_xs(
+                    pages,
+                    objstm=v != 0,
+                    predictor=v in (2, 3),
+                    hybrid=v == 3))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
 def pdf_texts(multimodal: DataFrame) -> DataFrame:
     """(doc_id, n_pages, text): real PDF text extraction over the
     binary payload column — one mapInPandas pass
