@@ -1146,6 +1146,42 @@ def _tiffjpeg_docs(spark, sf, n=48):
         .orderBy("doc_id").limit(n))
 
 
+def _bmp_embed_docs(spark, sf, n=48):
+    """Deterministic BI_PNG/BI_JPEG BMP payload table
+    (multimodal.bmp_embed_table) over the first n doc_ids — the BMP
+    'pixel data' is a complete sibling-codec stream (PNG on even d,
+    JPEG on odd d): w = 8*(2 + d%3), h = 8*(2 + d%5),
+    block-constant even pixels (the tiffjpeg formula with 17d), so
+    the lossy member round-trips bit-exactly and the SQL oracle
+    recomputes the formula."""
+    from barkingowl_spark.operators.multimodal import bmp_embed_table
+
+    return bmp_embed_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(n))
+
+
+def q_mm_bmp_embed_decode(spark, sf):
+    """BI_PNG/BI_JPEG decode dims (r5 third session): decode_features
+    over BMP containers whose pixel data is an embedded sibling-codec
+    stream — the container's dims cross-check against the stream's
+    own header is load-bearing (a lying header invalidates the
+    row)."""
+    return decode_features(_bmp_embed_docs(spark, sf)).select(
+        "doc_id", "width", "height", "is_valid")
+
+
+def q_mm_bmp_embed_ahash(spark, sf):
+    """REAL-pixel aHash over BI_PNG/BI_JPEG BMP payloads — the
+    oracle rebuilds the hash from the block-constant formula,
+    pinning both embedded decode paths (PNG inflate/unfilter and
+    JPEG huffman/IDCT) behind the BMP container walk in one value
+    hash."""
+    from barkingowl_spark.operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_bmp_embed_docs(spark, sf))
+
+
 def q_mm_tiffjpeg_decode(spark, sf):
     """JPEG-in-TIFF decode dims (late r5): decode_features over
     compression-7 TIFF containers whose chunks are embedded JPEG
@@ -6328,6 +6364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_bmp_resize": q_mm_bmp_resize,
         "mm_tiffjpeg_decode": q_mm_tiffjpeg_decode,
         "mm_tiffjpeg_ahash": q_mm_tiffjpeg_ahash,
+        "mm_bmp_embed_decode": q_mm_bmp_embed_decode,
+        "mm_bmp_embed_ahash": q_mm_bmp_embed_ahash,
         "audio_aiff_peaks": q_audio_aiff_peaks,
         "mm_ico_decode": q_mm_ico_decode,
         "mm_ico_ahash": q_mm_ico_ahash,
@@ -10758,6 +10796,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS INT) AS width,
                    CAST(h AS INT) AS height, TRUE AS is_valid
             FROM dims
+        """,
+        "mm_bmp_embed_decode": _TIFFJPEGDIMS_CTE + """
+            SELECT doc_id, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height, TRUE AS is_valid
+            FROM dims
+        """,
+        "mm_bmp_embed_ahash": _TIFFJPEGDIMS_CTE + """,
+            px AS (
+              SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+                     2 * ((7 * (gx.x // 8) + 11 * (gy.y // 8)
+                           + 17 * doc_id) % 100) + 28 AS v
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 31)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 47)) AS y) gy
+              WHERE gx.x < w AND gy.y < h),
+            cells AS (
+              SELECT doc_id,
+                     ((8 * y) // h) * 8 + (8 * x) // w AS k,
+                     sum(v) // count(*) AS cell
+              FROM px GROUP BY doc_id, k),
+            m AS (SELECT doc_id, sum(cell) // 64 AS mn
+                  FROM cells GROUP BY doc_id),
+            hb AS (
+              SELECT c.doc_id,
+                     sum(CASE WHEN c.cell > m.mn
+                         THEN (CAST(1 AS HUGEINT) << c.k)
+                         ELSE CAST(0 AS HUGEINT) END) AS hv
+              FROM cells c JOIN m USING (doc_id)
+              GROUP BY c.doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hv >= CAST(9223372036854775808
+                                             AS HUGEINT)
+                        THEN hv - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE hv END AS BIGINT) AS phash
+            FROM hb
         """,
         "mm_ico_decode": _ICODIMS_CTE + """
             SELECT doc_id, CAST(w AS INT) AS width,

@@ -28,11 +28,18 @@ ValueError/NotImplementedError as the whole error surface.
     v == ((v*31+127)//255)*255//31; optional BI_BITFIELDS wrapping
     with explicit 555 masks), or 24-bpp BGR; bottom-up or top-down.
 
+  * BI_JPEG / BI_PNG (r5 third session): the "pixel data" is a
+    complete JPEG/PNG stream decoded through the sibling codecs,
+    with the stream's dimensions strictly cross-checked against the
+    BMP header (two independent headers must agree);
+    encode_bmp_embedded wraps a sibling-encoded stream for the
+    fixture path.
+
 BMP is lossless, so any fixture round-trips bit-for-bit and a SQL
 pixel-formula oracle pins the whole chain. Remaining
-NotImplementedError surface: OS/2 v2 headers (size 16..36) and
-BI_JPEG/BI_PNG embeddings; corrupt input raises ValueError only
-(struct errors normalize here).
+NotImplementedError surface: OS/2 v2 headers (size 16..36);
+corrupt input raises ValueError only (struct errors normalize
+here).
 """
 
 from __future__ import annotations
@@ -101,6 +108,34 @@ def _decode_checked(
         raise ValueError("empty BMP geometry")
     if planes != 1:
         raise ValueError(f"BMP planes = {planes}")
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG: the "pixel data" is a complete JPEG/PNG
+        # stream; decode through the sibling codec and strictly
+        # cross-check its dimensions against the BMP header (the
+        # ICO/TIFF-in-container convention: two independent headers
+        # must agree or the container is corrupt).
+        if bpp != 0:
+            raise ValueError(
+                "BI_JPEG/BI_PNG requires biBitCount 0")
+        if h_raw_i < 0:
+            raise ValueError(
+                "embedded-stream BMPs cannot be top-down")
+        (size_img,) = struct.unpack("<I", payload[34:38])
+        blob = (payload[data_off:data_off + size_img]
+                if size_img else payload[data_off:])
+        if size_img and len(blob) != size_img:
+            raise ValueError("embedded stream outside file")
+        if compression == 4:
+            from barkingowl_spark.functions.jpegcodec import (
+                decode_jpeg as _dec)
+        else:
+            from barkingowl_spark.functions.pngcodec import (
+                decode_png as _dec)
+        ew, eh, rows = _dec(blob)
+        if (ew, eh) != (w, h_raw_i):
+            raise ValueError(
+                "embedded stream dims disagree with BMP header")
+        return ew, eh, rows
     if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"BMP compression {compression} "
@@ -482,3 +517,20 @@ def encode_bmp(
             + struct.pack("<IHHI", data_off + len(body), 0, 0,
                           data_off))
     return head + info + mask_blob + pal + bytes(body)
+
+
+def encode_bmp_embedded(stream: bytes, w: int, h: int,
+                        kind: str) -> bytes:
+    """Wrap a sibling-encoded JPEG ('jpeg') or PNG ('png') stream in
+    a BI_JPEG/BI_PNG BMP container (biBitCount 0, biSizeImage = the
+    stream length, dims from the caller — decode cross-checks them
+    against the stream's own header, so a lying caller is caught)."""
+    if kind not in ("jpeg", "png"):
+        raise ValueError("kind must be 'jpeg' or 'png'")
+    compression = 4 if kind == "jpeg" else 5
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 0, compression, len(stream),
+        2835, 2835, 0, 0)
+    head = (BMP_MAGIC
+            + struct.pack("<IHHI", 54 + len(stream), 0, 0, 54))
+    return head + info + stream

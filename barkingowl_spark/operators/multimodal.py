@@ -758,6 +758,42 @@ def tiffjpeg_table(docs: DataFrame) -> DataFrame:
         gen, "doc_id long, payload binary")
 
 
+def bmp_embed_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic BI_PNG / BI_JPEG BMP per
+    doc_id — the 'pixel data' is a complete sibling-codec stream
+    (pngcodec / jpegcodec), alternating on d % 2. Geometry is all
+    8-multiples (w = 8*(2 + d%3), h = 8*(2 + d%5)) and the pixel
+    formula is block-constant even (2*((7*(x DIV 8) + 11*(y DIV 8)
+    + 17d) % 100) + 28), so the lossy JPEG member round-trips
+    bit-exactly under the jpegcodec fixed-point contract and ONE
+    SQL formula oracle pins both embedded decode paths plus the
+    dims cross-check. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.bmpcodec import encode_bmp_embedded
+    from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
+    from barkingowl_spark.functions.pngcodec import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (2 + d % 3), 8 * (2 + d % 5)
+                rows = [[2 * ((7 * (x // 8) + 11 * (y // 8)
+                               + 17 * d) % 100) + 28
+                         for x in range(w)] for y in range(h)]
+                if d % 2:
+                    stream, kind = encode_jpeg_gray(rows), "jpeg"
+                else:
+                    stream, kind = encode_png(rows), "png"
+                payloads.append(
+                    encode_bmp_embedded(stream, w, h, kind))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
 def ico_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic ICO (favicon) per doc_id —
     the container composed from the sibling PNG/BMP codecs.

@@ -627,3 +627,50 @@ def test_encoder_stream_decodable_by_independent_giflib_decoder():
     # and a compressible run-heavy stream for the other code shapes
     pix2 = [((i // 19) * 37) % 256 for i in range(3000)]
     assert _ref_lzw_decode(_lzw_encode(pix2, 8), 8, len(pix2)) == pix2
+
+
+def test_bmp_embedded_streams(spark):
+    """BI_PNG/BI_JPEG (r5 third session): the BMP 'pixel data' is a
+    complete sibling-codec stream — round-trips through both
+    embedded paths, strict dims cross-check, bad bpp rejected, and
+    the Spark bmp_embed_table dispatch."""
+    import pytest as _pytest
+
+    from barkingowl_spark.functions.bmpcodec import (
+        decode_bmp,
+        encode_bmp_embedded,
+    )
+    from barkingowl_spark.functions.jpegcodec import encode_jpeg_gray
+    from barkingowl_spark.functions.pngcodec import encode_png
+    from barkingowl_spark.operators.multimodal import (
+        bmp_embed_table,
+        decode_features,
+    )
+
+    rows = [[(5 * x + 9 * y + 3) % 256 for x in range(20)]
+            for y in range(12)]
+    p = encode_bmp_embedded(encode_png(rows), 20, 12, "png")
+    assert decode_bmp(p) == (20, 12, rows)
+    block = [[2 * ((7 * (x // 8) + 11 * (y // 8) + 51) % 100) + 28
+              for x in range(16)] for y in range(16)]
+    j = encode_bmp_embedded(encode_jpeg_gray(block), 16, 16, "jpeg")
+    assert decode_bmp(j) == (16, 16, block)
+    # the dims cross-check is load-bearing: a lying BMP header is
+    # rejected, not trusted
+    with _pytest.raises(ValueError, match="disagree"):
+        decode_bmp(encode_bmp_embedded(encode_png(rows), 21, 12,
+                                       "png"))
+    # biBitCount must be 0 for embedded streams
+    bad = bytearray(p)
+    bad[28] = 8
+    with _pytest.raises(ValueError, match="biBitCount"):
+        decode_bmp(bytes(bad))
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    got = {r["doc_id"]: r for r in
+           decode_features(bmp_embed_table(docs)).collect()}
+    for d in range(6):
+        assert got[d]["is_valid"]
+        assert got[d]["width"] == 8 * (2 + d % 3)
+        assert got[d]["height"] == 8 * (2 + d % 5)
