@@ -17,12 +17,18 @@ valid-but-unsupported member compression methods.
     verify BOTH the declared uncompressed size and the CRC-32 —
     crc_ok is computed from the actual bytes, never trusted from
     the directory. Methods other than 0/8 (implode, bzip2, lzma,
-    AES) raise NotImplementedError; ZIP64 markers raise
-    NotImplementedError (the 4 GiB design point needs the 64-bit
-    records, declared seam).
-  * build_zip: the fixture writer — stored or deflated members with
-    real central/local headers, so every walk path is exercised by
-    round-trip.
+    AES) raise NotImplementedError.
+  * ZIP64 (r5 third session — the 4 GiB / 65535-member design point
+    a 100 TB crawl actually hits): 0xFFFF / 0xFFFFFFFF markers in
+    the EOCD route through the EOCD64 locator to the 64-bit record,
+    and marker-carrying central entries resolve their real values
+    from the 0x0001 extra field in APPNOTE's fixed subset order.
+    Multi-disk archives (classic or ZIP64) stay NotImplementedError.
+  * build_zip / build_zip64: the fixture writers — stored or
+    deflated members with real central/local headers (build_zip64
+    forces the full ZIP64 shape at any size, exactly what large
+    writers emit past 4 GiB, exercisable without a 4 GiB file), so
+    every walk path is exercised by round-trip.
 
 Spark surface: operators/multimodal.zip_members — mapInPandas over
 the payload column (one Arrow pass, bytes never row-at-a-time), one
@@ -38,6 +44,8 @@ import struct
 import zlib
 
 ZIP_EOCD = b"PK\x05\x06"
+ZIP_EOCD64 = b"PK\x06\x06"
+ZIP_EOCD64_LOC = b"PK\x06\x07"
 ZIP_CDE = b"PK\x01\x02"
 ZIP_LOCAL = b"PK\x03\x04"
 
@@ -53,6 +61,41 @@ def list_zip_members(
         raise ValueError(f"corrupt ZIP: {e}") from e
 
 
+def _zip64_extra(extra: bytes, usize: int, csize: int,
+                 lho: int) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF markers from the 0x0001 ZIP64 extra
+    field. APPNOTE 4.5.3: the 8-byte values appear in fixed order
+    (usize, csize, lho, disk) but ONLY for the fields whose 32-bit
+    slots carry the marker."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        (hid, hlen) = struct.unpack("<HH", extra[pos:pos + 4])
+        body = extra[pos + 4:pos + 4 + hlen]
+        pos += 4 + hlen
+        if hid != 0x0001:
+            continue
+        bp = 0
+
+        def take(n: int) -> int:
+            nonlocal bp
+            if bp + n > len(body):
+                raise ValueError("short ZIP64 extra field")
+            v = int.from_bytes(body[bp:bp + n], "little")
+            bp += n
+            return v
+
+        if usize == 0xFFFFFFFF:
+            usize = take(8)
+        if csize == 0xFFFFFFFF:
+            csize = take(8)
+        if lho == 0xFFFFFFFF:
+            lho = take(8)
+        return usize, csize, lho
+    if 0xFFFFFFFF in (usize, csize, lho):
+        raise ValueError("ZIP64 marker without a 0x0001 extra field")
+    return usize, csize, lho
+
+
 def _walk_checked(
     payload: bytes,
 ) -> list[tuple[str, int, int, int, bool]]:
@@ -64,10 +107,25 @@ def _walk_checked(
         raise ValueError("truncated EOCD record")
     (n_disk, n_total, cd_size, cd_off) = struct.unpack(
         "<HHII", payload[eocd + 8:eocd + 20])
-    if n_disk != n_total:
+    if (n_total == 0xFFFF or cd_off == 0xFFFFFFFF
+            or cd_size == 0xFFFFFFFF):
+        # ZIP64: the EOCD64 locator sits immediately before the EOCD
+        loc = eocd - 20
+        if loc < 0 or payload[loc:loc + 4] != ZIP_EOCD64_LOC:
+            raise ValueError("ZIP64 markers without an EOCD64 locator")
+        (l_disk, e64_off, l_total) = struct.unpack(
+            "<IQI", payload[loc + 4:loc + 20])
+        if l_disk != 0 or l_total != 1:
+            raise NotImplementedError("multi-disk ZIP64 archive")
+        if payload[e64_off:e64_off + 4] != ZIP_EOCD64:
+            raise ValueError("bad EOCD64 record signature")
+        (d_this, d_cd, n_this, n_total, cd_size, cd_off) = (
+            struct.unpack("<IIQQQQ", payload[e64_off + 16:
+                                             e64_off + 56]))
+        if d_this != d_cd or n_this != n_total:
+            raise NotImplementedError("multi-disk ZIP64 archive")
+    elif n_disk != n_total:
         raise NotImplementedError("multi-disk ZIP archive")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("ZIP64 archive")
     if cd_off + cd_size > len(payload):
         raise ValueError("central directory outside file")
 
@@ -85,9 +143,10 @@ def _walk_checked(
                 "<H4xIIIHHH2x2x4xI", payload[pos + 10:pos + 46]))
         name = payload[pos + 46:pos + 46 + nlen].decode(
             "utf-8", "replace")
+        extra = payload[pos + 46 + nlen:pos + 46 + nlen + elen]
         pos += 46 + nlen + elen + clen
-        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
-            raise NotImplementedError("ZIP64 member")
+        if 0xFFFFFFFF in (csize, usize, lho):
+            usize, csize, lho = _zip64_extra(extra, usize, csize, lho)
         if method not in (0, 8):
             raise NotImplementedError(
                 f"ZIP compression method {method} (stored/deflate)")
@@ -149,3 +208,52 @@ def build_zip(
                           len(members), len(cd_blob),
                           len(locals_blob), 0))
     return bytes(locals_blob + cd_blob + eocd)
+
+
+def build_zip64(
+    members: list[tuple[str, bytes, int]],
+) -> bytes:
+    """[(name, data, method 0|8)] -> ZIP64 bytes: every 32-bit
+    size/offset slot carries the 0xFFFFFFFF marker with the real
+    value in a 0x0001 extra field, EOCD64 + locator precede an
+    all-markers EOCD (the forced-ZIP64 shape, exactly what large
+    writers emit past 4 GiB — exercisable without a 4 GiB file)."""
+    locals_blob = bytearray()
+    cd_blob = bytearray()
+    metas = []
+    for name, data, method in members:
+        if method not in (0, 8):
+            raise ValueError("method must be 0 (store) or 8")
+        nb = name.encode("utf-8")
+        raw = (data if method == 0
+               else zlib.compress(data, 6)[2:-4])
+        crc = zlib.crc32(data)
+        lho = len(locals_blob)
+        lextra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(raw))
+        locals_blob += (ZIP_LOCAL
+                        + struct.pack("<HHHHHIIIHH", 45, 0, method,
+                                      0, 0, crc, 0xFFFFFFFF,
+                                      0xFFFFFFFF, len(nb),
+                                      len(lextra))
+                        + nb + lextra + raw)
+        metas.append((nb, crc, len(raw), len(data), lho, method))
+    for nb, crc, clen, ulen, lho, method in metas:
+        cextra = struct.pack("<HHQQQ", 0x0001, 24, ulen, clen, lho)
+        cd_blob += (ZIP_CDE
+                    + struct.pack("<HHHHHHIIIHHHHHII", 45, 45, 0,
+                                  method,
+                                  0, 0, crc, 0xFFFFFFFF, 0xFFFFFFFF,
+                                  len(nb), len(cextra), 0, 0, 0, 0,
+                                  0xFFFFFFFF)
+                    + nb + cextra)
+    cd_off = len(locals_blob)
+    e64_off = cd_off + len(cd_blob)
+    eocd64 = (ZIP_EOCD64
+              + struct.pack("<QHHIIQQQQ", 44, 45, 45, 0, 0,
+                            len(members), len(members),
+                            len(cd_blob), cd_off))
+    loc = ZIP_EOCD64_LOC + struct.pack("<IQI", 0, e64_off, 1)
+    eocd = (ZIP_EOCD
+            + struct.pack("<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF,
+                          0xFFFFFFFF, 0xFFFFFFFF, 0))
+    return bytes(locals_blob + cd_blob + eocd64 + loc + eocd)

@@ -839,9 +839,12 @@ def zip_table(docs: DataFrame) -> DataFrame:
     alternating stored/deflate on (i + d) % 2. The fixture writer's
     containers are independently readable by the stdlib zipfile
     module (pinned in tests), so the walk is verified against real
-    ground truth, not just its own encoder. mapInPandas,
-    Arrow-batched."""
-    from barkingowl_spark.functions.zipwalk import build_zip
+    ground truth, not just its own encoder. d % 4 == 2 containers
+    use the forced-ZIP64 layout (EOCD64 + locator, 0xFFFFFFFF
+    markers resolved from 0x0001 extra fields) — the member table
+    is container-flavor-invariant, so the same oracle pins both
+    walks. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.zipwalk import build_zip, build_zip64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -854,7 +857,8 @@ def zip_table(docs: DataFrame) -> DataFrame:
                                  for j in range(40 + 20 * i))
                     members.append((f"m{i}", data,
                                     8 if (i + d) % 2 else 0))
-                payloads.append(build_zip(members))
+                mk = build_zip64 if d % 4 == 2 else build_zip
+                payloads.append(mk(members))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})
 

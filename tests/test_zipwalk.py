@@ -118,3 +118,65 @@ def test_zip_members_spark(spark):
     bad = zip_members(junk).collect()
     assert len(bad) == 1 and bad[0]["name"] is None
     assert not bad[0]["crc_ok"] and bad[0]["method"] == -1
+
+
+def test_zip64_round_trip_and_stdlib_both_directions():
+    """ZIP64 (r5 third session): the forced-64-bit layout walks
+    identically to the classic one, the stdlib module reads our
+    ZIP64 output, and a stdlib archive with >65535 members (a REAL
+    EOCD64, not our writer's) walks correctly."""
+    import io
+    import zipfile
+
+    from barkingowl_spark.functions.zipwalk import build_zip64
+
+    p = build_zip64(MS)
+    assert list_zip_members(p) == list_zip_members(build_zip(MS))
+    zf = zipfile.ZipFile(io.BytesIO(p))
+    assert zf.namelist() == [n for n, _, _ in MS]
+    for name, data, _ in MS:
+        assert zf.read(name) == data, name
+    # stdlib force_zip64 local headers + 32-bit central
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as w:
+        with w.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"q" * 1000)
+    assert list_zip_members(buf.getvalue()) == [
+        ("big.bin", 0, 1000, 1000, True)]
+
+
+def test_zip64_real_eocd64_from_member_count():
+    """>65535 members forces the stdlib writer into a REAL EOCD64
+    record (n_total carries the 0xFFFF marker) — the reverse-
+    direction ground truth for the 64-bit end-record walk."""
+    import io
+    import zipfile
+
+    n = 65545
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as w:
+        for i in range(n):
+            w.writestr(f"f{i}", b"")
+    got = list_zip_members(buf.getvalue())
+    assert len(got) == n
+    assert got[0][0] == "f0" and got[-1][0] == f"f{n - 1}"
+    assert all(ok for *_, ok in got)
+
+
+def test_zip64_corruption():
+    from barkingowl_spark.functions.zipwalk import build_zip64
+
+    p = build_zip64([("a", b"xy" * 40, 8)])
+    # clip the EOCD64 locator signature -> markers become orphaned
+    i = p.index(b"PK\x06\x07")
+    bad = bytearray(p)
+    bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="locator"):
+        list_zip_members(bytes(bad))
+    # marker without an extra field -> rejected, not mis-sized
+    j = p.index(b"PK\x01\x02")
+    noextra = bytearray(p)
+    # zero out the central extra-field length (offset 30 in the CDE)
+    noextra[j + 30:j + 32] = b"\x00\x00"
+    with pytest.raises(ValueError, match="ZIP64 marker"):
+        list_zip_members(bytes(noextra))
