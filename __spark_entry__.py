@@ -1135,8 +1135,9 @@ def _tiffjpeg_docs(spark, sf, n=48):
     compression-7 TIFFs whose strips/tiles are complete JPEG
     streams: w = 8*(2 + d%3), h = 8*(2 + d%5), block-constant even
     pixels (jpeg_table's formula with 13d), organization cycling
-    single-strip / 8-row strips / 16x16 tiles on d % 3, byte order
-    on d % 2. The LOSSY embed round-trips bit-exactly under the
+    single-strip / 8-row strips / 16x16 tiles / OLD-STYLE
+    compression-6 JPEGInterchangeFormat on d % 4, byte order on
+    d % 2. The LOSSY embed round-trips bit-exactly under the
     jpegcodec fixed-point contract, so the SQL oracle recomputes
     the formula."""
     from barkingowl_spark.operators.multimodal import tiffjpeg_table

@@ -31,13 +31,18 @@ NotImplementedError for valid-but-unsupported shapes.
     handled. Compression 7 (new-style JPEG-in-TIFF, TechNote 2):
     each strip/tile is a complete JPEG interchange stream decoded
     through the sibling jpegcodec (8-bit grayscale shapes; the
-    embedded stream's dims must equal the chunk's). Output is
+    embedded stream's dims must equal the chunk's). Compression 6
+    (old-style JPEG — r5 third session): the recoverable subset is
+    a whole-image interchange stream behind JPEGInterchangeFormat
+    (513) / -Length (514), dims cross-checked; the strip pointers
+    such files carry are famously unreliable (the mess TechNote 2
+    replaced) and are deliberately ignored, and the strip-fragment
+    flavor without tag 513 stays NotImplementedError. Output is
     integer GRAYSCALE rows via the shared ITU-R BT.601 luma.
-    Anything else (old-style JPEGInterchangeFormat tags, float
-    predictor 3, 12-bit samples, 16-bit palette, non-gray
-    JPEG-in-TIFF) raises NotImplementedError — real TIFF shapes,
-    just not stdlib-trivial ones, kept behind the declared-seam
-    convention.
+    Anything else (float predictor 3, 12-bit samples, 16-bit
+    palette, non-gray JPEG-in-TIFF) raises NotImplementedError —
+    real TIFF shapes, just not stdlib-trivial ones, kept behind the
+    declared-seam convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
     either byte order, compression none, LZW (real dictionary
     compression with the early-change widths and the 4094-entry
@@ -303,7 +308,7 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
     compression = one(259, 1)
-    if compression not in (1, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 5, 6, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} "
             "(none/LZW/JPEG/Deflate/PackBits)")
@@ -349,9 +354,35 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 "JPEG-in-TIFF beyond 8-bit grayscale")
         if predictor != 1:
             raise ValueError("predictor with JPEG compression")
+    if compression == 6:
+        # old-style JPEG (compression 6 era): the recoverable subset
+        # is a complete interchange stream at JPEGInterchangeFormat
+        # (513) / -Length (514) covering the WHOLE image; strip
+        # pointers in such files are famously unreliable (that mess
+        # is why TechNote 2 exists) and are deliberately ignored.
+        if photometric != 1 or spp != 1 or bps != 8:
+            raise NotImplementedError(
+                "old-style JPEG beyond 8-bit grayscale")
+        if predictor != 1:
+            raise ValueError("predictor with JPEG compression")
+        if 513 not in tags or 514 not in tags:
+            raise NotImplementedError(
+                "old-style JPEG without a JPEGInterchangeFormat "
+                "stream (strip-fragment flavor)")
+        off, cnt = tags[513][0], tags[514][0]
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise ValueError("JPEGInterchangeFormat outside file")
+        from barkingowl_spark.functions.jpegcodec import decode_jpeg
+
+        jw, jh, jrows = decode_jpeg(seg)
+        if (jw, jh) != (w, h):
+            raise ValueError(
+                f"JPEG stream dims {jw}x{jh} != image {w}x{h}")
+        return w, h, jrows
     if 513 in tags or 514 in tags:
         raise NotImplementedError(
-            "old-style JPEGInterchangeFormat (compression 6 era)")
+            "JPEGInterchangeFormat tags outside compression 6")
 
     bpb = bps // 8  # bytes per sample
 
@@ -540,6 +571,7 @@ def encode_tiff(
     planar2: bool = False,
     tiles: tuple[int, int] | None = None,
     jpeg: bool = False,
+    oldjpeg: bool = False,
 ) -> bytes:
     """Gray rows (0..255) -> TIFF. photometric: 1 gray, 0 inverted
     gray, 2 RGB (r=g=b=v), 3 palette (identity gray ColorMap, entry
@@ -552,10 +584,13 @@ def encode_tiff(
     planar2: planar configuration 2 — one strip/tile sequence per
     sample plane. tiles=(tw, tl): tiled organization instead of
     strips (dims must be multiples of 16; edge tiles padded)."""
-    if packbits + lzw + deflate + jpeg > 1:
+    if packbits + lzw + deflate + jpeg + oldjpeg > 1:
         raise ValueError("choose one compression")
-    if jpeg and (photometric != 1 or predictor2 or bits16 or planar2):
+    if (jpeg or oldjpeg) and (photometric != 1 or predictor2
+                              or bits16 or planar2):
         raise ValueError("JPEG-in-TIFF fixture is plain 8-bit gray")
+    if oldjpeg and (tiles is not None or rows_per_strip is not None):
+        raise ValueError("old-style JPEG is one whole-image stream")
     if bits16 and photometric == 3:
         raise ValueError("16-bit palette not supported")
     if tiles is not None and rows_per_strip is not None:
@@ -593,7 +628,7 @@ def encode_tiff(
 
     def finish(svals: list[int], chunk_rows: int,
                chunk_w: int) -> bytes:
-        if jpeg:
+        if jpeg or oldjpeg:
             from barkingowl_spark.functions.jpegcodec import (
                 encode_jpeg_gray,
             )
@@ -688,6 +723,7 @@ def encode_tiff(
         add(258, 3, 1, slot(3, 1, [bps]))
     add(259, 3, 1, slot(3, 1, [32773 if packbits
                                else 5 if lzw
+                               else 6 if oldjpeg
                                else 7 if jpeg
                                else 8 if deflate else 1]))
     add(262, 3, 1, slot(3, 1, [photometric]))
@@ -698,7 +734,11 @@ def encode_tiff(
         add(317, 3, 1, slot(3, 1, [2]))
     if photometric == 3:
         add(320, 3, 768, struct.pack(end + "I", cmap_off))
-    if tiles is not None:
+    if oldjpeg:
+        # no strip/tile tags at all — the compression-6 shape is one
+        # whole-image stream behind JPEGInterchangeFormat(-Length)
+        off_tag, cnt_tag = 513, 514
+    elif tiles is not None:
         add(322, 3, 1, slot(3, 1, [tiles[0]]))
         add(323, 3, 1, slot(3, 1, [tiles[1]]))
         off_tag, cnt_tag = 324, 325

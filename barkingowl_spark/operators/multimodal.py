@@ -730,9 +730,12 @@ def tiffjpeg_table(docs: DataFrame) -> DataFrame:
     (2*((7*(x DIV 8) + 11*(y DIV 8) + 13d) % 100) + 28), so the
     LOSSY embed round-trips bit-exactly under the jpegcodec
     fixed-point contract and a SQL formula oracle pins the whole
-    container-in-container chain. Organization cycles d % 3 (single
-    strip / 8-row strips / 16x16 tiles with edge padding) and byte
-    order flips on d % 2. mapInPandas, Arrow-batched."""
+    container-in-container chain. Organization cycles d % 4 (single
+    strip / 8-row strips / 16x16 tiles with edge padding /
+    OLD-STYLE compression-6 JPEGInterchangeFormat — r5 third
+    session; decoded pixels are organization-invariant, so the same
+    oracle pins all four) and byte order flips on d % 2.
+    mapInPandas, Arrow-batched."""
     from barkingowl_spark.functions.tiffcodec import encode_tiff
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -744,9 +747,9 @@ def tiffjpeg_table(docs: DataFrame) -> DataFrame:
                 rows = [[2 * ((7 * (x // 8) + 11 * (y // 8)
                                + 13 * d) % 100) + 28
                          for x in range(w)] for y in range(h)]
-                v = d % 3
+                v = d % 4
                 payloads.append(encode_tiff(
-                    rows, jpeg=True,
+                    rows, jpeg=v != 3, oldjpeg=v == 3,
                     big_endian=bool(d % 2),
                     rows_per_strip=8 if v == 1 else None,
                     tiles=(16, 16) if v == 2 else None,

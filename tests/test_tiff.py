@@ -469,3 +469,37 @@ def test_tiff_table_spark_dispatch(spark):
            for row in perceptual_hash(bt).collect()}
     assert got == {d: py_hash(d) for d in range(24)}
     bt.unpersist()
+
+
+def test_oldstyle_jpeg_compression_6():
+    """Old-style JPEG (compression 6, r5 third session): the whole
+    image is one interchange stream behind JPEGInterchangeFormat
+    (513/514); dims cross-checked; 513 outside compression 6 and
+    the strip-fragment flavor both stay rejected."""
+    import struct
+
+    img = [[2 * ((7 * (x // 8) + 11 * (y // 8) + 39) % 100) + 28
+            for x in range(24)] for y in range(32)]
+    for be in (False, True):
+        p = encode_tiff(img, oldjpeg=True, big_endian=be)
+        assert decode_tiff(p) == (24, 32, img), be
+    # a lying width is rejected via the dims cross-check
+    p = bytearray(encode_tiff(img, oldjpeg=True))
+    i = p.index(struct.pack("<HHI", 256, 3, 1))
+    p[i + 8:i + 10] = struct.pack("<H", 32)
+    with pytest.raises(ValueError, match="dims"):
+        decode_tiff(bytes(p))
+    # 513/514 next to a non-6 compression stays a declared seam
+    good = encode_tiff(img, oldjpeg=True)
+    swapped = good.replace(
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 6),
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1))
+    with pytest.raises(NotImplementedError, match="outside"):
+        decode_tiff(swapped)
+    # compression 6 WITHOUT the interchange stream (strip-fragment
+    # flavor) is the remaining declared seam
+    nostream = bytearray(good)
+    j = nostream.index(struct.pack("<HHI", 513, 4, 1))
+    nostream[j:j + 2] = struct.pack("<H", 999)  # retag 513 away
+    with pytest.raises(NotImplementedError, match="strip-fragment"):
+        decode_tiff(bytes(nostream))
