@@ -35,11 +35,18 @@ ValueError/NotImplementedError as the whole error surface.
     encode_bmp_embedded wraps a sibling-encoded stream for the
     fixture path.
 
+  * OS/2 v2 BITMAPINFOHEADER2 (r5 third session): truncated cbFix
+    sizes 16..36 — fields exist only while the declared size covers
+    them (compression needs >= 20, cclrUsed >= 36), unsigned dims,
+    4-byte palette quads; the full 64-byte shape reads as INFO
+    except that compression 3/4 there mean Huffman-1D/RLE24 (NOT
+    bitfields/JPEG) and are refused rather than misread.
+
 BMP is lossless, so any fixture round-trips bit-for-bit and a SQL
 pixel-formula oracle pins the whole chain. Remaining
-NotImplementedError surface: OS/2 v2 headers (size 16..36);
-corrupt input raises ValueError only (struct errors normalize
-here).
+NotImplementedError surface: OS/2 Huffman-1D and RLE24 pixel
+encodings; corrupt input raises ValueError only (struct errors
+normalize here).
 """
 
 from __future__ import annotations
@@ -94,6 +101,24 @@ def _decode_checked(
         h_raw_i = h_raw
         compression = 0
         used = 0
+    elif 16 <= hdr_size < 40:
+        # OS/2 v2 BITMAPINFOHEADER2 truncations (cbFix 16..36):
+        # fields exist only while the declared size covers them and
+        # default to 0 beyond it; dims are unsigned (no top-down),
+        # palette entries are 4-byte quads like Windows INFO.
+        w, h_raw = struct.unpack("<II", payload[18:26])
+        if w > 0x7FFFFFFF or h_raw > 0x7FFFFFFF:
+            raise ValueError("OS/2 v2 dims out of range")
+        h_raw_i = h_raw
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        compression = (struct.unpack("<I", payload[30:34])[0]
+                       if hdr_size >= 20 else 0)
+        used = (struct.unpack("<I", payload[46:50])[0]
+                if hdr_size >= 36 else 0)
+        if compression == 3:
+            raise NotImplementedError("OS/2 Huffman-1D BMP")
+        if compression == 4:
+            raise NotImplementedError("OS/2 RLE24 BMP")
     elif hdr_size >= 40:
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -101,9 +126,15 @@ def _decode_checked(
         planes, bpp = struct.unpack("<HH", payload[26:30])
         (compression,) = struct.unpack("<I", payload[30:34])
         (used,) = struct.unpack("<I", payload[46:50])
+        if hdr_size == 64 and compression in (3, 4):
+            # a 64-byte header is the full OS/2 v2 shape, where 3/4
+            # mean Huffman-1D/RLE24 — NOT bitfields/JPEG; refusing
+            # beats silently misreading the ambiguity.
+            raise NotImplementedError(
+                "OS/2 v2 Huffman-1D/RLE24 BMP")
     else:
         raise NotImplementedError(
-            f"OS/2 v2 header ({hdr_size}) not supported")
+            f"BMP header size {hdr_size} not supported")
     if w <= 0 or h_raw_i == 0:
         raise ValueError("empty BMP geometry")
     if planes != 1:

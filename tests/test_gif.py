@@ -674,3 +674,59 @@ def test_bmp_embedded_streams(spark):
         assert got[d]["is_valid"]
         assert got[d]["width"] == 8 * (2 + d % 3)
         assert got[d]["height"] == 8 * (2 + d % 5)
+
+
+def test_bmp_os2v2_truncated_headers():
+    """OS/2 v2 BITMAPINFOHEADER2 (r5 third session): hand-built
+    truncated headers (cbFix 16/20/24/36) decode with absent fields
+    defaulting to 0; Huffman-1D (3) and RLE24 (4) stay declared
+    seams, including at the ambiguous 64-byte size where Windows
+    would read them as BITFIELDS/JPEG."""
+    import struct
+
+    import pytest as _pytest
+
+    from barkingowl_spark.functions.bmpcodec import decode_bmp
+
+    def os2v2(rows, hdr_size, bpp=8, compression=0):
+        h, w = len(rows), len(rows[0])
+        hdr = bytearray(hdr_size)
+        hdr[0:4] = struct.pack("<I", hdr_size)
+        hdr[4:8] = struct.pack("<I", w)
+        hdr[8:12] = struct.pack("<I", h)
+        hdr[12:14] = struct.pack("<H", 1)
+        hdr[14:16] = struct.pack("<H", bpp)
+        if hdr_size >= 20:
+            hdr[16:20] = struct.pack("<I", compression)
+        palb = (b"".join(bytes((i, i, i, 0)) for i in range(256))
+                if bpp == 8 else b"")
+        stride = (w * (bpp // 8) + 3) & ~3
+        body = bytearray()
+        for r in reversed(rows):
+            line = (bytes(r) if bpp == 8
+                    else b"".join(bytes((v, v, v)) for v in r))
+            body += line + b"\x00" * (stride - len(line))
+        off = 14 + hdr_size + len(palb)
+        return (b"BM"
+                + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + hdr + palb + bytes(body))
+
+    rows = [[(3 * x + 7 * y + 1) % 256 for x in range(9)]
+            for y in range(5)]
+    for hs in (16, 20, 24, 36):
+        assert decode_bmp(os2v2(rows, hs)) == (9, 5, rows), hs
+    assert decode_bmp(os2v2(rows, 16, bpp=24)) == (9, 5, rows)
+    with _pytest.raises(NotImplementedError, match="Huffman"):
+        decode_bmp(os2v2(rows, 20, compression=3))
+    with _pytest.raises(NotImplementedError, match="RLE24"):
+        decode_bmp(os2v2(rows, 20, compression=4))
+    # 64-byte full OS/2 v2: compression 3 must NOT parse as
+    # BITFIELDS (the Windows meaning) — refused instead
+    from barkingowl_spark.functions.bmpcodec import encode_bmp
+
+    rows5 = [[(((x + y) % 32) * 255) // 31 for x in range(9)]
+             for y in range(5)]
+    p = bytearray(encode_bmp(rows5, bpp=16, bitfields=True))
+    p[14:18] = struct.pack("<I", 64)
+    with _pytest.raises(NotImplementedError, match="OS/2 v2"):
+        decode_bmp(bytes(p))
