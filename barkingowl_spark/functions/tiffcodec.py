@@ -39,10 +39,14 @@ NotImplementedError for valid-but-unsupported shapes.
     replaced) and are deliberately ignored, and the strip-fragment
     flavor without tag 513 stays NotImplementedError. Output is
     integer GRAYSCALE rows via the shared ITU-R BT.601 luma.
-    Anything else (float predictor 3, 12-bit samples, 16-bit
-    palette, non-gray JPEG-in-TIFF) raises NotImplementedError —
-    real TIFF shapes, just not stdlib-trivial ones, kept behind the
-    declared-seam convention.
+    12-bit samples (r5 third session): two per three bytes
+    MSB-first, each ROW byte-aligned per the spec, reduced by >> 4
+    (the high-part convention; predictor-2 deltas wrap mod 4096),
+    single-sample grayscale shapes only. Anything else (float
+    predictor 3, other odd depths, 16-bit palette, non-gray
+    JPEG-in-TIFF) raises NotImplementedError — real TIFF shapes,
+    just not stdlib-trivial ones, kept behind the declared-seam
+    convention.
   * encode_tiff: the fixture writer — gray/RGB/palette variants in
     either byte order, compression none, LZW (real dictionary
     compression with the early-change widths and the 4094-entry
@@ -321,9 +325,12 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
     bps = bits[0]
     if any(b != bps for b in bits):
         raise ValueError("mixed per-sample bit depths")
-    if bps not in (8, 16):
+    if bps not in (8, 12, 16):
         raise NotImplementedError(
-            f"{bps}-bit TIFF samples (8/16 supported)")
+            f"{bps}-bit TIFF samples (8/12/16 supported)")
+    if bps == 12 and (spp != 1 or photometric not in (0, 1)):
+        raise NotImplementedError(
+            "12-bit TIFF beyond single-sample grayscale")
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"bad planar configuration {planar}")
@@ -404,7 +411,15 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 raise ValueError(
                     f"JPEG strip dims {jw}x{jh} != chunk {dims}")
             return [v for r in jrows for v in r]
-        expect = n_samples * bpb
+        if bps == 12:
+            # 12-bit samples pack two-per-three-bytes MSB-first,
+            # each ROW starting on a byte boundary (TIFF §: rows
+            # are required to begin on byte boundaries)
+            cw, crows = dims
+            rb = (3 * cw + 1) // 2
+            expect = rb * crows
+        else:
+            expect = n_samples * bpb
         if compression == 1:
             if len(seg) < expect:
                 raise ValueError("short uncompressed strip")
@@ -420,6 +435,19 @@ def _decode_checked(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 raise ValueError("TIFF deflate length mismatch")
         else:
             buf = _unpackbits(seg, expect)
+        if bps == 12:
+            vals: list[int] = []
+            for r in range(crows):
+                base = r * rb
+                for x in range(cw):
+                    bo = 12 * x
+                    byt = base + bo // 8
+                    if bo % 8 == 0:
+                        v = (buf[byt] << 4) | (buf[byt + 1] >> 4)
+                    else:
+                        v = ((buf[byt] & 0x0F) << 8) | buf[byt + 1]
+                    vals.append(v)
+            return vals
         if bpb == 1:
             return list(buf)
         return list(struct.unpack(f"{end}{n_samples}H", buf))
@@ -568,6 +596,7 @@ def encode_tiff(
     deflate: bool = False,
     predictor2: bool = False,
     bits16: bool = False,
+    bits12: bool = False,
     planar2: bool = False,
     tiles: tuple[int, int] | None = None,
     jpeg: bool = False,
@@ -593,6 +622,9 @@ def encode_tiff(
         raise ValueError("old-style JPEG is one whole-image stream")
     if bits16 and photometric == 3:
         raise ValueError("16-bit palette not supported")
+    if bits12 and (bits16 or jpeg or oldjpeg or planar2
+                   or photometric not in (0, 1)):
+        raise ValueError("12-bit fixture is plain chunky gray")
     if tiles is not None and rows_per_strip is not None:
         raise ValueError("choose strips or tiles, not both")
     h = len(rows)
@@ -604,11 +636,20 @@ def encode_tiff(
     end = ">" if big_endian else "<"
     magic = TIFF_MAGIC_BE if big_endian else TIFF_MAGIC_LE
     spp = 3 if photometric == 2 else 1
-    bps = 16 if bits16 else 8
+    bps = 16 if bits16 else 12 if bits12 else 8
     mask = (1 << bps) - 1
-    scale = 257 if bits16 else 1
     planes = spp if planar2 else 1
     spp_eff = 1 if planar2 else spp
+
+    def upscale(v: int) -> int:
+        # the high-byte/high-nibble convention: decode's >> (bps-8)
+        # recovers v exactly, and inversion at full depth stays
+        # exact (16-bit: v*257; 12-bit: 16v + (v >> 4))
+        if bps == 16:
+            return v * 257
+        if bps == 12:
+            return 16 * v + (v >> 4)
+        return v
 
     # chunky sample grid at the target bit depth
     grid: list[list[int]] = []
@@ -617,9 +658,29 @@ def encode_tiff(
         for v in r:
             if not 0 <= v <= 255:
                 raise ValueError("pixel out of range")
-            sv = (mask - v * scale) if photometric == 0 else v * scale
+            sv = (mask - upscale(v)) if photometric == 0 \
+                else upscale(v)
             line.extend([sv] * spp)
         grid.append(line)
+
+    def pack12(svals: list[int], chunk_rows: int,
+               chunk_w: int) -> bytes:
+        # two samples per three bytes MSB-first, each row padded to
+        # a byte boundary (the spec's row-alignment rule)
+        out = bytearray()
+        for r in range(chunk_rows):
+            row = svals[r * chunk_w:(r + 1) * chunk_w]
+            bits = 0
+            acc = 0
+            for v in row:
+                acc = (acc << 12) | v
+                bits += 12
+                while bits >= 8:
+                    bits -= 8
+                    out.append((acc >> bits) & 0xFF)
+            if bits:
+                out.append((acc << (8 - bits)) & 0xFF)
+        return bytes(out)
 
     def pack(svals: list[int]) -> bytes:
         if bps == 8:
@@ -639,7 +700,8 @@ def encode_tiff(
         if predictor2:
             _apply_predictor2(svals, chunk_rows, chunk_w, spp_eff,
                               mask)
-        raw = pack(svals)
+        raw = (pack12(svals, chunk_rows, chunk_w) if bps == 12
+               else pack(svals))
         if packbits:
             return _packbits(raw)
         if lzw:

@@ -477,8 +477,10 @@ def tiff_table(docs: DataFrame) -> DataFrame:
     de-stub fixture for the last lossless container. Geometry:
     w = 16 + d%10, h = 12 + 7d%11; pixel = (3x + 11y + d) % 256 for
     EVERY variant (photometric 0 pre-inverts on encode, palette uses
-    the identity gray ColorMap, 16-bit samples store v*257, so
-    decode always returns the formula). Variants cycle d % 20 =
+    the identity gray ColorMap, 16-bit samples store v*257, 12-bit
+    store 16v + (v >> 4) — both exact under the high-part
+    reduction, so decode always returns the formula). Variants
+    cycle d % 22 =
     photometric (gray-inverted / gray / RGB / palette) x compression
     (none / PackBits / LZW — the r5 early-change de-stub; the last
     two LZW variants add Predictor 2 horizontal differencing over
@@ -487,7 +489,10 @@ def tiff_table(docs: DataFrame) -> DataFrame:
     16-bit gray, v=15 16-bit RGB + predictor-2 (sample-depth deltas
     on the wire), v=16 planar-2 RGB, v=17 planar-2 RGB + LZW +
     predictor, v=18 tiled gray PackBits (16x16 tiles, edge pad +
-    crop), v=19 tiled 16-bit RGB + Deflate + predictor. Byte order
+    crop), v=19 tiled 16-bit RGB + Deflate + predictor, and the r5
+    third-session 12-bit rows: v=20 12-bit gray (two samples per
+    three bytes MSB-first, rows byte-aligned), v=21 12-bit
+    INVERTED gray + LZW + predictor-2 (deltas mod 4096). Byte order
     flips on d % 2, and d % 3 == 0 splits strip variants into 5-row
     strips — every decoder path exercised by round-trip.
     mapInPandas, Arrow-batched."""
@@ -501,17 +506,20 @@ def tiff_table(docs: DataFrame) -> DataFrame:
                 w, h = 16 + d % 10, 12 + (7 * d) % 11
                 rows = [[(3 * x + 11 * y + d) % 256
                          for x in range(w)] for y in range(h)]
-                v = d % 20
+                v = d % 22
                 tiled = v in (18, 19)
                 payloads.append(encode_tiff(
                     rows,
-                    photometric=(1 if v in (12, 14, 18)
+                    photometric=(1 if v in (12, 14, 18, 20)
+                                 else 0 if v == 21
                                  else 2 if v >= 13 else v % 4),
                     packbits=4 <= v < 8 or v == 18,
-                    lzw=8 <= v < 12 or v == 17,
+                    lzw=8 <= v < 12 or v in (17, 21),
                     deflate=v in (12, 13, 19),
-                    predictor2=10 <= v < 12 or v in (13, 15, 17, 19),
+                    predictor2=(10 <= v < 12
+                                or v in (13, 15, 17, 19, 21)),
                     bits16=v in (14, 15, 19),
+                    bits12=v in (20, 21),
                     planar2=v in (16, 17),
                     big_endian=bool(d % 2),
                     tiles=(16, 16) if tiled else None,

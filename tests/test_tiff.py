@@ -79,10 +79,12 @@ def test_unsupported_shapes_not_implemented():
     bad[idx + 8] = 4
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
-    # 12-bit samples (8/16 are REAL in late r5)
+    # 10-bit samples (8/16 real by late r5; 12 real in the third
+    # session — a mispatched 12 now fails the strip-length check
+    # with ValueError instead, which is the honest outcome)
     bad = bytearray(good)
     idx = good.index(struct.pack("<HHI", 258, 3, 1))
-    bad[idx + 8] = 12
+    bad[idx + 8] = 10
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
     # float predictor 3
@@ -503,3 +505,60 @@ def test_oldstyle_jpeg_compression_6():
     nostream[j:j + 2] = struct.pack("<H", 999)  # retag 513 away
     with pytest.raises(NotImplementedError, match="strip-fragment"):
         decode_tiff(bytes(nostream))
+
+
+def test_12bit_samples():
+    """12-bit packed samples (r5 third session): round-trips across
+    compressions/predictor/strips/tiles/both byte orders (the
+    two-per-three-bytes MSB-first packing is byte-order-free), a
+    HAND-built stream pins the nibble layout independently of the
+    writer, and 12-bit predictor deltas wrap at SAMPLE depth
+    (mod 4096)."""
+    import struct
+
+    rows = [[(3 * x + 7 * y + 5) % 256 for x in range(9)]
+            for y in range(7)]
+    for kw in (dict(), dict(big_endian=True), dict(photometric=0),
+               dict(packbits=True), dict(lzw=True),
+               dict(deflate=True), dict(predictor2=True),
+               dict(rows_per_strip=3),
+               dict(predictor2=True, lzw=True, rows_per_strip=2)):
+        assert decode_tiff(encode_tiff(rows, bits12=True, **kw)) \
+            == (9, 7, rows), kw
+    r3 = [[(x + 2 * y) % 256 for x in range(20)] for y in range(18)]
+    assert decode_tiff(encode_tiff(r3, bits12=True,
+                                   tiles=(16, 16))) == (20, 18, r3)
+
+    # hand-built 2x2 stream: samples 0xABC 0xDEF / 0x123 0x456 pack
+    # per-row to AB CD EF / 12 34 56 — >> 4 gives AB DE 12 45
+    body = bytes([0xAB, 0xCD, 0xEF, 0x12, 0x34, 0x56])
+    ifd_entries = [
+        (256, 3, 1, struct.pack("<HH", 2, 0)),
+        (257, 3, 1, struct.pack("<HH", 2, 0)),
+        (258, 3, 1, struct.pack("<HH", 12, 0)),
+        (259, 3, 1, struct.pack("<HH", 1, 0)),
+        (262, 3, 1, struct.pack("<HH", 1, 0)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 3, 1, struct.pack("<HH", 2, 0)),
+        (279, 4, 1, struct.pack("<I", len(body))),
+    ]
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 8 + len(body))
+    out += body
+    out += struct.pack("<H", len(ifd_entries))
+    for tag, typ, cnt, raw4 in ifd_entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + raw4
+    out += struct.pack("<I", 0)
+    assert decode_tiff(bytes(out)) == (
+        2, 2, [[0xAB, 0xDE], [0x12, 0x45]])
+
+    # 12-bit RGB stays a declared seam
+    with pytest.raises(ValueError, match="chunky gray"):
+        encode_tiff(rows, bits12=True, photometric=2)
+    p = encode_tiff(rows, bits12=True)
+    i = p.index(struct.pack("<HHI", 277, 3, 1))
+    bad = bytearray(p)
+    bad[i + 8] = 3
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_tiff(bytes(bad))
