@@ -1285,6 +1285,24 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_audio_g711(spark, sf):
+    """G.711 mu/A-law WAV decode (operators/audiofp.py, r5 third
+    session): the ITU closed-form expansions (invert / 0x55,
+    mantissa + bias, segment shift) over companded-byte fixtures —
+    the oracle recomputes the expansion formula in SQL, and the
+    stdlib audioop module pins all 256 codes of both laws at unit
+    level, so this de-stub has the independent ground truth the
+    QM-coder genuinely lacks."""
+    from barkingowl_spark.operators.audiofp import (
+        g711_stats,
+        g711_table,
+    )
+
+    return g711_stats(g711_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_tar_members(spark, sf):
     """TAR + GZIP archive introspection (functions/tarwalk.py, r5
     third session): USTAR header walk with checksum re-verification,
@@ -6372,6 +6390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ico_ahash": q_mm_ico_ahash,
         "zip_members": q_zip_members,
         "tar_members": q_tar_members,
+        "audio_g711": q_audio_g711,
         "pdf_texts": q_pdf_texts,
         "pdf_texts_xs": q_pdf_texts_xs,
     })
@@ -10887,6 +10906,44 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "audio_g711": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            s AS (
+              SELECT doc_id, gi.i,
+                     (11 * gi.i + 37 * doc_id) % 256 AS b
+              FROM d, (SELECT unnest(generate_series(0, 64)) AS i) gi
+              WHERE gi.i < 48 + doc_id % 17),
+            ex AS (
+              SELECT doc_id, i,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  -- mu-law: u = ~b; t = ((u%16)*8 + 132) << seg
+                  CASE WHEN (255 - b) >= 128
+                       THEN 132 - (((255 - b) % 16) * 8 + 132)
+                                  * (1 << (((255 - b) // 16) % 8))
+                       ELSE (((255 - b) % 16) * 8 + 132)
+                            * (1 << (((255 - b) // 16) % 8)) - 132
+                  END
+                ELSE
+                  -- A-law: a = b XOR 0x55; seg-0 special case;
+                  -- sign bit SET means positive
+                  (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+                  (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        WHEN (xor(b, 85) // 16) % 8 = 1
+                        THEN (xor(b, 85) % 16) * 16 + 264
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(b, 85) // 16) % 8 - 1))
+                   END)
+                END AS sv
+              FROM s)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_samples,
+                   CAST(sum(sv) AS BIGINT) AS s_sum,
+                   CAST(min(sv) AS BIGINT) AS s_min,
+                   CAST(max(sv) AS BIGINT) AS s_max
+            FROM ex GROUP BY doc_id
         """,
         "tar_members": """
             WITH d AS (SELECT doc_id FROM documents

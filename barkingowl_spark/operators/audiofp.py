@@ -97,14 +97,46 @@ def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
     return encode_wav_pcm([samples], rate=rate, bits=16)
 
 
+def ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 mu-law byte -> linear int16 — the CLOSED-FORM
+    spec expansion (invert, 4-bit mantissa + bias 0x84, shift by
+    the 3-bit segment, re-bias). Unlike the QM-coder's empirical
+    state table, this is pure arithmetic a SQL oracle can recompute
+    — and the stdlib audioop module pins all 256 codes in tests."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte -> linear int16 (even-bit inversion
+    0x55, segment 0 special-cased, sign bit set = positive)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
 def decode_wav_pcm(payload: bytes) -> list[int]:
     """RIFF/WAVE -> int16-scale samples. PCM (format 1) at 16 or 24
     bits (r4 verdict item 7); 24-bit samples arithmetic-shift down 8
-    (>> 8, floor) onto the 16-bit scale; multi-channel frames downmix
-    to the floor-mean of the channels (sum DIV n_ch, Python floor —
-    a fixture with ch = s +/- e makes the mix exactly s, parity-free).
-    Compressed/float formats raise NotImplementedError (their codecs
-    are the genuine environment gap), corrupt containers ValueError."""
+    (>> 8, floor) onto the 16-bit scale; G.711 A-law (format 6) and
+    mu-law (format 7) at 8 bits expand per the closed-form spec
+    formulas (r5 third session — the earlier same-reasoning-as-QM
+    stub was too broad: G.711 is formula, not empirical table, so
+    it IS independently verifiable here, by the SQL oracle and by
+    stdlib audioop); multi-channel frames downmix to the floor-mean
+    of the channels (sum DIV n_ch, Python floor — a fixture with
+    ch = s +/- e makes the mix exactly s, parity-free). Remaining
+    compressed/float formats raise NotImplementedError (their
+    codecs are the genuine environment gap), corrupt containers
+    ValueError."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -126,6 +158,13 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
         raise ValueError("WAV missing fmt/data chunk")
     if n_ch is None or n_ch < 1:
         raise ValueError(f"WAV fmt declares {n_ch} channels")
+    if fmt_code in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with bits={bits}")
+        expand = alaw_to_linear if fmt_code == 6 else ulaw_to_linear
+        usable = len(data) - len(data) % n_ch
+        return [sum(expand(data[i + c]) for c in range(n_ch)) // n_ch
+                for i in range(0, usable, n_ch)]
     if fmt_code != 1 or bits not in (16, 24):
         raise NotImplementedError(
             f"compressed/non-PCM-16/24 WAV (format={fmt_code}, "
@@ -145,6 +184,33 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
                     data[off:off + 3], "little", signed=True) >> 8
         out.append(acc // n_ch)
     return out
+
+
+def encode_wav_g711(channel_bytes: list[bytes], rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """Interleaved G.711 WAV writer (format 6 A-law / 7 mu-law,
+    8-bit companded bytes given directly — the fixture domain IS
+    the code space, so no linear->companded encoder is needed and
+    the decode formula alone is under test)."""
+    import struct
+
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    n_ch = len(channel_bytes)
+    if n_ch < 1 or any(len(c) != len(channel_bytes[0])
+                       for c in channel_bytes):
+        raise ValueError("need equal-length channels")
+    n = len(channel_bytes[0])
+    data = bytes(channel_bytes[c][i]
+                 for i in range(n) for c in range(n_ch))
+    fmt_code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", fmt_code, n_ch, rate, rate * n_ch,
+                      n_ch, 8)
+    pad = b"\x00" if len(data) & 1 else b""
+    return (b"RIFF"
+            + struct.pack("<I", 36 + len(data) + len(pad)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data + pad)
 
 
 #: back-compat alias (the r3 name; the decoder now covers 24-bit too)
@@ -393,6 +459,60 @@ def wav_table(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         gen, "track_id long, payload binary")
+
+
+def g711_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic G.711 WAV per doc_id —
+    n = 48 + d % 17 companded bytes b[i] = (11i + 37d) % 256, law
+    mu (format 7) on even d / A (format 6) on odd d, mono. The
+    fixture domain IS the code space, so the decode expansion alone
+    is under test and the SQL oracle recomputes it from the ITU
+    closed-form formulas. mapInPandas, Arrow-batched."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cb = bytes((11 * i + 37 * d) % 256
+                           for i in range(48 + d % 17))
+                payloads.append(encode_wav_g711(
+                    [cb], law="ulaw" if d % 2 == 0 else "alaw"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def g711_stats(tracks: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, s_sum, s_min, s_max): decode the G.711
+    WAV payload column (one mapInPandas pass through
+    decode_wav_pcm) and report exact integer aggregates per track —
+    the value the SQL oracle recomputes from the expansion formula,
+    so one wrong segment shift or bias hash-mismatches. Unparseable
+    payloads yield (0, 0, 0, 0) — the containment convention."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s = decode_wav_pcm(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    s = []
+                if s:
+                    rows.append((doc_id, len(s), sum(s), min(s),
+                                 max(s)))
+                else:
+                    rows.append((doc_id, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "s_sum",
+                               "s_min", "s_max"])
+
+    return tracks.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_samples int, s_sum long, s_min long, "
+             "s_max long")
 
 
 def flac_table(docs: DataFrame) -> DataFrame:

@@ -363,3 +363,85 @@ def test_aiff_table_variant_cycle(spark):
     for d in range(8):
         s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
         assert per[d] == set(_peaks_real(encode_wav_pcm([s]))), d
+
+
+def test_g711_expansion_pins_all_256_codes_vs_stdlib():
+    """Every mu-law and A-law code expands to exactly what the
+    stdlib audioop module (an INDEPENDENT ITU implementation)
+    produces — the ground truth the QM-coder genuinely lacks, which
+    is why G.711 is de-stubbed and arithmetic JPEG is not."""
+    import struct
+    import warnings
+
+    from barkingowl_spark.operators.audiofp import (
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    for b in range(256):
+        assert struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2))[0] \
+            == ulaw_to_linear(b), b
+        assert struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2))[0] \
+            == alaw_to_linear(b), b
+
+
+def test_g711_wav_container_and_downmix():
+    import struct
+    import warnings
+
+    import pytest as _pytest
+
+    from barkingowl_spark.operators.audiofp import (
+        decode_wav_pcm,
+        encode_wav_g711,
+        ulaw_to_linear,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    cb = bytes((11 * i + 37) % 256 for i in range(50))
+    for law, conv in (("ulaw", audioop.ulaw2lin),
+                      ("alaw", audioop.alaw2lin)):
+        got = decode_wav_pcm(encode_wav_g711([cb], law=law))
+        want = list(struct.unpack(f"<{len(cb)}h", conv(cb, 2)))
+        assert got == want, law
+    # stereo floor-mean downmix applies after expansion
+    two = decode_wav_pcm(encode_wav_g711([cb, cb], law="ulaw"))
+    assert two == [ulaw_to_linear(b) for b in cb]
+    # G.711 with a non-8-bit fmt field is corrupt, not a seam
+    bad = bytearray(encode_wav_g711([cb]))
+    i = bad.index(b"fmt ") + 8 + 14
+    bad[i:i + 2] = struct.pack("<H", 16)
+    with _pytest.raises(ValueError, match="G.711"):
+        decode_wav_pcm(bytes(bad))
+
+
+def test_g711_spark_dispatch(spark):
+    """g711_table -> g711_stats across the mu/A alternation."""
+    from barkingowl_spark.operators.audiofp import (
+        alaw_to_linear,
+        g711_stats,
+        g711_table,
+        ulaw_to_linear,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    got = {r["doc_id"]: r for r in
+           g711_stats(g711_table(docs)).collect()}
+    for d in range(6):
+        fn = ulaw_to_linear if d % 2 == 0 else alaw_to_linear
+        want = [fn((11 * i + 37 * d) % 256)
+                for i in range(48 + d % 17)]
+        assert got[d]["n_samples"] == len(want)
+        assert got[d]["s_sum"] == sum(want), d
+        assert got[d]["s_min"] == min(want)
+        assert got[d]["s_max"] == max(want)
