@@ -14690,6 +14690,9 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '464F524D%'
                             AND substr(hx, 17, 8) = '41494646'
                             THEN 'audio/aiff'
+                       WHEN hx LIKE '464F524D%'
+                            AND substr(hx, 17, 8) = '41494643'
+                            THEN 'audio/aiff'
                        WHEN hx LIKE '49492A00%'
                             OR hx LIKE '4D4D002A%'
                             THEN 'image/tiff'

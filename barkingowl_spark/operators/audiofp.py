@@ -282,24 +282,28 @@ def encode_aiff_pcm(
 
 
 def decode_aiff_pcm(payload: bytes) -> list[int]:
-    """FORM/AIFF -> int16-scale samples: big-endian signed PCM at
-    8/16/24 bits (8-bit AIFF is SIGNED, unlike WAV's unsigned 8-bit;
-    << 8 / verbatim / >> 8 onto the 16-bit scale), SSND offset
-    honored, channels floor-mean downmixed — decode_wav_pcm's exact
-    contract, so every landmark stage downstream is shared. AIFC
-    (compressed AIFF) raises NotImplementedError; corrupt containers
-    ValueError."""
+    """FORM/AIFF and FORM/AIFC -> int16-scale samples: big-endian
+    signed PCM at 8/16/24 bits (8-bit AIFF is SIGNED, unlike WAV's
+    unsigned 8-bit; << 8 / verbatim / >> 8 onto the 16-bit scale),
+    SSND offset honored, channels floor-mean downmixed —
+    decode_wav_pcm's exact contract, so every landmark stage
+    downstream is shared. AIFC compression types (r5 third session,
+    narrowing the earlier whole-AIFC stub to the genuinely-coded
+    ones): 'NONE'/'twos' big-endian PCM, 'sowt' byte-swapped 16-bit
+    PCM (the Mac-era little-endian flavor), 'ulaw'/'alaw' G.711
+    expansion (one byte per sample regardless of the declared
+    sampleSize — Apple writers say 16 there, the stream says
+    otherwise); ima4 and the lossy types stay NotImplementedError;
+    corrupt containers ValueError."""
     import struct
 
     if payload[:4] != b"FORM":
         raise ValueError("not a FORM container")
-    if payload[8:12] == b"AIFC":
-        raise NotImplementedError(
-            "AIFC (compressed AIFF): codec absent in this "
-            "environment")
-    if payload[8:12] != b"AIFF":
+    is_aifc = payload[8:12] == b"AIFC"
+    if payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("FORM container is not AIFF")
     pos, n_ch, bits, nfr, frames = 12, None, None, None, None
+    ctype = b"NONE"
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack(">I", payload[pos + 4:pos + 8])
@@ -311,6 +315,11 @@ def decode_aiff_pcm(payload: bytes) -> list[int]:
                 raise ValueError("short COMM chunk")
             n_ch, nfr, bits = struct.unpack(">hIh", body[:8])
             _unpack_extended80(body[8:18])  # validated, unused
+            if is_aifc:
+                if clen < 22:
+                    raise ValueError("AIFC COMM missing "
+                                     "compressionType")
+                ctype = body[18:22]
         elif cid == b"SSND":
             if clen < 8:
                 raise ValueError("short SSND chunk")
@@ -323,6 +332,23 @@ def decode_aiff_pcm(payload: bytes) -> list[int]:
         raise ValueError("AIFF missing COMM/SSND chunk")
     if n_ch < 1:
         raise ValueError(f"AIFF declares {n_ch} channels")
+    if ctype in (b"ulaw", b"alaw", b"ULAW", b"ALAW"):
+        expand = (ulaw_to_linear if ctype.lower() == b"ulaw"
+                  else alaw_to_linear)
+        usable = min(len(frames) - len(frames) % n_ch,
+                     (nfr or 0) * n_ch)
+        return [sum(expand(frames[i + c]) for c in range(n_ch))
+                // n_ch for i in range(0, usable, n_ch)]
+    if ctype == b"sowt":
+        if bits != 16:
+            raise ValueError("sowt AIFC must be 16-bit")
+        endianness = "little"
+    elif ctype in (b"NONE", b"twos"):
+        endianness = "big"
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {ctype!r}: codec absent in this "
+            "environment")
     if bits not in (8, 16, 24):
         raise NotImplementedError(
             f"{bits}-bit AIFF (8/16/24 supported)")
@@ -335,7 +361,7 @@ def decode_aiff_pcm(payload: bytes) -> list[int]:
         acc = 0
         for c in range(n_ch):
             off = i + c * bw
-            v = int.from_bytes(frames[off:off + bw], "big",
+            v = int.from_bytes(frames[off:off + bw], endianness,
                                signed=True)
             if bits == 8:
                 acc += v << 8
@@ -345,6 +371,50 @@ def decode_aiff_pcm(payload: bytes) -> list[int]:
                 acc += v
         out.append(acc // n_ch)
     return out
+
+
+def encode_aifc(channels, rate: int = 8000, ctype: str = "sowt",
+                ssnd_offset: int = 0) -> bytes:
+    """FORM/AIFC fixture writer: FVER + extended COMM
+    (compressionType + pascal-string name) + SSND. ctype 'NONE' /
+    'twos' write big-endian 16-bit PCM, 'sowt' little-endian
+    16-bit; 'ulaw'/'alaw' take channels of COMPANDED CODE BYTES
+    (0..255, one per sample — the fixture domain is the code
+    space) with the Apple-convention declared sampleSize 16."""
+    import struct
+
+    if ctype not in ("NONE", "twos", "sowt", "ulaw", "alaw"):
+        raise ValueError(f"unsupported fixture ctype {ctype}")
+    if not channels or not channels[0]:
+        raise ValueError("no samples")
+    n_ch, nfr = len(channels), len(channels[0])
+    if any(len(c) != nfr for c in channels):
+        raise ValueError("ragged channels")
+    parts = []
+    for i in range(nfr):
+        for ch in channels:
+            v = int(ch[i])
+            if ctype in ("ulaw", "alaw"):
+                if not 0 <= v <= 255:
+                    raise ValueError("companded byte out of range")
+                parts.append(bytes([v]))
+            else:
+                v = max(-32768, min(32767, v))
+                parts.append((v & 0xFFFF).to_bytes(
+                    2, "little" if ctype == "sowt" else "big"))
+    frames = b"".join(parts)
+    cname = b"\x00\x00"  # empty pascal string, even-padded
+    comm = (struct.pack(">hIh", n_ch, nfr, 16)
+            + _pack_extended80(rate)
+            + ctype.encode("latin-1") + cname)
+    ssnd = (struct.pack(">II", ssnd_offset, 0)
+            + b"\xEE" * ssnd_offset + frames)
+    body = (b"FVER" + struct.pack(">II", 4, 0xA2805140)
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + (b"\x00" * (len(comm) & 1))
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return (b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFC"
+            + body)
 
 
 def _decode_audio(payload: bytes) -> list[int]:
@@ -580,12 +650,15 @@ def aiff_table(docs: DataFrame) -> DataFrame:
     big-endian container twin of wav_table, SAME sample formula
     s[n] = (n * (n + d)) % 8192 - 4096 (256 samples), so the WAV
     oracle's Walsh-Hadamard SQL applies unchanged. The ENCODE
-    variant cycles on d % 4 — mono 16-bit / stereo 16-bit (ch = s
+    variant cycles on d % 6 — mono 16-bit / stereo 16-bit (ch = s
     +/- e, floor-mean mix exactly s) / mono 24-bit (s << 8) / mono
-    16-bit with a 6-byte SSND offset (junk the decoder must skip) —
-    decoded samples are the formula for all four, so one oracle
-    hash pins the chunk walk, 80-bit-extended rate parse, SSND
-    offset, big-endian sample order, bit-depth rescale and downmix
+    16-bit with a 6-byte SSND offset (junk the decoder must skip) /
+    AIFC 'sowt' byte-swapped 16-bit / AIFC 'NONE' (r5 third
+    session: the FORM-type + extended-COMM walk and the
+    little-endian sample order join the cycle; samples stay the
+    formula) — decoded samples are the formula for all six, so one
+    oracle hash pins the chunk walk, 80-bit-extended rate parse,
+    SSND offset, both sample orders, bit-depth rescale and downmix
     at once. mapInPandas, Arrow-batched."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -595,7 +668,7 @@ def aiff_table(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
                 e = [(n * (d + 3)) % 2048 for n in range(256)]
-                var = d % 4
+                var = d % 6
                 if var == 0:
                     p = encode_aiff_pcm([s])
                 elif var == 1:
@@ -605,8 +678,12 @@ def aiff_table(docs: DataFrame) -> DataFrame:
                 elif var == 2:
                     p = encode_aiff_pcm([[v << 8 for v in s]],
                                         bits=24)
-                else:
+                elif var == 3:
                     p = encode_aiff_pcm([s], ssnd_offset=6)
+                elif var == 4:
+                    p = encode_aifc([s], ctype="sowt")
+                else:
+                    p = encode_aifc([s], ctype="NONE")
                 payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})

@@ -1397,9 +1397,11 @@ def sniff_mime(
               & (F.substring(hx, 17, 8) == "57454250"), "image/webp")
         .when(hx.startswith("52494646")
               & (F.substring(hx, 17, 8) == "57415645"), "audio/wav")
-        # FORM container (big-endian RIFF sibling): AIFF member
+        # FORM container (big-endian RIFF sibling): AIFF/AIFC member
         .when(hx.startswith("464F524D")
               & (F.substring(hx, 17, 8) == "41494646"), "audio/aiff")
+        .when(hx.startswith("464F524D")
+              & (F.substring(hx, 17, 8) == "41494643"), "audio/aiff")
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
               "image/tiff")
         .when(hx.startswith("664C6143"), "audio/flac")

@@ -331,7 +331,10 @@ def test_aiff_codec_round_trip_and_dispatch():
                 good[:40]):
         assert _peaks_dispatch(bad) == _peaks_stub(bad)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    # a retagged classic file is CORRUPT as AIFC (its COMM lacks the
+    # compressionType field) — the real-AIFC paths live in
+    # test_aifc_compression_types
+    with _pytest.raises(ValueError, match="compressionType"):
         decode_aiff_pcm(good[:8] + b"AIFC" + good[12:])
     with _pytest.raises(ValueError):
         decode_aiff_pcm(good[:40])
@@ -445,3 +448,46 @@ def test_g711_spark_dispatch(spark):
         assert got[d]["s_sum"] == sum(want), d
         assert got[d]["s_min"] == min(want)
         assert got[d]["s_max"] == max(want)
+
+
+def test_aifc_compression_types():
+    """AIFC (r5 third session, narrowing the whole-AIFC stub):
+    'NONE'/'twos' decode as big-endian PCM identical to AIFF,
+    'sowt' byte-swapped 16-bit, 'ulaw'/'alaw' through the shared
+    G.711 expansions (one byte per sample despite the declared
+    sampleSize 16 — the Apple convention); ima4 stays a declared
+    seam."""
+    import pytest as _pytest
+
+    from barkingowl_spark.operators.audiofp import (
+        decode_aiff_pcm,
+        decode_wav_pcm,
+        encode_aifc,
+        encode_aiff_pcm,
+        encode_wav_g711,
+    )
+
+    s = [(n * (n + 5)) % 8192 - 4096 for n in range(64)]
+    want = decode_aiff_pcm(encode_aiff_pcm([s]))
+    assert want == s
+    for ct in ("NONE", "twos", "sowt"):
+        assert decode_aiff_pcm(encode_aifc([s], ctype=ct)) == s, ct
+    assert decode_aiff_pcm(encode_aifc([s, s], ctype="sowt")) == s
+    # the G.711 laws give byte-identical samples to the WAV path
+    cb = [(11 * i + 37) % 256 for i in range(50)]
+    for law in ("ulaw", "alaw"):
+        aifc = decode_aiff_pcm(encode_aifc([cb], ctype=law))
+        wav = decode_wav_pcm(encode_wav_g711([bytes(cb)], law=law))
+        assert aifc == wav, law
+    p = bytearray(encode_aifc([s], ctype="sowt"))
+    i = p.index(b"sowt")
+    p[i:i + 4] = b"ima4"
+    with _pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff_pcm(bytes(p))
+    # an AIFC COMM without the compressionType field is corrupt
+    short = bytearray(encode_aifc([s], ctype="NONE"))
+    j = short.index(b"COMM") + 4
+    import struct
+    short[j:j + 4] = struct.pack(">I", 18)
+    with _pytest.raises(ValueError, match="compressionType"):
+        decode_aiff_pcm(bytes(short))
