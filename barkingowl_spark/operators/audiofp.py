@@ -59,17 +59,22 @@ HOP = 32
 
 
 def encode_wav_pcm(
-    channels: list[list[int]], rate: int = 8000, bits: int = 16
+    channels: list[list[int]], rate: int = 8000, bits: int = 16,
+    extensible: bool = False,
 ) -> bytes:
-    """Interleaved multi-channel PCM WAV writer (16- or 24-bit,
+    """Interleaved multi-channel PCM WAV writer (8-, 16- or 24-bit,
     RIFF/fmt/data) — the fixture generator for the real decode path;
-    samples clamp to the sample width."""
+    samples clamp to the sample width (8-bit stores UNSIGNED
+    int16 >> 8 + 128, the format's convention). extensible wraps
+    the fmt chunk as WAVE_FORMAT_EXTENSIBLE (0xFFFE + the 22-byte
+    extension carrying the PCM SubFormat GUID) — what every
+    multichannel/pro writer emits."""
     import struct
 
     if not channels or not channels[0]:
         raise ValueError("no samples")
-    if bits not in (16, 24):
-        raise ValueError("bits must be 16 or 24")
+    if bits not in (8, 16, 24):
+        raise ValueError("bits must be 8, 16 or 24")
     n_ch, nfr = len(channels), len(channels[0])
     if any(len(c) != nfr for c in channels):
         raise ValueError("ragged channels")
@@ -81,20 +86,36 @@ def encode_wav_pcm(
             if bits == 16:
                 s = max(-32768, min(32767, s))
                 parts.append(struct.pack("<h", s))
+            elif bits == 8:
+                s = max(-32768, min(32767, s))
+                parts.append(bytes([(s >> 8) + 128]))
             else:
                 s = max(-(1 << 23), min((1 << 23) - 1, s))
                 parts.append((s & 0xFFFFFF).to_bytes(3, "little"))
     data = b"".join(parts)
-    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bw,
-                      n_ch * bw, bits)
-    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", 16) + fmt
+    if extensible:
+        fmt = (struct.pack("<HHIIHH", 0xFFFE, n_ch, rate,
+                           rate * n_ch * bw, n_ch * bw, bits)
+               + struct.pack("<HHI", 22, bits, 0)
+               + struct.pack("<I", 1) + _KS_GUID_TAIL)
+    else:
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate,
+                          rate * n_ch * bw, n_ch * bw, bits)
+    return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
     """Mono PCM-16 WAV writer — encode_wav_pcm([samples])."""
     return encode_wav_pcm([samples], rate=rate, bits=16)
+
+
+#: KSDATAFORMAT SubFormat GUID tail shared by every standard WAV
+#: subformat (PCM/ADPCM/ALAW/MULAW...): only the first dword varies.
+_KS_GUID_TAIL = bytes.fromhex("000010008000 00AA00389B71".replace(
+    " ", ""))
 
 
 def ulaw_to_linear(u: int) -> int:
@@ -124,9 +145,12 @@ def alaw_to_linear(a: int) -> int:
 
 
 def decode_wav_pcm(payload: bytes) -> list[int]:
-    """RIFF/WAVE -> int16-scale samples. PCM (format 1) at 16 or 24
-    bits (r4 verdict item 7); 24-bit samples arithmetic-shift down 8
-    (>> 8, floor) onto the 16-bit scale; G.711 A-law (format 6) and
+    """RIFF/WAVE -> int16-scale samples. PCM (format 1) at 8, 16 or
+    24 bits (8-bit WAV is UNSIGNED, (b - 128) << 8; 24-bit samples
+    arithmetic-shift down 8 (>> 8, floor) onto the 16-bit scale);
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves the real code from the
+    SubFormat GUID's first dword with the KSDATAFORMAT tail
+    enforced; G.711 A-law (format 6) and
     mu-law (format 7) at 8 bits expand per the closed-form spec
     formulas (r5 third session — the earlier same-reasoning-as-QM
     stub was too broad: G.711 is formula, not empirical table, so
@@ -151,6 +175,17 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
         if cid == b"fmt ":
             fmt_code, n_ch = struct.unpack("<HH", body[:4])
             (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_code == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real code lives in
+                # the first dword of the SubFormat GUID; the tail
+                # must be the standard KSDATAFORMAT constant
+                if clen < 40:
+                    raise ValueError("short extensible fmt chunk")
+                (fmt_code,) = struct.unpack("<I", body[24:28])
+                if body[28:40] != _KS_GUID_TAIL:
+                    raise NotImplementedError(
+                        "extensible WAV with a non-standard "
+                        "SubFormat GUID")
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
@@ -165,9 +200,9 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
         usable = len(data) - len(data) % n_ch
         return [sum(expand(data[i + c]) for c in range(n_ch)) // n_ch
                 for i in range(0, usable, n_ch)]
-    if fmt_code != 1 or bits not in (16, 24):
+    if fmt_code != 1 or bits not in (8, 16, 24):
         raise NotImplementedError(
-            f"compressed/non-PCM-16/24 WAV (format={fmt_code}, "
+            f"compressed/non-PCM WAV (format={fmt_code}, "
             f"bits={bits}): codec absent in this environment")
     bw = bits // 8
     frame_bytes = bw * n_ch
@@ -179,6 +214,9 @@ def decode_wav_pcm(payload: bytes) -> list[int]:
             off = i + c * bw
             if bits == 16:
                 acc += struct.unpack("<h", data[off:off + 2])[0]
+            elif bits == 8:
+                # 8-bit WAV is UNSIGNED (unlike AIFF's signed 8)
+                acc += (data[off] - 128) << 8
             else:
                 acc += int.from_bytes(
                     data[off:off + 3], "little", signed=True) >> 8
@@ -500,12 +538,15 @@ def wav_table(docs: DataFrame) -> DataFrame:
     s[n] = (n * (n + d)) % 8192 - 4096, so a SQL oracle recomputes
     the exact Walsh-Hadamard constellation from the formula while
     Spark round-trips actual RIFF bytes. The ENCODE variant cycles on
-    d % 3 — mono 16-bit / STEREO 16-bit (ch0 = s + e, ch1 = s - e
+    d % 4 — mono 16-bit / STEREO 16-bit (ch0 = s + e, ch1 = s - e
     with e[n] = (n * (d + 3)) % 2048, whose floor-mean downmix is
     exactly s, no parity loss) / mono 24-bit (s << 8, whose >> 8
-    rescale is exactly s) — decoded samples are the same formula for
-    all three, so one oracle hash pins the 16-bit, 24-bit and
-    stereo-downmix decode paths at once (r4 verdict item 7)."""
+    rescale is exactly s) / WAVE_FORMAT_EXTENSIBLE 16-bit (r5 third
+    session: the 0xFFFE + SubFormat-GUID wrapper every pro writer
+    emits; samples stay the formula) — decoded samples are the same
+    formula for all four, so one oracle hash pins the 16-bit,
+    24-bit, stereo-downmix and extensible-fmt decode paths at once
+    (r4 verdict item 7)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -513,7 +554,7 @@ def wav_table(docs: DataFrame) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 s = [(n * (n + d)) % 8192 - 4096 for n in range(256)]
-                var = d % 3
+                var = d % 4
                 if var == 0:
                     p = encode_wav_pcm([s])
                 elif var == 1:
@@ -521,8 +562,10 @@ def wav_table(docs: DataFrame) -> DataFrame:
                     p = encode_wav_pcm(
                         [[a + b for a, b in zip(s, e)],
                          [a - b for a, b in zip(s, e)]])
-                else:
+                elif var == 2:
                     p = encode_wav_pcm([[v << 8 for v in s]], bits=24)
+                else:
+                    p = encode_wav_pcm([s], extensible=True)
                 payloads.append(p)
             yield pd.DataFrame({"track_id": pdf["doc_id"],
                                 "payload": payloads})

@@ -262,7 +262,7 @@ def test_stereo_and_24bit_decode_to_the_same_samples():
 
 
 def test_wav_table_variant_cycle(spark):
-    """wav_table's d%3 encode variants all hit the real decoder and
+    """wav_table's d%4 encode variants all hit the real decoder and
     produce the formula constellation."""
     from barkingowl_spark.operators.audiofp import (
         _peaks_real,
@@ -270,13 +270,14 @@ def test_wav_table_variant_cycle(spark):
         wav_table,
     )
 
-    docs = spark.createDataFrame([(d,) for d in range(6)],
+    docs = spark.createDataFrame([(d,) for d in range(8)],
                                  "doc_id long")
     rows = wav_table(docs).collect()
-    assert {r["track_id"] % 3 for r in rows} == {0, 1, 2}
-    # 16-bit mono payloads are 2 bytes/frame, stereo 4, 24-bit mono 3
-    sizes = {r["track_id"] % 3: len(bytes(r["payload"])) for r in rows}
-    assert sizes[1] > sizes[2] > sizes[0]
+    assert {r["track_id"] % 4 for r in rows} == {0, 1, 2, 3}
+    # 16-bit mono is 2 bytes/frame, stereo 4, 24-bit mono 3; the
+    # extensible variant is mono-16 plus the 24 extra fmt bytes
+    sizes = {r["track_id"] % 4: len(bytes(r["payload"])) for r in rows}
+    assert sizes[1] > sizes[2] > sizes[3] == sizes[0] + 24 > sizes[0]
     got = extract_peaks(wav_table(docs)).collect()
     import collections
 
@@ -491,3 +492,28 @@ def test_aifc_compression_types():
     short[j:j + 4] = struct.pack(">I", 18)
     with _pytest.raises(ValueError, match="compressionType"):
         decode_aiff_pcm(bytes(short))
+
+
+def test_wav_8bit_and_extensible():
+    """8-bit unsigned PCM ((b - 128) << 8) and the
+    WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE + PCM SubFormat GUID);
+    a non-standard GUID tail stays a declared seam."""
+    import pytest as _pytest
+
+    from barkingowl_spark.operators.audiofp import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    s = [(n * (n + 5)) % 8192 - 4096 for n in range(64)]
+    assert decode_wav_pcm(encode_wav_pcm([s], extensible=True)) == s
+    assert decode_wav_pcm(encode_wav_pcm(
+        [[v << 8 for v in s]], bits=24, extensible=True)) == s
+    s8 = [(v >> 8) << 8 for v in s]  # multiples of 256: 8-bit-exact
+    assert decode_wav_pcm(encode_wav_pcm([s8], bits=8)) == s8
+    assert decode_wav_pcm(encode_wav_pcm([s8, s8], bits=8)) == s8
+    p = bytearray(encode_wav_pcm([s], extensible=True))
+    i = p.index(b"fmt ") + 8 + 28
+    p[i] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="GUID"):
+        decode_wav_pcm(bytes(p))
