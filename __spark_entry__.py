@@ -2083,6 +2083,36 @@ def q_sitemap_parse(spark, sf):
     return sitemap_entries(_synth_sitemaps(spark, sf), body_col="body")
 
 
+def q_sitemap_gz(spark, sf):
+    """Gzipped sitemap acquisition (r5 third session): the same
+    synthesized sitemap bodies wrapped in real RFC-1952 members with
+    ``.xml.gz`` urls, decoded through gunzip_sitemap_pages (CRC
+    verified, url suffix stripped) and parsed by the SAME
+    sitemap_entries grammar — so sitemap_parse's oracle applies
+    verbatim and one value hash pins the whole gz front-end."""
+    import pandas as pd
+
+    from barkingowl_spark.functions.tarwalk import build_gzip
+    from barkingowl_spark.operators.sitemap import (
+        gunzip_sitemap_pages,
+        sitemap_entries,
+    )
+
+    def wrap(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": [u + ".gz" for u in pdf["url"]],
+                "payload": [build_gzip("sitemap.xml", b.encode())
+                            for b in pdf["body"]],
+            })
+
+    gz = _synth_sitemaps(spark, sf).mapInPandas(
+        wrap, "url string, payload binary")
+    return sitemap_entries(
+        gunzip_sitemap_pages(gz, payload_col="payload"),
+        body_col="body")
+
+
 def q_sitemap_seeds(spark, sf):
     """Frontier seed candidates from urlset entries — same-host scope
     drops the planted foreign-host loc (O9 applied at acquisition)."""
@@ -6083,6 +6113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_host_distinct": q_kmv_host_distinct,
         "kmv_host_overlap": q_kmv_host_overlap,
         "sitemap_parse": q_sitemap_parse,
+        "sitemap_gz": q_sitemap_gz,
         "sitemap_seeds": q_sitemap_seeds,
         "sitemap_coverage": q_sitemap_coverage,
         "trap_signals": q_trap_signals,
@@ -8991,6 +9022,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sh WHERE t >= 1 GROUP BY node
         """,
         "sitemap_parse": """
+            SELECT source || '.test' AS host, 'url' AS kind,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) - 1
+                        AS BIGINT) AS ord,
+                   'http://' || source || '.test/p'
+                       || CAST(doc_id AS VARCHAR) AS loc,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2026-01-'
+                             || lpad(CAST(doc_id % 27 + 1 AS VARCHAR),
+                                     2, '0')
+                   END AS lastmod
+            FROM documents
+            UNION ALL
+            SELECT d.source || '.test', 'url',
+                   (SELECT count(*) FROM documents d2
+                    WHERE d2.source = d.source),
+                   'http://evil.test/x', NULL
+            FROM (SELECT DISTINCT source FROM documents) d
+            UNION ALL
+            SELECT source || '.test', 'sitemap', 0,
+                   'http://' || source || '.test/sitemap2.xml', NULL
+            FROM (SELECT DISTINCT source FROM documents)
+        """,
+        "sitemap_gz": """
+            -- the gz fixture carries the identical sitemap bodies,
+            -- so this is sitemap_parse's oracle verbatim
             SELECT source || '.test' AS host, 'url' AS kind,
                    CAST(row_number() OVER (PARTITION BY source
                                            ORDER BY doc_id) - 1

@@ -106,3 +106,39 @@ def test_sitemap_coverage_hand_case(spark):
     c = got["c.test"]
     assert c["n_corpus"] == 0 and c["listed_ppm"] is None
     assert c["backlog"] == 1
+
+
+def test_gunzip_sitemap_pages(spark):
+    """The .xml.gz front-end (r5 third session): real RFC-1952
+    members inflate and strip the suffix so the plain grammar
+    applies; non-gz-url rows are ignored, corrupt and multi-member
+    payloads are dropped (containment), and the decoded rows parse
+    identically to the plain route."""
+    from barkingowl_spark.functions.tarwalk import build_gzip
+    from barkingowl_spark.operators.sitemap import (
+        gunzip_sitemap_pages,
+    )
+
+    good = build_gzip("sitemap.xml", BODY.encode())
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # CRC mismatch
+    multi = good + good  # concatenated members: ambiguous, dropped
+    rows = [
+        ("http://a.test/sitemap.xml.gz", bytearray(good)),
+        ("http://b.test/sitemap.xml", bytearray(good)),  # not .gz
+        ("http://c.test/sitemap.xml.gz", bytearray(bytes(corrupt))),
+        ("http://d.test/sitemap.xml.gz", bytearray(multi)),
+        ("http://e.test/other.bin.gz", bytearray(good)),  # not sitemap
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = gunzip_sitemap_pages(df, payload_col="payload").collect()
+    assert len(got) == 1
+    assert got[0]["url"] == "http://a.test/sitemap.xml"
+    assert got[0]["body"] == BODY
+    # the decoded row feeds the plain parser byte-identically
+    parsed = sitemap_entries(
+        gunzip_sitemap_pages(df, payload_col="payload"),
+        body_col="body").collect()
+    direct = sitemap_entries(
+        _pages(spark, [("http://a.test/sitemap.xml", BODY)])).collect()
+    assert sorted(map(tuple, parsed)) == sorted(map(tuple, direct))
