@@ -843,7 +843,7 @@ def _jpeg_docs(spark, sf, n=48):
     % 100) + 28) so the flat-16 quant round-trips the DC exactly and
     the integer IDCT reproduces every pixel; the encode variant
     cycles gray / 4:2:0 / 4:2:2+RST / gray+RST / progressive-SOF2 /
-    SOF1+16-bit-DQT / 12-bit-SOF1 on d % 7. Spark
+    SOF1+16-bit-DQT / 12-bit-SOF1 / lossless-SOF3 on d % 8. Spark
     decodes the BYTES (functions/jpegcodec.py: marker parse, huffman,
     dequant, IDCT); the oracle recomputes from the formula —
     agreement pins the whole baseline-JPEG chain."""

@@ -43,13 +43,23 @@ Sample precision: 8-bit everywhere, and 12-bit (late r5) for
 SOF1/SOF2 frames — level shift 2048, clamp 4095, output reduced onto
 the 8-bit luma contract by >> 4; the DC-only fixed-point margin
 2047 * 2.136e-4 < 0.5 keeps block-constant even 12-bit values exact
-over the WHOLE range (swept exhaustively in tests). Unsupported
-shapes raise NotImplementedError: arithmetic coding,
-lossless/hierarchical frames, chroma sampled finer than luma,
-baseline multi-scan non-interleaved color. Corrupt input raises
-ValueError only
-(struct.error/IndexError normalize here, the pngcodec r3-advice
-convention).
+over the WHOLE range (swept exhaustively in tests).
+
+LOSSLESS JPEG (SOF3, T.81 Annex H — r5 third session): huffman-coded
+sample differences against the seven spatial predictors, mod-2^16
+reconstruction, precision 2..16 reduced onto the 8-bit contract by
+>> (P-8). Integer-EXACT by construction — the family's only JPEG
+flavor with no error bound to argue about; encode_jpeg_lossless is
+the fixture writer and a hand-built stream pins the predictor
+semantics independently. Grayscale single-component scans; point
+transform (Al>0), restart markers and multi-component lossless stay
+declared seams.
+
+Unsupported shapes raise NotImplementedError: arithmetic coding,
+hierarchical frames, chroma sampled finer than luma, baseline
+multi-scan non-interleaved color. Corrupt input raises ValueError
+only (struct.error/IndexError normalize here, the pngcodec
+r3-advice convention).
 
 Decoding runs inside mapInPandas batches (operators/multimodal.py);
 payload bytes never cross the Arrow boundary row-at-a-time. At real
@@ -228,7 +238,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[int]]]:
 
 
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
@@ -253,6 +262,7 @@ def _decode_checked(
     frame = None  # (w, h, comps: [(cid, hi, vi, tq)])
     ri = 0
     progressive = False
+    lossless = False
     store = None  # progressive coefficient grids, one per component
     while True:
         if pos + 2 > len(payload):
@@ -313,8 +323,12 @@ def _decode_checked(
                     raise ValueError("short DHT symbols")
                 (hdc if tc == 0 else hac)[th] = _canonical(bits, vals)
                 i += 17 + n
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
-            if seg[0] not in (8, 12):
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
+            if m == 0xC3:
+                if not 2 <= seg[0] <= 16:
+                    raise ValueError(
+                        f"bad lossless precision {seg[0]}")
+            elif seg[0] not in (8, 12):
                 raise NotImplementedError(
                     f"{seg[0]}-bit sample precision")
             if seg[0] == 12 and m == 0xC0:
@@ -332,6 +346,7 @@ def _decode_checked(
                 comps.append((cid, hi, vi, tq))
             frame = (w, h, comps, seg[0])
             progressive = m == 0xC2
+            lossless = m == 0xC3
         elif m in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"unsupported JPEG: {_SOF_UNSUPPORTED[m]}"
@@ -341,6 +356,9 @@ def _decode_checked(
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if lossless:
+                return _decode_lossless_scan(
+                    payload, pos, frame, seg, hdc, ri)
             if not progressive:
                 return _decode_scan(
                     payload, pos, frame, seg, qt, hdc, hac, ri)
@@ -354,6 +372,71 @@ def _decode_checked(
                 pos += 1
         # else: APPn / COM / DNL / unknown -> skipped
     return _reconstruct_progressive(frame, store, qt)
+
+
+def _decode_lossless_scan(payload, pos, frame, seg, hdc, ri):
+    """Lossless JPEG (SOF3, ITU-T T.81 Annex H): huffman-coded
+    sample DIFFERENCES against one of the seven spatial predictors,
+    modulo-2^16 reconstruction — integer-exact by construction (the
+    whole point: the codec family's only JPEG flavor with NO error
+    bound to argue about). Grayscale single-component scans; the
+    point transform (Al != 0) and restart markers stay declared
+    seams (real lossless writers — DNG, medical — emit neither for
+    the plain grayscale shape)."""
+    w, h, comps, prec = frame
+    if len(comps) != 1:
+        raise NotImplementedError(
+            "lossless JPEG beyond one component")
+    ns = seg[0]
+    if ns != 1:
+        raise ValueError("lossless scan component count mismatch")
+    tt = seg[2]
+    dct = hdc.get(tt >> 4)
+    if dct is None:
+        raise ValueError("lossless scan references missing DC table")
+    sel = seg[3]       # Ss = predictor selector
+    al = seg[5] & 15   # Ah/Al; Al = point transform
+    if not 1 <= sel <= 7:
+        raise ValueError(f"bad lossless predictor {sel}")
+    if al != 0:
+        raise NotImplementedError("lossless point transform (Al>0)")
+    if ri:
+        raise NotImplementedError("restart markers in lossless scan")
+    br = _Bits(payload, pos)
+    out = [[0] * w for _ in range(h)]
+    default = 1 << (prec - 1)
+    for y in range(h):
+        row = out[y]
+        up = out[y - 1] if y else None
+        for x in range(w):
+            s = br.huff(dct)
+            if s == 16:
+                diff = 32768  # spec special case: no extra bits
+            else:
+                diff = br.receive_extend(s)
+            if y == 0:
+                px = row[x - 1] if x else default
+            elif x == 0:
+                px = up[0]
+            else:
+                ra, rb, rc = row[x - 1], up[x], up[x - 1]
+                if sel == 1:
+                    px = ra
+                elif sel == 2:
+                    px = rb
+                elif sel == 3:
+                    px = rc
+                elif sel == 4:
+                    px = ra + rb - rc
+                elif sel == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif sel == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            row[x] = (px + diff) & 0xFFFF
+    shift = max(0, prec - 8)
+    return w, h, [[v >> shift for v in r] for r in out]
 
 
 def _decode_scan(payload, pos, frame, seg, qt, hdc, hac, ri):
@@ -1213,4 +1296,73 @@ def encode_jpeg(
     bw.align()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# lossless (SOF3) fixture encoder: 17 difference categories 0..16,
+# all at 5 bits — canonical, valid, compression-indifferent (the
+# baseline-table convention above, extended to SSSS 16)
+_ENC_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_ENC_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    rows: list[list[int]], predictor: int = 1, precision: int = 8,
+) -> bytes:
+    """Grayscale rows (0..2^precision - 1) -> lossless JPEG (SOF3,
+    T.81 Annex H): per-sample differences against the selected
+    predictor (1..7), huffman category + magnitude bits, mod-2^16
+    arithmetic. Round-trips BIT-EXACTLY for every input — lossless
+    by construction, so the full 8-bit pixel-formula oracle applies
+    with no error-bound argument."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    h = len(rows)
+    if h == 0 or len(rows[0]) == 0:
+        raise ValueError("empty image")
+    w = len(rows[0])
+    maxv = (1 << precision) - 1
+    if any(len(r) != w for r in rows):
+        raise ValueError("ragged rows")
+    if any(not 0 <= v <= maxv for r in rows for v in r):
+        raise ValueError("sample out of precision range")
+    default = 1 << (precision - 1)
+    bw = _BitWriter()
+    for y in range(h):
+        row = rows[y]
+        up = rows[y - 1] if y else None
+        for x in range(w):
+            if y == 0:
+                px = row[x - 1] if x else default
+            elif x == 0:
+                px = up[0]
+            else:
+                ra, rb, rc = row[x - 1], up[x], up[x - 1]
+                px = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                      5: ra + ((rb - rc) >> 1),
+                      6: rb + ((ra - rc) >> 1),
+                      7: (ra + rb) >> 1}[predictor]
+            dm = (row[x] - px) & 0xFFFF
+            if dm == 32768:
+                bw.put(16, 5)  # SSSS 16: no magnitude bits
+                continue
+            signed = dm - 65536 if dm > 32768 else dm
+            s = _category(signed)
+            bw.put(s, 5)
+            if s:
+                bw.put(signed if signed >= 0
+                       else signed + (1 << s) - 1, s)
+    bw.align()
+    dht = bytes([0x00] + _ENC_LL_BITS + _ENC_LL_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += (b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3, precision,
+                                      h, w, 1)
+            + bytes([1, 0x11, 0]))
+    out += (b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+            + bytes([1, 0x00, predictor, 0, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -325,7 +325,7 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
     quantizes and dequantizes exactly and the integer IDCT reproduces
     every pixel bit-for-bit (functions/jpegcodec.py docstring; the
     error budget is proven there and swept in tests/test_jpeg.py).
-    The encode VARIANT cycles on d % 7 — grayscale / YCbCr 4:2:0 with
+    The encode VARIANT cycles on d % 8 — grayscale / YCbCr 4:2:0 with
     constant chroma / YCbCr 4:2:2 with restart_interval=1 / grayscale
     with restart_interval=2 / PROGRESSIVE grayscale (SOF2, the full
     libjpeg-style 4-scan successive-approximation script) /
@@ -334,11 +334,13 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
     SOF1 (late r5: samples 16*pixel at level shift 2048, whose >> 4
     reduction lands back on the formula — exact for the full even
     12-bit range, margin 2047 * 2.136e-4 < 0.5, swept exhaustively
-    in tests) — decoded luma is the same formula for all seven, so
-    one oracle hash pins huffman decode, MCU interleave, chroma
-    subsampling, RSTn resync, the progressive scan machinery, the
-    wide-DQT parse AND the 12-bit sample path at once. mapInPandas,
-    Arrow-batched — the same boundary discipline as the decoders."""
+    in tests) / LOSSLESS SOF3 (r5 third session: predictor
+    1 + d % 7, exact by construction) — decoded luma is the same
+    formula for all eight, so one oracle hash pins huffman decode,
+    MCU interleave, chroma subsampling, RSTn resync, the progressive
+    scan machinery, the wide-DQT parse, the 12-bit sample path AND
+    the lossless predictor walk at once. mapInPandas, Arrow-batched
+    — the same boundary discipline as the decoders."""
     from barkingowl_spark.functions.jpegcodec import (
         encode_jpeg,
         encode_jpeg_gray,
@@ -354,7 +356,7 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                 luma = [[2 * ((7 * (x // 8) + 11 * (y // 8)
                                + 13 * d) % 100) + 28
                          for x in range(w)] for y in range(h)]
-                var = d % 7
+                var = d % 8
                 if var == 0:
                     p = encode_jpeg_gray(luma)
                 elif var == 1:
@@ -372,9 +374,16 @@ def jpeg_table(docs: DataFrame) -> DataFrame:
                     p = encode_jpeg_progressive(luma)
                 elif var == 5:
                     p = encode_jpeg_gray(luma, wide_dqt=True)
-                else:
+                elif var == 6:
                     p = encode_jpeg([[16 * v for v in r]
                                      for r in luma], precision=12)
+                else:
+                    from barkingowl_spark.functions.jpegcodec import (
+                        encode_jpeg_lossless,
+                    )
+
+                    p = encode_jpeg_lossless(
+                        luma, predictor=1 + d % 7)
                 payloads.append(p)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})

@@ -177,14 +177,20 @@ def test_corrupt_and_unsupported_rejection():
         decode_jpeg(good[:40])  # truncated mid-segments
     with pytest.raises(ValueError):
         decode_jpeg(good[:-20])  # truncated entropy data
-    # SOF3 (lossless) -> NotImplementedError; a baseline stream
-    # re-marked SOF2 is CORRUPT progressive (full-band DC scan) ->
-    # ValueError
+    # SOF3 is REAL in the r5 third session: a baseline stream
+    # re-marked SOF3 is CORRUPT lossless (its SOS carries Ss=0, an
+    # invalid predictor) -> ValueError; SOF5 (hierarchical) remains
+    # the declared-seam family. A re-marked SOF2 is CORRUPT
+    # progressive (full-band DC scan) -> ValueError
     lossless = bytearray(good)
     i = lossless.find(b"\xff\xc0")
     lossless[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="lossless"):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(lossless))
+    hier = bytearray(good)
+    hier[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="differential"):
+        decode_jpeg(bytes(hier))
     prog = bytearray(good)
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError):
@@ -367,3 +373,86 @@ def test_progressive_round_trips():
         _, _, b = decode_jpeg(encode_jpeg_gray(im))
         _, _, pp = decode_jpeg(encode_jpeg_progressive(im))
         assert pp == b, (w, h)
+
+
+def test_lossless_sof3_round_trips_every_predictor():
+    """Lossless JPEG (SOF3, r5 third session): bit-exact round trip
+    through all seven predictors — arbitrary pixels, no
+    block-constant contract needed (the whole point of lossless) —
+    plus 12/16-bit precision reduced onto the 8-bit contract."""
+    from barkingowl_spark.functions.jpegcodec import (
+        encode_jpeg_lossless,
+    )
+
+    rows = [[(5 * x + 9 * y + 3) % 256 for x in range(19)]
+            for y in range(13)]
+    for p in range(1, 8):
+        assert decode_jpeg(encode_jpeg_lossless(
+            rows, predictor=p)) == (19, 13, rows), p
+    r12 = [[16 * v + (v >> 4) for v in r] for r in rows]
+    assert decode_jpeg(encode_jpeg_lossless(
+        r12, predictor=4, precision=12)) == (19, 13, rows)
+    r16 = [[257 * v for v in r] for r in rows]
+    assert decode_jpeg(encode_jpeg_lossless(
+        r16, predictor=7, precision=16)) == (19, 13, rows)
+
+
+def test_lossless_sof3_hand_built_stream():
+    """A hand-assembled SOF3 stream (predictor 1, 2x2, 8-bit) with
+    hand-computed category/magnitude bits pins the difference
+    coding and the default/row predictions independently of the
+    writer pair (the GIF-round lesson)."""
+    import struct
+
+    # samples: [[130, 131], [128, 125]]
+    # diffs: 130-128=+2 (vs default 128), 131-130=+1 (Ra),
+    #        128-130=-2 (first col: Rb), 125-128=-3 (Ra)
+    # categories/bits: +2 -> s=2 bits 10;  +1 -> s=1 bit 1;
+    #                  -2 -> s=2 bits 01;  -3 -> s=2 bits 00
+    # DHT: 17 symbols 0..16 all at length 5 (canonical: code == sym)
+    bw_bits = []
+    for s, mag, mn in ((2, 0b10, 2), (1, 0b1, 1),
+                       (2, 0b01, 2), (2, 0b00, 2)):
+        bw_bits.append((s, 5))
+        bw_bits.append((mag, mn))
+    acc = n = 0
+    body = bytearray()
+    for v, ln in bw_bits:
+        acc = (acc << ln) | v
+        n += ln
+        while n >= 8:
+            n -= 8
+            body.append((acc >> n) & 0xFF)
+    if n:
+        body.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+    dht = bytes([0x00, 0, 0, 0, 0, 17] + [0] * 11
+                + list(range(17)))
+    p = (b"\xff\xd8"
+         + b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+         + b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 2, 2, 1)
+         + bytes([1, 0x11, 0])
+         + b"\xff\xda" + struct.pack(">HB", 8, 1)
+         + bytes([1, 0x00, 1, 0, 0])
+         + bytes(body) + b"\xff\xd9")
+    assert decode_jpeg(p) == (2, 2, [[130, 131], [128, 125]])
+
+
+def test_lossless_sof3_declared_seams():
+    from barkingowl_spark.functions.jpegcodec import (
+        encode_jpeg_lossless,
+    )
+
+    rows = [[10, 20], [30, 40]]
+    good = encode_jpeg_lossless(rows)
+    # point transform Al > 0
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xda")
+    bad[i + 9] = 0x01  # AhAl byte of the SOS
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="point"):
+        decode_jpeg(bytes(bad))
+    # predictor 0 is invalid
+    bad = bytearray(good)
+    bad[i + 7] = 0
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(bad))
