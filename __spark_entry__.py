@@ -1285,6 +1285,24 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_office_texts(spark, sf):
+    """Office-document text extraction (functions/officetext.py, r5
+    third session): .docx (OOXML <w:p>/<w:t> runs) and .odt
+    (mimetype-first ODF, <text:p> blocks) — both ZIP containers
+    walked by functions/zipwalk.py with CRC-verified member reads —
+    the payoff stage for the office doc-types the O15 matcher
+    routes. The oracle recomputes the paragraph text from the
+    fixture formula; the format column pins the container sniff."""
+    from barkingowl_spark.operators.multimodal import (
+        office_text_table,
+        office_texts,
+    )
+
+    return office_texts(office_text_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_audio_g711(spark, sf):
     """G.711 mu/A-law WAV decode (operators/audiofp.py, r5 third
     session): the ITU closed-form expansions (invert / 0x55,
@@ -6422,6 +6440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_members": q_zip_members,
         "tar_members": q_tar_members,
         "audio_g711": q_audio_g711,
+        "office_texts": q_office_texts,
         "pdf_texts": q_pdf_texts,
         "pdf_texts_xs": q_pdf_texts_xs,
     })
@@ -10963,6 +10982,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "office_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            pg AS (
+              SELECT doc_id, gp.p,
+                     'doc ' || doc_id || ' para ' || gp.p AS para
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS p) gp
+              WHERE gp.p <= doc_id % 3)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'docx'
+                        ELSE 'odt' END AS fmt,
+                   CAST(count(*)
+                        + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_paras,
+                   CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE ''
+                   END || string_agg(para, chr(10) ORDER BY p)
+                   AS text
+            FROM pg GROUP BY doc_id
         """,
         "audio_g711": """
             WITH d AS (SELECT doc_id FROM documents

@@ -172,6 +172,58 @@ def _walk_checked(
     return out
 
 
+def read_zip_member(payload: bytes, name: str) -> bytes:
+    """Decompressed bytes of the named member (first match in
+    central-directory order), CRC-verified — ValueError if absent
+    or failing its checksum. The random-access primitive the
+    office-document extractors build on."""
+    tail_start = max(0, len(payload) - 65536 - 22)
+    eocd = payload.rfind(ZIP_EOCD, tail_start)
+    if eocd < 0:
+        raise ValueError("no ZIP end-of-central-directory record")
+    (n_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", payload[eocd + 8:eocd + 20])
+    if (n_total == 0xFFFF or cd_off == 0xFFFFFFFF
+            or cd_size == 0xFFFFFFFF):
+        loc = eocd - 20
+        if loc < 0 or payload[loc:loc + 4] != ZIP_EOCD64_LOC:
+            raise ValueError("ZIP64 markers without an EOCD64 locator")
+        (_d, e64_off, _t) = struct.unpack(
+            "<IQI", payload[loc + 4:loc + 20])
+        (n_total, cd_off) = struct.unpack(
+            "<QQ", payload[e64_off + 32:e64_off + 40]
+            + payload[e64_off + 48:e64_off + 56])
+    pos = cd_off
+    target = name.encode("utf-8")
+    for _ in range(n_total):
+        if payload[pos:pos + 4] != ZIP_CDE:
+            raise ValueError("bad central directory signature")
+        (method, crc, csize, usize, nlen, elen, clen, lho) = (
+            struct.unpack(
+                "<H4xIIIHHH2x2x4xI", payload[pos + 10:pos + 46]))
+        mname = payload[pos + 46:pos + 46 + nlen]
+        extra = payload[pos + 46 + nlen:pos + 46 + nlen + elen]
+        pos += 46 + nlen + elen + clen
+        if mname != target:
+            continue
+        if 0xFFFFFFFF in (csize, usize, lho):
+            usize, csize, lho = _zip64_extra(extra, usize, csize, lho)
+        if method not in (0, 8):
+            raise NotImplementedError(
+                f"ZIP compression method {method} (stored/deflate)")
+        (lnlen, lelen) = struct.unpack(
+            "<HH", payload[lho + 26:lho + 30])
+        data_off = lho + 30 + lnlen + lelen
+        raw = payload[data_off:data_off + csize]
+        if len(raw) != csize:
+            raise ValueError("member data outside file")
+        data = raw if method == 0 else zlib.decompress(raw, wbits=-15)
+        if len(data) != usize or zlib.crc32(data) != crc:
+            raise ValueError(f"ZIP member {name} fails its CRC")
+        return data
+    raise ValueError(f"ZIP member {name} not found")
+
+
 def build_zip(
     members: list[tuple[str, bytes, int]],
 ) -> bytes:

@@ -1104,6 +1104,76 @@ def pdf_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, n_pages int, text string")
 
 
+def office_text_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic office document per doc_id
+    — .docx (ZIP of OOXML parts) on even d, .odt (mimetype-first ODF)
+    on odd d, k = d % 3 + 1 paragraphs 'doc {d} para {p}' with an
+    empty leading paragraph when d % 4 == 0 (exercises the
+    empty-<w:p/> path). Both writers' containers are real ZIPs the
+    stdlib zipfile module reads (pinned in tests). mapInPandas,
+    Arrow-batched."""
+    from barkingowl_spark.functions.officetext import (
+        build_docx,
+        build_odt,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                paras = [f"doc {d} para {p}"
+                         for p in range(d % 3 + 1)]
+                if d % 4 == 0:
+                    paras.insert(0, "")
+                payloads.append(build_docx(paras) if d % 2 == 0
+                                else build_odt(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def office_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, fmt, n_paras, text): office-document text extraction
+    over the binary payload column — one mapInPandas pass
+    (functions/officetext.py), format sniffed from the container
+    (ODF's stored-first mimetype member is at a FIXED offset, so the
+    sniff is a byte check, not a parse). Unparseable payloads yield
+    (doc_id, NULL, 0, NULL) — the containment convention."""
+    from barkingowl_spark.functions.officetext import (
+        extract_docx_text,
+        extract_odt_text,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "n_paras": [],
+                   "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    if p[:4] == b"PK\x03\x04" and p[30:38] == \
+                            b"mimetype":
+                        fmt = "odt"
+                        n, text = extract_odt_text(p)
+                    else:
+                        fmt = "docx"
+                        n, text = extract_docx_text(p)
+                except (ValueError, NotImplementedError):
+                    fmt, n, text = None, 0, None
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["n_paras"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_paras": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, fmt string, n_paras int, text string")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Office-document text extraction (functions/officetext.py, r5
+third session): writer round-trips, hand-built XML shapes the
+writers never emit, stdlib-zipfile container cross-checks, entity
+decoding, corrupt rejection, and the Spark office_texts dispatch
+with the ODF mimetype sniff."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from barkingowl_spark.functions.officetext import (
+    build_docx,
+    build_odt,
+    extract_docx_text,
+    extract_odt_text,
+)
+from barkingowl_spark.functions.zipwalk import build_zip
+
+PARAS = ["hello & <world>", "", "tabs\tand \"quoted\" stuff",
+         "doc 7 para 3"]
+
+
+def test_writer_round_trips():
+    want = (len(PARAS), "\n".join(PARAS))
+    assert extract_docx_text(build_docx(PARAS)) == want
+    assert extract_odt_text(build_odt(PARAS)) == want
+
+
+def test_stdlib_reads_the_containers():
+    """Both fixture containers are real ZIPs: the stdlib module
+    lists and extracts them, and ODT's mimetype member is FIRST and
+    STORED per the ODF spec."""
+    zf = zipfile.ZipFile(io.BytesIO(build_docx(PARAS)))
+    assert "word/document.xml" in zf.namelist()
+    zo = zipfile.ZipFile(io.BytesIO(build_odt(PARAS)))
+    info = zo.infolist()[0]
+    assert info.filename == "mimetype"
+    assert info.compress_type == zipfile.ZIP_STORED
+    assert zo.read("mimetype").startswith(
+        b"application/vnd.oasis.opendocument")
+
+
+def test_hand_built_docx_shapes():
+    """Shapes the writer never emits: w:tab / w:br inside runs,
+    numeric character references, attribute-carrying w:p, and a
+    self-closing empty paragraph mid-document."""
+    doc = ('<?xml version="1.0"?><w:document><w:body>'
+           '<w:p w:rsidR="0"><w:r><w:t>a&#65;&#x42;</w:t></w:r>'
+           "<w:r><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>"
+           "<w:p/>"
+           "<w:p><w:r><w:t>end</w:t></w:r></w:p>"
+           "</w:body></w:document>")
+    p = build_zip([("word/document.xml", doc.encode(), 8)])
+    assert extract_docx_text(p) == (3, "aAB\tb\nc\n\nend")
+
+
+def test_hand_built_odt_shapes():
+    """text:s run expansion (text:c), tab, line-break and nested
+    spans — through the real container."""
+    c = ('<?xml version="1.0"?><office:document-content>'
+         "<office:body><office:text>"
+         '<text:p>a<text:s text:c="3"/>b<text:tab/>c'
+         "<text:line-break/>d<text:span>e<text:span>f</text:span>"
+         "</text:span></text:p></office:text></office:body>"
+         "</office:document-content>")
+    p = build_zip(
+        [("mimetype", b"application/vnd.oasis.opendocument.text", 0),
+         ("content.xml", c.encode(), 8)])
+    assert extract_odt_text(p) == (1, "a   b\tc\ndef")
+
+
+def test_corrupt_rejection():
+    with pytest.raises(ValueError):
+        extract_docx_text(b"not a zip")
+    # a zip without the document part
+    p = build_zip([("other.xml", b"<a/>", 0)])
+    with pytest.raises(ValueError, match="not found"):
+        extract_docx_text(p)
+    # unterminated paragraph block
+    bad = build_zip([("word/document.xml",
+                      b"<w:p><w:r><w:t>x</w:t></w:r>", 8)])
+    with pytest.raises(ValueError, match="unterminated"):
+        extract_docx_text(bad)
+    # unknown entity is corrupt, not silently passed through
+    ent = build_zip([("word/document.xml",
+                      b"<w:p><w:r><w:t>&bogus;</w:t></w:r></w:p>",
+                      8)])
+    with pytest.raises(ValueError, match="entity"):
+        extract_docx_text(ent)
+
+
+def test_office_texts_spark(spark):
+    """office_text_table -> office_texts across the docx/odt
+    alternation and the empty-leading-paragraph cycle, plus
+    containment for junk payloads."""
+    from barkingowl_spark.operators.multimodal import (
+        office_text_table,
+        office_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            office_texts(office_text_table(docs)).collect()}
+    for d in range(8):
+        paras = [f"doc {d} para {p}" for p in range(d % 3 + 1)]
+        if d % 4 == 0:
+            paras.insert(0, "")
+        assert rows[d]["fmt"] == ("docx" if d % 2 == 0 else "odt")
+        assert rows[d]["n_paras"] == len(paras)
+        assert rows[d]["text"] == "\n".join(paras), d
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"PK\x03\x04 truncated"))],
+        "doc_id long, payload binary")
+    bad = office_texts(junk).collect()
+    assert len(bad) == 1 and bad[0]["fmt"] is None
+    assert bad[0]["n_paras"] == 0 and bad[0]["text"] is None
