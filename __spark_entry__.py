@@ -1285,6 +1285,40 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_cfb_members(spark, sf):
+    """OLE2/CFB container walk (functions/cfbwalk.py, r5 third
+    session): header/DIFAT/FAT parse, directory flatten, and BOTH
+    stream layouts — miniFAT 64-byte sectors under the 4096 cutoff,
+    FAT-chained sectors above it — over deterministic containers;
+    read_ok TRUE is the load-bearing column (the full chain walk
+    must deliver the declared bytes). The container under .doc,
+    .xls, .ppt and .msi."""
+    from barkingowl_spark.operators.multimodal import (
+        cfb_members,
+        cfb_table,
+    )
+
+    return cfb_members(cfb_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
+def q_doc_texts(spark, sf):
+    """Legacy Word .doc text extraction (functions/doctext.py, r5
+    third session): CFB walk -> FIB -> Clx piece table -> mixed
+    CP1252/UTF-16LE text pieces — THE doc-type BarkingOwl was named
+    for. The oracle recomputes the piece text from the fixture
+    formula."""
+    from barkingowl_spark.operators.multimodal import (
+        doc_table,
+        doc_texts,
+    )
+
+    return doc_texts(doc_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_office_texts(spark, sf):
     """Office-document text extraction (functions/officetext.py, r5
     third session): .docx (OOXML <w:p>/<w:t> runs) and .odt
@@ -6441,6 +6475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_members": q_tar_members,
         "audio_g711": q_audio_g711,
         "office_texts": q_office_texts,
+        "cfb_members": q_cfb_members,
+        "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
         "pdf_texts_xs": q_pdf_texts_xs,
     })
@@ -10983,6 +11019,36 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS crc_ok
             FROM m
         """,
+        "cfb_members": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            m AS (
+              SELECT doc_id, gi.i
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS i) gi
+              WHERE gi.i <= doc_id % 3)
+            SELECT doc_id,
+                   's' || i AS name,
+                   'stream' AS kind,
+                   CAST(CASE WHEN i < 2 THEN 40 + 30 * i
+                        ELSE 4100 + doc_id % 50 END AS BIGINT)
+                   AS size,
+                   TRUE AS read_ok
+            FROM m
+        """,
+        "doc_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            pc AS (
+              SELECT doc_id, gp.p,
+                     'doc ' || doc_id || ' piece ' || gp.p
+                     || chr(10) AS piece
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS p) gp
+              WHERE gp.p <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(sum(length(piece)) AS INT) AS n_chars,
+                   string_agg(piece, '' ORDER BY p) AS text
+            FROM pc GROUP BY doc_id
+        """,
         "office_texts": """
             WITH d AS (SELECT doc_id FROM documents
                        ORDER BY doc_id LIMIT 48),
@@ -14794,6 +14860,8 @@ def oracle_sql() -> dict[str, str]:
                        WHEN hx LIKE '664C6143%' THEN 'audio/flac'
                        WHEN hx LIKE '00000100%' THEN 'image/x-icon'
                        WHEN hx LIKE '504B0304%' THEN 'application/zip'
+                       WHEN hx LIKE 'D0CF11E0A1B11AE1%'
+                            THEN 'application/x-ole-storage'
                        WHEN hx LIKE '1F8B%' THEN 'application/gzip'
                        WHEN substr(hx, 515, 10) = '7573746172'
                             THEN 'application/x-tar'

@@ -1104,6 +1104,124 @@ def pdf_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, n_pages int, text string")
 
 
+def cfb_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic OLE2/CFB container per
+    doc_id — k = d % 3 + 1 streams s0..s{k-1}, stream i carrying
+    40 + 30*i bytes for i < 2 (the MINI-stream path, 64-byte
+    sectors through the miniFAT) and 4100 + d % 50 bytes for i == 2
+    (the regular FAT-chained path past the 4096 cutoff), byte j =
+    (3j + 7i + d) % 256. One fixture exercises both stream layouts.
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.cfbwalk import build_cfb
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                streams = []
+                for i in range(d % 3 + 1):
+                    n = 40 + 30 * i if i < 2 else 4100 + d % 50
+                    data = bytes((3 * j + 7 * i + d) % 256
+                                 for j in range(n))
+                    streams.append((f"s{i}", data))
+                payloads.append(build_cfb(streams))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def cfb_members(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, name, kind, size, read_ok): OLE2/CFB directory walk
+    over the binary payload column — one mapInPandas pass
+    (functions/cfbwalk.py), read_ok proving the full FAT/miniFAT
+    chain delivered the declared bytes. Unparseable containers
+    yield (doc_id, NULL, NULL, -1, false) — the containment
+    convention."""
+    from barkingowl_spark.functions.cfbwalk import list_cfb_members
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "name": [], "kind": [],
+                   "size": [], "read_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = list_cfb_members(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows = None
+                if not rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(None)
+                    out["kind"].append(None)
+                    out["size"].append(-1)
+                    out["read_ok"].append(False)
+                    continue
+                for name, kind, size, ok in rows:
+                    out["doc_id"].append(doc_id)
+                    out["name"].append(name)
+                    out["kind"].append(kind)
+                    out["size"].append(size)
+                    out["read_ok"].append(ok)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "size": "int64",
+                 "read_ok": "bool"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, name string, kind string, size long, "
+             "read_ok boolean")
+
+
+def doc_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic legacy .doc per doc_id —
+    k = d % 3 + 1 text pieces 'doc {d} piece {p}\\r', piece p
+    CP1252-compressed on even (p + d), UTF-16LE otherwise — the
+    mixed-encoding piece table fast saves actually produce.
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.doctext import build_doc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pieces = [(f"doc {d} piece {p}\r", (p + d) % 2 == 0)
+                          for p in range(d % 3 + 1)]
+                payloads.append(build_doc(pieces))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def doc_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, text): legacy .doc text extraction — one
+    mapInPandas pass (functions/doctext.py: CFB walk -> FIB -> Clx
+    piece table -> mixed CP1252/UTF-16LE pieces). Unparseable
+    payloads yield (doc_id, 0, NULL) — the containment
+    convention."""
+    from barkingowl_spark.functions.doctext import extract_doc_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_chars": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    n, text = extract_doc_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    n, text = 0, None
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_chars": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_chars int, text string")
+
+
 def office_text_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic office document per doc_id
     — .docx (ZIP of OOXML parts) on even d, .odt (mimetype-first ODF)
@@ -1486,6 +1604,8 @@ def sniff_mime(
         .when(hx.startswith("664C6143"), "audio/flac")
         .when(hx.startswith("00000100"), "image/x-icon")
         .when(hx.startswith("504B0304"), "application/zip")
+        .when(hx.startswith("D0CF11E0A1B11AE1"),
+              "application/x-ole-storage")
         .when(hx.startswith("1F8B"), "application/gzip")
         # tar has no prefix magic: USTAR puts 'ustar' at byte 257
         .when(F.hex(F.expr(f"substring({payload_col}, 258, 5)"))

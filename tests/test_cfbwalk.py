@@ -1,0 +1,162 @@
+"""OLE2/CFB container walk + legacy .doc text extraction
+(functions/cfbwalk.py, functions/doctext.py, r5 third session):
+round-trips across both stream layouts, hand-built chain checks,
+corrupt rejection, declared seams, and the Spark dispatches."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from barkingowl_spark.functions.cfbwalk import (
+    build_cfb,
+    list_cfb_members,
+    parse_cfb,
+    read_cfb_stream,
+)
+from barkingowl_spark.functions.doctext import (
+    build_doc,
+    extract_doc_text,
+)
+
+STREAMS = [("WordDocument", b"W" * 5000),   # regular FAT-chained
+           ("small", b"abc" * 20),          # mini stream
+           ("empty", b""),
+           ("1Table", bytes(range(256)) * 2)]
+
+
+def test_cfb_round_trip_both_layouts():
+    p = build_cfb(STREAMS)
+    got = list_cfb_members(p)
+    assert [(n, "stream", len(d), True) for n, d in STREAMS] == got
+    for n, d in STREAMS:
+        assert read_cfb_stream(p, n) == d, n
+    # the boundary: 4095 is mini, 4096 is regular
+    edge = build_cfb([("a", b"x" * 4095), ("b", b"y" * 4096)])
+    cfb = parse_cfb(edge)
+    assert cfb.read("a") == b"x" * 4095
+    assert cfb.read("b") == b"y" * 4096
+    assert len(cfb.mini) >= 4095  # a went through the mini stream
+
+
+def test_cfb_corrupt_rejection():
+    p = build_cfb(STREAMS)
+    with pytest.raises(ValueError, match="magic"):
+        list_cfb_members(b"not a cfb at all" * 40)
+    with pytest.raises(ValueError):
+        list_cfb_members(p[:300])  # truncated header
+    # a FAT cycle is detected, not an infinite loop: point the
+    # WordDocument chain's first FAT entry at itself
+    cfb = parse_cfb(p)
+    start = next(s for n, t, s, z in cfb.entries
+                 if n == "WordDocument")
+    bad = bytearray(p)
+    struct.pack_into("<I", bad, 512 + 4 * start, start)
+    with pytest.raises(ValueError, match="cycle"):
+        read_cfb_stream(bytes(bad), "WordDocument")
+    # truncating the file makes the chain walk fail read_ok, and
+    # the directory-level walk reports it (not an exception)
+    clipped = p[:len(p) - 600]
+    rows = list_cfb_members(clipped)
+    assert any(not ok for *_, ok in rows)
+    # bad byte-order mark
+    bom = bytearray(p)
+    bom[28] = 0
+    with pytest.raises(ValueError, match="FFFE"):
+        list_cfb_members(bytes(bom))
+    # absent stream
+    with pytest.raises(ValueError, match="not found"):
+        read_cfb_stream(p, "missing")
+
+
+def test_cfb_members_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        cfb_members,
+        cfb_table,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {}
+    for r in cfb_members(cfb_table(docs)).collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for d in range(6):
+        got = sorted(rows[d], key=lambda r: r["name"])
+        assert len(got) == d % 3 + 1
+        for i, r in enumerate(got):
+            assert r["name"] == f"s{i}"
+            assert r["kind"] == "stream"
+            want = 40 + 30 * i if i < 2 else 4100 + d % 50
+            assert r["size"] == want
+            assert r["read_ok"]
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\xd0\xcf\x11\xe0 truncated"))],
+        "doc_id long, payload binary")
+    bad = cfb_members(junk).collect()
+    assert len(bad) == 1 and bad[0]["name"] is None
+    assert not bad[0]["read_ok"]
+
+
+def test_doc_pieces_and_encodings():
+    pieces = [("doc 5 line 0\r", True),
+              ("unicode piece éü\r", False),
+              ("tail", True)]
+    n, text = extract_doc_text(build_doc(pieces))
+    assert n == sum(len(t) for t, _ in pieces)
+    assert text == "".join(t for t, _ in pieces).replace("\r", "\n")
+    # cp1252-unrepresentable text must go through a unicode piece
+    with pytest.raises(UnicodeEncodeError):
+        build_doc([("中文", True)])
+    assert extract_doc_text(
+        build_doc([("中文", False)]))[1] == "中文"
+
+
+def test_doc_corrupt_and_seams():
+    p = build_doc([("some text\r", True)])
+    from barkingowl_spark.functions.cfbwalk import (
+        read_cfb_stream as rd,
+    )
+
+    w = rd(p, "WordDocument")
+    i = p.find(w[:16])
+    assert i > 0
+    # encrypted bit -> declared seam
+    enc = bytearray(p)
+    enc[i + 0x0B] |= 0x01
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_doc_text(bytes(enc))
+    # wrong FIB magic -> corrupt
+    bad = bytearray(p)
+    bad[i] = 0
+    with pytest.raises(ValueError, match="FIB"):
+        extract_doc_text(bytes(bad))
+    # ccpText longer than the piece table delivers -> corrupt
+    longer = bytearray(p)
+    struct.pack_into("<i", longer, i + 0x4C, 10_000)
+    with pytest.raises(ValueError, match="shorter than ccpText"):
+        extract_doc_text(bytes(longer))
+
+
+def test_doc_texts_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        doc_table,
+        doc_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            doc_texts(doc_table(docs)).collect()}
+    for d in range(6):
+        pieces = [f"doc {d} piece {p}\r" for p in range(d % 3 + 1)]
+        want = "".join(pieces).replace("\r", "\n")
+        assert rows[d]["n_chars"] == sum(len(t) for t in pieces)
+        assert rows[d]["text"] == want, d
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\xd0\xcf\x11\xe0 nope"))],
+        "doc_id long, payload binary")
+    bad = doc_texts(junk).collect()
+    assert bad[0]["n_chars"] == 0 and bad[0]["text"] is None

@@ -776,6 +776,8 @@ def test_sniff_mime(spark):
         (12, b"f0\x00" + b"\x00" * 254 + b"ustar\x0000",
          "application/x-tar"),
         (13, b"x" * 257 + b"notar", "text/plain"),
+        (14, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1 word",
+         "application/x-ole-storage"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, mime string")
@@ -796,6 +798,7 @@ def test_sniff_mime(spark):
     assert got[11] == ("application/gzip", True)
     assert got[12] == ("application/x-tar", True)
     assert got[13] == ("application/octet-stream", False)
+    assert got[14] == ("application/x-ole-storage", True)
 
 
 def test_soft404_scores(spark):
