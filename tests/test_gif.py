@@ -511,9 +511,12 @@ def test_bmp_core_header_and_os2_seam():
     p = _bmp_wrap(core, pal, body)
     assert decode_bmp(p) == (2, 2, [[0, 255], [255, 0]])
 
-    os2v2 = struct.pack("<IHHHH", 16, 2, 2, 1, 1) + b"\x00" * 4
+    # OS/2 v2 sizes 16..36 are REAL since the r5 third session
+    # (32-bit dims, tested in test_bmp_os2v2_truncated_headers);
+    # a size outside every known family stays the declared seam
+    odd = struct.pack("<IIIHH", 14, 2, 2, 1, 1) + b"\x00" * 2
     with _pytest.raises(NotImplementedError):
-        decode_bmp(_bmp_wrap(os2v2, pal, body))
+        decode_bmp(_bmp_wrap(odd, pal, body))
 
 
 # ---- giflib-timing regression (r5, ADVICE r4) ----------------------------
