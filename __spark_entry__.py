@@ -1285,6 +1285,23 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_xlsx_cells(spark, sf):
+    """Spreadsheet cell extraction (functions/officetext.py, r5
+    third session): xl/worksheets cells resolved through the
+    sharedStrings table (rich-text runs concatenated) next to
+    inline numerics — the .xlsx sibling of office_texts, over the
+    same CRC-verified zipwalk member reads. The oracle recomputes
+    refs, kinds and values from the fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        xlsx_cells,
+        xlsx_table,
+    )
+
+    return xlsx_cells(xlsx_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_cfb_members(spark, sf):
     """OLE2/CFB container walk (functions/cfbwalk.py, r5 third
     session): header/DIFAT/FAT parse, directory flatten, and BOTH
@@ -6475,6 +6492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_members": q_tar_members,
         "audio_g711": q_audio_g711,
         "office_texts": q_office_texts,
+        "xlsx_cells": q_xlsx_cells,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11017,6 +11035,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(40 + 20 * i AS BIGINT) AS usize,
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
+            FROM m
+        """,
+        "xlsx_cells": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            m AS (
+              SELECT doc_id, gi.i
+              FROM d, (SELECT unnest(generate_series(0, 4)) AS i) gi
+              WHERE gi.i < doc_id % 3 + 2)
+            SELECT doc_id,
+                   chr(CAST(65 + i AS INT)) || '1' AS cell_ref,
+                   CASE WHEN i % 2 = 0 THEN 's' ELSE 'n'
+                   END AS kind,
+                   CASE WHEN i % 2 = 0
+                        THEN 'doc ' || doc_id || ' cell ' || i
+                        ELSE CAST(10 * i + doc_id AS VARCHAR)
+                   END AS value
             FROM m
         """,
         "cfb_members": """

@@ -17,15 +17,21 @@ valid-but-unsupported shapes.
   * extract_odt_text: content.xml, <text:p> blocks, nested spans
     stripped, <text:tab/>/<text:line-break/> mapped, <text:s/> run
     expansion honored (text:c repeat count).
-  * build_docx / build_odt: the fixture writers — real multi-member
-    ZIP containers ([Content_Types].xml / mimetype-first per the
-    respective specs) whose text the DuckDB oracle recomputes from
-    the paragraph formula. The stdlib zipfile module reads both
-    (pinned in tests), so the container layer has independent
-    ground truth.
+  * extract_xlsx_cells: the spreadsheet sibling —
+    xl/worksheets/sheet1.xml cells resolved through the
+    sharedStrings table (rich-text runs concatenated), numeric /
+    formula-string / boolean / inline-string kinds; unknown cell
+    types are declared seams.
+  * build_docx / build_odt / build_xlsx: the fixture writers — real
+    multi-member ZIP containers ([Content_Types].xml /
+    mimetype-first per the respective specs) whose content the
+    DuckDB oracle recomputes from the fixture formulas. The stdlib
+    zipfile module reads all of them (pinned in tests), so the
+    container layer has independent ground truth.
 
-Spark surface: operators/multimodal.office_texts — one mapInPandas
-pass, (doc_id, fmt, n_paras, text); driver query office_texts.
+Spark surface: operators/multimodal.office_texts / xlsx_cells —
+one mapInPandas pass each; driver queries office_texts,
+xlsx_cells.
 """
 
 from __future__ import annotations
@@ -133,6 +139,68 @@ def extract_odt_text(payload: bytes) -> tuple[int, str]:
     return len(paras), "\n".join(paras)
 
 
+_SI_RE = re.compile(r"<si(?:\s[^>]*)?>(.*?)</si>", re.S)
+_T_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_C_RE = re.compile(
+    r"<c\s+([^>]*?)(/)?>(?:(.*?)</c>)?", re.S)
+_V_RE = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+_ATTR_RE = re.compile(r"(\w+)=\"([^\"]*)\"")
+
+
+def extract_xlsx_cells(
+    payload: bytes,
+) -> list[tuple[str, str, str]]:
+    """payload -> [(cell_ref, kind, value)] in sheet order from
+    xl/worksheets/sheet1.xml: t="s" resolves through the
+    sharedStrings table (rich-text <r> runs concatenated), the
+    default/numeric kind keeps the literal <v> text, t="str"
+    (formula results) and t="b" pass through, t="inlineStr" reads
+    the inline <is><t> run. Other cell types raise
+    NotImplementedError; refless or malformed cells ValueError."""
+    try:
+        sst_xml = read_zip_member(
+            payload, "xl/sharedStrings.xml").decode("utf-8",
+                                                    "replace")
+        sst = ["".join(_unescape(t)
+                       for t in _T_RE.findall(si))
+               for si in _SI_RE.findall(sst_xml)]
+    except ValueError:
+        sst = []  # a workbook with no string table is legal
+    sheet = read_zip_member(
+        payload, "xl/worksheets/sheet1.xml").decode("utf-8",
+                                                    "replace")
+    out: list[tuple[str, str, str]] = []
+    for m in _C_RE.finditer(sheet):
+        attrs = dict(_ATTR_RE.findall(m.group(1)))
+        ref = attrs.get("r")
+        if not ref:
+            raise ValueError("cell without an r= reference")
+        if m.group(2):  # self-closing <c/>: blank cell
+            continue
+        body = m.group(3) or ""
+        kind = attrs.get("t", "n")
+        if kind == "s":
+            v = _V_RE.search(body)
+            if not v:
+                raise ValueError(f"shared-string cell {ref} "
+                                 "without <v>")
+            idx = int(v.group(1))
+            if not 0 <= idx < len(sst):
+                raise ValueError(
+                    f"shared-string index {idx} out of range")
+            out.append((ref, "s", sst[idx]))
+        elif kind in ("n", "str", "b"):
+            v = _V_RE.search(body)
+            out.append((ref, kind,
+                        _unescape(v.group(1)) if v else ""))
+        elif kind == "inlineStr":
+            out.append((ref, "inlineStr", "".join(
+                _unescape(t) for t in _T_RE.findall(body))))
+        else:
+            raise NotImplementedError(f"xlsx cell type {kind!r}")
+    return out
+
+
 # ---- fixture writers -----------------------------------------------------
 
 
@@ -195,4 +263,45 @@ def build_odt(paras: list[str]) -> bytes:
         ("mimetype",
          b"application/vnd.oasis.opendocument.text", 0),
         ("content.xml", content.encode(), 8),
+    ])
+
+
+def build_xlsx(cells: list[tuple[str, object]]) -> bytes:
+    """[(cell_ref, value)] -> a real .xlsx: strings route through a
+    sharedStrings table (every second one as a rich-text two-run
+    <si>, exercising run concatenation), ints/floats inline as
+    numeric <v>."""
+    sst: list[str] = []
+    body = []
+    for ref, val in cells:
+        if isinstance(val, str):
+            idx = len(sst)
+            sst.append(val)
+            body.append(
+                f'<c r="{ref}" t="s"><v>{idx}</v></c>')
+        else:
+            body.append(f'<c r="{ref}"><v>{val}</v></c>')
+    si = []
+    for i, s in enumerate(sst):
+        if i % 2:
+            mid = len(s) // 2
+            si.append(
+                f"<si><r><t xml:space=\"preserve\">{_esc(s[:mid])}"
+                f"</t></r><r><t xml:space=\"preserve\">"
+                f"{_esc(s[mid:])}</t></r></si>")
+        else:
+            si.append(
+                f"<si><t xml:space=\"preserve\">{_esc(s)}</t></si>")
+    sst_xml = ('<?xml version="1.0"?><sst xmlns="http://schemas.'
+               'openxmlformats.org/spreadsheetml/2006/main" count='
+               f'"{len(sst)}" uniqueCount="{len(sst)}">'
+               + "".join(si) + "</sst>")
+    sheet = ('<?xml version="1.0"?><worksheet xmlns="http://'
+             'schemas.openxmlformats.org/spreadsheetml/2006/main">'
+             "<sheetData><row r=\"1\">" + "".join(body)
+             + "</row></sheetData></worksheet>")
+    return build_zip([
+        ("[Content_Types].xml", _DOCX_CT.encode(), 8),
+        ("xl/sharedStrings.xml", sst_xml.encode(), 8),
+        ("xl/worksheets/sheet1.xml", sheet.encode(), 8),
     ])

@@ -1292,6 +1292,70 @@ def office_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, fmt string, n_paras int, text string")
 
 
+def xlsx_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic .xlsx per doc_id —
+    k = d % 3 + 2 cells in row 1 (refs A1, B1, ...), even columns
+    carrying the shared string 'doc {d} cell {i}' (every second
+    string as a rich-text two-run <si>), odd columns the number
+    10*i + d. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.officetext import build_xlsx
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cells = []
+                for i in range(d % 3 + 2):
+                    ref = chr(65 + i) + "1"
+                    cells.append(
+                        (ref, f"doc {d} cell {i}") if i % 2 == 0
+                        else (ref, 10 * i + d))
+                payloads.append(build_xlsx(cells))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def xlsx_cells(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, cell_ref, kind, value): spreadsheet cell extraction
+    over the binary payload column — one mapInPandas pass
+    (functions/officetext.py: zipwalk member reads, sharedStrings
+    resolution). Unparseable payloads yield a single
+    (doc_id, NULL, NULL, NULL) row — the containment convention."""
+    from barkingowl_spark.functions.officetext import (
+        extract_xlsx_cells,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "cell_ref": [], "kind": [],
+                   "value": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = extract_xlsx_cells(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows = None
+                if not rows:
+                    out["doc_id"].append(doc_id)
+                    out["cell_ref"].append(None)
+                    out["kind"].append(None)
+                    out["value"].append(None)
+                    continue
+                for ref, kind, value in rows:
+                    out["doc_id"].append(doc_id)
+                    out["cell_ref"].append(ref)
+                    out["kind"].append(kind)
+                    out["value"].append(value)
+            yield pd.DataFrame(out).astype({"doc_id": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, cell_ref string, kind string, "
+             "value string")
+
+
 def resize_pixel_audit(
     multimodal: DataFrame, max_side: int = 32
 ) -> DataFrame:

@@ -119,3 +119,70 @@ def test_office_texts_spark(spark):
     bad = office_texts(junk).collect()
     assert len(bad) == 1 and bad[0]["fmt"] is None
     assert bad[0]["n_paras"] == 0 and bad[0]["text"] is None
+
+
+def test_xlsx_cells_extraction():
+    """XLSX (r5 third session): shared strings (incl. rich-text
+    two-run <si>), inline numerics, hand-built inlineStr /
+    formula-str / boolean / blank cells, out-of-range sst index
+    rejection and the unknown-cell-type seam."""
+    from barkingowl_spark.functions.officetext import (
+        build_xlsx,
+        extract_xlsx_cells,
+    )
+
+    cells = [("A1", "hello & <x>"), ("B1", 42),
+             ("C1", "second string"), ("D1", 3.5)]
+    got = extract_xlsx_cells(build_xlsx(cells))
+    assert got == [("A1", "s", "hello & <x>"), ("B1", "n", "42"),
+                   ("C1", "s", "second string"), ("D1", "n", "3.5")]
+
+    sheet = ('<?xml version="1.0"?><worksheet><sheetData><row>'
+             '<c r="A1" t="inlineStr"><is><t>in&amp;line</t></is>'
+             '</c><c r="B1" t="str"><v>=SUM says 7</v></c>'
+             '<c r="C1" t="b"><v>1</v></c><c r="D1"/>'
+             "</row></sheetData></worksheet>")
+    p = build_zip(
+        [("xl/worksheets/sheet1.xml", sheet.encode(), 8)])
+    assert extract_xlsx_cells(p) == [
+        ("A1", "inlineStr", "in&line"),
+        ("B1", "str", "=SUM says 7"),
+        ("C1", "b", "1")]  # the blank D1 is skipped
+
+    bad = ('<worksheet><sheetData><row>'
+           '<c r="A1" t="s"><v>5</v></c>'
+           "</row></sheetData></worksheet>")
+    pb = build_zip([("xl/worksheets/sheet1.xml", bad.encode(), 8)])
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xlsx_cells(pb)
+
+    err = ('<worksheet><sheetData><row>'
+           '<c r="A1" t="e"><v>#DIV/0!</v></c>'
+           "</row></sheetData></worksheet>")
+    pe = build_zip([("xl/worksheets/sheet1.xml", err.encode(), 8)])
+    with pytest.raises(NotImplementedError, match="cell type"):
+        extract_xlsx_cells(pe)
+
+
+def test_xlsx_cells_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        xlsx_cells,
+        xlsx_table,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {}
+    for r in xlsx_cells(xlsx_table(docs)).collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for d in range(6):
+        got = sorted(rows[d], key=lambda r: r["cell_ref"])
+        assert len(got) == d % 3 + 2
+        for i, r in enumerate(got):
+            assert r["cell_ref"] == chr(65 + i) + "1"
+            if i % 2 == 0:
+                assert (r["kind"], r["value"]) == (
+                    "s", f"doc {d} cell {i}")
+            else:
+                assert (r["kind"], r["value"]) == (
+                    "n", str(10 * i + d))
