@@ -1285,6 +1285,24 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_rtf_texts(spark, sf):
+    """RTF text extraction (functions/rtftext.py, r5 third session):
+    group walk with per-group \\uc state, control words, \\'hh
+    cp1252 hex escapes, brace/backslash literals, destination-group
+    skipping — the .doc era's exchange format. Even docs carry
+    braces, a backslash and an accented hex byte so the escape
+    grammar is load-bearing; the oracle recomputes paragraphs from
+    the fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        rtf_table,
+        rtf_texts,
+    )
+
+    return rtf_texts(rtf_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_xlsx_cells(spark, sf):
     """Spreadsheet cell extraction (functions/officetext.py, r5
     third session): xl/worksheets cells resolved through the
@@ -6493,6 +6511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_g711": q_audio_g711,
         "office_texts": q_office_texts,
         "xlsx_cells": q_xlsx_cells,
+        "rtf_texts": q_rtf_texts,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11036,6 +11055,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "rtf_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            pg AS (
+              SELECT doc_id, gp.p,
+                     'doc ' || doc_id || ' rtf ' || gp.p
+                     || CASE WHEN doc_id % 2 = 0
+                        THEN ' {é}\\x' ELSE '' END AS para
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS p) gp
+              WHERE gp.p <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_paras,
+                   string_agg(para, chr(10) ORDER BY p) AS text
+            FROM pg GROUP BY doc_id
         """,
         "xlsx_cells": """
             WITH d AS (SELECT doc_id FROM documents

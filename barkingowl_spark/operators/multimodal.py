@@ -1292,6 +1292,55 @@ def office_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, fmt string, n_paras int, text string")
 
 
+def rtf_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic RTF per doc_id —
+    k = d % 3 + 1 paragraphs 'doc {d} rtf {p}', suffixed
+    ' {é}\\x' on even d so brace/backslash escaping and the \\'hh
+    cp1252 hex path are load-bearing. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.rtftext import build_rtf
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sfx = " {é}\\x" if d % 2 == 0 else ""
+                paras = [f"doc {d} rtf {p}{sfx}"
+                         for p in range(d % 3 + 1)]
+                payloads.append(build_rtf(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def rtf_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, n_paras, text): RTF text extraction over the binary
+    payload column — one mapInPandas pass (functions/rtftext.py:
+    group walk, control words, hex/unicode escapes, destination
+    skipping). Unparseable payloads yield (doc_id, 0, NULL) — the
+    containment convention."""
+    from barkingowl_spark.functions.rtftext import extract_rtf_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_paras": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    n, text = extract_rtf_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    n, text = 0, None
+                out["doc_id"].append(doc_id)
+                out["n_paras"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_paras": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_paras int, text string")
+
+
 def xlsx_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic .xlsx per doc_id —
     k = d % 3 + 2 cells in row 1 (refs A1, B1, ...), even columns
