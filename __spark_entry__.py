@@ -1285,6 +1285,25 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_eml_texts(spark, sf):
+    """Email text extraction (functions/emltext.py, r5 third
+    session): RFC 5322 header unfolding, RFC 2047 encoded-word
+    subjects, MIME multipart walk behind a binary decoy, and
+    quoted-printable / base64 transfer decoding — crawled
+    mailing-list archives are .eml all the way down, and the stdlib
+    email package pins the walk both directions at unit level
+    (independent ground truth). The oracle recomputes
+    subject/sender/body from the fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        eml_table,
+        eml_texts,
+    )
+
+    return eml_texts(eml_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_rtf_texts(spark, sf):
     """RTF text extraction (functions/rtftext.py, r5 third session):
     group walk with per-group \\uc state, control words, \\'hh
@@ -6512,6 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "office_texts": q_office_texts,
         "xlsx_cells": q_xlsx_cells,
         "rtf_texts": q_rtf_texts,
+        "eml_texts": q_eml_texts,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11055,6 +11075,23 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "eml_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            ln AS (
+              SELECT doc_id, gi.i,
+                     'doc ' || doc_id || ' body line ' || gi.i
+                     AS line
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS i) gi
+              WHERE gi.i <= doc_id % 3)
+            SELECT doc_id,
+                   'msg ' || doc_id || ' subject'
+                   || CASE WHEN doc_id % 2 = 0 THEN ' é' ELSE ''
+                      END AS subject,
+                   'user' || doc_id || '@example.test' AS sender,
+                   string_agg(line, chr(10) ORDER BY i) AS text
+            FROM ln GROUP BY doc_id
         """,
         "rtf_texts": """
             WITH d AS (SELECT doc_id FROM documents

@@ -1292,6 +1292,69 @@ def office_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, fmt string, n_paras int, text string")
 
 
+def eml_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic RFC-5322 message per
+    doc_id — subject 'msg {d} subject' (+ ' é' on even d, forcing
+    the RFC 2047 encoded-word path), sender 'user{d}@example.test',
+    body of k = d % 3 + 1 lines 'doc {d} body line {i}';
+    Content-Transfer-Encoding cycles 7bit / quoted-printable /
+    base64 on d % 3, and d % 4 >= 2 wraps the text part in a
+    multipart/mixed container behind a binary decoy part (the part
+    WALK is load-bearing). mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.emltext import build_eml
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                subj = f"msg {d} subject" + (" é" if d % 2 == 0
+                                             else "")
+                text = "\n".join(f"doc {d} body line {i}"
+                                 for i in range(d % 3 + 1))
+                payloads.append(build_eml(
+                    subj, f"user{d}@example.test", text,
+                    cte=("7bit", "quoted-printable",
+                         "base64")[d % 3],
+                    multipart=d % 4 >= 2))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def eml_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, subject, sender, text): email text extraction over
+    the binary payload column — one mapInPandas pass
+    (functions/emltext.py: header unfold + RFC 2047 decode, MIME
+    part walk, quoted-printable/base64 transfer decode).
+    Unparseable payloads yield (doc_id, NULL, NULL, NULL) — the
+    containment convention."""
+    from barkingowl_spark.functions.emltext import extract_eml_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "subject": [], "sender": [],
+                   "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    subj, sender, text = extract_eml_text(
+                        bytes(payload))
+                except (ValueError, NotImplementedError,
+                        UnicodeDecodeError):
+                    subj, sender, text = None, None, None
+                out["doc_id"].append(doc_id)
+                out["subject"].append(subj)
+                out["sender"].append(sender)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype({"doc_id": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, subject string, sender string, "
+             "text string")
+
+
 def rtf_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic RTF per doc_id —
     k = d % 3 + 1 paragraphs 'doc {d} rtf {p}', suffixed
