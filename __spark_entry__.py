@@ -1285,6 +1285,24 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_mbox_texts(spark, sf):
+    """mbox archive explode + email extraction (r5 third session):
+    'From ' postmark splitting with mboxo >-unescaping (a body line
+    starting 'From ' is planted in every message so the escape
+    round-trip is load-bearing), then the full RFC 5322/2047/MIME
+    chain per message — how pipermail actually publishes the
+    archives a crawler fetches. The oracle recomputes every
+    message's fields from the fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        mbox_table,
+        mbox_texts,
+    )
+
+    return mbox_texts(mbox_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_eml_texts(spark, sf):
     """Email text extraction (functions/emltext.py, r5 third
     session): RFC 5322 header unfolding, RFC 2047 encoded-word
@@ -6532,6 +6550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_cells": q_xlsx_cells,
         "rtf_texts": q_rtf_texts,
         "eml_texts": q_eml_texts,
+        "mbox_texts": q_mbox_texts,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11074,6 +11093,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(40 + 20 * i AS BIGINT) AS usize,
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
+            FROM m
+        """,
+        "mbox_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            m AS (
+              SELECT doc_id, gm.m
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS m) gm
+              WHERE gm.m <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(m AS INT) AS msg_idx,
+                   'msg ' || doc_id || '-' || m || ' subject'
+                   AS subject,
+                   'user' || m || '@example.test' AS sender,
+                   'doc ' || doc_id || ' msg ' || m || ' body'
+                   || chr(10)
+                   || 'From a line the archiver must escape'
+                   AS text
             FROM m
         """,
         "eml_texts": """

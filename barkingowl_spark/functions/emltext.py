@@ -186,6 +186,32 @@ def extract_eml_text(
     return subject, sender, text if text is not None else ""
 
 
+def split_mbox(payload: bytes) -> list[bytes]:
+    """mboxo archive -> per-message RFC 5322 bytes: messages begin
+    at lines starting 'From ' (the postmark), and body lines the
+    archiver escaped to '>From ' are unescaped ('>>From ' to
+    '>From ', etc — the mboxo convention pipermail uses). ValueError
+    if the payload does not start with a postmark."""
+    if not payload.startswith(b"From "):
+        raise ValueError("not an mbox (missing 'From ' postmark)")
+    text = payload.replace(b"\r\n", b"\n")
+    msgs: list[bytes] = []
+    cur: list[bytes] = []
+    for line in text.split(b"\n"):
+        if line.startswith(b"From "):
+            if cur:
+                msgs.append(b"\n".join(cur).rstrip(b"\n"))
+            cur = []
+            continue  # the postmark line is archive metadata
+        if line.startswith(b">") and line.lstrip(b">").startswith(
+                b"From "):
+            line = line[1:]  # unescape one level
+        cur.append(line)
+    if cur:
+        msgs.append(b"\n".join(cur).rstrip(b"\n"))
+    return msgs
+
+
 # ---- fixture writer ------------------------------------------------------
 
 
@@ -233,3 +259,18 @@ def build_eml(subject: str, sender: str, text: str,
             + f"Content-Type: {ct}\r\n".encode("ascii")
             + f"Content-Transfer-Encoding: {cte}\r\n\r\n".encode()
             + body)
+
+
+def build_mbox(messages: list[bytes]) -> bytes:
+    """Per-message bytes -> mboxo archive: 'From ' postmarks with a
+    fixed fake envelope, body 'From ' lines escaped with '>' (one
+    more level per existing '>' prefix)."""
+    out = bytearray()
+    for msg in messages:
+        out += b"From archive@example.test Thu Jan  1 00:00:00 " \
+               b"2026\n"
+        for line in msg.replace(b"\r\n", b"\n").split(b"\n"):
+            if line.lstrip(b">").startswith(b"From "):
+                line = b">" + line
+            out += line + b"\n"
+    return bytes(out)

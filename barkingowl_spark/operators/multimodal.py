@@ -1355,6 +1355,86 @@ def eml_texts(multimodal: DataFrame) -> DataFrame:
              "text string")
 
 
+def mbox_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic mboxo archive per doc_id —
+    k = d % 3 + 1 messages, message m carrying subject
+    'msg {d}-{m} subject', sender 'user{m}@example.test' and a body
+    whose second line starts 'From ' (so the archiver's >-escaping
+    and the splitter's unescaping are load-bearing);
+    Content-Transfer-Encoding alternates 7bit / quoted-printable on
+    (d + m) % 2. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.emltext import (
+        build_eml,
+        build_mbox,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                msgs = []
+                for m in range(d % 3 + 1):
+                    body = (f"doc {d} msg {m} body\n"
+                            f"From a line the archiver must escape")
+                    msgs.append(build_eml(
+                        f"msg {d}-{m} subject",
+                        f"user{m}@example.test", body,
+                        cte=("7bit", "quoted-printable")[(d + m)
+                                                         % 2]))
+                payloads.append(build_mbox(msgs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def mbox_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, msg_idx, subject, sender, text): mbox archive
+    explode + per-message email extraction — one mapInPandas pass
+    (functions/emltext.py). Unparseable archives yield a single
+    (doc_id, -1, NULL, NULL, NULL) row; an unparseable MESSAGE
+    yields its index with NULL fields — per-member containment,
+    the zip_members convention."""
+    from barkingowl_spark.functions.emltext import (
+        extract_eml_text,
+        split_mbox,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "msg_idx": [], "subject": [],
+                   "sender": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    msgs = split_mbox(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    out["doc_id"].append(doc_id)
+                    out["msg_idx"].append(-1)
+                    out["subject"].append(None)
+                    out["sender"].append(None)
+                    out["text"].append(None)
+                    continue
+                for i, msg in enumerate(msgs):
+                    try:
+                        subj, sender, text = extract_eml_text(msg)
+                    except (ValueError, NotImplementedError,
+                            UnicodeDecodeError):
+                        subj, sender, text = None, None, None
+                    out["doc_id"].append(doc_id)
+                    out["msg_idx"].append(i)
+                    out["subject"].append(subj)
+                    out["sender"].append(sender)
+                    out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "msg_idx": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, msg_idx int, subject string, "
+             "sender string, text string")
+
+
 def rtf_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic RTF per doc_id —
     k = d % 3 + 1 paragraphs 'doc {d} rtf {p}', suffixed

@@ -121,3 +121,68 @@ def test_eml_texts_spark(spark):
         "doc_id long, payload binary")
     bad = eml_texts(junk).collect()
     assert bad[0]["subject"] is None and bad[0]["text"] is None
+
+
+def test_mbox_split_and_stdlib_parity():
+    """mboxo splitting: postmark detection, >From unescaping (one
+    level), stdlib mailbox reads our archives (independent ground
+    truth), and our splitter handles a stdlib-written archive."""
+    import mailbox
+    import os
+    import tempfile
+
+    from barkingowl_spark.functions.emltext import (
+        build_mbox,
+        split_mbox,
+    )
+
+    msgs = [build_eml(f"subj {i}", f"u{i}@e.test",
+                      f"body {i}\nFrom line\n>From quoted",
+                      cte="7bit") for i in range(3)]
+    mb = build_mbox(msgs)
+    got = split_mbox(mb)
+    assert len(got) == 3
+    for i, g in enumerate(got):
+        s, f, t = extract_eml_text(g)
+        assert s == f"subj {i}"
+        assert t.rstrip("\n") == f"body {i}\nFrom line\n>From quoted"
+    with tempfile.NamedTemporaryFile(suffix=".mbox",
+                                     delete=False) as fh:
+        fh.write(mb)
+        path = fh.name
+    try:
+        box = mailbox.mbox(path)
+        assert [m["subject"] for m in box] == [
+            f"subj {i}" for i in range(3)]
+    finally:
+        os.unlink(path)
+    with pytest.raises(ValueError, match="postmark"):
+        split_mbox(b"Subject: not an mbox\r\n\r\nx")
+
+
+def test_mbox_texts_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        mbox_table,
+        mbox_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {}
+    for r in mbox_texts(mbox_table(docs)).collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for d in range(6):
+        got = sorted(rows[d], key=lambda r: r["msg_idx"])
+        assert len(got) == d % 3 + 1
+        for m, r in enumerate(got):
+            assert r["subject"] == f"msg {d}-{m} subject"
+            assert r["sender"] == f"user{m}@example.test"
+            assert r["text"] == (
+                f"doc {d} msg {m} body\n"
+                f"From a line the archiver must escape"), (d, m)
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not an mbox"))],
+        "doc_id long, payload binary")
+    bad = mbox_texts(junk).collect()
+    assert bad[0]["msg_idx"] == -1 and bad[0]["subject"] is None
