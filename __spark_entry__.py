@@ -1285,6 +1285,23 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_epub_texts(spark, sf):
+    """EPUB text extraction (functions/officetext.py, r5 third
+    session): the OCF chain — container.xml rootfile -> OPF
+    manifest + spine -> per-chapter XHTML body strip — over real
+    mimetype-first containers (stdlib zipfile reads them). The
+    oracle recomputes chapters (heading token included, pinning
+    the tag-strip) from the fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        epub_table,
+        epub_texts,
+    )
+
+    return epub_texts(epub_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_mbox_texts(spark, sf):
     """mbox archive explode + email extraction (r5 third session):
     'From ' postmark splitting with mboxo >-unescaping (a body line
@@ -6551,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtf_texts": q_rtf_texts,
         "eml_texts": q_eml_texts,
         "mbox_texts": q_mbox_texts,
+        "epub_texts": q_epub_texts,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11094,6 +11112,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "epub_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            ch AS (
+              SELECT doc_id, gc.c,
+                     'c' || gc.c || ' doc ' || doc_id
+                     || ' chapter ' || gc.c || ' words here'
+                     AS chapter
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS c) gc
+              WHERE gc.c <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_chapters,
+                   string_agg(chapter, chr(12) ORDER BY c) AS text
+            FROM ch GROUP BY doc_id
         """,
         "mbox_texts": """
             WITH d AS (SELECT doc_id FROM documents

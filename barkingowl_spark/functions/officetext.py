@@ -139,6 +139,62 @@ def extract_odt_text(payload: bytes) -> tuple[int, str]:
     return len(paras), "\n".join(paras)
 
 
+_ROOTFILE_RE = re.compile(
+    r"<rootfile\s[^>]*full-path=\"([^\"]+)\"")
+_ITEM_RE = re.compile(r"<item\s[^>]*/?>")
+_ITEMREF_RE = re.compile(r"<itemref\s[^>]*/?>")
+_ATTR1_RE = re.compile(r"([\w-]+)=\"([^\"]*)\"")
+_BODY_RE = re.compile(r"<body(?:\s[^>]*)?>(.*?)</body>", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_epub_text(payload: bytes) -> tuple[int, str]:
+    """payload -> (n_chapters, text): the EPUB chain —
+    META-INF/container.xml names the OPF, the OPF's manifest maps
+    ids to hrefs and its spine orders the chapters, each chapter's
+    XHTML <body> strips to text (tags out, entities decoded,
+    whitespace runs collapsed). Chapters join with \\f (the
+    pdf_texts page convention). ValueError on corrupt containers,
+    missing manifest ids, or spine-less OPFs."""
+    container = read_zip_member(
+        payload, "META-INF/container.xml").decode("utf-8", "replace")
+    m = _ROOTFILE_RE.search(container)
+    if not m:
+        raise ValueError("container.xml without a rootfile")
+    opf_path = m.group(1)
+    opf = read_zip_member(payload, opf_path).decode(
+        "utf-8", "replace")
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path \
+        else ""
+    manifest: dict[str, str] = {}
+    for item in _ITEM_RE.findall(opf):
+        attrs = dict(_ATTR1_RE.findall(item))
+        if "id" in attrs and "href" in attrs:
+            manifest[attrs["id"]] = attrs["href"]
+    refs = []
+    for ref in _ITEMREF_RE.findall(opf):
+        attrs = dict(_ATTR1_RE.findall(ref))
+        idref = attrs.get("idref")
+        if idref:
+            refs.append(idref)
+    if not refs:
+        raise ValueError("OPF without a spine")
+    chapters: list[str] = []
+    for idref in refs:
+        href = manifest.get(idref)
+        if href is None:
+            raise ValueError(f"spine idref {idref!r} not in "
+                             "manifest")
+        xhtml = read_zip_member(payload, base + href).decode(
+            "utf-8", "replace")
+        b = _BODY_RE.search(xhtml)
+        if not b:
+            raise ValueError(f"chapter {href} without a <body>")
+        text = _unescape(_TAG_RE.sub(" ", b.group(1)))
+        chapters.append(" ".join(text.split()))
+    return len(chapters), "\f".join(chapters)
+
+
 _SI_RE = re.compile(r"<si(?:\s[^>]*)?>(.*?)</si>", re.S)
 _T_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
 _C_RE = re.compile(
@@ -305,3 +361,34 @@ def build_xlsx(cells: list[tuple[str, object]]) -> bytes:
         ("xl/sharedStrings.xml", sst_xml.encode(), 8),
         ("xl/worksheets/sheet1.xml", sheet.encode(), 8),
     ])
+
+
+def build_epub(chapters: list[str]) -> bytes:
+    """Chapter texts -> a real EPUB: mimetype member FIRST and
+    STORED (the ODF/EPUB OCF rule), container.xml -> OPF (manifest
+    + spine) -> one XHTML file per chapter with markup the
+    extractor must strip."""
+    members = [("mimetype", b"application/epub+zip", 0)]
+    container = ('<?xml version="1.0"?><container version="1.0" '
+                 'xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+                 'container"><rootfiles><rootfile full-path='
+                 '"OEBPS/content.opf" media-type="application/'
+                 'oebps-package+xml"/></rootfiles></container>')
+    members.append(("META-INF/container.xml", container.encode(), 8))
+    items = []
+    refs = []
+    for i, ch in enumerate(chapters):
+        xhtml = ("<?xml version=\"1.0\"?><html><head><title>c"
+                 f"{i}</title></head><body><h1>c{i}</h1><p>"
+                 + "</p><p>".join(_esc(w) for w in ch.split("\n"))
+                 + "</p></body></html>")
+        members.append((f"OEBPS/ch{i}.xhtml", xhtml.encode(), 8))
+        items.append(f'<item id="c{i}" href="ch{i}.xhtml" '
+                     'media-type="application/xhtml+xml"/>')
+        refs.append(f'<itemref idref="c{i}"/>')
+    opf = ('<?xml version="1.0"?><package xmlns="http://www.idpf.'
+           'org/2007/opf" version="3.0"><manifest>'
+           + "".join(items) + "</manifest><spine>"
+           + "".join(refs) + "</spine></package>")
+    members.append(("OEBPS/content.opf", opf.encode(), 8))
+    return build_zip(members)

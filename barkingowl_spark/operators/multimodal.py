@@ -1355,6 +1355,58 @@ def eml_texts(multimodal: DataFrame) -> DataFrame:
              "text string")
 
 
+def epub_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic EPUB per doc_id —
+    k = d % 3 + 1 spine chapters, chapter c carrying
+    'doc {d} chapter {c} words here' (the writer's XHTML adds an
+    <h1>c{c}</h1> heading the extractor's tag-strip turns into a
+    leading 'c{c} ' token — markup stripping is load-bearing).
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.officetext import build_epub
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                chapters = [f"doc {d} chapter {c} words here"
+                            for c in range(d % 3 + 1)]
+                payloads.append(build_epub(chapters))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def epub_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, n_chapters, text): EPUB text extraction — one
+    mapInPandas pass (functions/officetext.py: container.xml ->
+    OPF manifest/spine -> per-chapter XHTML body strip).
+    Unparseable payloads yield (doc_id, 0, NULL) — the containment
+    convention."""
+    from barkingowl_spark.functions.officetext import (
+        extract_epub_text,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_chapters": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    n, text = extract_epub_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    n, text = 0, None
+                out["doc_id"].append(doc_id)
+                out["n_chapters"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_chapters": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_chapters int, text string")
+
+
 def mbox_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic mboxo archive per doc_id —
     k = d % 3 + 1 messages, message m carrying subject

@@ -186,3 +186,68 @@ def test_xlsx_cells_spark(spark):
             else:
                 assert (r["kind"], r["value"]) == (
                     "n", str(10 * i + d))
+
+
+def test_epub_extraction():
+    """EPUB (r5 third session): the OCF chain through real
+    containers — mimetype first+stored, container.xml -> OPF
+    manifest/spine -> XHTML strip; spine ORDER (not manifest
+    order) dictates chapters; corrupt shapes rejected."""
+    from barkingowl_spark.functions.officetext import (
+        build_epub,
+        extract_epub_text,
+    )
+
+    chs = ["chapter zero text", "chapter one & more"]
+    n, t = extract_epub_text(build_epub(chs))
+    assert n == 2
+    assert t == "c0 chapter zero text\fc1 chapter one & more"
+    # OCF: mimetype member first and stored
+    zf = zipfile.ZipFile(io.BytesIO(build_epub(chs)))
+    assert zf.infolist()[0].filename == "mimetype"
+    assert zf.infolist()[0].compress_type == zipfile.ZIP_STORED
+
+    # hand-built: spine order REVERSED vs manifest order
+    container = ('<container><rootfiles><rootfile full-path='
+                 '"content.opf"/></rootfiles></container>')
+    opf = ('<package><manifest>'
+           '<item id="a" href="a.xhtml" media-type="x"/>'
+           '<item id="b" href="b.xhtml" media-type="x"/>'
+           '</manifest><spine><itemref idref="b"/>'
+           '<itemref idref="a"/></spine></package>')
+    members = [
+        ("META-INF/container.xml", container.encode(), 8),
+        ("content.opf", opf.encode(), 8),
+        ("a.xhtml", b"<html><body>alpha</body></html>", 8),
+        ("b.xhtml", b"<html><body>beta</body></html>", 8),
+    ]
+    assert extract_epub_text(build_zip(members)) == (
+        2, "beta\falpha")
+
+    # spine idref missing from the manifest is corrupt
+    bad_opf = opf.replace('<item id="b" href="b.xhtml" '
+                          'media-type="x"/>', "")
+    bad = [m if m[0] != "content.opf"
+           else ("content.opf", bad_opf.encode(), 8)
+           for m in members]
+    with pytest.raises(ValueError, match="not in"):
+        extract_epub_text(build_zip(bad))
+    with pytest.raises(ValueError):
+        extract_epub_text(b"not a zip")
+
+
+def test_epub_texts_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        epub_table,
+        epub_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            epub_texts(epub_table(docs)).collect()}
+    for d in range(6):
+        chs = [f"c{c} doc {d} chapter {c} words here"
+               for c in range(d % 3 + 1)]
+        assert rows[d]["n_chapters"] == len(chs)
+        assert rows[d]["text"] == "\f".join(chs), d
