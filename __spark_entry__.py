@@ -1285,6 +1285,51 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_meta_opengraph(spark, sf):
+    """OpenGraph/description metadata (functions/opengraph.py, r5
+    third session): first-tag-wins social-card extraction in the
+    no-regex relational subset (one lower() for matching, values
+    sliced from the ORIGINAL so their case survives). Variants by
+    doc_id % 5: full tag set with a MiXeD-case property attr /
+    title+description only / no tags (all NULL) / single-quoted
+    content (the documented limit: NULL) / duplicate og:title
+    (first wins). The oracle re-derives the synthesis intent — the
+    metarobots convention."""
+    from barkingowl_spark.functions.opengraph import og_metadata
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("Doc "), sid, F.lit(" Title"))
+    desc = F.concat(F.lit("Summary "), sid)
+    url = F.concat(F.lit("http://site.test/d"), sid)
+    full = F.concat(
+        F.lit('<head><meta PROPERTY="og:title" content="'), title,
+        F.lit('"/><meta property="og:type" content="article"/>'
+              '<meta property="og:url" content="'), url,
+        F.lit('"/><meta property="og:image" content="'), url,
+        F.lit('.png"/><meta name="Description" content="'), desc,
+        F.lit('"/></head>'))
+    partial = F.concat(
+        F.lit('<meta property="og:title" content=" '), title,
+        F.lit(' "/><meta name="description" content="'), desc,
+        F.lit('"/>'))
+    single_q = F.concat(
+        F.lit("<meta property=\"og:title\" content='"), title,
+        F.lit("'/>"))
+    dup = F.concat(
+        F.lit('<meta property="og:title" content="'), title,
+        F.lit('"/><meta property="og:title" content="LOSER"/>'))
+    html = (
+        F.when(F.col("doc_id") % 5 == 0, full)
+        .when(F.col("doc_id") % 5 == 1, partial)
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("<head><title>plain</title></head>"))
+        .when(F.col("doc_id") % 5 == 3, single_q)
+        .otherwise(dup))
+    return og_metadata(
+        d.select("doc_id", html.alias("body")), html_col="body")
+
+
 def q_epub_texts(spark, sf):
     """EPUB text extraction (functions/officetext.py, r5 third
     session): the OCF chain — container.xml rootfile -> OPF
@@ -6569,6 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_texts": q_eml_texts,
         "mbox_texts": q_mbox_texts,
         "epub_texts": q_epub_texts,
+        "meta_opengraph": q_meta_opengraph,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11112,6 +11158,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "meta_opengraph": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 IN (0, 1, 4)
+                        THEN 'Doc ' || doc_id || ' Title'
+                   END AS og_title,
+                   CASE WHEN doc_id % 5 = 0 THEN 'article'
+                   END AS og_type,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://site.test/d' || doc_id
+                   END AS og_url,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://site.test/d' || doc_id
+                             || '.png'
+                   END AS og_image,
+                   CASE WHEN doc_id % 5 IN (0, 1)
+                        THEN 'Summary ' || doc_id
+                   END AS description
+            FROM documents
         """,
         "epub_texts": """
             WITH d AS (SELECT doc_id FROM documents
