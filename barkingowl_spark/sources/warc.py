@@ -94,9 +94,40 @@ def split_warc_records(blob: bytes) -> list[bytes]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Transfer-Encoding: chunked -> joined chunk data (hex size
+    lines, chunk extensions after ';' ignored, terminated by the
+    0-chunk); None when the framing is broken."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_field = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers, if any, are not body
+        chunk = body[pos:pos + size]
+        if len(chunk) != size:
+            return None
+        out += chunk
+        pos += size + 2  # past the chunk's trailing CRLF
+
+
 def parse_record(rec: bytes) -> dict | None:
     """(url, warc_ts, html, content_type) of a response record with an
-    HTTP payload; None for any other record type or malformed block."""
+    HTTP payload; None for any other record type or malformed block.
+    Raw captures keep the wire shape, so the HTTP payload is decoded
+    through Transfer-Encoding: chunked and then Content-Encoding:
+    gzip/x-gzip/deflate (both the zlib-wrapped and raw-deflate
+    flavors seen in the wild) — a record whose claimed encoding does
+    not decode is malformed (None), the same containment as every
+    other broken block."""
     hdr_end = rec.find(_CRLF2)
     if hdr_end < 0:
         return None
@@ -115,14 +146,51 @@ def parse_record(rec: bytes) -> dict | None:
     if not payload[:5] in (b"HTTP/",) or http_end < 0:
         return None
     ctype = None
+    cenc = ""
+    tenc = ""
     for line in payload[:http_end].decode("latin-1", "replace").split("\r\n")[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type":
             ctype = v.strip()
+        elif key == "content-encoding":
+            cenc = v.strip().lower()
+        elif key == "transfer-encoding":
+            tenc = v.strip().lower()
+    body = payload[http_end + len(_CRLF2):]
+    if tenc == "chunked":
+        dechunked = _dechunk(body)
+        if dechunked is None:
+            return None
+        body = dechunked
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            from barkingowl_spark.functions.tarwalk import (
+                gunzip_members,
+            )
+
+            members = gunzip_members(body)
+        except (ValueError, NotImplementedError):
+            return None
+        if not members or not all(ok for _, _, ok in members):
+            return None
+        body = b"".join(data for _, data, _ok in members)
+    elif cenc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-15)
+            except zlib.error:
+                return None
+    elif cenc not in ("", "identity"):
+        return None  # br/zstd etc.: codec absent, record unusable
     return {
         "url": url,
         "warc_ts": fields.get("warc-date"),
-        "html": payload[http_end + len(_CRLF2):],
+        "html": body,
         "content_type": ctype,
     }
 

@@ -148,3 +148,50 @@ def test_crawl_over_warc_input_matches_parquet(
         )
     assert runs["pq"][0] == runs["warc"][0]
     assert runs["pq"][1] == runs["warc"][1]
+
+
+def test_http_payload_wire_decodings():
+    """Raw captures keep the wire shape (r5 third session):
+    Transfer-Encoding chunked deframes (extensions ignored,
+    trailers dropped), Content-Encoding gzip/x-gzip/deflate (both
+    zlib-wrapped and raw) inflate, the two compose in wire order,
+    and claimed-but-broken or absent-codec encodings make the
+    record malformed (None) rather than yielding garbage bytes."""
+    import zlib
+
+    from barkingowl_spark.functions.tarwalk import build_gzip
+    from barkingowl_spark.sources.warc import parse_record
+
+    def rec(http_headers, body):
+        http = (b"HTTP/1.1 200 OK\r\n" + http_headers + b"\r\n"
+                + body)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://a.test/p\r\n"
+                b"WARC-Date: 2026-01-01T00:00:00Z\r\n\r\n" + http)
+
+    ch = b"7\r\n<html>h\r\n4;ext=1\r\ni</h\r\n4\r\ntml>\r\n0\r\n\r\n"
+    got = parse_record(rec(b"Transfer-Encoding: chunked\r\n", ch))
+    assert got["html"] == b"<html>hi</html>"
+
+    gz = build_gzip("", b"<html>gzipped</html>")
+    assert parse_record(rec(b"Content-Encoding: x-gzip\r\n",
+                            gz))["html"] == b"<html>gzipped</html>"
+
+    chgz = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    both = parse_record(rec(
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chgz))
+    assert both["html"] == b"<html>gzipped</html>"
+
+    for blob in (zlib.compress(b"deflated"),
+                 zlib.compress(b"deflated")[2:-4]):
+        assert parse_record(rec(b"Content-Encoding: deflate\r\n",
+                                blob))["html"] == b"deflated"
+
+    assert parse_record(rec(b"Content-Encoding: gzip\r\n",
+                            b"nope")) is None
+    assert parse_record(rec(b"Content-Encoding: br\r\n",
+                            b"x")) is None
+    # broken chunk framing
+    assert parse_record(rec(b"Transfer-Encoding: chunked\r\n",
+                            b"zz\r\nxx")) is None
