@@ -1285,6 +1285,40 @@ def q_pdf_texts_xs(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_svg_dims(spark, sf):
+    """SVG intrinsic dims (functions/svgmeta.py, r5 third session):
+    the text image format stays in the relational subset — first
+    <svg> tag, px-stripped width/height (percentages correctly
+    NULL: intrinsically unsized per the spec), viewBox 3rd/4th
+    numbers; a stroke-width decoy pins the leading-space attribute
+    anchor. Variants by doc_id % 4: px units + viewBox /
+    unitless + stroke-width decoy / percentage (NULLs) + viewBox /
+    no svg at all. Oracle = intent re-derivation."""
+    from barkingowl_spark.functions.svgmeta import svg_dims
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    w = (F.col("doc_id") % 100 + 10).cast("string")
+    h = (F.col("doc_id") % 50 + 5).cast("string")
+    px = F.concat(
+        F.lit('<svg width="'), w, F.lit('px" height="'), h,
+        F.lit('px" viewBox="0 0 '), w, F.lit(" "), h,
+        F.lit('"><rect/></svg>'))
+    plain = F.concat(
+        F.lit('<svg stroke-width="9" WIDTH="'), w,
+        F.lit('" Height="'), h, F.lit('"><circle/></svg>'))
+    pct = F.concat(
+        F.lit('<svg width="100%" height="50%" viewBox="0 0 '), w,
+        F.lit(" "), h, F.lit('"/>'))
+    html = (
+        F.when(F.col("doc_id") % 4 == 0, px)
+        .when(F.col("doc_id") % 4 == 1, plain)
+        .when(F.col("doc_id") % 4 == 2, pct)
+        .otherwise(F.concat(F.lit("<p>no vector here "), sid,
+                            F.lit("</p>"))))
+    return svg_dims(d.select("doc_id", html.alias("body")))
+
+
 def q_meta_opengraph(spark, sf):
     """OpenGraph/description metadata (functions/opengraph.py, r5
     third session): first-tag-wins social-card extraction in the
@@ -6615,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_texts": q_mbox_texts,
         "epub_texts": q_epub_texts,
         "meta_opengraph": q_meta_opengraph,
+        "svg_dims": q_svg_dims,
         "cfb_members": q_cfb_members,
         "doc_texts": q_doc_texts,
         "pdf_texts": q_pdf_texts,
@@ -11158,6 +11193,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS csize_gt0,
                    TRUE AS crc_ok
             FROM m
+        """,
+        "svg_dims": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 IN (0, 1)
+                        THEN CAST(doc_id % 100 + 10 AS DOUBLE)
+                   END AS width,
+                   CASE WHEN doc_id % 4 IN (0, 1)
+                        THEN CAST(doc_id % 50 + 5 AS DOUBLE)
+                   END AS height,
+                   CASE WHEN doc_id % 4 IN (0, 2)
+                        THEN CAST(doc_id % 100 + 10 AS DOUBLE)
+                   END AS vb_width,
+                   CASE WHEN doc_id % 4 IN (0, 2)
+                        THEN CAST(doc_id % 50 + 5 AS DOUBLE)
+                   END AS vb_height
+            FROM documents
         """,
         "meta_opengraph": """
             SELECT doc_id,
