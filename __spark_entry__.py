@@ -1453,6 +1453,23 @@ def q_xlsx_cells(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_xls_cells(spark, sf):
+    """Legacy .xls cell extraction (functions/xlsbiff.py, r5 third
+    session): CFB stream -> BIFF8 record walk -> SST (compressed +
+    UTF-16 + rich-run entries) -> LABELSST/RK cells — the
+    spreadsheet half of the legacy office pair. Same fixture
+    formula and output shape as xlsx_cells, so one oracle CTE shape
+    pins both spreadsheet generations."""
+    from barkingowl_spark.operators.multimodal import (
+        xls_cells,
+        xls_table,
+    )
+
+    return xls_cells(xls_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_cfb_members(spark, sf):
     """OLE2/CFB container walk (functions/cfbwalk.py, r5 third
     session): header/DIFAT/FAT parse, directory flatten, and BOTH
@@ -6644,6 +6661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_g711": q_audio_g711,
         "office_texts": q_office_texts,
         "xlsx_cells": q_xlsx_cells,
+        "xls_cells": q_xls_cells,
         "rtf_texts": q_rtf_texts,
         "eml_texts": q_eml_texts,
         "mbox_texts": q_mbox_texts,
@@ -11293,6 +11311,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_paras,
                    string_agg(para, chr(10) ORDER BY p) AS text
             FROM pg GROUP BY doc_id
+        """,
+        "xls_cells": """
+            -- same fixture formula as xlsx_cells: one CTE shape
+            -- pins both spreadsheet generations
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            m AS (
+              SELECT doc_id, gi.i
+              FROM d, (SELECT unnest(generate_series(0, 4)) AS i) gi
+              WHERE gi.i < doc_id % 3 + 2)
+            SELECT doc_id,
+                   chr(CAST(65 + i AS INT)) || '1' AS cell_ref,
+                   CASE WHEN i % 2 = 0 THEN 's' ELSE 'n'
+                   END AS kind,
+                   CASE WHEN i % 2 = 0
+                        THEN 'doc ' || doc_id || ' cell ' || i
+                        ELSE CAST(10 * i + doc_id AS VARCHAR)
+                   END AS value
+            FROM m
         """,
         "xlsx_cells": """
             WITH d AS (SELECT doc_id FROM documents

@@ -1487,6 +1487,69 @@ def mbox_texts(multimodal: DataFrame) -> DataFrame:
              "sender string, text string")
 
 
+def xls_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic legacy .xls (BIFF8 over
+    CFB) per doc_id — the same cell formula as xlsx_table
+    (k = d % 3 + 2 cells in row 1, shared strings on even columns,
+    integers 10*i + d on odd — stored as RK fInt records), so ONE
+    oracle CTE shape pins both spreadsheet generations.
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.xlsbiff import build_xls
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cells = []
+                for i in range(d % 3 + 2):
+                    ref = chr(65 + i) + "1"
+                    cells.append(
+                        (ref, f"doc {d} cell {i}") if i % 2 == 0
+                        else (ref, 10 * i + d))
+                payloads.append(build_xls(cells))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def xls_cells(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, cell_ref, kind, value): legacy .xls cell extraction
+    — one mapInPandas pass (functions/xlsbiff.py: CFB stream ->
+    BIFF8 record walk -> SST/LABELSST/NUMBER/RK). Same output shape
+    as xlsx_cells; unparseable payloads yield a single NULL row —
+    the containment convention."""
+    from barkingowl_spark.functions.xlsbiff import extract_xls_cells
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "cell_ref": [], "kind": [],
+                   "value": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = extract_xls_cells(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows = None
+                if not rows:
+                    out["doc_id"].append(doc_id)
+                    out["cell_ref"].append(None)
+                    out["kind"].append(None)
+                    out["value"].append(None)
+                    continue
+                for ref, kind, value in rows:
+                    out["doc_id"].append(doc_id)
+                    out["cell_ref"].append(ref)
+                    out["kind"].append(kind)
+                    out["value"].append(value)
+            yield pd.DataFrame(out).astype({"doc_id": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, cell_ref string, kind string, "
+             "value string")
+
+
 def rtf_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic RTF per doc_id —
     k = d % 3 + 1 paragraphs 'doc {d} rtf {p}', suffixed

@@ -160,3 +160,86 @@ def test_doc_texts_spark(spark):
         "doc_id long, payload binary")
     bad = doc_texts(junk).collect()
     assert bad[0]["n_chars"] == 0 and bad[0]["text"] is None
+
+
+def test_xls_biff8_cells():
+    """Legacy .xls (functions/xlsbiff.py): SST compressed/UTF-16/
+    rich-run entries, LABELSST resolution, RK int (incl. negative
+    and /100 forms), NUMBER doubles, MULRK runs, and the declared
+    seams (non-BIFF8 BOF, out-of-range SST index)."""
+    from barkingowl_spark.functions.xlsbiff import (
+        _rk_value,
+        build_xls,
+        extract_xls_cells,
+    )
+
+    cells = [("A1", "hello wörld"), ("B1", 42),
+             ("C1", "unicode 中文"), ("D1", 3.5),
+             ("E2", "rich-run string"), ("F1", -7)]
+    got = extract_xls_cells(build_xls(cells))
+    assert got == [
+        ("A1", "s", "hello wörld"), ("B1", "n", "42"),
+        ("C1", "s", "unicode 中文"), ("D1", "n", "3.5"),
+        ("E2", "s", "rich-run string"), ("F1", "n", "-7")]
+
+    # RK decode: int, int/100, double-form
+    assert _rk_value((100 << 2) | 2) == 100.0
+    assert _rk_value((100 << 2) | 3) == 1.0
+    d = struct.unpack("<Q", struct.pack("<d", 2.5))[0]
+    assert _rk_value((d >> 32) & 0xFFFFFFFC) == 2.5
+
+    # hand-built MULRK: row 0, cols B..D sharing three RK ints
+    p = build_xls([("A1", "x")])
+    from barkingowl_spark.functions.cfbwalk import read_cfb_stream
+    stream = bytearray(read_cfb_stream(p, "Workbook"))
+    mul = struct.pack("<HH", 0, 1) + b"".join(
+        struct.pack("<HI", 0, (v << 2) | 2) for v in (7, 8, 9)
+    ) + struct.pack("<H", 3)
+    rec = struct.pack("<HH", 0x00BD, len(mul)) + mul
+    # splice before the final EOF record (last 4 bytes)
+    stream2 = bytes(stream[:-4]) + rec + bytes(stream[-4:])
+    from barkingowl_spark.functions.cfbwalk import build_cfb
+    got = extract_xls_cells(build_cfb([("Workbook", stream2)]))
+    assert got == [("A1", "s", "x"), ("B1", "n", "7"),
+                   ("C1", "n", "8"), ("D1", "n", "9")]
+
+    # BIFF5 BOF is a declared seam
+    old = bytearray(read_cfb_stream(p, "Workbook"))
+    struct.pack_into("<H", old, 4, 0x0500)
+    with pytest.raises(NotImplementedError, match="BIFF"):
+        extract_xls_cells(build_cfb([("Workbook", bytes(old))]))
+    # SST index out of range is corrupt
+    bad = bytearray(read_cfb_stream(p, "Workbook"))
+    i = bad.rindex(struct.pack("<HHHI", 0, 0, 0, 0))
+    struct.pack_into("<I", bad, i + 6, 99)
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xls_cells(build_cfb([("Workbook", bytes(bad))]))
+
+
+def test_xls_cells_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        xls_cells,
+        xls_table,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {}
+    for r in xls_cells(xls_table(docs)).collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for d in range(6):
+        got = sorted(rows[d], key=lambda r: r["cell_ref"])
+        assert len(got) == d % 3 + 2
+        for i, r in enumerate(got):
+            if i % 2 == 0:
+                assert (r["kind"], r["value"]) == (
+                    "s", f"doc {d} cell {i}")
+            else:
+                assert (r["kind"], r["value"]) == (
+                    "n", str(10 * i + d))
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\xd0\xcf\x11\xe0 truncated"))],
+        "doc_id long, payload binary")
+    bad = xls_cells(junk).collect()
+    assert bad[0]["cell_ref"] is None and bad[0]["value"] is None
