@@ -1453,6 +1453,23 @@ def q_xlsx_cells(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_ppt_texts(spark, sf):
+    """Legacy .ppt text extraction (functions/xlsbiff.py, r5 third
+    session): CFB stream -> atom-tree scan (containers recursed,
+    recVer 0xF) -> TextCharsAtom/TextBytesAtom leaves in document
+    order — the third leg of the legacy office trio. The oracle
+    recomputes runs + the \\r -> \\n paragraph mapping from the
+    fixture formula."""
+    from barkingowl_spark.operators.multimodal import (
+        ppt_table,
+        ppt_texts,
+    )
+
+    return ppt_texts(ppt_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_xls_cells(spark, sf):
     """Legacy .xls cell extraction (functions/xlsbiff.py, r5 third
     session): CFB stream -> BIFF8 record walk -> SST (compressed +
@@ -6662,6 +6679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "office_texts": q_office_texts,
         "xlsx_cells": q_xlsx_cells,
         "xls_cells": q_xls_cells,
+        "ppt_texts": q_ppt_texts,
         "rtf_texts": q_rtf_texts,
         "eml_texts": q_eml_texts,
         "mbox_texts": q_mbox_texts,
@@ -11311,6 +11329,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_paras,
                    string_agg(para, chr(10) ORDER BY p) AS text
             FROM pg GROUP BY doc_id
+        """,
+        "ppt_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48),
+            rn AS (
+              SELECT doc_id, gs.s,
+                     'doc ' || doc_id || ' slide ' || gs.s
+                     || ' text'
+                     || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'more' ELSE '' END AS run
+              FROM d, (SELECT unnest(generate_series(0, 2)) AS s) gs
+              WHERE gs.s <= doc_id % 3)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_texts,
+                   string_agg(run, chr(10) ORDER BY s) AS text
+            FROM rn GROUP BY doc_id
         """,
         "xls_cells": """
             -- same fixture formula as xlsx_cells: one CTE shape

@@ -221,3 +221,72 @@ def build_xls(cells: list[tuple[str, object]]) -> bytes:
               + rec(_BOF, bof_ws) + b"".join(cellrecs)
               + rec(_EOF, b""))
     return build_cfb([("Workbook", stream)])
+
+
+# ---- PowerPoint 97 (.ppt): the third leg of the legacy trio -------------
+#
+# The PPT97 format is a tree of atoms, but its TEXT lives in exactly
+# two leaf types whose payloads are self-contained, so a flat scan of
+# the "PowerPoint Document" stream recovers the deck text without the
+# PersistDirectory machinery: TextCharsAtom (0x0FA0, UTF-16LE) and
+# TextBytesAtom (0x0FA8, one latin-1-compatible byte per char). Atom
+# headers are (u16 verAndInstance, u16 recType, u32 recLen);
+# container atoms (recVer 0xF) hold children in their payload, so the
+# scan recurses into containers and takes leaves in document order —
+# exactly the order the deck renders.
+
+_PPT_CONTAINER_VER = 0x0F
+_PPT_TEXTCHARS = 0x0FA0
+_PPT_TEXTBYTES = 0x0FA8
+
+
+def _ppt_scan(blob: bytes, out: list[str], depth: int = 0) -> None:
+    if depth > 32:
+        raise ValueError("PPT atom nesting too deep")
+    pos = 0
+    while pos + 8 <= len(blob):
+        (vi, rtype, rlen) = struct.unpack(
+            "<HHI", blob[pos:pos + 8])
+        body = blob[pos + 8:pos + 8 + rlen]
+        if len(body) != rlen:
+            raise ValueError("PPT atom outside stream")
+        pos += 8 + rlen
+        if vi & 0x000F == _PPT_CONTAINER_VER:
+            _ppt_scan(body, out, depth + 1)
+        elif rtype == _PPT_TEXTCHARS:
+            if rlen % 2:
+                raise ValueError("odd TextCharsAtom length")
+            out.append(body.decode("utf-16-le"))
+        elif rtype == _PPT_TEXTBYTES:
+            out.append(body.decode("latin-1"))
+
+
+def extract_ppt_text(payload: bytes) -> tuple[int, str]:
+    """CFB payload -> (n_texts, text): every TextCharsAtom /
+    TextBytesAtom of the PowerPoint Document stream in document
+    order, runs joined with newline (PPT's \\r paragraph marks
+    mapped to \\n, the doctext convention)."""
+    stream = read_cfb_stream(payload, "PowerPoint Document")
+    out: list[str] = []
+    _ppt_scan(stream, out)
+    return len(out), "\n".join(t.replace("\r", "\n") for t in out)
+
+
+def build_ppt(texts: list[str]) -> bytes:
+    """Text runs -> a minimal .ppt: a Document container atom
+    holding one TextCharsAtom or TextBytesAtom per run (UTF-16 when
+    non-latin-1 or on odd indices, bytes otherwise), wrapped in
+    build_cfb under the spec stream name."""
+    atoms = bytearray()
+    for i, t in enumerate(texts):
+        wide = i % 2 == 1 or any(ord(c) > 255 for c in t)
+        if wide:
+            body = t.encode("utf-16-le")
+            atoms += struct.pack("<HHI", 0x0000, _PPT_TEXTCHARS,
+                                 len(body)) + body
+        else:
+            body = t.encode("latin-1")
+            atoms += struct.pack("<HHI", 0x0000, _PPT_TEXTBYTES,
+                                 len(body)) + body
+    doc = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
+    return build_cfb([("PowerPoint Document", bytes(doc))])

@@ -1550,6 +1550,56 @@ def xls_cells(multimodal: DataFrame) -> DataFrame:
              "value string")
 
 
+def ppt_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic legacy .ppt per doc_id —
+    k = d % 3 + 1 text runs 'doc {d} slide {s} text' (run s gets a
+    \\r paragraph mark appended on even d), alternating
+    TextBytesAtom / TextCharsAtom per the writer's index rule.
+    mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.xlsbiff import build_ppt
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                texts = [f"doc {d} slide {s} text"
+                         + ("\rmore" if d % 2 == 0 else "")
+                         for s in range(d % 3 + 1)]
+                payloads.append(build_ppt(texts))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def ppt_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, n_texts, text): legacy .ppt text extraction — one
+    mapInPandas pass (functions/xlsbiff.py: CFB stream -> atom tree
+    scan -> TextChars/TextBytes leaves in document order).
+    Unparseable payloads yield (doc_id, 0, NULL) — the containment
+    convention."""
+    from barkingowl_spark.functions.xlsbiff import extract_ppt_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_texts": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    n, text = extract_ppt_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    n, text = 0, None
+                out["doc_id"].append(doc_id)
+                out["n_texts"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_texts": "int32"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_texts int, text string")
+
+
 def rtf_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic RTF per doc_id —
     k = d % 3 + 1 paragraphs 'doc {d} rtf {p}', suffixed

@@ -243,3 +243,64 @@ def test_xls_cells_spark(spark):
         "doc_id long, payload binary")
     bad = xls_cells(junk).collect()
     assert bad[0]["cell_ref"] is None and bad[0]["value"] is None
+
+
+def test_ppt_text_atoms():
+    """Legacy .ppt (functions/xlsbiff.py): container recursion
+    (recVer 0xF), TextChars/TextBytes leaves in document order,
+    \\r -> \\n mapping, nested-container hand case, depth guard."""
+    from barkingowl_spark.functions.xlsbiff import (
+        build_ppt,
+        extract_ppt_text,
+    )
+
+    texts = ["Slide 1 title\rbullet one", "unicode 中文 run",
+             "plain tail"]
+    n, t = extract_ppt_text(build_ppt(texts))
+    assert n == 3
+    assert t == ("Slide 1 title\nbullet one\nunicode 中文 run"
+                 "\nplain tail")
+
+    # hand-built: a text atom nested TWO containers deep, after a
+    # non-text leaf the scan must skip
+    inner = (struct.pack("<HHI", 0, 0x0FA8, 4) + b"deep")
+    mid = struct.pack("<HHI", 0x000F, 0x03EE, len(inner)) + inner
+    junk = struct.pack("<HHI", 0, 0x1234, 3) + b"\x00\x01\x02"
+    outer = struct.pack("<HHI", 0x000F, 0x03E8,
+                        len(junk) + len(mid)) + junk + mid
+    p = build_cfb([("PowerPoint Document", outer)])
+    assert extract_ppt_text(p) == (1, "deep")
+
+    # odd-length TextCharsAtom is corrupt
+    bad_atom = struct.pack("<HHI", 0, 0x0FA0, 3) + b"abc"
+    bad = build_cfb([("PowerPoint Document", bad_atom)])
+    with pytest.raises(ValueError, match="odd"):
+        extract_ppt_text(bad)
+    # atom claiming bytes beyond the stream is corrupt
+    over = struct.pack("<HHI", 0, 0x0FA8, 99) + b"short"
+    with pytest.raises(ValueError, match="outside"):
+        extract_ppt_text(build_cfb([("PowerPoint Document", over)]))
+
+
+def test_ppt_texts_spark(spark):
+    from barkingowl_spark.operators.multimodal import (
+        ppt_table,
+        ppt_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            ppt_texts(ppt_table(docs)).collect()}
+    for d in range(6):
+        runs = [f"doc {d} slide {s} text"
+                + ("\nmore" if d % 2 == 0 else "")
+                for s in range(d % 3 + 1)]
+        assert rows[d]["n_texts"] == len(runs)
+        assert rows[d]["text"] == "\n".join(runs), d
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\xd0\xcf\x11\xe0 nope"))],
+        "doc_id long, payload binary")
+    bad = ppt_texts(junk).collect()
+    assert bad[0]["n_texts"] == 0 and bad[0]["text"] is None
