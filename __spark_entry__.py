@@ -1558,13 +1558,15 @@ def q_audio_g711(spark, sf):
 
 
 def q_tar_members(spark, sf):
-    """TAR + GZIP archive introspection (functions/tarwalk.py, r5
-    third session): USTAR header walk with checksum re-verification,
-    gzip member parse with CRC-32/ISIZE trailer checks, the .tar.gz
-    composition auto-sniffed — over deterministic archives the
-    stdlib tarfile/gzip modules also read (independent ground truth,
-    pinned in tests). The oracle recomputes the member table from
-    the fixture formula; cksum_ok TRUE is the load-bearing column."""
+    """TAR archive introspection (functions/tarwalk.py, r5 third
+    session): USTAR header walk with checksum re-verification under
+    every compressed wrapper a mirror actually publishes — .tar /
+    .tar.gz (the RFC-1952 walk, CRC-32/ISIZE from the bytes) /
+    .tar.bz2 / .tar.xz (stdlib bz2/lzma, whose integrity checks are
+    the independent ground truth), auto-sniffed — over deterministic
+    archives the stdlib modules also read. The oracle recomputes the
+    member table from the fixture formula; cksum_ok TRUE is the
+    load-bearing column."""
     from barkingowl_spark.operators.multimodal import (
         tar_members,
         tar_table,
@@ -11484,7 +11486,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE gi.i <= doc_id % 3),
             m AS (SELECT * FROM dirs UNION ALL SELECT * FROM files)
             SELECT doc_id, name, size, typeflag,
-                   doc_id % 2 = 1 AS gz,
+                   CASE doc_id % 4 WHEN 1 THEN 'gz'
+                        WHEN 2 THEN 'bz2' WHEN 3 THEN 'xz'
+                        ELSE 'none' END AS wrap,
                    TRUE AS cksum_ok
             FROM m
         """,

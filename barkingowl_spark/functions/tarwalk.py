@@ -45,6 +45,8 @@ import struct
 import zlib
 
 GZIP_MAGIC = b"\x1f\x8b"
+BZ2_MAGIC = b"BZh"
+XZ_MAGIC = b"\xfd7zXZ\x00"
 
 _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 
@@ -209,6 +211,35 @@ def tar_member_data(payload: bytes, index: int) -> bytes:
         pos += _BLOCK + blocks * _BLOCK
         i += 1
     raise ValueError(f"tar has no member {index}")
+
+
+def decompress_auto(payload: bytes) -> tuple[str, bytes]:
+    """(wrap, bytes): auto-sniffed archive decompression — 'gz'
+    (the RFC-1952 walk above, single member, CRC-verified), 'bz2' /
+    'xz' (stdlib bz2/lzma — their checks ARE the independent ground
+    truth), or 'none' passthrough. ValueError when a sniffed
+    wrapper does not decode."""
+    if payload[:2] == GZIP_MAGIC:
+        members = gunzip_members(payload)
+        if len(members) != 1 or not members[0][2]:
+            raise ValueError("gzip wrapper is multi-member or "
+                             "CRC-failing")
+        return "gz", members[0][1]
+    if payload[:3] == BZ2_MAGIC:
+        import bz2
+
+        try:
+            return "bz2", bz2.decompress(payload)
+        except (OSError, ValueError) as e:
+            raise ValueError(f"bad bzip2 wrapper: {e}") from e
+    if payload[:6] == XZ_MAGIC:
+        import lzma
+
+        try:
+            return "xz", lzma.decompress(payload)
+        except lzma.LZMAError as e:
+            raise ValueError(f"bad xz wrapper: {e}") from e
+    return "none", payload
 
 
 def build_tar(members: list[tuple[str, bytes, str]]) -> bytes:

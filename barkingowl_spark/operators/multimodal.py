@@ -935,11 +935,17 @@ def tar_table(docs: DataFrame) -> DataFrame:
     USTAR tar of k = d % 3 + 1 file members f0..f{k-1} (member i:
     30 + 17*i bytes, byte j = (5*j + 13*i + d) % 256), preceded by
     a directory member 'sub/' when d % 4 == 0 (so directory headers
-    are load-bearing). Odd d wraps the tar in a one-member gzip
-    stream (.tar.gz) so both the plain and the compressed path run
-    under one query. Both writers' output is independently readable
-    by the stdlib tarfile/gzip modules (pinned in tests).
-    mapInPandas, Arrow-batched."""
+    are load-bearing). The WRAPPER cycles d % 4: plain .tar /
+    .tar.gz / .tar.bz2 / .tar.xz (r5 third session: the stdlib
+    bz2/lzma wrappers join — their integrity checks are the
+    independent ground truth), so every compressed archive shape a
+    mirror actually publishes runs under one query. All writers'
+    output is independently readable by the stdlib
+    tarfile/gzip/bz2/lzma modules (pinned in tests). mapInPandas,
+    Arrow-batched."""
+    import bz2
+    import lzma
+
     from barkingowl_spark.functions.tarwalk import build_gzip, build_tar
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -955,8 +961,14 @@ def tar_table(docs: DataFrame) -> DataFrame:
                                  for j in range(30 + 17 * i))
                     members.append((f"f{i}", data, "0"))
                 t = build_tar(members)
-                payloads.append(build_gzip("arc.tar", t)
-                                if d % 2 else t)
+                w = d % 4
+                if w == 1:
+                    t = build_gzip("arc.tar", t)
+                elif w == 2:
+                    t = bz2.compress(t)
+                elif w == 3:
+                    t = lzma.compress(t, format=lzma.FORMAT_XZ)
+                payloads.append(t)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -965,35 +977,35 @@ def tar_table(docs: DataFrame) -> DataFrame:
 
 
 def tar_members(multimodal: DataFrame) -> DataFrame:
-    """(doc_id, name, size, typeflag, gz, cksum_ok): archive
+    """(doc_id, name, size, typeflag, wrap, cksum_ok): archive
     introspection over the binary payload column — one mapInPandas
-    pass (functions/tarwalk.py), gzip magic auto-sniffed so .tar and
-    .tar.gz are one operator (gz reports which; a multi-member or
-    CRC-failing gzip wrapper is treated as unparseable). Containers
-    the walk cannot parse yield a single
-    (doc_id, NULL, -1, NULL, false, false) row — the containment
-    convention, one bad archive never kills the batch."""
+    pass (functions/tarwalk.py), the compression wrapper
+    auto-sniffed (wrap in none/gz/bz2/xz; a wrapper that does not
+    decode is unparseable). Containers the walk cannot parse yield
+    a single (doc_id, NULL, -1, NULL, wrap, false) row — the
+    containment convention, one bad archive never kills the
+    batch."""
     from barkingowl_spark.functions.tarwalk import (
+        BZ2_MAGIC,
         GZIP_MAGIC,
-        gunzip_members,
+        XZ_MAGIC,
+        decompress_auto,
         list_tar_members,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "name": [], "size": [],
-                   "typeflag": [], "gz": [], "cksum_ok": []}
+                   "typeflag": [], "wrap": [], "cksum_ok": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
-                gz = p[:2] == GZIP_MAGIC
+                wrap = ("gz" if p[:2] == GZIP_MAGIC
+                        else "bz2" if p[:3] == BZ2_MAGIC
+                        else "xz" if p[:6] == XZ_MAGIC else "none")
                 rows = None
                 try:
-                    if gz:
-                        members = gunzip_members(p)
-                        if len(members) == 1 and members[0][2]:
-                            rows = list_tar_members(members[0][1])
-                    else:
-                        rows = list_tar_members(p)
+                    _w, raw = decompress_auto(p)
+                    rows = list_tar_members(raw)
                 except (ValueError, NotImplementedError):
                     rows = None
                 if not rows:
@@ -1001,7 +1013,7 @@ def tar_members(multimodal: DataFrame) -> DataFrame:
                     out["name"].append(None)
                     out["size"].append(-1)
                     out["typeflag"].append(None)
-                    out["gz"].append(gz)
+                    out["wrap"].append(wrap)
                     out["cksum_ok"].append(False)
                     continue
                 for name, size, typeflag, cksum_ok in rows:
@@ -1009,15 +1021,15 @@ def tar_members(multimodal: DataFrame) -> DataFrame:
                     out["name"].append(name)
                     out["size"].append(size)
                     out["typeflag"].append(typeflag)
-                    out["gz"].append(gz)
+                    out["wrap"].append(wrap)
                     out["cksum_ok"].append(cksum_ok)
             yield pd.DataFrame(out).astype(
                 {"doc_id": "int64", "size": "int64",
-                 "gz": "bool", "cksum_ok": "bool"})
+                 "cksum_ok": "bool"})
 
     return multimodal.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, name string, size long, typeflag string, "
-             "gz boolean, cksum_ok boolean")
+             "wrap string, cksum_ok boolean")
 
 
 def pdf_text_table(docs: DataFrame) -> DataFrame:

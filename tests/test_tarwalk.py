@@ -143,7 +143,7 @@ def test_tar_gz_chain():
 
 def test_tar_members_spark(spark):
     """tar_table -> tar_members across the member cycle and the
-    plain/.tar.gz alternation, plus containment: a non-archive
+    none/gz/bz2/xz wrapper cycle, plus containment: a non-archive
     payload yields the single invalid row, not an error."""
     from barkingowl_spark.operators.multimodal import (
         tar_members,
@@ -156,6 +156,7 @@ def test_tar_members_spark(spark):
     per = {}
     for r in rows:
         per.setdefault(r["doc_id"], []).append(r)
+    wraps = {0: "none", 1: "gz", 2: "bz2", 3: "xz"}
     for d in range(8):
         got = sorted(per[d], key=lambda r: (r["typeflag"], r["name"]))
         files = [r for r in got if r["typeflag"] == "0"]
@@ -166,12 +167,33 @@ def test_tar_members_spark(spark):
             assert r["name"] == f"f{i}"
             assert r["size"] == 30 + 17 * i
             assert r["cksum_ok"]
-            assert r["gz"] == bool(d % 2)
+            assert r["wrap"] == wraps[d % 4]
 
     junk = spark.createDataFrame(
         [(99, bytearray(b"\x1f\x8b but not really gzip"))],
         "doc_id long, payload binary")
     bad = tar_members(junk).collect()
     assert len(bad) == 1 and bad[0]["name"] is None
-    assert bad[0]["gz"] and not bad[0]["cksum_ok"]
+    assert bad[0]["wrap"] == "gz" and not bad[0]["cksum_ok"]
     assert bad[0]["size"] == -1
+
+
+def test_decompress_auto_bz2_xz():
+    """The bz2/xz wrappers (stdlib modules = independent ground
+    truth): round-trip, magic sniff, corrupt rejection."""
+    import bz2
+    import lzma
+
+    from barkingowl_spark.functions.tarwalk import decompress_auto
+
+    t = build_tar(MS)
+    assert decompress_auto(bz2.compress(t)) == ("bz2", t)
+    assert decompress_auto(lzma.compress(
+        t, format=lzma.FORMAT_XZ)) == ("xz", t)
+    assert decompress_auto(t) == ("none", t)
+    g = build_gzip("arc.tar", t)
+    assert decompress_auto(g) == ("gz", t)
+    with pytest.raises(ValueError, match="bzip2"):
+        decompress_auto(b"BZh9 but junk follows here")
+    with pytest.raises(ValueError, match="xz"):
+        decompress_auto(b"\xfd7zXZ\x00 junk")
