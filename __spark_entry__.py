@@ -1453,6 +1453,25 @@ def q_xlsx_cells(spark, sf):
         .orderBy("doc_id").limit(48)))
 
 
+def q_document_texts(spark, sf):
+    """THE unified document-text dispatcher (r5 third session —
+    the tier's composition): magic-sniff mixed payloads (ZIP
+    families disambiguated by their spec-pinned members, CFB
+    families by stream names) and route each to its extractor —
+    pdf / docx / odt / epub / doc / ppt / rtf / eml in one
+    mapInPandas pass, the call a corpus pipeline makes after O15
+    finds a document. The oracle is one CASE over the eight
+    fixture formulas."""
+    from barkingowl_spark.operators.multimodal import (
+        doc_payload_table,
+        document_texts,
+    )
+
+    return document_texts(doc_payload_table(
+        _t(spark, sf, "documents").select("doc_id")
+        .orderBy("doc_id").limit(48)))
+
+
 def q_ppt_texts(spark, sf):
     """Legacy .ppt text extraction (functions/xlsbiff.py, r5 third
     session): CFB stream -> atom-tree scan (containers recursed,
@@ -6682,6 +6701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_cells": q_xlsx_cells,
         "xls_cells": q_xls_cells,
         "ppt_texts": q_ppt_texts,
+        "document_texts": q_document_texts,
         "rtf_texts": q_rtf_texts,
         "eml_texts": q_eml_texts,
         "mbox_texts": q_mbox_texts,
@@ -11331,6 +11351,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_paras,
                    string_agg(para, chr(10) ORDER BY p) AS text
             FROM pg GROUP BY doc_id
+        """,
+        "document_texts": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 48)
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                     WHEN 2 THEN 'odt' WHEN 3 THEN 'epub'
+                     WHEN 4 THEN 'doc' WHEN 5 THEN 'ppt'
+                     WHEN 6 THEN 'rtf' ELSE 'eml' END AS fmt,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'doc ' || doc_id
+                          || ' page 0 line 0' || chr(10)
+                          || 'doc ' || doc_id || ' page 0 line 1'
+                          || chr(10)
+                     WHEN 1 THEN 'doc ' || doc_id || ' para 0'
+                     WHEN 2 THEN 'doc ' || doc_id || ' para 0'
+                     WHEN 3 THEN 'c0 doc ' || doc_id
+                          || ' chapter 0 words'
+                     WHEN 4 THEN 'doc ' || doc_id || ' piece 0'
+                          || chr(10)
+                     WHEN 5 THEN 'doc ' || doc_id || ' slide 0 text'
+                     WHEN 6 THEN 'doc ' || doc_id || ' rtf 0'
+                     ELSE 'doc ' || doc_id || ' body' END AS text
+            FROM d
         """,
         "ppt_texts": """
             WITH d AS (SELECT doc_id FROM documents

@@ -1234,6 +1234,180 @@ def doc_texts(multimodal: DataFrame) -> DataFrame:
         run, "doc_id long, n_chars int, text string")
 
 
+def doc_payload_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): one document payload per doc_id, the
+    FORMAT cycling d % 8 over pdf / docx / odt / epub / doc / ppt /
+    rtf / eml — each through its established fixture writer with a
+    single-unit text formula, so the document_texts dispatcher's
+    oracle is one CASE. mapInPandas, Arrow-batched."""
+    from barkingowl_spark.functions.doctext import build_doc
+    from barkingowl_spark.functions.emltext import build_eml
+    from barkingowl_spark.functions.officetext import (
+        build_docx,
+        build_epub,
+        build_odt,
+    )
+    from barkingowl_spark.functions.pdftext import build_pdf
+    from barkingowl_spark.functions.rtftext import build_rtf
+    from barkingowl_spark.functions.xlsbiff import build_ppt
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 8
+                if v == 0:
+                    p = build_pdf([[f"doc {d} page 0 line 0",
+                                    f"doc {d} page 0 line 1"]],
+                                  flate=True)
+                elif v == 1:
+                    p = build_docx([f"doc {d} para 0"])
+                elif v == 2:
+                    p = build_odt([f"doc {d} para 0"])
+                elif v == 3:
+                    p = build_epub([f"doc {d} chapter 0 words"])
+                elif v == 4:
+                    p = build_doc([(f"doc {d} piece 0\r", True)])
+                elif v == 5:
+                    p = build_ppt([f"doc {d} slide 0 text"])
+                elif v == 6:
+                    p = build_rtf([f"doc {d} rtf 0"])
+                else:
+                    p = build_eml(f"subject {d}",
+                                  f"user{d}@example.test",
+                                  f"doc {d} body", cte="7bit")
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def sniff_document(payload: bytes) -> str | None:
+    """Magic-dispatch a text-bearing document payload to its
+    format: 'pdf' / 'docx' / 'odt' / 'epub' / 'doc' / 'ppt' /
+    'rtf' / 'eml' / 'mbox'; None when it is none of them. ZIP
+    families disambiguate by the members the respective specs pin
+    (ODF/EPUB: the stored-first mimetype; OOXML: the document
+    part); CFB families by the spec stream names."""
+    if payload[:5] == b"%PDF-":
+        return "pdf"
+    if payload[:5] == b"{\\rtf":
+        return "rtf"
+    if payload[:5] == b"From ":
+        return "mbox"
+    if payload[:4] == b"PK\x03\x04":
+        if payload[30:38] == b"mimetype":
+            mt = payload[38:88]
+            if mt.startswith(b"application/epub+zip"):
+                return "epub"
+            if mt.startswith(b"application/vnd.oasis"):
+                return "odt"
+            return None
+        from barkingowl_spark.functions.zipwalk import (
+            list_zip_members,
+        )
+
+        try:
+            names = {n for n, *_ in list_zip_members(payload)}
+        except (ValueError, NotImplementedError):
+            return None
+        if "word/document.xml" in names:
+            return "docx"
+        return None
+    if payload[:8] == bytes.fromhex("D0CF11E0A1B11AE1"):
+        from barkingowl_spark.functions.cfbwalk import (
+            list_cfb_members,
+        )
+
+        try:
+            names = {n for n, *_ in list_cfb_members(payload)}
+        except (ValueError, NotImplementedError):
+            return None
+        if "WordDocument" in names:
+            return "doc"
+        if "PowerPoint Document" in names:
+            return "ppt"
+        return None
+    # RFC 5322: a header line before the first blank line
+    head = payload[:256]
+    if b":" in head.split(b"\n", 1)[0] and (
+            b"\n\n" in payload or b"\r\n\r\n" in payload):
+        first = head.split(b"\n", 1)[0].rstrip(b"\r")
+        name = first.split(b":", 1)[0]
+        if name and all(32 < c < 127 and c != 58 for c in name):
+            return "eml"
+    return None
+
+
+def document_texts(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, fmt, text): THE unified document-text dispatcher —
+    the production call a corpus pipeline makes after O15 routes a
+    document payload: magic-sniff the format and run the matching
+    extractor (pdf / docx / odt / epub / doc / ppt / rtf / eml /
+    mbox), one mapInPandas pass. Un-sniffable or unparseable
+    payloads yield (doc_id, NULL, NULL) — the containment
+    convention. mbox text = the FIRST message's text (the preview
+    convention; mbox_texts explodes the full archive)."""
+    from barkingowl_spark.functions.doctext import extract_doc_text
+    from barkingowl_spark.functions.emltext import (
+        extract_eml_text,
+        split_mbox,
+    )
+    from barkingowl_spark.functions.officetext import (
+        extract_docx_text,
+        extract_epub_text,
+        extract_odt_text,
+    )
+    from barkingowl_spark.functions.pdftext import extract_pdf_text
+    from barkingowl_spark.functions.rtftext import extract_rtf_text
+    from barkingowl_spark.functions.xlsbiff import extract_ppt_text
+
+    def one(payload: bytes) -> tuple[str | None, str | None]:
+        fmt = sniff_document(payload)
+        if fmt is None:
+            return None, None
+        try:
+            if fmt == "pdf":
+                return fmt, extract_pdf_text(payload)[1]
+            if fmt == "docx":
+                return fmt, extract_docx_text(payload)[1]
+            if fmt == "odt":
+                return fmt, extract_odt_text(payload)[1]
+            if fmt == "epub":
+                return fmt, extract_epub_text(payload)[1]
+            if fmt == "doc":
+                return fmt, extract_doc_text(payload)[1]
+            if fmt == "ppt":
+                return fmt, extract_ppt_text(payload)[1]
+            if fmt == "rtf":
+                return fmt, extract_rtf_text(payload)[1]
+            if fmt == "eml":
+                return fmt, extract_eml_text(payload)[2]
+            msgs = split_mbox(payload)
+            return fmt, (extract_eml_text(msgs[0])[2]
+                         if msgs else "")
+        except (ValueError, NotImplementedError,
+                UnicodeDecodeError):
+            return None, None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "text": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, text = one(bytes(payload)
+                                if payload is not None else b"")
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["text"].append(text)
+            yield pd.DataFrame(out).astype({"doc_id": "int64"})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, fmt string, text string")
+
+
 def office_text_table(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a deterministic office document per doc_id
     — .docx (ZIP of OOXML parts) on even d, .odt (mimetype-first ODF)

@@ -131,7 +131,7 @@ def duck():
      "mm_tiff_decode", "mm_tiff_ahash", "mm_tiff_resize",
      "mm_bmp_resize", "mm_tiffjpeg_decode", "mm_tiffjpeg_ahash",
      "mm_ico_decode", "mm_ico_ahash", "zip_members", "tar_members",
-     "audio_g711", "sitemap_gz", "office_texts", "xlsx_cells", "xls_cells", "ppt_texts", "rtf_texts", "eml_texts", "mbox_texts", "epub_texts", "meta_opengraph", "svg_dims", "cfb_members",
+     "audio_g711", "sitemap_gz", "office_texts", "xlsx_cells", "xls_cells", "ppt_texts", "document_texts", "rtf_texts", "eml_texts", "mbox_texts", "epub_texts", "meta_opengraph", "svg_dims", "cfb_members",
      "doc_texts",
      "pdf_texts", "pdf_texts_xs", "mm_bmp_embed_decode",
      "mm_bmp_embed_ahash",

@@ -251,3 +251,79 @@ def test_epub_texts_spark(spark):
                for c in range(d % 3 + 1)]
         assert rows[d]["n_chapters"] == len(chs)
         assert rows[d]["text"] == "\f".join(chs), d
+
+
+def test_sniff_document_disambiguation():
+    """The unified dispatcher's sniff: ZIP families split on the
+    spec-pinned members (mimetype-first for ODF/EPUB, the document
+    part for OOXML), CFB families on stream names, RFC-5322 on the
+    header-line heuristic; xlsx and plain ZIPs are NOT text-bearing
+    documents (None)."""
+    from barkingowl_spark.functions.cfbwalk import build_cfb
+    from barkingowl_spark.functions.doctext import build_doc
+    from barkingowl_spark.functions.emltext import (
+        build_eml,
+        build_mbox,
+    )
+    from barkingowl_spark.functions.officetext import (
+        build_docx,
+        build_epub,
+        build_odt,
+        build_xlsx,
+    )
+    from barkingowl_spark.functions.rtftext import build_rtf
+    from barkingowl_spark.functions.xlsbiff import (
+        build_ppt,
+        build_xls,
+    )
+    from barkingowl_spark.operators.multimodal import sniff_document
+
+    eml = build_eml("s", "a@b.test", "x", cte="7bit")
+    cases = [
+        (b"%PDF-1.4 ...", "pdf"),
+        (build_docx(["p"]), "docx"),
+        (build_odt(["p"]), "odt"),
+        (build_epub(["c"]), "epub"),
+        (build_doc([("t\r", True)]), "doc"),
+        (build_ppt(["t"]), "ppt"),
+        (build_rtf(["p"]), "rtf"),
+        (eml, "eml"),
+        (build_mbox([eml]), "mbox"),
+        (build_xlsx([("A1", "x")]), None),       # cells, not text
+        (build_xls([("A1", "x")]), None),
+        (build_zip([("a.txt", b"x", 0)]), None),  # plain archive
+        (b"just some plain text", None),
+    ]
+    for payload, want in cases:
+        assert sniff_document(bytes(payload)) == want, want
+
+
+def test_document_texts_spark(spark):
+    """doc_payload_table -> document_texts across all eight
+    formats, plus containment for junk."""
+    from barkingowl_spark.operators.multimodal import (
+        doc_payload_table,
+        document_texts,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(8)],
+                                 "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            document_texts(doc_payload_table(docs)).collect()}
+    fmts = ["pdf", "docx", "odt", "epub", "doc", "ppt", "rtf",
+            "eml"]
+    texts = [
+        "doc 0 page 0 line 0\ndoc 0 page 0 line 1\n",
+        "doc 1 para 0", "doc 2 para 0",
+        "c0 doc 3 chapter 0 words", "doc 4 piece 0\n",
+        "doc 5 slide 0 text", "doc 6 rtf 0", "doc 7 body",
+    ]
+    for d in range(8):
+        assert rows[d]["fmt"] == fmts[d], d
+        assert rows[d]["text"] == texts[d], d
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"neither fish nor fowl"))],
+        "doc_id long, payload binary")
+    bad = document_texts(junk).collect()
+    assert bad[0]["fmt"] is None and bad[0]["text"] is None
